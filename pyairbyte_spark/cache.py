@@ -1,0 +1,160 @@
+"""SparkCache — the landing zone ("cache") for record streams.
+
+Parity with the reference's ``CacheBase`` (``airbyte/caches/base.py``):
+one table per stream plus internal catalog/state metadata, lazy dataset
+access, pandas/Arrow export, and a guarded raw-SQL surface. The backing
+store is a parquet warehouse directory managed by :class:`TableStore`;
+on a cluster this directory lives on shared storage and every operation
+below is already distributed-safe (no driver-side row loops).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Mapping
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from pyairbyte_spark.catalog import CatalogBackend, StreamSpec
+from pyairbyte_spark.constants import DEFAULT_ARROW_MAX_CHUNK_SIZE, DEFAULT_CACHE_SCHEMA
+from pyairbyte_spark.datasets import CachedDataset
+from pyairbyte_spark.names import LowerCaseNormalizer
+from pyairbyte_spark.sql_guard import guard_sql
+from pyairbyte_spark.state import (
+    BackendStateWriter,
+    StateBackend,
+    StateProvider,
+)
+from pyairbyte_spark.strategies import WriteMethod
+from pyairbyte_spark.writers import TableStore
+
+
+class SparkCache(Mapping):
+    """A Spark-managed warehouse acting as the sync landing zone."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        *,
+        schema_name: str = DEFAULT_CACHE_SCHEMA,
+        table_prefix: str = "",
+    ) -> None:
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+        self.schema_name = schema_name
+        self.table_prefix = table_prefix
+        os.makedirs(warehouse_dir, exist_ok=True)
+        self.store = TableStore(spark, warehouse_dir, schema_name)
+        self.catalog_backend = CatalogBackend(warehouse_dir)
+        self.state_backend = StateBackend(warehouse_dir)
+        self.destination_state_backend = StateBackend(
+            warehouse_dir, table_name="_airbyte_destination_state"
+        )
+
+    # -- table naming -------------------------------------------------------
+
+    def table_name(self, stream_name: str) -> str:
+        return self.table_prefix + LowerCaseNormalizer.normalize(stream_name)
+
+    # -- dataset access (Mapping protocol like ReadResult/cache.streams) ----
+
+    @property
+    def stream_names(self) -> list[str]:
+        prefix = self.table_prefix
+        return [
+            t[len(prefix):] if prefix and t.startswith(prefix) else t
+            for t in self.store.list_tables()
+        ]
+
+    @property
+    def streams(self) -> dict[str, CachedDataset]:
+        return {name: self.get_dataset(name) for name in self.stream_names}
+
+    def get_dataset(self, stream_name: str) -> CachedDataset:
+        df = self.store.read(self.table_name(stream_name))
+        return CachedDataset(df, stream_name)
+
+    def __getitem__(self, stream_name: str) -> CachedDataset:
+        return self.get_dataset(stream_name)
+
+    def __contains__(self, stream_name: str) -> bool:
+        return self.store.table_exists(self.table_name(str(stream_name)))
+
+    def __iter__(self) -> Iterator[str]:
+        return iter(self.stream_names)
+
+    def __len__(self) -> int:
+        return len(self.stream_names)
+
+    # -- write path ---------------------------------------------------------
+
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        stream_name: str,
+        method: WriteMethod = WriteMethod.APPEND,
+        primary_keys: list[str] | None = None,
+    ) -> None:
+        self.store.write(df, self.table_name(stream_name), method, primary_keys)
+
+    def register_stream(self, spec: StreamSpec) -> None:
+        self.catalog_backend.register(spec)
+
+    # -- export surface -----------------------------------------------------
+
+    def get_pandas_dataframe(self, stream_name: str):
+        """Full-table pandas export (reference caches/base.py:283-290)."""
+        return self.get_dataset(stream_name).to_pandas()
+
+    def get_arrow_dataset(
+        self, stream_name: str, *, max_chunk_size: int = DEFAULT_ARROW_MAX_CHUNK_SIZE
+    ):
+        """Chunked Arrow export (reference caches/base.py:292-322)."""
+        return self.get_dataset(stream_name).to_arrow(max_chunk_size=max_chunk_size)
+
+    def get_records(self, stream_name: str) -> Iterator[dict[str, Any]]:
+        return iter(self.get_dataset(stream_name))
+
+    # -- SQL surface ---------------------------------------------------------
+
+    def register_views(self) -> None:
+        for name in self.stream_names:
+            self.get_dataset(name).to_spark().createOrReplaceTempView(
+                LowerCaseNormalizer.normalize(name)
+            )
+
+    def run_sql_query(
+        self, sql: str, *, max_records: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Guarded SQL passthrough (reference caches/base.py:195-241 +
+        the MCP read-only gate mcp/local.py:753-846)."""
+        self.register_views()
+        df = self.spark.sql(guard_sql(sql))
+        if max_records is not None:
+            df = df.limit(max_records)
+        return [r.asDict() for r in df.collect()]
+
+    def sql(self, sql: str) -> DataFrame:
+        """Lazy guarded SQL → DataFrame (Spark-native surface)."""
+        self.register_views()
+        return self.spark.sql(guard_sql(sql))
+
+    # -- state --------------------------------------------------------------
+
+    def get_state_provider(self, source_name: str) -> StateProvider:
+        return StateProvider(self.state_backend.read(source_name, self.table_prefix))
+
+    def get_state_writer(self, source_name: str) -> BackendStateWriter:
+        return BackendStateWriter(self.state_backend, source_name, self.table_prefix)
+
+    def get_destination_state_provider(self, destination_name: str) -> StateProvider:
+        return StateProvider(
+            self.destination_state_backend.read(destination_name, self.table_prefix)
+        )
+
+    def get_destination_state_writer(self, destination_name: str) -> BackendStateWriter:
+        return BackendStateWriter(
+            self.destination_state_backend, destination_name, self.table_prefix
+        )

@@ -1,0 +1,206 @@
+"""Message-stream processor: RECORD/STATE/TRACE → warehouse tables.
+
+The Spark-shaped equivalent of ``SqlProcessorBase.process_airbyte_messages``
+(``airbyte/shared/sql_processor.py:305-378``) and ``write_stream_data``
+(``:748-824``):
+
+1. RECORD messages are normalized/pruned and buffered into gzip JSONL
+   batch files, rotated every ``DEFAULT_BATCH_SIZE`` records (parity:
+   ``airbyte/_writers/file_writers.py:33,161-231``).
+2. STATE messages are buffered per stream — never finalized early (T2).
+3. TRACE stream-status COMPLETE triggers that stream's finalization
+   immediately (T7): batch files → ``spark.read.schema(...).json`` →
+   metadata columns → write strategy → THEN state flush.
+
+The JSONL staging keeps the connector boundary row-oriented (as the
+reference does) while everything after ``spark.read.json`` is columnar.
+On a cluster the staging dir lives on shared storage and the JSON load
+parallelizes across executors (one task per batch file).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import IO, Any
+
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.catalog import StreamSpec
+from pyairbyte_spark.constants import DEFAULT_BATCH_SIZE
+from pyairbyte_spark.names import LowerCaseNormalizer, normalize_records_keys
+from pyairbyte_spark.records import conform_to_schema, with_metadata_columns
+from pyairbyte_spark.sources.messages import AirbyteMessage
+from pyairbyte_spark.state import PendingStateBuffer, StateArtifact, StateWriterBase
+from pyairbyte_spark.strategies import WriteStrategy, resolve_write_method
+from pyairbyte_spark.types import json_schema_to_struct
+
+
+@dataclass
+class _StreamBuffer:
+    files: list[str] = field(default_factory=list)
+    active: IO[bytes] | None = None
+    active_count: int = 0
+    record_count: int = 0
+
+
+@dataclass
+class StreamWriteResult:
+    stream_name: str
+    record_count: int
+
+
+class MessageStreamProcessor:
+    def __init__(
+        self,
+        cache: SparkCache,
+        *,
+        source_name: str,
+        specs: dict[str, StreamSpec],
+        write_strategy: WriteStrategy = WriteStrategy.AUTO,
+        state_writer: StateWriterBase | None = None,
+        batch_size: int = DEFAULT_BATCH_SIZE,
+        progress=None,
+    ) -> None:
+        self.cache = cache
+        self.source_name = source_name
+        self.specs = {LowerCaseNormalizer.normalize(k): v for k, v in specs.items()}
+        self.write_strategy = write_strategy
+        self.state_writer = state_writer or cache.get_state_writer(source_name)
+        self.batch_size = batch_size
+        self.progress = progress
+        self._buffers: dict[str, _StreamBuffer] = {}
+        self._pending_state = PendingStateBuffer()
+        self._staging = os.path.join(
+            cache.warehouse_dir, "_staging", uuid.uuid4().hex[:12]
+        )
+        self.results: dict[str, StreamWriteResult] = {}
+
+    # -- batching -----------------------------------------------------------
+
+    def _buffer(self, stream_key: str) -> _StreamBuffer:
+        return self._buffers.setdefault(stream_key, _StreamBuffer())
+
+    def _rotate(self, stream_key: str, buf: _StreamBuffer) -> None:
+        if buf.active is not None:
+            buf.active.close()
+            buf.active = None
+            buf.active_count = 0
+
+    def _write_record(self, stream_key: str, data: dict[str, Any]) -> None:
+        buf = self._buffer(stream_key)
+        if buf.active is None:
+            os.makedirs(self._staging, exist_ok=True)
+            path = os.path.join(
+                self._staging, f"{stream_key}_{len(buf.files):05d}.jsonl.gz"
+            )
+            buf.files.append(path)
+            buf.active = gzip.open(path, "wb", compresslevel=1)
+        spec = self.specs.get(stream_key)
+        declared = spec.json_schema.get("properties", {}) if spec else None
+        normalized = normalize_records_keys(
+            data, keys=list(declared) if declared else None
+        )
+        buf.active.write(json.dumps(normalized, default=str).encode() + b"\n")
+        buf.active_count += 1
+        buf.record_count += 1
+        if buf.active_count >= self.batch_size:
+            self._rotate(stream_key, buf)
+
+    # -- message pump -------------------------------------------------------
+
+    def process_messages(self, messages) -> dict[str, StreamWriteResult]:
+        for msg in messages:
+            if msg.type == "RECORD" and msg.record is not None:
+                self._write_record(
+                    LowerCaseNormalizer.normalize(msg.record.stream), msg.record.data
+                )
+                if self.progress is not None:
+                    self.progress.record_read(msg.record.stream)
+            elif msg.type == "STATE" and msg.state is not None:
+                key = (
+                    LowerCaseNormalizer.normalize(msg.state.stream_name)
+                    if msg.state.stream_name
+                    else msg.state.state_type
+                )
+                self._pending_state.add(
+                    StateArtifact(
+                        stream_name=msg.state.stream_name or key,
+                        state=msg.state.state,
+                        state_type=msg.state.state_type,
+                    )
+                )
+            elif (
+                msg.type == "TRACE"
+                and msg.trace is not None
+                and msg.trace.trace_type == "STREAM_STATUS"
+                and msg.trace.status in ("COMPLETE", "SUCCEEDED")
+                and msg.trace.stream_name
+            ):
+                # T7: finalize this stream immediately.
+                self._finalize_stream(LowerCaseNormalizer.normalize(msg.trace.stream_name))
+        # End of stream: finalize everything left.
+        for key in list(self._buffers):
+            if key not in self.results:
+                self._finalize_stream(key)
+        self._pending_state.finalize_all(self.state_writer)
+        if hasattr(self.state_writer, "flush"):
+            self.state_writer.flush()
+        shutil.rmtree(self._staging, ignore_errors=True)
+        return self.results
+
+    # -- finalization -------------------------------------------------------
+
+    def _finalize_stream(self, stream_key: str) -> None:
+        buf = self._buffers.get(stream_key)
+        spec = self.specs.get(stream_key) or StreamSpec(name=stream_key)
+        record_count = buf.record_count if buf else 0
+        if buf and buf.record_count:
+            self._rotate(stream_key, buf)
+            struct = json_schema_to_struct(
+                spec.json_schema, normalizer=LowerCaseNormalizer
+            )
+            reader = self.cache.spark.read
+            if struct.fields:
+                df = reader.schema(struct).json(buf.files)
+            else:
+                df = reader.json(buf.files)
+            df = conform_to_schema(
+                df, spec.declared_columns or df.columns
+            )
+            df = with_metadata_columns(df)
+            method = resolve_write_method(
+                self.write_strategy,
+                has_primary_keys=bool(spec.primary_keys),
+                has_cursor=bool(spec.cursor_field),
+            )
+            self.cache.write_dataframe(
+                df, stream_key, method, spec.normalized_primary_keys
+            )
+            self.cache.register_stream(spec)
+        elif spec is not None and spec.json_schema.get("properties"):
+            # Empty stream: still materialize an empty table with the
+            # declared schema (reference creates the final table even
+            # when zero records arrive).
+            struct = json_schema_to_struct(spec.json_schema, normalizer=LowerCaseNormalizer)
+            empty = self.cache.spark.createDataFrame([], struct)
+            empty = with_metadata_columns(empty)
+            if not self.cache.store.table_exists(self.cache.table_name(stream_key)):
+                self.cache.write_dataframe(empty, stream_key, resolve_write_method(
+                    WriteStrategy.REPLACE, has_primary_keys=False, has_cursor=False
+                ))
+            self.cache.register_stream(spec)
+        # Data committed → NOW finalize state (T2 ordering).
+        self._pending_state.finalize_stream(stream_key, self.state_writer)
+        if hasattr(self.state_writer, "flush"):
+            self.state_writer.flush(stream_key)
+        if buf:
+            buf.record_count = 0
+        self.results[stream_key] = StreamWriteResult(stream_key, record_count)
+        if self.progress is not None:
+            self.progress.stream_finalized(stream_key, record_count)

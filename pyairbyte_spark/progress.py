@@ -1,0 +1,45 @@
+"""Sync progress tallies.
+
+Parity: ``airbyte/progress.py:253-380,511-593`` — records read/written
+per stream, elapsed seconds, records-per-second. Driver-side counters
+at the connector boundary; Spark-side counts come from the finalize
+step (one count per stream commit, not per row).
+"""
+
+from __future__ import annotations
+
+import time
+
+
+class ProgressTracker:
+    def __init__(self) -> None:
+        self.start_time = time.monotonic()
+        self.end_time: float | None = None
+        self.records_read: dict[str, int] = {}
+        self.records_written: dict[str, int] = {}
+
+    def record_read(self, stream_name: str, n: int = 1) -> None:
+        self.records_read[stream_name] = self.records_read.get(stream_name, 0) + n
+
+    def stream_finalized(self, stream_name: str, record_count: int) -> None:
+        self.records_written[stream_name] = record_count
+
+    def sync_complete(self) -> None:
+        self.end_time = time.monotonic()
+
+    @property
+    def elapsed_seconds(self) -> float:
+        return (self.end_time or time.monotonic()) - self.start_time
+
+    @property
+    def total_records_read(self) -> int:
+        return sum(self.records_read.values())
+
+    @property
+    def total_records_written(self) -> int:
+        return sum(self.records_written.values())
+
+    @property
+    def records_per_second(self) -> float:
+        elapsed = self.elapsed_seconds
+        return self.total_records_written / elapsed if elapsed > 0 else 0.0

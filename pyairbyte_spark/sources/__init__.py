@@ -1,0 +1,6 @@
+from pyairbyte_spark.sources.base import SparkSource
+from pyairbyte_spark.sources.benchmark import get_benchmark_source
+from pyairbyte_spark.sources.fixture import SourceTestFixture
+from pyairbyte_spark.sources.faker import SourceFaker
+
+__all__ = ["SparkSource", "SourceFaker", "SourceTestFixture", "get_benchmark_source"]
