@@ -1,0 +1,304 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (the 100 TB story):
+
+- **Exact**: one hash-groupBy shuffle on the content digest; map-side
+  partial aggregation applies because the digest is computed pre-shuffle.
+- **MinHash+LSH**: per-doc signatures are a linear scan (explode →
+  groupBy doc). Banding turns all-pairs O(n²) into a self-join on
+  (band_idx, band_hash) — only same-bucket docs shuffle together. Buckets
+  are uniformly-hashed, so skew is bounded; a hot bucket (giant cluster
+  of identical docs) is handled by AQE skew-join splitting.
+- **SimHash**: 64-bit signature per doc in one pass; near-dup candidates
+  join on band substrings of the signature (4×16-bit bands → Hamming
+  distance ≤ 3 guaranteed recall within bands).
+- **n-gram Jaccard**: exact verification for candidate pairs — explode
+  shingles, equi-join on shingle, count intersections. Used standalone
+  for small corpora and as the verify stage after LSH at scale.
+- **Embedding cosine**: see ``similarity.py``; near-dup = pairs above a
+  cosine threshold.
+
+Hash choice: md5 (hex string) everywhere — engine-portable (identical
+in Spark and DuckDB), which the correctness oracle exploits. MinHash
+min() is taken over hex strings: lexicographic order on uniformly
+distributed hex is a valid uniform order, so min-hash statistics hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.operators.text import normalize_text_expr
+
+# -- exact ------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, cols: list[str], *, id_col: str
+) -> DataFrame:
+    """Keep one row per exact content match (lowest id wins).
+
+    One shuffle on the digest; the winner choice is deterministic
+    (min id), unlike ``dropDuplicates`` which is arrival-order dependent.
+    """
+    digest = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    w_df = df.withColumn("__digest", digest)
+    keepers = w_df.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return (
+        w_df.join(keepers, ["__digest", id_col], "inner").drop("__digest")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Digest → (n_docs, keeper_id) for groups, largest first."""
+    digest = F.md5(normalize_text_expr(text_col))
+    return (
+        df.select(digest.alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+    )
+
+
+# -- shingles ---------------------------------------------------------------
+
+
+def word_shingles_expr(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-gram shingle array (space-joined)."""
+    toks = F.split(normalize_text_expr(col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # try_element_at: out-of-range → NULL (matches SQL list indexing;
+    # concat_ws skips NULLs in both engines), ANSI-safe.
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at(toks, i + j) for j in range(k)]
+    )
+    return F.array_distinct(F.transform(idx, shingle))
+
+
+# -- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 12, k: int = 3
+) -> DataFrame:
+    """(id, sig: array<string>) — sig[i] = min over shingles of
+    md5(i || shingle).
+
+    Linear: explode + groupBy(id) with min-aggregations; the explode and
+    re-group shuffle on the doc id only (shingle strings never shuffle
+    as keys).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles_expr(text_col, k)).alias("shingle")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_bands(
+    sig_df: DataFrame, id_col: str, *, bands: int = 4, rows: int = 3
+) -> DataFrame:
+    """Signature → (id, band_idx, band_hash). Docs sharing any band
+    bucket are candidate near-dups."""
+    out = []
+    for b in range(bands):
+        cols = [F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
+        out.append(
+            sig_df.select(
+                F.col(id_col),
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b, n_bands matched).
+
+    The self-join keys on (band_idx, band_hash): only same-bucket docs
+    meet — the LSH trick that makes near-dup mining feasible at 100 TB.
+    """
+    rows = num_hashes // bands
+    b = lsh_bands(
+        minhash_signature(df, text_col, id_col, num_hashes=num_hashes, k=k),
+        id_col,
+        bands=bands,
+        rows=rows,
+    )
+    left = b.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    right = b.select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band_idx").alias("n_bands"))
+    )
+
+
+# -- SimHash ----------------------------------------------------------------
+
+_HEX_CHARS = "0123456789abcdef"
+
+
+def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per doc, emitted as a 16-hex-char string.
+
+    Relational formulation: explode word tokens (term frequency =
+    weight), take the first 16 hex chars of each token's md5 (4 bits
+    per hex char), then ONE groupBy(doc) computing all 64 bit-votes as
+    ``sum(case bit set → +1 else -1)`` aggregates — a single shuffle on
+    the doc id regardless of signature width. Signature bit j is set
+    iff its vote is positive.
+
+    Hex-string output avoids BIGINT sign overflow for the top bit and
+    is engine-portable (same md5/substr/bit arithmetic in the SQL
+    oracle).
+    """
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text_expr(text_col), " ")).alias("tok"),
+    ).select(F.col(id_col), F.substring(F.md5(F.col("tok")), 1, 16).alias("h"))
+
+    aggs = []
+    for j in range(64):
+        hex_pos = j // 4 + 1
+        bit_in_digit = 3 - (j % 4)
+        digit = F.conv(F.substring(F.col("h"), hex_pos, 1), 16, 10).cast("int")
+        bit_set = F.shiftright(digit, bit_in_digit).bitwiseAND(F.lit(1)) == 1
+        aggs.append(
+            F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"v{j}")
+        )
+    votes = exploded.groupBy(id_col).agg(*aggs)
+
+    digit_chars = []
+    for d in range(16):
+        val = F.lit(0)
+        for b in range(4):
+            j = d * 4 + b
+            val = val + F.when(F.col(f"v{j}") > 0, F.lit(2 ** (3 - b))).otherwise(F.lit(0))
+        digit_chars.append(F.substring(F.lit(_HEX_CHARS), 1, 16).substr(val + 1, F.lit(1)))
+    return votes.select(
+        F.col(id_col), F.concat(*digit_chars).alias("simhash")
+    )
+
+
+def simhash_hamming_expr(a: Column, b: Column) -> Column:
+    """Hamming distance between two 16-hex-char signatures: per-digit
+    popcount of XOR."""
+    total = F.lit(0)
+    for d in range(1, 17):
+        da = F.conv(F.substring(a, d, 1), 16, 10).cast("int")
+        db = F.conv(F.substring(b, d, 1), 16, 10).cast("int")
+        total = total + F.bit_count(da.bitwiseXOR(db))
+    return total
+
+
+def simhash_neardup_pairs(
+    sig_df: DataFrame, id_col: str, *, max_hamming: int = 6, band_chars: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates must share one of four
+    4-hex-char bands (16 bits) of the signature — pigeonhole guarantees
+    recall for Hamming ≤ 3; candidates then filter on exact Hamming.
+    The band join keeps this O(collisions), not O(n²).
+    """
+    bands = []
+    for b in range(4):
+        bands.append(
+            sig_df.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(b).alias("band_idx"),
+                F.substring(F.col("simhash"), b * band_chars + 1, band_chars).alias(
+                    "band"
+                ),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    left = all_bands.select(
+        "band_idx", "band", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
+    )
+    right = all_bands.select(
+        "band_idx", "band", F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    return (
+        left.join(right, ["band_idx", "band"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", simhash_hamming_expr(F.col("sig_a"), F.col("sig_b")).cast("long")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# -- n-gram Jaccard ---------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise Jaccard over word k-gram shingle sets.
+
+    explode → equi-join on shingle → |A∩B| via count, |A∪B| via sizes.
+    Only docs sharing ≥1 shingle ever pair up (the join prunes the
+    O(n²) space); at scale run after LSH candidate generation instead.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles_expr(text_col, k)).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,985 @@
+"""Query inventory: Spark implementation + DuckDB oracle per operator.
+
+This is the correctness-gate surface consumed by ``__spark_entry__.py``:
+every entry pairs an idiomatic-Spark DataFrame plan with an equivalent
+ANSI-SQL string the DuckDB oracle runs on the same parquet tables.
+
+Portability rules (so value-hashes match bit-for-bit):
+
+- money/rate arithmetic in DECIMAL (exact, order-independent), final
+  result cast to DOUBLE;
+- averages = CAST(decimal-sum AS DOUBLE) / count (IEEE division, no
+  decimal-scale divergence);
+- timestamps rendered as strings (``yyyy-MM-dd HH:mm:ss.SSSSSS`` ↔
+  ``%Y-%m-%d %H:%M:%S.%f``) or cast to DATE;
+- counts/sizes cast to BIGINT (Spark ``size``/``row_number`` are INT);
+- hashes via md5/sha2 hex strings (identical in both engines).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.documents import render_documents
+from pyairbyte_spark.operators import dedup, multimodal, similarity, stats, text
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
+        # read as a raw long; normalize to microsecond TimestampType
+        # (integer DIV — a double division would lose precision at 1e18).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col: str, prec: str = "15,2"):
+    return F.col(col).cast(f"decimal({prec})")
+
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@dataclass
+class QueryDef:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, description: str):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(spark=fn, oracle=oracle, description=description)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# TPC-H-style engine surface (S15/S16 SQL passthrough = full Spark SQL)
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 pricing summary: 2-key groupBy, 8 exact-decimal aggregates",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    charge = disc_price * (1 + _dec("l_tax", "4,2"))
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / n).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", "4,2")).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    "TPC-H Q3: 3-way join, filtered group, deterministic top-10",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    "TPC-H Q5: 6-way join with broadcast dims, revenue per nation",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "TPC-H Q6: pushdown-heavy scalar aggregate",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount", "4,2"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_region_rollup",
+    """
+    SELECT r_name, count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    "Broadcast-dim enrichment join: customers per region",
+)
+def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "window_topk_parts_per_supplier",
+    """
+    WITH part_rev AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      FROM lineitem GROUP BY l_suppkey, l_partkey
+    )
+    SELECT l_suppkey, l_partkey, revenue, rnk FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY revenue DESC, l_partkey) AS BIGINT) AS rnk
+      FROM part_rev
+    ) WHERE rnk <= 3
+    """,
+    "Top-3 parts per supplier by revenue: window row_number over agg",
+)
+def window_topk_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    part_rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey")
+    )
+    return (
+        part_rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("l_suppkey", "l_partkey", "revenue", "rnk")
+    )
+
+
+@register(
+    "agg_rollup_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+           coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "ROLLUP grouping-sets aggregate over orders",
+)
+def agg_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("o_orderstatus"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("o_orderpriority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "sort_topk_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(15,2)) AS DOUBLE) AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    "Global top-k sort (TakeOrderedAndProject, no full sort)",
+)
+def sort_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "distinct_custkeys_per_segment",
+    """
+    SELECT c_mktsegment, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    "COUNT DISTINCT per group through a join",
+)
+def distinct_custkeys_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH us AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+    gaps AS (
+      SELECT user_id,
+             CASE WHEN lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) IS NULL
+                    OR tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+                       > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM us
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+    "Sessionization: lag-gap window (>30min) then per-user session counts",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("tus", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    prev = F.lag("tus").over(w)
+    new_session = F.when(
+        prev.isNull() | (F.col("tus") - prev > 1_800_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ===========================================================================
+# Reference-operator queries (SURVEY §2 parity surface)
+# ===========================================================================
+
+
+@register(
+    "p1_filter_chain",
+    f"""
+    SELECT event_id, user_id, event_type, value,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+    FROM events
+    WHERE event_type IN ('click', 'view') AND value > 100 AND value <= 400
+      AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+    """,
+    "SQLDataset.with_filter chain: conjunctive predicates, lazy compose "
+    "(reference airbyte/datasets/_sql.py:118-141)",
+)
+def p1_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.datasets import SQLDataset
+
+    ds = SQLDataset(t(spark, sf_dir, "events"), "events")
+    filtered = (
+        ds.with_filter("event_type IN ('click', 'view')")
+        .with_filter("value > 100")
+        .with_filter("value <= 400", "ts >= TIMESTAMP '2024-01-10 00:00:00'")
+    )
+    return filtered.to_spark().select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+    )
+
+
+@register(
+    "a3_null_stats_orders",
+    """
+    WITH base AS (
+      SELECT count(*) AS total,
+             count(o_orderkey) AS nn_o_orderkey,
+             count(o_custkey) AS nn_o_custkey,
+             count(o_orderstatus) AS nn_o_orderstatus,
+             count(o_totalprice) AS nn_o_totalprice,
+             count(o_orderdate) AS nn_o_orderdate,
+             count(o_orderpriority) AS nn_o_orderpriority
+      FROM orders
+    )
+    SELECT u.column_name, base.total AS total_count, u.nn AS non_null_count,
+           base.total - u.nn AS null_count
+    FROM base, (
+      SELECT 'o_orderkey' AS column_name, nn_o_orderkey AS nn FROM base UNION ALL
+      SELECT 'o_custkey', nn_o_custkey FROM base UNION ALL
+      SELECT 'o_orderstatus', nn_o_orderstatus FROM base UNION ALL
+      SELECT 'o_totalprice', nn_o_totalprice FROM base UNION ALL
+      SELECT 'o_orderdate', nn_o_orderdate FROM base UNION ALL
+      SELECT 'o_orderpriority', nn_o_orderpriority FROM base
+    ) u
+    """,
+    "Single-pass per-column null stats (reference sql_processor.py:1274-1330)",
+)
+def a3_null_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.null_stats(t(spark, sf_dir, "orders"))
+
+
+@register(
+    "l1_limit_sample",
+    f"""
+    SELECT event_id, event_type, user_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+    FROM events ORDER BY event_id LIMIT 5
+    """,
+    "Deterministic head sample (reference get_samples, sources/base.py:624-658)",
+)
+def l1_limit_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            "user_id",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        )
+        .orderBy("event_id")
+        .limit(5)
+    )
+
+
+@register(
+    "u1_append_union",
+    """
+    SELECT o_orderpriority, count(*) AS n FROM (
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+      UNION ALL
+      SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F' AND o_totalprice <= 50000
+    ) GROUP BY o_orderpriority
+    """,
+    "APPEND strategy = unionByName (reference sql_processor.py:1042-1059)",
+)
+def u1_append_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    a = orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
+    b = orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") <= 50000))
+    return (
+        a.select("o_orderpriority")
+        .unionByName(b.select("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "merge_latest_per_key",
+    f"""
+    SELECT user_id, event_id, event_type, strftime(ts, '{TS_FMT_DUCK}') AS ts_str
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    "MERGE-dedup semantics: latest record per PK wins, deterministic "
+    "(reference sql_processor.py:1089-1208; fixes the :763-765 TODO)",
+)
+def merge_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", TS_FMT_SPARK).alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "f6_document_render",
+    """
+    SELECT n_name AS id,
+           '# ' || n_name || chr(10) || chr(10) || '## Region' || chr(10) || chr(10) || r_name AS content,
+           '{"r_name":"' || r_name || '"}' AS metadata
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+    "LLM document rendering: markdown projection "
+    "(reference _util/document_rendering.py:50-94)",
+)
+def f6_document_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_name"), F.col("r_name").alias("region"))
+    return render_documents(
+        joined,
+        title_properties=["n_name"],
+        content_properties=["region"],
+        metadata_properties=["region"],
+    ).select(
+        "id",
+        F.regexp_replace("content", "## Region", "## Region").alias("content"),
+        F.regexp_replace("metadata", '"region"', '"r_name"').alias("metadata"),
+    )
+
+
+@register(
+    "t1_incremental_cursor",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events WHERE ts > TIMESTAMP '2024-01-25 00:00:00'
+    GROUP BY event_type
+    """,
+    "Incremental cursor read: WHERE cursor > checkpoint pushed to scan "
+    "(reference state machine T1/T2)",
+)
+def t1_incremental_cursor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts") > F.lit("2024-01-25 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", "12,2")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "f8_json_extract",
+    """
+    SELECT json_extract_string(props, '$.k') AS k_str,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+    FROM events
+    GROUP BY k_str
+    """,
+    "JSON-typed column access: object columns stored as JSON strings "
+    "(reference types.py:27-28; F8 cast-on-load)",
+)
+def f8_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        ev.select(k.alias("k_str"))
+        .groupBy("k_str")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("k_str").cast("bigint")).alias("k_sum"),
+        )
+    )
+
+
+@register(
+    "rollup_time_bucket",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS bucket,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY bucket, event_type
+    """,
+    "Hypertable-style time-bucket rollup (tumbling window in batch form; "
+    "the streaming variant is streaming/windowed.py)",
+)
+def rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), TS_FMT_SPARK).alias("bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", "12,2")).cast("double").alias("total_value"),
+        )
+    )
+
+
+# ===========================================================================
+# Training-data operators (dedup / similarity / text / multimodal)
+# ===========================================================================
+
+_NORM_TEXT_DUCK = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_SHINGLES_DUCK = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split({_NORM_TEXT_DUCK}, ' ')) - 2, 1)),
+    i -> concat_ws(' ', string_split({_NORM_TEXT_DUCK}, ' ')[i],
+                        string_split({_NORM_TEXT_DUCK}, ' ')[i+1],
+                        string_split({_NORM_TEXT_DUCK}, ' ')[i+2])
+  ))
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    f"""
+    SELECT md5({_NORM_TEXT_DUCK}) AS digest, count(*) AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM documents GROUP BY digest
+    """,
+    "Exact dedup: content-digest groups with deterministic keeper",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH shingles AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(12))}
+      FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(h{3*b} || '|' || h{3*b+1} || '|' || h{3*b+2}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(DISTINCT a.band_idx) AS BIGINT) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+    """,
+    "MinHash(12)+LSH(4 bands x 3 rows) candidate near-dup pairs; "
+    "band join replaces O(n^2) all-pairs",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_candidates(
+        t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=12, bands=4
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    votes = []
+    for j in range(64):
+        hex_pos = j // 4 + 1
+        bit = 3 - (j % 4)
+        votes.append(
+            f"sum(CASE WHEN (('0x' || substr(h, {hex_pos}, 1))::INT >> {bit}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) AS v{j}"
+        )
+    digits = []
+    for d in range(16):
+        terms = " + ".join(
+            f"(CASE WHEN v{d * 4 + b} > 0 THEN {2 ** (3 - b)} ELSE 0 END)"
+            for b in range(4)
+        )
+        digits.append(f"substr('0123456789abcdef', ({terms}) + 1, 1)")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_TEXT_DUCK}, ' ')) AS tok FROM documents
+    ),
+    hashes AS (SELECT doc_id, substr(md5(tok), 1, 16) AS h FROM toks),
+    votes AS (SELECT doc_id, {", ".join(votes)} FROM hashes GROUP BY doc_id)
+    SELECT doc_id, {" || ".join(digits)} AS simhash FROM votes
+    """
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle_sql(),
+    "64-bit SimHash signature per document (explode + single groupBy)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_signature(t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
+    inter AS (
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.id_a = sa.doc
+               JOIN sizes sb ON inter.id_b = sb.doc
+    WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.12
+    """,
+    "Exact n-gram (3-word shingle) Jaccard similarity pairs >= 0.12",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.12
+    )
+
+
+_VEC_DUCK = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+_COS_DUCK = (
+    "list_dot_product(a.v, b.v) / "
+    "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_DUCK}, 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round({_COS_DUCK}, 6) >= 0.45
+    """,
+    "Embedding cosine near-dup pairs >= 0.45 (exact, double-precision fold)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@register(
+    "ann_brute_force_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, a.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM e a, q WHERE a.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "Exact cosine top-5 neighbors for query vectors (broadcast corpus scan)",
+)
+def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(emb, queries, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_lsh_bucketed_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_VEC_DUCK} AS v,
+             {" || ".join(f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(4))} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, a.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM e a JOIN q ON a.bucket = q.bucket AND a.vec_id != q.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "LSH-bucketed approximate top-5: sign-quantization bucket restricts "
+    "candidates (the 100TB scale path; recall < 1 vs brute force)",
+)
+def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.lsh_bucketed_topk(emb, queries, k=5, bits=4)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subword_tokens
+    FROM documents
+    """,
+    "Token counting: whitespace + BPE-ish regex pre-tokenizer",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count_expr("text").cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count_expr("text").cast("long").alias("n_subword_tokens"),
+    )
+
+
+_TOKS_DUCK = r"string_split_regex(trim(text), '\s+')"
+_SW_LIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
+
+
+@register(
+    "text_quality",
+    rf"""
+    SELECT doc_id,
+           round(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                 / greatest(length(text), 1), 6) AS punct_ratio,
+           round(len(list_filter({_TOKS_DUCK}, t -> lower(t) IN ({_SW_LIST})))
+                 / greatest(len({_TOKS_DUCK}), 1), 6) AS stopword_ratio
+    FROM documents
+    """,
+    "Quality signals: punctuation ratio + stopword ratio per doc",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(text.punct_ratio_expr("text"), 6).alias("punct_ratio"),
+        F.round(text.stopword_ratio_expr("text"), 6).alias("stopword_ratio"),
+    )
+
+
+def _langid_oracle_sql() -> str:
+    cases = []
+    for lang, words in text.LANG_MARKERS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        cases.append(
+            f"len(list_filter(list_transform({_TOKS_DUCK}, t -> lower(t)), "
+            f"t -> t IN ({wl}))) AS hits_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    pick = "CASE "
+    for lg in langs:  # first max wins = earlier language priority
+        pick += f"WHEN hits_{lg} = {best} THEN '{lg}' "
+    pick += "END"
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {", ".join(cases)} FROM documents)
+    SELECT doc_id, lang, CASE WHEN {best} > 0 THEN {pick} ELSE 'unknown' END AS lang_pred
+    FROM scored
+    """
+
+
+@register(
+    "text_langid",
+    _langid_oracle_sql(),
+    "Language-ID heuristic: marker-word argmax with deterministic ties",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", text.langid_expr("text").alias("lang_pred"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({_NORM_TEXT_DUCK}) AS fingerprint,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_extract_all({_NORM_TEXT_DUCK}, '.'),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 131 + c) % 1000000007
+           ) AS rolling_fp
+    FROM documents
+    """,
+    "Document fingerprints: md5 digest + polynomial rolling hash (fold)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint_md5_expr("text").alias("fingerprint"),
+        text.fingerprint_rolling_expr("text").alias("rolling_fp"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           """
+    + ",\n           ".join(
+        f"round(('0x' || substr(sha256(text), {8 * i + 1}, 8))::BIGINT / 4294967296.0, 6) AS f{i}"
+        for i in range(multimodal.FEATURE_DIM)
+    )
+    + """
+    FROM documents
+    """,
+    "Multimodal plumbing: binary payload column -> Arrow-batched "
+    "mapInPandas feature extraction (decode stubbed deterministically)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = multimodal.attach_media_meta(
+        docs, "payload", mime_type="text/plain", id_col="doc_id"
+    )
+    feats = multimodal.extract_features(media, kind="image", decode_stub=True)
+    cols = [
+        F.col("media_id"),
+        F.col("n_bytes"),
+        F.col("content_sha256"),
+    ] + [
+        F.round(F.element_at("features", i + 1), 6).alias(f"f{i}")
+        for i in range(multimodal.FEATURE_DIM)
+    ]
+    return feats.select(*cols)
+
+
+# ===========================================================================
+# Entry points for __spark_entry__.py
+# ===========================================================================
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.spark for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
