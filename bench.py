@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + ingestion throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}``.
+
+The ingest benchmark mirrors the reference's headline workload
+(`pyab benchmark --num-records=5e5`, ``airbyte/cli/pyab.py:438-533``):
+5e5 five-string-column records through the full message pipeline
+(JSONL staging → spark.read.json → metadata columns → warehouse write).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "window_topk_parts_per_supplier",
+    "events_sessionize",
+    "merge_latest_per_key",
+    "rollup_time_bucket",
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_brute_force_topk",
+    "text_fingerprint",
+    "text_quality",
+    "multimodal_features",
+]
+
+INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
+
+
+def main() -> None:
+    from pyairbyte_spark import SparkCache, get_spark
+    from pyairbyte_spark import queries as q
+    from pyairbyte_spark.sources.benchmark import BenchmarkSource
+
+    spark = get_spark(
+        "pyairbyte-spark-bench",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    # Warm up the JVM / codegen / parquet footers so the first timed
+    # query doesn't absorb session startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for tbl in ["lineitem", "orders", "events", "documents", "embeddings"]:
+        q.t(spark, SF_DIR, tbl).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    registry = q.queries()
+    for name in BENCH_QUERIES:
+        fn = registry[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    # Ingestion throughput (reference headline benchmark shape).
+    with tempfile.TemporaryDirectory() as td:
+        cache = SparkCache(spark, td)
+        src = BenchmarkSource(INGEST_RECORDS)
+        t0 = time.monotonic()
+        src.read(cache, write_strategy="append")
+        ingest_sec = round(time.monotonic() - t0, 3)
+    timings[f"ingest_{INGEST_RECORDS}"] = ingest_sec
+    print(
+        f"# ingest: {INGEST_RECORDS} records in {ingest_sec:.2f}s "
+        f"({INGEST_RECORDS / ingest_sec:,.0f} rec/s)",
+        file=sys.stderr,
+    )
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_records_per_sec": round(INGEST_RECORDS / ingest_sec),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

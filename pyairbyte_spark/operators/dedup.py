@@ -77,6 +77,30 @@ def word_shingles_expr(col: Column | str, k: int = 3) -> Column:
     return F.array_distinct(F.transform(idx, shingle))
 
 
+def shingles_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) exploded, with the token array materialized FIRST.
+
+    Higher-order functions are interpreted (not codegen'd) in Spark, and
+    common-subexpression elimination does not reach inside their
+    lambdas — inlining ``split(normalize(text))`` into the shingle
+    lambda re-evaluates the split per element. The explicit projection
+    boundary here evaluates tokenization once per row.
+    """
+    tdf = df.select(
+        F.col(id_col), F.split(normalize_text_expr(text_col), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at(toks, i + j) for j in range(k)]
+    )
+    return tdf.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.transform(idx, shingle))).alias("shingle"),
+    )
+
+
 # -- MinHash + LSH ----------------------------------------------------------
 
 
@@ -90,9 +114,7 @@ def minhash_signature(
     re-group shuffle on the doc id only (shingle strings never shuffle
     as keys).
     """
-    exploded = df.select(
-        F.col(id_col), F.explode(word_shingles_expr(text_col, k)).alias("shingle")
-    )
+    exploded = shingles_df(df, text_col, id_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -107,21 +129,27 @@ def lsh_bands(
     sig_df: DataFrame, id_col: str, *, bands: int = 4, rows: int = 3
 ) -> DataFrame:
     """Signature → (id, band_idx, band_hash). Docs sharing any band
-    bucket are candidate near-dups."""
-    out = []
-    for b in range(bands):
-        cols = [F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)]
-        out.append(
-            sig_df.select(
-                F.col(id_col),
-                F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
-            )
+    bucket are candidate near-dups.
+
+    Bands are emitted by ONE explode over an inline array — not a
+    bands-way union, which would recompute the signature aggregation
+    once per band.
+    """
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)],
+                )
+            ).alias("band_hash"),
         )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+        for b in range(bands)
+    ]
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
+    ).select(F.col(id_col), F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
 
 
 def minhash_lsh_candidates(
@@ -225,21 +253,21 @@ def simhash_neardup_pairs(
     recall for Hamming ≤ 3; candidates then filter on exact Hamming.
     The band join keeps this O(collisions), not O(n²).
     """
-    bands = []
-    for b in range(4):
-        bands.append(
-            sig_df.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(b).alias("band_idx"),
-                F.substring(F.col("simhash"), b * band_chars + 1, band_chars).alias(
-                    "band"
-                ),
-            )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.substring(F.col("simhash"), b * band_chars + 1, band_chars).alias("band"),
         )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
+        for b in range(4)
+    ]
+    all_bands = sig_df.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_structs)).alias("b")
+    ).select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.col("b.band_idx").alias("band_idx"),
+        F.col("b.band").alias("band"),
+    )
     left = all_bands.select(
         "band_idx", "band", F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a")
     )
@@ -276,9 +304,8 @@ def ngram_jaccard_pairs(
     Only docs sharing ≥1 shingle ever pair up (the join prunes the
     O(n²) space); at scale run after LSH candidate generation instead.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles_expr(text_col, k)).alias("shingle"),
+    sh = shingles_df(df, text_col, id_col, k).select(
+        F.col(id_col).alias("doc"), F.col("shingle")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (

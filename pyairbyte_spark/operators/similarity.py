@@ -73,17 +73,21 @@ def brute_force_topk(
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(vec_col).alias("cvec")
-    )
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double_vec(vec_col).alias("qvec")
-    )
+    ).withColumn("qnorm", norm_expr(F.col("qvec")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -111,19 +115,23 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("neighbor_id"),
         as_double_vec(vec_col).alias("cvec"),
         sign_bucket_expr(vec_col, bits=bits).alias("bucket"),
-    )
+    ).withColumn("cnorm", norm_expr(F.col("cvec")))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         as_double_vec(vec_col).alias("qvec"),
         sign_bucket_expr(vec_col, bits=bits).alias("bucket"),
-    )
+    ).withColumn("qnorm", norm_expr(F.col("qvec")))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("qnorm") * F.col("cnorm")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -143,16 +151,30 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold."""
-    a = df.select(F.col(id_col).alias("id_a"), as_double_vec(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), as_double_vec(vec_col).alias("vb"))
+    """All pairs (id_a < id_b) with cosine ≥ threshold.
+
+    Norms are computed ONCE per vector before the pair join (n folds),
+    not per pair (n² folds) — a 3× cut in the dominant cost. The
+    remaining per-pair work is a single dot-product fold.
+    """
+    base = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    base = base.select("id", "v", norm_expr(F.col("v")).alias("nrm"))
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("norm_b")
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_expr(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
