@@ -1,0 +1,152 @@
+"""Unit tests for the training-data operators (semantic properties the
+oracle-parity suite can't express: recall relations, batch shapes,
+stub seams)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.operators import dedup, multimodal, similarity, stats, text
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def test_exact_dedup_deterministic_keeper(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "other")], ["id", "t"]
+    )
+    out = dedup.exact_dedup(df, ["t"], id_col="id").collect()
+    kept = sorted(r["id"] for r in out)
+    assert kept == [1, 2]  # lowest id wins, deterministic
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash_signature(df, "text", "doc_id").collect()}
+    d = spark.createDataFrame(
+        [(sig[1], sig[2]), (sig[1], sig[3])], ["a", "b"]
+    ).select(dedup.simhash_hamming_expr(F.col("a"), F.col("b")).alias("h")).collect()
+    near, far = d[0]["h"], d[1]["h"]
+    assert near < far  # similar docs have closer signatures
+
+
+def test_minhash_near_dup_detected(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)
+    far = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(df, "text", "doc_id").collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
+
+
+def test_lsh_ann_subset_of_brute_force(spark, emb):
+    """LSH candidates within a bucket must agree with brute force on
+    cosine values; recall ≤ 1 by construction."""
+    queries = emb.filter(F.col("vec_id") < 3)
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_topk(emb, queries, k=50).collect()
+    }
+    lsh = similarity.lsh_bucketed_topk(emb, queries, k=5, bits=4).collect()
+    assert lsh  # buckets non-empty at this size
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:
+            assert bf[key] == r["cosine"]
+
+
+def test_null_stats_single_pass(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, None)], ["a", "b"]
+    )
+    out = {r["column_name"]: r for r in stats.null_stats(df).collect()}
+    assert out["a"]["null_count"] == 1 and out["b"]["null_count"] == 2
+    assert out["a"]["total_count"] == 3
+    ts = stats.fetch_table_statistics(df, "t")
+    assert ts.row_count == 3 and len(ts.columns) == 2
+
+
+def test_langid_marker_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat"),
+            (2, "der Hund und die Katze ist nicht da"),
+            (3, "qwerty zxcvb asdfgh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["pred"] for r in df.select("doc_id", text.langid_expr("text").alias("pred")).collect()}
+    assert out == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_multimodal_feature_extraction_shapes(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], ["doc_id", "text"])
+    media = multimodal.attach_media_meta(
+        df.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        mime_type="text/plain",
+        id_col="doc_id",
+    )
+    assert media.schema["media_meta"].dataType.fieldNames() == [
+        "mime_type", "n_bytes", "source_uri",
+    ]
+    feats = multimodal.extract_features(media).collect()
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
+    # stub seam: real decode is explicitly not implemented
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decode_stub=False)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"x" * 5000)], ["doc_id", "payload"])
+    media = multimodal.attach_media_meta(df, "payload", mime_type="video/mp4", id_col="doc_id")
+    frames = multimodal.frame_sample_plan(media, every_n=2).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 2, 4]
+
+
+def test_quality_score_band(spark):
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "a decent length document with the usual words and few symbols in it")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["q"] for r in df.select("doc_id", text.quality_score_expr("text").alias("q")).collect()}
+    assert out[1] < out[2] <= 1.0
+
+
+def test_rolling_fingerprint_shift_sensitivity(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "ba")], ["doc_id", "text"])
+    out = [r["fp"] for r in df.select(text.fingerprint_rolling_expr("text").alias("fp")).collect()]
+    assert out[0] != out[1]  # order-sensitive, unlike a bag-of-chars hash

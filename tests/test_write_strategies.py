@@ -1,0 +1,137 @@
+"""Write-strategy contract tests (mirrors reference
+test_source_faker_integration.py:115-208 and test_all_cache_types.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyairbyte_spark.sources import SourceFaker, SourceTestFixture
+from pyairbyte_spark.strategies import (
+    WriteMethod,
+    WriteStrategy,
+    resolve_write_method,
+)
+
+
+def test_auto_resolution_tree():
+    r = resolve_write_method
+    assert r(WriteStrategy.AUTO, has_primary_keys=True, has_cursor=True) == WriteMethod.MERGE
+    assert r(WriteStrategy.AUTO, has_primary_keys=False, has_cursor=True) == WriteMethod.APPEND
+    assert r(WriteStrategy.AUTO, has_primary_keys=False, has_cursor=False) == WriteMethod.REPLACE
+    with pytest.raises(ValueError):
+        r(WriteStrategy.MERGE, has_primary_keys=False, has_cursor=False)
+
+
+def test_replace_is_idempotent(cache):
+    for _ in range(3):
+        SourceFaker(seed=1234, count=50).read(cache, write_strategy="replace")
+    assert len(cache["users"]) == 50
+    assert len(cache["products"]) == 100
+
+
+def test_append_scales_with_syncs(cache):
+    for _ in range(3):
+        SourceFaker(seed=1234, count=50).read(
+            cache, write_strategy="append", force_full_refresh=True
+        )
+    assert len(cache["users"]) == 150
+
+
+def test_merge_converges_and_grows(cache):
+    src_a = SourceFaker(seed=1234, count=50)
+    src_a.read(cache, write_strategy="merge", force_full_refresh=True)
+    assert len(cache["users"]) == 50
+    # re-sync same seed → unchanged
+    SourceFaker(seed=1234, count=50).read(
+        cache, write_strategy="merge", force_full_refresh=True
+    )
+    assert len(cache["users"]) == 50
+    # larger seed → grows
+    SourceFaker(seed=5678, count=80).read(
+        cache, write_strategy="merge", force_full_refresh=True
+    )
+    assert len(cache["users"]) == 80
+    # smaller again → stays at max
+    SourceFaker(seed=1234, count=50).read(
+        cache, write_strategy="merge", force_full_refresh=True
+    )
+    assert len(cache["users"]) == 80
+
+
+def test_merge_dedups_within_batch(spark, cache):
+    """The reference has a same-batch-dupe TODO (sql_processor.py:763-765);
+    our window-dedup fixes it: duplicate PKs inside ONE batch collapse."""
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
+
+    spec = StreamSpec(
+        name="s",
+        json_schema={"properties": {"id": {"type": "integer"}, "v": {"type": "string"}}},
+        primary_keys=["id"],
+    )
+    msgs = [
+        AirbyteMessage("RECORD", record=RecordMessage("s", {"id": 1, "v": "old"})),
+        AirbyteMessage("RECORD", record=RecordMessage("s", {"id": 1, "v": "new"})),
+        AirbyteMessage("RECORD", record=RecordMessage("s", {"id": 2, "v": "x"})),
+    ]
+    MessageStreamProcessor(
+        cache, source_name="t", specs={"s": spec}, write_strategy=WriteStrategy.MERGE
+    ).process_messages(iter(msgs))
+    rows = {r["id"]: r["v"] for r in cache.get_records("s")}
+    assert rows == {1: "new", 2: "x"}  # latest raw_id wins within batch
+
+
+def test_fixture_streams_land_with_schemas(cache):
+    res = SourceTestFixture().read(cache, write_strategy="auto")
+    assert res.record_counts == {
+        "always_empty_stream": 0,
+        "primary_key_with_dot": 1,
+        "stream1": 2,
+        "stream2": 2,
+    }
+    # big-number precision survives DECIMAL(38,9)
+    big = [r["big_number"] for r in cache.get_records("stream2")]
+    assert all(int(b) == 1234567890123456 for b in big)
+    # mixed-type column failed over to string
+    s1 = {r["column1"]: r["sometimes_object"] for r in cache.get_records("stream1")}
+    assert s1["value2"] == "string_value"
+
+
+def test_schema_evolution_auto_add_column(cache):
+    """Auto-add columns on re-sync with a widened schema
+    (reference sql_processor.py:934-981)."""
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
+
+    schema_v1 = {"properties": {"id": {"type": "integer"}, "a": {"type": "string"}}}
+    schema_v2 = {
+        "properties": {
+            "id": {"type": "integer"},
+            "a": {"type": "string"},
+            "b_new": {"type": "string"},
+        }
+    }
+    spec1 = StreamSpec(name="evo", json_schema=schema_v1, primary_keys=["id"])
+    MessageStreamProcessor(
+        cache, source_name="t", specs={"evo": spec1}, write_strategy=WriteStrategy.APPEND
+    ).process_messages(
+        iter([AirbyteMessage("RECORD", record=RecordMessage("evo", {"id": 1, "a": "x"}))])
+    )
+    spec2 = StreamSpec(name="evo", json_schema=schema_v2, primary_keys=["id"])
+    MessageStreamProcessor(
+        cache, source_name="t", specs={"evo": spec2}, write_strategy=WriteStrategy.APPEND
+    ).process_messages(
+        iter(
+            [
+                AirbyteMessage(
+                    "RECORD", record=RecordMessage("evo", {"id": 2, "a": "y", "b_new": "z"})
+                )
+            ]
+        )
+    )
+    rows = {r["id"]: r for r in cache.get_records("evo")}
+    assert rows[2]["b_new"] == "z"
+    assert rows[1]["b_new"] is None  # old rows read NULL for added column
