@@ -1,0 +1,164 @@
+"""Destination write path — reverse ETL (§3.3 of SURVEY.md).
+
+Parity with ``Destination.write`` (``airbyte/destinations/base.py:125-363``):
+
+- data path A: source → cache → replay cached tables to the destination,
+- data path B (cache=False): direct passthrough of the live message
+  stream,
+- data path C: replay an existing ReadResult / cache,
+- four state channels: cache state + destination state readers,
+  coalesced via :class:`JoinedStateProvider`; STATE confirmations coming
+  back from the destination process land in the destination state
+  writer (``:354-355``).
+
+The destination itself is an external Airbyte-protocol process hosted by
+:class:`SubprocessHost` (stdin pump thread + stdout drain — the
+deadlock-avoidance shape of ``_executors/base.py:36-102``). For
+in-process sinks (tests / Spark-native targets) a callable sink can be
+substituted.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Callable, Iterable, Iterator
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.results import ReadResult
+from pyairbyte_spark.sources.base import SparkSource
+from pyairbyte_spark.sources.messages import (
+    AirbyteMessage,
+    AirbyteMessageIterator,
+    encode_record,
+    encode_state,
+    encode_stream_status,
+    parse_message,
+)
+from pyairbyte_spark.sources.subprocess_host import SubprocessHost
+from pyairbyte_spark.state import JoinedStateProvider, StateArtifact, StateProvider
+from pyairbyte_spark.strategies import WriteStrategy
+
+
+def _encode_messages(messages: Iterable[AirbyteMessage]) -> Iterator[str]:
+    for m in messages:
+        if m.type == "RECORD" and m.record is not None:
+            yield encode_record(m.record.stream, m.record.data, m.record.emitted_at)
+        elif m.type == "STATE" and m.state is not None and m.state.stream_name:
+            yield encode_state(m.state.stream_name, m.state.state)
+        elif m.type == "TRACE" and m.trace is not None and m.trace.stream_name:
+            yield encode_stream_status(
+                m.trace.stream_name, m.trace.status or "COMPLETE"
+            )
+        elif m.raw is not None:
+            yield json.dumps(m.raw, default=str)
+
+
+class SparkDestination:
+    """Host for an Airbyte-protocol destination connector."""
+
+    name: str = "spark-destination"
+
+    def __init__(
+        self,
+        executor: SubprocessHost | None = None,
+        *,
+        name: str | None = None,
+        config: dict | None = None,
+        sink: Callable[[Iterator[str]], Iterator[str]] | None = None,
+    ) -> None:
+        """Either ``executor`` (external process) or ``sink`` (an
+        in-process callable taking/returning protocol JSONL lines —
+        the returned lines are STATE confirmations)."""
+        if (executor is None) == (sink is None):
+            raise ValueError("provide exactly one of executor / sink")
+        self.executor = executor
+        self.sink = sink
+        if name:
+            self.name = name
+        self.config = config or {}
+
+    # -- §3.3 entry point ---------------------------------------------------
+
+    def write(
+        self,
+        source_data: SparkSource | ReadResult | SparkCache,
+        *,
+        cache: SparkCache | None = None,
+        state_cache: SparkCache | None = None,
+        write_strategy: WriteStrategy | str = WriteStrategy.AUTO,
+        force_full_refresh: bool = False,
+        streams: list[str] | None = None,
+    ) -> list[StateArtifact]:
+        """Pump source data into the destination; returns the STATE
+        confirmations collected from the destination's stdout."""
+        state_store = state_cache or cache
+
+        # Resolve the message stream (paths A/B/C).
+        if isinstance(source_data, SparkSource):
+            source = source_data
+            if cache is not None:
+                # Path A: read to cache first, then replay.
+                result = source.read(
+                    cache,
+                    write_strategy=write_strategy,
+                    force_full_refresh=force_full_refresh,
+                )
+                messages = AirbyteMessageIterator.from_read_result(
+                    cache, result.processed_streams
+                )
+            else:
+                # Path B: direct passthrough, state from destination store.
+                state: StateProvider | None = None
+                if state_store is not None and not force_full_refresh:
+                    state = JoinedStateProvider(
+                        state_store.get_destination_state_provider(self.name),
+                        state_store.get_state_provider(source.name),
+                    )
+                specs = source.configured_specs()
+                messages = source.generate_messages(list(specs), state)
+        elif isinstance(source_data, ReadResult):
+            # Path C: replay a previous read's streams.
+            messages = AirbyteMessageIterator.from_read_result(
+                source_data.cache, streams or source_data.processed_streams
+            )
+        elif isinstance(source_data, SparkCache):
+            messages = AirbyteMessageIterator.from_read_result(
+                source_data, streams or source_data.stream_names
+            )
+        else:  # pragma: no cover
+            raise TypeError(f"unsupported source_data: {type(source_data)}")
+
+        return self._write_message_stream(messages, state_store)
+
+    def _write_message_stream(
+        self,
+        messages: Iterable[AirbyteMessage],
+        state_store: SparkCache | None,
+    ) -> list[StateArtifact]:
+        lines = _encode_messages(messages)
+        if self.executor is not None:
+            out_lines = self.executor.execute(
+                ["write", "--config", "/dev/null"], stdin_lines=lines
+            )
+        else:
+            out_lines = self.sink(lines)
+
+        confirmations: list[StateArtifact] = []
+        writer = (
+            state_store.get_destination_state_writer(self.name)
+            if state_store is not None
+            else None
+        )
+        for line in out_lines:
+            msg = parse_message(line)
+            if msg is not None and msg.type == "STATE" and msg.state is not None:
+                artifact = StateArtifact(
+                    stream_name=msg.state.stream_name or msg.state.state_type,
+                    state=msg.state.state,
+                    state_type=msg.state.state_type,
+                )
+                confirmations.append(artifact)
+                if writer is not None:
+                    writer.write_state(artifact)
+                    writer.flush(artifact.key)
+        return confirmations

@@ -1,0 +1,13 @@
+from pyairbyte_spark.streaming.sink import CacheStreamingSink
+from pyairbyte_spark.streaming.windowed import (
+    stream_from_parquet_dir,
+    streaming_dedup,
+    windowed_rollup,
+)
+
+__all__ = [
+    "CacheStreamingSink",
+    "stream_from_parquet_dir",
+    "streaming_dedup",
+    "windowed_rollup",
+]

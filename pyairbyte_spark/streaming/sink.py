@@ -1,0 +1,78 @@
+"""Streaming cache sink with state-after-data commit ordering.
+
+``foreachBatch`` + epoch tracking gives the same crash-consistency
+contract as the batch processor (T2): a micro-batch's data commit
+happens first, the stream's state row second, and re-delivered epochs
+(after a restart replays the last uncommitted batch) are skipped by
+epoch id — at-least-once upgraded to effectively-once for the
+idempotent write strategies (replace/merge), at-least-once for append.
+
+Parity: the reference's sink is ``CacheBase._write_airbyte_message_stream``
+(``airbyte/caches/base.py:457-477``); epochs play the role of batch
+files, the stream-success trace becomes the query stop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.records import with_metadata_columns
+from pyairbyte_spark.state import StateArtifact
+from pyairbyte_spark.strategies import WriteMethod
+
+
+class CacheStreamingSink:
+    def __init__(
+        self,
+        cache: SparkCache,
+        stream_name: str,
+        *,
+        source_name: str = "streaming",
+        method: WriteMethod = WriteMethod.APPEND,
+        primary_keys: list[str] | None = None,
+        cursor_col: str | None = None,
+    ) -> None:
+        self.cache = cache
+        self.stream_name = stream_name
+        self.source_name = source_name
+        self.method = method
+        self.primary_keys = primary_keys or []
+        self.cursor_col = cursor_col
+
+    def _committed_epoch(self) -> int:
+        provider = self.cache.get_state_provider(self.source_name)
+        artifact = provider.get_stream_state(self.stream_name)
+        if artifact is None:
+            return -1
+        return int(artifact.state.get("epoch_id", -1))
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """The foreachBatch body."""
+        if epoch_id <= self._committed_epoch():
+            return  # replayed epoch after restart → already committed
+        data = with_metadata_columns(batch_df)
+        # 1. data commit
+        self.cache.write_dataframe(
+            data, self.stream_name, self.method, self.primary_keys
+        )
+        # 2. THEN state commit (cursor high-water mark + epoch id)
+        state: dict = {"epoch_id": epoch_id}
+        if self.cursor_col and self.cursor_col in batch_df.columns:
+            from pyspark.sql import functions as F
+
+            hwm = batch_df.agg(F.max(self.cursor_col)).collect()[0][0]
+            if hwm is not None:
+                state["cursor"] = str(hwm)
+        writer = self.cache.get_state_writer(self.source_name)
+        writer.write_state(StateArtifact(self.stream_name, state))
+        writer.flush(self.stream_name)
+
+    def attach(self, stream_df: DataFrame, *, checkpoint_dir: str, trigger_once: bool = True):
+        """Start the streaming query writing through this sink."""
+        w = stream_df.writeStream.foreachBatch(self).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()

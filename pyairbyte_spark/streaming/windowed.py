@@ -1,0 +1,133 @@
+"""Structured Streaming operators: windowed rollups and stateful dedup.
+
+The reference has no event-time semantics (arrival order + cursor field
+only — SURVEY §2.9); these are the Spark-native upgrades a streaming
+deployment gets: watermarks for late data, tumbling/sliding windows,
+and keyed state for cross-batch dedup.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_from_parquet_dir(
+    spark: SparkSession, path: str, schema: T.StructType, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-based streaming source (each file = one micro-batch).
+
+    In production the same plan hangs off kafka/kinesis/socket readers —
+    only this reader call changes.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_rollup(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts (+ optional sum).
+
+    The watermark bounds state: late rows beyond it are dropped and the
+    window state for closed windows is evicted — this is what makes the
+    aggregation runnable forever at scale.
+    """
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("total_value"))
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), key_col)
+        .agg(*aggs)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            *[c for c in ("n", "total_value") if value_col or c == "n"],
+        )
+    )
+
+
+def streaming_dedup(
+    stream_df: DataFrame,
+    *,
+    digest_cols: list[str],
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Cross-micro-batch exact dedup via keyed state
+    (``applyInPandasWithState``): the first row per content digest is
+    emitted; later duplicates — in the same OR any later batch — are
+    dropped. State per key is a single boolean, so memory is O(distinct
+    keys); add a timeout to bound it for unbounded key spaces.
+    """
+    digest = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in digest_cols])
+    )
+    keyed = stream_df.withColumn("__digest", digest)
+    out_schema = keyed.schema
+    state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+
+    def dedup_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        first: pd.DataFrame | None = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        if first is not None:
+            state.update((True,))
+            yield first
+
+    return (
+        keyed.groupBy("__digest")
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=getattr(GroupStateTimeout, timeout),
+        )
+        .drop("__digest")
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, *, output_mode: str = "update"
+) -> Any:
+    """Drive a streaming plan to completion against currently-available
+    data and return the in-memory result table name (test/smoke helper).
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return query_name

@@ -1,0 +1,141 @@
+"""Subprocess connector host + destination round-trip tests.
+
+Uses a real external process: a Python script speaking the Airbyte
+JSONL protocol over stdio (the reference's fixture-connector shape,
+``tests/integration_tests/fixtures/source-test``).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import textwrap
+
+import pytest
+
+from pyairbyte_spark.destinations import SparkDestination
+from pyairbyte_spark.sources.connector import ConnectorSource
+from pyairbyte_spark.sources.subprocess_host import ConnectorError, SubprocessHost
+
+CONNECTOR_SCRIPT = textwrap.dedent(
+    """
+    import json, sys
+
+    CATALOG = {"streams": [{
+        "name": "items",
+        "json_schema": {"properties": {"id": {"type": "integer"},
+                                        "name": {"type": "string"}}},
+        "supported_sync_modes": ["full_refresh", "incremental"],
+        "source_defined_primary_key": [["id"]],
+        "default_cursor_field": ["id"],
+    }]}
+
+    def out(obj):
+        sys.stdout.write(json.dumps(obj) + "\\n")
+
+    verb = sys.argv[1]
+    if verb == "spec":
+        out({"type": "SPEC", "spec": {"connectionSpecification": {}}})
+    elif verb == "check":
+        out({"type": "CONNECTION_STATUS",
+             "connectionStatus": {"status": "SUCCEEDED"}})
+    elif verb == "discover":
+        out({"type": "CATALOG", "catalog": CATALOG})
+    elif verb == "read":
+        state_from = 0
+        if "--state" in sys.argv:
+            with open(sys.argv[sys.argv.index("--state") + 1]) as f:
+                arts = json.load(f)
+            for a in arts or []:
+                st = a.get("stream", {}).get("stream_state", {})
+                state_from = max(state_from, int(st.get("max_id", 0)))
+        for i in range(state_from + 1, 6):
+            out({"type": "RECORD", "record": {"stream": "items",
+                 "data": {"id": i, "name": f"item-{i}"}, "emitted_at": 0}})
+        out({"type": "STATE", "state": {"type": "STREAM", "stream": {
+             "stream_descriptor": {"name": "items"},
+             "stream_state": {"max_id": 5}}}})
+        out({"type": "TRACE", "trace": {"type": "STREAM_STATUS",
+             "stream_status": {"stream_descriptor": {"name": "items"},
+                               "status": "COMPLETE"}}})
+    elif verb == "write":
+        n = 0
+        for line in sys.stdin:
+            if not line.strip():
+                continue
+            msg = json.loads(line)
+            if msg.get("type") == "RECORD":
+                n += 1
+            elif msg.get("type") == "STATE":
+                out(msg)  # confirm state back to caller
+        out({"type": "STATE", "state": {"type": "STREAM", "stream": {
+             "stream_descriptor": {"name": "items"},
+             "stream_state": {"written": n}}}})
+    """
+)
+
+
+@pytest.fixture()
+def connector(tmp_path):
+    script = tmp_path / "fake_connector.py"
+    script.write_text(CONNECTOR_SCRIPT)
+    return SubprocessHost([sys.executable, str(script)])
+
+
+def test_protocol_verbs(connector):
+    assert connector.spec() == {"connectionSpecification": {}}
+    assert connector.check({}) is True
+    catalog = connector.discover({})
+    assert catalog["streams"][0]["name"] == "items"
+
+
+def test_connector_source_end_to_end(connector, cache):
+    src = ConnectorSource(connector, name="fake-src")
+    assert src.check()
+    assert src.get_available_streams() == ["items"]
+    res = src.read(cache, write_strategy="auto")
+    assert res.record_counts["items"] == 5
+    rows = {r["id"]: r["name"] for r in cache.get_records("items")}
+    assert rows[3] == "item-3"
+    # incremental second sync: connector honors the state file → 0 records
+    res2 = ConnectorSource(connector, name="fake-src").read(cache, write_strategy="auto")
+    assert res2.record_counts.get("items", 0) == 0
+
+
+def test_destination_write_roundtrip(connector, cache):
+    src = ConnectorSource(connector, name="fake-src")
+    src.read(cache, write_strategy="auto")
+    dest = SparkDestination(connector, name="fake-dest")
+    confirmations = dest.write(cache, cache=cache, streams=["items"])
+    written = [a.state.get("written") for a in confirmations if "written" in a.state]
+    assert written == [5]
+    # destination state landed in the destination state channel
+    dsp = cache.get_destination_state_provider("fake-dest")
+    assert dsp.state_artifacts
+
+
+def test_in_process_sink():
+    lines_seen = []
+
+    def sink(lines):
+        lines_seen.extend(lines)
+        yield json.dumps(
+            {"type": "STATE", "state": {"type": "STREAM", "stream": {
+                "stream_descriptor": {"name": "s"}, "stream_state": {"ok": 1}}}}
+        )
+
+    from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
+
+    dest = SparkDestination(sink=sink, name="cb")
+    out = dest._write_message_stream(
+        [AirbyteMessage("RECORD", record=RecordMessage("s", {"a": 1}))], None
+    )
+    assert len(lines_seen) == 1 and out[0].state == {"ok": 1}
+
+
+def test_connector_error_surfaces_stderr(tmp_path):
+    bad = tmp_path / "bad.py"
+    bad.write_text("import sys; sys.stderr.write('boom\\n'); sys.exit(3)")
+    host = SubprocessHost([sys.executable, str(bad)])
+    with pytest.raises(ConnectorError, match="boom"):
+        list(host.execute(["read"]))

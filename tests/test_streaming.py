@@ -1,0 +1,124 @@
+"""Structured Streaming tests: windowed rollup parity with batch,
+stateful cross-batch dedup, foreachBatch sink with epoch/state commit."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyairbyte_spark.strategies import WriteMethod
+from pyairbyte_spark.streaming import (
+    CacheStreamingSink,
+    stream_from_parquet_dir,
+    streaming_dedup,
+    windowed_rollup,
+)
+from pyairbyte_spark.streaming.windowed import run_to_memory
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def event_dir(spark, tmp_path):
+    """Three parquet files = three micro-batches of deterministic events."""
+    path = str(tmp_path / "stream_in")
+    rows = []
+    for batch in range(3):
+        batch_rows = [
+            (
+                batch * 100 + i,
+                f"2024-01-01 {batch:02d}:{i % 60:02d}:00",
+                ["click", "view"][i % 2],
+                float(i),
+            )
+            for i in range(20)
+        ]
+        rows.append(batch_rows)
+    for i, batch_rows in enumerate(rows):
+        df = spark.createDataFrame(batch_rows, ["event_id", "tss", "event_type", "value"])
+        df.select(
+            "event_id",
+            F.col("tss").cast("timestamp").alias("ts"),
+            "event_type",
+            "value",
+        ).coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_windowed_rollup_matches_batch(spark, event_dir):
+    stream = stream_from_parquet_dir(spark, event_dir, SCHEMA)
+    agg = windowed_rollup(stream, window="1 hour", watermark="2 hours")
+    name = run_to_memory(agg, "win_out", output_mode="update")
+    streaming_out = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch = spark.read.schema(SCHEMA).parquet(event_dir)
+    batch_out = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"])
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("ws"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert streaming_out == batch_out
+    assert len(streaming_out) == 6  # 3 hours x 2 event types
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    path = str(tmp_path / "dup_in")
+    # batch 1: ids 1,2 ; batch 2: ids 2,3 (2 is a cross-batch duplicate)
+    spark.createDataFrame([(1, "a"), (2, "b")], ["id", "payload"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame([(2, "b"), (3, "c")], ["id", "payload"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.StringType())]
+    )
+    stream = stream_from_parquet_dir(spark, path, schema)
+    deduped = streaming_dedup(stream, digest_cols=["id", "payload"])
+    name = run_to_memory(deduped, "dedup_out", output_mode="update")
+    ids = sorted(r["id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert ids == [1, 2, 3]
+
+
+def test_cache_sink_commits_data_then_state(spark, cache, tmp_path, event_dir):
+    stream = stream_from_parquet_dir(spark, event_dir, SCHEMA)
+    sink = CacheStreamingSink(
+        cache,
+        "events_stream",
+        source_name="stream-src",
+        method=WriteMethod.APPEND,
+        cursor_col="ts",
+    )
+    q = sink.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(cache["events_stream"]) == 60
+    artifact = cache.get_state_provider("stream-src").get_stream_state("events_stream")
+    assert artifact is not None
+    assert artifact.state["cursor"].startswith("2024-01-01 02:")
+    assert int(artifact.state["epoch_id"]) >= 0
+
+
+def test_cache_sink_skips_replayed_epoch(spark, cache):
+    sink = CacheStreamingSink(
+        cache, "s", source_name="x", method=WriteMethod.APPEND
+    )
+    df = spark.createDataFrame([(1,)], ["a"])
+    sink(df, 0)
+    sink(df, 0)  # replay of epoch 0 → skipped
+    sink(df, 1)
+    assert len(cache["s"]) == 2
