@@ -639,6 +639,106 @@ def rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PART_COLS = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
+
+
+@register(
+    "a4_column_stats_part",
+    """
+    WITH base AS (
+      SELECT count(*) AS total,
+             """
+    + ",\n             ".join(
+        f"count({c}) AS nn_{c}, CAST(min({c}) AS VARCHAR) AS min_{c}, "
+        f"CAST(max({c}) AS VARCHAR) AS max_{c}"
+        for c in _PART_COLS
+    )
+    + """
+      FROM part
+    )
+    """
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, total AS total_count, nn_{c} AS non_null_count, "
+        f"min_{c} AS min_value, max_{c} AS max_value FROM base"
+        for c in _PART_COLS
+    ),
+    "Table statistics: one-pass min/max/count per column "
+    "(reference TableStatistics, sql_processor.py:87-122,1332-1394)",
+)
+def a4_column_stats_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for c in _PART_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"max_{c}"),
+        ]
+    wide = part.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, min_{c}, max_{c}" for c in _PART_COLS
+    )
+    return wide.selectExpr(
+        "total",
+        f"stack({len(_PART_COLS)}, {stack_args}) as "
+        "(column_name, non_null_count, min_value, max_value)",
+    ).select(
+        "column_name",
+        F.col("total").alias("total_count"),
+        "non_null_count",
+        "min_value",
+        "max_value",
+    )
+
+
+@register(
+    "stream_windowed_rollup",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+           event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY window_start, event_type
+    """,
+    "STRUCTURED STREAMING tumbling-window rollup executed via a real "
+    "streaming query (memory sink, complete mode); 1h windows align "
+    "with date_trunc so the batch oracle is exact",
+)
+def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # File streaming sources require a directory: stage a symlink dir.
+    stage = _tempfile.mkdtemp(prefix="stream_events_")
+    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    conv = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    agg = (
+        conv.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", "12,2")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"stream_rollup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
 # ===========================================================================
 # Training-data operators (dedup / similarity / text / multimodal)
 # ===========================================================================
