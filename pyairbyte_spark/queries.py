@@ -639,6 +639,135 @@ def rollup_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "asof_click_to_view",
+    """
+    WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus FROM events),
+    views AS (
+      SELECT user_id, tus, max(event_id) AS view_event_id
+      FROM ev WHERE event_type = 'view' GROUP BY user_id, tus
+    ),
+    clicks AS (SELECT event_id, user_id, tus FROM ev WHERE event_type = 'click')
+    SELECT c.event_id, c.user_id, v.view_event_id
+    FROM clicks c ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.tus >= v.tus
+    """,
+    "As-of join (Spark lacks one natively): each click matched to the "
+    "user's most recent view at-or-before it — union + forward-fill "
+    "window, ONE shuffle, vs DuckDB's native ASOF JOIN as oracle",
+)
+def asof_click_to_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "tus")
+        .agg(F.max("event_id").alias("view_event_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "tus"
+    )
+    out = asof_join(
+        clicks, views, key_cols=["user_id"], ts_col="tus",
+        right_value_cols=["view_event_id"], suffix="",
+    )
+    return out.select("event_id", "user_id", "view_event_id")
+
+
+@register(
+    "range_join_value_buckets",
+    """
+    WITH buckets(lo, hi, label) AS (
+      VALUES (0.0, 50.0, 'low'), (50.0, 200.0, 'mid'), (200.0, 1000.0, 'high')
+    )
+    SELECT b.label, count(*) AS n,
+           CAST(sum(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.label
+    """,
+    "Range (interval) join: fact value into [lo,hi) buckets via "
+    "broadcast nested-loop against a small bounds table",
+)
+def range_join_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.asof import range_join_buckets
+
+    ev = t(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(
+        [(0.0, 50.0, "low"), (50.0, 200.0, "mid"), (200.0, 1000.0, "high")],
+        ["lo", "hi", "label"],
+    )
+    joined = range_join_buckets(ev, buckets, value_col="value").filter(
+        F.col("label").isNotNull()
+    )
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("value", "12,2")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_fulfilled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "Pivot: order counts by priority x status (conditional aggregates)",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_partial"),
+    )
+
+
+@register(
+    "setop_intersect_except",
+    """
+    SELECT 'intersect' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    UNION ALL
+    SELECT 'except' AS op, c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders
+    )
+    """,
+    "Set operations: INTERSECT and EXCEPT (distinct semantics)",
+)
+def setop_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    big_orders = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    any_orders = orders.select(F.col("o_custkey").alias("c_custkey"))
+    inter = building.intersect(big_orders).select(
+        F.lit("intersect").alias("op"), "c_custkey"
+    )
+    exc = building.subtract(any_orders).select(  # EXCEPT DISTINCT semantics
+        F.lit("except").alias("op"), "c_custkey"
+    )
+    return inter.unionByName(exc)
+
+
 _PART_COLS = ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"]
 
 
