@@ -28,12 +28,29 @@ import uuid
 from dataclasses import dataclass, field
 from typing import IO, Any
 
+try:  # orjson fast path with stdlib fallback — parity with the
+    # reference's JSONL writer (airbyte/_writers/jsonl.py:44-59)
+    import orjson
+
+    def _dumps(obj: dict) -> bytes:
+        try:
+            return orjson.dumps(obj)
+        except TypeError:
+            return json.dumps(obj, default=str).encode()
+
+except ImportError:  # pragma: no cover
+
+    def _dumps(obj: dict) -> bytes:
+        return json.dumps(obj, default=str).encode()
+
 from pyspark.sql import functions as F
 
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.catalog import StreamSpec
 from pyairbyte_spark.constants import DEFAULT_BATCH_SIZE
-from pyairbyte_spark.names import LowerCaseNormalizer, normalize_records_keys
+from pyairbyte_spark.names import LowerCaseNormalizer
+
+_MISSING = object()
 from pyairbyte_spark.records import conform_to_schema, with_metadata_columns
 from pyairbyte_spark.sources.messages import AirbyteMessage
 from pyairbyte_spark.state import PendingStateBuffer, StateArtifact, StateWriterBase
@@ -75,6 +92,7 @@ class MessageStreamProcessor:
         self.batch_size = batch_size
         self.progress = progress
         self._buffers: dict[str, _StreamBuffer] = {}
+        self._key_maps: dict[tuple[str, tuple[str, ...]], dict[str, str] | None] = {}
         self._pending_state = PendingStateBuffer()
         self._staging = os.path.join(
             cache.warehouse_dir, "_staging", uuid.uuid4().hex[:12]
@@ -92,6 +110,30 @@ class MessageStreamProcessor:
             buf.active = None
             buf.active_count = 0
 
+    def _key_map(self, stream_key: str, keys: tuple[str, ...]) -> dict[str, str] | None:
+        """Per-(stream, key-shape) rename/prune map, cached.
+
+        Returns None when the record's keys are already normalized and
+        declared — the fast path skips the per-record dict rebuild
+        (the reference memoizes per-key lookups instead,
+        ``airbyte/records.py:93-171``).
+        """
+        cached = self._key_maps.get((stream_key, keys), _MISSING)
+        if cached is not _MISSING:
+            return cached
+        spec = self.specs.get(stream_key)
+        declared = spec.json_schema.get("properties", {}) if spec else None
+        norm = LowerCaseNormalizer.normalize
+        if declared:
+            wanted = {norm(k) for k in declared}
+            mapping = {k: norm(k) for k in keys if norm(k) in wanted}
+        else:
+            mapping = {k: norm(k) for k in keys}
+        identity = all(k == v for k, v in mapping.items()) and len(mapping) == len(keys)
+        result = None if identity else mapping
+        self._key_maps[(stream_key, keys)] = result
+        return result
+
     def _write_record(self, stream_key: str, data: dict[str, Any]) -> None:
         buf = self._buffer(stream_key)
         if buf.active is None:
@@ -101,12 +143,11 @@ class MessageStreamProcessor:
             )
             buf.files.append(path)
             buf.active = gzip.open(path, "wb", compresslevel=1)
-        spec = self.specs.get(stream_key)
-        declared = spec.json_schema.get("properties", {}) if spec else None
-        normalized = normalize_records_keys(
-            data, keys=list(declared) if declared else None
+        key_map = self._key_map(stream_key, tuple(data))
+        normalized = (
+            data if key_map is None else {v: data[k] for k, v in key_map.items()}
         )
-        buf.active.write(json.dumps(normalized, default=str).encode() + b"\n")
+        buf.active.write(_dumps(normalized) + b"\n")
         buf.active_count += 1
         buf.record_count += 1
         if buf.active_count >= self.batch_size:

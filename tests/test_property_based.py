@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) — stronger than the reference's
+example-based unit tests (SURVEY §5 notes it has no property corpus)."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyairbyte_spark.names import LowerCaseNormalizer, NameNormalizationError
+from pyairbyte_spark.sql_guard import is_safe_sql
+from pyairbyte_spark.types import to_spark_type
+
+IDENT = re.compile(r"^[a-z0-9_]+$")
+
+
+@given(st.text(min_size=1, max_size=64))
+@settings(max_examples=300, deadline=None)
+def test_normalizer_output_is_valid_identifier_or_raises(name):
+    try:
+        out = LowerCaseNormalizer.normalize(name)
+    except NameNormalizationError:
+        return
+    assert IDENT.match(out)
+    assert not out[0].isdigit()
+    # idempotent
+    assert LowerCaseNormalizer.normalize(out) == out
+
+
+@given(
+    st.recursive(
+        st.one_of(
+            st.none(),
+            st.sampled_from(
+                ["string", "integer", "number", "boolean", "object", "array", "weird"]
+            ),
+            st.lists(
+                st.sampled_from(["null", "string", "integer", "number"]),
+                max_size=3,
+            ),
+        ),
+        lambda children: children,
+        max_leaves=3,
+    ),
+    st.sampled_from([None, "date", "date-time", "time", "bogus"]),
+)
+@settings(max_examples=300, deadline=None)
+def test_type_compiler_total_function(type_node, fmt):
+    """The compiler never raises — anything unresolvable fails over to
+    string (reference types.py:115-117)."""
+    schema = {}
+    if type_node is not None:
+        schema["type"] = type_node
+    if fmt is not None:
+        schema["format"] = fmt
+    dtype = to_spark_type(schema)
+    assert dtype is not None
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_sql_guard_never_allows_write_verbs(sql):
+    if is_safe_sql(sql):
+        lowered = sql.lower()
+        for verb in ("insert ", "update ", "delete ", "drop ", "truncate "):
+            assert not lowered.strip().startswith(verb)
+        assert ";" not in re.sub(r"--[^\n]*", "", sql).rstrip("; \n\t")
