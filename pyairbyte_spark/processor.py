@@ -215,6 +215,14 @@ class MessageStreamProcessor:
                 df, spec.declared_columns or df.columns
             )
             df = with_metadata_columns(df)
+            # A5 tallies, Spark-native: an Observation rides the write
+            # job (no extra count() job) — parity with the reference's
+            # progress counters (airbyte/progress.py:253-380).
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
+            obs = Observation(f"write_{stream_key}")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows_written"))
             method = resolve_write_method(
                 self.write_strategy,
                 has_primary_keys=bool(spec.primary_keys),
@@ -223,6 +231,9 @@ class MessageStreamProcessor:
             self.cache.write_dataframe(
                 df, stream_key, method, spec.normalized_primary_keys
             )
+            observed = obs.get.get("rows_written")
+            if observed is not None:
+                record_count = observed
             self.cache.register_stream(spec)
         elif spec is not None and spec.json_schema.get("properties"):
             # Empty stream: still materialize an empty table with the

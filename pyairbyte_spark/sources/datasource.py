@@ -1,0 +1,88 @@
+"""Airbyte-protocol connectors as a native PySpark DataSource.
+
+The fully Spark-idiomatic form of the connector scan (SURVEY §2 S1):
+
+    spark.dataSource.register(AirbyteProtocolDataSource)
+    df = (spark.read.format("airbyte_protocol")
+          .option("argv", "python /path/connector.py")
+          .option("stream", "items")
+          .schema("id long, name string")
+          .load())
+
+Each selected stream becomes one input partition, and the connector
+subprocess runs ON THE EXECUTOR for its partition — the driver never
+touches record bytes. With S streams the scan parallelizes S-wide; a
+single giant stream still bottlenecks on one connector process, which
+is the protocol's own serialization constraint (same in the reference —
+its one-process stdout is the pipe).
+
+Contrast with :class:`MessageStreamProcessor` (driver-side host used by
+the sync/landing path, which needs strict STATE ordering): this
+DataSource is the query-side scan — read a connector straight into a
+DataFrame without landing it.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _StreamPartition(InputPartition):
+    def __init__(self, stream_name: str):
+        self.stream_name = stream_name
+
+
+class AirbyteProtocolReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema = schema
+        self.argv = options.get("argv")
+        if not self.argv:
+            raise ValueError("option 'argv' (connector command) is required")
+        self.streams = [
+            s for s in (options.get("stream") or "").split(",") if s
+        ]
+        self.config = json.loads(options.get("config") or "{}")
+        self.field_names = schema.fieldNames()
+
+    def partitions(self):
+        # One partition per selected stream; the executor-side read
+        # re-filters on the partition's stream name.
+        if not self.streams:
+            return [_StreamPartition("")]
+        return [_StreamPartition(s) for s in self.streams]
+
+    def read(self, partition: _StreamPartition) -> Iterator[tuple]:
+        # Runs on the executor: spawn the connector for this partition.
+        import shlex
+
+        from pyairbyte_spark.sources.connector import ConnectorSource
+        from pyairbyte_spark.sources.subprocess_host import SubprocessHost
+
+        host = SubprocessHost(shlex.split(self.argv))
+        source = ConnectorSource(host, config=self.config)
+        streams = (
+            [partition.stream_name]
+            if partition.stream_name
+            else source.get_available_streams()
+        )
+        fields = self.field_names
+        for msg in source.generate_messages(streams, None):
+            if msg.type == "RECORD" and msg.record is not None:
+                data = msg.record.data
+                yield tuple(data.get(f) for f in fields)
+
+
+class AirbyteProtocolDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "airbyte_protocol"
+
+    def reader(self, schema) -> AirbyteProtocolReader:
+        return AirbyteProtocolReader(schema, self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(AirbyteProtocolDataSource)
