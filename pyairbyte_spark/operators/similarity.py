@@ -150,31 +150,78 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    block_target_rows: int = 1024,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine ≥ threshold.
+    """All pairs (id_a < id_b) with round(cosine, 6) ≥ threshold.
 
-    Norms are computed ONCE per vector before the pair join (n folds),
-    not per pair (n² folds) — a 3× cut in the dominant cost. The
-    remaining per-pair work is a single dot-product fold.
+    Blocked-GEMM plan: vectors are hashed into B ≈ n/block_target blocks;
+    each of the B(B+1)/2 block pairs becomes one cogroup, and inside the
+    group a vectorized numpy matmul scores the m_i × m_j pair tile in one
+    BLAS call. This replaces the n² per-pair expression folds of a naive
+    cross join with n·B shuffled rows and dense tile math — the shape
+    that holds at 100 TB (no driver collect, no broadcast-size ceiling;
+    tiles stream through Arrow with bounded memory ≈ 2·block_target·dim
+    doubles + the tile's hit list).
+
+    Numerics: dot products accumulate in double; pairwise-BLAS summation
+    differs from a sequential fold by ~1e-15 relative, ~9 orders below
+    the 1e-6 rounding quantum, so results still hash-match the DuckDB
+    oracle's ``list_dot_product`` fold after round(…, 6).
     """
-    base = df.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-    base = base.select("id", "v", norm_expr(F.col("v")).alias("nrm"))
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("norm_a")
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    n = df.count()  # parquet metadata count — no data scan
+    num_blocks = max(1, math.ceil(n / block_target_rows))
+
+    base = df.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    ).withColumn("blk", F.pmod(F.hash(F.col("id")), F.lit(num_blocks)))
+    # A-side owns tile rows for every tile (blk, j≥blk); B-side owns tile
+    # columns for every tile (i≤blk, blk). Replication factor ~B/2.
+    left = base.withColumn(
+        "kb", F.explode(F.sequence(F.col("blk"), F.lit(num_blocks - 1)))
+    ).select(F.col("blk").alias("ka"), "kb", "id", "v")
+    # Right-side payload columns renamed: a self-cogroup with identical
+    # column names on both sides gets the non-key columns pruned off the
+    # right frame (attribute dedup), so the tile fn would see only keys.
+    right = base.withColumn(
+        "ka", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select(
+        "ka",
+        F.col("blk").alias("kb"),
+        F.col("id").alias("rid"),
+        F.col("v").alias("rv"),
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("norm_b")
-    )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                dot_expr(F.col("va"), F.col("vb")) / (F.col("norm_a") * F.col("norm_b")),
-                6,
-            ).alias("cosine"),
+
+    id_field = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_field}, id_b {id_field}, cosine double"
+
+    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        va = np.stack(lpdf["v"].to_numpy()).astype(np.float64, copy=False)
+        vb = np.stack(rpdf["rv"].to_numpy()).astype(np.float64, copy=False)
+        dots = va @ vb.T
+        cos = np.round(
+            dots
+            / np.outer(
+                np.sqrt(np.einsum("ij,ij->i", va, va)),
+                np.sqrt(np.einsum("ij,ij->i", vb, vb)),
+            ),
+            6,
         )
-        .filter(F.col("cosine") >= threshold)
+        ida = lpdf["id"].to_numpy()
+        idb = rpdf["rid"].to_numpy()
+        hit_r, hit_c = np.nonzero((ida[:, None] < idb[None, :]) & (cos >= threshold))
+        return pd.DataFrame(
+            {"id_a": ida[hit_r], "id_b": idb[hit_c], "cosine": cos[hit_r, hit_c]}
+        )
+
+    return (
+        left.groupBy("ka", "kb")
+        .cogroup(right.groupBy("ka", "kb"))
+        .applyInPandas(score_tile, schema=out_schema)
     )
