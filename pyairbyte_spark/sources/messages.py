@@ -171,6 +171,14 @@ class AirbyteMessageIterator:
         return cls(gen())
 
     @classmethod
+    def from_stdin(cls) -> AirbyteMessageIterator:
+        """Protocol messages piped on stdin (reference
+        ``_message_iterators.py:170-180``)."""
+        import sys
+
+        return cls.from_str_buffer(sys.stdin)
+
+    @classmethod
     def from_read_result(cls, cache, streams: list[str]) -> AirbyteMessageIterator:
         """Replay cached tables as RECORD messages + stream-success trace
         (reference ``_message_iterators.py:90-126``)."""
