@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.catalog import StreamSpec
-from pyairbyte_spark.constants import DEFAULT_BATCH_SIZE
+from pyairbyte_spark.constants import AB_INTERNAL_COLUMNS, DEFAULT_BATCH_SIZE
 from pyairbyte_spark.names import LowerCaseNormalizer
 
 _MISSING = object()
@@ -61,7 +61,8 @@ from pyairbyte_spark.types import json_schema_to_struct
 @dataclass
 class _StreamBuffer:
     files: list[str] = field(default_factory=list)
-    active: IO[bytes] | None = None
+    writers: list[IO[bytes]] | None = None
+    pending: list[bytearray] | None = None
     active_count: int = 0
     record_count: int = 0
 
@@ -90,6 +91,9 @@ class MessageStreamProcessor:
         self.write_strategy = write_strategy
         self.state_writer = state_writer or cache.get_state_writer(source_name)
         self.batch_size = batch_size
+        # Stripe width for batch files (see _write_record); bounded so
+        # tiny syncs don't scatter into many near-empty files.
+        self.stripes = max(1, min(8, (os.cpu_count() or 4) // 4))
         self.progress = progress
         self._buffers: dict[str, _StreamBuffer] = {}
         self._key_maps: dict[tuple[str, tuple[str, ...]], dict[str, str] | None] = {}
@@ -105,9 +109,13 @@ class MessageStreamProcessor:
         return self._buffers.setdefault(stream_key, _StreamBuffer())
 
     def _rotate(self, stream_key: str, buf: _StreamBuffer) -> None:
-        if buf.active is not None:
-            buf.active.close()
-            buf.active = None
+        if buf.writers is not None:
+            for w, pend in zip(buf.writers, buf.pending):
+                if pend:
+                    w.write(pend)
+                w.close()
+            buf.writers = None
+            buf.pending = None
             buf.active_count = 0
 
     def _key_map(self, stream_key: str, keys: tuple[str, ...]) -> dict[str, str] | None:
@@ -136,18 +144,40 @@ class MessageStreamProcessor:
 
     def _write_record(self, stream_key: str, data: dict[str, Any]) -> None:
         buf = self._buffer(stream_key)
-        if buf.active is None:
+        if buf.writers is None:
+            # Each 100k-record batch is striped over several gzip files:
+            # gzip is non-splittable, so files = parallel JSON-parse
+            # tasks on the Spark side. Lines are staged in a per-stripe
+            # bytearray and pushed to the compressor in ~256 KiB chunks
+            # (per-call gzip overhead dominates short-line writes).
             os.makedirs(self._staging, exist_ok=True)
-            path = os.path.join(
-                self._staging, f"{stream_key}_{len(buf.files):05d}.jsonl.gz"
-            )
-            buf.files.append(path)
-            buf.active = gzip.open(path, "wb", compresslevel=1)
+            buf.writers = []
+            buf.pending = []
+            for i in range(self.stripes):
+                path = os.path.join(
+                    self._staging,
+                    f"{stream_key}_{len(buf.files):05d}_{i:02d}.jsonl.gz",
+                )
+                buf.files.append(path)
+                buf.writers.append(gzip.open(path, "wb", compresslevel=1))
+                buf.pending.append(bytearray())
         key_map = self._key_map(stream_key, tuple(data))
         normalized = (
             data if key_map is None else {v: data[k] for k, v in key_map.items()}
         )
-        buf.active.write(_dumps(normalized) + b"\n")
+        line = _dumps(normalized)
+        # Arrival-sequence field, spliced into the serialized bytes (the
+        # record dict may be caller-owned — don't mutate it). Folded into
+        # the raw id at load so merge's latest-per-PK is deterministic
+        # across stripes and batches.
+        suffix = b',"_airbyte_seq":%d}' if line != b"{}" else b'"_airbyte_seq":%d}'
+        pend = buf.pending[buf.active_count % self.stripes]
+        pend += line[:-1]
+        pend += suffix % buf.record_count
+        pend += b"\n"
+        if len(pend) >= 262_144:
+            buf.writers[buf.active_count % self.stripes].write(pend)
+            del pend[:]
         buf.active_count += 1
         buf.record_count += 1
         if buf.active_count >= self.batch_size:
@@ -208,13 +238,15 @@ class MessageStreamProcessor:
             )
             reader = self.cache.spark.read
             if struct.fields:
-                df = reader.schema(struct).json(buf.files)
+                df = reader.schema(struct.add("_airbyte_seq", "long")).json(buf.files)
             else:
                 df = reader.json(buf.files)
+            df = with_metadata_columns(df, seq_col="_airbyte_seq")
             df = conform_to_schema(
-                df, spec.declared_columns or df.columns
+                df,
+                spec.declared_columns
+                or [c for c in df.columns if c not in AB_INTERNAL_COLUMNS],
             )
-            df = with_metadata_columns(df)
             # A5 tallies, Spark-native: an Observation rides the write
             # job (no extra count() job) — parity with the reference's
             # progress counters (airbyte/progress.py:253-380).

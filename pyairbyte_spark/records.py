@@ -27,33 +27,49 @@ from pyairbyte_spark.constants import (
 from pyairbyte_spark.names import LowerCaseNormalizer
 
 
-def uuid7_expr() -> Column:
-    """A UUIDv7-shaped id: 48-bit unix-millis timestamp + random bits.
+def uuid7_expr(seq: Column | None = None) -> Column:
+    """A UUIDv7-shaped id: 48-bit unix-millis timestamp, then either an
+    arrival-sequence counter or random bits.
 
     Time-sortable like the reference's ``uuid7str()`` raw ids
-    (``airbyte/records.py:237``). Built from JVM-side expressions so the
-    generation is codegen'd (no Python round-trip per row).
+    (``airbyte/records.py:237``). When ``seq`` is given, its 48 bits
+    occupy the most-significant post-timestamp positions (the v7
+    monotonic-counter variant), so ids from one batch sort in arrival
+    order — that's what makes merge's latest-per-PK deterministic even
+    for duplicates inside a single batch. Built from JVM-side
+    expressions so the generation is codegen'd (no Python per row).
     """
     ts_hex = F.lpad(F.hex(F.unix_millis(F.current_timestamp())), 12, "0")
-    # Random bits from two uuid4 calls' hex characters.
     r = F.regexp_replace(F.expr("uuid()"), "-", "")
+    if seq is None:
+        mid, tail = F.substring(r, 1, 6), F.substring(r, 7, 12)
+    else:
+        seq_hex = F.lpad(F.hex(seq), 12, "0")
+        mid = F.substring(seq_hex, 1, 6)
+        tail = F.concat(F.substring(seq_hex, 7, 6), F.substring(r, 1, 6))
     return F.concat_ws(
         "-",
         F.substring(ts_hex, 1, 8),
         F.substring(ts_hex, 9, 4),
-        F.concat(F.lit("7"), F.substring(r, 1, 3)),
-        F.concat(F.lit("8"), F.substring(r, 4, 3)),
-        F.substring(r, 7, 12),
+        F.concat(F.lit("7"), F.substring(mid, 1, 3)),
+        F.concat(F.lit("8"), F.substring(mid, 4, 3)),
+        tail,
     )
 
 
-def with_metadata_columns(df: DataFrame) -> DataFrame:
-    """Append the three internal columns to a batch of records."""
-    return (
-        df.withColumn(AB_RAW_ID_COLUMN, uuid7_expr())
+def with_metadata_columns(df: DataFrame, *, seq_col: str | None = None) -> DataFrame:
+    """Append the three internal columns to a batch of records.
+
+    ``seq_col`` names an arrival-sequence column (added by the staging
+    writer) to fold into the raw id; it is consumed here.
+    """
+    seq = F.col(seq_col) if seq_col and seq_col in df.columns else None
+    out = (
+        df.withColumn(AB_RAW_ID_COLUMN, uuid7_expr(seq))
         .withColumn(AB_EXTRACTED_AT_COLUMN, F.current_timestamp())
         .withColumn(AB_META_COLUMN, F.to_json(F.struct()))
     )
+    return out.drop(seq_col) if seq is not None else out
 
 
 def normalize_column_names(df: DataFrame) -> DataFrame:
