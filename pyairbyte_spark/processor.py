@@ -52,7 +52,6 @@ from pyairbyte_spark.names import LowerCaseNormalizer
 
 _MISSING = object()
 from pyairbyte_spark.records import conform_to_schema, with_metadata_columns
-from pyairbyte_spark.sources.messages import AirbyteMessage
 from pyairbyte_spark.state import PendingStateBuffer, StateArtifact, StateWriterBase
 from pyairbyte_spark.strategies import WriteStrategy, resolve_write_method
 from pyairbyte_spark.types import json_schema_to_struct
