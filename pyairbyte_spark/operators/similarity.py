@@ -144,6 +144,130 @@ def lsh_bucketed_topk(
     )
 
 
+def _assign_to_centroids(
+    vectors: DataFrame, centroids: DataFrame, *, top_n: int = 1
+) -> DataFrame:
+    """(id, v) × broadcast (cid, cv) → nearest ``top_n`` centroids per
+    vector by cosine (round 6; ties → lowest cid). One pass, no
+    corpus self-shuffle."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "csim",
+        F.round(
+            dot_expr(F.col("v"), F.col("cv"))
+            / (norm_expr(F.col("v")) * norm_expr(F.col("cv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") <= top_n)
+        .drop("__cr", "cv", "csim")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 1,
+) -> DataFrame:
+    """Deterministic coarse quantizer for IVF: centroids seeded from the
+    ``n_centroids`` lowest-id vectors, refined by ``iters`` Lloyd
+    iterations — each iteration is one broadcast-assign pass plus one
+    posexplode/groupBy mean (shuffles rows×dim scalars, never vectors
+    as blobs). Centroid components round to 6 decimals per iteration,
+    which (a) makes the result independent of Spark's partial-sum
+    order and (b) keeps the whole index SQL-expressible for the oracle.
+
+    Returns (cid, cv). Runs as plain DataFrame ops — the iterative-
+    algorithm pattern (loop in the driver, declarative plan per step).
+    """
+    e = corpus.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    )
+    centroids = (
+        e.orderBy("id")
+        .limit(n_centroids)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(iters):
+        asg = _assign_to_centroids(e, centroids)
+        means = (
+            asg.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+        )
+        centroids = means.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probes: int = 2,
+    iters: int = 1,
+) -> DataFrame:
+    """IVF approximate top-k: corpus rows attach to their nearest
+    centroid (the inverted lists); each query probes its ``n_probes``
+    nearest lists and ranks only those candidates. Candidates shrink
+    ~n_probes/n_centroids vs brute force; recall trades against
+    ``n_probes``. Same output shape as ``brute_force_topk``.
+
+    At 100 TB: centroids broadcast (tiny), the corpus partitions by
+    cid once and both the index build and every probe reuse that
+    partitioning; probe joins hash on cid, so a query set of any size
+    scales out without touching non-probed lists.
+    """
+    cent = kmeans_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+    )
+    e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    lists = _assign_to_centroids(e, cent).select(
+        F.col("cid"), F.col("id").alias("neighbor_id"), F.col("v").alias("cvec")
+    )
+    q = queries.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    probes = _assign_to_centroids(q, cent, top_n=n_probes).select(
+        F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (norm_expr(F.col("qvec")) * norm_expr(F.col("cvec"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     *,

@@ -1067,6 +1067,75 @@ def ann_lsh_bucketed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def _cos6(a_v: str, b_v: str) -> str:
+    return (
+        f"round(list_dot_product({a_v}, {b_v}) / "
+        f"(sqrt(list_dot_product({a_v}, {a_v})) * "
+        f"sqrt(list_dot_product({b_v}, {b_v}))), 6)"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    -- IVF with a deterministic coarse quantizer: seed centroids = 8
+    -- lowest-id vectors, ONE Lloyd iteration with 6-decimal rounded
+    -- means (dim is 64 in the testdata tables), then 2-probe search.
+    WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos6("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c0 c) WHERE rn = 1),
+    m AS (
+      SELECT a0.cid, t.i, round(avg(e.v[CAST(t.i AS INT)]), 6) AS mv
+      FROM a0 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+      GROUP BY a0.cid, t.i),
+    c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m GROUP BY cid),
+    lists AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos6("e.v", "c.cv")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN c1 c) WHERE rn = 1),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos6("q.v", "c.cv")} DESC, c.cid) AS rn
+        FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id, {_cos6("q.v", "e.v")} AS cosine
+      FROM probes p JOIN lists l USING (cid)
+      JOIN e ON e.vec_id = l.vec_id
+      JOIN q ON q.vec_id = p.query_id
+      WHERE l.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "IVF approximate top-5: k-means coarse quantizer (1 deterministic "
+    "Lloyd iteration), 2-probe inverted-list search — candidates shrink "
+    "~n_probes/n_centroids vs brute force",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    out = similarity.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=5,
+        n_centroids=8,
+        n_probes=2,
+        iters=1,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register(
     "text_token_stats",
     r"""

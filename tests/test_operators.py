@@ -150,3 +150,31 @@ def test_rolling_fingerprint_shift_sensitivity(spark):
     df = spark.createDataFrame([(1, "ab"), (2, "ba")], ["doc_id", "text"])
     out = [r["fp"] for r in df.select(text.fingerprint_rolling_expr("text").alias("fp")).collect()]
     assert out[0] != out[1]  # order-sensitive, unlike a bag-of-chars hash
+
+
+def test_ivf_topk_recall_against_brute_force(spark):
+    """IVF with all lists probed must equal brute force exactly; with
+    fewer probes it returns k results whose top-1 usually survives."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id < 3")
+    exact = similarity.brute_force_topk(emb, qs, k=3)
+    full_probe = similarity.ivf_topk(
+        emb, qs, k=3, n_centroids=4, n_probes=4, iters=1
+    )
+    key = lambda df: sorted(  # noqa: E731
+        (r["query_id"], r["rank"], r["neighbor_id"]) for r in df.collect()
+    )
+    assert key(full_probe) == key(exact)
+    partial = similarity.ivf_topk(emb, qs, k=3, n_centroids=4, n_probes=2, iters=1)
+    got = partial.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(r["rank"] <= 3 for r in got)
+
+
+def test_kmeans_centroids_deterministic(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = similarity.kmeans_centroids(emb, n_centroids=4, iters=2).collect()
+    b = similarity.kmeans_centroids(emb, n_centroids=4, iters=2).collect()
+    assert sorted((r["cid"], tuple(r["cv"])) for r in a) == sorted(
+        (r["cid"], tuple(r["cv"])) for r in b
+    )
