@@ -131,3 +131,78 @@ def frame_sample_plan(
             F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def audio_chunk_plan(
+    media_df: DataFrame, *, chunk_seconds: int = 30, bytes_per_second: int = 32_000
+) -> DataFrame:
+    """Audio chunking plumbing: (media_id, chunk_idx, start_s, end_s)
+    rows for a downstream decoder. Duration is stubbed from the payload
+    size at 16 kHz / 16-bit mono; a real prober plugs in at the same
+    column. Like frame sampling, this is the fan-out explode — a 3-hour
+    podcast and a 5-second clip parallelize identically downstream."""
+    dur = (F.col("media_meta.n_bytes") / bytes_per_second).cast("int") + 1
+    chunk = F.explode(
+        F.sequence(F.lit(0), dur - 1, F.lit(chunk_seconds))
+    ).alias("start_s")
+    return media_df.select("media_id", dur.alias("duration_s"), chunk).select(
+        "media_id",
+        (F.col("start_s") / chunk_seconds).cast("long").alias("chunk_idx"),
+        F.col("start_s").cast("long").alias("start_s"),
+        F.least(F.col("start_s") + chunk_seconds, F.col("duration_s"))
+        .cast("long")
+        .alias("end_s"),
+    )
+
+
+def resize_plan(
+    media_df: DataFrame,
+    *,
+    width: int,
+    height: int,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Image resize plumbing via Arrow-batched ``mapInPandas``.
+
+    Output: (media_id, width, height, resized_sha256, resized_bytes).
+    The stub emits a deterministic pseudo-payload (sha256 of the
+    original payload + target dims, sized w·h·3); a real implementation
+    replaces only the inner ``_stub_resize`` with PIL keeping the same
+    batch-iterator signature and bounded Arrow batch memory.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real image resize requires PIL/pillow, not present in this "
+            "environment; plug the decoder in at _stub_resize"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("resized_sha256", T.StringType(), True),
+            T.StructField("resized_bytes", T.LongType(), True),
+        ]
+    )
+
+    def _stub_resize(payload: bytes) -> tuple[str, int]:
+        seed = hashlib.sha256(payload + f"|{width}x{height}".encode()).hexdigest()
+        return seed, width * height * 3
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            resized = pdf["payload"].map(
+                lambda b: _stub_resize(b) if b is not None else (None, None)
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "resized_sha256": resized.map(lambda t: t[0]),
+                    "resized_bytes": resized.map(lambda t: t[1]),
+                }
+            )
+
+    return media_df.mapInPandas(batches, out_schema)

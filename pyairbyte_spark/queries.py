@@ -1352,6 +1352,31 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(*cols)
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (SELECT doc_id AS media_id,
+                      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+               FROM documents)
+    SELECT media_id,
+           CAST(unnest(range(0, CAST(floor(n_bytes / 1000) AS BIGINT) + 1, 10))
+                AS BIGINT) AS frame_idx
+    FROM m
+    """,
+    "Video frame-sampling fan-out: one payload row explodes to one row "
+    "per decode task (frame), so long and short media parallelize alike",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    media = multimodal.attach_media_meta(
+        docs, "payload", mime_type="video/mp4", id_col="doc_id"
+    )
+    out = multimodal.frame_sample_plan(media, every_n=10)
+    return out.withColumn("frame_idx", F.col("frame_idx").cast("long"))
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================

@@ -178,3 +178,30 @@ def test_kmeans_centroids_deterministic(spark):
     assert sorted((r["cid"], tuple(r["cv"])) for r in a) == sorted(
         (r["cid"], tuple(r["cv"])) for r in b
     )
+
+
+def test_audio_chunk_plan(spark):
+    df = spark.createDataFrame([(1, b"x" * 96_000)], ["doc_id", "payload"])
+    media = multimodal.attach_media_meta(
+        df, "payload", mime_type="audio/wav", id_col="doc_id"
+    )
+    chunks = multimodal.audio_chunk_plan(media, chunk_seconds=2).collect()
+    # 96000 bytes @32k/s -> 3s -> duration 4 (stub +1) -> chunks at 0,2
+    assert [(r["chunk_idx"], r["start_s"], r["end_s"]) for r in chunks] == [
+        (0, 0, 2),
+        (1, 2, 4),
+    ]
+
+
+def test_resize_plan_deterministic_stub(spark):
+    df = spark.createDataFrame([(1, b"img-a"), (2, b"img-b")], ["doc_id", "payload"])
+    media = multimodal.attach_media_meta(
+        df, "payload", mime_type="image/png", id_col="doc_id"
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_plan(media, width=4, height=2).collect()}
+    assert out[1]["resized_bytes"] == 4 * 2 * 3
+    assert out[1]["resized_sha256"] != out[2]["resized_sha256"]
+    again = {r["media_id"]: r for r in multimodal.resize_plan(media, width=4, height=2).collect()}
+    assert out[1]["resized_sha256"] == again[1]["resized_sha256"]
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_plan(media, width=4, height=2, decode_stub=False)
