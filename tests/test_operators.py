@@ -205,3 +205,28 @@ def test_resize_plan_deterministic_stub(spark):
     assert out[1]["resized_sha256"] == again[1]["resized_sha256"]
     with pytest.raises(NotImplementedError):
         multimodal.resize_plan(media, width=4, height=2, decode_stub=False)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyairbyte_spark.operators.skew import key_skew_stats, salted_join
+
+    # one pathologically hot key (90%), several cold ones
+    big = spark.range(1000).selectExpr(
+        "CASE WHEN id < 900 THEN 0 ELSE id % 7 END AS k", "id AS v"
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim-{i}") for i in range(7)], ["k", "name"]
+    )
+    plain = big.join(small, ["k"]).select("k", "v", "name")
+    salted = salted_join(big, small, ["k"], salt=8).select("k", "v", "name")
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(salted) == key(plain)
+    # left join keeps unmatched big-side rows
+    small_partial = small.filter("k < 3")
+    lp = big.join(small_partial, ["k"], "left").select("k", "v", "name")
+    ls = salted_join(big, small_partial, ["k"], salt=8, how="left").select(
+        "k", "v", "name"
+    )
+    assert key(ls) == key(lp)
+    stats_rows = key_skew_stats(big, ["k"]).collect()
+    assert stats_rows[0]["k"] == 0 and stats_rows[0]["share"] >= 0.9
