@@ -107,19 +107,29 @@ def shingles_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFr
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 12, k: int = 3
 ) -> DataFrame:
-    """(id, sig: array<string>) — sig[i] = min over shingles of
-    md5(i || shingle).
+    """(id, sig: array<long>) — sig[i] = min over shingles of
+    h_i(shingle), where h_i = (a + i·b) mod 2³² and (a, b) are two
+    32-bit lanes of ONE md5 per shingle (Kirsch-Mitzenmacher double
+    hashing: k-wise hash families from two base hashes, so the digest
+    work per shingle is constant in ``num_hashes``, not linear).
 
     Linear: explode + groupBy(id) with min-aggregations; the explode and
     re-group shuffle on the doc id only (shingle strings never shuffle
     as keys).
     """
     exploded = shingles_df(df, text_col, id_col, k)
+    h = F.md5(F.col("shingle"))
+    lanes = exploded.select(
+        F.col(id_col),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("a"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("b"),
+    )
+    two32 = F.lit(4294967296)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.min((F.col("a") + F.lit(i) * F.col("b")) % two32).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    sig = exploded.groupBy(id_col).agg(*aggs)
+    sig = lanes.groupBy(id_col).agg(*aggs)
     return sig.select(
         F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
     )
@@ -141,7 +151,10 @@ def lsh_bands(
             F.md5(
                 F.concat_ws(
                     "|",
-                    *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)],
+                    *[
+                        F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+                        for r in range(rows)
+                    ],
                 )
             ).alias("band_hash"),
         )
@@ -304,13 +317,17 @@ def ngram_jaccard_pairs(
     Only docs sharing ≥1 shingle ever pair up (the join prunes the
     O(n²) space); at scale run after LSH candidate generation instead.
     """
+    # Join on a 64-bit shingle hash, not the shingle string: the key is
+    # engine-internal (never output), so this only narrows the shuffle
+    # and cheapens the equi-comparison; a 64-bit collision would need
+    # ~2^32 distinct shingles to become likely.
     sh = shingles_df(df, text_col, id_col, k).select(
-        F.col(id_col).alias("doc"), F.col("shingle")
+        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("sh")
     )
     sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("a")
-        .join(sh.alias("b"), "shingle")
+        .join(sh.alias("b"), "sh")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
         .agg(F.count("*").alias("n_common"))

@@ -902,14 +902,23 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shingles AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
     ),
+    -- Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, two
+    -- 32-bit lanes a/b, h_i = (a + i*b) mod 2^32 (same arithmetic as
+    -- the Spark operator).
+    lanes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      FROM shingles
+    ),
     sig AS (
       SELECT doc_id,
-             {", ".join(f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(12))}
-      FROM shingles GROUP BY doc_id
+             {", ".join(f"min((a + {i} * b) % 4294967296) AS h{i}" for i in range(12))}
+      FROM lanes GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, md5(h{3*b} || '|' || h{3*b+1} || '|' || h{3*b+2}) AS band_hash FROM sig"
+        f"SELECT doc_id, {b} AS band_idx, md5(h{3*b}::VARCHAR || '|' || h{3*b+1}::VARCHAR || '|' || h{3*b+2}::VARCHAR) AS band_hash FROM sig"
         for b in range(4)
       )}
     )
