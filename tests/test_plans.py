@@ -12,42 +12,29 @@ from __future__ import annotations
 
 import os
 
-import pytest
-
+from pyairbyte_spark import plans
 from pyairbyte_spark import queries as q
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
-
-
-def plan_str(df, mode: str = "formatted") -> str:
-    jdf = getattr(df, "_jdf", None)
-    if jdf is None:  # pragma: no cover - connect mode
-        pytest.skip("plan inspection needs classic PySpark")
-    sc = df.sparkSession._sc
-    return sc._jvm.PythonSQLUtils.explainString(jdf.queryExecution(), mode)
+plan_str = plans.explain_str
 
 
 def test_q6_filter_pushdown_and_column_pruning(spark):
-    plan = plan_str(q.queries()["q6_forecast_revenue"](spark, SF_DIR))
-    assert "PushedFilters: [" in plan
-    # at least one real pushed predicate, not an empty list
-    assert "PushedFilters: []" not in plan
-    read_schema = next(
-        ln for ln in plan.splitlines() if "ReadSchema" in ln
-    )
-    # q6 needs 4 of lineitem's 16 columns; the scan must not read more.
-    n_cols = read_schema.count(":")
-    assert n_cols <= 5, read_schema
+    df = q.queries()["q6_forecast_revenue"](spark, SF_DIR)
+    pushed = plans.pushed_filters(df)
+    assert pushed and any(p for p in pushed), pushed
+    # q6 needs 4 of lineitem's columns; the scan must not read more.
+    assert all(len(cols) <= 4 for cols in plans.scan_columns(df))
 
 
 def test_q5_broadcasts_dimension_tables(spark):
-    plan = plan_str(q.queries()["q5_local_supplier_volume"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan
+    assert plans.has_broadcast_join(
+        q.queries()["q5_local_supplier_volume"](spark, SF_DIR)
+    )
 
 
 def test_topk_uses_take_ordered_not_global_sort(spark):
-    plan = plan_str(q.queries()["sort_topk_orders"](spark, SF_DIR))
-    assert "TakeOrderedAndProject" in plan
+    assert plans.uses_take_ordered(q.queries()["sort_topk_orders"](spark, SF_DIR))
 
 
 def test_q1_partial_aggregation_before_exchange(spark):
@@ -102,5 +89,4 @@ def test_merge_single_shuffle(spark, tmp_path):
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
     )
-    plan = plan_str(merged, "simple")
-    assert plan.count("Exchange") <= 1, plan
+    assert plans.shuffle_count(merged) <= 1, plan_str(merged, "simple")
