@@ -884,6 +884,66 @@ _SHINGLES_DUCK = f"""
 
 
 @register(
+    "stream_session_rollup",
+    f"""
+    -- Batch-equivalent of Spark's session_window(ts, 30 min): events
+    -- within < 30 min merge; session end = last event + gap.
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    "STRUCTURED STREAMING session windows (dynamic gap-merged windows "
+    "via session_window) executed through a real streaming query; "
+    "oracle reproduces the merge semantics with lag+cumsum sessionize",
+)
+def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyairbyte_spark.streaming.windowed import session_rollup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _tempfile.mkdtemp(prefix="stream_sessions_")
+    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    conv = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    sessions = session_rollup(conv, gap="30 minutes")
+    name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", TS_FMT_SPARK).alias("session_start"),
+        F.date_format("session_end", TS_FMT_SPARK).alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
     "dedup_exact_groups",
     f"""
     SELECT md5({_NORM_TEXT_DUCK}) AS digest, count(*) AS n_docs,

@@ -69,6 +69,35 @@ def windowed_rollup(
     )
 
 
+def session_rollup(
+    stream_df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows per key: events closer than ``gap`` merge into
+    one session (``F.session_window`` — dynamic, data-driven windows,
+    unlike fixed tumbling buckets). Output: one row per closed session
+    with start, end (last event + gap), and event count.
+
+    State is per open session per key and the watermark closes sessions
+    whose end precedes it — bounded state on an unbounded stream.
+    """
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("sess"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     *,

@@ -122,3 +122,30 @@ def test_cache_sink_skips_replayed_epoch(spark, cache):
     sink(df, 0)  # replay of epoch 0 → skipped
     sink(df, 1)
     assert len(cache["s"]) == 2
+
+
+def test_session_rollup_merges_by_gap(spark, tmp_path):
+    import pandas as pd
+
+    from pyairbyte_spark.streaming.windowed import run_to_memory, session_rollup
+
+    rows = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:10", "2024-01-01 11:30"]
+            ),
+            "user_id": [1, 1, 1],
+        }
+    )
+    src = tmp_path / "events"
+    src.mkdir()
+    spark.createDataFrame(rows).coalesce(1).write.parquet(str(src / "p"))
+    schema = spark.read.parquet(str(src / "p")).schema
+    stream = spark.readStream.schema(schema).parquet(str(src / "p"))
+    out = session_rollup(stream, gap="30 minutes")
+    name = run_to_memory(out, "sess_test", output_mode="complete")
+    got = sorted(
+        (r["session_start"].minute, r["n_events"]) for r in spark.table(name).collect()
+    )
+    # 10:00+10:10 merge (gap < 30m); 11:30 is its own session
+    assert got == [(0, 2), (30, 1)]
