@@ -1218,6 +1218,120 @@ def anti_join_returnless_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q13_customer_order_histogram",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) GROUP BY c_count
+    """,
+    "TPC-H Q13 shape: left outer join (customers with zero orders kept) "
+    "+ two-level aggregation histogram",
+)
+def q13_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q18_large_volume_orders",
+    """
+    SELECT o.o_orderkey, c.c_name,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(15,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, c.c_name
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(15,2))) > 250
+    """,
+    "TPC-H Q18 shape: 3-way join + HAVING on an aggregate (post-agg "
+    "filter survives as a single plan, no re-scan)",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(cust, cust.c_custkey == orders.o_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(F.sum(_dec("l_quantity")).alias("__tq"))
+        .filter(F.col("__tq") > 250)
+        .select(
+            "o_orderkey", "c_name", F.col("__tq").cast("double").alias("total_qty")
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#5' AND l_quantity >= 40)
+    """,
+    "TPC-H Q19 shape: OR-of-ANDs predicate across both join sides — "
+    "Catalyst extracts the common-side conjuncts for pushdown",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    j = li.join(part, part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#5") & (F.col("l_quantity") >= 40))
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "4,2")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(15,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    GROUP BY c_mktsegment
+    """,
+    "TPC-H Q22 shape: scalar subquery (global avg) + NOT EXISTS "
+    "anti-join, grouped tally of rich customers with no finished orders",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    finished = orders.filter(F.col("o_orderstatus") == "F")
+    idle = rich.join(finished, rich.c_custkey == finished.o_custkey, "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+    )
+
+
 def _cos6(a_v: str, b_v: str) -> str:
     return (
         f"round(list_dot_product({a_v}, {b_v}) / "
