@@ -1332,6 +1332,62 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_per_stratum_orders",
+    """
+    SELECT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY md5('0|' || o_orderkey), o_orderkey) AS r
+      FROM orders) WHERE r <= 10
+    """,
+    "Deterministic stratified sampling: exact 10-per-priority sample, "
+    "rank by md5(seed|id) — reproducible across runs and partitionings "
+    "(unlike per-partition RNG sampling)",
+)
+def sample_per_stratum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.curation import sample_per_stratum
+
+    orders = t(spark, sf_dir, "orders")
+    return sample_per_stratum(
+        orders, ["o_orderpriority"], n=10, id_col="o_orderkey", seed="0"
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "pack_token_bins_docs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents),
+    off AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM tok)
+    SELECT CAST(floor(start / 2000) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM off GROUP BY bin_id
+    """,
+    "Token-budget sequence packing: running-offset binning packs the "
+    "corpus into ~2000-token training shards in one window pass",
+)
+def pack_token_bins_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.curation import pack_token_bins
+    from pyairbyte_spark.operators.text import token_count_expr
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_token_bins(docs, token_col="n_tokens", budget=2000, id_col="doc_id")
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def _cos6(a_v: str, b_v: str) -> str:
     return (
         f"round(list_dot_product({a_v}, {b_v}) / "

@@ -230,3 +230,33 @@ def test_salted_join_equals_plain_join(spark):
     assert key(ls) == key(lp)
     stats_rows = key_skew_stats(big, ["k"]).collect()
     assert stats_rows[0]["k"] == 0 and stats_rows[0]["share"] >= 0.9
+
+
+def test_sample_per_stratum_exact_and_stable(spark):
+    from pyairbyte_spark.operators.curation import sample_per_stratum
+
+    df = spark.range(300).selectExpr("id", "id % 3 AS cls")
+    s1 = sample_per_stratum(df, ["cls"], n=7, id_col="id").collect()
+    s2 = sample_per_stratum(df.repartition(13), ["cls"], n=7, id_col="id").collect()
+    by_cls = lambda rows: {  # noqa: E731
+        c: sorted(r["id"] for r in rows if r["cls"] == c) for c in (0, 1, 2)
+    }
+    assert all(len(v) == 7 for v in by_cls(s1).values())
+    assert by_cls(s1) == by_cls(s2)  # partitioning-independent
+    assert by_cls(s1) != {c: list(range(c, 21 * 3, 3))[:7] for c in (0, 1, 2)}
+
+
+def test_pack_token_bins_budget_overshoot_bound(spark):
+    from pyairbyte_spark.operators.curation import pack_token_bins
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(10)], ["doc_id", "n_tokens"]
+    )
+    out = pack_token_bins(df, token_col="n_tokens", budget=100, id_col="doc_id")
+    bins = {}
+    for r in out.collect():
+        bins.setdefault(r["bin_id"], []).append(r["doc_id"])
+    # 60-token docs, 100 budget: offsets 0,60,120,... -> bins 0,0,1,1,2,...
+    assert bins[0] == [0, 1] and bins[1] == [2, 3]
+    totals = out.groupBy("bin_id").sum("n_tokens").collect()
+    assert all(r["sum(n_tokens)"] <= 100 + 60 for r in totals)  # <= budget + 1 doc
