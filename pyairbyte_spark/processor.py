@@ -174,6 +174,8 @@ class MessageStreamProcessor:
         pend += line[:-1]
         pend += suffix % buf.record_count
         pend += b"\n"
+        if self.progress is not None:
+            self.progress.add_bytes(stream_key, len(line) + 1)
         if len(pend) >= 262_144:
             buf.writers[buf.active_count % self.stripes].write(pend)
             del pend[:]

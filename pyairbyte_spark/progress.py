@@ -15,11 +15,18 @@ class ProgressTracker:
     def __init__(self) -> None:
         self.start_time = time.monotonic()
         self.end_time: float | None = None
+        self.first_record_time: float | None = None
         self.records_read: dict[str, int] = {}
         self.records_written: dict[str, int] = {}
+        self.bytes_read: dict[str, int] = {}
 
     def record_read(self, stream_name: str, n: int = 1) -> None:
+        if self.first_record_time is None:
+            self.first_record_time = time.monotonic()
         self.records_read[stream_name] = self.records_read.get(stream_name, 0) + n
+
+    def add_bytes(self, stream_name: str, n_bytes: int) -> None:
+        self.bytes_read[stream_name] = self.bytes_read.get(stream_name, 0) + n_bytes
 
     def stream_finalized(self, stream_name: str, record_count: int) -> None:
         self.records_written[stream_name] = record_count
@@ -43,3 +50,31 @@ class ProgressTracker:
     def records_per_second(self) -> float:
         elapsed = self.elapsed_seconds
         return self.total_records_written / elapsed if elapsed > 0 else 0.0
+
+    @property
+    def total_bytes_read(self) -> int:
+        return sum(self.bytes_read.values())
+
+    @property
+    def mb_per_second(self) -> float:
+        elapsed = self.elapsed_seconds
+        return (self.total_bytes_read / 1e6) / elapsed if elapsed > 0 else 0.0
+
+    @property
+    def elapsed_seconds_adjusted(self) -> float:
+        """Elapsed time excluding connector startup (time to first
+        record) — the reference's ``*_adjusted`` metrics
+        (``airbyte/progress.py:483-509``)."""
+        if self.first_record_time is None:
+            return self.elapsed_seconds
+        return (self.end_time or time.monotonic()) - self.first_record_time
+
+    @property
+    def records_per_second_adjusted(self) -> float:
+        elapsed = self.elapsed_seconds_adjusted
+        return self.total_records_written / elapsed if elapsed > 0 else 0.0
+
+    @property
+    def mb_per_second_adjusted(self) -> float:
+        elapsed = self.elapsed_seconds_adjusted
+        return (self.total_bytes_read / 1e6) / elapsed if elapsed > 0 else 0.0
