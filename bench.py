@@ -39,8 +39,13 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "ann_brute_force_topk",
+    "ann_ivf_topk",
     "text_fingerprint",
     "text_quality",
+    "q13_customer_order_histogram",
+    "sample_per_stratum_orders",
+    "pack_token_bins_docs",
+    "pipeline_curation_shards",
     "multimodal_features",
 ]
 

@@ -105,7 +105,12 @@ class MessageStreamProcessor:
     # -- batching -----------------------------------------------------------
 
     def _buffer(self, stream_key: str) -> _StreamBuffer:
-        return self._buffers.setdefault(stream_key, _StreamBuffer())
+        # .get + explicit create, not setdefault: setdefault would
+        # construct a throwaway _StreamBuffer on every call.
+        buf = self._buffers.get(stream_key)
+        if buf is None:
+            buf = self._buffers[stream_key] = _StreamBuffer()
+        return buf
 
     def _rotate(self, stream_key: str, buf: _StreamBuffer) -> None:
         if buf.writers is not None:
@@ -175,7 +180,7 @@ class MessageStreamProcessor:
         pend += suffix % buf.record_count
         pend += b"\n"
         if self.progress is not None:
-            self.progress.add_bytes(stream_key, len(line) + 1)
+            self.progress.record_read(stream_key, n_bytes=len(line) + 1)
         if len(pend) >= 262_144:
             buf.writers[buf.active_count % self.stripes].write(pend)
             del pend[:]
@@ -189,11 +194,11 @@ class MessageStreamProcessor:
     def process_messages(self, messages) -> dict[str, StreamWriteResult]:
         for msg in messages:
             if msg.type == "RECORD" and msg.record is not None:
+                # Progress (count + bytes) is tallied inside
+                # _write_record — one call per record, not two.
                 self._write_record(
                     LowerCaseNormalizer.normalize(msg.record.stream), msg.record.data
                 )
-                if self.progress is not None:
-                    self.progress.record_read(msg.record.stream)
             elif msg.type == "STATE" and msg.state is not None:
                 key = (
                     LowerCaseNormalizer.normalize(msg.state.stream_name)

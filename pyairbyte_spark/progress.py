@@ -20,10 +20,14 @@ class ProgressTracker:
         self.records_written: dict[str, int] = {}
         self.bytes_read: dict[str, int] = {}
 
-    def record_read(self, stream_name: str, n: int = 1) -> None:
+    def record_read(self, stream_name: str, n: int = 1, n_bytes: int = 0) -> None:
         if self.first_record_time is None:
             self.first_record_time = time.monotonic()
         self.records_read[stream_name] = self.records_read.get(stream_name, 0) + n
+        if n_bytes:
+            self.bytes_read[stream_name] = (
+                self.bytes_read.get(stream_name, 0) + n_bytes
+            )
 
     def add_bytes(self, stream_name: str, n_bytes: int) -> None:
         self.bytes_read[stream_name] = self.bytes_read.get(stream_name, 0) + n_bytes

@@ -1480,6 +1480,82 @@ _TOKS_DUCK = r"string_split_regex(trim(text), '\s+')"
 _SW_LIST = ", ".join(f"'{w}'" for w in text.EN_STOPWORDS)
 
 
+def _pipeline_oracle_sql() -> str:
+    hits = {
+        lg: (
+            f"len(list_filter(list_transform({_TOKS_DUCK}, t -> lower(t)), "
+            f"t -> t IN ({', '.join(f_q(w) for w in ws)})))"
+        )
+        for lg, ws in text.LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    return rf"""
+    -- The full curation pipeline as ONE plan: exact-dedup keepers ->
+    -- English only -> stopword-quality floor -> token counting ->
+    -- token-budget packing -> shard stats.
+    WITH keep AS (
+      SELECT min(doc_id) AS doc_id FROM documents
+      GROUP BY md5({_NORM_TEXT_DUCK})
+    ),
+    d AS (SELECT documents.* FROM documents JOIN keep USING (doc_id)),
+    en AS (
+      SELECT doc_id, text FROM d
+      WHERE {hits["en"]} > 0 AND {hits["en"]} = {best}
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_tokens
+      FROM en
+      WHERE round(len(list_filter({_TOKS_DUCK}, t -> lower(t) IN ({_SW_LIST})))
+                  / greatest(len({_TOKS_DUCK}), 1), 6) >= 0.05
+    ),
+    off AS (
+      SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM q)
+    SELECT CAST(floor(start / 2000) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM off GROUP BY bin_id
+    """
+
+
+def f_q(w: str) -> str:
+    return "'" + w.replace("'", "''") + "'"
+
+
+@register(
+    "pipeline_curation_shards",
+    _pipeline_oracle_sql(),
+    "END-TO-END training-data curation as one declarative plan: exact "
+    "dedup -> language filter -> quality floor -> token-budget packing "
+    "-> shard stats. Catalyst fuses the stages; one job",
+)
+def pipeline_curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.curation import pack_token_bins
+
+    docs = t(spark, sf_dir, "documents")
+    keepers = (
+        docs.groupBy(F.md5(text.normalize_text_expr("text")).alias("__dg"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = docs.join(keepers, "doc_id")
+    en = kept.filter(text.langid_expr("text") == "en")
+    quality = en.filter(F.round(text.stopword_ratio_expr("text"), 6) >= 0.05)
+    tok = quality.select(
+        "doc_id", text.token_count_expr("text").cast("long").alias("n_tokens")
+    )
+    packed = pack_token_bins(tok, token_col="n_tokens", budget=2000, id_col="doc_id")
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+
+
 @register(
     "text_quality",
     rf"""
