@@ -1,0 +1,93 @@
+"""Local tool surface (the reference's MCP tools as plain callables).
+
+Mirrors ``airbyte/mcp/local.py`` (S16 and friends): the same tool
+functions — stream listing, schema introspection, record previews,
+sync, cache inspection, guarded SQL — exposed as ordinary Python
+functions over a (source, cache) pair. An MCP host would register
+these 1:1; no MCP dependency is required to use or test them.
+
+Reference tool → here:
+  list_source_streams           → list_source_streams       (local.py:269)
+  get_source_stream_json_schema → get_stream_json_schema    (local.py:336)
+  read_source_stream_records    → read_stream_records       (local.py:403)
+  get_stream_previews           → get_stream_previews       (local.py:494)
+  sync_source_to_cache          → sync_source_to_cache      (local.py:607)
+  list_cached_streams           → list_cached_streams       (local.py:717)
+  describe_default_cache        → describe_cache            (local.py:739)
+  run_sql_query (guarded)       → run_sql_query             (local.py:794)
+  validate_connector_config     → validate_source           (local.py:135)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.sources.base import SparkSource
+
+
+def validate_source(source: SparkSource) -> dict[str, Any]:
+    """`check` the source and report the outcome."""
+    try:
+        ok = source.check()
+        return {"success": bool(ok), "message": "connection check passed" if ok else "check failed"}
+    except Exception as exc:  # noqa: BLE001 - tool surface reports, not raises
+        return {"success": False, "message": str(exc)}
+
+
+def list_source_streams(source: SparkSource) -> list[str]:
+    return source.get_available_streams()
+
+
+def get_stream_json_schema(source: SparkSource, stream_name: str) -> dict[str, Any]:
+    spec = source.discovered_catalog()[stream_name]
+    return spec.json_schema
+
+
+def read_stream_records(
+    source: SparkSource, stream_name: str, *, limit: int = 100
+) -> list[dict[str, Any]]:
+    return list(source.get_records(stream_name, limit=limit))
+
+
+def get_stream_previews(
+    source: SparkSource, streams: list[str] | None = None, *, limit: int = 5
+) -> dict[str, list[dict[str, Any]]]:
+    return source.get_samples(streams, limit=limit)
+
+
+def sync_source_to_cache(
+    source: SparkSource,
+    cache: SparkCache,
+    *,
+    streams: list[str] | None = None,
+    write_strategy: str = "auto",
+) -> dict[str, int]:
+    if streams:
+        source.select_streams(streams)
+    result = source.read(cache, write_strategy=write_strategy)
+    return dict(result.record_counts)
+
+
+def list_cached_streams(cache: SparkCache) -> list[dict[str, Any]]:
+    return [
+        {"stream_name": name, "table_name": cache.table_name(name)}
+        for name in cache.stream_names
+    ]
+
+
+def describe_cache(cache: SparkCache) -> dict[str, Any]:
+    return {
+        "cache_type": "SparkCache",
+        "warehouse_dir": cache.warehouse_dir,
+        "schema_name": getattr(cache, "schema_name", "airbyte_raw"),
+        "streams": cache.stream_names,
+    }
+
+
+def run_sql_query(
+    cache: SparkCache, sql: str, *, max_records: int = 1000
+) -> list[dict[str, Any]]:
+    """Guarded: single-statement SELECT/DESCRIBE/SHOW/EXPLAIN only
+    (raises UnsafeSQLError otherwise — same gate as local.py:753-846)."""
+    return cache.run_sql_query(sql, max_records=max_records)

@@ -1,0 +1,37 @@
+"""Local tool surface (MCP-shaped callables, reference mcp/local.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyairbyte_spark import SparkCache, tools
+from pyairbyte_spark.sources import SourceFaker
+from pyairbyte_spark.sql_guard import UnsafeSQLError
+
+
+@pytest.fixture()
+def cache(spark, tmp_path):
+    return SparkCache(spark, str(tmp_path))
+
+
+def test_tool_flow(spark, cache):
+    src = SourceFaker(seed=1234, count=20)
+    assert tools.validate_source(src)["success"]
+    streams = tools.list_source_streams(src)
+    assert set(streams) == {"users", "products", "purchases"}
+    schema = tools.get_stream_json_schema(src, "users")
+    assert "id" in schema["properties"]
+    recs = tools.read_stream_records(src, "users", limit=3)
+    assert len(recs) == 3
+    previews = tools.get_stream_previews(src, ["users"], limit=2)
+    assert len(previews["users"]) == 2
+    counts = tools.sync_source_to_cache(src, cache)
+    assert counts["users"] == 20
+    listed = tools.list_cached_streams(cache)
+    assert {d["stream_name"] for d in listed} >= {"users"}
+    desc = tools.describe_cache(cache)
+    assert desc["cache_type"] == "SparkCache" and "users" in desc["streams"]
+    rows = tools.run_sql_query(cache, "SELECT count(*) AS n FROM users")
+    assert rows == [{"n": 20}]
+    with pytest.raises(UnsafeSQLError):
+        tools.run_sql_query(cache, "DROP TABLE users")
