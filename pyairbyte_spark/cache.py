@@ -74,7 +74,12 @@ class SparkCache(Mapping):
 
     def get_dataset(self, stream_name: str) -> CachedDataset:
         df = self.store.read(self.table_name(stream_name))
-        return CachedDataset(df, stream_name)
+        spec = self.catalog_backend.get(stream_name)
+        return CachedDataset(
+            df,
+            stream_name,
+            display_name_map=spec.display_name_map if spec else None,
+        )
 
     def __getitem__(self, stream_name: str) -> CachedDataset:
         return self.get_dataset(stream_name)

@@ -50,6 +50,16 @@ class StreamSpec:
         return out
 
     @property
+    def display_name_map(self) -> dict[str, str]:
+        """{normalized: declared} column names — the pretty-case
+        round-trip map (reference ``to_display_case``,
+        ``airbyte/records.py:149-154``)."""
+        return {
+            LowerCaseNormalizer.normalize(k): k
+            for k in self.json_schema.get("properties", {})
+        }
+
+    @property
     def declared_columns(self) -> list[str]:
         return [
             LowerCaseNormalizer.normalize(k)

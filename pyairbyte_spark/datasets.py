@@ -106,9 +106,27 @@ class SQLDataset(DatasetBase):
     def select_columns(self, *columns: str) -> SQLDataset:
         return SQLDataset(self._df.select(*columns), self._stream_name)
 
+    def with_display_names(
+        self, name_map: dict[str, str] | None = None
+    ) -> SQLDataset:
+        """Rename normalized columns back to their declared ("pretty")
+        casing — the reference's ``to_display_case`` round-trip
+        (``airbyte/records.py:149-154``). ``name_map`` is
+        {normalized: original}; CachedDataset supplies it from the
+        stream's registered schema when omitted. Unknown columns
+        (including the internal ``_airbyte_*`` ones) keep their names.
+        """
+        name_map = name_map or getattr(self, "_display_name_map", None) or {}
+        renamed = [name_map.get(c, c) for c in self._df.columns]
+        return SQLDataset(self._df.toDF(*renamed), self._stream_name)
+
 
 class CachedDataset(SQLDataset):
     """SELECT * over a cached stream table (reference ``CachedDataset``)."""
+
+    def __init__(self, df, stream_name=None, *, display_name_map=None):
+        super().__init__(df, stream_name)
+        self._display_name_map = display_name_map or {}
 
 
 class InMemoryDataset(DatasetBase):
