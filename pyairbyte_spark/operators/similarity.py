@@ -323,7 +323,7 @@ def cosine_neardup_pairs(
     id_field = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_field}, id_b {id_field}, cosine double"
 
-    def score_tile(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+    def score_tile(key: tuple, lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         if lpdf.empty or rpdf.empty:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         va = np.stack(lpdf["v"].to_numpy()).astype(np.float64, copy=False)
@@ -339,10 +339,25 @@ def cosine_neardup_pairs(
         )
         ida = lpdf["id"].to_numpy()
         idb = rpdf["rid"].to_numpy()
-        hit_r, hit_c = np.nonzero((ida[:, None] < idb[None, :]) & (cos >= threshold))
-        return pd.DataFrame(
-            {"id_a": ida[hit_r], "id_b": idb[hit_c], "cosine": cos[hit_r, hit_c]}
-        )
+        if key[0] == key[1]:
+            # Diagonal tile: both sides are the same block; the < mask
+            # keeps each unordered pair exactly once.
+            hit_r, hit_c = np.nonzero(
+                (ida[:, None] < idb[None, :]) & (cos >= threshold)
+            )
+            lo, hi = ida[hit_r], idb[hit_c]
+        else:
+            # Off-diagonal tile: blocks are disjoint, so each unordered
+            # pair appears exactly once — but the smaller id may sit on
+            # EITHER side. Emit normalized (min, max); a plain < mask
+            # here would silently drop the pairs whose smaller id lives
+            # in the higher-numbered block.
+            hit_r, hit_c = np.nonzero(cos >= threshold)
+            a, b = ida[hit_r], idb[hit_c]
+            swap = a > b
+            lo = np.where(swap, b, a)
+            hi = np.where(swap, a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[hit_r, hit_c]})
 
     return (
         left.groupBy("ka", "kb")
