@@ -320,22 +320,32 @@ def ngram_jaccard_pairs(
     # Join on a 64-bit shingle hash, not the shingle string: the key is
     # engine-internal (never output), so this only narrows the shuffle
     # and cheapens the equi-comparison; a 64-bit collision would need
-    # ~2^32 distinct shingles to become likely.
-    sh = shingles_df(df, text_col, id_col, k).select(
-        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("sh")
+    # ~2^32 distinct shingles to become likely. Per-doc set sizes ride
+    # the shingle rows via a doc-partitioned window, so the pair
+    # aggregation carries |A| and |B| itself — no separate sizes scan
+    # and no post-join re-joins (one tokenization pass total, and the
+    # windowed subplan feeds both self-join sides through one reused
+    # exchange).
+    from pyspark.sql import Window
+
+    sh = (
+        shingles_df(df, text_col, id_col, k)
+        .select(F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("sh"))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("sz"))
-    inter = (
+    pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
         .filter(F.col("a.doc") < F.col("b.doc"))
         .groupBy(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.first(F.col("a.sz")).alias("sz_a"),
+            F.first(F.col("b.sz")).alias("sz_b"),
+        )
     )
     return (
-        inter.join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
