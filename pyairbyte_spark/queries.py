@@ -1219,6 +1219,53 @@ def anti_join_returnless_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pct_order_value_by_segment",
+    """
+    SELECT c_mktsegment,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 6) AS p99
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    "Exact interpolated percentiles (p50/p90/p99) per segment — "
+    "Spark percentile() == SQL quantile_cont semantics",
+)
+def pct_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    j = orders.join(cust, cust.c_custkey == orders.o_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(name)
+            for p, name in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+        ]
+    )
+
+
+@register(
+    "cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "CUBE grouping sets: all 4 aggregation granularities in one pass, "
+    "grouping() flags distinguish the subtotal levels",
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+    )
+
+
+@register(
     "q13_customer_order_histogram",
     """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
