@@ -9,8 +9,17 @@ Supported stream `source` kinds:
 
 - ``inline``: records embedded in the manifest,
 - ``jsonl``: a JSONL (optionally .gz) file path,
+- ``parquet``: a parquet file path (pyarrow row reader),
 - ``range``: N synthetic rows from a template with ``{i}``
   substitution (declarative benchmark/generator streams).
+
+Low-code record shaping (mirroring the CDK's declarative concepts):
+
+- ``record_selector: {field_path: [...]}`` — descend into each raw
+  entry and (if the leaf is a list) fan out its elements as records;
+- ``transformations: [{type: add_fields, fields: {...}}, {type:
+  remove_fields, field_names: [...]}]`` — applied in order, ``{i}``
+  templates see the record as format kwargs.
 
 Incremental semantics ride the shared cursor filter: records with a
 cursor value ≤ the checkpointed cursor are skipped.
@@ -89,8 +98,48 @@ class DeclarativeSource(SparkSource):
                         v.format(i=i) if isinstance(v, str) else v)
                     for k, v in template.items()
                 }
+        elif kind == "parquet":
+            import pyarrow.parquet as pq
+
+            for batch in pq.ParquetFile(src["path"]).iter_batches():
+                yield from batch.to_pylist()
         else:  # pragma: no cover
             raise ValueError(f"unknown declarative source type {kind!r}")
+
+    @staticmethod
+    def _select(entry: Any, field_path: list[str]) -> Iterator[dict[str, Any]]:
+        """Record selector: descend ``field_path``; a list leaf fans out."""
+        node = entry
+        for f in field_path:
+            if not isinstance(node, dict):
+                return
+            node = node.get(f)
+        if isinstance(node, list):
+            yield from (x for x in node if isinstance(x, dict))
+        elif isinstance(node, dict):
+            yield node
+
+    @staticmethod
+    def _transform(rec: dict[str, Any], transformations: list[dict[str, Any]]) -> dict[str, Any]:
+        for tr in transformations:
+            kind = tr.get("type")
+            if kind == "add_fields":
+                for k, v in tr.get("fields", {}).items():
+                    rec[k] = v.format(**rec) if isinstance(v, str) else v
+            elif kind == "remove_fields":
+                for k in tr.get("field_names", []):
+                    rec.pop(k, None)
+            else:  # pragma: no cover
+                raise ValueError(f"unknown transformation type {kind!r}")
+        return rec
+
+    def _shaped_records(self, stream_def: dict[str, Any]) -> Iterator[dict[str, Any]]:
+        selector = stream_def.get("record_selector", {}).get("field_path")
+        transformations = stream_def.get("transformations", [])
+        for entry in self._records(stream_def):
+            recs = self._select(entry, selector) if selector else (entry,)
+            for rec in recs:
+                yield self._transform(dict(rec), transformations) if transformations else rec
 
     def generate_messages(
         self, streams: list[str], state: StateProvider | None
@@ -105,7 +154,7 @@ class DeclarativeSource(SparkSource):
                 if artifact:
                     last = artifact.state.get("cursor")
             max_cursor = last
-            for rec in self._records(sdef):
+            for rec in self._shaped_records(sdef):
                 if cursor and last is not None and rec.get(cursor) is not None:
                     if str(rec[cursor]) <= str(last):
                         continue

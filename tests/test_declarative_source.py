@@ -79,3 +79,68 @@ def test_load_manifest_json_file(tmp_path):
     p = tmp_path / "m.json"
     p.write_text(json.dumps(MANIFEST))
     assert load_manifest(str(p))["name"] == "decl-test"
+
+
+def test_record_selector_and_transformations(spark, tmp_path):
+    """CDK-style shaping: select nested records, add/remove fields."""
+    from pyairbyte_spark import SparkCache
+    from pyairbyte_spark.sources.declarative import DeclarativeSource
+
+    manifest = {
+        "name": "shaped",
+        "streams": [
+            {
+                "name": "items",
+                "json_schema": {
+                    "properties": {
+                        "id": {"type": "integer"},
+                        "label": {"type": "string"},
+                    }
+                },
+                "source": {
+                    "type": "inline",
+                    "records": [
+                        {"data": [{"id": 1, "raw": "a"}, {"id": 2, "raw": "b"}]},
+                        {"data": [{"id": 3, "raw": "c"}]},
+                    ],
+                },
+                "record_selector": {"field_path": ["data"]},
+                "transformations": [
+                    {"type": "add_fields", "fields": {"label": "item-{id}"}},
+                    {"type": "remove_fields", "field_names": ["raw"]},
+                ],
+            }
+        ],
+    }
+    cache = SparkCache(spark, str(tmp_path))
+    src = DeclarativeSource(manifest)
+    src.read(cache, write_strategy="append")
+    rows = {r["id"]: r["label"] for r in cache.get_records("items")}
+    assert rows == {1: "item-1", 2: "item-2", 3: "item-3"}
+
+
+def test_parquet_source_kind(spark, tmp_path):
+    from pyairbyte_spark import SparkCache
+    from pyairbyte_spark.sources.declarative import DeclarativeSource
+
+    manifest = {
+        "name": "pq",
+        "streams": [
+            {
+                "name": "regions",
+                "json_schema": {
+                    "properties": {
+                        "r_regionkey": {"type": "integer"},
+                        "r_name": {"type": "string"},
+                    }
+                },
+                "source": {
+                    "type": "parquet",
+                    "path": "/root/testdata/sf0.001/region.parquet",
+                },
+            }
+        ],
+    }
+    cache = SparkCache(spark, str(tmp_path))
+    DeclarativeSource(manifest).read(cache, write_strategy="append")
+    assert len(cache["regions"]) == 5
