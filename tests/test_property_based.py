@@ -66,3 +66,47 @@ def test_sql_guard_never_allows_write_verbs(sql):
         for verb in ("insert ", "update ", "delete ", "drop ", "truncate "):
             assert not lowered.strip().startswith(verb)
         assert ";" not in re.sub(r"--[^\n]*", "", sql).rstrip("; \n\t")
+
+
+# -- merge semantics properties (Spark-backed: few, small examples) ---------
+
+_recs = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), st.text("ab", max_size=3)),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(records=_recs)
+@settings(max_examples=8, deadline=None)
+def test_merge_is_idempotent_and_last_wins(spark, records):
+    """Merging a batch twice converges to the same table, and the
+    surviving value per PK is the LAST occurrence in arrival order
+    (the seq-in-raw-id contract)."""
+    import tempfile
+
+    from pyairbyte_spark import SparkCache
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
+    from pyairbyte_spark.strategies import WriteStrategy
+
+    spec = StreamSpec(
+        name="m",
+        json_schema={"properties": {"id": {"type": "integer"}, "v": {"type": "string"}}},
+        primary_keys=["id"],
+    )
+    expected = {}
+    msgs = []
+    for pk, v in records:
+        expected[pk] = v  # last occurrence wins
+        msgs.append(AirbyteMessage("RECORD", record=RecordMessage("m", {"id": pk, "v": v})))
+
+    cache = SparkCache(spark, tempfile.mkdtemp())
+    for _ in range(2):  # idempotent re-sync
+        MessageStreamProcessor(
+            cache, source_name="t", specs={"m": spec},
+            write_strategy=WriteStrategy.MERGE,
+        ).process_messages(iter(list(msgs)))
+        got = {r["id"]: r["v"] for r in cache.get_records("m")}
+        assert got == expected
