@@ -94,12 +94,24 @@ def to_airbyte_type(json_schema: dict[str, Any]) -> tuple[str, bool]:
     raise SQLTypeConversionError(f"Unknown type {node_type!r}")
 
 
-def to_spark_type(json_schema: dict[str, Any]) -> T.DataType:
-    """JSON-Schema property node → Spark DataType with string failover."""
+def to_spark_type(
+    json_schema: dict[str, Any], *, variant_objects: bool = False
+) -> T.DataType:
+    """JSON-Schema property node → Spark DataType with string failover.
+
+    ``variant_objects=True`` maps object/array to Spark 4's
+    ``VariantType`` instead of JSON strings: the JSON reader parses
+    them natively, they stay binary-encoded columnar (no re-parse per
+    query), and ``variant_get`` path access is codegen'd. The default
+    stays JSON strings for parity with the reference's JSON-typed
+    columns (and DuckDB-comparable output).
+    """
     try:
         airbyte_type, _ = to_airbyte_type(json_schema)
     except SQLTypeConversionError:
         return T.StringType()
+    if variant_objects and airbyte_type in ("object", "array"):
+        return T.VariantType()
     return _AIRBYTE_TYPE_MAP.get(airbyte_type, T.StringType())
 
 
@@ -107,11 +119,13 @@ def json_schema_to_struct(
     json_schema: dict[str, Any],
     *,
     normalizer=None,
+    variant_objects: bool = False,
 ) -> T.StructType:
     """Compile a stream's JSON Schema into a StructType.
 
     ``normalizer`` (optional) is applied to top-level property names —
     by default the engine normalizes at write time instead.
+    ``variant_objects`` — see :func:`to_spark_type`.
     """
     props = json_schema.get("properties", {})
     fields = []
@@ -121,7 +135,16 @@ def json_schema_to_struct(
             _, nullable = to_airbyte_type(node) if isinstance(node, dict) else ("string", True)
         except SQLTypeConversionError:
             nullable = True
-        fields.append(T.StructField(col, to_spark_type(node if isinstance(node, dict) else {}), nullable))
+        fields.append(
+            T.StructField(
+                col,
+                to_spark_type(
+                    node if isinstance(node, dict) else {},
+                    variant_objects=variant_objects,
+                ),
+                nullable,
+            )
+        )
     return T.StructType(fields)
 
 

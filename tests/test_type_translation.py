@@ -63,3 +63,36 @@ def test_struct_compilation():
     assert st.fieldNames() == ["id", "price", "emb"]
     assert st["price"].dataType == T.DecimalType(38, 9)
     assert st["emb"].dataType == T.ArrayType(T.FloatType())
+
+
+def test_variant_objects_opt_in(spark, tmp_path):
+    """Spark 4 VariantType opt-in: objects/arrays parse natively in the
+    JSON reader and support codegen'd variant_get path access."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = json_schema_to_struct(
+        {
+            "properties": {
+                "id": {"type": "integer"},
+                "meta": {"type": "object"},
+                "tags": {"type": "array"},
+            }
+        },
+        variant_objects=True,
+    )
+    assert isinstance(schema["meta"].dataType, T.VariantType)
+    assert isinstance(schema["tags"].dataType, T.VariantType)
+    p = tmp_path / "x.jsonl"
+    p.write_text(json.dumps({"id": 1, "meta": {"a": {"b": 7}}, "tags": ["x", "y"]}) + "\n")
+    df = spark.read.schema(schema).json(str(tmp_path))
+    row = df.select(
+        F.expr("variant_get(meta, '$.a.b', 'int')").alias("ab"),
+        F.expr("variant_get(tags, '$[1]', 'string')").alias("t1"),
+    ).collect()[0]
+    assert (row["ab"], row["t1"]) == (7, "y")
+    # default stays JSON strings (oracle-comparable parity mode)
+    default = json_schema_to_struct({"properties": {"meta": {"type": "object"}}})
+    assert isinstance(default["meta"].dataType, T.StringType)
