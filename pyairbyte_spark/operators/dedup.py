@@ -300,6 +300,66 @@ def simhash_neardup_pairs(
     )
 
 
+# -- near-dup clustering ----------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup candidate PAIRS into components: (node,
+    component) where component = min node id reachable — the step that
+    turns pairwise LSH output into dedup groups (keep one doc per
+    component).
+
+    Iterative min-label propagation as plain DataFrame ops: each round
+    every node takes the min label across itself and its neighbors;
+    converges in O(graph diameter) rounds (near-dup clusters are
+    shallow — duplicates of duplicates — so this is small). Each round
+    is one join + one groupBy; the driver only runs the convergence
+    check. At 100 TB this is the standard label-propagation shape
+    (GraphX/GraphFrames CC uses the same plan); labels and edges
+    partition by node id.
+    """
+    edges = pairs.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
 # -- n-gram Jaccard ---------------------------------------------------------
 
 

@@ -956,10 +956,8 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dup_groups(t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH shingles AS (
+_MINHASH_PAIRS_CTES = f"""
+    shingles AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents
     ),
     -- Kirsch-Mitzenmacher double hashing: ONE md5 per shingle, two
@@ -981,13 +979,22 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT doc_id, {b} AS band_idx, md5(h{3*b}::VARCHAR || '|' || h{3*b+1}::VARCHAR || '|' || h{3*b+2}::VARCHAR) AS band_hash FROM sig"
         for b in range(4)
       )}
-    )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(count(DISTINCT a.band_idx) AS BIGINT) AS n_bands
-    FROM bands a JOIN bands b
-      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-     AND a.doc_id < b.doc_id
-    GROUP BY id_a, id_b
+    ),
+    mh_pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(DISTINCT a.band_idx) AS BIGINT) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_MINHASH_PAIRS_CTES}
+    SELECT id_a, id_b, n_bands FROM mh_pairs
     """,
     "MinHash(12)+LSH(4 bands x 3 rows) candidate near-dup pairs; "
     "band join replaces O(n^2) all-pairs",
@@ -996,6 +1003,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_candidates(
         t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=12, bands=4
     )
+
+
+@register(
+    "dedup_cluster_sizes",
+    f"""
+    -- Near-dup CLUSTERS: pairs -> connected components (component =
+    -- min reachable doc_id) -> cluster-size histogram entries.
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT e.a, r.label FROM und e JOIN reach r ON e.b = r.node
+    )
+    SELECT CAST(min(label) AS BIGINT) AS component,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM (SELECT node, min(label) AS label FROM reach GROUP BY node)
+    GROUP BY label
+    """,
+    "Pairs -> dedup groups: iterative min-label propagation clusters "
+    "LSH candidates into components (keep one doc per component)",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_lsh_candidates(t(spark, sf_dir, "documents"), "text", "doc_id")
+    cc = dedup.connected_components(pairs)
+    return cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_docs"))
+
 
 
 def _simhash_oracle_sql() -> str:

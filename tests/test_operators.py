@@ -260,3 +260,12 @@ def test_pack_token_bins_budget_overshoot_bound(spark):
     assert bins[0] == [0, 1] and bins[1] == [2, 3]
     totals = out.groupBy("bin_id").sum("n_tokens").collect()
     assert all(r["sum(n_tokens)"] <= 100 + 60 for r in totals)  # <= budget + 1 doc
+
+
+def test_connected_components_clusters_pairs(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 1)], ["id_a", "id_b"]
+    )
+    cc = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    # {1,2,3,10} -> 1 ; {7,8} -> 7
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
