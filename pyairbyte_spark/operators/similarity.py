@@ -237,6 +237,13 @@ def ivf_topk(
         n_centroids=n_centroids,
         iters=iters,
     )
+    # Materialize the centroid table (C rows × dim — tiny at ANY corpus
+    # scale, by construction): the Lloyd-iteration subplan would
+    # otherwise re-execute once per consumer (corpus assignment AND
+    # query probing). This is dimension-table materialization, not a
+    # data collect.
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     lists = _assign_to_centroids(e, cent).select(
         F.col("cid"), F.col("id").alias("neighbor_id"), F.col("v").alias("cvec")
