@@ -40,13 +40,16 @@ class SparkCache(Mapping):
         *,
         schema_name: str = DEFAULT_CACHE_SCHEMA,
         table_prefix: str = "",
+        merge_buckets: int | None = None,
     ) -> None:
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.schema_name = schema_name
         self.table_prefix = table_prefix
         os.makedirs(warehouse_dir, exist_ok=True)
-        self.store = TableStore(spark, warehouse_dir, schema_name)
+        self.store = TableStore(
+            spark, warehouse_dir, schema_name, merge_buckets=merge_buckets
+        )
         self.catalog_backend = CatalogBackend(warehouse_dir)
         self.state_backend = StateBackend(warehouse_dir)
         self.destination_state_backend = StateBackend(

@@ -37,29 +37,64 @@ from pyairbyte_spark.constants import AB_EXTRACTED_AT_COLUMN, AB_RAW_ID_COLUMN
 from pyairbyte_spark.strategies import WriteMethod
 
 
-class TableStore:
-    """Parquet-directory table store with swap-based atomicity."""
+BUCKET_COL = "__pk_bucket"
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str, schema_name: str) -> None:
+
+class TableStore:
+    """Parquet-directory table store with swap-based atomicity.
+
+    ``merge_buckets=N`` opts a store into bucket-partitioned tables:
+    rows partition by ``pmod(xxhash64(pk), N)`` and MERGE rewrites ONLY
+    the partitions containing incoming keys (partition-pruned read +
+    dynamic partition overwrite) instead of the whole table — the
+    parquet expression of Delta's file-pruned ``MERGE INTO``. At 100 TB
+    an incremental sync touching 0.1% of keys rewrites ~0.1% of
+    buckets, not the table. Bucket atomicity is per-partition (a crash
+    mid-merge can leave some buckets new / some old; re-running the
+    same merge converges — idempotent by the latest-wins window).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        schema_name: str,
+        *,
+        merge_buckets: int | None = None,
+    ) -> None:
         self.spark = spark
         self.root = os.path.join(warehouse_dir, schema_name)
+        self.merge_buckets = merge_buckets
         os.makedirs(self.root, exist_ok=True)
+
+    def _bucket_expr(self, primary_keys: list[str]):
+        return F.pmod(
+            F.abs(F.xxhash64(*[F.col(k).cast("string") for k in primary_keys])),
+            F.lit(self.merge_buckets),
+        )
 
     def table_path(self, table_name: str) -> str:
         return os.path.join(self.root, table_name)
 
     def table_exists(self, table_name: str) -> bool:
         path = self.table_path(table_name)
-        return os.path.isdir(path) and any(
-            f.endswith(".parquet") for f in os.listdir(path)
+        if not os.path.isdir(path):
+            return False
+        return any(
+            f.endswith(".parquet") or f.startswith(f"{BUCKET_COL}=")
+            for f in os.listdir(path)
         )
 
-    def read(self, table_name: str) -> DataFrame:
+    def _read_raw(self, table_name: str) -> DataFrame:
         # mergeSchema handles auto-added columns across appends
         # (schema evolution parity with sql_processor.py:934-981).
         return self.spark.read.option("mergeSchema", "true").parquet(
             self.table_path(table_name)
         )
+
+    def read(self, table_name: str) -> DataFrame:
+        df = self._read_raw(table_name)
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def list_tables(self) -> list[str]:
         return sorted(
@@ -87,7 +122,18 @@ class TableStore:
         os.replace(temp, final)
         shutil.rmtree(deleteme, ignore_errors=True)
 
-    def write_append(self, df: DataFrame, table_name: str) -> None:
+    def _with_bucket(self, df: DataFrame, primary_keys: list[str] | None) -> DataFrame:
+        if self.merge_buckets and primary_keys:
+            return df.withColumn(BUCKET_COL, self._bucket_expr(primary_keys))
+        return df
+
+    def _writer(self, df: DataFrame):
+        w = df.write
+        return w.partitionBy(BUCKET_COL) if BUCKET_COL in df.columns else w
+
+    def write_append(
+        self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
+    ) -> None:
         if self.table_exists(table_name):
             # Align by name against the existing table's schema; new
             # columns flow through (mergeSchema on read).
@@ -95,32 +141,65 @@ class TableStore:
             new_cols = [c for c in df.columns if c not in existing_cols]
             ordered = [c for c in df.columns if c in existing_cols] + new_cols
             df = df.select(*ordered)
-        df.write.mode("append").parquet(self.table_path(table_name))
+        df = self._with_bucket(df, primary_keys)
+        self._writer(df).mode("append").parquet(self.table_path(table_name))
 
-    def write_replace(self, df: DataFrame, table_name: str) -> None:
+    def write_replace(
+        self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
+    ) -> None:
         temp = self._temp_name(table_name)
-        df.write.mode("overwrite").parquet(self.table_path(temp))
+        df = self._with_bucket(df, primary_keys)
+        self._writer(df).mode("overwrite").parquet(self.table_path(temp))
         self._swap_in(temp, table_name)
 
-    def write_merge(self, df: DataFrame, table_name: str, primary_keys: list[str]) -> None:
-        if not primary_keys:
-            raise ValueError("merge requires primary keys")
-        incoming = df
-        if self.table_exists(table_name):
-            old = self.read(table_name)
-            incoming = old.unionByName(incoming, allowMissingColumns=True)
+    def _dedup_latest(self, incoming: DataFrame, primary_keys: list[str]) -> DataFrame:
         # One shuffle on the PK; window + dedup ride the same partitioning.
         w = Window.partitionBy(*primary_keys).orderBy(
             F.col(AB_EXTRACTED_AT_COLUMN).desc_nulls_last(),
             F.col(AB_RAW_ID_COLUMN).desc_nulls_last(),
         )
-        latest = (
+        return (
             incoming.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
+
+    def write_merge(self, df: DataFrame, table_name: str, primary_keys: list[str]) -> None:
+        if not primary_keys:
+            raise ValueError("merge requires primary keys")
+        exists = self.table_exists(table_name)
+        bucketed_table = (
+            exists and BUCKET_COL in self._read_raw(table_name).columns
+        )
+        if self.merge_buckets and bucketed_table:
+            # Incremental path: touch only the buckets incoming keys
+            # hash into. The filter prunes partitions at the scan; the
+            # dynamic overwrite replaces only partitions present in the
+            # output (= exactly the incoming buckets).
+            incoming = self._with_bucket(df, primary_keys)
+            buckets = [r[0] for r in incoming.select(BUCKET_COL).distinct().collect()]
+            old = self._read_raw(table_name).filter(F.col(BUCKET_COL).isin(buckets))
+            latest = self._dedup_latest(
+                old.unionByName(incoming, allowMissingColumns=True), primary_keys
+            )
+            (
+                latest.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(self.table_path(table_name))
+            )
+            return
+        incoming = df
+        if exists:
+            incoming = self.read(table_name).unionByName(
+                incoming, allowMissingColumns=True
+            )
+        latest = self._dedup_latest(incoming, primary_keys)
+        # Full rewrite (also the one-time migration INTO the bucketed
+        # layout when merge_buckets is set on an unbucketed table).
+        latest = self._with_bucket(latest, primary_keys)
         temp = self._temp_name(table_name)
-        latest.write.mode("overwrite").parquet(self.table_path(temp))
+        self._writer(latest).mode("overwrite").parquet(self.table_path(temp))
         self._swap_in(temp, table_name)
 
     def write(
@@ -131,9 +210,9 @@ class TableStore:
         primary_keys: list[str] | None = None,
     ) -> None:
         if method == WriteMethod.APPEND:
-            self.write_append(df, table_name)
+            self.write_append(df, table_name, primary_keys)
         elif method == WriteMethod.REPLACE:
-            self.write_replace(df, table_name)
+            self.write_replace(df, table_name, primary_keys)
         elif method == WriteMethod.MERGE:
             self.write_merge(df, table_name, primary_keys or [])
         else:  # pragma: no cover

@@ -135,3 +135,68 @@ def test_schema_evolution_auto_add_column(cache):
     rows = {r["id"]: r for r in cache.get_records("evo")}
     assert rows[2]["b_new"] == "z"
     assert rows[1]["b_new"] is None  # old rows read NULL for added column
+
+
+def _sync(cache, records, strategy=WriteStrategy.MERGE):
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
+
+    spec = StreamSpec(
+        name="b",
+        json_schema={"properties": {"id": {"type": "integer"}, "v": {"type": "string"}}},
+        primary_keys=["id"],
+    )
+    msgs = [
+        AirbyteMessage("RECORD", record=RecordMessage("b", {"id": i, "v": v}))
+        for i, v in records
+    ]
+    MessageStreamProcessor(
+        cache, source_name="t", specs={"b": spec}, write_strategy=strategy
+    ).process_messages(iter(msgs))
+
+
+def test_bucketed_merge_matches_full_merge(spark, tmp_path):
+    from pyairbyte_spark.cache import SparkCache
+
+    plain = SparkCache(spark, str(tmp_path / "plain"))
+    bucketed = SparkCache(spark, str(tmp_path / "bucketed"), merge_buckets=4)
+    batches = [
+        [(i, "v0") for i in range(40)],
+        [(3, "v1"), (17, "v1"), (99, "new")],
+        [(3, "v2")],
+    ]
+    for b in batches:
+        _sync(plain, b)
+        _sync(bucketed, b)
+    rows = lambda c: {r["id"]: r["v"] for r in c.get_records("b")}  # noqa: E731
+    assert rows(bucketed) == rows(plain)
+    # dataset surface must not leak the bucket column
+    assert "__pk_bucket" not in bucketed["b"].column_names
+
+
+def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.writers import BUCKET_COL
+
+    cache = SparkCache(spark, str(tmp_path / "wh"), merge_buckets=8)
+    _sync(cache, [(i, "v0") for i in range(64)])
+    table_dir = cache.store.table_path(cache.table_name("b"))
+    before = {
+        d: sorted(os.listdir(os.path.join(table_dir, d)))
+        for d in os.listdir(table_dir)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    assert len(before) == 8  # all buckets materialized
+    # merge ONE key -> exactly one bucket partition gets new files
+    _sync(cache, [(5, "v1")])
+    after = {
+        d: sorted(os.listdir(os.path.join(table_dir, d)))
+        for d in os.listdir(table_dir)
+        if d.startswith(f"{BUCKET_COL}=")
+    }
+    changed = [d for d in before if before[d] != after[d]]
+    assert len(changed) == 1, changed
+    assert {r["v"] for r in cache.get_records("b") if r["id"] == 5} == {"v1"}
