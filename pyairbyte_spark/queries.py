@@ -1303,6 +1303,74 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) *
+                      (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, round(total_rev, 2) AS total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "TPC-H Q15 shape: aggregate view + scalar-subquery max filter "
+    "(the aggregate is built once and reused for the max)",
+)
+def q15_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (1 - _dec("l_discount", "4,2")))
+        .cast("double")
+        .alias("total_rev")
+    )
+    best = rev.agg(F.max("total_rev").alias("mx"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(best), F.col("total_rev") == F.col("mx"))
+        .select("s_suppkey", "s_name", F.round("total_rev", 2).alias("total_rev"))
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS half_avg
+      FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(15,2))) / 7.0, 2)
+                AS DOUBLE) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN pa ON l_partkey = pk
+    WHERE l_quantity < half_avg
+    """,
+    "TPC-H Q17 shape: correlated per-group average rewritten as an "
+    "aggregate self-join (each line compares to its part's mean)",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
     "q13_customer_order_histogram",
     """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -200,3 +200,38 @@ def test_bucketed_merge_rewrites_only_touched_partitions(spark, tmp_path):
     changed = [d for d in before if before[d] != after[d]]
     assert len(changed) == 1, changed
     assert {r["v"] for r in cache.get_records("b") if r["id"] == 5} == {"v1"}
+
+
+def test_bucketed_merge_with_schema_evolution(spark, tmp_path):
+    """A new column arriving mid-stream works on bucketed tables:
+    untouched buckets lack the column, mergeSchema fills nulls."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
+
+    cache = SparkCache(spark, str(tmp_path / "wh"), merge_buckets=4)
+    _sync(cache, [(i, "v0") for i in range(20)])
+    spec2 = StreamSpec(
+        name="b",
+        json_schema={
+            "properties": {
+                "id": {"type": "integer"},
+                "v": {"type": "string"},
+                "extra": {"type": "string"},
+            }
+        },
+        primary_keys=["id"],
+    )
+    msgs = [
+        AirbyteMessage(
+            "RECORD", record=RecordMessage("b", {"id": 1, "v": "v1", "extra": "x"})
+        )
+    ]
+    MessageStreamProcessor(
+        cache, source_name="t", specs={"b": spec2}, write_strategy=WriteStrategy.MERGE
+    ).process_messages(iter(msgs))
+    rows = {r["id"]: (r["v"], r.get("extra")) for r in cache.get_records("b")}
+    assert rows[1] == ("v1", "x")
+    assert rows[2] == ("v0", None)  # untouched bucket row: null-filled
+    assert len(rows) == 20
