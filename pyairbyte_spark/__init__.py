@@ -17,15 +17,43 @@ and the reference repo's observable behavior (cited as ``path:line``
 relative to the reference checkout).
 """
 
+from pyairbyte_spark import exceptions, registry, secrets
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.datasets import CachedDataset, SQLDataset
+from pyairbyte_spark.destinations import SparkDestination
+from pyairbyte_spark.factories import (
+    get_default_cache,
+    get_destination,
+    get_source,
+    new_local_cache,
+)
+from pyairbyte_spark.registry import get_available_connectors
+from pyairbyte_spark.results import ReadResult
+from pyairbyte_spark.secrets import SecretSourceEnum, get_secret
 from pyairbyte_spark.session import get_spark
+from pyairbyte_spark.sources import SparkSource
 from pyairbyte_spark.strategies import WriteStrategy
 
 __all__ = [
-    "CachedDataset",
-    "SQLDataset",
-    "SparkCache",
-    "WriteStrategy",
+    # Modules (reference airbyte/__init__.py __all__ parity)
+    "exceptions",
+    "registry",
+    "secrets",
+    # Factories
+    "get_available_connectors",
+    "get_default_cache",
+    "get_destination",
+    "get_secret",
+    "get_source",
     "get_spark",
+    "new_local_cache",
+    # Classes
+    "CachedDataset",
+    "ReadResult",
+    "SQLDataset",
+    "SecretSourceEnum",
+    "SparkCache",
+    "SparkDestination",
+    "SparkSource",
+    "WriteStrategy",
 ]
