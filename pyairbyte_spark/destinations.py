@@ -24,6 +24,7 @@ import json
 from collections.abc import Callable, Iterable, Iterator
 
 from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.callbacks import extract_updated_config
 from pyairbyte_spark.results import ReadResult
 from pyairbyte_spark.sources.base import SparkSource
 from pyairbyte_spark.sources.messages import (
@@ -65,6 +66,7 @@ class SparkDestination:
         name: str | None = None,
         config: dict | None = None,
         sink: Callable[[Iterator[str]], Iterator[str]] | None = None,
+        config_change_callback: Callable[[dict], None] | None = None,
     ) -> None:
         """Either ``executor`` (external process) or ``sink`` (an
         in-process callable taking/returning protocol JSONL lines —
@@ -76,6 +78,7 @@ class SparkDestination:
         if name:
             self.name = name
         self.config = config or {}
+        self.config_change_callback = config_change_callback
 
     # -- §3.3 entry point ---------------------------------------------------
 
@@ -223,7 +226,17 @@ class SparkDestination:
         )
         for line in out_lines:
             msg = parse_message(line)
-            if msg is not None and msg.type == "STATE" and msg.state is not None:
+            if msg is None:
+                continue
+            if msg.type == "CONTROL" and msg.raw is not None:
+                # Destinations can also rotate their config mid-write
+                # (reference _connector_base.py:425-434).
+                new_config = extract_updated_config(msg.raw)
+                if new_config is not None:
+                    self.config = new_config
+                    if self.config_change_callback is not None:
+                        self.config_change_callback(new_config)
+            if msg.type == "STATE" and msg.state is not None:
                 artifact = StateArtifact(
                     stream_name=msg.state.stream_name or msg.state.state_type,
                     state=msg.state.state,

@@ -19,6 +19,7 @@ from typing import Any
 from pyairbyte_spark import exceptions as exc
 from pyairbyte_spark import registry as _registry
 from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.callbacks import ConfigChangeCallback
 from pyairbyte_spark.destinations import SparkDestination
 from pyairbyte_spark.secrets import hydrate_secrets
 from pyairbyte_spark.session import get_spark
@@ -67,6 +68,7 @@ def get_source(
     argv: list[str] | None = None,
     docker_image: str | bool | None = None,
     source_manifest: str | dict | None = None,
+    config_change_callback: ConfigChangeCallback | None = None,
 ) -> SparkSource:
     """Resolve a source by name (reference ``sources/util.py:47-140``).
 
@@ -87,15 +89,26 @@ def get_source(
             raise exc.AirbyteConnectorExecutableNotFoundError(
                 connector_name=name, context={"executable": str(local_executable)}
             )
-        return ConnectorSource(SubprocessHost([path]), name=name, config=config)
+        return ConnectorSource(
+            SubprocessHost([path]),
+            name=name,
+            config=config,
+            config_change_callback=config_change_callback,
+        )
     if argv is not None:
-        return ConnectorSource(SubprocessHost(argv), name=name, config=config)
+        return ConnectorSource(
+            SubprocessHost(argv),
+            name=name,
+            config=config,
+            config_change_callback=config_change_callback,
+        )
     if docker_image:
         image = f"airbyte/{name}" if docker_image is True else str(docker_image)
         return ConnectorSource(
             SubprocessHost(["docker", "run", "--rm", "-i", image]),
             name=name,
             config=config,
+            config_change_callback=config_change_callback,
         )
 
     # Bundled in-process sources (zero install).
@@ -121,7 +134,12 @@ def get_source(
             connector_name=name,
             guidance=f"Install the connector so an executable named '{name}' is on PATH.",
         )
-    return ConnectorSource(SubprocessHost([path]), name=name, config=config)
+    return ConnectorSource(
+        SubprocessHost([path]),
+        name=name,
+        config=config,
+        config_change_callback=config_change_callback,
+    )
 
 
 def get_destination(
@@ -131,6 +149,7 @@ def get_destination(
     local_executable: str | Path | None = None,
     argv: list[str] | None = None,
     docker_image: str | bool | None = None,
+    config_change_callback: ConfigChangeCallback | None = None,
 ) -> SparkDestination:
     """Resolve a destination connector (reference ``destinations/util.py``)."""
     config = hydrate_secrets(config) if config else {}
@@ -151,4 +170,9 @@ def get_destination(
         if path is None:
             raise exc.AirbyteConnectorExecutableNotFoundError(connector_name=name)
         argv = [path]
-    return SparkDestination(SubprocessHost(argv), name=name, config=config)
+    return SparkDestination(
+        SubprocessHost(argv),
+        name=name,
+        config=config,
+        config_change_callback=config_change_callback,
+    )

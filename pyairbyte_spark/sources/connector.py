@@ -12,8 +12,10 @@ handed to :class:`SubprocessHost`.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Any
+
+from pyairbyte_spark.callbacks import extract_updated_config
 
 from pyairbyte_spark.catalog import StreamSpec
 from pyairbyte_spark.sources.base import SparkSource
@@ -45,11 +47,13 @@ class ConnectorSource(SparkSource):
         *,
         name: str = "connector-source",
         config: dict[str, Any] | None = None,
+        config_change_callback: "Callable[[dict[str, Any]], None] | None" = None,
     ) -> None:
         super().__init__()
         self.name = name
         self.executor = executor
         self.config = config or {}
+        self.config_change_callback = config_change_callback
         self._catalog_cache: dict[str, StreamSpec] | None = None
 
     def check(self) -> bool:
@@ -102,5 +106,15 @@ class ConnectorSource(SparkSource):
             self.config, self._configured_catalog_doc(streams), state_doc
         ):
             msg = parse_message(line)
-            if msg is not None:
-                yield msg
+            if msg is None:
+                continue
+            if msg.type == "CONTROL" and msg.raw is not None:
+                # CONNECTOR_CONFIG orchestration: adopt the new config and
+                # notify the caller (reference _connector_base.py:425-434) —
+                # e.g. an OAuth source rotating its refresh token mid-sync.
+                new_config = extract_updated_config(msg.raw)
+                if new_config is not None:
+                    self.config = new_config
+                    if self.config_change_callback is not None:
+                        self.config_change_callback(new_config)
+            yield msg
