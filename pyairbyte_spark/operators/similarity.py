@@ -158,6 +158,19 @@ def _assign_to_centroids(
             6,
         ),
     )
+    if top_n == 1:
+        # Argmin as a hash aggregate instead of a sort+window: partial
+        # max_by combines map-side, so the exchange carries one row per
+        # vector instead of one per (vector, centroid). The key struct
+        # (csim, -cid) is unique per id, so ties still break to the
+        # lowest cid — same result as the window path.
+        best = scored.groupBy("id").agg(
+            F.max_by(
+                F.struct(F.col("cid"), F.col("v")),
+                F.struct(F.col("csim"), (-F.col("cid")).alias("nc")),
+            ).alias("b")
+        )
+        return best.select("id", F.col("b.v").alias("v"), F.col("b.cid").alias("cid"))
     w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cid").asc())
     return (
         scored.withColumn("__cr", F.row_number().over(w))
