@@ -48,25 +48,78 @@ def pack_token_bins(
     budget: int,
     id_col: str,
     partition_col: str | Column | None = None,
+    num_shards: int | None = None,
 ) -> DataFrame:
     """Assign each document to a token-budget bin by running offset:
     bin = floor(start_offset / budget) over documents ordered by id.
 
     This is streaming offset-binning — the shape that packs a corpus
-    into ~budget-token training shards in ONE window pass. A bin can
-    overshoot the budget by at most one document (the doc straddling
-    the boundary), which is the standard scale trade against exact
-    first-fit packing (inherently sequential). With ``partition_col``
-    the packing runs independently per partition (e.g. per language) —
-    that is also what bounds window state at 100 TB: partition by
-    shard/source so no single ordered window spans the corpus.
+    into ~budget-token training shards. A bin can overshoot the budget
+    by at most one document (the doc straddling the boundary), which is
+    the standard scale trade against exact first-fit packing (inherently
+    sequential). With ``partition_col`` the packing runs independently
+    per partition (e.g. per language) and the running sum rides that
+    partitioning in one window pass.
+
+    Without ``partition_col`` the global running sum is computed with a
+    TWO-PASS plan, never a global single-partition window:
+
+    1. range-repartition by ``id_col`` into ``num_shards`` ordered
+       shards (default ``spark.sql.shuffle.partitions``);
+    2. aggregate per-shard token totals and collect them to the driver
+       (bounded metadata: one row per shard) to build cumulative base
+       offsets;
+    3. broadcast-join the bases back and run a *partition-local* window
+       per shard: ``start = shard_base + local_running_sum``.
+
+    Every task therefore sees only its shard — the plan contains no
+    unpartitioned Window and scales to arbitrary corpus size. The
+    per-row offsets (and hence bin ids) are identical to the
+    single-window formulation by construction: range shard p holds ids
+    strictly before shard p+1's, so shard_base + local prefix sum IS
+    the global prefix sum.
 
     Output: original columns + ``bin_id`` (long).
     """
-    parts = [partition_col] if partition_col is not None else []
-    w = Window.partitionBy(*parts).orderBy(F.col(id_col).asc())
-    start = F.coalesce(
+    order = F.col(id_col).asc()
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(order)
+        start = F.coalesce(
+            F.sum(F.col(token_col)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        return df.withColumn("bin_id", F.floor(start / F.lit(budget)))
+
+    spark = df.sparkSession
+    shards = num_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        df.repartitionByRange(shards, F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # one materialization feeds both passes
+    )
+    # Pass 1: per-shard totals -> driver (<= `shards` rows) -> cumulative bases.
+    totals = {
+        r["__pid"]: r["__tok"] or 0
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("__tok"))
+        .collect()
+    }
+    bases: list[tuple[int, int]] = []
+    acc = 0
+    for pid in sorted(totals):
+        bases.append((pid, acc))
+        acc += totals[pid]
+    base_df = spark.createDataFrame(bases or [(0, 0)], "__pid int, __base long")
+    # Pass 2: partition-local running sum + broadcast base offset.
+    w = Window.partitionBy("__pid").orderBy(order)
+    local = F.coalesce(
         F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0),
     )
-    return df.withColumn("bin_id", F.floor(start / F.lit(budget)))
+    return (
+        ranged.join(F.broadcast(base_df), "__pid")
+        .withColumn("bin_id", F.floor((F.col("__base") + local) / F.lit(budget)))
+        .drop("__pid", "__base")
+    )

@@ -60,3 +60,47 @@ def uses_take_ordered(df: DataFrame) -> bool:
     """True when top-k compiles to TakeOrderedAndProject (per-partition
     heap + driver merge) instead of a global sort."""
     return "TakeOrderedAndProject" in explain_str(df, "simple")
+
+
+def _balanced_args(text: str, start: int) -> list[str]:
+    """Split the top-level comma-separated args of the paren group
+    opening at ``text[start] == '('``."""
+    depth, args, buf = 0, [], []
+    for ch in text[start:]:
+        if ch == "(":
+            depth += 1
+            if depth == 1:
+                continue
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        if depth >= 1:
+            if ch == "," and depth == 1:
+                args.append("".join(buf).strip())
+                buf = []
+            else:
+                buf.append(ch)
+    if buf:
+        args.append("".join(buf).strip())
+    return args
+
+
+def has_unpartitioned_window(df: DataFrame) -> bool:
+    """True when any Window operator has an EMPTY partition spec —
+    the 'WindowExec: No Partition Defined' shape that funnels the whole
+    input through one task and dies at scale."""
+    plan = explain_str(df, "extended")
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        args = _balanced_args(plan, m.end() - 1)
+        if not args:
+            return True
+        first = args[0]
+        # Partition expressions are plain; sort orders carry a direction
+        # keyword, and the frame spec comes last. If the FIRST top-level
+        # arg is already a sort order or the frame, nothing partitions.
+        if re.search(r"\b(ASC|DESC) NULLS (FIRST|LAST)$", first) or first.startswith(
+            "specifiedwindowframe"
+        ):
+            return True
+    return False
