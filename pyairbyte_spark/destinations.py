@@ -91,6 +91,7 @@ class SparkDestination:
         write_strategy: WriteStrategy | str = WriteStrategy.AUTO,
         force_full_refresh: bool = False,
         streams: list[str] | None = None,
+        source_name: str | None = None,
     ) -> list[StateArtifact]:
         """Pump source data into the destination; returns the STATE
         confirmations collected from the destination's stdout."""
@@ -107,7 +108,7 @@ class SparkDestination:
                     force_full_refresh=force_full_refresh,
                 )
                 messages = AirbyteMessageIterator.from_read_result(
-                    cache, result.processed_streams
+                    cache, result.processed_streams, source_name=source.name
                 )
             else:
                 # Path B: direct passthrough, state from destination store.
@@ -122,11 +123,17 @@ class SparkDestination:
         elif isinstance(source_data, ReadResult):
             # Path C: replay a previous read's streams.
             messages = AirbyteMessageIterator.from_read_result(
-                source_data.cache, streams or source_data.processed_streams
+                source_data.cache,
+                streams or source_data.processed_streams,
+                source_name=source_data.source_name,
             )
         elif isinstance(source_data, SparkCache):
+            # Bare-cache replay has no ReadResult to learn the source
+            # scope from; callers pass source_name= to replay STATE.
             messages = AirbyteMessageIterator.from_read_result(
-                source_data, streams or source_data.stream_names
+                source_data,
+                streams or source_data.stream_names,
+                source_name=source_name,
             )
         else:  # pragma: no cover
             raise TypeError(f"unsupported source_data: {type(source_data)}")
@@ -212,9 +219,23 @@ class SparkDestination:
     ) -> list[StateArtifact]:
         lines = _encode_messages(messages)
         if self.executor is not None:
-            out_lines = self.executor.execute(
-                ["write", "--config", "/dev/null"], stdin_lines=lines
-            )
+            # Hydrate + serialize the destination config and pass its
+            # path — the connector reads credentials from this file
+            # (reference destinations/base.py:329-343). /dev/null here
+            # would hand every external destination an empty config.
+            import tempfile
+            from pathlib import Path
+
+            from pyairbyte_spark.secrets import hydrate_secrets
+
+            with tempfile.TemporaryDirectory(prefix="dest-cfg-") as td:
+                cfg = Path(td) / "config.json"
+                cfg.write_text(json.dumps(hydrate_secrets(self.config)))
+                out_lines = list(
+                    self.executor.execute(
+                        ["write", "--config", str(cfg)], stdin_lines=lines
+                    )
+                )
         else:
             out_lines = self.sink(lines)
 

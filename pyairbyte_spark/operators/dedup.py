@@ -323,14 +323,26 @@ def connected_components(
     check. At 100 TB this is the standard label-propagation shape
     (GraphX/GraphFrames CC uses the same plan); labels and edges
     partition by node id.
+
+    Each round's labels are eagerly ``localCheckpoint``-ed so the plan
+    stays ONE round deep: without this, round N rebuilds rounds 1..N-1
+    from lineage (O(iter²) recomputation and an analyzer that slows
+    down every round). The convergence check reads the SAME
+    checkpointed frame — the old label rides along as ``__old`` — so
+    it costs one cheap scan of materialized blocks, not a re-execution,
+    and no extra join. The edge set is checkpointed once up front for
+    the same reason (it feeds every round).
     """
-    edges = pairs.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    edges = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint(eager=False)
+    )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -338,23 +350,21 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = stepped.select("node", "label")
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))

@@ -64,6 +64,9 @@ class _StreamBuffer:
     pending: list[bytearray] | None = None
     active_count: int = 0
     record_count: int = 0
+    # Monotonic across finalizes (files is cleared then) so late
+    # batches never reuse a staged filename.
+    file_seq: int = 0
 
 
 @dataclass
@@ -160,9 +163,10 @@ class MessageStreamProcessor:
             for i in range(self.stripes):
                 path = os.path.join(
                     self._staging,
-                    f"{stream_key}_{len(buf.files):05d}_{i:02d}.jsonl.gz",
+                    f"{stream_key}_{buf.file_seq:05d}_{i:02d}.jsonl.gz",
                 )
                 buf.files.append(path)
+                buf.file_seq += 1
                 buf.writers.append(gzip.open(path, "wb", compresslevel=1))
                 buf.pending.append(bytearray())
         key_map = self._key_map(stream_key, tuple(data))
@@ -221,9 +225,13 @@ class MessageStreamProcessor:
             ):
                 # T7: finalize this stream immediately.
                 self._finalize_stream(LowerCaseNormalizer.normalize(msg.trace.stream_name))
-        # End of stream: finalize everything left.
+        # End of stream: finalize everything left — including streams
+        # that got MORE records after an early COMPLETE trace (those
+        # have a non-empty buffer again; skipping them would silently
+        # drop the late records).
         for key in list(self._buffers):
-            if key not in self.results:
+            buf = self._buffers[key]
+            if key not in self.results or buf.record_count:
                 self._finalize_stream(key)
         self._pending_state.finalize_all(self.state_writer)
         if hasattr(self.state_writer, "flush"):
@@ -290,7 +298,14 @@ class MessageStreamProcessor:
         if hasattr(self.state_writer, "flush"):
             self.state_writer.flush(stream_key)
         if buf:
+            # Consume the buffer: a later finalize (second COMPLETE
+            # trace, or late records at end of stream) must only load
+            # NEW batch files, never re-read these.
+            buf.files = []
             buf.record_count = 0
+        prev = self.results.get(stream_key)
+        if prev is not None:
+            record_count += prev.record_count
         self.results[stream_key] = StreamWriteResult(stream_key, record_count)
         if self.progress is not None:
             self.progress.stream_finalized(stream_key, record_count)

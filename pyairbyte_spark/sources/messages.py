@@ -179,11 +179,18 @@ class AirbyteMessageIterator:
         return cls.from_str_buffer(sys.stdin)
 
     @classmethod
-    def from_read_result(cls, cache, streams: list[str]) -> AirbyteMessageIterator:
+    def from_read_result(
+        cls, cache, streams: list[str], *, source_name: str | None = None
+    ) -> AirbyteMessageIterator:
         """Replay cached tables as RECORD messages + stream-success trace
-        (reference ``_message_iterators.py:90-126``)."""
+        (reference ``_message_iterators.py:90-126``).
+
+        ``source_name`` scopes the replayed STATE lookup — state is
+        stored under the source that produced it, so omitting it means
+        replayed syncs emit no STATE messages downstream."""
 
         def gen() -> Iterator[AirbyteMessage]:
+            provider = cache.get_state_provider(source_name or "__replay__")
             for stream in streams:
                 for rec in cache.get_records(stream):
                     data = {
@@ -192,7 +199,7 @@ class AirbyteMessageIterator:
                     yield AirbyteMessage(
                         "RECORD", record=RecordMessage(stream=stream, data=data)
                     )
-                state = cache.get_state_provider("__replay__").get_stream_state(stream)
+                state = provider.get_stream_state(stream)
                 if state is not None:
                     yield AirbyteMessage(
                         "STATE",

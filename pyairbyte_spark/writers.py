@@ -26,8 +26,11 @@ Spark-first design:
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
+import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -67,11 +70,42 @@ class TableStore:
         self.merge_buckets = merge_buckets
         os.makedirs(self.root, exist_ok=True)
 
-    def _bucket_expr(self, primary_keys: list[str]):
+    def _bucket_expr(self, primary_keys: list[str], n_buckets: int):
         return F.pmod(
             F.abs(F.xxhash64(*[F.col(k).cast("string") for k in primary_keys])),
-            F.lit(self.merge_buckets),
+            F.lit(n_buckets),
         )
+
+    # -- bucket-layout metadata --------------------------------------------
+    # The bucket count is part of the TABLE's physical layout, not the
+    # store's config: hashing incoming keys with a different N than the
+    # one the table was written with silently strands stale rows in old
+    # buckets. Persist N in a sidecar (outside the table dir, so the
+    # replace swap can't drop it) and always hash with the persisted
+    # value; a bucketed table with no sidecar (pre-metadata layout) is
+    # migrated by full rewrite on the next merge.
+
+    def _meta_path(self, table_name: str) -> str:
+        return self.table_path(table_name) + "._bucket_meta.json"
+
+    def _persisted_buckets(self, table_name: str) -> int | None:
+        try:
+            with open(self._meta_path(table_name)) as f:
+                n = json.load(f).get("merge_buckets")
+                return int(n) if n else None
+        except (OSError, ValueError):
+            return None
+
+    def _write_bucket_meta(self, table_name: str, n_buckets: int | None) -> None:
+        meta = self._meta_path(table_name)
+        if not n_buckets:
+            with contextlib.suppress(OSError):
+                os.remove(meta)
+            return
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"merge_buckets": n_buckets}, f)
+        os.replace(tmp, meta)
 
     def table_path(self, table_name: str) -> str:
         return os.path.join(self.root, table_name)
@@ -104,6 +138,7 @@ class TableStore:
 
     def drop(self, table_name: str) -> None:
         shutil.rmtree(self.table_path(table_name), ignore_errors=True)
+        self._write_bucket_meta(table_name, None)
 
     # -- write strategies ---------------------------------------------------
 
@@ -122,9 +157,15 @@ class TableStore:
         os.replace(temp, final)
         shutil.rmtree(deleteme, ignore_errors=True)
 
-    def _with_bucket(self, df: DataFrame, primary_keys: list[str] | None) -> DataFrame:
-        if self.merge_buckets and primary_keys:
-            return df.withColumn(BUCKET_COL, self._bucket_expr(primary_keys))
+    def _with_bucket(
+        self,
+        df: DataFrame,
+        primary_keys: list[str] | None,
+        n_buckets: int | None = None,
+    ) -> DataFrame:
+        n = n_buckets or self.merge_buckets
+        if n and primary_keys:
+            return df.withColumn(BUCKET_COL, self._bucket_expr(primary_keys, n))
         return df
 
     def _writer(self, df: DataFrame):
@@ -134,15 +175,25 @@ class TableStore:
     def write_append(
         self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
     ) -> None:
-        if self.table_exists(table_name):
+        exists = self.table_exists(table_name)
+        n_buckets = self.merge_buckets
+        if exists:
             # Align by name against the existing table's schema; new
             # columns flow through (mergeSchema on read).
             existing_cols = set(self.read(table_name).columns)
             new_cols = [c for c in df.columns if c not in existing_cols]
             ordered = [c for c in df.columns if c in existing_cols] + new_cols
             df = df.select(*ordered)
-        df = self._with_bucket(df, primary_keys)
+            if BUCKET_COL in self._read_raw(table_name).columns:
+                # Appends to a bucketed table MUST hash with the
+                # table's layout N, whatever the store config says.
+                n_buckets = self._persisted_buckets(table_name) or n_buckets
+            else:
+                n_buckets = None  # never mix bucketed + unbucketed files
+        df = self._with_bucket(df, primary_keys, n_buckets)
         self._writer(df).mode("append").parquet(self.table_path(table_name))
+        if BUCKET_COL in df.columns and self._persisted_buckets(table_name) is None:
+            self._write_bucket_meta(table_name, n_buckets)
 
     def write_replace(
         self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
@@ -151,6 +202,10 @@ class TableStore:
         df = self._with_bucket(df, primary_keys)
         self._writer(df).mode("overwrite").parquet(self.table_path(temp))
         self._swap_in(temp, table_name)
+        self._write_bucket_meta(
+            table_name,
+            self.merge_buckets if BUCKET_COL in df.columns else None,
+        )
 
     def _dedup_latest(self, incoming: DataFrame, primary_keys: list[str]) -> DataFrame:
         # One shuffle on the PK; window + dedup ride the same partitioning.
@@ -171,12 +226,18 @@ class TableStore:
         bucketed_table = (
             exists and BUCKET_COL in self._read_raw(table_name).columns
         )
-        if self.merge_buckets and bucketed_table:
+        layout_n = self._persisted_buckets(table_name) if bucketed_table else None
+        if bucketed_table and layout_n:
             # Incremental path: touch only the buckets incoming keys
-            # hash into. The filter prunes partitions at the scan; the
-            # dynamic overwrite replaces only partitions present in the
-            # output (= exactly the incoming buckets).
-            incoming = self._with_bucket(df, primary_keys)
+            # hash into — hashing with the TABLE's persisted bucket
+            # count (a store reopened with a different merge_buckets
+            # would otherwise probe/overwrite the wrong buckets and
+            # leave stale PK rows behind). The filter prunes partitions
+            # at the scan; the dynamic overwrite replaces only
+            # partitions present in the output (= exactly the incoming
+            # buckets). A bucketed table with NO sidecar falls through
+            # to the full rewrite, which re-buckets and writes the meta.
+            incoming = self._with_bucket(df, primary_keys, layout_n)
             buckets = [r[0] for r in incoming.select(BUCKET_COL).distinct().collect()]
             old = self._read_raw(table_name).filter(F.col(BUCKET_COL).isin(buckets))
             latest = self._dedup_latest(
@@ -196,11 +257,16 @@ class TableStore:
             )
         latest = self._dedup_latest(incoming, primary_keys)
         # Full rewrite (also the one-time migration INTO the bucketed
-        # layout when merge_buckets is set on an unbucketed table).
+        # layout when merge_buckets is set on an unbucketed table, or
+        # into the CURRENT bucket count for a metadata-less table).
         latest = self._with_bucket(latest, primary_keys)
         temp = self._temp_name(table_name)
         self._writer(latest).mode("overwrite").parquet(self.table_path(temp))
         self._swap_in(temp, table_name)
+        self._write_bucket_meta(
+            table_name,
+            self.merge_buckets if BUCKET_COL in latest.columns else None,
+        )
 
     def write(
         self,

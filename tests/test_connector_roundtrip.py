@@ -59,6 +59,10 @@ CONNECTOR_SCRIPT = textwrap.dedent(
              "stream_status": {"stream_descriptor": {"name": "items"},
                                "status": "COMPLETE"}}})
     elif verb == "write":
+        cfg = {}
+        if "--config" in sys.argv:
+            with open(sys.argv[sys.argv.index("--config") + 1]) as f:
+                cfg = json.load(f)
         n = 0
         for line in sys.stdin:
             if not line.strip():
@@ -70,7 +74,7 @@ CONNECTOR_SCRIPT = textwrap.dedent(
                 out(msg)  # confirm state back to caller
         out({"type": "STATE", "state": {"type": "STREAM", "stream": {
              "stream_descriptor": {"name": "items"},
-             "stream_state": {"written": n}}}})
+             "stream_state": {"written": n, "cfg": cfg}}}})
     """
 )
 
@@ -112,6 +116,33 @@ def test_destination_write_roundtrip(connector, cache):
     # destination state landed in the destination state channel
     dsp = cache.get_destination_state_provider("fake-dest")
     assert dsp.state_artifacts
+
+
+def test_destination_receives_hydrated_config(connector, cache):
+    """The write subprocess must get the destination's actual config
+    serialized to a file — not /dev/null (an external connector with an
+    empty config fails auth immediately)."""
+    src = ConnectorSource(connector, name="fake-src")
+    src.read(cache, write_strategy="auto")
+    dest = SparkDestination(
+        connector, name="fake-dest", config={"api_key": "k-123", "host": "h"}
+    )
+    confirmations = dest.write(cache, cache=cache, streams=["items"])
+    cfgs = [a.state["cfg"] for a in confirmations if "cfg" in a.state]
+    assert cfgs == [{"api_key": "k-123", "host": "h"}]
+
+
+def test_replay_emits_state_from_source_scope(connector, cache):
+    """Path A (source→cache→replay) must replay the source's own STATE
+    messages downstream — state lives under the source's scope, not a
+    '__replay__' scope nothing writes."""
+    src = ConnectorSource(connector, name="fake-src")
+    dest = SparkDestination(connector, name="fake-dest")
+    confirmations = dest.write(src, cache=cache)
+    # The source checkpoints {"max_id": 5}; the destination echoes every
+    # STATE it receives, so the confirmation list must contain it.
+    echoed = [a.state for a in confirmations if a.state.get("max_id") == 5]
+    assert echoed, [a.state for a in confirmations]
 
 
 def test_in_process_sink():

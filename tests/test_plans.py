@@ -51,6 +51,39 @@ def test_q1_wholestage_codegen(spark):
     assert "WholeStageCodegen" in plan or "*(" in plan
 
 
+def test_pack_token_bins_default_has_no_global_window(spark):
+    """The no-partition_col path must use the two-pass offset plan —
+    never an unpartitioned Window funneling the corpus into one task."""
+    from pyairbyte_spark.operators.curation import pack_token_bins
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(100)], ["doc_id", "n_tokens"]
+    )
+    out = pack_token_bins(df, token_col="n_tokens", budget=100, id_col="doc_id")
+    assert not plans.has_unpartitioned_window(out), plan_str(out, "extended")
+
+
+def test_registered_curation_queries_have_no_global_window(spark):
+    for key in ("pack_token_bins_docs", "pipeline_curation_shards"):
+        df = q.queries()[key](spark, SF_DIR)
+        assert not plans.has_unpartitioned_window(df), key
+
+
+def test_connected_components_plan_depth_bounded(spark):
+    """Per-round localCheckpoint keeps the returned plan one round deep
+    regardless of iteration count (a 33-node chain needs many rounds)."""
+    from pyairbyte_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(32)], ["id_a", "id_b"]
+    )
+    cc = dedup.connected_components(pairs, max_iter=40)
+    assert {r["component"] for r in cc.collect()} == {0}
+    # Lineage is cut at the last checkpoint: a handful of plan lines,
+    # not 40 rounds of joins.
+    assert len(plan_str(cc, "simple").splitlines()) < 15
+
+
 def test_merge_single_shuffle(spark, tmp_path):
     """Merge = one Exchange on the PK; the dedup window rides it."""
     from pyairbyte_spark import SparkCache

@@ -65,7 +65,10 @@ def test_sql_guard_never_allows_write_verbs(sql):
         lowered = sql.lower()
         for verb in ("insert ", "update ", "delete ", "drop ", "truncate "):
             assert not lowered.strip().startswith(verb)
-        assert ";" not in re.sub(r"--[^\n]*", "", sql).rstrip("; \n\t")
+        # No statement separator outside string literals/comments.
+        from pyairbyte_spark.sql_guard import strip_comments
+
+        assert ";" not in strip_comments(sql).rstrip("; \n\t")
 
 
 # -- merge semantics properties (Spark-backed: few, small examples) ---------

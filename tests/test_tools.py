@@ -35,3 +35,27 @@ def test_tool_flow(spark, cache):
     assert rows == [{"n": 20}]
     with pytest.raises(UnsafeSQLError):
         tools.run_sql_query(cache, "DROP TABLE users")
+
+
+def test_sql_guard_literals_and_explain():
+    """Quote-aware guard: comment/separator chars inside string
+    literals are data; the ORIGINAL text (literals intact) is what
+    executes. EXPLAIN/DESCRIBE/SHOW get the same forbidden-verb scan
+    as everything else; SHOW CREATE TABLE stays allowed."""
+    from pyairbyte_spark.sql_guard import guard_sql, is_safe_sql
+
+    # Literals containing -- ; /* must survive verbatim.
+    q = "SELECT '--not a comment' AS a, 'x;y' AS b, '/*c*/' AS c"
+    assert guard_sql(q) == q
+    assert guard_sql(q + " ;") == q
+    # Real second statement still rejected.
+    assert not is_safe_sql("SELECT 1; SELECT 2")
+    # EXPLAIN of a write is rejected, not analyzed.
+    assert not is_safe_sql("EXPLAIN DROP TABLE t")
+    assert not is_safe_sql("EXPLAIN INSERT INTO t VALUES (1)")
+    assert is_safe_sql("EXPLAIN SELECT * FROM t")
+    assert is_safe_sql("DESCRIBE t")
+    assert is_safe_sql("SHOW TABLES")
+    assert is_safe_sql("SHOW CREATE TABLE t")
+    # Comment hiding a write verb is still caught after stripping.
+    assert not is_safe_sql("SELECT 1 /* x */; DROP TABLE t")

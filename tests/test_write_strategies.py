@@ -235,3 +235,66 @@ def test_bucketed_merge_with_schema_evolution(spark, tmp_path):
     assert rows[1] == ("v1", "x")
     assert rows[2] == ("v0", None)  # untouched bucket row: null-filled
     assert len(rows) == 20
+
+
+def test_bucket_count_survives_store_reopen(spark, tmp_path):
+    """The bucket count is TABLE layout, persisted in a sidecar: a
+    store reopened with a different merge_buckets must keep merging
+    correctly (hashing with a new N would probe the wrong buckets and
+    leave stale PK rows behind)."""
+    from pyairbyte_spark.cache import SparkCache
+
+    wh = str(tmp_path / "wh")
+    cache4 = SparkCache(spark, wh, merge_buckets=4)
+    _sync(cache4, [(i, "v0") for i in range(40)])
+
+    # Reopen with a DIFFERENT bucket config and merge updates.
+    cache16 = SparkCache(spark, wh, merge_buckets=16)
+    _sync(cache16, [(3, "v1"), (17, "v1")])
+
+    rows = {}
+    dupes = []
+    for r in cache16.get_records("b"):
+        if r["id"] in rows:
+            dupes.append(r["id"])
+        rows[r["id"]] = r["v"]
+    assert not dupes, f"stale PK rows left in old buckets: {dupes}"
+    assert len(rows) == 40 and rows[3] == "v1" and rows[17] == "v1"
+
+
+def test_late_records_after_complete_trace(spark, tmp_path):
+    """Records arriving after a stream's COMPLETE trace must still
+    load (re-finalize), and the second finalize must not re-read the
+    already-loaded batch files (no duplicates under APPEND)."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import (
+        AirbyteMessage,
+        RecordMessage,
+        TraceMessage,
+    )
+
+    cache = SparkCache(spark, str(tmp_path / "wh"))
+    spec = StreamSpec(
+        name="s",
+        json_schema={"properties": {"id": {"type": "integer"}}},
+    )
+    complete = AirbyteMessage(
+        "TRACE",
+        trace=TraceMessage(
+            trace_type="STREAM_STATUS", stream_name="s", status="COMPLETE"
+        ),
+    )
+    msgs = (
+        [AirbyteMessage("RECORD", record=RecordMessage("s", {"id": i})) for i in range(3)]
+        + [complete]
+        + [AirbyteMessage("RECORD", record=RecordMessage("s", {"id": i})) for i in (10, 11)]
+        + [complete]
+    )
+    results = MessageStreamProcessor(
+        cache, source_name="t", specs={"s": spec}, write_strategy=WriteStrategy.APPEND
+    ).process_messages(iter(msgs))
+    ids = sorted(r["id"] for r in cache.get_records("s"))
+    assert ids == [0, 1, 2, 10, 11], ids  # late rows kept, no dupes
+    assert results["s"].record_count == 5
