@@ -108,6 +108,14 @@ def cmd_sql(args) -> int:
     return 0
 
 
+def cmd_mcp(args) -> int:
+    # Parity: `pyab mcp serve` (reference airbyte/mcp/server.py:332-353);
+    # stdio transport, tools registered from pyairbyte_spark.tools.
+    from pyairbyte_spark.mcp_server import main as mcp_main
+
+    return mcp_main(args.warehouse)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="pyab-spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,6 +142,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("query")
     q.add_argument("--max-records", type=int, default=100)
     q.set_defaults(fn=cmd_sql)
+
+    m = sub.add_parser("mcp", help="serve the MCP tool surface on stdio")
+    m.add_argument("--warehouse", default=None)
+    m.set_defaults(fn=cmd_mcp)
 
     args = p.parse_args(argv)
     return args.fn(args)

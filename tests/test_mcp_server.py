@@ -1,0 +1,162 @@
+"""In-process MCP client round-trip against the stdio server.
+
+Drives the real protocol loop (initialize → tools/list → tools/call)
+through StringIO pipes — the same bytes a real MCP host would send —
+per reference ``airbyte/mcp/server.py`` + ``local.py`` tool surface.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+
+import pytest
+
+from pyairbyte_spark.mcp_server import TOOL_DEFS, LocalToolHost, McpStdioServer
+
+
+class _Client:
+    """Tiny JSON-RPC client pumping one request through serve()."""
+
+    def __init__(self, server: McpStdioServer) -> None:
+        self.server = server
+        self._id = 0
+
+    def request(self, method: str, params: dict | None = None) -> dict:
+        self._id += 1
+        msg = {"jsonrpc": "2.0", "id": self._id, "method": method}
+        if params is not None:
+            msg["params"] = params
+        out = io.StringIO()
+        self.server.serve(io.StringIO(json.dumps(msg) + "\n"), out)
+        return json.loads(out.getvalue())
+
+    def notify(self, method: str) -> str:
+        out = io.StringIO()
+        self.server.serve(
+            io.StringIO(json.dumps({"jsonrpc": "2.0", "method": method}) + "\n"), out
+        )
+        return out.getvalue()
+
+    def call_tool(self, name: str, arguments: dict | None = None) -> dict:
+        resp = self.request("tools/call", {"name": name, "arguments": arguments or {}})
+        assert "result" in resp, resp
+        return resp["result"]
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    from pyairbyte_spark.cache import SparkCache
+
+    host = LocalToolHost(cache=SparkCache(spark, str(tmp_path / "wh")))
+    return _Client(McpStdioServer(host))
+
+
+def test_handshake_and_tool_listing(client):
+    init = client.request("initialize", {"protocolVersion": "2025-06-18"})
+    assert init["result"]["serverInfo"]["name"] == "pyairbyte-spark-mcp"
+    assert "tools" in init["result"]["capabilities"]
+    assert client.notify("notifications/initialized") == ""  # no response
+    listed = client.request("tools/list")["result"]["tools"]
+    names = {t["name"] for t in listed}
+    assert names == {d.name for d in TOOL_DEFS}
+    # The reference's 9 local tools, 1:1.
+    assert {
+        "validate_connector_config",
+        "list_source_streams",
+        "get_source_stream_json_schema",
+        "read_source_stream_records",
+        "get_stream_previews",
+        "sync_source_to_cache",
+        "list_cached_streams",
+        "describe_default_cache",
+        "run_sql_query",
+    } <= names
+    assert all(t["inputSchema"]["type"] == "object" for t in listed)
+
+
+def test_source_tools_round_trip(client):
+    streams = client.call_tool("list_source_streams", {"source": "faker"})
+    assert not streams["isError"]
+    assert set(json.loads(streams["content"][0]["text"])) == {
+        "users",
+        "products",
+        "purchases",
+    }
+    schema = client.call_tool(
+        "get_source_stream_json_schema",
+        {"source": "faker", "stream_name": "users"},
+    )
+    props = json.loads(schema["content"][0]["text"])["properties"]
+    assert "id" in props
+    recs = client.call_tool(
+        "read_source_stream_records",
+        {"source": "faker", "stream_name": "users", "limit": 3},
+    )
+    assert len(json.loads(recs["content"][0]["text"])) == 3
+
+
+def test_sync_then_sql_round_trip(client):
+    synced = client.call_tool(
+        "sync_source_to_cache", {"source": "faker", "streams": ["users"]}
+    )
+    counts = json.loads(synced["content"][0]["text"])
+    assert counts["users"] > 0
+    rows = client.call_tool(
+        "run_sql_query", {"sql": "SELECT count(*) AS n FROM users"}
+    )
+    assert json.loads(rows["content"][0]["text"]) == [{"n": counts["users"]}]
+    cached = client.call_tool("list_cached_streams")
+    assert any(
+        d["stream_name"] == "users"
+        for d in json.loads(cached["content"][0]["text"])
+    )
+
+
+def test_tool_errors_are_results_not_crashes(client):
+    # Guarded SQL rejection arrives as an isError tool result.
+    res = client.call_tool("run_sql_query", {"sql": "DROP TABLE users"})
+    assert res["isError"] and "UnsafeSQL" in res["content"][0]["text"]
+    # Unknown tool → JSON-RPC invalid-params error.
+    resp = client.request("tools/call", {"name": "nope", "arguments": {}})
+    assert resp["error"]["code"] == -32602
+    # Missing required argument → invalid params.
+    resp = client.request(
+        "tools/call", {"name": "run_sql_query", "arguments": {}}
+    )
+    assert resp["error"]["code"] == -32602
+    # Unknown method → method not found.
+    resp = client.request("bogus/method")
+    assert resp["error"]["code"] == -32601
+    # Parse error → -32700 with null id.
+    out = io.StringIO()
+    client.server.serve(io.StringIO("{not json\n"), out)
+    assert json.loads(out.getvalue())["error"]["code"] == -32700
+
+
+def test_cli_mcp_subcommand_serves_stdio(tmp_path):
+    """End-to-end through the installed CLI: pipe a handshake into
+    `pyab-spark mcp` and read the responses back (no Spark needed for
+    list-only traffic)."""
+    import subprocess
+    import sys
+
+    inp = "\n".join(
+        [
+            json.dumps({"jsonrpc": "2.0", "id": 1, "method": "initialize", "params": {}}),
+            json.dumps({"jsonrpc": "2.0", "method": "notifications/initialized"}),
+            json.dumps({"jsonrpc": "2.0", "id": 2, "method": "tools/list"}),
+        ]
+    )
+    proc = subprocess.run(
+        [sys.executable, "-m", "pyairbyte_spark.cli", "mcp"],
+        input=inp + "\n",
+        capture_output=True,
+        text=True,
+        timeout=120,
+        cwd="/root/repo",
+    )
+    lines = [json.loads(ln) for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines[0]["result"]["serverInfo"]["name"] == "pyairbyte-spark-mcp"
+    assert len(lines) == 2  # notification produced no response
+    assert {t["name"] for t in lines[1]["result"]["tools"]} >= {"run_sql_query"}
