@@ -1,0 +1,161 @@
+"""Cloud API seam (S17): workspace/connection/sync-result object model
+against a file-backed fake transport, plus the stdlib HTTP transport
+against a local fixture server."""
+
+from __future__ import annotations
+
+import json
+import threading
+
+import pytest
+
+from pyairbyte_spark.cloud import (
+    CloudConnection,
+    CloudWorkspace,
+    ConnectionSyncError,
+    ConnectionSyncTimeoutError,
+    FakeCloudTransport,
+    HttpTransport,
+    SyncResult,
+)
+
+
+@pytest.fixture()
+def seeded(spark, tmp_path):
+    """A fake workspace whose destination points at a real Spark
+    warehouse with synced data in it."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.sources import SourceFaker
+
+    wh = tmp_path / "dest_wh"
+    cache = SparkCache(spark, str(wh))
+    SourceFaker(seed=7, count=50).read(cache, write_strategy="auto")
+
+    transport = FakeCloudTransport()
+    transport.connections["conn-1"] = {
+        "connectionId": "conn-1",
+        "name": "faker to spark",
+        "sourceId": "src-1",
+        "destinationId": "dest-1",
+        "prefix": "",
+        "configurations": {"streams": [{"name": "users"}, {"name": "products"}]},
+    }
+    transport.destinations["dest-1"] = {
+        "destinationId": "dest-1",
+        "configuration": {"warehouse_dir": str(wh)},
+    }
+    return CloudWorkspace(workspace_id="ws-1", transport=transport), transport
+
+
+def test_workspace_connection_metadata(seeded):
+    ws, _ = seeded
+    conn = ws.get_connection("conn-1")
+    assert conn.name == "faker to spark"
+    assert conn.source_id == "src-1" and conn.destination_id == "dest-1"
+    assert conn.stream_names == ["users", "products"]
+    listed = ws.list_connections()
+    assert [c.connection_id for c in listed] == ["conn-1"]
+
+
+def test_run_sync_polls_to_completion(seeded):
+    ws, transport = seeded
+    conn = ws.get_connection("conn-1")
+    result = conn.run_sync()
+    assert not result.is_job_complete()
+    # Job finishes between polls.
+    transport.jobs[result.job_id].update(
+        status="succeeded", rowsSynced=50, bytesSynced=4096
+    )
+    result._sleep = lambda s: None
+    assert result.wait_for_completion(raise_failure=True) == "succeeded"
+    assert result.records_synced == 50 and result.bytes_synced == 4096
+    # Final status is cached — no further HTTP polls.
+    polls_before = len(transport.calls)
+    assert result.get_job_status() == "succeeded"
+    assert len(transport.calls) == polls_before
+
+
+def test_failed_sync_raises(seeded):
+    ws, transport = seeded
+    result = ws.get_connection("conn-1").run_sync()
+    transport.jobs[result.job_id]["status"] = "failed"
+    with pytest.raises(ConnectionSyncError):
+        result.wait_for_completion(raise_failure=True)
+
+
+def test_wait_timeout(seeded):
+    ws, _ = seeded
+    result = ws.get_connection("conn-1").run_sync()
+    result._sleep = lambda s: None
+    with pytest.raises(ConnectionSyncTimeoutError):
+        result.wait_for_completion(wait_timeout=-1)
+
+
+def test_sync_result_dataset_surface(seeded):
+    """The reference's SyncResult.get_sql_cache() → get_dataset seam:
+    the destination config opens as a SparkCache and streams come back
+    as CachedDatasets (sync_results.py:421-447)."""
+    from pyairbyte_spark.datasets import CachedDataset
+
+    ws, transport = seeded
+    result = ws.get_connection("conn-1").get_sync_result(job_id=1)
+    transport.jobs[1] = {"jobId": 1, "status": "succeeded"}
+    ds = result.get_dataset("users")
+    assert isinstance(ds, CachedDataset)
+    assert len(ds) == 50
+    assert result.get_sql_table_name("users") == "users"
+    assert set(result.streams) >= {"users", "products", "purchases"}
+    pdf = ds.to_pandas()
+    assert len(pdf) == 50
+
+
+def test_http_transport_round_trip():
+    """HttpTransport against a local fixture server: headers, method,
+    body and JSON decode."""
+    import http.server
+
+    seen = {}
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _reply(self, doc):
+            body = json.dumps(doc).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            seen["auth"] = self.headers.get("Authorization")
+            self._reply({"jobId": 5, "status": "succeeded"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen["post_body"] = json.loads(self.rfile.read(n))
+            self._reply({"jobId": 6, "status": "running"})
+
+        def log_message(self, *a):
+            pass
+
+    server = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        root = f"http://127.0.0.1:{server.server_port}/v1"
+        tr = HttpTransport(api_root=root, bearer_token="tok-1")
+        doc = tr.request("GET", "/jobs/5")
+        assert doc == {"jobId": 5, "status": "succeeded"}
+        assert seen["auth"] == "Bearer tok-1"
+        doc = tr.request("POST", "/jobs", {"connectionId": "c", "jobType": "sync"})
+        assert doc["status"] == "running"
+        assert seen["post_body"]["jobType"] == "sync"
+        # The object model runs unchanged over the HTTP transport.
+        ws = CloudWorkspace(workspace_id="w", transport=tr)
+        res = SyncResult(
+            workspace=ws,
+            connection=CloudConnection(workspace=ws, connection_id="c"),
+            job_id=5,
+        )
+        assert res.get_job_status() == "succeeded"
+    finally:
+        server.shutdown()
