@@ -18,7 +18,7 @@ one task never materializes more than
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 from typing import Literal
 
 import pandas as pd
@@ -78,17 +78,28 @@ def extract_features(
     *,
     kind: Literal["image", "audio", "video"] = "image",
     decode_stub: bool = True,
+    decoder: "Callable[[bytes], list[float]] | None" = None,
 ) -> DataFrame:
     """payload → feature vector via Arrow-batched ``mapInPandas``.
 
     Output: (media_id, n_bytes, content_sha256, features array<double>).
+
+    ``decoder`` is the real-decode seam: any picklable
+    ``bytes → list[float]`` callable (e.g. PIL decode + embed for
+    images, torchaudio for audio) runs inside the same Arrow-batched
+    executor loop the stub uses — identical partitioning, batch shape
+    and memory bounds. With ``decode_stub=False`` and no decoder the
+    call fails fast instead of silently faking features.
     """
-    if not decode_stub:
-        raise NotImplementedError(
-            f"real {kind} decoding requires media libraries not present in "
-            "this environment; plug a decoder in here (PIL / torchaudio / "
-            "ffmpeg) keeping the same batch-iterator signature"
-        )
+    if decoder is None:
+        if not decode_stub:
+            raise NotImplementedError(
+                f"real {kind} decoding requires media libraries not present "
+                "in this environment; pass decoder= (any bytes -> list[float] "
+                "callable, e.g. PIL/torchaudio/ffmpeg based) to run a real "
+                "decode with the same batch-iterator plumbing"
+            )
+        decoder = _fake_features
 
     out_schema = T.StructType(
         [
@@ -110,7 +121,7 @@ def extract_features(
                         lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                     ),
                     "features": payloads.map(
-                        lambda b: _fake_features(b) if b is not None else None
+                        lambda b: list(decoder(b)) if b is not None else None
                     ),
                 }
             )
@@ -161,19 +172,23 @@ def resize_plan(
     width: int,
     height: int,
     decode_stub: bool = True,
+    resizer: "Callable[[bytes, int, int], bytes] | None" = None,
 ) -> DataFrame:
     """Image resize plumbing via Arrow-batched ``mapInPandas``.
 
     Output: (media_id, width, height, resized_sha256, resized_bytes).
     The stub emits a deterministic pseudo-payload (sha256 of the
-    original payload + target dims, sized w·h·3); a real implementation
-    replaces only the inner ``_stub_resize`` with PIL keeping the same
-    batch-iterator signature and bounded Arrow batch memory.
+    original payload + target dims, sized w·h·3). ``resizer`` is the
+    real-decode seam: a picklable ``(payload, width, height) → bytes``
+    callable (PIL's ``Image.open(...).resize(...)`` wrapped) runs in
+    the same Arrow batch loop; output columns are then the sha256 and
+    length of the REAL resized bytes.
     """
-    if not decode_stub:
+    if resizer is None and not decode_stub:
         raise NotImplementedError(
             "real image resize requires PIL/pillow, not present in this "
-            "environment; plug the decoder in at _stub_resize"
+            "environment; pass resizer= ((bytes, w, h) -> bytes) to run a "
+            "real resize with the same batch plumbing"
         )
 
     out_schema = T.StructType(
@@ -190,10 +205,16 @@ def resize_plan(
         seed = hashlib.sha256(payload + f"|{width}x{height}".encode()).hexdigest()
         return seed, width * height * 3
 
+    def _real_resize(payload: bytes) -> tuple[str, int]:
+        out = resizer(payload, width, height)
+        return hashlib.sha256(out).hexdigest(), len(out)
+
+    do_resize = _stub_resize if resizer is None else _real_resize
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             resized = pdf["payload"].map(
-                lambda b: _stub_resize(b) if b is not None else (None, None)
+                lambda b: do_resize(b) if b is not None else (None, None)
             )
             yield pd.DataFrame(
                 {

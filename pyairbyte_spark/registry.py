@@ -6,8 +6,15 @@ registry here is offline-first with the same lookup surface:
 
 1. ``AIRBYTE_LOCAL_REGISTRY`` env var → path to a registry JSON document
    (the reference honors the same override, ``registry.py:141-149``);
-2. a caller-supplied document via :func:`register_connectors`;
-3. the built-in entries for this repo's in-process sources.
+2. ``AIRBYTE_REGISTRY_URL`` env var → remote registry JSON, fetched
+   through the offline-safe cached fetcher (:mod:`pyairbyte_spark.fetch`
+   — the reference's network path, ``registry.py:35-140``; the public
+   OSS registry URL is :data:`REGISTRY_URL`). Unlike the reference,
+   the URL must be opted into via the env var: no surprise egress from
+   sandboxed or air-gapped runs, and ``PYAIRBYTE_OFFLINE=1`` serves the
+   on-disk cache without touching the network;
+3. a caller-supplied document via :func:`register_connectors`;
+4. the built-in entries for this repo's in-process sources.
 
 Entry shape follows the reference's ``oss_registry.json`` schema subset:
 ``{"sources": [{"dockerRepository": "airbyte/source-x", "dockerImageTag":
@@ -23,6 +30,12 @@ from dataclasses import dataclass, field
 from enum import Enum
 
 from pyairbyte_spark import exceptions as exc
+
+# The public OSS registry document (reference registry.py:38-44). Set
+# AIRBYTE_REGISTRY_URL to this (or a mirror) to enable remote lookup.
+REGISTRY_URL = (
+    "https://connectors.airbyte.com/files/registries/v0/oss_registry.json"
+)
 
 
 class InstallType(str, Enum):
@@ -119,6 +132,7 @@ def _get_registry_cache(*, force_refresh: bool = False) -> dict[str, ConnectorMe
         return _REGISTRY_CACHE
     cache = dict(_BUILTIN_ENTRIES)
     local_path = os.environ.get("AIRBYTE_LOCAL_REGISTRY")
+    registry_url = os.environ.get("AIRBYTE_REGISTRY_URL")
     if local_path:
         try:
             doc = json.loads(open(local_path, encoding="utf-8").read())
@@ -126,6 +140,17 @@ def _get_registry_cache(*, force_refresh: bool = False) -> dict[str, ConnectorMe
             raise exc.AirbyteConnectorRegistryError(
                 message="Failed to load local registry file.",
                 context={"path": local_path, "error": str(ex)},
+            ) from ex
+        cache.update(_load_registry_document(doc))
+    elif registry_url:
+        from pyairbyte_spark.fetch import FetchError, fetch_text
+
+        try:
+            doc = json.loads(fetch_text(registry_url))
+        except (FetchError, json.JSONDecodeError) as ex:
+            raise exc.AirbyteConnectorRegistryError(
+                message="Failed to fetch remote registry.",
+                context={"url": registry_url, "error": str(ex)},
             ) from ex
         cache.update(_load_registry_document(doc))
     _REGISTRY_CACHE = cache

@@ -44,9 +44,20 @@ from pyairbyte_spark.state import StateProvider
 
 
 def load_manifest(path_or_dict: str | dict[str, Any]) -> dict[str, Any]:
+    """Manifest from a dict, local path, or ``http(s)://`` URL.
+
+    URL manifests go through the offline-safe cached fetcher — the
+    reference's remote-manifest path (``_executors/util.py:42-120``)
+    with disk caching and ``PYAIRBYTE_OFFLINE`` honored.
+    """
     if isinstance(path_or_dict, dict):
         return path_or_dict
-    text = open(path_or_dict).read()
+    if path_or_dict.startswith(("http://", "https://")):
+        from pyairbyte_spark.fetch import fetch_text
+
+        text = fetch_text(path_or_dict)
+    else:
+        text = open(path_or_dict).read()
     if path_or_dict.endswith((".yaml", ".yml")):
         try:
             import yaml  # optional dependency

@@ -125,9 +125,47 @@ def test_multimodal_feature_extraction_shapes(spark):
     feats = multimodal.extract_features(media).collect()
     assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
     assert all(0.0 <= x <= 1.0 for r in feats for x in r["features"])
-    # stub seam: real decode is explicitly not implemented
+    # stub seam: real decode without an injected decoder fails fast
     with pytest.raises(NotImplementedError):
         multimodal.extract_features(media, decode_stub=False)
+
+
+def test_multimodal_injected_decoder_end_to_end(spark):
+    """A user-supplied decoder callable runs the NON-stub path through
+    the same Arrow-batched mapInPandas plumbing (the PIL/ffmpeg seam,
+    exercised here with a deterministic fake decoder)."""
+    df = spark.createDataFrame([(1, "aa"), (2, "bbbb")], ["doc_id", "text"])
+    media = multimodal.attach_media_meta(
+        df.select("doc_id", F.encode("text", "utf-8").alias("payload")),
+        "payload",
+        mime_type="image/png",
+        id_col="doc_id",
+    )
+
+    def decoder(payload: bytes) -> list[float]:
+        return [float(len(payload)), float(payload[0])]
+
+    rows = {
+        r["media_id"]: r["features"]
+        for r in multimodal.extract_features(
+            media, decode_stub=False, decoder=decoder
+        ).collect()
+    }
+    assert rows == {1: [2.0, 97.0], 2: [4.0, 98.0]}
+
+    def resizer(payload: bytes, w: int, h: int) -> bytes:
+        return payload[:1] * (w * h)
+
+    out = {
+        r["media_id"]: (r["resized_bytes"], r["resized_sha256"])
+        for r in multimodal.resize_plan(
+            media, width=2, height=3, decode_stub=False, resizer=resizer
+        ).collect()
+    }
+    import hashlib
+
+    assert out[1] == (6, hashlib.sha256(b"a" * 6).hexdigest())
+    assert out[2] == (6, hashlib.sha256(b"b" * 6).hexdigest())
 
 
 def test_frame_sample_plan(spark):
