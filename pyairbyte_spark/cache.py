@@ -41,6 +41,7 @@ class SparkCache(Mapping):
         schema_name: str = DEFAULT_CACHE_SCHEMA,
         table_prefix: str = "",
         merge_buckets: int | None = None,
+        merge_salt: int | None = None,
     ) -> None:
         self.spark = spark
         self.warehouse_dir = warehouse_dir
@@ -48,7 +49,11 @@ class SparkCache(Mapping):
         self.table_prefix = table_prefix
         os.makedirs(warehouse_dir, exist_ok=True)
         self.store = TableStore(
-            spark, warehouse_dir, schema_name, merge_buckets=merge_buckets
+            spark,
+            warehouse_dir,
+            schema_name,
+            merge_buckets=merge_buckets,
+            merge_salt=merge_salt,
         )
         self.catalog_backend = CatalogBackend(warehouse_dir)
         self.state_backend = StateBackend(warehouse_dir)

@@ -23,6 +23,7 @@ def sample_per_stratum(
     n: int,
     id_col: str,
     seed: str = "0",
+    prefilter: bool = True,
 ) -> DataFrame:
     """Exact n-per-stratum sample, deterministic in (seed, ids).
 
@@ -31,8 +32,38 @@ def sample_per_stratum(
     different partitionings return the SAME sample (unlike
     ``df.sampleBy``, which is per-partition random and approximate).
     The rank window rides the strata partitioning.
+
+    Giant-stratum guard (default on): a single huge stratum is ONE
+    window partition — at 100 TB that task sorts (and spills) the
+    whole stratum to pick n rows. With ``prefilter`` the plan first
+    aggregates per-stratum counts (map-side partial, tiny output,
+    AQE-broadcast back), then keeps only rows whose hash fraction
+    ``u = md5[:15] / 16^15`` is below ``(8n+256)/M`` BEFORE the
+    window — the expected surviving stratum is ~8n+256 rows whatever
+    M is, so the sort is always small. The kept set is a superset of
+    the n winners unless fewer than n of M rows land under the
+    threshold, which by Chernoff has probability ≤ exp(-(7n+256)²/
+    (2·(8n+256))) < 1e-56 — negligible at any stratum count. The
+    md5-string order ties out with the numeric fraction (fixed-width
+    lowercase hex compares lexicographically = numerically), so the
+    selected rows are bit-identical with and without the guard.
     """
     rnd = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    if prefilter:
+        counts = df.groupBy(*strata_cols).agg(
+            F.count(F.lit(1)).alias("__stratum_n")
+        )
+        frac = F.least(
+            F.lit(1.0), (F.lit(8.0 * n + 256.0) / F.col("__stratum_n"))
+        )
+        u = F.conv(F.substring(rnd, 1, 15), 16, 10).cast("double") / F.lit(
+            float(16**15)
+        )
+        df = (
+            df.join(counts, strata_cols)
+            .filter(u <= frac)
+            .drop("__stratum_n")
+        )
     w = Window.partitionBy(*strata_cols).orderBy(rnd.asc(), F.col(id_col).asc())
     return (
         df.withColumn("__r", F.row_number().over(w))

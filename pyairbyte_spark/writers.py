@@ -64,10 +64,14 @@ class TableStore:
         schema_name: str,
         *,
         merge_buckets: int | None = None,
+        merge_salt: int | None = None,
     ) -> None:
         self.spark = spark
         self.root = os.path.join(warehouse_dir, schema_name)
         self.merge_buckets = merge_buckets
+        # Optional hot-PK salting for the merge dedup window (see
+        # _dedup_latest); operators/skew.py documents the cost model.
+        self.merge_salt = merge_salt
         os.makedirs(self.root, exist_ok=True)
 
     def _bucket_expr(self, primary_keys: list[str], n_buckets: int):
@@ -207,12 +211,42 @@ class TableStore:
             self.merge_buckets if BUCKET_COL in df.columns else None,
         )
 
-    def _dedup_latest(self, incoming: DataFrame, primary_keys: list[str]) -> DataFrame:
+    def _dedup_latest(
+        self,
+        incoming: DataFrame,
+        primary_keys: list[str],
+        *,
+        salt: int | None = None,
+    ) -> DataFrame:
         # One shuffle on the PK; window + dedup ride the same partitioning.
-        w = Window.partitionBy(*primary_keys).orderBy(
+        order = [
             F.col(AB_EXTRACTED_AT_COLUMN).desc_nulls_last(),
             F.col(AB_RAW_ID_COLUMN).desc_nulls_last(),
-        )
+        ]
+        salt = salt or self.merge_salt
+        if salt and salt > 1:
+            # Hot-PK guard: a pathological key (one entity re-synced
+            # millions of times) is ONE window partition. Pre-reduce on
+            # (pk, salt) so each key reaches the exact window with at
+            # most `salt` candidates — the per-salt latest always
+            # includes the global latest, so the result is identical.
+            # The salt is a deterministic hash of the raw id: retries
+            # route rows the same way, and any routing is correct (the
+            # ORDER columns, not the salt, decide the winner).
+            w1 = Window.partitionBy(*primary_keys, "__salt").orderBy(*order)
+            incoming = (
+                incoming.withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.xxhash64(F.col(AB_RAW_ID_COLUMN).cast("string")),
+                        F.lit(salt),
+                    ),
+                )
+                .withColumn("__rn", F.row_number().over(w1))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__salt")
+            )
+        w = Window.partitionBy(*primary_keys).orderBy(*order)
         return (
             incoming.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)

@@ -69,6 +69,26 @@ def test_registered_curation_queries_have_no_global_window(spark):
         assert not plans.has_unpartitioned_window(df), key
 
 
+def test_sample_per_stratum_prefilter_in_plan(spark):
+    """The giant-stratum guard: a hash-fraction Filter (conv on the
+    md5 prefix) must sit before the rank window, fed by the
+    per-stratum count aggregate, so no task ever sorts a whole
+    stratum."""
+    from pyairbyte_spark.operators.curation import sample_per_stratum
+
+    df = spark.createDataFrame(
+        [(i % 3, i) for i in range(1000)], ["cls", "id"]
+    )
+    out = sample_per_stratum(df, ["cls"], n=5, id_col="id")
+    plan = plan_str(out, "extended")
+    assert "conv(" in plan and "__stratum_n" in plan, plan
+    # Guard off → no count join in the plan.
+    plain = sample_per_stratum(df, ["cls"], n=5, id_col="id", prefilter=False)
+    assert "__stratum_n" not in plan_str(plain, "extended")
+    # Identical output either way (superset property).
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_connected_components_plan_depth_bounded(spark):
     """Per-round localCheckpoint keeps the returned plan one round deep
     regardless of iteration count (a 33-node chain needs many rounds)."""

@@ -298,3 +298,23 @@ def test_late_records_after_complete_trace(spark, tmp_path):
     ids = sorted(r["id"] for r in cache.get_records("s"))
     assert ids == [0, 1, 2, 10, 11], ids  # late rows kept, no dupes
     assert results["s"].record_count == 5
+
+
+def test_salted_merge_matches_unsalted_on_hot_key(spark, tmp_path):
+    """Hot-PK salting pre-reduces the dedup window on (pk, salt); the
+    survivor set must be identical to the unsalted merge — the ORDER
+    columns decide the winner, the salt only routes rows."""
+    from pyairbyte_spark.cache import SparkCache
+
+    # Pathological distribution: one key carries 500 versions.
+    hot = [(1, f"v{i}") for i in range(500)] + [(k, "x") for k in range(2, 20)]
+    plain = SparkCache(spark, str(tmp_path / "plain"))
+    salted = SparkCache(spark, str(tmp_path / "salted"), merge_salt=8)
+    _sync(plain, hot)
+    _sync(salted, hot)
+    rows = lambda c: sorted(  # noqa: E731
+        (r["id"], r["v"]) for r in c.get_records("b")
+    )
+    assert rows(salted) == rows(plain)
+    # Latest version of the hot key survived (arrival order = seq).
+    assert dict(rows(salted))[1] == "v499"
