@@ -47,6 +47,14 @@ def _resolve_source(spec: str):
 
 def cmd_validate(args) -> int:
     src = _resolve_source(args.source)
+    if args.deep:
+        # Reference validate.py full flow: check → discover → prove at
+        # least one stream yields data.
+        from pyairbyte_spark.validate import full_tests
+
+        report = full_tests(src)
+        print(json.dumps(report, default=str, indent=1))
+        return 0 if report["check"] else 1
     ok = src.check()
     streams = src.get_available_streams()
     print(f"connection: {'SUCCEEDED' if ok else 'FAILED'}")
@@ -123,6 +131,11 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("validate", help="check a source and list streams")
     v.add_argument("source")
     v.add_argument("--sample", action="store_true")
+    v.add_argument(
+        "--deep",
+        action="store_true",
+        help="full check-discover-read validation (reference validate.py)",
+    )
     v.set_defaults(fn=cmd_validate)
 
     b = sub.add_parser("benchmark", help="pipeline throughput (tmp cache)")

@@ -196,6 +196,13 @@ class AirbyteStreamNotFoundError(AirbyteConnectorError):
     available_streams: list[str] | None = None
 
 
+@dataclass(kw_only=True)
+class AirbyteNoDataFromConnectorError(AirbyteConnectorError):
+    """No data was returned from the connector (reference
+    ``exceptions.py`` same-named class; raised by validate's deep read
+    when every stream yields zero records)."""
+
+
 # -- registry --------------------------------------------------------------
 
 

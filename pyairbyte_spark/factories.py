@@ -90,14 +90,14 @@ def get_source(
                 connector_name=name, context={"executable": str(local_executable)}
             )
         return ConnectorSource(
-            SubprocessHost([path]),
+            SubprocessHost([path], name=name),
             name=name,
             config=config,
             config_change_callback=config_change_callback,
         )
     if argv is not None:
         return ConnectorSource(
-            SubprocessHost(argv),
+            SubprocessHost(argv, name=name),
             name=name,
             config=config,
             config_change_callback=config_change_callback,
@@ -105,7 +105,7 @@ def get_source(
     if docker_image:
         image = f"airbyte/{name}" if docker_image is True else str(docker_image)
         return ConnectorSource(
-            SubprocessHost(["docker", "run", "--rm", "-i", image]),
+            SubprocessHost(["docker", "run", "--rm", "-i", image], name=name),
             name=name,
             config=config,
             config_change_callback=config_change_callback,
@@ -135,7 +135,7 @@ def get_source(
             guidance=f"Install the connector so an executable named '{name}' is on PATH.",
         )
     return ConnectorSource(
-        SubprocessHost([path]),
+        SubprocessHost([path], name=name),
         name=name,
         config=config,
         config_change_callback=config_change_callback,
@@ -171,7 +171,7 @@ def get_destination(
             raise exc.AirbyteConnectorExecutableNotFoundError(connector_name=name)
         argv = [path]
     return SparkDestination(
-        SubprocessHost(argv),
+        SubprocessHost(argv, name=name),
         name=name,
         config=config,
         config_change_callback=config_change_callback,

@@ -29,11 +29,32 @@ class ConnectorError(RuntimeError):
 
 
 class SubprocessHost:
-    def __init__(self, argv: list[str], *, env: dict[str, str] | None = None) -> None:
+    def __init__(
+        self,
+        argv: list[str],
+        *,
+        env: dict[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
         self.argv = argv
         self.env = env
+        # Log-file identity for this connector's stderr (reference
+        # routes connector stderr to per-connector log files,
+        # logs.py:281-330 + _executors/base.py). Lazy: no file is
+        # opened until the connector actually emits stderr.
+        self.name = name
+        self._logger = None
         self._stop = threading.Event()
         self._stderr_tail: list[str] = []
+
+    def _stderr_logger(self):
+        if self._logger is None:
+            from pyairbyte_spark.logs import new_passthrough_file_logger
+
+            self._logger = new_passthrough_file_logger(
+                self.name or Path(self.argv[-1]).stem or "connector"
+            )
+        return self._logger
 
     def stop(self) -> None:
         """Early termination (reference base.py:799-804 stop_event)."""
@@ -41,10 +62,14 @@ class SubprocessHost:
 
     def _drain_stderr(self, proc: subprocess.Popen) -> None:
         assert proc.stderr is not None
+        logger = None
         for line in proc.stderr:
             self._stderr_tail.append(line)
             if len(self._stderr_tail) > 100:
                 self._stderr_tail.pop(0)
+            if logger is None:
+                logger = self._stderr_logger()
+            logger.info(line.rstrip("\n"))
 
     def execute(
         self,
