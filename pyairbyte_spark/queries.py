@@ -1845,6 +1845,331 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H wide-join coverage (q7-q21). The testdata has no partsupp table
+# and lineitem has no commit/receipt dates, so q2/q11/q20 are not
+# expressible and q9/q16/q21 are documented variants over the columns
+# that exist; q7/q8/q10/q14 are faithful ports with the synthetic
+# nation names (NATION_0..24) substituted for the spec's.
+# ===========================================================================
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    WITH shipping AS (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(volume) AS DOUBLE) AS revenue
+    FROM shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7: bidirectional nation-pair trade volume by year; the two "
+    "nation dims join twice (supplier side + customer side), both broadcast",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(F.sum(volume).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    WITH all_sales AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_7' THEN volume
+                         ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE) AS mkt_share
+    FROM all_sales
+    GROUP BY o_year
+    """,
+    "TPC-H Q8: one nation's market share inside a region/part-type "
+    "segment — 8-table join, conditional aggregate ratio",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    volume = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    zero = F.lit(0).cast("decimal(15,2)")
+    sales = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"),
+            "nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume")).otherwise(zero))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    """
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    """,
+    "TPC-H Q9 variant (no partsupp table in the testdata, so profit "
+    "omits the supplycost term): revenue on a part segment by supplier "
+    "nation and order year",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = t(spark, sf_dir, "supplier")
+    orders = t(spark, sf_dir, "orders")
+    nation = t(spark, sf_dir, "nation")
+    amount = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10: top-20 customers by returned-item revenue in a quarter; "
+    "top-k compiles to TakeOrderedAndProject, no global sort",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_effect",
+    """
+    SELECT CAST(100.0 AS DOUBLE)
+           * CAST(sum(CASE WHEN p_type = 'PROMO'
+                      THEN CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      ELSE CAST(0 AS DECIMAL(15,2)) END) AS DOUBLE)
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+           AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+    "TPC-H Q14: promo revenue share in one month — conditional "
+    "aggregate ratio over a broadcast part join",
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    revenue = _dec("l_extendedprice") * (1 - _dec("l_discount", "4,2"))
+    zero = F.lit(0).cast("decimal(15,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", revenue).otherwise(zero)
+                ).cast("double")
+                / F.sum(revenue).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q16_parts_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    "TPC-H Q16 variant (no partsupp table: the part-supplier "
+    "association comes from shipped lineitems): distinct suppliers per "
+    "excluded-brand part segment",
+)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_slowest_shipper",
+    """
+    WITH per_order AS (
+      SELECT l_orderkey AS ok, max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem
+    JOIN per_order ON l_orderkey = ok AND l_shipdate = max_ship
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE n_supp > 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+    "TPC-H Q21 variant (lineitem has no commit/receipt dates: 'kept "
+    "the order waiting' = shipped last in a multi-supplier order): "
+    "self-join against per-order aggregates, top-10 suppliers",
+)
+def q21_slowest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_supp"),
+    )
+    return (
+        li.join(
+            per_order,
+            (li.l_orderkey == per_order.ok) & (li.l_shipdate == per_order.max_ship),
+        )
+        .filter(F.col("n_supp") > 1)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+# ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
 
