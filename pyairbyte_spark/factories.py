@@ -29,7 +29,7 @@ from pyairbyte_spark.sources.connector import ConnectorSource
 from pyairbyte_spark.sources.declarative import DeclarativeSource
 from pyairbyte_spark.sources.faker import SourceFaker
 from pyairbyte_spark.sources.fixture import SourceTestFixture
-from pyairbyte_spark.sources.subprocess_host import SubprocessHost
+from pyairbyte_spark.sources.subprocess_host import DockerHost, SubprocessHost
 
 DEFAULT_CACHE_ROOT = ".cache"
 
@@ -105,7 +105,7 @@ def get_source(
     if docker_image:
         image = f"airbyte/{name}" if docker_image is True else str(docker_image)
         return ConnectorSource(
-            SubprocessHost(["docker", "run", "--rm", "-i", image], name=name),
+            DockerHost(image, name=name),
             name=name,
             config=config,
             config_change_callback=config_change_callback,
@@ -164,7 +164,12 @@ def get_destination(
         argv = [path]
     elif docker_image:
         image = f"airbyte/{name}" if docker_image is True else str(docker_image)
-        argv = ["docker", "run", "--rm", "-i", image]
+        return SparkDestination(
+            DockerHost(image, name=name),
+            name=name,
+            config=config,
+            config_change_callback=config_change_callback,
+        )
     elif argv is None:
         path = shutil.which(name)
         if path is None:

@@ -115,6 +115,194 @@ def fingerprint_rolling_expr(col: Column | str) -> Column:
     )
 
 
+# ---------------------------------------------------------------------------
+# Repetition / quality filters in the style of the published Gopher
+# rules (Rae et al. 2021, "Scaling Language Models", appendix A1.1) and
+# C4 heuristics. All JVM expression trees — per-row maps, no shuffle.
+# The top-n-gram signal is O(distinct_grams * grams) per document,
+# which is bounded by document length, not corpus size — linear at
+# corpus scale.
+# ---------------------------------------------------------------------------
+
+# Published Gopher-rule thresholds (public paper values).
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_fraction": 0.8,
+    "max_bullet_line_fraction": 0.9,
+    "max_ellipsis_line_fraction": 0.3,
+    "max_dup_line_fraction": 0.3,
+    "max_dup_paragraph_fraction": 0.3,
+    "max_top_2gram_fraction": 0.2,
+}
+
+
+def lines_expr(col: Column | str) -> Column:
+    """Non-empty trimmed lines of a document."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.transform(F.split(c, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: F.length(ln) > 0,
+    )
+
+
+def _dup_fraction(items: Column) -> Column:
+    n = F.size(items)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(items))) / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def dup_line_fraction_expr(col: Column | str) -> Column:
+    """Fraction of non-empty lines that are duplicates of an earlier line."""
+    return _dup_fraction(lines_expr(col))
+
+
+def dup_paragraph_fraction_expr(col: Column | str) -> Column:
+    """Like :func:`dup_line_fraction_expr` over blank-line-separated paragraphs."""
+    c = F.col(col) if isinstance(col, str) else col
+    paras = F.filter(
+        F.transform(F.split(c, r"\n\s*\n"), lambda p: F.trim(p)),
+        lambda p: F.length(p) > 0,
+    )
+    return _dup_fraction(paras)
+
+
+def ngrams_expr(col: Column | str, n: int) -> Column:
+    """Token n-grams as space-joined strings (empty array when the
+    document has fewer than ``n`` tokens — NB Spark's ``sequence(1, 0)``
+    counts *down* to ``[1, 0]``, hence the explicit guard)."""
+    toks = tokens_expr(col)
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def top_ngram_fraction_expr(col: Column | str, n: int = 2) -> Column:
+    """Fraction of all token n-grams taken by the single most frequent
+    one — the Gopher repetition signal (high = boilerplate loops)."""
+    grams = ngrams_expr(col, n)
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(
+        F.size(grams) > 0,
+        F.array_max(counts) / F.size(grams).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def mean_word_length_expr(col: Column | str) -> Column:
+    toks = tokens_expr(col)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return F.when(
+        F.size(toks) > 0, total / F.size(toks).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def alpha_word_fraction_expr(col: Column | str) -> Column:
+    """Fraction of words containing at least one alphabetic character."""
+    toks = tokens_expr(col)
+    hits = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def symbol_word_ratio_expr(col: Column | str) -> Column:
+    """Hash marks + ellipses per word (Gopher symbol-to-word ratio)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_sym = F.regexp_count(c, F.lit(r"#|\.\.\.|…"))
+    return n_sym / F.greatest(F.size(tokens_expr(c)), F.lit(1)).cast("double")
+
+
+def bullet_line_fraction_expr(col: Column | str) -> Column:
+    lns = lines_expr(col)
+    hits = F.size(F.filter(lns, lambda ln: ln.rlike(r"^[-*•]")))
+    return F.when(
+        F.size(lns) > 0, hits / F.size(lns).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def ellipsis_line_fraction_expr(col: Column | str) -> Column:
+    lns = lines_expr(col)
+    hits = F.size(F.filter(lns, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+    return F.when(
+        F.size(lns) > 0, hits / F.size(lns).cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All Gopher repetition/quality signals plus the composite
+    ``gopher_keep`` flag at the published thresholds — one per-row
+    projection, no shuffle."""
+    th = GOPHER_THRESHOLDS
+    sig = df.select(
+        "*",
+        token_count_expr(text_col).alias("n_words"),
+        F.round(mean_word_length_expr(text_col), 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio_expr(text_col), 6).alias("symbol_word_ratio"),
+        F.round(alpha_word_fraction_expr(text_col), 6).alias("alpha_word_frac"),
+        F.round(bullet_line_fraction_expr(text_col), 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_fraction_expr(text_col), 6).alias("ellipsis_line_frac"),
+        F.round(dup_line_fraction_expr(text_col), 6).alias("dup_line_frac"),
+        F.round(dup_paragraph_fraction_expr(text_col), 6).alias("dup_para_frac"),
+        F.round(top_ngram_fraction_expr(text_col, 2), 6).alias("top_2gram_frac"),
+    )
+    keep = (
+        (F.col("n_words") >= th["min_words"])
+        & (F.col("n_words") <= th["max_words"])
+        & (F.col("mean_word_len") >= th["min_mean_word_len"])
+        & (F.col("mean_word_len") <= th["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
+        & (F.col("alpha_word_frac") >= th["min_alpha_word_fraction"])
+        & (F.col("bullet_line_frac") <= th["max_bullet_line_fraction"])
+        & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_fraction"])
+        & (F.col("dup_line_frac") <= th["max_dup_line_fraction"])
+        & (F.col("dup_para_frac") <= th["max_dup_paragraph_fraction"])
+        & (F.col("top_2gram_frac") <= th["max_top_2gram_fraction"])
+    )
+    return sig.withColumn("gopher_keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: chained JVM regexp_replace — no UDF, no shuffle.
+# Patterns are deliberately RE2-compatible (no lookaround) so the same
+# regex runs unchanged in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}([-. ][0-9]{3,4})?\b", "<PHONE>"),
+]
+
+
+def redact_pii_expr(col: Column | str) -> Column:
+    """Replace emails / SSNs / IPv4s / phone numbers with typed tokens.
+    Pattern order matters: SSN before IPv4-ish digit runs, phone last."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, token)
+    return c
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document count of each PII pattern plus the redacted text."""
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return df.select("*", *cols, redact_pii_expr(text_col).alias("redacted"))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-pass text-analysis projection over a documents table."""
     return df.select(

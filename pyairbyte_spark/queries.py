@@ -944,6 +944,46 @@ def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_first_seen",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    "STRUCTURED STREAMING cross-batch dedup: keyed state via "
+    "applyInPandasWithState keeps one row per (user, event_type) digest "
+    "across micro-batches (O(distinct keys) state); the post-sink count "
+    "is arrival-order independent, so the batch oracle is exact",
+)
+def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from pyairbyte_spark.streaming.windowed import streaming_dedup
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _tempfile.mkdtemp(prefix="stream_dedup_")
+    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    deduped = streaming_dedup(stream, digest_cols=["user_id", "event_type"])
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+@register(
     "dedup_exact_groups",
     f"""
     SELECT md5({_NORM_TEXT_DUCK}) AS digest, count(*) AS n_docs,
@@ -2166,6 +2206,235 @@ def q21_slowest_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(10)
+    )
+
+
+# ===========================================================================
+# Training-data curation filters: Gopher-style repetition/quality
+# rules, PII redaction, benchmark-contamination, cluster
+# representatives. All per-row JVM expression trees except the
+# contamination semi-join (broadcast) and the representative pick
+# (reuses the LSH candidate graph).
+# ===========================================================================
+
+_LINES_DUCK = (
+    "list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), "
+    "l -> length(l) > 0)"
+)
+_PARAS_DUCK = (
+    r"list_filter(list_transform(string_split_regex(text, '\n\s*\n'), "
+    "p -> trim(p)), p -> length(p) > 0)"
+)
+_GRAMS2_DUCK = (
+    f"list_transform(generate_series(1, len({_TOKS_DUCK}) - 1), "
+    f"i -> array_to_string(({_TOKS_DUCK})[i:i+1], ' '))"
+)
+
+
+@register(
+    "text_gopher_quality",
+    rf"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_words,
+             round(CASE WHEN len({_TOKS_DUCK}) > 0
+               THEN list_sum(list_transform({_TOKS_DUCK}, t -> length(t)))
+                    / CAST(len({_TOKS_DUCK}) AS DOUBLE)
+               ELSE 0.0 END, 6) AS mean_word_len,
+             round(len(regexp_extract_all(text, '#|\.\.\.|…'))
+                   / CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE), 6)
+               AS symbol_word_ratio,
+             round(len(list_filter({_TOKS_DUCK}, t -> regexp_matches(t, '[A-Za-z]')))
+                   / CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE), 6)
+               AS alpha_word_frac,
+             round(CASE WHEN len({_LINES_DUCK}) > 0
+               THEN len(list_filter({_LINES_DUCK}, l -> regexp_matches(l, '^[-*•]')))
+                    / CAST(len({_LINES_DUCK}) AS DOUBLE)
+               ELSE 0.0 END, 6) AS bullet_line_frac,
+             round(CASE WHEN len({_LINES_DUCK}) > 0
+               THEN len(list_filter({_LINES_DUCK}, l -> regexp_matches(l, '(\.\.\.|…)$')))
+                    / CAST(len({_LINES_DUCK}) AS DOUBLE)
+               ELSE 0.0 END, 6) AS ellipsis_line_frac,
+             round(CASE WHEN len({_LINES_DUCK}) > 0
+               THEN (len({_LINES_DUCK}) - len(list_distinct({_LINES_DUCK})))
+                    / CAST(len({_LINES_DUCK}) AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+             round(CASE WHEN len({_PARAS_DUCK}) > 0
+               THEN (len({_PARAS_DUCK}) - len(list_distinct({_PARAS_DUCK})))
+                    / CAST(len({_PARAS_DUCK}) AS DOUBLE)
+               ELSE 0.0 END, 6) AS dup_para_frac,
+             round(CASE WHEN len({_GRAMS2_DUCK}) > 0
+               THEN list_max(list_transform(list_distinct({_GRAMS2_DUCK}),
+                      g -> len(list_filter({_GRAMS2_DUCK}, x -> x = g))))
+                    / CAST(len({_GRAMS2_DUCK}) AS DOUBLE)
+               ELSE 0.0 END, 6) AS top_2gram_frac
+      FROM documents
+    )
+    SELECT *,
+           (n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_word_ratio <= 0.1
+            AND alpha_word_frac >= 0.8
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND dup_line_frac <= 0.3
+            AND dup_para_frac <= 0.3
+            AND top_2gram_frac <= 0.2) AS gopher_keep
+    FROM sig
+    """,
+    "Gopher-rule repetition/quality signals (Rae et al. 2021 A1.1) + "
+    "composite keep flag — one per-row projection, no shuffle",
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.gopher_signals(docs, "text").drop("text")
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+def _pii_oracle_sql() -> str:
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in text.PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, token in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    return f"""
+    SELECT doc_id, {counts}, md5({red}) AS redacted_md5
+    FROM documents
+    """
+
+
+@register(
+    "text_pii_redaction",
+    _pii_oracle_sql(),
+    "PII scrub: chained regexp_replace (email/SSN/IP/phone -> typed "
+    "tokens), RE2-safe patterns shared verbatim with the oracle",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = text.pii_counts(docs, "text")
+    return out.select(
+        "doc_id",
+        *[F.col(f"n_{name}").cast("long").alias(f"n_{name}") for name, _, _ in text.PII_PATTERNS],
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@register(
+    "contamination_check",
+    rf"""
+    -- Benchmark contamination: 5-gram shingle overlap of every corpus
+    -- document against a held-out "benchmark" doc set (doc_id % 50 = 0).
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(tk) - 4),
+                      i -> array_to_string(tk[i:i+4], ' '))) AS s
+        FROM toks
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, s FROM shingles WHERE doc_id % 50 <> 0),
+    totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hit
+      FROM corpus c JOIN bench b ON c.s = b.s
+      GROUP BY c.doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+           round(coalesce(h.n_hit, 0) / CAST(t.n_shingles AS DOUBLE), 6)
+             AS overlap_frac
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """,
+    "Train/test contamination scan: distinct 5-gram shingles per corpus "
+    "doc vs the benchmark shingle set — benchmark side broadcast, one "
+    "groupBy per side; scales as a map-side bloom/semi-join would",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = (
+        docs.select("doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s"))
+        .distinct()
+    )
+    bench = shingles.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    corpus = shingles.filter(F.col("doc_id") % 50 != 0)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            / F.col("n_shingles").cast("double"),
+            6,
+        ).alias("overlap_frac"),
+    )
+
+
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    -- Keep ONE document per near-dup cluster: the longest (n_chars
+    -- desc, doc_id asc) member of each LSH connected component.
+    WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+    und AS (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach(node, label) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT e.a, r.label FROM und e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.component, c.node AS doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, c.node ASC) AS rk,
+             count(*) OVER (PARTITION BY c.component) AS n_docs
+      FROM comp c JOIN documents d ON c.node = d.doc_id
+    )
+    SELECT CAST(component AS BIGINT) AS component,
+           CAST(doc_id AS BIGINT) AS rep_doc_id,
+           CAST(n_docs AS BIGINT) AS n_docs
+    FROM ranked WHERE rk = 1
+    """,
+    "Cluster-representative selection: LSH pairs -> connected "
+    "components -> keep the longest member per cluster (the standard "
+    "near-dup 'keep one' step); per-component window, keys are "
+    "cluster-sized",
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(docs, "text", "doc_id")
+    cc = dedup.connected_components(pairs)
+    ranked = cc.join(docs.select("doc_id", "n_chars"), cc.node == F.col("doc_id"))
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.select(
+            "component",
+            "doc_id",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("component")).alias("n_docs"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("component").cast("long").alias("component"),
+            F.col("doc_id").cast("long").alias("rep_doc_id"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+        )
     )
 
 

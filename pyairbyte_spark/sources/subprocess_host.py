@@ -60,6 +60,11 @@ class SubprocessHost:
         """Early termination (reference base.py:799-804 stop_event)."""
         self._stop.set()
 
+    def build_argv(self, args: list[str]) -> list[str]:
+        """Full command line for one invocation — the launch-method
+        seam (docker rewrites file args, see :class:`DockerHost`)."""
+        return self.argv + args
+
     def _drain_stderr(self, proc: subprocess.Popen) -> None:
         assert proc.stderr is not None
         logger = None
@@ -84,7 +89,7 @@ class SubprocessHost:
         shape, §3.3).
         """
         proc = subprocess.Popen(
-            self.argv + args,
+            self.build_argv(args),
             stdin=subprocess.PIPE if stdin_lines is not None else subprocess.DEVNULL,
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
@@ -186,3 +191,49 @@ class SubprocessHost:
             yield from self.execute(args)
         finally:
             td.cleanup()
+
+
+class DockerHost(SubprocessHost):
+    """Docker launch method (reference ``_executors/docker.py:21-100``).
+
+    Local file arguments (``--config``/``--catalog``/``--state`` temp
+    files) are invisible inside the container, so each one's parent
+    directory is volume-mounted read-only under :attr:`MOUNT_ROOT` and
+    the argument rewritten to the in-container path — the reference's
+    ``-v`` mapping. The binary is overridable (``docker_bin`` /
+    ``$AIRBYTE_DOCKER_BIN``) so the path is testable without a daemon.
+    """
+
+    MOUNT_ROOT = "/airbyte/mnt"
+
+    def __init__(
+        self,
+        image: str,
+        *,
+        docker_bin: str | None = None,
+        env: dict[str, str] | None = None,
+        name: str | None = None,
+    ) -> None:
+        import os
+
+        binary = docker_bin or os.environ.get("AIRBYTE_DOCKER_BIN", "docker")
+        super().__init__([binary, "run", "--rm", "-i"], env=env, name=name)
+        self.image = image
+
+    def build_argv(self, args: list[str]) -> list[str]:
+        mounts: list[str] = []
+        rewritten: list[str] = []
+        mounted: dict[str, str] = {}
+        for a in args:
+            p = Path(a)
+            if not a.startswith("-") and p.is_file():
+                host_dir = str(p.parent.resolve())
+                cdir = mounted.get(host_dir)
+                if cdir is None:
+                    cdir = f"{self.MOUNT_ROOT}/{len(mounted)}"
+                    mounted[host_dir] = cdir
+                    mounts += ["-v", f"{host_dir}:{cdir}:ro"]
+                rewritten.append(f"{cdir}/{p.name}")
+            else:
+                rewritten.append(a)
+        return self.argv + mounts + [self.image] + rewritten

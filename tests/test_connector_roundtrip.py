@@ -207,3 +207,72 @@ def test_streaming_reverse_etl(spark, connector, tmp_path, cache):
     # second run, same checkpoint: no new data, epoch marker unchanged
     run()
     assert int(epoch_file.read_text()) == committed_after_first
+
+
+FAKE_DOCKER = textwrap.dedent(
+    """\
+    #!/usr/bin/env python3
+    # Daemon-less docker stand-in: parses `run --rm -i [-v h:c:ro]...
+    # image args...`, maps container paths back to the mounted host
+    # dirs, and execs the connector script given by $FAKE_CONNECTOR.
+    import os, subprocess, sys
+    args = sys.argv[1:]
+    assert args and args[0] == "run", args
+    args = args[1:]
+    mounts = {}
+    while args and (args[0] in ("--rm", "-i") or args[0] == "-v"):
+        if args[0] == "-v":
+            host, cont = args[1].split(":")[:2]
+            mounts[cont] = host
+            args = args[2:]
+        else:
+            args = args[1:]
+    image, rest = args[0], args[1:]
+    assert image.startswith("airbyte/"), image
+
+    def tr(a):
+        for cont, host in mounts.items():
+            if a.startswith(cont + "/"):
+                return host + a[len(cont):]
+        return a
+
+    cmd = [sys.executable, os.environ["FAKE_CONNECTOR"]] + [tr(a) for a in rest]
+    sys.exit(subprocess.call(cmd))
+    """
+)
+
+
+def test_docker_host_mounts_and_rewrites_file_args(tmp_path):
+    from pyairbyte_spark.sources.subprocess_host import DockerHost
+
+    cfg = tmp_path / "config.json"
+    cfg.write_text("{}")
+    host = DockerHost("airbyte/source-x", docker_bin="docker")
+    argv = host.build_argv(["check", "--config", str(cfg)])
+    assert argv[:4] == ["docker", "run", "--rm", "-i"]
+    mount = f"{tmp_path.resolve()}:/airbyte/mnt/0:ro"
+    assert argv[4:6] == ["-v", mount]
+    assert argv[6:] == ["airbyte/source-x", "check", "--config",
+                        "/airbyte/mnt/0/config.json"]
+    # non-file args and missing paths pass through untouched
+    assert host.build_argv(["spec"])[-2:] == ["airbyte/source-x", "spec"]
+
+
+def test_docker_source_end_to_end_via_fake_daemon(tmp_path, cache, monkeypatch):
+    import os
+
+    from pyairbyte_spark.factories import get_source
+
+    script = tmp_path / "fake_connector.py"
+    script.write_text(CONNECTOR_SCRIPT)
+    docker = tmp_path / "docker"
+    docker.write_text(FAKE_DOCKER)
+    docker.chmod(0o755)
+    monkeypatch.setenv("AIRBYTE_DOCKER_BIN", str(docker))
+    monkeypatch.setenv("FAKE_CONNECTOR", str(script))
+
+    src = get_source("source-dockerized", config={"k": "v"}, docker_image=True)
+    assert src.check()
+    assert src.get_available_streams() == ["items"]
+    res = src.read(cache, write_strategy="auto")
+    assert res.record_counts.get("items", 0) > 0

@@ -307,3 +307,48 @@ def test_connected_components_clusters_pairs(spark):
     cc = {r["node"]: r["component"] for r in dedup.connected_components(pairs).collect()}
     # {1,2,3,10} -> 1 ; {7,8} -> 7
     assert cc == {1: 1, 2: 1, 3: 1, 10: 1, 7: 7, 8: 7}
+
+
+def test_gopher_signals_flag_degenerate_docs(spark):
+    good = " ".join(
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(20)
+    )  # 100 distinct alpha words, all bigrams unique
+    loopy = "spam ham " * 60  # one 2-gram dominates
+    dup_lines = "\n".join(["a good line of text here now"] * 10)
+    symbols = " ".join(["###"] * 60)
+    df = spark.createDataFrame(
+        [(1, good), (2, loopy), (3, dup_lines), (4, symbols), (5, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.gopher_signals(df).collect()}
+    assert out[1]["gopher_keep"] is True
+    assert out[2]["top_2gram_frac"] > 0.4 and out[2]["gopher_keep"] is False
+    assert out[3]["dup_line_frac"] == 0.9 and out[3]["gopher_keep"] is False
+    assert out[4]["symbol_word_ratio"] > 0.1 and out[4]["gopher_keep"] is False
+    # split("") yields [""] so the empty doc counts one pseudo-token;
+    # it is rejected by the min-word rule either way
+    assert out[5]["n_words"] <= 1 and out[5]["gopher_keep"] is False
+
+
+def test_ngrams_guard_short_docs(spark):
+    df = spark.createDataFrame([("one",), ("one two",), ("",)], ["text"])
+    rows = df.select(text.ngrams_expr("text", 2).alias("g")).collect()
+    assert [r["g"] for r in rows] == [[], ["one two"], []]
+
+
+def test_pii_redaction_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@example.co.uk now"),
+            (2, "ssn 123-45-6789 ip 10.0.255.1"),
+            (3, "call +1-555-867-5309 or 555 123 4567"),
+            (4, "clean text, no pii at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in text.pii_counts(df).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now" and out[1]["n_email"] == 1
+    assert out[2]["redacted"] == "ssn <SSN> ip <IP>"
+    assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
+    assert "<PHONE>" in out[3]["redacted"] and out[3]["n_phone"] == 2
+    assert out[4]["redacted"] == out[4]["text"]
