@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "text_fingerprint",
     "text_quality",
+    "text_gopher_quality",
+    "text_pii_redaction",
+    "contamination_check",
+    "dedup_cluster_representatives",
+    "q7_volume_shipping",
+    "q10_returned_items",
     "q13_customer_order_histogram",
     "sample_per_stratum_orders",
     "pack_token_bins_docs",

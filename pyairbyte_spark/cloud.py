@@ -143,7 +143,9 @@ class FakeCloudTransport:
 # -- destination → cache seam ------------------------------------------------
 
 
-def destination_to_cache(destination_configuration: dict[str, Any]):
+def destination_to_cache(
+    destination_configuration: dict[str, Any], *, table_prefix: str = ""
+):
     """Map a destination's configuration to a cache over its data
     (reference ``cloud/sync_results.py:421-428`` →
     ``destinations/_translate_dest_to_cache.py``).
@@ -165,7 +167,9 @@ def destination_to_cache(destination_configuration: dict[str, Any]):
             context={"keys": sorted(destination_configuration)},
         )
     schema = destination_configuration.get("schema_name", "airbyte_raw")
-    return SparkCache(get_spark(), str(path), schema_name=schema)
+    return SparkCache(
+        get_spark(), str(path), schema_name=schema, table_prefix=table_prefix
+    )
 
 
 # -- object model ------------------------------------------------------------
@@ -345,12 +349,17 @@ class SyncResult:
 
     def get_sql_cache(self):
         if self._cache is None:
-            self._cache = destination_to_cache(self._get_destination_configuration())
+            # The cache itself carries the connection's table prefix so
+            # get_dataset/streams resolve prefixed on-disk tables from
+            # bare stream names (reference sync_results.py:421-434).
+            self._cache = destination_to_cache(
+                self._get_destination_configuration(),
+                table_prefix=self.connection.table_prefix,
+            )
         return self._cache
 
     def get_sql_table_name(self, stream_name: str) -> str:
-        prefix = self.connection.table_prefix
-        return f"{prefix}{self.get_sql_cache().table_name(stream_name)}"
+        return self.get_sql_cache().table_name(stream_name)
 
     def get_dataset(self, stream_name: str):
         """The synced stream as a CachedDataset (reference

@@ -100,7 +100,12 @@ class LocalToolHost:
                 return get_source(spec, config=config)
             except exc.PyAirbyteError:
                 pass
-        return _resolve_source(spec)  # argv string
+        src = _resolve_source(spec)  # argv string / registry fallback
+        if config:
+            # Same merge the faker/fixture/manifest branch does — the
+            # caller's config must reach argv-launched connectors too.
+            src.config = {**getattr(src, "config", {}), **config}
+        return src
 
 
 # -- tool registry -----------------------------------------------------------

@@ -53,6 +53,16 @@ def sample_per_stratum(
         counts = df.groupBy(*strata_cols).agg(
             F.count(F.lit(1)).alias("__stratum_n")
         )
+        # Null-safe join: Window.partitionBy treats NULL as a regular
+        # stratum, so the count join must too — a plain equi-join would
+        # silently drop every NULL-keyed row before the window.
+        counts = counts.select(
+            *[F.col(c).alias(f"__s_{c}") for c in strata_cols], "__stratum_n"
+        )
+        cond = None
+        for c in strata_cols:
+            eq = df[c].eqNullSafe(F.col(f"__s_{c}"))
+            cond = eq if cond is None else (cond & eq)
         frac = F.least(
             F.lit(1.0), (F.lit(8.0 * n + 256.0) / F.col("__stratum_n"))
         )
@@ -60,9 +70,9 @@ def sample_per_stratum(
             float(16**15)
         )
         df = (
-            df.join(counts, strata_cols)
+            df.join(counts, cond)
             .filter(u <= frac)
-            .drop("__stratum_n")
+            .drop("__stratum_n", *[f"__s_{c}" for c in strata_cols])
         )
     w = Window.partitionBy(*strata_cols).orderBy(rnd.asc(), F.col(id_col).asc())
     return (

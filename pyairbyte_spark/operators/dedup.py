@@ -344,6 +344,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    ckpt_prev = labels  # materializes during round 1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
@@ -364,10 +365,36 @@ def connected_components(
         changed = (
             stepped.filter(F.col("label") != F.col("__old")).limit(1).count()
         )
+        # The new round is materialized; the superseded round's blocks
+        # can go NOW — the ContextCleaner would only reclaim them at
+        # driver-GC time, so long sessions (oracle sweeps, repeated
+        # clustering calls) would otherwise pile up one block set per
+        # round in executor storage.
+        _release_local_checkpoint(ckpt_prev)
+        ckpt_prev = stepped
         labels = stepped.select("node", "label")
         if changed == 0:
             break
+    # The result derives from the final (kept) checkpoint only; the
+    # edge blocks are no longer reachable from it.
+    _release_local_checkpoint(edges)
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly free a ``localCheckpoint``'s storage blocks.
+
+    ``DataFrame.unpersist`` only consults the cache manager and is a
+    no-op for checkpointed frames; their blocks normally live until the
+    driver garbage-collects the RDD handle. Best-effort: falls back to
+    GC-time cleanup if the internal plan shape ever changes.
+    """
+    try:
+        plan = df._jdf.queryExecution().logical()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - cleanup must never fail the job
+        pass
 
 
 # -- n-gram Jaccard ---------------------------------------------------------

@@ -186,15 +186,29 @@ def ngrams_expr(col: Column | str, n: int) -> Column:
 
 def top_ngram_fraction_expr(col: Column | str, n: int = 2) -> Column:
     """Fraction of all token n-grams taken by the single most frequent
-    one — the Gopher repetition signal (high = boilerplate loops)."""
+    one — the Gopher repetition signal (high = boilerplate loops).
+
+    The max count of any gram equals the max run length in the SORTED
+    gram array, so this folds once over ``array_sort(grams)`` —
+    O(len log len) per document instead of the naive
+    O(distinct * len) all-pairs count, which matters for long documents.
+    """
     grams = ngrams_expr(col, n)
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
     )
+
+    def merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(F.array_sort(grams), acc0, merge, lambda acc: acc["best"])
     return F.when(
-        F.size(grams) > 0,
-        F.array_max(counts) / F.size(grams).cast("double"),
+        F.size(grams) > 0, best / F.size(grams).cast("double")
     ).otherwise(F.lit(0.0))
 
 
@@ -240,21 +254,81 @@ def ellipsis_line_fraction_expr(col: Column | str) -> Column:
 
 def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """All Gopher repetition/quality signals plus the composite
-    ``gopher_keep`` flag at the published thresholds — one per-row
-    projection, no shuffle."""
+    ``gopher_keep`` flag at the published thresholds — per-row only,
+    no shuffle.
+
+    Tokenization and line-splitting happen ONCE per row behind
+    explicit projection boundaries (the :func:`shingles_df` pattern:
+    HOF lambdas are interpreted and CSE does not reach inside them, so
+    inlining ``split(text)`` into each of the ~7 signal expressions
+    would re-tokenize every document ~7 times)."""
     th = GOPHER_THRESHOLDS
-    sig = df.select(
+    pre = df.select(
         "*",
-        token_count_expr(text_col).alias("n_words"),
-        F.round(mean_word_length_expr(text_col), 6).alias("mean_word_len"),
-        F.round(symbol_word_ratio_expr(text_col), 6).alias("symbol_word_ratio"),
-        F.round(alpha_word_fraction_expr(text_col), 6).alias("alpha_word_frac"),
-        F.round(bullet_line_fraction_expr(text_col), 6).alias("bullet_line_frac"),
-        F.round(ellipsis_line_fraction_expr(text_col), 6).alias("ellipsis_line_frac"),
-        F.round(dup_line_fraction_expr(text_col), 6).alias("dup_line_frac"),
-        F.round(dup_paragraph_fraction_expr(text_col), 6).alias("dup_para_frac"),
-        F.round(top_ngram_fraction_expr(text_col, 2), 6).alias("top_2gram_frac"),
+        tokens_expr(text_col).alias("__toks"),
+        lines_expr(text_col).alias("__lines"),
     )
+    toks, lns = F.col("__toks"), F.col("__lines")
+    m = F.size(toks) - F.lit(1)
+    grams2 = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pre = pre.withColumn("__grams2", grams2)
+    grams = F.col("__grams2")
+
+    n_words = F.size(toks)
+    total_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    mean_len = F.when(
+        n_words > 0, total_len / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_sym = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…"))
+    sym_ratio = n_sym / F.greatest(n_words, F.lit(1)).cast("double")
+    alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1)).cast("double")
+    bullet = F.when(
+        F.size(lns) > 0,
+        F.size(F.filter(lns, lambda ln: ln.rlike(r"^[-*•]")))
+        / F.size(lns).cast("double"),
+    ).otherwise(F.lit(0.0))
+    ellip = F.when(
+        F.size(lns) > 0,
+        F.size(F.filter(lns, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
+        / F.size(lns).cast("double"),
+    ).otherwise(F.lit(0.0))
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    best = F.aggregate(F.array_sort(grams), acc0, merge, lambda acc: acc["best"])
+    top2 = F.when(
+        F.size(grams) > 0, best / F.size(grams).cast("double")
+    ).otherwise(F.lit(0.0))
+
+    sig = pre.select(
+        "*",
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha, 6).alias("alpha_word_frac"),
+        F.round(bullet, 6).alias("bullet_line_frac"),
+        F.round(ellip, 6).alias("ellipsis_line_frac"),
+        F.round(_dup_fraction(lns), 6).alias("dup_line_frac"),
+        F.round(dup_paragraph_fraction_expr(text_col), 6).alias("dup_para_frac"),
+        F.round(top2, 6).alias("top_2gram_frac"),
+    ).drop("__toks", "__lines", "__grams2")
     keep = (
         (F.col("n_words") >= th["min_words"])
         & (F.col("n_words") <= th["max_words"])

@@ -53,7 +53,11 @@ from pyairbyte_spark.names import LowerCaseNormalizer
 _MISSING = object()
 from pyairbyte_spark.records import conform_to_schema, with_metadata_columns
 from pyairbyte_spark.state import PendingStateBuffer, StateArtifact, StateWriterBase
-from pyairbyte_spark.strategies import WriteStrategy, resolve_write_method
+from pyairbyte_spark.strategies import (
+    WriteMethod,
+    WriteStrategy,
+    resolve_write_method,
+)
 from pyairbyte_spark.types import json_schema_to_struct
 
 
@@ -274,6 +278,13 @@ class MessageStreamProcessor:
                 has_primary_keys=bool(spec.primary_keys),
                 has_cursor=bool(spec.cursor_field),
             )
+            if stream_key in self.results and method == WriteMethod.REPLACE:
+                # Re-finalize (second COMPLETE trace / late records at
+                # end of stream): the first finalize already REPLACEd
+                # the table with the earlier batches, so replacing
+                # again with ONLY the new batch files would delete
+                # those committed rows. Late batches append.
+                method = WriteMethod.APPEND
             self.cache.write_dataframe(
                 df, stream_key, method, spec.normalized_primary_keys
             )

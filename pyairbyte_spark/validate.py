@@ -41,6 +41,11 @@ def full_tests(
     """
     report: dict[str, Any] = {"check": None, "streams": [], "read_stream": None}
     report["check"] = bool(source.check())
+    if not report["check"]:
+        # A failed connection check is the finding — probing streams
+        # anyway would surface as a misleading "no data from
+        # connector" error instead of the actual check failure.
+        return report
     streams = source.get_available_streams()
     report["streams"] = streams
     errors: dict[str, str] = {}

@@ -196,7 +196,17 @@ class TableStore:
                 n_buckets = None  # never mix bucketed + unbucketed files
         df = self._with_bucket(df, primary_keys, n_buckets)
         self._writer(df).mode("append").parquet(self.table_path(table_name))
-        if BUCKET_COL in df.columns and self._persisted_buckets(table_name) is None:
+        if (
+            BUCKET_COL in df.columns
+            and not exists
+            and self._persisted_buckets(table_name) is None
+        ):
+            # Stamp only tables THIS write created: for a pre-metadata
+            # bucketed table the existing files' hash N is unknown, and
+            # stamping the store's current N would wrongly unlock the
+            # incremental merge path (stale rows under the old hashing
+            # would never be overwritten). Unstamped tables keep taking
+            # the full-rewrite merge, which re-buckets and then stamps.
             self._write_bucket_meta(table_name, n_buckets)
 
     def write_replace(

@@ -159,3 +159,37 @@ def test_http_transport_round_trip():
         assert res.get_job_status() == "succeeded"
     finally:
         server.shutdown()
+
+
+def test_sync_result_applies_table_prefix(spark, tmp_path):
+    """A connection's table prefix must reach the dataset surface:
+    get_dataset('users') on a connection with prefix 'pfx_' opens the
+    on-disk table 'pfx_users' (reference sync_results.py:421-447)."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.datasets import CachedDataset
+    from pyairbyte_spark.sources import SourceFaker
+
+    wh = tmp_path / "dest_wh"
+    cache = SparkCache(spark, str(wh), table_prefix="pfx_")
+    SourceFaker(seed=7, count=20).read(cache, write_strategy="auto")
+
+    transport = FakeCloudTransport()
+    transport.connections["conn-p"] = {
+        "connectionId": "conn-p",
+        "name": "prefixed",
+        "sourceId": "src-1",
+        "destinationId": "dest-p",
+        "prefix": "pfx_",
+        "configurations": {"streams": [{"name": "users"}]},
+    }
+    transport.destinations["dest-p"] = {
+        "destinationId": "dest-p",
+        "configuration": {"warehouse_dir": str(wh)},
+    }
+    ws = CloudWorkspace(workspace_id="ws-1", transport=transport)
+    result = ws.get_connection("conn-p").get_sync_result(job_id=9)
+    transport.jobs[9] = {"jobId": 9, "status": "succeeded"}
+    assert result.get_sql_table_name("users") == "pfx_users"
+    ds = result.get_dataset("users")
+    assert isinstance(ds, CachedDataset) and len(ds) == 20
+    assert set(result.streams) >= {"users", "products", "purchases"}

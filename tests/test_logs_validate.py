@@ -123,3 +123,20 @@ def test_cli_deep_validate(capsys):
     assert main(["validate", "faker", "--deep"]) == 0
     out = json.loads(capsys.readouterr().out)
     assert out["check"] is True and out["read_stream"]
+
+
+def test_deep_validate_stops_on_failed_check():
+    """A failed connection check is the finding: full_tests must report
+    it instead of probing streams and raising a misleading
+    no-data-from-connector error."""
+    from pyairbyte_spark.validate import full_tests
+
+    class BadSource:
+        def check(self):
+            return False
+
+        def get_available_streams(self):  # pragma: no cover - must not run
+            raise AssertionError("streams probed after failed check")
+
+    report = full_tests(BadSource())
+    assert report["check"] is False and report["read_stream"] is None

@@ -160,3 +160,13 @@ def test_cli_mcp_subcommand_serves_stdio(tmp_path):
     assert lines[0]["result"]["serverInfo"]["name"] == "pyairbyte-spark-mcp"
     assert len(lines) == 2  # notification produced no response
     assert {t["name"] for t in lines[1]["result"]["tools"]} >= {"run_sql_query"}
+
+
+def test_argv_spec_resolution_keeps_config(tmp_path):
+    """Config supplied with an argv-string source spec must reach the
+    connector (previously only the faker/fixture/manifest branch merged
+    it; argv specs silently ran with empty config)."""
+    script = tmp_path / "c.py"
+    script.write_text("print('noop')\n")
+    src = LocalToolHost._default_resolve(f"python {script}", {"api_key": "k-1"})
+    assert src.config.get("api_key") == "k-1"

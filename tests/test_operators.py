@@ -352,3 +352,32 @@ def test_pii_redaction_patterns(spark):
     assert out[2]["n_ssn"] == 1 and out[2]["n_ipv4"] == 1
     assert "<PHONE>" in out[3]["redacted"] and out[3]["n_phone"] == 2
     assert out[4]["redacted"] == out[4]["text"]
+
+
+def test_sample_per_stratum_null_stratum_survives_prefilter(spark):
+    from pyairbyte_spark.operators import curation
+
+    rows = [(i, "a" if i % 3 == 0 else None, i) for i in range(300)]
+    df = spark.createDataFrame(rows, ["id", "grp", "x"])
+    on = curation.sample_per_stratum(df, ["grp"], n=5, id_col="id", prefilter=True)
+    off = curation.sample_per_stratum(df, ["grp"], n=5, id_col="id", prefilter=False)
+    key = lambda d: sorted((r["id"], r["grp"]) for r in d.collect())  # noqa: E731
+    assert key(on) == key(off)
+    by_grp = {}
+    for _, g in key(on):
+        by_grp[g] = by_grp.get(g, 0) + 1
+    assert by_grp == {"a": 5, None: 5}  # NULL is a stratum, not dropped
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    # chain graph: 0-1-2-...-9 needs several label-propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    cc = dedup.connected_components(pairs)
+    assert {r["component"] for r in cc.collect()} == {0}
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # only the final round's checkpoint may remain pinned
+    assert after - before <= 1, f"{after - before} checkpoint block sets leaked"

@@ -318,3 +318,72 @@ def test_salted_merge_matches_unsalted_on_hot_key(spark, tmp_path):
     assert rows(salted) == rows(plain)
     # Latest version of the hot key survived (arrival order = seq).
     assert dict(rows(salted))[1] == "v499"
+
+
+def test_late_records_after_complete_do_not_replace_committed_rows(spark, tmp_path):
+    """AUTO with no PK/cursor resolves to REPLACE: the re-finalize for
+    late records must APPEND them, not REPLACE the table with only the
+    late batch (which would silently delete the committed rows)."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.catalog import StreamSpec
+    from pyairbyte_spark.processor import MessageStreamProcessor
+    from pyairbyte_spark.sources.messages import (
+        AirbyteMessage,
+        RecordMessage,
+        TraceMessage,
+    )
+
+    cache = SparkCache(spark, str(tmp_path / "wh"))
+    spec = StreamSpec(
+        name="s", json_schema={"properties": {"id": {"type": "integer"}}}
+    )  # no primary keys, no cursor -> REPLACE under AUTO
+    complete = AirbyteMessage(
+        "TRACE",
+        trace=TraceMessage(
+            trace_type="STREAM_STATUS", stream_name="s", status="COMPLETE"
+        ),
+    )
+    msgs = (
+        [AirbyteMessage("RECORD", record=RecordMessage("s", {"id": i})) for i in range(3)]
+        + [complete]
+        + [AirbyteMessage("RECORD", record=RecordMessage("s", {"id": i})) for i in (10, 11)]
+    )
+    results = MessageStreamProcessor(
+        cache, source_name="t", specs={"s": spec}, write_strategy=WriteStrategy.AUTO
+    ).process_messages(iter(msgs))
+    ids = sorted(r["id"] for r in cache.get_records("s"))
+    assert ids == [0, 1, 2, 10, 11], ids
+    assert results["s"].record_count == 5
+
+
+def test_append_to_premetadata_bucketed_table_keeps_full_rewrite_merge(spark, tmp_path):
+    """A bucketed table with no sidecar has an UNKNOWN hash N; an
+    append must not stamp the store's current N (that would unlock the
+    incremental merge path against wrongly-hashed old files). Without a
+    sidecar, merge takes the full rewrite — which re-buckets and only
+    then stamps."""
+    import os
+
+    from pyairbyte_spark.cache import SparkCache
+
+    wh = str(tmp_path / "wh")
+    cache8 = SparkCache(spark, wh, merge_buckets=8)
+    _sync(cache8, [(i, "v0") for i in range(40)])
+    meta = cache8.store._meta_path(cache8.table_name("b"))
+    os.remove(meta)  # simulate a pre-metadata layout
+
+    cache16 = SparkCache(spark, wh, merge_buckets=16)
+    _sync(cache16, [(50, "v1")], strategy=WriteStrategy.APPEND)
+    assert cache16.store._persisted_buckets(cache16.table_name("b")) is None
+
+    _sync(cache16, [(3, "v2"), (17, "v2")])  # merge -> full rewrite
+    rows: dict[int, str] = {}
+    dupes = []
+    for r in cache16.get_records("b"):
+        if r["id"] in rows:
+            dupes.append(r["id"])
+        rows[r["id"]] = r["v"]
+    assert not dupes, f"stale PK rows: {dupes}"
+    assert len(rows) == 41 and rows[3] == "v2" and rows[17] == "v2"
+    # the full rewrite re-bucketed with the store's N and stamped it
+    assert cache16.store._persisted_buckets(cache16.table_name("b")) == 16
