@@ -105,6 +105,49 @@ def cmd_sync(args) -> int:
     return 0
 
 
+def cmd_destination_smoke_test(args) -> int:
+    """Pump edge-case scenarios through the write path (reference
+    ``pyab destination-smoke-test``, cli/pyab.py:632-720)."""
+    import shlex as _shlex
+
+    from pyairbyte_spark import SparkCache, get_spark
+    from pyairbyte_spark.sources.smoke import run_destination_smoke_tests
+
+    spark = get_spark("pyab-smoke")
+    destination = None
+    if args.destination and args.destination != "cache":
+        from pyairbyte_spark.destinations import SparkDestination
+        from pyairbyte_spark.sources.subprocess_host import SubprocessHost
+
+        destination = SparkDestination(
+            SubprocessHost(_shlex.split(args.destination)),
+            name="smoke-destination",
+            config=json.loads(args.config) if args.config else {},
+        )
+    with tempfile.TemporaryDirectory() as td:
+        cache = SparkCache(spark, args.warehouse or td)
+        results = run_destination_smoke_tests(
+            cache, scenarios=args.scenarios, destination=destination
+        )
+    failed = [r for r in results if not r.ok]
+    for r in results:
+        line = {
+            "scenario": r.name,
+            "ok": r.ok,
+            "expected_rows": r.expected_rows,
+            "actual_rows": r.actual_rows,
+        }
+        if r.error:
+            line["error"] = r.error
+        print(json.dumps(line))
+    print(
+        json.dumps(
+            {"passed": len(results) - len(failed), "failed": len(failed)}
+        )
+    )
+    return 1 if failed else 0
+
+
 def cmd_sql(args) -> int:
     from pyairbyte_spark import SparkCache, get_spark
 
@@ -149,6 +192,20 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--streams")
     s.add_argument("--full-refresh", action="store_true")
     s.set_defaults(fn=cmd_sync)
+
+    d = sub.add_parser(
+        "destination-smoke-test",
+        help="edge-case scenario suite through the write path",
+    )
+    d.add_argument(
+        "--destination",
+        default="cache",
+        help="'cache' (in-process warehouse) or a connector argv string",
+    )
+    d.add_argument("--config", default=None, help="destination config JSON")
+    d.add_argument("--scenarios", default="fast", help="fast | all | name,name,...")
+    d.add_argument("--warehouse", default=None)
+    d.set_defaults(fn=cmd_destination_smoke_test)
 
     q = sub.add_parser("sql", help="guarded read-only query")
     q.add_argument("warehouse")
