@@ -164,3 +164,75 @@ def pack_token_bins(
         .withColumn("bin_id", F.floor((F.col("__base") + local) / F.lit(budget)))
         .drop("__pid", "__base")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_pattern: str = r"\n",
+    join_sep: str = "\n",
+    min_docs: int | None = 3,
+    min_doc_frac: float | None = None,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the C4 line-dedup rule):
+    drop every span (line, by default) that occurs in at least
+    ``min_docs`` distinct documents (or ``min_doc_frac`` of the corpus),
+    then reassemble each document from its surviving spans in order.
+
+    Plan shape, 100 TB-ready:
+
+    1. one explode to (doc, pos, span);
+    2. one distinct + groupBy(span) for the distinct-doc counts — the
+       only full shuffle, and it is map-side combinable;
+    3. the boilerplate set (spans OVER the threshold — small by
+       definition: boilerplate is what repeats) broadcasts into a
+       left-anti join, so the corpus is never shuffled a second time;
+    4. reassembly groups by doc id and orders spans with an in-group
+       ``array_sort`` — no window, no global sort.
+
+    Output: ``id_col``, ``n_kept``, ``n_removed``, ``cleaned`` (the
+    reassembled text; empty string when every span was boilerplate).
+    """
+    parts = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), split_pattern)).alias("pos", "span"),
+    )
+    counts = (
+        parts.select(id_col, "span")
+        .distinct()
+        .groupBy("span")
+        .agg(F.count(F.lit(1)).alias("__n_docs"))
+    )
+    if min_doc_frac is not None:
+        total = df.select(
+            F.count_distinct(F.col(id_col)).alias("__total")
+        )
+        bp = (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("__n_docs") >= F.lit(min_doc_frac) * F.col("__total"))
+            .select("span")
+        )
+    else:
+        bp = counts.filter(F.col("__n_docs") >= F.lit(min_docs)).select("span")
+    kept = parts.join(F.broadcast(bp), "span", "left_anti")
+    totals = parts.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n_spans"))
+    cleaned = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            join_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "span"))),
+                lambda x: x["span"],
+            ),
+        ).alias("cleaned"),
+    )
+    return totals.join(cleaned, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("__n_spans") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )

@@ -150,13 +150,24 @@ def _assign_to_centroids(
     """(id, v) × broadcast (cid, cv) → nearest ``top_n`` centroids per
     vector by cosine (round 6; ties → lowest cid). One pass, no
     corpus self-shuffle."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "csim",
-        F.round(
-            dot_expr(F.col("v"), F.col("cv"))
-            / (norm_expr(F.col("v")) * norm_expr(F.col("cv"))),
-            6,
-        ),
+    # Norms hoisted behind projection boundaries: HOF folds are
+    # interpreted, so norm(v) inlined into the pair expression would
+    # re-fold once per centroid (8x) instead of once per vector. The
+    # division still sees norm(v)*norm(cv) in the same IEEE order, so
+    # csim is bit-identical.
+    vecs = vectors.withColumn("__nv", norm_expr(F.col("v")))
+    cents = centroids.withColumn("__ncv", norm_expr(F.col("cv")))
+    scored = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            F.round(
+                dot_expr(F.col("v"), F.col("cv"))
+                / (F.col("__nv") * F.col("__ncv")),
+                6,
+            ),
+        )
+        .drop("__nv", "__ncv")
     )
     if top_n == 1:
         # Argmin as a hash aggregate instead of a sort+window: partial
@@ -265,6 +276,10 @@ def ivf_topk(
     probes = _assign_to_centroids(q, cent, top_n=n_probes).select(
         F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
     )
+    # Same norm-hoisting as _assign_to_centroids: one fold per list
+    # row / probe row instead of one per joined pair.
+    lists = lists.withColumn("__cn", norm_expr(F.col("cvec")))
+    probes = probes.withColumn("__qn", norm_expr(F.col("qvec")))
     scored = (
         lists.join(F.broadcast(probes), "cid")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -273,7 +288,7 @@ def ivf_topk(
             "neighbor_id",
             F.round(
                 dot_expr(F.col("qvec"), F.col("cvec"))
-                / (norm_expr(F.col("qvec")) * norm_expr(F.col("cvec"))),
+                / (F.col("__qn") * F.col("__cn")),
                 6,
             ).alias("cosine"),
         )

@@ -2438,6 +2438,58 @@ def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "boilerplate_span_removal",
+    r"""
+    -- C4-style cross-doc repeated-span removal at word granularity
+    -- (the corpus is single-line): drop spans present in >= half of
+    -- all documents, reassemble the survivors in order.
+    WITH parts AS (
+      SELECT doc_id, u.i AS pos, u.s AS span FROM (
+        SELECT doc_id,
+               unnest(list_transform(string_split_regex(trim(text), '\s+'),
+                      (x, i) -> struct_pack(i := i, s := x))) AS u
+        FROM documents
+      )
+    ),
+    counts AS (
+      SELECT span, count(DISTINCT doc_id) AS n_docs FROM parts GROUP BY span
+    ),
+    total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+    bp AS (SELECT span FROM counts, total WHERE n_docs >= 0.5 * n),
+    kept AS (SELECT p.* FROM parts p ANTI JOIN bp USING (span)),
+    tot_per_doc AS (SELECT doc_id, count(*) AS n_spans FROM parts GROUP BY doc_id),
+    cleaned AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(span, ' ' ORDER BY pos)) AS cleaned_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_spans - coalesce(c.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(c.cleaned_md5, md5('')) AS cleaned_md5
+    FROM tot_per_doc t LEFT JOIN cleaned c USING (doc_id)
+    """,
+    "C4 boilerplate rule: spans repeated across >= 50% of docs removed "
+    "corpus-wide; boilerplate set broadcast into a left-anti join, one "
+    "full shuffle total (the span count agg)",
+)
+def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators import curation
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", F.trim("text").alias("text"))
+    out = curation.remove_repeated_spans(
+        docs,
+        split_pattern=r"\s+",
+        join_sep=" ",
+        min_docs=None,
+        min_doc_frac=0.5,
+    )
+    return out.select(
+        "doc_id", "n_kept", "n_removed", F.md5("cleaned").alias("cleaned_md5")
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================

@@ -381,3 +381,33 @@ def test_connected_components_releases_superseded_checkpoints(spark):
     after = len(sc._jsc.sc().getRDDStorageInfo())
     # only the final round's checkpoint may remain pinned
     assert after - before <= 1, f"{after - before} checkpoint block sets leaked"
+
+
+def test_remove_repeated_spans_line_level(spark):
+    from pyairbyte_spark.operators import curation
+
+    header = "SITE NAVIGATION MENU"
+    footer = "copyright 2024 example corp"
+    docs = [
+        (1, f"{header}\nunique content one\n{footer}"),
+        (2, f"{header}\nsomething else entirely\n{footer}"),
+        (3, f"{header}\nthird body text\n{footer}"),
+        (4, "no boilerplate at all here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in curation.remove_repeated_spans(df, min_docs=3).collect()
+    }
+    assert out[1]["cleaned"] == "unique content one"
+    assert out[2]["cleaned"] == "something else entirely"
+    assert out[1]["n_removed"] == 2 and out[1]["n_kept"] == 1
+    assert out[4]["cleaned"] == "no boilerplate at all here"
+    assert out[4]["n_removed"] == 0
+    # a doc that is ALL boilerplate comes back empty, not missing
+    df2 = df.union(spark.createDataFrame([(5, f"{header}\n{footer}")], ["doc_id", "text"]))
+    out2 = {
+        r["doc_id"]: r.asDict()
+        for r in curation.remove_repeated_spans(df2, min_docs=3).collect()
+    }
+    assert out2[5]["cleaned"] == "" and out2[5]["n_kept"] == 0 and out2[5]["n_removed"] == 2
