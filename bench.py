@@ -74,26 +74,47 @@ def main() -> None:
     for tbl in ["lineitem", "orders", "events", "documents", "embeddings"]:
         q.t(spark, SF_DIR, tbl).limit(1).collect()
 
+    # n>=3 runs per query; report the MEDIAN (single runs proved noisy:
+    # round-2 "regressions" on unchanged plans were run-to-run variance).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     registry = q.queries()
     for name in BENCH_QUERIES:
         fn = registry[name]
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        samples = []
+        n = 0
+        for _ in range(runs):
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            samples.append(time.monotonic() - t0)
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = round(samples[-1] - samples[0], 3)
+        print(
+            f"# {name}: median {timings[name]:.2f}s "
+            f"(spread {spread[name]:.2f}s, {n} rows)",
+            file=sys.stderr,
+        )
 
     # Ingestion throughput (reference headline benchmark shape).
-    with tempfile.TemporaryDirectory() as td:
-        cache = SparkCache(spark, td)
-        src = BenchmarkSource(INGEST_RECORDS)
-        t0 = time.monotonic()
-        src.read(cache, write_strategy="append")
-        ingest_sec = round(time.monotonic() - t0, 3)
+    ingest_samples = []
+    for _ in range(runs):
+        with tempfile.TemporaryDirectory() as td:
+            cache = SparkCache(spark, td)
+            src = BenchmarkSource(INGEST_RECORDS)
+            t0 = time.monotonic()
+            src.read(cache, write_strategy="append")
+            ingest_samples.append(time.monotonic() - t0)
+    ingest_samples.sort()
+    ingest_sec = round(ingest_samples[len(ingest_samples) // 2], 3)
     timings[f"ingest_{INGEST_RECORDS}"] = ingest_sec
+    spread[f"ingest_{INGEST_RECORDS}"] = round(
+        ingest_samples[-1] - ingest_samples[0], 3
+    )
     print(
-        f"# ingest: {INGEST_RECORDS} records in {ingest_sec:.2f}s "
+        f"# ingest: {INGEST_RECORDS} records, median {ingest_sec:.2f}s "
         f"({INGEST_RECORDS / ingest_sec:,.0f} rec/s)",
         file=sys.stderr,
     )
@@ -107,6 +128,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_records_per_sec": round(INGEST_RECORDS / ingest_sec),
             }

@@ -134,7 +134,22 @@ def pack_token_bins(
         return df.withColumn("bin_id", F.floor(start / F.lit(budget)))
 
     spark = df.sparkSession
-    shards = num_shards or int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if num_shards is None:
+        # Scale shard count with the input (its current partition count —
+        # proportional to bytes scanned) instead of a flat
+        # shuffle.partitions: tiny inputs then pay a tiny pass-1 job,
+        # while at cluster scale the input partition count IS the right
+        # parallelism. Cap at shuffle.partitions so pass 1's driver
+        # collect stays bounded metadata.
+        shards = max(
+            1,
+            min(
+                df.rdd.getNumPartitions(),
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            ),
+        )
+    else:
+        shards = num_shards
     ranged = (
         df.repartitionByRange(shards, F.col(id_col))
         .withColumn("__pid", F.spark_partition_id())

