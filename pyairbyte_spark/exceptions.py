@@ -197,6 +197,19 @@ class AirbyteStreamNotFoundError(AirbyteConnectorError):
 
 
 @dataclass(kw_only=True)
+class AirbyteConnectorInstallationError(AirbyteConnectorError):
+    """Installing the connector into its virtual environment failed
+    (reference ``exceptions.py`` same-named class; raised by the venv
+    executor on venv-create / pip-install / version-enforcement
+    failures)."""
+
+    guidance: str | None = (
+        "Check the pip error output; pass `pip_url=` to install from a "
+        "different package source, or `local_executable=` to skip install."
+    )
+
+
+@dataclass(kw_only=True)
 class AirbyteNoDataFromConnectorError(AirbyteConnectorError):
     """No data was returned from the connector (reference
     ``exceptions.py`` same-named class; raised by validate's deep read
@@ -220,6 +233,16 @@ class AirbyteConnectorNotRegisteredError(AirbyteConnectorRegistryError):
     )
     connector_name: str | None = None
     available_connectors: list[str] | None = None
+
+
+@dataclass(kw_only=True)
+class AirbyteDuplicateResourcesError(PyAirbyteError):
+    """A uniquely-named resource already exists (reference
+    ``exceptions.py`` same-named class; raised by workspace deploys with
+    ``unique=True``)."""
+
+    resource_type: str | None = None
+    resource_name: str | None = None
 
 
 # -- secrets ---------------------------------------------------------------

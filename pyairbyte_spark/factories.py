@@ -30,6 +30,7 @@ from pyairbyte_spark.sources.declarative import DeclarativeSource
 from pyairbyte_spark.sources.faker import SourceFaker
 from pyairbyte_spark.sources.fixture import SourceTestFixture
 from pyairbyte_spark.sources.subprocess_host import DockerHost, SubprocessHost
+from pyairbyte_spark.sources.venv_install import VenvInstaller
 
 DEFAULT_CACHE_ROOT = ".cache"
 
@@ -64,6 +65,10 @@ def get_source(
     name: str,
     config: dict[str, Any] | None = None,
     *,
+    version: str | None = None,
+    pip_url: str | None = None,
+    install_root: str | Path | None = None,
+    install_if_missing: bool = True,
     local_executable: str | Path | None = None,
     argv: list[str] | None = None,
     docker_image: str | bool | None = None,
@@ -73,9 +78,14 @@ def get_source(
     """Resolve a source by name (reference ``sources/util.py:47-140``).
 
     Resolution order matches the reference's executor precedence:
-    explicit launch method first, then bundled in-process sources, then a
-    registry lookup that falls back to a same-named executable on PATH
-    (the reference's venv convention installs one per connector).
+    explicit launch method first, then bundled in-process sources, then
+    the registry: an already-installed per-connector venv
+    (``.venv-<name>``) wins, then a same-named executable on PATH, and
+    finally — for pip-installable connectors — an automatic venv
+    create + pip install (reference ``_executors/python.py:27+``).
+    ``pip_url=`` forces the venv path and overrides the package source
+    (pip's ``PIP_NO_INDEX`` / ``PIP_FIND_LINKS`` env knobs apply, so
+    air-gapped installs from a wheel directory work).
     """
     config = hydrate_secrets(config) if config else {}
 
@@ -127,18 +137,47 @@ def get_source(
         return BenchmarkSource(num)
 
     # Registry-resolved (raises AirbyteConnectorNotRegisteredError if absent).
-    _registry.get_connector_metadata(name)
-    path = shutil.which(name)
-    if path is None:
-        raise exc.AirbyteConnectorExecutableNotFoundError(
-            connector_name=name,
-            guidance=f"Install the connector so an executable named '{name}' is on PATH.",
+    meta = _registry.get_connector_metadata(name)
+    installer = VenvInstaller(
+        name, pip_url=pip_url, install_root=install_root, target_version=version
+    )
+
+    def _venv_source() -> SparkSource:
+        return ConnectorSource(
+            installer.host(),
+            name=name,
+            config=config,
+            config_change_callback=config_change_callback,
         )
-    return ConnectorSource(
-        SubprocessHost([path], name=name),
-        name=name,
-        config=config,
-        config_change_callback=config_change_callback,
+
+    # 1. An existing per-connector venv wins (the reference convention).
+    if installer.connector_path.exists():
+        installer.ensure_installed(auto_fix=False)
+        return _venv_source()
+    # 2. A same-named executable already on PATH (unless the caller
+    #    pinned a pip source/version, which only the venv path honors).
+    if pip_url is None and version is None:
+        path = shutil.which(name)
+        if path is not None:
+            return ConnectorSource(
+                SubprocessHost([path], name=name),
+                name=name,
+                config=config,
+                config_change_callback=config_change_callback,
+            )
+    # 3. Auto-install into a fresh venv when the connector ships on pip.
+    pip_installable = pip_url is not None or _registry.InstallType.PYTHON in (
+        meta.install_types or set()
+    )
+    if install_if_missing and pip_installable:
+        installer.ensure_installed()
+        return _venv_source()
+    raise exc.AirbyteConnectorExecutableNotFoundError(
+        connector_name=name,
+        guidance=(
+            f"Install the connector (pip-installable: {pip_installable}) or put "
+            f"an executable named '{name}' on PATH."
+        ),
     )
 
 
