@@ -101,28 +101,41 @@ class FakeCloudTransport:
     """In-memory workspace state for tests and offline use.
 
     Seed with jobs/connections/destinations; mutate ``jobs`` between
-    polls to script status transitions. Implements just the routes the
-    object model uses.
+    polls to script status transitions. Implements the read routes the
+    sync-result surface uses plus the management CRUD routes
+    (sources/destinations/connections create, patch, delete, check).
     """
 
     def __init__(self) -> None:
+        self.sources: dict[str, dict] = {}
         self.connections: dict[str, dict] = {}
         self.destinations: dict[str, dict] = {}
         self.jobs: dict[int, dict] = {}
         self.calls: list[tuple[str, str, dict | None]] = []
         self._next_job_id = 1000
+        self._next_id = 1
+        # Scriptable check outcome per connector id (default: succeed).
+        self.check_failures: dict[str, str] = {}
 
-    def request(
+    def _new_id(self, prefix: str) -> str:
+        nid = f"{prefix}-{self._next_id}"
+        self._next_id += 1
+        return nid
+
+    def _collection(self, kind: str) -> dict[str, dict]:
+        return {
+            "sources": self.sources,
+            "destinations": self.destinations,
+            "connections": self.connections,
+        }[kind]
+
+    def request(  # noqa: PLR0911, PLR0912 - route table
         self, method: str, path: str, payload: dict | None = None
     ) -> dict[str, Any]:
         self.calls.append((method, path, payload))
         path = path.split("?", 1)[0]
-        if path.startswith("/connections/"):
-            return self.connections[path.rsplit("/", 1)[1]]
-        if path == "/connections":
-            return {"data": list(self.connections.values())}
-        if path.startswith("/destinations/"):
-            return self.destinations[path.rsplit("/", 1)[1]]
+        parts = [p for p in path.split("/") if p]
+
         if path == "/jobs" and method == "POST":
             job_id = self._next_job_id
             self._next_job_id += 1
@@ -136,7 +149,37 @@ class FakeCloudTransport:
             }
             return self.jobs[job_id]
         if path.startswith("/jobs/"):
-            return self.jobs[int(path.rsplit("/", 1)[1])]
+            return self.jobs[int(parts[1])]
+
+        if parts and parts[0] in ("sources", "destinations", "connections"):
+            coll = self._collection(parts[0])
+            id_key = {
+                "sources": "sourceId",
+                "destinations": "destinationId",
+                "connections": "connectionId",
+            }[parts[0]]
+            if len(parts) == 1 and method == "POST":
+                rid = self._new_id(parts[0][:4].rstrip("s"))
+                coll[rid] = {id_key: rid, **(payload or {})}
+                return coll[rid]
+            if len(parts) == 1:  # GET list
+                return {"data": list(coll.values())}
+            rid = parts[1]
+            if len(parts) == 3 and parts[2] == "check" and method == "POST":
+                message = self.check_failures.get(rid)
+                return (
+                    {"status": "failed", "message": message}
+                    if message is not None
+                    else {"status": "succeeded", "message": None}
+                )
+            if rid not in coll:
+                raise KeyError(f"no such {parts[0][:-1]}: {rid}")
+            if method == "PATCH":
+                coll[rid].update(payload or {})
+                return coll[rid]
+            if method == "DELETE":
+                return coll.pop(rid)
+            return coll[rid]
         raise KeyError(f"unhandled fake route: {method} {path}")
 
 
@@ -175,6 +218,38 @@ def destination_to_cache(
 # -- object model ------------------------------------------------------------
 
 
+def _guard_deletion(name: str | None, kind: str, *, safe_mode: bool) -> None:
+    """Safe-mode deletes require an explicit opt-in in the resource name
+    (reference ``workspaces.py:471-537``: 'delete-me'/'deleteme')."""
+    if not safe_mode:
+        return
+    normalized = (name or "").lower().replace("_", "-")
+    if "delete-me" not in normalized and "deleteme" not in normalized:
+        raise exc.PyAirbyteInputError(
+            message=(
+                f"Refusing to delete {kind} without 'delete-me' in its name. "
+                "Rename it or pass safe_mode=False."
+            ),
+            input_value=name or "<unnamed>",
+        )
+
+
+@dataclass
+class CheckResult:
+    """Result of a hosted connector check (reference
+    ``cloud/connectors.py:66-91``); truthy on success."""
+
+    success: bool
+    error_message: str | None = None
+    internal_error: str | None = None
+
+    def __bool__(self) -> bool:
+        return self.success
+
+    def __str__(self) -> str:
+        return "Success" if self.success else f"Failed: {self.error_message}"
+
+
 @dataclass
 class CloudWorkspace:
     """Handle on one hosted workspace (reference ``workspaces.py:70``)."""
@@ -185,18 +260,345 @@ class CloudWorkspace:
     def get_connection(self, connection_id: str) -> CloudConnection:
         return CloudConnection(workspace=self, connection_id=connection_id)
 
-    def list_connections(self) -> list[CloudConnection]:
+    def list_connections(
+        self,
+        name: str | None = None,
+        *,
+        name_filter: Callable[[str], bool] | None = None,
+        limit: int | None = None,
+    ) -> list[CloudConnection]:
         doc = self.transport.request(
             "GET", f"/connections?workspaceIds={self.workspace_id}"
         )
+        rows = _filter_named(doc.get("data", []), name, name_filter, limit)
         return [
             CloudConnection(
                 workspace=self,
                 connection_id=row["connectionId"],
                 _info=row,
             )
-            for row in doc.get("data", [])
+            for row in rows
         ]
+
+    # -- connector management (reference workspaces.py:368-779) --------------
+
+    def get_source(self, source_id: str) -> CloudSource:
+        return CloudSource(workspace=self, connector_id=source_id)
+
+    def get_destination(self, destination_id: str) -> CloudDestination:
+        return CloudDestination(workspace=self, connector_id=destination_id)
+
+    def list_sources(
+        self,
+        name: str | None = None,
+        *,
+        name_filter: Callable[[str], bool] | None = None,
+        limit: int | None = None,
+    ) -> list[CloudSource]:
+        doc = self.transport.request(
+            "GET", f"/sources?workspaceIds={self.workspace_id}"
+        )
+        rows = _filter_named(doc.get("data", []), name, name_filter, limit)
+        return [
+            CloudSource(workspace=self, connector_id=r["sourceId"], _info=r)
+            for r in rows
+        ]
+
+    def list_destinations(
+        self,
+        name: str | None = None,
+        *,
+        name_filter: Callable[[str], bool] | None = None,
+        limit: int | None = None,
+    ) -> list[CloudDestination]:
+        doc = self.transport.request(
+            "GET", f"/destinations?workspaceIds={self.workspace_id}"
+        )
+        rows = _filter_named(doc.get("data", []), name, name_filter, limit)
+        return [
+            CloudDestination(
+                workspace=self, connector_id=r["destinationId"], _info=r
+            )
+            for r in rows
+        ]
+
+    def deploy_source(
+        self,
+        name: str,
+        source: Any,
+        *,
+        unique: bool = True,
+        random_name_suffix: bool = False,
+    ) -> CloudSource:
+        """Deploy a local source definition (a ``SparkSource`` or a config
+        dict carrying ``sourceType``) to the workspace."""
+        if isinstance(source, dict):
+            config = dict(source)
+            if "sourceType" not in config:
+                raise exc.PyAirbyteInputError(
+                    message="Missing `sourceType` in configuration dictionary."
+                )
+        else:
+            config = dict(getattr(source, "config", None) or {})
+            config["sourceType"] = str(
+                getattr(source, "name", "source")
+            ).removeprefix("source-")
+        if random_name_suffix:
+            name += f" (ID: {_random_suffix()})"
+        if unique and self.list_sources(name=name):
+            raise exc.AirbyteDuplicateResourcesError(
+                resource_type="source", resource_name=name
+            )
+        doc = self.transport.request(
+            "POST",
+            "/sources",
+            {
+                "name": name,
+                "workspaceId": self.workspace_id,
+                "configuration": config,
+            },
+        )
+        return CloudSource(workspace=self, connector_id=doc["sourceId"], _info=doc)
+
+    def deploy_destination(
+        self,
+        name: str,
+        destination: Any,
+        *,
+        unique: bool = True,
+        random_name_suffix: bool = False,
+    ) -> CloudDestination:
+        """Deploy a destination (a ``SparkDestination`` or a config dict
+        carrying ``destinationType``) to the workspace."""
+        if isinstance(destination, dict):
+            config = dict(destination)
+            if "destinationType" not in config:
+                raise exc.PyAirbyteInputError(
+                    message="Missing `destinationType` in configuration dictionary."
+                )
+        else:
+            config = dict(getattr(destination, "config", None) or {})
+            config["destinationType"] = str(
+                getattr(destination, "name", "destination")
+            ).removeprefix("destination-")
+        if random_name_suffix:
+            name += f" (ID: {_random_suffix()})"
+        if unique and self.list_destinations(name=name):
+            raise exc.AirbyteDuplicateResourcesError(
+                resource_type="destination", resource_name=name
+            )
+        doc = self.transport.request(
+            "POST",
+            "/destinations",
+            {
+                "name": name,
+                "workspaceId": self.workspace_id,
+                "configuration": config,
+            },
+        )
+        return CloudDestination(
+            workspace=self, connector_id=doc["destinationId"], _info=doc
+        )
+
+    def deploy_connection(
+        self,
+        connection_name: str,
+        *,
+        source: CloudSource | str,
+        selected_streams: list[str],
+        destination: CloudDestination | str,
+        table_prefix: str | None = None,
+    ) -> CloudConnection:
+        """Connect an already-deployed source and destination."""
+        if not selected_streams:
+            raise exc.PyAirbyteInputError(
+                message="You must provide `selected_streams` when creating a connection."
+            )
+        source_id = source if isinstance(source, str) else source.connector_id
+        destination_id = (
+            destination if isinstance(destination, str) else destination.connector_id
+        )
+        doc = self.transport.request(
+            "POST",
+            "/connections",
+            {
+                "name": connection_name,
+                "workspaceId": self.workspace_id,
+                "sourceId": source_id,
+                "destinationId": destination_id,
+                "prefix": table_prefix or "",
+                "configurations": {
+                    "streams": [{"name": s} for s in selected_streams]
+                },
+            },
+        )
+        return CloudConnection(
+            workspace=self, connection_id=doc["connectionId"], _info=doc
+        )
+
+    def permanently_delete_source(
+        self, source: str | CloudSource, *, safe_mode: bool = True
+    ) -> None:
+        if not isinstance(source, (str, CloudSource)):
+            raise exc.PyAirbyteInputError(
+                message="Invalid source type.", input_value=type(source).__name__
+            )
+        obj = self.get_source(source) if isinstance(source, str) else source
+        _guard_deletion(obj.name, "source", safe_mode=safe_mode)
+        self.transport.request("DELETE", f"/sources/{obj.connector_id}")
+
+    def permanently_delete_destination(
+        self, destination: str | CloudDestination, *, safe_mode: bool = True
+    ) -> None:
+        if not isinstance(destination, (str, CloudDestination)):
+            raise exc.PyAirbyteInputError(
+                message="Invalid destination type.",
+                input_value=type(destination).__name__,
+            )
+        obj = (
+            self.get_destination(destination)
+            if isinstance(destination, str)
+            else destination
+        )
+        _guard_deletion(obj.name, "destination", safe_mode=safe_mode)
+        self.transport.request("DELETE", f"/destinations/{obj.connector_id}")
+
+    def permanently_delete_connection(
+        self,
+        connection: str | CloudConnection,
+        *,
+        cascade_delete_source: bool = False,
+        cascade_delete_destination: bool = False,
+        safe_mode: bool = True,
+    ) -> None:
+        if isinstance(connection, str):
+            connection = self.get_connection(connection)
+        _guard_deletion(connection.name, "connection", safe_mode=safe_mode)
+        source_id = connection.source_id if cascade_delete_source else None
+        destination_id = (
+            connection.destination_id if cascade_delete_destination else None
+        )
+        self.transport.request(
+            "DELETE", f"/connections/{connection.connection_id}"
+        )
+        if source_id:
+            self.permanently_delete_source(source_id, safe_mode=safe_mode)
+        if destination_id:
+            self.permanently_delete_destination(
+                destination_id, safe_mode=safe_mode
+            )
+
+
+def _filter_named(
+    rows: list[dict],
+    name: str | None,
+    name_filter: Callable[[str], bool] | None,
+    limit: int | None,
+) -> list[dict]:
+    if name is not None:
+        rows = [r for r in rows if r.get("name") == name]
+    if name_filter is not None:
+        rows = [r for r in rows if name_filter(r.get("name") or "")]
+    return rows[:limit] if limit is not None else rows
+
+
+def _random_suffix() -> str:
+    import secrets
+
+    return secrets.token_hex(4)
+
+
+class CloudConnector:
+    """A deployed source or destination (reference
+    ``cloud/connectors.py:94-183``)."""
+
+    connector_type = "connector"
+
+    def __init__(
+        self,
+        *,
+        workspace: CloudWorkspace,
+        connector_id: str,
+        _info: dict[str, Any] | None = None,
+    ) -> None:
+        self.workspace = workspace
+        self.connector_id = connector_id
+        self._info = _info
+
+    def _fetch_info(self, *, force_refresh: bool = False) -> dict[str, Any]:
+        if self._info is None or force_refresh:
+            self._info = self.workspace.transport.request(
+                "GET", f"/{self.connector_type}s/{self.connector_id}"
+            )
+        return self._info
+
+    @property
+    def name(self) -> str | None:
+        return self._fetch_info().get("name")
+
+    @property
+    def configuration(self) -> dict[str, Any]:
+        return self._fetch_info().get("configuration", {})
+
+    def rename(self, name: str) -> CloudConnector:
+        self._info = self.workspace.transport.request(
+            "PATCH", f"/{self.connector_type}s/{self.connector_id}", {"name": name}
+        )
+        return self
+
+    def update_config(self, config: dict[str, Any]) -> CloudConnector:
+        """Merge new values into the deployed connector's configuration."""
+        merged = {**self.configuration, **config}
+        self._info = self.workspace.transport.request(
+            "PATCH",
+            f"/{self.connector_type}s/{self.connector_id}",
+            {"configuration": merged},
+        )
+        return self
+
+    def check(self, *, raise_on_error: bool = True) -> CheckResult:
+        try:
+            doc = self.workspace.transport.request(
+                "POST", f"/{self.connector_type}s/{self.connector_id}/check"
+            )
+        except Exception as ex:  # noqa: BLE001 - surfaced in the result
+            result = CheckResult(success=False, internal_error=str(ex))
+        else:
+            result = CheckResult(
+                success=doc.get("status") == "succeeded",
+                error_message=doc.get("message"),
+            )
+        if raise_on_error and not result:
+            raise CloudError(
+                message="Connector check failed.",
+                context={
+                    "connector_id": self.connector_id,
+                    "error": result.error_message or result.internal_error,
+                },
+            )
+        return result
+
+    def permanently_delete(self, *, safe_mode: bool = True) -> None:
+        if self.connector_type == "source":
+            self.workspace.permanently_delete_source(self, safe_mode=safe_mode)
+        else:
+            self.workspace.permanently_delete_destination(self, safe_mode=safe_mode)
+
+
+class CloudSource(CloudConnector):
+    connector_type = "source"
+
+    @property
+    def source_id(self) -> str:
+        return self.connector_id
+
+
+class CloudDestination(CloudConnector):
+    connector_type = "destination"
+
+    @property
+    def destination_id(self) -> str:
+        return self.connector_id
 
 
 @dataclass

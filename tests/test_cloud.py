@@ -161,6 +161,117 @@ def test_http_transport_round_trip():
         server.shutdown()
 
 
+# -- management surface (deploy / list / check / delete) ---------------------
+
+
+@pytest.fixture()
+def ws():
+    transport = FakeCloudTransport()
+    return CloudWorkspace(workspace_id="ws-1", transport=transport), transport
+
+
+def test_deploy_list_delete_roundtrip(ws):
+    from pyairbyte_spark import exceptions as exc
+    from pyairbyte_spark.sources import SourceFaker
+
+    workspace, transport = ws
+    src = workspace.deploy_source("deleteme faker", SourceFaker(seed=1, count=5))
+    assert src.name == "deleteme faker"
+    assert src.configuration["sourceType"] == "faker"
+    dest = workspace.deploy_destination(
+        "deleteme wh", {"destinationType": "spark", "warehouse_dir": "/tmp/wh"}
+    )
+    assert [s.connector_id for s in workspace.list_sources()] == [src.connector_id]
+    assert [d.name for d in workspace.list_destinations()] == ["deleteme wh"]
+
+    # unique=True rejects duplicate names
+    with pytest.raises(exc.AirbyteDuplicateResourcesError):
+        workspace.deploy_source("deleteme faker", SourceFaker(seed=1, count=5))
+    # random_name_suffix sidesteps it
+    src2 = workspace.deploy_source(
+        "deleteme faker", SourceFaker(seed=2, count=5), random_name_suffix=True
+    )
+    assert src2.name != "deleteme faker"
+
+    conn = workspace.deploy_connection(
+        "deleteme conn",
+        source=src,
+        destination=dest,
+        selected_streams=["users"],
+        table_prefix="p_",
+    )
+    assert conn.stream_names == ["users"]
+    assert conn.table_prefix == "p_"
+    assert conn.source_id == src.connector_id
+
+    # cascade delete tears everything down
+    workspace.permanently_delete_connection(
+        conn, cascade_delete_source=True, cascade_delete_destination=True
+    )
+    assert not transport.connections
+    assert src.connector_id not in transport.sources
+    assert dest.connector_id not in transport.destinations
+    workspace.permanently_delete_source(src2)
+    assert not transport.sources
+
+
+def test_safe_mode_blocks_deletion(ws):
+    from pyairbyte_spark import exceptions as exc
+    from pyairbyte_spark.sources import SourceFaker
+
+    workspace, transport = ws
+    src = workspace.deploy_source("production faker", SourceFaker(seed=1, count=5))
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.permanently_delete_source(src)
+    assert src.connector_id in transport.sources  # still there
+    workspace.permanently_delete_source(src, safe_mode=False)
+    assert not transport.sources
+
+
+def test_connection_requires_streams(ws):
+    from pyairbyte_spark import exceptions as exc
+
+    workspace, _ = ws
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.deploy_connection(
+            "c", source="s-1", destination="d-1", selected_streams=[]
+        )
+
+
+def test_deploy_dict_requires_type_key(ws):
+    from pyairbyte_spark import exceptions as exc
+
+    workspace, _ = ws
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.deploy_destination("d", {"warehouse_dir": "/tmp/x"})
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.deploy_source("s", {"count": 5})
+
+
+def test_connector_check_rename_update(ws):
+    from pyairbyte_spark.cloud import CloudError
+
+    workspace, transport = ws
+    src = workspace.deploy_source(
+        "deleteme s", {"sourceType": "faker", "count": 5}
+    )
+    assert src.check()  # default: succeeds, truthy CheckResult
+    transport.check_failures[src.connector_id] = "bad credentials"
+    result = src.check(raise_on_error=False)
+    assert not result and result.error_message == "bad credentials"
+    with pytest.raises(CloudError):
+        src.check()
+
+    src.rename("deleteme s2")
+    assert src.name == "deleteme s2"
+    src.update_config({"count": 9})
+    assert src.configuration == {"sourceType": "faker", "count": 9}
+    # name-filtered listing
+    assert workspace.list_sources(name="deleteme s2")
+    assert not workspace.list_sources(name="deleteme s")
+    assert workspace.list_sources(name_filter=lambda n: "s2" in n, limit=1)
+
+
 def test_sync_result_applies_table_prefix(spark, tmp_path):
     """A connection's table prefix must reach the dataset surface:
     get_dataset('users') on a connection with prefix 'pfx_' opens the
