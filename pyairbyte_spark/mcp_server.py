@@ -247,7 +247,162 @@ def _build_tool_defs() -> list[ToolDef]:
                 h.cache, a["sql"], max_records=int(a.get("max_records", 1000))
             ),
         ),
+        # -- registry browse (reference mcp/registry.py:44-289) --------------
+        ToolDef(
+            "list_connectors",
+            "Browse the connector registry: all registered connector names, "
+            "optionally filtered by keyword, type (source/destination) and "
+            "install types (python/yaml/docker/java).",
+            {
+                "type": "object",
+                "properties": {
+                    "keyword_filter": {"type": "string"},
+                    "connector_type_filter": {
+                        "type": "string",
+                        "enum": ["source", "destination"],
+                    },
+                    "install_types": {
+                        "type": "array",
+                        "items": {
+                            "type": "string",
+                            "enum": ["python", "yaml", "docker", "java"],
+                        },
+                    },
+                },
+            },
+            lambda h, a: _list_connectors(
+                keyword_filter=a.get("keyword_filter"),
+                connector_type_filter=a.get("connector_type_filter"),
+                install_types=a.get("install_types"),
+            ),
+        ),
+        ToolDef(
+            "get_connector_info",
+            "Metadata, docs URL, install types and manifest URL for one "
+            "registered connector.",
+            {
+                "type": "object",
+                "properties": {"connector_name": {"type": "string"}},
+                "required": ["connector_name"],
+            },
+            lambda h, a: _get_connector_info(a["connector_name"]),
+        ),
     ]
+
+
+def _list_connectors(
+    *,
+    keyword_filter: str | None = None,
+    connector_type_filter: str | None = None,
+    install_types: list[str] | None = None,
+) -> list[str]:
+    from pyairbyte_spark import registry
+
+    if install_types:
+        names: set[str] = set()
+        for it in install_types:
+            names.update(registry.get_available_connectors(install_type=it))
+        connectors = sorted(names)
+    else:
+        connectors = registry.get_available_connectors()
+    if keyword_filter:
+        kw = keyword_filter.lower()
+        connectors = [c for c in connectors if kw in c.lower()]
+    if connector_type_filter:
+        connectors = [
+            c for c in connectors if c.startswith(f"{connector_type_filter}-")
+        ]
+    return sorted(connectors)
+
+
+def _get_connector_info(connector_name: str) -> dict | str:
+    from pyairbyte_spark import registry
+
+    try:
+        meta = registry.get_connector_metadata(connector_name)
+    except Exception:  # noqa: BLE001 - MCP-friendly sentinel, not a crash
+        return "Connector not found."
+    short = connector_name.split("-", 1)[-1]
+    kind = "sources" if connector_name.startswith("source-") else "destinations"
+    return {
+        "connector_name": meta.name,
+        "latest_available_version": meta.latest_available_version,
+        "language": meta.language.value if meta.language else None,
+        "install_types": sorted(t.value for t in meta.install_types),
+        "documentation_url": f"https://docs.airbyte.com/integrations/{kind}/{short}",
+        "manifest_url": (
+            "https://connectors.airbyte.com/files/metadata/airbyte/"
+            f"{connector_name}/latest/manifest.yaml"
+        ),
+    }
+
+
+# -- prompts (reference mcp/prompts.py) ---------------------------------------
+
+
+@dataclass
+class PromptDef:
+    name: str
+    description: str
+    arguments: tuple = ()  # (name, description, required) triples
+    render: Callable[[dict], str] = lambda a: ""
+
+    def to_listing(self) -> dict:
+        return {
+            "name": self.name,
+            "description": self.description,
+            "arguments": [
+                {"name": n, "description": d, "required": r}
+                for n, d, r in self.arguments
+            ],
+        }
+
+
+def _test_my_tools(args: dict) -> str:
+    text = (
+        "Exercise every tool this MCP server exposes and report whether each "
+        "works.\n\n"
+        "Approach:\n"
+        "- Walk the tool list in order; prefer read-only calls.\n"
+        "- For tools that write (sync_source_to_cache), use the bundled "
+        "'faker' source so no external system is touched.\n"
+        "- Verify each tool accepts its required arguments, returns the "
+        "documented shape, and fails cleanly on bad input.\n"
+        "- Finish with a table: tool name, status, notes."
+    )
+    if args.get("scope"):
+        text += f"\n\nScope constraints from the caller:\n{args['scope']}"
+    return text
+
+
+def _explore_source(args: dict) -> str:
+    source = args.get("source", "faker")
+    return (
+        f"Explore the '{source}' source end to end:\n"
+        f"1. validate_connector_config to confirm it can connect.\n"
+        f"2. list_source_streams, then get_source_stream_json_schema for "
+        f"each stream of interest.\n"
+        f"3. get_stream_previews for a quick look at real records.\n"
+        f"4. sync_source_to_cache, then describe_default_cache and a "
+        f"run_sql_query aggregate to sanity-check the landed row counts.\n"
+        f"Summarize the streams, schemas and row counts you found."
+    )
+
+
+PROMPT_DEFS: list[PromptDef] = [
+    PromptDef(
+        "test-my-tools",
+        "Test all available MCP tools to confirm they are working properly",
+        (("scope", "Optional free-form focus or constraints for testing", False),),
+        _test_my_tools,
+    ),
+    PromptDef(
+        "explore-a-source",
+        "Guided walkthrough: validate, inspect, preview and sync one source",
+        (("source", "Source specifier (default: faker)", False),),
+        _explore_source,
+    ),
+]
 
 
 TOOL_DEFS: list[ToolDef] = _build_tool_defs()
@@ -263,6 +418,7 @@ class McpStdioServer:
     def __init__(self, host: LocalToolHost | None = None) -> None:
         self.host = host or LocalToolHost()
         self.tools = {d.name: d for d in TOOL_DEFS}
+        self.prompts = {p.name: p for p in PROMPT_DEFS}
 
     # request dispatch -------------------------------------------------------
 
@@ -277,7 +433,7 @@ class McpStdioServer:
                     "protocolVersion": msg.get("params", {}).get(
                         "protocolVersion", PROTOCOL_VERSION
                     ),
-                    "capabilities": {"tools": {}},
+                    "capabilities": {"tools": {}, "prompts": {}},
                     "serverInfo": SERVER_INFO,
                 }
             elif method == "ping":
@@ -286,6 +442,12 @@ class McpStdioServer:
                 result = {"tools": [d.to_listing() for d in self.tools.values()]}
             elif method == "tools/call":
                 result = self._call_tool(msg.get("params") or {})
+            elif method == "prompts/list":
+                result = {
+                    "prompts": [p.to_listing() for p in self.prompts.values()]
+                }
+            elif method == "prompts/get":
+                result = self._get_prompt(msg.get("params") or {})
             elif method and method.startswith("notifications/"):
                 return None
             else:
@@ -317,6 +479,25 @@ class McpStdioServer:
         return {
             "content": [{"type": "text", "text": json.dumps(out, default=str)}],
             "isError": False,
+        }
+
+    def _get_prompt(self, params: dict) -> dict:
+        name = params.get("name")
+        prompt = self.prompts.get(name or "")
+        if prompt is None:
+            raise _InvalidParams(f"unknown prompt: {name}")
+        args = params.get("arguments") or {}
+        for arg_name, _, required in prompt.arguments:
+            if required and arg_name not in args:
+                raise _InvalidParams(f"missing required argument: {arg_name}")
+        return {
+            "description": prompt.description,
+            "messages": [
+                {
+                    "role": "user",
+                    "content": {"type": "text", "text": prompt.render(args)},
+                }
+            ],
         }
 
     # transport --------------------------------------------------------------

@@ -134,6 +134,63 @@ def test_tool_errors_are_results_not_crashes(client):
     assert json.loads(out.getvalue())["error"]["code"] == -32700
 
 
+def test_registry_browse_tools(client):
+    """Registry browse (reference mcp/registry.py): list with filters,
+    then drill into one connector's info."""
+    listed = client.call_tool("list_connectors", {})
+    names = json.loads(listed["content"][0]["text"])
+    assert "source-faker" in names and not listed["isError"]
+
+    filtered = client.call_tool(
+        "list_connectors",
+        {"keyword_filter": "faker", "connector_type_filter": "source"},
+    )
+    assert json.loads(filtered["content"][0]["text"]) == [
+        "source-e2e-test", "source-faker", "source-test",
+    ] or "source-faker" in json.loads(filtered["content"][0]["text"])
+
+    by_install = client.call_tool("list_connectors", {"install_types": ["python"]})
+    assert "source-faker" in json.loads(by_install["content"][0]["text"])
+
+    info = client.call_tool("get_connector_info", {"connector_name": "source-faker"})
+    doc = json.loads(info["content"][0]["text"])
+    assert doc["connector_name"] == "source-faker"
+    assert "python" in doc["install_types"]
+    assert doc["documentation_url"].endswith("/sources/faker")
+    assert "manifest.yaml" in doc["manifest_url"]
+
+    missing = client.call_tool(
+        "get_connector_info", {"connector_name": "source-nope"}
+    )
+    assert json.loads(missing["content"][0]["text"]) == "Connector not found."
+
+
+def test_prompts_surface(client):
+    """prompts/list + prompts/get round-trip (reference mcp/prompts.py)."""
+    init = client.request("initialize", {"protocolVersion": "2025-06-18"})
+    assert "prompts" in init["result"]["capabilities"]
+
+    listed = client.request("prompts/list")["result"]["prompts"]
+    names = {p["name"] for p in listed}
+    assert {"test-my-tools", "explore-a-source"} <= names
+    assert all("description" in p and "arguments" in p for p in listed)
+
+    got = client.request(
+        "prompts/get",
+        {"name": "test-my-tools", "arguments": {"scope": "only read-only tools"}},
+    )["result"]
+    text = got["messages"][0]["content"]["text"]
+    assert "only read-only tools" in text and got["messages"][0]["role"] == "user"
+
+    got2 = client.request(
+        "prompts/get", {"name": "explore-a-source", "arguments": {"source": "faker"}}
+    )["result"]
+    assert "'faker'" in got2["messages"][0]["content"]["text"]
+
+    bad = client.request("prompts/get", {"name": "no-such-prompt"})
+    assert bad["error"]["code"] == -32602
+
+
 def test_cli_mcp_subcommand_serves_stdio(tmp_path):
     """End-to-end through the installed CLI: pipe a handshake into
     `pyab-spark mcp` and read the responses back (no Spark needed for
