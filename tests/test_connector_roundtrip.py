@@ -118,6 +118,44 @@ def test_destination_write_roundtrip(connector, cache):
     assert dsp.state_artifacts
 
 
+def test_write_distributed_partition_parallel(tmp_path, spark, cache):
+    """Partition-parallel reverse ETL: one connector process per
+    partition, record envelopes built JVM-side, only STATE confirmations
+    collected. Totals across partitions must cover every row exactly
+    once, and per-partition state must land in the destination state
+    channel."""
+    script = tmp_path / "fake_connector.py"
+    script.write_text(CONNECTOR_SCRIPT)
+    dest = SparkDestination(
+        SubprocessHost([sys.executable, str(script)]),
+        name="dist-dest",
+        config={"token": "t-1"},
+    )
+    df = spark.range(0, 1000).selectExpr("id", "concat('name-', id) AS name")
+    artifacts = dest.write_distributed(
+        df, stream_name="items", num_processes=4, state_store=cache
+    )
+    # The fake connector echoes our per-partition STATE then emits its own
+    # summary STATE carrying {written: n, cfg: config}.
+    echoed = [a for a in artifacts if "partition" in a.state]
+    summaries = [a for a in artifacts if "written" in a.state]
+    assert len(echoed) == 4 and len(summaries) == 4
+    assert sum(a.state["rows"] for a in echoed) == 1000
+    assert sum(a.state["written"] for a in summaries) == 1000
+    # Hydrated config reached every partition's subprocess.
+    assert all(a.state["cfg"] == {"token": "t-1"} for a in summaries)
+    # Confirmations landed in the destination state channel.
+    dsp = cache.get_destination_state_provider("dist-dest")
+    assert len(dsp.state_artifacts) >= 4
+
+
+def test_write_distributed_requires_executor(spark):
+    dest = SparkDestination(sink=lambda lines: [], name="sink-only")
+    df = spark.range(3).toDF("id")
+    with pytest.raises(ValueError):
+        dest.write_distributed(df, stream_name="s")
+
+
 def test_destination_receives_hydrated_config(connector, cache):
     """The write subprocess must get the destination's actual config
     serialized to a file — not /dev/null (an external connector with an
