@@ -51,11 +51,45 @@ class LocalToolHost:
         warehouse_dir: str | None = None,
         cache: Any = None,
         source_resolver: Callable[[str, dict | None], Any] | None = None,
+        cloud_workspace: Any = None,
     ) -> None:
         self._warehouse_dir = warehouse_dir
         self._cache = cache
         self._source_resolver = source_resolver
         self._sources: dict[str, Any] = {}
+        self._cloud_workspace = cloud_workspace
+
+    def get_cloud_workspace(self, workspace_id: str | None = None):
+        """Workspace for the cloud tools: an injected one (tests,
+        embedded hosts) or one built from env credentials
+        (``AIRBYTE_CLOUD_WORKSPACE_ID`` + ``AIRBYTE_CLOUD_API_KEY``,
+        optional ``AIRBYTE_CLOUD_API_URL``) — the reference's
+        ``mcp/cloud.py:246-289`` resolution, minus HTTP-header config."""
+        if self._cloud_workspace is not None:
+            return self._cloud_workspace
+        import os
+
+        from pyairbyte_spark import exceptions as exc
+        from pyairbyte_spark.cloud import DEFAULT_API_ROOT, CloudWorkspace, HttpTransport
+
+        ws_id = workspace_id or os.environ.get("AIRBYTE_CLOUD_WORKSPACE_ID")
+        token = os.environ.get("AIRBYTE_CLOUD_API_KEY")
+        if not ws_id or not token:
+            raise exc.PyAirbyteInputError(
+                message="Cloud workspace is not configured.",
+                context={
+                    "guidance": "Set AIRBYTE_CLOUD_WORKSPACE_ID and "
+                    "AIRBYTE_CLOUD_API_KEY (optionally AIRBYTE_CLOUD_API_URL)."
+                },
+            )
+        transport = HttpTransport(
+            api_root=os.environ.get("AIRBYTE_CLOUD_API_URL", DEFAULT_API_ROOT),
+            bearer_token=token,
+        )
+        self._cloud_workspace = CloudWorkspace(
+            workspace_id=ws_id, transport=transport
+        )
+        return self._cloud_workspace
 
     @property
     def cache(self):
@@ -405,7 +439,216 @@ PROMPT_DEFS: list[PromptDef] = [
 ]
 
 
-TOOL_DEFS: list[ToolDef] = _build_tool_defs()
+def _build_cloud_tool_defs() -> list[ToolDef]:
+    """Hosted-workspace tools (reference ``mcp/cloud.py:292-1016``).
+
+    Deletion tools are deliberately not exposed: the workspace API's
+    safe-mode guard is a name convention, which an agent can satisfy by
+    renaming — destructive operations stay in the Python API.
+    """
+
+    def _ws(h: LocalToolHost, a: dict):
+        return h.get_cloud_workspace(a.get("workspace_id"))
+
+    ws_prop = {
+        "workspace_id": {
+            "type": "string",
+            "description": "Workspace ID (default: AIRBYTE_CLOUD_WORKSPACE_ID)",
+        }
+    }
+
+    def _deploy_source(h, a):
+        ws = _ws(h, a)
+        src = ws.deploy_source(
+            a["source_name"],
+            {**(a.get("config") or {}), "sourceType": a["source_type"]},
+            unique=bool(a.get("unique", True)),
+        )
+        return {"source_id": src.connector_id, "name": src.name}
+
+    def _deploy_destination(h, a):
+        ws = _ws(h, a)
+        dest = ws.deploy_destination(
+            a["destination_name"],
+            {**(a.get("config") or {}), "destinationType": a["destination_type"]},
+            unique=bool(a.get("unique", True)),
+        )
+        return {"destination_id": dest.connector_id, "name": dest.name}
+
+    def _create_connection(h, a):
+        ws = _ws(h, a)
+        conn = ws.deploy_connection(
+            a["connection_name"],
+            source=a["source_id"],
+            destination=a["destination_id"],
+            selected_streams=list(a["selected_streams"]),
+            table_prefix=a.get("table_prefix"),
+        )
+        return {"connection_id": conn.connection_id, "streams": conn.stream_names}
+
+    def _run_sync(h, a):
+        ws = _ws(h, a)
+        result = ws.get_connection(a["connection_id"]).run_sync(
+            wait=bool(a.get("wait", False)),
+            wait_timeout=int(a.get("wait_timeout", 300)),
+        )
+        return {"job_id": result.job_id, "status": result.get_job_status()}
+
+    def _sync_status(h, a):
+        ws = _ws(h, a)
+        result = ws.get_connection(a["connection_id"]).get_sync_result(
+            int(a["job_id"])
+        )
+        return {
+            "job_id": result.job_id,
+            "status": result.get_job_status(),
+            "records_synced": result.records_synced,
+            "bytes_synced": result.bytes_synced,
+        }
+
+    def _describe_connection(h, a):
+        ws = _ws(h, a)
+        conn = ws.get_connection(a["connection_id"])
+        return {
+            "connection_id": conn.connection_id,
+            "name": conn.name,
+            "source_id": conn.source_id,
+            "destination_id": conn.destination_id,
+            "streams": conn.stream_names,
+            "table_prefix": conn.table_prefix,
+        }
+
+    return [
+        ToolDef(
+            "check_cloud_workspace",
+            "Verify hosted-workspace credentials by listing its connections.",
+            {"type": "object", "properties": dict(ws_prop)},
+            lambda h, a: {
+                "workspace_id": _ws(h, a).workspace_id,
+                "connections": len(_ws(h, a).list_connections()),
+            },
+        ),
+        ToolDef(
+            "deploy_source_to_cloud",
+            "Deploy a source connector to the hosted workspace.",
+            {
+                "type": "object",
+                "properties": {
+                    **ws_prop,
+                    "source_name": {"type": "string"},
+                    "source_type": {
+                        "type": "string",
+                        "description": "Connector type, e.g. 'faker'",
+                    },
+                    "config": {"type": "object"},
+                    "unique": {"type": "boolean", "default": True},
+                },
+                "required": ["source_name", "source_type"],
+            },
+            _deploy_source,
+        ),
+        ToolDef(
+            "deploy_destination_to_cloud",
+            "Deploy a destination connector to the hosted workspace.",
+            {
+                "type": "object",
+                "properties": {
+                    **ws_prop,
+                    "destination_name": {"type": "string"},
+                    "destination_type": {"type": "string"},
+                    "config": {"type": "object"},
+                    "unique": {"type": "boolean", "default": True},
+                },
+                "required": ["destination_name", "destination_type"],
+            },
+            _deploy_destination,
+        ),
+        ToolDef(
+            "create_cloud_connection",
+            "Connect a deployed source and destination with selected streams.",
+            {
+                "type": "object",
+                "properties": {
+                    **ws_prop,
+                    "connection_name": {"type": "string"},
+                    "source_id": {"type": "string"},
+                    "destination_id": {"type": "string"},
+                    "selected_streams": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                    },
+                    "table_prefix": {"type": "string"},
+                },
+                "required": [
+                    "connection_name",
+                    "source_id",
+                    "destination_id",
+                    "selected_streams",
+                ],
+            },
+            _create_connection,
+        ),
+        ToolDef(
+            "run_cloud_sync",
+            "Trigger a sync job on a connection; optionally wait for it.",
+            {
+                "type": "object",
+                "properties": {
+                    **ws_prop,
+                    "connection_id": {"type": "string"},
+                    "wait": {"type": "boolean", "default": False},
+                    "wait_timeout": {"type": "integer", "default": 300},
+                },
+                "required": ["connection_id"],
+            },
+            _run_sync,
+        ),
+        ToolDef(
+            "get_cloud_sync_status",
+            "Status, records and bytes for one sync job.",
+            {
+                "type": "object",
+                "properties": {
+                    **ws_prop,
+                    "connection_id": {"type": "string"},
+                    "job_id": {"type": "integer"},
+                },
+                "required": ["connection_id", "job_id"],
+            },
+            _sync_status,
+        ),
+        ToolDef(
+            "list_deployed_cloud_sources",
+            "List sources deployed in the hosted workspace.",
+            {"type": "object", "properties": dict(ws_prop)},
+            lambda h, a: [
+                {"source_id": s.connector_id, "name": s.name}
+                for s in _ws(h, a).list_sources()
+            ],
+        ),
+        ToolDef(
+            "list_deployed_cloud_destinations",
+            "List destinations deployed in the hosted workspace.",
+            {"type": "object", "properties": dict(ws_prop)},
+            lambda h, a: [
+                {"destination_id": d.connector_id, "name": d.name}
+                for d in _ws(h, a).list_destinations()
+            ],
+        ),
+        ToolDef(
+            "describe_cloud_connection",
+            "Name, endpoints, streams and prefix of one connection.",
+            {
+                "type": "object",
+                "properties": {**ws_prop, "connection_id": {"type": "string"}},
+                "required": ["connection_id"],
+            },
+            _describe_connection,
+        ),
+    ]
+
+
+TOOL_DEFS: list[ToolDef] = _build_tool_defs() + _build_cloud_tool_defs()
 
 
 # -- JSON-RPC / MCP loop -----------------------------------------------------

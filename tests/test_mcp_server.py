@@ -191,6 +191,83 @@ def test_prompts_surface(client):
     assert bad["error"]["code"] == -32602
 
 
+def test_cloud_tools_full_lifecycle(spark, tmp_path):
+    """Cloud tools over an injected fake workspace: deploy source +
+    destination, connect, sync, poll — all through the MCP wire."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.cloud import CloudWorkspace, FakeCloudTransport
+
+    transport = FakeCloudTransport()
+    host = LocalToolHost(
+        cache=SparkCache(spark, str(tmp_path / "wh")),
+        cloud_workspace=CloudWorkspace(workspace_id="ws-1", transport=transport),
+    )
+    client = _Client(McpStdioServer(host))
+
+    src = json.loads(
+        client.call_tool(
+            "deploy_source_to_cloud",
+            {"source_name": "mcp faker", "source_type": "faker", "config": {"count": 5}},
+        )["content"][0]["text"]
+    )
+    dest = json.loads(
+        client.call_tool(
+            "deploy_destination_to_cloud",
+            {"destination_name": "mcp wh", "destination_type": "spark"},
+        )["content"][0]["text"]
+    )
+    conn = json.loads(
+        client.call_tool(
+            "create_cloud_connection",
+            {
+                "connection_name": "mcp conn",
+                "source_id": src["source_id"],
+                "destination_id": dest["destination_id"],
+                "selected_streams": ["users"],
+            },
+        )["content"][0]["text"]
+    )
+    assert conn["streams"] == ["users"]
+
+    run = json.loads(
+        client.call_tool("run_cloud_sync", {"connection_id": conn["connection_id"]})[
+            "content"
+        ][0]["text"]
+    )
+    assert run["status"] == "running"
+    transport.jobs[run["job_id"]].update(status="succeeded", rowsSynced=5)
+    status = json.loads(
+        client.call_tool(
+            "get_cloud_sync_status",
+            {"connection_id": conn["connection_id"], "job_id": run["job_id"]},
+        )["content"][0]["text"]
+    )
+    assert status["status"] == "succeeded" and status["records_synced"] == 5
+
+    listed = json.loads(
+        client.call_tool("list_deployed_cloud_sources", {})["content"][0]["text"]
+    )
+    assert listed == [{"source_id": src["source_id"], "name": "mcp faker"}]
+    desc = json.loads(
+        client.call_tool(
+            "describe_cloud_connection", {"connection_id": conn["connection_id"]}
+        )["content"][0]["text"]
+    )
+    assert desc["source_id"] == src["source_id"]
+    check = json.loads(
+        client.call_tool("check_cloud_workspace", {})["content"][0]["text"]
+    )
+    assert check == {"workspace_id": "ws-1", "connections": 1}
+
+
+def test_cloud_tools_unconfigured_error(client):
+    """Without credentials or an injected workspace, cloud tools fail as
+    tool-results (isError), not server crashes."""
+    out = client.call_tool("check_cloud_workspace", {})
+    assert out["isError"]
+    assert "not configured" in out["content"][0]["text"]
+
+
 def test_cli_mcp_subcommand_serves_stdio(tmp_path):
     """End-to-end through the installed CLI: pipe a handshake into
     `pyab-spark mcp` and read the responses back (no Spark needed for
