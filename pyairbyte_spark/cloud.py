@@ -110,6 +110,7 @@ class FakeCloudTransport:
         self.sources: dict[str, dict] = {}
         self.connections: dict[str, dict] = {}
         self.destinations: dict[str, dict] = {}
+        self.definitions: dict[str, dict] = {}
         self.jobs: dict[int, dict] = {}
         self.calls: list[tuple[str, str, dict | None]] = []
         self._next_job_id = 1000
@@ -127,6 +128,7 @@ class FakeCloudTransport:
             "sources": self.sources,
             "destinations": self.destinations,
             "connections": self.connections,
+            "custom-source-definitions": self.definitions,
         }[kind]
 
     def request(  # noqa: PLR0911, PLR0912 - route table
@@ -151,12 +153,18 @@ class FakeCloudTransport:
         if path.startswith("/jobs/"):
             return self.jobs[int(parts[1])]
 
-        if parts and parts[0] in ("sources", "destinations", "connections"):
+        if parts and parts[0] in (
+            "sources",
+            "destinations",
+            "connections",
+            "custom-source-definitions",
+        ):
             coll = self._collection(parts[0])
             id_key = {
                 "sources": "sourceId",
                 "destinations": "destinationId",
                 "connections": "connectionId",
+                "custom-source-definitions": "definitionId",
             }[parts[0]]
             if len(parts) == 1 and method == "POST":
                 rid = self._new_id(parts[0][:4].rstrip("s"))
@@ -436,6 +444,43 @@ class CloudWorkspace:
             workspace=self, connection_id=doc["connectionId"], _info=doc
         )
 
+    # -- custom source definitions (reference workspaces.py:781-925) ---------
+
+    def publish_custom_source_definition(
+        self,
+        name: str,
+        *,
+        manifest_yaml: Any = None,
+        docker_image: str | None = None,
+        docker_tag: str | None = None,
+        unique: bool = True,
+        pre_validate: bool = True,
+    ) -> CustomCloudSourceDefinition:
+        """Publish a declarative-manifest source definition to the
+        workspace (YAML only; Docker definitions raise, as in the
+        reference)."""
+        return _publish_custom_source_definition(
+            self,
+            name,
+            manifest_yaml=manifest_yaml,
+            docker_image=docker_image,
+            docker_tag=docker_tag,
+            unique=unique,
+            pre_validate=pre_validate,
+        )
+
+    def list_custom_source_definitions(
+        self, *, definition_type: str = "yaml"
+    ) -> list[CustomCloudSourceDefinition]:
+        return _list_custom_source_definitions(self, definition_type=definition_type)
+
+    def get_custom_source_definition(
+        self, definition_id: str, *, definition_type: str = "yaml"
+    ) -> CustomCloudSourceDefinition:
+        return _get_custom_source_definition(
+            self, definition_id, definition_type=definition_type
+        )
+
     def permanently_delete_source(
         self, source: str | CloudSource, *, safe_mode: bool = True
     ) -> None:
@@ -599,6 +644,209 @@ class CloudDestination(CloudConnector):
     @property
     def destination_id(self) -> str:
         return self.connector_id
+
+
+# -- custom source definitions ------------------------------------------------
+
+
+def _load_manifest_any(manifest: Any) -> dict[str, Any]:
+    """dict / JSON string / YAML string / path → manifest dict."""
+    from pathlib import Path
+
+    if isinstance(manifest, dict):
+        return manifest
+    if isinstance(manifest, Path):
+        manifest = str(manifest)
+    from pyairbyte_spark.sources.declarative import load_manifest
+
+    try:
+        return load_manifest(manifest)
+    except (OSError, ValueError):
+        # Inline YAML string (load_manifest handles paths + JSON).
+        try:
+            import yaml  # optional dependency
+
+            doc = yaml.safe_load(manifest)
+        except ImportError as ex:  # pragma: no cover - yaml is present in CI
+            raise exc.PyAirbyteInputError(
+                message="Cannot parse manifest: not JSON and no YAML parser available."
+            ) from ex
+        if not isinstance(doc, dict):
+            raise exc.PyAirbyteInputError(
+                message="Manifest must parse to a mapping.",
+                input_value=str(type(doc).__name__),
+            )
+        return doc
+
+
+class CustomCloudSourceDefinition:
+    """A workspace-published declarative (YAML) source definition
+    (reference ``workspaces.py:781-925`` + ``connectors.py:362-775``)."""
+
+    def __init__(
+        self,
+        *,
+        workspace: CloudWorkspace,
+        definition_id: str,
+        _info: dict[str, Any] | None = None,
+    ) -> None:
+        self.workspace = workspace
+        self.definition_id = definition_id
+        self._info = _info
+
+    def _fetch_info(self, *, force_refresh: bool = False) -> dict[str, Any]:
+        if self._info is None or force_refresh:
+            self._info = self.workspace.transport.request(
+                "GET", f"/custom-source-definitions/{self.definition_id}"
+            )
+        return self._info
+
+    @property
+    def name(self) -> str | None:
+        return self._fetch_info().get("name")
+
+    @property
+    def manifest(self) -> dict[str, Any] | None:
+        return self._fetch_info().get("manifest")
+
+    @property
+    def version(self) -> str | None:
+        return self._fetch_info().get("version")
+
+    def rename(self, name: str) -> CustomCloudSourceDefinition:
+        self._info = self.workspace.transport.request(
+            "PATCH", f"/custom-source-definitions/{self.definition_id}", {"name": name}
+        )
+        return self
+
+    def update_definition(self, manifest: Any) -> CustomCloudSourceDefinition:
+        """Replace the manifest (validated the same way publish does)."""
+        doc = _load_manifest_any(manifest)
+        _validate_manifest(doc)
+        self._info = self.workspace.transport.request(
+            "PATCH",
+            f"/custom-source-definitions/{self.definition_id}",
+            {"manifest": doc},
+        )
+        return self
+
+    def deploy_source(
+        self, name: str, *, config: dict[str, Any] | None = None, unique: bool = True
+    ) -> CloudSource:
+        """Deploy a source instance of this definition (reference
+        ``connectors.py:777-830``)."""
+        return self.workspace.deploy_source(
+            name,
+            {
+                **(config or {}),
+                "sourceType": "custom",
+                "definitionId": self.definition_id,
+            },
+            unique=unique,
+        )
+
+    def permanently_delete(self, *, safe_mode: bool = True) -> None:
+        _guard_deletion(self.name, "custom source definition", safe_mode=safe_mode)
+        self.workspace.transport.request(
+            "DELETE", f"/custom-source-definitions/{self.definition_id}"
+        )
+
+
+def _validate_manifest(doc: dict[str, Any]) -> None:
+    """Client-side pre-validation: the manifest must declare at least one
+    stream the declarative engine can resolve."""
+    from pyairbyte_spark.sources.declarative import DeclarativeSource
+
+    catalog = DeclarativeSource(doc, name="manifest-validate").discovered_catalog()
+    if not catalog:
+        raise exc.PyAirbyteInputError(
+            message="Manifest declares no streams.", context={"keys": sorted(doc)}
+        )
+
+
+def _publish_custom_source_definition(
+    workspace: CloudWorkspace,
+    name: str,
+    *,
+    manifest_yaml: Any = None,
+    docker_image: str | None = None,
+    docker_tag: str | None = None,
+    unique: bool = True,
+    pre_validate: bool = True,
+) -> CustomCloudSourceDefinition:
+    is_yaml = manifest_yaml is not None
+    is_docker = docker_image is not None
+    if is_yaml == is_docker:
+        raise exc.PyAirbyteInputError(
+            message=(
+                "Specify EITHER manifest_yaml (YAML connectors) OR "
+                "docker_image + docker_tag (Docker connectors), not both."
+            )
+        )
+    if is_docker:
+        if docker_tag is None:
+            raise exc.PyAirbyteInputError(
+                message="docker_tag is required with docker_image.",
+                context={"docker_image": docker_image},
+            )
+        raise NotImplementedError(
+            "Docker custom source definitions are not supported; "
+            "only YAML manifest definitions are."
+        )
+    doc = _load_manifest_any(manifest_yaml)
+    if pre_validate:
+        _validate_manifest(doc)
+    if unique and any(
+        d.name == name for d in workspace.list_custom_source_definitions()
+    ):
+        raise exc.AirbyteDuplicateResourcesError(
+            resource_type="custom_source_definition", resource_name=name
+        )
+    info = workspace.transport.request(
+        "POST",
+        "/custom-source-definitions",
+        {
+            "name": name,
+            "workspaceId": workspace.workspace_id,
+            "manifest": doc,
+            "version": doc.get("version"),
+        },
+    )
+    return CustomCloudSourceDefinition(
+        workspace=workspace, definition_id=info["definitionId"], _info=info
+    )
+
+
+def _list_custom_source_definitions(
+    workspace: CloudWorkspace, *, definition_type: str = "yaml"
+) -> list[CustomCloudSourceDefinition]:
+    if definition_type != "yaml":
+        raise NotImplementedError(
+            "Docker custom source definitions are not supported."
+        )
+    doc = workspace.transport.request(
+        "GET", f"/custom-source-definitions?workspaceIds={workspace.workspace_id}"
+    )
+    return [
+        CustomCloudSourceDefinition(
+            workspace=workspace, definition_id=r["definitionId"], _info=r
+        )
+        for r in doc.get("data", [])
+    ]
+
+
+def _get_custom_source_definition(
+    workspace: CloudWorkspace, definition_id: str, *, definition_type: str = "yaml"
+) -> CustomCloudSourceDefinition:
+    if definition_type != "yaml":
+        raise NotImplementedError(
+            "Docker custom source definitions are not supported."
+        )
+    return CustomCloudSourceDefinition(
+        workspace=workspace, definition_id=definition_id
+    )
+
+
 
 
 @dataclass

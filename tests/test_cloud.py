@@ -272,6 +272,100 @@ def test_connector_check_rename_update(ws):
     assert workspace.list_sources(name_filter=lambda n: "s2" in n, limit=1)
 
 
+MANIFEST_YAML = """
+name: source-inline-demo
+version: "0.1.0"
+streams:
+  - name: colors
+    primary_key: [id]
+    source:
+      type: inline
+      records:
+        - {id: 1, color: red}
+        - {id: 2, color: blue}
+"""
+
+
+def test_custom_source_definition_lifecycle(ws):
+    from pyairbyte_spark import exceptions as exc
+
+    workspace, transport = ws
+    defn = workspace.publish_custom_source_definition(
+        "deleteme demo", manifest_yaml=MANIFEST_YAML
+    )
+    assert defn.name == "deleteme demo"
+    assert defn.version == "0.1.0"
+    assert defn.manifest["streams"][0]["name"] == "colors"
+
+    # unique-name guard
+    with pytest.raises(exc.AirbyteDuplicateResourcesError):
+        workspace.publish_custom_source_definition(
+            "deleteme demo", manifest_yaml=MANIFEST_YAML
+        )
+
+    listed = workspace.list_custom_source_definitions()
+    assert [d.definition_id for d in listed] == [defn.definition_id]
+    fetched = workspace.get_custom_source_definition(defn.definition_id)
+    assert fetched.name == "deleteme demo"
+
+    # update replaces the manifest (and re-validates it)
+    new_manifest = dict(defn.manifest, version="0.2.0")
+    defn.update_definition(new_manifest)
+    assert defn.manifest["version"] == "0.2.0"
+    defn.rename("deleteme demo v2")
+    assert defn.name == "deleteme demo v2"
+
+    # deploy an instance of the definition
+    src = defn.deploy_source("deleteme inst", config={"count": 2})
+    assert src.configuration["definitionId"] == defn.definition_id
+
+    defn.permanently_delete()
+    assert not transport.definitions
+
+
+def test_custom_source_definition_validation(ws):
+    from pyairbyte_spark import exceptions as exc
+
+    workspace, _ = ws
+    # YAML and docker are mutually exclusive; docker is unsupported
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.publish_custom_source_definition("x")
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.publish_custom_source_definition(
+            "x", manifest_yaml=MANIFEST_YAML, docker_image="img"
+        )
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.publish_custom_source_definition("x", docker_image="img")
+    with pytest.raises(NotImplementedError):
+        workspace.publish_custom_source_definition(
+            "x", docker_image="img", docker_tag="1.0"
+        )
+    # pre-validation rejects a stream-less manifest
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.publish_custom_source_definition(
+            "x", manifest_yaml={"name": "empty"}
+        )
+    # ...unless explicitly skipped
+    defn = workspace.publish_custom_source_definition(
+        "deleteme empty", manifest_yaml={"name": "empty"}, pre_validate=False
+    )
+    assert defn.manifest == {"name": "empty"}
+
+
+def test_published_manifest_runs_as_declarative_source(ws, cache):
+    """Round-trip: the manifest published to the workspace is the same
+    document the local declarative engine executes."""
+    from pyairbyte_spark.sources.declarative import DeclarativeSource
+
+    workspace, _ = ws
+    defn = workspace.publish_custom_source_definition(
+        "deleteme rt", manifest_yaml=MANIFEST_YAML
+    )
+    src = DeclarativeSource(defn.manifest)
+    res = src.read(cache, write_strategy="auto")
+    assert res.record_counts["colors"] == 2
+
+
 def test_sync_result_applies_table_prefix(spark, tmp_path):
     """A connection's table prefix must reach the dataset surface:
     get_dataset('users') on a connection with prefix 'pfx_' opens the
