@@ -111,6 +111,8 @@ class FakeCloudTransport:
         self.connections: dict[str, dict] = {}
         self.destinations: dict[str, dict] = {}
         self.definitions: dict[str, dict] = {}
+        self.workspaces: dict[str, dict] = {}
+        self.organizations: dict[str, dict] = {}
         self.jobs: dict[int, dict] = {}
         self.calls: list[tuple[str, str, dict | None]] = []
         self._next_job_id = 1000
@@ -129,6 +131,8 @@ class FakeCloudTransport:
             "destinations": self.destinations,
             "connections": self.connections,
             "custom-source-definitions": self.definitions,
+            "workspaces": self.workspaces,
+            "organizations": self.organizations,
         }[kind]
 
     def request(  # noqa: PLR0911, PLR0912 - route table
@@ -138,6 +142,15 @@ class FakeCloudTransport:
         path = path.split("?", 1)[0]
         parts = [p for p in path.split("/") if p]
 
+        if path == "/applications/token" and method == "POST":
+            p = payload or {}
+            if not p.get("client_id") or not p.get("client_secret"):
+                raise KeyError("client_id and client_secret are required")
+            return {
+                "access_token": f"fake-token-{p['client_id']}",
+                "token_type": "Bearer",
+                "expires_in": 900,
+            }
         if path == "/jobs" and method == "POST":
             job_id = self._next_job_id
             self._next_job_id += 1
@@ -158,6 +171,8 @@ class FakeCloudTransport:
             "destinations",
             "connections",
             "custom-source-definitions",
+            "workspaces",
+            "organizations",
         ):
             coll = self._collection(parts[0])
             id_key = {
@@ -165,6 +180,8 @@ class FakeCloudTransport:
                 "destinations": "destinationId",
                 "connections": "connectionId",
                 "custom-source-definitions": "definitionId",
+                "workspaces": "workspaceId",
+                "organizations": "organizationId",
             }[parts[0]]
             if len(parts) == 1 and method == "POST":
                 rid = self._new_id(parts[0][:4].rstrip("s"))
@@ -189,6 +206,86 @@ class FakeCloudTransport:
                 return coll.pop(rid)
             return coll[rid]
         raise KeyError(f"unhandled fake route: {method} {path}")
+
+
+# -- credentials (reference cloud/auth.py + _credentials.py) ------------------
+
+CLOUD_API_URL_ENV = "AIRBYTE_CLOUD_API_URL"
+CLOUD_BEARER_TOKEN_ENV = "AIRBYTE_CLOUD_API_KEY"
+CLOUD_CLIENT_ID_ENV = "AIRBYTE_CLOUD_CLIENT_ID"
+CLOUD_CLIENT_SECRET_ENV = "AIRBYTE_CLOUD_CLIENT_SECRET"
+CLOUD_WORKSPACE_ID_ENV = "AIRBYTE_CLOUD_WORKSPACE_ID"
+
+
+@dataclass
+class CloudCredentials:
+    """Resolved hosted-API credentials: a bearer token, or a client-id/
+    secret pair to exchange for one."""
+
+    bearer_token: str | None = None
+    client_id: str | None = None
+    client_secret: str | None = None
+    workspace_id: str | None = None
+    api_url: str = DEFAULT_API_ROOT
+
+
+def resolve_cloud_credentials(
+    *,
+    bearer_token: str | None = None,
+    client_id: str | None = None,
+    client_secret: str | None = None,
+    workspace_id: str | None = None,
+    api_url: str | None = None,
+) -> CloudCredentials:
+    """Explicit values win; otherwise each field resolves through the
+    secret sources / env (AIRBYTE_CLOUD_* names)."""
+    from pyairbyte_spark.secrets import get_secret
+
+    def _opt(explicit: str | None, env_name: str) -> str | None:
+        if explicit is not None:
+            return explicit
+        value = get_secret(env_name, default="", allow_prompt=False)
+        return str(value) or None
+
+    creds = CloudCredentials(
+        bearer_token=_opt(bearer_token, CLOUD_BEARER_TOKEN_ENV),
+        client_id=_opt(client_id, CLOUD_CLIENT_ID_ENV),
+        client_secret=_opt(client_secret, CLOUD_CLIENT_SECRET_ENV),
+        workspace_id=_opt(workspace_id, CLOUD_WORKSPACE_ID_ENV),
+        api_url=_opt(api_url, CLOUD_API_URL_ENV) or DEFAULT_API_ROOT,
+    )
+    if not creds.bearer_token and not (creds.client_id and creds.client_secret):
+        raise exc.PyAirbyteInputError(
+            message="No hosted-API credentials found.",
+            context={
+                "guidance": f"Set {CLOUD_BEARER_TOKEN_ENV}, or "
+                f"{CLOUD_CLIENT_ID_ENV} + {CLOUD_CLIENT_SECRET_ENV}."
+            },
+        )
+    return creds
+
+
+def exchange_client_credentials(
+    transport: CloudTransport, client_id: str, client_secret: str
+) -> str:
+    """client-credentials grant → bearer token
+    (``POST /applications/token``)."""
+    doc = transport.request(
+        "POST",
+        "/applications/token",
+        {
+            "grant_type": "client_credentials",
+            "client_id": client_id,
+            "client_secret": client_secret,
+        },
+    )
+    token = doc.get("access_token")
+    if not token:
+        raise CloudError(
+            message="Token exchange returned no access_token.",
+            context={"keys": sorted(doc)},
+        )
+    return token
 
 
 # -- destination → cache seam ------------------------------------------------
@@ -264,6 +361,82 @@ class CloudWorkspace:
 
     workspace_id: str
     transport: CloudTransport
+
+    @classmethod
+    def from_env(
+        cls, *, transport: CloudTransport | None = None, **overrides: str | None
+    ) -> CloudWorkspace:
+        """Workspace from resolved credentials (reference
+        ``workspaces.py:155``): bearer token directly, or a client-id/
+        secret pair exchanged for one."""
+        creds = resolve_cloud_credentials(**overrides)
+        if not creds.workspace_id:
+            raise exc.PyAirbyteInputError(
+                message="No workspace id found.",
+                context={"guidance": f"Set {CLOUD_WORKSPACE_ID_ENV}."},
+            )
+        if transport is None:
+            token = creds.bearer_token
+            if not token:
+                bootstrap = HttpTransport(api_root=creds.api_url)
+                token = exchange_client_credentials(
+                    bootstrap, creds.client_id, creds.client_secret
+                )
+            transport = HttpTransport(api_root=creds.api_url, bearer_token=token)
+        elif not creds.bearer_token and creds.client_id and creds.client_secret:
+            # Injected transports still exercise the exchange path so the
+            # grant flow is testable offline.
+            exchange_client_credentials(
+                transport, creds.client_id, creds.client_secret
+            )
+        return cls(workspace_id=creds.workspace_id, transport=transport)
+
+    # -- workspace admin (reference workspaces.py:644-701) -------------------
+
+    def _workspace_info(self, *, force_refresh: bool = False) -> dict[str, Any]:
+        return self.transport.request("GET", f"/workspaces/{self.workspace_id}")
+
+    @property
+    def name(self) -> str | None:
+        try:
+            return self._workspace_info().get("name")
+        except Exception:  # noqa: BLE001 - metadata is best-effort
+            return None
+
+    def list_workspaces(
+        self,
+        name: str | None = None,
+        *,
+        name_filter: Callable[[str], bool] | None = None,
+        limit: int | None = None,
+    ) -> list[dict[str, Any]]:
+        doc = self.transport.request("GET", "/workspaces")
+        return _filter_named(doc.get("data", []), name, name_filter, limit)
+
+    def rename(self, name: str) -> CloudWorkspace:
+        self.transport.request(
+            "PATCH", f"/workspaces/{self.workspace_id}", {"name": name}
+        )
+        return self
+
+    def permanently_delete(self, *, safe_mode: bool = True) -> None:
+        """Delete this workspace; refuses while connections exist."""
+        if self.list_connections():
+            raise exc.PyAirbyteInputError(
+                message="Workspace still has connections; delete them first.",
+                input_value=self.workspace_id,
+            )
+        _guard_deletion(self.name, "workspace", safe_mode=safe_mode)
+        self.transport.request("DELETE", f"/workspaces/{self.workspace_id}")
+
+    def get_organization(self, organization_id: str | None = None) -> CloudOrganization:
+        org_id = organization_id or self._workspace_info().get("organizationId")
+        if not org_id:
+            raise exc.PyAirbyteInputError(
+                message="Workspace has no organization id.",
+                input_value=self.workspace_id,
+            )
+        return CloudOrganization(workspace=self, organization_id=org_id)
 
     def get_connection(self, connection_id: str) -> CloudConnection:
         return CloudConnection(workspace=self, connection_id=connection_id)
@@ -644,6 +817,43 @@ class CloudDestination(CloudConnector):
     @property
     def destination_id(self) -> str:
         return self.connector_id
+
+
+class CloudOrganization:
+    """Billing/account container above workspaces (reference
+    ``cloud/organizations.py:17-114``)."""
+
+    def __init__(self, *, workspace: CloudWorkspace, organization_id: str) -> None:
+        self.workspace = workspace
+        self.organization_id = organization_id
+        self._info: dict[str, Any] | None = None
+
+    def _fetch_info(self, *, force_refresh: bool = False) -> dict[str, Any]:
+        if self._info is None or force_refresh:
+            self._info = self.workspace.transport.request(
+                "GET", f"/organizations/{self.organization_id}"
+            )
+        return self._info
+
+    @property
+    def organization_name(self) -> str | None:
+        return self._fetch_info().get("organizationName")
+
+    @property
+    def email(self) -> str | None:
+        return self._fetch_info().get("email")
+
+    @property
+    def payment_status(self) -> str | None:
+        return self._fetch_info().get("paymentStatus")
+
+    @property
+    def subscription_status(self) -> str | None:
+        return self._fetch_info().get("subscriptionStatus")
+
+    @property
+    def is_account_locked(self) -> bool:
+        return self.payment_status in ("locked", "disabled")
 
 
 # -- custom source definitions ------------------------------------------------

@@ -272,6 +272,79 @@ def test_connector_check_rename_update(ws):
     assert workspace.list_sources(name_filter=lambda n: "s2" in n, limit=1)
 
 
+def test_from_env_bearer_and_client_credentials(monkeypatch):
+    from pyairbyte_spark import exceptions as exc
+    from pyairbyte_spark.cloud import (
+        CloudWorkspace,
+        FakeCloudTransport,
+        exchange_client_credentials,
+        resolve_cloud_credentials,
+    )
+
+    transport = FakeCloudTransport()
+    # no credentials at all → clear error
+    monkeypatch.delenv("AIRBYTE_CLOUD_API_KEY", raising=False)
+    with pytest.raises(exc.PyAirbyteInputError):
+        resolve_cloud_credentials()
+
+    # bearer-token path
+    monkeypatch.setenv("AIRBYTE_CLOUD_API_KEY", "tok-x")
+    monkeypatch.setenv("AIRBYTE_CLOUD_WORKSPACE_ID", "ws-9")
+    ws = CloudWorkspace.from_env(transport=transport)
+    assert ws.workspace_id == "ws-9"
+
+    # client-credentials path: the grant is exchanged for a token
+    monkeypatch.delenv("AIRBYTE_CLOUD_API_KEY")
+    monkeypatch.setenv("AIRBYTE_CLOUD_CLIENT_ID", "cid")
+    monkeypatch.setenv("AIRBYTE_CLOUD_CLIENT_SECRET", "csec")
+    ws2 = CloudWorkspace.from_env(transport=transport)
+    assert ws2.workspace_id == "ws-9"
+    assert ("POST", "/applications/token") in [(m, p) for m, p, _ in transport.calls]
+    assert exchange_client_credentials(transport, "cid", "csec").startswith(
+        "fake-token-"
+    )
+
+
+def test_workspace_admin_and_organization(ws):
+    from pyairbyte_spark import exceptions as exc
+    from pyairbyte_spark.cloud import CloudWorkspace
+
+    workspace, transport = ws
+    transport.workspaces["ws-1"] = {
+        "workspaceId": "ws-1",
+        "name": "main ws",
+        "organizationId": "org-1",
+    }
+    transport.workspaces["ws-2"] = {"workspaceId": "ws-2", "name": "other ws"}
+    transport.organizations["org-1"] = {
+        "organizationId": "org-1",
+        "organizationName": "Acme",
+        "email": "ops@acme.test",
+        "paymentStatus": "ok",
+        "subscriptionStatus": "active",
+    }
+    assert workspace.name == "main ws"
+    assert [w["workspaceId"] for w in workspace.list_workspaces()] == ["ws-1", "ws-2"]
+    assert workspace.list_workspaces(name="other ws")[0]["workspaceId"] == "ws-2"
+
+    org = workspace.get_organization()
+    assert org.organization_name == "Acme" and org.email == "ops@acme.test"
+    assert not org.is_account_locked
+
+    # delete: blocked by safe mode until renamed, then succeeds when empty
+    with pytest.raises(exc.PyAirbyteInputError):
+        workspace.permanently_delete()
+    workspace.rename("deleteme ws")
+    workspace.permanently_delete()
+    assert "ws-1" not in transport.workspaces
+
+    # a workspace with connections refuses deletion outright
+    ws2 = CloudWorkspace(workspace_id="ws-2", transport=transport)
+    transport.connections["c1"] = {"connectionId": "c1", "name": "x"}
+    with pytest.raises(exc.PyAirbyteInputError):
+        ws2.permanently_delete(safe_mode=False)
+
+
 MANIFEST_YAML = """
 name: source-inline-demo
 version: "0.1.0"
