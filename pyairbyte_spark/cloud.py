@@ -310,6 +310,21 @@ def destination_to_cache(
         "warehouse_dir"
     ) or destination_configuration.get("destination_path")
     if not path:
+        from pyairbyte_spark import jdbc
+
+        try:
+            url = jdbc.jdbc_url(destination_configuration)
+        except exc.PyAirbyteInputError:
+            url = None
+        if url is not None:
+            raise exc.PyAirbyteInputError(
+                message=(
+                    "Destination is an external JDBC warehouse; open tables "
+                    "with pyairbyte_spark.jdbc.read_table (partitioned reads) "
+                    "instead of a path-backed cache."
+                ),
+                context={"jdbc_url": url},
+            )
         raise exc.PyAirbyteInputError(
             message="Destination configuration has no warehouse path to open.",
             context={"keys": sorted(destination_configuration)},

@@ -1,0 +1,161 @@
+"""JDBC read path for truly external warehouses.
+
+The reference ships per-dialect cache connectors
+(``airbyte/caches/{postgres,snowflake,bigquery,motherduck}.py``) whose
+read side opens a SQLAlchemy engine on the destination. The Spark-native
+analogue is the built-in JDBC data source: this module maps destination
+configurations (the same shape ``cloud.destination_to_cache`` receives)
+to Spark JDBC reader options and builds partitioned-read plans.
+
+Scale posture: a naive JDBC read is ONE task holding one connection —
+the 100 TB anti-pattern. :func:`read_table` therefore wires Spark's
+range-partitioned read (``partitionColumn``/``lowerBound``/``upperBound``/
+``numPartitions`` → one connection per partition, each fetching a range
+slice) and pushes filters down as ``WHERE`` clauses via predicates.
+
+The actual network read needs the dialect's JDBC driver jar on the Spark
+classpath; everything up to ``.load()`` — URL/option mapping, partition
+planning — is driver-free and fully tested offline.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyairbyte_spark import exceptions as exc
+
+# destinationType → (jdbc scheme, default port, driver class)
+_DIALECTS: dict[str, tuple[str, int | None, str]] = {
+    "postgres": ("postgresql", 5432, "org.postgresql.Driver"),
+    "mysql": ("mysql", 3306, "com.mysql.cj.jdbc.Driver"),
+    "mssql": ("sqlserver", 1433, "com.microsoft.sqlserver.jdbc.SQLServerDriver"),
+    "oracle": ("oracle:thin", 1521, "oracle.jdbc.OracleDriver"),
+}
+
+
+def jdbc_url(config: dict[str, Any]) -> str:
+    """JDBC URL from a destination configuration.
+
+    Recognizes the common Airbyte destination config shapes: host/port/
+    database dialects, Snowflake account URLs, and BigQuery projects
+    (via the open-source Simba-compatible connector URL form).
+    """
+    dtype = (config.get("destinationType") or config.get("type") or "").lower()
+    if dtype == "snowflake" or "account" in config and "warehouse" in config:
+        account = config.get("account") or config.get("host", "").split(
+            ".snowflakecomputing.com"
+        )[0]
+        return f"jdbc:snowflake://{account}.snowflakecomputing.com/"
+    if dtype == "bigquery" or "project_id" in config:
+        project = config.get("project_id", "")
+        return f"jdbc:bigquery://https://www.googleapis.com/bigquery/v2:443;ProjectId={project}"
+    if dtype in _DIALECTS:
+        scheme, default_port, _ = _DIALECTS[dtype]
+        host = config.get("host")
+        if not host:
+            raise exc.PyAirbyteInputError(
+                message="Destination configuration has no host.",
+                context={"destinationType": dtype, "keys": sorted(config)},
+            )
+        port = config.get("port") or default_port
+        database = config.get("database") or config.get("db_name") or ""
+        if scheme == "sqlserver":  # pragma: no cover - shape documented
+            return f"jdbc:sqlserver://{host}:{port};databaseName={database}"
+        return f"jdbc:{scheme}://{host}:{port}/{database}"
+    raise exc.PyAirbyteInputError(
+        message="Unrecognized warehouse destination configuration.",
+        context={"destinationType": dtype or None, "keys": sorted(config)},
+    )
+
+
+def jdbc_options(config: dict[str, Any]) -> dict[str, str]:
+    """Spark JDBC reader options (url, credentials, driver, dialect
+    extras) from a destination configuration."""
+    from pyairbyte_spark.secrets import hydrate_secrets
+
+    config = hydrate_secrets(dict(config))
+    dtype = (config.get("destinationType") or config.get("type") or "").lower()
+    options: dict[str, str] = {"url": jdbc_url(config)}
+    user = config.get("username") or config.get("user")
+    password = config.get("password") or config.get("credentials", {}).get("password")
+    if user:
+        options["user"] = str(user)
+    if password:
+        options["password"] = str(password)
+    if dtype in _DIALECTS:
+        options["driver"] = _DIALECTS[dtype][2]
+    elif dtype == "snowflake":
+        options["driver"] = "net.snowflake.client.jdbc.SnowflakeDriver"
+        params = "&".join(
+            f"{key}={config[key]}"
+            for key in ("database", "warehouse", "schema", "role")
+            if config.get(key)
+        )
+        if params:
+            options["url"] += "?" + params
+    if config.get("jdbc_url_params"):
+        sep = "&" if "?" in options["url"] else "?"
+        options["url"] += sep + str(config["jdbc_url_params"])
+    return options
+
+
+def jdbc_reader(spark, config: dict[str, Any], table: str):
+    """A configured (unloaded) ``DataFrameReader`` for one table —
+    the seam tests exercise without a driver jar."""
+    reader = spark.read.format("jdbc")
+    for k, v in jdbc_options(config).items():
+        reader = reader.option(k, v)
+    return reader.option("dbtable", table)
+
+
+def read_table(
+    spark,
+    config: dict[str, Any],
+    table: str,
+    *,
+    partition_column: str | None = None,
+    lower_bound: int | str | None = None,
+    upper_bound: int | str | None = None,
+    num_partitions: int | None = None,
+    predicates: list[str] | None = None,
+    fetch_size: int = 10_000,
+):
+    """Load one warehouse table as a DataFrame.
+
+    With ``partition_column`` + bounds + ``num_partitions``, Spark opens
+    ``num_partitions`` connections each reading a range slice — the only
+    JDBC shape that scales. ``predicates`` (one WHERE clause per
+    partition) is the alternative when no numeric column exists.
+    Without either, the read is single-connection; callers get exactly
+    what they asked for, but the partitioned form is the default to
+    reach for.
+    """
+    if predicates is not None and partition_column is not None:
+        raise exc.PyAirbyteInputError(
+            message="Pass either partition_column bounds or predicates, not both."
+        )
+    reader = jdbc_reader(spark, config, table).option("fetchsize", str(fetch_size))
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None or num_partitions is None:
+            raise exc.PyAirbyteInputError(
+                message=(
+                    "partition_column requires lower_bound, upper_bound and "
+                    "num_partitions."
+                )
+            )
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+        return reader.load()
+    if predicates is not None:
+        options = jdbc_options(config)
+        return spark.read.jdbc(
+            options.pop("url"),
+            table,
+            predicates=predicates,
+            properties={**options, "fetchsize": str(fetch_size)},
+        )
+    return reader.load()
