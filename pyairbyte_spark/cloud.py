@@ -163,6 +163,8 @@ class FakeCloudTransport:
                 "bytesSynced": 0,
             }
             return self.jobs[job_id]
+        if path == "/jobs":  # GET list (filtering is the caller's job)
+            return {"data": list(self.jobs.values())}
         if path.startswith("/jobs/"):
             return self.jobs[int(parts[1])]
 
@@ -455,6 +457,19 @@ class CloudWorkspace:
 
     def get_connection(self, connection_id: str) -> CloudConnection:
         return CloudConnection(workspace=self, connection_id=connection_id)
+
+    def list_sync_jobs(
+        self, *, connection_id: str | None = None, limit: int | None = None
+    ) -> list[dict[str, Any]]:
+        """Sync-job rows, newest first, optionally for one connection."""
+        doc = self.transport.request("GET", "/jobs")
+        rows = [
+            r
+            for r in doc.get("data", [])
+            if connection_id is None or r.get("connectionId") == connection_id
+        ]
+        rows.sort(key=lambda r: r.get("jobId", 0), reverse=True)
+        return rows[:limit] if limit is not None else rows
 
     def list_connections(
         self,

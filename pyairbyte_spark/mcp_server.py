@@ -371,6 +371,170 @@ def _get_connector_info(connector_name: str) -> dict | str:
     }
 
 
+# -- interactive UI tools (reference mcp/interactive/) ------------------------
+
+
+def _html_escape(value: Any) -> str:
+    import html
+
+    return html.escape(str(value if value is not None else ""))
+
+
+def _html_table(title: str, headers: list[str], rows: list[list[Any]]) -> str:
+    head = "".join(f"<th>{_html_escape(h)}</th>" for h in headers)
+    body = "".join(
+        "<tr>" + "".join(f"<td>{_html_escape(c)}</td>" for c in row) + "</tr>"
+        for row in rows
+    )
+    return (
+        "<!doctype html><html><body>"
+        f"<h2>{_html_escape(title)}</h2>"
+        f"<table border='1' cellpadding='4'><tr>{head}</tr>{body}</table>"
+        f"<p>{len(rows)} rows</p></body></html>"
+    )
+
+
+def _ui_result(summary: str, uri: str, html: str) -> dict:
+    """Tool result carrying both a text summary (for text-only hosts)
+    and an embedded HTML resource (for UI-capable hosts) — the shape of
+    the reference's interactive tools (``mcp/interactive/``)."""
+    return {
+        "__mcp_content__": [
+            {"type": "text", "text": summary},
+            {
+                "type": "resource",
+                "resource": {"uri": uri, "mimeType": "text/html", "text": html},
+            },
+        ]
+    }
+
+
+def _build_interactive_tool_defs() -> list[ToolDef]:
+    def _show_connectors(h: LocalToolHost, a: dict) -> dict:
+        from pyairbyte_spark import registry
+
+        names = _list_connectors(
+            keyword_filter=a.get("keyword_filter"),
+            connector_type_filter=a.get("connector_type_filter"),
+        )
+        rows = []
+        for n in names:
+            meta = registry.get_connector_metadata(n)
+            rows.append(
+                [
+                    n,
+                    meta.language.value if meta.language else "",
+                    ", ".join(sorted(t.value for t in meta.install_types)),
+                    meta.latest_available_version or "",
+                ]
+            )
+        html = _html_table(
+            "Available connectors",
+            ["name", "language", "install types", "version"],
+            rows,
+        )
+        return _ui_result(
+            f"{len(rows)} connectors", "ui://connectors/list", html
+        )
+
+    def _show_sync_history(h: LocalToolHost, a: dict) -> dict:
+        ws = h.get_cloud_workspace(a.get("workspace_id"))
+        jobs = ws.list_sync_jobs(
+            connection_id=a["connection_id"], limit=int(a.get("limit", 20))
+        )
+        rows = [
+            [
+                j.get("jobId"),
+                j.get("jobType", "sync"),
+                j.get("status"),
+                j.get("rowsSynced", 0),
+                j.get("bytesSynced", 0),
+            ]
+            for j in jobs
+        ]
+        html = _html_table(
+            f"Sync history — {a['connection_id']}",
+            ["job", "type", "status", "rows", "bytes"],
+            rows,
+        )
+        return _ui_result(
+            f"{len(rows)} jobs for {a['connection_id']}",
+            f"ui://connections/{a['connection_id']}/history",
+            html,
+        )
+
+    def _show_workspace_status(h: LocalToolHost, a: dict) -> dict:
+        ws = h.get_cloud_workspace(a.get("workspace_id"))
+        rows = []
+        for conn in ws.list_connections():
+            jobs = ws.list_sync_jobs(connection_id=conn.connection_id, limit=1)
+            latest = jobs[0] if jobs else {}
+            rows.append(
+                [
+                    conn.connection_id,
+                    conn.name or "",
+                    latest.get("jobId", ""),
+                    latest.get("status", "never run"),
+                    latest.get("rowsSynced", ""),
+                ]
+            )
+        html = _html_table(
+            f"Workspace {ws.workspace_id} sync status",
+            ["connection", "name", "latest job", "status", "rows"],
+            rows,
+        )
+        return _ui_result(
+            f"{len(rows)} connections in {ws.workspace_id}",
+            f"ui://workspaces/{ws.workspace_id}/status",
+            html,
+        )
+
+    ws_prop = {
+        "workspace_id": {
+            "type": "string",
+            "description": "Workspace ID (default: AIRBYTE_CLOUD_WORKSPACE_ID)",
+        }
+    }
+    return [
+        ToolDef(
+            "show_connectors_list",
+            "Render the connector registry as an HTML table (UI-capable "
+            "hosts) plus a text summary.",
+            {
+                "type": "object",
+                "properties": {
+                    "keyword_filter": {"type": "string"},
+                    "connector_type_filter": {
+                        "type": "string",
+                        "enum": ["source", "destination"],
+                    },
+                },
+            },
+            _show_connectors,
+        ),
+        ToolDef(
+            "show_connection_sync_history",
+            "Render one connection's sync-job history as an HTML table.",
+            {
+                "type": "object",
+                "properties": {
+                    **ws_prop,
+                    "connection_id": {"type": "string"},
+                    "limit": {"type": "integer", "default": 20},
+                },
+                "required": ["connection_id"],
+            },
+            _show_sync_history,
+        ),
+        ToolDef(
+            "show_workspace_sync_status",
+            "Render every connection's latest sync status as an HTML table.",
+            {"type": "object", "properties": dict(ws_prop)},
+            _show_workspace_status,
+        ),
+    ]
+
+
 # -- prompts (reference mcp/prompts.py) ---------------------------------------
 
 
@@ -648,7 +812,9 @@ def _build_cloud_tool_defs() -> list[ToolDef]:
     ]
 
 
-TOOL_DEFS: list[ToolDef] = _build_tool_defs() + _build_cloud_tool_defs()
+TOOL_DEFS: list[ToolDef] = (
+    _build_tool_defs() + _build_cloud_tool_defs() + _build_interactive_tool_defs()
+)
 
 
 # -- JSON-RPC / MCP loop -----------------------------------------------------
@@ -719,6 +885,10 @@ class McpStdioServer:
                 "content": [{"type": "text", "text": f"{type(exc).__name__}: {exc}"}],
                 "isError": True,
             }
+        if isinstance(out, dict) and "__mcp_content__" in out:
+            # UI-presenting tools build their content blocks directly
+            # (text summary + embedded HTML resource).
+            return {"content": out["__mcp_content__"], "isError": False}
         return {
             "content": [{"type": "text", "text": json.dumps(out, default=str)}],
             "isError": False,

@@ -260,6 +260,53 @@ def test_cloud_tools_full_lifecycle(spark, tmp_path):
     assert check == {"workspace_id": "ws-1", "connections": 1}
 
 
+def test_interactive_ui_tools(spark, tmp_path):
+    """UI-presenting tools return a text summary plus an embedded HTML
+    resource (reference mcp/interactive/)."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.cloud import CloudWorkspace, FakeCloudTransport
+
+    transport = FakeCloudTransport()
+    transport.connections["c-1"] = {
+        "connectionId": "c-1",
+        "name": "nightly sync",
+        "sourceId": "s",
+        "destinationId": "d",
+    }
+    transport.jobs[1] = {
+        "jobId": 1, "connectionId": "c-1", "status": "succeeded",
+        "rowsSynced": 42, "bytesSynced": 1024,
+    }
+    transport.jobs[2] = {
+        "jobId": 2, "connectionId": "c-1", "status": "running",
+        "rowsSynced": 0, "bytesSynced": 0,
+    }
+    host = LocalToolHost(
+        cache=SparkCache(spark, str(tmp_path / "wh")),
+        cloud_workspace=CloudWorkspace(workspace_id="ws-1", transport=transport),
+    )
+    client = _Client(McpStdioServer(host))
+
+    out = client.call_tool("show_connectors_list", {"keyword_filter": "faker"})
+    text, resource = out["content"]
+    assert "connectors" in text["text"]
+    assert resource["type"] == "resource"
+    assert resource["resource"]["mimeType"] == "text/html"
+    assert "source-faker" in resource["resource"]["text"]
+
+    hist = client.call_tool(
+        "show_connection_sync_history", {"connection_id": "c-1"}
+    )
+    html = hist["content"][1]["resource"]["text"]
+    assert "succeeded" in html and "42" in html
+    # newest job first
+    assert html.index("running") < html.index("succeeded")
+
+    status = client.call_tool("show_workspace_sync_status", {})
+    html = status["content"][1]["resource"]["text"]
+    assert "nightly sync" in html and "running" in html
+
+
 def test_cloud_tools_unconfigured_error(client):
     """Without credentials or an injected workspace, cloud tools fail as
     tool-results (isError), not server crashes."""
