@@ -69,6 +69,26 @@ def test_registered_curation_queries_have_no_global_window(spark):
         assert not plans.has_unpartitioned_window(df), key
 
 
+def test_ngram_jaccard_df_cap_filters_before_join(spark):
+    """The hot-shingle document-frequency cap must prune BEFORE the
+    self-join materializes the k² fan-out: in the physical plan the
+    `__df <= cap` Filter sits below the join node, directly on top of
+    the DF window."""
+    from pyairbyte_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = ngram_jaccard_pairs(
+        docs, "text", "doc_id", threshold=0.12, max_doc_frequency=50
+    )
+    plan = plan_str(df, "extended")
+    join_pos = min(
+        p for p in (plan.find("Join"), plan.find("BroadcastHashJoin")) if p >= 0
+    )
+    filter_pos = plan.find("__df")
+    assert filter_pos >= 0, "DF-cap filter missing from plan"
+    assert filter_pos > join_pos, "cap filter must be BELOW (after) the join node"
+
+
 def test_sample_per_stratum_prefilter_in_plan(spark):
     """The giant-stratum guard: a hash-fraction Filter (conv on the
     md5 prefix) must sit before the rank window, fed by the
