@@ -17,7 +17,7 @@ and the reference repo's observable behavior (cited as ``path:line``
 relative to the reference checkout).
 """
 
-from pyairbyte_spark import cloud, exceptions, registry, secrets
+from pyairbyte_spark import cloud, exceptions, jdbc, registry, secrets
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.datasets import CachedDataset, SQLDataset
 from pyairbyte_spark.destinations import SparkDestination
@@ -38,6 +38,7 @@ __all__ = [
     # Modules (reference airbyte/__init__.py __all__ parity)
     "cloud",
     "exceptions",
+    "jdbc",
     "registry",
     "secrets",
     # Factories
