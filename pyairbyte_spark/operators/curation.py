@@ -82,6 +82,50 @@ def sample_per_stratum(
     )
 
 
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    strata_cols: list[str],
+    *,
+    n: int,
+    weight_col: str,
+    id_col: str,
+    seed: str = "0",
+) -> DataFrame:
+    """Exact n-per-stratum sample with probability ∝ weight,
+    deterministic in (seed, ids) — Efraimidis-Spirakis A-ES.
+
+    Each row draws u = md5-uniform(seed|id) ∈ (0, 1] and ranks by
+    key = ln(u)/w descending (the log-monotone form of u^(1/w)): the
+    top n per stratum is then an exact weighted sample without
+    replacement. Quality-weighted corpus downsampling ("keep 1M docs
+    per language, preferring high quality") is this exact op with
+    w = quality score.
+
+    Same scale shape as :func:`sample_per_stratum`: one shuffle on the
+    strata, rank window rides it. The key is rounded to 9 decimals
+    (ties broken by id) so the last-ulp difference between engines'
+    ``ln`` implementations can never reorder ranks — the DuckDB oracle
+    reproduces the selection bit-for-bit. Rows with w ≤ 0 or NULL are
+    excluded (zero weight = never sampled).
+    """
+    rnd = F.md5(F.concat_ws("|", F.lit(seed), F.col(id_col).cast("string")))
+    # (0, 1]: conv of 15 hex chars is < 16^15, +1 keeps u strictly > 0.
+    u = (F.conv(F.substring(rnd, 1, 15), 16, 10).cast("double") + F.lit(1.0)) / F.lit(
+        float(16**15)
+    )
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 9)
+    w = Window.partitionBy(*strata_cols).orderBy(
+        F.col("__k").desc(), F.col(id_col).asc()
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("__k", key)
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= n)
+        .drop("__k", "__r")
+    )
+
+
 def pack_token_bins(
     df: DataFrame,
     *,

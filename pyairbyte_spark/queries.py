@@ -1567,6 +1567,36 @@ def sample_per_stratum_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_docs",
+    """
+    -- Efraimidis-Spirakis A-ES weighted sample: rank by ln(u)/w desc.
+    -- Key rounded to 9 decimals in BOTH engines so last-ulp ln()
+    -- differences can never flip ranks; ties break on doc_id.
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY round(
+                 ln((('0x' || substr(md5('0|' || doc_id), 1, 15))::BIGINT + 1.0)
+                    / 1152921504606846976.0) / n_chars, 9) DESC,
+               doc_id) AS r
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    ) WHERE r <= 5
+    """,
+    "Weighted sampling without replacement (Efraimidis-Spirakis): exact "
+    "5-per-language sample with P ∝ n_chars, deterministic in (seed, id) "
+    "— quality-weighted corpus downsampling as one window plan",
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.curation import weighted_sample_per_stratum
+
+    docs = t(spark, sf_dir, "documents")
+    return weighted_sample_per_stratum(
+        docs, ["lang"], n=5, weight_col="n_chars", id_col="doc_id", seed="0"
+    ).select("doc_id", "lang", "n_chars")
+
+
+@register(
     "pack_token_bins_docs",
     r"""
     WITH tok AS (
@@ -2536,6 +2566,7 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
     # never driver-checked through round 2
+    "weighted_sample_docs",
     "pipeline_curation_shards",
     "text_quality",
     "text_langid",

@@ -109,6 +109,40 @@ def test_lsh_ann_subset_of_brute_force(spark, emb):
             assert bf[key] == r["cosine"]
 
 
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """A-ES semantics: heavier rows appear more often; w<=0/NULL rows
+    never; the selection is deterministic in (seed, ids)."""
+    from pyairbyte_spark.operators.curation import weighted_sample_per_stratum
+
+    rows = [(i, "s", 1000.0 if i < 10 else 1.0) for i in range(200)]
+    rows += [(900, "s", 0.0), (901, "s", None)]  # never sampled
+    df = spark.createDataFrame(rows, ["id", "stratum", "w"])
+    out = weighted_sample_per_stratum(
+        df, ["stratum"], n=10, weight_col="w", id_col="id", seed="x"
+    )
+    picked = sorted(r["id"] for r in out.collect())
+    assert len(picked) == 10
+    assert 900 not in picked and 901 not in picked
+    # the 10 heavy rows are 1000x likelier: expect the sample dominated
+    # by them (P[fewer than 6 heavy] is negligible at this ratio)
+    assert sum(1 for i in picked if i < 10) >= 6
+    # deterministic: same seed → same rows; different seed → different
+    again = sorted(
+        r["id"]
+        for r in weighted_sample_per_stratum(
+            df, ["stratum"], n=10, weight_col="w", id_col="id", seed="x"
+        ).collect()
+    )
+    assert again == picked
+    other = sorted(
+        r["id"]
+        for r in weighted_sample_per_stratum(
+            df, ["stratum"], n=10, weight_col="w", id_col="id", seed="y"
+        ).collect()
+    )
+    assert other != picked
+
+
 def test_null_stats_single_pass(spark):
     df = spark.createDataFrame(
         [(1, None), (2, "x"), (None, None)], ["a", "b"]
