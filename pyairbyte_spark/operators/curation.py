@@ -82,6 +82,99 @@ def sample_per_stratum(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int,
+    stride: int | None = None,
+    min_tokens: int = 1,
+) -> DataFrame:
+    """Split documents into fixed token windows with optional overlap —
+    context-window chunking for training-sequence preparation.
+
+    ``stride`` defaults to ``chunk_tokens`` (disjoint chunks); a smaller
+    stride overlaps adjacent chunks by ``chunk_tokens - stride`` tokens.
+    Output: (id, chunk_idx, chunk_text, n_chunk_tokens), one row per
+    chunk; tail chunks shorter than ``min_tokens`` are dropped.
+
+    Scale shape: per-row explode fan-out, no shuffle — the tokens array
+    is materialized once behind a projection boundary (HOF lambdas are
+    interpreted; inlining the split re-evaluates it per element).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    from pyairbyte_spark.operators.text import tokens_expr
+
+    tdf = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    # The tokens array rides through the explode as a row-local column —
+    # no rejoin, no shuffle.
+    out = tdf.select(
+        F.col(id_col),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+        toks.alias("__toks"),
+        n.alias("__n"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return (
+        out.withColumn("chunk_text", F.concat_ws(" ", chunk))
+        .withColumn(
+            "n_chunk_tokens",
+            F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start")),
+        )
+        .filter(F.col("n_chunk_tokens") >= min_tokens)
+        .select(id_col, "chunk_idx", "chunk_text", "n_chunk_tokens")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    *,
+    token_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based data-mixture resampling weights per group.
+
+    Computes each group's token share p and the alpha-temperature
+    target share q ∝ p^alpha (alpha < 1 flattens the mixture toward
+    uniform — the multilingual/domain rebalancing rule). The resampling
+    factor q/p is what a pipeline multiplies per-group sampling rates
+    by. Two tiny aggregations; group count is bounded, so every
+    intermediate is bounded metadata.
+    """
+    totals = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col).cast("long")).alias("total_tokens"),
+    )
+    # Grand totals as broadcast single-row aggregates, not a global
+    # window — the per-group frame is tiny, but an unpartitioned Window
+    # is a banned plan shape here (one-task funnel); broadcasts aren't.
+    grand = totals.agg(F.sum("total_tokens").alias("__g"))
+    with_p = totals.crossJoin(F.broadcast(grand)).withColumn(
+        "__p", F.col("total_tokens") / F.col("__g")
+    )
+    norm = with_p.agg(F.sum(F.pow(F.col("__p"), F.lit(alpha))).alias("__z"))
+    q = F.pow(F.col("__p"), F.lit(alpha)) / F.col("__z")
+    return (
+        with_p.crossJoin(F.broadcast(norm))
+        .select(
+            group_col,
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("__p"), 6).alias("token_share"),
+            F.round(q, 6).alias("target_share"),
+            F.round(q / F.col("__p"), 6).alias("resample_factor"),
+        )
+    )
+
+
 def weighted_sample_per_stratum(
     df: DataFrame,
     strata_cols: list[str],

@@ -1597,6 +1597,88 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_documents_64",
+    r"""
+    -- Context-window chunking: 64-token windows, stride 48 (16-token
+    -- overlap); tail chunks shorter than 8 tokens dropped. Chunk text
+    -- hashed so row size stays bounded.
+    WITH tok AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS BIGINT) AS chunk_idx,
+             tk[(i * 48 + 1):(i * 48 + 64)] AS chunk
+      FROM tok,
+           LATERAL unnest(generate_series(0,
+             CAST(floor(greatest(len(tk) - 1, 0) / 48.0) AS INT))) AS t(i)
+    ),
+    sized AS (
+      SELECT doc_id, chunk_idx,
+             CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+             md5(array_to_string(chunk, ' ')) AS chunk_md5
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx, n_chunk_tokens, chunk_md5
+    FROM sized WHERE n_chunk_tokens >= 8
+    """,
+    "Context-window chunking: 64-token training windows with 16-token "
+    "overlap (stride 48), per-row explode, no shuffle",
+)
+def chunk_documents_64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.curation import chunk_documents
+
+    docs = t(spark, sf_dir, "documents")
+    out = chunk_documents(
+        docs, "text", "doc_id", chunk_tokens=64, stride=48, min_tokens=8
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+@register(
+    "mixture_weights_by_source",
+    r"""
+    -- Temperature (alpha=0.5) data-mixture rebalancing weights per
+    -- source: token share p, target share q ∝ p^0.5, resample factor.
+    WITH totals AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY source
+    ),
+    shares AS (
+      SELECT *, total_tokens / CAST((SELECT sum(total_tokens) FROM totals) AS DOUBLE) AS p
+      FROM totals
+    )
+    SELECT source, n_docs, total_tokens,
+           round(p, 6) AS token_share,
+           round(pow(p, 0.5) / (SELECT sum(pow(p, 0.5)) FROM shares), 6)
+             AS target_share,
+           round(pow(p, 0.5) / (SELECT sum(pow(p, 0.5)) FROM shares) / p, 6)
+             AS resample_factor
+    FROM shares
+    """,
+    "Data-mixture rebalancing: per-source token share and alpha=0.5 "
+    "temperature target share (q ∝ p^alpha) with resample factors — "
+    "grand totals broadcast, never a global window",
+)
+def mixture_weights_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.curation import mixture_weights
+    from pyairbyte_spark.operators.text import token_count_expr
+
+    docs = t(spark, sf_dir, "documents").select(
+        "source", token_count_expr("text").alias("n_tokens")
+    )
+    return mixture_weights(docs, "source", token_col="n_tokens", alpha=0.5)
+
+
+@register(
     "pack_token_bins_docs",
     r"""
     WITH tok AS (
@@ -2567,6 +2649,8 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_PRIORITY = [
     # never driver-checked through round 2
     "weighted_sample_docs",
+    "chunk_documents_64",
+    "mixture_weights_by_source",
     "pipeline_curation_shards",
     "text_quality",
     "text_langid",

@@ -143,6 +143,49 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     assert other != picked
 
 
+def test_chunk_documents_overlap_and_tails(spark):
+    from pyairbyte_spark.operators.curation import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))  # w0..w9
+    df = spark.createDataFrame([(1, words), (2, "a b")], ["doc_id", "text"])
+    out = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=4, stride=3, min_tokens=1
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        )
+    # doc 1: starts 0,3,6,9 → overlapping windows, short tail kept
+    assert [c[1] for c in sorted(by_doc[1])] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [c[2] for c in sorted(by_doc[1])] == [4, 4, 4, 1]
+    # doc 2: single chunk shorter than chunk_tokens
+    assert by_doc[2] == [(0, "a b", 2)]
+    # min_tokens drops the tail
+    out2 = chunk_documents(
+        df, "text", "doc_id", chunk_tokens=4, stride=3, min_tokens=2
+    ).collect()
+    assert max(r["chunk_idx"] for r in out2 if r["doc_id"] == 1) == 2
+
+
+def test_mixture_weights_flatten_toward_uniform(spark):
+    from pyairbyte_spark.operators.curation import mixture_weights
+
+    df = spark.createDataFrame(
+        [("big", 900), ("small", 100)], ["src", "n_tokens"]
+    )
+    rows = {r["src"]: r for r in mixture_weights(df, "src", token_col="n_tokens").collect()}
+    assert rows["big"]["token_share"] == 0.9
+    # alpha=0.5 flattens: big's target share < raw share, small's >
+    assert rows["big"]["target_share"] < 0.9
+    assert rows["small"]["target_share"] > 0.1
+    assert rows["small"]["resample_factor"] > 1 > rows["big"]["resample_factor"]
+    total = rows["big"]["target_share"] + rows["small"]["target_share"]
+    assert abs(total - 1.0) < 1e-6
+
+
 def test_null_stats_single_pass(spark):
     df = spark.createDataFrame(
         [(1, None), (2, "x"), (None, None)], ["a", "b"]

@@ -64,7 +64,13 @@ def test_pack_token_bins_default_has_no_global_window(spark):
 
 
 def test_registered_curation_queries_have_no_global_window(spark):
-    for key in ("pack_token_bins_docs", "pipeline_curation_shards"):
+    for key in (
+        "pack_token_bins_docs",
+        "pipeline_curation_shards",
+        "chunk_documents_64",
+        "mixture_weights_by_source",
+        "weighted_sample_docs",
+    ):
         df = q.queries()[key](spark, SF_DIR)
         assert not plans.has_unpartitioned_window(df), key
 
