@@ -890,6 +890,73 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_stream_join_click_purchase",
+    f"""
+    -- Batch-exact equivalent of the watermarked stream-stream interval
+    -- join: every click paired with the same user's purchases within
+    -- the next 10 minutes. availableNow over static input drains the
+    -- whole table, so the batch join is the exact oracle.
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id,
+           strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+           round(p.value, 6) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    "Stream-stream interval join (clicks x purchases within 10 min, "
+    "same user) with watermarks bounding both sides' state — the "
+    "Structured Streaming join the reference's protocol cannot express",
+)
+def stream_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    conv = _events_stream(spark, sf_dir, "stream_ssj_")
+    clicks = (
+        conv.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        conv.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    name = f"stream_ssj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.date_format("click_ts", TS_FMT_SPARK).alias("click_ts"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
 # ===========================================================================
 # Training-data operators (dedup / similarity / text / multimodal)
 # ===========================================================================
@@ -2651,6 +2718,7 @@ _DRIVER_PRIORITY = [
     "weighted_sample_docs",
     "chunk_documents_64",
     "mixture_weights_by_source",
+    "stream_stream_join_click_purchase",
     "pipeline_curation_shards",
     "text_quality",
     "text_langid",
