@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "pack_token_bins_docs",
     "pipeline_curation_shards",
     "multimodal_features",
+    "weighted_sample_docs",
+    "chunk_documents_64",
+    "mixture_weights_by_source",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
