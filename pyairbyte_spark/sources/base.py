@@ -55,11 +55,59 @@ class SparkSource:
             raise ValueError(f"Unknown streams: {sorted(unknown)}")
         self._selected = list(streams)
 
+    def set_streams(self, streams: list[str]) -> None:
+        """Deprecated alias for :meth:`select_streams` (reference
+        ``base.py:118``)."""
+        self.select_streams(streams)
+
+    def get_selected_streams(self) -> list[str]:
+        return self.selected_streams
+
     def set_cursor_key(self, stream_name: str, cursor_key: str) -> None:
         self._cursor_overrides[stream_name] = cursor_key
 
+    def set_cursor_keys(self, **kwargs: str) -> None:
+        """Cursor overrides by stream name (reference ``base.py:146``)."""
+        self._cursor_overrides.update(kwargs)
+
     def set_primary_key(self, stream_name: str, primary_keys: list[str]) -> None:
         self._pk_overrides[stream_name] = primary_keys
+
+    def set_primary_keys(self, **kwargs: list[str] | str) -> None:
+        """Primary-key overrides by stream name (reference
+        ``base.py:189``); a bare string is a single-column key."""
+        for stream, keys in kwargs.items():
+            self._pk_overrides[stream] = [keys] if isinstance(keys, str) else list(keys)
+
+    def get_stream_json_schema(self, stream_name: str) -> dict[str, Any]:
+        catalog = self.discovered_catalog()
+        if stream_name not in catalog:
+            raise ValueError(f"Unknown stream: {stream_name}")
+        return catalog[stream_name].json_schema
+
+    # -- config (reference base.py:281-389) ----------------------------------
+
+    def set_config(self, config: dict[str, Any], *, validate: bool = False) -> None:
+        """Replace the connector configuration (secret-hydrated); with
+        ``validate``, run the connector's check against it."""
+        from pyairbyte_spark.secrets import hydrate_secrets
+
+        self.config = hydrate_secrets(config)
+        if validate and not self.check():
+            from pyairbyte_spark import exceptions as exc
+
+            raise exc.AirbyteConnectorCheckFailedError(connector_name=self.name)
+
+    @property
+    def config_spec(self) -> dict[str, Any]:
+        """The connector's config JSON schema; in-process sources have
+        no external spec, so the default is an open object schema."""
+        return {"type": "object", "properties": {}}
+
+    @property
+    def docs_url(self) -> str:
+        short = self.name.lower().removeprefix("source-")
+        return f"https://docs.airbyte.com/integrations/sources/{short}"
 
     @property
     def selected_streams(self) -> list[str]:
@@ -109,6 +157,40 @@ class SparkSource:
         """Per-stream head (reference base.py:624-658)."""
         streams = streams or self.selected_streams
         return {s: list(self.get_records(s, limit=limit)) for s in streams}
+
+    def print_samples(
+        self, streams: list[str] | None = None, *, limit: int = 5
+    ) -> None:
+        """Readable per-stream sample dump (reference base.py:660)."""
+        import json as _json
+
+        for stream, records in self.get_samples(streams, limit=limit).items():
+            print(f"## {stream} (first {len(records)} records)")
+            for rec in records:
+                print(_json.dumps(rec, default=str))
+
+    def get_documents(
+        self,
+        stream: str,
+        title_property: str | None = None,
+        content_properties: list[str] | None = None,
+        metadata_properties: list[str] | None = None,
+        *,
+        render_metadata: bool = False,
+    ):
+        """Stream records rendered as (id, content, metadata) documents
+        (reference base.py:600-622) — same renderer the dataset surface
+        uses, returned as a DataFrame-backed dataset."""
+        from pyairbyte_spark.datasets import InMemoryDataset
+        from pyairbyte_spark.session import get_spark
+
+        ds = InMemoryDataset(get_spark(), list(self.get_records(stream)), stream)
+        return ds.to_documents(
+            title_properties=[title_property] if title_property else None,
+            content_properties=content_properties,
+            metadata_properties=metadata_properties,
+            render_metadata=render_metadata,
+        )
 
     def read(
         self,

@@ -59,6 +59,12 @@ class ConnectorSource(SparkSource):
     def check(self) -> bool:
         return self.executor.check(self.config)
 
+    @property
+    def config_spec(self) -> dict[str, Any]:
+        """The connector's declared config schema (``spec`` verb)."""
+        spec = self.executor.spec()
+        return spec.get("connectionSpecification", spec)
+
     def discovered_catalog(self) -> dict[str, StreamSpec]:
         if self._catalog_cache is None:
             self._catalog_cache = _catalog_to_specs(

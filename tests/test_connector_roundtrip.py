@@ -118,6 +118,35 @@ def test_destination_write_roundtrip(connector, cache):
     assert dsp.state_artifacts
 
 
+def test_source_api_parity_surface(connector, spark, monkeypatch, capsys):
+    """Reference Source API: set_config/config_spec/docs_url/
+    get_stream_json_schema/plural setters/print_samples/get_documents."""
+    src = ConnectorSource(connector, name="source-fake")
+    assert src.config_spec == {}  # fixture spec has empty connectionSpecification
+    assert src.docs_url.endswith("/sources/fake")
+    assert src.get_stream_json_schema("items")["properties"]["id"] == {
+        "type": "integer"
+    }
+    src.set_cursor_keys(items="id")
+    src.set_primary_keys(items="id")  # bare string → single-column key
+    spec = src.configured_specs()["items"]
+    assert spec.cursor_field == "id" and spec.primary_keys == ["id"]
+    src.set_streams(["items"])
+    assert src.get_selected_streams() == ["items"]
+
+    monkeypatch.setenv("FAKE_KEY", "k-9")
+    src.set_config({"api_key": "secret_reference::FAKE_KEY"}, validate=True)
+    assert src.config == {"api_key": "k-9"}  # hydrated
+
+    src.print_samples(limit=2)
+    out = capsys.readouterr().out
+    assert "## items" in out and "item-1" in out
+
+    docs = src.get_documents("items", title_property="name")
+    rows = {r["id"]: r["content"] for r in docs.collect()}
+    assert any("# item-1" in c for c in rows.values())
+
+
 def test_write_distributed_partition_parallel(tmp_path, spark, cache):
     """Partition-parallel reverse ETL: one connector process per
     partition, record envelopes built JVM-side, only STATE confirmations
