@@ -17,16 +17,33 @@ and the reference repo's observable behavior (cited as ``path:line``
 relative to the reference checkout).
 """
 
-from pyairbyte_spark import cloud, exceptions, jdbc, registry, secrets
+from pyairbyte_spark import (
+    callbacks,
+    cloud,
+    datasets,
+    destinations,
+    documents,
+    exceptions,
+    jdbc,
+    logs,
+    records,
+    registry,
+    results,
+    secrets,
+    sources,
+)
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.datasets import CachedDataset, SQLDataset
 from pyairbyte_spark.destinations import SparkDestination
 from pyairbyte_spark.factories import (
+    get_colab_cache,
     get_default_cache,
     get_destination,
     get_source,
     new_local_cache,
 )
+from pyairbyte_spark.records import StreamRecord
+from pyairbyte_spark.results import WriteResult
 from pyairbyte_spark.registry import get_available_connectors
 from pyairbyte_spark.results import ReadResult
 from pyairbyte_spark.secrets import SecretSourceEnum, get_secret
@@ -34,15 +51,29 @@ from pyairbyte_spark.session import get_spark
 from pyairbyte_spark.sources import SparkSource
 from pyairbyte_spark.strategies import WriteStrategy
 
+# Reference-name aliases: code written against the reference's
+# `from airbyte import Source, Destination` ports unchanged.
+Source = SparkSource
+Destination = SparkDestination
+
 __all__ = [
     # Modules (reference airbyte/__init__.py __all__ parity)
+    "callbacks",
     "cloud",
+    "datasets",
+    "destinations",
+    "documents",
     "exceptions",
     "jdbc",
+    "logs",
+    "records",
     "registry",
+    "results",
     "secrets",
+    "sources",
     # Factories
     "get_available_connectors",
+    "get_colab_cache",
     "get_default_cache",
     "get_destination",
     "get_secret",
@@ -51,11 +82,15 @@ __all__ = [
     "new_local_cache",
     # Classes
     "CachedDataset",
+    "Destination",
     "ReadResult",
     "SQLDataset",
     "SecretSourceEnum",
+    "Source",
     "SparkCache",
     "SparkDestination",
     "SparkSource",
+    "StreamRecord",
+    "WriteResult",
     "WriteStrategy",
 ]

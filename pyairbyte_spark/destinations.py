@@ -25,7 +25,7 @@ from collections.abc import Callable, Iterable, Iterator
 
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.callbacks import extract_updated_config
-from pyairbyte_spark.results import ReadResult
+from pyairbyte_spark.results import ReadResult, WriteResult
 from pyairbyte_spark.sources.base import SparkSource
 from pyairbyte_spark.sources.messages import (
     AirbyteMessage,
@@ -92,9 +92,11 @@ class SparkDestination:
         force_full_refresh: bool = False,
         streams: list[str] | None = None,
         source_name: str | None = None,
-    ) -> list[StateArtifact]:
-        """Pump source data into the destination; returns the STATE
-        confirmations collected from the destination's stdout."""
+    ) -> WriteResult:
+        """Pump source data into the destination; returns a
+        :class:`WriteResult` — iterable over the STATE confirmations
+        collected from the destination's stdout, with the
+        delivered-record tally."""
         state_store = state_cache or cache
 
         # Resolve the message stream (paths A/B/C).
@@ -138,7 +140,13 @@ class SparkDestination:
         else:  # pragma: no cover
             raise TypeError(f"unsupported source_data: {type(source_data)}")
 
-        return self._write_message_stream(messages, state_store)
+        confirmations, n_records = self._write_message_stream(messages, state_store)
+        return WriteResult(
+            destination=self,
+            confirmations=confirmations,
+            processed_records=n_records,
+            state_store=state_store,
+        )
 
     def stream(
         self,
@@ -373,8 +381,16 @@ class SparkDestination:
         self,
         messages: Iterable[AirbyteMessage],
         state_store: SparkCache | None,
-    ) -> list[StateArtifact]:
-        lines = _encode_messages(messages)
+    ) -> tuple[list[StateArtifact], int]:
+        tally = {"records": 0}
+
+        def counted(msgs: Iterable[AirbyteMessage]) -> Iterator[AirbyteMessage]:
+            for m in msgs:
+                if m.type == "RECORD":
+                    tally["records"] += 1
+                yield m
+
+        lines = _encode_messages(counted(messages))
         if self.executor is not None:
             # Hydrate + serialize the destination config and pass its
             # path — the connector reads credentials from this file
@@ -424,4 +440,4 @@ class SparkDestination:
                 if writer is not None:
                     writer.write_state(artifact)
                     writer.flush(artifact.key)
-        return confirmations
+        return confirmations, tally["records"]

@@ -61,6 +61,32 @@ def new_local_cache(
     return SparkCache(spark or get_spark(), str(cache_dir))
 
 
+def get_colab_cache(
+    cache_name: str = "default_cache",
+    *,
+    sub_dir: str = "Airbyte/cache",
+    drive_name: str = "MyDrive",
+    mount_path: str = "/content/drive",
+    spark=None,
+) -> SparkCache:
+    """Cache on a mounted Google Drive (reference ``caches/colab.py``):
+    syncs persist across Colab sessions and can be shared via Drive.
+    Outside Colab (no mount and no ``google.colab`` module), falls back
+    to a local cache under the same relative path."""
+    drive_root = Path(mount_path) / drive_name
+    if not drive_root.exists():
+        try:  # pragma: no cover - colab-only
+            from google.colab import drive  # type: ignore[import-not-found]
+
+            drive.mount(mount_path)
+        except ImportError:
+            # Not running in Colab: a local stand-in keeps notebooks
+            # portable instead of crashing on the missing mount.
+            drive_root = Path(DEFAULT_CACHE_ROOT) / "colab" / drive_name
+    cache_dir = drive_root / sub_dir / cache_name
+    return SparkCache(spark or get_spark(), str(cache_dir))
+
+
 def get_source(
     name: str,
     config: dict[str, Any] | None = None,

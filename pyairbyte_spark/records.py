@@ -115,3 +115,58 @@ def conform_to_schema(df: DataFrame, declared: list[str]) -> DataFrame:
         if col in df.columns:
             out.append(F.col(col))
     return df.select(*out)
+
+
+class StreamRecord(dict):
+    """Case-aware, case-insensitive record dict (reference
+    ``records.py:174``): lookups, deletes and membership checks resolve
+    through the lower-case normalizer while the display case of keys is
+    preserved; ``expected_keys`` pre-seeds missing properties with None
+    (and fixes their display case), mirroring how a case-insensitive
+    SQL engine resolves column references.
+    """
+
+    def __init__(
+        self,
+        from_dict: dict | None = None,
+        *,
+        expected_keys: list[str] | None = None,
+    ) -> None:
+        super().__init__()
+        self._display: dict[str, str] = {}
+        for key in expected_keys or []:
+            self[key] = None
+        for key, value in (from_dict or {}).items():
+            self[key] = value
+
+    @staticmethod
+    def _norm(key: str) -> str:
+        from pyairbyte_spark.names import LowerCaseNormalizer
+
+        return LowerCaseNormalizer.normalize(str(key))
+
+    def __setitem__(self, key: str, value) -> None:
+        norm = self._norm(key)
+        if norm in self._display:
+            # Existing property: keep its established display case.
+            super().__setitem__(self._display[norm], value)
+        else:
+            self._display[norm] = key
+            super().__setitem__(key, value)
+
+    def __getitem__(self, key: str):
+        return super().__getitem__(self._display[self._norm(key)])
+
+    def __delitem__(self, key: str) -> None:
+        norm = self._norm(key)
+        display = self._display.pop(norm)
+        super().__delitem__(display)
+
+    def __contains__(self, key) -> bool:
+        try:
+            return self._norm(key) in self._display
+        except Exception:  # noqa: BLE001 - non-string keys are never present
+            return False
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default

@@ -107,15 +107,22 @@ def test_connector_source_end_to_end(connector, cache):
 
 
 def test_destination_write_roundtrip(connector, cache):
+    from pyairbyte_spark.results import WriteResult
+
     src = ConnectorSource(connector, name="fake-src")
     src.read(cache, write_strategy="auto")
     dest = SparkDestination(connector, name="fake-dest")
-    confirmations = dest.write(cache, cache=cache, streams=["items"])
-    written = [a.state.get("written") for a in confirmations if "written" in a.state]
+    result = dest.write(cache, cache=cache, streams=["items"])
+    # write returns a WriteResult (reference results.py:103-150):
+    # iterable over confirmations, with the delivered-record tally.
+    assert isinstance(result, WriteResult)
+    assert result.processed_records == 5
+    written = [a.state.get("written") for a in result if "written" in a.state]
     assert written == [5]
     # destination state landed in the destination state channel
     dsp = cache.get_destination_state_provider("fake-dest")
     assert dsp.state_artifacts
+    assert result.get_state_provider().state_artifacts
 
 
 def test_source_api_parity_surface(connector, spark, monkeypatch, capsys):
@@ -225,10 +232,11 @@ def test_in_process_sink():
     from pyairbyte_spark.sources.messages import AirbyteMessage, RecordMessage
 
     dest = SparkDestination(sink=sink, name="cb")
-    out = dest._write_message_stream(
+    out, n_records = dest._write_message_stream(
         [AirbyteMessage("RECORD", record=RecordMessage("s", {"a": 1}))], None
     )
     assert len(lines_seen) == 1 and out[0].state == {"ok": 1}
+    assert n_records == 1
 
 
 def test_connector_error_surfaces_stderr(tmp_path):
