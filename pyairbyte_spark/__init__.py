@@ -20,6 +20,7 @@ relative to the reference checkout).
 from pyairbyte_spark import (
     callbacks,
     cloud,
+    constants,
     datasets,
     destinations,
     documents,
@@ -60,6 +61,7 @@ __all__ = [
     # Modules (reference airbyte/__init__.py __all__ parity)
     "callbacks",
     "cloud",
+    "constants",
     "datasets",
     "destinations",
     "documents",

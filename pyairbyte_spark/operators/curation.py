@@ -107,6 +107,12 @@ def chunk_documents(
         stride = chunk_tokens
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
+    if stride > chunk_tokens:
+        # Gaps between windows silently drop the tokens in between —
+        # never what a training pipeline wants from a chunker.
+        raise ValueError(
+            f"stride ({stride}) > chunk_tokens ({chunk_tokens}) would skip tokens"
+        )
     from pyairbyte_spark.operators.text import tokens_expr
 
     tdf = df.select(F.col(id_col), tokens_expr(text_col).alias("__toks"))

@@ -113,3 +113,67 @@ def test_merge_is_idempotent_and_last_wins(spark, records):
         ).process_messages(iter(list(msgs)))
         got = {r["id"]: r["v"] for r in cache.get_records("m")}
         assert got == expected
+
+
+@given(
+    n_words=st.integers(min_value=1, max_value=60),
+    chunk=st.integers(min_value=1, max_value=12),
+    overlap=st.integers(min_value=0, max_value=11),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_covers_every_token_without_loss(spark, n_words, chunk, overlap):
+    """Every token of the document appears in at least one chunk; no
+    chunk exceeds chunk_tokens; reassembling disjoint chunks
+    (stride == chunk) reproduces the document exactly. (stride >
+    chunk_tokens is rejected outright — it would skip tokens.)"""
+    import pytest as _pytest
+
+    from pyairbyte_spark.operators.curation import chunk_documents
+
+    stride = max(1, chunk - overlap)
+    words = [f"w{i}" for i in range(n_words)]
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    out = sorted(
+        (r["chunk_idx"], r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(
+            df, "text", "doc_id", chunk_tokens=chunk, stride=stride
+        ).collect()
+    )
+    covered = set()
+    for _, text, n_tok in out:
+        toks = text.split(" ")
+        assert len(toks) == n_tok <= chunk
+        covered.update(toks)
+    assert covered == set(words)
+    if stride == chunk:  # disjoint chunks reassemble the document
+        assert " ".join(t for _, t, _ in out) == " ".join(words)
+    with _pytest.raises(ValueError, match="skip tokens"):
+        chunk_documents(df, "text", "doc_id", chunk_tokens=chunk, stride=chunk + 1)
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    n=st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=10, deadline=None)
+def test_weighted_sample_size_and_membership(spark, weights, n):
+    """Sample size is exactly min(n, rows); every sampled id exists;
+    the selection is a function of (seed, ids) only."""
+    from pyairbyte_spark.operators.curation import weighted_sample_per_stratum
+
+    rows = [(i, "s", w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, ["id", "g", "w"])
+    out = weighted_sample_per_stratum(
+        df, ["g"], n=n, weight_col="w", id_col="id", seed="p"
+    ).collect()
+    ids = sorted(r["id"] for r in out)
+    assert len(ids) == min(n, len(weights))
+    assert set(ids) <= set(range(len(weights)))
+    again = weighted_sample_per_stratum(
+        df.repartition(7), ["g"], n=n, weight_col="w", id_col="id", seed="p"
+    ).collect()
+    assert sorted(r["id"] for r in again) == ids  # partitioning-independent
