@@ -290,17 +290,25 @@ class SparkDestination:
                     argv + ["write", "--config", cfg],
                     stdin=_sp.PIPE,
                     stdout=_sp.PIPE,
-                    stderr=_sp.DEVNULL,
+                    stderr=_sp.PIPE,
                     text=True,
                 )
                 confirmations: list[str] = []
+                stderr_tail: list[str] = []
 
                 def drain() -> None:
                     for line in proc.stdout:
                         confirmations.append(line.rstrip("\n"))
 
+                def drain_err() -> None:
+                    for line in proc.stderr:
+                        stderr_tail.append(line)
+                        if len(stderr_tail) > 50:
+                            stderr_tail.pop(0)
+
                 drainer = _th.Thread(target=drain, daemon=True)
                 drainer.start()
+                _th.Thread(target=drain_err, daemon=True).start()
                 n = 0
                 try:
                     for row in [first]:
@@ -348,8 +356,10 @@ class SparkDestination:
                 rc = proc.wait()
                 drainer.join(timeout=30)
                 if rc != 0:
+                    tail = "".join(stderr_tail[-20:])
                     raise RuntimeError(
-                        f"destination connector exited {rc} in partition {pid}"
+                        f"destination connector exited {rc} in partition {pid}; "
+                        f"stderr tail:\n{tail}"
                     )
             for line in confirmations:
                 yield (pid, n, line)

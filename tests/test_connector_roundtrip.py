@@ -185,6 +185,19 @@ def test_write_distributed_partition_parallel(tmp_path, spark, cache):
     assert len(dsp.state_artifacts) >= 4
 
 
+def test_write_distributed_surfaces_partition_stderr(tmp_path, spark):
+    """A failing partition connector must surface its stderr in the
+    task error, not vanish into /dev/null."""
+    bad = tmp_path / "bad_dest.py"
+    bad.write_text("import sys; sys.stderr.write('auth denied xyz\\n'); sys.exit(7)")
+    dest = SparkDestination(
+        SubprocessHost([sys.executable, str(bad)]), name="bad-dist"
+    )
+    df = spark.range(0, 10).toDF("id")
+    with pytest.raises(Exception, match="auth denied xyz"):
+        dest.write_distributed(df, stream_name="s", num_processes=2)
+
+
 def test_write_distributed_requires_executor(spark):
     dest = SparkDestination(sink=lambda lines: [], name="sink-only")
     df = spark.range(3).toDF("id")
