@@ -156,6 +156,7 @@ class SparkDestination:
         checkpoint_dir: str,
         state_store: SparkCache | None = None,
         available_now: bool = True,
+        distributed: bool = False,
     ):
         """Streaming reverse ETL: each micro-batch is pumped into the
         destination connector as one protocol conversation (records +
@@ -165,6 +166,11 @@ class SparkDestination:
         batch at most once per checkpoint line. Completes the §3.3
         reverse-ETL surface for Structured Streaming inputs; the batch
         paths A/B/C stay on :meth:`write`.
+
+        ``distributed=True`` delivers each micro-batch through
+        :meth:`write_distributed` — one connector subprocess per
+        partition on the executors — instead of the driver-pumped
+        single process; epoch idempotence is unchanged.
         """
         import os
 
@@ -186,6 +192,16 @@ class SparkDestination:
         def handle(batch_df, epoch_id: int) -> None:
             if epoch_id <= _committed():
                 return  # replayed epoch — already delivered
+            if distributed:
+                self.write_distributed(
+                    batch_df, stream_name=stream_name, state_store=state_store
+                )
+                tmp = epoch_file + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(epoch_id))
+                os.replace(tmp, epoch_file)
+                return
+
             def messages() -> Iterator[AirbyteMessage]:
                 for row in batch_df.toLocalIterator():
                     yield AirbyteMessage(

@@ -297,6 +297,46 @@ def test_streaming_reverse_etl(spark, connector, tmp_path, cache):
     assert int(epoch_file.read_text()) == committed_after_first
 
 
+def test_streaming_reverse_etl_distributed(spark, tmp_path, cache):
+    """distributed=True routes each micro-batch through the
+    partition-parallel path; per-partition STATE confirmations land in
+    the destination state channel and replays deliver nothing."""
+    script = tmp_path / "fake_connector.py"
+    script.write_text(CONNECTOR_SCRIPT)
+    src_dir = tmp_path / "dstream_src"
+    src_dir.mkdir()
+    spark.range(40).selectExpr("id", "concat('n-', id) AS name").coalesce(
+        2
+    ).write.parquet(str(src_dir / "p"))
+    schema = spark.read.parquet(str(src_dir / "p")).schema
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src_dir / "p"))
+        dest = SparkDestination(
+            SubprocessHost([sys.executable, str(script)]),
+            name="dist-stream-dest",
+            config={"k": "v"},
+        )
+        q = dest.stream(
+            stream,
+            stream_name="items",
+            checkpoint_dir=str(tmp_path / "dckpt"),
+            state_store=cache,
+            distributed=True,
+        )
+        q.awaitTermination()
+
+    run()
+    arts = cache.get_destination_state_provider("dist-stream-dest").state_artifacts
+    # per-partition scoped confirmations with the full batch accounted for
+    written = [a.state["written"] for a in arts if "written" in a.state]
+    assert sum(written) == 40
+    epoch_file = tmp_path / "dckpt" / "_dest_committed_epoch"
+    committed = int(epoch_file.read_text())
+    run()  # replay: nothing new, epoch marker unchanged
+    assert int(epoch_file.read_text()) == committed
+
+
 FAKE_DOCKER = textwrap.dedent(
     """\
     #!/usr/bin/env python3
