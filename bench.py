@@ -46,8 +46,11 @@ BENCH_QUERIES = [
     "text_pii_redaction",
     "contamination_check",
     "dedup_cluster_representatives",
+    "q2_min_cost_supplier",
     "q7_volume_shipping",
     "q10_returned_items",
+    "q11_important_part_value",
+    "q20_excess_shipper_suppliers",
     "q13_customer_order_histogram",
     "sample_per_stratum_orders",
     "pack_token_bins_docs",

@@ -2702,6 +2702,176 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE)
+               / CAST(sum(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE)
+               AS supplycost
+      FROM lineitem GROUP BY 1, 2),
+    eligible AS (
+      SELECT p_partkey, p_name, s_acctbal, s_name, n_name, supplycost,
+             min(supplycost) OVER (PARTITION BY p_partkey) AS min_cost
+      FROM ps
+      JOIN part ON p_partkey = ps_partkey
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      JOIN region ON r_regionkey = n_regionkey
+      WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'EUROPE')
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(supplycost, 6) AS supplycost
+    FROM eligible
+    WHERE supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape (no partsupp table: supply cost = per-(part,supplier) "
+    "average unit price from lineitem): correlated min-subquery rewritten "
+    "as a window min over the region-filtered candidates",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        (
+            F.sum(_dec("l_extendedprice")).cast("double")
+            / F.sum(_dec("l_quantity")).cast("double")
+        ).alias("supplycost")
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 6).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH v AS (
+      SELECT l_partkey AS pk,
+             sum(CAST(l_extendedprice AS DECIMAL(15,2))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+      GROUP BY l_partkey)
+    SELECT pk AS p_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v
+    WHERE val * (SELECT count(*) FROM v) > (SELECT sum(val) FROM v) * 2
+    ORDER BY part_value DESC, p_partkey
+    """,
+    "TPC-H Q11 shape (no partsupp: stock value = lineitem revenue routed "
+    "through the nation's suppliers): group values vs a scalar-subquery "
+    "threshold. TPC-H's fixed fraction is rescaled per SF; here the "
+    "threshold is scale-invariant (value > 2x the mean part value) and "
+    "compared as cross-multiplied DECIMALs — exact in both engines, no "
+    "division doubles",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    threshold = v.agg(
+        (F.sum("val") * 2).alias("total2"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        v.join(F.broadcast(threshold), F.col("val") * F.col("n_parts") > F.col("total2"))
+        .select(
+            F.col("pk").alias("p_partkey"),
+            F.col("val").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "q20_excess_shipper_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_suppkey AS sk,
+             sum(CAST(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+                           THEN l_quantity ELSE 0 END AS DECIMAL(15,2))) AS qty_97,
+             sum(CAST(l_quantity AS DECIMAL(15,2))) AS qty_all
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_2', 'NATION_5', 'NATION_9', 'NATION_14')
+      AND s_suppkey IN (SELECT sk FROM sp WHERE qty_97 * 2 > qty_all)
+    ORDER BY s_name
+    """,
+    "TPC-H Q20 shape (no partsupp: 'excess availability' = a supplier "
+    "shipped over half its all-time quantity of a widget part inside "
+    "one year): nested semi-join chain part->lineitem agg->supplier",
+)
+def q20_excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    in_97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in_97, _dec("l_quantity")).otherwise(F.lit(0))).alias(
+                "qty_97"
+            ),
+            F.sum(_dec("l_quantity")).alias("qty_all"),
+        )
+        .filter(F.col("qty_97") * 2 > F.col("qty_all"))
+        .select(F.col("l_suppkey").alias("sk"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_5", "NATION_9", "NATION_14")
+    )
+    return (
+        supp.join(sp, supp.s_suppkey == sp.sk, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -2714,6 +2884,10 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is additionally oracle-checked by tests/test_oracle_parity.py each run,
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
+    # new this round — never driver-checked
+    "q2_min_cost_supplier",
+    "q11_important_part_value",
+    "q20_excess_shipper_suppliers",
     # never driver-checked through round 2
     "weighted_sample_docs",
     "chunk_documents_64",

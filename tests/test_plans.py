@@ -169,3 +169,30 @@ def test_merge_single_shuffle(spark, tmp_path):
         .filter(F.col("__rn") == 1)
     )
     assert plans.shuffle_count(merged) <= 1, plan_str(merged, "simple")
+
+
+def test_q2_broadcasts_dims_and_no_global_window(spark):
+    """Q2's window min partitions by p_partkey (parallel keys, never a
+    single-task global window) and every dimension join broadcasts."""
+    df = q.queries()["q2_min_cost_supplier"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert not plans.has_unpartitioned_window(df)
+
+
+def test_q11_threshold_is_broadcast_not_shuffle_join(spark):
+    """The one-row grand-total threshold must broadcast to the group
+    values, not shuffle them."""
+    df = q.queries()["q11_important_part_value"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_and_part_filter_pushdown(spark):
+    """Supplier qualification compiles to a semi join (no row blowup)
+    and the widget-name filter reaches the part scan."""
+    df = q.queries()["q20_excess_shipper_suppliers"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "LeftSemi" in plan
+    pushed = " ".join(plans.pushed_filters(df))
+    assert "p_name" in pushed or "StringContains" in pushed, pushed
