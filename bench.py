@@ -38,10 +38,13 @@ BENCH_QUERIES = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_semantic",
     "ann_brute_force_topk",
     "ann_ivf_topk",
     "text_fingerprint",
     "text_quality",
+    "text_tfidf_top_terms",
+    "embed_quantize_int8",
     "text_gopher_quality",
     "text_pii_redaction",
     "contamination_check",

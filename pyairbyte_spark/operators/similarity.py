@@ -303,6 +303,109 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization: q_i =
+    round(x_i * 127 / max|x|). Returns (``id_col``, scale, q) where
+    ``scale`` is the per-vector max-abs and ``q`` an array<int> in
+    [-127, 127] — a 4× (fp32) / 8× (fp64) storage cut for embedding
+    tables, the standard first rung before product quantization.
+
+    Pure JVM-side HOF expressions (transform/aggregate folds): no
+    shuffle, no UDF — at 100 TB this is a map-only column rewrite that
+    parquet scans push straight through. Zero vectors quantize to zero
+    (guarded division).
+    """
+    v = as_double_vec(vec_col)
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    out = df.select(F.col(id_col), v.alias("__v"), scale.alias("scale"))
+    q = F.transform(
+        F.col("__v"),
+        lambda x: F.when(F.col("scale") == 0.0, F.lit(0))
+        .otherwise(F.round(x * 127.0 / F.col("scale")).cast("int")),
+    )
+    return out.select(F.col(id_col), F.col("scale"), q.alias("q"))
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    iters: int = 1,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space with the same
+    deterministic quantizer IVF uses, score pairwise cosine ONLY inside
+    each cluster, and mark every vector that has a >=threshold neighbor
+    with a lower id in its cluster as a semantic duplicate.
+
+    Keep rule: lowest id per duplicate group (the paper keeps the
+    exemplar with lowest centroid similarity; lowest-id is deterministic
+    and needs no extra ranking pass — swap the pair predicate to change
+    policy).
+
+    Returns (``id_col``, cluster_id, is_duplicate) — one row per input
+    vector; filter ``~is_duplicate`` for the surviving corpus.
+
+    At 100 TB: centroids broadcast (tiny by construction); the corpus
+    shuffles once on cluster id; quadratic pair scoring is confined to
+    single clusters — the SemDeDup contract is that cluster count grows
+    with the corpus so per-cluster candidate sets stay bounded. No
+    global window, no driver-side loop over vectors.
+    """
+    cent = kmeans_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_clusters,
+        iters=iters,
+    )
+    # Materialize the (tiny) centroid table once — the Lloyd subplan
+    # would otherwise re-execute for each consumer branch below.
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
+    e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    asg = _assign_to_centroids(e, cent)  # (id, v, cid)
+    # Norms hoisted so the HOF fold runs once per row, not per pair;
+    # both join branches share the same assignment subplan, so AQE
+    # reuses its exchange instead of recomputing the corpus assign.
+    a = asg.select(
+        "cid", F.col("id").alias("a_id"), F.col("v").alias("av")
+    ).withColumn("__an", norm_expr(F.col("av")))
+    b = asg.select(
+        "cid", F.col("id").alias("b_id"), F.col("v").alias("bv")
+    ).withColumn("__bn", norm_expr(F.col("bv")))
+    dups = (
+        a.join(b, "cid")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "csim",
+            F.round(
+                dot_expr(F.col("av"), F.col("bv"))
+                / (F.col("__an") * F.col("__bn")),
+                6,
+            ),
+        )
+        .filter(F.col("csim") >= threshold)
+        .select(F.col("b_id").alias("dup_id"))
+        .distinct()
+    )
+    return asg.join(dups, asg.id == dups.dup_id, "left").select(
+        F.col("id").alias(id_col),
+        F.col("cid").alias("cluster_id"),
+        F.col("dup_id").isNotNull().alias("is_duplicate"),
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     *,

@@ -1787,12 +1787,11 @@ def _cos6(a_v: str, b_v: str) -> str:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    f"""
-    -- IVF with a deterministic coarse quantizer: seed centroids = 8
-    -- lowest-id vectors, ONE Lloyd iteration with 6-decimal rounded
-    -- means (dim is 64 in the testdata tables), then 2-probe search.
+# Deterministic k-means in plain SQL, shared by the IVF and SemDeDup
+# oracles: seed centroids = 8 lowest-id vectors, ONE Lloyd iteration
+# with 6-decimal rounded means (dim is 64 in the testdata tables).
+# Produces CTE `lists` = (vec_id, cid) cluster assignments over `e`.
+_KMEANS_LISTS_CTES = f"""
     WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
     a0 AS (
@@ -1811,7 +1810,15 @@ def _cos6(a_v: str, b_v: str) -> str:
         SELECT e.vec_id, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY {_cos6("e.v", "c.cv")} DESC, c.cid) AS rn
-        FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    -- IVF with a deterministic coarse quantizer (shared k-means CTEs),
+    -- then 2-probe search.
+    {_KMEANS_LISTS_CTES},
     q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
     probes AS (
       SELECT vec_id AS query_id, cid FROM (
@@ -1846,6 +1853,167 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=1,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    -- SemDeDup: same deterministic k-means as IVF, then within-cluster
+    -- cosine pruning with a keep-lowest-id rule.
+    {_KMEANS_LISTS_CTES},
+    dup AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM lists a JOIN lists b USING (cid)
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE a.vec_id < b.vec_id AND {_cos6("ea.v", "eb.v")} >= 0.45)
+    SELECT l.vec_id, l.cid AS cluster_id,
+           (d.dup_id IS NOT NULL) AS is_duplicate
+    FROM lists l LEFT JOIN dup d ON l.vec_id = d.dup_id
+    """,
+    "Semantic dedup (SemDeDup, arXiv:2303.09540): k-means clusters, "
+    "pairwise cosine scored only within clusters, lowest-id exemplar "
+    "kept — quadratic work confined to single clusters",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(
+        emb, n_clusters=8, iters=1, threshold=0.45
+    )
+
+
+@register(
+    "embed_quantize_int8",
+    f"""
+    -- Symmetric per-vector int8 quantization; the quantized vector is
+    -- pinned by an exact integer position-weighted checksum (arrays
+    -- stringify differently across engines, scalars don't).
+    WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS scale
+          FROM e),
+    el AS (
+      SELECT vec_id, scale, t.i,
+             CASE WHEN scale = 0 THEN 0
+                  ELSE CAST(round(v[CAST(t.i AS INT)] * 127.0 / scale) AS INT)
+             END AS q
+      FROM s CROSS JOIN range(1, 65) t(i))
+    SELECT vec_id, round(min(scale), 9) AS scale,
+           CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(sum(q * i) AS BIGINT) AS q_checksum
+    FROM el GROUP BY vec_id
+    """,
+    "Int8 scalar quantization of the embedding column (4x storage cut): "
+    "map-only HOF expressions, q pinned via exact integer checksum",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    qd = similarity.quantize_int8(emb)
+    el = qd.select(
+        "vec_id", "scale", F.posexplode("q").alias("pos", "qv")
+    )
+    return el.groupBy("vec_id").agg(
+        F.round(F.min("scale"), 9).alias("scale"),
+        F.sum(F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clipped"),
+        F.sum(F.col("qv") * (F.col("pos") + 1)).cast("bigint").alias("q_checksum"),
+    )
+
+
+@register(
+    "text_vocab_topk",
+    r"""
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    "Corpus vocabulary top-100 by frequency: explode + hash aggregate "
+    "(map-side partial counts) + TakeOrdered — the wordcount shape that "
+    "scales to any corpus size",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    from pyairbyte_spark.operators import text as text_ops
+
+    return (
+        docs.select(F.explode(text_ops.tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(100)
+    )
+
+
+@register(
+    "text_tfidf_top_terms",
+    r"""
+    -- Rank is integer-exact (tf desc, rarity asc, token) so engine
+    -- last-ulp ln() differences can never flip it; the tfidf VALUE is
+    -- rounded to 6 decimals in both engines.
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf
+           FROM tok WHERE token <> '' GROUP BY doc_id, token),
+    dfx AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfx USING (token) CROSS JOIN n)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, rank
+    FROM (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY tf DESC, df ASC, token) AS BIGINT) AS rank
+          FROM scored)
+    WHERE rank <= 3
+    """,
+    "Per-document top-3 salient terms: tf-idf (smoothed idf) with an "
+    "integer-exact ranking — document-frequency join + per-doc window",
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    from pyairbyte_spark.operators import text as text_ops
+
+    tok = docs.select(
+        "doc_id", F.explode(text_ops.tokens_expr("text")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfx, "token")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "tfidf",
+            "rank",
+        )
+    )
 
 
 @register(
@@ -2888,6 +3056,10 @@ _DRIVER_PRIORITY = [
     "q2_min_cost_supplier",
     "q11_important_part_value",
     "q20_excess_shipper_suppliers",
+    "dedup_semantic",
+    "embed_quantize_int8",
+    "text_vocab_topk",
+    "text_tfidf_top_terms",
     # never driver-checked through round 2
     "weighted_sample_docs",
     "chunk_documents_64",

@@ -510,3 +510,86 @@ def test_remove_repeated_spans_line_level(spark):
         for r in curation.remove_repeated_spans(df2, min_docs=3).collect()
     }
     assert out2[5]["cleaned"] == "" and out2[5]["n_kept"] == 0 and out2[5]["n_removed"] == 2
+
+
+def test_semantic_dedup_within_cluster_pruning(spark):
+    """Hand-checkable SemDeDup case: two clear clusters along axes 0
+    and 1; the near-copy in each cluster is marked duplicate, the
+    lowest-id exemplar and the ambiguous mid vector survive."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 0.1, 0.0, 0.0]),  # near-copy of 0 (cos ~= 0.995)
+        (3, [0.0, 1.0, 0.1, 0.0]),  # near-copy of 1 (cos ~= 0.995)
+        (4, [0.7, 0.7, 0.0, 0.0]),  # between clusters, cos < 0.95 to all
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["is_duplicate"])
+        for r in similarity.semantic_dedup(
+            df, n_clusters=2, iters=1, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 5  # one row per input vector
+    assert {k for k, (_, d) in out.items() if d} == {2, 3}
+    # near-copies land in their exemplar's cluster
+    assert out[2][0] == out[0][0]
+    assert out[3][0] == out[1][0]
+    assert out[0][0] != out[1][0]
+
+
+def test_semantic_dedup_real_embeddings_invariants(spark):
+    """Row preservation + duplicate soundness on real vectors: every
+    flagged vector has a lower-id >= threshold neighbor in its cluster."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = similarity.semantic_dedup(emb, n_clusters=4, iters=1, threshold=0.45)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_cluster: dict[int, list] = {}
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+
+    def cos(a, b):
+        import math
+
+        d = sum(x * y for x, y in zip(a, b))
+        return round(
+            d
+            / (
+                math.sqrt(sum(x * x for x in a))
+                * math.sqrt(sum(x * x for x in b))
+            ),
+            6,
+        )
+
+    for members in by_cluster.values():
+        ids = sorted(r["vec_id"] for r in members)
+        for r in members:
+            witnesses = [
+                i for i in ids
+                if i < r["vec_id"] and cos(vecs[i], vecs[r["vec_id"]]) >= 0.45
+            ]
+            assert bool(witnesses) == r["is_duplicate"], r
+
+
+def test_quantize_int8_bounds_and_zero_guard(spark):
+    """q in [-127,127]; max-abs element maps to ±127 exactly; zero
+    vectors quantize to zeros with scale 0; reconstruction error is
+    bounded by half a quantization step."""
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-2.0, 2.0, 1.0, -1.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    assert out[0]["q"] == [127, -64, 32, 0] and out[0]["scale"] == 1.0
+    assert out[1]["q"] == [0, 0, 0, 0] and out[1]["scale"] == 0.0
+    assert out[2]["q"] == [-127, 127, 64, -64] and out[2]["scale"] == 2.0
+    for vid, (_, vec) in zip([0, 1, 2], rows):
+        r = out[vid]
+        step = r["scale"] / 127.0 if r["scale"] else 0.0
+        for x, qv in zip(vec, r["q"]):
+            assert abs(qv) <= 127
+            assert abs(x - qv * step) <= step / 2 + 1e-12

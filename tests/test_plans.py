@@ -196,3 +196,30 @@ def test_q20_semi_join_and_part_filter_pushdown(spark):
     assert "LeftSemi" in plan
     pushed = " ".join(plans.pushed_filters(df))
     assert "p_name" in pushed or "StringContains" in pushed, pushed
+
+
+def test_semantic_dedup_no_cartesian_no_global_window(spark):
+    """Within-cluster pair scoring must shuffle on cluster id — never a
+    cartesian product over the corpus or a single-task global window.
+    (Centroid assignment's broadcast nested-loop over the tiny centroid
+    table is fine; an unbroadcast CartesianProduct is not.)"""
+    df = q.queries()["dedup_semantic"](spark, SF_DIR)
+    assert "CartesianProduct" not in plan_str(df, "simple")
+    assert not plans.has_unpartitioned_window(df)
+
+
+def test_vocab_topk_take_ordered_and_pruned_scan(spark):
+    """Top-100 must compile to TakeOrderedAndProject (per-partition
+    top-k, no global sort) and the documents scan must read only text."""
+    df = q.queries()["text_vocab_topk"](spark, SF_DIR)
+    assert plans.uses_take_ordered(df)
+    assert all(cols == ["text"] for cols in plans.scan_columns(df))
+
+
+def test_quantize_int8_no_shuffle_map_only(spark):
+    """Quantization itself is a map-only column rewrite: zero Exchange
+    nodes before any consumer aggregation."""
+    from pyairbyte_spark.operators.similarity import quantize_int8
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assert plans.shuffle_count(quantize_int8(emb)) == 0
