@@ -891,6 +891,53 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_topk_trending",
+    f"""
+    WITH c AS (
+      SELECT strftime(date_trunc('hour', ts), '{TS_FMT_DUCK}') AS window_start,
+             event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY window_start, event_type)
+    SELECT window_start, event_type, n, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY window_start
+                  ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      FROM c)
+    WHERE rank <= 3
+    """,
+    "STRUCTURED STREAMING trending top-3 event types per hour: the "
+    "windowed count runs as a real streaming query (memory sink, "
+    "complete mode, availableNow drain); the per-window rank is a "
+    "batch view over the sink — the lambda-architecture shape without "
+    "a second codebase",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    conv = _events_stream(spark, sf_dir, "stream_trend_")
+    agg = conv.groupBy(F.window("ts", "1 hour").alias("win"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"stream_trend_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.table(name).select(
+        F.date_format(F.col("win.start"), TS_FMT_SPARK).alias("window_start"),
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
     "stream_stream_join_click_purchase",
     f"""
     -- Batch-exact equivalent of the watermarked stream-stream interval
@@ -1853,6 +1900,53 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=1,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "ann_retrieve_documents",
+    f"""
+    -- Retrieval shape: ANN top-3 over the embedding table joined back
+    -- to the documents table for payload metadata (vec_id == doc_id in
+    -- the testdata corpus).
+    WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 3),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, a.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM e a, q WHERE a.vec_id != q.vec_id),
+    topk AS (
+      SELECT query_id, neighbor_id, cosine, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored) WHERE rank <= 3)
+    SELECT t.query_id, t.neighbor_id, t.cosine, t.rank,
+           d.source, d.lang, d.n_chars, md5(d.text) AS text_md5
+    FROM topk t JOIN documents d ON d.doc_id = t.neighbor_id
+    """,
+    "Embedding retrieval joined to document payloads (the RAG shape): "
+    "top-k per query, then a broadcast-able k-row join against the "
+    "documents table — neighbor ids are tiny relative to the corpus, "
+    "so the payload join never shuffles the corpus",
+)
+def ann_retrieve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    docs = t(spark, sf_dir, "documents")
+    topk = similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=3
+    ).withColumn("rank", F.col("rank").cast("long"))
+    return F.broadcast(topk).join(
+        docs, topk.neighbor_id == docs.doc_id
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        "rank",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5("text").alias("text_md5"),
+    )
 
 
 @register(
@@ -3060,6 +3154,8 @@ _DRIVER_PRIORITY = [
     "embed_quantize_int8",
     "text_vocab_topk",
     "text_tfidf_top_terms",
+    "stream_topk_trending",
+    "ann_retrieve_documents",
     # never driver-checked through round 2
     "weighted_sample_docs",
     "chunk_documents_64",
