@@ -2790,8 +2790,14 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, {_TOKS_DUCK} AS tk FROM documents
     ),
+    -- Shingles hash to 60-bit ints (md5 prefix — identical in both
+    -- engines) BEFORE the distinct: every downstream shuffle, window
+    -- and join carries 8-byte keys instead of shingle strings (~10x
+    -- fewer shuffle bytes at 100 TB; a collision miscounts identically
+    -- in both engines, and 60 bits make one vanishingly unlikely).
     shingles0 AS (
-      SELECT DISTINCT doc_id, s FROM (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM (
         SELECT doc_id,
                unnest(list_transform(generate_series(1, len(tk) - 4),
                       i -> array_to_string(tk[i:i+4], ' '))) AS s
@@ -2800,14 +2806,14 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     -- Stop-phrase cap: a shingle in > 100 docs carries no contamination
     -- signal; dropping it bounds the broadcast set and the join fan-out.
-    keep AS (SELECT s FROM shingles0 GROUP BY s HAVING count(*) <= 100),
-    shingles AS (SELECT doc_id, s FROM shingles0 JOIN keep USING (s)),
-    bench AS (SELECT DISTINCT s FROM shingles WHERE doc_id % 50 = 0),
-    corpus AS (SELECT doc_id, s FROM shingles WHERE doc_id % 50 <> 0),
+    keep AS (SELECT sh FROM shingles0 GROUP BY sh HAVING count(*) <= 100),
+    shingles AS (SELECT doc_id, sh FROM shingles0 JOIN keep USING (sh)),
+    bench AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 50 = 0),
+    corpus AS (SELECT doc_id, sh FROM shingles WHERE doc_id % 50 <> 0),
     totals AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
     hits AS (
       SELECT c.doc_id, count(*) AS n_hit
-      FROM corpus c JOIN bench b ON c.s = b.s
+      FROM corpus c JOIN bench b ON c.sh = b.sh
       GROUP BY c.doc_id
     )
     SELECT t.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
@@ -2825,21 +2831,26 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # 60-bit md5-prefix hash BEFORE the distinct: shuffles, the DF
+    # window, and the bench join all carry 8-byte longs instead of
+    # shingle strings (mirrored in the oracle so counts stay exact).
+    sh = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint")
     shingles = (
         docs.select("doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s"))
+        .select("doc_id", sh.alias("sh"))
         .distinct()
         # DF cap before either side of the join: shingles are distinct
-        # per doc, so count-over-s is document frequency. Bounds the
+        # per doc, so count-over-sh is document frequency. Bounds the
         # broadcast set and drops zero-signal stop-phrases.
-        .withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("s")))
+        .withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("sh")))
         .filter(F.col("__df") <= F.lit(100))
         .drop("__df")
     )
-    bench = shingles.filter(F.col("doc_id") % 50 == 0).select("s").distinct()
+    bench = shingles.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
     corpus = shingles.filter(F.col("doc_id") % 50 != 0)
     totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     hits = (
-        corpus.join(F.broadcast(bench), "s")
+        corpus.join(F.broadcast(bench), "sh")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
