@@ -2003,15 +2003,26 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     qd = similarity.quantize_int8(emb)
-    el = qd.select(
-        "vec_id", "scale", F.posexplode("q").alias("pos", "qv")
+    # Checksum/clip stats fold per row (zip_with + aggregate) instead of
+    # posexplode → groupBy: zero shuffle — the whole query stays a
+    # map-only column rewrite end to end.
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.sequence(F.lit(1), F.size(F.col("q"))),
+            lambda qv, i: (qv * i).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    return el.groupBy("vec_id").agg(
-        F.round(F.min("scale"), 9).alias("scale"),
-        F.sum(F.when(F.abs(F.col("qv")) == 127, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_clipped"),
-        F.sum(F.col("qv") * (F.col("pos") + 1)).cast("bigint").alias("q_checksum"),
+    n_clipped = F.size(F.filter(F.col("q"), lambda x: F.abs(x) == 127)).cast(
+        "bigint"
+    )
+    return qd.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        n_clipped.alias("n_clipped"),
+        checksum.alias("q_checksum"),
     )
 
 

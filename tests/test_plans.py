@@ -217,9 +217,11 @@ def test_vocab_topk_take_ordered_and_pruned_scan(spark):
 
 
 def test_quantize_int8_no_shuffle_map_only(spark):
-    """Quantization itself is a map-only column rewrite: zero Exchange
-    nodes before any consumer aggregation."""
+    """Quantization is a map-only column rewrite, and the registered
+    stats query folds its checksum per row — zero Exchange nodes in
+    either plan."""
     from pyairbyte_spark.operators.similarity import quantize_int8
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     assert plans.shuffle_count(quantize_int8(emb)) == 0
+    assert plans.shuffle_count(q.queries()["embed_quantize_int8"](spark, SF_DIR)) == 0
