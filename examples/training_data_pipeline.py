@@ -44,6 +44,23 @@ def main() -> None:
     dupes = cand.select(F.col("id_b").alias("doc_id")).distinct()
     pruned = filtered.join(dupes, "doc_id", "left_anti")
 
+    # 3b. semantic dedup over the embedding table (SemDeDup): k-means
+    # clusters, within-cluster cosine pruning — catches paraphrase-level
+    # duplicates the shingle/LSH passes can't see. vec_id == doc_id in
+    # the testdata corpus.
+    from pyairbyte_spark.operators.similarity import quantize_int8, semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem = semantic_dedup(emb, n_clusters=8, iters=1, threshold=0.45)
+    sem_dupes = sem.filter("is_duplicate").select(
+        F.col("vec_id").alias("doc_id")
+    )
+    pruned = pruned.join(sem_dupes, "doc_id", "left_anti")
+
+    # 3c. quantize the surviving embeddings for the feature store
+    # (map-only int8 rewrite, 4x smaller scans for every later pass)
+    quantize_int8(emb.join(pruned.select("doc_id"), emb.vec_id == F.col("doc_id"), "left_semi"))
+
     # 4. token counting + packing into ~2000-token shards
     tok = pruned.select(
         "doc_id", "text", text.token_count_expr("text").cast("long").alias("n_tokens")
