@@ -891,6 +891,74 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_view_click_purchase",
+    """
+    -- Ordered conversion funnel: first view, first click within 24h
+    -- AFTER that view, first purchase within 24h AFTER that click —
+    -- per user, then one summary row. Strict event-time sequencing
+    -- with conversion windows, not mere presence.
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > t1
+        AND ts <= t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS t3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > t2
+        AND ts <= t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s1) AS n_view,
+           (SELECT count(*) FROM s2) AS n_view_click,
+           (SELECT count(*) FROM s3) AS n_full_funnel,
+           round((SELECT count(*) FROM s3) /
+                 CAST((SELECT count(*) FROM s1) AS DOUBLE), 6) AS conversion
+    """,
+    "Sequenced conversion funnel (view -> click -> purchase in event-"
+    "time order): per-stage first-timestamp joins, one summary row — "
+    "each stage shuffles on user_id and reuses the prior stage's "
+    "timestamps, no window over the full event log",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + day))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).alias("n_view"))
+    n2 = s2.agg(F.count(F.lit(1)).alias("n_view_click"))
+    n3 = s3.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    return (
+        n1.crossJoin(n2)
+        .crossJoin(n3)
+        .withColumn(
+            "conversion",
+            F.round(
+                F.col("n_full_funnel") / F.col("n_view").cast("double"), 6
+            ),
+        )
+    )
+
+
+@register(
     "stream_topk_trending",
     f"""
     WITH c AS (
@@ -3178,6 +3246,7 @@ _DRIVER_PRIORITY = [
     "text_tfidf_top_terms",
     "stream_topk_trending",
     "ann_retrieve_documents",
+    "funnel_view_click_purchase",
     # never driver-checked through round 2
     "weighted_sample_docs",
     "chunk_documents_64",

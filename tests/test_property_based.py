@@ -177,3 +177,45 @@ def test_weighted_sample_size_and_membership(spark, weights, n):
         df.repartition(7), ["g"], n=n, weight_col="w", id_col="id", seed="p"
     ).collect()
     assert sorted(r["id"] for r in again) == ids  # partitioning-independent
+
+
+# -- int8 quantization properties (Spark-backed: few, small examples) -------
+
+_vecs = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(vecs=_vecs)
+@settings(max_examples=8, deadline=None)
+def test_quantize_int8_reconstruction_bound(spark, vecs):
+    """For ANY finite vectors: q stays in [-127, 127], the max-abs
+    element maps to ±127, and dequantized error per element is at most
+    half a quantization step."""
+    from pyairbyte_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    for row in quantize_int8(df).collect():
+        orig = [float(x) for x in vecs[row["vec_id"]]]
+        scale, q = row["scale"], row["q"]
+        assert scale == max(abs(x) for x in orig)
+        step = scale / 127.0 if scale else 0.0
+        assert all(abs(qv) <= 127 for qv in q)
+        if scale:
+            assert 127 in q or -127 in q
+        for x, qv in zip(orig, q):
+            assert abs(x - qv * step) <= step / 2 + 1e-9 * max(scale, 1.0)
