@@ -33,6 +33,7 @@ from pyairbyte_spark import (
     secrets,
     sources,
 )
+from pyairbyte_spark import caches, cli, experimental, mcp
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.datasets import CachedDataset, SQLDataset
 from pyairbyte_spark.destinations import SparkDestination
@@ -43,6 +44,7 @@ from pyairbyte_spark.factories import (
     get_source,
     new_local_cache,
 )
+from pyairbyte_spark.caches import BigQueryCache, DuckDBCache
 from pyairbyte_spark.records import StreamRecord
 from pyairbyte_spark.results import WriteResult
 from pyairbyte_spark.registry import get_available_connectors
@@ -59,8 +61,12 @@ Destination = SparkDestination
 
 __all__ = [
     # Modules (reference airbyte/__init__.py __all__ parity)
+    "caches",
     "callbacks",
+    "cli",
     "cloud",
+    "experimental",
+    "mcp",
     "constants",
     "datasets",
     "destinations",
@@ -83,8 +89,10 @@ __all__ = [
     "get_spark",
     "new_local_cache",
     # Classes
+    "BigQueryCache",
     "CachedDataset",
     "Destination",
+    "DuckDBCache",
     "ReadResult",
     "SQLDataset",
     "SecretSourceEnum",
