@@ -170,3 +170,13 @@ class LazyDataset:
     def close(self) -> None:
         if self._on_close:
             self._on_close()
+
+
+class DatasetMap(dict):
+    """A generic mapping of stream name → dataset (reference
+    ``airbyte/datasets/_map.py:19-32``). ``ReadResult``/``SparkCache``
+    already behave as mappings; this class exists for API parity and as
+    a simple container when composing datasets by hand."""
+
+    def __init__(self, datasets: dict[str, DatasetBase] | None = None) -> None:
+        super().__init__(datasets or {})

@@ -81,3 +81,34 @@ def render_documents(
     return df.select(
         doc_id.alias("id"), content.alias("content"), metadata.alias("metadata")
     )
+
+
+class Document:
+    """A rendered document projection of a record (reference
+    ``airbyte/documents.py:29-60``): id, content, metadata,
+    last_modified. Duck-typed to LangChain's ``Document`` via
+    ``page_content``. The Spark-side rendering path
+    (:func:`render_documents`) produces these shapes as DataFrame
+    columns; this class is the row-level container for driver-side
+    consumers."""
+
+    def __init__(
+        self,
+        *,
+        content: str,
+        id: str | None = None,  # noqa: A002 - reference field name
+        metadata: dict | None = None,
+        last_modified=None,
+    ) -> None:
+        self.id = id
+        self.content = content
+        self.metadata = metadata or {}
+        self.last_modified = last_modified
+
+    def __str__(self) -> str:
+        return self.content
+
+    @property
+    def page_content(self) -> str:
+        """LangChain duck-type alias for ``content``."""
+        return self.content

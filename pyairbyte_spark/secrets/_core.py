@@ -41,6 +41,8 @@ SECRETS_HYDRATION_PREFIX = "secret_reference::"
 class SecretSourceEnum(str, Enum):
     ENV = "env"
     DOTENV = "dotenv"
+    GOOGLE_COLAB = "google_colab"
+    GOOGLE_GSM = "google_gsm"  # not enabled by default (reference parity)
     PROMPT = "prompt"
 
     def __str__(self) -> str:
