@@ -891,6 +891,63 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "moving_avg_daily_revenue",
+    """
+    -- 7-day moving average of daily revenue per market segment: a
+    -- RANGE frame over an integer day index (identical frame semantics
+    -- in both engines; gaps in the calendar widen the window correctly,
+    -- unlike a ROWS frame).
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             CAST(o_orderdate AS DATE) AS day,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS day_idx,
+             sum(CAST(o_totalprice AS DECIMAL(15,2))) AS rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2, 3)
+    SELECT segment, day,
+           CAST(rev AS DOUBLE) AS daily_rev,
+           round(CAST(sum(rev) OVER w AS DOUBLE) /
+                 (count(*) OVER w), 6) AS ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY segment ORDER BY day_idx
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "Time-series RANGE-frame window: 7-day moving average of daily "
+    "revenue per segment — partitioned frame, no global window; the "
+    "day-grain pre-aggregation shrinks the window input to one row per "
+    "(segment, day) before any frame scan",
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    daily = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("day_idx"),
+        )
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "segment",
+        "day",
+        F.col("rev").cast("double").alias("daily_rev"),
+        F.round(
+            F.sum("rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("ma7"),
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     """
     -- Ordered conversion funnel: first view, first click within 24h
@@ -3247,6 +3304,7 @@ _DRIVER_PRIORITY = [
     "stream_topk_trending",
     "ann_retrieve_documents",
     "funnel_view_click_purchase",
+    "moving_avg_daily_revenue",
     # never driver-checked through round 2
     "weighted_sample_docs",
     "chunk_documents_64",
