@@ -3142,17 +3142,27 @@ def boilerplate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("ps_partkey"),
-        F.col("l_suppkey").alias("ps_suppkey"),
-    ).agg(
-        (
-            F.sum(_dec("l_extendedprice")).cast("double")
-            / F.sum(_dec("l_quantity")).cast("double")
-        ).alias("supplycost")
-    )
     part = t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    )
+    # Part filter pushed BELOW the per-(part,supplier) aggregation: the
+    # filter only drops whole groups (it keys on part attributes), so
+    # aggregating the semi-joined lineitem is identical to aggregating
+    # everything and joining after — but the shuffle carries only the
+    # qualifying parts' rows (~1/200th). The oracle SQL keeps the
+    # aggregate-then-join phrasing; results match exactly.
+    ps = (
+        li.join(F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            (
+                F.sum(_dec("l_extendedprice")).cast("double")
+                / F.sum(_dec("l_quantity")).cast("double")
+            ).alias("supplycost")
+        )
     )
     supp = t(spark, sf_dir, "supplier")
     nation = t(spark, sf_dir, "nation")
