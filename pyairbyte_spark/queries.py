@@ -891,6 +891,64 @@ def stream_windowed_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_funnel_match",
+    f"""
+    -- Batch-exact oracle for the streaming CEP matcher: greedy-earliest
+    -- sequence matching IS the funnel min-chain (first view, first
+    -- click in (t1, t1+24h], first purchase in (t2, t2+24h]).
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS m1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (
+      SELECT e.user_id, min(ts) AS m2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE event_type = 'click' AND ts > m1
+        AND ts <= m1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+    s3 AS (
+      SELECT e.user_id, min(ts) AS m3
+      FROM events e JOIN s2 USING (user_id)
+      WHERE event_type = 'purchase' AND ts > m2
+        AND ts <= m2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+    SELECT s1.user_id,
+           strftime(m1, '{TS_FMT_DUCK}') AS t0,
+           strftime(m2, '{TS_FMT_DUCK}') AS t1,
+           strftime(m3, '{TS_FMT_DUCK}') AS t2
+    FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+            JOIN s1 ON s3.user_id = s1.user_id
+    """,
+    "STRUCTURED STREAMING CEP sequence match (view->click->purchase, "
+    "24h per-stage windows) via applyInPandasWithState keyed on user — "
+    "O(stages) state per key, one emitted row per completed match; the "
+    "batch funnel min-chain is the exact oracle",
+)
+def stream_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyairbyte_spark.streaming.windowed import match_sequence, run_to_memory
+
+    stream = _events_stream(spark, sf_dir, "stream_cep_").select(
+        "user_id", "event_type", "ts"
+    )
+    matched = match_sequence(
+        stream,
+        key_col="user_id",
+        event_col="event_type",
+        ts_col="ts",
+        sequence=["view", "click", "purchase"],
+        within_seconds=24 * 3600.0,
+    )
+    name = run_to_memory(matched, f"cep_{_uuid.uuid4().hex[:8]}")
+    out = spark.table(name)
+    return out.select(
+        "user_id",
+        *[
+            F.date_format(F.col(f"t{i}"), TS_FMT_SPARK).alias(f"t{i}")
+            for i in range(3)
+        ],
+    )
+
+
+@register(
     "moving_avg_daily_revenue",
     """
     -- 7-day moving average of daily revenue per market segment: a
@@ -3315,6 +3373,7 @@ _DRIVER_PRIORITY = [
     "ann_retrieve_documents",
     "funnel_view_click_purchase",
     "moving_avg_daily_revenue",
+    "stream_funnel_match",
     # never driver-checked through round 2
     "weighted_sample_docs",
     "chunk_documents_64",

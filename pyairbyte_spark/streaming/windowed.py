@@ -160,3 +160,97 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return query_name
+
+
+def match_sequence(
+    stream_df: DataFrame,
+    *,
+    key_col: str,
+    event_col: str,
+    ts_col: str,
+    sequence: list[str],
+    within_seconds: float | None = None,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """CEP-style ordered pattern match per key via keyed state
+    (``applyInPandasWithState``): greedily advance through ``sequence``
+    in event-time order — the first event matching stage 0 pins t0, the
+    first stage-1 event AFTER t0 (and within ``within_seconds`` of it,
+    when set) pins t1, and so on. Emits ONE row per key when the full
+    sequence completes, carrying every stage timestamp.
+
+    Greedy-earliest matching is exactly the min-chain the batch funnel
+    computes (first A, first B after A, ...), so a batch funnel query
+    over the same data is an exact oracle. No backtracking: if stage
+    k+1 never lands inside stage k's window the key never completes —
+    the funnel contract, not a sliding re-match.
+
+    State per key is the current stage index + matched timestamps —
+    O(len(sequence)) regardless of event volume, partitioned by key
+    across executors; add a state timeout for unbounded key spaces.
+    Events may arrive across micro-batches; out-of-order WITHIN a batch
+    is handled by sorting, across batches by the watermark upstream.
+    """
+    n_stages = len(sequence)
+    if n_stages < 1:
+        raise ValueError("sequence must have at least one stage")
+    out_schema = T.StructType(
+        [stream_df.schema[key_col]]
+        + [T.StructField(f"t{i}", T.TimestampType()) for i in range(n_stages)]
+    )
+    state_schema = T.StructType(
+        [T.StructField("stage", T.IntegerType())]
+        + [T.StructField(f"t{i}", T.DoubleType()) for i in range(n_stages)]
+    )
+
+    def match_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            stored = list(state.get)
+            stage = stored[0]
+            times = stored[1:]
+        else:
+            stage, times = 0, [None] * n_stages
+        if stage >= n_stages:  # already emitted for this key
+            return
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return
+        events = pd.concat(frames, ignore_index=True)
+        events = events.sort_values(ts_col, kind="mergesort")
+        # Timestamps ride as exact epoch MICROSECONDS (integers < 2^53,
+        # exact in the DoubleType state field) — float epoch seconds
+        # would shear sub-microsecond precision and break Arrow's
+        # ns→us cast on emit.
+        within_us = None if within_seconds is None else within_seconds * 1e6
+        for _, row in events.iterrows():
+            if stage >= n_stages:
+                break
+            ts = float(row[ts_col].value // 1000)
+            if row[event_col] != sequence[stage]:
+                continue
+            if stage > 0:
+                prev = times[stage - 1]
+                if ts <= prev:
+                    continue
+                if within_us is not None and ts - prev > within_us:
+                    continue
+            times[stage] = ts
+            stage += 1
+        state.update(tuple([stage] + times))
+        if stage >= n_stages:
+            out = {key_col: [key[0]]}
+            for i, tval in enumerate(times):
+                out[f"t{i}"] = [pd.Timestamp(int(tval) * 1000)]
+            yield pd.DataFrame(out)
+
+    return stream_df.groupBy(key_col).applyInPandasWithState(
+        match_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

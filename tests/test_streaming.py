@@ -149,3 +149,57 @@ def test_session_rollup_merges_by_gap(spark, tmp_path):
     )
     # 10:00+10:10 merge (gap < 30m); 11:30 is its own session
     assert got == [(0, 2), (30, 1)]
+
+
+def test_match_sequence_across_batches(spark, tmp_path):
+    """CEP stages arriving in DIFFERENT micro-batches must complete via
+    keyed state; window violations and wrong order must not match."""
+    from datetime import datetime
+
+    from pyairbyte_spark.streaming.windowed import match_sequence
+
+    path = str(tmp_path / "cep_in")
+    d = datetime
+    # user 1: view then click in batch 1, purchase in batch 2 -> match.
+    # user 2: click BEFORE view (order violated; its later click is 26h
+    #   after the view -> window violated) -> no match.
+    # user 3: full sequence but purchase 25h after click -> no match.
+    b1 = [
+        (1, "view", d(2024, 1, 1, 10)),
+        (1, "click", d(2024, 1, 1, 11)),
+        (2, "click", d(2024, 1, 1, 9)),
+        (2, "view", d(2024, 1, 1, 10)),
+        (3, "view", d(2024, 1, 1, 10)),
+        (3, "click", d(2024, 1, 1, 12)),
+    ]
+    b2 = [
+        (1, "purchase", d(2024, 1, 2, 9)),
+        (2, "click", d(2024, 1, 2, 12)),  # 26h after user 2's view
+        (3, "purchase", d(2024, 1, 2, 13)),  # 25h after user 3's click
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    for batch in (b1, b2):
+        spark.createDataFrame(batch, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = stream_from_parquet_dir(spark, path, schema)
+    matched = match_sequence(
+        stream,
+        key_col="user_id",
+        event_col="event_type",
+        ts_col="ts",
+        sequence=["view", "click", "purchase"],
+        within_seconds=24 * 3600.0,
+    )
+    name = run_to_memory(matched, "cep_out", output_mode="update")
+    rows = {r["user_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert set(rows) == {1}
+    assert rows[1]["t0"] == d(2024, 1, 1, 10)
+    assert rows[1]["t1"] == d(2024, 1, 1, 11)
+    assert rows[1]["t2"] == d(2024, 1, 2, 9)
