@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q11_important_part_value",
     "q20_excess_shipper_suppliers",
     "q13_customer_order_histogram",
+    "funnel_view_click_purchase",
+    "moving_avg_daily_revenue",
     "sample_per_stratum_orders",
     "pack_token_bins_docs",
     "pipeline_curation_shards",
