@@ -40,6 +40,58 @@ from pyairbyte_spark.state import JoinedStateProvider, StateArtifact, StateProvi
 from pyairbyte_spark.strategies import WriteStrategy
 
 
+def _hadoop_fs(spark, path_str: str):
+    """Resolve (FileSystem, Path) for any Hadoop-supported scheme
+    (file://, hdfs://, s3a://, dbfs:/ ...) via the JVM gateway."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath
+
+
+def _read_epoch_marker(spark, epoch_file: str) -> int:
+    """Committed-epoch marker read through the Hadoop FileSystem API so
+    it co-locates with the Spark checkpoint on whatever filesystem the
+    checkpointLocation lives on (a driver-local ``open()`` would break
+    epoch idempotence for hdfs/s3/dbfs checkpoints and driver restarts
+    on another node)."""
+    try:
+        fs, hpath = _hadoop_fs(spark, epoch_file)
+        if not fs.exists(hpath):
+            return -1
+        jvm = spark._jvm
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(hpath))
+        )
+        try:
+            line = reader.readLine()
+        finally:
+            reader.close()
+        return int(line.strip()) if line else -1
+    except Exception:
+        return -1
+
+
+def _commit_epoch_marker(spark, epoch_file: str, epoch_id: int) -> None:
+    """Write-temp-then-rename through the Hadoop FileSystem API. Hadoop
+    rename won't clobber, so the stale target is deleted first; a crash
+    in the tiny delete→rename window just loses the marker, degrading
+    that one restart to at-least-once for the last batch — never a torn
+    read."""
+    fs, target = _hadoop_fs(spark, epoch_file)
+    jvm = spark._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(epoch_file + ".tmp")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(str(epoch_id).encode("ascii")))
+    finally:
+        out.close()
+    if fs.exists(target):
+        fs.delete(target, False)
+    if not fs.rename(tmp, target):
+        raise OSError(f"could not commit epoch marker {epoch_file}")
+
+
 def _encode_messages(messages: Iterable[AirbyteMessage]) -> Iterator[str]:
     for m in messages:
         if m.type == "RECORD" and m.record is not None:
@@ -172,7 +224,7 @@ class SparkDestination:
         partition on the executors — instead of the driver-pumped
         single process; epoch idempotence is unchanged.
         """
-        import os
+        import posixpath
 
         from pyairbyte_spark.sources.messages import (
             RecordMessage,
@@ -180,26 +232,20 @@ class SparkDestination:
             TraceMessage,
         )
 
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        epoch_file = os.path.join(checkpoint_dir, "_dest_committed_epoch")
-
-        def _committed() -> int:
-            try:
-                return int(open(epoch_file).read().strip())
-            except (OSError, ValueError):
-                return -1
+        spark = stream_df.sparkSession
+        fs, ckpt = _hadoop_fs(spark, checkpoint_dir)
+        fs.mkdirs(ckpt)
+        epoch_file = posixpath.join(checkpoint_dir, "_dest_committed_epoch")
 
         def handle(batch_df, epoch_id: int) -> None:
-            if epoch_id <= _committed():
+            sess = batch_df.sparkSession
+            if epoch_id <= _read_epoch_marker(sess, epoch_file):
                 return  # replayed epoch — already delivered
             if distributed:
                 self.write_distributed(
                     batch_df, stream_name=stream_name, state_store=state_store
                 )
-                tmp = epoch_file + ".tmp"
-                with open(tmp, "w") as f:
-                    f.write(str(epoch_id))
-                os.replace(tmp, epoch_file)
+                _commit_epoch_marker(sess, epoch_file, epoch_id)
                 return
 
             def messages() -> Iterator[AirbyteMessage]:
@@ -224,13 +270,10 @@ class SparkDestination:
                 )
 
             self._write_message_stream(messages(), state_store)
-            tmp = epoch_file + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(str(epoch_id))
-            os.replace(tmp, epoch_file)
+            _commit_epoch_marker(sess, epoch_file, epoch_id)
 
         writer = stream_df.writeStream.foreachBatch(handle).option(
-            "checkpointLocation", os.path.join(checkpoint_dir, "spark")
+            "checkpointLocation", posixpath.join(checkpoint_dir, "spark")
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
@@ -370,7 +413,11 @@ class SparkDestination:
                 except BrokenPipeError:
                     pass
                 rc = proc.wait()
-                drainer.join(timeout=30)
+                # stdout is closed once the process exits, so the drain
+                # loop terminates — join without a timeout; a timed-out
+                # join could return with `confirmations` still being
+                # appended, silently dropping STATE artifacts.
+                drainer.join()
                 if rc != 0:
                     tail = "".join(stderr_tail[-20:])
                     raise RuntimeError(

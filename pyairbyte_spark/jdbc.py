@@ -77,7 +77,13 @@ def jdbc_options(config: dict[str, Any]) -> dict[str, str]:
     dtype = (config.get("destinationType") or config.get("type") or "").lower()
     options: dict[str, str] = {"url": jdbc_url(config)}
     user = config.get("username") or config.get("user")
-    password = config.get("password") or config.get("credentials", {}).get("password")
+    # Real destination configs carry "credentials": null or a plain
+    # string; only dict-shaped credentials can hold a password.
+    credentials = config.get("credentials")
+    if not isinstance(credentials, dict):
+        credentials = {}
+    password = config.get("password") or credentials.get("password")
+    user = user or credentials.get("username") or credentials.get("user")
     if user:
         options["user"] = str(user)
     if password:

@@ -29,6 +29,27 @@ from pyairbyte_spark import exceptions as exc
 from pyairbyte_spark.sources.subprocess_host import SubprocessHost
 
 
+def _probe_package_name(pip_url: str, connector_name: str) -> str | None:
+    """Distribution name to probe with importlib.metadata.
+
+    Requirement-style pip_urls strip their version/extras specifiers;
+    VCS/URL pip_urls (``git+https://...``) yield the ``#egg=``/
+    ``&egg=`` fragment when present and otherwise ``None`` — probing
+    with the whole URL can never match a distribution name, so the
+    caller falls back to the connector-name candidates.
+    """
+    first = shlex.split(pip_url)[0] if pip_url.strip() else ""
+    if "://" in first or first.startswith(("git+", "hg+", "svn+", "bzr+")):
+        for part in first.replace("#", "&").split("&"):
+            if part.startswith("egg="):
+                return part[4:] or None
+        return None
+    for sep in ("==", ">=", "<=", "~=", "!=", ">", "<", "["):
+        if sep in first:
+            first = first.split(sep)[0]
+    return first.strip() or None
+
+
 def get_bin_dir(venv_path: Path) -> Path:
     """Executable directory inside a venv (``Scripts`` on Windows)."""
     if os.name == "nt":  # pragma: no cover - no Windows in CI
@@ -153,16 +174,14 @@ class VenvInstaller:
             return self.reported_version
         if not self.interpreter_path.exists():
             return None
-        package = (
-            f"airbyte-{self.name}"
-            if self.pip_url == f"airbyte-{self.name}"
-            or self.pip_url.startswith(f"airbyte-{self.name}==")
-            else self.pip_url.split("==")[0]
-        )
+        package = _probe_package_name(self.pip_url, self.name)
+        names = [n for n in (package, f"airbyte-{self.name}", self.name) if n]
+        # de-dup, order-preserving
+        names = list(dict.fromkeys(names))
         probe = (
             "from importlib.metadata import version, PackageNotFoundError\n"
             "import sys\n"
-            f"names = [{package!r}, {self.name!r}]\n"
+            f"names = {names!r}\n"
             "for n in names:\n"
             "    try:\n"
             "        print(version(n)); sys.exit(0)\n"

@@ -98,17 +98,72 @@ def session_rollup(
     )
 
 
+def _resolve_timeout(timeout: str, state_ttl: str | int | None) -> str:
+    """``state_ttl`` implies a processing-time timeout unless the caller
+    already picked one explicitly."""
+    if state_ttl is not None and timeout == "NoTimeout":
+        return "ProcessingTimeTimeout"
+    return timeout
+
+
+_TTL_UNITS = {
+    "ms": 1,
+    "millisecond": 1,
+    "milliseconds": 1,
+    "s": 1000,
+    "second": 1000,
+    "seconds": 1000,
+    "m": 60_000,
+    "min": 60_000,
+    "minute": 60_000,
+    "minutes": 60_000,
+    "h": 3_600_000,
+    "hour": 3_600_000,
+    "hours": 3_600_000,
+    "d": 86_400_000,
+    "day": 86_400_000,
+    "days": 86_400_000,
+}
+
+
+def _ttl_ms(state_ttl: str | int) -> int:
+    """Duration → int milliseconds (``GroupState.setTimeoutDuration``
+    only accepts an int in PySpark)."""
+    if isinstance(state_ttl, int):
+        return state_ttl
+    parts = state_ttl.strip().split()
+    if len(parts) == 2 and parts[1].lower() in _TTL_UNITS:
+        return int(float(parts[0]) * _TTL_UNITS[parts[1].lower()])
+    raise ValueError(
+        f"state_ttl {state_ttl!r} not understood; use int millis or "
+        f"'<n> <unit>' with unit in {sorted(set(_TTL_UNITS))}"
+    )
+
+
 def streaming_dedup(
     stream_df: DataFrame,
     *,
     digest_cols: list[str],
     timeout: str = "NoTimeout",
+    state_ttl: str | int | None = None,
 ) -> DataFrame:
     """Cross-micro-batch exact dedup via keyed state
     (``applyInPandasWithState``): the first row per content digest is
     emitted; later duplicates — in the same OR any later batch — are
     dropped. State per key is a single boolean, so memory is O(distinct
-    keys); add a timeout to bound it for unbounded key spaces.
+    keys).
+
+    ``state_ttl`` (duration string like ``"30 minutes"`` or int millis)
+    bounds state for unbounded key spaces: it arms a processing-time
+    timeout when a key is first seen, and the key's state is evicted
+    when it fires — so a duplicate arriving after the TTL is treated as
+    new. The dedup guarantee becomes "exactly once per key per TTL
+    window", the standard trade for O(active keys) memory.
+
+    Use a TTL only on continuously-running queries: with a
+    processing-time timeout armed, Spark schedules state-cleanup
+    batches indefinitely, so ``processAllAvailable()`` /
+    ``Trigger.AvailableNow`` never quiesce.
     """
     digest = F.md5(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in digest_cols])
@@ -116,12 +171,17 @@ def streaming_dedup(
     keyed = stream_df.withColumn("__digest", digest)
     out_schema = keyed.schema
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    timeout = _resolve_timeout(timeout, state_ttl)
+    ttl_ms = None if state_ttl is None else _ttl_ms(state_ttl)
 
     def dedup_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # TTL expired: forget the key entirely
+            return
         if state.exists:
             return
         first: pd.DataFrame | None = None
@@ -130,6 +190,8 @@ def streaming_dedup(
                 first = pdf.iloc[:1]
         if first is not None:
             state.update((True,))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
             yield first
 
     return (
@@ -171,6 +233,7 @@ def match_sequence(
     sequence: list[str],
     within_seconds: float | None = None,
     timeout: str = "NoTimeout",
+    state_ttl: str | int | None = None,
 ) -> DataFrame:
     """CEP-style ordered pattern match per key via keyed state
     (``applyInPandasWithState``): greedily advance through ``sequence``
@@ -187,7 +250,14 @@ def match_sequence(
 
     State per key is the current stage index + matched timestamps —
     O(len(sequence)) regardless of event volume, partitioned by key
-    across executors; add a state timeout for unbounded key spaces.
+    across executors. ``state_ttl`` (duration string or int millis)
+    bounds it for unbounded key spaces: a processing-time timeout is
+    (re-)armed on every update, and when it fires the key's partial
+    match is evicted — an abandoned funnel stops costing memory, at the
+    price that a key resuming after the TTL restarts from stage 0.
+    TTL is for continuously-running queries only (an armed
+    processing-time timeout keeps the engine scheduling cleanup batches,
+    so drain-style triggers never quiesce).
     Events may arrive across micro-batches; out-of-order WITHIN a batch
     is handled by sorting, across batches by the watermark upstream.
     """
@@ -202,12 +272,16 @@ def match_sequence(
         [T.StructField("stage", T.IntegerType())]
         + [T.StructField(f"t{i}", T.DoubleType()) for i in range(n_stages)]
     )
+    ttl_ms = None if state_ttl is None else _ttl_ms(state_ttl)
 
     def match_fn(
         key: tuple,
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()  # abandoned partial match: evict
+            return
         if state.exists:
             stored = list(state.get)
             stage = stored[0]
@@ -241,6 +315,8 @@ def match_sequence(
             times[stage] = ts
             stage += 1
         state.update(tuple([stage] + times))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if stage >= n_stages:
             out = {key_col: [key[0]]}
             for i, tval in enumerate(times):
@@ -252,5 +328,5 @@ def match_sequence(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=getattr(GroupStateTimeout, timeout),
+        timeoutConf=getattr(GroupStateTimeout, _resolve_timeout(timeout, state_ttl)),
     )

@@ -19,9 +19,14 @@ Spark-first design:
   known same-batch-dupe TODO (``sql_processor.py:763-765``).
 - At 100 TB: the union-dedup merge shuffles once on the PK; the window
   and the final write reuse that hash partitioning (no second shuffle).
-  For very large dimension-style tables you'd switch the store to Delta
-  and let MERGE INTO rewrite only matched files; the strategy layer here
-  is the seam where that swaps in.
+- :class:`CommitLogTableStore` is the ACID implementation of this seam
+  (the Delta package isn't installable offline, so the commit protocol
+  is implemented directly): immutable parquet data directories plus an
+  atomic JSON commit log give all-or-nothing REPLACE/MERGE, snapshot
+  reads, bucket-pruned incremental merge, time travel, and vacuum —
+  a reader can never observe a half-written table, which the
+  rename-swap parquet store cannot guarantee (crash between its two
+  renames leaves no table at all; see the crash-injection tests).
 """
 
 from __future__ import annotations
@@ -327,3 +332,366 @@ class TableStore:
             self.write_merge(df, table_name, primary_keys or [])
         else:  # pragma: no cover
             raise ValueError(f"unknown write method {method}")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published the commit version this writer staged.
+
+    Optimistic concurrency: appends retry transparently (their staged
+    data directory is position-independent); replace retries rebuild
+    only the manifest; merge surfaces the conflict to the caller, whose
+    re-run converges (latest-wins dedup is idempotent).
+    """
+
+
+class CommitLogTableStore(TableStore):
+    """ACID table store: immutable parquet data dirs + atomic commit log.
+
+    This is the "Delta commit seam" the module docstring promises, made
+    real without the delta package. Layout per table::
+
+        <root>/<table>/_commits/<version %020d>.json   # manifests
+        <root>/<table>/d-<hex>/                        # data dirs
+        <root>/<table>/d-<hex>/__pk_bucket=N/          # bucketed layout
+
+    Every commit file is a FULL snapshot manifest (not a delta log):
+    ``{"op", "merge_buckets", "entries": [{"path", "buckets"}]}`` where
+    ``buckets`` lists the bucket partitions of that directory still
+    LIVE in this snapshot (``None`` for unbucketed dirs). Readers
+    resolve the highest version and scan exactly the listed (dir,
+    live-buckets) pairs — bucket filters hit Spark's partition pruning,
+    so superseded bucket data in old dirs is never read.
+
+    Commit publication is a single ``os.link`` (create-exclusive, so
+    two writers can never both claim a version — the loser gets
+    :class:`ConcurrentCommitError`). Data directories are staged BEFORE
+    the commit and are immutable after it; a crash anywhere before the
+    link leaves the previous snapshot fully intact (all-or-nothing
+    REPLACE and MERGE — the property the rename-swap parquet store
+    lacks). Old versions stay readable (:meth:`read_version`) until
+    :meth:`vacuum`.
+
+    At 100 TB: an incremental merge stages only the touched buckets'
+    worth of data and flips one tiny JSON file; the manifest scales
+    with live data directories (compacted by full-rewrite merges and
+    replaces), not with table size. On a real cluster the directory
+    operations move to the Hadoop FileSystem API; the protocol —
+    stage-then-publish with create-exclusive commits — is unchanged
+    (reference REPLACE parity: ``sql_processor.py:1061-1087``, upgraded
+    from "atomic-ish" to atomic).
+    """
+
+    COMMIT_DIR = "_commits"
+    _COMMIT_RETRIES = 5
+
+    # -- commit-log primitives ---------------------------------------------
+
+    def _commits_dir(self, table_name: str) -> str:
+        return os.path.join(self.table_path(table_name), self.COMMIT_DIR)
+
+    def _latest_commit(self, table_name: str) -> tuple[int, dict] | None:
+        d = self._commits_dir(table_name)
+        try:
+            names = [n for n in os.listdir(d) if n.endswith(".json")]
+        except OSError:
+            return None
+        if not names:
+            return None
+        latest = max(names)
+        with open(os.path.join(d, latest)) as f:
+            return int(latest[:-5]), json.load(f)
+
+    def _read_manifest(self, table_name: str, version: int) -> dict:
+        path = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except OSError as e:
+            raise FileNotFoundError(
+                f"table {table_name!r} has no commit version {version}"
+                " (never written, or vacuumed)"
+            ) from e
+
+    def _commit(self, table_name: str, manifest: dict, version: int) -> None:
+        """Publish ``manifest`` as ``version`` — atomic create-exclusive."""
+        d = self._commits_dir(table_name)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": version, **manifest}, f)
+        target = os.path.join(d, f"{version:020d}.json")
+        try:
+            os.link(tmp, target)  # atomic; fails if the version exists
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"commit version {version} of {table_name!r} was taken "
+                "by a concurrent writer"
+            ) from None
+        finally:
+            os.remove(tmp)
+
+    def _stage(self, df: DataFrame, table_name: str) -> dict:
+        """Write ``df`` into a fresh immutable data dir; return its
+        manifest entry (path + bucket partitions present)."""
+        name = f"d-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.table_path(table_name), name)
+        self._writer(df).mode("overwrite").parquet(path)
+        buckets = None
+        if BUCKET_COL in df.columns:
+            buckets = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(path)
+                if d.startswith(f"{BUCKET_COL}=")
+            )
+        return {"path": name, "buckets": buckets}
+
+    # -- snapshot reads -----------------------------------------------------
+
+    def _read_manifest_df(self, table_name: str, manifest: dict) -> DataFrame:
+        entries = manifest.get("entries") or []
+        if not entries:
+            raise FileNotFoundError(f"table {table_name!r} snapshot is empty")
+        parts: list[DataFrame] = []
+        for e in entries:
+            p = os.path.join(self.table_path(table_name), e["path"])
+            part = self.spark.read.option("mergeSchema", "true").parquet(p)
+            live = e.get("buckets")
+            if live is not None and BUCKET_COL in part.columns:
+                # Partition-pruned: only this dir's LIVE buckets are read;
+                # superseded bucket data never reaches the scan.
+                part = part.filter(F.col(BUCKET_COL).isin(live))
+            parts.append(part)
+        out = parts[0]
+        for part in parts[1:]:
+            out = out.unionByName(part, allowMissingColumns=True)
+        return out
+
+    def _read_raw(self, table_name: str) -> DataFrame:
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        return self._read_manifest_df(table_name, snap[1])
+
+    def read_version(self, table_name: str, version: int) -> DataFrame:
+        """Time travel: the table exactly as of ``version`` (readable
+        until :meth:`vacuum` reclaims its data dirs)."""
+        df = self._read_manifest_df(
+            table_name, self._read_manifest(table_name, version)
+        )
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def history(self, table_name: str) -> list[dict]:
+        """Commit history, newest first (op + version per commit)."""
+        d = self._commits_dir(table_name)
+        try:
+            names = sorted(
+                (n for n in os.listdir(d) if n.endswith(".json")), reverse=True
+            )
+        except OSError:
+            return []
+        out = []
+        for n in names:
+            with open(os.path.join(d, n)) as f:
+                m = json.load(f)
+            out.append(
+                {
+                    "version": int(n[:-5]),
+                    "op": m.get("op"),
+                    "n_entries": len(m.get("entries") or []),
+                    "merge_buckets": m.get("merge_buckets"),
+                }
+            )
+        return out
+
+    def table_exists(self, table_name: str) -> bool:
+        snap = self._latest_commit(table_name)
+        return bool(snap and snap[1].get("entries"))
+
+    def list_tables(self) -> list[str]:
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            if d.startswith("_tmp_"):
+                continue
+            if os.path.isdir(os.path.join(self.root, d, self.COMMIT_DIR)):
+                if self.table_exists(d):
+                    out.append(d)
+        return out
+
+    def drop(self, table_name: str) -> None:
+        shutil.rmtree(self.table_path(table_name), ignore_errors=True)
+
+    def _persisted_buckets(self, table_name: str) -> int | None:
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            return None
+        n = snap[1].get("merge_buckets")
+        return int(n) if n else None
+
+    # -- write strategies ---------------------------------------------------
+
+    def write_append(
+        self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
+    ) -> None:
+        snap = self._latest_commit(table_name)
+        exists = bool(snap and snap[1].get("entries"))
+        if exists:
+            existing_cols = set(self.read(table_name).columns)
+            new_cols = [c for c in df.columns if c not in existing_cols]
+            ordered = [c for c in df.columns if c in existing_cols] + new_cols
+            df = df.select(*ordered)
+            # Appends to a bucketed table hash with the TABLE's layout N
+            # (recorded in the manifest), never the store config.
+            n_buckets = snap[1].get("merge_buckets")
+        else:
+            n_buckets = self.merge_buckets
+        df = self._with_bucket(df, primary_keys, n_buckets)
+        entry = self._stage(df, table_name)
+        for _ in range(self._COMMIT_RETRIES):
+            snap2 = self._latest_commit(table_name)
+            version = snap2[0] if snap2 else 0
+            entries = list(snap2[1].get("entries") or []) if snap2 else []
+            mb = (
+                snap2[1].get("merge_buckets")
+                if snap2
+                else (n_buckets if entry["buckets"] is not None else None)
+            )
+            manifest = {
+                "op": "append",
+                "merge_buckets": mb,
+                "entries": entries + [entry],
+            }
+            try:
+                self._commit(table_name, manifest, version + 1)
+                return
+            except ConcurrentCommitError:
+                continue  # appends are position-independent: rebase + retry
+        raise ConcurrentCommitError(
+            f"append to {table_name!r} lost {self._COMMIT_RETRIES} commit races"
+        )
+
+    def write_replace(
+        self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
+    ) -> None:
+        df = self._with_bucket(df, primary_keys)
+        entry = self._stage(df, table_name)
+        manifest = {
+            "op": "replace",
+            "merge_buckets": (
+                self.merge_buckets if entry["buckets"] is not None else None
+            ),
+            "entries": [entry],
+        }
+        for _ in range(self._COMMIT_RETRIES):
+            snap = self._latest_commit(table_name)
+            version = snap[0] if snap else 0
+            try:
+                self._commit(table_name, manifest, version + 1)
+                return
+            except ConcurrentCommitError:
+                continue  # replace doesn't depend on the prior snapshot
+        raise ConcurrentCommitError(
+            f"replace of {table_name!r} lost {self._COMMIT_RETRIES} commit races"
+        )
+
+    def write_merge(
+        self, df: DataFrame, table_name: str, primary_keys: list[str]
+    ) -> None:
+        if not primary_keys:
+            raise ValueError("merge requires primary keys")
+        snap = self._latest_commit(table_name)
+        exists = bool(snap and snap[1].get("entries"))
+        layout_n = snap[1].get("merge_buckets") if exists else None
+        if exists and layout_n:
+            # File-pruned incremental merge: stage only the touched
+            # buckets, shrink old entries' live-bucket sets, publish one
+            # commit. Untouched bucket data is neither read nor
+            # rewritten — and unlike the parquet store's dynamic
+            # partition overwrite, the flip is ATOMIC across buckets.
+            version, man = snap
+            incoming = self._with_bucket(df, primary_keys, layout_n)
+            touched = sorted(
+                r[0] for r in incoming.select(BUCKET_COL).distinct().collect()
+            )
+            touched_set = set(touched)
+            union = incoming
+            for e in man["entries"]:
+                overlap = sorted(set(e.get("buckets") or []) & touched_set)
+                if not overlap:
+                    continue
+                p = os.path.join(self.table_path(table_name), e["path"])
+                old = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(p)
+                    .filter(F.col(BUCKET_COL).isin(overlap))
+                )
+                union = union.unionByName(old, allowMissingColumns=True)
+            latest = self._dedup_latest(union, primary_keys)
+            entry = self._stage(latest, table_name)
+            new_entries = []
+            for e in man["entries"]:
+                remaining = [
+                    b for b in (e.get("buckets") or []) if b not in touched_set
+                ]
+                if remaining:
+                    new_entries.append({"path": e["path"], "buckets": remaining})
+            new_entries.append(entry)
+            self._commit(
+                table_name,
+                {"op": "merge", "merge_buckets": layout_n, "entries": new_entries},
+                version + 1,
+            )
+            return
+        # Full rewrite (first write, unbucketed table, or the one-time
+        # migration INTO the bucketed layout) — also compacts the
+        # manifest down to a single entry.
+        incoming = df
+        if exists:
+            incoming = self.read(table_name).unionByName(
+                incoming, allowMissingColumns=True
+            )
+        latest = self._dedup_latest(incoming, primary_keys)
+        latest = self._with_bucket(latest, primary_keys)
+        entry = self._stage(latest, table_name)
+        version = snap[0] if snap else 0
+        self._commit(
+            table_name,
+            {
+                "op": "merge",
+                "merge_buckets": (
+                    self.merge_buckets if entry["buckets"] is not None else None
+                ),
+                "entries": [entry],
+            },
+            version + 1,
+        )
+
+    # -- maintenance --------------------------------------------------------
+
+    def vacuum(self, table_name: str, *, keep_commits: int = 1) -> list[str]:
+        """Reclaim data dirs unreferenced by the ``keep_commits`` most
+        recent snapshots, and drop older commit files. Time travel to a
+        vacuumed version stops working — the standard retention trade.
+        (A shared-filesystem deployment would add a grace period for
+        in-flight readers; snapshots pin their files only logically.)
+        """
+        d = self._commits_dir(table_name)
+        try:
+            names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
+        except OSError:
+            return []
+        keep = names[-keep_commits:] if keep_commits > 0 else names[-1:]
+        live: set[str] = set()
+        for n in keep:
+            with open(os.path.join(d, n)) as f:
+                for e in json.load(f).get("entries") or []:
+                    live.add(e["path"])
+        removed: list[str] = []
+        tdir = self.table_path(table_name)
+        for name in os.listdir(tdir):
+            if name.startswith("d-") and name not in live:
+                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                removed.append(name)
+        for n in names[: -len(keep)] if len(keep) < len(names) else []:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(d, n))
+        return removed

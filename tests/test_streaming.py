@@ -95,6 +95,119 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert ids == [1, 2, 3]
 
 
+def _wait_until(predicate, timeout_s: float = 90.0) -> bool:
+    """Poll ``predicate`` — with a ProcessingTimeTimeout armed, Spark
+    keeps scheduling state-cleanup batches forever, so
+    ``processAllAvailable``/``availableNow`` never quiesce; a TTL'd
+    query is observed the way a production continuous query is."""
+    import time
+
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        if predicate():
+            return True
+        time.sleep(0.3)
+    return False
+
+
+def test_streaming_dedup_state_ttl_evicts_key(spark, tmp_path):
+    """With ``state_ttl`` a key's seen-state is evicted once the
+    processing-time timeout fires, so the same key re-emits after the
+    TTL window — bounding state for unbounded key spaces."""
+    import time
+
+    path = str(tmp_path / "ttl_in")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("payload", T.StringType())]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+
+    def ids():
+        return sorted(r["id"] for r in spark.sql("SELECT * FROM ttl_out").collect())
+
+    write_batch([(1, "a")])
+    stream = stream_from_parquet_dir(spark, path, schema)
+    deduped = streaming_dedup(
+        stream, digest_cols=["id", "payload"], state_ttl="500 milliseconds"
+    )
+    q = (
+        deduped.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        assert _wait_until(lambda: ids() == [1])
+        time.sleep(1.2)  # let the 500ms TTL expire -> key 1 evicted
+        write_batch([(2, "b")])
+        assert _wait_until(lambda: ids() == [1, 2])
+        write_batch([(1, "a")])  # key 1 is new again -> re-emitted
+        assert _wait_until(lambda: ids() == [1, 1, 2]), ids()
+    finally:
+        q.stop()
+
+
+def test_match_sequence_state_ttl_evicts_partial_match(spark, tmp_path):
+    """A partial CEP match abandoned past ``state_ttl`` is evicted: the
+    key restarts from stage 0, so a late completing event alone no
+    longer finishes the sequence."""
+    import time
+    from datetime import datetime
+
+    from pyairbyte_spark.streaming.windowed import match_sequence
+
+    path = str(tmp_path / "cep_ttl_in")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+
+    def rows_in():
+        return sum(p["numInputRows"] for p in q.recentProgress)
+
+    write_batch([(1, "view", datetime(2024, 1, 1, 10))])  # stage 0 matched
+    stream = stream_from_parquet_dir(spark, path, schema)
+    matched = match_sequence(
+        stream,
+        key_col="user_id",
+        event_col="event_type",
+        ts_col="ts",
+        sequence=["view", "click"],
+        state_ttl="500 milliseconds",
+    )
+    q = (
+        matched.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cep_ttl_out")
+        .option("checkpointLocation", str(tmp_path / "cep_ckpt"))
+        .start()
+    )
+    try:
+        assert _wait_until(lambda: rows_in() >= 1)
+        time.sleep(1.2)  # TTL fires in a cleanup batch -> partial match evicted
+        # The completing click arrives after eviction: user 1 restarted
+        # from stage 0, a lone click matches nothing.
+        write_batch([(1, "click", datetime(2024, 1, 1, 12))])
+        assert _wait_until(lambda: rows_in() >= 2)
+        time.sleep(1.0)  # give any (wrong) emission time to land
+        assert spark.sql("SELECT * FROM cep_ttl_out").count() == 0
+    finally:
+        q.stop()
+
+
 def test_cache_sink_commits_data_then_state(spark, cache, tmp_path, event_dir):
     stream = stream_from_parquet_dir(spark, event_dir, SCHEMA)
     sink = CacheStreamingSink(
