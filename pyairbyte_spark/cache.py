@@ -27,7 +27,7 @@ from pyairbyte_spark.state import (
     StateProvider,
 )
 from pyairbyte_spark.strategies import WriteMethod
-from pyairbyte_spark.writers import TableStore
+from pyairbyte_spark.writers import CommitLogTableStore, TableStore
 
 
 class SparkCache(Mapping):
@@ -42,13 +42,26 @@ class SparkCache(Mapping):
         table_prefix: str = "",
         merge_buckets: int | None = None,
         merge_salt: int | None = None,
+        table_format: str = "parquet",
     ) -> None:
+        """``table_format="commitlog"`` switches the backing store to
+        :class:`~pyairbyte_spark.writers.CommitLogTableStore` — ACID
+        commits (atomic REPLACE/MERGE, snapshot reads, time travel,
+        vacuum) at the cost of a manifest read per table access; the
+        default ``"parquet"`` store is the plain rename-swap layout."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.schema_name = schema_name
         self.table_prefix = table_prefix
         os.makedirs(warehouse_dir, exist_ok=True)
-        self.store = TableStore(
+        store_cls = {"parquet": TableStore, "commitlog": CommitLogTableStore}.get(
+            table_format
+        )
+        if store_cls is None:
+            raise ValueError(
+                f"unknown table_format {table_format!r}; use 'parquet' or 'commitlog'"
+            )
+        self.store = store_cls(
             spark,
             warehouse_dir,
             schema_name,

@@ -1,0 +1,239 @@
+"""CommitLogTableStore ACID contract: crash injection, snapshot
+isolation, optimistic concurrency, time travel, vacuum.
+
+The headline test pair demonstrates WHY the commit-log store exists:
+a crash between stage and publish leaves the previous snapshot fully
+readable, while the parquet store's rename swap has a window in which
+the table simply does not exist (reference parity note: the reference's
+REPLACE is the same "atomic-ish" swap, ``sql_processor.py:1061-1087``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyairbyte_spark.writers import (
+    BUCKET_COL,
+    CommitLogTableStore,
+    ConcurrentCommitError,
+    TableStore,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _df(spark, rows, raw_prefix="r"):
+    """Rows of (id, v) with the airbyte bookkeeping columns merge needs."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, ["id", "v"])
+    return df.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit(raw_prefix), F.col("id").cast("string"))
+    ).withColumn("_airbyte_extracted_at", F.current_timestamp())
+
+
+def _rows(df):
+    return sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+
+
+# -- basic strategies ---------------------------------------------------------
+
+
+def test_append_replace_roundtrip(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t")
+    store.write_append(_df(spark, [(2, "b")]), "t")
+    assert _rows(store.read("t")) == [(1, "a"), (2, "b")]
+    store.write_replace(_df(spark, [(9, "z")]), "t")
+    assert _rows(store.read("t")) == [(9, "z")]
+    assert store.table_exists("t")
+    assert store.list_tables() == ["t"]
+
+
+def test_merge_latest_wins_and_versions_accumulate(spark, store):
+    store.write_merge(_df(spark, [(1, "v0"), (2, "v0")], "a"), "t", ["id"])
+    store.write_merge(_df(spark, [(1, "v1")], "b"), "t", ["id"])
+    assert _rows(store.read("t")) == [(1, "v1"), (2, "v0")]
+    hist = store.history("t")
+    assert [h["version"] for h in hist] == [2, 1]
+    # time travel: version 1 still shows the pre-merge value
+    assert _rows(store.read_version("t", 1)) == [(1, "v0"), (2, "v0")]
+
+
+# -- crash injection ----------------------------------------------------------
+
+
+def test_crash_before_commit_preserves_previous_snapshot(spark, store, monkeypatch):
+    """Kill the writer between data staging and commit publication: the
+    reader must still see the old table, byte for byte."""
+    store.write_replace(_df(spark, [(1, "old")]), "t")
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before commit")
+
+    monkeypatch.setattr(store, "_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.write_replace(_df(spark, [(2, "new")]), "t")
+    monkeypatch.undo()
+    assert _rows(store.read("t")) == [(1, "old")]
+    # recovery: re-running the replace converges
+    store.write_replace(_df(spark, [(2, "new")]), "t")
+    assert _rows(store.read("t")) == [(2, "new")]
+
+
+def test_crash_mid_merge_preserves_snapshot_and_rerun_converges(
+    spark, tmp_path, monkeypatch
+):
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "main", merge_buckets=4)
+    store.write_merge(_df(spark, [(i, "v0") for i in range(20)], "a"), "t", ["id"])
+
+    real_commit = CommitLogTableStore._commit
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before merge commit")
+
+    monkeypatch.setattr(CommitLogTableStore, "_commit", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.write_merge(_df(spark, [(3, "v1")], "b"), "t", ["id"])
+    monkeypatch.setattr(CommitLogTableStore, "_commit", real_commit)
+    # old snapshot intact — no duplicate, no partial overwrite
+    assert _rows(store.read("t")) == [(i, "v0") for i in range(20)]
+    # re-run converges with no duplicates
+    store.write_merge(_df(spark, [(3, "v1")], "c"), "t", ["id"])
+    rows = _rows(store.read("t"))
+    assert rows.count((3, "v1")) == 1 and (3, "v0") not in rows
+    assert len(rows) == 20
+
+
+def test_parquet_store_swap_crash_exposes_missing_table(spark, tmp_path, monkeypatch):
+    """The contrast case: the rename-swap parquet store crashed between
+    its two renames leaves NO table — the gap the ACID store closes."""
+    import pyairbyte_spark.writers as writers_mod
+
+    store = TableStore(spark, str(tmp_path / "wh"), "main")
+    store.write_replace(_df(spark, [(1, "old")]), "t")
+    assert store.table_exists("t")
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def crashy_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:  # after final→deleteme, before temp→final
+            raise RuntimeError("injected crash mid-swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(writers_mod.os, "replace", crashy_replace)
+    with pytest.raises(RuntimeError, match="mid-swap"):
+        store.write_replace(_df(spark, [(2, "new")]), "t")
+    monkeypatch.undo()
+    # the table vanished: neither old nor new data is visible
+    assert not store.table_exists("t")
+
+
+# -- optimistic concurrency ---------------------------------------------------
+
+
+def test_commit_version_collision_raises(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t")  # publishes version 1
+    with pytest.raises(ConcurrentCommitError):
+        store._commit("t", {"op": "append", "entries": []}, 1)
+
+
+def test_append_rebases_past_a_commit_race(spark, store, monkeypatch):
+    """An append losing the version race must rebase onto the winner's
+    manifest and retry — both writers' rows survive."""
+    store.write_append(_df(spark, [(0, "base")]), "t")
+
+    real_commit = CommitLogTableStore._commit
+    raced = {"done": False}
+
+    def racing_commit(self, table_name, manifest, version):
+        if not raced["done"]:
+            raced["done"] = True
+            # a concurrent writer lands first with the same version
+            competitor = _df(spark, [(50, "raced")])
+            entry = self._stage(competitor, table_name)
+            snap = self._latest_commit(table_name)
+            entries = list(snap[1]["entries"]) if snap else []
+            real_commit(
+                self,
+                table_name,
+                {"op": "append", "merge_buckets": None, "entries": entries + [entry]},
+                version,
+            )
+        return real_commit(self, table_name, manifest, version)
+
+    monkeypatch.setattr(CommitLogTableStore, "_commit", racing_commit)
+    store.write_append(_df(spark, [(1, "mine")]), "t")
+    monkeypatch.undo()
+    rows = _rows(store.read("t"))
+    assert (0, "base") in rows and (1, "mine") in rows and (50, "raced") in rows
+
+
+# -- file-pruned merge --------------------------------------------------------
+
+
+def test_incremental_merge_stages_only_touched_buckets(spark, tmp_path):
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "main", merge_buckets=8)
+    store.write_merge(_df(spark, [(i, "v0") for i in range(64)], "a"), "t", ["id"])
+    v1_entries = store._latest_commit("t")[1]["entries"]
+    assert len(v1_entries) == 1 and len(v1_entries[0]["buckets"]) == 8
+    first_dir = v1_entries[0]["path"]
+
+    store.write_merge(_df(spark, [(5, "v1")], "b"), "t", ["id"])
+    man = store._latest_commit("t")[1]
+    by_path = {e["path"]: e for e in man["entries"]}
+    # old dir is still live for 7 buckets; the new dir carries exactly 1
+    assert len(by_path[first_dir]["buckets"]) == 7
+    new_dirs = [e for e in man["entries"] if e["path"] != first_dir]
+    assert len(new_dirs) == 1 and len(new_dirs[0]["buckets"]) == 1
+    # the staged dir physically contains ONE bucket partition
+    staged = os.path.join(store.table_path("t"), new_dirs[0]["path"])
+    assert (
+        sum(1 for d in os.listdir(staged) if d.startswith(f"{BUCKET_COL}=")) == 1
+    )
+    # and correctness holds
+    rows = dict(_rows(store.read("t")))
+    assert rows[5] == "v1" and len(rows) == 64
+
+
+def test_snapshot_prunes_superseded_bucket_data(spark, tmp_path):
+    """After an incremental merge, the superseded copy of a touched
+    bucket still exists on disk in the old dir but must never be read."""
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "main", merge_buckets=4)
+    store.write_merge(_df(spark, [(i, "v0") for i in range(16)], "a"), "t", ["id"])
+    store.write_merge(_df(spark, [(3, "v1")], "b"), "t", ["id"])
+    rows = _rows(store.read("t"))
+    assert len(rows) == 16  # no phantom duplicate of key 3's bucket-mates
+    assert dict(rows)[3] == "v1"
+
+
+# -- vacuum / time travel -----------------------------------------------------
+
+
+def test_vacuum_reclaims_dead_dirs_and_old_versions(spark, store):
+    store.write_replace(_df(spark, [(1, "a")]), "t")
+    store.write_replace(_df(spark, [(2, "b")]), "t")
+    store.write_replace(_df(spark, [(3, "c")]), "t")
+    tdir = store.table_path("t")
+    assert sum(1 for d in os.listdir(tdir) if d.startswith("d-")) == 3
+    assert _rows(store.read_version("t", 1)) == [(1, "a")]
+
+    removed = store.vacuum("t")
+    assert len(removed) == 2
+    assert sum(1 for d in os.listdir(tdir) if d.startswith("d-")) == 1
+    assert _rows(store.read("t")) == [(3, "c")]  # latest untouched
+    with pytest.raises(FileNotFoundError):
+        store.read_version("t", 1)  # vacuumed away
+
+
+def test_drop_removes_table(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t")
+    store.drop("t")
+    assert not store.table_exists("t")
+    assert store.list_tables() == []

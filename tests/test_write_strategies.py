@@ -14,6 +14,18 @@ from pyairbyte_spark.strategies import (
 )
 
 
+@pytest.fixture(params=["parquet", "commitlog"])
+def cache(spark, tmp_path, request):
+    """Every write-strategy contract in this module must hold against
+    BOTH table stores (the rename-swap parquet store and the ACID
+    commit-log store) — the TableStore seam's substitutability test."""
+    from pyairbyte_spark.cache import SparkCache
+
+    return SparkCache(
+        spark, str(tmp_path / "warehouse"), table_format=request.param
+    )
+
+
 def test_auto_resolution_tree():
     r = resolve_write_method
     assert r(WriteStrategy.AUTO, has_primary_keys=True, has_cursor=True) == WriteMethod.MERGE
@@ -156,11 +168,14 @@ def _sync(cache, records, strategy=WriteStrategy.MERGE):
     ).process_messages(iter(msgs))
 
 
-def test_bucketed_merge_matches_full_merge(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "commitlog"])
+def test_bucketed_merge_matches_full_merge(spark, tmp_path, fmt):
     from pyairbyte_spark.cache import SparkCache
 
     plain = SparkCache(spark, str(tmp_path / "plain"))
-    bucketed = SparkCache(spark, str(tmp_path / "bucketed"), merge_buckets=4)
+    bucketed = SparkCache(
+        spark, str(tmp_path / "bucketed"), merge_buckets=4, table_format=fmt
+    )
     batches = [
         [(i, "v0") for i in range(40)],
         [(3, "v1"), (17, "v1"), (99, "new")],
@@ -237,7 +252,8 @@ def test_bucketed_merge_with_schema_evolution(spark, tmp_path):
     assert len(rows) == 20
 
 
-def test_bucket_count_survives_store_reopen(spark, tmp_path):
+@pytest.mark.parametrize("fmt", ["parquet", "commitlog"])
+def test_bucket_count_survives_store_reopen(spark, tmp_path, fmt):
     """The bucket count is TABLE layout, persisted in a sidecar: a
     store reopened with a different merge_buckets must keep merging
     correctly (hashing with a new N would probe the wrong buckets and
@@ -245,11 +261,11 @@ def test_bucket_count_survives_store_reopen(spark, tmp_path):
     from pyairbyte_spark.cache import SparkCache
 
     wh = str(tmp_path / "wh")
-    cache4 = SparkCache(spark, wh, merge_buckets=4)
+    cache4 = SparkCache(spark, wh, merge_buckets=4, table_format=fmt)
     _sync(cache4, [(i, "v0") for i in range(40)])
 
     # Reopen with a DIFFERENT bucket config and merge updates.
-    cache16 = SparkCache(spark, wh, merge_buckets=16)
+    cache16 = SparkCache(spark, wh, merge_buckets=16, table_format=fmt)
     _sync(cache16, [(3, "v1"), (17, "v1")])
 
     rows = {}
