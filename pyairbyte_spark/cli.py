@@ -161,7 +161,12 @@ def cmd_sql(args) -> int:
 
 def cmd_mcp(args) -> int:
     # Parity: `pyab mcp serve` (reference airbyte/mcp/server.py:332-353);
-    # stdio transport, tools registered from pyairbyte_spark.tools.
+    # stdio transport by default; --http serves the Streamable HTTP
+    # transport instead (reference airbyte/mcp/http_main.py:1-140).
+    if args.http:
+        from pyairbyte_spark.mcp_http import main as http_main
+
+        return http_main(args.host, args.port, warehouse_dir=args.warehouse)
     from pyairbyte_spark.mcp_server import main as mcp_main
 
     return mcp_main(args.warehouse)
@@ -213,8 +218,19 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--max-records", type=int, default=100)
     q.set_defaults(fn=cmd_sql)
 
-    m = sub.add_parser("mcp", help="serve the MCP tool surface on stdio")
+    i = sub.add_parser(
+        "interactive",
+        help="prompt-driven registry browser + sync-status console",
+    )
+    i.set_defaults(fn=lambda a: __import__(
+        "pyairbyte_spark.mcp_interactive", fromlist=["main"]
+    ).main())
+
+    m = sub.add_parser("mcp", help="serve the MCP tool surface (stdio or --http)")
     m.add_argument("--warehouse", default=None)
+    m.add_argument("--http", action="store_true", help="Streamable HTTP transport")
+    m.add_argument("--host", default="127.0.0.1")
+    m.add_argument("--port", type=int, default=8000)
     m.set_defaults(fn=cmd_mcp)
 
     args = p.parse_args(argv)

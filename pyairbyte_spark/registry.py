@@ -61,6 +61,10 @@ class ConnectorMetadata:
     latest_available_version: str | None = None
     language: Language | None = None
     install_types: set[InstallType] = field(default_factory=set)
+    # Registry entries carry "supportLevel" (certified/community/archived);
+    # the interactive browser filters on it (reference
+    # mcp/interactive/_shared_models.py SupportLevel).
+    support_level: str | None = None
 
     @property
     def default_install_type(self) -> InstallType:
@@ -114,6 +118,7 @@ def _entry_to_metadata(entry: dict) -> ConnectorMetadata:
         latest_available_version=entry.get("dockerImageTag"),
         language=language,
         install_types=install_types,
+        support_level=entry.get("supportLevel"),
     )
 
 
