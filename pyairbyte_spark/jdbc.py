@@ -14,8 +14,10 @@ range-partitioned read (``partitionColumn``/``lowerBound``/``upperBound``/
 slice) and pushes filters down as ``WHERE`` clauses via predicates.
 
 The actual network read needs the dialect's JDBC driver jar on the Spark
-classpath; everything up to ``.load()`` — URL/option mapping, partition
-planning — is driver-free and fully tested offline.
+classpath; URL/option mapping and partition planning are driver-free,
+and the full ``.load()`` path — partitioned range reads, per-partition
+predicates — is exercised end-to-end against embedded Derby (the jars
+Spark ships for its metastore) in ``tests/test_jdbc.py``.
 """
 
 from __future__ import annotations
@@ -41,6 +43,13 @@ def jdbc_url(config: dict[str, Any]) -> str:
     (via the open-source Simba-compatible connector URL form).
     """
     dtype = (config.get("destinationType") or config.get("type") or "").lower()
+    if config.get("jdbc_url"):
+        # Explicit-URL escape hatch: configs may carry a full JDBC URL
+        # (embedded engines, exotic dialects); pair with "jdbc_driver"
+        # for the driver class. This is also the e2e-test path — the
+        # Derby jars Spark ships for its metastore exercise the real
+        # .load() partitioned read offline.
+        return str(config["jdbc_url"])
     if dtype == "snowflake" or "account" in config and "warehouse" in config:
         account = config.get("account") or config.get("host", "").split(
             ".snowflakecomputing.com"
@@ -88,7 +97,9 @@ def jdbc_options(config: dict[str, Any]) -> dict[str, str]:
         options["user"] = str(user)
     if password:
         options["password"] = str(password)
-    if dtype in _DIALECTS:
+    if config.get("jdbc_driver"):
+        options["driver"] = str(config["jdbc_driver"])
+    elif dtype in _DIALECTS:
         options["driver"] = _DIALECTS[dtype][2]
     elif dtype == "snowflake":
         options["driver"] = "net.snowflake.client.jdbc.SnowflakeDriver"
