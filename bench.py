@@ -132,20 +132,31 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "runs": runs,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest_records_per_sec": round(INGEST_RECORDS / ingest_sec),
-            }
-        )
+    doc = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "runs": runs,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest_records_per_sec": round(INGEST_RECORDS / ingest_sec),
+        # Machine state at bench time: high load here explains slow
+        # medians (round-3's "regression" was a loaded machine).
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "cpus": os.cpu_count(),
+    }
+    print(json.dumps(doc))
+    # Also persist the full dict as its own artifact: the driver's log
+    # tail-capture truncated BENCH_r03.json, losing the first ~19 query
+    # medians — this file is the self-contained record.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
     )
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(f"# wrote {out_path}", file=sys.stderr)
     spark.stop()
 
 

@@ -208,6 +208,84 @@ def test_match_sequence_state_ttl_evicts_partial_match(spark, tmp_path):
         q.stop()
 
 
+def test_hot_key_state_stays_bounded(spark, tmp_path):
+    """Skew stress: ONE user emitting 20k events across micro-batches.
+    Keyed state must stay O(keys) — the CEP operator keeps exactly one
+    state row (stage index + timestamps), the dedup operator one row
+    per distinct digest — never O(events). Guards against accidental
+    append-to-state regressions that OOM on hot keys at scale."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.streaming.windowed import match_sequence
+
+    n_events = 20_000
+    src = str(tmp_path / "hot_events")
+    (
+        spark.range(n_events)
+        .select(
+            F.lit(1).alias("user_id"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("browse")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("event_type"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id").cast("double"))
+            ).alias("ts"),
+        )
+        .coalesce(4)
+        .write.parquet(src)
+    )
+    schema = spark.read.parquet(src).schema
+
+    def max_state_rows(q):
+        return max(
+            (
+                p["stateOperators"][0]["numRowsTotal"]
+                for p in q.recentProgress
+                if p.get("stateOperators")
+            ),
+            default=-1,
+        )
+
+    stream = stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=2)
+    matched = match_sequence(
+        stream,
+        key_col="user_id",
+        event_col="event_type",
+        ts_col="ts",
+        sequence=["view", "click", "browse"],
+    )
+    q = (
+        matched.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hot_cep_t")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q.processAllAvailable()
+    cep_state = max_state_rows(q)
+    q.stop()
+    assert cep_state == 1, f"CEP state grew to {cep_state} rows for 1 key"
+    assert spark.table("hot_cep_t").count() == 1  # matched once, then done
+
+    stream = stream_from_parquet_dir(spark, src, schema, max_files_per_trigger=2)
+    deduped = streaming_dedup(stream, digest_cols=["user_id", "event_type"])
+    q = (
+        deduped.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("hot_dedup_t")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    dedup_state = max_state_rows(q)
+    q.stop()
+    # one state row per distinct digest (3 event types x 1 user)
+    assert dedup_state == 3, f"dedup state {dedup_state} != 3 distinct digests"
+    assert spark.table("hot_dedup_t").count() == 3
+
+
 def test_cache_sink_commits_data_then_state(spark, cache, tmp_path, event_dir):
     stream = stream_from_parquet_dir(spark, event_dir, SCHEMA)
     sink = CacheStreamingSink(
