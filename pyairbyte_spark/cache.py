@@ -128,6 +128,36 @@ class SparkCache(Mapping):
     def register_stream(self, spec: StreamSpec) -> None:
         self.catalog_backend.register(spec)
 
+    # -- table maintenance / time travel (commit-log stores) -----------------
+
+    def _acid_store(self):
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        if not isinstance(self.store, CommitLogTableStore):
+            raise NotImplementedError(
+                "table history/time-travel/vacuum/compact need the ACID "
+                'store: SparkCache(..., table_format="commitlog")'
+            )
+        return self.store
+
+    def table_history(self, stream_name: str) -> list[dict]:
+        """Commit history for one stream's table, newest first."""
+        return self._acid_store().history(self.table_name(stream_name))
+
+    def read_stream_version(self, stream_name: str, version: int) -> DataFrame:
+        """Time travel: the stream's table as of a commit version."""
+        return self._acid_store().read_version(self.table_name(stream_name), version)
+
+    def vacuum(self, stream_name: str, *, keep_commits: int = 1) -> list[str]:
+        """Reclaim unreferenced data dirs + old commits for one stream."""
+        return self._acid_store().vacuum(
+            self.table_name(stream_name), keep_commits=keep_commits
+        )
+
+    def compact(self, stream_name: str) -> dict:
+        """Collapse an append-fragmented table into one data dir."""
+        return self._acid_store().compact(self.table_name(stream_name))
+
     # -- export surface -----------------------------------------------------
 
     def get_pandas_dataframe(self, stream_name: str):

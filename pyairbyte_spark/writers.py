@@ -695,3 +695,36 @@ class CommitLogTableStore(TableStore):
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(d, n))
         return removed
+
+    def compact(self, table_name: str) -> dict:
+        """Rewrite the current snapshot into a single data directory
+        (keeping the bucket layout) and publish it as one commit.
+
+        Append-heavy tables accumulate one data dir per sync; manifest
+        size and read fan-out grow with dir count, not data size — the
+        standard log-structured-table maintenance problem. Compaction
+        is the counterpart to vacuum: vacuum reclaims dead dirs,
+        compact collapses live ones. The rewrite is all-or-nothing
+        (same stage-then-publish protocol), readers on the old snapshot
+        are unaffected, and a concurrent writer landing first surfaces
+        as :class:`ConcurrentCommitError` (safe to just re-run).
+        """
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            return {"compacted": False, "reason": "no snapshot"}
+        version, man = snap
+        n_before = len(man["entries"])
+        if n_before <= 1:
+            return {"compacted": False, "reason": "already compact"}
+        df = self._read_manifest_df(table_name, man)
+        entry = self._stage(df, table_name)
+        self._commit(
+            table_name,
+            {
+                "op": "compact",
+                "merge_buckets": man.get("merge_buckets"),
+                "entries": [entry],
+            },
+            version + 1,
+        )
+        return {"compacted": True, "dirs_before": n_before, "dirs_after": 1}

@@ -237,3 +237,55 @@ def test_drop_removes_table(spark, store):
     store.drop("t")
     assert not store.table_exists("t")
     assert store.list_tables() == []
+
+
+def test_compact_collapses_append_fragmentation(spark, store):
+    for i in range(5):
+        store.write_append(_df(spark, [(i, f"v{i}")]), "t")
+    assert len(store._latest_commit("t")[1]["entries"]) == 5
+    res = store.compact("t")
+    assert res == {"compacted": True, "dirs_before": 5, "dirs_after": 1}
+    assert len(store._latest_commit("t")[1]["entries"]) == 1
+    assert _rows(store.read("t")) == [(i, f"v{i}") for i in range(5)]
+    # pre-compaction version still time-travels (until vacuum)
+    assert len(_rows(store.read_version("t", 3))) == 3
+    # idempotent second call is a no-op
+    assert store.compact("t")["compacted"] is False
+
+
+def test_compact_preserves_bucket_layout(spark, tmp_path):
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "main", merge_buckets=4)
+    store.write_merge(_df(spark, [(i, "v0") for i in range(16)], "a"), "t", ["id"])
+    store.write_merge(_df(spark, [(3, "v1")], "b"), "t", ["id"])
+    assert len(store._latest_commit("t")[1]["entries"]) == 2
+    res = store.compact("t")
+    assert res["compacted"]
+    man = store._latest_commit("t")[1]
+    assert man["merge_buckets"] == 4
+    assert len(man["entries"]) == 1
+    assert sorted(man["entries"][0]["buckets"]) == sorted(
+        set(man["entries"][0]["buckets"])
+    )
+    # incremental merge still prunes correctly after compaction
+    store.write_merge(_df(spark, [(7, "v2")], "c"), "t", ["id"])
+    rows = dict(_rows(store.read("t")))
+    assert rows[3] == "v1" and rows[7] == "v2" and len(rows) == 16
+
+
+def test_cache_maintenance_surface(spark, tmp_path):
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(spark, str(tmp_path / "wh"), table_format="commitlog")
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    cache.write_dataframe(df, "s")
+    cache.write_dataframe(spark.createDataFrame([(2, "b")], ["id", "v"]), "s")
+    hist = cache.table_history("s")
+    assert [h["version"] for h in hist] == [2, 1]
+    assert cache.read_stream_version("s", 1).count() == 1
+    assert cache.compact("s")["compacted"]
+    assert cache.vacuum("s")  # reclaimed the pre-compaction dirs
+    assert len(cache["s"]) == 2
+
+    plain = SparkCache(spark, str(tmp_path / "plain"))
+    with pytest.raises(NotImplementedError, match="commitlog"):
+        plain.table_history("s")
