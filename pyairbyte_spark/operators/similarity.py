@@ -197,6 +197,7 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     iters: int = 1,
+    train_modulus: int = 1,
 ) -> DataFrame:
     """Deterministic coarse quantizer for IVF: centroids seeded from the
     ``n_centroids`` lowest-id vectors, refined by ``iters`` Lloyd
@@ -206,19 +207,28 @@ def kmeans_centroids(
     which (a) makes the result independent of Spark's partial-sum
     order and (b) keeps the whole index SQL-expressible for the oracle.
 
+    ``train_modulus=m`` trains Lloyd on the deterministic 1/m modulo
+    sample (``id % m == 0``) instead of the full corpus — centroid
+    quality needs a representative sample, not every vector, so the
+    per-iteration assign pass and the rows×dim mean shuffle shrink m×.
+    This is the standard IVF practice at scale (train on a slice, index
+    everything); the sample predicate is SQL-expressible so the oracle
+    stays exact.
+
     Returns (cid, cv). Runs as plain DataFrame ops — the iterative-
     algorithm pattern (loop in the driver, declarative plan per step).
     """
     e = corpus.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
+    train = e if train_modulus <= 1 else e.filter(F.col("id") % train_modulus == 0)
     centroids = (
-        e.orderBy("id")
+        train.orderBy("id")
         .limit(n_centroids)
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
     for _ in range(iters):
-        asg = _assign_to_centroids(e, centroids)
+        asg = _assign_to_centroids(train, centroids)
         means = (
             asg.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -242,6 +252,7 @@ def ivf_topk(
     n_centroids: int = 8,
     n_probes: int = 2,
     iters: int = 1,
+    train_modulus: int = 1,
 ) -> DataFrame:
     """IVF approximate top-k: corpus rows attach to their nearest
     centroid (the inverted lists); each query probes its ``n_probes``
@@ -249,10 +260,18 @@ def ivf_topk(
     ~n_probes/n_centroids vs brute force; recall trades against
     ``n_probes``. Same output shape as ``brute_force_topk``.
 
+    Cost model: the index build is O(corpus) — one Lloyd pass over the
+    ``train_modulus`` sample plus one full-corpus list assignment — and
+    the payoff is per-query (each probe scores ~n_probes/n_centroids of
+    the corpus). With a handful of queries brute force wins at any
+    corpus size; IVF amortizes over QUERY VOLUME, which is why the
+    lists would be materialized once and reused in production.
+
     At 100 TB: centroids broadcast (tiny), the corpus partitions by
     cid once and both the index build and every probe reuse that
     partitioning; probe joins hash on cid, so a query set of any size
-    scales out without touching non-probed lists.
+    scales out without touching non-probed lists; Lloyd trains on the
+    modulo sample, never the full corpus.
     """
     cent = kmeans_centroids(
         corpus,
@@ -260,6 +279,7 @@ def ivf_topk(
         vec_col=vec_col,
         n_centroids=n_centroids,
         iters=iters,
+        train_modulus=train_modulus,
     )
     # Materialize the centroid table (C rows × dim — tiny at ANY corpus
     # scale, by construction): the Lloyd-iteration subplan would
@@ -341,6 +361,7 @@ def semantic_dedup(
     n_clusters: int = 8,
     iters: int = 1,
     threshold: float = 0.45,
+    train_modulus: int = 1,
 ) -> DataFrame:
     """Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
     arXiv:2303.09540): k-means the embedding space with the same
@@ -368,6 +389,7 @@ def semantic_dedup(
         vec_col=vec_col,
         n_centroids=n_clusters,
         iters=iters,
+        train_modulus=train_modulus,
     )
     # Materialize the (tiny) centroid table once — the Lloyd subplan
     # would otherwise re-execute for each consumer branch below.

@@ -2022,17 +2022,21 @@ def _cos6(a_v: str, b_v: str) -> str:
 # with 6-decimal rounded means (dim is 64 in the testdata tables).
 # Produces CTE `lists` = (vec_id, cid) cluster assignments over `e`.
 _KMEANS_LISTS_CTES = f"""
+    -- Lloyd trains on the deterministic 1/4 modulo sample (standard
+    -- IVF practice at scale: train on a slice, index everything); the
+    -- inverted lists still assign the FULL corpus to final centroids.
     WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
-    c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+    et AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM et ORDER BY vec_id LIMIT 8)),
     a0 AS (
       SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_cos6("e.v", "c.cv")} DESC, c.cid) AS rn
-        FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        SELECT et.vec_id, c.cid,
+               row_number() OVER (PARTITION BY et.vec_id
+                 ORDER BY {_cos6("et.v", "c.cv")} DESC, c.cid) AS rn
+        FROM et CROSS JOIN c0 c) WHERE rn = 1),
     m AS (
-      SELECT a0.cid, t.i, round(avg(e.v[CAST(t.i AS INT)]), 6) AS mv
-      FROM a0 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i)
+      SELECT a0.cid, t.i, round(avg(et.v[CAST(t.i AS INT)]), 6) AS mv
+      FROM a0 JOIN et USING (vec_id) CROSS JOIN range(1, 65) t(i)
       GROUP BY a0.cid, t.i),
     c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m GROUP BY cid),
     lists AS (
@@ -2081,6 +2085,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_centroids=8,
         n_probes=2,
         iters=1,
+        train_modulus=4,
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
@@ -2155,7 +2160,7 @@ def ann_retrieve_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return similarity.semantic_dedup(
-        emb, n_clusters=8, iters=1, threshold=0.45
+        emb, n_clusters=8, iters=1, threshold=0.45, train_modulus=4
     )
 
 
