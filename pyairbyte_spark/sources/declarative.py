@@ -100,14 +100,50 @@ class DeclarativeSource(SparkSource):
     def discovered_catalog(self) -> dict[str, StreamSpec]:
         out = {}
         for s in self.manifest.get("streams", []):
+            schema = s.get("json_schema") or self._infer_schema(s)
             out[s["name"]] = StreamSpec(
                 name=s["name"],
-                json_schema=s.get("json_schema", {}),
+                json_schema=schema,
                 primary_keys=s.get("primary_key", []),
                 cursor_field=s.get("cursor_field"),
                 sync_mode="incremental" if s.get("cursor_field") else "full_refresh",
             )
         return out
+
+    def _infer_schema(self, stream_def: dict[str, Any], sample: int = 100) -> dict:
+        """Schema inference for manifests that omit ``json_schema`` —
+        the CDK's declarative discover does the same (sample records,
+        union observed JSON types; conflicting types fail over to
+        string, matching this repo's type-translation failover)."""
+        type_of = {
+            bool: "boolean",
+            int: "integer",
+            float: "number",
+            str: "string",
+            dict: "object",
+            list: "array",
+        }
+        seen: dict[str, set[str]] = {}
+        for i, rec in enumerate(self._shaped_records(stream_def)):
+            if i >= sample:
+                break
+            for k, v in rec.items():
+                if v is None:
+                    seen.setdefault(k, set())
+                else:
+                    seen.setdefault(k, set()).add(
+                        type_of.get(type(v), "string")
+                    )
+        props = {}
+        for k, types in seen.items():
+            if types == {"integer", "number"}:
+                t = "number"  # int widens into float, not string
+            elif len(types) == 1:
+                t = next(iter(types))
+            else:
+                t = "string"  # conflict/unknown -> string failover
+            props[k] = {"type": t}
+        return {"properties": props}
 
     def _records(self, stream_def: dict[str, Any]) -> Iterator[dict[str, Any]]:
         src = stream_def.get("source", {})

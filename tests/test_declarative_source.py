@@ -339,3 +339,36 @@ def test_http_partition_router_and_retry(cache, api_server):
     cities = {r["region"]: r["city"] for r in cache.get_records("cities")}
     assert cities["emea"] == "emea-city"
     assert state["flaky_hits"] == 3  # two 503s retried, third succeeded
+
+
+def test_schema_inference_when_json_schema_omitted(cache):
+    manifest = {
+        "name": "inferred",
+        "streams": [
+            {
+                "name": "things",
+                # no json_schema: types are inferred from sampled records
+                "source": {
+                    "type": "inline",
+                    "records": [
+                        {"id": 1, "price": 9.5, "tag": "a", "flag": True, "mixed": 1},
+                        {"id": 2, "price": 3, "tag": None, "flag": False, "mixed": "x"},
+                    ],
+                },
+            }
+        ],
+    }
+    src = DeclarativeSource(manifest)
+    spec = src.discovered_catalog()["things"]
+    props = spec.json_schema["properties"]
+    assert props["id"]["type"] == "integer"
+    assert props["price"]["type"] == "number"  # int+float widens to number
+    assert props["tag"]["type"] == "string"
+    assert props["flag"]["type"] == "boolean"
+    assert props["mixed"]["type"] == "string"  # conflict fails over
+
+    result = src.read(cache, write_strategy="append")
+    assert result.record_counts == {"things": 2}
+    rows = {r["id"]: r for r in cache.get_records("things")}
+    assert rows[1]["price"] == 9.5 and rows[2]["price"] == 3.0
+    assert rows[1]["flag"] is True

@@ -394,3 +394,28 @@ def test_match_sequence_across_batches(spark, tmp_path):
     assert rows[1]["t0"] == d(2024, 1, 1, 10)
     assert rows[1]["t1"] == d(2024, 1, 1, 11)
     assert rows[1]["t2"] == d(2024, 1, 2, 9)
+
+
+def test_cache_sink_works_on_commitlog_store(spark, tmp_path, event_dir):
+    """The streaming cache sink composes with the ACID store: each
+    micro-batch is one atomic commit, history shows one append per
+    epoch, and data+state land exactly once."""
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(spark, str(tmp_path / "wh"), table_format="commitlog")
+    stream = stream_from_parquet_dir(spark, event_dir, SCHEMA)
+    sink = CacheStreamingSink(
+        cache,
+        "events_stream",
+        source_name="stream-src",
+        method=WriteMethod.APPEND,
+        cursor_col="ts",
+    )
+    q = sink.attach(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    assert len(cache["events_stream"]) == 60
+    hist = cache.table_history("events_stream")
+    assert len(hist) == 3 and all(h["op"] == "append" for h in hist)  # 3 epochs
+    # compaction collapses the per-epoch dirs; rows unchanged
+    assert cache.compact("events_stream")["compacted"]
+    assert len(cache["events_stream"]) == 60
