@@ -219,3 +219,71 @@ def test_quantize_int8_reconstruction_bound(spark, vecs):
             assert 127 in q or -127 in q
         for x, qv in zip(orig, q):
             assert abs(x - qv * step) <= step / 2 + 1e-9 * max(scale, 1.0)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["replace", "merge"]),
+            st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                min_size=1,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_commitlog_store_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check: any sequence of replace/merge against the
+    ACID store must match an exact in-memory model of the contract —
+    REPLACE keeps whatever the source sent (duplicates included);
+    bucketed MERGE latest-wins-dedups exactly the TOUCHED buckets and
+    leaves other buckets' rows (even duplicated ones) untouched. The
+    latest snapshot must also survive a vacuum. (APPEND has dedicated
+    tests; it trivially concatenates.)"""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    tmp = tmp_path_factory.mktemp("clog-prop")
+    store = CommitLogTableStore(spark, str(tmp), "m", merge_buckets=3)
+    # the model uses the store's OWN bucket mapping (computed once)
+    keys = list(range(7))
+    bucket_of = dict(
+        spark.createDataFrame([(k,) for k in keys], ["id"])
+        .select("id", store._bucket_expr(["id"], 3).alias("b"))
+        .collect()
+    )
+    model = []  # rows: (key, value, seq, pos) — seq/pos order the wins
+    seq = 0
+    for kind, rows in ops:
+        seq += 1
+        df = spark.createDataFrame(
+            [(k, v, f"s{seq}-{pos:04d}") for pos, (k, v) in enumerate(rows)],
+            ["id", "v", "_airbyte_raw_id"],
+        ).withColumn("_airbyte_extracted_at", F.lit(seq).cast("timestamp"))
+        batch = [(k, v, seq, pos) for pos, (k, v) in enumerate(rows)]
+        if kind == "replace":
+            store.write_replace(df, "t", ["id"])
+            model = batch
+        else:
+            store.write_merge(df, "t", ["id"])
+            touched = {bucket_of[k] for k, *_ in batch}
+            keep = [r for r in model if bucket_of[r[0]] not in touched]
+            candidates = [r for r in model if bucket_of[r[0]] in touched] + batch
+            latest = {}
+            for r in sorted(candidates, key=lambda r: (r[2], r[3])):
+                latest[r[0]] = r  # later (seq, pos) overwrites
+            model = keep + list(latest.values())
+        got = sorted(
+            (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
+        )
+        assert got == sorted((k, v) for k, v, *_ in model), f"after {kind} {rows}"
+    store.vacuum("t")
+    got = sorted(
+        (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
+    )
+    assert got == sorted((k, v) for k, v, *_ in model)
