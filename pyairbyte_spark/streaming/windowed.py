@@ -146,6 +146,8 @@ def streaming_dedup(
     digest_cols: list[str],
     timeout: str = "NoTimeout",
     state_ttl: str | int | None = None,
+    event_ttl: str | int | None = None,
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Cross-micro-batch exact dedup via keyed state
     (``applyInPandasWithState``): the first row per content digest is
@@ -164,15 +166,29 @@ def streaming_dedup(
     processing-time timeout armed, Spark schedules state-cleanup
     batches indefinitely, so ``processAllAvailable()`` /
     ``Trigger.AvailableNow`` never quiesce.
+
+    ``event_ttl`` (+ ``ts_col``) is the event-time alternative: a key
+    is evicted once the WATERMARK passes its last-seen event time +
+    TTL. Deterministic (driven by data, not wall clock), late-data-
+    aware, and drain-trigger-safe — the right shape for batch-replay
+    parity at scale. Requires ``withWatermark(ts_col, ...)`` upstream;
+    each new sighting of a key extends its eviction horizon.
     """
+    if event_ttl is not None and state_ttl is not None:
+        raise ValueError("pass either state_ttl (processing-time) or event_ttl")
+    if event_ttl is not None and ts_col is None:
+        raise ValueError("event_ttl requires ts_col (and an upstream watermark)")
     digest = F.md5(
         F.concat_ws("\x1f", *[F.col(c).cast("string") for c in digest_cols])
     )
     keyed = stream_df.withColumn("__digest", digest)
     out_schema = keyed.schema
     state_schema = T.StructType([T.StructField("seen", T.BooleanType())])
+    if event_ttl is not None and timeout == "NoTimeout":
+        timeout = "EventTimeTimeout"
     timeout = _resolve_timeout(timeout, state_ttl)
     ttl_ms = None if state_ttl is None else _ttl_ms(state_ttl)
+    ev_ttl_ms = None if event_ttl is None else _ttl_ms(event_ttl)
 
     def dedup_fn(
         key: tuple,
@@ -183,15 +199,31 @@ def streaming_dedup(
             state.remove()  # TTL expired: forget the key entirely
             return
         if state.exists:
+            if ev_ttl_ms is not None:
+                # duplicate sighting extends the eviction horizon
+                max_ts = None
+                for pdf in pdfs:
+                    if len(pdf):
+                        m = pdf[ts_col].max()
+                        max_ts = m if max_ts is None else max(max_ts, m)
+                if max_ts is not None:
+                    state.setTimeoutTimestamp(int(max_ts.value // 1_000_000) + ev_ttl_ms)
             return
         first: pd.DataFrame | None = None
+        max_ts = None
         for pdf in pdfs:
-            if len(pdf) and first is None:
-                first = pdf.iloc[:1]
+            if len(pdf):
+                if first is None:
+                    first = pdf.iloc[:1]
+                if ev_ttl_ms is not None:
+                    m = pdf[ts_col].max()
+                    max_ts = m if max_ts is None else max(max_ts, m)
         if first is not None:
             state.update((True,))
             if ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
+            elif ev_ttl_ms is not None and max_ts is not None:
+                state.setTimeoutTimestamp(int(max_ts.value // 1_000_000) + ev_ttl_ms)
             yield first
 
     return (
@@ -234,6 +266,7 @@ def match_sequence(
     within_seconds: float | None = None,
     timeout: str = "NoTimeout",
     state_ttl: str | int | None = None,
+    event_ttl: str | int | None = None,
 ) -> DataFrame:
     """CEP-style ordered pattern match per key via keyed state
     (``applyInPandasWithState``): greedily advance through ``sequence``
@@ -257,7 +290,10 @@ def match_sequence(
     price that a key resuming after the TTL restarts from stage 0.
     TTL is for continuously-running queries only (an armed
     processing-time timeout keeps the engine scheduling cleanup batches,
-    so drain-style triggers never quiesce).
+    so drain-style triggers never quiesce). ``event_ttl`` is the
+    deterministic event-time alternative (evict when the WATERMARK
+    passes the key's last event + TTL; requires an upstream
+    ``withWatermark(ts_col, ...)`` and works with drain triggers).
     Events may arrive across micro-batches; out-of-order WITHIN a batch
     is handled by sorting, across batches by the watermark upstream.
     """
@@ -272,7 +308,12 @@ def match_sequence(
         [T.StructField("stage", T.IntegerType())]
         + [T.StructField(f"t{i}", T.DoubleType()) for i in range(n_stages)]
     )
+    if event_ttl is not None and state_ttl is not None:
+        raise ValueError("pass either state_ttl (processing-time) or event_ttl")
+    if event_ttl is not None and timeout == "NoTimeout":
+        timeout = "EventTimeTimeout"
     ttl_ms = None if state_ttl is None else _ttl_ms(state_ttl)
+    ev_ttl_ms = None if event_ttl is None else _ttl_ms(event_ttl)
 
     def match_fn(
         key: tuple,
@@ -317,6 +358,9 @@ def match_sequence(
         state.update(tuple([stage] + times))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
+        elif ev_ttl_ms is not None and len(events):
+            batch_max_ms = int(events[ts_col].max().value // 1_000_000)
+            state.setTimeoutTimestamp(batch_max_ms + ev_ttl_ms)
         if stage >= n_stages:
             out = {key_col: [key[0]]}
             for i, tval in enumerate(times):

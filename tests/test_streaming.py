@@ -419,3 +419,84 @@ def test_cache_sink_works_on_commitlog_store(spark, tmp_path, event_dir):
     # compaction collapses the per-epoch dirs; rows unchanged
     assert cache.compact("events_stream")["compacted"]
     assert len(cache["events_stream"]) == 60
+
+
+def test_streaming_dedup_event_ttl_is_deterministic(spark, tmp_path):
+    """Event-time TTL: a key is evicted once the WATERMARK passes its
+    last event + TTL — fully data-driven (no wall clock, no sleeps) and
+    drain-trigger-safe, unlike processing-time TTL."""
+    from datetime import datetime
+
+    path = str(tmp_path / "evttl_in")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    batches = [
+        [(1, datetime(2024, 1, 1, 10, 0))],  # A emitted; horizon 11:00
+        [(2, datetime(2024, 1, 1, 12, 0))],  # B emitted; wm -> 12:00
+        [(3, datetime(2024, 1, 1, 12, 10))],  # wm>11:00 -> A evicted here
+        [(1, datetime(2024, 1, 1, 12, 30))],  # A is new again -> re-emitted
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = stream_from_parquet_dir(spark, path, schema).withWatermark(
+        "ts", "0 seconds"
+    )
+    deduped = streaming_dedup(
+        stream, digest_cols=["id"], event_ttl="1 hour", ts_col="ts"
+    )
+    q = (
+        deduped.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("evttl_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()  # event-time timeouts quiesce: no spinning
+    q.stop()
+    ids = sorted(r["id"] for r in spark.sql("SELECT * FROM evttl_out").collect())
+    assert ids == [1, 1, 2, 3]
+
+
+def test_match_sequence_event_ttl_evicts_stale_partial(spark, tmp_path):
+    from datetime import datetime
+
+    from pyairbyte_spark.streaming.windowed import match_sequence
+
+    path = str(tmp_path / "cep_evttl_in")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    batches = [
+        [(1, "view", datetime(2024, 1, 1, 10, 0))],  # partial; horizon 11:00
+        [(9, "view", datetime(2024, 1, 1, 12, 0))],  # wm -> 12:00
+        [(8, "view", datetime(2024, 1, 1, 12, 10))],  # user 1 evicted here
+        [(1, "click", datetime(2024, 1, 1, 12, 30))],  # lone click: no match
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = stream_from_parquet_dir(spark, path, schema).withWatermark(
+        "ts", "0 seconds"
+    )
+    matched = match_sequence(
+        stream,
+        key_col="user_id",
+        event_col="event_type",
+        ts_col="ts",
+        sequence=["view", "click"],
+        event_ttl="1 hour",
+    )
+    q = (
+        matched.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cep_evttl_out")
+        .option("checkpointLocation", str(tmp_path / "cep_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM cep_evttl_out").count() == 0
