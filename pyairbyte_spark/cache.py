@@ -154,9 +154,31 @@ class SparkCache(Mapping):
             self.table_name(stream_name), keep_commits=keep_commits
         )
 
-    def compact(self, stream_name: str) -> dict:
-        """Collapse an append-fragmented table into one data dir."""
-        return self._acid_store().compact(self.table_name(stream_name))
+    def compact(
+        self,
+        stream_name: str,
+        *,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> dict:
+        """Collapse an append-fragmented table into one data dir;
+        ``sort_by`` clusters it for data skipping (OPTIMIZE-style)."""
+        return self._acid_store().compact(
+            self.table_name(stream_name), sort_by=sort_by, target_files=target_files
+        )
+
+    def read_stream_where(
+        self,
+        stream_name: str,
+        predicates: list[tuple],
+        *,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Data-skipping read: prune files via manifest zone maps, then
+        apply the same predicates row-level (exact either way)."""
+        return self._acid_store().read_where(
+            self.table_name(stream_name), predicates, version=version
+        )
 
     # -- export surface -----------------------------------------------------
 

@@ -1,0 +1,271 @@
+"""Parquet footer statistics harvesting + predicate-based file skipping.
+
+This is the zone-map layer of :class:`~pyairbyte_spark.writers.
+CommitLogTableStore` — the commit-log analogue of Delta Lake's
+per-file ``stats`` JSON (min / max / nullCount per column, row count
+per file) that powers data skipping. Delta computes these during the
+write transaction; here they are harvested from the parquet footers
+the write just produced — zero extra Spark jobs, exact values, and
+the harvest cost is one footer read per staged file (driver-side
+metadata, not data).
+
+Reference parity: the reference has no table format of its own (it
+delegates to the warehouse — e.g. Snowflake micro-partition pruning,
+BigQuery clustering), so data skipping there is implicit in the
+destination. Building on parquet directories, the skipping layer has
+to exist here for SELECT-with-predicate workloads to avoid touching
+100 TB of files (see ``airbyte/shared/sql_processor.py`` finalize
+path, which simply trusts the warehouse).
+
+Scale notes:
+
+- Stats live in the commit manifest → pruning is a driver-side pass
+  over manifest entries, no filesystem listing and no executor work.
+  A predicate that matches 0.1% of files launches a Spark job over
+  0.1% of the files.
+- Stats are harvested only for scalar columns (numeric / string /
+  boolean / date / timestamp), capped at :data:`MAX_STAT_COLUMNS`
+  columns per table (Delta's ``dataSkippingNumIndexedCols`` is 32 for
+  the same manifest-bloat reason). Long strings store a truncated
+  lower bound and drop the upper bound (a truncated max is NOT a
+  valid upper bound — Delta pads the last character; dropping is the
+  conservative version).
+- Skipping is CONSERVATIVE: a file is dropped only when its stats
+  *prove* no row can match. Missing stats, unknown operators, or
+  unexpected value types keep the file. The residual predicate is
+  always re-applied to the surviving rows, so results are exact
+  whether or not any file was skipped.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any
+
+MAX_STAT_COLUMNS = 32
+_MAX_STRING_STAT = 64
+
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def _encode(value: Any) -> tuple[Any, bool] | None:
+    """JSON-encode a footer min/max value.
+
+    Returns ``(encoded, is_exact)`` or ``None`` for unsupported types.
+    Timestamps → epoch microseconds (int), dates → epoch days (int),
+    so encoded stats are totally ordered under plain ``<`` regardless
+    of parquet logical-type details. ``is_exact=False`` marks a
+    truncated string (valid as a lower bound only).
+    """
+    if isinstance(value, bool):
+        return value, True
+    if isinstance(value, int) or isinstance(value, float):
+        return value, True
+    if isinstance(value, str):
+        if len(value) > _MAX_STRING_STAT:
+            return value[:_MAX_STRING_STAT], False
+        return value, True
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return int(
+            (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        ), True
+    if isinstance(value, datetime.date):
+        return (value - _EPOCH_DATE).days, True
+    return None
+
+
+def encode_predicate_value(value: Any) -> Any:
+    """Encode a user predicate value into the stats domain (same
+    mapping as :func:`_encode`; strings pass through untruncated)."""
+    if isinstance(value, bool) or isinstance(value, (int, float, str)):
+        return value
+    if isinstance(value, datetime.datetime):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return int(
+            (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+        )
+    if isinstance(value, datetime.date):
+        return (value - _EPOCH_DATE).days
+    return None  # unsupported → caller must keep the file
+
+
+def harvest_file_stats(parquet_path: str) -> dict[str, Any]:
+    """Read one parquet file's footer and return its stats record:
+    ``{"rows": N, "stats": {col: {"min", "max", "nulls"}}}``.
+
+    ``max`` is ``None`` when only a truncated (lower-bound-only)
+    string was available. Columns with any stat-less row group, nested
+    paths (``a.list.element``), or unsupported types are omitted —
+    omission means "never skip on this column", which is safe.
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(parquet_path).metadata
+    acc: dict[str, dict[str, Any]] = {}
+    dead: set[str] = set()
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            lo = _encode(st.min)
+            hi = _encode(st.max)
+            if lo is None or hi is None:
+                dead.add(name)
+                acc.pop(name, None)
+                continue
+            lo_v, _ = lo
+            hi_v, hi_exact = hi
+            nulls = st.null_count if st.null_count is not None else None
+            cur = acc.get(name)
+            if cur is None:
+                acc[name] = {
+                    "min": lo_v,
+                    "max": hi_v if hi_exact else None,
+                    "nulls": nulls,
+                }
+            else:
+                cur["min"] = min(cur["min"], lo_v)
+                if cur["max"] is None or not hi_exact:
+                    cur["max"] = None
+                else:
+                    cur["max"] = max(cur["max"], hi_v)
+                if nulls is None or cur["nulls"] is None:
+                    cur["nulls"] = None
+                else:
+                    cur["nulls"] += nulls
+    if len(acc) > MAX_STAT_COLUMNS:
+        # Deterministic cap: keep the first N in schema order.
+        keep = set(list(acc)[:MAX_STAT_COLUMNS])
+        acc = {k: v for k, v in acc.items() if k in keep}
+    return {"rows": md.num_rows, "stats": acc}
+
+
+# -- predicate evaluation ---------------------------------------------------
+
+_OPS = {"=", "==", "<", "<=", ">", ">=", "in", "is_null", "not_null"}
+
+
+def normalize_predicates(
+    predicates: list[tuple],
+) -> list[tuple[str, str, Any]]:
+    """Validate a conjunctive predicate list ``[(col, op, value), ...]``.
+
+    Supported ops: ``= == < <= > >= in is_null not_null`` (null ops
+    take no value / ``None``). Raises ``ValueError`` on unknown ops so
+    typos fail loudly instead of silently scanning everything.
+    """
+    out = []
+    for p in predicates:
+        if len(p) == 2:
+            col, op = p
+            value: Any = None
+        else:
+            col, op, value = p
+        if op not in _OPS:
+            raise ValueError(
+                f"unsupported predicate op {op!r}; expected one of {sorted(_OPS)}"
+            )
+        if op == "in" and not isinstance(value, (list, tuple, set)):
+            raise ValueError("'in' predicate requires a list/tuple/set value")
+        out.append((col, op, value))
+    return out
+
+
+def predicates_to_column(predicates: list[tuple[str, str, Any]]):
+    """Build the residual Spark filter Column for a normalized
+    predicate list. Always applied to the surviving rows — skipping
+    only removes files that provably contain no match, the row-level
+    semantics come from this filter."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for col, op, value in predicates:
+        c = F.col(col)
+        if op in ("=", "=="):
+            e = c == F.lit(value)
+        elif op == "<":
+            e = c < F.lit(value)
+        elif op == "<=":
+            e = c <= F.lit(value)
+        elif op == ">":
+            e = c > F.lit(value)
+        elif op == ">=":
+            e = c >= F.lit(value)
+        elif op == "in":
+            e = c.isin(list(value))
+        elif op == "is_null":
+            e = c.isNull()
+        else:  # not_null — normalize_predicates rejects anything else
+            e = c.isNotNull()
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def _may_match(col_stats: dict[str, Any], rows: int, op: str, value: Any) -> bool:
+    """Can ANY row of a file with ``col_stats`` satisfy ``op value``?
+
+    min/max never include nulls, and no comparison op matches a null
+    row, so comparing against [min, max] alone is sufficient. A file
+    that is all nulls for the column has meaningless min/max in some
+    writers — guard with the null count when available.
+    """
+    lo, hi, nulls = col_stats["min"], col_stats["max"], col_stats["nulls"]
+    if op == "is_null":
+        return nulls is None or nulls > 0
+    if op == "not_null":
+        return nulls is None or nulls < rows
+    if nulls is not None and nulls >= rows:
+        return False  # every row null → no comparison can match
+    if op == "in":
+        vals = [encode_predicate_value(v) for v in value]
+        if any(v is None for v in vals):
+            return True
+        return any(
+            (v >= lo) and (hi is None or v <= hi) for v in vals
+        )
+    v = encode_predicate_value(value)
+    if v is None:
+        return True
+    try:
+        if op in ("=", "=="):
+            return v >= lo and (hi is None or v <= hi)
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi is None or hi > v
+        if op == ">=":
+            return hi is None or hi >= v
+    except TypeError:
+        return True  # cross-type comparison (schema drift) → keep
+    return True
+
+
+def file_may_match(
+    file_entry: dict[str, Any], predicates: list[tuple[str, str, Any]]
+) -> bool:
+    """True unless some predicate is provably unsatisfiable for every
+    row of the file. Files without stats always match."""
+    stats = file_entry.get("stats") or {}
+    rows = file_entry.get("rows")
+    if rows is None:
+        return True
+    for col, op, value in predicates:
+        cs = stats.get(col)
+        if cs is None:
+            continue
+        if not _may_match(cs, rows, op, value):
+            return False
+    return True

@@ -432,7 +432,11 @@ class CommitLogTableStore(TableStore):
 
     def _stage(self, df: DataFrame, table_name: str) -> dict:
         """Write ``df`` into a fresh immutable data dir; return its
-        manifest entry (path + bucket partitions present)."""
+        manifest entry (path + bucket partitions present + per-file
+        column stats harvested from the parquet footers just written —
+        the zone maps behind :meth:`read_where`; see ``filestats.py``)."""
+        from pyairbyte_spark.filestats import harvest_file_stats
+
         name = f"d-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.table_path(table_name), name)
         self._writer(df).mode("overwrite").parquet(path)
@@ -443,7 +447,19 @@ class CommitLogTableStore(TableStore):
                 for d in os.listdir(path)
                 if d.startswith(f"{BUCKET_COL}=")
             )
-        return {"path": name, "buckets": buckets}
+        files = []
+        for dirpath, _, names in os.walk(path):
+            for fn in sorted(names):
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, path)
+                bucket = None
+                for part in rel.split(os.sep):
+                    if part.startswith(f"{BUCKET_COL}="):
+                        bucket = int(part.split("=", 1)[1])
+                files.append({"path": rel, "bucket": bucket, **harvest_file_stats(full)})
+        return {"path": name, "buckets": buckets, "files": files}
 
     # -- snapshot reads -----------------------------------------------------
 
@@ -478,6 +494,117 @@ class CommitLogTableStore(TableStore):
         df = self._read_manifest_df(
             table_name, self._read_manifest(table_name, version)
         )
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def plan_scan(
+        self,
+        table_name: str,
+        predicates: list[tuple] | None = None,
+        *,
+        version: int | None = None,
+    ) -> dict:
+        """Driver-side data skipping: resolve the snapshot's live files
+        and drop every file whose footer stats prove no row can match
+        ``predicates`` (zone maps; see ``filestats.py``). Returns
+        ``{"files_total", "files_selected", "groups"}`` where
+        ``files_total`` counts the snapshot's LIVE files — the
+        total/selected gap is exactly the I/O data skipping saved.
+
+        Pure manifest arithmetic: no filesystem listing, no Spark job.
+        At 100 TB a selective predicate launches the scan over the
+        matching sliver of files instead of the table.
+        """
+        from pyairbyte_spark.filestats import file_may_match, normalize_predicates
+
+        preds = normalize_predicates(list(predicates or []))
+        if version is not None:
+            man = self._read_manifest(table_name, version)
+        else:
+            snap = self._latest_commit(table_name)
+            if snap is None:
+                raise FileNotFoundError(f"table {table_name!r} does not exist")
+            man = snap[1]
+        groups: list[dict] = []
+        total = selected = 0
+        for e in man.get("entries") or []:
+            base = os.path.join(self.table_path(table_name), e["path"])
+            live = e.get("buckets")
+            files = e.get("files")
+            if files is None:
+                # Pre-stats manifest: read the whole dir, row-filter
+                # dead buckets (correct, just unskippable).
+                groups.append({"base": base, "paths": None, "live": live})
+                continue
+            keep = []
+            for f in files:
+                if (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                ):
+                    continue  # superseded bucket data — never live
+                total += 1
+                if not file_may_match(f, preds):
+                    continue
+                keep.append(os.path.join(base, f["path"]))
+                selected += 1
+            if keep:
+                groups.append({"base": base, "paths": keep, "live": live})
+        return {
+            "files_total": total,
+            "files_selected": selected,
+            "groups": groups,
+            "predicates": preds,
+            "manifest": man,
+        }
+
+    def read_where(
+        self,
+        table_name: str,
+        predicates: list[tuple],
+        *,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Predicate-pushdown read: file-level data skipping from the
+        manifest stats, then the same predicates re-applied as row
+        filters — exact results whether or not any file was skipped.
+
+        Predicates are conjunctive ``(col, op, value)`` triples with
+        ops ``= == < <= > >= in is_null not_null`` (the null ops take
+        no value). Anything richer belongs in a normal ``.filter`` on
+        top — Spark's parquet reader still does row-group zone-map
+        skipping inside the selected files.
+        """
+        from pyairbyte_spark.filestats import predicates_to_column
+
+        plan = self.plan_scan(table_name, predicates, version=version)
+        parts: list[DataFrame] = []
+        for g in plan["groups"]:
+            if g["paths"] is None:
+                part = self.spark.read.option("mergeSchema", "true").parquet(g["base"])
+                if g["live"] is not None and BUCKET_COL in part.columns:
+                    part = part.filter(F.col(BUCKET_COL).isin(g["live"]))
+            else:
+                part = (
+                    self.spark.read.option("mergeSchema", "true")
+                    # basePath keeps the bucket partition column visible
+                    # when addressing files inside partition dirs.
+                    .option("basePath", g["base"])
+                    .parquet(*g["paths"])
+                )
+            parts.append(part)
+        if parts:
+            df = parts[0]
+            for part in parts[1:]:
+                df = df.unionByName(part, allowMissingColumns=True)
+        else:
+            # Everything skipped: empty frame with the snapshot schema.
+            df = self._read_manifest_df(table_name, plan["manifest"]).filter(
+                F.lit(False)
+            )
+        residual = predicates_to_column(plan["predicates"])
+        if residual is not None:
+            df = df.filter(residual)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def history(self, table_name: str) -> list[dict]:
@@ -619,11 +746,29 @@ class CommitLogTableStore(TableStore):
                 if not overlap:
                     continue
                 p = os.path.join(self.table_path(table_name), e["path"])
-                old = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(p)
-                    .filter(F.col(BUCKET_COL).isin(overlap))
-                )
+                files = e.get("files")
+                if files is not None:
+                    # File-targeted read: address exactly the touched
+                    # buckets' files from the manifest — no directory
+                    # listing, no footer reads for untouched buckets.
+                    paths = [
+                        os.path.join(p, f["path"])
+                        for f in files
+                        if f.get("bucket") in set(overlap)
+                    ]
+                    if not paths:
+                        continue
+                    old = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .option("basePath", p)
+                        .parquet(*paths)
+                    )
+                else:
+                    old = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(p)
+                        .filter(F.col(BUCKET_COL).isin(overlap))
+                    )
                 union = union.unionByName(old, allowMissingColumns=True)
             latest = self._dedup_latest(union, primary_keys)
             entry = self._stage(latest, table_name)
@@ -696,7 +841,13 @@ class CommitLogTableStore(TableStore):
                 os.remove(os.path.join(d, n))
         return removed
 
-    def compact(self, table_name: str) -> dict:
+    def compact(
+        self,
+        table_name: str,
+        *,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> dict:
         """Rewrite the current snapshot into a single data directory
         (keeping the bucket layout) and publish it as one commit.
 
@@ -708,15 +859,46 @@ class CommitLogTableStore(TableStore):
         (same stage-then-publish protocol), readers on the old snapshot
         are unaffected, and a concurrent writer landing first surfaces
         as :class:`ConcurrentCommitError` (safe to just re-run).
+
+        ``sort_by`` clusters the rewrite on the given columns (Delta's
+        ``OPTIMIZE ... ZORDER BY`` niche, linear order): unbucketed
+        tables are RANGE-repartitioned so each output file owns a
+        disjoint key range, bucketed tables sort within buckets. The
+        per-file min/max stats harvested at stage time then become
+        selective — :meth:`read_where` on a clustered column skips all
+        but the matching files, and Spark's row-group zone maps tighten
+        inside them. A compact on a 100 TB table is itself one
+        shuffle-and-write job; run it on the maintenance cadence, not
+        per sync.
         """
         snap = self._latest_commit(table_name)
         if snap is None or not snap[1].get("entries"):
             return {"compacted": False, "reason": "no snapshot"}
         version, man = snap
         n_before = len(man["entries"])
-        if n_before <= 1:
+        if n_before <= 1 and not sort_by:
             return {"compacted": False, "reason": "already compact"}
         df = self._read_manifest_df(table_name, man)
+        if sort_by:
+            missing = [c for c in sort_by if c not in df.columns]
+            if missing:
+                raise ValueError(f"sort_by columns not in table: {missing}")
+            if BUCKET_COL in df.columns:
+                # Keep the bucket layout: one shuffle on the bucket,
+                # sort inside each bucket partition.
+                df = df.repartition(F.col(BUCKET_COL)).sortWithinPartitions(
+                    BUCKET_COL, *sort_by
+                )
+            else:
+                # target_files pins the output file count (an explicit
+                # numPartitions also opts the shuffle out of AQE
+                # coalescing, which would otherwise merge small tables
+                # into one file and erase the zone-map granularity).
+                if target_files:
+                    df = df.repartitionByRange(target_files, *sort_by)
+                else:
+                    df = df.repartitionByRange(*sort_by)
+                df = df.sortWithinPartitions(*sort_by)
         entry = self._stage(df, table_name)
         self._commit(
             table_name,

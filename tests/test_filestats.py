@@ -1,0 +1,157 @@
+"""Unit tests for the parquet-footer stats / data-skipping layer."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from pyairbyte_spark.filestats import (
+    MAX_STAT_COLUMNS,
+    encode_predicate_value,
+    file_may_match,
+    harvest_file_stats,
+    normalize_predicates,
+)
+
+
+def _write(tmp_path, table: pa.Table, name="f.parquet", **kw) -> str:
+    p = str(tmp_path / name)
+    pq.write_table(table, p, **kw)
+    return p
+
+
+def test_harvest_scalar_types(tmp_path):
+    t = pa.table(
+        {
+            "i": pa.array([3, 1, None], pa.int64()),
+            "f": pa.array([2.5, -1.0, 0.0]),
+            "s": pa.array(["b", "a", "c"]),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1), datetime.datetime(2025, 6, 1), None]
+            ),
+            "d": pa.array([datetime.date(1970, 1, 2), datetime.date(1970, 1, 11)]
+                          + [None]),
+            "b": pa.array([True, True, None]),
+        }
+    )
+    rec = harvest_file_stats(_write(tmp_path, t))
+    assert rec["rows"] == 3
+    st = rec["stats"]
+    assert st["i"] == {"min": 1, "max": 3, "nulls": 1}
+    assert st["f"] == {"min": -1.0, "max": 2.5, "nulls": 0}
+    assert st["s"] == {"min": "a", "max": "c", "nulls": 0}
+    assert st["ts"]["min"] == encode_predicate_value(datetime.datetime(2024, 1, 1))
+    assert st["ts"]["max"] == encode_predicate_value(datetime.datetime(2025, 6, 1))
+    assert st["d"] == {"min": 1, "max": 10, "nulls": 1}
+    assert st["b"] == {"min": True, "max": True, "nulls": 1}
+
+
+def test_harvest_skips_nested_and_binary(tmp_path):
+    t = pa.table(
+        {
+            "ok": pa.array([1, 2]),
+            "bin": pa.array([b"x", b"y"], pa.binary()),
+            "arr": pa.array([[1], [2]], pa.list_(pa.int64())),
+        }
+    )
+    rec = harvest_file_stats(_write(tmp_path, t))
+    assert set(rec["stats"]) == {"ok"}
+
+
+def test_harvest_multi_row_group_aggregates(tmp_path):
+    t = pa.table({"i": pa.array(list(range(100)))})
+    rec = harvest_file_stats(_write(tmp_path, t, row_group_size=10))
+    assert rec["rows"] == 100
+    assert rec["stats"]["i"] == {"min": 0, "max": 99, "nulls": 0}
+
+
+def test_harvest_truncates_long_strings_lower_bound_only(tmp_path):
+    long = "z" * 200
+    t = pa.table({"s": pa.array(["aaa", long])})
+    rec = harvest_file_stats(_write(tmp_path, t))
+    st = rec["stats"]["s"]
+    assert st["min"] == "aaa"
+    assert st["max"] is None  # truncated max is not a valid upper bound
+    # lower-bound pruning still works; upper bound never prunes
+    f = {"rows": 2, "stats": {"s": st}}
+    assert not file_may_match(f, [("s", "<", "a")])
+    assert file_may_match(f, [("s", ">", "zzzz" * 100)])
+
+
+def test_harvest_caps_stat_columns(tmp_path):
+    t = pa.table({f"c{i:03d}": pa.array([i]) for i in range(40)})
+    rec = harvest_file_stats(_write(tmp_path, t))
+    assert len(rec["stats"]) == MAX_STAT_COLUMNS
+
+
+def test_normalize_rejects_unknown_op():
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        normalize_predicates([("a", "!=", 1)])
+    with pytest.raises(ValueError, match="'in' predicate"):
+        normalize_predicates([("a", "in", 5)])
+
+
+@pytest.mark.parametrize(
+    ("op", "value", "expect"),
+    [
+        ("=", 5, True),
+        ("=", 11, False),
+        ("=", -1, False),
+        ("<", 1, False),
+        ("<", 2, True),
+        ("<=", 1, True),
+        ("<=", 0, False),
+        (">", 10, False),
+        (">", 9, True),
+        (">=", 10, True),
+        (">=", 11, False),
+        ("in", [0, 11], False),
+        ("in", [0, 7], True),
+    ],
+)
+def test_range_pruning(op, value, expect):
+    f = {"rows": 5, "stats": {"i": {"min": 1, "max": 10, "nulls": 0}}}
+    assert file_may_match(f, normalize_predicates([("i", op, value)])) is expect
+
+
+def test_null_predicates():
+    no_nulls = {"rows": 5, "stats": {"i": {"min": 1, "max": 10, "nulls": 0}}}
+    all_nulls = {"rows": 5, "stats": {"i": {"min": 1, "max": 10, "nulls": 5}}}
+    unknown = {"rows": 5, "stats": {"i": {"min": 1, "max": 10, "nulls": None}}}
+    assert not file_may_match(no_nulls, normalize_predicates([("i", "is_null")]))
+    assert file_may_match(all_nulls, normalize_predicates([("i", "is_null")]))
+    assert not file_may_match(all_nulls, normalize_predicates([("i", "not_null")]))
+    # all-null file: comparisons can never match
+    assert not file_may_match(all_nulls, normalize_predicates([("i", "=", 5)]))
+    assert file_may_match(unknown, normalize_predicates([("i", "is_null")]))
+    assert file_may_match(unknown, normalize_predicates([("i", "not_null")]))
+
+
+def test_missing_stats_keep_file():
+    f = {"rows": 5, "stats": {}}
+    assert file_may_match(f, normalize_predicates([("anything", "=", 1)]))
+    assert file_may_match({"stats": {"i": {"min": 0, "max": 0, "nulls": 0}}},
+                          normalize_predicates([("i", "=", 9)]))  # no rows field
+
+
+def test_temporal_predicate_encoding():
+    ts_lo = encode_predicate_value(datetime.datetime(2024, 1, 1))
+    ts_hi = encode_predicate_value(datetime.datetime(2024, 12, 31))
+    f = {"rows": 3, "stats": {"ts": {"min": ts_lo, "max": ts_hi, "nulls": 0}}}
+    assert not file_may_match(
+        f, normalize_predicates([("ts", ">", datetime.datetime(2025, 1, 1))])
+    )
+    assert file_may_match(
+        f, normalize_predicates([("ts", ">=", datetime.datetime(2024, 6, 1))])
+    )
+    # tz-aware predicate values normalize to UTC-naive micros
+    aware = datetime.datetime(2025, 1, 1, tzinfo=datetime.timezone.utc)
+    assert not file_may_match(f, normalize_predicates([("ts", ">", aware)]))
+
+
+def test_cross_type_comparison_keeps_file():
+    f = {"rows": 3, "stats": {"s": {"min": "a", "max": "b", "nulls": 0}}}
+    assert file_may_match(f, normalize_predicates([("s", ">", 5)]))
