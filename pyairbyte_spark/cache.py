@@ -167,6 +167,18 @@ class SparkCache(Mapping):
             self.table_name(stream_name), sort_by=sort_by, target_files=target_files
         )
 
+    def read_stream_changes(
+        self,
+        stream_name: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: row changes between two commit versions
+        (``_change_type`` + ``_commit_version`` columns)."""
+        return self._acid_store().read_changes(
+            self.table_name(stream_name), from_version, to_version
+        )
+
     def read_stream_where(
         self,
         stream_name: str,

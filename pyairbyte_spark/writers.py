@@ -467,6 +467,9 @@ class CommitLogTableStore(TableStore):
         entries = manifest.get("entries") or []
         if not entries:
             raise FileNotFoundError(f"table {table_name!r} snapshot is empty")
+        return self._entries_df(table_name, entries)
+
+    def _entries_df(self, table_name: str, entries: list[dict]) -> DataFrame:
         parts: list[DataFrame] = []
         for e in entries:
             p = os.path.join(self.table_path(table_name), e["path"])
@@ -630,6 +633,156 @@ class CommitLogTableStore(TableStore):
             )
         return out
 
+    # -- change data feed ---------------------------------------------------
+
+    def latest_version(self, table_name: str) -> int:
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        return snap[0]
+
+    @staticmethod
+    def _row_digest(df: DataFrame):
+        """Order-stable digest of a row's USER-visible values.
+
+        Excludes the airbyte bookkeeping columns on purpose: a re-sync
+        that rewrites a row with identical user data (new raw id /
+        extracted-at) is NOT a change downstream consumers care about.
+        ``to_json`` drops null fields, which also normalizes
+        missing-column-vs-null across schema evolution.
+        """
+        exclude = {AB_RAW_ID_COLUMN, AB_EXTRACTED_AT_COLUMN, BUCKET_COL}
+        cols = sorted(c for c in df.columns if c not in exclude)
+        return F.md5(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+    def read_changes(
+        self,
+        table_name: str,
+        from_version: int,
+        to_version: int | None = None,
+    ) -> DataFrame:
+        """Change data feed: the row-level changes that turned snapshot
+        ``from_version`` into ``to_version`` (default: latest), as a
+        DataFrame with ``_change_type`` (``insert`` /
+        ``update_postimage`` / ``delete`` / ``upsert``) and
+        ``_commit_version`` columns — the commit-log analogue of Delta
+        Lake's CDF (``table_changes``). ``from_version=0`` reads
+        changes since table creation.
+
+        Per-commit cost model (the 100 TB story):
+
+        - APPEND commits are free to diff — the changes ARE the staged
+          directory's rows; no comparison runs.
+        - Incremental MERGE commits diff only the TOUCHED buckets: the
+          staged entry vs the prior snapshot's matching buckets, joined
+          on the recorded primary keys to split insert from
+          update_postimage (a rewritten-but-identical row — same user
+          values, new bookkeeping — is digest-suppressed, not emitted).
+        - REPLACE emits prior rows as ``delete`` + new rows as
+          ``insert`` (snapshot swap; no pairing is defined).
+        - COMPACT commits move bytes, not rows — skipped.
+
+        Merge commits written before primary keys were recorded in the
+        manifest fall back to a digest-only diff labeled ``upsert``.
+        Requires the intervening versions to not have been vacuumed.
+        """
+        to = self.latest_version(table_name) if to_version is None else to_version
+        if from_version > to:
+            raise ValueError(
+                f"from_version {from_version} is after to_version {to}"
+            )
+        steps = []
+        for v in range(from_version + 1, to + 1):
+            step = self._changes_for_step(table_name, v)
+            if step is not None:
+                steps.append(step)
+        if not steps:
+            base = self.read_version(table_name, to)
+            return (
+                base.withColumn("_change_type", F.lit(None).cast("string"))
+                .withColumn("_commit_version", F.lit(None).cast("long"))
+                .filter(F.lit(False))
+            )
+        out = steps[0]
+        for s in steps[1:]:
+            out = out.unionByName(s, allowMissingColumns=True)
+        return out
+
+    def _changes_for_step(self, table_name: str, v: int) -> DataFrame | None:
+        man = self._read_manifest(table_name, v)
+        op = man.get("op")
+        if op == "compact":
+            return None
+        prev = self._read_manifest(table_name, v - 1) if v > 1 else None
+        prev_entries = (prev or {}).get("entries") or []
+        prev_paths = {e["path"] for e in prev_entries}
+        new_entries = [
+            e for e in man.get("entries") or [] if e["path"] not in prev_paths
+        ]
+
+        def _tag(df: DataFrame, change: str) -> DataFrame:
+            df = df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(v).cast("long")
+            )
+
+        if op == "append":
+            if not new_entries:
+                return None
+            return _tag(self._entries_df(table_name, new_entries), "insert")
+
+        if op == "replace":
+            inserts = _tag(self._read_manifest_df(table_name, man), "insert")
+            if not prev_entries:
+                return inserts
+            deletes = _tag(self._entries_df(table_name, prev_entries), "delete")
+            return deletes.unionByName(inserts, allowMissingColumns=True)
+
+        if op == "merge":
+            if not new_entries:
+                return None
+            new_rows = self._entries_df(table_name, new_entries)
+            if not prev_entries:
+                return _tag(new_rows, "insert")
+            full_rewrite = len(man.get("entries") or []) == len(new_entries)
+            old_rows = self._entries_df(table_name, prev_entries)
+            if not full_rewrite:
+                touched: set[int] = set()
+                for e in new_entries:
+                    touched |= set(e.get("buckets") or [])
+                if BUCKET_COL in old_rows.columns:
+                    old_rows = old_rows.filter(
+                        F.col(BUCKET_COL).isin(sorted(touched))
+                    )
+            new_d = new_rows.withColumn("__d", self._row_digest(new_rows))
+            old_d = old_rows.withColumn("__d", self._row_digest(old_rows))
+            pks = man.get("primary_keys")
+            if not pks:
+                # Pre-CDF manifest: digest-only diff, unclassified.
+                changed = new_d.join(
+                    old_d.select("__d").distinct(), on="__d", how="left_anti"
+                )
+                return _tag(changed.drop("__d"), "upsert")
+            old_keys = old_rows.select(*pks).distinct()
+            changed = new_d.join(
+                old_d.select(*pks, "__d").distinct(),
+                on=[*pks, "__d"],
+                how="left_anti",
+            ).drop("__d")
+            inserts = _tag(
+                changed.join(old_keys, on=pks, how="left_anti"), "insert"
+            )
+            updates = _tag(
+                changed.join(old_keys, on=pks, how="left_semi"),
+                "update_postimage",
+            )
+            return inserts.unionByName(updates, allowMissingColumns=True)
+
+        raise ValueError(
+            f"cannot compute changes for unknown commit op {op!r} "
+            f"(table {table_name!r}, version {v})"
+        )
+
     def table_exists(self, table_name: str) -> bool:
         snap = self._latest_commit(table_name)
         return bool(snap and snap[1].get("entries"))
@@ -782,7 +935,12 @@ class CommitLogTableStore(TableStore):
             new_entries.append(entry)
             self._commit(
                 table_name,
-                {"op": "merge", "merge_buckets": layout_n, "entries": new_entries},
+                {
+                    "op": "merge",
+                    "merge_buckets": layout_n,
+                    "primary_keys": list(primary_keys),
+                    "entries": new_entries,
+                },
                 version + 1,
             )
             return
@@ -805,6 +963,7 @@ class CommitLogTableStore(TableStore):
                 "merge_buckets": (
                     self.merge_buckets if entry["buckets"] is not None else None
                 ),
+                "primary_keys": list(primary_keys),
                 "entries": [entry],
             },
             version + 1,
