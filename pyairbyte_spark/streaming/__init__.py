@@ -1,3 +1,4 @@
+from pyairbyte_spark.streaming.feed import ChangeFeedFollower
 from pyairbyte_spark.streaming.sink import CacheStreamingSink
 from pyairbyte_spark.streaming.windowed import (
     stream_from_parquet_dir,
@@ -7,6 +8,7 @@ from pyairbyte_spark.streaming.windowed import (
 
 __all__ = [
     "CacheStreamingSink",
+    "ChangeFeedFollower",
     "stream_from_parquet_dir",
     "streaming_dedup",
     "windowed_rollup",

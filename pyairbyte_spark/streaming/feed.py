@@ -1,0 +1,149 @@
+"""Change-feed follower: incremental table-to-table pipelines on the
+commit-log store.
+
+The commit-log store is a sink (`CacheStreamingSink`, `writers.py`)
+and, with `read_changes`, a SOURCE: a follower tails a table's commit
+log and applies each change window to a downstream table through an
+optional transform. That turns a chain of cached tables into an
+incremental pipeline — raw → cleaned → aggregated — where each hop
+processes only what changed, the table-to-table version of the
+reference's source→cache sync loop (``airbyte/sources/base.py``
+read + state protocol), with commit versions playing the cursor role.
+
+Crash contract (same T2 ordering as the record pipeline,
+``processor.py``): the destination DATA commit happens first, the
+follower's cursor (the source version just processed) second. A crash
+between the two replays the window on restart; with the merge
+strategy (the default — the change feed carries primary keys for it)
+the replay converges, so delivery is effectively-once. No Spark
+streaming machinery is needed: the commit log itself is the
+write-ahead log, and `process_once` is the micro-batch.
+
+At 100 TB: each cycle moves only the changed rows (appends: the new
+files; merges: the touched buckets' diff) — a follower on a table
+taking 0.1% daily updates reads 0.1%, never the table. The cursor
+lookup and commit are O(1) metadata operations.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.state import StateArtifact
+from pyairbyte_spark.strategies import WriteMethod
+
+
+class ChangeFeedFollower:
+    """Tail ``source_stream``'s commit log in ``source_cache``; apply
+    each change window to ``dest_stream`` in ``dest_cache``.
+
+    ``transform(df) -> df`` sees the raw change frame, including the
+    ``_change_type`` / ``_commit_version`` columns; the default drops
+    deletes and the feed columns, forwarding upserts as-is (CDC
+    apply). With ``method=MERGE`` (default) the destination converges
+    under replay; APPEND followers are at-least-once under crashes —
+    same trade as the record pipeline.
+    """
+
+    CURSOR_KEY = "source_version"
+
+    def __init__(
+        self,
+        source_cache: SparkCache,
+        source_stream: str,
+        dest_cache: SparkCache,
+        dest_stream: str,
+        *,
+        transform: Callable[[DataFrame], DataFrame] | None = None,
+        method: WriteMethod = WriteMethod.MERGE,
+        primary_keys: list[str] | None = None,
+        follower_name: str = "feed",
+    ) -> None:
+        self.source_cache = source_cache
+        self.source_stream = source_stream
+        self.dest_cache = dest_cache
+        self.dest_stream = dest_stream
+        self.transform = transform
+        self.method = method
+        self.primary_keys = primary_keys or []
+        # Cursor state is scoped per (follower, destination stream) in
+        # the DESTINATION cache's state backend, so it lives and dies
+        # with the data it guards.
+        self.source_name = f"{follower_name}:{source_stream}"
+
+    # -- cursor -------------------------------------------------------------
+
+    def processed_version(self) -> int:
+        provider = self.dest_cache.get_state_provider(self.source_name)
+        artifact = provider.get_stream_state(self.dest_stream)
+        if artifact is None:
+            return 0
+        return int(artifact.state.get(self.CURSOR_KEY, 0))
+
+    def _commit_cursor(self, version: int) -> None:
+        writer = self.dest_cache.get_state_writer(self.source_name)
+        writer.write_state(
+            StateArtifact(self.dest_stream, {self.CURSOR_KEY: version})
+        )
+        writer.flush(self.dest_stream)
+
+    # -- processing ---------------------------------------------------------
+
+    def _default_transform(self, changes: DataFrame) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        return changes.filter(F.col("_change_type") != "delete").drop(
+            "_change_type", "_commit_version"
+        )
+
+    def process_once(self) -> dict:
+        """Process one change window; returns
+        ``{"from_version", "to_version", "rows"}`` (rows=0 → caught up).
+        """
+        store = self.source_cache._acid_store()
+        table = self.source_cache.table_name(self.source_stream)
+        latest = store.latest_version(table)
+        done = self.processed_version()
+        if latest <= done:
+            return {"from_version": done, "to_version": done, "rows": 0}
+        changes = store.read_changes(table, done, latest)
+        out = (
+            self.transform(changes)
+            if self.transform is not None
+            else self._default_transform(changes)
+        )
+        rows = out.count()
+        if rows:
+            # 1. destination data commit …
+            self.dest_cache.write_dataframe(
+                out, self.dest_stream, self.method, self.primary_keys
+            )
+        # 2. … THEN the cursor. Crash between the two replays this
+        # window; merge destinations converge.
+        self._commit_cursor(latest)
+        return {"from_version": done, "to_version": latest, "rows": rows}
+
+    def run(
+        self,
+        *,
+        poll_interval: float = 1.0,
+        max_cycles: int | None = None,
+        stop_when_caught_up: bool = False,
+    ) -> list[dict]:
+        """Polling loop around :meth:`process_once`."""
+        results = []
+        cycles = 0
+        while True:
+            res = self.process_once()
+            results.append(res)
+            cycles += 1
+            if max_cycles is not None and cycles >= max_cycles:
+                break
+            if stop_when_caught_up and res["rows"] == 0:
+                break
+            time.sleep(poll_interval)
+        return results

@@ -1,0 +1,154 @@
+"""ChangeFeedFollower: incremental table-to-table pipelines with the
+commit log as the write-ahead log and commit versions as the cursor."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.strategies import WriteMethod
+from pyairbyte_spark.streaming import ChangeFeedFollower
+
+
+@pytest.fixture()
+def caches(spark, tmp_path):
+    src = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "src"), table_format="commitlog"
+    )
+    dst = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "dst"), table_format="commitlog"
+    )
+    return src, dst
+
+
+def _df(spark, rows, raw_prefix="r"):
+    df = spark.createDataFrame(rows, ["id", "v"])
+    return df.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit(raw_prefix), F.col("id").cast("string"))
+    ).withColumn("_airbyte_extracted_at", F.current_timestamp())
+
+
+def _rows(cache, stream):
+    df = cache.store.read(cache.table_name(stream))
+    return sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+
+
+def test_follower_applies_changes_incrementally(spark, caches):
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(src, "raw", dst, "clean", primary_keys=["id"])
+
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t, ["id"])
+    res1 = follower.process_once()
+    assert res1["rows"] == 2 and res1["to_version"] == 1
+    assert _rows(dst, "clean") == [(1, "a"), (2, "b")]
+
+    # caught up → no-op cycle
+    assert follower.process_once()["rows"] == 0
+
+    # incremental update flows through, only the delta is processed
+    src.store.write_merge(_df(spark, [(1, "a2"), (3, "c")], "s"), t, ["id"])
+    res2 = follower.process_once()
+    assert res2["rows"] == 2 and res2["from_version"] == 1
+    assert _rows(dst, "clean") == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_follower_transform_hook(spark, caches):
+    src, dst = caches
+    t = src.table_name("raw")
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t, ["id"])
+
+    def upper(changes):
+        return (
+            changes.filter(F.col("_change_type") != "delete")
+            .withColumn("v", F.upper("v"))
+            .drop("_change_type", "_commit_version")
+        )
+
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", transform=upper, primary_keys=["id"]
+    )
+    follower.process_once()
+    assert _rows(dst, "clean") == [(1, "A"), (2, "B")]
+
+
+def test_follower_crash_between_data_and_cursor_converges(spark, caches):
+    """Kill the follower after the destination write but before the
+    cursor commit; the replayed window must converge (merge)."""
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(src, "raw", dst, "clean", primary_keys=["id"])
+    src.store.write_merge(_df(spark, [(1, "a")]), t, ["id"])
+
+    boom = RuntimeError("crash before cursor")
+    real_commit = follower._commit_cursor
+
+    def crashing_commit(version):
+        raise boom
+
+    follower._commit_cursor = crashing_commit
+    with pytest.raises(RuntimeError, match="crash before cursor"):
+        follower.process_once()
+    # data landed, cursor did not
+    assert _rows(dst, "clean") == [(1, "a")]
+    assert follower.processed_version() == 0
+
+    follower._commit_cursor = real_commit
+    res = follower.process_once()  # replay
+    assert res["rows"] == 1
+    assert _rows(dst, "clean") == [(1, "a")]  # converged, no dupes
+    assert follower.processed_version() == 1
+
+
+def test_follower_chain_two_hops(spark, caches):
+    """raw → clean → agg: each hop moves only its delta."""
+    src, dst = caches
+    t = src.table_name("raw")
+    hop1 = ChangeFeedFollower(src, "raw", dst, "clean", primary_keys=["id"])
+
+    def count_by_v(changes):
+        return (
+            changes.filter(F.col("_change_type") != "delete")
+            .groupBy("v")
+            .agg(F.count("*").alias("n"))
+            .withColumn("_airbyte_raw_id", F.col("v"))
+            .withColumn("_airbyte_extracted_at", F.current_timestamp())
+        )
+
+    hop2 = ChangeFeedFollower(
+        dst, "clean", dst, "agg", transform=count_by_v, primary_keys=["v"]
+    )
+    src.store.write_merge(
+        _df(spark, [(1, "x"), (2, "x"), (3, "y")]), t, ["id"]
+    )
+    hop1.process_once()
+    hop2.process_once()
+    agg = dst.store.read(dst.table_name("agg"))
+    assert sorted((r["v"], r["n"]) for r in agg.select("v", "n").collect()) == [
+        ("x", 2),
+        ("y", 1),
+    ]
+
+
+def test_follower_run_stop_when_caught_up(spark, caches):
+    src, dst = caches
+    t = src.table_name("raw")
+    src.store.write_merge(_df(spark, [(1, "a")]), t, ["id"])
+    follower = ChangeFeedFollower(src, "raw", dst, "clean", primary_keys=["id"])
+    results = follower.run(poll_interval=0.01, stop_when_caught_up=True)
+    assert [r["rows"] for r in results] == [1, 0]
+
+
+def test_follower_append_mode(spark, caches):
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "log", method=WriteMethod.APPEND
+    )
+    src.store.write_append(_df(spark, [(1, "a")]), t)
+    src.store.write_append(_df(spark, [(2, "b")]), t)
+    follower.process_once()
+    src.store.write_append(_df(spark, [(3, "c")]), t)
+    follower.process_once()
+    assert _rows(dst, "log") == [(1, "a"), (2, "b"), (3, "c")]
