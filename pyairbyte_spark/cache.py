@@ -122,8 +122,35 @@ class SparkCache(Mapping):
         stream_name: str,
         method: WriteMethod = WriteMethod.APPEND,
         primary_keys: list[str] | None = None,
-    ) -> None:
-        self.store.write(df, self.table_name(stream_name), method, primary_keys)
+        *,
+        expectations: dict | None = None,
+        on_violation: str = "fail",
+    ) -> dict[str, int] | None:
+        """Write with optional CHECK-constraint enforcement (see
+        ``expectations.py``). Returns per-check violation counts when
+        expectations ran (``drop`` counts are exact — observed during
+        the write itself), else None. ``quarantine`` mode lands the
+        violating rows in ``<stream>_quarantine`` with a
+        ``_failed_expectations`` column."""
+        if not expectations:
+            self.store.write(df, self.table_name(stream_name), method, primary_keys)
+            return None
+        from pyairbyte_spark.expectations import check_expectations
+
+        clean, quarantined, obs = check_expectations(
+            df, expectations, on_violation=on_violation
+        )
+        self.store.write(clean, self.table_name(stream_name), method, primary_keys)
+        if quarantined is not None:
+            self.store.write(
+                quarantined,
+                self.table_name(f"{stream_name}_quarantine"),
+                WriteMethod.APPEND,
+                None,
+            )
+        if obs is not None:
+            return obs.counts
+        return {name: 0 for name in expectations}  # fail mode, all passed
 
     def register_stream(self, spec: StreamSpec) -> None:
         self.catalog_backend.register(spec)

@@ -1,0 +1,148 @@
+"""Write-time CHECK expectations: fail / drop / quarantine modes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.cache import SparkCache
+from pyairbyte_spark.exceptions import PyAirbyteInputError
+from pyairbyte_spark.expectations import (
+    ExpectationViolation,
+    check_expectations,
+    violation_counts,
+)
+from pyairbyte_spark.strategies import WriteMethod
+
+
+@pytest.fixture()
+def cache(spark, tmp_path):
+    return SparkCache(spark, warehouse_dir=str(tmp_path / "wh"))
+
+
+def _df(spark):
+    rows = [
+        (1, 10.0, "us"),
+        (2, -5.0, "de"),  # violates positive_amount
+        (3, 7.0, None),  # violates country_not_null
+        (None, 3.0, "fr"),  # violates id_not_null
+    ]
+    df = spark.createDataFrame(rows, ["id", "amount", "country"])
+    return df.withColumn("_airbyte_raw_id", F.expr("uuid()")).withColumn(
+        "_airbyte_extracted_at", F.current_timestamp()
+    )
+
+
+CHECKS = {
+    "positive_amount": "amount > 0",
+    "country_not_null": "country IS NOT NULL",
+    "id_not_null": "id IS NOT NULL",
+}
+
+
+def test_violation_counts_single_pass(spark):
+    counts = violation_counts(_df(spark), CHECKS)
+    assert counts == {
+        "positive_amount": 1,
+        "country_not_null": 1,
+        "id_not_null": 1,
+    }
+
+
+def test_null_check_result_passes_sql_semantics(spark):
+    """CHECK semantics: NULL expression result is NOT a violation."""
+    df = spark.createDataFrame([(None,), (2,)], ["x"])
+    # "x > 0" is NULL for the null row → passes; only FALSE violates
+    assert violation_counts(df, {"pos": "x > 0"}) == {"pos": 0}
+    assert violation_counts(df, {"pos": "x IS NOT NULL"}) == {"pos": 1}
+
+
+def test_fail_mode_raises_and_writes_nothing(spark, cache):
+    with pytest.raises(ExpectationViolation) as ei:
+        cache.write_dataframe(
+            _df(spark), "t", WriteMethod.APPEND, expectations=CHECKS
+        )
+    assert ei.value.counts == {
+        "positive_amount": 1,
+        "country_not_null": 1,
+        "id_not_null": 1,
+    }
+    assert "t" not in cache
+
+
+def test_fail_mode_clean_data_writes(spark, cache):
+    clean = _df(spark).filter(
+        (F.col("amount") > 0) & F.col("country").isNotNull() & F.col("id").isNotNull()
+    )
+    counts = cache.write_dataframe(
+        clean, "t", WriteMethod.APPEND, expectations=CHECKS
+    )
+    assert counts == {"positive_amount": 0, "country_not_null": 0, "id_not_null": 0}
+    assert len(cache["t"]) == 1
+
+
+def test_drop_mode_filters_and_counts_via_observe(spark, cache):
+    counts = cache.write_dataframe(
+        _df(spark),
+        "t",
+        WriteMethod.APPEND,
+        expectations=CHECKS,
+        on_violation="drop",
+    )
+    assert counts == {
+        "positive_amount": 1,
+        "country_not_null": 1,
+        "id_not_null": 1,
+    }
+    got = cache.store.read(cache.table_name("t"))
+    assert [r["id"] for r in got.select("id").collect()] == [1]
+
+
+def test_quarantine_mode_lands_rejects_with_reasons(spark, cache):
+    counts = cache.write_dataframe(
+        _df(spark),
+        "t",
+        WriteMethod.APPEND,
+        expectations=CHECKS,
+        on_violation="quarantine",
+    )
+    assert sum(counts.values()) == 3
+    assert len(cache["t"]) == 1
+    q = cache.store.read(cache.table_name("t_quarantine"))
+    reasons = {
+        r["id"]: sorted(r["_failed_expectations"])
+        for r in q.select("id", "_failed_expectations").collect()
+    }
+    assert reasons[2] == ["positive_amount"]
+    assert reasons[3] == ["country_not_null"]
+    assert reasons[None] == ["id_not_null"]
+
+
+def test_multi_violation_row_lists_all_reasons(spark, cache):
+    df = spark.createDataFrame(
+        [(None, -1.0, None)], "id bigint, amount double, country string"
+    )
+    df = df.withColumn("_airbyte_raw_id", F.expr("uuid()")).withColumn(
+        "_airbyte_extracted_at", F.current_timestamp()
+    )
+    cache.write_dataframe(
+        df, "t", WriteMethod.APPEND, expectations=CHECKS, on_violation="quarantine"
+    )
+    q = cache.store.read(cache.table_name("t_quarantine"))
+    (row,) = q.select("_failed_expectations").collect()
+    assert sorted(row[0]) == ["country_not_null", "id_not_null", "positive_amount"]
+
+
+def test_column_expression_checks(spark):
+    df = spark.createDataFrame([(1,), (200,)], ["x"])
+    clean, _, _ = check_expectations(
+        df, {"small": F.col("x") < 100}, on_violation="drop"
+    )
+    assert [r["x"] for r in clean.collect()] == [1]
+
+
+def test_unknown_mode_raises(spark):
+    with pytest.raises(PyAirbyteInputError):
+        check_expectations(
+            spark.range(1), {"c": "id > 0"}, on_violation="explode"
+        )
