@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "chunk_documents_64",
     "mixture_weights_by_source",
+    "dsir_importance_weights",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

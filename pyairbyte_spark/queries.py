@@ -2982,6 +2982,113 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_importance_weights",
+    r"""
+    -- DSIR (Xie et al. 2023): hashed-unigram importance weights.
+    -- Target distribution = the corpus's English docs; raw = all docs.
+    -- Terms hash into 512 buckets (md5 prefix — identical in both
+    -- engines); per-bucket log-likelihood ratios are rounded to 9
+    -- decimals and summed as DECIMAL so the per-doc score is exact
+    -- and order-independent (ln() may differ by 1 ulp across libms;
+    -- the round absorbs it, the decimal sum keeps it absorbed).
+    WITH terms AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(w), 1, 8))::BIGINT % 512 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        FROM documents
+      ) WHERE w <> ''
+    ),
+    raw AS (SELECT b, count(*) AS cr FROM terms GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM terms WHERE lang = 'en' GROUP BY b),
+    tot AS (
+      SELECT count(*) AS nr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt
+      FROM terms
+    ),
+    lr AS (
+      SELECT r.b,
+             CAST(round(
+               ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + 512.0))
+               - ln((r.cr + 1.0) / (tot.nr + 512.0)), 9) AS DECIMAL(20,9)) AS lr
+      FROM raw r LEFT JOIN tgt t ON r.b = t.b, tot
+    )
+    SELECT terms.doc_id, count(*) AS n_terms,
+           CAST(sum(lr.lr) AS DOUBLE) AS dsir_logratio
+    FROM terms JOIN lr ON terms.b = lr.b
+    GROUP BY terms.doc_id
+    ORDER BY terms.doc_id
+    """,
+    "DSIR importance resampling weights: hashed-unigram (512-bucket) "
+    "log-likelihood ratio of target (English) vs raw distribution per "
+    "doc — explode + two 512-key partial aggs + one broadcast join + "
+    "one doc_id groupBy; the ratio table is 512 rows however large "
+    "the corpus",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling, hashed-ngram variant
+    (arXiv:2302.03169 §3): weight every document by how much more
+    likely its hashed unigrams are under the target distribution than
+    the raw corpus distribution. Downstream, sampling proportional to
+    exp(weight) tilts a 100 TB crawl toward the target domain without
+    training a classifier.
+
+    Scale shape: one explode (map-side), two 512-key aggregations
+    (map-side partial combine does almost all the work), a broadcast
+    of the 512-row ratio table, and ONE real shuffle (groupBy doc_id).
+    No UDFs; the ln/round/decimal arithmetic is JVM-side.
+    """
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    terms = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(512),
+    )
+    bucketed = terms.select("doc_id", "lang", b.alias("b"))
+    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    totals = bucketed.agg(
+        F.count(F.lit(1)).alias("nr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(512.0))
+                )
+                - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.lit(512.0))),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("lr"),
+        )
+    )
+    return (
+        bucketed.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("lr").cast("double").alias("dsir_logratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "contamination_check",
     rf"""
     -- Benchmark contamination: 5-gram shingle overlap of every corpus

@@ -225,3 +225,14 @@ def test_quantize_int8_no_shuffle_map_only(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     assert plans.shuffle_count(quantize_int8(emb)) == 0
     assert plans.shuffle_count(q.queries()["embed_quantize_int8"](spark, SF_DIR)) == 0
+
+
+def test_dsir_broadcasts_ratio_table_one_doc_shuffle(spark):
+    """DSIR's 512-row log-ratio table must broadcast (never shuffle the
+    exploded term stream against it), and the only nested-loop join
+    allowed is the 1-row totals crossJoin."""
+    df = q.queries()["dsir_importance_weights"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals
+    assert "SortMergeJoin" not in plan
