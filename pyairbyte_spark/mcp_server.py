@@ -281,6 +281,82 @@ def _build_tool_defs() -> list[ToolDef]:
                 h.cache, a["sql"], max_records=int(a.get("max_records", 1000))
             ),
         ),
+        # -- ACID table maintenance (commit-log caches) ----------------------
+        ToolDef(
+            "get_table_history",
+            "Commit history (version/op/entry count) for one cached "
+            "stream's table. Requires a commit-log format cache.",
+            {
+                "type": "object",
+                "properties": {"stream_name": {"type": "string"}},
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.get_table_history(h.cache, a["stream_name"]),
+        ),
+        ToolDef(
+            "read_table_changes",
+            "Change data feed: row changes between two commit versions "
+            "(insert/update_postimage/delete), capped at max_records.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "from_version": {"type": "integer"},
+                    "to_version": {"type": "integer"},
+                    "max_records": {"type": "integer", "default": 1000},
+                },
+                "required": ["stream_name", "from_version"],
+            },
+            lambda h, a: t.read_table_changes(
+                h.cache,
+                a["stream_name"],
+                int(a["from_version"]),
+                (None if a.get("to_version") is None else int(a["to_version"])),
+                max_records=int(a.get("max_records", 1000)),
+            ),
+        ),
+        ToolDef(
+            "compact_table",
+            "OPTIMIZE-style maintenance: collapse append fragmentation "
+            "into one data dir; sort_by clusters files for data skipping.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "sort_by": {"type": "array", "items": {"type": "string"}},
+                    "target_files": {"type": "integer"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.compact_table(
+                h.cache,
+                a["stream_name"],
+                sort_by=a.get("sort_by"),
+                target_files=(
+                    None
+                    if a.get("target_files") is None
+                    else int(a["target_files"])
+                ),
+            ),
+        ),
+        ToolDef(
+            "vacuum_table",
+            "Reclaim data dirs unreferenced by the most recent commits "
+            "(disables time travel past the retained versions).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "keep_commits": {"type": "integer", "default": 1},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.vacuum_table(
+                h.cache,
+                a["stream_name"],
+                keep_commits=int(a.get("keep_commits", 1)),
+            ),
+        ),
         # -- registry browse (reference mcp/registry.py:44-289) --------------
         ToolDef(
             "list_connectors",

@@ -91,3 +91,45 @@ def run_sql_query(
     """Guarded: single-statement SELECT/DESCRIBE/SHOW/EXPLAIN only
     (raises UnsafeSQLError otherwise — same gate as local.py:753-846)."""
     return cache.run_sql_query(sql, max_records=max_records)
+
+
+# -- ACID table maintenance (commit-log caches) -------------------------------
+
+
+def get_table_history(cache: SparkCache, stream_name: str) -> list[dict[str, Any]]:
+    """Commit history for one stream's table (newest first)."""
+    return cache.table_history(stream_name)
+
+
+def read_table_changes(
+    cache: SparkCache,
+    stream_name: str,
+    from_version: int,
+    to_version: int | None = None,
+    *,
+    max_records: int = 1000,
+) -> list[dict[str, Any]]:
+    """Change data feed between two commit versions, capped at
+    ``max_records`` rows (driver-safe for tool output)."""
+    df = cache.read_stream_changes(stream_name, from_version, to_version)
+    return [row.asDict(recursive=True) for row in df.limit(max_records).collect()]
+
+
+def compact_table(
+    cache: SparkCache,
+    stream_name: str,
+    *,
+    sort_by: list[str] | None = None,
+    target_files: int | None = None,
+) -> dict[str, Any]:
+    """OPTIMIZE-style maintenance: collapse append fragmentation,
+    optionally clustering on ``sort_by`` for data skipping."""
+    return cache.compact(stream_name, sort_by=sort_by, target_files=target_files)
+
+
+def vacuum_table(
+    cache: SparkCache, stream_name: str, *, keep_commits: int = 1
+) -> dict[str, Any]:
+    """Reclaim data dirs unreferenced by the most recent commits."""
+    removed = cache.vacuum(stream_name, keep_commits=keep_commits)
+    return {"removed_dirs": removed, "kept_commits": keep_commits}

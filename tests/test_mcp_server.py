@@ -351,3 +351,67 @@ def test_argv_spec_resolution_keeps_config(tmp_path):
     script.write_text("print('noop')\n")
     src = LocalToolHost._default_resolve(f"python {script}", {"api_key": "k-1"})
     assert src.config.get("api_key") == "k-1"
+
+
+def test_acid_maintenance_tools(spark, tmp_path):
+    """history → changes → compact → vacuum over MCP, against a
+    commit-log cache; plain caches get a structured error."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    tname = cache.table_name("users")
+    df = (
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_merge(df, tname, ["id"])
+    upd = (
+        spark.createDataFrame([(1, "a2")], ["id", "v"])
+        .withColumn("_airbyte_raw_id", F.lit("z1"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_merge(upd, tname, ["id"])
+
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+
+    hist = _json.loads(
+        client.call_tool("get_table_history", {"stream_name": "users"})["content"][0]["text"]
+    )
+    assert [h["version"] for h in hist] == [2, 1]
+
+    changes = _json.loads(
+        client.call_tool(
+            "read_table_changes", {"stream_name": "users", "from_version": 1}
+        )["content"][0]["text"]
+    )
+    assert [(c["_change_type"], c["id"], c["v"]) for c in changes] == [
+        ("update_postimage", 1, "a2")
+    ]
+
+    res = _json.loads(
+        client.call_tool(
+            "compact_table", {"stream_name": "users", "sort_by": ["id"]}
+        )["content"][0]["text"]
+    )
+    assert res["compacted"] is True
+
+    vac = _json.loads(
+        client.call_tool("vacuum_table", {"stream_name": "users"})["content"][0]["text"]
+    )
+    assert isinstance(vac["removed_dirs"], list) and vac["removed_dirs"]
+
+    # plain parquet cache → error result, not a crash
+    plain = _Client(
+        McpStdioServer(
+            LocalToolHost(cache=SparkCache(spark, str(tmp_path / "plain")))
+        )
+    )
+    out = plain.call_tool("get_table_history", {"stream_name": "users"})
+    assert out.get("isError")
