@@ -1043,11 +1043,20 @@ class CommitLogTableStore(TableStore):
             if missing:
                 raise ValueError(f"sort_by columns not in table: {missing}")
             if BUCKET_COL in df.columns:
-                # Keep the bucket layout: one shuffle on the bucket,
-                # sort inside each bucket partition.
-                df = df.repartition(F.col(BUCKET_COL)).sortWithinPartitions(
-                    BUCKET_COL, *sort_by
-                )
+                # Keep the bucket layout but RANGE-partition on
+                # (bucket, sort keys): each task owns a contiguous
+                # (bucket, key) slice, so a bucket's data splits into
+                # files with disjoint key ranges — file-level skipping
+                # works inside hash buckets, not just across appends.
+                # (Plain sortWithinPartitions per bucket would leave
+                # ONE full-range file per bucket: zone maps on the
+                # cluster key would never prune.)
+                keys = [F.col(BUCKET_COL), *[F.col(c) for c in sort_by]]
+                if target_files:
+                    df = df.repartitionByRange(target_files, *keys)
+                else:
+                    df = df.repartitionByRange(*keys)
+                df = df.sortWithinPartitions(BUCKET_COL, *sort_by)
             else:
                 # target_files pins the output file count (an explicit
                 # numPartitions also opts the shuffle out of AQE

@@ -190,3 +190,23 @@ def test_cache_surface_read_where_and_clustered_compact(spark, tmp_path):
     cache.compact("s1", sort_by=["id"])
     got = cache.read_stream_where("s1", [("id", ">=", 190)])
     assert _ids(got) == list(range(190, 200))
+
+
+def test_bucketed_clustered_compact_prunes_within_buckets(spark, tmp_path):
+    """Range-partitioning on (bucket, key) must split each hash bucket
+    into disjoint-key files so zone maps prune INSIDE buckets — the
+    sort-within-one-file-per-bucket shape would never skip."""
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "m", merge_buckets=4)
+    store.write_merge(_df(spark, 0, 2000), "t", ["id"])
+    res = store.compact("t", sort_by=["id"], target_files=12)
+    assert res["compacted"]
+    plan = store.plan_scan("t", [("id", ">=", 1900)])
+    assert plan["files_total"] >= 12
+    assert plan["files_selected"] < plan["files_total"] / 2
+    got = store.read_where("t", [("id", ">=", 1900)])
+    assert _ids(got) == list(range(1900, 2000))
+    # merge after the range-clustered rewrite still targets buckets
+    upd = _df(spark, 0, 5, raw_prefix="z").withColumn("v", F.lit("X"))
+    store.write_merge(upd, "t", ["id"])
+    assert store.read("t").filter(F.col("v") == "X").count() == 5
+    assert store.read("t").count() == 2000
