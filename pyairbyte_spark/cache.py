@@ -186,12 +186,17 @@ class SparkCache(Mapping):
         stream_name: str,
         *,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         target_files: int | None = None,
     ) -> dict:
         """Collapse an append-fragmented table into one data dir;
-        ``sort_by`` clusters it for data skipping (OPTIMIZE-style)."""
+        ``sort_by`` (linear) or ``zorder_by`` (multi-dimensional)
+        clusters it for data skipping (OPTIMIZE-style)."""
         return self._acid_store().compact(
-            self.table_name(stream_name), sort_by=sort_by, target_files=target_files
+            self.table_name(stream_name),
+            sort_by=sort_by,
+            zorder_by=zorder_by,
+            target_files=target_files,
         )
 
     def read_stream_changes(

@@ -72,6 +72,12 @@ class TableStore:
         merge_salt: int | None = None,
     ) -> None:
         self.spark = spark
+        # Timestamp stats require the MICROS physical type — INT96
+        # (Spark's legacy default) writes no parquet min/max, which
+        # kills time-column zone maps (filestats.py) AND Spark's own
+        # row-group pruning. Enforce at the store level so tables are
+        # stats-complete whatever session built the store.
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         self.root = os.path.join(warehouse_dir, schema_name)
         self.merge_buckets = merge_buckets
         # Optional hot-PK salting for the merge dedup window (see
@@ -458,7 +464,14 @@ class CommitLogTableStore(TableStore):
                 for part in rel.split(os.sep):
                     if part.startswith(f"{BUCKET_COL}="):
                         bucket = int(part.split("=", 1)[1])
-                files.append({"path": rel, "bucket": bucket, **harvest_file_stats(full)})
+                files.append(
+                    {
+                        "path": rel,
+                        "bucket": bucket,
+                        "bytes": os.path.getsize(full),
+                        **harvest_file_stats(full),
+                    }
+                )
         return {"path": name, "buckets": buckets, "files": files}
 
     # -- snapshot reads -----------------------------------------------------
@@ -632,6 +645,64 @@ class CommitLogTableStore(TableStore):
                 }
             )
         return out
+
+    def table_stats(
+        self, table_name: str, *, version: int | None = None
+    ) -> dict:
+        """Snapshot statistics straight from the manifest — row count,
+        live file count, bytes, per-column min/max — NO Spark job and
+        no file I/O beyond one JSON read. The metadata-only fast path
+        for ``count(*)`` / freshness checks that a 100 TB table would
+        otherwise answer with a full scan (Delta answers these from
+        its log the same way). Returns None fields when any live file
+        predates the stats layer (then only a scan knows)."""
+        plan = self.plan_scan(table_name, None, version=version)
+        exact = all(g["paths"] is not None for g in plan["groups"])
+        man = plan["manifest"]
+        rows = 0
+        size = 0
+        col_stats: dict[str, dict] = {}
+        dead_cols: set[str] = set()
+        for e in man.get("entries") or []:
+            live = e.get("buckets")
+            for f in e.get("files") or []:
+                if (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                ):
+                    continue
+                rows += f.get("rows") or 0
+                size += f.get("bytes") or 0
+                fstats = f.get("stats") or {}
+                for c, s in fstats.items():
+                    if c == BUCKET_COL or c in dead_cols:
+                        continue
+                    cur = col_stats.get(c)
+                    if cur is None:
+                        col_stats[c] = dict(s)
+                        continue
+                    try:
+                        cur["min"] = min(cur["min"], s["min"])
+                    except TypeError:
+                        dead_cols.add(c)
+                        col_stats.pop(c, None)
+                        continue
+                    if cur.get("max") is None or s.get("max") is None:
+                        cur["max"] = None
+                    else:
+                        cur["max"] = max(cur["max"], s["max"])
+                    if cur.get("nulls") is None or s.get("nulls") is None:
+                        cur["nulls"] = None
+                    else:
+                        cur["nulls"] += s["nulls"]
+        return {
+            "rows": rows if exact else None,
+            "files": plan["files_total"] if exact else None,
+            "bytes": size if exact else None,
+            "columns": col_stats if exact else {},
+            "version": man.get("version"),
+        }
 
     # -- change data feed ---------------------------------------------------
 
@@ -1005,6 +1076,7 @@ class CommitLogTableStore(TableStore):
         table_name: str,
         *,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
         target_files: int | None = None,
     ) -> dict:
         """Rewrite the current snapshot into a single data directory
@@ -1030,15 +1102,35 @@ class CommitLogTableStore(TableStore):
         shuffle-and-write job; run it on the maintenance cadence, not
         per sync.
         """
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         snap = self._latest_commit(table_name)
         if snap is None or not snap[1].get("entries"):
             return {"compacted": False, "reason": "no snapshot"}
         version, man = snap
         n_before = len(man["entries"])
-        if n_before <= 1 and not sort_by:
+        if n_before <= 1 and not sort_by and not zorder_by:
             return {"compacted": False, "reason": "already compact"}
         df = self._read_manifest_df(table_name, man)
-        if sort_by:
+        if zorder_by:
+            # Multi-dimensional clustering: files become small
+            # hyper-rectangles in zorder_by-space, so predicates on ANY
+            # clustered column prune (linear sort_by only serves the
+            # first column). See zorder.py for the construction.
+            from pyairbyte_spark.zorder import with_zvalue
+
+            df = with_zvalue(df, zorder_by)
+            keys = (
+                [F.col(BUCKET_COL), F.col("__zvalue")]
+                if BUCKET_COL in df.columns
+                else [F.col("__zvalue")]
+            )
+            if target_files:
+                df = df.repartitionByRange(target_files, *keys)
+            else:
+                df = df.repartitionByRange(*keys)
+            df = df.sortWithinPartitions(*keys).drop("__zvalue")
+        elif sort_by:
             missing = [c for c in sort_by if c not in df.columns]
             if missing:
                 raise ValueError(f"sort_by columns not in table: {missing}")

@@ -1,0 +1,104 @@
+"""Z-order (Morton) clustering for multi-column data skipping.
+
+Linear ``sort_by`` clustering makes zone maps selective on the FIRST
+sort column only: files are disjoint in ``a``, but each spans the full
+range of ``b``, so a ``b``-only predicate prunes nothing. Z-ordering
+interleaves the bits of per-column quantile ranks, so file ranges
+become small hyper-rectangles in (a, b, …)-space and predicates on ANY
+clustered column (or combination) prune — Delta's
+``OPTIMIZE … ZORDER BY``, built from Spark primitives:
+
+1. per column: 256 rank buckets from one ``approxQuantile`` pass
+   (equi-DEPTH, so skewed distributions still fill all buckets;
+   equi-width ``width_bucket`` would collapse under skew);
+2. bucket assignment via an ``aggregate`` higher-order function over
+   the broadcast cut-point array (count of cuts ≤ value — a JVM-side
+   linear scan over ≤255 literals, no Python, no join);
+3. Morton interleave of the bucket bits with shift/and/or arithmetic;
+4. range-repartition + sort on the z-value (done by the caller,
+   ``CommitLogTableStore.compact``).
+
+The quantile collect is driver-side but bounded: (columns × 255)
+doubles, independent of table size. Everything row-wise is whole-stage
+codegen'd arithmetic.
+
+Scale: on 100 TB the approxQuantile pass is one scan; the rewrite is
+one shuffle — the same cost as linear clustering, with pruning on d
+dimensions instead of 1. Bits per column is 8 (256 buckets), plenty
+when the goal is distinguishing FILES (a 10k-file table has ~2^13.3
+files; 2 columns × 8 bits = 65536 cells).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 8  # rank bits per column (256 equi-depth buckets)
+
+
+def _rank_bucket(col: Column, cuts: list[float]) -> Column:
+    """Equi-depth bucket index: how many cut points are ≤ value.
+    NULLs fall to bucket 0 (clustered together, never pruned away —
+    conservative for is_null predicates)."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc + F.when(col >= c, F.lit(1)).otherwise(F.lit(0)),
+    )
+
+
+def _morton_interleave(buckets: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` low bits of each bucket column: bit i of
+    column j lands at position i*k + j."""
+    k = len(buckets)
+    terms = [
+        F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), i * k + j)
+        for i in range(bits)
+        for j, b in enumerate(buckets)
+    ]
+    return reduce(add, terms)
+
+
+def with_zvalue(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    out_col: str = "__zvalue",
+    bits: int = ZBITS,
+) -> DataFrame:
+    """Append the Morton z-value of ``columns`` (numeric / date /
+    timestamp / boolean — strings need a rank proxy; use linear
+    ``sort_by`` for those)."""
+    if not columns:
+        raise ValueError("zorder requires at least one column")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"zorder columns not in table: {missing}")
+    n_buckets = 1 << bits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    numeric = df.select(
+        *[F.col(c).cast("timestamp").cast("double").alias(c)
+          if dict(df.dtypes)[c] in ("date",)
+          else F.col(c).cast("double").alias(c)
+          for c in columns]
+    )
+    all_cuts = numeric.stat.approxQuantile(columns, probs, 0.01)
+    bucket_cols = []
+    for c, cuts in zip(columns, all_cuts):
+        if not cuts:
+            bucket_cols.append(F.lit(0))
+            continue
+        val = (
+            F.col(c).cast("timestamp").cast("double")
+            if dict(df.dtypes)[c] == "date"
+            else F.col(c).cast("double")
+        )
+        bucket_cols.append(_rank_bucket(val, cuts))
+    return df.withColumn(
+        out_col, _morton_interleave(bucket_cols, bits).cast("long")
+    )

@@ -210,3 +210,44 @@ def test_bucketed_clustered_compact_prunes_within_buckets(spark, tmp_path):
     store.write_merge(upd, "t", ["id"])
     assert store.read("t").filter(F.col("v") == "X").count() == 5
     assert store.read("t").count() == 2000
+
+
+def test_table_stats_metadata_only(spark, store):
+    store.write_append(_df(spark, 0, 100), "t")
+    store.write_append(_df(spark, 100, 150), "t")
+    st = store.table_stats("t")
+    assert st["rows"] == 150
+    assert st["files"] == 2
+    assert st["bytes"] > 0
+    assert st["columns"]["id"]["min"] == 0
+    assert st["columns"]["id"]["max"] == 149
+    assert st["version"] == 2
+    # agrees with an actual scan
+    assert st["rows"] == store.read("t").count()
+
+
+def test_table_stats_bucketed_excludes_superseded(spark, tmp_path):
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "m", merge_buckets=8)
+    store.write_merge(_df(spark, 0, 200), "t", ["id"])
+    store.write_merge(
+        _df(spark, 0, 20, raw_prefix="s").withColumn("v", F.lit("N")), "t", ["id"]
+    )
+    st = store.table_stats("t")
+    assert st["rows"] == 200 == store.read("t").count()
+
+
+def test_table_stats_pre_stats_manifest_returns_unknown(spark, store):
+    import json
+
+    store.write_append(_df(spark, 0, 10), "t")
+    d = store._commits_dir("t")
+    (name,) = [n for n in os.listdir(d) if n.endswith(".json")]
+    p = os.path.join(d, name)
+    with open(p) as fh:
+        man = json.load(fh)
+    for e in man["entries"]:
+        e.pop("files", None)
+    with open(p, "w") as fh:
+        json.dump(man, fh)
+    st = store.table_stats("t")
+    assert st["rows"] is None and st["files"] is None

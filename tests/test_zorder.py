@@ -1,0 +1,138 @@
+"""Z-order clustering: Morton interleave correctness + the pruning
+property that motivates it (predicates on EITHER clustered column
+prune files; linear sort only serves its first column)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.writers import CommitLogTableStore
+from pyairbyte_spark.zorder import _morton_interleave, with_zvalue
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _grid(spark, n=64):
+    """n×n grid of (x, y) points, one row each, shuffled file layout."""
+    return (
+        spark.range(n * n)
+        .select(
+            (F.col("id") % n).alias("x"),
+            (F.col("id") / n).cast("long").alias("y"),
+        )
+        .withColumn("_airbyte_raw_id", F.col("x") * 1000 + F.col("y"))
+        .withColumn("_airbyte_raw_id", F.col("_airbyte_raw_id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+
+
+def test_morton_interleave_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], ["a", "b"]
+    )
+    z = df.select(
+        "a", "b", _morton_interleave([F.col("a"), F.col("b")], 4).alias("z")
+    )
+    got = {(r["a"], r["b"]): r["z"] for r in z.collect()}
+    # bit i of col j → position i*2 + j
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(1, 1)] == 3
+    # a=3 (011) → bits 0,2 ; b=5 (101) → bits 1,5 → 1+4 + 2+32 = 39
+    assert got[(3, 5)] == 0b100111
+
+
+def test_with_zvalue_orders_ranks_not_magnitudes(spark):
+    """Equi-depth ranks: wildly skewed magnitudes still spread over
+    the bucket range (the reason width_bucket isn't used)."""
+    rows = [(float(10**i),) for i in range(1, 9)] * 8
+    df = spark.createDataFrame(rows, ["v"])
+    z = with_zvalue(df, ["v"])
+    n_distinct = z.select("__zvalue").distinct().count()
+    assert n_distinct >= 8
+
+
+def test_zvalue_validates_columns(spark):
+    df = spark.range(10)
+    with pytest.raises(ValueError, match="not in table"):
+        with_zvalue(df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        with_zvalue(df, [])
+
+
+def test_zorder_compact_prunes_on_both_dimensions(spark, store):
+    store.write_append(_grid(spark).repartition(8), "t")
+    res = store.compact("t", zorder_by=["x", "y"], target_files=16)
+    assert res["compacted"]
+    total = store.plan_scan("t")["files_total"]
+    assert total == 16
+    x_sel = store.plan_scan("t", [("x", "<", 8)])["files_selected"]
+    y_sel = store.plan_scan("t", [("y", "<", 8)])["files_selected"]
+    # an eighth of the grid in either dimension: both prune hard
+    assert x_sel <= total / 2, (x_sel, total)
+    assert y_sel <= total / 2, (y_sel, total)
+    # point-ish box query prunes hardest
+    box = store.plan_scan("t", [("x", "<", 8), ("y", "<", 8)])["files_selected"]
+    assert box <= 2
+    # and results stay exact
+    got = store.read_where("t", [("x", "<", 8), ("y", "<", 8)]).count()
+    assert got == 64
+
+
+def test_linear_sort_cannot_prune_second_dim_but_zorder_can(spark, store):
+    store.write_append(_grid(spark).repartition(8), "t")
+    store.compact("t", sort_by=["x", "y"], target_files=16)
+    lin_y = store.plan_scan("t", [("y", "<", 8)])
+    # every x-sorted file spans the full y range → no pruning
+    assert lin_y["files_selected"] == lin_y["files_total"]
+    store.compact("t", zorder_by=["x", "y"], target_files=16)
+    z_y = store.plan_scan("t", [("y", "<", 8)])
+    assert z_y["files_selected"] < z_y["files_total"] / 2
+
+
+def test_zorder_bucketed_table_keeps_layout(spark, tmp_path):
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "m", merge_buckets=4)
+    g = _grid(spark, 32)
+    store.write_merge(g, "t", ["_airbyte_raw_id"])
+    res = store.compact("t", zorder_by=["x", "y"], target_files=16)
+    assert res["compacted"]
+    man = store._latest_commit("t")[1]
+    assert man["merge_buckets"] == 4
+    assert store.read("t").count() == 32 * 32
+    # merge still works after the zordered rewrite
+    upd = _grid(spark, 2).withColumn("x", F.lit(999))
+    store.write_merge(upd, "t", ["_airbyte_raw_id"])
+    assert store.read("t").filter(F.col("x") == 999).count() == 4
+
+
+def test_sort_and_zorder_mutually_exclusive(spark, store):
+    store.write_append(_grid(spark, 4), "t")
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        store.compact("t", sort_by=["x"], zorder_by=["y"])
+
+
+def test_zorder_timestamp_column(spark, store):
+    df = (
+        spark.range(256)
+        .select(
+            F.col("id").alias("k"),
+            F.timestamp_seconds(F.col("id") * 86400 + 1500000000).alias("ts"),
+            (F.col("id") % 16).alias("g"),
+        )
+        .withColumn("_airbyte_raw_id", F.col("k").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    store.write_append(df.repartition(4), "t")
+    res = store.compact("t", zorder_by=["ts", "g"], target_files=8)
+    assert res["compacted"]
+    import datetime
+
+    cutoff = datetime.datetime.utcfromtimestamp(1500000000 + 32 * 86400)
+    plan = store.plan_scan("t", [("ts", "<", cutoff)])
+    assert plan["files_selected"] < plan["files_total"]
+    assert store.read_where("t", [("ts", "<", cutoff)]).count() == 32
