@@ -2982,6 +2982,102 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "split_train_val_test",
+    r"""
+    -- Deterministic hash split: every doc lands in train/val/test by
+    -- the first 15 hex digits of md5(doc_id) — stable across runs,
+    -- engines, partitionings and table growth (a doc never changes
+    -- split when the corpus does; random() could not promise any of
+    -- this). 80/10/10 by hash range.
+    WITH h AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split|' || doc_id), 1, 15))::BIGINT AS hv
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN hv % 10 < 8 THEN 'train'
+                WHEN hv % 10 = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    ORDER BY doc_id
+    """,
+    "Deterministic 80/10/10 train/val/test assignment via md5 hash "
+    "ranges — map-only projection, no shuffle, stable under corpus "
+    "growth and re-partitioning",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pipeline split assignment. Hash-range splits (not
+    random()) so membership is a pure function of the document id:
+    re-runs, engine changes and corpus growth never migrate a doc
+    between splits — the property that keeps eval sets uncontaminated
+    as the corpus evolves. Map-only: no shuffle at any scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = F.pmod(hv, F.lit(10))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(bucket < 8, "train")
+            .when(bucket == 8, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "quality_report_by_source",
+    r"""
+    -- Per-source curation dashboard: volume, size, language mix and
+    -- the short-doc fraction a filter pass would drop.
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+             AS avg_chars,
+           count(DISTINCT lang) AS n_langs,
+           CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_english,
+           CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_short
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    "Per-source corpus report (docs, chars, language mix, short-doc "
+    "count) — one groupBy on the low-cardinality source key, map-side "
+    "partials do the work",
+)
+def quality_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("source", "lang", "n_chars")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_english"),
+            F.sum(F.when(F.col("n_chars") < 200, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_short"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "dsir_importance_weights",
     r"""
     -- DSIR (Xie et al. 2023): hashed-unigram importance weights.
