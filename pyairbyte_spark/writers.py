@@ -76,8 +76,13 @@ class TableStore:
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
         # row-group pruning. Enforce at the store level so tables are
-        # stats-complete whatever session built the store.
-        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # stats-complete whatever session built the store. (spark=None
+        # is allowed for manifest-only access, e.g. the streaming tail
+        # reader, which never runs a DF operation.)
+        if spark is not None:
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
         self.root = os.path.join(warehouse_dir, schema_name)
         self.merge_buckets = merge_buckets
         # Optional hot-PK salting for the merge dedup window (see

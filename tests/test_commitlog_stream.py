@@ -1,0 +1,137 @@
+"""commitlog_feed: the ACID store as a native readStream source
+(commit version = Spark offset)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from pyairbyte_spark.sources.commitlog_stream import (
+    CommitLogFeedDataSource,
+    CommitLogTailReader,
+    register,
+)
+from pyairbyte_spark.writers import CommitLogTableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _df(spark, lo, hi, raw_prefix="r"):
+    return (
+        spark.range(lo, hi)
+        .toDF("id")
+        .withColumn("v", F.concat(F.lit("v"), F.col("id").cast("string")))
+        .withColumn("_airbyte_raw_id", F.concat(F.lit(raw_prefix), F.col("id")))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+        .coalesce(1)
+    )
+
+
+def _drain(spark, store, table, name, tmp_path, start_version=0):
+    """Run the feed to a parquet sink (memory sink can't recover from
+    a checkpoint, and recovery is exactly what's under test)."""
+    register(spark)
+    reader = (
+        spark.readStream.format("commitlog_feed")
+        .option("path", store.table_path(table))
+    )
+    if start_version:
+        reader = reader.option("start_version", str(start_version))
+    out = str(tmp_path / f"out-{name}")
+    q = (
+        reader.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / f"ckpt-{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_schema_inference_adds_version_stamp(spark, store):
+    store.write_append(_df(spark, 0, 5), "t")
+    ds = CommitLogFeedDataSource(
+        options={"path": store.table_path("t")}
+    )
+    schema = ds.schema()
+    assert isinstance(schema, StructType)
+    assert schema.fieldNames()[-1] == "_commit_version"
+    assert "id" in schema.fieldNames() and "v" in schema.fieldNames()
+
+
+def test_stream_tails_appends_with_versions(spark, store, tmp_path):
+    store.write_append(_df(spark, 0, 3), "t")
+    store.write_append(_df(spark, 3, 5), "t")
+    got = _drain(spark, store, "t", "clf_tail", tmp_path)
+    rows = sorted(
+        (r["id"], r["v"], r["_commit_version"]) for r in got.collect()
+    )
+    assert rows == [
+        (0, "v0", 1),
+        (1, "v1", 1),
+        (2, "v2", 1),
+        (3, "v3", 2),
+        (4, "v4", 2),
+    ]
+
+
+def test_stream_resumes_from_checkpoint(spark, store, tmp_path):
+    store.write_append(_df(spark, 0, 3), "t")
+    first = _drain(spark, store, "t", "clf_resume", tmp_path)
+    assert first.count() == 3
+    store.write_append(_df(spark, 3, 7), "t")
+    # same checkpoint + same memory sink: only the new commit arrives
+    again = _drain(spark, store, "t", "clf_resume", tmp_path)
+    assert again.count() == 3 + 4
+    assert (
+        again.filter(F.col("_commit_version") == 2).count() == 4
+    )
+
+
+def test_start_version_skips_history(spark, store, tmp_path):
+    store.write_append(_df(spark, 0, 100), "t")
+    store.write_append(_df(spark, 100, 105), "t")
+    got = _drain(spark, store, "t", "clf_skip", tmp_path, start_version=1)
+    assert sorted(r["id"] for r in got.collect()) == list(range(100, 105))
+
+
+def test_compact_commits_emit_no_rows(spark, store, tmp_path):
+    store.write_append(_df(spark, 0, 3), "t")
+    first = _drain(spark, store, "t", "clf_compact", tmp_path)
+    assert first.count() == 3
+    store.write_append(_df(spark, 3, 5), "t")
+    store.compact("t")
+    again = _drain(spark, store, "t", "clf_compact", tmp_path)
+    assert again.count() == 5  # 2 new rows, nothing re-emitted by compact
+
+
+def test_merge_table_rejected_with_guidance(spark, store):
+    store.write_merge(_df(spark, 0, 3), "t", ["id"])
+    from pyspark.sql.types import LongType, StructField
+
+    schema = StructType([StructField("id", LongType())])
+    reader = CommitLogTailReader(schema, {"path": store.table_path("t")})
+    with pytest.raises(ValueError, match="ChangeFeedFollower"):
+        reader.read({"version": 0})
+
+
+def test_reader_direct_offset_window(spark, store):
+    """readBetweenOffsets replays a bounded window exactly."""
+    store.write_append(_df(spark, 0, 3), "t")
+    store.write_append(_df(spark, 3, 5), "t")
+    store.write_append(_df(spark, 5, 6), "t")
+    from pyspark.sql.types import LongType, StructField
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("_commit_version", LongType())]
+    )
+    reader = CommitLogTailReader(schema, {"path": store.table_path("t")})
+    rows = list(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
+    assert sorted(r[0] for r in rows) == [3, 4]
+    assert {r[1] for r in rows} == {2}
