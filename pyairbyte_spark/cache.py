@@ -199,6 +199,15 @@ class SparkCache(Mapping):
             target_files=target_files,
         )
 
+    def delete_stream_where(
+        self, stream_name: str, predicates: list[tuple]
+    ) -> dict:
+        """File-pruned DELETE (SQL semantics: TRUE deletes, NULL
+        stays); one atomic commit, time travel preserved until vacuum."""
+        return self._acid_store().delete_where(
+            self.table_name(stream_name), predicates
+        )
+
     def read_stream_changes(
         self,
         stream_name: str,

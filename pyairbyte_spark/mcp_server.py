@@ -340,6 +340,27 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "delete_table_rows",
+            "File-pruned DELETE FROM <stream> WHERE <predicates>. "
+            "Predicates: [[col, op, value], ...] with ops = < <= > >= "
+            "in is_null not_null (conjunctive; SQL semantics — NULL "
+            "result keeps the row).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "predicates": {
+                        "type": "array",
+                        "items": {"type": "array"},
+                    },
+                },
+                "required": ["stream_name", "predicates"],
+            },
+            lambda h, a: t.delete_table_rows(
+                h.cache, a["stream_name"], a["predicates"]
+            ),
+        ),
+        ToolDef(
             "vacuum_table",
             "Reclaim data dirs unreferenced by the most recent commits "
             "(disables time travel past the retained versions).",

@@ -127,6 +127,19 @@ def compact_table(
     return cache.compact(stream_name, sort_by=sort_by, target_files=target_files)
 
 
+def delete_table_rows(
+    cache: SparkCache,
+    stream_name: str,
+    predicates: list[list],
+) -> dict[str, Any]:
+    """File-pruned DELETE FROM <stream> WHERE <conjunctive predicates>.
+    Predicates are [col, op, value] triples (ops: = < <= > >= in
+    is_null not_null). Returns deleted_rows / files_rewritten."""
+    return cache.delete_stream_where(
+        stream_name, [tuple(p) for p in predicates]
+    )
+
+
 def vacuum_table(
     cache: SparkCache, stream_name: str, *, keep_commits: int = 1
 ) -> dict[str, Any]:

@@ -491,13 +491,41 @@ class CommitLogTableStore(TableStore):
         parts: list[DataFrame] = []
         for e in entries:
             p = os.path.join(self.table_path(table_name), e["path"])
-            part = self.spark.read.option("mergeSchema", "true").parquet(p)
             live = e.get("buckets")
-            if live is not None and BUCKET_COL in part.columns:
-                # Partition-pruned: only this dir's LIVE buckets are read;
-                # superseded bucket data never reaches the scan.
-                part = part.filter(F.col(BUCKET_COL).isin(live))
+            files = e.get("files")
+            if files is not None:
+                # The manifest's file list is AUTHORITATIVE: deletes
+                # shrink it below the directory's contents, so reading
+                # the dir would resurrect deleted rows. Addressing
+                # files also skips the FS listing and applies bucket
+                # liveness per file instead of row-filtering.
+                paths = [
+                    os.path.join(p, f["path"])
+                    for f in files
+                    if (
+                        live is None
+                        or f.get("bucket") is None
+                        or f["bucket"] in live
+                    )
+                ]
+                if not paths:
+                    continue
+                part = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", p)
+                    .parquet(*paths)
+                )
+            else:
+                part = self.spark.read.option("mergeSchema", "true").parquet(p)
+                if live is not None and BUCKET_COL in part.columns:
+                    # Partition-pruned: only this dir's LIVE buckets
+                    # are read; superseded data never reaches the scan.
+                    part = part.filter(F.col(BUCKET_COL).isin(live))
             parts.append(part)
+        if not parts:
+            raise FileNotFoundError(
+                f"table {table_name!r} snapshot has no live files"
+            )
         out = parts[0]
         for part in parts[1:]:
             out = out.unionByName(part, allowMissingColumns=True)
@@ -814,6 +842,43 @@ class CommitLogTableStore(TableStore):
             deletes = _tag(self._entries_df(table_name, prev_entries), "delete")
             return deletes.unionByName(inserts, allowMissingColumns=True)
 
+        if op == "delete":
+            # Deleted rows = touched-file rows minus the staged keeps.
+            # A predicate delete is value-determined (two identical
+            # rows either both match or both stay), so the digest-only
+            # anti-join is exact.
+            touched = man.get("touched") or []
+            if not touched:
+                return None
+            by_dir: dict[str, list[str]] = {}
+            for t_path in touched:
+                d, _, rel = t_path.partition("/")
+                by_dir.setdefault(d, []).append(rel)
+            old_parts = []
+            for d, rels in by_dir.items():
+                base = os.path.join(self.table_path(table_name), d)
+                old_parts.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", base)
+                    .parquet(*[os.path.join(base, r) for r in rels])
+                )
+            old_rows = old_parts[0]
+            for p in old_parts[1:]:
+                old_rows = old_rows.unionByName(p, allowMissingColumns=True)
+            keep_d = None
+            if new_entries:
+                keep_rows = self._entries_df(table_name, new_entries)
+                keep_d = keep_rows.select(
+                    self._row_digest(keep_rows).alias("__d")
+                ).distinct()
+            old_d = old_rows.withColumn("__d", self._row_digest(old_rows))
+            deleted = (
+                old_d.join(keep_d, on="__d", how="left_anti")
+                if keep_d is not None
+                else old_d
+            ).drop("__d")
+            return _tag(deleted, "delete")
+
         if op == "merge":
             if not new_entries:
                 return None
@@ -1007,7 +1072,11 @@ class CommitLogTableStore(TableStore):
                     b for b in (e.get("buckets") or []) if b not in touched_set
                 ]
                 if remaining:
-                    new_entries.append({"path": e["path"], "buckets": remaining})
+                    # Carry the WHOLE entry (esp. its file list — after a
+                    # delete the list is authoritative; rebuilding the
+                    # entry bare would fall back to a directory read and
+                    # resurrect deleted files).
+                    new_entries.append({**e, "buckets": remaining})
             new_entries.append(entry)
             self._commit(
                 table_name,
@@ -1044,6 +1113,115 @@ class CommitLogTableStore(TableStore):
             },
             version + 1,
         )
+
+    def delete_where(self, table_name: str, predicates: list[tuple]) -> dict:
+        """File-pruned DELETE: rewrite only the files whose zone maps
+        admit a match, publish one atomic commit (op="delete") —
+        Delta's ``DELETE FROM … WHERE`` for the commit-log store, the
+        GDPR/retention primitive a plain parquet directory cannot do
+        safely.
+
+        Predicate semantics are SQL DELETE: rows where the predicate
+        is TRUE go; FALSE and NULL stay. Cost scales with the MATCHING
+        files, not the table — on a clustered table a point delete
+        rewrites one file. Untouched files are carried by reference
+        (the manifest's file list is authoritative; `_entries_df`
+        never re-lists directories). Deleted bytes are physically
+        reclaimed by the next ``compact`` + ``vacuum``; until then
+        time travel to pre-delete versions still works.
+
+        Returns ``{"deleted_rows", "files_rewritten", "version"}``.
+        ``deleted_rows`` comes from manifest arithmetic (touched-file
+        rows minus staged keep rows) — no counting job.
+        """
+        from pyairbyte_spark.filestats import (
+            file_may_match,
+            normalize_predicates,
+            predicates_to_column,
+        )
+
+        preds = normalize_predicates(list(predicates))
+        if not preds:
+            raise ValueError(
+                "delete_where requires predicates; use drop() to remove a table"
+            )
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        if any(e.get("files") is None for e in man["entries"]):
+            raise ValueError(
+                "delete_where needs per-file stats in the manifest; run "
+                "compact() once to migrate this pre-stats table"
+            )
+        keep_entries: list[dict] = []
+        touched_paths: list[str] = []
+        touched_rows = 0
+        parts: list[DataFrame] = []
+        for e in man["entries"]:
+            live = e.get("buckets")
+            kept_files: list[dict] = []
+            touched_files: list[dict] = []
+            for f in e["files"]:
+                dead = (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                )
+                if not dead and file_may_match(f, preds):
+                    touched_files.append(f)
+                else:
+                    kept_files.append(f)
+            if touched_files:
+                base = os.path.join(self.table_path(table_name), e["path"])
+                parts.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", base)
+                    .parquet(
+                        *[os.path.join(base, f["path"]) for f in touched_files]
+                    )
+                )
+                touched_paths.extend(
+                    f'{e["path"]}/{f["path"]}' for f in touched_files
+                )
+                touched_rows += sum(f.get("rows") or 0 for f in touched_files)
+            if kept_files:
+                keep_entries.append({**e, "files": kept_files})
+        if not parts:
+            return {
+                "deleted_rows": 0,
+                "files_rewritten": 0,
+                "version": version,
+            }
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p, allowMissingColumns=True)
+        cond = predicates_to_column(preds)
+        keep_df = union.filter(~F.coalesce(cond, F.lit(False)))
+        entry = self._stage(keep_df, table_name)
+        staged_rows = sum(f.get("rows") or 0 for f in entry["files"])
+        if entry["files"]:
+            keep_entries.append(entry)
+        self._commit(
+            table_name,
+            {
+                "op": "delete",
+                "merge_buckets": man.get("merge_buckets"),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                "entries": keep_entries,
+                "touched": touched_paths,
+            },
+            version + 1,
+        )
+        return {
+            "deleted_rows": touched_rows - staged_rows,
+            "files_rewritten": len(touched_paths),
+            "version": version + 1,
+        }
 
     # -- maintenance --------------------------------------------------------
 

@@ -415,3 +415,31 @@ def test_acid_maintenance_tools(spark, tmp_path):
     )
     out = plain.call_tool("get_table_history", {"stream_name": "users"})
     assert out.get("isError")
+
+
+def test_delete_table_rows_tool(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    df = (
+        spark.range(20)
+        .toDF("id")
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_append(df.coalesce(1), cache.table_name("users"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "delete_table_rows",
+            {"stream_name": "users", "predicates": [["id", ">=", 15]]},
+        )["content"][0]["text"]
+    )
+    assert out["deleted_rows"] == 5
+    assert cache.store.read(cache.table_name("users")).count() == 15
