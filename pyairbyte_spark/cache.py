@@ -208,6 +208,18 @@ class SparkCache(Mapping):
             self.table_name(stream_name), predicates
         )
 
+    def update_stream_where(
+        self,
+        stream_name: str,
+        predicates: list[tuple],
+        assignments: dict,
+    ) -> dict:
+        """File-pruned UPDATE … SET … WHERE (pre-update-value
+        semantics); one atomic commit."""
+        return self._acid_store().update_where(
+            self.table_name(stream_name), predicates, assignments
+        )
+
     def read_stream_changes(
         self,
         stream_name: str,

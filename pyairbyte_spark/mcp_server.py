@@ -361,6 +361,27 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "update_table_rows",
+            "File-pruned UPDATE <stream> SET <assignments> WHERE "
+            "<predicates>. Assignments map column -> SQL expression "
+            "(evaluated against pre-update values).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "predicates": {
+                        "type": "array",
+                        "items": {"type": "array"},
+                    },
+                    "assignments": {"type": "object"},
+                },
+                "required": ["stream_name", "predicates", "assignments"],
+            },
+            lambda h, a: t.update_table_rows(
+                h.cache, a["stream_name"], a["predicates"], a["assignments"]
+            ),
+        ),
+        ToolDef(
             "vacuum_table",
             "Reclaim data dirs unreferenced by the most recent commits "
             "(disables time travel past the retained versions).",

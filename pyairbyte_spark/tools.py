@@ -140,6 +140,20 @@ def delete_table_rows(
     )
 
 
+def update_table_rows(
+    cache: SparkCache,
+    stream_name: str,
+    predicates: list[list],
+    assignments: dict[str, str],
+) -> dict[str, Any]:
+    """File-pruned UPDATE <stream> SET <assignments> WHERE <predicates>.
+    Assignments map column → SQL expression evaluated against the
+    row's PRE-update values."""
+    return cache.update_stream_where(
+        stream_name, [tuple(p) for p in predicates], dict(assignments)
+    )
+
+
 def vacuum_table(
     cache: SparkCache, stream_name: str, *, keep_commits: int = 1
 ) -> dict[str, Any]:

@@ -842,10 +842,11 @@ class CommitLogTableStore(TableStore):
             deletes = _tag(self._entries_df(table_name, prev_entries), "delete")
             return deletes.unionByName(inserts, allowMissingColumns=True)
 
-        if op == "delete":
-            # Deleted rows = touched-file rows minus the staged keeps.
-            # A predicate delete is value-determined (two identical
-            # rows either both match or both stay), so the digest-only
+        if op in ("delete", "update"):
+            # delete: rows of the touched files minus the staged keeps.
+            # update: staged rows minus the touched files' prior rows
+            # (post-images; a no-op assignment emits nothing). Both are
+            # value-determined per predicate, so the digest-only
             # anti-join is exact.
             touched = man.get("touched") or []
             if not touched:
@@ -865,6 +866,19 @@ class CommitLogTableStore(TableStore):
             old_rows = old_parts[0]
             for p in old_parts[1:]:
                 old_rows = old_rows.unionByName(p, allowMissingColumns=True)
+            if op == "update":
+                if not new_entries:
+                    return None
+                staged = self._entries_df(table_name, new_entries)
+                old_d = old_rows.select(
+                    self._row_digest(old_rows).alias("__d")
+                ).distinct()
+                changed = (
+                    staged.withColumn("__d", self._row_digest(staged))
+                    .join(old_d, on="__d", how="left_anti")
+                    .drop("__d")
+                )
+                return _tag(changed, "update_postimage")
             keep_d = None
             if new_entries:
                 keep_rows = self._entries_df(table_name, new_entries)
@@ -1219,6 +1233,138 @@ class CommitLogTableStore(TableStore):
         )
         return {
             "deleted_rows": touched_rows - staged_rows,
+            "files_rewritten": len(touched_paths),
+            "version": version + 1,
+        }
+
+    def update_where(
+        self,
+        table_name: str,
+        predicates: list[tuple],
+        assignments: dict[str, "Column | str"],
+    ) -> dict:
+        """File-pruned UPDATE: rewrite only the files whose zone maps
+        admit a predicate match, applying ``assignments`` (column →
+        Column or SQL expression string) to the matching rows; one
+        atomic op="update" commit — ``UPDATE … SET … WHERE`` for the
+        commit-log store, same pruning story as :meth:`delete_where`.
+
+        Non-matching rows in touched files are rewritten verbatim;
+        untouched files carry by reference. The change feed emits the
+        post-update rows as ``update_postimage`` (digest diff against
+        the touched files' prior content, so a no-op assignment emits
+        nothing). Returns ``{"updated_rows", "files_rewritten",
+        "version"}`` — updated_rows counted during the rewrite via
+        ``observe`` (no extra job).
+        """
+        from pyspark.sql import Observation
+
+        from pyairbyte_spark.filestats import (
+            file_may_match,
+            normalize_predicates,
+            predicates_to_column,
+        )
+
+        preds = normalize_predicates(list(predicates))
+        if not preds:
+            raise ValueError("update_where requires predicates")
+        if not assignments:
+            raise ValueError("update_where requires assignments")
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        if any(e.get("files") is None for e in man["entries"]):
+            raise ValueError(
+                "update_where needs per-file stats in the manifest; run "
+                "compact() once to migrate this pre-stats table"
+            )
+        keep_entries: list[dict] = []
+        touched_paths: list[str] = []
+        parts: list[DataFrame] = []
+        for e in man["entries"]:
+            live = e.get("buckets")
+            kept_files: list[dict] = []
+            touched_files: list[dict] = []
+            for f in e["files"]:
+                dead = (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                )
+                if not dead and file_may_match(f, preds):
+                    touched_files.append(f)
+                else:
+                    kept_files.append(f)
+            if touched_files:
+                base = os.path.join(self.table_path(table_name), e["path"])
+                parts.append(
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", base)
+                    .parquet(
+                        *[os.path.join(base, f["path"]) for f in touched_files]
+                    )
+                )
+                touched_paths.extend(
+                    f'{e["path"]}/{f["path"]}' for f in touched_files
+                )
+            if kept_files:
+                keep_entries.append({**e, "files": kept_files})
+        if not parts:
+            return {"updated_rows": 0, "files_rewritten": 0, "version": version}
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p, allowMissingColumns=True)
+        cond = F.coalesce(predicates_to_column(preds), F.lit(False))
+        obs = Observation()
+        union = union.observe(
+            obs, F.sum(cond.cast("long")).alias("updated_rows")
+        )
+        for col_name in assignments:
+            if col_name in (AB_RAW_ID_COLUMN, AB_EXTRACTED_AT_COLUMN, BUCKET_COL):
+                raise ValueError(f"cannot update bookkeeping column {col_name!r}")
+            if col_name not in union.columns:
+                raise ValueError(f"unknown column {col_name!r}")
+        # ONE projection: every RHS and the predicate see PRE-update
+        # values (SQL UPDATE semantics; chained withColumn would feed
+        # each assignment the previous one's output).
+        updated = union.select(
+            *[
+                F.when(
+                    cond,
+                    (
+                        F.expr(assignments[c])
+                        if isinstance(assignments[c], str)
+                        else assignments[c]
+                    ),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in union.columns
+            ]
+        )
+        entry = self._stage(updated, table_name)
+        if entry["files"]:
+            keep_entries.append(entry)
+        self._commit(
+            table_name,
+            {
+                "op": "update",
+                "merge_buckets": man.get("merge_buckets"),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                "entries": keep_entries,
+                "touched": touched_paths,
+            },
+            version + 1,
+        )
+        return {
+            "updated_rows": int(obs.get["updated_rows"] or 0),
             "files_rewritten": len(touched_paths),
             "version": version + 1,
         }

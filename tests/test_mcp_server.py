@@ -443,3 +443,37 @@ def test_delete_table_rows_tool(spark, tmp_path):
     )
     assert out["deleted_rows"] == 5
     assert cache.store.read(cache.table_name("users")).count() == 15
+
+
+def test_update_table_rows_tool(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    df = (
+        spark.range(10)
+        .toDF("id")
+        .withColumn("status", F.lit("new"))
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_append(df.coalesce(1), cache.table_name("users"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "update_table_rows",
+            {
+                "stream_name": "users",
+                "predicates": [["id", "<", 3]],
+                "assignments": {"status": "'done'"},
+            },
+        )["content"][0]["text"]
+    )
+    assert out["updated_rows"] == 3
+    got = cache.store.read(cache.table_name("users"))
+    assert got.filter(F.col("status") == "done").count() == 3
