@@ -32,6 +32,8 @@ class CacheStreamingSink:
         method: WriteMethod = WriteMethod.APPEND,
         primary_keys: list[str] | None = None,
         cursor_col: str | None = None,
+        expectations: dict | None = None,
+        on_violation: str = "drop",
     ) -> None:
         self.cache = cache
         self.stream_name = stream_name
@@ -39,6 +41,13 @@ class CacheStreamingSink:
         self.method = method
         self.primary_keys = primary_keys or []
         self.cursor_col = cursor_col
+        # Per-micro-batch CHECK enforcement (expectations.py). The
+        # streaming default is "drop" — "fail" kills the QUERY on one
+        # bad record, which is rarely the wanted contract for an
+        # unbounded source; quarantine lands rejects beside the data.
+        self.expectations = expectations
+        self.on_violation = on_violation
+        self.violation_totals: dict[str, int] = {}
 
     def _committed_epoch(self) -> int:
         provider = self.cache.get_state_provider(self.source_name)
@@ -53,9 +62,19 @@ class CacheStreamingSink:
             return  # replayed epoch after restart → already committed
         data = with_metadata_columns(batch_df)
         # 1. data commit
-        self.cache.write_dataframe(
-            data, self.stream_name, self.method, self.primary_keys
+        counts = self.cache.write_dataframe(
+            data,
+            self.stream_name,
+            self.method,
+            self.primary_keys,
+            expectations=self.expectations,
+            on_violation=self.on_violation,
         )
+        if counts:
+            for name, n in counts.items():
+                self.violation_totals[name] = (
+                    self.violation_totals.get(name, 0) + n
+                )
         # 2. THEN state commit (cursor high-water mark + epoch id)
         state: dict = {"epoch_id": epoch_id}
         if self.cursor_col and self.cursor_col in batch_df.columns:

@@ -500,3 +500,23 @@ def test_match_sequence_event_ttl_evicts_stale_partial(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT * FROM cep_evttl_out").count() == 0
+
+
+def test_cache_sink_expectations_quarantine(spark, cache, tmp_path, event_dir):
+    """Per-micro-batch CHECK enforcement: violators route to the
+    quarantine table, totals accumulate across batches."""
+    stream = stream_from_parquet_dir(spark, event_dir, SCHEMA)
+    sink = CacheStreamingSink(
+        cache,
+        "ev_checked",
+        source_name="stream-src",
+        method=WriteMethod.APPEND,
+        expectations={"clicks_only": "event_type = 'click'"},
+        on_violation="quarantine",
+    )
+    q = sink.attach(stream, checkpoint_dir=str(tmp_path / "ckpt-exp"))
+    q.awaitTermination()
+    assert len(cache["ev_checked"]) == 30  # half the 60 events are clicks
+    quarantined = cache.store.read(cache.table_name("ev_checked_quarantine"))
+    assert quarantined.count() == 30
+    assert sink.violation_totals == {"clicks_only": 30}
