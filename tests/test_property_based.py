@@ -287,3 +287,87 @@ def test_commitlog_store_matches_model(spark, tmp_path_factory, ops):
         (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
     )
     assert got == sorted((k, v) for k, v, *_ in model)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["merge", "delete", "update", "compact"]),
+            st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 9)),
+                min_size=1,
+                max_size=4,
+            ),
+            st.integers(0, 6),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
+    """Model-based check over the full DML surface: any interleaving of
+    bucketed MERGE, file-pruned DELETE (id >= p), file-pruned UPDATE
+    (id <= p: v += 100), and clustered COMPACT must match the exact
+    in-memory model — deletes can never resurrect, updates keep their
+    original win-ordering (bookkeeping untouched), compaction is
+    invisible."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    tmp = tmp_path_factory.mktemp("clog-dml-prop")
+    store = CommitLogTableStore(spark, str(tmp), "m", merge_buckets=3)
+    keys = list(range(7))
+    bucket_of = dict(
+        spark.createDataFrame([(k,) for k in keys], ["id"])
+        .select("id", store._bucket_expr(["id"], 3).alias("b"))
+        .collect()
+    )
+    model: list[tuple] = []  # (key, value, seq, pos)
+    seq = 0
+    for kind, rows, param in ops:
+        seq += 1
+        if kind == "merge":
+            df = spark.createDataFrame(
+                [(k, v, f"s{seq}-{pos:04d}") for pos, (k, v) in enumerate(rows)],
+                ["id", "v", "_airbyte_raw_id"],
+            ).withColumn("_airbyte_extracted_at", F.lit(seq).cast("timestamp"))
+            store.write_merge(df, "t", ["id"])
+            batch = [(k, v, seq, pos) for pos, (k, v) in enumerate(rows)]
+            touched = {bucket_of[k] for k, *_ in batch}
+            keep = [r for r in model if bucket_of[r[0]] not in touched]
+            cands = [r for r in model if bucket_of[r[0]] in touched] + batch
+            latest = {}
+            for r in sorted(cands, key=lambda r: (r[2], r[3])):
+                latest[r[0]] = r
+            model = keep + list(latest.values())
+        elif not store.table_exists("t"):
+            continue  # DML/compact before any data: nothing to do
+        elif kind == "delete":
+            store.delete_where("t", [("id", ">=", param)])
+            model = [r for r in model if r[0] < param]
+        elif kind == "update":
+            store.update_where("t", [("id", "<=", param)], {"v": "v + 100"})
+            model = [
+                (k, v + 100 if k <= param else v, s, p) for k, v, s, p in model
+            ]
+        else:  # compact
+            store.compact("t", sort_by=["id"])
+        if not store.table_exists("t"):
+            assert model == []
+            continue
+        got = sorted(
+            (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
+        )
+        assert got == sorted((k, v) for k, v, *_ in model), (
+            f"after {kind}(param={param}) rows={rows}"
+        )
+    # the model must also survive the full maintenance path
+    if store.table_exists("t"):
+        store.compact("t")
+        store.vacuum("t")
+        got = sorted(
+            (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
+        )
+        assert got == sorted((k, v) for k, v, *_ in model)
