@@ -106,7 +106,25 @@ def main() -> None:
     top = cache.read_stream_where("orders_clean", [("o_orderkey", ">", int(hi * 0.9))])
     print("rows past 90th-pct key:", top.count())
 
-    # 6. time travel: version 1 still shows pre-correction prices
+    # 6. GDPR-style DML: forget one customer, reprice a band — each
+    # rewrites only the files whose zone maps admit a match
+    victim = orders.select("o_custkey").first()[0]
+    print("delete:", cache.delete_stream_where("orders", [("o_custkey", "=", victim)]))
+    cheap = cache.get_dataset("orders").to_spark().approxQuantile(
+        "o_totalprice", [0.1], 0.01
+    )[0]
+    print(
+        "update:",
+        cache.update_stream_where(
+            "orders",
+            [("o_totalprice", "<", cheap)],
+            {"o_orderpriority": "'5-LOW'"},
+        ),
+    )
+    feed2 = cache.read_stream_changes("orders", from_version=2)
+    print("dml feed:", feed2.groupBy("_change_type").count().collect())
+
+    # 7. time travel: version 1 still shows pre-correction prices
     v1 = cache.read_stream_version("orders", 1)
     cur = cache.get_dataset("orders").to_spark()
     print(
