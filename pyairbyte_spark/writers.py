@@ -1372,11 +1372,22 @@ class CommitLogTableStore(TableStore):
     # -- maintenance --------------------------------------------------------
 
     def vacuum(self, table_name: str, *, keep_commits: int = 1) -> list[str]:
-        """Reclaim data dirs unreferenced by the ``keep_commits`` most
-        recent snapshots, and drop older commit files. Time travel to a
-        vacuumed version stops working — the standard retention trade.
-        (A shared-filesystem deployment would add a grace period for
-        in-flight readers; snapshots pin their files only logically.)
+        """Reclaim storage unreferenced by the ``keep_commits`` most
+        recent snapshots, and drop older commit files. Two granularities:
+
+        - whole data DIRS no kept snapshot references (superseded by
+          replace / compact / full-rewrite merge);
+        - individual FILES inside still-referenced dirs that every
+          kept manifest's file list omits — how bytes dropped by
+          :meth:`delete_where` / :meth:`update_where` get reclaimed
+          without waiting for a full compact. Dirs whose kept
+          manifests predate file lists are skipped (the dir itself is
+          the only authority there).
+
+        Time travel to a vacuumed version stops working — the standard
+        retention trade. (A shared-filesystem deployment would add a
+        grace period for in-flight readers; snapshots pin their files
+        only logically.)
         """
         d = self._commits_dir(table_name)
         try:
@@ -1384,17 +1395,42 @@ class CommitLogTableStore(TableStore):
         except OSError:
             return []
         keep = names[-keep_commits:] if keep_commits > 0 else names[-1:]
-        live: set[str] = set()
+        live_dirs: set[str] = set()
+        # dir → set of referenced rel paths; None = whole dir pinned
+        live_files: dict[str, set[str] | None] = {}
         for n in keep:
             with open(os.path.join(d, n)) as f:
                 for e in json.load(f).get("entries") or []:
-                    live.add(e["path"])
+                    live_dirs.add(e["path"])
+                    files = e.get("files")
+                    if files is None or live_files.get(e["path"], set()) is None:
+                        live_files[e["path"]] = None  # pre-stats: pin dir
+                    else:
+                        live_files.setdefault(e["path"], set()).update(
+                            f["path"] for f in files
+                        )
         removed: list[str] = []
         tdir = self.table_path(table_name)
         for name in os.listdir(tdir):
-            if name.startswith("d-") and name not in live:
+            if not name.startswith("d-"):
+                continue
+            if name not in live_dirs:
                 shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
                 removed.append(name)
+                continue
+            referenced = live_files.get(name)
+            if referenced is None:
+                continue
+            base = os.path.join(tdir, name)
+            for dirpath, _, fnames in os.walk(base):
+                for fn in fnames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    rel = os.path.relpath(os.path.join(dirpath, fn), base)
+                    if rel not in referenced:
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(dirpath, fn))
+                        removed.append(f"{name}/{rel}")
         for n in names[: -len(keep)] if len(keep) < len(names) else []:
             with contextlib.suppress(OSError):
                 os.remove(os.path.join(d, n))

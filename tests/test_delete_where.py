@@ -151,3 +151,38 @@ def test_compact_then_vacuum_reclaims_deleted_bytes(spark, store):
         n for n in os.listdir(store.table_path("t")) if n.startswith("d-")
     ]
     assert len(live_dirs) == 1
+
+
+def test_file_level_vacuum_reclaims_deleted_files(spark, store):
+    """A dir holding several files stays referenced after a delete
+    drops one of them; only FILE-level vacuum can reclaim that file."""
+    import os
+
+    df = _df(spark, 0, 400).repartitionByRange(4, "id")  # 4 files, one dir
+    store.write_append(df, "t")
+    store.delete_where("t", [("id", ">=", 300)])  # exactly one file matches
+    tdir = store.table_path("t")
+    n_files_before = sum(
+        1 for dp, _, ns in os.walk(tdir) for n in ns if n.endswith(".parquet")
+    )
+    removed = store.vacuum("t", keep_commits=1)
+    # the deleted file is physically gone without a compact
+    assert any("/" in r for r in removed), removed
+    n_files_after = sum(
+        1 for dp, _, ns in os.walk(tdir) for n in ns if n.endswith(".parquet")
+    )
+    assert n_files_after < n_files_before
+    assert _ids(store.read("t")) == list(range(300))
+
+
+def test_file_level_vacuum_respects_time_travel_window(spark, store):
+    store.write_append(_df(spark, 0, 100), "t")
+    store.delete_where("t", [("id", ">=", 50)])
+    # keep both commits: the pre-delete version still pins its file
+    removed = store.vacuum("t", keep_commits=2)
+    assert removed == []
+    assert _ids(store.read_version("t", 1)) == list(range(100))
+    # shrink retention: now the dropped file may go
+    removed = store.vacuum("t", keep_commits=1)
+    assert removed
+    assert _ids(store.read("t")) == list(range(50))
