@@ -182,6 +182,48 @@ def normalize_predicates(
     return out
 
 
+def normalize_dnf(predicates) -> list[list[tuple[str, str, Any]]]:
+    """Normalize a predicate argument into OR-of-AND form.
+
+    A flat list of ``(col, op, value)`` tuples is ONE conjunction
+    (every predicate must hold). A list of LISTS is a disjunction of
+    conjunctions: ``[[(a,'<',1)], [(b,'=',2),(c,'>',3)]]`` means
+    ``a<1 OR (b=2 AND c>3)``. Empty input → match-everything."""
+    preds = list(predicates or [])
+    if not preds:
+        return []
+    if all(isinstance(p, (list,)) for p in preds):
+        return [normalize_predicates(branch) for branch in preds]
+    if any(isinstance(p, list) for p in preds):
+        raise ValueError(
+            "predicates must be all tuples (AND) or all lists (OR of ANDs)"
+        )
+    return [normalize_predicates(preds)]
+
+
+def file_may_match_dnf(
+    file_entry: dict[str, Any],
+    dnf: list[list[tuple[str, str, Any]]],
+) -> bool:
+    """A file survives if ANY disjunct's conjunction may match."""
+    if not dnf:
+        return True
+    return any(file_may_match(file_entry, branch) for branch in dnf)
+
+
+def dnf_to_column(dnf: list[list[tuple[str, str, Any]]]):
+    """Residual Spark filter for a DNF predicate (None = no filter)."""
+    if not dnf:
+        return None
+    branch_cols = [predicates_to_column(b) for b in dnf]
+    out = None
+    for c in branch_cols:
+        if c is None:  # an empty branch matches everything
+            return None
+        out = c if out is None else (out | c)
+    return out
+
+
 def predicates_to_column(predicates: list[tuple[str, str, Any]]):
     """Build the residual Spark filter Column for a normalized
     predicate list. Always applied to the surviving rows — skipping

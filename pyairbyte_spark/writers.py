@@ -563,9 +563,9 @@ class CommitLogTableStore(TableStore):
         At 100 TB a selective predicate launches the scan over the
         matching sliver of files instead of the table.
         """
-        from pyairbyte_spark.filestats import file_may_match, normalize_predicates
+        from pyairbyte_spark.filestats import file_may_match_dnf, normalize_dnf
 
-        preds = normalize_predicates(list(predicates or []))
+        preds = normalize_dnf(predicates)
         if version is not None:
             man = self._read_manifest(table_name, version)
         else:
@@ -593,7 +593,7 @@ class CommitLogTableStore(TableStore):
                 ):
                     continue  # superseded bucket data — never live
                 total += 1
-                if not file_may_match(f, preds):
+                if not file_may_match_dnf(f, preds):
                     continue
                 keep.append(os.path.join(base, f["path"]))
                 selected += 1
@@ -624,7 +624,7 @@ class CommitLogTableStore(TableStore):
         top — Spark's parquet reader still does row-group zone-map
         skipping inside the selected files.
         """
-        from pyairbyte_spark.filestats import predicates_to_column
+        from pyairbyte_spark.filestats import dnf_to_column
 
         plan = self.plan_scan(table_name, predicates, version=version)
         parts: list[DataFrame] = []
@@ -651,7 +651,7 @@ class CommitLogTableStore(TableStore):
             df = self._read_manifest_df(table_name, plan["manifest"]).filter(
                 F.lit(False)
             )
-        residual = predicates_to_column(plan["predicates"])
+        residual = dnf_to_column(plan["predicates"])
         if residual is not None:
             df = df.filter(residual)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
@@ -1149,12 +1149,12 @@ class CommitLogTableStore(TableStore):
         rows minus staged keep rows) — no counting job.
         """
         from pyairbyte_spark.filestats import (
-            file_may_match,
-            normalize_predicates,
-            predicates_to_column,
+            dnf_to_column,
+            file_may_match_dnf,
+            normalize_dnf,
         )
 
-        preds = normalize_predicates(list(predicates))
+        preds = normalize_dnf(predicates)
         if not preds:
             raise ValueError(
                 "delete_where requires predicates; use drop() to remove a table"
@@ -1182,7 +1182,7 @@ class CommitLogTableStore(TableStore):
                     and f.get("bucket") is not None
                     and f["bucket"] not in live
                 )
-                if not dead and file_may_match(f, preds):
+                if not dead and file_may_match_dnf(f, preds):
                     touched_files.append(f)
                 else:
                     kept_files.append(f)
@@ -1210,7 +1210,7 @@ class CommitLogTableStore(TableStore):
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
-        cond = predicates_to_column(preds)
+        cond = dnf_to_column(preds)
         keep_df = union.filter(~F.coalesce(cond, F.lit(False)))
         entry = self._stage(keep_df, table_name)
         staged_rows = sum(f.get("rows") or 0 for f in entry["files"])
@@ -1260,12 +1260,12 @@ class CommitLogTableStore(TableStore):
         from pyspark.sql import Observation
 
         from pyairbyte_spark.filestats import (
-            file_may_match,
-            normalize_predicates,
-            predicates_to_column,
+            dnf_to_column,
+            file_may_match_dnf,
+            normalize_dnf,
         )
 
-        preds = normalize_predicates(list(predicates))
+        preds = normalize_dnf(predicates)
         if not preds:
             raise ValueError("update_where requires predicates")
         if not assignments:
@@ -1292,7 +1292,7 @@ class CommitLogTableStore(TableStore):
                     and f.get("bucket") is not None
                     and f["bucket"] not in live
                 )
-                if not dead and file_may_match(f, preds):
+                if not dead and file_may_match_dnf(f, preds):
                     touched_files.append(f)
                 else:
                     kept_files.append(f)
@@ -1315,7 +1315,7 @@ class CommitLogTableStore(TableStore):
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
-        cond = F.coalesce(predicates_to_column(preds), F.lit(False))
+        cond = F.coalesce(dnf_to_column(preds), F.lit(False))
         obs = Observation()
         union = union.observe(
             obs, F.sum(cond.cast("long")).alias("updated_rows")

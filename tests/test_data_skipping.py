@@ -251,3 +251,30 @@ def test_table_stats_pre_stats_manifest_returns_unknown(spark, store):
         json.dump(man, fh)
     st = store.table_stats("t")
     assert st["rows"] is None and st["files"] is None
+
+
+def test_or_predicates_prune_and_filter(spark, store):
+    """DNF predicates: [[...],[...]] = OR of ANDs — pruning keeps a
+    file if ANY branch may match; the residual filter is the OR."""
+    for lo in (0, 100, 200, 300):
+        store.write_append(_df(spark, lo, lo + 100), "t")
+    dnf = [[("id", "<", 50)], [("id", ">=", 350)]]
+    plan = store.plan_scan("t", dnf)
+    assert plan["files_total"] == 4
+    assert plan["files_selected"] == 2  # first and last file only
+    got = _ids(store.read_where("t", dnf))
+    assert got == list(range(50)) + list(range(350, 400))
+    # AND inside a branch
+    dnf2 = [[("id", ">=", 10), ("id", "<", 20)], [("v", "=", "v250")]]
+    assert _ids(store.read_where("t", dnf2)) == list(range(10, 20)) + [250]
+    with pytest.raises(ValueError, match="all tuples"):
+        store.plan_scan("t", [("id", "<", 1), [("id", ">", 2)]])
+
+
+def test_or_predicates_in_delete(spark, store):
+    for lo in (0, 100, 200):
+        store.write_append(_df(spark, lo, lo + 100), "t")
+    res = store.delete_where("t", [[("id", "<", 10)], [("id", ">=", 290)]])
+    assert res["deleted_rows"] == 20
+    assert res["files_rewritten"] == 2  # middle file untouched
+    assert _ids(store.read("t")) == list(range(10, 290))
