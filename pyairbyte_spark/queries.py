@@ -2982,6 +2982,87 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_anomaly_daily_zscore",
+    r"""
+    -- Daily volume anomalies per event type. Variance comes from
+    -- exact integer sums (n, Σcnt, Σcnt²), so mean/std/z are computed
+    -- from IDENTICAL doubles in both engines — no Welford-vs-naive
+    -- float drift; sqrt/division are IEEE-deterministic.
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(cnt) AS s,
+             sum(cnt * cnt) AS sq
+      FROM daily GROUP BY event_type
+    )
+    SELECT daily.d, daily.event_type, CAST(daily.cnt AS BIGINT) AS cnt,
+           round((daily.cnt - CAST(s AS DOUBLE) / n)
+                 / sqrt((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                        / (n * (n - 1.0))), 6) AS z,
+           (abs((daily.cnt - CAST(s AS DOUBLE) / n)
+                / sqrt((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s)
+                       / (n * (n - 1.0)))) > 2.0) AS is_anomaly
+    FROM daily JOIN stats ON daily.event_type = stats.event_type
+    WHERE n > 1
+      AND (n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s) > 0
+    ORDER BY daily.event_type, daily.d
+    """,
+    "Daily event-volume anomaly detection: per-type z-score from "
+    "integer-exact sufficient statistics — two small aggregations + "
+    "one broadcast join, no window over the raw log",
+)
+def events_anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops-analytics staple: flag days whose event volume deviates
+    >2σ from that type's mean. Sufficient statistics (n, Σcnt, Σcnt²)
+    are integers, so both engines derive mean/std from identical
+    doubles — the portable way to ship variance math across engines.
+
+    Scale shape: the raw log collapses to (day, type) in one partial
+    agg; the per-type stats table is tiny and broadcasts. No window
+    function touches the raw events."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("d", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("n") * F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s")
+    ) / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("n") > 1)
+            & (
+                (
+                    F.col("n") * F.col("sq").cast("double")
+                    - F.col("s").cast("double") * F.col("s")
+                )
+                > 0
+            )
+        )
+        .select(
+            "d",
+            "event_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(z, 6).alias("z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "d")
+    )
+
+
+@register(
     "split_train_val_test",
     r"""
     -- Deterministic hash split: every doc lands in train/val/test by
