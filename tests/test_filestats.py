@@ -155,3 +155,77 @@ def test_temporal_predicate_encoding():
 def test_cross_type_comparison_keeps_file():
     f = {"rows": 3, "stats": {"s": {"min": "a", "max": "b", "nulls": 0}}}
     assert file_may_match(f, normalize_predicates([("s", ">", 5)]))
+
+
+# -- soundness property: pruning never drops a matching file ---------------
+
+from hypothesis import given, settings, strategies as hst
+
+_vals = hst.one_of(
+    hst.integers(-50, 50),
+    hst.floats(-50, 50, allow_nan=False, width=32),
+    hst.text(alphabet="abcxyz", max_size=4),
+    hst.none(),
+)
+_rowsets = hst.lists(
+    hst.lists(_vals, min_size=1, max_size=8), min_size=1, max_size=4
+).filter(
+    # one column per file: all non-null values share a type
+    lambda rows: len(
+        {type(v) for r in rows for v in r if v is not None} | set()
+    )
+    <= 1
+)
+_ops = hst.sampled_from(["=", "<", "<=", ">", ">=", "in", "is_null", "not_null"])
+
+
+@given(rowsets=_rowsets, op=_ops, value=_vals)
+@settings(max_examples=150, deadline=None)
+def test_pruning_is_sound(tmp_path_factory, rowsets, op, value):
+    """For ANY single-column parquet files and ANY predicate: if a row
+    satisfies the predicate, its file must survive pruning. (The
+    reverse — skipping everything skippable — is an optimization;
+    keeping a matching file is CORRECTNESS.)"""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def sat(v):
+        if op == "is_null":
+            return v is None
+        if op == "not_null":
+            return v is not None
+        if v is None:
+            return False
+        try:
+            if op == "=":
+                return v == value
+            if op == "in":
+                return v in [value]
+            if value is None:
+                return False
+            if op == "<":
+                return v < value
+            if op == "<=":
+                return v <= value
+            if op == ">":
+                return v > value
+            if op == ">=":
+                return v >= value
+        except TypeError:
+            return False
+        return False
+
+    preds = (
+        [("c", op)] if op in ("is_null", "not_null") else [("c", op, [value] if op == "in" else value)]
+    )
+    norm = normalize_predicates(preds)
+    tmp = tmp_path_factory.mktemp("sound")
+    for i, rows in enumerate(rowsets):
+        p = str(tmp / f"f{i}.parquet")
+        pq.write_table(pa.table({"c": pa.array(rows)}), p)
+        rec = harvest_file_stats(p)
+        if any(sat(v) for v in rows):
+            assert file_may_match(rec, norm), (
+                f"file with matching row pruned: rows={rows} "
+                f"pred={preds} stats={rec}"
+            )
