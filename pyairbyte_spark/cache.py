@@ -199,6 +199,16 @@ class SparkCache(Mapping):
             target_files=target_files,
         )
 
+    def rename_stream_column(self, stream_name: str, old: str, new: str) -> int:
+        """Metadata-only column rename (zero data I/O)."""
+        return self._acid_store().rename_column(
+            self.table_name(stream_name), old, new
+        )
+
+    def drop_stream_column(self, stream_name: str, name: str) -> int:
+        """Metadata-only column drop (zero data I/O)."""
+        return self._acid_store().drop_column(self.table_name(stream_name), name)
+
     def delete_stream_where(
         self, stream_name: str, predicates: list[tuple]
     ) -> dict:

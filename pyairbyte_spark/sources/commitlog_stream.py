@@ -109,6 +109,13 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
         rows: list[tuple] = []
         for v in range(after + 1, upto + 1):
             man = _manifest(self.table_path, v)
+            if man.get("column_mapping") or man.get("dropped_columns"):
+                raise ValueError(
+                    "commitlog_feed does not apply column mappings; this "
+                    "table has renamed/dropped columns — read it through "
+                    "the store (read/read_changes) or materialize the "
+                    "mapping with a full-rewrite first."
+                )
             op = man.get("op")
             if op == "compact":
                 continue  # moves bytes, not rows

@@ -535,15 +535,165 @@ class CommitLogTableStore(TableStore):
         snap = self._latest_commit(table_name)
         if snap is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
-        return self._read_manifest_df(table_name, snap[1])
+        return self._apply_mapping(
+            self._read_manifest_df(table_name, snap[1]), snap[1]
+        )
 
     def read_version(self, table_name: str, version: int) -> DataFrame:
         """Time travel: the table exactly as of ``version`` (readable
-        until :meth:`vacuum` reclaims its data dirs)."""
-        df = self._read_manifest_df(
-            table_name, self._read_manifest(table_name, version)
-        )
+        until :meth:`vacuum` reclaims its data dirs), through the
+        column mapping AS OF that version."""
+        man = self._read_manifest(table_name, version)
+        df = self._apply_mapping(self._read_manifest_df(table_name, man), man)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    # -- column mapping (metadata-only rename / drop) ------------------------
+    # Files keep their original PHYSICAL column names forever; the
+    # manifest's "column_mapping" {physical: logical} and
+    # "dropped_columns" [physical] define the logical view. Writes
+    # translate incoming logical names back to physical, so one global
+    # mapping serves every file — no per-file name tracking (Delta
+    # needs per-column ids because it lets new files use new physical
+    # names; freezing physical names avoids that machinery). A
+    # full-rewrite (replace / full merge) materializes the logical
+    # view and RESETS the mapping.
+
+    @staticmethod
+    def _mapping_of(man: dict) -> tuple[dict[str, str], set[str]]:
+        return (
+            dict(man.get("column_mapping") or {}),
+            set(man.get("dropped_columns") or []),
+        )
+
+    @staticmethod
+    def _carry_mapping(man: dict) -> dict:
+        out = {}
+        if man.get("column_mapping"):
+            out["column_mapping"] = man["column_mapping"]
+        if man.get("dropped_columns"):
+            out["dropped_columns"] = man["dropped_columns"]
+        return out
+
+    def _apply_mapping(self, df: DataFrame, man: dict) -> DataFrame:
+        """Physical frame → logical view (drops dropped columns,
+        renames mapped ones; BUCKET_COL always passes through)."""
+        mapping, dropped = self._mapping_of(man)
+        if not mapping and not dropped:
+            return df
+        cols = [
+            F.col(c).alias(mapping.get(c, c))
+            for c in df.columns
+            if c not in dropped
+        ]
+        return df.select(*cols)
+
+    def _to_physical(self, man: dict, name: str) -> str:
+        mapping, _ = self._mapping_of(man)
+        inv = {logical: physical for physical, logical in mapping.items()}
+        return inv.get(name, name)
+
+    def _physical_dnf(self, man: dict, dnf):
+        """Translate predicate column names logical → physical."""
+        return [
+            [(self._to_physical(man, col), op, val) for col, op, val in branch]
+            for branch in dnf
+        ]
+
+    def _rename_incoming(self, df: DataFrame, man: dict) -> DataFrame:
+        """Logical-named incoming frame → physical names for staging
+        into a mapped table. Rejects columns that collide with dropped
+        or still-occupied physical names (silently merging them would
+        resurrect old data)."""
+        mapping, dropped = self._mapping_of(man)
+        if not mapping and not dropped:
+            return df
+        inv = {logical: physical for physical, logical in mapping.items()}
+        clash = [c for c in df.columns if c in dropped]
+        if clash:
+            raise ValueError(
+                f"columns {clash} were dropped from this table; old files "
+                "still hold that physical name — rename the incoming "
+                "column, or materialize the drop first (full-rewrite "
+                "merge / replace resets the mapping)"
+            )
+        occupied = {
+            physical
+            for physical, logical in mapping.items()
+            if physical != logical
+        }
+        amb = [c for c in df.columns if c in occupied and c not in inv]
+        if amb:
+            raise ValueError(
+                f"incoming columns {amb} collide with physical names that "
+                "are mapped to other logical columns"
+            )
+        out = df
+        for logical, physical in inv.items():
+            if logical in out.columns and physical != logical:
+                out = out.withColumnRenamed(logical, physical)
+        return out
+
+    def rename_column(self, table_name: str, old: str, new: str) -> int:
+        """Metadata-only column rename: one tiny commit, zero data
+        I/O at any table size (Delta `ALTER TABLE … RENAME COLUMN`
+        under column mapping). Returns the new version."""
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        logical_cols = set(self.read(table_name).columns)
+        if old not in logical_cols:
+            raise ValueError(f"column {old!r} does not exist")
+        if new in logical_cols:
+            raise ValueError(f"column {new!r} already exists")
+        if old.startswith("_airbyte") or new.startswith("__"):
+            raise ValueError("cannot rename bookkeeping columns")
+        mapping, dropped = self._mapping_of(man)
+        physical = self._to_physical(man, old)
+        mapping.pop(physical, None)
+        if physical != new:
+            mapping[physical] = new
+        manifest = {
+            "op": "rename_column",
+            "merge_buckets": man.get("merge_buckets"),
+            **({"primary_keys": man["primary_keys"]} if man.get("primary_keys") else {}),
+            "entries": man.get("entries") or [],
+            **({"column_mapping": mapping} if mapping else {}),
+            **({"dropped_columns": sorted(dropped)} if dropped else {}),
+        }
+        self._commit(table_name, manifest, version + 1)
+        return version + 1
+
+    def drop_column(self, table_name: str, name: str) -> int:
+        """Metadata-only column drop (zero data I/O). The physical
+        bytes stay in existing files (invisible to all reads) until a
+        full-rewrite materializes the view; re-adding the same name is
+        rejected on write until then. Returns the new version."""
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        logical_cols = set(self.read(table_name).columns)
+        if name not in logical_cols:
+            raise ValueError(f"column {name!r} does not exist")
+        if name.startswith("_airbyte"):
+            raise ValueError("cannot drop bookkeeping columns")
+        physical = self._to_physical(man, name)
+        if physical in (man.get("primary_keys") or []):
+            raise ValueError(f"column {name!r} is a merge primary key")
+        mapping, dropped = self._mapping_of(man)
+        mapping.pop(physical, None)
+        dropped.add(physical)
+        manifest = {
+            "op": "drop_column",
+            "merge_buckets": man.get("merge_buckets"),
+            **({"primary_keys": man["primary_keys"]} if man.get("primary_keys") else {}),
+            "entries": man.get("entries") or [],
+            **({"column_mapping": mapping} if mapping else {}),
+            "dropped_columns": sorted(dropped),
+        }
+        self._commit(table_name, manifest, version + 1)
+        return version + 1
 
     def plan_scan(
         self,
@@ -573,6 +723,9 @@ class CommitLogTableStore(TableStore):
             if snap is None:
                 raise FileNotFoundError(f"table {table_name!r} does not exist")
             man = snap[1]
+        # stats are keyed by PHYSICAL column names; callers predicate
+        # on the logical view.
+        preds = self._physical_dnf(man, preds)
         groups: list[dict] = []
         total = selected = 0
         for e in man.get("entries") or []:
@@ -653,7 +806,8 @@ class CommitLogTableStore(TableStore):
             )
         residual = dnf_to_column(plan["predicates"])
         if residual is not None:
-            df = df.filter(residual)
+            df = df.filter(residual)  # physical names, pre-mapping
+        df = self._apply_mapping(df, plan["manifest"])
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def history(self, table_name: str) -> list[dict]:
@@ -729,6 +883,12 @@ class CommitLogTableStore(TableStore):
                         cur["nulls"] = None
                     else:
                         cur["nulls"] += s["nulls"]
+        mapping, dropped = self._mapping_of(man)
+        col_stats = {
+            mapping.get(c, c): s
+            for c, s in col_stats.items()
+            if c not in dropped
+        }
         return {
             "rows": rows if exact else None,
             "files": plan["files_total"] if exact else None,
@@ -815,8 +975,8 @@ class CommitLogTableStore(TableStore):
     def _changes_for_step(self, table_name: str, v: int) -> DataFrame | None:
         man = self._read_manifest(table_name, v)
         op = man.get("op")
-        if op == "compact":
-            return None
+        if op in ("compact", "rename_column", "drop_column"):
+            return None  # bytes or metadata moved; no row changes
         prev = self._read_manifest(table_name, v - 1) if v > 1 else None
         prev_entries = (prev or {}).get("entries") or []
         prev_paths = {e["path"] for e in prev_entries}
@@ -825,6 +985,8 @@ class CommitLogTableStore(TableStore):
         ]
 
         def _tag(df: DataFrame, change: str) -> DataFrame:
+            # Emit changes through the logical view AS OF this commit.
+            df = self._apply_mapping(df, man)
             df = df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
             return df.withColumn("_change_type", F.lit(change)).withColumn(
                 "_commit_version", F.lit(v).cast("long")
@@ -974,6 +1136,13 @@ class CommitLogTableStore(TableStore):
             new_cols = [c for c in df.columns if c not in existing_cols]
             ordered = [c for c in df.columns if c in existing_cols] + new_cols
             df = df.select(*ordered)
+            # Mapped tables: translate incoming logical names (and pk
+            # names) back to the frozen physical names before staging.
+            df = self._rename_incoming(df, snap[1])
+            if primary_keys:
+                primary_keys = [
+                    self._to_physical(snap[1], k) for k in primary_keys
+                ]
             # Appends to a bucketed table hash with the TABLE's layout N
             # (recorded in the manifest), never the store config.
             n_buckets = snap[1].get("merge_buckets")
@@ -994,6 +1163,7 @@ class CommitLogTableStore(TableStore):
                 "op": "append",
                 "merge_buckets": mb,
                 "entries": entries + [entry],
+                **(self._carry_mapping(snap2[1]) if snap2 else {}),
             }
             try:
                 self._commit(table_name, manifest, version + 1)
@@ -1043,6 +1213,8 @@ class CommitLogTableStore(TableStore):
             # rewritten — and unlike the parquet store's dynamic
             # partition overwrite, the flip is ATOMIC across buckets.
             version, man = snap
+            df = self._rename_incoming(df, man)
+            primary_keys = [self._to_physical(man, k) for k in primary_keys]
             incoming = self._with_bucket(df, primary_keys, layout_n)
             touched = sorted(
                 r[0] for r in incoming.select(BUCKET_COL).distinct().collect()
@@ -1099,6 +1271,7 @@ class CommitLogTableStore(TableStore):
                     "merge_buckets": layout_n,
                     "primary_keys": list(primary_keys),
                     "entries": new_entries,
+                    **self._carry_mapping(man),
                 },
                 version + 1,
             )
@@ -1163,6 +1336,7 @@ class CommitLogTableStore(TableStore):
         if snap is None or not snap[1].get("entries"):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         version, man = snap
+        preds = self._physical_dnf(man, preds)
         if any(e.get("files") is None for e in man["entries"]):
             raise ValueError(
                 "delete_where needs per-file stats in the manifest; run "
@@ -1221,6 +1395,7 @@ class CommitLogTableStore(TableStore):
             {
                 "op": "delete",
                 "merge_buckets": man.get("merge_buckets"),
+                **self._carry_mapping(man),
                 **(
                     {"primary_keys": man["primary_keys"]}
                     if man.get("primary_keys")
@@ -1274,6 +1449,7 @@ class CommitLogTableStore(TableStore):
         if snap is None or not snap[1].get("entries"):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         version, man = snap
+        phys_preds = self._physical_dnf(man, preds)
         if any(e.get("files") is None for e in man["entries"]):
             raise ValueError(
                 "update_where needs per-file stats in the manifest; run "
@@ -1292,7 +1468,7 @@ class CommitLogTableStore(TableStore):
                     and f.get("bucket") is not None
                     and f["bucket"] not in live
                 )
-                if not dead and file_may_match_dnf(f, preds):
+                if not dead and file_may_match_dnf(f, phys_preds):
                     touched_files.append(f)
                 else:
                     kept_files.append(f)
@@ -1315,6 +1491,11 @@ class CommitLogTableStore(TableStore):
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
+        # The rewrite runs in LOGICAL space (predicates and assignment
+        # expressions reference logical names); the result renames
+        # back to physical before staging. Dropped columns are not
+        # carried through a rewritten file — invisible either way.
+        union = self._apply_mapping(union, man)
         cond = F.coalesce(dnf_to_column(preds), F.lit(False))
         obs = Observation()
         union = union.observe(
@@ -1345,7 +1526,7 @@ class CommitLogTableStore(TableStore):
                 for c in union.columns
             ]
         )
-        entry = self._stage(updated, table_name)
+        entry = self._stage(self._rename_incoming(updated, man), table_name)
         if entry["files"]:
             keep_entries.append(entry)
         self._commit(
@@ -1353,6 +1534,7 @@ class CommitLogTableStore(TableStore):
             {
                 "op": "update",
                 "merge_buckets": man.get("merge_buckets"),
+                **self._carry_mapping(man),
                 **(
                     {"primary_keys": man["primary_keys"]}
                     if man.get("primary_keys")
@@ -1477,6 +1659,11 @@ class CommitLogTableStore(TableStore):
         if n_before <= 1 and not sort_by and not zorder_by:
             return {"compacted": False, "reason": "already compact"}
         df = self._read_manifest_df(table_name, man)
+        # compact rewrites PHYSICAL frames; cluster keys arrive logical
+        sort_by = [self._to_physical(man, c) for c in sort_by] if sort_by else sort_by
+        zorder_by = (
+            [self._to_physical(man, c) for c in zorder_by] if zorder_by else zorder_by
+        )
         if zorder_by:
             # Multi-dimensional clustering: files become small
             # hyper-rectangles in zorder_by-space, so predicates on ANY
@@ -1531,6 +1718,12 @@ class CommitLogTableStore(TableStore):
                 "op": "compact",
                 "merge_buckets": man.get("merge_buckets"),
                 "entries": [entry],
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                **self._carry_mapping(man),
             },
             version + 1,
         )
