@@ -382,6 +382,39 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "rename_table_column",
+            "Metadata-only column rename on a commit-log table (zero "
+            "data I/O at any size).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "old": {"type": "string"},
+                    "new": {"type": "string"},
+                },
+                "required": ["stream_name", "old", "new"],
+            },
+            lambda h, a: t.rename_table_column(
+                h.cache, a["stream_name"], a["old"], a["new"]
+            ),
+        ),
+        ToolDef(
+            "drop_table_column",
+            "Metadata-only column drop on a commit-log table (zero "
+            "data I/O; bytes reclaimed by a later full rewrite).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "column": {"type": "string"},
+                },
+                "required": ["stream_name", "column"],
+            },
+            lambda h, a: t.drop_table_column(
+                h.cache, a["stream_name"], a["column"]
+            ),
+        ),
+        ToolDef(
             "vacuum_table",
             "Reclaim data dirs unreferenced by the most recent commits "
             "(disables time travel past the retained versions).",

@@ -154,6 +154,20 @@ def update_table_rows(
     )
 
 
+def rename_table_column(
+    cache: SparkCache, stream_name: str, old: str, new: str
+) -> dict[str, Any]:
+    """Metadata-only column rename (zero data I/O at any size)."""
+    return {"version": cache.rename_stream_column(stream_name, old, new)}
+
+
+def drop_table_column(
+    cache: SparkCache, stream_name: str, column: str
+) -> dict[str, Any]:
+    """Metadata-only column drop (zero data I/O at any size)."""
+    return {"version": cache.drop_stream_column(stream_name, column)}
+
+
 def vacuum_table(
     cache: SparkCache, stream_name: str, *, keep_commits: int = 1
 ) -> dict[str, Any]:

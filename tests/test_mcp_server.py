@@ -477,3 +477,40 @@ def test_update_table_rows_tool(spark, tmp_path):
     assert out["updated_rows"] == 3
     got = cache.store.read(cache.table_name("users"))
     assert got.filter(F.col("status") == "done").count() == 3
+
+
+def test_schema_ddl_tools(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    df = (
+        spark.range(5)
+        .toDF("id")
+        .withColumn("v", F.lit("x"))
+        .withColumn("secret", F.lit(1))
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_append(df.coalesce(1), cache.table_name("users"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "rename_table_column",
+            {"stream_name": "users", "old": "v", "new": "text"},
+        )["content"][0]["text"]
+    )
+    assert out["version"] == 2
+    out = _json.loads(
+        client.call_tool(
+            "drop_table_column", {"stream_name": "users", "column": "secret"}
+        )["content"][0]["text"]
+    )
+    assert out["version"] == 3
+    cols = cache.store.read(cache.table_name("users")).columns
+    assert "text" in cols and "v" not in cols and "secret" not in cols

@@ -292,7 +292,7 @@ def test_commitlog_store_matches_model(spark, tmp_path_factory, ops):
 @given(
     ops=st.lists(
         st.tuples(
-            st.sampled_from(["merge", "delete", "update", "compact"]),
+            st.sampled_from(["merge", "delete", "update", "compact", "rename"]),
             st.lists(
                 st.tuples(st.integers(0, 6), st.integers(0, 9)),
                 min_size=1,
@@ -326,12 +326,13 @@ def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
     )
     model: list[tuple] = []  # (key, value, seq, pos)
     seq = 0
+    vname = "v"  # current LOGICAL name of the value column
     for kind, rows, param in ops:
         seq += 1
         if kind == "merge":
             df = spark.createDataFrame(
                 [(k, v, f"s{seq}-{pos:04d}") for pos, (k, v) in enumerate(rows)],
-                ["id", "v", "_airbyte_raw_id"],
+                ["id", vname, "_airbyte_raw_id"],
             ).withColumn("_airbyte_extracted_at", F.lit(seq).cast("timestamp"))
             store.write_merge(df, "t", ["id"])
             batch = [(k, v, seq, pos) for pos, (k, v) in enumerate(rows)]
@@ -343,22 +344,29 @@ def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
                 latest[r[0]] = r
             model = keep + list(latest.values())
         elif not store.table_exists("t"):
-            continue  # DML/compact before any data: nothing to do
+            continue  # DML/compact/rename before any data: nothing to do
         elif kind == "delete":
             store.delete_where("t", [("id", ">=", param)])
             model = [r for r in model if r[0] < param]
         elif kind == "update":
-            store.update_where("t", [("id", "<=", param)], {"v": "v + 100"})
+            store.update_where(
+                "t", [("id", "<=", param)], {vname: f"{vname} + 100"}
+            )
             model = [
                 (k, v + 100 if k <= param else v, s, p) for k, v, s, p in model
             ]
+        elif kind == "rename":
+            new = "v2" if vname == "v" else "v"
+            store.rename_column("t", vname, new)
+            vname = new  # values unchanged; only the logical name moves
         else:  # compact
             store.compact("t", sort_by=["id"])
         if not store.table_exists("t"):
             assert model == []
             continue
         got = sorted(
-            (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
+            (r["id"], r[vname])
+            for r in store.read("t").select("id", vname).collect()
         )
         assert got == sorted((k, v) for k, v, *_ in model), (
             f"after {kind}(param={param}) rows={rows}"
@@ -368,6 +376,7 @@ def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
         store.compact("t")
         store.vacuum("t")
         got = sorted(
-            (r["id"], r["v"]) for r in store.read("t").select("id", "v").collect()
+            (r["id"], r[vname])
+            for r in store.read("t").select("id", vname).collect()
         )
         assert got == sorted((k, v) for k, v, *_ in model)
