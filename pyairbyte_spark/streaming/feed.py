@@ -51,6 +51,8 @@ class ChangeFeedFollower:
 
     CURSOR_KEY = "source_version"
 
+    MAX_DELETE_KEYS = 100_000
+
     def __init__(
         self,
         source_cache: SparkCache,
@@ -62,6 +64,7 @@ class ChangeFeedFollower:
         method: WriteMethod = WriteMethod.MERGE,
         primary_keys: list[str] | None = None,
         follower_name: str = "feed",
+        apply_deletes: bool = False,
     ) -> None:
         self.source_cache = source_cache
         self.source_stream = source_stream
@@ -74,6 +77,16 @@ class ChangeFeedFollower:
         # the DESTINATION cache's state backend, so it lives and dies
         # with the data it guards.
         self.source_name = f"{follower_name}:{source_stream}"
+        # apply_deletes makes the hop a full CDC applier: delete rows
+        # in the window remove their keys downstream via the
+        # destination's file-pruned delete. Requires primary_keys and
+        # a commit-log destination. The key list crosses the driver
+        # (bounded by MAX_DELETE_KEYS — per-window deletes are
+        # update-locality-sized, not table-sized; a larger purge
+        # should run as its own delete_where on the destination).
+        self.apply_deletes = apply_deletes
+        if apply_deletes and not self.primary_keys:
+            raise ValueError("apply_deletes requires primary_keys")
 
     # -- cursor -------------------------------------------------------------
 
@@ -109,7 +122,12 @@ class ChangeFeedFollower:
         latest = store.latest_version(table)
         done = self.processed_version()
         if latest <= done:
-            return {"from_version": done, "to_version": done, "rows": 0}
+            return {
+                "from_version": done,
+                "to_version": done,
+                "rows": 0,
+                **({"deleted": 0} if self.apply_deletes else {}),
+            }
         changes = store.read_changes(table, done, latest)
         out = (
             self.transform(changes)
@@ -122,10 +140,54 @@ class ChangeFeedFollower:
             self.dest_cache.write_dataframe(
                 out, self.dest_stream, self.method, self.primary_keys
             )
+        deleted = 0
+        if self.apply_deletes:
+            deleted = self._apply_deletes(changes)
         # 2. … THEN the cursor. Crash between the two replays this
-        # window; merge destinations converge.
+        # window; merge destinations converge and the key-delete is
+        # idempotent (re-deleting absent keys is a no-op).
         self._commit_cursor(latest)
-        return {"from_version": done, "to_version": latest, "rows": rows}
+        return {
+            "from_version": done,
+            "to_version": latest,
+            "rows": rows,
+            **({"deleted": deleted} if self.apply_deletes else {}),
+        }
+
+    def _apply_deletes(self, changes: DataFrame) -> int:
+        from pyspark.sql import functions as F
+
+        keys = (
+            changes.filter(F.col("_change_type") == "delete")
+            .select(*self.primary_keys)
+            .distinct()
+            .limit(self.MAX_DELETE_KEYS + 1)
+            .collect()
+        )
+        if not keys:
+            return 0
+        if len(keys) > self.MAX_DELETE_KEYS:
+            raise ValueError(
+                f"change window deletes more than {self.MAX_DELETE_KEYS} "
+                "keys; run the purge directly on the destination with "
+                "delete_stream_where instead of through the follower"
+            )
+        dest_table = self.dest_cache.table_name(self.dest_stream)
+        dest_store = self.dest_cache._acid_store()
+        if not dest_store.table_exists(dest_table):
+            return 0
+        if len(self.primary_keys) == 1:
+            pk = self.primary_keys[0]
+            preds = [(pk, "in", [k[0] for k in keys])]
+            res = dest_store.delete_where(dest_table, preds)
+        else:
+            # composite key: OR of per-key conjunctions (DNF)
+            dnf = [
+                [(pk, "=", row[pk]) for pk in self.primary_keys]
+                for row in keys
+            ]
+            res = dest_store.delete_where(dest_table, dnf)
+        return int(res.get("deleted_rows") or 0)
 
     def run(
         self,

@@ -152,3 +152,46 @@ def test_follower_append_mode(spark, caches):
     src.store.write_append(_df(spark, [(3, "c")]), t)
     follower.process_once()
     assert _rows(dst, "log") == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_follower_applies_deletes_downstream(spark, caches):
+    """apply_deletes makes the hop a full CDC applier: source deletes
+    remove the same keys from the destination."""
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    src.store.write_merge(_df(spark, [(i, "a") for i in range(10)]), t, ["id"])
+    res = follower.process_once()
+    assert res["rows"] == 10 and res["deleted"] == 0
+    # delete upstream, follow downstream
+    src.store.delete_where(t, [("id", ">=", 7)])
+    res = follower.process_once()
+    assert res["deleted"] == 3
+    assert _rows(dst, "clean") == [(i, "a") for i in range(7)]
+    # replay safety: deleting absent keys is a no-op
+    assert follower.process_once()["deleted"] == 0
+
+
+def test_follower_delete_and_upsert_same_window(spark, caches):
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, ["id"])
+    follower.process_once()
+    src.store.delete_where(t, [("id", "=", 2)])
+    src.store.write_merge(_df(spark, [(1, "a2")], "z"), t, ["id"])
+    res = follower.process_once()
+    assert res["deleted"] == 1
+    assert _rows(dst, "clean") == [(1, "a2"), (3, "c")]
+
+
+def test_follower_apply_deletes_requires_pks(spark, caches):
+    src, dst = caches
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires primary_keys"):
+        ChangeFeedFollower(src, "raw", dst, "clean", apply_deletes=True)
