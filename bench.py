@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "chunk_documents_64",
     "mixture_weights_by_source",
     "dsir_importance_weights",
+    "events_anomaly_daily_zscore",
+    "split_train_val_test",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
