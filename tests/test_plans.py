@@ -236,3 +236,12 @@ def test_dsir_broadcasts_ratio_table_one_doc_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row totals
     assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_zscore_broadcasts_stats_no_raw_window(spark):
+    """The per-type stats table must broadcast back onto the daily
+    aggregate; no window function may touch the raw event log."""
+    df = q.queries()["events_anomaly_daily_zscore"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
