@@ -149,10 +149,10 @@ def main() -> None:
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
     }
-    print(json.dumps(doc))
-    # Also persist the full dict as its own artifact: the driver's log
-    # tail-capture truncated BENCH_r03.json, losing the first ~19 query
-    # medians — this file is the self-contained record.
+    # Persist the full dict (incl. per-query spread) as its own
+    # artifact: the driver's log tail-capture truncated BENCH_r03/r04,
+    # losing leading query medians — this file is the self-contained
+    # record.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"),
@@ -161,6 +161,10 @@ def main() -> None:
         json.dump(doc, f, indent=1)
     print(f"# wrote {out_path}", file=sys.stderr)
     spark.stop()
+    # The compact summary must be the LAST stdout line AND small
+    # enough to survive the driver's bounded tail capture — so the
+    # printed line drops "spread" (it lives in BENCH.json above).
+    print(json.dumps({k: v for k, v in doc.items() if k != "spread"}), flush=True)
 
 
 if __name__ == "__main__":

@@ -46,15 +46,30 @@ MAX_STAT_COLUMNS = 32
 _MAX_STRING_STAT = 64
 
 _EPOCH_DATE = datetime.date(1970, 1, 1)
+_MICROS_PER_DAY = 86_400_000_000
+
+# Stats-encoding version stamped on every harvested file record.
+# v1 (implicit / absent): dates encoded as epoch-DAYS, timestamps as
+#   epoch-MICROS — two incompatible integer domains, so a date
+#   predicate against a timestamp column (or vice versa) compared
+#   nonsense and could wrongly prune files (dropping matching rows).
+# v2: dates encode as midnight-UTC epoch-MICROS (days * 86.4e9), the
+#   exact value Spark's date→timestamp cast produces, so every
+#   temporal stat and predicate lives in ONE totally-ordered domain.
+# Readers seeing v1 stats keep the file for any temporal predicate
+# (conservative: correct, just un-pruned) instead of comparing
+# cross-domain integers.
+STATS_VERSION = 2
 
 
 def _encode(value: Any) -> tuple[Any, bool] | None:
     """JSON-encode a footer min/max value.
 
     Returns ``(encoded, is_exact)`` or ``None`` for unsupported types.
-    Timestamps → epoch microseconds (int), dates → epoch days (int),
-    so encoded stats are totally ordered under plain ``<`` regardless
-    of parquet logical-type details. ``is_exact=False`` marks a
+    Timestamps AND dates → epoch microseconds (int; a date is its
+    midnight-UTC instant), so every temporal stat lives in one
+    totally-ordered domain and date-vs-timestamp predicates compare
+    correctly (see ``STATS_VERSION``). ``is_exact=False`` marks a
     truncated string (valid as a lower bound only).
     """
     if isinstance(value, bool):
@@ -72,7 +87,7 @@ def _encode(value: Any) -> tuple[Any, bool] | None:
             (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
         ), True
     if isinstance(value, datetime.date):
-        return (value - _EPOCH_DATE).days, True
+        return (value - _EPOCH_DATE).days * _MICROS_PER_DAY, True
     return None
 
 
@@ -88,7 +103,7 @@ def encode_predicate_value(value: Any) -> Any:
             (value - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000
         )
     if isinstance(value, datetime.date):
-        return (value - _EPOCH_DATE).days
+        return (value - _EPOCH_DATE).days * _MICROS_PER_DAY
     return None  # unsupported → caller must keep the file
 
 
@@ -148,7 +163,7 @@ def harvest_file_stats(parquet_path: str) -> dict[str, Any]:
         # Deterministic cap: keep the first N in schema order.
         keep = set(list(acc)[:MAX_STAT_COLUMNS])
         acc = {k: v for k, v in acc.items() if k in keep}
-    return {"rows": md.num_rows, "stats": acc}
+    return {"rows": md.num_rows, "stats": acc, "sv": STATS_VERSION}
 
 
 # -- predicate evaluation ---------------------------------------------------
@@ -254,7 +269,13 @@ def predicates_to_column(predicates: list[tuple[str, str, Any]]):
     return cond
 
 
-def _may_match(col_stats: dict[str, Any], rows: int, op: str, value: Any) -> bool:
+def _may_match(
+    col_stats: dict[str, Any],
+    rows: int,
+    op: str,
+    value: Any,
+    sv: int = STATS_VERSION,
+) -> bool:
     """Can ANY row of a file with ``col_stats`` satisfy ``op value``?
 
     min/max never include nulls, and no comparison op matches a null
@@ -269,6 +290,12 @@ def _may_match(col_stats: dict[str, Any], rows: int, op: str, value: Any) -> boo
         return nulls is None or nulls < rows
     if nulls is not None and nulls >= rows:
         return False  # every row null → no comparison can match
+    if sv < STATS_VERSION and _is_temporal(value):
+        # Legacy (v1) stats encoded dates as epoch-days but timestamps
+        # as epoch-micros; without the column's logical type we cannot
+        # tell which domain lo/hi are in, so never prune on a temporal
+        # predicate against old stats.
+        return True
     if op == "in":
         vals = [encode_predicate_value(v) for v in value]
         if any(v is None for v in vals):
@@ -304,10 +331,20 @@ def file_may_match(
     rows = file_entry.get("rows")
     if rows is None:
         return True
+    sv = file_entry.get("sv") or 1
     for col, op, value in predicates:
         cs = stats.get(col)
         if cs is None:
             continue
-        if not _may_match(cs, rows, op, value):
+        if not _may_match(cs, rows, op, value, sv=sv):
             return False
     return True
+
+
+def _is_temporal(value: Any) -> bool:
+    """True if the predicate value (or any element of an ``in`` list)
+    is a date/datetime — the types whose v1 stats encoding was
+    ambiguous."""
+    if isinstance(value, (list, tuple, set)):
+        return any(_is_temporal(v) for v in value)
+    return isinstance(value, datetime.date)  # datetime subclasses date

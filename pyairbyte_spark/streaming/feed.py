@@ -155,12 +155,32 @@ class ChangeFeedFollower:
         }
 
     def _apply_deletes(self, changes: DataFrame) -> int:
+        """Delete downstream only the keys whose FINAL change in the
+        window is a delete. A key deleted at version v then
+        re-inserted at v' > v must survive, and a replace commit emits
+        delete+insert for the same key at ONE version — the insert
+        wins there too (strict ``>`` below), matching the source
+        snapshot at the window's end."""
         from pyspark.sql import functions as F
 
-        keys = (
+        pks = list(self.primary_keys)
+        del_v = (
             changes.filter(F.col("_change_type") == "delete")
-            .select(*self.primary_keys)
-            .distinct()
+            .groupBy(*pks)
+            .agg(F.max("_commit_version").alias("__del_v"))
+        )
+        ups_v = (
+            changes.filter(F.col("_change_type") != "delete")
+            .groupBy(*pks)
+            .agg(F.max("_commit_version").alias("__ups_v"))
+        )
+        keys = (
+            del_v.join(ups_v, pks, "left")
+            .filter(
+                F.col("__ups_v").isNull()
+                | (F.col("__del_v") > F.col("__ups_v"))
+            )
+            .select(*pks)
             .limit(self.MAX_DELETE_KEYS + 1)
             .collect()
         )

@@ -75,14 +75,30 @@ class TableStore:
         # Timestamp stats require the MICROS physical type — INT96
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
-        # row-group pruning. Enforce at the store level so tables are
-        # stats-complete whatever session built the store. (spark=None
-        # is allowed for manifest-only access, e.g. the streaming tail
-        # reader, which never runs a DF operation.)
+        # row-group pruning. ``get_spark`` sets the session default
+        # (session.py:38); a foreign session that still writes INT96
+        # stays CORRECT (the harvest omits the column → conservative,
+        # never-prune skipping) but loses temporal pruning — warn
+        # rather than silently mutating the caller's session conf,
+        # which would change parquet output for all their unrelated
+        # writes. (spark=None is allowed for manifest-only access,
+        # e.g. the streaming tail reader, which never runs a DF op.)
         if spark is not None:
-            spark.conf.set(
-                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-            )
+            try:
+                ts_type = spark.conf.get("spark.sql.parquet.outputTimestampType")
+            except Exception:
+                ts_type = None
+            if ts_type == "INT96":
+                import warnings
+
+                warnings.warn(
+                    "spark.sql.parquet.outputTimestampType is INT96; "
+                    "timestamp columns written by this store will carry "
+                    "no parquet min/max stats, disabling temporal data "
+                    "skipping (results stay correct). Set it to "
+                    "TIMESTAMP_MICROS (pyairbyte_spark.get_spark does).",
+                    stacklevel=2,
+                )
         self.root = os.path.join(warehouse_dir, schema_name)
         self.merge_buckets = merge_buckets
         # Optional hot-PK salting for the merge dedup window (see
@@ -1501,9 +1517,21 @@ class CommitLogTableStore(TableStore):
         union = union.observe(
             obs, F.sum(cond.cast("long")).alias("updated_rows")
         )
+        pks = set(man.get("primary_keys") or [])
         for col_name in assignments:
             if col_name in (AB_RAW_ID_COLUMN, AB_EXTRACTED_AT_COLUMN, BUCKET_COL):
                 raise ValueError(f"cannot update bookkeeping column {col_name!r}")
+            if col_name in pks:
+                # A pk rewrite would keep the row's old __pk_bucket, so
+                # a later write_merge hashes the new pk to a DIFFERENT
+                # bucket, dedup never sees the stale row, and reads
+                # return duplicate primary keys. Mirror drop_column's
+                # guard (writers.py:683) — delete + re-insert instead.
+                raise ValueError(
+                    f"column {col_name!r} is a merge primary key; "
+                    "update_where cannot reassign primary keys — "
+                    "delete_where the old key and merge the new row"
+                )
             if col_name not in union.columns:
                 raise ValueError(f"unknown column {col_name!r}")
         # ONE projection: every RHS and the predicate see PRE-update

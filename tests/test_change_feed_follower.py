@@ -189,6 +189,46 @@ def test_follower_delete_and_upsert_same_window(spark, caches):
     assert _rows(dst, "clean") == [(1, "a2"), (3, "c")]
 
 
+def test_follower_delete_then_reinsert_same_window_survives(spark, caches):
+    """Regression: a key deleted at version v then RE-INSERTED at a
+    later version inside the same change window must survive
+    downstream — only keys whose final change is a delete are
+    deleted."""
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t, ["id"])
+    follower.process_once()
+    # one window containing: delete(1) THEN re-insert(1)
+    src.store.delete_where(t, [("id", "=", 1)])
+    src.store.write_merge(_df(spark, [(1, "a2")], "z"), t, ["id"])
+    res = follower.process_once()
+    assert res["deleted"] == 0
+    assert _rows(dst, "clean") == [(1, "a2"), (2, "b")]
+    # destination mirrors the source snapshot
+    assert _rows(src, "raw") == _rows(dst, "clean")
+
+
+def test_follower_replace_commit_in_window_keeps_inserts(spark, caches):
+    """A replace commit emits delete+insert for the same key at ONE
+    version — the insert must win (strict version comparison)."""
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, ["id"])
+    follower.process_once()
+    # replace drops key 3 and rewrites 1, 2 — all in one commit
+    src.store.write_replace(_df(spark, [(1, "A"), (2, "B")], "z"), t)
+    res = follower.process_once()
+    assert _rows(dst, "clean") == [(1, "A"), (2, "B")]
+    assert res["deleted"] >= 1  # key 3's final change is the delete
+    assert _rows(src, "raw") == _rows(dst, "clean")
+
+
 def test_follower_apply_deletes_requires_pks(spark, caches):
     src, dst = caches
     import pytest as _pytest

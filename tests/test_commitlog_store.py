@@ -41,6 +41,32 @@ def _rows(df):
     return sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
 
 
+def test_store_init_does_not_mutate_session_conf(spark, tmp_path):
+    """Constructing a store must not flip session-global parquet confs
+    (that silently changes output for the caller's unrelated writes);
+    an INT96 session gets a warning instead — INT96 only degrades
+    temporal pruning, never correctness."""
+    import warnings
+
+    key = "spark.sql.parquet.outputTimestampType"
+    orig = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "INT96")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            CommitLogTableStore(spark, str(tmp_path / "wh_warn"), "main")
+        assert spark.conf.get(key) == "INT96"  # untouched
+        assert any("INT96" in str(w.message) for w in caught)
+        # MICROS session (get_spark's default): no warning
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            CommitLogTableStore(spark, str(tmp_path / "wh_ok"), "main")
+        assert not caught
+    finally:
+        spark.conf.set(key, orig)
+
+
 # -- basic strategies ---------------------------------------------------------
 
 

@@ -45,7 +45,13 @@ def test_harvest_scalar_types(tmp_path):
     assert st["s"] == {"min": "a", "max": "c", "nulls": 0}
     assert st["ts"]["min"] == encode_predicate_value(datetime.datetime(2024, 1, 1))
     assert st["ts"]["max"] == encode_predicate_value(datetime.datetime(2025, 6, 1))
-    assert st["d"] == {"min": 1, "max": 10, "nulls": 1}
+    # dates encode into the SAME epoch-micros domain as timestamps
+    assert st["d"] == {
+        "min": 1 * 86_400_000_000,
+        "max": 10 * 86_400_000_000,
+        "nulls": 1,
+    }
+    assert rec["sv"] == 2
     assert st["b"] == {"min": True, "max": True, "nulls": 1}
 
 
@@ -140,7 +146,8 @@ def test_missing_stats_keep_file():
 def test_temporal_predicate_encoding():
     ts_lo = encode_predicate_value(datetime.datetime(2024, 1, 1))
     ts_hi = encode_predicate_value(datetime.datetime(2024, 12, 31))
-    f = {"rows": 3, "stats": {"ts": {"min": ts_lo, "max": ts_hi, "nulls": 0}}}
+    f = {"rows": 3, "sv": 2,
+         "stats": {"ts": {"min": ts_lo, "max": ts_hi, "nulls": 0}}}
     assert not file_may_match(
         f, normalize_predicates([("ts", ">", datetime.datetime(2025, 1, 1))])
     )
@@ -155,6 +162,57 @@ def test_temporal_predicate_encoding():
 def test_cross_type_comparison_keeps_file():
     f = {"rows": 3, "stats": {"s": {"min": "a", "max": "b", "nulls": 0}}}
     assert file_may_match(f, normalize_predicates([("s", ">", 5)]))
+
+
+def test_date_predicate_on_timestamp_column_does_not_misprune(tmp_path):
+    """Regression: a date predicate vs a timestamp column's stats must
+    compare in ONE domain. Pre-v2, ts stats were epoch-micros but a
+    date predicate encoded to epoch-days, so ``ts < date(2025-01-01)``
+    wrongly pruned files whose every row matched."""
+    t = pa.table(
+        {"ts": pa.array([datetime.datetime(2024, 3, 1),
+                         datetime.datetime(2024, 9, 1)])}
+    )
+    rec = harvest_file_stats(_write(tmp_path, t))
+    # every row satisfies ts < 2025-01-01 → the file MUST survive
+    assert file_may_match(
+        rec, normalize_predicates([("ts", "<", datetime.date(2025, 1, 1))])
+    )
+    # and the pruning is still effective when genuinely unsatisfiable
+    assert not file_may_match(
+        rec, normalize_predicates([("ts", "<", datetime.date(2024, 1, 1))])
+    )
+    assert not file_may_match(
+        rec, normalize_predicates([("ts", ">", datetime.date(2025, 1, 1))])
+    )
+    # timestamp predicate against a DATE column: same single domain
+    td = pa.table(
+        {"d": pa.array([datetime.date(2024, 3, 1), datetime.date(2024, 9, 1)])}
+    )
+    rec_d = harvest_file_stats(_write(tmp_path, td, name="d.parquet"))
+    assert file_may_match(
+        rec_d,
+        normalize_predicates([("d", "<", datetime.datetime(2024, 3, 1, 12))]),
+    )
+    assert not file_may_match(
+        rec_d, normalize_predicates([("d", ">", datetime.datetime(2024, 9, 1))])
+    )
+
+
+def test_legacy_v1_stats_keep_file_on_temporal_predicates():
+    """v1 manifest entries (no ``sv`` field) have ambiguous temporal
+    encodings — any date/datetime predicate must keep the file."""
+    # v1-style: date column stats stored as epoch-DAYS
+    legacy = {"rows": 2, "stats": {"d": {"min": 19000, "max": 19100, "nulls": 0}}}
+    assert file_may_match(
+        legacy, normalize_predicates([("d", "<", datetime.date(1970, 1, 2))])
+    )
+    assert file_may_match(
+        legacy,
+        normalize_predicates([("d", "in", [datetime.datetime(2030, 1, 1)])]),
+    )
+    # non-temporal predicates on legacy stats still prune normally
+    assert not file_may_match(legacy, normalize_predicates([("d", "<", 100)]))
 
 
 # -- soundness property: pruning never drops a matching file ---------------

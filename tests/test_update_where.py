@@ -85,6 +85,20 @@ def test_update_guards(spark, store):
         store.update_where("t", [("id", "=", 1)], {"nope": "1"})
 
 
+def test_update_rejects_primary_key_assignment(spark, tmp_path):
+    """Regression: SET on a merge pk would keep the row's old
+    __pk_bucket, so a later merge hashes the new pk to a different
+    bucket and dedup never sees the stale row → duplicate pks on
+    read. The store must refuse."""
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "m", merge_buckets=8)
+    store.write_merge(_df(spark, 0, 50), "t", ["id"])
+    with pytest.raises(ValueError, match="merge primary key"):
+        store.update_where("t", [("id", "=", 3)], {"id": "7"})
+    # non-pk assignments on the same table still work
+    res = store.update_where("t", [("id", "=", 3)], {"v": F.lit("OK")})
+    assert res["updated_rows"] == 1
+
+
 def test_update_no_match_publishes_nothing(spark, store):
     store.write_append(_df(spark, 0, 10), "t")
     res = store.update_where("t", [("id", ">", 999)], {"x": "0"})
