@@ -107,9 +107,12 @@ def encode_predicate_value(value: Any) -> Any:
     return None  # unsupported → caller must keep the file
 
 
-def harvest_file_stats(parquet_path: str) -> dict[str, Any]:
+def harvest_file_stats(parquet_path) -> dict[str, Any]:
     """Read one parquet file's footer and return its stats record:
-    ``{"rows": N, "stats": {col: {"min", "max", "nulls"}}}``.
+    ``{"rows": N, "stats": {col: {"min", "max", "nulls"}}, "sv": 2}``.
+    ``parquet_path`` is a local path or any seekable binary file-like
+    (e.g. ``FileIO.open_input`` over HDFS) — footer reads are a few
+    bounded seek+read calls, never a full-file scan.
 
     ``max`` is ``None`` when only a truncated (lower-bound-only)
     string was available. Columns with any stat-less row group, nested

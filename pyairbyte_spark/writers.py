@@ -31,11 +31,8 @@ Spark-first design:
 
 from __future__ import annotations
 
-import contextlib
 import json
 import os
-import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -70,8 +67,18 @@ class TableStore:
         *,
         merge_buckets: int | None = None,
         merge_salt: int | None = None,
+        fileio=None,
     ) -> None:
+        from pyairbyte_spark.fileio import LocalFileIO
+
         self.spark = spark
+        # The storage seam (fileio.py): all driver-side metadata I/O —
+        # manifests, commit publication, listings, footer harvest,
+        # vacuum — goes through ``self.io`` so the store runs wherever
+        # the data lives (LocalFileIO by default; HadoopFileIO for
+        # HDFS-class filesystems; any atomic-conditional-PUT object
+        # store via a custom FileIO). Bulk data I/O stays with Spark.
+        self.io = fileio or LocalFileIO()
         # Timestamp stats require the MICROS physical type — INT96
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
@@ -104,7 +111,7 @@ class TableStore:
         # Optional hot-PK salting for the merge dedup window (see
         # _dedup_latest); operators/skew.py documents the cost model.
         self.merge_salt = merge_salt
-        os.makedirs(self.root, exist_ok=True)
+        self.io.makedirs(self.root)
 
     def _bucket_expr(self, primary_keys: list[str], n_buckets: int):
         return F.pmod(
@@ -126,33 +133,30 @@ class TableStore:
 
     def _persisted_buckets(self, table_name: str) -> int | None:
         try:
-            with open(self._meta_path(table_name)) as f:
-                n = json.load(f).get("merge_buckets")
-                return int(n) if n else None
+            n = json.loads(self.io.read_text(self._meta_path(table_name))).get(
+                "merge_buckets"
+            )
+            return int(n) if n else None
         except (OSError, ValueError):
             return None
 
     def _write_bucket_meta(self, table_name: str, n_buckets: int | None) -> None:
         meta = self._meta_path(table_name)
         if not n_buckets:
-            with contextlib.suppress(OSError):
-                os.remove(meta)
+            self.io.delete_file(meta)
             return
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"merge_buckets": n_buckets}, f)
-        os.replace(tmp, meta)
+        self.io.write_text(meta, json.dumps({"merge_buckets": n_buckets}))
 
     def table_path(self, table_name: str) -> str:
         return os.path.join(self.root, table_name)
 
     def table_exists(self, table_name: str) -> bool:
         path = self.table_path(table_name)
-        if not os.path.isdir(path):
+        if not self.io.is_dir(path):
             return False
         return any(
             f.endswith(".parquet") or f.startswith(f"{BUCKET_COL}=")
-            for f in os.listdir(path)
+            for f in self.io.list_names(path)
         )
 
     def _read_raw(self, table_name: str) -> DataFrame:
@@ -168,12 +172,13 @@ class TableStore:
 
     def list_tables(self) -> list[str]:
         return sorted(
-            d for d in os.listdir(self.root)
-            if os.path.isdir(os.path.join(self.root, d)) and not d.startswith("_tmp_")
+            d for d in self.io.list_names(self.root)
+            if self.io.is_dir(os.path.join(self.root, d))
+            and not d.startswith("_tmp_")
         )
 
     def drop(self, table_name: str) -> None:
-        shutil.rmtree(self.table_path(table_name), ignore_errors=True)
+        self.io.delete_dir(self.table_path(table_name))
         self._write_bucket_meta(table_name, None)
 
     # -- write strategies ---------------------------------------------------
@@ -188,10 +193,10 @@ class TableStore:
         final = self.table_path(table_name)
         temp = self.table_path(temp_name)
         deleteme = self.table_path(f"_tmp_deleteme_{uuid.uuid4().hex[:9]}")
-        if os.path.isdir(final):
-            os.replace(final, deleteme)
-        os.replace(temp, final)
-        shutil.rmtree(deleteme, ignore_errors=True)
+        if self.io.is_dir(final):
+            self.io.rename(final, deleteme)
+        self.io.rename(temp, final)
+        self.io.delete_dir(deleteme)
 
     def _with_bucket(
         self,
@@ -389,23 +394,28 @@ class CommitLogTableStore(TableStore):
     live-buckets) pairs — bucket filters hit Spark's partition pruning,
     so superseded bucket data in old dirs is never read.
 
-    Commit publication is a single ``os.link`` (create-exclusive, so
-    two writers can never both claim a version — the loser gets
-    :class:`ConcurrentCommitError`). Data directories are staged BEFORE
-    the commit and are immutable after it; a crash anywhere before the
-    link leaves the previous snapshot fully intact (all-or-nothing
-    REPLACE and MERGE — the property the rename-swap parquet store
-    lacks). Old versions stay readable (:meth:`read_version`) until
-    :meth:`vacuum`.
+    Commit publication is a single atomic create-exclusive PUT through
+    the FileIO seam (``fileio.py``: local = hard link of a fully
+    written temp; HDFS = temp + contract rename; object stores =
+    conditional PUT), so two writers can never both claim a version —
+    the loser gets :class:`ConcurrentCommitError`. Data directories
+    are staged BEFORE the commit and are immutable after it; a crash
+    anywhere before publication leaves the previous snapshot fully
+    intact (all-or-nothing REPLACE and MERGE — the property the
+    rename-swap parquet store lacks). Old versions stay readable
+    (:meth:`read_version`) until :meth:`vacuum`.
 
     At 100 TB: an incremental merge stages only the touched buckets'
     worth of data and flips one tiny JSON file; the manifest scales
     with live data directories (compacted by full-rewrite merges and
-    replaces), not with table size. On a real cluster the directory
-    operations move to the Hadoop FileSystem API; the protocol —
-    stage-then-publish with create-exclusive commits — is unchanged
-    (reference REPLACE parity: ``sql_processor.py:1061-1087``, upgraded
-    from "atomic-ish" to atomic).
+    replaces), not with table size. Deploy where the data lives by
+    passing ``fileio=HadoopFileIO(spark, root_uri)`` (or a
+    conditional-PUT FileIO for S3-class stores) — the protocol —
+    stage-then-publish with create-exclusive commits — is identical
+    on every backend and is exercised against object-store semantics
+    in ``tests/test_fileio.py`` (reference REPLACE parity:
+    ``sql_processor.py:1061-1087``, upgraded from "atomic-ish" to
+    atomic).
     """
 
     COMMIT_DIR = "_commits"
@@ -418,21 +428,18 @@ class CommitLogTableStore(TableStore):
 
     def _latest_commit(self, table_name: str) -> tuple[int, dict] | None:
         d = self._commits_dir(table_name)
-        try:
-            names = [n for n in os.listdir(d) if n.endswith(".json")]
-        except OSError:
-            return None
+        names = [n for n in self.io.list_names(d) if n.endswith(".json")]
         if not names:
             return None
         latest = max(names)
-        with open(os.path.join(d, latest)) as f:
-            return int(latest[:-5]), json.load(f)
+        return int(latest[:-5]), json.loads(
+            self.io.read_text(os.path.join(d, latest))
+        )
 
     def _read_manifest(self, table_name: str, version: int) -> dict:
         path = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
         try:
-            with open(path) as f:
-                return json.load(f)
+            return json.loads(self.io.read_text(path))
         except OSError as e:
             raise FileNotFoundError(
                 f"table {table_name!r} has no commit version {version}"
@@ -440,22 +447,18 @@ class CommitLogTableStore(TableStore):
             ) from e
 
     def _commit(self, table_name: str, manifest: dict, version: int) -> None:
-        """Publish ``manifest`` as ``version`` — atomic create-exclusive."""
-        d = self._commits_dir(table_name)
-        os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump({"version": version, **manifest}, f)
-        target = os.path.join(d, f"{version:020d}.json")
-        try:
-            os.link(tmp, target)  # atomic; fails if the version exists
-        except FileExistsError:
+        """Publish ``manifest`` as ``version`` — one atomic
+        create-exclusive PUT through the FileIO seam (local: temp +
+        hard link; HDFS: temp + contract rename; object store:
+        conditional PUT). Exactly one of any number of concurrent
+        writers claims a version."""
+        target = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
+        data = json.dumps({"version": version, **manifest})
+        if not self.io.put_if_absent(target, data):
             raise ConcurrentCommitError(
                 f"commit version {version} of {table_name!r} was taken "
                 "by a concurrent writer"
-            ) from None
-        finally:
-            os.remove(tmp)
+            )
 
     def _stage(self, df: DataFrame, table_name: str) -> dict:
         """Write ``df`` into a fresh immutable data dir; return its
@@ -467,32 +470,22 @@ class CommitLogTableStore(TableStore):
         name = f"d-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.table_path(table_name), name)
         self._writer(df).mode("overwrite").parquet(path)
-        buckets = None
-        if BUCKET_COL in df.columns:
-            buckets = sorted(
-                int(d.split("=", 1)[1])
-                for d in os.listdir(path)
-                if d.startswith(f"{BUCKET_COL}=")
-            )
         files = []
-        for dirpath, _, names in os.walk(path):
-            for fn in sorted(names):
-                if not fn.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, fn)
-                rel = os.path.relpath(full, path)
-                bucket = None
-                for part in rel.split(os.sep):
-                    if part.startswith(f"{BUCKET_COL}="):
-                        bucket = int(part.split("=", 1)[1])
-                files.append(
-                    {
-                        "path": rel,
-                        "bucket": bucket,
-                        "bytes": os.path.getsize(full),
-                        **harvest_file_stats(full),
-                    }
-                )
+        bucket_set: set[int] = set()
+        for rel, size in self.io.list_files(path):
+            if not rel.endswith(".parquet"):
+                continue
+            bucket = None
+            for part in rel.split("/"):
+                if part.startswith(f"{BUCKET_COL}="):
+                    bucket = int(part.split("=", 1)[1])
+                    bucket_set.add(bucket)
+            with self.io.open_input(os.path.join(path, rel)) as src:
+                stats = harvest_file_stats(src)
+            files.append(
+                {"path": rel, "bucket": bucket, "bytes": size, **stats}
+            )
+        buckets = sorted(bucket_set) if BUCKET_COL in df.columns else None
         return {"path": name, "buckets": buckets, "files": files}
 
     # -- snapshot reads -----------------------------------------------------
@@ -829,16 +822,13 @@ class CommitLogTableStore(TableStore):
     def history(self, table_name: str) -> list[dict]:
         """Commit history, newest first (op + version per commit)."""
         d = self._commits_dir(table_name)
-        try:
-            names = sorted(
-                (n for n in os.listdir(d) if n.endswith(".json")), reverse=True
-            )
-        except OSError:
-            return []
+        names = sorted(
+            (n for n in self.io.list_names(d) if n.endswith(".json")),
+            reverse=True,
+        )
         out = []
         for n in names:
-            with open(os.path.join(d, n)) as f:
-                m = json.load(f)
+            m = json.loads(self.io.read_text(os.path.join(d, n)))
             out.append(
                 {
                     "version": int(n[:-5]),
@@ -1122,16 +1112,16 @@ class CommitLogTableStore(TableStore):
 
     def list_tables(self) -> list[str]:
         out = []
-        for d in sorted(os.listdir(self.root)):
+        for d in sorted(self.io.list_names(self.root)):
             if d.startswith("_tmp_"):
                 continue
-            if os.path.isdir(os.path.join(self.root, d, self.COMMIT_DIR)):
+            if self.io.is_dir(os.path.join(self.root, d, self.COMMIT_DIR)):
                 if self.table_exists(d):
                     out.append(d)
         return out
 
     def drop(self, table_name: str) -> None:
-        shutil.rmtree(self.table_path(table_name), ignore_errors=True)
+        self.io.delete_dir(self.table_path(table_name))
 
     def _persisted_buckets(self, table_name: str) -> int | None:
         snap = self._latest_commit(table_name)
@@ -1600,50 +1590,52 @@ class CommitLogTableStore(TableStore):
         only logically.)
         """
         d = self._commits_dir(table_name)
-        try:
-            names = sorted(n for n in os.listdir(d) if n.endswith(".json"))
-        except OSError:
+        names = sorted(n for n in self.io.list_names(d) if n.endswith(".json"))
+        if not names:
             return []
         keep = names[-keep_commits:] if keep_commits > 0 else names[-1:]
         live_dirs: set[str] = set()
         # dir → set of referenced rel paths; None = whole dir pinned
         live_files: dict[str, set[str] | None] = {}
         for n in keep:
-            with open(os.path.join(d, n)) as f:
-                for e in json.load(f).get("entries") or []:
-                    live_dirs.add(e["path"])
-                    files = e.get("files")
-                    if files is None or live_files.get(e["path"], set()) is None:
-                        live_files[e["path"]] = None  # pre-stats: pin dir
-                    else:
-                        live_files.setdefault(e["path"], set()).update(
-                            f["path"] for f in files
-                        )
+            man = json.loads(self.io.read_text(os.path.join(d, n)))
+            for e in man.get("entries") or []:
+                live_dirs.add(e["path"])
+                files = e.get("files")
+                if files is None or live_files.get(e["path"], set()) is None:
+                    live_files[e["path"]] = None  # pre-stats: pin dir
+                else:
+                    # A carried merge entry lists ALL its files but only
+                    # the buckets in e["buckets"] are live in this
+                    # snapshot — files of superseded buckets are
+                    # unreachable (reads bucket-prune) and reclaimable.
+                    live = e.get("buckets")
+                    live_files.setdefault(e["path"], set()).update(
+                        f["path"]
+                        for f in files
+                        if live is None
+                        or f.get("bucket") is None
+                        or f["bucket"] in live
+                    )
         removed: list[str] = []
         tdir = self.table_path(table_name)
-        for name in os.listdir(tdir):
+        for name in self.io.list_names(tdir):
             if not name.startswith("d-"):
                 continue
             if name not in live_dirs:
-                shutil.rmtree(os.path.join(tdir, name), ignore_errors=True)
+                self.io.delete_dir(os.path.join(tdir, name))
                 removed.append(name)
                 continue
             referenced = live_files.get(name)
             if referenced is None:
                 continue
             base = os.path.join(tdir, name)
-            for dirpath, _, fnames in os.walk(base):
-                for fn in fnames:
-                    if not fn.endswith(".parquet"):
-                        continue
-                    rel = os.path.relpath(os.path.join(dirpath, fn), base)
-                    if rel not in referenced:
-                        with contextlib.suppress(OSError):
-                            os.remove(os.path.join(dirpath, fn))
-                        removed.append(f"{name}/{rel}")
+            for rel, _size in self.io.list_files(base):
+                if rel.endswith(".parquet") and rel not in referenced:
+                    self.io.delete_file(os.path.join(base, rel))
+                    removed.append(f"{name}/{rel}")
         for n in names[: -len(keep)] if len(keep) < len(names) else []:
-            with contextlib.suppress(OSError):
-                os.remove(os.path.join(d, n))
+            self.io.delete_file(os.path.join(d, n))
         return removed
 
     def compact(
