@@ -56,10 +56,19 @@ def _versions(table_path: str) -> list[int]:
     return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
 
 
-def _manifest(table_path: str, version: int) -> dict:
+def _manifest_raw(table_path: str, version: int) -> dict:
     p = os.path.join(_commits_dir(table_path), f"{version:020d}.json")
     with open(p) as f:
         return json.load(f)
+
+
+def _manifest(table_path: str, version: int) -> dict:
+    """Resolved (full-entries) manifest — commits may be stored as
+    deltas (``pyairbyte_spark.manifest``); the resolver is pure JSON,
+    safe inside the Python data-source worker."""
+    from pyairbyte_spark.manifest import resolve_manifest
+
+    return resolve_manifest(lambda v: _manifest_raw(table_path, v), version)
 
 
 def _entry_paths(man: dict) -> set[str]:

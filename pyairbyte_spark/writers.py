@@ -79,6 +79,9 @@ class TableStore:
         # HDFS-class filesystems; any atomic-conditional-PUT object
         # store via a custom FileIO). Bulk data I/O stays with Spark.
         self.io = fileio or LocalFileIO()
+        # Resolved-manifest cache (commit-log store): commits are
+        # immutable, so (table, version) → full manifest caches safely.
+        self._man_cache: dict[tuple[str, int], dict] = {}
         # Timestamp stats require the MICROS physical type — INT96
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
@@ -431,12 +434,10 @@ class CommitLogTableStore(TableStore):
         names = [n for n in self.io.list_names(d) if n.endswith(".json")]
         if not names:
             return None
-        latest = max(names)
-        return int(latest[:-5]), json.loads(
-            self.io.read_text(os.path.join(d, latest))
-        )
+        v = int(max(names)[:-5])
+        return v, self._read_manifest(table_name, v)
 
-    def _read_manifest(self, table_name: str, version: int) -> dict:
+    def _read_manifest_raw(self, table_name: str, version: int) -> dict:
         path = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
         try:
             return json.loads(self.io.read_text(path))
@@ -446,19 +447,77 @@ class CommitLogTableStore(TableStore):
                 " (never written, or vacuumed)"
             ) from e
 
+    def _read_manifest(self, table_name: str, version: int) -> dict:
+        """The RESOLVED (full-entries) manifest of ``version`` —
+        walking the delta chain to its checkpoint when the stored form
+        is incremental (``manifest.py``). Commits are immutable, so
+        resolved manifests cache safely."""
+        key = (table_name, version)
+        cached = self._man_cache.get(key)
+        if cached is not None:
+            return cached
+        from pyairbyte_spark import manifest as mf
+
+        man = mf.resolve_manifest(
+            lambda v: self._read_manifest_raw(table_name, v), version
+        )
+        self._cache_manifest(table_name, version, man)
+        return man
+
+    def _cache_manifest(self, table_name: str, version: int, man: dict) -> None:
+        if len(self._man_cache) >= 8:
+            self._man_cache.pop(next(iter(self._man_cache)))
+        self._man_cache[(table_name, version)] = man
+
+    def _invalidate_manifests(
+        self, table_name: str, *, below: int | None = None
+    ) -> None:
+        """Drop cached manifests for ``table_name`` (versions < below,
+        or all) — vacuum/drop delete the backing commits."""
+        self._man_cache = {
+            k: v
+            for k, v in self._man_cache.items()
+            if k[0] != table_name or (below is not None and k[1] >= below)
+        }
+
     def _commit(self, table_name: str, manifest: dict, version: int) -> None:
         """Publish ``manifest`` as ``version`` — one atomic
         create-exclusive PUT through the FileIO seam (local: temp +
         hard link; HDFS: temp + contract rename; object store:
         conditional PUT). Exactly one of any number of concurrent
-        writers claims a version."""
+        writers claims a version.
+
+        Storage form (``manifest.py``): when the previous version
+        resolves and the change is small, the stored JSON is a DELTA
+        (base + add/replace/remove actions) — commit cost O(changed
+        entries), not O(table). Every ``CHECKPOINT_INTERVAL``-th
+        version is forced full, bounding resolution chains.
+        """
+        from pyairbyte_spark import manifest as mf
+
+        to_store = manifest
+        if (
+            version > 1
+            and version % mf.CHECKPOINT_INTERVAL != 0
+            and manifest.get("entries") is not None
+        ):
+            try:
+                base = self._read_manifest(table_name, version - 1)
+            except FileNotFoundError:
+                base = None
+            if base is not None and base.get("entries") is not None:
+                delta = mf.diff_entries(base["entries"], manifest["entries"])
+                if delta is not None:
+                    top = {k: v for k, v in manifest.items() if k != "entries"}
+                    to_store = {**top, "base": version - 1, **delta}
         target = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
-        data = json.dumps({"version": version, **manifest})
+        data = json.dumps({"version": version, **to_store})
         if not self.io.put_if_absent(target, data):
             raise ConcurrentCommitError(
                 f"commit version {version} of {table_name!r} was taken "
                 "by a concurrent writer"
             )
+        self._cache_manifest(table_name, version, {"version": version, **manifest})
 
     def _stage(self, df: DataFrame, table_name: str) -> dict:
         """Write ``df`` into a fresh immutable data dir; return its
@@ -829,14 +888,21 @@ class CommitLogTableStore(TableStore):
         out = []
         for n in names:
             m = json.loads(self.io.read_text(os.path.join(d, n)))
-            out.append(
-                {
-                    "version": int(n[:-5]),
-                    "op": m.get("op"),
-                    "n_entries": len(m.get("entries") or []),
-                    "merge_buckets": m.get("merge_buckets"),
-                }
-            )
+            rec = {
+                "version": int(n[:-5]),
+                "op": m.get("op"),
+                "merge_buckets": m.get("merge_buckets"),
+            }
+            if "entries" in m:
+                rec["n_entries"] = len(m.get("entries") or [])
+            else:  # delta commit: report its O(changed) action counts
+                rec["incremental"] = True
+                rec["n_changed"] = (
+                    len(m.get("add_entries") or [])
+                    + len(m.get("replace_entries") or {})
+                    + len(m.get("remove_paths") or [])
+                )
+            out.append(rec)
         return out
 
     def table_stats(
@@ -1122,6 +1188,7 @@ class CommitLogTableStore(TableStore):
 
     def drop(self, table_name: str) -> None:
         self.io.delete_dir(self.table_path(table_name))
+        self._invalidate_manifests(table_name)
 
     def _persisted_buckets(self, table_name: str) -> int | None:
         snap = self._latest_commit(table_name)
@@ -1589,16 +1656,30 @@ class CommitLogTableStore(TableStore):
         grace period for in-flight readers; snapshots pin their files
         only logically.)
         """
+        from pyairbyte_spark import manifest as mf
+
         d = self._commits_dir(table_name)
         names = sorted(n for n in self.io.list_names(d) if n.endswith(".json"))
         if not names:
             return []
         keep = names[-keep_commits:] if keep_commits > 0 else names[-1:]
+        # Delta chains: the oldest kept commit may resolve through
+        # versions about to be deleted. Checkpoint it first — rewrite
+        # its stored form as the resolved FULL manifest (byte change,
+        # identical logical content), so every kept version stays
+        # resolvable after the chain below is dropped. Later kept
+        # deltas chain down only as far as this now-full commit.
+        oldest_kept = int(keep[0][:-5])
+        if mf.is_delta(self._read_manifest_raw(table_name, oldest_kept)):
+            resolved = self._read_manifest(table_name, oldest_kept)
+            self.io.write_text(
+                os.path.join(d, keep[0]), json.dumps(resolved)
+            )
         live_dirs: set[str] = set()
         # dir → set of referenced rel paths; None = whole dir pinned
         live_files: dict[str, set[str] | None] = {}
         for n in keep:
-            man = json.loads(self.io.read_text(os.path.join(d, n)))
+            man = self._read_manifest(table_name, int(n[:-5]))
             for e in man.get("entries") or []:
                 live_dirs.add(e["path"])
                 files = e.get("files")
@@ -1636,6 +1717,7 @@ class CommitLogTableStore(TableStore):
                     removed.append(f"{name}/{rel}")
         for n in names[: -len(keep)] if len(keep) < len(names) else []:
             self.io.delete_file(os.path.join(d, n))
+        self._invalidate_manifests(table_name, below=oldest_kept)
         return removed
 
     def compact(

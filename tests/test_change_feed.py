@@ -150,7 +150,14 @@ def test_pre_cdf_merge_manifest_falls_back_to_upsert(spark, store):
     man.pop("primary_keys")
     with open(p, "w") as fh:
         json.dump(man, fh)
-    got = _changes(store.read_changes("t", 1))
+    # a FRESH store models the real case (legacy table, new reader);
+    # the writing store may legitimately cache its own immutable commit
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    fresh = CommitLogTableStore(
+        spark, os.path.dirname(store.root), os.path.basename(store.root)
+    )
+    got = _changes(fresh.read_changes("t", 1))
     assert got == [(2, "upsert", 1, "b"), (2, "upsert", 2, "a")]
 
 

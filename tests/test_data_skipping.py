@@ -104,6 +104,7 @@ def test_read_where_pre_stats_manifest_falls_back(spark, store):
         e.pop("files", None)
     with open(p, "w") as fh:
         json.dump(man, fh)
+    store._invalidate_manifests("t")  # simulate a fresh (legacy) reader
     plan = store.plan_scan("t", [("id", ">", 999)])
     assert plan["files_total"] == 0 and plan["groups"]  # whole-dir group
     assert _ids(store.read_where("t", [("id", "<", 5)])) == list(range(5))
@@ -249,6 +250,7 @@ def test_table_stats_pre_stats_manifest_returns_unknown(spark, store):
         e.pop("files", None)
     with open(p, "w") as fh:
         json.dump(man, fh)
+    store._invalidate_manifests("t")  # simulate a fresh (legacy) reader
     st = store.table_stats("t")
     assert st["rows"] is None and st["files"] is None
 

@@ -88,6 +88,7 @@ def test_delete_requires_predicates_and_stats(spark, store):
         e.pop("files")
     with open(p, "w") as fh:
         json.dump(man, fh)
+    store._invalidate_manifests("t")  # simulate a fresh (legacy) reader
     with pytest.raises(ValueError, match="compact"):
         store.delete_where("t", [("id", "=", 1)])
 
