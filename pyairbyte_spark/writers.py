@@ -519,6 +519,75 @@ class CommitLogTableStore(TableStore):
             )
         self._cache_manifest(table_name, version, {"version": version, **manifest})
 
+    def _commit_dml(
+        self,
+        table_name: str,
+        manifest: dict,
+        version: int,
+        *,
+        base_entries: list[dict],
+        preds: list[list[tuple]],
+    ) -> int:
+        """Publish a DML rewrite commit (delete/update) with optimistic
+        conflict resolution, Delta-style:
+
+        - A concurrent APPEND whose added files PROVABLY contain no
+          predicate-matching row (zone-map check) commutes with the
+          rewrite → rebase: carry the appended entries into our
+          manifest and retry at the next version.
+        - Anything else — concurrent DML/merge/replace (they modified
+          entries we read), or an append that may add matching rows —
+          aborts with :class:`ConcurrentCommitError`, because the
+          staged rewrite was computed from a stale read set. Re-run
+          the operation to resolve.
+        """
+        from pyairbyte_spark.filestats import file_may_match_dnf
+
+        op = manifest.get("op")
+        for _ in range(self._COMMIT_RETRIES):
+            try:
+                self._commit(table_name, manifest, version)
+                return version
+            except ConcurrentCommitError:
+                snap = self._latest_commit(table_name)
+                if snap is None:
+                    raise
+                new_version, new_man = snap
+                new_entries = new_man.get("entries") or []
+                base_by = {e["path"]: e for e in base_entries}
+                new_by = {e["path"]: e for e in new_entries}
+                changed = any(
+                    p not in new_by
+                    or (new_by[p] is not base_by[p] and new_by[p] != base_by[p])
+                    for p in base_by
+                )
+                if changed:
+                    raise ConcurrentCommitError(
+                        f"{op} on {table_name!r} conflicts with a "
+                        "concurrent write that modified overlapping "
+                        "data; re-run the operation"
+                    ) from None
+                added = [e for e in new_entries if e["path"] not in base_by]
+                for e in added:
+                    files = e.get("files")
+                    if files is None or any(
+                        file_may_match_dnf(f, preds) for f in files
+                    ):
+                        raise ConcurrentCommitError(
+                            f"{op} on {table_name!r} conflicts with a "
+                            "concurrent append that may contain matching "
+                            "rows; re-run the operation"
+                        ) from None
+                manifest = {
+                    **manifest,
+                    "entries": list(manifest["entries"]) + added,
+                }
+                base_entries = new_entries
+                version = new_version + 1
+        raise ConcurrentCommitError(
+            f"{op} on {table_name!r} lost {self._COMMIT_RETRIES} commit races"
+        )
+
     def _stage(self, df: DataFrame, table_name: str) -> dict:
         """Write ``df`` into a fresh immutable data dir; return its
         manifest entry (path + bucket partitions present + per-file
@@ -1274,6 +1343,28 @@ class CommitLogTableStore(TableStore):
     def write_merge(
         self, df: DataFrame, table_name: str, primary_keys: list[str]
     ) -> None:
+        """MERGE with optimistic-concurrency retry: losing a version
+        race re-runs the whole attempt against the winner's snapshot
+        (safe — the merge is deterministic latest-wins over
+        old ∪ incoming, so a re-run converges; the loser's staged dir
+        is dead weight until vacuum). Appends auto-rebase more cheaply
+        (position-independent); DML uses read-set conflict detection
+        (:meth:`_commit_dml`)."""
+        last: ConcurrentCommitError | None = None
+        for _ in range(self._COMMIT_RETRIES):
+            try:
+                return self._write_merge_once(df, table_name, primary_keys)
+            except ConcurrentCommitError as e:
+                last = e
+                continue
+        raise ConcurrentCommitError(
+            f"merge into {table_name!r} lost {self._COMMIT_RETRIES} "
+            "commit races"
+        ) from last
+
+    def _write_merge_once(
+        self, df: DataFrame, table_name: str, primary_keys: list[str]
+    ) -> None:
         if not primary_keys:
             raise ValueError("merge requires primary keys")
         snap = self._latest_commit(table_name)
@@ -1463,7 +1554,7 @@ class CommitLogTableStore(TableStore):
         staged_rows = sum(f.get("rows") or 0 for f in entry["files"])
         if entry["files"]:
             keep_entries.append(entry)
-        self._commit(
+        new_version = self._commit_dml(
             table_name,
             {
                 "op": "delete",
@@ -1478,11 +1569,13 @@ class CommitLogTableStore(TableStore):
                 "touched": touched_paths,
             },
             version + 1,
+            base_entries=man["entries"],
+            preds=preds,
         )
         return {
             "deleted_rows": touched_rows - staged_rows,
             "files_rewritten": len(touched_paths),
-            "version": version + 1,
+            "version": new_version,
         }
 
     def update_where(
@@ -1614,7 +1707,7 @@ class CommitLogTableStore(TableStore):
         entry = self._stage(self._rename_incoming(updated, man), table_name)
         if entry["files"]:
             keep_entries.append(entry)
-        self._commit(
+        new_version = self._commit_dml(
             table_name,
             {
                 "op": "update",
@@ -1629,11 +1722,13 @@ class CommitLogTableStore(TableStore):
                 "touched": touched_paths,
             },
             version + 1,
+            base_entries=man["entries"],
+            preds=phys_preds,
         )
         return {
             "updated_rows": int(obs.get["updated_rows"] or 0),
             "files_rewritten": len(touched_paths),
-            "version": version + 1,
+            "version": new_version,
         }
 
     # -- maintenance --------------------------------------------------------
