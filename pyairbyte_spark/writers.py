@@ -32,6 +32,7 @@ Spark-first design:
 from __future__ import annotations
 
 import json
+import re
 import os
 import uuid
 
@@ -597,7 +598,19 @@ class CommitLogTableStore(TableStore):
 
         name = f"d-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.table_path(table_name), name)
-        self._writer(df).mode("overwrite").parquet(path)
+        try:
+            self._writer(df).mode("overwrite").parquet(path)
+        except Exception as e:
+            msg = str(e)
+            if "EXPECTATION_VIOLATION" in msg:
+                from pyairbyte_spark.expectations import ExpectationViolation
+
+                self.io.delete_dir(path)  # no partial staging left behind
+                m = re.search(r"check '([^']+)'", msg)
+                raise ExpectationViolation(
+                    {m.group(1) if m else "check": 1}
+                ) from None
+            raise
         files = []
         bucket_set: set[int] = set()
         for rel, size in self.io.list_files(path):
@@ -704,12 +717,133 @@ class CommitLogTableStore(TableStore):
 
     @staticmethod
     def _carry_mapping(man: dict) -> dict:
+        """Table metadata every commit must re-state (delta commits
+        carry top-level fields verbatim; resolution takes them from
+        the NEWEST commit, so omission would silently drop them):
+        column mapping, dropped columns, CHECK constraints."""
         out = {}
         if man.get("column_mapping"):
             out["column_mapping"] = man["column_mapping"]
         if man.get("dropped_columns"):
             out["dropped_columns"] = man["dropped_columns"]
+        if man.get("checks"):
+            out["checks"] = man["checks"]
         return out
+
+    # -- CHECK constraints (persisted expectations) -------------------------
+    # Delta's ALTER TABLE ADD CONSTRAINT for the commit-log store: a
+    # check lives in the manifest and EVERY later write (append, merge,
+    # replace, update_where) enforces it in-flight — an assert_true
+    # projection inside the staging write itself, so violating rows
+    # fail the Spark job before the commit exists (single pass, no
+    # separate validation job, table left on its previous snapshot).
+    # Write-time-only expectations with drop/quarantine policies remain
+    # at the cache layer (cache.write_dataframe(expectations=...)).
+
+    def table_checks(self, table_name: str) -> dict[str, str]:
+        snap = self._latest_commit(table_name)
+        return dict((snap[1].get("checks") or {})) if snap else {}
+
+    def set_check(self, table_name: str, name: str, expr: str) -> int:
+        """Add/replace a named CHECK constraint (SQL boolean expr over
+        logical column names; NULL passes, per SQL CHECK). Existing
+        rows are validated first — a constraint the current data
+        violates is rejected (Delta semantics). Metadata-only commit.
+        """
+        from pyairbyte_spark.expectations import (
+            ExpectationViolation,
+            violation_counts,
+        )
+
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        counts = violation_counts(self.read(table_name), {name: expr})
+        if counts[name]:
+            raise ExpectationViolation(counts)
+        checks = {**(man.get("checks") or {}), name: expr}
+        self._commit(
+            table_name,
+            {
+                "op": "set_check",
+                "merge_buckets": man.get("merge_buckets"),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                **{
+                    k: v
+                    for k, v in self._carry_mapping(man).items()
+                    if k != "checks"
+                },
+                "checks": checks,
+                "entries": man.get("entries") or [],
+            },
+            version + 1,
+        )
+        return version + 1
+
+    def drop_check(self, table_name: str, name: str) -> int:
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        checks = dict(man.get("checks") or {})
+        if name not in checks:
+            raise ValueError(f"no check named {name!r}")
+        checks.pop(name)
+        manifest = {
+            "op": "set_check",
+            "merge_buckets": man.get("merge_buckets"),
+            **(
+                {"primary_keys": man["primary_keys"]}
+                if man.get("primary_keys")
+                else {}
+            ),
+            **{
+                k: v
+                for k, v in self._carry_mapping(man).items()
+                if k != "checks"
+            },
+            **({"checks": checks} if checks else {}),
+            "entries": man.get("entries") or [],
+        }
+        self._commit(table_name, manifest, version + 1)
+        return version + 1
+
+    @staticmethod
+    def _guard_checked_column(man: dict, column: str, verb: str) -> None:
+        """Refuse to rename/drop a column a CHECK expression references
+        (word-boundary match — conservative); drop the check first."""
+        for name, expr in (man.get("checks") or {}).items():
+            if re.search(rf"\b{re.escape(column)}\b", expr):
+                raise ValueError(
+                    f"cannot {verb} column {column!r}: referenced by "
+                    f"check {name!r} ({expr}); drop_check first"
+                )
+
+    def _enforce_checks(self, df: DataFrame, man: dict | None) -> DataFrame:
+        """Attach in-flight CHECK assertions to a LOGICAL-name frame:
+        any violating row fails the staging write (see _stage's
+        interception), publishing nothing."""
+        checks = (man or {}).get("checks")
+        if not checks:
+            return df
+        from pyairbyte_spark.expectations import _violation_col
+
+        for name, expr in checks.items():
+            df = df.filter(
+                F.assert_true(
+                    ~F.coalesce(_violation_col(expr), F.lit(False)),
+                    F.lit(
+                        f"EXPECTATION_VIOLATION: check {name!r} "
+                        f"({expr}) failed"
+                    ),
+                ).isNull()
+            )
+        return df
 
     def _apply_mapping(self, df: DataFrame, man: dict) -> DataFrame:
         """Physical frame → logical view (drops dropped columns,
@@ -785,6 +919,7 @@ class CommitLogTableStore(TableStore):
             raise ValueError(f"column {new!r} already exists")
         if old.startswith("_airbyte") or new.startswith("__"):
             raise ValueError("cannot rename bookkeeping columns")
+        self._guard_checked_column(man, old, "rename")
         mapping, dropped = self._mapping_of(man)
         physical = self._to_physical(man, old)
         mapping.pop(physical, None)
@@ -818,6 +953,7 @@ class CommitLogTableStore(TableStore):
         physical = self._to_physical(man, name)
         if physical in (man.get("primary_keys") or []):
             raise ValueError(f"column {name!r} is a merge primary key")
+        self._guard_checked_column(man, name, "drop")
         mapping, dropped = self._mapping_of(man)
         mapping.pop(physical, None)
         dropped.add(physical)
@@ -1116,7 +1252,7 @@ class CommitLogTableStore(TableStore):
     def _changes_for_step(self, table_name: str, v: int) -> DataFrame | None:
         man = self._read_manifest(table_name, v)
         op = man.get("op")
-        if op in ("compact", "rename_column", "drop_column"):
+        if op in ("compact", "rename_column", "drop_column", "set_check"):
             return None  # bytes or metadata moved; no row changes
         prev = self._read_manifest(table_name, v - 1) if v > 1 else None
         prev_entries = (prev or {}).get("entries") or []
@@ -1278,6 +1414,7 @@ class CommitLogTableStore(TableStore):
             new_cols = [c for c in df.columns if c not in existing_cols]
             ordered = [c for c in df.columns if c in existing_cols] + new_cols
             df = df.select(*ordered)
+            df = self._enforce_checks(df, snap[1])
             # Mapped tables: translate incoming logical names (and pk
             # names) back to the frozen physical names before staging.
             df = self._rename_incoming(df, snap[1])
@@ -1319,10 +1456,18 @@ class CommitLogTableStore(TableStore):
     def write_replace(
         self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
     ) -> None:
+        prior = self._latest_commit(table_name)
+        # Replace swaps data (and resets any column mapping — incoming
+        # frames carry logical names) but CHECK constraints are table
+        # properties and survive, Delta-style.
+        checks = (prior[1].get("checks") or {}) if prior else {}
+        if checks:
+            df = self._enforce_checks(df, {"checks": checks})
         df = self._with_bucket(df, primary_keys)
         entry = self._stage(df, table_name)
         manifest = {
             "op": "replace",
+            **({"checks": checks} if checks else {}),
             "merge_buckets": (
                 self.merge_buckets if entry["buckets"] is not None else None
             ),
@@ -1377,6 +1522,7 @@ class CommitLogTableStore(TableStore):
             # rewritten — and unlike the parquet store's dynamic
             # partition overwrite, the flip is ATOMIC across buckets.
             version, man = snap
+            df = self._enforce_checks(df, man)
             df = self._rename_incoming(df, man)
             primary_keys = [self._to_physical(man, k) for k in primary_keys]
             incoming = self._with_bucket(df, primary_keys, layout_n)
@@ -1443,7 +1589,7 @@ class CommitLogTableStore(TableStore):
         # Full rewrite (first write, unbucketed table, or the one-time
         # migration INTO the bucketed layout) — also compacts the
         # manifest down to a single entry.
-        incoming = df
+        incoming = self._enforce_checks(df, snap[1]) if exists else df
         if exists:
             incoming = self.read(table_name).unionByName(
                 incoming, allowMissingColumns=True
@@ -1460,6 +1606,13 @@ class CommitLogTableStore(TableStore):
                     self.merge_buckets if entry["buckets"] is not None else None
                 ),
                 "primary_keys": list(primary_keys),
+                # full rewrite materializes the logical view (mapping
+                # resets) but CHECK constraints survive
+                **(
+                    {"checks": snap[1]["checks"]}
+                    if exists and snap[1].get("checks")
+                    else {}
+                ),
                 "entries": [entry],
             },
             version + 1,
@@ -1704,6 +1857,9 @@ class CommitLogTableStore(TableStore):
                 for c in union.columns
             ]
         )
+        # Persisted CHECKs guard the rewrite too: an UPDATE cannot
+        # publish rows violating a table constraint.
+        updated = self._enforce_checks(updated, man)
         entry = self._stage(self._rename_incoming(updated, man), table_name)
         if entry["files"]:
             keep_entries.append(entry)

@@ -146,3 +146,96 @@ def test_unknown_mode_raises(spark):
         check_expectations(
             spark.range(1), {"c": "id > 0"}, on_violation="explode"
         )
+
+
+# -- persisted CHECK constraints (table-level, enforced in every write) ------
+
+
+from pyairbyte_spark.writers import CommitLogTableStore
+
+
+@pytest.fixture()
+def acid(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _adf(spark, rows, raw_prefix="r"):
+    df = spark.createDataFrame(rows, ["id", "v"])
+    return df.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit(raw_prefix), F.col("id").cast("string"))
+    ).withColumn("_airbyte_extracted_at", F.current_timestamp())
+
+
+def test_set_check_validates_existing_rows(spark, acid):
+    acid.write_append(_adf(spark, [(1, "a"), (-5, "b")]).coalesce(1), "t")
+    with pytest.raises(ExpectationViolation):
+        acid.set_check("t", "id_positive", "id > 0")
+    assert acid.table_checks("t") == {}
+    acid.delete_where("t", [("id", "<", 0)])
+    v = acid.set_check("t", "id_positive", "id > 0")
+    assert acid.table_checks("t") == {"id_positive": "id > 0"}
+    assert acid.latest_version("t") == v
+
+
+def test_checked_table_rejects_violating_writes_atomically(spark, acid):
+    acid.write_append(_adf(spark, [(1, "a")]).coalesce(1), "t")
+    acid.set_check("t", "id_positive", "id > 0")
+    before = acid.latest_version("t")
+    for op in ("append", "replace", "merge"):
+        bad = _adf(spark, [(2, "ok"), (-1, "bad")], op).coalesce(1)
+        with pytest.raises(ExpectationViolation) as ei:
+            if op == "append":
+                acid.write_append(bad, "t")
+            elif op == "replace":
+                acid.write_replace(bad, "t")
+            else:
+                acid.write_merge(bad, "t", ["id"])
+        assert "id_positive" in ei.value.counts
+        # nothing published: version and data untouched
+        assert acid.latest_version("t") == before
+        assert acid.read("t").count() == 1
+    # valid writes still flow
+    acid.write_append(_adf(spark, [(7, "x")], "z").coalesce(1), "t")
+    assert acid.read("t").count() == 2
+
+
+def test_update_where_cannot_violate_table_check(spark, acid):
+    """The round-4 gap: an UPDATE could publish rows violating a
+    table CHECK. Now the rewrite itself fails and publishes nothing."""
+    acid.write_append(_adf(spark, [(i, "a") for i in range(1, 6)]).coalesce(1), "t")
+    acid.set_check("t", "id_positive", "id > 0")
+    before = acid.latest_version("t")
+    with pytest.raises(ExpectationViolation) as ei:
+        acid.update_where("t", [("id", "=", 3)], {"id": "-99"})
+    assert "id_positive" in ei.value.counts
+    assert acid.latest_version("t") == before
+    assert sorted(r["id"] for r in acid.read("t").collect()) == [1, 2, 3, 4, 5]
+    # a non-violating update on the same table succeeds
+    res = acid.update_where("t", [("id", "=", 3)], {"v": F.lit("ok")})
+    assert res["updated_rows"] == 1
+
+
+def test_checks_survive_compact_replace_and_delta_chains(spark, acid):
+    acid.write_append(_adf(spark, [(1, "a")]).coalesce(1), "t")
+    acid.set_check("t", "id_positive", "id > 0")
+    acid.write_append(_adf(spark, [(2, "b")], "s").coalesce(1), "t")
+    acid.compact("t")
+    acid.write_replace(_adf(spark, [(9, "r")], "q").coalesce(1), "t")
+    assert acid.table_checks("t") == {"id_positive": "id > 0"}
+    with pytest.raises(ExpectationViolation):
+        acid.write_append(_adf(spark, [(-1, "bad")], "x").coalesce(1), "t")
+
+
+def test_drop_check_and_column_guards(spark, acid):
+    acid.write_append(_adf(spark, [(1, "a")]).coalesce(1), "t")
+    acid.set_check("t", "id_positive", "id > 0")
+    with pytest.raises(ValueError, match="referenced by check"):
+        acid.rename_column("t", "id", "ident")
+    with pytest.raises(ValueError, match="referenced by check"):
+        acid.drop_column("t", "id")
+    acid.drop_check("t", "id_positive")
+    assert acid.table_checks("t") == {}
+    acid.write_append(_adf(spark, [(-1, "fine-now")], "x").coalesce(1), "t")
+    assert acid.read("t").count() == 2
+    with pytest.raises(ValueError, match="no check named"):
+        acid.drop_check("t", "nope")
