@@ -75,16 +75,24 @@ def _entry_paths(man: dict) -> set[str]:
     return {e["path"] for e in man.get("entries") or []}
 
 
-def _new_files(table_path: str, version: int) -> list[str]:
-    """Absolute paths of the files STAGED by an append commit."""
-    man = _manifest(table_path, version)
+def _new_entries(table_path: str, version: int) -> list[dict]:
+    """The entries STAGED by commit ``version``. Delta-stored commits
+    declare them directly (``add_entries`` — O(changed), no prior
+    resolution); full manifests are diffed against the predecessor."""
+    raw = _manifest_raw(table_path, version)
+    if "base" in raw:
+        return raw.get("add_entries") or []
+    man = raw
     prev_paths: set[str] = set()
     if version > 1:
         prev_paths = _entry_paths(_manifest(table_path, version - 1))
+    return [e for e in man.get("entries") or [] if e["path"] not in prev_paths]
+
+
+def _new_files(table_path: str, version: int) -> list[str]:
+    """Absolute paths of the files STAGED by an append commit."""
     out: list[str] = []
-    for e in man.get("entries") or []:
-        if e["path"] in prev_paths:
-            continue
+    for e in _new_entries(table_path, version):
         base = os.path.join(table_path, e["path"])
         files = e.get("files")
         if files is not None:
@@ -99,15 +107,38 @@ def _new_files(table_path: str, version: int) -> list[str]:
     return out
 
 
+# metadata-only commit ops: no rows to stream, safely skipped
+_METADATA_OPS = ("compact", "rename_column", "drop_column", "set_check")
+
+
 class CommitLogTailReader(SimpleDataSourceStreamReader):
     def __init__(self, schema, options: dict[str, str]) -> None:
         self.table_path = options.get("path")
         if not self.table_path:
             raise ValueError("option 'path' (commit-log table directory) is required")
         self.start_version = int(options.get("start_version", 0))
+        # Rate limiting (Delta's maxFilesPerTrigger): cap how much of
+        # the pending tail one micro-batch replays; the remainder
+        # arrives in later triggers. A single commit is never split —
+        # at least one data commit always proceeds.
+        self.max_files = int(options.get("max_files_per_trigger", 0)) or None
+        self.max_commits = (
+            int(options.get("max_commits_per_trigger", 0)) or None
+        )
         # schema minus the version stamp = the columns read from files
         self.field_names = [n for n in schema.fieldNames() if n != VERSION_COL]
         self.emit_version = VERSION_COL in schema.fieldNames()
+        # Column mapping: schema fields are LOGICAL names (as of stream
+        # start); files always carry the stable PHYSICAL names, so one
+        # logical→physical map read once serves every commit, before
+        # and after any rename boundary the stream crosses.
+        vs = _versions(self.table_path)
+        mapping = (
+            _manifest(self.table_path, vs[-1]).get("column_mapping") or {}
+            if vs
+            else {}
+        )
+        self._phys = {logical: phys for phys, logical in mapping.items()}
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -117,17 +148,9 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
 
         rows: list[tuple] = []
         for v in range(after + 1, upto + 1):
-            man = _manifest(self.table_path, v)
-            if man.get("column_mapping") or man.get("dropped_columns"):
-                raise ValueError(
-                    "commitlog_feed does not apply column mappings; this "
-                    "table has renamed/dropped columns — read it through "
-                    "the store (read/read_changes) or materialize the "
-                    "mapping with a full-rewrite first."
-                )
-            op = man.get("op")
-            if op == "compact":
-                continue  # moves bytes, not rows
+            op = _manifest_raw(self.table_path, v).get("op")
+            if op in _METADATA_OPS:
+                continue  # bytes or metadata moved, no new rows
             if op != "append":
                 raise ValueError(
                     f"commitlog_feed streams append-only tables; commit "
@@ -138,8 +161,9 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
                 tbl = pq.read_table(path)
                 cols = {}
                 for name in self.field_names:
-                    if name in tbl.column_names:
-                        cols[name] = tbl.column(name).to_pylist()
+                    phys = self._phys.get(name, name)
+                    if phys in tbl.column_names:
+                        cols[name] = tbl.column(phys).to_pylist()
                     else:  # schema evolution: older file lacks the column
                         cols[name] = [None] * tbl.num_rows
                 for i in range(tbl.num_rows):
@@ -147,13 +171,35 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
                     rows.append(row + (v,) if self.emit_version else row)
         return rows
 
+    def _cap_batch(self, after: int, latest: int) -> int:
+        """Largest version ≤ latest the next batch may include under
+        the per-trigger caps (commit granularity; ≥1 data commit)."""
+        if not self.max_files and not self.max_commits:
+            return latest
+        upto = after
+        files = commits = 0
+        for v in range(after + 1, latest + 1):
+            op = _manifest_raw(self.table_path, v).get("op")
+            f = len(_new_files(self.table_path, v)) if op == "append" else 0
+            c = 1 if op == "append" else 0
+            if upto > after and (
+                (self.max_commits and commits + c > self.max_commits)
+                or (self.max_files and files + f > self.max_files)
+            ):
+                break
+            upto = v
+            files += f
+            commits += c
+        return upto
+
     def read(self, start: dict):
         vs = _versions(self.table_path)
         latest = vs[-1] if vs else start["version"]
         if latest <= start["version"]:
             return iter([]), start
-        return iter(self._rows_between(start["version"], latest)), {
-            "version": latest
+        upto = self._cap_batch(start["version"], latest)
+        return iter(self._rows_between(start["version"], upto)), {
+            "version": upto
         }
 
     def readBetweenOffsets(self, start: dict, end: dict):
@@ -200,9 +246,15 @@ class CommitLogFeedDataSource(DataSource):
             )
         arrow = pq.read_schema(first)
         base_schema = from_arrow_schema(arrow)
-        fields: list[Any] = [
-            f for f in base_schema.fields if f.name != BUCKET_COL
-        ]
+        # footers carry PHYSICAL names; expose the LOGICAL view
+        mapping = man.get("column_mapping") or {}
+        dropped = set(man.get("dropped_columns") or [])
+        fields: list[Any] = []
+        for f in base_schema.fields:
+            if f.name == BUCKET_COL or f.name in dropped:
+                continue
+            logical = mapping.get(f.name, f.name)
+            fields.append(StructField(logical, f.dataType, f.nullable))
         fields.append(StructField(VERSION_COL, LongType(), False))
         return StructType(fields)
 

@@ -135,3 +135,75 @@ def test_reader_direct_offset_window(spark, store):
     rows = list(reader.readBetweenOffsets({"version": 1}, {"version": 2}))
     assert sorted(r[0] for r in rows) == [3, 4]
     assert {r[1] for r in rows} == {2}
+
+
+def test_max_files_per_trigger_throttles_replay(spark, store):
+    """Rate limiting: a bounded batch replays only as many commits as
+    fit the cap; the rest arrive in later read() calls. Offsets stay
+    commit-aligned (a commit is never split)."""
+    for lo in (0, 3, 5, 8):
+        store.write_append(_df(spark, lo, lo + 2, f"p{lo}"), "t")
+    from pyspark.sql.types import LongType, StructField
+
+    schema = StructType(
+        [StructField("id", LongType()), StructField("_commit_version", LongType())]
+    )
+    reader = CommitLogTailReader(
+        schema,
+        {"path": store.table_path("t"), "max_files_per_trigger": "1"},
+    )
+    offsets = [{"version": 0}]
+    batches = []
+    while True:
+        it, end = reader.read(offsets[-1])
+        rows = list(it)
+        if end == offsets[-1]:
+            break
+        offsets.append(end)
+        batches.append(rows)
+    # each commit staged 1 file (coalesce(1)) → one commit per batch
+    assert [o["version"] for o in offsets] == [0, 1, 2, 3, 4]
+    assert all({r[1] for r in b} == {v} for b, v in zip(batches, (1, 2, 3, 4)))
+    assert sorted(r[0] for b in batches for r in b) == [0, 1, 3, 4, 5, 6, 8, 9]
+    # commit-count cap works the same way
+    reader2 = CommitLogTailReader(
+        schema,
+        {"path": store.table_path("t"), "max_commits_per_trigger": "2"},
+    )
+    it, end = reader2.read({"version": 0})
+    assert end == {"version": 2} and len(list(it)) == 4
+
+
+def test_stream_across_rename_column_boundary(spark, store, tmp_path):
+    """Schema evolution in the streaming path: commits before AND
+    after a rename_column replay under the stream's logical schema
+    (files keep stable physical names; the mapping bridges)."""
+    store.write_append(_df(spark, 0, 3), "t")
+    store.rename_column("t", "v", "val")
+    store.write_append(
+        _df(spark, 3, 5, "s").withColumnRenamed("v", "val"), "t"
+    )
+    ds = CommitLogFeedDataSource(options={"path": store.table_path("t")})
+    names = ds.schema().fieldNames()
+    assert "val" in names and "v" not in names
+    got = _drain(spark, store, "t", "rename", tmp_path)
+    rows = sorted(
+        (r["id"], r["val"], r["_commit_version"])
+        for r in got.select("id", "val", "_commit_version").collect()
+    )
+    # v1 rows carry values written under the old name; v3 the new
+    assert rows == [
+        (0, "v0", 1), (1, "v1", 1), (2, "v2", 1),
+        (3, "v3", 3), (4, "v4", 3),
+    ]
+
+
+def test_stream_skips_dropped_column_and_metadata_commits(spark, store, tmp_path):
+    store.write_append(_df(spark, 0, 2), "t")
+    store.set_check("t", "id_nonneg", "id >= 0")
+    store.drop_column("t", "v")
+    store.write_append(_df(spark, 2, 4, "s").drop("v"), "t")
+    ds = CommitLogFeedDataSource(options={"path": store.table_path("t")})
+    assert "v" not in ds.schema().fieldNames()
+    got = _drain(spark, store, "t", "dropcol", tmp_path)
+    assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
