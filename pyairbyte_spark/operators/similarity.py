@@ -144,12 +144,58 @@ def lsh_bucketed_topk(
     )
 
 
+def _assign_vectorized(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment as one Arrow ``mapInPandas`` pass:
+    per batch, ONE numpy GEMM V @ C.T against the collected (tiny)
+    centroid matrix — O(n·k·d) in BLAS instead of n·k interpreted HOF
+    folds, the difference between usable and unusable once k grows
+    past a few dozen (auto-scaled SemDeDup). Same semantics as the
+    expression path: cosine rounded to 6, ties → lowest cid (columns
+    ordered by cid, argmax picks the first). BLAS vs sequential-fold
+    summation differs ~1e-15, absorbed by the rounding — the same
+    tolerance the pairwise tile kernel already accepts. Zero vectors
+    deterministically take the lowest cid (norm guarded to 1)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in cents])
+    C = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in cents])
+    cn = np.sqrt(np.einsum("ij,ij->i", C, C))
+    cn[cn == 0.0] = 1.0
+    cid_t = centroids.schema["cid"].dataType.simpleString()
+    id_t = vectors.schema["id"].dataType.simpleString()
+    schema = f"id {id_t}, v array<double>, cid {cid_t}"
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            nv = np.sqrt(np.einsum("ij,ij->i", V, V))
+            nv[nv == 0.0] = 1.0
+            cos = np.round(V @ C.T / np.outer(nv, cn), 6)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "v": pdf["v"], "cid": cids[cos.argmax(1)]}
+            )
+
+    return vectors.select("id", "v").mapInPandas(assign, schema)
+
+
 def _assign_to_centroids(
-    vectors: DataFrame, centroids: DataFrame, *, top_n: int = 1
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    top_n: int = 1,
+    vectorized: bool = False,
 ) -> DataFrame:
     """(id, v) × broadcast (cid, cv) → nearest ``top_n`` centroids per
     vector by cosine (round 6; ties → lowest cid). One pass, no
-    corpus self-shuffle."""
+    corpus self-shuffle. ``vectorized`` swaps the interpreted HOF
+    scoring for the numpy GEMM path (top_n=1 only) — callers opt in
+    when the centroid count is large."""
+    if vectorized and top_n == 1:
+        return _assign_vectorized(vectors, centroids)
     # Norms hoisted behind projection boundaries: HOF folds are
     # interpreted, so norm(v) inlined into the pair expression would
     # re-fold once per centroid (8x) instead of once per vector. The
@@ -227,8 +273,11 @@ def kmeans_centroids(
         .limit(n_centroids)
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
+    # Large centroid sets: score Lloyd's assign pass in BLAS, not
+    # interpreted HOF folds (n·k cost either way; ~100× constant gap).
+    vec = n_centroids > 32
     for _ in range(iters):
-        asg = _assign_to_centroids(train, centroids)
+        asg = _assign_to_centroids(train, centroids, vectorized=vec)
         means = (
             asg.select("cid", F.posexplode(F.col("v")).alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -358,7 +407,7 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     iters: int = 1,
     threshold: float = 0.45,
     train_modulus: int = 1,
@@ -382,7 +431,20 @@ def semantic_dedup(
     single clusters — the SemDeDup contract is that cluster count grows
     with the corpus so per-cluster candidate sets stay bounded. No
     global window, no driver-side loop over vectors.
+
+    ``n_clusters=None`` (default) auto-scales to ``max(8, isqrt(n))``
+    — the round-4 100× stress finding: a FIXED cluster count lets
+    per-cluster pairwise work grow quadratically with the corpus.
+    Total cost ≈ assignment n·k + pairwise n²/k, minimized at
+    k ∝ √n, which keeps expected per-cluster pairwise work LINEAR in
+    n (cluster size √n). Deterministic: the count and the quantizing
+    Lloyd seed are functions of the data alone. Pass an explicit
+    ``n_clusters`` to pin behavior (the oracle query does).
     """
+    if n_clusters is None:
+        import math
+
+        n_clusters = max(8, math.isqrt(max(corpus.count(), 1)))
     cent = kmeans_centroids(
         corpus,
         id_col=id_col,
@@ -396,7 +458,8 @@ def semantic_dedup(
     spark = corpus.sparkSession
     cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-    asg = _assign_to_centroids(e, cent)  # (id, v, cid)
+    # (id, v, cid); GEMM-scored when the auto-scaled k outgrows HOF
+    asg = _assign_to_centroids(e, cent, vectorized=n_clusters > 32)
     # Within-cluster pair scoring as tiled numpy matmuls inside ONE
     # applyInPandas pass per cluster — the blocked-GEMM shape
     # cosine_neardup_pairs uses. A join + interpreted HOF fold computes
