@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "dsir_importance_weights",
     "events_anomaly_daily_zscore",
     "split_train_val_test",
+    # table format end-to-end: append x2 + DELETE + UPDATE + pruned read
+    "store_dml_skipping_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

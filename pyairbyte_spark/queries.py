@@ -3639,6 +3639,134 @@ def q20_excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Table-format queries: the commit-log store's DML + scan semantics
+# oracle-verified end to end (round 5). Each query materializes the
+# input into a throwaway CommitLogTableStore, runs real store
+# operations (append / DELETE / UPDATE / pruned read / change feed),
+# and returns an order-free-exact aggregate the DuckDB oracle mirrors
+# with plain relational algebra — so the driver's gate covers the
+# table format itself, not just the query layer above it.
+# ===========================================================================
+
+
+def _events_store(spark: SparkSession, sf_dir: str):
+    """events → temp commit-log table (two appends), then the DML:
+    DELETE views, UPDATE purchases (value + 1). Returns the store."""
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-store-"), "q"
+    )
+    store.write_append(ev.filter(F.col("event_id") % 2 == 0), "events")
+    store.write_append(ev.filter(F.col("event_id") % 2 == 1), "events")
+    store.delete_where("events", [("event_type", "=", "view")])
+    store.update_where(
+        "events", [("event_type", "=", "purchase")], {"value": "value + 1.0"}
+    )
+    return store
+
+
+@register(
+    "store_dml_skipping_events",
+    """
+    -- Mirrors: append(all) → DELETE WHERE event_type='view'
+    --          → UPDATE value=value+1 WHERE event_type='purchase'
+    --          → read_where(user_id < 300) → exact aggregate.
+    WITH upd AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN value + 1.0 ELSE value END AS value
+      FROM events WHERE event_type <> 'view')
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value,
+           min(user_id) AS min_user,
+           max(event_id) AS max_event
+    FROM upd WHERE user_id < 300
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "ACID store end-to-end: append x2, file-pruned DELETE + UPDATE, "
+    "stats-pruned read — aggregate equals plain SQL over the source",
+)
+def store_dml_skipping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _events_store(spark, sf_dir)
+    got = store.read_where("events", [("user_id", "<", 300)])
+    return (
+        got.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias(
+                "sum_value"
+            ),
+            F.min("user_id").alias("min_user"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "store_change_feed_events",
+    """
+    -- The change feed of the same history: v3 DELETE emits the view
+    -- rows as deletes; v4 UPDATE emits purchase rows as post-images
+    -- (value+1 always differs, so none are digest-suppressed).
+    WITH d AS (SELECT 'delete' AS change_type,
+                      count(*) AS n_rows,
+                      sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value
+               FROM events WHERE event_type = 'view'),
+         u AS (SELECT 'update_postimage' AS change_type,
+                      count(*) AS n_rows,
+                      sum(CAST(round(value + 1.0, 2) AS DECIMAL(18,2))) AS sum_value
+               FROM events WHERE event_type = 'purchase')
+    SELECT * FROM d UNION ALL SELECT * FROM u ORDER BY change_type
+    """,
+    "CDF parity: per-change-type row counts and exact value sums of "
+    "the DELETE + UPDATE window match relational arithmetic",
+)
+def store_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _events_store(spark, sf_dir)
+    feed = store.read_changes("events", 2)  # the DELETE + UPDATE window
+    return (
+        feed.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
+    "store_time_travel_events",
+    """
+    -- Snapshot isolation: per-version row counts of the same history
+    -- (v1 even ids, v2 all, v3 sans views, v4 update keeps counts).
+    SELECT 1 AS version, count(*) FILTER (WHERE event_id % 2 = 0) AS n_rows FROM events
+    UNION ALL SELECT 2, count(*) FROM events
+    UNION ALL SELECT 3, count(*) FILTER (WHERE event_type <> 'view') FROM events
+    UNION ALL SELECT 4, count(*) FILTER (WHERE event_type <> 'view') FROM events
+    ORDER BY version
+    """,
+    "time travel: read_version row counts across the append/DML history",
+)
+def store_time_travel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _events_store(spark, sf_dir)
+    rows = [
+        (v, store.read_version("events", v).count()) for v in (1, 2, 3, 4)
+    ]
+    return spark.createDataFrame(rows, "version int, n_rows long").orderBy(
+        "version"
+    )
+
+
+# ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
 
@@ -3650,6 +3778,10 @@ def q20_excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is additionally oracle-checked by tests/test_oracle_parity.py each run,
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
+    # round-5 additions: the table format itself under the oracle gate
+    "store_dml_skipping_events",
+    "store_change_feed_events",
+    "store_time_travel_events",
     # new this round — never driver-checked
     "q2_min_cost_supplier",
     "q11_important_part_value",

@@ -190,14 +190,21 @@ def test_rename_chain_and_full_rewrite_materializes(spark, bstore):
     assert bstore.read("t").filter(F.col("text") == "v3").count() == 1
 
 
-def test_streaming_feed_rejects_mapped_table(spark, store):
-    from pyspark.sql.types import LongType, StructField, StructType
+def test_streaming_feed_reads_mapped_table_logically(spark, store):
+    """Round 5: the tail reader supports column mapping (it used to
+    reject mapped tables) — logical names resolve to the stable
+    physical names, so history before the rename replays correctly."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from pyairbyte_spark.sources.commitlog_stream import CommitLogTailReader
 
     store.write_append(_df(spark, 0, 3), "t")
     store.rename_column("t", "v", "text")
-    schema = StructType([StructField("id", LongType())])
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
     reader = CommitLogTailReader(schema, {"path": store.table_path("t")})
-    with pytest.raises(ValueError, match="column mapping"):
-        reader.read({"version": 0})
+    it, end = reader.read({"version": 0})
+    rows = sorted(it)
+    assert end == {"version": 2}
+    assert rows == [(0, "v0"), (1, "v1"), (2, "v2")]
