@@ -209,6 +209,20 @@ class SparkCache(Mapping):
         """Metadata-only column drop (zero data I/O)."""
         return self._acid_store().drop_column(self.table_name(stream_name), name)
 
+    def set_stream_check(self, stream_name: str, name: str, expr: str) -> int:
+        """Add/replace a persisted CHECK constraint (validates existing
+        rows first; enforced in-flight by every later write incl.
+        UPDATE rewrites)."""
+        return self._acid_store().set_check(
+            self.table_name(stream_name), name, expr
+        )
+
+    def drop_stream_check(self, stream_name: str, name: str) -> int:
+        return self._acid_store().drop_check(self.table_name(stream_name), name)
+
+    def stream_checks(self, stream_name: str) -> dict[str, str]:
+        return self._acid_store().table_checks(self.table_name(stream_name))
+
     def delete_stream_where(
         self, stream_name: str, predicates: list[tuple]
     ) -> dict:

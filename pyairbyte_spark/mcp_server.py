@@ -432,6 +432,49 @@ def _build_tool_defs() -> list[ToolDef]:
                 keep_commits=int(a.get("keep_commits", 1)),
             ),
         ),
+        ToolDef(
+            "set_table_check",
+            "Persist a CHECK constraint on a stream's table (SQL boolean "
+            "expression over logical columns; NULL passes). Validates "
+            "existing rows first; every later write — including UPDATE "
+            "rewrites — enforces it in-flight.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "name": {"type": "string"},
+                    "expr": {"type": "string"},
+                },
+                "required": ["stream_name", "name", "expr"],
+            },
+            lambda h, a: t.set_table_check(
+                h.cache, a["stream_name"], a["name"], a["expr"]
+            ),
+        ),
+        ToolDef(
+            "drop_table_check",
+            "Remove a persisted CHECK constraint from a stream's table.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "name": {"type": "string"},
+                },
+                "required": ["stream_name", "name"],
+            },
+            lambda h, a: t.drop_table_check(h.cache, a["stream_name"], a["name"]),
+        ),
+        ToolDef(
+            "get_table_checks",
+            "The persisted CHECK constraints of a stream's table "
+            "(name → SQL expression).",
+            {
+                "type": "object",
+                "properties": {"stream_name": {"type": "string"}},
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.get_table_checks(h.cache, a["stream_name"]),
+        ),
         # -- registry browse (reference mcp/registry.py:44-289) --------------
         ToolDef(
             "list_connectors",

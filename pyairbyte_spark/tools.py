@@ -168,6 +168,27 @@ def drop_table_column(
     return {"version": cache.drop_stream_column(stream_name, column)}
 
 
+def set_table_check(
+    cache: SparkCache, stream_name: str, name: str, expr: str
+) -> dict[str, Any]:
+    """Persist a CHECK constraint (SQL boolean expr; NULL passes).
+    Existing rows are validated first; later writes — including
+    UPDATE rewrites — enforce it in-flight."""
+    return {"version": cache.set_stream_check(stream_name, name, expr)}
+
+
+def drop_table_check(
+    cache: SparkCache, stream_name: str, name: str
+) -> dict[str, Any]:
+    """Remove a persisted CHECK constraint."""
+    return {"version": cache.drop_stream_check(stream_name, name)}
+
+
+def get_table_checks(cache: SparkCache, stream_name: str) -> dict[str, str]:
+    """The stream's persisted CHECK constraints (name → SQL expr)."""
+    return cache.stream_checks(stream_name)
+
+
 def vacuum_table(
     cache: SparkCache, stream_name: str, *, keep_commits: int = 1
 ) -> dict[str, Any]:

@@ -514,3 +514,67 @@ def test_schema_ddl_tools(spark, tmp_path):
     assert out["version"] == 3
     cols = cache.store.read(cache.table_name("users")).columns
     assert "text" in cols and "v" not in cols and "secret" not in cols
+
+
+def test_table_check_tools(spark, tmp_path):
+    """set/get/drop persisted CHECK constraints through the MCP
+    surface, and a violating write failing under the constraint."""
+    import json as _json
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.expectations import ExpectationViolation
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    df = (
+        spark.range(1, 11)
+        .toDF("id")
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_append(df.coalesce(1), cache.table_name("users"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "set_table_check",
+            {"stream_name": "users", "name": "id_pos", "expr": "id > 0"},
+        )["content"][0]["text"]
+    )
+    assert out["version"] == 2
+    checks = _json.loads(
+        client.call_tool("get_table_checks", {"stream_name": "users"})[
+            "content"
+        ][0]["text"]
+    )
+    assert checks == {"id_pos": "id > 0"}
+    # the constraint is live: a violating write fails
+    bad = (
+        spark.range(-3, -1)
+        .toDF("id")
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    with _pytest.raises(ExpectationViolation):
+        cache.store.write_append(bad.coalesce(1), cache.table_name("users"))
+    # adding a check current data violates surfaces as a tool error
+    res = client.call_tool(
+        "set_table_check",
+        {"stream_name": "users", "name": "big", "expr": "id > 100"},
+    )
+    assert res.get("isError")
+    out = _json.loads(
+        client.call_tool(
+            "drop_table_check", {"stream_name": "users", "name": "id_pos"}
+        )["content"][0]["text"]
+    )
+    assert out["version"] == 3
+    checks = _json.loads(
+        client.call_tool("get_table_checks", {"stream_name": "users"})[
+            "content"
+        ][0]["text"]
+    )
+    assert checks == {}
