@@ -390,3 +390,63 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_md5_expr(text_col).alias("fingerprint"),
         fingerprint_rolling_expr(text_col).alias("rolling_fp"),
     )
+
+
+def unigram_logprob(
+    docs: "DataFrame",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-document mean unigram log10-probability under the corpus's
+    OWN unigram distribution — the perplexity-proxy quality signal
+    (documents full of corpus-rare tokens score low; KenLM-style
+    cross-entropy filtering with the corpus itself as the LM).
+
+    Returns (``id_col``, n_tokens, avg_logp10) — higher = more
+    "typical" text. Tokens are lowercased [a-z0-9] runs; every doc
+    token is in the vocabulary by construction (self-scored), so no
+    smoothing constant is needed.
+
+    Scale: one explode → one token-count aggregate (map-side combine)
+    → one token-keyed join back (the vocabulary is corpus-wide;
+    broadcast it when small, shuffle-join otherwise — both one pass)
+    → one doc_id aggregate. No window, no UDF. Per-token log10 is
+    rounded to 6 and summed as DECIMAL so the cross-engine libm ulp
+    cannot reach the value hash (the DSIR pattern, queries.py
+    dsir_importance_weights).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            F.round(
+                F.log10(F.col("c").cast("double") / F.col("n").cast("double")),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_logp10"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "avg_logp10")
+    )

@@ -3638,6 +3638,39 @@ def q20_excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    """
+    -- Perplexity-proxy quality: mean unigram log10-prob of each doc
+    -- under the corpus's own unigram LM. Per-token log10 rounded to 6
+    -- and summed as DECIMAL (libm-ulp-proof, the DSIR pattern).
+    WITH toks AS (
+      SELECT doc_id, t.tok
+      FROM documents, UNNEST(string_split_regex(lower(text), '[^a-z0-9]+')) AS t(tok)
+      WHERE t.tok <> ''),
+    vocab AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT sum(c) AS n FROM vocab),
+    scored AS (
+      SELECT doc_id,
+             CAST(round(log10(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM toks JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logp10
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+    "per-doc mean unigram log-prob under the corpus's own LM "
+    "(cross-entropy quality filter); explode → token agg → token join "
+    "→ doc agg, no window, no UDF",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.text import unigram_logprob
+
+    docs = t(spark, sf_dir, "documents")
+    return unigram_logprob(docs).orderBy("doc_id")
+
+
 # ===========================================================================
 # Table-format queries: the commit-log store's DML + scan semantics
 # oracle-verified end to end (round 5). Each query materializes the
@@ -3782,6 +3815,7 @@ _DRIVER_PRIORITY = [
     "store_dml_skipping_events",
     "store_change_feed_events",
     "store_time_travel_events",
+    "text_unigram_logprob",
     # new this round — never driver-checked
     "q2_min_cost_supplier",
     "q11_important_part_value",

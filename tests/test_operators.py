@@ -614,3 +614,19 @@ def test_semantic_dedup_auto_scales_cluster_count(spark):
     # determinism: same input -> identical output
     again = similarity.semantic_dedup(emb, iters=1, threshold=0.45).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_unigram_logprob_hand_checked(spark):
+    """Corpus-as-LM cross-entropy: hand-computable 2-doc case."""
+    from pyairbyte_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b C!")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+    # vocab: a:2 b:2 c:1, total 5 → lp(a)=lp(b)=log10(.4), lp(c)=log10(.2)
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+    assert out[1]["avg_logp10"] == -0.39794
+    assert out[2]["avg_logp10"] == round((-0.39794 - 0.69897) / 2, 6)
+    # rare-token doc scores lower (the filtering signal)
+    assert out[2]["avg_logp10"] < out[1]["avg_logp10"]
