@@ -43,12 +43,16 @@ class SparkCache(Mapping):
         merge_buckets: int | None = None,
         merge_salt: int | None = None,
         table_format: str = "parquet",
+        fileio=None,
     ) -> None:
         """``table_format="commitlog"`` switches the backing store to
         :class:`~pyairbyte_spark.writers.CommitLogTableStore` — ACID
         commits (atomic REPLACE/MERGE, snapshot reads, time travel,
         vacuum) at the cost of a manifest read per table access; the
-        default ``"parquet"`` store is the plain rename-swap layout."""
+        default ``"parquet"`` store is the plain rename-swap layout.
+        ``fileio`` injects the store's metadata-I/O backend
+        (``fileio.py``: local default, ``HadoopFileIO`` for HDFS-class
+        deployments, conditional-PUT FileIO for object stores)."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.schema_name = schema_name
@@ -67,6 +71,7 @@ class SparkCache(Mapping):
             schema_name,
             merge_buckets=merge_buckets,
             merge_salt=merge_salt,
+            fileio=fileio,
         )
         self.catalog_backend = CatalogBackend(warehouse_dir)
         self.state_backend = StateBackend(warehouse_dir)

@@ -472,3 +472,67 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def ngram_duplication_coverage(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Cross-document n-gram duplication coverage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499): for each document, the fraction of its DISTINCT
+    token n-grams that also occur in at least one OTHER document — the
+    standard signal for near-duplicate and template-heavy content that
+    whole-document dedup misses.
+
+    Returns (``id_col``, n_grams, n_dup_grams, dup_fraction) for
+    documents with at least one n-gram (≥ n tokens); higher fraction =
+    more duplicated content.
+
+    Scale: gram construction is per-row JVM array arithmetic (no
+    explode until the distinct gram set, which is ≤ tokens per doc);
+    then ONE gram-keyed aggregate (map-side combine) and one join
+    back — the same two-shuffle shape as TF-IDF. Grams join by string
+    here for oracle exactness; at 100 TB hash them to int64 first
+    (``queries.py`` contamination_check's 60-bit shingle trick) to
+    shrink shuffle width.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.when(
+        k >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        ),
+    )
+    g = (
+        docs.select(F.col(id_col).alias("id"), grams.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("id", F.explode("g").alias("gram"))
+    )
+    df_count = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        g.join(df_count, "gram")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            F.round(
+                F.col("n_dup_grams").cast("double") / F.col("n_grams"), 6
+            ).alias("dup_fraction"),
+        )
+    )

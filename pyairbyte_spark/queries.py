@@ -3639,6 +3639,40 @@ def q20_excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_coverage",
+    """
+    -- Lee et al. 2022 cross-doc duplication signal: fraction of each
+    -- doc's DISTINCT 8-grams shared with >=1 other doc.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, g.gram
+      FROM toks, UNNEST(list_transform(range(1, len(tk) - 8 + 2),
+             i -> array_to_string(tk[i:i+7], ' '))) AS g(gram)
+      WHERE len(tk) >= 8),
+    df AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram)
+    SELECT doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM grams JOIN df USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    "cross-doc 8-gram duplication coverage per document (Lee et al. "
+    "2022); per-row gram arrays, one gram agg + one join back",
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.dedup import ngram_duplication_coverage
+
+    docs = t(spark, sf_dir, "documents")
+    return ngram_duplication_coverage(docs, n=8).orderBy("doc_id")
+
+
+@register(
     "text_unigram_logprob",
     """
     -- Perplexity-proxy quality: mean unigram log10-prob of each doc
@@ -3816,6 +3850,7 @@ _DRIVER_PRIORITY = [
     "store_change_feed_events",
     "store_time_travel_events",
     "text_unigram_logprob",
+    "dedup_ngram_coverage",
     # new this round — never driver-checked
     "q2_min_cost_supplier",
     "q11_important_part_value",

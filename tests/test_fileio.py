@@ -174,3 +174,25 @@ def test_object_store_run_never_renames(spark, tmp_path):
     assert _rows(store.read("t")) == [(2, "B")]
     store.drop("t")
     assert fio.rename_calls == 0
+
+
+def test_sparkcache_accepts_fileio_injection(spark, tmp_path):
+    """The cache surface forwards a FileIO into the commit-log store —
+    the one-line deployment story for HDFS/object-store warehouses."""
+    from pyairbyte_spark.cache import SparkCache
+
+    fio = HadoopFileIO(spark, f"file://{tmp_path}")
+    cache = SparkCache(
+        spark,
+        warehouse_dir=str(tmp_path / "wh"),
+        table_format="commitlog",
+        fileio=fio,
+    )
+    assert cache.store.io is fio
+    df = _df(spark, [(1, "a"), (2, "b")])
+    cache.store.write_merge(df, cache.table_name("users"), ["id"])
+    assert _rows(cache.store.read(cache.table_name("users"))) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert cache.table_history("users")[0]["version"] == 1

@@ -630,3 +630,28 @@ def test_unigram_logprob_hand_checked(spark):
     assert out[2]["avg_logp10"] == round((-0.39794 - 0.69897) / 2, 6)
     # rare-token doc scores lower (the filtering signal)
     assert out[2]["avg_logp10"] < out[1]["avg_logp10"]
+
+
+def test_ngram_duplication_coverage_hand_checked(spark):
+    from pyairbyte_spark.operators.dedup import ngram_duplication_coverage
+
+    base = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " nine ten"),          # shares the 8-gram prefix
+            (2, base + " different tail"),    # with doc 1
+            (3, "totally unrelated words here that never repeat at all"),
+            (4, "too short"),                 # < 8 tokens → excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in ngram_duplication_coverage(docs, n=8).collect()
+    }
+    assert set(out) == {1, 2, 3}  # doc 4 has no 8-grams
+    # docs 1/2: 3 distinct 8-grams each, exactly one shared
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
+    assert out[1]["dup_fraction"] == round(1 / 3, 6)
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
