@@ -3639,6 +3639,78 @@ def q20_excess_shipper_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_value_percentiles",
+    """
+    -- Exact interpolated percentiles per event type (Spark
+    -- percentile() and DuckDB quantile_cont share linear-interpolation
+    -- semantics; verified bit-equal after round 6).
+    SELECT event_type,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "exact per-group percentiles (p50/p90/p99) over events.value; at "
+    "scale swap percentile() for approx_percentile (t-digest sketch, "
+    "mergeable map-side) — the exact form is the oracle semantics",
+)
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "cube_orders_status_priority",
+    """
+    -- CUBE: all 4 grouping combinations in ONE pass (engine-surface
+    -- parity for OLAP rollups); grouping_id disambiguates NULL-as-ALL
+    -- from NULL data.
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    "CUBE over (status, priority) with grouping_id — one shuffle for "
+    "all 4 grouping sets (Spark expands sets into a single partial agg)",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+@register(
     "dedup_ngram_coverage",
     """
     -- Lee et al. 2022 cross-doc duplication signal: fraction of each
@@ -3851,6 +3923,8 @@ _DRIVER_PRIORITY = [
     "store_time_travel_events",
     "text_unigram_logprob",
     "dedup_ngram_coverage",
+    "events_value_percentiles",
+    "cube_orders_status_priority",
     # new this round — never driver-checked
     "q2_min_cost_supplier",
     "q11_important_part_value",
