@@ -66,6 +66,15 @@ class FileIO:
         overwrites an existing file."""
         raise NotImplementedError
 
+    def read_bytes(self, path: str) -> bytes:
+        """Full binary contents; FileNotFoundError if absent."""
+        with self.open_input(path) as f:
+            return f.read()
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        """Atomic binary PUT (for manifest checkpoint sidecars)."""
+        raise NotImplementedError
+
     def put_if_absent(self, path: str, data: str) -> bool:
         """Atomic create-exclusive PUT with full content: the file
         appears with ALL its bytes or not at all, and exactly one of
@@ -131,6 +140,14 @@ class LocalFileIO(FileIO):
         os.makedirs(d, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        d = os.path.dirname(path)
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
             f.write(data)
         os.replace(tmp, path)
 
@@ -222,6 +239,13 @@ class FakeObjectStoreFileIO(FileIO):
         with os.fdopen(fd, "w") as f:
             f.write(data)
         os.replace(tmp, path)  # emulates the PUT's server-side atomicity
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".put")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
 
     def put_if_absent(self, path: str, data: str) -> bool:
         with self._lock:  # server-side conditional-write atomicity
@@ -326,10 +350,13 @@ class HadoopFileIO(FileIO):
             out.close()
 
     def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def write_bytes(self, path: str, data: bytes) -> None:
         # temp + delete + rename: readers never observe partial content
         # (same protocol as the epoch marker commit).
         tmp = path + ".tmp"
-        self._write_bytes(tmp, data.encode("utf-8"), True)
+        self._write_bytes(tmp, data, True)
         target = self._p(path)
         if self._fs.exists(target):
             self._fs.delete(target, False)

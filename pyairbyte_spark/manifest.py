@@ -26,6 +26,7 @@ KB-sized JSON reads, amortized by the store's resolved-manifest cache.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Callable
 
 # Every Nth commit is a full snapshot manifest (the chain's
@@ -113,6 +114,107 @@ def resolve_manifest(
         entries = apply_delta(entries, m)
     top = {k: v for k, v in man.items() if k not in _DELTA_KEYS}
     return {**top, "entries": entries}
+
+
+# -- parquet checkpoints ----------------------------------------------------
+# A FULL manifest of a wide table is still big as JSON (~410 B/entry —
+# extrapolated ~4 GB at 10M files, paid once per CHECKPOINT_INTERVAL).
+# Delta solves this with parquet checkpoint files; same here: when a
+# full manifest has ≥ PARQUET_CHECKPOINT_MIN_ENTRIES entries, its entry
+# list is written as a columnar parquet SIDECAR (one row per data file,
+# dictionary-encoded paths, snappy) and the commit JSON stores only
+# {"entries_ref": <sidecar>, "n_entries": N} plus the small top fields.
+# The sidecar is written BEFORE the commit JSON (stage-then-publish; an
+# orphan sidecar from a lost commit race is garbage vacuum reclaims).
+
+PARQUET_CHECKPOINT_MIN_ENTRIES = 512
+
+
+def entries_to_parquet_bytes(entries: list[dict]) -> bytes:
+    """Serialize an entry list to parquet bytes: one HEADER row per
+    entry (file_path NULL, carries path/buckets/has_files) followed by
+    one row per file; ``entry_idx`` preserves entry order."""
+    import io as _io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols: dict[str, list] = {
+        "entry_idx": [], "entry_path": [], "entry_buckets": [],
+        "has_files": [], "file_path": [], "bucket": [], "bytes": [],
+        "rows": [], "sv": [], "stats": [],
+    }
+
+    def _row(i, e, f=None):
+        cols["entry_idx"].append(i)
+        cols["entry_path"].append(e["path"])
+        cols["entry_buckets"].append(e.get("buckets"))
+        cols["has_files"].append(e.get("files") is not None)
+        cols["file_path"].append(None if f is None else f["path"])
+        cols["bucket"].append(None if f is None else f.get("bucket"))
+        cols["bytes"].append(None if f is None else f.get("bytes"))
+        cols["rows"].append(None if f is None else f.get("rows"))
+        cols["sv"].append(None if f is None else f.get("sv"))
+        cols["stats"].append(
+            None if f is None or f.get("stats") is None
+            else json.dumps(f["stats"])
+        )
+
+    for i, e in enumerate(entries):
+        _row(i, e)
+        for f in e.get("files") or []:
+            _row(i, e, f)
+    schema = pa.schema(
+        [
+            ("entry_idx", pa.int64()),
+            ("entry_path", pa.string()),
+            ("entry_buckets", pa.list_(pa.int64())),
+            ("has_files", pa.bool_()),
+            ("file_path", pa.string()),
+            ("bucket", pa.int64()),
+            ("bytes", pa.int64()),
+            ("rows", pa.int64()),
+            ("sv", pa.int64()),
+            ("stats", pa.string()),
+        ]
+    )
+    buf = _io.BytesIO()
+    pq.write_table(pa.table(cols, schema=schema), buf, compression="snappy")
+    return buf.getvalue()
+
+
+def entries_from_parquet_bytes(data: bytes) -> list[dict]:
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_io.BytesIO(data))
+    rows = t.to_pylist()
+    out: dict[int, dict] = {}
+    for r in rows:
+        i = r["entry_idx"]
+        if r["file_path"] is None:  # header row
+            out[i] = {
+                "path": r["entry_path"],
+                "buckets": r["entry_buckets"],
+                "files": [] if r["has_files"] else None,
+            }
+    for r in rows:
+        if r["file_path"] is None:
+            continue
+        f: dict[str, Any] = {
+            "path": r["file_path"],
+            "bucket": r["bucket"],
+            "bytes": r["bytes"],
+        }
+        if r["rows"] is not None:
+            f["rows"] = r["rows"]
+        if r["stats"] is not None:
+            f["stats"] = json.loads(r["stats"])
+        if r["sv"] is not None:
+            f["sv"] = r["sv"]
+        out[r["entry_idx"]]["files"].append(f)
+    return [out[i] for i in sorted(out)]
 
 
 def chain_root(read_raw: Callable[[int], dict[str, Any]], version: int) -> int:

@@ -59,7 +59,14 @@ def _versions(table_path: str) -> list[int]:
 def _manifest_raw(table_path: str, version: int) -> dict:
     p = os.path.join(_commits_dir(table_path), f"{version:020d}.json")
     with open(p) as f:
-        return json.load(f)
+        man = json.load(f)
+    ref = man.get("entries_ref")
+    if ref is not None:  # parquet checkpoint sidecar
+        from pyairbyte_spark.manifest import entries_from_parquet_bytes
+
+        with open(os.path.join(_commits_dir(table_path), ref), "rb") as f:
+            man = {**man, "entries": entries_from_parquet_bytes(f.read())}
+    return man
 
 
 def _manifest(table_path: str, version: int) -> dict:

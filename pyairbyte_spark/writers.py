@@ -441,12 +441,21 @@ class CommitLogTableStore(TableStore):
     def _read_manifest_raw(self, table_name: str, version: int) -> dict:
         path = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
         try:
-            return json.loads(self.io.read_text(path))
+            man = json.loads(self.io.read_text(path))
         except OSError as e:
             raise FileNotFoundError(
                 f"table {table_name!r} has no commit version {version}"
                 " (never written, or vacuumed)"
             ) from e
+        ref = man.get("entries_ref")
+        if ref is not None:  # parquet checkpoint sidecar (manifest.py)
+            from pyairbyte_spark import manifest as mf
+
+            data = self.io.read_bytes(
+                os.path.join(self._commits_dir(table_name), ref)
+            )
+            man = {**man, "entries": mf.entries_from_parquet_bytes(data)}
+        return man
 
     def _read_manifest(self, table_name: str, version: int) -> dict:
         """The RESOLVED (full-entries) manifest of ``version`` —
@@ -512,13 +521,49 @@ class CommitLogTableStore(TableStore):
                     top = {k: v for k, v in manifest.items() if k != "entries"}
                     to_store = {**top, "base": version - 1, **delta}
         target = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
-        data = json.dumps({"version": version, **to_store})
+        data, sidecar = self._serialize_manifest(table_name, version, to_store)
         if not self.io.put_if_absent(target, data):
+            if sidecar:  # the loser's orphan sidecar is dead weight
+                self.io.delete_file(
+                    os.path.join(self._commits_dir(table_name), sidecar)
+                )
             raise ConcurrentCommitError(
                 f"commit version {version} of {table_name!r} was taken "
                 "by a concurrent writer"
             )
         self._cache_manifest(table_name, version, {"version": version, **manifest})
+
+    def _serialize_manifest(
+        self, table_name: str, version: int, to_store: dict
+    ) -> tuple[str, str | None]:
+        """Stored form of a manifest: wide FULL manifests spill their
+        entry list to a parquet checkpoint sidecar (columnar +
+        compressed; Delta's checkpoint-file pattern) written BEFORE the
+        commit JSON, which then carries only ``entries_ref``. Returns
+        (json_string, sidecar_name_or_None). Sidecar names are unique
+        per attempt so racing writers of one version never clobber."""
+        from pyairbyte_spark import manifest as mf
+
+        entries = to_store.get("entries")
+        if entries is None or len(entries) < mf.PARQUET_CHECKPOINT_MIN_ENTRIES:
+            return json.dumps({"version": version, **to_store}), None
+        sidecar = f"{version:020d}.{uuid.uuid4().hex[:8]}.checkpoint.parquet"
+        self.io.write_bytes(
+            os.path.join(self._commits_dir(table_name), sidecar),
+            mf.entries_to_parquet_bytes(entries),
+        )
+        slim = {k: v for k, v in to_store.items() if k != "entries"}
+        return (
+            json.dumps(
+                {
+                    "version": version,
+                    **slim,
+                    "entries_ref": sidecar,
+                    "n_entries": len(entries),
+                }
+            ),
+            sidecar,
+        )
 
     def _commit_dml(
         self,
@@ -1098,7 +1143,10 @@ class CommitLogTableStore(TableStore):
                 "op": m.get("op"),
                 "merge_buckets": m.get("merge_buckets"),
             }
-            if "entries" in m:
+            if "entries_ref" in m:  # parquet-checkpointed full manifest
+                rec["n_entries"] = m.get("n_entries")
+                rec["checkpoint"] = m["entries_ref"]
+            elif "entries" in m:
                 rec["n_entries"] = len(m.get("entries") or [])
             else:  # delta commit: report its O(changed) action counts
                 rec["incremental"] = True
@@ -1923,9 +1971,12 @@ class CommitLogTableStore(TableStore):
         oldest_kept = int(keep[0][:-5])
         if mf.is_delta(self._read_manifest_raw(table_name, oldest_kept)):
             resolved = self._read_manifest(table_name, oldest_kept)
-            self.io.write_text(
-                os.path.join(d, keep[0]), json.dumps(resolved)
+            data, _sc = self._serialize_manifest(
+                table_name,
+                oldest_kept,
+                {k: v for k, v in resolved.items() if k != "version"},
             )
+            self.io.write_text(os.path.join(d, keep[0]), data)
         live_dirs: set[str] = set()
         # dir → set of referenced rel paths; None = whole dir pinned
         live_files: dict[str, set[str] | None] = {}
@@ -1968,6 +2019,23 @@ class CommitLogTableStore(TableStore):
                     removed.append(f"{name}/{rel}")
         for n in names[: -len(keep)] if len(keep) < len(names) else []:
             self.io.delete_file(os.path.join(d, n))
+        # Checkpoint sidecars: keep only the ones surviving commit
+        # JSONs reference; the rest (dropped versions, crashed-writer
+        # orphans) are unreachable garbage.
+        live_refs = set()
+        for n in keep:
+            try:
+                ref = json.loads(
+                    self.io.read_text(os.path.join(d, n))
+                ).get("entries_ref")
+            except OSError:
+                continue
+            if ref:
+                live_refs.add(ref)
+        for n in self.io.list_names(d):
+            if n.endswith(".checkpoint.parquet") and n not in live_refs:
+                self.io.delete_file(os.path.join(d, n))
+                removed.append(f"{self.COMMIT_DIR}/{n}")
         self._invalidate_manifests(table_name, below=oldest_kept)
         return removed
 

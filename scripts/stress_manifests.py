@@ -74,6 +74,10 @@ def main() -> None:
         store._commit("t", man, v)
         commit_s.append(time.time() - t0)
         size = os.path.getsize(os.path.join(d, f"{v:020d}.json"))
+        # parquet-checkpointed commits carry a sidecar — count it
+        raw = json.load(open(os.path.join(d, f"{v:020d}.json")))
+        if raw.get("entries_ref"):
+            size += os.path.getsize(os.path.join(d, raw["entries_ref"]))
         (ckpt_bytes if v == 1 or v % mf.CHECKPOINT_INTERVAL == 0
          else delta_bytes).append(size)
 

@@ -229,3 +229,85 @@ def test_history_reports_delta_commits(spark, store):
     hist = {h["version"]: h for h in store.history("t")}
     assert hist[1]["n_entries"] == 1
     assert hist[2]["incremental"] and hist[2]["n_changed"] == 1
+
+
+# -- parquet checkpoints ----------------------------------------------------
+
+
+def test_parquet_entries_roundtrip_shapes():
+    entries = [
+        {"path": "d-aaa", "buckets": None, "files": None},  # pre-stats
+        {"path": "d-bbb", "buckets": [], "files": []},
+        {
+            "path": "d-ccc",
+            "buckets": [0, 3],
+            "files": [
+                {
+                    "path": "__pk_bucket=0/part-1.parquet",
+                    "bucket": 0,
+                    "bytes": 1234,
+                    "rows": 10,
+                    "stats": {"id": {"min": 1, "max": 9, "nulls": 0}},
+                    "sv": 2,
+                },
+                {"path": "p2.parquet", "bucket": None, "bytes": 5},
+            ],
+        },
+    ]
+    data = mf.entries_to_parquet_bytes(entries)
+    assert mf.entries_from_parquet_bytes(data) == entries
+
+
+def test_wide_manifest_spills_to_parquet_checkpoint(spark, store, monkeypatch):
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 3)
+    monkeypatch.setattr(mf, "CHECKPOINT_INTERVAL", 4)
+    for i in range(8):
+        store.write_append(_df(spark, [(i, f"v{i}")], f"p{i}").coalesce(1), "t")
+    d = store._commits_dir("t")
+    raw8 = _raw(store, "t", 8)  # forced-full at the interval, 8 entries
+    assert "entries" not in raw8 and raw8["entries_ref"].endswith(
+        ".checkpoint.parquet"
+    )
+    assert raw8["n_entries"] == 8
+    assert os.path.exists(os.path.join(d, raw8["entries_ref"]))
+    # a fresh reader resolves through the checkpoint
+    fresh = CommitLogTableStore(
+        spark, os.path.dirname(store.root), os.path.basename(store.root)
+    )
+    assert _rows(fresh.read("t")) == [(i, f"v{i}") for i in range(8)]
+    assert fresh.read_version("t", 6).count() == 6  # delta atop v4 full
+    hist = {h["version"]: h for h in fresh.history("t")}
+    assert hist[8]["n_entries"] == 8 and hist[8]["checkpoint"]
+    # DML through the checkpointed snapshot
+    assert fresh.delete_where("t", [("id", "<", 2)])["deleted_rows"] == 2
+    assert fresh.read("t").count() == 6
+
+
+def test_vacuum_reclaims_dropped_and_orphan_sidecars(spark, store, monkeypatch):
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 2)
+    monkeypatch.setattr(mf, "CHECKPOINT_INTERVAL", 3)
+    for i in range(7):
+        store.write_append(_df(spark, [(i, "x")], f"p{i}").coalesce(1), "t")
+    d = store._commits_dir("t")
+    # plant a crashed-writer orphan
+    orphan = os.path.join(d, f"{99:020d}.deadbeef.checkpoint.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    store.vacuum("t", keep_commits=2)  # keeps v6, v7
+    names = set(os.listdir(d))
+    assert not any(n.startswith("0" * 18 + "03.") and n.endswith(".parquet")
+                   for n in names)  # v3's sidecar dropped with v3
+    assert os.path.basename(orphan) not in names
+    # the oldest kept (v6, was a checkpoint at interval 3? v6 = full) —
+    # whatever its form, every kept version stays readable
+    fresh = CommitLogTableStore(
+        spark, os.path.dirname(store.root), os.path.basename(store.root)
+    )
+    assert fresh.read_version("t", 6).count() == 6
+    assert fresh.read("t").count() == 7
+    # kept checkpoints' sidecars survive
+    for n in names:
+        if n.endswith(".json"):
+            ref = json.loads(open(os.path.join(d, n)).read()).get("entries_ref")
+            if ref:
+                assert ref in names
