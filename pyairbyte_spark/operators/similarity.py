@@ -603,3 +603,118 @@ def cosine_neardup_pairs(
         .cogroup(right.groupBy("ka", "kb"))
         .applyInPandas(score_tile, schema=out_schema)
     )
+
+
+# -- persistent IVF index (commit-log store) --------------------------------
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    store,
+    index_name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 1,
+    train_modulus: int = 1,
+    target_files: int | None = None,
+) -> dict:
+    """Materialize an IVF index INTO a :class:`CommitLogTableStore`:
+    ``<index_name>_centroids`` (the coarse quantizer) and
+    ``<index_name>_lists`` (one row per corpus vector with its ``cid``),
+    compacted with ``sort_by=["cid"]`` so every list occupies a
+    contiguous file range and the manifest's zone maps prune probes to
+    exactly the touched lists' files.
+
+    This is the production answer to IVF's O(corpus) build cost (see
+    :func:`ivf_topk`): build once per corpus refresh, then every
+    :func:`ivf_index_topk` probe is a stats-pruned scan of
+    ~n_probes/n_centroids of the index files — the ANN analogue of
+    partition pruning, amortized over query volume. Returns
+    ``{"n_vectors", "n_centroids", "files"}``.
+    """
+    spark = corpus.sparkSession
+    cent = kmeans_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+        train_modulus=train_modulus,
+    )
+    cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
+    e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    lists = _assign_to_centroids(e, cent, vectorized=n_centroids > 32)
+    store.write_replace(cent, f"{index_name}_centroids")
+    store.write_replace(
+        lists.select("cid", F.col("id"), F.col("v")), f"{index_name}_lists"
+    )
+    # target_files sets zone-map granularity: more files = finer
+    # probe pruning (aim for >= n_centroids so each list owns files).
+    store.compact(f"{index_name}_lists", sort_by=["cid"], target_files=target_files)
+    plan = store.plan_scan(f"{index_name}_lists")
+    st = store.table_stats(f"{index_name}_lists")
+    return {
+        "n_vectors": st["rows"],
+        "n_centroids": cent.count(),
+        "files": plan["files_total"],
+    }
+
+
+def ivf_index_topk(
+    store,
+    index_name: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probes: int = 2,
+) -> DataFrame:
+    """Query a :func:`build_ivf_index` index: assign each query to its
+    ``n_probes`` nearest centroids, then scan ONLY the probed lists —
+    ``read_where(cid IN probes)`` rides the manifest zone maps, so the
+    files of unprobed lists are never opened (plan-gated in
+    ``tests/test_operators.py``). Output matches :func:`ivf_topk`
+    (query_id, neighbor_id, cosine, rank) exactly for the same build
+    parameters.
+
+    The probed-cid set crosses the driver, bounded by
+    |queries| × n_probes — query batches are small by definition
+    (retrieval workloads); corpus-scale joins stay in the lists scan.
+    """
+    spark = queries.sparkSession
+    cent_rows = store.read(f"{index_name}_centroids").collect()
+    cent = spark.createDataFrame(cent_rows)
+    q = queries.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
+    probes = _assign_to_centroids(q, cent, top_n=n_probes).select(
+        F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
+    )
+    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    lists = store.read_where(
+        f"{index_name}_lists", [("cid", "in", probe_cids)]
+    ).select("cid", F.col("id").alias("neighbor_id"), F.col("v").alias("cvec"))
+    lists = lists.withColumn("__cn", norm_expr(F.col("cvec")))
+    probes = probes.withColumn("__qn", norm_expr(F.col("qvec")))
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("__qn") * F.col("__cn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -655,3 +655,49 @@ def test_ngram_duplication_coverage_hand_checked(spark):
     assert out[2]["n_grams"] == 3 and out[2]["n_dup_grams"] == 1
     assert out[1]["dup_fraction"] == round(1 / 3, 6)
     assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_ivf_persistent_index_matches_direct_ivf(spark, tmp_path):
+    """build_ivf_index + ivf_index_topk == ivf_topk for the same build
+    parameters, and the probe scan is zone-map-pruned to the probed
+    lists' files."""
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "idx")
+    info = similarity.build_ivf_index(
+        emb, store, "emb", n_centroids=8, iters=1, train_modulus=4,
+        target_files=8,
+    )
+    assert info["n_vectors"] == emb.count() and info["n_centroids"] == 8
+    got = sorted(
+        map(
+            tuple,
+            similarity.ivf_index_topk(
+                store, "emb", queries, k=5, n_probes=2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            similarity.ivf_topk(
+                emb, queries, k=5, n_centroids=8, n_probes=2,
+                iters=1, train_modulus=4,
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) == 25
+    # pruning: probing 2 lists/query must not plan every index file
+    cent = spark.createDataFrame(store.read("emb_centroids").collect())
+    from pyairbyte_spark.operators.similarity import _assign_to_centroids, as_double_vec
+
+    q = queries.select(F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v"))
+    cids = sorted({
+        r["cid"]
+        for r in _assign_to_centroids(q, cent, top_n=2).select("cid").collect()
+    })
+    plan = store.plan_scan("emb_lists", [("cid", "in", cids)])
+    if len(cids) < 8:  # only when some list goes unprobed
+        assert plan["files_selected"] < plan["files_total"]
