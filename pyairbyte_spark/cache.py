@@ -214,6 +214,11 @@ class SparkCache(Mapping):
         """Metadata-only column drop (zero data I/O)."""
         return self._acid_store().drop_column(self.table_name(stream_name), name)
 
+    def restore_stream(self, stream_name: str, version: int) -> int:
+        """Roll the stream's table back to ``version`` as a NEW commit
+        (Delta RESTORE; metadata-only, auditable, time-travelable)."""
+        return self._acid_store().restore(self.table_name(stream_name), version)
+
     def set_stream_check(self, stream_name: str, name: str, expr: str) -> int:
         """Add/replace a persisted CHECK constraint (validates existing
         rows first; enforced in-flight by every later write incl.

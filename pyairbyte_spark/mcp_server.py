@@ -433,6 +433,23 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "restore_table",
+            "RESTORE a stream's table to an earlier commit version — a "
+            "new forward commit (auditable rollback, zero data I/O; the "
+            "target version must not be vacuumed).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "version": {"type": "integer"},
+                },
+                "required": ["stream_name", "version"],
+            },
+            lambda h, a: t.restore_table(
+                h.cache, a["stream_name"], int(a["version"])
+            ),
+        ),
+        ToolDef(
             "set_table_check",
             "Persist a CHECK constraint on a stream's table (SQL boolean "
             "expression over logical columns; NULL passes). Validates "

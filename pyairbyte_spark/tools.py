@@ -168,6 +168,14 @@ def drop_table_column(
     return {"version": cache.drop_stream_column(stream_name, column)}
 
 
+def restore_table(
+    cache: SparkCache, stream_name: str, version: int
+) -> dict[str, Any]:
+    """RESTORE the stream's table to an earlier commit version (a new
+    forward commit; metadata-only; requires un-vacuumed data)."""
+    return {"version": cache.restore_stream(stream_name, int(version))}
+
+
 def set_table_check(
     cache: SparkCache, stream_name: str, name: str, expr: str
 ) -> dict[str, Any]:

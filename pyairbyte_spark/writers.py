@@ -34,6 +34,7 @@ from __future__ import annotations
 import json
 import re
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -521,6 +522,9 @@ class CommitLogTableStore(TableStore):
                     top = {k: v for k, v in manifest.items() if k != "entries"}
                     to_store = {**top, "base": version - 1, **delta}
         target = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
+        # Wall-clock commit timestamp: audit metadata for history();
+        # versions, not timestamps, remain the ordering authority.
+        to_store = {"ts": int(time.time()), **to_store}
         data, sidecar = self._serialize_manifest(table_name, version, to_store)
         if not self.io.put_if_absent(target, data):
             if sidecar:  # the loser's orphan sidecar is dead weight
@@ -1142,6 +1146,12 @@ class CommitLogTableStore(TableStore):
                 "version": int(n[:-5]),
                 "op": m.get("op"),
                 "merge_buckets": m.get("merge_buckets"),
+                **({"ts": m["ts"]} if m.get("ts") else {}),
+                **(
+                    {"restored_version": m["restored_version"]}
+                    if m.get("restored_version")
+                    else {}
+                ),
             }
             if "entries_ref" in m:  # parquet-checkpointed full manifest
                 rec["n_entries"] = m.get("n_entries")
@@ -1322,7 +1332,8 @@ class CommitLogTableStore(TableStore):
                 return None
             return _tag(self._entries_df(table_name, new_entries), "insert")
 
-        if op == "replace":
+        if op in ("replace", "restore"):
+            # snapshot swap: prior rows out, the (restored) snapshot in
             inserts = _tag(self._read_manifest_df(table_name, man), "insert")
             if not prev_entries:
                 return inserts
@@ -1936,6 +1947,47 @@ class CommitLogTableStore(TableStore):
         }
 
     # -- maintenance --------------------------------------------------------
+
+    def restore(self, table_name: str, version: int) -> int:
+        """Delta ``RESTORE TABLE … TO VERSION``: publish a NEW commit
+        whose snapshot is ``version``'s — a metadata-only rollback
+        (entries carried by reference, no data I/O), forward-recorded
+        in the history so the rollback is itself auditable and
+        time-travelable. Restores the data AND the version's table
+        metadata (column mapping, checks, bucket layout). Requires the
+        target's data to still exist (not vacuumed). The change feed
+        reports the swap as delete+insert, like replace. Returns the
+        new version."""
+        target = self._read_manifest(table_name, version)
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        latest, _ = snap
+        for e in target.get("entries") or []:
+            d = os.path.join(self.table_path(table_name), e["path"])
+            if not self.io.is_dir(d):
+                raise FileNotFoundError(
+                    f"cannot restore {table_name!r} to version {version}: "
+                    f"data dir {e['path']} was vacuumed; only versions "
+                    "within the vacuum retention window are restorable"
+                )
+        self._commit(
+            table_name,
+            {
+                "op": "restore",
+                "restored_version": version,
+                "merge_buckets": target.get("merge_buckets"),
+                **(
+                    {"primary_keys": target["primary_keys"]}
+                    if target.get("primary_keys")
+                    else {}
+                ),
+                **self._carry_mapping(target),
+                "entries": target.get("entries") or [],
+            },
+            latest + 1,
+        )
+        return latest + 1
 
     def vacuum(self, table_name: str, *, keep_commits: int = 1) -> list[str]:
         """Reclaim storage unreferenced by the ``keep_commits`` most

@@ -315,3 +315,48 @@ def test_cache_maintenance_surface(spark, tmp_path):
     plain = SparkCache(spark, str(tmp_path / "plain"))
     with pytest.raises(NotImplementedError, match="commitlog"):
         plain.table_history("s")
+
+
+# -- restore (rollback) -------------------------------------------------------
+
+
+def test_restore_rolls_back_as_forward_commit(spark, store):
+    store.write_replace(_df(spark, [(1, "v1")]), "t")
+    store.write_replace(_df(spark, [(2, "v2")]), "t")
+    store.write_append(_df(spark, [(3, "v3")], "s"), "t")
+    assert _rows(store.read("t")) == [(2, "v2"), (3, "v3")]
+    new_v = store.restore("t", 1)
+    assert new_v == 4
+    assert _rows(store.read("t")) == [(1, "v1")]
+    # the rollback is itself history: pre-restore versions still read
+    assert _rows(store.read_version("t", 3)) == [(2, "v2"), (3, "v3")]
+    hist = store.history("t")[0]
+    assert hist["op"] == "restore" and hist["restored_version"] == 1
+    assert hist.get("ts")
+    # change feed reports the swap
+    kinds = sorted(
+        (r["_change_type"], r["id"])
+        for r in store.read_changes("t", 3).select("_change_type", "id").collect()
+    )
+    assert kinds == [("delete", 2), ("delete", 3), ("insert", 1)]
+    # writes continue normally on the restored snapshot
+    store.write_append(_df(spark, [(9, "new")], "z"), "t")
+    assert _rows(store.read("t")) == [(1, "v1"), (9, "new")]
+
+
+def test_restore_restores_table_metadata(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t")
+    store.set_check("t", "id_pos", "id > 0")
+    store.write_append(_df(spark, [(2, "b")], "s"), "t")
+    v_with_check = store.latest_version("t")
+    store.drop_check("t", "id_pos")
+    store.restore("t", v_with_check)
+    assert store.table_checks("t") == {"id_pos": "id > 0"}
+
+
+def test_restore_refuses_vacuumed_version(spark, store):
+    store.write_replace(_df(spark, [(1, "v1")]), "t")
+    store.write_replace(_df(spark, [(2, "v2")]), "t")
+    store.vacuum("t", keep_commits=1)  # v1's data dir reclaimed
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        store.restore("t", 1)

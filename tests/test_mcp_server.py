@@ -578,3 +578,35 @@ def test_table_check_tools(spark, tmp_path):
         ][0]["text"]
     )
     assert checks == {}
+
+
+def test_restore_table_tool(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+
+    def _d(lo, hi, p):
+        return (
+            spark.range(lo, hi)
+            .toDF("id")
+            .withColumn("_airbyte_raw_id", F.concat(F.lit(p), F.col("id")))
+            .withColumn("_airbyte_extracted_at", F.current_timestamp())
+        )
+
+    t_name = cache.table_name("users")
+    cache.store.write_replace(_d(0, 5, "a"), t_name)
+    cache.store.write_replace(_d(0, 2, "b"), t_name)
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "restore_table", {"stream_name": "users", "version": 1}
+        )["content"][0]["text"]
+    )
+    assert out["version"] == 3
+    assert cache.store.read(t_name).count() == 5
