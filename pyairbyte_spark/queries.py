@@ -3882,6 +3882,42 @@ def store_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_ivf_index_query() -> None:
+    """The persistent-IVF path must produce EXACTLY what the in-memory
+    ivf_topk produces for the same build parameters — so it registers
+    against the SAME DuckDB oracle, proving the materialize → compact
+    → zone-map-pruned-probe path end to end."""
+
+    @register(
+        "ann_ivf_index_topk",
+        REGISTRY["ann_ivf_topk"].oracle,
+        "IVF top-5 via a PERSISTED index: lists materialized into a "
+        "commit-log table compacted on cid, probes answered by "
+        "stats-pruned read_where(cid IN probed) — same oracle as the "
+        "in-memory path",
+    )
+    def ann_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        emb = t(spark, sf_dir, "embeddings")
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-ivf-"), "q"
+        )
+        similarity.build_ivf_index(
+            emb, store, "emb", n_centroids=8, iters=1, train_modulus=4,
+            target_files=8,
+        )
+        out = similarity.ivf_index_topk(
+            store, "emb", emb.filter(F.col("vec_id") < 5), k=5, n_probes=2
+        )
+        return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_register_ivf_index_query()
+
+
 @register(
     "store_time_travel_events",
     """
@@ -3925,6 +3961,7 @@ _DRIVER_PRIORITY = [
     "dedup_ngram_coverage",
     "events_value_percentiles",
     "cube_orders_status_priority",
+    "ann_ivf_index_topk",
     # new this round — never driver-checked
     "q2_min_cost_supplier",
     "q11_important_part_value",
