@@ -3882,6 +3882,64 @@ def store_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_merge_upsert_events",
+    """
+    -- Bucketed incremental MERGE: initial full write, then an upsert
+    -- batch (every 3rd event, value+100) that rewrites only touched
+    -- buckets; latest-per-key wins. Mirrors as plain SQL.
+    WITH upd AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 3 = 0 THEN value + 100.0 ELSE value END
+               AS value
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value
+    FROM upd GROUP BY event_type ORDER BY event_type
+    """,
+    "ACID store bucketed MERGE end-to-end: full write + incremental "
+    "upsert touching only hashed buckets; aggregate equals plain SQL",
+)
+def store_merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def _book(df, batch: str, day: str):
+        # Deterministic bookkeeping: merge's latest-per-key orders by
+        # (_airbyte_extracted_at, _airbyte_raw_id) — literal timestamps
+        # make batch 2 the winner regardless of wall clock.
+        return df.withColumn(
+            "_airbyte_raw_id",
+            F.concat(F.lit(batch), F.col("event_id").cast("string")),
+        ).withColumn(
+            "_airbyte_extracted_at", F.lit(day).cast("timestamp")
+        )
+
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-merge-"), "q", merge_buckets=8
+    )
+    store.write_merge(_book(ev, "a", "2024-01-01"), "m", ["event_id"])
+    upd = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.col("value") + F.lit(100.0)
+    )
+    store.write_merge(_book(upd, "b", "2024-01-02"), "m", ["event_id"])
+    return (
+        store.read("m")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _register_ivf_index_query() -> None:
     """The persistent-IVF path must produce EXACTLY what the in-memory
     ivf_topk produces for the same build parameters — so it registers
@@ -3962,6 +4020,7 @@ _DRIVER_PRIORITY = [
     "events_value_percentiles",
     "cube_orders_status_priority",
     "ann_ivf_index_topk",
+    "store_merge_upsert_events",
     # new this round — never driver-checked
     "q2_min_cost_supplier",
     "q11_important_part_value",
