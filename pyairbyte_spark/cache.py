@@ -214,6 +214,22 @@ class SparkCache(Mapping):
         """Metadata-only column drop (zero data I/O)."""
         return self._acid_store().drop_column(self.table_name(stream_name), name)
 
+    def stream_feed(self, stream_name: str, **options) -> DataFrame:
+        """``readStream`` over the stream's commit-log table (commit
+        version = Spark offset). Options pass through to the
+        ``commitlog_feed`` source: ``start_version``,
+        ``max_files_per_trigger``, ``max_commits_per_trigger``."""
+        from pyairbyte_spark.sources.commitlog_stream import register
+
+        self._acid_store()  # raises for non-commitlog caches
+        register(self.spark)
+        reader = self.spark.readStream.format("commitlog_feed").option(
+            "path", self.store.table_path(self.table_name(stream_name))
+        )
+        for k, v in options.items():
+            reader = reader.option(k, str(v))
+        return reader.load()
+
     def restore_stream(self, stream_name: str, version: int) -> int:
         """Roll the stream's table back to ``version`` as a NEW commit
         (Delta RESTORE; metadata-only, auditable, time-travelable)."""

@@ -718,3 +718,36 @@ def ivf_index_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def append_to_ivf_index(
+    new_vectors: DataFrame,
+    store,
+    index_name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Incremental index maintenance: assign ``new_vectors`` to the
+    EXISTING coarse quantizer and append them to the lists table —
+    O(new vectors), no rebuild (the standard IVF practice: centroids
+    drift slowly; re-run :func:`build_ivf_index` on the retrain
+    cadence, append between). The append lands as one commit; probes
+    see old + new atomically. Fresh appends aren't cid-clustered until
+    the next ``compact(sort_by=["cid"])`` — zone maps still prune them
+    (each appended file knows its cid range), just more coarsely.
+    Returns ``{"appended", "version"}``.
+    """
+    spark = new_vectors.sparkSession
+    cent = spark.createDataFrame(store.read(f"{index_name}_centroids").collect())
+    e = new_vectors.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    )
+    asg = _assign_to_centroids(e, cent, vectorized=cent.count() > 32)
+    store.write_append(
+        asg.select("cid", "id", "v"), f"{index_name}_lists"
+    )
+    return {
+        "appended": new_vectors.count(),
+        "version": store.latest_version(f"{index_name}_lists"),
+    }

@@ -207,3 +207,24 @@ def test_stream_skips_dropped_column_and_metadata_commits(spark, store, tmp_path
     assert "v" not in ds.schema().fieldNames()
     got = _drain(spark, store, "t", "dropcol", tmp_path)
     assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3]
+
+
+def test_cache_stream_feed_helper(spark, store, tmp_path):
+    """cache.stream_feed: one-call readStream over a cached stream."""
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh2"), table_format="commitlog"
+    )
+    cache.store.write_append(_df(spark, 0, 4), cache.table_name("events"))
+    out = str(tmp_path / "feed-out")
+    q = (
+        cache.stream_feed("events", max_commits_per_trigger=1)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "feed-ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [0, 1, 2, 3]

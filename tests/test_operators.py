@@ -701,3 +701,28 @@ def test_ivf_persistent_index_matches_direct_ivf(spark, tmp_path):
     plan = store.plan_scan("emb_lists", [("cid", "in", cids)])
     if len(cids) < 8:  # only when some list goes unprobed
         assert plan["files_selected"] < plan["files_total"]
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """append_to_ivf_index: new vectors join the existing quantizer's
+    lists without a rebuild; queries see old + new."""
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "idx")
+    similarity.build_ivf_index(
+        old, store, "emb", n_centroids=8, iters=1, train_modulus=4,
+        target_files=8,
+    )
+    res = similarity.append_to_ivf_index(new, store, "emb")
+    assert res["appended"] == new.count()
+    assert store.table_stats("emb_lists")["rows"] == emb.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.ivf_index_topk(store, "emb", queries, k=5, n_probes=8)
+    # probing ALL lists == brute force over the whole (old+new) corpus
+    want = similarity.brute_force_topk(emb, queries, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
