@@ -3822,7 +3822,8 @@ def _events_store(spark: SparkSession, sf_dir: str):
       FROM events WHERE event_type <> 'view')
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
            min(user_id) AS min_user,
            max(event_id) AS max_event
     FROM upd WHERE user_id < 300
@@ -3838,9 +3839,9 @@ def store_dml_skipping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         got.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias(
-                "sum_value"
-            ),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
             F.min("user_id").alias("min_user"),
             F.max("event_id").alias("max_event"),
         )
@@ -3856,11 +3857,13 @@ def store_dml_skipping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- (value+1 always differs, so none are digest-suppressed).
     WITH d AS (SELECT 'delete' AS change_type,
                       count(*) AS n_rows,
-                      sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value
+                      CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                        AS sum_value
                FROM events WHERE event_type = 'view'),
          u AS (SELECT 'update_postimage' AS change_type,
                       count(*) AS n_rows,
-                      sum(CAST(round(value + 1.0, 2) AS DECIMAL(18,2))) AS sum_value
+                      CAST(sum(CAST(round(value + 1.0, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                        AS sum_value
                FROM events WHERE event_type = 'purchase')
     SELECT * FROM d UNION ALL SELECT * FROM u ORDER BY change_type
     """,
@@ -3874,9 +3877,9 @@ def store_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         feed.groupBy(F.col("_change_type").alias("change_type"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias(
-                "sum_value"
-            ),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("change_type")
     )
@@ -3895,7 +3898,8 @@ def store_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS sum_value
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
     FROM upd GROUP BY event_type ORDER BY event_type
     """,
     "ACID store bucketed MERGE end-to-end: full write + incremental "
@@ -3932,9 +3936,9 @@ def store_merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)")).alias(
-                "sum_value"
-            ),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .orderBy("event_type")
     )
