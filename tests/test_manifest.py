@@ -311,3 +311,84 @@ def test_vacuum_reclaims_dropped_and_orphan_sidecars(spark, store, monkeypatch):
             ref = json.loads(open(os.path.join(d, n)).read()).get("entries_ref")
             if ref:
                 assert ref in names
+
+
+_stats_vals = hst.one_of(hst.integers(-1000, 1000), hst.none())
+
+
+@given(data=hst.data())
+@settings(max_examples=100, deadline=None)
+def test_parquet_entries_roundtrip_property(data):
+    """ANY entry-list shape the store can produce must survive the
+    parquet encoding byte-exactly (as dict equality)."""
+    n = data.draw(hst.integers(0, 5), label="entries")
+    entries = []
+    for i in range(n):
+        kind = data.draw(hst.sampled_from(["prestats", "empty", "files"]),
+                         label=f"kind{i}")
+        buckets = data.draw(
+            hst.one_of(hst.none(), hst.lists(hst.integers(0, 7), max_size=4)),
+            label=f"buckets{i}",
+        )
+        e = {"path": f"d-{i:03d}", "buckets": buckets}
+        if kind == "prestats":
+            e["files"] = None
+        elif kind == "empty":
+            e["files"] = []
+        else:
+            files = []
+            for j in range(data.draw(hst.integers(1, 3), label=f"nf{i}")):
+                f = {
+                    "path": f"part-{i}-{j}.parquet",
+                    "bucket": data.draw(
+                        hst.one_of(hst.none(), hst.integers(0, 7)),
+                        label=f"b{i}{j}",
+                    ),
+                    "bytes": data.draw(hst.integers(0, 1 << 30),
+                                       label=f"by{i}{j}"),
+                }
+                if data.draw(hst.booleans(), label=f"rows?{i}{j}"):
+                    f["rows"] = data.draw(hst.integers(0, 10**6),
+                                          label=f"r{i}{j}")
+                    f["stats"] = {
+                        "c": {
+                            "min": data.draw(_stats_vals, label=f"mn{i}{j}"),
+                            "max": data.draw(_stats_vals, label=f"mx{i}{j}"),
+                            "nulls": data.draw(_stats_vals, label=f"nl{i}{j}"),
+                        }
+                    }
+                    f["sv"] = 2
+                files.append(f)
+            e["files"] = files
+        entries.append(e)
+    assert mf.entries_from_parquet_bytes(
+        mf.entries_to_parquet_bytes(entries)
+    ) == entries
+
+
+def test_crash_between_sidecar_and_commit_json(spark, store, monkeypatch):
+    """Kill the writer AFTER the checkpoint sidecar lands but BEFORE
+    the commit JSON: previous snapshot intact, re-run converges, and
+    vacuum reclaims the orphan sidecar."""
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    store.write_append(_df(spark, [(1, "a")]).coalesce(1), "t")
+
+    real_put = type(store.io).put_if_absent
+    def boom(io_self, path, data):
+        raise RuntimeError("injected crash after sidecar, before JSON")
+
+    monkeypatch.setattr(type(store.io), "put_if_absent", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        store.write_replace(_df(spark, [(2, "b")], "s").coalesce(1), "t")
+    monkeypatch.setattr(type(store.io), "put_if_absent", real_put)
+    store._invalidate_manifests("t")
+    d = store._commits_dir("t")
+    orphans = [n for n in os.listdir(d) if n.endswith(".checkpoint.parquet")
+               and n.startswith(f"{2:020d}.")]
+    assert orphans  # the sidecar landed before the crash
+    assert _rows(store.read("t")) == [(1, "a")]  # snapshot intact
+    store.write_replace(_df(spark, [(2, "b")], "z").coalesce(1), "t")
+    assert _rows(store.read("t")) == [(2, "b")]
+    store.vacuum("t", keep_commits=2)
+    left = [n for n in os.listdir(d) if n in orphans]
+    assert not left  # orphan reclaimed
