@@ -188,6 +188,43 @@ class TableStore:
 
     # -- write strategies ---------------------------------------------------
 
+    # Changing a column's type mid-table is a DEFERRED failure: the
+    # write succeeds and every later read throws (parquet mergeSchema
+    # cannot merge differing primitive types WITHIN one directory —
+    # not even int32/int64). Writes fail fast instead; the ingest
+    # path's type compiler (types.py:58-151, reference string-failover
+    # parity) normalizes conflicts before they ever reach the store.
+    # The commit-log store reads each snapshot entry separately and
+    # unions BY NAME across entries, whose coercion DOES widen within
+    # the numeric family (int→long, float→double: verified) — so it
+    # relaxes the check to cross-family conflicts only.
+    _NUMERIC_FAMILY = {"byte", "tinyint", "smallint", "short", "int",
+                       "bigint", "float", "double"}
+    _ALLOW_NUMERIC_WIDENING = False
+
+    def _check_schema_compat(self, df: DataFrame, table_name: str) -> None:
+        try:
+            existing = dict(self.read(table_name).dtypes)
+        except Exception:
+            return  # unreadable/new table: nothing to conflict with
+        for name, dt in df.dtypes:
+            old = existing.get(name)
+            if old is None or old == dt:
+                continue
+            if self._ALLOW_NUMERIC_WIDENING and (
+                (old in self._NUMERIC_FAMILY and dt in self._NUMERIC_FAMILY)
+                or (old.startswith("decimal") and dt.startswith("decimal"))
+            ):
+                continue
+            raise ValueError(
+                f"column {name!r} is {old} in table {table_name!r} "
+                f"but {dt} in the incoming frame — parquet cannot "
+                "merge these and every later read would fail. Cast "
+                "the incoming column, or write to a new column "
+                "name (the ingest path's type compiler normalizes "
+                "conflicts to string before they reach the store)."
+            )
+
     def _temp_name(self, table_name: str) -> str:
         # ULID-suffixed unique temp names (parity: sql_processor.py:592-612).
         return f"_tmp_{table_name}_{uuid.uuid4().hex[:9]}"
@@ -224,6 +261,7 @@ class TableStore:
         exists = self.table_exists(table_name)
         n_buckets = self.merge_buckets
         if exists:
+            self._check_schema_compat(df, table_name)
             # Align by name against the existing table's schema; new
             # columns flow through (mergeSchema on read).
             existing_cols = set(self.read(table_name).columns)
@@ -425,6 +463,9 @@ class CommitLogTableStore(TableStore):
 
     COMMIT_DIR = "_commits"
     _COMMIT_RETRIES = 5
+    # Snapshot reads union per-entry frames BY NAME, whose coercion
+    # widens numeric types safely — see _check_schema_compat.
+    _ALLOW_NUMERIC_WIDENING = True
 
     # -- commit-log primitives ---------------------------------------------
 
@@ -1469,6 +1510,7 @@ class CommitLogTableStore(TableStore):
         snap = self._latest_commit(table_name)
         exists = bool(snap and snap[1].get("entries"))
         if exists:
+            self._check_schema_compat(df, table_name)
             existing_cols = set(self.read(table_name).columns)
             new_cols = [c for c in df.columns if c not in existing_cols]
             ordered = [c for c in df.columns if c in existing_cols] + new_cols
@@ -1581,6 +1623,9 @@ class CommitLogTableStore(TableStore):
             # rewritten — and unlike the parquet store's dynamic
             # partition overwrite, the flip is ATOMIC across buckets.
             version, man = snap
+            # Incremental merges stage only touched buckets — a
+            # cross-family type change would leave mixed-type files.
+            self._check_schema_compat(df, table_name)
             df = self._enforce_checks(df, man)
             df = self._rename_incoming(df, man)
             primary_keys = [self._to_physical(man, k) for k in primary_keys]

@@ -403,3 +403,47 @@ def test_append_to_premetadata_bucketed_table_keeps_full_rewrite_merge(spark, tm
     assert len(rows) == 41 and rows[3] == "v2" and rows[17] == "v2"
     # the full rewrite re-bucketed with the store's N and stamped it
     assert cache16.store._persisted_buckets(cache16.table_name("b")) == 16
+
+
+def test_cross_family_type_conflict_fails_fast(spark, tmp_path):
+    """int->string on append previously succeeded and broke every
+    LATER read (deferred failure). Numeric widening stays allowed
+    (parquet mergeSchema handles it); cross-family conflicts raise at
+    write time with guidance."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.writers import CommitLogTableStore, TableStore
+
+    def mk(schema, row, p):
+        return (
+            spark.createDataFrame([row], schema)
+            .withColumn("_airbyte_raw_id", F.lit(p))
+            .withColumn("_airbyte_extracted_at", F.current_timestamp())
+        )
+
+    # Plain parquet store: ONE directory, mergeSchema cannot widen even
+    # int32→int64 — ANY type change fails fast.
+    pstore = TableStore(spark, str(tmp_path / "p"), "m")
+    pstore.write_append(mk("id long, x int", (1, 10), "a"), "t")
+    with pytest.raises(ValueError, match="parquet cannot merge"):
+        pstore.write_append(mk("id long, x long", (2, 2**40), "b"), "t")
+    assert pstore.read("t").count() == 1
+
+    # Commit-log store: per-entry reads union BY NAME → numeric
+    # widening allowed; cross-family still fails fast.
+    store = CommitLogTableStore(spark, str(tmp_path / "c"), "m")
+    store.write_append(mk("id long, x int", (1, 10), "a"), "t")
+    store.write_append(mk("id long, x long", (2, 2**40), "b"), "t")
+    assert sorted(r["x"] for r in store.read("t").collect()) == [10, 2**40]
+    with pytest.raises(ValueError, match="parquet cannot merge"):
+        store.write_append(mk("id long, x string", (3, "s"), "c"), "t")
+    # table still fully readable
+    assert store.read("t").count() == 2
+
+    # bucketed incremental merge guards too
+    store = CommitLogTableStore(
+        spark, str(tmp_path / "bm"), "m", merge_buckets=4
+    )
+    store.write_merge(mk("id long, x int", (1, 10), "a"), "t", ["id"])
+    with pytest.raises(ValueError, match="parquet cannot merge"):
+        store.write_merge(mk("id long, x string", (1, "s"), "b"), "t", ["id"])
