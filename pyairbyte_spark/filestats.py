@@ -80,6 +80,24 @@ def _encode(value: Any) -> tuple[Any, bool] | None:
         if len(value) > _MAX_STRING_STAT:
             return value[:_MAX_STRING_STAT], False
         return value, True
+    return _encode_other(value)
+
+
+def _bump_truncated_upper(prefix: str) -> str | None:
+    """A VALID upper bound for any string starting with ``prefix``:
+    increment the last incrementable code point and drop everything
+    after it (Delta's truncated-max trick — ``"abc"`` bumped to
+    ``"abd"`` upper-bounds every ``"abc…"``). Returns None when every
+    character is U+10FFFF (no bound representable; caller stores no
+    max, pruning stays conservative)."""
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            return prefix[:i] + chr(cp + 1)
+    return None
+
+
+def _encode_other(value: Any) -> tuple[Any, bool] | None:
     if isinstance(value, datetime.datetime):
         if value.tzinfo is not None:
             value = value.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -144,17 +162,19 @@ def harvest_file_stats(parquet_path) -> dict[str, Any]:
                 continue
             lo_v, _ = lo
             hi_v, hi_exact = hi
+            if not hi_exact:
+                # Truncated string max: a truncated prefix is NOT an
+                # upper bound, but the prefix with its last code point
+                # bumped IS (Delta's trick) — keeps upper-bound pruning
+                # on long-string columns. None = unboundable.
+                hi_v = _bump_truncated_upper(hi_v)
             nulls = st.null_count if st.null_count is not None else None
             cur = acc.get(name)
             if cur is None:
-                acc[name] = {
-                    "min": lo_v,
-                    "max": hi_v if hi_exact else None,
-                    "nulls": nulls,
-                }
+                acc[name] = {"min": lo_v, "max": hi_v, "nulls": nulls}
             else:
                 cur["min"] = min(cur["min"], lo_v)
-                if cur["max"] is None or not hi_exact:
+                if cur["max"] is None or hi_v is None:
                     cur["max"] = None
                 else:
                     cur["max"] = max(cur["max"], hi_v)

@@ -74,17 +74,21 @@ def test_harvest_multi_row_group_aggregates(tmp_path):
     assert rec["stats"]["i"] == {"min": 0, "max": 99, "nulls": 0}
 
 
-def test_harvest_truncates_long_strings_lower_bound_only(tmp_path):
+def test_harvest_truncated_long_string_gets_bumped_upper_bound(tmp_path):
     long = "z" * 200
     t = pa.table({"s": pa.array(["aaa", long])})
     rec = harvest_file_stats(_write(tmp_path, t))
     st = rec["stats"]["s"]
     assert st["min"] == "aaa"
-    assert st["max"] is None  # truncated max is not a valid upper bound
-    # lower-bound pruning still works; upper bound never prunes
-    f = {"rows": 2, "stats": {"s": st}}
+    # truncated max → prefix with last code point bumped: a VALID
+    # upper bound for every string starting with the prefix
+    assert st["max"] == "z" * 63 + "{"
+    assert st["max"] > long  # bound property
+    f = {"rows": 2, "sv": 2, "stats": {"s": st}}
     assert not file_may_match(f, [("s", "<", "a")])
-    assert file_may_match(f, [("s", ">", "zzzz" * 100)])
+    # upper-bound pruning now works on long-string columns
+    assert not file_may_match(f, [("s", ">", "~")])
+    assert file_may_match(f, [("s", ">", "zzzz")])  # may match (z*200 does)
 
 
 def test_harvest_caps_stat_columns(tmp_path):
@@ -223,6 +227,8 @@ _vals = hst.one_of(
     hst.integers(-50, 50),
     hst.floats(-50, 50, allow_nan=False, width=32),
     hst.text(alphabet="abcxyz", max_size=4),
+    # long strings: exercises the truncated-max bump path (cap is 64)
+    hst.text(alphabet="az", min_size=60, max_size=80),
     hst.none(),
 )
 _rowsets = hst.lists(
