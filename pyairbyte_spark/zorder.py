@@ -55,11 +55,34 @@ def _rank_bucket(col: Column, cuts: list[float]) -> Column:
         if lo == hi:
             return F.lit(lo)
         mid = (lo + hi + 1) // 2
-        return F.when(col >= F.lit(float(cuts[mid - 1])), search(mid, hi)).otherwise(
+        return F.when(col >= F.lit(cuts[mid - 1]), search(mid, hi)).otherwise(
             search(lo, mid - 1)
         )
 
     return search(0, len(cuts))
+
+
+def _string_cuts(df: DataFrame, column: str, n_buckets: int) -> list[str]:
+    """Equi-depth cut points for a STRING column: ntile the sorted
+    DISTINCT values and take each tile's max — strings have no
+    approxQuantile, but a maintenance-time pass over distinct values
+    (one shuffle; only ≤255 cut strings reach the driver) gives the
+    same skew-proof equi-depth ranks the numeric path gets."""
+    from pyspark.sql import Window
+
+    tiles = (
+        df.select(F.col(column).alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .withColumn(
+            "__t", F.ntile(n_buckets).over(Window.orderBy(F.col("v")))
+        )
+        .groupBy("__t")
+        .agg(F.max("v").alias("cut"))
+        .orderBy("__t")
+        .collect()
+    )
+    return [r["cut"] for r in tiles[:-1]]  # last tile's max = global max
 
 
 def _morton_interleave(buckets: list[Column], bits: int) -> Column:
@@ -82,8 +105,9 @@ def with_zvalue(
     bits: int = ZBITS,
 ) -> DataFrame:
     """Append the Morton z-value of ``columns`` (numeric / date /
-    timestamp / boolean — strings need a rank proxy; use linear
-    ``sort_by`` for those)."""
+    timestamp / boolean, and — round 5 — strings, whose equi-depth
+    ranks come from an ntile pass over distinct values instead of
+    approxQuantile)."""
     if not columns:
         raise ValueError("zorder requires at least one column")
     missing = [c for c in columns if c not in df.columns]
@@ -91,23 +115,35 @@ def with_zvalue(
         raise ValueError(f"zorder columns not in table: {missing}")
     n_buckets = 1 << bits
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    numeric = df.select(
-        *[F.col(c).cast("timestamp").cast("double").alias(c)
-          if dict(df.dtypes)[c] in ("date",)
-          else F.col(c).cast("double").alias(c)
-          for c in columns]
-    )
-    all_cuts = numeric.stat.approxQuantile(columns, probs, 0.01)
+    dtypes = dict(df.dtypes)
+    num_cols = [c for c in columns if dtypes[c] != "string"]
+    all_cuts: dict[str, list] = {}
+    if num_cols:
+        numeric = df.select(
+            *[F.col(c).cast("timestamp").cast("double").alias(c)
+              if dtypes[c] in ("date",)
+              else F.col(c).cast("double").alias(c)
+              for c in num_cols]
+        )
+        for c, cuts in zip(
+            num_cols, numeric.stat.approxQuantile(num_cols, probs, 0.01)
+        ):
+            all_cuts[c] = [float(x) for x in cuts]
+    for c in columns:
+        if dtypes[c] == "string":
+            all_cuts[c] = _string_cuts(df, c, n_buckets)
     bucket_cols = []
-    for c, cuts in zip(columns, all_cuts):
+    for c in columns:
+        cuts = all_cuts[c]
         if not cuts:
             bucket_cols.append(F.lit(0))
             continue
-        val = (
-            F.col(c).cast("timestamp").cast("double")
-            if dict(df.dtypes)[c] == "date"
-            else F.col(c).cast("double")
-        )
+        if dtypes[c] == "string":
+            val = F.col(c)
+        elif dtypes[c] == "date":
+            val = F.col(c).cast("timestamp").cast("double")
+        else:
+            val = F.col(c).cast("double")
         bucket_cols.append(_rank_bucket(val, cuts))
     return df.withColumn(
         out_col, _morton_interleave(bucket_cols, bits).cast("long")

@@ -136,3 +136,39 @@ def test_zorder_timestamp_column(spark, store):
     plan = store.plan_scan("t", [("ts", "<", cutoff)])
     assert plan["files_selected"] < plan["files_total"]
     assert store.read_where("t", [("ts", "<", cutoff)]).count() == 32
+
+
+def test_zorder_string_dimension_prunes(spark, tmp_path):
+    """Round 5: string columns z-order via ntile ranks over distinct
+    values — a predicate on EITHER the numeric or the string dimension
+    prunes files after compact(zorder_by=[num, str])."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "m")
+    df = (
+        spark.range(20_000)
+        .select(
+            F.col("id"),
+            F.concat(
+                F.lit("cat_"),
+                F.lpad((F.col("id") % 97).cast("string"), 3, "0"),
+            ).alias("label"),
+        )
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    store.write_append(df, "t")
+    res = store.compact("t", zorder_by=["id", "label"], target_files=16)
+    assert res["compacted"]
+    total = store.plan_scan("t")["files_total"]
+    by_id = store.plan_scan("t", [("id", "<", 1000)])["files_selected"]
+    by_label = store.plan_scan("t", [("label", "=", "cat_005")])[
+        "files_selected"
+    ]
+    assert by_id < total and by_label < total  # BOTH dimensions prune
+    # correctness: pruned read == full filter
+    got = store.read_where("t", [("label", "=", "cat_005")]).count()
+    want = store.read("t").filter(F.col("label") == "cat_005").count()
+    assert got == want > 0
