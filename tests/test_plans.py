@@ -245,3 +245,24 @@ def test_anomaly_zscore_broadcasts_stats_no_raw_window(spark):
     plan = plan_str(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_unigram_logprob_scan_prunes_and_no_window(spark):
+    """The LM-quality plan must read only (doc_id, text) and never use
+    an unpartitioned window — two aggregates + one token join."""
+    df = q.queries()["text_unigram_logprob"](spark, SF_DIR)
+    assert all(
+        set(cols) <= {"doc_id", "text"} for cols in plans.scan_columns(df)
+    )
+    assert not plans.has_unpartitioned_window(df)
+    assert "CartesianProduct" not in plan_str(df, "simple")
+
+
+def test_ngram_coverage_no_cartesian_no_global_window(spark):
+    """Gram construction is per-row; the only joins are gram-keyed."""
+    df = q.queries()["dedup_ngram_coverage"](spark, SF_DIR)
+    assert "CartesianProduct" not in plan_str(df, "simple")
+    assert not plans.has_unpartitioned_window(df)
+    assert all(
+        set(cols) <= {"doc_id", "text"} for cols in plans.scan_columns(df)
+    )
