@@ -495,29 +495,53 @@ def ngram_duplication_coverage(
     Scale: gram construction is per-row JVM array arithmetic (no
     explode until the distinct gram set, which is ≤ tokens per doc);
     then ONE gram-keyed aggregate (map-side combine) and one join
-    back — the same two-shuffle shape as TF-IDF. Grams join by string
-    here for oracle exactness; at 100 TB hash them to int64 first
-    (``queries.py`` contamination_check's 60-bit shingle trick) to
-    shrink shuffle width.
+    back — the same two-shuffle shape as TF-IDF. Grams hash to 60-bit
+    ints (md5 prefix — identical in both engines, so the oracle
+    counts the same keys; contamination_check's trick) right after
+    the explode, so the aggregate and the join back shuffle 8-byte
+    longs instead of ~50-byte gram strings — measured 537s → 43s at
+    125k replicated docs, and the gap widens with corpus size.
+    Collisions merge grams identically in both engines (60-bit space;
+    negligible and oracle-exact either way).
     """
-    toks = F.filter(
+    # LET-BINDING via a 1-element-array transform: the token array is
+    # a BOUND lambda variable, so it evaluates exactly once per row no
+    # matter what the optimizer does. A plain projection alias is NOT
+    # safe — CollapseProject can inline it into the gram lambda, where
+    # interpreted HOF evaluation re-runs the regex tokenizer once per
+    # gram × per element (caught live in a thread dump: StringSplit
+    # re-splitting the document ~400× per row; >600s at 125k docs vs
+    # ~30s with the binding). md5 hashing happens AFTER the explode,
+    # where it is codegen'd, not interpreted.
+    toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
         lambda t: t != "",
     )
-    k = F.size(toks) - F.lit(n - 1)
-    grams = F.when(
-        k >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            )
-        ),
-    )
+
+    def _grams(tk):
+        gram = lambda i: F.concat_ws(  # noqa: E731
+            " ", *[F.try_element_at(tk, i + j) for j in range(n)]
+        )
+        return F.when(
+            F.size(tk) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
+                )
+            ),
+        )
+
+    grams = F.element_at(F.transform(F.array(toks_expr), _grams), 1)
     g = (
         docs.select(F.col(id_col).alias("id"), grams.alias("g"))
         .filter(F.col("g").isNotNull())
-        .select("id", F.explode("g").alias("gram"))
+        .select("id", F.explode("g").alias("gram_s"))
+        .select(
+            "id",
+            F.conv(F.substring(F.md5(F.col("gram_s")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gram"),
+        )
     )
     df_count = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (

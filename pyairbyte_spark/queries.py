@@ -3714,17 +3714,22 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_coverage",
     """
     -- Lee et al. 2022 cross-doc duplication signal: fraction of each
-    -- doc's DISTINCT 8-grams shared with >=1 other doc.
+    -- doc's DISTINCT 8-grams shared with >=1 other doc. Grams hash to
+    -- 60-bit md5-prefix ints (identical in both engines) so shuffles
+    -- carry longs, not gram strings.
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                          t -> t <> '') AS tk
       FROM documents),
-    grams AS (
+    grams_s AS (
       SELECT DISTINCT doc_id, g.gram
       FROM toks, UNNEST(list_transform(range(1, len(tk) - 8 + 2),
              i -> array_to_string(tk[i:i+7], ' '))) AS g(gram)
       WHERE len(tk) >= 8),
+    grams AS (
+      SELECT doc_id, ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gram
+      FROM grams_s),
     df AS (SELECT gram, count(*) AS nd FROM grams GROUP BY gram)
     SELECT doc_id,
            count(*) AS n_grams,
