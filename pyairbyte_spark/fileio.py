@@ -123,6 +123,21 @@ class FileIO:
         """Seekable binary reader (for parquet footer harvest)."""
         raise NotImplementedError
 
+    def file_size(self, path: str) -> int:
+        """Size in bytes of one file; FileNotFoundError if absent.
+        Gates the distributed-manifest path (a checkpoint sidecar
+        above the threshold is scanned with Spark, not materialized
+        into driver Python)."""
+        raise NotImplementedError
+
+    def spark_read_path(self, path: str) -> str | None:
+        """A path/URI for the SAME file that Spark executors can read
+        (enables distributed checkpoint-sidecar scans), or ``None``
+        when the backend's namespace is driver-only — callers must
+        then fall back to driver-side resolution via
+        :meth:`read_bytes`."""
+        return None
+
 
 class LocalFileIO(FileIO):
     """POSIX-filesystem implementation — byte-for-byte the store's
@@ -204,6 +219,15 @@ class LocalFileIO(FileIO):
 
     def open_input(self, path: str) -> BinaryIO:
         return open(path, "rb")
+
+    def file_size(self, path: str) -> int:
+        try:
+            return os.path.getsize(path)
+        except OSError as e:
+            raise FileNotFoundError(path) from e
+
+    def spark_read_path(self, path: str) -> str | None:
+        return path  # local[*]: executors share the driver's FS
 
 
 class FakeObjectStoreFileIO(FileIO):
@@ -298,6 +322,17 @@ class FakeObjectStoreFileIO(FileIO):
     def open_input(self, path: str) -> BinaryIO:
         return open(path, "rb")
 
+    def file_size(self, path: str) -> int:
+        try:
+            return os.path.getsize(path)
+        except OSError as e:
+            raise FileNotFoundError(path) from e
+
+    def spark_read_path(self, path: str) -> str | None:
+        # A real object store is a filesystem to Spark (s3a://…); the
+        # double's namespace is the local FS, equally Spark-readable.
+        return path
+
 
 class HadoopFileIO(FileIO):
     """Metadata I/O through the JVM ``org.apache.hadoop.fs.FileSystem``
@@ -320,9 +355,10 @@ class HadoopFileIO(FileIO):
 
     def __init__(self, spark, root_uri: str) -> None:
         self._jvm = spark._jvm
-        jconf = spark._jsc.hadoopConfiguration()
+        self._gw = spark.sparkContext._gateway
+        self._jconf = spark._jsc.hadoopConfiguration()
         self._fs = self._jvm.org.apache.hadoop.fs.Path(root_uri).getFileSystem(
-            jconf
+            self._jconf
         )
 
     def _p(self, path: str):
@@ -353,15 +389,35 @@ class HadoopFileIO(FileIO):
         self.write_bytes(path, data.encode("utf-8"))
 
     def write_bytes(self, path: str, data: bytes) -> None:
-        # temp + delete + rename: readers never observe partial content
-        # (same protocol as the epoch marker commit).
-        tmp = path + ".tmp"
+        # temp + atomic clobbering rename: a concurrent reader sees
+        # OLD content or NEW content, never partial and never absent.
+        # ``FileContext.rename(…, Options.Rename.OVERWRITE)`` is a
+        # single namespace op on HDFS; the previous delete-then-rename
+        # left a window where the path did not exist at all — vacuum
+        # rewrites the oldest kept commit JSON in place through this
+        # method, and a reader resolving that version mid-window got a
+        # spurious "no commit version … vacuumed".
+        import uuid as _uuid
+
+        tmp = f"{path}.{_uuid.uuid4().hex[:8]}.tmp"
         self._write_bytes(tmp, data, True)
         target = self._p(path)
-        if self._fs.exists(target):
-            self._fs.delete(target, False)
-        if not self._fs.rename(self._p(tmp), target):
-            raise OSError(f"could not publish {path}")
+        try:
+            opts = self._jvm.org.apache.hadoop.fs.Options
+            overwrite = opts.Rename.OVERWRITE
+            arr = self._gw.new_array(opts.Rename, 1)
+            arr[0] = overwrite
+            fc = self._jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+                self._fs.getUri(), self._jconf
+            )
+            fc.rename(self._p(tmp), target, arr)
+        except Exception:
+            # FS without FileContext bindings: fall back to the
+            # non-atomic swap (documented old-or-new weakening).
+            if self._fs.exists(target):
+                self._fs.delete(target, False)
+            if not self._fs.rename(self._p(tmp), target):
+                raise OSError(f"could not publish {path}") from None
 
     def put_if_absent(self, path: str, data: str) -> bool:
         target = self._p(path)
@@ -431,6 +487,17 @@ class HadoopFileIO(FileIO):
     def open_input(self, path: str) -> BinaryIO:
         size = int(self._fs.getFileStatus(self._p(path)).getLen())
         return _HadoopInputFile(self, path, size)
+
+    def file_size(self, path: str) -> int:
+        hp = self._p(path)
+        if not self._fs.exists(hp):
+            raise FileNotFoundError(path)
+        return int(self._fs.getFileStatus(hp).getLen())
+
+    def spark_read_path(self, path: str) -> str | None:
+        # Paths in this namespace are Hadoop URIs — the same namespace
+        # Spark's readers resolve, so executors can read them as-is.
+        return path
 
 
 class _HadoopInputFile(_io.RawIOBase):

@@ -40,6 +40,16 @@ def is_delta(man: dict[str, Any]) -> bool:
     return "base" in man
 
 
+def top_fields(man: dict[str, Any]) -> dict[str, Any]:
+    """The small top-level fields of a raw commit — everything except
+    the entry list / delta actions / sidecar reference. This is what a
+    resolved manifest would carry besides ``entries`` (resolution takes
+    top fields from the NEWEST commit), and all that scan planning
+    needs when the entries themselves are resolved as a Spark job."""
+    skip = set(_DELTA_KEYS) | {"entries", "entries_ref", "n_entries"}
+    return {k: v for k, v in man.items() if k not in skip}
+
+
 def diff_entries(
     old_entries: list[dict], new_entries: list[dict]
 ) -> dict[str, Any] | None:
@@ -142,8 +152,15 @@ def entries_to_parquet_bytes(entries: list[dict]) -> bytes:
     cols: dict[str, list] = {
         "entry_idx": [], "entry_path": [], "entry_buckets": [],
         "has_files": [], "file_path": [], "bucket": [], "bytes": [],
-        "rows": [], "sv": [], "stats": [],
+        "rows": [], "sv": [], "stats": [], "extra": [],
     }
+    # Schema-evolution passthrough: any key outside the typed columns
+    # rides in ``extra`` as JSON (header rows carry entry-level
+    # extras, file rows file-level), so a field added to the record
+    # shape later (as ``sv`` was) survives the sidecar round-trip
+    # instead of silently diverging from JSON-stored manifests.
+    _ENTRY_KEYS = frozenset(("path", "buckets", "files"))
+    _FILE_KEYS = frozenset(("path", "bucket", "bytes", "rows", "stats", "sv"))
 
     def _row(i, e, f=None):
         cols["entry_idx"].append(i)
@@ -159,6 +176,12 @@ def entries_to_parquet_bytes(entries: list[dict]) -> bytes:
             None if f is None or f.get("stats") is None
             else json.dumps(f["stats"])
         )
+        extras = (
+            {k: v for k, v in e.items() if k not in _ENTRY_KEYS}
+            if f is None
+            else {k: v for k, v in f.items() if k not in _FILE_KEYS}
+        )
+        cols["extra"].append(json.dumps(extras) if extras else None)
 
     for i, e in enumerate(entries):
         _row(i, e)
@@ -176,6 +199,7 @@ def entries_to_parquet_bytes(entries: list[dict]) -> bytes:
             ("rows", pa.int64()),
             ("sv", pa.int64()),
             ("stats", pa.string()),
+            ("extra", pa.string()),
         ]
     )
     buf = _io.BytesIO()
@@ -190,6 +214,7 @@ def entries_from_parquet_bytes(data: bytes) -> list[dict]:
 
     t = pq.read_table(_io.BytesIO(data))
     rows = t.to_pylist()
+    has_extra = "extra" in t.column_names  # pre-round-6 sidecars lack it
     out: dict[int, dict] = {}
     for r in rows:
         i = r["entry_idx"]
@@ -198,6 +223,11 @@ def entries_from_parquet_bytes(data: bytes) -> list[dict]:
                 "path": r["entry_path"],
                 "buckets": r["entry_buckets"],
                 "files": [] if r["has_files"] else None,
+                **(
+                    json.loads(r["extra"])
+                    if has_extra and r["extra"] is not None
+                    else {}
+                ),
             }
     for r in rows:
         if r["file_path"] is None:
@@ -213,6 +243,8 @@ def entries_from_parquet_bytes(data: bytes) -> list[dict]:
             f["stats"] = json.loads(r["stats"])
         if r["sv"] is not None:
             f["sv"] = r["sv"]
+        if has_extra and r["extra"] is not None:
+            f.update(json.loads(r["extra"]))
         out[r["entry_idx"]]["files"].append(f)
     return [out[i] for i in sorted(out)]
 

@@ -480,15 +480,20 @@ class CommitLogTableStore(TableStore):
         v = int(max(names)[:-5])
         return v, self._read_manifest(table_name, v)
 
-    def _read_manifest_raw(self, table_name: str, version: int) -> dict:
+    def _read_commit_json(self, table_name: str, version: int) -> dict:
+        """One commit's raw JSON, WITHOUT expanding a checkpoint
+        sidecar — O(KB) however many files the snapshot has."""
         path = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
         try:
-            man = json.loads(self.io.read_text(path))
+            return json.loads(self.io.read_text(path))
         except OSError as e:
             raise FileNotFoundError(
                 f"table {table_name!r} has no commit version {version}"
                 " (never written, or vacuumed)"
             ) from e
+
+    def _read_manifest_raw(self, table_name: str, version: int) -> dict:
+        man = self._read_commit_json(table_name, version)
         ref = man.get("entries_ref")
         if ref is not None:  # parquet checkpoint sidecar (manifest.py)
             from pyairbyte_spark import manifest as mf
@@ -627,10 +632,13 @@ class CommitLogTableStore(TableStore):
           rewrite → rebase: carry the appended entries into our
           manifest and retry at the next version.
         - Anything else — concurrent DML/merge/replace (they modified
-          entries we read), or an append that may add matching rows —
-          aborts with :class:`ConcurrentCommitError`, because the
-          staged rewrite was computed from a stale read set. Re-run
-          the operation to resolve.
+          entries we read), an append that may add matching rows, or a
+          METADATA commit (set_check / rename_column / drop_column /
+          …) — aborts with :class:`ConcurrentCommitError`, because the
+          staged rewrite was computed from a stale read set (or would
+          republish the pre-race metadata, silently reverting the
+          concurrent change — Delta likewise aborts DML on concurrent
+          metadata updates). Re-run the operation to resolve.
         """
         from pyairbyte_spark.filestats import file_may_match_dnf
 
@@ -644,6 +652,26 @@ class CommitLogTableStore(TableStore):
                 if snap is None:
                     raise
                 new_version, new_man = snap
+                # Metadata conflict: ``manifest`` carries the BASE
+                # snapshot's checks / column mapping / keys verbatim
+                # (resolution takes top-level fields from the newest
+                # commit), so rebasing past a commit that changed any
+                # of them would republish the stale values. Entries
+                # being unchanged does NOT make such a commit an
+                # append — compare the fields explicitly.
+                for k in (
+                    "checks",
+                    "column_mapping",
+                    "dropped_columns",
+                    "merge_buckets",
+                    "primary_keys",
+                ):
+                    if (new_man.get(k) or None) != (manifest.get(k) or None):
+                        raise ConcurrentCommitError(
+                            f"{op} on {table_name!r} conflicts with a "
+                            f"concurrent metadata change ({k!r}); "
+                            "re-run the operation"
+                        ) from None
                 new_entries = new_man.get("entries") or []
                 base_by = {e["path"]: e for e in base_entries}
                 new_by = {e["path"]: e for e in new_entries}
@@ -1022,6 +1050,9 @@ class CommitLogTableStore(TableStore):
             "entries": man.get("entries") or [],
             **({"column_mapping": mapping} if mapping else {}),
             **({"dropped_columns": sorted(dropped)} if dropped else {}),
+            # Checks on OTHER columns must survive the rename (every
+            # commit re-states top-level metadata; omission drops it).
+            **({"checks": man["checks"]} if man.get("checks") else {}),
         }
         self._commit(table_name, manifest, version + 1)
         return version + 1
@@ -1054,6 +1085,7 @@ class CommitLogTableStore(TableStore):
             "entries": man.get("entries") or [],
             **({"column_mapping": mapping} if mapping else {}),
             "dropped_columns": sorted(dropped),
+            **({"checks": man["checks"]} if man.get("checks") else {}),
         }
         self._commit(table_name, manifest, version + 1)
         return version + 1
@@ -1928,12 +1960,15 @@ class CommitLogTableStore(TableStore):
         for col_name in assignments:
             if col_name in (AB_RAW_ID_COLUMN, AB_EXTRACTED_AT_COLUMN, BUCKET_COL):
                 raise ValueError(f"cannot update bookkeeping column {col_name!r}")
-            if col_name in pks:
+            if self._to_physical(man, col_name) in pks:
                 # A pk rewrite would keep the row's old __pk_bucket, so
                 # a later write_merge hashes the new pk to a DIFFERENT
                 # bucket, dedup never sees the stale row, and reads
                 # return duplicate primary keys. Mirror drop_column's
                 # guard (writers.py:683) — delete + re-insert instead.
+                # Compare in PHYSICAL space: ``primary_keys`` stores
+                # physical names, and a renamed pk (event_id → eid)
+                # must not slip past a logical-name comparison.
                 raise ValueError(
                     f"column {col_name!r} is a merge primary key; "
                     "update_where cannot reassign primary keys — "
@@ -2116,9 +2151,17 @@ class CommitLogTableStore(TableStore):
                     removed.append(f"{name}/{rel}")
         for n in names[: -len(keep)] if len(keep) < len(names) else []:
             self.io.delete_file(os.path.join(d, n))
-        # Checkpoint sidecars: keep only the ones surviving commit
-        # JSONs reference; the rest (dropped versions, crashed-writer
-        # orphans) are unreachable garbage.
+        # Checkpoint sidecars: keep the ones surviving commit JSONs
+        # reference; the rest (dropped versions, crashed-writer
+        # orphans) are unreachable garbage. Deletion is gated on the
+        # sidecar's VERSION PREFIX being below the oldest kept commit:
+        # a concurrent writer stages its sidecar BEFORE publishing the
+        # commit JSON (stage-then-publish), and that in-flight sidecar
+        # carries a version > latest — an unreferenced-only sweep
+        # would delete it in the window, letting the subsequent
+        # put_if_absent publish a commit whose entries_ref is gone.
+        # True orphans (lost commit races) sit at already-claimed
+        # versions and are reclaimed once vacuum's horizon passes them.
         live_refs = set()
         for n in keep:
             try:
@@ -2130,9 +2173,16 @@ class CommitLogTableStore(TableStore):
             if ref:
                 live_refs.add(ref)
         for n in self.io.list_names(d):
-            if n.endswith(".checkpoint.parquet") and n not in live_refs:
-                self.io.delete_file(os.path.join(d, n))
-                removed.append(f"{self.COMMIT_DIR}/{n}")
+            if not n.endswith(".checkpoint.parquet") or n in live_refs:
+                continue
+            try:
+                sidecar_version = int(n.split(".", 1)[0])
+            except ValueError:
+                continue  # unrecognized name: never delete
+            if sidecar_version >= oldest_kept:
+                continue  # possibly an in-flight writer's staged sidecar
+            self.io.delete_file(os.path.join(d, n))
+            removed.append(f"{self.COMMIT_DIR}/{n}")
         self._invalidate_manifests(table_name, below=oldest_kept)
         return removed
 

@@ -289,15 +289,24 @@ def test_vacuum_reclaims_dropped_and_orphan_sidecars(spark, store, monkeypatch):
     for i in range(7):
         store.write_append(_df(spark, [(i, "x")], f"p{i}").coalesce(1), "t")
     d = store._commits_dir("t")
-    # plant a crashed-writer orphan
-    orphan = os.path.join(d, f"{99:020d}.deadbeef.checkpoint.parquet")
+    # plant a lost-race orphan BELOW the kept horizon (v1 was claimed
+    # by another writer) and an in-flight writer's sidecar ABOVE it
+    # (v8 staged, commit JSON not yet published — stage-then-publish)
+    orphan = os.path.join(d, f"{1:020d}.deadbeef.checkpoint.parquet")
     with open(orphan, "wb") as f:
+        f.write(b"junk")
+    inflight = os.path.join(d, f"{8:020d}.deadbeef.checkpoint.parquet")
+    with open(inflight, "wb") as f:
         f.write(b"junk")
     store.vacuum("t", keep_commits=2)  # keeps v6, v7
     names = set(os.listdir(d))
     assert not any(n.startswith("0" * 18 + "03.") and n.endswith(".parquet")
                    for n in names)  # v3's sidecar dropped with v3
     assert os.path.basename(orphan) not in names
+    # version-gated GC: the future-versioned sidecar may belong to an
+    # in-flight writer about to publish — it must survive the sweep
+    assert os.path.basename(inflight) in names
+    os.unlink(inflight)
     # the oldest kept (v6, was a checkpoint at interval 3? v6 = full) —
     # whatever its form, every kept version stays readable
     fresh = CommitLogTableStore(
@@ -389,6 +398,10 @@ def test_crash_between_sidecar_and_commit_json(spark, store, monkeypatch):
     assert _rows(store.read("t")) == [(1, "a")]  # snapshot intact
     store.write_replace(_df(spark, [(2, "b")], "z").coalesce(1), "t")
     assert _rows(store.read("t")) == [(2, "b")]
-    store.vacuum("t", keep_commits=2)
+    # sidecar GC is version-gated (an unreferenced sidecar at or above
+    # the kept horizon may belong to an in-flight writer), so the v2
+    # orphan is reclaimed once the vacuum horizon moves past v2
+    store.write_replace(_df(spark, [(3, "c")], "w").coalesce(1), "t")
+    store.vacuum("t", keep_commits=1)  # keeps v3 → horizon above v2
     left = [n for n in os.listdir(d) if n in orphans]
     assert not left  # orphan reclaimed
