@@ -37,6 +37,8 @@ import os
 import time
 import uuid
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -473,11 +475,9 @@ class CommitLogTableStore(TableStore):
         return os.path.join(self.table_path(table_name), self.COMMIT_DIR)
 
     def _latest_commit(self, table_name: str) -> tuple[int, dict] | None:
-        d = self._commits_dir(table_name)
-        names = [n for n in self.io.list_names(d) if n.endswith(".json")]
-        if not names:
+        v = self._discover_latest(table_name)
+        if v is None:
             return None
-        v = int(max(names)[:-5])
         return v, self._read_manifest(table_name, v)
 
     def _read_commit_json(self, table_name: str, version: int) -> dict:
@@ -581,7 +581,54 @@ class CommitLogTableStore(TableStore):
                 f"commit version {version} of {table_name!r} was taken "
                 "by a concurrent writer"
             )
+        self._advance_latest_pointer(table_name, version)
         self._cache_manifest(table_name, version, {"version": version, **manifest})
+
+    # Latest-version discovery used to LIST the commits dir — O(commit
+    # count) names per cold read, the classic object-store listing
+    # ceiling at 100k+ commits. Delta's `_last_checkpoint` pattern
+    # instead: every commit overwrite-PUTs a tiny pointer file, and
+    # discovery reads the pointer then PROBES FORWARD (the pointer is
+    # a hint — racing writers may leave it a few versions behind;
+    # each probe is one O(KB) read). Listing remains the fallback for
+    # pre-pointer tables and a vanished pointer.
+    _LATEST_PTR = "_latest"
+
+    def _advance_latest_pointer(self, table_name: str, version: int) -> None:
+        """Best-effort: pointer staleness only costs discovery probes,
+        never correctness, so a failed write must not fail the commit."""
+        try:
+            self.io.write_text(
+                os.path.join(self._commits_dir(table_name), self._LATEST_PTR),
+                json.dumps({"version": version}),
+            )
+        except Exception:
+            pass
+
+    def _discover_latest(self, table_name: str) -> int | None:
+        """The newest committed version: pointer + forward probes, or
+        a dir listing when no usable pointer exists. None = no table."""
+        d = self._commits_dir(table_name)
+        start = None
+        try:
+            start = int(
+                json.loads(
+                    self.io.read_text(os.path.join(d, self._LATEST_PTR))
+                )["version"]
+            )
+            if not self.io.exists(os.path.join(d, f"{start:020d}.json")):
+                start = None  # pointer outlived its commit: fall back
+        except Exception:
+            start = None  # absent/corrupt pointer: fall back
+        if start is None:
+            names = [n for n in self.io.list_names(d) if n.endswith(".json")]
+            if not names:
+                return None
+            return int(max(names)[:-5])
+        v = start
+        while self.io.exists(os.path.join(d, f"{v + 1:020d}.json")):
+            v += 1
+        return v
 
     def _serialize_manifest(
         self, table_name: str, version: int, to_store: dict
@@ -1090,6 +1137,212 @@ class CommitLogTableStore(TableStore):
         self._commit(table_name, manifest, version + 1)
         return version + 1
 
+    # A checkpoint sidecar at or above this size is scanned WITH SPARK
+    # instead of being decoded into a driver-side Python list — the
+    # remaining 100-TB metadata ceiling (10M files ≈ multi-GB of entry
+    # dicts) moves to the executors. Kept well above typical test
+    # tables so the exhaustively-tested Python path stays the default
+    # for small snapshots; lower per-instance to force the
+    # distributed path.
+    DISTRIBUTED_MANIFEST_MIN_BYTES = 8 << 20
+
+    def _scan_source(
+        self, table_name: str, version: int | None
+    ) -> tuple[dict, "DataFrame | None", dict | None]:
+        """Resolve a snapshot for scan planning, choosing between the
+        driver-side (small, cached) and distributed (large-sidecar)
+        representations.
+
+        Returns ``(top_fields, entries_df, manifest)``: exactly one of
+        ``entries_df`` / ``manifest`` is non-None. ``top_fields`` is
+        always the newest commit's small metadata (column mapping,
+        checks, keys) — all that predicate translation needs.
+        """
+        from pyairbyte_spark import manifest as mf
+
+        if version is None:
+            version = self._discover_latest(table_name)
+            if version is None:
+                raise FileNotFoundError(
+                    f"table {table_name!r} does not exist"
+                )
+        cached = self._man_cache.get((table_name, version))
+        if cached is not None:  # already materialized — reuse it
+            return cached, None, cached
+        top_raw = self._read_commit_json(table_name, version)
+        chain: list[dict] = []
+        cur = top_raw
+        while mf.is_delta(cur):
+            chain.append(cur)
+            cur = self._read_commit_json(table_name, cur["base"])
+        ref = cur.get("entries_ref")
+        if ref is not None:
+            sidecar = os.path.join(self._commits_dir(table_name), ref)
+            try:
+                size = self.io.file_size(sidecar)
+            except (FileNotFoundError, NotImplementedError):
+                size = -1
+            if size >= self.DISTRIBUTED_MANIFEST_MIN_BYTES:
+                spath = self.io.spark_read_path(sidecar)
+                if spath is not None:
+                    return (
+                        mf.top_fields(top_raw),
+                        self._entries_frame(spath, chain),
+                        None,
+                    )
+        man = self._read_manifest(table_name, version)
+        return man, None, man
+
+    def _entries_frame(self, sidecar_path: str, chain: list[dict]) -> DataFrame:
+        """The checkpoint sidecar as a Spark DataFrame (one row per
+        data file + one header row per entry; schema from
+        ``manifest.entries_to_parquet_bytes``) with the delta chain
+        applied RELATIONALLY: removals/replacements filter by
+        ``entry_path``, added/replacement entries union in as small
+        in-memory frames. Driver memory is O(changed entries), not
+        O(table)."""
+        from pyairbyte_spark import manifest as mf
+
+        df = self.spark.read.parquet(sidecar_path)
+        if "extra" not in df.columns:  # pre-extra sidecar layout
+            df = df.withColumn("extra", F.lit(None).cast("string"))
+        for delta in reversed(chain):  # oldest delta first
+            gone = list(delta.get("remove_paths") or []) + list(
+                (delta.get("replace_entries") or {}).keys()
+            )
+            if gone:
+                df = df.filter(~F.col("entry_path").isin(gone))
+            new_entries = list(
+                (delta.get("replace_entries") or {}).values()
+            ) + list(delta.get("add_entries") or [])
+            if new_entries:
+                import io as _io
+
+                import pyarrow.parquet as _pq
+
+                tbl = _pq.read_table(
+                    _io.BytesIO(mf.entries_to_parquet_bytes(new_entries))
+                )
+                add = self.spark.createDataFrame(
+                    tbl.to_pylist(), schema=df.schema
+                )
+                df = df.unionByName(add)
+        return df
+
+    def _plan_scan_distributed(
+        self,
+        table_name: str,
+        top: dict,
+        entries_df: DataFrame,
+        preds: list[list[tuple]],
+    ) -> dict:
+        """Zone-map pruning as a Spark job over the sidecar frame: the
+        liveness rule runs as JVM filters, the (pure-Python) DNF stats
+        check runs as an Arrow-batched pandas UDF over exactly the
+        same ``file_may_match_dnf`` the driver path uses — one
+        semantics, two execution venues. Only surviving paths are
+        collected."""
+        import pandas as pd
+
+        from pyairbyte_spark.filestats import file_may_match_dnf
+
+        root = self.table_path(table_name)
+        file_rows = entries_df.filter(F.col("file_path").isNotNull())
+        live = file_rows.filter(
+            F.col("entry_buckets").isNull()
+            | F.col("bucket").isNull()
+            | F.expr("array_contains(entry_buckets, bucket)")
+        )
+        if preds:
+            preds_b = preds  # closure-shipped to executors
+
+            @F.pandas_udf("boolean")
+            def _match(
+                stats: pd.Series, rows: pd.Series, sv: pd.Series
+            ) -> pd.Series:
+                out = []
+                for s, r, v in zip(stats, rows, sv):
+                    fe = {
+                        "stats": None if s is None else json.loads(s),
+                        "rows": None if pd.isna(r) else int(r),
+                        "sv": None if pd.isna(v) else int(v),
+                    }
+                    out.append(bool(file_may_match_dnf(fe, preds_b)))
+                return pd.Series(out)
+
+            flagged = live.withColumn(
+                "__match", _match(F.col("stats"), F.col("rows"), F.col("sv"))
+            )
+            agg = flagged.agg(
+                F.count(F.lit(1)).alias("t"),
+                F.sum(F.col("__match").cast("long")).alias("s"),
+            ).collect()[0]
+            total = int(agg["t"] or 0)
+            selected = int(agg["s"] or 0)
+            surv = (
+                flagged.filter(F.col("__match"))
+                .select("entry_path", "file_path")
+                .collect()
+            )
+        else:
+            surv = live.select("entry_path", "file_path").collect()
+            total = selected = len(surv)
+        by_entry: dict[str, list[str]] = {}
+        for r in surv:
+            by_entry.setdefault(r["entry_path"], []).append(
+                os.path.join(root, r["entry_path"], r["file_path"])
+            )
+        groups = [
+            {"base": os.path.join(root, ep), "paths": ps, "live": None}
+            for ep, ps in by_entry.items()
+        ]
+        # Pre-stats entries (no file list): whole-dir groups with
+        # row-level bucket filtering, exactly as the driver path.
+        hdr = (
+            entries_df.filter(
+                F.col("file_path").isNull() & ~F.col("has_files")
+            )
+            .select("entry_path", "entry_buckets")
+            .collect()
+        )
+        for r in hdr:
+            groups.append(
+                {
+                    "base": os.path.join(root, r["entry_path"]),
+                    "paths": None,
+                    "live": (
+                        list(r["entry_buckets"])
+                        if r["entry_buckets"] is not None
+                        else None
+                    ),
+                }
+            )
+        plan = {
+            "files_total": total,
+            "files_selected": selected,
+            "groups": groups,
+            "predicates": preds,
+            "manifest": top,
+            "distributed": True,
+        }
+        if not groups:
+            # Everything skipped: read_where still needs a schema
+            # source; hand it ONE live file instead of the manifest's
+            # (unmaterialized) entry list.
+            one = (
+                file_rows.select("entry_path", "file_path")
+                .limit(1)
+                .collect()
+            )
+            if not one:
+                raise FileNotFoundError(
+                    f"table {table_name!r} snapshot is empty"
+                )
+            plan["schema_path"] = os.path.join(
+                root, one[0]["entry_path"], one[0]["file_path"]
+            )
+        return plan
+
     def plan_scan(
         self,
         table_name: str,
@@ -1104,23 +1357,30 @@ class CommitLogTableStore(TableStore):
         ``files_total`` counts the snapshot's LIVE files — the
         total/selected gap is exactly the I/O data skipping saved.
 
-        Pure manifest arithmetic: no filesystem listing, no Spark job.
+        Pure manifest arithmetic for small snapshots: no filesystem
+        listing, no Spark job. When the snapshot's checkpoint sidecar
+        exceeds :attr:`DISTRIBUTED_MANIFEST_MIN_BYTES`, the entry list
+        is NOT materialized on the driver at all — the sidecar (one
+        parquet row per data file) is read as a Spark DataFrame, the
+        delta chain and zone-map DNF are applied relationally, and
+        only the SURVIVING file paths cross back to the driver
+        (Delta's distributed checkpoint-scan pattern). Driver memory
+        stays O(matching files), flat in table size.
+
         At 100 TB a selective predicate launches the scan over the
         matching sliver of files instead of the table.
         """
         from pyairbyte_spark.filestats import file_may_match_dnf, normalize_dnf
 
         preds = normalize_dnf(predicates)
-        if version is not None:
-            man = self._read_manifest(table_name, version)
-        else:
-            snap = self._latest_commit(table_name)
-            if snap is None:
-                raise FileNotFoundError(f"table {table_name!r} does not exist")
-            man = snap[1]
+        top, entries_df, man = self._scan_source(table_name, version)
         # stats are keyed by PHYSICAL column names; callers predicate
         # on the logical view.
-        preds = self._physical_dnf(man, preds)
+        preds = self._physical_dnf(top, preds)
+        if entries_df is not None:
+            return self._plan_scan_distributed(
+                table_name, top, entries_df, preds
+            )
         groups: list[dict] = []
         total = selected = 0
         for e in man.get("entries") or []:
@@ -1194,6 +1454,15 @@ class CommitLogTableStore(TableStore):
             df = parts[0]
             for part in parts[1:]:
                 df = df.unionByName(part, allowMissingColumns=True)
+        elif "schema_path" in plan:
+            # Distributed plan, everything skipped: schema from one
+            # live file (the manifest's entry list was never
+            # materialized on the driver).
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(plan["schema_path"])
+                .filter(F.lit(False))
+            )
         else:
             # Everything skipped: empty frame with the snapshot schema.
             df = self._read_manifest_df(table_name, plan["manifest"]).filter(
@@ -1250,10 +1519,19 @@ class CommitLogTableStore(TableStore):
         for ``count(*)`` / freshness checks that a 100 TB table would
         otherwise answer with a full scan (Delta answers these from
         its log the same way). Returns None fields when any live file
-        predates the stats layer (then only a scan knows)."""
-        plan = self.plan_scan(table_name, None, version=version)
-        exact = all(g["paths"] is not None for g in plan["groups"])
-        man = plan["manifest"]
+        predates the stats layer (then only a scan knows).
+
+        Above :attr:`DISTRIBUTED_MANIFEST_MIN_BYTES` the aggregation
+        runs as one small Spark job over the checkpoint sidecar (the
+        manifest is never materialized on the driver); below it, pure
+        driver arithmetic as before."""
+        top, entries_df, man = self._scan_source(table_name, version)
+        if entries_df is not None:
+            return self._table_stats_distributed(top, entries_df)
+        exact = all(
+            e.get("files") is not None for e in man.get("entries") or []
+        )
+        n_files = 0
         rows = 0
         size = 0
         col_stats: dict[str, dict] = {}
@@ -1267,6 +1545,7 @@ class CommitLogTableStore(TableStore):
                     and f["bucket"] not in live
                 ):
                     continue
+                n_files += 1
                 rows += f.get("rows") or 0
                 size += f.get("bytes") or 0
                 fstats = f.get("stats") or {}
@@ -1299,10 +1578,123 @@ class CommitLogTableStore(TableStore):
         }
         return {
             "rows": rows if exact else None,
-            "files": plan["files_total"] if exact else None,
+            "files": n_files if exact else None,
             "bytes": size if exact else None,
             "columns": col_stats if exact else {},
             "version": man.get("version"),
+        }
+
+    def _table_stats_distributed(self, top: dict, entries_df: DataFrame) -> dict:
+        """:meth:`table_stats` over the sidecar frame: counts/sums as
+        one JVM aggregation; per-column min/max as per-partition
+        partials (``mapInPandas`` emitting ≤ 32 rows per partition)
+        merged on the driver — bounded output at any file count."""
+        import pandas as pd
+
+        is_file = F.col("file_path").isNotNull()
+        is_live = is_file & (
+            F.col("entry_buckets").isNull()
+            | F.col("bucket").isNull()
+            | F.expr("array_contains(entry_buckets, bucket)")
+        )
+        agg = entries_df.agg(
+            F.sum(is_live.cast("long")).alias("files"),
+            F.sum(F.when(is_live, F.col("rows"))).alias("rows"),
+            F.sum(is_live.cast("long") * F.col("rows").isNull().cast("long")).alias(
+                "norows"
+            ),
+            F.sum(F.when(is_live, F.col("bytes"))).alias("bytes"),
+            F.sum(
+                ((~is_file) & (~F.col("has_files"))).cast("long")
+            ).alias("prestat"),
+        ).collect()[0]
+        exact = not (agg["prestat"] or 0) and not (agg["norows"] or 0)
+        col_stats: dict[str, dict] = {}
+        dead_cols: set[str] = set()
+        if exact:
+            live = entries_df.filter(is_live).select("stats")
+
+            def _partials(batches):
+                acc: dict[str, dict] = {}
+                dead: set[str] = set()
+                for pdf in batches:
+                    for s in pdf["stats"]:
+                        if s is None:
+                            continue
+                        for c, st in json.loads(s).items():
+                            if c in dead:
+                                continue
+                            cur = acc.get(c)
+                            if cur is None:
+                                acc[c] = dict(st)
+                                continue
+                            try:
+                                cur["min"] = min(cur["min"], st["min"])
+                            except TypeError:
+                                dead.add(c)
+                                acc.pop(c, None)
+                                continue
+                            if cur.get("max") is None or st.get("max") is None:
+                                cur["max"] = None
+                            else:
+                                cur["max"] = max(cur["max"], st["max"])
+                            if (
+                                cur.get("nulls") is None
+                                or st.get("nulls") is None
+                            ):
+                                cur["nulls"] = None
+                            else:
+                                cur["nulls"] += st["nulls"]
+                yield pd.DataFrame(
+                    {
+                        "col": list(acc) + sorted(dead),
+                        "stat": [json.dumps(acc[c]) for c in acc]
+                        + [None] * len(dead),
+                    }
+                )
+
+            partials = live.mapInPandas(
+                _partials, schema="col string, stat string"
+            ).collect()
+            for r in partials:
+                c = r["col"]
+                if r["stat"] is None:
+                    dead_cols.add(c)
+                    col_stats.pop(c, None)
+                    continue
+                if c in dead_cols:
+                    continue
+                st = json.loads(r["stat"])
+                cur = col_stats.get(c)
+                if cur is None:
+                    col_stats[c] = st
+                    continue
+                try:
+                    cur["min"] = min(cur["min"], st["min"])
+                except TypeError:
+                    dead_cols.add(c)
+                    col_stats.pop(c, None)
+                    continue
+                if cur.get("max") is None or st.get("max") is None:
+                    cur["max"] = None
+                else:
+                    cur["max"] = max(cur["max"], st["max"])
+                if cur.get("nulls") is None or st.get("nulls") is None:
+                    cur["nulls"] = None
+                else:
+                    cur["nulls"] += st["nulls"]
+        mapping, dropped = self._mapping_of(top)
+        col_stats = {
+            mapping.get(c, c): s
+            for c, s in col_stats.items()
+            if c not in dropped and c != BUCKET_COL
+        }
+        return {
+            "rows": int(agg["rows"] or 0) if exact else None,
+            "files": int(agg["files"] or 0) if exact else None,
+            "bytes": int(agg["bytes"] or 0) if exact else None,
+            "columns": col_stats if exact else {},
+            "version": top.get("version"),
         }
 
     # -- change data feed ---------------------------------------------------

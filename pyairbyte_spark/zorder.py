@@ -62,27 +62,46 @@ def _rank_bucket(col: Column, cuts: list[float]) -> Column:
     return search(0, len(cuts))
 
 
-def _string_cuts(df: DataFrame, column: str, n_buckets: int) -> list[str]:
-    """Equi-depth cut points for a STRING column: ntile the sorted
-    DISTINCT values and take each tile's max — strings have no
-    approxQuantile, but a maintenance-time pass over distinct values
-    (one shuffle; only ≤255 cut strings reach the driver) gives the
-    same skew-proof equi-depth ranks the numeric path gets."""
-    from pyspark.sql import Window
+# Bounded sample size for string cut derivation. 64k distinct values
+# estimate 255 equi-depth cuts far more precisely than approxQuantile's
+# 1% relative-error guarantee on the numeric path — and cuts only need
+# to be APPROXIMATELY equi-depth (skew just unbalances bucket fill).
+_STRING_CUT_SAMPLE = 65_536
 
-    tiles = (
+
+def _string_cuts(df: DataFrame, column: str, n_buckets: int) -> list[str]:
+    """Equi-depth cut points for a STRING column: strings have no
+    approxQuantile, so cuts come from a BOUNDED sample of the distinct
+    values — sorted driver-side (≤ 64k strings) and sliced at the tile
+    boundaries. Low-cardinality columns use every distinct value
+    (exact equi-depth); above the sample bound a seeded fraction is
+    drawn so the driver cost is flat at ANY cardinality. The previous
+    ``ntile().over(Window.orderBy(v))`` sorted ALL distinct values in
+    one task — a single-partition global sort that a billion-distinct
+    URL column at 100 TB turns into the compact's bottleneck."""
+    vals_df = (
         df.select(F.col(column).alias("v"))
         .filter(F.col("v").isNotNull())
         .distinct()
-        .withColumn(
-            "__t", F.ntile(n_buckets).over(Window.orderBy(F.col("v")))
-        )
-        .groupBy("__t")
-        .agg(F.max("v").alias("cut"))
-        .orderBy("__t")
-        .collect()
     )
-    return [r["cut"] for r in tiles[:-1]]  # last tile's max = global max
+    approx_n = df.select(
+        F.approx_count_distinct(column).alias("n")
+    ).collect()[0]["n"]
+    if approx_n > _STRING_CUT_SAMPLE:
+        frac = min(1.0, 1.2 * _STRING_CUT_SAMPLE / approx_n)
+        vals_df = vals_df.sample(False, frac, seed=42)
+    vals = sorted(r["v"] for r in vals_df.collect())
+    n = len(vals)
+    if n == 0:
+        return []
+    cuts: list[str] = []
+    for i in range(1, n_buckets):
+        idx = -(-i * n // n_buckets) - 1  # ceil(i*n/k) - 1: tile i max
+        if idx >= n - 1:
+            break  # remaining tiles collapse into the top bucket
+        if not cuts or vals[idx] != cuts[-1]:
+            cuts.append(vals[idx])
+    return cuts
 
 
 def _morton_interleave(buckets: list[Column], bits: int) -> Column:

@@ -83,6 +83,18 @@ def main() -> None:
 
     # cold reader: chain resolution + plan over the full metadata
     fresh = CommitLogTableStore(None, root, "main")
+    # latest-version discovery: pointer + forward probes (O(1) in
+    # commit count) vs the listing fallback (O(commits) names)
+    t0 = time.time()
+    latest_ptr = fresh._discover_latest("t")
+    t_latest_ptr = time.time() - t0
+    fresh2 = CommitLogTableStore(None, root, "main")
+    fresh2.io.delete_file(os.path.join(d, fresh2._LATEST_PTR))
+    t0 = time.time()
+    latest_listed = fresh2._discover_latest("t")
+    t_latest_listing = time.time() - t0
+    assert latest_ptr == latest_listed == n_commits
+    fresh._advance_latest_pointer("t", latest_ptr)  # restore
     t0 = time.time()
     latest = fresh.latest_version("t")
     man = fresh._read_manifest("t", latest)
@@ -111,6 +123,8 @@ def main() -> None:
                 "commit_s_p99": round(
                     sorted(commit_s)[int(0.99 * len(commit_s))], 5
                 ),
+                "latest_pointer_s": round(t_latest_ptr, 5),
+                "latest_listing_s": round(t_latest_listing, 5),
                 "cold_resolve_s": round(t_resolve, 3),
                 "plan_scan_s": round(t_plan, 3),
                 "files_selected": plan["files_selected"],

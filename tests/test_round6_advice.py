@@ -267,3 +267,48 @@ def test_hadoop_write_bytes_overwrite_swap(spark, tmp_path):
     p2 = str(tmp_path / "fresh.json")
     fio.write_text(p2, "created")
     assert fio.read_text(p2) == "created"
+
+
+# -- latest-version pointer (commit-dir listing ceiling) --------------------
+
+
+def test_latest_pointer_written_and_used(spark, store):
+    store.write_append(_df(spark, [(1, "a")]).coalesce(1), "t")
+    store.write_append(_df(spark, [(2, "b")], "s").coalesce(1), "t")
+    d = store._commits_dir("t")
+    ptr = os.path.join(d, store._LATEST_PTR)
+    assert json.loads(store.io.read_text(ptr)) == {"version": 2}
+    assert store._discover_latest("t") == 2
+
+
+def test_stale_pointer_probes_forward(spark, store):
+    for i in range(5):
+        store.write_append(_df(spark, [(i, "x")], f"p{i}").coalesce(1), "t")
+    d = store._commits_dir("t")
+    # regress the pointer (a slow racing writer can leave it behind)
+    store.io.write_text(
+        os.path.join(d, store._LATEST_PTR), json.dumps({"version": 2})
+    )
+    assert store._discover_latest("t") == 5
+    assert store.read("t").count() == 5
+
+
+def test_missing_or_corrupt_pointer_falls_back_to_listing(spark, store):
+    store.write_append(_df(spark, [(1, "a")]).coalesce(1), "t")
+    d = store._commits_dir("t")
+    ptr = os.path.join(d, store._LATEST_PTR)
+    store.io.delete_file(ptr)
+    assert store._discover_latest("t") == 1  # listing fallback
+    store.io.write_text(ptr, "not json{")
+    assert store._discover_latest("t") == 1
+    # next commit heals the pointer
+    store.write_append(_df(spark, [(2, "b")], "s").coalesce(1), "t")
+    assert json.loads(store.io.read_text(ptr)) == {"version": 2}
+
+
+def test_pointer_survives_vacuum(spark, store):
+    for i in range(4):
+        store.write_append(_df(spark, [(i, "x")], f"p{i}").coalesce(1), "t")
+    store.vacuum("t", keep_commits=1)
+    assert store._discover_latest("t") == 4
+    assert store.read("t").count() == 4

@@ -172,3 +172,46 @@ def test_zorder_string_dimension_prunes(spark, tmp_path):
     got = store.read_where("t", [("label", "=", "cat_005")]).count()
     want = store.read("t").filter(F.col("label") == "cat_005").count()
     assert got == want > 0
+
+
+def test_string_cuts_no_global_window_high_cardinality(spark, tmp_path):
+    """String cuts derive from a BOUNDED sample — no ntile over a
+    single-partition global sort of all distinct values (that one-task
+    sort was the compact-time bottleneck for high-cardinality string
+    columns). Pruning must still work above the sample bound."""
+    import inspect
+
+    from pyairbyte_spark import zorder as z
+
+    src = inspect.getsource(z._string_cuts)
+    code = src.split('"""')[-1]  # strip the docstring: code only
+    assert "ntile" not in code and "Window" not in code
+    n = 3 * z._STRING_CUT_SAMPLE  # cardinality above the sample bound
+    df = spark.range(n).select(
+        F.format_string("url-%08d", F.col("id")).alias("u"),
+        (F.col("id") % 100).alias("g"),
+    )
+    cuts = z._string_cuts(df, "u", 256)
+    assert 0 < len(cuts) <= 255
+    assert cuts == sorted(cuts) and len(set(cuts)) == len(cuts)
+    # deterministic (seeded sample)
+    assert cuts == z._string_cuts(df, "u", 256)
+    # cuts are genuinely spread: bucket the full column and check the
+    # extremes land in far-apart buckets
+    zdf = z.with_zvalue(df, ["u"])
+    lo, hi = zdf.agg(
+        F.min(F.when(F.col("u") == "url-00000000", F.col("__zvalue"))),
+        F.min(F.when(F.col("u") == f"url-{n - 1:08d}", F.col("__zvalue"))),
+    ).collect()[0]
+    assert hi - lo > 200  # ~255 buckets apart for the extremes
+
+
+def test_string_cuts_low_cardinality_exact(spark):
+    from pyairbyte_spark import zorder as z
+
+    df = spark.createDataFrame(
+        [(f"k{i % 8}",) for i in range(100)], ["s"]
+    )
+    cuts = z._string_cuts(df, "s", 256)
+    # 8 distinct values → at most 7 interior cuts, all distinct, sorted
+    assert cuts == sorted(set(cuts)) and len(cuts) <= 7
