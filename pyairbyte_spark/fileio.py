@@ -18,10 +18,15 @@ POSIX ``listdir``; this module abstracts exactly those operations:
   existing destination. Atomic on HDFS; object stores with atomic
   conditional-PUT should implement :meth:`FileIO.put_if_absent`
   directly instead.
+- :class:`S3FileIO` — the real object-store deployment path: boto3
+  against the S3 API, commit publication via native conditional PUT
+  (``If-None-Match: *``), footer harvest via ranged GETs. Exercised
+  against an in-process S3 implementation in ``tests/test_s3_fileio.py``.
 - :class:`FakeObjectStoreFileIO` — a test double with object-store
   semantics ONLY: atomic conditional PUT, overwrite PUT, list, delete.
   Any rename or link attempt raises, proving the store's protocol
-  never depends on them.
+  never depends on them (it backs the full 3-backend store suite,
+  where Spark data writes need a shared local FS).
 
 The reference (airbytehq/PyAirbyte) has no analogue — it delegates
 storage atomicity to the destination warehouse (``shared/
@@ -334,6 +339,223 @@ class FakeObjectStoreFileIO(FileIO):
         return path
 
 
+class S3FileIO(FileIO):
+    """Real object-store FileIO over the S3 API (boto3): the
+    deployment backend :class:`FakeObjectStoreFileIO` doubles for.
+
+    Commit publication is an atomic server-side conditional PUT —
+    ``PutObject`` with ``If-None-Match: *`` (S3 native since 2024;
+    also the semantics of GCS ``ifGenerationMatch=0`` and Azure
+    ``If-None-Match: *``): the object appears with ALL its bytes or
+    not at all, and of any number of concurrent writers exactly one
+    wins — no LIST-after-write races, no rename anywhere. Overwrite
+    PUTs (``write_text``/``write_bytes`` — the latest-version pointer,
+    vacuum's checkpoint rewrite) are atomic per S3's read-after-write
+    model: readers see the old object or the new one, never partial.
+    Parquet footer harvest reads via ranged GETs
+    (:class:`_S3InputFile`), so staging a 1 GB data file costs two
+    small range requests, not a download.
+
+    Paths are ``s3://bucket/key`` URIs. Spark reads the DATA under
+    the same bucket through s3a as usual; pass
+    ``spark_scheme="s3a"`` so distributed manifest scans hand the
+    sidecar straight to Spark (leave None where executors cannot
+    reach the endpoint — tests against an in-process mock — and the
+    driver-side resolution path is used instead).
+    """
+
+    scheme = "s3"
+
+    def __init__(self, client=None, *, spark_scheme: str | None = None) -> None:
+        if client is None:
+            import boto3
+
+            client = boto3.client("s3")
+        self._c = client
+        self._spark_scheme = spark_scheme
+
+    @staticmethod
+    def _bk(path: str) -> tuple[str, str]:
+        rest = path.split("://", 1)[1]
+        bucket, _, key = rest.partition("/")
+        return bucket, key.strip("/")
+
+    def _client_error_code(self, e) -> str:
+        return getattr(e, "response", {}).get("Error", {}).get("Code", "")
+
+    def read_bytes(self, path: str) -> bytes:
+        b, k = self._bk(path)
+        try:
+            return self._c.get_object(Bucket=b, Key=k)["Body"].read()
+        except self._c.exceptions.NoSuchKey:
+            raise FileNotFoundError(path) from None
+
+    def read_text(self, path: str) -> str:
+        return self.read_bytes(path).decode("utf-8")
+
+    def write_bytes(self, path: str, data: bytes) -> None:
+        b, k = self._bk(path)
+        self._c.put_object(Bucket=b, Key=k, Body=data)
+
+    def write_text(self, path: str, data: str) -> None:
+        self.write_bytes(path, data.encode("utf-8"))
+
+    def put_if_absent(self, path: str, data: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        b, k = self._bk(path)
+        body = data.encode("utf-8")
+        while True:
+            try:
+                self._c.put_object(Bucket=b, Key=k, Body=body, IfNoneMatch="*")
+                return True
+            except ClientError as e:
+                code = self._client_error_code(e)
+                if code == "PreconditionFailed":
+                    return False  # someone else holds the version
+                if code in ("ConditionalRequestConflict", "409"):
+                    # concurrent conditional writes collided server-side;
+                    # S3 docs: re-check and retry
+                    if self.exists(path):
+                        return False
+                    continue
+                raise
+
+    def list_names(self, path: str) -> list[str]:
+        b, k = self._bk(path)
+        prefix = f"{k}/" if k else ""
+        names: set[str] = set()
+        paginator = self._c.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=b, Prefix=prefix, Delimiter="/"):
+            for cp in page.get("CommonPrefixes") or []:
+                names.add(cp["Prefix"][len(prefix):].rstrip("/"))
+            for obj in page.get("Contents") or []:
+                rel = obj["Key"][len(prefix):]
+                if rel:
+                    names.add(rel)
+        return sorted(names)
+
+    def list_files(self, path: str) -> list[tuple[str, int]]:
+        b, k = self._bk(path)
+        prefix = f"{k}/" if k else ""
+        out: list[tuple[str, int]] = []
+        paginator = self._c.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=b, Prefix=prefix):
+            for obj in page.get("Contents") or []:
+                rel = obj["Key"][len(prefix):]
+                if rel:
+                    out.append((rel, int(obj["Size"])))
+        return sorted(out)
+
+    def is_dir(self, path: str) -> bool:
+        b, k = self._bk(path)
+        prefix = f"{k}/" if k else ""
+        resp = self._c.list_objects_v2(Bucket=b, Prefix=prefix, MaxKeys=1)
+        return bool(resp.get("KeyCount"))
+
+    def exists(self, path: str) -> bool:
+        from botocore.exceptions import ClientError
+
+        b, k = self._bk(path)
+        try:
+            self._c.head_object(Bucket=b, Key=k)
+            return True
+        except ClientError:
+            return self.is_dir(path)
+
+    def makedirs(self, path: str) -> None:
+        pass  # directories are virtual
+
+    def delete_file(self, path: str) -> None:
+        b, k = self._bk(path)
+        self._c.delete_object(Bucket=b, Key=k)  # idempotent
+
+    def delete_dir(self, path: str) -> None:
+        b, k = self._bk(path)
+        prefix = f"{k}/" if k else ""
+        paginator = self._c.get_paginator("list_objects_v2")
+        batch: list[dict] = []
+        for page in paginator.paginate(Bucket=b, Prefix=prefix):
+            for obj in page.get("Contents") or []:
+                batch.append({"Key": obj["Key"]})
+                if len(batch) == 1000:
+                    self._c.delete_objects(Bucket=b, Delete={"Objects": batch})
+                    batch = []
+        if batch:
+            self._c.delete_objects(Bucket=b, Delete={"Objects": batch})
+
+    def rename(self, src: str, dst: str) -> None:
+        raise NotImplementedError(
+            "object stores cannot rename; the commit-log protocol must "
+            "not require it"
+        )
+
+    def file_size(self, path: str) -> int:
+        from botocore.exceptions import ClientError
+
+        b, k = self._bk(path)
+        try:
+            return int(self._c.head_object(Bucket=b, Key=k)["ContentLength"])
+        except ClientError:
+            raise FileNotFoundError(path) from None
+
+    def open_input(self, path: str) -> BinaryIO:
+        return _S3InputFile(self, path, self.file_size(path))
+
+    def spark_read_path(self, path: str) -> str | None:
+        if self._spark_scheme is None:
+            return None
+        b, k = self._bk(path)
+        return f"{self._spark_scheme}://{b}/{k}"
+
+
+class _S3InputFile(_io.RawIOBase):
+    """Seekable read-only file over S3 ranged GETs — enough for
+    pyarrow's parquet footer reads (a handful of seek+read calls,
+    each one bounded range request; the data body is never fetched
+    whole)."""
+
+    def __init__(self, fio: S3FileIO, path: str, size: int) -> None:
+        self._fio = fio
+        self._bucket, self._key = fio._bk(path)
+        self._size = size
+        self._pos = 0
+
+    def readable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return True
+
+    def tell(self) -> int:
+        return self._pos
+
+    def seek(self, offset: int, whence: int = 0) -> int:
+        if whence == 0:
+            self._pos = offset
+        elif whence == 1:
+            self._pos += offset
+        elif whence == 2:
+            self._pos = self._size + offset
+        self._pos = max(0, min(self._pos, self._size))
+        return self._pos
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = min(n, self._size - self._pos)
+        if n <= 0:
+            return b""
+        resp = self._fio._c.get_object(
+            Bucket=self._bucket,
+            Key=self._key,
+            Range=f"bytes={self._pos}-{self._pos + n - 1}",
+        )
+        data = resp["Body"].read()
+        self._pos += len(data)
+        return data
+
+
 class HadoopFileIO(FileIO):
     """Metadata I/O through the JVM ``org.apache.hadoop.fs.FileSystem``
     bound to ``root_uri``'s scheme — the store's cluster deployment
@@ -346,9 +568,8 @@ class HadoopFileIO(FileIO):
     the FileSystem contract returns False when the destination exists.
     On HDFS the rename is an atomic namespace op, giving the same
     exactly-one-winner + full-content guarantee as the local hard
-    link. On S3A, rename is copy+delete — deploy there behind a
-    conditional-PUT FileIO instead (see
-    :class:`FakeObjectStoreFileIO` for the semantics).
+    link. On S3A, rename is copy+delete — deploy there with
+    :class:`S3FileIO` (native conditional PUT) instead.
     """
 
     scheme = "hadoop"
