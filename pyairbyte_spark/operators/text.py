@@ -124,7 +124,9 @@ def fingerprint_rolling_expr(col: Column | str) -> Column:
 # corpus scale.
 # ---------------------------------------------------------------------------
 
-# Published Gopher-rule thresholds (public paper values).
+# Published Gopher-rule thresholds (Rae et al. 2021, appendix A1.1 —
+# the COMPLETE rule list, including the stop-word filter and the
+# character-fraction repetition rules).
 GOPHER_THRESHOLDS = {
     "min_words": 50,
     "max_words": 100_000,
@@ -132,12 +134,27 @@ GOPHER_THRESHOLDS = {
     "max_mean_word_len": 10.0,
     "max_symbol_word_ratio": 0.1,
     "min_alpha_word_fraction": 0.8,
+    "min_stop_words": 2,
     "max_bullet_line_fraction": 0.9,
     "max_ellipsis_line_fraction": 0.3,
     "max_dup_line_fraction": 0.3,
     "max_dup_paragraph_fraction": 0.3,
-    "max_top_2gram_fraction": 0.2,
+    "max_dup_line_char_fraction": 0.2,
+    "max_dup_paragraph_char_fraction": 0.2,
+    "max_top_2gram_char_fraction": 0.20,
+    "max_top_3gram_char_fraction": 0.18,
+    "max_top_4gram_char_fraction": 0.16,
+    "max_dup_5gram_char_fraction": 0.15,
+    "max_dup_6gram_char_fraction": 0.14,
+    "max_dup_7gram_char_fraction": 0.13,
+    "max_dup_8gram_char_fraction": 0.12,
+    "max_dup_9gram_char_fraction": 0.11,
+    "max_dup_10gram_char_fraction": 0.10,
 }
+
+# The published stop-word list: a document must contain at least
+# ``min_stop_words`` occurrences of these (case-insensitive).
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
 def lines_expr(col: Column | str) -> Column:
@@ -161,14 +178,18 @@ def dup_line_fraction_expr(col: Column | str) -> Column:
     return _dup_fraction(lines_expr(col))
 
 
-def dup_paragraph_fraction_expr(col: Column | str) -> Column:
-    """Like :func:`dup_line_fraction_expr` over blank-line-separated paragraphs."""
+def paragraphs_expr(col: Column | str) -> Column:
+    """Non-empty trimmed blank-line-separated paragraphs."""
     c = F.col(col) if isinstance(col, str) else col
-    paras = F.filter(
+    return F.filter(
         F.transform(F.split(c, r"\n\s*\n"), lambda p: F.trim(p)),
         lambda p: F.length(p) > 0,
     )
-    return _dup_fraction(paras)
+
+
+def dup_paragraph_fraction_expr(col: Column | str) -> Column:
+    """Like :func:`dup_line_fraction_expr` over blank-line-separated paragraphs."""
+    return _dup_fraction(paragraphs_expr(col))
 
 
 def ngrams_expr(col: Column | str, n: int) -> Column:
@@ -252,38 +273,130 @@ def ellipsis_line_fraction_expr(col: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _grams_from_toks(toks: Column, n: int) -> Column:
+    """Token n-grams from an already-bound token array column."""
+    m = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), m),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _top_gram_chars_expr(grams: Column) -> Column:
+    """Characters covered by the single most frequent gram:
+    ``max_count * len(gram)``, 0 when nothing repeats (max_count < 2).
+    Ties on count break to the LONGEST gram so the result is
+    deterministic (engine-independent — matches the SQL oracle's
+    ``max(len) FILTER (count = max_count)``).
+
+    One fold over the SORTED gram array: the count of any gram equals
+    its run length, so (max_count, best_len) falls out of a linear
+    run-length scan — no per-gram re-count, no shuffle."""
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("blen"),
+    )
+
+    def merge(acc: Column, g: Column) -> Column:
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        upd = (run > acc["best"]) | (
+            (run == acc["best"]) & (F.length(g) > acc["blen"])
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.when(upd, run).otherwise(acc["best"]).alias("best"),
+            F.when(upd, F.length(g)).otherwise(acc["blen"]).alias("blen"),
+        )
+
+    return F.aggregate(
+        F.array_sort(grams),
+        acc0,
+        merge,
+        lambda acc: F.when(
+            acc["best"] >= 2, (acc["best"] * acc["blen"]).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def _dup_chars_expr(items: Column) -> Column:
+    """Characters in every occurrence beyond the first of each repeated
+    item (= sum over items of ``(count - 1) * len``): one run-length
+    fold over the sorted array — an occurrence is "beyond the first"
+    exactly when it equals its sorted predecessor."""
+    acc0 = F.struct(F.lit("").alias("prev"), F.lit(0).cast("long").alias("dup"))
+
+    def merge(acc: Column, g: Column) -> Column:
+        return F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["dup"] + F.length(g))
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+
+    return F.aggregate(F.array_sort(items), acc0, merge, lambda acc: acc["dup"])
+
+
+def _total_chars_expr(items: Column) -> Column:
+    return F.aggregate(
+        items, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+
+
+def _frac(num: Column, denom: Column) -> Column:
+    """num/denom capped at 1.0: with OVERLAPPING n-grams the beyond-first
+    char mass can exceed the text length (the paper's span-union coverage
+    measure is bounded by 1; the count-based form is cheaper — one fold vs
+    O(len^2) interval marking — and only diverges for pathological repeats
+    that fail the threshold either way)."""
+    return F.round(
+        F.when(
+            denom > 0, F.least(F.lit(1.0), num / denom.cast("double"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """All Gopher repetition/quality signals plus the composite
-    ``gopher_keep`` flag at the published thresholds — per-row only,
-    no shuffle.
+    """The COMPLETE Gopher repetition/quality rule set (Rae et al. 2021
+    appendix A1.1) plus the composite ``gopher_keep`` flag at the
+    published thresholds — per-row expression trees only, no shuffle,
+    no UDF.
+
+    Signals: word count, mean word length, symbol-to-word ratio,
+    alphabetic-word fraction, stop-word occurrences, bullet/ellipsis
+    line fractions, duplicate line/paragraph fractions (by count AND by
+    character mass), top-{2,3,4}-gram character fractions, and
+    duplicate-{5..10}-gram character fractions.
+
+    Character-fraction denominators: gram fractions divide by the
+    whitespace-normalized text length (tokens joined by single spaces);
+    line/paragraph char fractions divide by the total characters of the
+    non-empty trimmed lines/paragraphs themselves. Both are exact
+    integer counts so Spark and the SQL oracle agree bit-for-bit.
 
     Tokenization and line-splitting happen ONCE per row behind
     explicit projection boundaries (the :func:`shingles_df` pattern:
-    HOF lambdas are interpreted and CSE does not reach inside them, so
-    inlining ``split(text)`` into each of the ~7 signal expressions
-    would re-tokenize every document ~7 times)."""
+    HOF lambdas are interpreted and CSE does not reach inside them).
+    Each gram array feeds exactly ONE fold, so per-n repetition stats
+    are a single O(len log len) sorted run-length scan per document —
+    bounded by document length, not corpus size."""
     th = GOPHER_THRESHOLDS
     pre = df.select(
         "*",
         tokens_expr(text_col).alias("__toks"),
         lines_expr(text_col).alias("__lines"),
+        paragraphs_expr(text_col).alias("__paras"),
     )
-    toks, lns = F.col("__toks"), F.col("__lines")
-    m = F.size(toks) - F.lit(1)
-    grams2 = F.when(
-        m >= 1,
-        F.transform(
-            F.sequence(F.lit(1), m),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    pre = pre.withColumn("__grams2", grams2)
-    grams = F.col("__grams2")
+    toks, lns, paras = F.col("__toks"), F.col("__lines"), F.col("__paras")
+    pre = pre.withColumn("__char_total", F.length(F.concat_ws(" ", toks)))
+    char_total = F.col("__char_total")
 
     n_words = F.size(toks)
-    total_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    )
+    total_len = _total_chars_expr(toks)
     mean_len = F.when(
         n_words > 0, total_len / n_words.cast("double")
     ).otherwise(F.lit(0.0))
@@ -292,6 +405,9 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     alpha = F.size(
         F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
     ) / F.greatest(n_words, F.lit(1)).cast("double")
+    stop_words = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*GOPHER_STOP_WORDS))
+    ).cast("long")
     bullet = F.when(
         F.size(lns) > 0,
         F.size(F.filter(lns, lambda ln: ln.rlike(r"^[-*•]")))
@@ -302,33 +418,40 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.filter(lns, lambda ln: ln.rlike(r"(\.\.\.|…)$")))
         / F.size(lns).cast("double"),
     ).otherwise(F.lit(0.0))
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
 
-    def merge(acc: Column, g: Column) -> Column:
-        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            g.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-        )
-
-    best = F.aggregate(F.array_sort(grams), acc0, merge, lambda acc: acc["best"])
-    top2 = F.when(
-        F.size(grams) > 0, best / F.size(grams).cast("double")
-    ).otherwise(F.lit(0.0))
-
-    sig = pre.select(
-        "*",
+    cols = [
         n_words.alias("n_words"),
         F.round(mean_len, 6).alias("mean_word_len"),
         F.round(sym_ratio, 6).alias("symbol_word_ratio"),
         F.round(alpha, 6).alias("alpha_word_frac"),
+        stop_words.alias("stop_word_count"),
         F.round(bullet, 6).alias("bullet_line_frac"),
         F.round(ellip, 6).alias("ellipsis_line_frac"),
         F.round(_dup_fraction(lns), 6).alias("dup_line_frac"),
-        F.round(dup_paragraph_fraction_expr(text_col), 6).alias("dup_para_frac"),
-        F.round(top2, 6).alias("top_2gram_frac"),
-    ).drop("__toks", "__lines", "__grams2")
+        F.round(_dup_fraction(paras), 6).alias("dup_para_frac"),
+        _frac(_dup_chars_expr(lns), _total_chars_expr(lns)).alias(
+            "dup_line_char_frac"
+        ),
+        _frac(_dup_chars_expr(paras), _total_chars_expr(paras)).alias(
+            "dup_para_char_frac"
+        ),
+    ]
+    for n in (2, 3, 4):
+        cols.append(
+            _frac(
+                _top_gram_chars_expr(_grams_from_toks(toks, n)), char_total
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in range(5, 11):
+        cols.append(
+            _frac(
+                _dup_chars_expr(_grams_from_toks(toks, n)), char_total
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+
+    sig = pre.select("*", *cols).drop(
+        "__toks", "__lines", "__paras", "__char_total"
+    )
     keep = (
         (F.col("n_words") >= th["min_words"])
         & (F.col("n_words") <= th["max_words"])
@@ -336,12 +459,22 @@ def gopher_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
         & (F.col("mean_word_len") <= th["max_mean_word_len"])
         & (F.col("symbol_word_ratio") <= th["max_symbol_word_ratio"])
         & (F.col("alpha_word_frac") >= th["min_alpha_word_fraction"])
+        & (F.col("stop_word_count") >= th["min_stop_words"])
         & (F.col("bullet_line_frac") <= th["max_bullet_line_fraction"])
         & (F.col("ellipsis_line_frac") <= th["max_ellipsis_line_fraction"])
         & (F.col("dup_line_frac") <= th["max_dup_line_fraction"])
         & (F.col("dup_para_frac") <= th["max_dup_paragraph_fraction"])
-        & (F.col("top_2gram_frac") <= th["max_top_2gram_fraction"])
+        & (F.col("dup_line_char_frac") <= th["max_dup_line_char_fraction"])
+        & (F.col("dup_para_char_frac") <= th["max_dup_paragraph_char_fraction"])
     )
+    for n in (2, 3, 4):
+        keep = keep & (
+            F.col(f"top_{n}gram_char_frac") <= th[f"max_top_{n}gram_char_fraction"]
+        )
+    for n in range(5, 11):
+        keep = keep & (
+            F.col(f"dup_{n}gram_char_frac") <= th[f"max_dup_{n}gram_char_fraction"]
+        )
     return sig.withColumn("gopher_keep", keep)
 
 

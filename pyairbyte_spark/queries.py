@@ -2885,28 +2885,93 @@ _PARAS_DUCK = (
     r"list_filter(list_transform(string_split_regex(text, '\n\s*\n'), "
     "p -> trim(p)), p -> length(p) > 0)"
 )
-_GRAMS2_DUCK = (
-    f"list_transform(generate_series(1, len({_TOKS_DUCK}) - 1), "
-    f"i -> array_to_string(({_TOKS_DUCK})[i:i+1], ' '))"
-)
+def _grams_duck(n: int, toks: str = "toks") -> str:
+    """DuckDB token n-grams (1-based inclusive slices; empty when the
+    document has fewer than ``n`` tokens — generate_series(1, 0) = [])."""
+    return (
+        f"list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' '))"
+    )
 
 
-@register(
-    "text_gopher_quality",
-    rf"""
-    WITH sig AS (
+_GRAMS2_DUCK = _grams_duck(2, f"({_TOKS_DUCK})")
+
+
+def _charsum_duck(lst: str) -> str:
+    return f"coalesce(list_sum(list_transform({lst}, __x -> length(__x))), 0)"
+
+
+def _dup_chars_duck(lst: str) -> str:
+    """Characters in occurrences beyond the first of each repeated item:
+    sum over items of (count-1)*len = total char mass - distinct char
+    mass (every distinct item contributes len exactly once to the
+    distinct sum)."""
+    return f"({_charsum_duck(lst)} - {_charsum_duck(f'list_distinct({lst})')})"
+
+
+def _gopher_oracle_sql() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in text.GOPHER_STOP_WORDS)
+    # Top-{2,3,4}-gram char stats need per-gram counts -> unnest + GROUP
+    # BY (the relational form of the Spark side's sorted run-length
+    # fold); dup-{5..10}-gram char mass is pure list arithmetic.
+    top_ctes = []
+    for n in (2, 3, 4):
+        top_ctes.append(
+            f"""
+    g{n} AS (SELECT doc_id, unnest({_grams_duck(n)}) AS g FROM base),
+    c{n} AS (SELECT doc_id, g, count(*) AS c, length(g) AS gl
+             FROM g{n} GROUP BY doc_id, g),
+    w{n} AS (SELECT doc_id, c, gl,
+                    max(c) OVER (PARTITION BY doc_id) AS maxc FROM c{n}),
+    t{n} AS (SELECT doc_id,
+                    CASE WHEN max(maxc) >= 2
+                      THEN max(maxc) * max(CASE WHEN c = maxc THEN gl END)
+                      ELSE 0 END AS topchars
+             FROM w{n} GROUP BY doc_id)"""
+        )
+    dup_cols = ",\n".join(
+        f"""             round(CASE WHEN char_total > 0
+               THEN least(1.0, CAST({_dup_chars_duck(_grams_duck(n))} AS DOUBLE)
+                    / CAST(char_total AS DOUBLE))
+               ELSE 0.0 END, 6) AS dup_{n}gram_char_frac"""
+        for n in range(5, 11)
+    )
+    top_sel = ",\n".join(
+        f"""           round(CASE WHEN s.char_total > 0
+             THEN least(1.0, CAST(coalesce(t{n}.topchars, 0) AS DOUBLE)
+                  / CAST(s.char_total AS DOUBLE))
+             ELSE 0.0 END, 6) AS top_{n}gram_char_frac"""
+        for n in (2, 3, 4)
+    )
+    top_joins = "\n".join(
+        f"    LEFT JOIN t{n} ON s.doc_id = t{n}.doc_id" for n in (2, 3, 4)
+    )
+    th = text.GOPHER_THRESHOLDS
+    dup_keep = "\n            ".join(
+        f"AND dup_{n}gram_char_frac <= {th[f'max_dup_{n}gram_char_fraction']}"
+        for n in range(5, 11)
+    )
+    return rf"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOKS_DUCK} AS toks FROM documents
+    ),{"".join(c + "," for c in top_ctes)}
+    sig AS (
       SELECT doc_id,
-             CAST(len({_TOKS_DUCK}) AS BIGINT) AS n_words,
-             round(CASE WHEN len({_TOKS_DUCK}) > 0
-               THEN list_sum(list_transform({_TOKS_DUCK}, t -> length(t)))
-                    / CAST(len({_TOKS_DUCK}) AS DOUBLE)
+             length(array_to_string(toks, ' ')) AS char_total,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             round(CASE WHEN len(toks) > 0
+               THEN list_sum(list_transform(toks, t -> length(t)))
+                    / CAST(len(toks) AS DOUBLE)
                ELSE 0.0 END, 6) AS mean_word_len,
              round(len(regexp_extract_all(text, '#|\.\.\.|…'))
-                   / CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE), 6)
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
                AS symbol_word_ratio,
-             round(len(list_filter({_TOKS_DUCK}, t -> regexp_matches(t, '[A-Za-z]')))
-                   / CAST(greatest(len({_TOKS_DUCK}), 1) AS DOUBLE), 6)
+             round(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+                   / CAST(greatest(len(toks), 1) AS DOUBLE), 6)
                AS alpha_word_frac,
+             CAST(len(list_filter(toks,
+               t -> list_contains([{stop_list}], lower(t)))) AS BIGINT)
+               AS stop_word_count,
              round(CASE WHEN len({_LINES_DUCK}) > 0
                THEN len(list_filter({_LINES_DUCK}, l -> regexp_matches(l, '^[-*•]')))
                     / CAST(len({_LINES_DUCK}) AS DOUBLE)
@@ -2923,27 +2988,61 @@ _GRAMS2_DUCK = (
                THEN (len({_PARAS_DUCK}) - len(list_distinct({_PARAS_DUCK})))
                     / CAST(len({_PARAS_DUCK}) AS DOUBLE)
                ELSE 0.0 END, 6) AS dup_para_frac,
-             round(CASE WHEN len({_GRAMS2_DUCK}) > 0
-               THEN list_max(list_transform(list_distinct({_GRAMS2_DUCK}),
-                      g -> len(list_filter({_GRAMS2_DUCK}, x -> x = g))))
-                    / CAST(len({_GRAMS2_DUCK}) AS DOUBLE)
-               ELSE 0.0 END, 6) AS top_2gram_frac
-      FROM documents
+             round(CASE WHEN {_charsum_duck(_LINES_DUCK)} > 0
+               THEN least(1.0, CAST({_dup_chars_duck(_LINES_DUCK)} AS DOUBLE)
+                    / CAST({_charsum_duck(_LINES_DUCK)} AS DOUBLE))
+               ELSE 0.0 END, 6) AS dup_line_char_frac,
+             round(CASE WHEN {_charsum_duck(_PARAS_DUCK)} > 0
+               THEN least(1.0, CAST({_dup_chars_duck(_PARAS_DUCK)} AS DOUBLE)
+                    / CAST({_charsum_duck(_PARAS_DUCK)} AS DOUBLE))
+               ELSE 0.0 END, 6) AS dup_para_char_frac,
+{dup_cols}
+      FROM base
     )
-    SELECT *,
-           (n_words BETWEEN 50 AND 100000
-            AND mean_word_len BETWEEN 3.0 AND 10.0
-            AND symbol_word_ratio <= 0.1
-            AND alpha_word_frac >= 0.8
-            AND bullet_line_frac <= 0.9
-            AND ellipsis_line_frac <= 0.3
-            AND dup_line_frac <= 0.3
-            AND dup_para_frac <= 0.3
-            AND top_2gram_frac <= 0.2) AS gopher_keep
-    FROM sig
-    """,
-    "Gopher-rule repetition/quality signals (Rae et al. 2021 A1.1) + "
-    "composite keep flag — one per-row projection, no shuffle",
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.symbol_word_ratio,
+           s.alpha_word_frac, s.stop_word_count, s.bullet_line_frac,
+           s.ellipsis_line_frac, s.dup_line_frac, s.dup_para_frac,
+           s.dup_line_char_frac, s.dup_para_char_frac,
+{top_sel},
+           s.dup_5gram_char_frac, s.dup_6gram_char_frac,
+           s.dup_7gram_char_frac, s.dup_8gram_char_frac,
+           s.dup_9gram_char_frac, s.dup_10gram_char_frac,
+           (s.n_words BETWEEN {th["min_words"]} AND {th["max_words"]}
+            AND s.mean_word_len BETWEEN {th["min_mean_word_len"]} AND {th["max_mean_word_len"]}
+            AND s.symbol_word_ratio <= {th["max_symbol_word_ratio"]}
+            AND s.alpha_word_frac >= {th["min_alpha_word_fraction"]}
+            AND s.stop_word_count >= {th["min_stop_words"]}
+            AND s.bullet_line_frac <= {th["max_bullet_line_fraction"]}
+            AND s.ellipsis_line_frac <= {th["max_ellipsis_line_fraction"]}
+            AND s.dup_line_frac <= {th["max_dup_line_fraction"]}
+            AND s.dup_para_frac <= {th["max_dup_paragraph_fraction"]}
+            AND s.dup_line_char_frac <= {th["max_dup_line_char_fraction"]}
+            AND s.dup_para_char_frac <= {th["max_dup_paragraph_char_fraction"]}
+            AND round(CASE WHEN s.char_total > 0
+                  THEN least(1.0, CAST(coalesce(t2.topchars, 0) AS DOUBLE)
+                       / CAST(s.char_total AS DOUBLE))
+                  ELSE 0.0 END, 6) <= {th["max_top_2gram_char_fraction"]}
+            AND round(CASE WHEN s.char_total > 0
+                  THEN least(1.0, CAST(coalesce(t3.topchars, 0) AS DOUBLE)
+                       / CAST(s.char_total AS DOUBLE))
+                  ELSE 0.0 END, 6) <= {th["max_top_3gram_char_fraction"]}
+            AND round(CASE WHEN s.char_total > 0
+                  THEN least(1.0, CAST(coalesce(t4.topchars, 0) AS DOUBLE)
+                       / CAST(s.char_total AS DOUBLE))
+                  ELSE 0.0 END, 6) <= {th["max_top_4gram_char_fraction"]}
+            {dup_keep}) AS gopher_keep
+    FROM sig s
+{top_joins}
+    """
+
+
+@register(
+    "text_gopher_quality",
+    _gopher_oracle_sql(),
+    "COMPLETE Gopher rule set (Rae et al. 2021 A1.1): word/char stats, "
+    "stop words, line/paragraph dup fractions by count and char mass, "
+    "top-{2,3,4}-gram and dup-{5..10}-gram char fractions + keep flag — "
+    "per-row sorted-fold expression trees, no shuffle",
 )
 def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")

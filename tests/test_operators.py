@@ -409,24 +409,30 @@ def test_connected_components_clusters_pairs(spark):
 
 
 def test_gopher_signals_flag_degenerate_docs(spark):
-    good = " ".join(
+    good = "the data should be sent to all of them and note that we have it with care. " + " ".join(
         f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}" for i in range(20)
-    )  # 100 distinct alpha words, all bigrams unique
+    )  # distinct alpha words + the required stop words, all n-grams unique
     loopy = "spam ham " * 60  # one 2-gram dominates
     dup_lines = "\n".join(["a good line of text here now"] * 10)
     symbols = " ".join(["###"] * 60)
+    no_stops = " ".join(f"word{i} item{i} thing{i}" for i in range(30))
     df = spark.createDataFrame(
-        [(1, good), (2, loopy), (3, dup_lines), (4, symbols), (5, "")],
+        [(1, good), (2, loopy), (3, dup_lines), (4, symbols), (5, ""), (6, no_stops)],
         ["doc_id", "text"],
     )
     out = {r["doc_id"]: r.asDict() for r in text.gopher_signals(df).collect()}
+    assert out[1]["stop_word_count"] >= 2
     assert out[1]["gopher_keep"] is True
-    assert out[2]["top_2gram_frac"] > 0.4 and out[2]["gopher_keep"] is False
+    assert out[2]["top_2gram_char_frac"] > 0.4 and out[2]["gopher_keep"] is False
+    assert out[2]["dup_5gram_char_frac"] > 0.5  # "spam ham" * 60 repeats 5-grams
     assert out[3]["dup_line_frac"] == 0.9 and out[3]["gopher_keep"] is False
+    assert out[3]["dup_line_char_frac"] == 0.9  # identical lines: char mass too
     assert out[4]["symbol_word_ratio"] > 0.1 and out[4]["gopher_keep"] is False
     # split("") yields [""] so the empty doc counts one pseudo-token;
     # it is rejected by the min-word rule either way
     assert out[5]["n_words"] <= 1 and out[5]["gopher_keep"] is False
+    # 90 alphabetic words but zero required stop words -> rejected
+    assert out[6]["stop_word_count"] == 0 and out[6]["gopher_keep"] is False
 
 
 def test_ngrams_guard_short_docs(spark):

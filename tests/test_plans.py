@@ -266,3 +266,12 @@ def test_ngram_coverage_no_cartesian_no_global_window(spark):
     assert all(
         set(cols) <= {"doc_id", "text"} for cols in plans.scan_columns(df)
     )
+
+
+def test_gopher_full_ruleset_map_only(spark):
+    """The complete Gopher rule set (19 signals incl. per-n gram folds)
+    is one per-row projection: zero Exchange nodes, pruned 2-column
+    scan — per-document cost, corpus-size-independent."""
+    df = q.queries()["text_gopher_quality"](spark, SF_DIR)
+    assert plans.shuffle_count(df) == 0
+    assert all(len(cols) <= 2 for cols in plans.scan_columns(df))
