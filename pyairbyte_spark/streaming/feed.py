@@ -42,11 +42,16 @@ class ChangeFeedFollower:
     each change window to ``dest_stream`` in ``dest_cache``.
 
     ``transform(df) -> df`` sees the raw change frame, including the
-    ``_change_type`` / ``_commit_version`` columns; the default drops
-    deletes and the feed columns, forwarding upserts as-is (CDC
-    apply). With ``method=MERGE`` (default) the destination converges
-    under replay; APPEND followers are at-least-once under crashes —
-    same trade as the record pipeline.
+    ``_change_type`` / ``_commit_version`` columns. AFTER the
+    transform the follower applies CDC semantics itself
+    (:meth:`_finalize_window`): deletes leave the forward path (they
+    are routed by ``apply_deletes``), each key is reduced to its LAST
+    change in the window by commit version, the feed columns are
+    stripped, and the extraction stamp is refreshed to apply time so
+    the window's end-state supersedes whatever the destination holds.
+    With ``method=MERGE`` (default) the destination converges under
+    replay; APPEND followers are at-least-once under crashes — same
+    trade as the record pipeline.
     """
 
     CURSOR_KEY = "source_version"
@@ -65,6 +70,7 @@ class ChangeFeedFollower:
         primary_keys: list[str] | None = None,
         follower_name: str = "feed",
         apply_deletes: bool = False,
+        max_versions_per_cycle: int | None = None,
     ) -> None:
         self.source_cache = source_cache
         self.source_stream = source_stream
@@ -87,6 +93,17 @@ class ChangeFeedFollower:
         self.apply_deletes = apply_deletes
         if apply_deletes and not self.primary_keys:
             raise ValueError("apply_deletes requires primary_keys")
+        # Bounded catch-up (Delta's maxFilesPerTrigger, in versions): a
+        # follower resuming after a long outage would otherwise diff the
+        # WHOLE backlog in one window — a union of one change-frame per
+        # commit whose plan grows linearly with the gap. Capping the
+        # window keeps each cycle's plan bounded; run() then drains the
+        # backlog cycle by cycle. Each bounded window is exactly the
+        # change set between two real snapshots, so every intermediate
+        # destination state is a consistent AS-OF view, not a torn one.
+        if max_versions_per_cycle is not None and max_versions_per_cycle < 1:
+            raise ValueError("max_versions_per_cycle must be >= 1")
+        self.max_versions_per_cycle = max_versions_per_cycle
 
     # -- cursor -------------------------------------------------------------
 
@@ -107,11 +124,42 @@ class ChangeFeedFollower:
     # -- processing ---------------------------------------------------------
 
     def _default_transform(self, changes: DataFrame) -> DataFrame:
-        from pyspark.sql import functions as F
+        """Forward change rows as-is; :meth:`process_once` routes
+        deletes, reduces to final-per-key state, and strips the feed
+        columns AFTER the transform, so a custom transform only needs
+        to reshape values — keep ``_change_type``/``_commit_version``
+        in its output to retain that machinery (dropping them takes
+        window ordering into the transform's own hands)."""
+        return changes
 
-        return changes.filter(F.col("_change_type") != "delete").drop(
-            "_change_type", "_commit_version"
-        )
+    def _finalize_window(self, out: DataFrame) -> DataFrame:
+        """CDC-applier semantics on the (possibly transformed) window:
+        drop delete rows from the forward path (deletes are routed by
+        ``apply_deletes``), keep only the LAST change per key by commit
+        version, and strip the feed columns.
+
+        The per-key reduction is what makes the hop converge: one
+        window can carry several upserts for the SAME key at different
+        versions, and only the last is the state at the window's end.
+        The destination merge alone cannot recover that order — it
+        tie-breaks on extracted-at, and a RESTORE re-inserts the
+        ORIGINAL row with its ORIGINAL (older) timestamp, so the
+        rolled-back value would lose to the very value it displaces."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        if "_change_type" in out.columns:
+            out = out.filter(F.col("_change_type") != "delete")
+        if "_commit_version" in out.columns and self.primary_keys:
+            w = Window.partitionBy(*self.primary_keys).orderBy(
+                F.col("_commit_version").desc()
+            )
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        return out.drop("_change_type", "_commit_version")
 
     def process_once(self) -> dict:
         """Process one change window; returns
@@ -128,12 +176,30 @@ class ChangeFeedFollower:
                 "rows": 0,
                 **({"deleted": 0} if self.apply_deletes else {}),
             }
+        if self.max_versions_per_cycle is not None:
+            latest = min(latest, done + self.max_versions_per_cycle)
         changes = store.read_changes(table, done, latest)
         out = (
             self.transform(changes)
             if self.transform is not None
             else self._default_transform(changes)
         )
+        out = self._finalize_window(out)
+        # Re-stamp extraction time at APPLY time: the destination's
+        # merge is latest-wins on _airbyte_extracted_at, and a window
+        # can carry rows whose original stamp is OLDER than what the
+        # destination already holds — a RESTORE re-inserts rows with
+        # their original timestamps, so the rolled-back value would
+        # lose to the very value it displaces. For this hop the window
+        # IS the extraction: its end-state is authoritative for every
+        # key it touches. Replays after a crash re-stamp again, so the
+        # merge destination still converges.
+        from pyspark.sql import functions as F
+
+        from pyairbyte_spark.records import AB_EXTRACTED_AT_COLUMN
+
+        if AB_EXTRACTED_AT_COLUMN in out.columns:
+            out = out.withColumn(AB_EXTRACTED_AT_COLUMN, F.current_timestamp())
         rows = out.count()
         if rows:
             # 1. destination data commit …
@@ -225,7 +291,15 @@ class ChangeFeedFollower:
             cycles += 1
             if max_cycles is not None and cycles >= max_cycles:
                 break
-            if stop_when_caught_up and res["rows"] == 0:
+            # caught up = a true no-op cycle. With bounded windows a
+            # cycle can process 0 rows yet still advance the cursor
+            # (metadata-only commits in the window) while backlog
+            # remains — only a non-advancing cycle means drained.
+            if (
+                stop_when_caught_up
+                and res["rows"] == 0
+                and res["to_version"] == res["from_version"]
+            ):
                 break
             time.sleep(poll_interval)
         return results

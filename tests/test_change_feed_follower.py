@@ -235,3 +235,167 @@ def test_follower_apply_deletes_requires_pks(spark, caches):
 
     with _pytest.raises(ValueError, match="requires primary_keys"):
         ChangeFeedFollower(src, "raw", dst, "clean", apply_deletes=True)
+
+
+def test_follower_dml_heavy_history_with_restore_boundaries(spark, caches):
+    """~90-commit seeded churn — merges, predicate deletes, updates,
+    and mid-history RESTOREs — with the follower checkpointing at
+    irregular intervals. After EVERY checkpoint the destination must
+    equal the source snapshot exactly (restore emits a same-version
+    delete+insert swap; the final-change-wins delete ordering must let
+    the restored rows' inserts beat the swap's deletes). At least one
+    follower window must straddle a restore commit."""
+    import random
+
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    rng = random.Random(42)
+    store = src.store
+
+    def src_rows():
+        df = store.read(t)
+        return sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+
+    store.write_merge(
+        _df(spark, [(i, f"init{i}") for i in range(1, 6)]), t, ["id"]
+    )
+    restore_versions = []
+    n_commits = 1
+    for i in range(90):
+        roll = rng.random()
+        if roll < 0.60:
+            rows = [
+                (rng.randint(1, 30), f"v{i}_{j}")
+                for j in range(rng.randint(1, 3))
+            ]
+            # distinct ids within one merge batch
+            rows = list({r[0]: r for r in rows}.values())
+            store.write_merge(_df(spark, rows, f"m{i}"), t, ["id"])
+        elif roll < 0.75:
+            store.delete_where(t, [("id", "=", rng.randint(1, 30))])
+        elif roll < 0.85:
+            store.update_where(
+                t, [("id", "=", rng.randint(1, 30))], {"v": f"'u{i}'"}
+            )
+        else:
+            cur = store.latest_version(t)
+            if cur >= 3:
+                target = rng.randint(max(1, cur - 8), cur - 1)
+                store.restore(t, target)
+                restore_versions.append(store.latest_version(t))
+        n_commits = store.latest_version(t)
+        if rng.random() < 0.15:
+            res = follower.process_once()
+            assert res["to_version"] == n_commits
+            assert _rows(dst, "clean") == src_rows(), (
+                f"diverged at version {n_commits} (i={i})"
+            )
+    final = follower.process_once()
+    assert final["to_version"] == store.latest_version(t)
+    assert _rows(dst, "clean") == src_rows()
+    # the churn mix must actually have exercised restore boundaries
+    assert len(restore_versions) >= 2, restore_versions
+
+
+def test_follower_across_rename_boundary(spark, caches):
+    """A source column rename mid-history: change frames are emitted
+    through the logical view AS OF each commit, so a window straddling
+    the rename carries BOTH names (nulls where absent). The runbook is:
+    apply the same rename downstream, give the follower a transform
+    that coalesces old->new for straddling windows — then the
+    destination converges to the renamed source snapshot."""
+    src, dst = caches
+    t = src.table_name("raw")
+
+    def coalesce_names(changes):
+        cols = changes.columns
+        if "v" in cols and "val" in cols:
+            changes = changes.withColumn(
+                "val", F.coalesce("val", "v")
+            ).drop("v")
+        elif "v" in cols:
+            changes = changes.withColumnRenamed("v", "val")
+        # keep the feed columns: the follower routes deletes and
+        # reduces to final-per-key state after the transform
+        return changes
+
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean",
+        primary_keys=["id"], apply_deletes=True, transform=coalesce_names,
+    )
+    store = src.store
+    store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t, ["id"])
+    follower.process_once()
+    # the transform pins the destination schema to the FINAL name from
+    # the first window on, so no downstream DDL is ever needed
+
+    # window straddling the rename: one pre-rename commit (emits "v"),
+    # the rename itself (no row changes), one post-rename (emits "val")
+    store.write_merge(_df(spark, [(3, "c")]), t, ["id"])
+    store.rename_column(t, "v", "val")
+    renamed = spark.createDataFrame([(2, "b2"), (4, "d")], ["id", "val"])
+    renamed = renamed.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("n"), F.col("id").cast("string"))
+    ).withColumn("_airbyte_extracted_at", F.current_timestamp())
+    store.write_merge(renamed, t, ["id"])
+    follower.process_once()
+
+    def rows(cache, stream):
+        df = cache.store.read(cache.table_name(stream))
+        return sorted(
+            (r["id"], r["val"]) for r in df.select("id", "val").collect()
+        )
+
+    assert rows(dst, "clean") == rows(src, "raw") == [
+        (1, "a"), (2, "b2"), (3, "c"), (4, "d")
+    ]
+
+    # replay from scratch (fresh destination): the whole history incl.
+    # the pre-rename windows converges under the same transform
+    dst2 = SparkCache(
+        spark,
+        warehouse_dir=str(dst.warehouse_dir) + "_replay",
+        table_format="commitlog",
+    )
+    replayer = ChangeFeedFollower(
+        src, "raw", dst2, "clean",
+        primary_keys=["id"], apply_deletes=True, transform=coalesce_names,
+    )
+    replayer.process_once()
+    assert rows(dst2, "clean") == rows(src, "raw")
+
+
+def test_follower_bounded_catchup_windows(spark, caches):
+    """max_versions_per_cycle caps each window so a follower resuming
+    after a long outage never diffs the whole backlog in one plan;
+    run(stop_when_caught_up=True) drains the backlog in bounded steps
+    and every intermediate destination state is a consistent AS-OF
+    snapshot of the source."""
+    src, dst = caches
+    t = src.table_name("raw")
+    store = src.store
+    for i in range(10):
+        store.write_merge(_df(spark, [(i % 4, f"v{i}"), (10 + i, f"w{i}")], f"b{i}"), t, ["id"])
+    store.set_check(t, "id_nonneg", "id >= 0")  # metadata-only commit
+    store.write_merge(_df(spark, [(99, "tail")]), t, ["id"])
+    latest = store.latest_version(t)
+    assert latest == 12
+
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean",
+        primary_keys=["id"], apply_deletes=True, max_versions_per_cycle=3,
+    )
+    results = follower.run(poll_interval=0.0, stop_when_caught_up=True)
+    bounded = [r for r in results if r["to_version"] > r["from_version"]]
+    assert all(r["to_version"] - r["from_version"] <= 3 for r in bounded)
+    assert bounded[-1]["to_version"] == latest
+    # each bounded window ends on a real snapshot boundary
+    assert [r["to_version"] for r in bounded] == [3, 6, 9, 12]
+    src_rows = sorted(
+        (r["id"], r["v"])
+        for r in store.read(t).select("id", "v").collect()
+    )
+    assert _rows(dst, "clean") == src_rows

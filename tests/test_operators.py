@@ -732,3 +732,70 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+def test_ivf_index_lifecycle_under_churn(spark, tmp_path):
+    """The full index maintenance cycle — build -> append -> probe ->
+    compact -> probe -> retrain -> probe — stays EXACT at every step
+    (probing all lists equals brute force over whatever the index holds),
+    and the zone-map pruning gate survives compaction and retrain."""
+    from pyairbyte_spark.operators.similarity import (
+        _assign_to_centroids,
+        as_double_vec,
+    )
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    gen0 = emb.filter(F.col("vec_id") < 300)
+    gen1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 450))
+    gen2 = emb.filter(F.col("vec_id") >= 450)
+    queries = emb.filter(F.col("vec_id") < 3)
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "idx")
+
+    def assert_exact(corpus):
+        got = similarity.ivf_index_topk(store, "emb", queries, k=5, n_probes=8)
+        want = similarity.brute_force_topk(corpus, queries, k=5)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def assert_pruned():
+        cent = spark.createDataFrame(store.read("emb_centroids").collect())
+        q = queries.select(
+            F.col("vec_id").alias("id"), as_double_vec("embedding").alias("v")
+        )
+        cids = sorted(
+            r["cid"]
+            for r in _assign_to_centroids(q, cent, top_n=2)
+            .select("cid").distinct().collect()
+        )
+        plan = store.plan_scan("emb_lists", [("cid", "in", cids)])
+        if len(cids) < 8:
+            assert plan["files_selected"] < plan["files_total"], plan
+
+    similarity.build_ivf_index(
+        gen0, store, "emb", n_centroids=8, iters=1, train_modulus=4,
+        target_files=8,
+    )
+    assert_exact(gen0)
+
+    # churn wave 1: append, probe (uncompacted tail files), compact, probe
+    similarity.append_to_ivf_index(gen1, store, "emb")
+    corpus01 = gen0.union(gen1)
+    assert_exact(corpus01)
+    store.compact("emb_lists", sort_by=["cid"], target_files=8)
+    assert store.table_stats("emb_lists")["rows"] == corpus01.count()
+    assert_exact(corpus01)
+    assert_pruned()
+
+    # churn wave 2: another append, then RETRAIN (full rebuild on the
+    # grown corpus — fresh quantizer replaces centroids + lists)
+    similarity.append_to_ivf_index(gen2, store, "emb")
+    assert_exact(emb)
+    similarity.build_ivf_index(
+        emb, store, "emb", n_centroids=8, iters=1, train_modulus=4,
+        target_files=8,
+    )
+    assert store.table_stats("emb_lists")["rows"] == emb.count()
+    assert_exact(emb)
+    assert_pruned()
