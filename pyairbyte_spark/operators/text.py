@@ -583,3 +583,78 @@ def unigram_logprob(
         )
         .select(F.col("id").alias(id_col), "n_tokens", "avg_logp10")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: hashed linear classifier (the fastText-
+# style supervised scorer used for quality filtering in CCNet/LLaMA-
+# class curation pipelines, via the hashing trick). The model is just
+# (weights[n_buckets], bias); training happens offline — this is the
+# SCORING operator, which is what runs at corpus scale.
+# ---------------------------------------------------------------------------
+
+
+def token_bucket_expr(tok: Column, n_buckets: int) -> Column:
+    """Stable token -> bucket via a 60-bit md5 prefix (identical in
+    the SQL oracle: ``('0x' || substr(md5(tok), 1, 15))::BIGINT % n``)."""
+    return (
+        F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: list[float],
+    *,
+    bias: float = 0.0,
+    text_col: str = "text",
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """Score each document with a hashed-bag-of-words linear model:
+    ``linear = bias + mean(weights[bucket(token)])``,
+    ``prob = sigmoid(linear)``, ``clf_keep = prob >= keep_threshold``.
+
+    Entirely map-only: the weight table rides the plan as a LITERAL
+    array (no join, no shuffle, no UDF) and each row folds its tokens
+    once — per-document cost, corpus-size-independent. A literal array
+    is the right call up to ~64k buckets (plan size); for the
+    million-bucket regime, explode + broadcast-join a weights table
+    instead (one doc_id shuffle) — same math, the oracle pins it.
+
+    Weights are summed as DECIMAL(18,6) of 6-dp-rounded values, so the
+    sum is EXACT and order-independent — the map-side fold here and the
+    oracle's unnest + SUM agree bit-for-bit; only the final sigmoid
+    touches floating transcendentals (rounded to 6 dp).
+    """
+    n_buckets = len(weights)
+    w_arr = F.array(
+        *[F.lit(round(w, 6)).cast("decimal(9,6)") for w in weights]
+    )
+    pre = df.select(
+        "*",
+        tokens_expr(text_col).alias("__toks"),
+        w_arr.alias("__w"),
+    )
+    toks = F.col("__toks")
+    wsum = F.aggregate(
+        toks,
+        F.lit(0).cast("decimal(18,6)"),
+        lambda acc, t: (
+            acc
+            + F.element_at(
+                F.col("__w"), (token_bucket_expr(t, n_buckets) + 1).cast("int")
+            )
+        ).cast("decimal(18,6)"),
+    )
+    n = F.size(toks)
+    linear = F.when(
+        n > 0, F.lit(bias) + wsum.cast("double") / n.cast("double")
+    ).otherwise(F.lit(float(bias)))
+    out = pre.select(
+        "*",
+        n.cast("long").alias("n_tokens"),
+        F.round(linear, 6).alias("clf_linear"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-linear)), 6).alias("clf_prob"),
+    ).drop("__toks", "__w")
+    return out.withColumn("clf_keep", F.col("clf_prob") >= F.lit(keep_threshold))

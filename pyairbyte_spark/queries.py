@@ -3050,6 +3050,70 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_words", F.col("n_words").cast("long"))
 
 
+# Demo model for the registered classifier query: seeded weights stand
+# in for an offline-trained fastText-style quality model (the SCORING
+# path is what runs at corpus scale; plug real weights into
+# text.hashed_linear_score the same way). 512 buckets keeps the plan's
+# literal weight array small; the operator docstring covers the
+# broadcast-join variant for million-bucket models.
+_CLF_BUCKETS = 512
+_CLF_BIAS = 0.05
+
+
+def _clf_weights() -> list[float]:
+    import random as _random
+
+    rng = _random.Random(13)
+    return [round(rng.uniform(-1.5, 1.5), 6) for _ in range(_CLF_BUCKETS)]
+
+
+def _clf_oracle_sql() -> str:
+    rows = ", ".join(
+        f"({h}, CAST({w} AS DECIMAL(9,6)))"
+        for h, w in enumerate(_clf_weights())
+    )
+    linear = (
+        f"({_CLF_BIAS} + CAST(s.ws AS DOUBLE) / CAST(s.n AS DOUBLE))"
+    )
+    return rf"""
+    WITH weights(h, wt) AS (VALUES {rows}),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT % {_CLF_BUCKETS} AS h
+      FROM toks
+    ),
+    s AS (
+      SELECT b.doc_id, count(*) AS n, SUM(w.wt) AS ws
+      FROM b JOIN weights w USING (h) GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(s.n AS BIGINT) AS n_tokens,
+           round({linear}, 6) AS clf_linear,
+           round(1.0 / (1.0 + exp(-{linear})), 6) AS clf_prob,
+           (round(1.0 / (1.0 + exp(-{linear})), 6) >= 0.5) AS clf_keep
+    FROM documents d JOIN s ON d.doc_id = s.doc_id
+    """
+
+
+@register(
+    "text_quality_classifier",
+    _clf_oracle_sql(),
+    "Hashed linear quality classifier (fastText-style scorer via the "
+    "hashing trick): sigmoid(bias + mean weight of md5-bucketed "
+    "tokens). Map-only — literal weight array, per-row decimal fold, "
+    "zero shuffle; the oracle replays the same model relationally "
+    "(unnest + weight join + exact DECIMAL sum)",
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.hashed_linear_score(
+        docs, _clf_weights(), bias=_CLF_BIAS, text_col="text"
+    ).drop("text")
+
+
 def _pii_oracle_sql() -> str:
     counts = ", ".join(
         f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
