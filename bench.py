@@ -288,9 +288,23 @@ def main() -> None:
     print(f"# wrote {out_path}", file=sys.stderr)
     spark.stop()
     # The compact summary must be the LAST stdout line AND small
-    # enough to survive the driver's bounded tail capture — so the
-    # printed line drops "spread" (it lives in BENCH.json above).
-    print(json.dumps({k: v for k, v in doc.items() if k != "spread"}), flush=True)
+    # enough to survive the driver's bounded tail capture (2000
+    # chars — round 6's line with the inlined sf1 block overflowed it
+    # and the driver recorded "parsed": null). Keep only the required
+    # fields; spread/runs/sf1/loadavg live in BENCH.json above.
+    compact = {
+        "metric": doc["metric"],
+        "value": doc["value"],
+        "unit": doc["unit"],
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": doc["sf"],
+        "ingest_records_per_sec": doc["ingest_records_per_sec"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail before truncating
+        compact["queries"] = {}
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
