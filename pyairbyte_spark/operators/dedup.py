@@ -173,11 +173,24 @@ def minhash_lsh_candidates(
     num_hashes: int = 12,
     bands: int = 4,
     k: int = 3,
+    max_bucket_size: int | None = 65536,
 ) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b, n_bands matched).
 
     The self-join keys on (band_idx, band_hash): only same-bucket docs
     meet — the LSH trick that makes near-dup mining feasible at 100 TB.
+
+    ``max_bucket_size`` bounds the output cardinality: a pathological
+    band bucket with B members (template spam that survives exact
+    dedup because of per-document boilerplate variation) would emit
+    O(B²) candidate pairs — AQE skew-join splitting distributes that
+    work but cannot shrink it. Buckets above the cap are dropped
+    entirely before the self-join (one aggregate + one broadcast
+    anti-join; hot buckets are by construction few, so the anti-join
+    side is tiny). Members of a dropped bucket still pair through
+    their other ``bands - 1`` band buckets, and a cluster THAT dense
+    is exact-dedup's job, not near-dup mining's. ``None`` disables
+    the cap.
     """
     rows = num_hashes // bands
     b = lsh_bands(
@@ -186,6 +199,14 @@ def minhash_lsh_candidates(
         bands=bands,
         rows=rows,
     )
+    if max_bucket_size is not None:
+        hot = (
+            b.groupBy("band_idx", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        b = b.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
     left = b.select(
         F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )

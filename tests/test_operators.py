@@ -62,6 +62,35 @@ def test_minhash_near_dup_detected(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_hot_band_cap_bounds_pairs(spark):
+    """A poisoned band bucket (template spam: shared text → identical
+    signatures → one giant bucket per band) must not emit O(k²)
+    candidate pairs when the bucket exceeds ``max_bucket_size``; docs
+    that pair through normal-sized buckets are unaffected."""
+    spam = [(i, "buy cheap widgets online today free shipping limited offer " * 2)
+            for i in range(30)]
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("kappa", "lambda", 1)
+    df = spark.createDataFrame(
+        spam + [(100, base), (101, near)], ["doc_id", "text"]
+    )
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            df, "text", "doc_id", max_bucket_size=5
+        ).collect()
+    }
+    # the 30-doc spam cluster saturates every band bucket → all dropped
+    assert not any(a < 100 for a, _ in capped)
+    # the small-bucket pair is untouched by the cap
+    assert (100, 101) in capped
+    # uncapped, the spam cluster alone emits C(30,2) = 435 pairs
+    uncapped = dedup.minhash_lsh_candidates(
+        df, "text", "doc_id", max_bucket_size=None
+    ).count()
+    assert uncapped >= 435
+
+
 def test_jaccard_identical_docs_score_one(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
