@@ -610,44 +610,127 @@ def hashed_linear_score(
     bias: float = 0.0,
     text_col: str = "text",
     keep_threshold: float = 0.5,
+    id_col: str | None = None,
+    literal_max_buckets: int = 65536,
 ) -> DataFrame:
     """Score each document with a hashed-bag-of-words linear model:
     ``linear = bias + mean(weights[bucket(token)])``,
     ``prob = sigmoid(linear)``, ``clf_keep = prob >= keep_threshold``.
 
-    Entirely map-only: the weight table rides the plan as a LITERAL
-    array (no join, no shuffle, no UDF) and each row folds its tokens
-    once — per-document cost, corpus-size-independent. A literal array
-    is the right call up to ~64k buckets (plan size); for the
-    million-bucket regime, explode + broadcast-join a weights table
-    instead (one doc_id shuffle) — same math, the oracle pins it.
+    Two physical strategies, auto-selected on ``len(weights)``:
 
-    Weights are summed as DECIMAL(18,6) of 6-dp-rounded values, so the
-    sum is EXACT and order-independent — the map-side fold here and the
+    - **literal** (``<= literal_max_buckets``): the weight table rides
+      the plan as a LITERAL array and each row folds its tokens once —
+      entirely map-only (no join, no shuffle, no UDF), per-document
+      cost, corpus-size-independent. Bounded by plan size (~64k
+      buckets keeps the serialized plan in single-digit MB).
+    - **broadcast-join** (above the cutoff — the million-bucket regime
+      real fastText-class models live in): explode (id, token) pairs
+      only (the document payload never replicates per token),
+      broadcast-join the (bucket, weight) table, re-aggregate on
+      ``id_col``, and join scores back to the original rows. Two
+      shuffles on the doc id; the weight table is a few MB broadcast
+      even at 2M buckets. Requires ``id_col`` naming a UNIQUE doc key
+      (a synthetic id would force materializing the corpus to keep the
+      two plan branches consistent).
+
+    Both strategies compute the identical model: weights are summed as
+    DECIMAL(18,6) of 6-dp-rounded values, so the sum is EXACT and
+    order-independent — the map-side fold, the join-path SUM, and the
     oracle's unnest + SUM agree bit-for-bit; only the final sigmoid
     touches floating transcendentals (rounded to 6 dp).
     """
     n_buckets = len(weights)
-    w_arr = F.array(
-        *[F.lit(round(w, 6)).cast("decimal(9,6)") for w in weights]
-    )
-    pre = df.select(
-        "*",
-        tokens_expr(text_col).alias("__toks"),
-        w_arr.alias("__w"),
-    )
-    toks = F.col("__toks")
-    wsum = F.aggregate(
-        toks,
-        F.lit(0).cast("decimal(18,6)"),
-        lambda acc, t: (
-            acc
-            + F.element_at(
-                F.col("__w"), (token_bucket_expr(t, n_buckets) + 1).cast("int")
+    if n_buckets <= literal_max_buckets:
+        w_arr = F.array(
+            *[F.lit(round(w, 6)).cast("decimal(9,6)") for w in weights]
+        )
+        pre = df.select(
+            "*",
+            tokens_expr(text_col).alias("__toks"),
+            w_arr.alias("__w"),
+        )
+        toks = F.col("__toks")
+        wsum = F.aggregate(
+            toks,
+            F.lit(0).cast("decimal(18,6)"),
+            lambda acc, t: (
+                acc
+                + F.element_at(
+                    F.col("__w"),
+                    (token_bucket_expr(t, n_buckets) + 1).cast("int"),
+                )
+            ).cast("decimal(18,6)"),
+        )
+        # coalesce: NULL text → NULL token array → treat as 0 tokens
+        # (matches the join strategy's count over explode_outer rows)
+        n = F.coalesce(F.size(toks), F.lit(0))
+        return _clf_final(pre, n, wsum, bias, keep_threshold, drop=["__toks", "__w"])
+
+    if id_col is None:
+        raise ValueError(
+            f"{n_buckets} buckets exceeds literal_max_buckets="
+            f"{literal_max_buckets}; the broadcast-join strategy needs "
+            "id_col naming a unique document key"
+        )
+    spark = df.sparkSession
+    import pandas as pd
+
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "__bucket": range(n_buckets),
+                    # via string so the DECIMAL value is exactly the
+                    # 6-dp-rounded weight (not a double round-trip)
+                    "__wt": [f"{round(float(w), 6):.6f}" for w in weights],
+                }
             )
-        ).cast("decimal(18,6)"),
+        ).select(
+            F.col("__bucket").cast("bigint").alias("__bucket"),
+            F.col("__wt").cast("decimal(9,6)").alias("__wt"),
+        )
     )
-    n = F.size(toks)
+    pre = df.withColumn("__toks", tokens_expr(text_col))
+    exploded = pre.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer("__toks").alias("__tok"),
+    ).select(
+        "__id", token_bucket_expr(F.col("__tok"), n_buckets).alias("__bucket")
+    )
+    per_doc = (
+        exploded.join(wdf, "__bucket", "left")
+        .groupBy("__id")
+        .agg(
+            F.coalesce(F.sum("__wt"), F.lit(0))
+            .cast("decimal(18,6)")
+            .alias("__wsum"),
+            F.count("__bucket").alias("__n"),
+        )
+    )
+    joined = pre.join(per_doc, pre[id_col] == per_doc["__id"]).drop("__id")
+    return _clf_final(
+        joined,
+        F.col("__n"),
+        F.col("__wsum"),
+        bias,
+        keep_threshold,
+        drop=["__toks", "__n", "__wsum"],
+    )
+
+
+def _clf_final(
+    pre: DataFrame,
+    n: Column,
+    wsum: Column,
+    bias: float,
+    keep_threshold: float,
+    *,
+    drop: list[str],
+) -> DataFrame:
+    """Shared scoring tail: mean → sigmoid → keep flag (both classifier
+    strategies funnel through this so the output schema and rounding
+    are defined once)."""
     linear = F.when(
         n > 0, F.lit(bias) + wsum.cast("double") / n.cast("double")
     ).otherwise(F.lit(float(bias)))
@@ -656,5 +739,5 @@ def hashed_linear_score(
         n.cast("long").alias("n_tokens"),
         F.round(linear, 6).alias("clf_linear"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-linear)), 6).alias("clf_prob"),
-    ).drop("__toks", "__w")
+    ).drop(*drop)
     return out.withColumn("clf_keep", F.col("clf_prob") >= F.lit(keep_threshold))

@@ -3053,9 +3053,9 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Demo model for the registered classifier query: seeded weights stand
 # in for an offline-trained fastText-style quality model (the SCORING
 # path is what runs at corpus scale; plug real weights into
-# text.hashed_linear_score the same way). 512 buckets keeps the plan's
-# literal weight array small; the operator docstring covers the
-# broadcast-join variant for million-bucket models.
+# text.hashed_linear_score the same way). 512 buckets rides the plan
+# as a literal array; million-bucket models auto-switch to the
+# broadcast-join strategy (tests pin both to this same oracle).
 _CLF_BUCKETS = 512
 _CLF_BIAS = 0.05
 
@@ -3110,7 +3110,7 @@ def _clf_oracle_sql() -> str:
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return text.hashed_linear_score(
-        docs, _clf_weights(), bias=_CLF_BIAS, text_col="text"
+        docs, _clf_weights(), bias=_CLF_BIAS, text_col="text", id_col="doc_id"
     ).drop("text")
 
 

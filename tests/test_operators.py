@@ -91,6 +91,39 @@ def test_minhash_hot_band_cap_bounds_pairs(spark):
     assert uncapped >= 435
 
 
+def test_hashed_linear_score_strategies_agree(spark):
+    """The literal-array and broadcast-join classifier strategies must
+    produce bit-identical scores (same DECIMAL fold, same rounding) —
+    including the NULL-document bias-only row the join path handles
+    via explode_outer."""
+    import random
+
+    rng = random.Random(7)
+    weights = [round(rng.uniform(-1.5, 1.5), 6) for _ in range(256)]
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, None),
+            (4, "the the the the repeated token mass"),
+        ],
+        "doc_id int, text string",
+    )
+    literal = text.hashed_linear_score(
+        df, weights, bias=0.1, id_col="doc_id", literal_max_buckets=65536
+    )
+    join = text.hashed_linear_score(
+        df, weights, bias=0.1, id_col="doc_id", literal_max_buckets=16
+    )
+    assert literal.columns == join.columns
+    lit_rows = {r["doc_id"]: r.asDict() for r in literal.collect()}
+    join_rows = {r["doc_id"]: r.asDict() for r in join.collect()}
+    assert lit_rows == join_rows
+    assert lit_rows[3]["n_tokens"] == 0 and lit_rows[3]["clf_linear"] == 0.1
+    with pytest.raises(ValueError, match="id_col"):
+        text.hashed_linear_score(df, weights, literal_max_buckets=16)
+
+
 def test_jaccard_identical_docs_score_one(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],

@@ -47,6 +47,26 @@ def _row_multiset(rows, columns):
 
 @pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(spark, name):
+    _check_query_vs_oracle(spark, name)
+
+
+def test_classifier_join_strategy_matches_oracle(spark, monkeypatch):
+    """The registered classifier query must stay oracle-green when the
+    broadcast-join strategy is forced (the million-bucket path; the
+    default 512-bucket model takes the literal-array path)."""
+    from functools import partial
+
+    from pyairbyte_spark.operators import text as text_mod
+
+    monkeypatch.setattr(
+        text_mod,
+        "hashed_linear_score",
+        partial(text_mod.hashed_linear_score, literal_max_buckets=16),
+    )
+    _check_query_vs_oracle(spark, "text_quality_classifier")
+
+
+def _check_query_vs_oracle(spark, name):
     oracles = entry_mod.oracle_sql()
     q = entry_mod.queries()[name]
     sdf = q(spark, SF_DIR)
