@@ -9,9 +9,11 @@ harvest, idempotent DELETE — and the full commit protocol (delta
 manifests, checkpoint sidecars, latest pointer, vacuum) running
 end-to-end over s3:// paths.
 
-Spark DATA writes still need s3a (hadoop-aws) pointed at a real
-endpoint, which the sandbox lacks; these tests exercise every
-driver-side metadata path, which is the part FileIO owns.
+Spark DATA reads/writes over s3a — including the distributed manifest
+scan's s3a sidecar branch, the committer's rename path, and the race
+suite on the S3 backend — run end-to-end in
+``tests/test_s3_data_plane.py`` against a moto SERVER; this module
+stays focused on the driver-side metadata paths FileIO owns.
 """
 
 from __future__ import annotations
