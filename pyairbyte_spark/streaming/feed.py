@@ -71,6 +71,7 @@ class ChangeFeedFollower:
         follower_name: str = "feed",
         apply_deletes: bool = False,
         max_versions_per_cycle: int | None = None,
+        snapshot_diff: bool = True,
     ) -> None:
         self.source_cache = source_cache
         self.source_stream = source_stream
@@ -104,6 +105,15 @@ class ChangeFeedFollower:
         if max_versions_per_cycle is not None and max_versions_per_cycle < 1:
             raise ValueError("max_versions_per_cycle must be >= 1")
         self.max_versions_per_cycle = max_versions_per_cycle
+        # Snapshot-diff catch-up: with the default transform the
+        # follower only ever applies the FINAL per-key state of a
+        # window, so the window collapses to ONE diff between the two
+        # endpoint snapshots (store.diff_snapshots) — catch-up cost
+        # O(data), not O(commits). A custom transform sees per-commit
+        # granularity, so it forces the per-commit path; the store
+        # itself falls back on rename/drop-in-window. False forces
+        # per-commit replay even when the collapse would be safe.
+        self.snapshot_diff = snapshot_diff
 
     # -- cursor -------------------------------------------------------------
 
@@ -178,7 +188,13 @@ class ChangeFeedFollower:
             }
         if self.max_versions_per_cycle is not None:
             latest = min(latest, done + self.max_versions_per_cycle)
-        changes = store.read_changes(table, done, latest)
+        changes = None
+        if self.snapshot_diff and self.transform is None and self.primary_keys:
+            changes = store.diff_snapshots(
+                table, done, latest, self.primary_keys
+            )
+        if changes is None:  # custom transform, or unsafe to collapse
+            changes = store.read_changes(table, done, latest)
         out = (
             self.transform(changes)
             if self.transform is not None

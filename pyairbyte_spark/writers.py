@@ -1146,6 +1146,17 @@ class CommitLogTableStore(TableStore):
     # distributed path.
     DISTRIBUTED_MANIFEST_MIN_BYTES = 8 << 20
 
+    # In a distributed scan, once at least this many files survive
+    # pruning (an unselective predicate over a huge table), the
+    # surviving PATH LIST itself is the driver bottleneck. Above the
+    # threshold, entries whose live files all survive collapse to
+    # whole-dir groups (no per-file paths cross the driver; bucket
+    # liveness rides as a row filter) and only partially-pruned
+    # entries ship explicit file lists — driver memory O(data dirs +
+    # partially-pruned files). Below it, the exact file-list plan is
+    # kept, byte-identical to the driver path.
+    DISTRIBUTED_SURVIVOR_COLLAPSE_MIN = 100_000
+
     def _scan_source(
         self, table_name: str, version: int | None
     ) -> tuple[dict, "DataFrame | None", dict | None]:
@@ -1273,29 +1284,71 @@ class CommitLogTableStore(TableStore):
             flagged = live.withColumn(
                 "__match", _match(F.col("stats"), F.col("rows"), F.col("sv"))
             )
-            agg = flagged.agg(
-                F.count(F.lit(1)).alias("t"),
-                F.sum(F.col("__match").cast("long")).alias("s"),
-            ).collect()[0]
-            total = int(agg["t"] or 0)
-            selected = int(agg["s"] or 0)
+        else:
+            flagged = live.withColumn("__match", F.lit(True))
+        # Per-ENTRY survival summary first — O(data dirs) driver rows,
+        # never O(files). This is also what bounds the driver when the
+        # predicate is UNSELECTIVE: with many survivors, an entry whose
+        # live files ALL survive collapses to a whole-dir group (paths
+        # crossing the driver: none), and only partially-pruned entries
+        # ship explicit file lists. Below the threshold the exact
+        # file-list plan is kept so small scans stay byte-identical to
+        # the driver path.
+        summary = (
+            flagged.groupBy("entry_path")
+            .agg(
+                F.count(F.lit(1)).alias("n_live"),
+                F.sum(F.col("__match").cast("long")).alias("n_surv"),
+                F.first("entry_buckets").alias("entry_buckets"),
+            )
+            .collect()
+        )
+        total = sum(int(r["n_live"]) for r in summary)
+        selected = sum(int(r["n_surv"] or 0) for r in summary)
+        groups: list[dict] = []
+        if selected >= self.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN:
+            partial = [
+                r["entry_path"]
+                for r in summary
+                if 0 < int(r["n_surv"] or 0) < int(r["n_live"])
+            ]
+            for r in summary:
+                if int(r["n_surv"] or 0) == int(r["n_live"]) > 0:
+                    groups.append(
+                        {
+                            "base": os.path.join(root, r["entry_path"]),
+                            "paths": None,
+                            "live": (
+                                list(r["entry_buckets"])
+                                if r["entry_buckets"] is not None
+                                else None
+                            ),
+                        }
+                    )
+            surv = (
+                flagged.filter(
+                    F.col("__match") & F.col("entry_path").isin(partial)
+                )
+                .select("entry_path", "file_path")
+                .collect()
+                if partial
+                else []
+            )
+        else:
             surv = (
                 flagged.filter(F.col("__match"))
                 .select("entry_path", "file_path")
                 .collect()
             )
-        else:
-            surv = live.select("entry_path", "file_path").collect()
-            total = selected = len(surv)
         by_entry: dict[str, list[str]] = {}
         for r in surv:
             by_entry.setdefault(r["entry_path"], []).append(
                 os.path.join(root, r["entry_path"], r["file_path"])
             )
-        groups = [
+        groups.extend(
             {"base": os.path.join(root, ep), "paths": ps, "live": None}
             for ep, ps in by_entry.items()
-        ]
+        )
         # Pre-stats entries (no file list): whole-dir groups with
         # row-level bucket filtering, exactly as the driver path.
         hdr = (
@@ -1771,6 +1824,101 @@ class CommitLogTableStore(TableStore):
         for s in steps[1:]:
             out = out.unionByName(s, allowMissingColumns=True)
         return out
+
+    def diff_snapshots(
+        self,
+        table_name: str,
+        from_version: int,
+        to_version: int,
+        primary_keys: list[str],
+    ) -> DataFrame | None:
+        """Window-collapsed change set: the row-level difference between
+        snapshot ``from_version`` and snapshot ``to_version`` as ONE
+        diff — two snapshot scans and one join, however many commits
+        separate the versions. This is the follower catch-up path:
+        :meth:`read_changes` unions one diff-frame per commit, so a
+        long-outage window of V versions builds (and runs) a plan
+        linear in V even though the follower only applies the FINAL
+        per-key state; the snapshot diff computes that final state
+        directly, making catch-up cost O(data), not O(commits).
+
+        Emits exactly one change per key: ``insert`` (key absent at
+        ``from_version``), ``update_postimage`` (key present, user
+        values changed — bookkeeping-only rewrites are
+        digest-suppressed), or ``delete`` (key absent at
+        ``to_version``); ``_commit_version`` is ``to_version`` for all
+        rows. Intermediate states are deliberately invisible — this is
+        NOT the CDF (use :meth:`read_changes` for per-commit
+        granularity).
+
+        Returns ``None`` when the collapse is unsafe and the caller
+        must replay per-commit: a ``rename_column`` / ``drop_column``
+        commit inside the window, column-mapping drift between the
+        endpoints (e.g. a restore resurrecting an older mapping), or
+        both endpoint snapshots empty (no schema source). Unlike
+        ``read_changes``, intermediate versions may already be
+        vacuumed — only the two endpoints need their data dirs.
+        """
+        if not primary_keys:
+            raise ValueError("diff_snapshots requires primary_keys")
+        to = to_version
+        if from_version > to:
+            raise ValueError(
+                f"from_version {from_version} is after to_version {to}"
+            )
+        man_to = self._read_manifest(table_name, to)
+        man_from = (
+            self._read_manifest(table_name, from_version)
+            if from_version >= 1
+            else None
+        )
+        if man_from is not None and self._mapping_of(man_from) != self._mapping_of(
+            man_to
+        ):
+            return None
+        for v in range(from_version + 1, to + 1):
+            op = self._read_commit_json(table_name, v).get("op")
+            if op in ("rename_column", "drop_column"):
+                return None
+
+        def _snap(man: dict | None, version: int) -> DataFrame | None:
+            if man is None or not man.get("entries"):
+                return None
+            return self.read_version(table_name, version)
+
+        new = _snap(man_to, to)
+        old = _snap(man_from, from_version)
+        if new is None and old is None:
+            return None  # nothing to diff AND no schema source
+        tag_v = F.lit(to).cast("long")
+
+        def _tag(df: DataFrame, change: str) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", tag_v
+            )
+
+        if old is None:
+            return _tag(new, "insert")
+        if new is None:
+            return _tag(old, "delete")
+        pks = list(primary_keys)
+        new_d = new.withColumn("__d", self._row_digest(new))
+        old_d = old.withColumn("__d", self._row_digest(old))
+        old_keys = old.select(*pks).distinct()
+        changed = new_d.join(
+            old_d.select(*pks, "__d").distinct(), on=[*pks, "__d"], how="left_anti"
+        ).drop("__d")
+        inserts = _tag(changed.join(old_keys, on=pks, how="left_anti"), "insert")
+        updates = _tag(
+            changed.join(old_keys, on=pks, how="left_semi"), "update_postimage"
+        )
+        deletes = _tag(
+            old.join(new.select(*pks).distinct(), on=pks, how="left_anti"),
+            "delete",
+        )
+        return inserts.unionByName(
+            updates, allowMissingColumns=True
+        ).unionByName(deletes, allowMissingColumns=True)
 
     def _changes_for_step(self, table_name: str, v: int) -> DataFrame | None:
         man = self._read_manifest(table_name, v)

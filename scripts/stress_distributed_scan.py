@@ -38,42 +38,51 @@ from pyairbyte_spark import manifest as mf
 from pyairbyte_spark.writers import CommitLogTableStore
 
 
-def _entry(v: int) -> dict:
+def _file(v: int) -> dict:
     return {
-        "path": f"d-{v:012d}",
-        "buckets": None,
-        "files": [
-            {
-                "path": f"part-{v:012d}.parquet",
-                "bucket": None,
-                "bytes": 1 << 20,
-                "rows": 10_000,
-                "sv": 2,
-                "stats": {
-                    "id": {"min": v * 10_000, "max": (v + 1) * 10_000 - 1,
-                           "nulls": 0},
-                    "g": {"min": 0, "max": 999, "nulls": 0},
-                    "ts": {"min": 1700000000000000, "max": 1700086400000000,
-                           "nulls": 0},
-                    "payload": {"min": "0" * 8, "max": "f" * 8, "nulls": 0},
-                },
-            }
-        ],
+        "path": f"part-{v:012d}.parquet",
+        "bucket": None,
+        "bytes": 1 << 20,
+        "rows": 10_000,
+        "sv": 2,
+        "stats": {
+            "id": {"min": v * 10_000, "max": (v + 1) * 10_000 - 1,
+                   "nulls": 0},
+            "g": {"min": 0, "max": 999, "nulls": 0},
+            "ts": {"min": 1700000000000000, "max": 1700086400000000,
+                   "nulls": 0},
+            "payload": {"min": "0" * 8, "max": "f" * 8, "nulls": 0},
+        },
     }
 
 
-def _build_table(root: str, n: int) -> None:
-    """A table whose v1 checkpoint sidecar carries ``n`` entries,
-    streamed in 10k-entry batches (setup itself stays bounded)."""
+def _entry(e: int, files_per_entry: int = 1) -> dict:
+    v0 = e * files_per_entry
+    return {
+        "path": f"d-{e:012d}",
+        "buckets": None,
+        "files": [_file(v) for v in range(v0, v0 + files_per_entry)],
+    }
+
+
+def _build_table(root: str, n_files: int, files_per_entry: int = 1) -> None:
+    """A table whose v1 checkpoint sidecar carries ``n_files`` data
+    files across ``n_files // files_per_entry`` entries, streamed in
+    ~10k-file batches (setup itself stays bounded)."""
     d = os.path.join(root, "main", "t", "_commits")
     os.makedirs(d, exist_ok=True)
     ref = f"{1:020d}.stress00.checkpoint.parquet"
+    n_entries = n_files // files_per_entry
     schema = pq.read_schema(
-        io.BytesIO(mf.entries_to_parquet_bytes([_entry(0)]))
+        io.BytesIO(mf.entries_to_parquet_bytes([_entry(0, files_per_entry)]))
     )
+    batch_entries = max(1, 10_000 // files_per_entry)
     with pq.ParquetWriter(os.path.join(d, ref), schema) as w:
-        for off in range(0, n, 10_000):
-            batch = [_entry(v) for v in range(off, min(off + 10_000, n))]
+        for off in range(0, n_entries, batch_entries):
+            batch = [
+                _entry(e, files_per_entry)
+                for e in range(off, min(off + batch_entries, n_entries))
+            ]
             t = pq.read_table(io.BytesIO(mf.entries_to_parquet_bytes(batch)))
             # entry_idx restarts per batch; re-base so the Python-path
             # decoder (keyed by entry_idx) sees unique values
@@ -85,7 +94,7 @@ def _build_table(root: str, n: int) -> None:
     with open(os.path.join(d, f"{1:020d}.json"), "w") as f:
         json.dump(
             {"version": 1, "op": "append", "merge_buckets": None,
-             "entries_ref": ref, "n_entries": n},
+             "entries_ref": ref, "n_entries": n_entries},
             f,
         )
 
@@ -114,6 +123,10 @@ def _measure(store: CommitLogTableStore, preds) -> dict:
         "selected": plan["files_selected"],
         "total": plan["files_total"],
         "distributed": bool(plan.get("distributed")),
+        "groups": len(plan["groups"]),
+        "groups_with_paths": sum(
+            1 for g in plan["groups"] if g["paths"] is not None
+        ),
     }
 
 
@@ -145,6 +158,34 @@ def main() -> None:
         2.0, 3 * out[0]["distributed"]["py_peak_mb"]
     )
     print(json.dumps({"driver_mem_flat_10k_to_max": flat}))
+
+    # Unselective predicate: EVERY file survives, so the surviving
+    # path list itself is the driver cost. With the survivor collapse,
+    # fully-surviving entries (here 1000 files each — the realistic
+    # many-files-per-data-dir layout) become whole-dir groups and
+    # driver memory is O(entries), not O(files). Contrast at 100k
+    # files: collapse off (threshold above the survivor count) vs on.
+    wide = [("id", ">=", 0)]
+    un_out = []
+    for n, collapse in ((100_000, False), (100_000, True),
+                        (max_entries, True)):
+        root = tempfile.mkdtemp(prefix="stress-dscan-wide-")
+        _build_table(root, n, files_per_entry=1000)
+        dist = CommitLogTableStore(spark, root, "main")
+        dist.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+        dist.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN = 0 if collapse else n + 1
+        rec = {"files": n, "entries": n // 1000, "collapse": collapse,
+               "unselective": _measure(dist, wide)}
+        assert rec["unselective"]["selected"] == n
+        if collapse:
+            assert rec["unselective"]["groups_with_paths"] == 0
+            assert rec["unselective"]["groups"] == n // 1000
+        un_out.append(rec)
+        print(json.dumps(rec), flush=True)
+    collapsed_flat = un_out[-1]["unselective"]["py_peak_mb"] <= max(
+        2.0, 3 * un_out[1]["unselective"]["py_peak_mb"]
+    )
+    print(json.dumps({"unselective_driver_mem_flat": collapsed_flat}))
 
 
 if __name__ == "__main__":

@@ -10,15 +10,16 @@ Two questions, both 100-TB-shaped:
    streaming/feed.py:_finalize_window). After draining, the
    destination must equal the source snapshot exactly.
 
-2. **What does catch-up cost as the backlog grows?** One change
-   window unions one diff-frame per commit, so an unbounded window
-   over a long outage builds a plan linear in the gap — and Spark
-   analysis/optimization over thousands of unioned joins is
-   super-linear in practice. The fix is max_versions_per_cycle
-   (Delta's maxFilesPerTrigger, in versions): this script measures
-   per-version catch-up cost at window sizes 25/50/100/200 over the
-   same backlog to show the curve, then drains the full history in
-   bounded windows.
+2. **What does catch-up cost as the backlog grows?** The follower's
+   default path now collapses each window to ONE snapshot diff
+   between the endpoint versions (store.diff_snapshots) — per-window
+   cost is O(data), independent of the number of commits in the
+   window, where the per-commit read_changes replay paid a fixed
+   job-overhead cost PER VERSION (~0.5 s/version in the round-6
+   measurement of this script). This script measures per-version
+   catch-up cost at window sizes 25/50/100/200 over the same backlog
+   (expected: flat per-window time → per-version cost falling as
+   1/window), then drains the full history in bounded windows.
 
 Run: python scripts/stress_follower.py [n_commits] (default 1000)
 """

@@ -399,3 +399,106 @@ def test_follower_bounded_catchup_windows(spark, caches):
         for r in store.read(t).select("id", "v").collect()
     )
     assert _rows(dst, "clean") == src_rows
+
+
+# -- snapshot-diff catch-up path ---------------------------------------------
+
+
+def test_diff_snapshots_classification(spark, caches):
+    """One change per key: insert / update_postimage / delete, with
+    bookkeeping-only rewrites digest-suppressed and intermediate
+    states invisible."""
+    src, _ = caches
+    t = src.table_name("raw")
+    store = src.store
+    store.write_merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, ["id"])
+    v_from = store.latest_version(t)
+    store.write_merge(_df(spark, [(1, "a2"), (4, "d")], "s"), t, ["id"])
+    store.delete_where(t, [("id", "=", 2)])
+    # bookkeeping-only rewrite: same user values, new raw id
+    store.write_merge(_df(spark, [(3, "c")], "rewrite"), t, ["id"])
+    # churn a key through intermediate states back to a NEW final value
+    store.write_merge(_df(spark, [(1, "mid")], "m1"), t, ["id"])
+    store.write_merge(_df(spark, [(1, "a3")], "m2"), t, ["id"])
+    v_to = store.latest_version(t)
+
+    diff = store.diff_snapshots(t, v_from, v_to, ["id"])
+    got = sorted(
+        (r["id"], r["_change_type"], r["v"], r["_commit_version"])
+        for r in diff.collect()
+    )
+    assert got == [
+        (1, "update_postimage", "a3", v_to),
+        (2, "delete", "b", v_to),
+        (4, "insert", "d", v_to),
+    ]
+    # from_version=0: the whole snapshot as inserts
+    full = store.diff_snapshots(t, 0, v_to, ["id"])
+    assert sorted(r["_change_type"] for r in full.collect()) == ["insert"] * 3
+
+
+def test_diff_snapshots_falls_back_on_rename_in_window(spark, caches):
+    src, _ = caches
+    t = src.table_name("raw")
+    store = src.store
+    store.write_merge(_df(spark, [(1, "a")]), t, ["id"])
+    v_from = store.latest_version(t)
+    store.rename_column(t, "v", "val")
+    v_to = store.latest_version(t)
+    assert store.diff_snapshots(t, v_from, v_to, ["id"]) is None
+
+
+def test_follower_snapshot_diff_equivalent_to_per_commit(spark, caches, tmp_path):
+    """Both catch-up strategies must land the destination on the exact
+    source snapshot across a DML-heavy window (merge, delete, update,
+    restore)."""
+    src, dst = caches
+    t = src.table_name("raw")
+    store = src.store
+    store.write_merge(_df(spark, [(i, f"v{i}") for i in range(1, 8)]), t, ["id"])
+    store.delete_where(t, [("id", "=", 3)])
+    store.update_where(t, [("id", "=", 5)], {"v": "'u5'"})
+    store.write_merge(_df(spark, [(2, "v2b"), (9, "new9")], "m"), t, ["id"])
+    store.restore(t, 2)  # snapshot swap back past the update
+    store.write_merge(_df(spark, [(1, "final1")], "f"), t, ["id"])
+
+    fast = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    fast.process_once()
+    dst2 = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "dst2"), table_format="commitlog"
+    )
+    slow = ChangeFeedFollower(
+        src, "raw", dst2, "clean",
+        primary_keys=["id"], apply_deletes=True, snapshot_diff=False,
+    )
+    slow.process_once()
+    src_rows = sorted(
+        (r["id"], r["v"]) for r in store.read(t).select("id", "v").collect()
+    )
+    assert _rows(dst, "clean") == src_rows
+    assert _rows(dst2, "clean") == src_rows
+
+
+def test_follower_custom_transform_uses_per_commit_path(spark, caches, monkeypatch):
+    """A custom transform sees per-commit granularity, so the snapshot
+    collapse must NOT engage for it."""
+    src, dst = caches
+    t = src.table_name("raw")
+    src.store.write_merge(_df(spark, [(1, "a")]), t, ["id"])
+    calls = []
+    orig = type(src.store).diff_snapshots
+
+    def spy(self, *a, **k):
+        calls.append(a)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(type(src.store), "diff_snapshots", spy)
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean",
+        primary_keys=["id"], transform=lambda df: df,
+    )
+    follower.process_once()
+    assert not calls
+    assert _rows(dst, "clean") == [(1, "a")]

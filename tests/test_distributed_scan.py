@@ -145,3 +145,33 @@ def test_threshold_keeps_small_tables_on_driver_path(spark, tmp_path,
     plan = store.plan_scan("t", [])
     assert "distributed" not in plan  # default 8 MiB threshold
     assert plan["manifest"].get("entries")
+
+
+def test_survivor_collapse_equivalence(spark, stores):
+    """Unselective-predicate spill: with the collapse threshold forced
+    to 0, fully-surviving entries become whole-dir groups (no per-file
+    paths cross the driver) while partially-pruned entries keep
+    explicit file lists — and every observable (counts, skip stats,
+    read results) still matches the driver path exactly."""
+    dist, drv = stores
+    _seed(spark, dist)
+    dist.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN = 0
+    for preds in ([], [("id", ">=", 5)], [("id", "<", 35)],
+                  [("id", ">=", 0)]):
+        p_dist = dist.plan_scan("t", preds)
+        p_drv = drv.plan_scan("t", preds)
+        assert p_dist.get("distributed") is True
+        assert p_dist["files_total"] == p_drv["files_total"]
+        assert p_dist["files_selected"] == p_drv["files_selected"]
+        # entries with every live file surviving collapsed to
+        # whole-dir groups; the driver path always ships file lists
+        collapsed = [g for g in p_dist["groups"] if g["paths"] is None]
+        partial = [g for g in p_dist["groups"] if g["paths"] is not None]
+        if p_dist["files_selected"] == p_dist["files_total"]:
+            assert collapsed and not partial
+        assert _rows(dist.read_where("t", preds)) == _rows(
+            drv.read_where("t", preds)
+        ), preds
+    # a predicate pruning whole entries AND splitting one: mixed plan
+    got = _rows(dist.read_where("t", [("id", "in", (2, 12, 31))]))
+    assert got == [(2, "v2"), (12, "v12"), (31, "v31")]
