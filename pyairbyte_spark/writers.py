@@ -1286,27 +1286,31 @@ class CommitLogTableStore(TableStore):
             )
         else:
             flagged = live.withColumn("__match", F.lit(True))
-        # Per-ENTRY survival summary first — O(data dirs) driver rows,
-        # never O(files). This is also what bounds the driver when the
-        # predicate is UNSELECTIVE: with many survivors, an entry whose
-        # live files ALL survive collapses to a whole-dir group (paths
-        # crossing the driver: none), and only partially-pruned entries
-        # ship explicit file lists. Below the threshold the exact
-        # file-list plan is kept so small scans stay byte-identical to
-        # the driver path.
-        summary = (
-            flagged.groupBy("entry_path")
-            .agg(
-                F.count(F.lit(1)).alias("n_live"),
-                F.sum(F.col("__match").cast("long")).alias("n_surv"),
-                F.first("entry_buckets").alias("entry_buckets"),
-            )
-            .collect()
-        )
-        total = sum(int(r["n_live"]) for r in summary)
-        selected = sum(int(r["n_surv"] or 0) for r in summary)
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(F.col("__match").cast("long")).alias("s"),
+        ).collect()[0]
+        total = int(agg["t"] or 0)
+        selected = int(agg["s"] or 0)
         groups: list[dict] = []
         if selected >= self.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN:
+            # Unselective regime: the surviving PATH LIST itself would
+            # be the driver bottleneck. Summarize survival per ENTRY
+            # (O(data dirs) rows — entries are commits' data dirs, a
+            # few orders of magnitude fewer than files): an entry whose
+            # live files all survive collapses to a whole-dir group
+            # (no per-file paths cross the driver; bucket liveness
+            # rides as a row filter), and only partially-pruned entries
+            # ship explicit file lists.
+            summary = (
+                flagged.groupBy("entry_path")
+                .agg(
+                    F.count(F.lit(1)).alias("n_live"),
+                    F.sum(F.col("__match").cast("long")).alias("n_surv"),
+                    F.first("entry_buckets").alias("entry_buckets"),
+                )
+                .collect()
+            )
             partial = [
                 r["entry_path"]
                 for r in summary
@@ -1335,6 +1339,8 @@ class CommitLogTableStore(TableStore):
                 else []
             )
         else:
+            # Selective regime: collect exactly the survivors — the
+            # plan stays byte-identical to the driver path.
             surv = (
                 flagged.filter(F.col("__match"))
                 .select("entry_path", "file_path")

@@ -14,3 +14,6 @@ python scripts/oracle_sweep.py "${SWEEP_SF_DIR:-/root/testdata/sf0.1}"
 
 echo "== bench =="
 python bench.py
+
+echo "== sf1 regression gate (vs SF1_BASELINE.json, +/-20%) =="
+python scripts/sf1_regression.py
