@@ -741,3 +741,80 @@ def _clf_final(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-linear)), 6).alias("clf_prob"),
     ).drop(*drop)
     return out.withColumn("clf_keep", F.col("clf_prob") >= F.lit(keep_threshold))
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword scoring (Robertson/Spärck Jones; the Lucene "BM25+1"
+# idf variant, so idf is always positive). The retrieval-shaped
+# operator of a curation stack: score documents against a keyword
+# query with corpus-level statistics — no index, pure relational plan.
+# ---------------------------------------------------------------------------
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score against ``query_terms`` (lowercased,
+    whitespace tokenization):
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)``.
+
+    Output: one row per document containing at least one query term —
+    ``(id_col, n_hit_terms, bm25)``, score rounded to 6 dp.
+
+    Plan shape: two corpus passes (one aggregates N and Σdl for the
+    corpus constants, one explodes matching tokens into per-(doc,term)
+    tf), then a broadcast of the term df table (|query| rows) and of
+    the 1-row constants; the only full shuffles carry (doc, term)
+    longs. avgdl is derived as exact-integer Σdl / N at the end so
+    both passes and the SQL oracle agree bit-for-bit before the final
+    float arithmetic. At deployment scale the corpus-constants pass is
+    the thing to precompute once per snapshot and reuse across
+    queries.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    base = df.select(
+        F.col(id_col),
+        F.transform(tokens_expr(text_col), lambda tk: F.lower(tk)).alias(
+            "__lt"
+        ),
+    ).select(
+        F.col(id_col),
+        F.size("__lt").cast("long").alias("__dl"),
+        F.filter("__lt", lambda tk: tk.isin(terms)).alias("__hits"),
+    )
+    consts = base.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__dl").alias("__sumdl")
+    )
+    tf = (
+        base.select(id_col, "__dl", F.explode("__hits").alias("__tok"))
+        .groupBy(id_col, "__tok")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__dl").alias("__dl"))
+    )
+    dfreq = tf.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    score = idf * (
+        F.col("__tf") * (k1 + 1.0)
+    ) / (
+        F.col("__tf")
+        + k1 * (1.0 - b + b * F.col("__dl").cast("double") / avgdl)
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__tok")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(F.sum(score), 6).alias("bm25"),
+        )
+    )

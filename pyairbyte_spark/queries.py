@@ -2385,20 +2385,58 @@ def f_q(w: str) -> str:
     "-> shard stats. Catalyst fuses the stages; one job",
 )
 def pipeline_curation_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
     from pyairbyte_spark.operators.curation import pack_token_bins
 
     docs = t(spark, sf_dir, "documents")
-    keepers = (
-        docs.groupBy(F.md5(text.normalize_text_expr("text")).alias("__dg"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # ONE scan, tokens materialized ONCE. The operator-composed form
+    # (langid_expr / stopword_ratio_expr / token_count_expr each
+    # re-tokenizing, plus a groupBy+self-join for dedup keepers) split
+    # text ~4x per row and scanned documents twice; here every signal
+    # derives from a single lowered token array behind explicit
+    # projection boundaries (higher-order fns are interpreted and CSE
+    # does not reach inside their lambdas), and the keeper rule rides
+    # a digest window instead of a join.
+    lt = F.col("__lt")
+    base = (
+        docs.select(
+            "doc_id",
+            F.md5(text.normalize_text_expr("text")).alias("__dg"),
+            text.tokens_expr("text").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            "__dg",
+            F.transform("__toks", lambda tk: F.lower(tk)).alias("__lt"),
+        )
+        .select(
+            "doc_id",
+            "__dg",
+            F.size(lt).cast("long").alias("n_tokens"),
+            F.size(
+                F.filter(lt, lambda tk: tk.isin(text.EN_STOPWORDS))
+            ).alias("__sw"),
+            *[
+                F.size(F.filter(lt, lambda tk: tk.isin(words))).alias(
+                    f"__h_{lang}"
+                )
+                for lang, words in text.LANG_MARKERS.items()
+            ],
+        )
     )
-    kept = docs.join(keepers, "doc_id")
-    en = kept.filter(text.langid_expr("text") == "en")
-    quality = en.filter(F.round(text.stopword_ratio_expr("text"), 6) >= 0.05)
-    tok = quality.select(
-        "doc_id", text.token_count_expr("text").cast("long").alias("n_tokens")
+    kept = base.withColumn(
+        "__min_id", F.min("doc_id").over(W.partitionBy("__dg"))
+    ).filter(F.col("doc_id") == F.col("__min_id"))
+    best = F.greatest(*[F.col(f"__h_{lg}") for lg in text.LANG_MARKERS])
+    en = kept.filter((F.col("__h_en") > 0) & (F.col("__h_en") == best))
+    quality = en.filter(
+        F.round(
+            F.col("__sw") / F.greatest(F.col("n_tokens"), F.lit(1)), 6
+        )
+        >= 0.05
     )
+    tok = quality.select("doc_id", "n_tokens")
     packed = pack_token_bins(tok, token_col="n_tokens", budget=2000, id_col="doc_id")
     return packed.groupBy("bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -3114,6 +3152,53 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("text")
 
 
+_BM25_TERMS = ["spark", "query", "join", "window", "data"]
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
+    return rf"""
+    WITH lt AS (
+      SELECT doc_id, list_transform({_TOKS_DUCK}, t -> lower(t)) AS toks
+      FROM documents
+    ),
+    toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM lt),
+    consts AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl
+      FROM (SELECT doc_id, len(toks) AS dl FROM lt)
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+      FROM toks WHERE tok IN ({terms})
+      GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok)
+    SELECT tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit_terms,
+           round(sum(
+             ln((c.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                               / (CAST(c.sumdl AS DOUBLE) / c.n)))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq d USING (tok) CROSS JOIN consts c
+    GROUP BY tf.doc_id
+    """
+
+
+@register(
+    "text_bm25_search",
+    _bm25_oracle_sql(),
+    "BM25 keyword scoring (Lucene idf variant) against the corpus: "
+    "two corpus passes (constants + matching-token tf), broadcast "
+    "term-df table, exact-integer avgdl; no index, pure relational "
+    "plan",
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_scores(docs, _BM25_TERMS)
+
+
 def _pii_oracle_sql() -> str:
     counts = ", ".join(
         f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
@@ -3477,38 +3562,48 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
-    # 60-bit md5-prefix hash BEFORE the distinct: shuffles, the DF
-    # window, and the bench join all carry 8-byte longs instead of
-    # shingle strings (mirrored in the oracle so counts stay exact).
+    # 60-bit md5-prefix hash BEFORE the distinct: every downstream
+    # shuffle carries 8-byte longs instead of shingle strings
+    # (mirrored in the oracle so counts stay exact).
     sh = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint")
+    # ONE linear pipeline — no self-join, no recomputation. The naive
+    # bench ⋈ corpus formulation references the shingle frame three
+    # times (benchmark set, totals, hits), and Spark recomputes the
+    # whole explode+distinct per branch (3× the dominant cost at sf1).
+    # Benchmark membership is just per-shingle metadata, so it rides
+    # the SAME window partition as the document-frequency cap: one
+    # shuffle computes both, and a final groupBy(doc) counts shingles
+    # and hits together.
+    w = W.partitionBy("sh")
     shingles = (
         docs.select("doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s"))
         .select("doc_id", sh.alias("sh"))
         .distinct()
-        # DF cap before either side of the join: shingles are distinct
-        # per doc, so count-over-sh is document frequency. Bounds the
-        # broadcast set and drops zero-signal stop-phrases.
-        .withColumn("__df", F.count(F.lit(1)).over(W.partitionBy("sh")))
+        # shingles are distinct per doc, so count-over-sh is document
+        # frequency; the cap drops zero-signal stop-phrases. __bench:
+        # does ANY benchmark doc hold this shingle.
+        .withColumn("__df", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "__bench",
+            F.max((F.col("doc_id") % 50 == 0).cast("int")).over(w),
+        )
         .filter(F.col("__df") <= F.lit(100))
-        .drop("__df")
     )
-    bench = shingles.filter(F.col("doc_id") % 50 == 0).select("sh").distinct()
-    corpus = shingles.filter(F.col("doc_id") % 50 != 0)
-    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "sh")
+    return (
+        shingles.filter(F.col("doc_id") % 50 != 0)
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    return totals.join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_shingles").cast("long").alias("n_shingles"),
-        F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_contaminated"),
-        F.round(
-            F.coalesce(F.col("n_hit"), F.lit(0))
-            / F.col("n_shingles").cast("double"),
-            6,
-        ).alias("overlap_frac"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("__bench").alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hit").cast("long").alias("n_contaminated"),
+            F.round(
+                F.col("n_hit") / F.col("n_shingles").cast("double"), 6
+            ).alias("overlap_frac"),
+        )
     )
 
 

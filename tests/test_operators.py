@@ -124,6 +124,28 @@ def test_hashed_linear_score_strategies_agree(spark):
         text.hashed_linear_score(df, weights, literal_max_buckets=16)
 
 
+def test_bm25_semantics(spark):
+    """More query-term mass scores higher at equal length; rare terms
+    outweigh common ones; docs without any query term are absent."""
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple banana apple banana"),  # 3x apple
+            (2, "apple cherry cherry cherry cherry cherry"),  # 1x apple
+            (3, "cherry cherry cherry cherry cherry cherry"),  # no hits
+            (4, "zebra cherry cherry cherry cherry cherry"),  # rare term
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in text.bm25_scores(df, ["apple", "zebra"]).collect()
+    }
+    assert set(rows) == {1, 2, 4}
+    assert rows[1]["n_hit_terms"] == 1 and rows[1]["bm25"] > rows[2]["bm25"]
+    # zebra (df=1) is rarer than apple (df=2) -> higher idf at tf=1
+    assert rows[4]["bm25"] > rows[2]["bm25"]
+
+
 def test_jaccard_identical_docs_score_one(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],

@@ -275,3 +275,15 @@ def test_gopher_full_ruleset_map_only(spark):
     df = q.queries()["text_gopher_quality"](spark, SF_DIR)
     assert plans.shuffle_count(df) == 0
     assert all(len(cols) <= 2 for cols in plans.scan_columns(df))
+
+
+def test_contamination_single_scan_no_join(spark):
+    """Contamination is ONE linear pipeline: a single documents scan,
+    benchmark membership riding the DF-cap window (no self-join, no
+    branch recomputation — the naive bench-join formulation re-ran the
+    explode+distinct per branch)."""
+    df = q.queries()["contamination_check"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "Join" not in plan and "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
