@@ -4149,6 +4149,52 @@ def store_change_feed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_snapshot_diff_events",
+    """
+    -- diff_snapshots(v2 -> v4) collapses the DELETE + UPDATE window to
+    -- ONE change per key: view rows out (delete), purchase rows as
+    -- post-images (update_postimage), everything stamped with the
+    -- window's end version (4). Counts/sums mirror as plain SQL;
+    -- n_keys == n_rows pins the one-change-per-key contract.
+    WITH d AS (SELECT 'delete' AS change_type,
+                      count(*) AS n_rows,
+                      count(DISTINCT event_id) AS n_keys,
+                      CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                        AS sum_value,
+                      CAST(4 AS BIGINT) AS commit_version
+               FROM events WHERE event_type = 'view'),
+         u AS (SELECT 'update_postimage' AS change_type,
+                      count(*) AS n_rows,
+                      count(DISTINCT event_id) AS n_keys,
+                      CAST(sum(CAST(round(value + 1.0, 2) AS DECIMAL(18,2))) AS DOUBLE)
+                        AS sum_value,
+                      CAST(4 AS BIGINT) AS commit_version
+               FROM events WHERE event_type = 'purchase')
+    SELECT * FROM d UNION ALL SELECT * FROM u ORDER BY change_type
+    """,
+    "Window-collapsed CDC: diff_snapshots computes the final per-key "
+    "change between two snapshots as ONE diff (two scans + a join, "
+    "independent of the commit count between) — the follower catch-up "
+    "path, checked against relational arithmetic",
+)
+def store_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _events_store(spark, sf_dir)
+    diff = store.diff_snapshots("events", 2, 4, ["event_id"])
+    return (
+        diff.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("event_id").alias("n_keys"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("_commit_version").alias("commit_version"),
+        )
+        .orderBy("change_type")
+    )
+
+
+@register(
     "store_merge_upsert_events",
     """
     -- Bucketed incremental MERGE: initial full write, then an upsert
