@@ -1861,9 +1861,11 @@ class CommitLogTableStore(TableStore):
         must replay per-commit: a ``rename_column`` / ``drop_column``
         commit inside the window, column-mapping drift between the
         endpoints (e.g. a restore resurrecting an older mapping), or
-        both endpoint snapshots empty (no schema source). Unlike
-        ``read_changes``, intermediate versions may already be
-        vacuumed — only the two endpoints need their data dirs.
+        both endpoint snapshots empty (no schema source). Only the two
+        ENDPOINT snapshots' data is read (the op gate reads each
+        intermediate commit's O(KB) JSON, never its data) — where
+        per-commit replay reads every intermediate version's touched
+        files.
         """
         if not primary_keys:
             raise ValueError("diff_snapshots requires primary_keys")
