@@ -670,6 +670,7 @@ class CommitLogTableStore(TableStore):
         *,
         base_entries: list[dict],
         preds: list[list[tuple]],
+        base_dvs: list[dict] | None = None,
     ) -> int:
         """Publish a DML rewrite commit (delete/update) with optimistic
         conflict resolution, Delta-style:
@@ -719,6 +720,19 @@ class CommitLogTableStore(TableStore):
                             f"concurrent metadata change ({k!r}); "
                             "re-run the operation"
                         ) from None
+                # A concurrent commit that changed the deletion-vector
+                # set (another MoR delete, or a compact clearing DVs)
+                # invalidated our read set AND our staged DV list —
+                # rebasing would drop the winner's deletes. Abort;
+                # re-running recomputes against the new DVs.
+                if (new_man.get("delete_vectors") or None) != (
+                    base_dvs or None
+                ):
+                    raise ConcurrentCommitError(
+                        f"{op} on {table_name!r} conflicts with a "
+                        "concurrent deletion-vector change; "
+                        "re-run the operation"
+                    ) from None
                 new_entries = new_man.get("entries") or []
                 base_by = {e["path"]: e for e in base_entries}
                 new_by = {e["path"]: e for e in new_entries}
@@ -794,15 +808,165 @@ class CommitLogTableStore(TableStore):
         buckets = sorted(bucket_set) if BUCKET_COL in df.columns else None
         return {"path": name, "buckets": buckets, "files": files}
 
+    # -- deletion vectors (merge-on-read DELETE) ----------------------------
+    # ``delete_where(..., mode="mor")`` publishes POSITION DELETES
+    # instead of rewriting files (Iceberg v2's position-delete design,
+    # Spark-first): the doomed rows' (file, position) pairs — harvested
+    # from Spark's native ``_metadata.file_path`` / ``row_index``
+    # columns — land in a small ``dv-<hex>/`` parquet sidecar, and the
+    # manifest's top-level ``delete_vectors`` list references it.
+    # Readers anti-join the data scan against the union of live DVs;
+    # compact (and any full rewrite) materializes and clears them.
+    # At 100 TB the win is the write path: a GDPR point-delete scans
+    # only the predicate columns of the zone-map-matching files and
+    # writes KBs, instead of rewriting every matched file's full row
+    # width. DV entries referencing files no longer in the manifest
+    # (superseded by later rewrites) are harmless — the anti-join
+    # simply never matches them — and vacuum reclaims DV dirs no kept
+    # snapshot references.
+
+    # Everything after the LAST "d-<12 hex>/" path component — the
+    # table-relative file key DVs are addressed by. Data dir names are
+    # random hex (see _stage), so the greedy ".*/" prefix pins the
+    # match to the actual data dir even if an ancestor dir collides.
+    _DV_FILE_RE = r".*/(d-[0-9a-f]{12}/.+)$"
+    # Merge DV sidecars into one once the list exceeds this (keeps the
+    # read-side union and the per-read anti-join input bounded however
+    # many MoR deletes accumulate between compactions).
+    _DV_CONSOLIDATE_AT = 8
+    # Hint broadcast for the anti-join only while the DV is small
+    # enough to ship; beyond that let AQE pick the join strategy.
+    _DV_BROADCAST_MAX_ROWS = 10_000_000
+
+    @staticmethod
+    def _carry_dv(man: dict | None) -> dict:
+        """Deletion vectors a commit must re-state to keep them live
+        (same contract as :meth:`_carry_mapping`: resolution takes
+        top-level fields from the newest commit). Full rewrites
+        (replace / compact / full merge) intentionally DON'T carry —
+        they materialize the deletes."""
+        if man and man.get("delete_vectors"):
+            return {"delete_vectors": man["delete_vectors"]}
+        return {}
+
+    def _with_dv_cols(self, part: DataFrame) -> DataFrame:
+        """Attach the (file, position) identity of every row, from the
+        scan's metadata pseudo-column. Must be applied per SCAN (before
+        any union — ``_metadata`` resolves against a file source)."""
+        return part.withColumn(
+            "__dv_file",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), self._DV_FILE_RE, 1
+            ),
+        ).withColumn("__dv_pos", F.col("_metadata.row_index"))
+
+    def _dv_frame(self, table_name: str, dvs: list[dict]) -> DataFrame:
+        """The union of the given DV sidecars as a (file, pos) frame."""
+        paths = [
+            os.path.join(self.table_path(table_name), d["path"]) for d in dvs
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def _anti_join_dvs(
+        self,
+        df: DataFrame,
+        table_name: str,
+        dvs: list[dict],
+        *,
+        keep_cols: bool = False,
+    ) -> DataFrame:
+        """Drop rows whose (file, pos) appears in any DV sidecar.
+        ``df`` must carry the ``_with_dv_cols`` columns; they are
+        consumed unless ``keep_cols`` (callers that need the row
+        identity downstream — ``_metadata`` no longer resolves after
+        a join). The DV side is broadcast while small (the common
+        case — position deletes are why the files were NOT
+        rewritten); a pathologically large DV falls back to AQE's
+        choice, and compact() is the real remedy."""
+        dv = self._dv_frame(table_name, dvs)
+        total = sum(d.get("rows") or 0 for d in dvs)
+        if total <= self._DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        out = df.join(
+            dv,
+            (F.col("__dv_file") == dv["file"])
+            & (F.col("__dv_pos") == dv["pos"]),
+            "left_anti",
+        )
+        return out if keep_cols else out.drop("__dv_file", "__dv_pos")
+
+    def _prune_dvs(
+        self,
+        table_name: str,
+        man: dict,
+        rewritten_files: list[str],
+        rewritten_prefixes: list[str] = (),
+    ) -> tuple[list[dict], int]:
+        """Retire DV positions referencing files the current operation
+        rewrites (COW delete/update touched files, incremental-merge
+        bucket rewrites). Keeps the invariant every consumer of the
+        manifest's DV records relies on — a DV entry always points at
+        a LIVE file — so ``table_stats``'s row arithmetic stays exact
+        and reads never drag dead positions through the anti-join.
+        Returns ``(new_dv_list, pruned_row_count)``; restages the
+        surviving positions into one consolidated sidecar only when
+        something was actually pruned (one tiny job, sidecar-sized)."""
+        dvs = man.get("delete_vectors") or []
+        if not dvs or not (rewritten_files or rewritten_prefixes):
+            return dvs, 0
+        dv = self._dv_frame(table_name, dvs)
+        stale = F.col("file").isin(list(rewritten_files))
+        for p in rewritten_prefixes:
+            stale = stale | F.col("file").startswith(p + "/")
+        n_stale = dv.filter(stale).count()
+        if n_stale == 0:
+            return dvs, 0
+        entry = self._stage_dv(dv.filter(~stale), table_name)
+        if entry["rows"] == 0:
+            self.io.delete_dir(
+                os.path.join(self.table_path(table_name), entry["path"])
+            )
+            return [], n_stale
+        return [entry], n_stale
+
+    def _stage_dv(self, dv_df: DataFrame, table_name: str) -> dict:
+        """Write a (file, pos) frame as a fresh DV sidecar dir; return
+        its manifest record ``{"path", "rows"}`` (rows harvested from
+        the parquet footers — no counting job)."""
+        from pyairbyte_spark.filestats import harvest_file_stats
+
+        name = f"dv-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.table_path(table_name), name)
+        dv_df.write.mode("overwrite").parquet(path)
+        rows = 0
+        for rel, _size in self.io.list_files(path):
+            if not rel.endswith(".parquet"):
+                continue
+            with self.io.open_input(os.path.join(path, rel)) as src:
+                rows += harvest_file_stats(src).get("rows") or 0
+        return {"path": name, "rows": rows}
+
     # -- snapshot reads -----------------------------------------------------
 
     def _read_manifest_df(self, table_name: str, manifest: dict) -> DataFrame:
         entries = manifest.get("entries") or []
         if not entries:
             raise FileNotFoundError(f"table {table_name!r} snapshot is empty")
-        return self._entries_df(table_name, entries)
+        return self._entries_df(table_name, entries, dv_man=manifest)
 
-    def _entries_df(self, table_name: str, entries: list[dict]) -> DataFrame:
+    def _entries_df(
+        self,
+        table_name: str,
+        entries: list[dict],
+        *,
+        dv_man: dict | None = None,
+    ) -> DataFrame:
+        """Scan the given entries. When ``dv_man`` carries deletion
+        vectors, every part is tagged with its (file, pos) identity
+        and the union is anti-joined against them — merge-on-read
+        deletes applied at read time. Without DVs the plan is exactly
+        the pre-DV plan (no extra columns, no join)."""
+        dvs = (dv_man or {}).get("delete_vectors") or []
         parts: list[DataFrame] = []
         for e in entries:
             p = os.path.join(self.table_path(table_name), e["path"])
@@ -836,7 +1000,7 @@ class CommitLogTableStore(TableStore):
                     # Partition-pruned: only this dir's LIVE buckets
                     # are read; superseded data never reaches the scan.
                     part = part.filter(F.col(BUCKET_COL).isin(live))
-            parts.append(part)
+            parts.append(self._with_dv_cols(part) if dvs else part)
         if not parts:
             raise FileNotFoundError(
                 f"table {table_name!r} snapshot has no live files"
@@ -844,6 +1008,8 @@ class CommitLogTableStore(TableStore):
         out = parts[0]
         for part in parts[1:]:
             out = out.unionByName(part, allowMissingColumns=True)
+        if dvs:
+            out = self._anti_join_dvs(out, table_name, dvs)
         return out
 
     def _read_raw(self, table_name: str) -> DataFrame:
@@ -945,6 +1111,7 @@ class CommitLogTableStore(TableStore):
                 },
                 "checks": checks,
                 "entries": man.get("entries") or [],
+                **self._carry_dv(man),
             },
             version + 1,
         )
@@ -974,6 +1141,7 @@ class CommitLogTableStore(TableStore):
             },
             **({"checks": checks} if checks else {}),
             "entries": man.get("entries") or [],
+            **self._carry_dv(man),
         }
         self._commit(table_name, manifest, version + 1)
         return version + 1
@@ -1100,6 +1268,8 @@ class CommitLogTableStore(TableStore):
             # Checks on OTHER columns must survive the rename (every
             # commit re-states top-level metadata; omission drops it).
             **({"checks": man["checks"]} if man.get("checks") else {}),
+            # Position deletes are name-independent; carry verbatim.
+            **self._carry_dv(man),
         }
         self._commit(table_name, manifest, version + 1)
         return version + 1
@@ -1133,6 +1303,7 @@ class CommitLogTableStore(TableStore):
             **({"column_mapping": mapping} if mapping else {}),
             "dropped_columns": sorted(dropped),
             **({"checks": man["checks"]} if man.get("checks") else {}),
+            **self._carry_dv(man),
         }
         self._commit(table_name, manifest, version + 1)
         return version + 1
@@ -1494,6 +1665,7 @@ class CommitLogTableStore(TableStore):
         from pyairbyte_spark.filestats import dnf_to_column
 
         plan = self.plan_scan(table_name, predicates, version=version)
+        dvs = plan["manifest"].get("delete_vectors") or []
         parts: list[DataFrame] = []
         for g in plan["groups"]:
             if g["paths"] is None:
@@ -1508,11 +1680,13 @@ class CommitLogTableStore(TableStore):
                     .option("basePath", g["base"])
                     .parquet(*g["paths"])
                 )
-            parts.append(part)
+            parts.append(self._with_dv_cols(part) if dvs else part)
         if parts:
             df = parts[0]
             for part in parts[1:]:
                 df = df.unionByName(part, allowMissingColumns=True)
+            if dvs:
+                df = self._anti_join_dvs(df, table_name, dvs)
         elif "schema_path" in plan:
             # Distributed plan, everything skipped: schema from one
             # live file (the manifest's entry list was never
@@ -1635,6 +1809,13 @@ class CommitLogTableStore(TableStore):
             for c, s in col_stats.items()
             if c not in dropped
         }
+        # Merge-on-read deletes: file footers still count the deleted
+        # rows; the manifest's DV records carry the exact correction.
+        # (Per-column min/max/nulls stay upper bounds — same contract
+        # as Iceberg's stats over position deletes.)
+        rows -= sum(
+            d.get("rows") or 0 for d in man.get("delete_vectors") or []
+        )
         return {
             "rows": rows if exact else None,
             "files": n_files if exact else None,
@@ -1748,8 +1929,11 @@ class CommitLogTableStore(TableStore):
             for c, s in col_stats.items()
             if c not in dropped and c != BUCKET_COL
         }
+        dv_rows = sum(
+            d.get("rows") or 0 for d in top.get("delete_vectors") or []
+        )
         return {
-            "rows": int(agg["rows"] or 0) if exact else None,
+            "rows": int(agg["rows"] or 0) - dv_rows if exact else None,
             "files": int(agg["files"] or 0) if exact else None,
             "bytes": int(agg["bytes"] or 0) if exact else None,
             "columns": col_stats if exact else {},
@@ -1955,10 +2139,14 @@ class CommitLogTableStore(TableStore):
 
         if op in ("replace", "restore"):
             # snapshot swap: prior rows out, the (restored) snapshot in
+            # (both sides through their own snapshot's deletion vectors)
             inserts = _tag(self._read_manifest_df(table_name, man), "insert")
             if not prev_entries:
                 return inserts
-            deletes = _tag(self._entries_df(table_name, prev_entries), "delete")
+            deletes = _tag(
+                self._entries_df(table_name, prev_entries, dv_man=prev),
+                "delete",
+            )
             return deletes.unionByName(inserts, allowMissingColumns=True)
 
         if op in ("delete", "update"):
@@ -1970,21 +2158,56 @@ class CommitLogTableStore(TableStore):
             touched = man.get("touched") or []
             if not touched:
                 return None
+            prev_dvs = (prev or {}).get("delete_vectors") or []
+            cur_dvs = man.get("delete_vectors") or []
+            # A merge-on-read delete leaves the ENTRIES untouched and
+            # grows the DV set; a COW delete always rewrites entries
+            # (and may merely PRUNE DVs — not a MoR step).
+            mor_delete = (
+                op == "delete"
+                and cur_dvs != prev_dvs
+                and (man.get("entries") or []) == prev_entries
+            )
             by_dir: dict[str, list[str]] = {}
             for t_path in touched:
                 d, _, rel = t_path.partition("/")
                 by_dir.setdefault(d, []).append(rel)
             old_parts = []
+            need_ids = mor_delete or bool(prev_dvs)
             for d, rels in by_dir.items():
                 base = os.path.join(self.table_path(table_name), d)
-                old_parts.append(
+                p = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
                     .parquet(*[os.path.join(base, r) for r in rels])
                 )
+                old_parts.append(self._with_dv_cols(p) if need_ids else p)
             old_rows = old_parts[0]
             for p in old_parts[1:]:
                 old_rows = old_rows.unionByName(p, allowMissingColumns=True)
+            if mor_delete:
+                # Merge-on-read delete: the rows removed at this step
+                # are EXACTLY the positions this commit's DVs added —
+                # semi-join the touched scan with (new minus prior) DV
+                # positions. Exact through consolidation too (the
+                # set difference is position-based, not sidecar-based).
+                new_dv = self._dv_frame(table_name, cur_dvs)
+                if prev_dvs:
+                    prior = self._dv_frame(table_name, prev_dvs)
+                    new_dv = new_dv.join(
+                        prior, on=["file", "pos"], how="left_anti"
+                    )
+                deleted = old_rows.join(
+                    new_dv,
+                    (F.col("__dv_file") == new_dv["file"])
+                    & (F.col("__dv_pos") == new_dv["pos"]),
+                    "left_semi",
+                ).drop("__dv_file", "__dv_pos")
+                return _tag(deleted, "delete")
+            if prev_dvs:
+                # Rows a PRIOR MoR delete removed were already emitted
+                # at that commit — exclude them from this step's diff.
+                old_rows = self._anti_join_dvs(old_rows, table_name, prev_dvs)
             if op == "update":
                 if not new_entries:
                     return None
@@ -2019,7 +2242,7 @@ class CommitLogTableStore(TableStore):
             if not prev_entries:
                 return _tag(new_rows, "insert")
             full_rewrite = len(man.get("entries") or []) == len(new_entries)
-            old_rows = self._entries_df(table_name, prev_entries)
+            old_rows = self._entries_df(table_name, prev_entries, dv_man=prev)
             if not full_rewrite:
                 touched: set[int] = set()
                 for e in new_entries:
@@ -2124,6 +2347,7 @@ class CommitLogTableStore(TableStore):
                 "merge_buckets": mb,
                 "entries": entries + [entry],
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),
+                **(self._carry_dv(snap2[1]) if snap2 else {}),
             }
             try:
                 self._commit(table_name, manifest, version + 1)
@@ -2214,13 +2438,22 @@ class CommitLogTableStore(TableStore):
                 r[0] for r in incoming.select(BUCKET_COL).distinct().collect()
             )
             touched_set = set(touched)
+            dvs = man.get("delete_vectors") or []
             union = incoming
+            old_parts: list[DataFrame] = []
+            rewritten: list[str] = []  # file keys whose DV positions retire
             for e in man["entries"]:
                 overlap = sorted(set(e.get("buckets") or []) & touched_set)
                 if not overlap:
                     continue
                 p = os.path.join(self.table_path(table_name), e["path"])
                 files = e.get("files")
+                if files is not None and dvs:
+                    rewritten.extend(
+                        f'{e["path"]}/{f["path"]}'
+                        for f in files
+                        if f.get("bucket") in set(overlap)
+                    )
                 if files is not None:
                     # File-targeted read: address exactly the touched
                     # buckets' files from the manifest — no directory
@@ -2243,7 +2476,17 @@ class CommitLogTableStore(TableStore):
                         .parquet(p)
                         .filter(F.col(BUCKET_COL).isin(overlap))
                     )
-                union = union.unionByName(old, allowMissingColumns=True)
+                old_parts.append(self._with_dv_cols(old) if dvs else old)
+            if old_parts:
+                olds = old_parts[0]
+                for p_df in old_parts[1:]:
+                    olds = olds.unionByName(p_df, allowMissingColumns=True)
+                if dvs:
+                    # MoR-deleted rows must not compete in latest-wins
+                    # dedup (a deleted row would shadow an older-keyed
+                    # but LIVE incoming row — resurrection by proxy).
+                    olds = self._anti_join_dvs(olds, table_name, dvs)
+                union = union.unionByName(olds, allowMissingColumns=True)
             latest = self._dedup_latest(union, primary_keys)
             entry = self._stage(latest, table_name)
             new_entries = []
@@ -2258,6 +2501,7 @@ class CommitLogTableStore(TableStore):
                     # resurrect deleted files).
                     new_entries.append({**e, "buckets": remaining})
             new_entries.append(entry)
+            merge_dvs, _ = self._prune_dvs(table_name, man, rewritten)
             self._commit(
                 table_name,
                 {
@@ -2266,6 +2510,11 @@ class CommitLogTableStore(TableStore):
                     "primary_keys": list(primary_keys),
                     "entries": new_entries,
                     **self._carry_mapping(man),
+                    # DVs survive only for untouched carried files;
+                    # positions in rewritten buckets retire with them.
+                    **(
+                        {"delete_vectors": merge_dvs} if merge_dvs else {}
+                    ),
                 },
                 version + 1,
             )
@@ -2302,25 +2551,41 @@ class CommitLogTableStore(TableStore):
             version + 1,
         )
 
-    def delete_where(self, table_name: str, predicates: list[tuple]) -> dict:
-        """File-pruned DELETE: rewrite only the files whose zone maps
-        admit a match, publish one atomic commit (op="delete") —
-        Delta's ``DELETE FROM … WHERE`` for the commit-log store, the
-        GDPR/retention primitive a plain parquet directory cannot do
-        safely.
+    def delete_where(
+        self,
+        table_name: str,
+        predicates: list[tuple],
+        *,
+        mode: str = "cow",
+    ) -> dict:
+        """File-pruned DELETE, publish one atomic commit (op="delete")
+        — Delta's ``DELETE FROM … WHERE`` for the commit-log store,
+        the GDPR/retention primitive a plain parquet directory cannot
+        do safely. Two physical strategies:
 
-        Predicate semantics are SQL DELETE: rows where the predicate
-        is TRUE go; FALSE and NULL stay. Cost scales with the MATCHING
-        files, not the table — on a clustered table a point delete
-        rewrites one file. Untouched files are carried by reference
-        (the manifest's file list is authoritative; `_entries_df`
-        never re-lists directories). Deleted bytes are physically
-        reclaimed by the next ``compact`` + ``vacuum``; until then
-        time travel to pre-delete versions still works.
+        - ``mode="cow"`` (copy-on-write, the default): rewrite the
+          files whose zone maps admit a match, minus the matching
+          rows. Cost scales with the matching files' FULL row width.
+        - ``mode="mor"`` (merge-on-read): leave every data file in
+          place; record the doomed rows' (file, position) pairs in a
+          deletion-vector sidecar (Iceberg v2 position deletes, built
+          on Spark's ``_metadata.file_path`` / ``row_index``). The
+          write scans only the PREDICATE columns of the touched files
+          and writes KBs — the right strategy when matched files are
+          large and the deleted fraction is small (the 100 TB
+          point-delete). Readers apply DVs as a broadcast anti-join;
+          ``compact()`` materializes and clears them, and vacuum
+          reclaims superseded sidecars.
 
-        Returns ``{"deleted_rows", "files_rewritten", "version"}``.
-        ``deleted_rows`` comes from manifest arithmetic (touched-file
-        rows minus staged keep rows) — no counting job.
+        Predicate semantics are SQL DELETE either way: rows where the
+        predicate is TRUE go; FALSE and NULL stay. Untouched files are
+        carried by reference (the manifest's file list is
+        authoritative; `_entries_df` never re-lists directories).
+        Time travel to pre-delete versions keeps working until vacuum.
+
+        Returns ``{"deleted_rows", "files_rewritten", "version"}``
+        (for MoR, ``files_rewritten`` is 0 and the exact
+        ``deleted_rows`` comes from the staged sidecar's footers).
         """
         from pyairbyte_spark.filestats import (
             dnf_to_column,
@@ -2328,6 +2593,8 @@ class CommitLogTableStore(TableStore):
             normalize_dnf,
         )
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown delete mode {mode!r}: use cow or mor")
         preds = normalize_dnf(predicates)
         if not preds:
             raise ValueError(
@@ -2343,10 +2610,14 @@ class CommitLogTableStore(TableStore):
                 "delete_where needs per-file stats in the manifest; run "
                 "compact() once to migrate this pre-stats table"
             )
+        prior_dvs = man.get("delete_vectors") or []
         keep_entries: list[dict] = []
         touched_paths: list[str] = []
         touched_rows = 0
         parts: list[DataFrame] = []
+        # MoR (and a COW delete over a table that HAS prior DVs) must
+        # know each scanned row's (file, pos) identity.
+        need_dv_cols = mode == "mor" or bool(prior_dvs)
         for e in man["entries"]:
             live = e.get("buckets")
             kept_files: list[dict] = []
@@ -2363,13 +2634,14 @@ class CommitLogTableStore(TableStore):
                     kept_files.append(f)
             if touched_files:
                 base = os.path.join(self.table_path(table_name), e["path"])
-                parts.append(
+                part = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
                     .parquet(
                         *[os.path.join(base, f["path"]) for f in touched_files]
                     )
                 )
+                parts.append(self._with_dv_cols(part) if need_dv_cols else part)
                 touched_paths.extend(
                     f'{e["path"]}/{f["path"]}' for f in touched_files
                 )
@@ -2386,11 +2658,76 @@ class CommitLogTableStore(TableStore):
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
         cond = dnf_to_column(preds)
+        if mode == "mor":
+            if prior_dvs:
+                # Already-deleted positions must not re-enter the new
+                # DV (exact deleted_rows; idempotent re-deletes).
+                doomed_src = self._anti_join_dvs(
+                    union, table_name, prior_dvs, keep_cols=True
+                )
+            else:
+                doomed_src = union
+            doomed = doomed_src.filter(F.coalesce(cond, F.lit(False))).select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            )
+            dv_entry = self._stage_dv(doomed, table_name)
+            if dv_entry["rows"] == 0:
+                self.io.delete_dir(
+                    os.path.join(self.table_path(table_name), dv_entry["path"])
+                )
+                return {
+                    "deleted_rows": 0,
+                    "files_rewritten": 0,
+                    "version": version,
+                }
+            new_dvs = [*prior_dvs, dv_entry]
+            if len(new_dvs) > self._DV_CONSOLIDATE_AT:
+                merged = self._stage_dv(
+                    self._dv_frame(table_name, new_dvs), table_name
+                )
+                new_dvs = [merged]
+            new_version = self._commit_dml(
+                table_name,
+                {
+                    "op": "delete",
+                    "merge_buckets": man.get("merge_buckets"),
+                    **self._carry_mapping(man),
+                    **(
+                        {"primary_keys": man["primary_keys"]}
+                        if man.get("primary_keys")
+                        else {}
+                    ),
+                    "entries": man["entries"],
+                    "touched": touched_paths,
+                    "delete_vectors": new_dvs,
+                },
+                version + 1,
+                base_entries=man["entries"],
+                preds=preds,
+                base_dvs=prior_dvs,
+            )
+            return {
+                "deleted_rows": dv_entry["rows"],
+                "files_rewritten": 0,
+                "version": new_version,
+            }
+        if prior_dvs:
+            # Rewriting a file retires its DV entries; applying them
+            # here keeps MoR-deleted rows from resurrecting in the
+            # rewritten keeps.
+            union = self._anti_join_dvs(union, table_name, prior_dvs)
         keep_df = union.filter(~F.coalesce(cond, F.lit(False)))
         entry = self._stage(keep_df, table_name)
         staged_rows = sum(f.get("rows") or 0 for f in entry["files"])
         if entry["files"]:
             keep_entries.append(entry)
+        # Rewriting the touched files retires their DV positions
+        # (already applied to the keeps above); the pruned count also
+        # keeps deleted_rows honest — those rows were deleted by the
+        # EARLIER MoR commits, not this one.
+        new_dvs, pruned = self._prune_dvs(table_name, man, touched_paths)
+        touched_rows -= pruned
         new_version = self._commit_dml(
             table_name,
             {
@@ -2404,10 +2741,12 @@ class CommitLogTableStore(TableStore):
                 ),
                 "entries": keep_entries,
                 "touched": touched_paths,
+                **({"delete_vectors": new_dvs} if new_dvs else {}),
             },
             version + 1,
             base_entries=man["entries"],
             preds=preds,
+            base_dvs=prior_dvs,
         )
         return {
             "deleted_rows": touched_rows - staged_rows,
@@ -2458,6 +2797,7 @@ class CommitLogTableStore(TableStore):
                 "update_where needs per-file stats in the manifest; run "
                 "compact() once to migrate this pre-stats table"
             )
+        prior_dvs = man.get("delete_vectors") or []
         keep_entries: list[dict] = []
         touched_paths: list[str] = []
         parts: list[DataFrame] = []
@@ -2477,13 +2817,14 @@ class CommitLogTableStore(TableStore):
                     kept_files.append(f)
             if touched_files:
                 base = os.path.join(self.table_path(table_name), e["path"])
-                parts.append(
+                part = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
                     .parquet(
                         *[os.path.join(base, f["path"]) for f in touched_files]
                     )
                 )
+                parts.append(self._with_dv_cols(part) if prior_dvs else part)
                 touched_paths.extend(
                     f'{e["path"]}/{f["path"]}' for f in touched_files
                 )
@@ -2494,6 +2835,11 @@ class CommitLogTableStore(TableStore):
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
+        if prior_dvs:
+            # The rewrite retires the touched files' DV entries; apply
+            # them first so MoR-deleted rows don't resurrect (or get
+            # updated) in the rewritten files.
+            union = self._anti_join_dvs(union, table_name, prior_dvs)
         # The rewrite runs in LOGICAL space (predicates and assignment
         # expressions reference logical names); the result renames
         # back to physical before staging. Dropped columns are not
@@ -2550,6 +2896,8 @@ class CommitLogTableStore(TableStore):
         entry = self._stage(self._rename_incoming(updated, man), table_name)
         if entry["files"]:
             keep_entries.append(entry)
+        # Rewritten files retire their DV positions (applied above).
+        upd_dvs, _ = self._prune_dvs(table_name, man, touched_paths)
         new_version = self._commit_dml(
             table_name,
             {
@@ -2563,10 +2911,12 @@ class CommitLogTableStore(TableStore):
                 ),
                 "entries": keep_entries,
                 "touched": touched_paths,
+                **({"delete_vectors": upd_dvs} if upd_dvs else {}),
             },
             version + 1,
             base_entries=man["entries"],
             preds=phys_preds,
+            base_dvs=prior_dvs,
         )
         return {
             "updated_rows": int(obs.get["updated_rows"] or 0),
@@ -2599,6 +2949,13 @@ class CommitLogTableStore(TableStore):
                     f"data dir {e['path']} was vacuumed; only versions "
                     "within the vacuum retention window are restorable"
                 )
+        for dv in target.get("delete_vectors") or []:
+            d = os.path.join(self.table_path(table_name), dv["path"])
+            if not self.io.is_dir(d):
+                raise FileNotFoundError(
+                    f"cannot restore {table_name!r} to version {version}: "
+                    f"deletion-vector dir {dv['path']} was vacuumed"
+                )
         self._commit(
             table_name,
             {
@@ -2611,6 +2968,7 @@ class CommitLogTableStore(TableStore):
                     else {}
                 ),
                 **self._carry_mapping(target),
+                **self._carry_dv(target),
                 "entries": target.get("entries") or [],
             },
             latest + 1,
@@ -2658,10 +3016,13 @@ class CommitLogTableStore(TableStore):
             )
             self.io.write_text(os.path.join(d, keep[0]), data)
         live_dirs: set[str] = set()
+        live_dvs: set[str] = set()  # dv sidecar dirs any kept snapshot uses
         # dir → set of referenced rel paths; None = whole dir pinned
         live_files: dict[str, set[str] | None] = {}
         for n in keep:
             man = self._read_manifest(table_name, int(n[:-5]))
+            for dv in man.get("delete_vectors") or []:
+                live_dvs.add(dv["path"])
             for e in man.get("entries") or []:
                 live_dirs.add(e["path"])
                 files = e.get("files")
@@ -2683,6 +3044,14 @@ class CommitLogTableStore(TableStore):
         removed: list[str] = []
         tdir = self.table_path(table_name)
         for name in self.io.list_names(tdir):
+            if name.startswith("dv-"):
+                # Deletion-vector sidecars: superseded by consolidation,
+                # compaction, or the retention horizon passing their
+                # last referencing snapshot.
+                if name not in live_dvs:
+                    self.io.delete_dir(os.path.join(tdir, name))
+                    removed.append(name)
+                continue
             if not name.startswith("d-"):
                 continue
             if name not in live_dirs:
@@ -2772,7 +3141,14 @@ class CommitLogTableStore(TableStore):
             return {"compacted": False, "reason": "no snapshot"}
         version, man = snap
         n_before = len(man["entries"])
-        if n_before <= 1 and not sort_by and not zorder_by:
+        if (
+            n_before <= 1
+            and not sort_by
+            and not zorder_by
+            and not man.get("delete_vectors")
+        ):
+            # (outstanding deletion vectors always warrant the rewrite
+            # — compact is what materializes them)
             return {"compacted": False, "reason": "already compact"}
         df = self._read_manifest_df(table_name, man)
         # compact rewrites PHYSICAL frames; cluster keys arrive logical

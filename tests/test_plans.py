@@ -287,3 +287,32 @@ def test_contamination_single_scan_no_join(spark):
     assert plan.count("FileScan parquet") == 1
     assert "Join" not in plan and "BroadcastExchange" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_dv_free_store_read_plan_unchanged(spark, tmp_path):
+    """The deletion-vector seam must cost NOTHING when a table has no
+    DVs: the snapshot read is a bare scan-union (no join, no metadata
+    columns). With DVs it becomes exactly one BROADCAST anti-join, and
+    predicate pushdown still reaches the data scan through it."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    df = (
+        spark.range(0, 400)
+        .withColumn("k", F.col("id") % 10)
+        .repartitionByRange(4, "k")
+    )
+    store.write_append(df, "t")
+    clean = plan_str(store.read("t"), "simple")
+    assert "Join" not in clean and "_metadata" not in clean
+
+    store.delete_where("t", [("k", "=", 3)], mode="mor")
+    withdv = store.read("t").filter("k = 6").select("id")
+    plan = plan_str(withdv, "simple")
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert plans.has_broadcast_join(withdv)
+    assert any("EqualTo(k,6)" in p for p in plans.pushed_filters(withdv)), (
+        plans.pushed_filters(withdv)
+    )
