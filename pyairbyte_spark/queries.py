@@ -4195,6 +4195,64 @@ def store_snapshot_diff_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_mor_delete_events",
+    """
+    -- Merge-on-read DELETE: append(all) → MoR DELETE event_type='view'
+    -- (position deletion vectors, ZERO files rewritten) → overlapping
+    -- MoR DELETE user_id < 100 → snapshot read through the DV
+    -- anti-join. total_rows additionally pins the metadata-only
+    -- DV-corrected table_stats row count against the same scalar.
+    WITH live AS (
+      SELECT * FROM events
+      WHERE event_type <> 'view' AND user_id >= 100)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           min(user_id) AS min_user,
+           max(event_id) AS max_event,
+           (SELECT count(*) FROM live) AS total_rows
+    FROM live GROUP BY event_type ORDER BY event_type
+    """,
+    "merge-on-read DELETE end-to-end: two overlapping position-delete "
+    "commits (no file rewrites), snapshot read + DV-corrected "
+    "metadata row count equal plain SQL",
+)
+def store_mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-store-"), "q"
+    )
+    store.write_append(ev, "events")
+    r1 = store.delete_where(
+        "events", [("event_type", "=", "view")], mode="mor"
+    )
+    r2 = store.delete_where("events", [("user_id", "<", 100)], mode="mor")
+    assert r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0
+    total = store.table_stats("events")["rows"]
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.min("user_id").alias("min_user"),
+            F.max("event_id").alias("max_event"),
+        )
+        .withColumn("total_rows", F.lit(total).cast("long"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "store_merge_upsert_events",
     """
     -- Bucketed incremental MERGE: initial full write, then an upsert
