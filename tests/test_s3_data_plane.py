@@ -110,6 +110,10 @@ def test_s3_data_plane_lifecycle(motofs_classes):
     assert checks["merge_rows"] == 21
     assert checks["merge_upsert"] is True
     assert checks["deleted_rows"] == 18
+    assert checks["mor_zero_rewrites"] is True
+    assert checks["mor_rows"] == 16
+    assert checks["mor_stats"] is True
+    assert checks["dv_materialized"] is True
     assert checks["plan_distributed"] is True
     assert checks["plan_pruned"] is True
     assert checks["read_where_match"] is True
