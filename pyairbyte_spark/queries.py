@@ -2215,6 +2215,31 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_gram_matrix",
+    f"""
+    -- Distributed Gram matrix X^T X over the embedding corpus (the
+    -- covariance/PCA-whitening reduction), upper triangle, pinned by
+    -- integer quantization (round half away from zero in BOTH
+    -- engines) so the sum is summation-order-independent.
+    WITH u AS (
+      SELECT vec_id, CAST(t.i AS INT) - 1 AS i,
+             CAST(round(v[CAST(t.i AS INT)] * 1000) AS BIGINT) AS q
+      FROM (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings)
+      CROSS JOIN range(1, 65) t(i))
+    SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS dot
+    FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i ORDER BY i, j
+    """,
+    "corpus covariance reduction: per-partition numpy GEMM partials, "
+    "one d(d+1)/2-row shuffle — nothing row-scaled crosses the "
+    "network; int64-exact vs the oracle's O(n*d^2) self-join",
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return similarity.gram_matrix(emb, int_scale=1000).orderBy("i", "j")
+
+
+@register(
     "text_vocab_topk",
     r"""
     SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -883,3 +883,31 @@ def test_ivf_index_lifecycle_under_churn(spark, tmp_path):
     assert store.table_stats("emb_lists")["rows"] == emb.count()
     assert_exact(emb)
     assert_pruned()
+
+
+def test_gram_matrix_matches_numpy(spark):
+    """Distributed GEMM partials sum to the single-machine X^T X —
+    float mode allclose, int mode exactly — across a partitioning that
+    forces multiple partials."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(300)
+        .repartition(7)
+    )
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype="float64") for r in emb.collect()]
+    )
+    ref = x.T @ x
+    got = similarity.gram_matrix(emb).collect()
+    d = x.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for r in got:
+        assert abs(r["dot"] - ref[r["i"], r["j"]]) <= 1e-6 * max(
+            1.0, abs(ref[r["i"], r["j"]])
+        )
+    qx = np.sign(x * 1000) * np.floor(np.abs(x * 1000) + 0.5)
+    qref = (qx.astype("int64").T @ qx.astype("int64"))
+    for r in similarity.gram_matrix(emb, int_scale=1000).collect():
+        assert r["dot"] == qref[r["i"], r["j"]]
