@@ -813,3 +813,92 @@ def gram_matrix(
         .groupBy("i", "j")
         .agg(F.sum("dot").alias("dot"))
     )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    *,
+    center: bool = True,
+) -> tuple[DataFrame, dict]:
+    """PCA over the embedding corpus, the 100 TB way: the d×d
+    covariance is reduced distributedly (:func:`gram_matrix` — one
+    scan, nothing row-scaled shuffles), the eigendecomposition runs on
+    the DRIVER (d×d is tiny — 64×64 here; this is how Spark MLlib's
+    own PCA works for d ≤ 65535), and the top-k components ship back
+    as plan literals for a MAP-ONLY projection (``aggregate`` folds,
+    no UDF, no second shuffle).
+
+    Returns ``(projected_df, model)`` where ``projected_df`` carries a
+    ``pca`` array<double> column of length k and ``model`` has
+    ``mean``, ``components`` (k×d, rows orthonormal), and
+    ``explained_variance_ratio``. Component SIGN is fixed by making
+    each row's largest-magnitude coordinate positive (eigenvector sign
+    is otherwise arbitrary — determinism matters for tests and
+    resumable pipelines).
+    """
+    import numpy as np
+
+    d_row = df.select(
+        F.size(as_double_vec(vec_col)).alias("d")
+    ).first()
+    dim = int(d_row["d"])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    # One pass for the Gram partials; mean from the same scan shape
+    # (sums fold per partition too — aggregate of array slots).
+    n = df.count()
+    gram_rows = gram_matrix(df, vec_col).collect()
+    g = np.zeros((dim, dim))
+    for r in gram_rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["dot"]
+    if center:
+        sums = (
+            df.select(F.posexplode(as_double_vec(vec_col)).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.sum("x").alias("s"))
+            .collect()
+        )
+        mean = np.zeros(dim)
+        for r in sums:
+            mean[r["i"]] = r["s"] / n
+        cov = g / n - np.outer(mean, mean)
+    else:
+        mean = np.zeros(dim)
+        cov = g / n
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # k×d
+    top = evals[order]
+    # Deterministic sign: largest-|coordinate| positive per component.
+    for c in comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+    total_var = float(np.trace(cov)) or 1.0
+    model = {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained_variance_ratio": [float(v) / total_var for v in top],
+    }
+    centered = F.zip_with(
+        as_double_vec(vec_col),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    centered,
+                    F.array(*[F.lit(float(w)) for w in comp]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for comp in model["components"]
+        ]
+    )
+    return df.withColumn("pca", proj), model

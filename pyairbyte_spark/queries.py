@@ -2240,6 +2240,32 @@ def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_pca_project",
+    None,  # eigendecomposition is not SQL-expressible: rows-only check;
+    # numpy parity (components, variance ratios, projections) is pinned
+    # by tests/test_operators.py::test_pca_project_matches_numpy
+    "distributed PCA: gram-matrix reduction + driver eigh (d x d) + "
+    "map-only aggregate-fold projection, deterministic component signs",
+)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    proj, model = similarity.pca_project(emb, k=8)
+    sq = F.aggregate(
+        F.col("pca"), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    return (
+        proj.select(
+            "vec_id",
+            F.round(sq, 6).alias("proj_sq_norm"),
+            F.lit(
+                round(sum(model["explained_variance_ratio"]), 6)
+            ).alias("explained_var_top8"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
     "text_vocab_topk",
     r"""
     SELECT token, CAST(count(*) AS BIGINT) AS freq

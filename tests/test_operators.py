@@ -911,3 +911,42 @@ def test_gram_matrix_matches_numpy(spark):
     qref = (qx.astype("int64").T @ qx.astype("int64"))
     for r in similarity.gram_matrix(emb, int_scale=1000).collect():
         assert r["dot"] == qref[r["i"], r["j"]]
+
+
+def test_pca_project_matches_numpy(spark):
+    """Distributed PCA == single-machine numpy PCA: same explained
+    variance, orthonormal components, and per-row projections equal
+    (up to the deterministic sign convention both sides share)."""
+    import numpy as np
+
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .limit(400)
+        .repartition(5)
+    )
+    rows = emb.select("vec_id", "embedding").collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.asarray(
+        [np.asarray(r["embedding"], dtype="float64") for r in rows]
+    )
+    proj_df, model = similarity.pca_project(emb, k=8)
+    comps = np.asarray(model["components"])
+    assert comps.shape == (8, x.shape[1])
+    assert np.allclose(comps @ comps.T, np.eye(8), atol=1e-8)
+    # reference PCA
+    mean = x.mean(axis=0)
+    cov = np.cov(x.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:8]
+    ref_comps = evecs[:, order].T
+    for c in ref_comps:
+        j = int(np.argmax(np.abs(c)))
+        if c[j] < 0:
+            c *= -1
+    assert np.allclose(np.abs(comps), np.abs(ref_comps), atol=1e-6)
+    ref_var = evals[order] / np.trace(cov)
+    assert np.allclose(model["explained_variance_ratio"], ref_var, atol=1e-9)
+    got = {r["vec_id"]: np.asarray(r["pca"]) for r in proj_df.select("vec_id", "pca").collect()}
+    ref_proj = (x - mean) @ ref_comps.T
+    for idx, r in enumerate(rows):
+        assert np.allclose(got[r["vec_id"]], ref_proj[idx], atol=1e-6)
