@@ -154,8 +154,17 @@ def harvest_file_stats(parquet_path) -> dict[str, Any]:
                 dead.add(name)
                 acc.pop(name, None)
                 continue
-            lo = _encode(st.min)
-            hi = _encode(st.max)
+            try:
+                lo = _encode(st.min)
+                hi = _encode(st.max)
+            except Exception:
+                # pyarrow can't decode every physical type's stats
+                # (e.g. DECIMAL raises ArrowNotImplementedError).
+                # Omission = "never skip on this column" — safe, and
+                # the row count / other columns still harvest.
+                dead.add(name)
+                acc.pop(name, None)
+                continue
             if lo is None or hi is None:
                 dead.add(name)
                 acc.pop(name, None)

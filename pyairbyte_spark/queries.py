@@ -4304,6 +4304,67 @@ def store_mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_incremental_agg_events",
+    """
+    -- Materialized per-type aggregate maintained INCREMENTALLY from
+    -- the change feed: materialize at v1, then fold the v2 append, v3
+    -- merge-on-read DELETE, and v4 UPDATE (pre+post images) in by
+    -- sign arithmetic — the base table is never rescanned. Must equal
+    -- a from-scratch recompute = plain SQL over the equivalent final
+    -- state. DECIMAL arithmetic end-to-end (subtraction-exact).
+    WITH cur AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value, 2) AS DECIMAL(18,2)) + 1.00
+                  ELSE CAST(round(value, 2) AS DECIMAL(18,2)) END AS v
+      FROM events WHERE event_type <> 'view')
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS DOUBLE) AS sum_value
+    FROM cur GROUP BY event_type ORDER BY event_type
+    """,
+    "incrementally maintained materialized aggregate: CDF sign "
+    "arithmetic (insert/delete/update pre+post) over append + MoR "
+    "delete + update, decimal-exact vs full recompute",
+)
+def store_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.operators import incremental as inc
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 2).cast("decimal(18,2)").alias("v"),
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-store-"), "q"
+    )
+    store.write_append(ev.filter(F.col("event_id") % 2 == 0), "events")
+    state = inc.materialize_sums(
+        store.read_version("events", 1), ["event_type"], ["v"]
+    )
+    store.write_append(ev.filter(F.col("event_id") % 2 == 1), "events")
+    store.delete_where(
+        "events", [("event_type", "=", "view")], mode="mor"
+    )
+    store.update_where(
+        "events",
+        [("event_type", "=", "purchase")],
+        {"v": "CAST(v + 1.00 AS DECIMAL(18,2))"},
+    )
+    state, _ver = inc.refresh_sums(
+        store, "events", state, 1, ["event_type"], ["v"]
+    )
+    return state.select(
+        "event_type",
+        F.col("n"),
+        F.col("sum_v").cast("double").alias("sum_value"),
+    ).orderBy("event_type")
+
+
+@register(
     "store_merge_upsert_events",
     """
     -- Bucketed incremental MERGE: initial full write, then an upsert

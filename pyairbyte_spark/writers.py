@@ -1967,6 +1967,8 @@ class CommitLogTableStore(TableStore):
         table_name: str,
         from_version: int,
         to_version: int | None = None,
+        *,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Change data feed: the row-level changes that turned snapshot
         ``from_version`` into ``to_version`` (default: latest), as a
@@ -1992,6 +1994,13 @@ class CommitLogTableStore(TableStore):
         Merge commits written before primary keys were recorded in the
         manifest fall back to a digest-only diff labeled ``upsert``.
         Requires the intervening versions to not have been vacuumed.
+
+        ``include_preimages`` additionally emits ``update_preimage``
+        rows (the modified rows' PRIOR values) for UPDATE and merge
+        upserts — Delta CDF parity, and what sign-based incremental
+        consumers (``operators/incremental.py``: subtract the
+        preimage, add the postimage) need to maintain aggregates
+        without rescanning.
         """
         to = self.latest_version(table_name) if to_version is None else to_version
         if from_version > to:
@@ -2000,7 +2009,9 @@ class CommitLogTableStore(TableStore):
             )
         steps = []
         for v in range(from_version + 1, to + 1):
-            step = self._changes_for_step(table_name, v)
+            step = self._changes_for_step(
+                table_name, v, include_preimages=include_preimages
+            )
             if step is not None:
                 steps.append(step)
         if not steps:
@@ -2112,7 +2123,9 @@ class CommitLogTableStore(TableStore):
             updates, allowMissingColumns=True
         ).unionByName(deletes, allowMissingColumns=True)
 
-    def _changes_for_step(self, table_name: str, v: int) -> DataFrame | None:
+    def _changes_for_step(
+        self, table_name: str, v: int, *, include_preimages: bool = False
+    ) -> DataFrame | None:
         man = self._read_manifest(table_name, v)
         op = man.get("op")
         if op in ("compact", "rename_column", "drop_column", "set_check"):
@@ -2220,7 +2233,21 @@ class CommitLogTableStore(TableStore):
                     .join(old_d, on="__d", how="left_anti")
                     .drop("__d")
                 )
-                return _tag(changed, "update_postimage")
+                post = _tag(changed, "update_postimage")
+                if not include_preimages:
+                    return post
+                # Symmetric digest diff: the modified rows' PRIOR
+                # values (a no-op assignment suppresses both sides).
+                staged_d = staged.select(
+                    self._row_digest(staged).alias("__d")
+                ).distinct()
+                pre = _tag(
+                    old_rows.withColumn("__d", self._row_digest(old_rows))
+                    .join(staged_d, on="__d", how="left_anti")
+                    .drop("__d"),
+                    "update_preimage",
+                )
+                return pre.unionByName(post, allowMissingColumns=True)
             keep_d = None
             if new_entries:
                 keep_rows = self._entries_df(table_name, new_entries)
@@ -2269,11 +2296,22 @@ class CommitLogTableStore(TableStore):
             inserts = _tag(
                 changed.join(old_keys, on=pks, how="left_anti"), "insert"
             )
-            updates = _tag(
-                changed.join(old_keys, on=pks, how="left_semi"),
-                "update_postimage",
-            )
-            return inserts.unionByName(updates, allowMissingColumns=True)
+            upd_post = changed.join(old_keys, on=pks, how="left_semi")
+            updates = _tag(upd_post, "update_postimage")
+            out = inserts.unionByName(updates, allowMissingColumns=True)
+            if include_preimages:
+                # The replaced rows' PRIOR values, paired by primary
+                # key with the emitted post-images.
+                pre = _tag(
+                    old_rows.join(
+                        upd_post.select(*pks).distinct(),
+                        on=pks,
+                        how="left_semi",
+                    ),
+                    "update_preimage",
+                )
+                out = out.unionByName(pre, allowMissingColumns=True)
+            return out
 
         raise ValueError(
             f"cannot compute changes for unknown commit op {op!r} "
