@@ -95,3 +95,62 @@ class CacheStreamingSink:
         if trigger_once:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class StoreStreamingSink:
+    """Exactly-once streaming APPEND into a :class:`CommitLogTableStore`.
+
+    The transaction watermark (Delta's ``SetTransaction`` pattern)
+    rides the SAME atomic commit as the micro-batch's data —
+    ``write_append(txn=(app_id, epoch_id))`` skips any epoch at or
+    below the recorded watermark — so foreachBatch's at-least-once
+    redelivery (the last epoch replays after a crash between the data
+    write and Spark's own checkpoint advance) cannot duplicate rows.
+    Unlike :class:`CacheStreamingSink`'s state-row epoch tracking
+    (data commit first, state second — a crash BETWEEN them re-appends
+    under WriteMethod.APPEND), there is no window: the skip decision
+    and the data flip are one conditional PUT.
+
+    ``app_id`` defaults to a name you pass explicitly; pin it per
+    logical pipeline (restarts must reuse it — that IS the identity
+    the watermark is keyed by).
+    """
+
+    def __init__(
+        self,
+        store,
+        table_name: str,
+        app_id: str,
+        *,
+        primary_keys: list[str] | None = None,
+    ) -> None:
+        self.store = store
+        self.table_name = table_name
+        self.app_id = app_id
+        self.primary_keys = primary_keys
+        self.skipped_epochs = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        res = self.store.write_append(
+            batch_df,
+            self.table_name,
+            self.primary_keys,
+            txn=(self.app_id, int(epoch_id)),
+        )
+        if res and res.get("skipped"):
+            self.skipped_epochs += 1
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        trigger_once: bool = True,
+    ):
+        """Start the streaming query writing through this sink."""
+        w = stream_df.writeStream.foreachBatch(self).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()

@@ -758,9 +758,17 @@ class CommitLogTableStore(TableStore):
                             "concurrent append that may contain matching "
                             "rows; re-run the operation"
                         ) from None
+                # Rebasing past a txn-stamped append must not republish
+                # our BASE's stale watermarks (a regression would let a
+                # replayed micro-batch land twice) — take per-app max.
+                txns = dict(manifest.get("txns") or {})
+                for app, b in (new_man.get("txns") or {}).items():
+                    if txns.get(app, -1) < b:
+                        txns[app] = b
                 manifest = {
                     **manifest,
                     "entries": list(manifest["entries"]) + added,
+                    **({"txns": txns} if txns else {}),
                 }
                 base_entries = new_entries
                 version = new_version + 1
@@ -1051,7 +1059,9 @@ class CommitLogTableStore(TableStore):
         """Table metadata every commit must re-state (delta commits
         carry top-level fields verbatim; resolution takes them from
         the NEWEST commit, so omission would silently drop them):
-        column mapping, dropped columns, CHECK constraints."""
+        column mapping, dropped columns, CHECK constraints, and the
+        per-app streaming transaction watermarks (losing a watermark
+        would let a replayed micro-batch append twice)."""
         out = {}
         if man.get("column_mapping"):
             out["column_mapping"] = man["column_mapping"]
@@ -1059,6 +1069,8 @@ class CommitLogTableStore(TableStore):
             out["dropped_columns"] = man["dropped_columns"]
         if man.get("checks"):
             out["checks"] = man["checks"]
+        if man.get("txns"):
+            out["txns"] = man["txns"]
         return out
 
     # -- CHECK constraints (persisted expectations) -------------------------
@@ -1268,6 +1280,7 @@ class CommitLogTableStore(TableStore):
             # Checks on OTHER columns must survive the rename (every
             # commit re-states top-level metadata; omission drops it).
             **({"checks": man["checks"]} if man.get("checks") else {}),
+            **({"txns": man["txns"]} if man.get("txns") else {}),
             # Position deletes are name-independent; carry verbatim.
             **self._carry_dv(man),
         }
@@ -1303,6 +1316,7 @@ class CommitLogTableStore(TableStore):
             **({"column_mapping": mapping} if mapping else {}),
             "dropped_columns": sorted(dropped),
             **({"checks": man["checks"]} if man.get("checks") else {}),
+            **({"txns": man["txns"]} if man.get("txns") else {}),
             **self._carry_dv(man),
         }
         self._commit(table_name, manifest, version + 1)
@@ -1948,6 +1962,16 @@ class CommitLogTableStore(TableStore):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         return snap[0]
 
+    def txn_version(self, table_name: str, app_id: str) -> int:
+        """The highest idempotent-append ``batch_id`` committed for
+        ``app_id`` (−1 if none) — Delta's ``txnVersion``. What a
+        restarted streaming writer consults to decide where its replay
+        window ends."""
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            return -1
+        return int((snap[1].get("txns") or {}).get(app_id, -1))
+
     @staticmethod
     def _row_digest(df: DataFrame):
         """Order-stable digest of a row's USER-visible values.
@@ -2346,8 +2370,34 @@ class CommitLogTableStore(TableStore):
     # -- write strategies ---------------------------------------------------
 
     def write_append(
-        self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
-    ) -> None:
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str] | None = None,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict | None:
+        """Append a data dir and publish one commit. ``txn=(app_id,
+        batch_id)`` makes the append IDEMPOTENT (Delta's
+        ``SetTransaction`` action): the manifest's ``txns`` map records
+        the highest batch_id committed per app, the watermark rides
+        the SAME atomic conditional-PUT as the data, and an append
+        whose batch_id is <= the recorded watermark is skipped without
+        writing — upgrading a replayed streaming micro-batch
+        (foreachBatch redelivers the last epoch after a crash) from
+        at-least-once to EXACTLY-ONCE. The skip decision re-checks on
+        every commit-race retry, so two racing writers of the same
+        (app, batch) can never both land. Returns ``{"version",
+        "skipped"}`` when ``txn`` is given (None otherwise, the
+        historical signature)."""
+        if txn is not None:
+            app_id, batch_id = txn
+            pre = self._latest_commit(table_name)
+            if (
+                pre is not None
+                and (pre[1].get("txns") or {}).get(app_id, -1) >= batch_id
+            ):
+                return {"version": pre[0], "skipped": True}
         snap = self._latest_commit(table_name)
         exists = bool(snap and snap[1].get("entries"))
         if exists:
@@ -2375,6 +2425,15 @@ class CommitLogTableStore(TableStore):
             snap2 = self._latest_commit(table_name)
             version = snap2[0] if snap2 else 0
             entries = list(snap2[1].get("entries") or []) if snap2 else []
+            txns = dict((snap2[1].get("txns") or {})) if snap2 else {}
+            if txn is not None:
+                app_id, batch_id = txn
+                if txns.get(app_id, -1) >= batch_id:
+                    # A racer landed this exact (app, batch) — the
+                    # staged dir is dead weight until vacuum, the
+                    # batch is NOT duplicated.
+                    return {"version": version, "skipped": True}
+                txns[app_id] = batch_id
             mb = (
                 snap2[1].get("merge_buckets")
                 if snap2
@@ -2386,10 +2445,15 @@ class CommitLogTableStore(TableStore):
                 "entries": entries + [entry],
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),
                 **(self._carry_dv(snap2[1]) if snap2 else {}),
+                **({"txns": txns} if txns else {}),
             }
             try:
                 self._commit(table_name, manifest, version + 1)
-                return
+                return (
+                    {"version": version + 1, "skipped": False}
+                    if txn is not None
+                    else None
+                )
             except ConcurrentCommitError:
                 continue  # appends are position-independent: rebase + retry
         raise ConcurrentCommitError(
@@ -2401,9 +2465,11 @@ class CommitLogTableStore(TableStore):
     ) -> None:
         prior = self._latest_commit(table_name)
         # Replace swaps data (and resets any column mapping — incoming
-        # frames carry logical names) but CHECK constraints are table
-        # properties and survive, Delta-style.
+        # frames carry logical names) but CHECK constraints and the
+        # streaming txn watermarks are table properties and survive,
+        # Delta-style.
         checks = (prior[1].get("checks") or {}) if prior else {}
+        txns = (prior[1].get("txns") or {}) if prior else {}
         if checks:
             df = self._enforce_checks(df, {"checks": checks})
         df = self._with_bucket(df, primary_keys)
@@ -2411,6 +2477,7 @@ class CommitLogTableStore(TableStore):
         manifest = {
             "op": "replace",
             **({"checks": checks} if checks else {}),
+            **({"txns": txns} if txns else {}),
             "merge_buckets": (
                 self.merge_buckets if entry["buckets"] is not None else None
             ),
@@ -2578,10 +2645,16 @@ class CommitLogTableStore(TableStore):
                 ),
                 "primary_keys": list(primary_keys),
                 # full rewrite materializes the logical view (mapping
-                # resets) but CHECK constraints survive
+                # resets) but CHECK constraints and txn watermarks
+                # survive
                 **(
                     {"checks": snap[1]["checks"]}
                     if exists and snap[1].get("checks")
+                    else {}
+                ),
+                **(
+                    {"txns": snap[1]["txns"]}
+                    if exists and snap[1].get("txns")
                     else {}
                 ),
                 "entries": [entry],
@@ -3005,8 +3078,20 @@ class CommitLogTableStore(TableStore):
                     if target.get("primary_keys")
                     else {}
                 ),
-                **self._carry_mapping(target),
+                **{
+                    k: v
+                    for k, v in self._carry_mapping(target).items()
+                    if k != "txns"
+                },
                 **self._carry_dv(target),
+                # Txn watermarks are monotone table state, NOT part of
+                # the restored snapshot: resurrecting an older map
+                # would let already-committed micro-batches replay.
+                **(
+                    {"txns": snap[1]["txns"]}
+                    if snap[1].get("txns")
+                    else {}
+                ),
                 "entries": target.get("entries") or [],
             },
             latest + 1,

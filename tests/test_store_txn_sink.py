@@ -1,0 +1,156 @@
+"""Idempotent (exactly-once) streaming appends into the commit-log
+store: Delta's SetTransaction pattern — a per-app batch watermark that
+rides the SAME atomic conditional-PUT as the micro-batch's data.
+
+Pinned here: replayed/racing batches never duplicate, watermarks are
+monotone table state that survives every commit kind (appends by other
+writers, DML rebases, metadata ops, compact, replace, restore), and a
+real foreachBatch query through ``StoreStreamingSink`` lands each file
+exactly once across a redelivered epoch.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.streaming.sink import StoreStreamingSink
+from pyairbyte_spark.writers import CommitLogTableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).withColumn("v", F.col("id") * 2)
+
+
+def test_replayed_batch_is_skipped(spark, store):
+    r1 = store.write_append(_batch(spark, 0, 10), "t", txn=("app", 0))
+    assert r1 == {"version": 1, "skipped": False}
+    r2 = store.write_append(_batch(spark, 0, 10), "t", txn=("app", 0))
+    assert r2["skipped"] is True
+    assert store.read("t").count() == 10
+    # an OLDER epoch replays after newer ones committed: still skipped
+    store.write_append(_batch(spark, 10, 20), "t", txn=("app", 3))
+    r3 = store.write_append(_batch(spark, 0, 10), "t", txn=("app", 1))
+    assert r3["skipped"] is True
+    assert store.read("t").count() == 20
+    assert store.txn_version("t", "app") == 3
+    assert store.txn_version("t", "other") == -1
+
+
+def test_apps_are_independent(spark, store):
+    store.write_append(_batch(spark, 0, 5), "t", txn=("a", 0))
+    r = store.write_append(_batch(spark, 5, 10), "t", txn=("b", 0))
+    assert r["skipped"] is False
+    assert store.read("t").count() == 10
+    assert store.txn_version("t", "a") == 0
+    assert store.txn_version("t", "b") == 0
+
+
+def test_watermark_survives_other_commits(spark, store):
+    store.write_append(_batch(spark, 0, 100), "t", txn=("app", 7))
+    store.write_append(_batch(spark, 100, 200), "t")  # plain append
+    store.set_check("t", "id_ok", "id >= 0")
+    store.delete_where("t", [("id", "<", 10)])  # COW DML
+    store.delete_where("t", [("id", "<", 20)], mode="mor")
+    store.rename_column("t", "v", "val")
+    store.compact("t")
+    store.write_replace(store.read("t"), "t")
+    assert store.txn_version("t", "app") == 7
+    r = store.write_append(_batch(spark, 0, 5), "t", txn=("app", 7))
+    assert r["skipped"] is True
+
+
+def test_restore_does_not_regress_watermark(spark, store):
+    store.write_append(_batch(spark, 0, 10), "t", txn=("app", 0))  # v1
+    store.write_append(_batch(spark, 10, 20), "t")  # v2
+    store.write_append(_batch(spark, 20, 30), "t", txn=("app", 5))  # v3
+    store.restore("t", 2)  # data back to v2; watermark must stay 5
+    assert store.read("t").count() == 20
+    assert store.txn_version("t", "app") == 5
+    r = store.write_append(_batch(spark, 20, 30), "t", txn=("app", 5))
+    assert r["skipped"] is True
+
+
+def test_dml_rebase_does_not_regress_watermark(
+    spark, store, tmp_path, monkeypatch
+):
+    """A DELETE staged against snapshot V races a txn append; the
+    rebase carries the append's entries AND its advanced watermark."""
+    store.write_append(_batch(spark, 0, 100), "t", txn=("app", 0))
+    orig = CommitLogTableStore._commit
+    fired = {"done": False}
+
+    def race(self, table_name, manifest, version):
+        if not fired["done"] and manifest.get("op") == "delete":
+            fired["done"] = True
+            other = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+            other.write_append(
+                spark.range(1000, 1010).withColumn("v", F.lit(-1)),
+                table_name,
+                txn=("app", 9),
+            )
+        return orig(self, table_name, manifest, version)
+
+    monkeypatch.setattr(CommitLogTableStore, "_commit", race)
+    store.delete_where("t", [("id", "<", 10)])
+    monkeypatch.undo()
+    assert store.txn_version("t", "app") == 9
+    r = store.write_append(_batch(spark, 0, 5), "t", txn=("app", 9))
+    assert r["skipped"] is True
+    assert store.read("t").count() == 100 - 10 + 10
+
+
+def test_racing_same_batch_lands_once(spark, store, tmp_path, monkeypatch):
+    """Two writers race the SAME (app, batch): the loser's retry loop
+    re-reads the watermark and skips instead of double-appending."""
+    store.write_append(_batch(spark, 0, 10), "t", txn=("app", 0))
+    orig = CommitLogTableStore._commit
+    fired = {"done": False}
+
+    def race(self, table_name, manifest, version):
+        if not fired["done"] and (manifest.get("txns") or {}).get("app") == 1:
+            fired["done"] = True
+            other = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+            other.write_append(
+                _batch(spark, 10, 20), table_name, txn=("app", 1)
+            )
+        return orig(self, table_name, manifest, version)
+
+    monkeypatch.setattr(CommitLogTableStore, "_commit", race)
+    r = store.write_append(_batch(spark, 10, 20), "t", txn=("app", 1))
+    monkeypatch.undo()
+    assert r["skipped"] is True
+    assert store.read("t").count() == 20
+
+
+def test_foreachbatch_exactly_once_end_to_end(spark, store, tmp_path):
+    """A real Structured Streaming file-source query through
+    StoreStreamingSink, then a manual epoch redelivery (what a crash
+    between the data commit and Spark's checkpoint advance produces):
+    rows land exactly once."""
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(0, 50).withColumn("v", F.col("id")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(src / "batch0"))
+    sink = StoreStreamingSink(store, "s", "pipe")
+    stream = (
+        spark.readStream.schema("id long, v long")
+        .parquet(str(src) + "/*")
+    )
+    q = sink.attach(
+        stream, checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert store.read("s").count() == 50
+    last = store.txn_version("s", "pipe")
+    assert last >= 0
+    # redeliver the last epoch verbatim — exactly-once means a no-op
+    sink(spark.range(0, 50).withColumn("v", F.col("id")), last)
+    assert sink.skipped_epochs == 1
+    assert store.read("s").count() == 50
