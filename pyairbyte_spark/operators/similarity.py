@@ -902,3 +902,197 @@ def pca_project(
         ]
     )
     return df.withColumn("pca", proj), model
+
+
+# -- Product quantization (PQ): compressed ANN for corpora whose raw
+# vectors don't fit the cluster's memory/IO budget. d-dim float32
+# vectors (256 B at d=64) compress to m one-byte codes (8 B at m=8,
+# a 32× cut): split each vector into m subvectors, k-means each
+# subspace to ksub codewords, store argmin codes. Queries score
+# against RECONSTRUCTIONS via ADC (asymmetric distance computation):
+# one ksub×m lookup table per query, then per-row score = table
+# gather-sum — numpy `take` + sum over the codes matrix, no float
+# vectors ever re-read. This is the FAISS IVFPQ design re-expressed
+# as DataFrame ops + Arrow-batched numpy.
+
+
+def pq_train(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    train_modulus: int = 1,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: the vector splits into ``m`` equal
+    subvectors; each subspace runs the SAME deterministic sampled
+    Lloyd as the IVF coarse quantizer (:func:`kmeans_centroids`) on
+    the sliced column. Cost: m small k-means over the 1/train_modulus
+    sample — m driver-coordinated loops of declarative plans, the
+    iterative-algorithm pattern. Returns ``codebooks[m][ksub][dsub]``
+    (a few KB — rides in closures from then on)."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias(id_col),
+            F.slice(as_double_vec(vec_col), j * dsub + 1, dsub).alias("sub"),
+        )
+        cents = kmeans_centroids(
+            sub,
+            id_col=id_col,
+            vec_col="sub",
+            n_centroids=ksub,
+            iters=iters,
+            train_modulus=train_modulus,
+        ).collect()
+        # order by cid for determinism; pad if a codeword emptied out
+        cvs = [list(r["cv"]) for r in sorted(cents, key=lambda r: r["cid"])]
+        while len(cvs) < ksub:
+            cvs.append(list(cvs[0]))
+        books.append(cvs[:ksub])
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its ``m`` nearest-codeword codes plus
+    the reconstruction's L2 norm (needed once, at encode time, so
+    cosine scoring later never touches the raw vectors). One
+    Arrow-batched pass: per batch, m small GEMMs (||x_sub − cb||² via
+    the expansion trick) — no per-row Python. Returns
+    ``(id, code array<int>, recon_norm double)``."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(r, dtype="float64") for r in pdf["v"]]
+            )
+            codes = np.empty((len(x), m), dtype="int32")
+            norm_sq = np.zeros(len(x))
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                b = cb[j]
+                d2 = (
+                    (xs * xs).sum(1)[:, None]
+                    - 2.0 * (xs @ b.T)
+                    + (b * b).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)
+                norm_sq += (b[codes[:, j]] * b[codes[:, j]]).sum(1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].values,
+                    "code": list(codes),
+                    "recon_norm": np.sqrt(norm_sq),
+                }
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+    )
+    return src.mapInPandas(
+        encode, "id long, code array<int>, recon_norm double"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC top-k over a PQ-encoded corpus: per query, an m×ksub inner-
+    product lookup table (q_sub · codeword); per code row, the score is
+    a table gather-sum — numpy ``take`` over the codes matrix, the raw
+    corpus is never read. Cosine uses the encode-time reconstruction
+    norm. Each partition emits only its LOCAL top-k per query (heap
+    semantics via argpartition), so the final shuffle carries
+    O(partitions × queries × k) rows — corpus-size-free. Output:
+    (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
+    neighbor_id like the exact operators."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), as_double_vec(vec_col).alias("qv")
+    ).collect()
+    qids = np.asarray([r["qid"] for r in q_rows])
+    qmat = np.asarray([list(r["qv"]) for r in q_rows], dtype="float64")
+    qnorm = np.sqrt((qmat * qmat).sum(1))
+    # luts[q][j][c] = <q_sub_j, codebook_j[c]>
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)],
+        axis=1,
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.asarray(
+                [np.asarray(c) for c in pdf["code"]], dtype="int64"
+            )
+            ids = pdf["id"].values
+            rnorm = pdf["recon_norm"].values
+            out_q, out_n, out_s = [], [], []
+            for qi in range(len(qids)):
+                dots = np.zeros(len(codes_m))
+                for j in range(m):
+                    dots += luts[qi, j].take(codes_m[:, j])
+                denom = qnorm[qi] * np.where(rnorm == 0, 1.0, rnorm)
+                cos = dots / denom
+                cos[ids == qids[qi]] = -np.inf  # self-match excluded
+                top = min(k, len(cos))
+                part = np.argpartition(-cos, top - 1)[:top]
+                out_q.extend([qids[qi]] * top)
+                out_n.extend(ids[part])
+                out_s.extend(cos[part])
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q,
+                    "neighbor_id": out_n,
+                    "cosine": out_s,
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    ).filter(F.col("cosine") != F.lit(float("-inf")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )

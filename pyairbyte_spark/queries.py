@@ -4460,6 +4460,30 @@ _register_ivf_index_query()
 
 
 @register(
+    "ann_pq_topk",
+    None,  # per-subspace k-means x8 is beyond reasonable oracle SQL:
+    # rows-only check; ADC exactness vs numpy reconstruction and
+    # above-chance recall are pinned by
+    # tests/test_operators.py::test_pq_adc_recall_and_exactness
+    "product-quantized ANN (FAISS IVFPQ's ADC re-expressed): 32x "
+    "compressed codes, per-query lookup tables, per-partition local "
+    "top-k — the raw vectors are never re-read at query time",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    books = similarity.pq_train(
+        emb, m=8, ksub=16, iters=2, train_modulus=2
+    )
+    codes = similarity.pq_encode(emb, books)
+    out = similarity.pq_topk(
+        codes, emb.filter(F.col("vec_id") < 5), books, k=5
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
     "store_time_travel_events",
     """
     -- Snapshot isolation: per-version row counts of the same history
