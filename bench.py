@@ -69,6 +69,12 @@ BENCH_QUERIES = [
     "split_train_val_test",
     # table format end-to-end: append x2 + DELETE + UPDATE + pruned read
     "store_dml_skipping_events",
+    # round 7 additions
+    "text_bm25_search",
+    "embed_gram_matrix",
+    "ann_pq_topk",
+    "store_mor_delete_events",
+    "store_incremental_agg_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

@@ -3226,6 +3226,173 @@ class CommitLogTableStore(TableStore):
         self._invalidate_manifests(table_name, below=oldest_kept)
         return removed
 
+    def optimize(
+        self,
+        table_name: str,
+        *,
+        small_file_bytes: int = 32 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Bin-packing small-file compaction (Delta ``OPTIMIZE``
+        without ZORDER): rewrite ONLY the live files below
+        ``small_file_bytes`` into one fresh data dir, carrying every
+        large file by reference. On a 100 TB append-heavy table this
+        is the affordable maintenance op — cost scales with the SMALL
+        tail a sync cadence produces (thousands of KB-files), not the
+        table; :meth:`compact` (full rewrite) stays the tool for
+        re-clustering. Within a bucketed layout the partition column
+        is preserved, so rewritten rows stay routable.
+
+        Deletion vectors on rewritten files are applied (no
+        resurrection) and retired; DVs on carried files survive. The
+        change feed skips the commit (bytes moved, no row changes —
+        op="compact"). A concurrent APPEND rebases unconditionally
+        (bin-packing commutes with new files; they are simply not
+        packed this round); concurrent DML/merge aborts the optimize,
+        which is safe to just re-run.
+
+        Returns ``{"optimized", "files_rewritten", "files_kept",
+        "bytes_rewritten"}``.
+        """
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            return {"optimized": False, "reason": "no snapshot"}
+        version, man = snap
+        if any(e.get("files") is None for e in man["entries"]):
+            return {"optimized": False, "reason": "pre-stats manifest"}
+        prior_dvs = man.get("delete_vectors") or []
+        keep_entries: list[dict] = []
+        small_paths: list[str] = []
+        parts: list[DataFrame] = []
+        kept_files_n = 0
+        bytes_rewritten = 0
+        for e in man["entries"]:
+            live = e.get("buckets")
+            kept: list[dict] = []
+            small: list[dict] = []
+            for f in e["files"]:
+                dead = (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                )
+                if not dead and (f.get("bytes") or 0) < small_file_bytes:
+                    small.append(f)
+                else:
+                    kept.append(f)
+                    if not dead:
+                        kept_files_n += 1
+            if small:
+                base = os.path.join(self.table_path(table_name), e["path"])
+                part = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("basePath", base)
+                    .parquet(*[os.path.join(base, f["path"]) for f in small])
+                )
+                parts.append(
+                    self._with_dv_cols(part) if prior_dvs else part
+                )
+                small_paths.extend(
+                    f'{e["path"]}/{f["path"]}' for f in small
+                )
+                bytes_rewritten += sum(f.get("bytes") or 0 for f in small)
+            if kept:
+                keep_entries.append({**e, "files": kept})
+        if len(small_paths) < min_files:
+            return {
+                "optimized": False,
+                "reason": f"fewer than {min_files} small files",
+            }
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p, allowMissingColumns=True)
+        if prior_dvs:
+            union = self._anti_join_dvs(union, table_name, prior_dvs)
+        if BUCKET_COL in union.columns:
+            # one output file per live bucket keeps routing + pruning
+            union = union.repartition(F.col(BUCKET_COL))
+        else:
+            union = union.coalesce(1)
+        entry = self._stage(union, table_name)
+        if entry["files"]:
+            keep_entries.append(entry)
+        opt_dvs, _ = self._prune_dvs(table_name, man, small_paths)
+        manifest = {
+            "op": "compact",  # bytes moved, no row changes: CDF skips
+            "merge_buckets": man.get("merge_buckets"),
+            **self._carry_mapping(man),
+            **(
+                {"primary_keys": man["primary_keys"]}
+                if man.get("primary_keys")
+                else {}
+            ),
+            "entries": keep_entries,
+            **({"delete_vectors": opt_dvs} if opt_dvs else {}),
+        }
+        base_entries = man["entries"]
+        for _ in range(self._COMMIT_RETRIES):
+            try:
+                self._commit(table_name, manifest, version + 1)
+                return {
+                    "optimized": True,
+                    "files_rewritten": len(small_paths),
+                    "files_kept": kept_files_n,
+                    "bytes_rewritten": bytes_rewritten,
+                }
+            except ConcurrentCommitError:
+                snap2 = self._latest_commit(table_name)
+                if snap2 is None:
+                    raise
+                new_version, new_man = snap2
+                for k in (
+                    "checks",
+                    "column_mapping",
+                    "dropped_columns",
+                    "merge_buckets",
+                    "primary_keys",
+                ):
+                    if (new_man.get(k) or None) != (manifest.get(k) or None):
+                        raise ConcurrentCommitError(
+                            f"optimize of {table_name!r} conflicts with a "
+                            f"concurrent metadata change ({k!r}); re-run"
+                        ) from None
+                if (new_man.get("delete_vectors") or None) != (
+                    prior_dvs or None
+                ):
+                    raise ConcurrentCommitError(
+                        f"optimize of {table_name!r} conflicts with a "
+                        "concurrent deletion-vector change; re-run"
+                    ) from None
+                new_entries = new_man.get("entries") or []
+                base_by = {e["path"]: e for e in base_entries}
+                new_by = {e["path"]: e for e in new_entries}
+                if any(
+                    p not in new_by or new_by[p] != base_by[p]
+                    for p in base_by
+                ):
+                    raise ConcurrentCommitError(
+                        f"optimize of {table_name!r} conflicts with a "
+                        "concurrent write that modified its read set; "
+                        "re-run"
+                    ) from None
+                # Appends commute UNCONDITIONALLY with bin-packing —
+                # the new files just aren't packed this round.
+                added = [e for e in new_entries if e["path"] not in base_by]
+                txns = dict(manifest.get("txns") or {})
+                for app, b in (new_man.get("txns") or {}).items():
+                    if txns.get(app, -1) < b:
+                        txns[app] = b
+                manifest = {
+                    **manifest,
+                    "entries": list(manifest["entries"]) + added,
+                    **({"txns": txns} if txns else {}),
+                }
+                base_entries = new_entries
+                version = new_version
+        raise ConcurrentCommitError(
+            f"optimize of {table_name!r} lost {self._COMMIT_RETRIES} races"
+        )
+
     def compact(
         self,
         table_name: str,

@@ -351,3 +351,114 @@ def test_diff_snapshots_sees_mor_deletes(spark, store):
     rows = diff.collect()
     assert len(rows) == 100
     assert {r["_change_type"] for r in rows} == {"delete"}
+
+
+def test_optimize_packs_small_files_only(spark, store):
+    """OPTIMIZE rewrites the small-file tail, carries big files by
+    reference, applies + retires DVs on the rewritten files, and emits
+    no change-feed rows."""
+    big = spark.range(0, 20000).withColumn("k", F.col("id") % 10).coalesce(1)
+    store.write_append(big, "t")  # one big file
+    for i in range(3):  # small appends — the sync-cadence tail
+        store.write_append(
+            spark.range(20000 + i * 10, 20010 + i * 10).withColumn(
+                "k", F.lit(77)
+            ),
+            "t",
+        )
+    man = store._latest_commit("t")[1]
+    big_paths = {
+        f'{e["path"]}/{f["path"]}'
+        for e in man["entries"]
+        for f in e["files"]
+        if (f.get("bytes") or 0) >= 4096
+    }
+    store.delete_where("t", [("id", "=", 20001)], mode="mor")  # DV on small
+    res = store.optimize("t", small_file_bytes=4096)
+    assert res["optimized"] and res["files_rewritten"] >= 3
+    man2 = store._latest_commit("t")[1]
+    paths2 = {
+        f'{e["path"]}/{f["path"]}'
+        for e in man2["entries"]
+        for f in e["files"]
+    }
+    assert big_paths <= paths2  # big files carried BY REFERENCE
+    assert store.read("t").count() == 20000 + 30 - 1
+    assert not man2.get("delete_vectors")  # DV applied + retired
+    # CDF: bytes moved, no row changes
+    v = store.latest_version("t")
+    assert store.read_changes("t", v - 1, v).count() == 0
+    # second run: nothing left to pack
+    res2 = store.optimize("t", small_file_bytes=4096)
+    assert not res2["optimized"]
+
+
+def test_optimize_rebases_past_concurrent_append(
+    spark, store, tmp_path, monkeypatch
+):
+    for i in range(3):
+        store.write_append(
+            spark.range(i * 10, i * 10 + 10).withColumn("k", F.lit(1)), "t"
+        )
+    orig = CommitLogTableStore._commit
+    fired = {"done": False}
+
+    def race(self, table_name, manifest, version):
+        if not fired["done"] and manifest.get("op") == "compact":
+            fired["done"] = True
+            other = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+            other.write_append(
+                spark.range(1000, 1010).withColumn("k", F.lit(9)),
+                table_name,
+                txn=("app", 4),
+            )
+        return orig(self, table_name, manifest, version)
+
+    monkeypatch.setattr(CommitLogTableStore, "_commit", race)
+    res = store.optimize("t", small_file_bytes=1 << 20)
+    monkeypatch.undo()
+    assert res["optimized"]
+    assert store.read("t").count() == 40
+    assert store.txn_version("t", "app") == 4  # watermark carried on rebase
+
+
+def test_optimize_preserves_bucket_layout(spark, store):
+    store.merge_buckets = 4
+    df = (
+        spark.range(0, 200)
+        .withColumn("k", F.col("id") % 10)
+        .withColumn(
+            "_airbyte_raw_id", F.concat(F.lit("a"), F.col("id"))
+        )
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    store.write_merge(df, "m", ["id"])
+    for i in range(2):
+        store.write_append(
+            spark.range(1000 + i * 5, 1005 + i * 5)
+            .withColumn("k", F.lit(0))
+            .withColumn(
+                "_airbyte_raw_id", F.concat(F.lit("b"), F.col("id"))
+            )
+            .withColumn("_airbyte_extracted_at", F.current_timestamp()),
+            "m",
+            ["id"],
+        )
+    res = store.optimize("m", small_file_bytes=1 << 20)
+    assert res["optimized"]
+    assert store.read("m").count() == 210
+    # a later incremental merge still routes correctly (bucket column
+    # survived the rewrite)
+    upd = (
+        spark.range(0, 10)
+        .withColumn("k", F.lit(42))
+        .withColumn("_airbyte_raw_id", F.concat(F.lit("c"), F.col("id")))
+        .withColumn(
+            "_airbyte_extracted_at",
+            F.lit("2030-01-01 00:00:00").cast("timestamp"),
+        )
+    )
+    store.write_merge(upd, "m", ["id"])
+    got = store.read("m")
+    assert got.count() == 210
+    assert got.filter("id < 10 and k = 42").count() == 10
