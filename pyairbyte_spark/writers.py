@@ -1741,6 +1741,17 @@ class CommitLogTableStore(TableStore):
                     if m.get("restored_version")
                     else {}
                 ),
+                **(
+                    {
+                        "delete_vectors": len(m["delete_vectors"]),
+                        "dv_rows": sum(
+                            d.get("rows") or 0 for d in m["delete_vectors"]
+                        ),
+                    }
+                    if m.get("delete_vectors")
+                    else {}
+                ),
+                **({"txns": dict(m["txns"])} if m.get("txns") else {}),
             }
             if "entries_ref" in m:  # parquet-checkpointed full manifest
                 rec["n_entries"] = m.get("n_entries")
@@ -3098,9 +3109,22 @@ class CommitLogTableStore(TableStore):
         )
         return latest + 1
 
-    def vacuum(self, table_name: str, *, keep_commits: int = 1) -> list[str]:
+    def vacuum(
+        self,
+        table_name: str,
+        *,
+        keep_commits: int = 1,
+        keep_hours: float | None = None,
+    ) -> list[str]:
         """Reclaim storage unreferenced by the ``keep_commits`` most
-        recent snapshots, and drop older commit files. Two granularities:
+        recent snapshots, and drop older commit files. With
+        ``keep_hours`` the retention horizon is TIME-based (Delta's
+        ``VACUUM … RETAIN n HOURS``): every commit younger than the
+        horizon survives, however many there are — the deployment
+        contract users actually reason about ("7 days of time travel")
+        — and ``keep_commits`` still sets the floor (the latest
+        snapshot never vacuums). Commits predating the ``ts`` audit
+        field count as old. Two granularities:
 
         - whole data DIRS no kept snapshot references (superseded by
           replace / compact / full-rewrite merge);
@@ -3123,6 +3147,24 @@ class CommitLogTableStore(TableStore):
         if not names:
             return []
         keep = names[-keep_commits:] if keep_commits > 0 else names[-1:]
+        if keep_hours is not None:
+            cutoff = int(time.time() - keep_hours * 3600)
+            young = [
+                n
+                for n in names
+                if (
+                    self._read_commit_json(table_name, int(n[:-5])).get("ts")
+                    or 0
+                )
+                >= cutoff
+            ]
+            # union of the count floor and the time horizon, contiguous
+            # from the newest commit (the resolver needs the chain)
+            first = min(
+                ([names.index(young[0])] if young else [])
+                + [len(names) - len(keep)]
+            )
+            keep = names[first:]
         # Delta chains: the oldest kept commit may resolve through
         # versions about to be deleted. Checkpoint it first — rewrite
         # its stored form as the resolved FULL manifest (byte change,

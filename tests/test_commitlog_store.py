@@ -360,3 +360,43 @@ def test_restore_refuses_vacuumed_version(spark, store):
     store.vacuum("t", keep_commits=1)  # v1's data dir reclaimed
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         store.restore("t", 1)
+
+
+def test_vacuum_time_based_retention(spark, store):
+    """keep_hours retains every commit younger than the horizon (the
+    "7 days of time travel" contract); the keep_commits floor still
+    applies when the horizon keeps nothing."""
+    from pyspark.sql import functions as F
+
+    store.write_append(spark.range(0, 10).withColumn("v", F.lit(0)), "t")
+    store.write_replace(
+        spark.range(0, 30).withColumn("v", F.lit(1)), "t"
+    )  # supersedes the appended dir
+    # horizon in the future → nothing young → count floor (latest only)
+    removed = store.vacuum("t", keep_commits=1, keep_hours=-1)
+    assert any(r.startswith("d-") for r in removed)
+    assert store.read("t").count() == 30
+    # fresh history again; a 1-hour horizon keeps everything (commits
+    # were written seconds ago) even with keep_commits=1
+    store.write_append(spark.range(100, 110).withColumn("v", F.lit(9)), "t")
+    store.write_append(spark.range(110, 120).withColumn("v", F.lit(9)), "t")
+    v = store.latest_version("t")
+    removed2 = store.vacuum("t", keep_commits=1, keep_hours=1.0)
+    assert removed2 == []
+    assert store.read_version("t", v - 1).count() == 40  # time travel intact
+
+
+def test_history_reports_dv_and_txn_metadata(spark, store):
+    from pyspark.sql import functions as F
+
+    store.write_append(
+        spark.range(0, 100).withColumn("k", F.col("id") % 10),
+        "t",
+        txn=("app", 3),
+    )
+    store.delete_where("t", [("k", "=", 1)], mode="mor")
+    h = store.history("t")
+    assert h[0]["op"] == "delete"
+    assert h[0]["delete_vectors"] == 1 and h[0]["dv_rows"] == 10
+    assert h[0]["txns"] == {"app": 3}
+    assert h[1]["txns"] == {"app": 3}
