@@ -730,14 +730,40 @@ def _clf_final(
 ) -> DataFrame:
     """Shared scoring tail: mean → sigmoid → keep flag (both classifier
     strategies funnel through this so the output schema and rounding
-    are defined once)."""
+    are defined once).
+
+    ``clf_linear`` is a RATIONAL (6-dp decimal sum / token count), so
+    its 6-dp rounding can land exactly on a half-micro tie — where
+    double-rounding engines legitimately disagree (Spark's HALF_UP on
+    the binary value vs DuckDB's scaled-multiply; caught by the sf0.1
+    oracle sweep on one of 5,000 docs). The rounded value is therefore
+    computed in EXACT integer arithmetic — round-half-away of
+    (bias_micro·n + wsum_micro) / n with a sign-split integer
+    division — and only then widened to double; the oracle mirrors
+    the same integers. The sigmoid stays a double (transcendental —
+    ties have measure zero)."""
+    bias_micro = int(round(bias * 1_000_000))
+    num = (
+        F.lit(bias_micro) * n.cast("long")
+        + (wsum * F.lit(1_000_000)).cast("long")
+    )
+    den = n.cast("long")
+    a = F.lit(2) * F.abs(num) + den
+    b = F.lit(2) * den
+    # exact integer floor-div: (a - a%b) is a multiple of b and both
+    # sides stay far under 2^53, so the double division is exact
+    micro_abs = ((a - a % b) / b).cast("long")
+    micro = F.when(
+        n > 0,
+        F.signum(num).cast("long") * micro_abs,
+    ).otherwise(F.lit(bias_micro))
     linear = F.when(
         n > 0, F.lit(bias) + wsum.cast("double") / n.cast("double")
     ).otherwise(F.lit(float(bias)))
     out = pre.select(
         "*",
         n.cast("long").alias("n_tokens"),
-        F.round(linear, 6).alias("clf_linear"),
+        (micro.cast("double") / F.lit(1_000_000.0)).alias("clf_linear"),
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-linear)), 6).alias("clf_prob"),
     ).drop(*drop)
     return out.withColumn("clf_keep", F.col("clf_prob") >= F.lit(keep_threshold))

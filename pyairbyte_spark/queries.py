@@ -3161,6 +3161,7 @@ def _clf_oracle_sql() -> str:
         f"({h}, CAST({w} AS DECIMAL(9,6)))"
         for h, w in enumerate(_clf_weights())
     )
+    bias_micro = int(round(_CLF_BIAS * 1_000_000))
     linear = (
         f"({_CLF_BIAS} + CAST(s.ws AS DOUBLE) / CAST(s.n AS DOUBLE))"
     )
@@ -3177,13 +3178,26 @@ def _clf_oracle_sql() -> str:
     s AS (
       SELECT b.doc_id, count(*) AS n, SUM(w.wt) AS ws
       FROM b JOIN weights w USING (h) GROUP BY b.doc_id
+    ),
+    -- clf_linear is a RATIONAL (6-dp decimal sum / n); ties at the
+    -- half-micro make double rounding engine-dependent, so the
+    -- rounded value is built from EXACT integers (round half away
+    -- from zero), mirroring _clf_final's arithmetic bit for bit.
+    m AS (
+      SELECT doc_id, n, ws,
+             ({bias_micro} * n + CAST(ws * 1000000 AS BIGINT)) AS num
+      FROM s
     )
     SELECT d.doc_id,
-           CAST(s.n AS BIGINT) AS n_tokens,
-           round({linear}, 6) AS clf_linear,
+           CAST(m.n AS BIGINT) AS n_tokens,
+           CAST(CASE WHEN m.num >= 0 THEN 1 ELSE -1 END
+                * ((2 * abs(m.num) + m.n) // (2 * m.n)) AS DOUBLE)
+             / 1000000.0 AS clf_linear,
            round(1.0 / (1.0 + exp(-{linear})), 6) AS clf_prob,
            (round(1.0 / (1.0 + exp(-{linear})), 6) >= 0.5) AS clf_keep
-    FROM documents d JOIN s ON d.doc_id = s.doc_id
+    FROM documents d
+    JOIN m ON d.doc_id = m.doc_id
+    JOIN s ON d.doc_id = s.doc_id
     """
 
 
