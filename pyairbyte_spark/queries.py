@@ -4379,6 +4379,93 @@ def store_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_merge_into_events",
+    """
+    -- Clause-based MERGE INTO (Delta subset) on a bucketed table:
+    -- matched+delete (errors), matched+update (value from source),
+    -- not-matched insert (shifted ids). Mirrors as LEFT JOIN CASE
+    -- algebra over the same source expression.
+    WITH src AS (
+      SELECT event_id, user_id, event_type,
+             round(value, 2) + 5.0 AS value
+      FROM events WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT event_id + 10000000, user_id, event_type, 1.25
+      FROM events WHERE event_id % 7 = 0
+    ),
+    final AS (
+      SELECT t.event_id, t.event_type,
+             CASE WHEN s.event_id IS NOT NULL THEN s.value
+                  ELSE t.value END AS value
+      FROM events t LEFT JOIN src s USING (event_id)
+      WHERE NOT (s.event_id IS NOT NULL AND t.event_type = 'error')
+      UNION ALL
+      SELECT s.event_id, s.event_type, s.value
+      FROM src s LEFT JOIN events t USING (event_id)
+      WHERE t.event_id IS NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           max(event_id) AS max_event
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "clause-based MERGE INTO end-to-end on a bucketed store table: "
+    "update/delete/insert clauses in one atomic commit, aggregate "
+    "equals LEFT-JOIN CASE algebra",
+)
+def store_merge_into_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+    ).withColumn(
+        "_airbyte_extracted_at",
+        F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-store-"), "q", merge_buckets=8
+    )
+    store.write_merge(base, "events", ["event_id"])
+    src = ev.filter(F.col("event_id") % 3 == 0).withColumn(
+        "value", F.round("value", 2) + F.lit(5.0)
+    ).unionByName(
+        ev.filter(F.col("event_id") % 7 == 0).select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "user_id",
+            "event_type",
+            F.lit(1.25).alias("value"),
+        )
+    )
+    store.merge_into(
+        "events",
+        src,
+        ["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_matched_delete="t.event_type = 'error'",
+        when_not_matched_insert=True,
+    )
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "store_merge_upsert_events",
     """
     -- Bucketed incremental MERGE: initial full write, then an upsert

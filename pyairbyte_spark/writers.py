@@ -2334,6 +2334,17 @@ class CommitLogTableStore(TableStore):
             upd_post = changed.join(old_keys, on=pks, how="left_semi")
             updates = _tag(upd_post, "update_postimage")
             out = inserts.unionByName(updates, allowMissingColumns=True)
+            # merge_into's when_matched_delete removes keys outright:
+            # old keys absent from the new (touched) rows are deletes.
+            # (Latest-wins upsert merges never delete — the anti-join
+            # matches nothing and costs one pass over the diff frames.)
+            deleted = _tag(
+                old_rows.join(
+                    new_rows.select(*pks).distinct(), on=pks, how="left_anti"
+                ),
+                "delete",
+            )
+            out = out.unionByName(deleted, allowMissingColumns=True)
             if include_preimages:
                 # The replaced rows' PRIOR values, paired by primary
                 # key with the emitted post-images.
@@ -2527,6 +2538,276 @@ class CommitLogTableStore(TableStore):
             f"merge into {table_name!r} lost {self._COMMIT_RETRIES} "
             "commit races"
         ) from last
+
+    def merge_into(
+        self,
+        table_name: str,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched_update: dict[str, str] | None = None,
+        when_matched_delete: "str | bool" = False,
+        when_not_matched_insert: bool = True,
+    ) -> dict:
+        """Clause-based MERGE (Delta's ``MERGE INTO`` subset): pair
+        target rows with ``source`` on the key columns, then
+
+        - matched + ``when_matched_delete`` (True, or a SQL predicate
+          over ``t.*``/``s.*``) → drop the target row;
+        - matched + ``when_matched_update`` (target col → SQL expr over
+          ``t.*``/``s.*``) → rewrite it (delete clause wins when both
+          fire, Delta's clause order);
+        - source-only + ``when_not_matched_insert`` → insert the
+          source row (schema-aligned by name);
+        - target-only rows pass through untouched.
+
+        Richer than :meth:`write_merge`'s latest-wins upsert (which
+        stays the streaming-sync path): this is the batch CDC-apply /
+        dimension-maintenance verb. Source keys must be unique — a
+        duplicate key would pair one target row with two clause
+        outcomes (Delta raises the same error).
+
+        Scale shape: when the table is bucketed and ``on`` equals its
+        primary keys, only the SOURCE'S buckets are read and rewritten
+        (file-targeted, DV-applied) and untouched buckets carry by
+        reference — cost scales with the touched slice. Otherwise one
+        full rewrite. One atomic commit either way (op="merge"; the
+        change feed classifies insert/update/delete from the pairing).
+        Returns ``{"inserted", "updated", "deleted", "version"}``
+        (counts via ``observe`` — no extra jobs).
+        """
+        from pyspark.sql import Observation
+
+        if not on:
+            raise ValueError("merge_into requires key columns")
+        if not (
+            when_matched_update or when_matched_delete
+            or when_not_matched_insert
+        ):
+            raise ValueError("merge_into requires at least one clause")
+        last: ConcurrentCommitError | None = None
+        for _ in range(self._COMMIT_RETRIES):
+            try:
+                return self._merge_into_once(
+                    table_name,
+                    source,
+                    on,
+                    when_matched_update,
+                    when_matched_delete,
+                    when_not_matched_insert,
+                )
+            except ConcurrentCommitError as e:
+                last = e
+                continue
+        raise ConcurrentCommitError(
+            f"merge_into {table_name!r} lost {self._COMMIT_RETRIES} races"
+        ) from last
+
+    def _merge_into_once(
+        self,
+        table_name: str,
+        source: DataFrame,
+        on: list[str],
+        upd: dict | None,
+        dele,
+        ins: bool,
+    ) -> dict:
+        from pyspark.sql import Observation
+
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        on_phys = [self._to_physical(man, c) for c in on]
+        layout_n = man.get("merge_buckets")
+        pks = man.get("primary_keys") or []
+        mapping, _dropped = self._mapping_of(man)
+        pk_logical = [mapping.get(pk, pk) for pk in pks]
+        incremental = bool(layout_n) and sorted(on_phys) == sorted(pks)
+        dvs = man.get("delete_vectors") or []
+        # The pairing runs in LOGICAL space (clause expressions see the
+        # user-facing names, like update_where); physical renames and
+        # bucket routing happen at the staging boundary.
+        src = self._enforce_checks(source, man)
+        # Duplicate source keys would pair ONE target row with TWO
+        # clause outcomes (and duplicate it through the outer join) —
+        # Delta raises the same way. The count rides the bucket/key
+        # shuffle; assert_true fails the staging job, nothing commits.
+        dup_w = Window.partitionBy(*[F.col(c) for c in on])
+        src = src.withColumn(
+            "__src_n", F.count(F.lit(1)).over(dup_w)
+        ).filter(
+            F.assert_true(
+                F.col("__src_n") == 1,
+                F.lit(
+                    "MERGE_SOURCE_DUPLICATE: merge_into source has "
+                    f"duplicate rows for key {on!r}"
+                ),
+            ).isNull()
+        ).drop("__src_n")
+        if layout_n:
+            src = self._with_bucket(src, pk_logical or on, layout_n)
+        keep_entries: list[dict] = []
+        rewritten: list[str] = []
+        if incremental:
+            touched = sorted(
+                r[0] for r in src.select(BUCKET_COL).distinct().collect()
+            )
+            touched_set = set(touched)
+            old_parts: list[DataFrame] = []
+            for e in man["entries"]:
+                overlap = sorted(set(e.get("buckets") or []) & touched_set)
+                remaining = [
+                    b for b in (e.get("buckets") or []) if b not in touched_set
+                ]
+                if remaining:
+                    keep_entries.append({**e, "buckets": remaining})
+                if not overlap:
+                    continue
+                p = os.path.join(self.table_path(table_name), e["path"])
+                files = e.get("files")
+                if files is not None:
+                    ov = set(overlap)
+                    paths = [
+                        os.path.join(p, f["path"])
+                        for f in files
+                        if f.get("bucket") in ov
+                    ]
+                    if dvs:
+                        rewritten.extend(
+                            f'{e["path"]}/{f["path"]}'
+                            for f in files
+                            if f.get("bucket") in ov
+                        )
+                    if not paths:
+                        continue
+                    part = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .option("basePath", p)
+                        .parquet(*paths)
+                    )
+                else:
+                    part = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(p)
+                        .filter(F.col(BUCKET_COL).isin(overlap))
+                    )
+                old_parts.append(
+                    self._with_dv_cols(part) if dvs else part
+                )
+            old = None
+            if old_parts:
+                old = old_parts[0]
+                for p_df in old_parts[1:]:
+                    old = old.unionByName(p_df, allowMissingColumns=True)
+                if dvs:
+                    old = self._anti_join_dvs(old, table_name, dvs)
+                old = self._apply_mapping(old, man)
+        else:
+            old = self._apply_mapping(
+                self._read_manifest_df(table_name, man), man
+            )
+        obs = Observation()
+        if old is None:
+            merged = src if ins else src.filter(F.lit(False))
+            merged = merged.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_ins"),
+                F.count(F.lit(1)).alias("n_upd"),
+                F.count(F.lit(1)).alias("n_del"),
+            )
+            n_over = (1, 0, 0)  # only inserts are real in this branch
+        else:
+            n_over = None
+            # NULL join keys never match (SQL semantics): presence is
+            # decided by constant markers, not the key columns.
+            t = old.withColumn("__t", F.lit(1)).alias("t")
+            s = src.withColumn("__s", F.lit(1)).alias("s")
+            cond = None
+            for c in on:
+                eq = F.col(f"t.{c}") == F.col(f"s.{c}")
+                cond = eq if cond is None else (cond & eq)
+            j = t.join(s, cond, "full_outer")
+            matched = (
+                F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+            )
+            del_cond = (
+                F.lit(False)
+                if dele is False
+                else (F.lit(True) if dele is True else F.expr(dele))
+            )
+            action = (
+                F.when(matched & F.coalesce(del_cond, F.lit(False)), F.lit("D"))
+                .when(matched, F.lit("U") if upd else F.lit("K"))
+                .when(F.col("t.__t").isNotNull(), F.lit("K"))
+                .otherwise(F.lit("I") if ins else F.lit("X"))
+            )
+            j = j.withColumn("__action", action)
+            out_cols = [c for c in old.columns if c != "__t"]
+            proj = []
+            for c in out_cols:
+                s_val = (
+                    F.col(f"s.{c}") if c in src.columns else F.lit(None)
+                )
+                if upd and c in upd:
+                    expr = (
+                        F.when(F.col("__action") == "U", F.expr(upd[c]))
+                        .when(F.col("__action") == "I", s_val)
+                        .otherwise(F.col(f"t.{c}"))
+                    )
+                else:
+                    expr = F.when(
+                        F.col("__action") == "I", s_val
+                    ).otherwise(F.col(f"t.{c}"))
+                proj.append(expr.alias(c))
+            merged = (
+                j.observe(
+                    obs,
+                    F.sum((F.col("__action") == "I").cast("long")).alias(
+                        "n_ins"
+                    ),
+                    F.sum((F.col("__action") == "U").cast("long")).alias(
+                        "n_upd"
+                    ),
+                    F.sum((F.col("__action") == "D").cast("long")).alias(
+                        "n_del"
+                    ),
+                )
+                .filter(~F.col("__action").isin("D", "X"))
+                .select(*proj)
+            )
+        entry = self._stage(
+            self._rename_incoming(merged, man), table_name
+        )
+        if entry["files"]:
+            keep_entries = [*keep_entries, entry]
+        new_dvs, _ = self._prune_dvs(table_name, man, rewritten)
+        self._commit(
+            table_name,
+            {
+                "op": "merge",
+                "merge_buckets": layout_n,
+                **({"primary_keys": pks} if pks else {}),
+                "entries": keep_entries,
+                **self._carry_mapping(man),
+                **({"delete_vectors": new_dvs} if new_dvs else {}),
+            },
+            version + 1,
+        )
+        got = obs.get
+        if n_over is not None:
+            return {
+                "inserted": int(got["n_ins"] or 0) * n_over[0],
+                "updated": 0,
+                "deleted": 0,
+                "version": version + 1,
+            }
+        return {
+            "inserted": int(got["n_ins"] or 0),
+            "updated": int(got["n_upd"] or 0),
+            "deleted": int(got["n_del"] or 0),
+            "version": version + 1,
+        }
 
     def _write_merge_once(
         self, df: DataFrame, table_name: str, primary_keys: list[str]
