@@ -115,7 +115,13 @@ def _new_files(table_path: str, version: int) -> list[str]:
 
 
 # metadata-only commit ops: no rows to stream, safely skipped
-_METADATA_OPS = ("compact", "rename_column", "drop_column", "set_check")
+_METADATA_OPS = (
+    "compact",
+    "rename_column",
+    "drop_column",
+    "set_check",
+    "add_column",
+)
 
 
 class CommitLogTailReader(SimpleDataSourceStreamReader):

@@ -713,6 +713,7 @@ class CommitLogTableStore(TableStore):
                     "dropped_columns",
                     "merge_buckets",
                     "primary_keys",
+                    "added_columns",
                 ):
                     if (new_man.get(k) or None) != (manifest.get(k) or None):
                         raise ConcurrentCommitError(
@@ -1008,6 +1009,7 @@ class CommitLogTableStore(TableStore):
                     # Partition-pruned: only this dir's LIVE buckets
                     # are read; superseded data never reaches the scan.
                     part = part.filter(F.col(BUCKET_COL).isin(live))
+            part = self._fill_added(part, dv_man)
             parts.append(self._with_dv_cols(part) if dvs else part)
         if not parts:
             raise FileNotFoundError(
@@ -1071,7 +1073,25 @@ class CommitLogTableStore(TableStore):
             out["checks"] = man["checks"]
         if man.get("txns"):
             out["txns"] = man["txns"]
+        if man.get("added_columns"):
+            out["added_columns"] = man["added_columns"]
         return out
+
+    def _fill_added(self, part: DataFrame, man: dict | None) -> DataFrame:
+        """Project metadata-added columns into a PART scan that
+        predates them. Data dirs are immutable and staged whole, so a
+        part either carries the column in its files (post-add write —
+        explicit NULLs stay NULL) or lacks it entirely (pre-add — every
+        row sees the recorded default). Applying per PART, before any
+        union, is what makes that distinction exact; a union-level
+        coalesce would overwrite post-add NULLs."""
+        added = (man or {}).get("added_columns") or {}
+        for phys, spec in added.items():
+            if phys not in part.columns:
+                part = part.withColumn(
+                    phys, F.lit(spec.get("default")).cast(spec["type"])
+                )
+        return part
 
     # -- CHECK constraints (persisted expectations) -------------------------
     # Delta's ALTER TABLE ADD CONSTRAINT for the commit-log store: a
@@ -1281,7 +1301,75 @@ class CommitLogTableStore(TableStore):
             # commit re-states top-level metadata; omission drops it).
             **({"checks": man["checks"]} if man.get("checks") else {}),
             **({"txns": man["txns"]} if man.get("txns") else {}),
+            **(
+                {"added_columns": man["added_columns"]}
+                if man.get("added_columns")
+                else {}
+            ),
             # Position deletes are name-independent; carry verbatim.
+            **self._carry_dv(man),
+        }
+        self._commit(table_name, manifest, version + 1)
+        return version + 1
+
+    def add_column(
+        self,
+        table_name: str,
+        name: str,
+        type_ddl: str,
+        *,
+        default=None,
+    ) -> int:
+        """Metadata-only ADD COLUMN (Delta ``ALTER TABLE … ADD COLUMN``
+        with an existing-rows default): one tiny commit, zero data I/O
+        at any table size. Rows written BEFORE the add read the
+        ``default`` (NULL if omitted); rows written after carry their
+        own values, explicit NULLs included — exact, because data dirs
+        are immutable and whole, so every file either predates the
+        column or doesn't (``_fill_added``). The record rides the
+        manifest until a full rewrite materializes the values into
+        files. Returns the new version."""
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        if name in set(self.read(table_name).columns):
+            raise ValueError(f"column {name!r} already exists")
+        _mapping, dropped = self._mapping_of(man)
+        if name in dropped:
+            raise ValueError(
+                f"column {name!r} was previously dropped; old files still "
+                "hold that physical name — materialize the drop first "
+                "(full-rewrite merge / replace resets the mapping)"
+            )
+        if name.startswith(("_airbyte", "__")):
+            raise ValueError("cannot add bookkeeping columns")
+        # validate the DDL type (and the default's castability) eagerly
+        try:
+            self.spark.range(1).select(
+                F.lit(default).cast(type_ddl)
+            ).schema
+        except Exception as e:
+            raise ValueError(
+                f"invalid column type {type_ddl!r} or default: {e}"
+            ) from None
+        added = dict(man.get("added_columns") or {})
+        added[name] = {"type": type_ddl, "default": default}
+        manifest = {
+            "op": "add_column",
+            "merge_buckets": man.get("merge_buckets"),
+            **(
+                {"primary_keys": man["primary_keys"]}
+                if man.get("primary_keys")
+                else {}
+            ),
+            "entries": man.get("entries") or [],
+            **{
+                k: v
+                for k, v in self._carry_mapping(man).items()
+                if k != "added_columns"
+            },
+            "added_columns": added,
             **self._carry_dv(man),
         }
         self._commit(table_name, manifest, version + 1)
@@ -1317,6 +1405,11 @@ class CommitLogTableStore(TableStore):
             "dropped_columns": sorted(dropped),
             **({"checks": man["checks"]} if man.get("checks") else {}),
             **({"txns": man["txns"]} if man.get("txns") else {}),
+            **(
+                {"added_columns": man["added_columns"]}
+                if man.get("added_columns")
+                else {}
+            ),
             **self._carry_dv(man),
         }
         self._commit(table_name, manifest, version + 1)
@@ -1694,6 +1787,7 @@ class CommitLogTableStore(TableStore):
                     .option("basePath", g["base"])
                     .parquet(*g["paths"])
                 )
+            part = self._fill_added(part, plan["manifest"])
             parts.append(self._with_dv_cols(part) if dvs else part)
         if parts:
             df = parts[0]
@@ -2114,9 +2208,14 @@ class CommitLogTableStore(TableStore):
             man_to
         ):
             return None
+        if man_from is not None and (
+            (man_from.get("added_columns") or None)
+            != (man_to.get("added_columns") or None)
+        ):
+            return None  # schema grew inside the window: per-commit replay
         for v in range(from_version + 1, to + 1):
             op = self._read_commit_json(table_name, v).get("op")
-            if op in ("rename_column", "drop_column"):
+            if op in ("rename_column", "drop_column", "add_column"):
                 return None
 
         def _snap(man: dict | None, version: int) -> DataFrame | None:
@@ -2163,7 +2262,13 @@ class CommitLogTableStore(TableStore):
     ) -> DataFrame | None:
         man = self._read_manifest(table_name, v)
         op = man.get("op")
-        if op in ("compact", "rename_column", "drop_column", "set_check"):
+        if op in (
+            "compact",
+            "rename_column",
+            "drop_column",
+            "set_check",
+            "add_column",
+        ):
             return None  # bytes or metadata moved; no row changes
         prev = self._read_manifest(table_name, v - 1) if v > 1 else None
         prev_entries = (prev or {}).get("entries") or []
@@ -2183,7 +2288,10 @@ class CommitLogTableStore(TableStore):
         if op == "append":
             if not new_entries:
                 return None
-            return _tag(self._entries_df(table_name, new_entries), "insert")
+            return _tag(
+                self._entries_df(table_name, new_entries, dv_man=man),
+                "insert",
+            )
 
         if op in ("replace", "restore"):
             # snapshot swap: prior rows out, the (restored) snapshot in
@@ -2229,6 +2337,7 @@ class CommitLogTableStore(TableStore):
                     .option("basePath", base)
                     .parquet(*[os.path.join(base, r) for r in rels])
                 )
+                p = self._fill_added(p, man)
                 old_parts.append(self._with_dv_cols(p) if need_ids else p)
             old_rows = old_parts[0]
             for p in old_parts[1:]:
@@ -2259,7 +2368,7 @@ class CommitLogTableStore(TableStore):
             if op == "update":
                 if not new_entries:
                     return None
-                staged = self._entries_df(table_name, new_entries)
+                staged = self._entries_df(table_name, new_entries, dv_man=man)
                 old_d = old_rows.select(
                     self._row_digest(old_rows).alias("__d")
                 ).distinct()
@@ -2285,7 +2394,7 @@ class CommitLogTableStore(TableStore):
                 return pre.unionByName(post, allowMissingColumns=True)
             keep_d = None
             if new_entries:
-                keep_rows = self._entries_df(table_name, new_entries)
+                keep_rows = self._entries_df(table_name, new_entries, dv_man=man)
                 keep_d = keep_rows.select(
                     self._row_digest(keep_rows).alias("__d")
                 ).distinct()
@@ -2300,7 +2409,7 @@ class CommitLogTableStore(TableStore):
         if op == "merge":
             if not new_entries:
                 return None
-            new_rows = self._entries_df(table_name, new_entries)
+            new_rows = self._entries_df(table_name, new_entries, dv_man=man)
             if not prev_entries:
                 return _tag(new_rows, "insert")
             full_rewrite = len(man.get("entries") or []) == len(new_entries)
@@ -2692,6 +2801,7 @@ class CommitLogTableStore(TableStore):
                         .parquet(p)
                         .filter(F.col(BUCKET_COL).isin(overlap))
                     )
+                part = self._fill_added(part, man)
                 old_parts.append(
                     self._with_dv_cols(part) if dvs else part
                 )
@@ -2873,6 +2983,7 @@ class CommitLogTableStore(TableStore):
                         .parquet(p)
                         .filter(F.col(BUCKET_COL).isin(overlap))
                     )
+                old = self._fill_added(old, man)
                 old_parts.append(self._with_dv_cols(old) if dvs else old)
             if old_parts:
                 olds = old_parts[0]
@@ -3044,6 +3155,7 @@ class CommitLogTableStore(TableStore):
                         *[os.path.join(base, f["path"]) for f in touched_files]
                     )
                 )
+                part = self._fill_added(part, man)
                 parts.append(self._with_dv_cols(part) if need_dv_cols else part)
                 touched_paths.extend(
                     f'{e["path"]}/{f["path"]}' for f in touched_files
@@ -3227,6 +3339,7 @@ class CommitLogTableStore(TableStore):
                         *[os.path.join(base, f["path"]) for f in touched_files]
                     )
                 )
+                part = self._fill_added(part, man)
                 parts.append(self._with_dv_cols(part) if prior_dvs else part)
                 touched_paths.extend(
                     f'{e["path"]}/{f["path"]}' for f in touched_files
@@ -3612,6 +3725,7 @@ class CommitLogTableStore(TableStore):
                     .option("basePath", base)
                     .parquet(*[os.path.join(base, f["path"]) for f in small])
                 )
+                part = self._fill_added(part, man)
                 parts.append(
                     self._with_dv_cols(part) if prior_dvs else part
                 )
@@ -3673,6 +3787,7 @@ class CommitLogTableStore(TableStore):
                     "dropped_columns",
                     "merge_buckets",
                     "primary_keys",
+                    "added_columns",
                 ):
                     if (new_man.get(k) or None) != (manifest.get(k) or None):
                         raise ConcurrentCommitError(
