@@ -180,10 +180,19 @@ class SparkCache(Mapping):
         """Time travel: the stream's table as of a commit version."""
         return self._acid_store().read_version(self.table_name(stream_name), version)
 
-    def vacuum(self, stream_name: str, *, keep_commits: int = 1) -> list[str]:
-        """Reclaim unreferenced data dirs + old commits for one stream."""
+    def vacuum(
+        self,
+        stream_name: str,
+        *,
+        keep_commits: int = 1,
+        keep_hours: float | None = None,
+    ) -> list[str]:
+        """Reclaim unreferenced data dirs + old commits for one stream
+        (``keep_hours``: time-based retention horizon)."""
         return self._acid_store().vacuum(
-            self.table_name(stream_name), keep_commits=keep_commits
+            self.table_name(stream_name),
+            keep_commits=keep_commits,
+            keep_hours=keep_hours,
         )
 
     def compact(
@@ -250,12 +259,59 @@ class SparkCache(Mapping):
         return self._acid_store().table_checks(self.table_name(stream_name))
 
     def delete_stream_where(
-        self, stream_name: str, predicates: list[tuple]
+        self, stream_name: str, predicates: list[tuple], *, mode: str = "cow"
     ) -> dict:
         """File-pruned DELETE (SQL semantics: TRUE deletes, NULL
-        stays); one atomic commit, time travel preserved until vacuum."""
+        stays); one atomic commit, time travel preserved until vacuum.
+        ``mode="mor"`` records position deletion vectors instead of
+        rewriting files (the 100 TB point-delete path)."""
         return self._acid_store().delete_where(
-            self.table_name(stream_name), predicates
+            self.table_name(stream_name), predicates, mode=mode
+        )
+
+    def merge_stream_into(
+        self,
+        stream_name: str,
+        source: DataFrame,
+        on: list[str],
+        *,
+        when_matched_update: dict | None = None,
+        when_matched_delete=False,
+        when_not_matched_insert: bool = True,
+    ) -> dict:
+        """Clause-based MERGE INTO (Delta subset): matched
+        update/delete + not-matched insert in one atomic commit."""
+        return self._acid_store().merge_into(
+            self.table_name(stream_name),
+            source,
+            on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
+
+    def optimize_stream(
+        self,
+        stream_name: str,
+        *,
+        small_file_bytes: int = 32 << 20,
+        min_files: int = 2,
+    ) -> dict:
+        """Bin-packing small-file compaction (full ``compact`` stays
+        the re-clustering tool)."""
+        return self._acid_store().optimize(
+            self.table_name(stream_name),
+            small_file_bytes=small_file_bytes,
+            min_files=min_files,
+        )
+
+    def add_stream_column(
+        self, stream_name: str, name: str, type_ddl: str, *, default=None
+    ) -> int:
+        """Metadata-only ADD COLUMN with an existing-rows default
+        (zero data I/O)."""
+        return self._acid_store().add_column(
+            self.table_name(stream_name), name, type_ddl, default=default
         )
 
     def update_stream_where(
@@ -275,11 +331,18 @@ class SparkCache(Mapping):
         stream_name: str,
         from_version: int,
         to_version: int | None = None,
+        *,
+        include_preimages: bool = False,
     ) -> DataFrame:
         """Change data feed: row changes between two commit versions
-        (``_change_type`` + ``_commit_version`` columns)."""
+        (``_change_type`` + ``_commit_version`` columns);
+        ``include_preimages`` adds ``update_preimage`` rows for
+        incremental consumers."""
         return self._acid_store().read_changes(
-            self.table_name(stream_name), from_version, to_version
+            self.table_name(stream_name),
+            from_version,
+            to_version,
+            include_preimages=include_preimages,
         )
 
     def read_stream_where(
