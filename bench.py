@@ -242,17 +242,27 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    # sf1 pass: one timed run per heavy query at 10x (single runs are
-    # fine here — multi-second medians carry proportionally less noise).
+    # sf1 pass: TWO timed runs per heavy query at 10x, keep the min —
+    # the first run carries whole-stage-codegen compilation and page
+    # cache state that round-over-round comparisons shouldn't read as
+    # plan regressions (a single-run dsir sample spread 6.6-8.0s
+    # across identical code; the warm minimum is stable to ~5%).
     sf1_doc = None
     if not SF1_SKIP:
         build_sec = build_sf1(spark, SF_DIR, SF1_DIR, SF1_REPLICAS)
         sf1_timings: dict[str, float] = {}
         for name in SF1_QUERIES:
             fn = registry[name]
-            t0 = time.monotonic()
-            n = fn(spark, SF1_DIR).count()
-            sf1_timings[name] = round(time.monotonic() - t0, 3)
+            best = None
+            for _ in range(4):
+                t0 = time.monotonic()
+                n = fn(spark, SF1_DIR).count()
+                dt = time.monotonic() - t0
+                improved = best is None or dt < best * 0.95
+                best = dt if best is None or dt < best else best
+                if not improved:
+                    break  # converged: warm-up tail is gone
+            sf1_timings[name] = round(best, 3)
             print(
                 f"# sf1 {name}: {sf1_timings[name]:.2f}s ({n} rows)",
                 file=sys.stderr,
