@@ -4466,6 +4466,117 @@ def store_merge_into_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_optimize_events",
+    """
+    -- Small-file OPTIMIZE moves bytes, never rows: four fragmented
+    -- appends + a MoR delete, bin-packed, must aggregate exactly like
+    -- plain SQL over the same slices.
+    WITH src AS (
+      SELECT event_id, event_type, value FROM events
+      WHERE event_id % 4 = 0 AND event_type <> 'error')
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM src GROUP BY event_type ORDER BY event_type
+    """,
+    "bin-packing OPTIMIZE end-to-end: fragmented appends + MoR delete "
+    "packed into per-bucket files; aggregate equals plain SQL",
+)
+def store_optimize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    sel = ev.filter(F.col("event_id") % 4 == 0)
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-store-"), "q"
+    )
+    for i in range(4):  # the sync-cadence small-file tail
+        store.write_append(sel.filter(F.col("event_id") % 16 == i * 4), "events")
+    store.delete_where(
+        "events", [("event_type", "=", "error")], mode="mor"
+    )
+    res = store.optimize("events", small_file_bytes=64 << 20)
+    assert res["optimized"] and res["files_kept"] == 0
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "store_add_column_events",
+    """
+    -- Metadata-only ADD COLUMN with default: rows written before the
+    -- add read the default, the post-add append carries real values,
+    -- and DML may predicate on the added column.
+    WITH tagged AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN event_id % 2 = 1 THEN CAST(user_id AS DOUBLE)
+                  ELSE 0.5 END AS score
+      FROM events),
+    final AS (SELECT * FROM tagged WHERE NOT (score = 0.5 AND event_type = 'view'))
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(score, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_score,
+           CAST(sum(CASE WHEN score = 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_default
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "metadata-only ADD COLUMN end-to-end: zero-I/O add with default, "
+    "post-add append with real values, DELETE predicated on the added "
+    "column; aggregate equals CASE algebra",
+)
+def store_add_column_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-store-"), "q"
+    )
+    store.write_append(
+        ev.filter(F.col("event_id") % 2 == 0).drop("user_id"), "events"
+    )  # v1: pre-add rows
+    store.add_column("events", "score", "double", default=0.5)  # v2
+    store.write_append(
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn("score", F.col("user_id").cast("double"))
+        .drop("user_id"),
+        "events",
+    )  # v3: post-add rows with real values
+    store.delete_where(
+        "events",
+        [("score", "=", 0.5), ("event_type", "=", "view")],
+    )  # v4: DML on the added column (defaulted rows only)
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("score"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_score"),
+            F.sum((F.col("score") == 0.5).cast("long")).alias("n_default"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "store_merge_upsert_events",
     """
     -- Bucketed incremental MERGE: initial full write, then an upsert
