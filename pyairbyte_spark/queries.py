@@ -4466,6 +4466,38 @@ def store_merge_into_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cohort_retention",
+    """
+    -- Cohort retention matrix: users grouped by first-activity day,
+    -- distinct active users per (cohort, day offset).
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    first AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id)
+    SELECT f.cohort,
+           CAST(datediff('day', f.cohort, e.d) AS BIGINT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e JOIN first f ON e.user_id = f.user_id
+    GROUP BY f.cohort, day_offset ORDER BY f.cohort, day_offset
+    """,
+    "cohort retention: first-seen day per user (one user_id shuffle, "
+    "reused by the join), distinct actives per (cohort, offset) — the "
+    "standard product-analytics matrix",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort", F.datediff("d", "cohort").cast("long").alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort", "day_offset")
+    )
+
+
+@register(
     "store_optimize_events",
     """
     -- Small-file OPTIMIZE moves bytes, never rows: four fragmented
