@@ -292,7 +292,10 @@ def test_commitlog_store_matches_model(spark, tmp_path_factory, ops):
 @given(
     ops=st.lists(
         st.tuples(
-            st.sampled_from(["merge", "delete", "update", "compact", "rename"]),
+            st.sampled_from(
+                ["merge", "delete", "mor_delete", "update", "compact",
+                 "optimize", "rename"]
+            ),
             st.lists(
                 st.tuples(st.integers(0, 6), st.integers(0, 9)),
                 min_size=1,
@@ -304,7 +307,7 @@ def test_commitlog_store_matches_model(spark, tmp_path_factory, ops):
         max_size=6,
     )
 )
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=10, deadline=None)
 def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
     """Model-based check over the full DML surface: any interleaving of
     bucketed MERGE, file-pruned DELETE (id >= p), file-pruned UPDATE
@@ -348,6 +351,13 @@ def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
         elif kind == "delete":
             store.delete_where("t", [("id", ">=", param)])
             model = [r for r in model if r[0] < param]
+        elif kind == "mor_delete":
+            # merge-on-read: same visible semantics as COW, via
+            # position deletion vectors — fuzzes every DV interaction
+            # (merge over DVs, COW-after-MoR retirement, compaction
+            # materialization, vacuum of superseded sidecars)
+            store.delete_where("t", [("id", ">=", param)], mode="mor")
+            model = [r for r in model if r[0] < param]
         elif kind == "update":
             store.update_where(
                 "t", [("id", "<=", param)], {vname: f"{vname} + 100"}
@@ -359,6 +369,8 @@ def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
             new = "v2" if vname == "v" else "v"
             store.rename_column("t", vname, new)
             vname = new  # values unchanged; only the logical name moves
+        elif kind == "optimize":
+            store.optimize("t", small_file_bytes=1 << 30, min_files=2)
         else:  # compact
             store.compact("t", sort_by=["id"])
         if not store.table_exists("t"):
