@@ -933,12 +933,14 @@ def pq_train(
     sample — m driver-coordinated loops of declarative plans, the
     iterative-algorithm pattern. Returns ``codebooks[m][ksub][dsub]``
     (a few KB — rides in closures from then on)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     dim = len(corpus.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
+
+    def train_one(j: int) -> list[list[float]]:
         sub = corpus.select(
             F.col(id_col).alias(id_col),
             F.slice(as_double_vec(vec_col), j * dsub + 1, dsub).alias("sub"),
@@ -955,8 +957,15 @@ def pq_train(
         cvs = [list(r["cv"]) for r in sorted(cents, key=lambda r: r["cid"])]
         while len(cvs) < ksub:
             cvs.append(list(cvs[0]))
-        books.append(cvs[:ksub])
-    return books
+        return cvs[:ksub]
+
+    # The m subspace trainings are INDEPENDENT Spark job chains —
+    # submit them from concurrent driver threads so the cluster
+    # overlaps their stages (identical results; each chain is its own
+    # deterministic sampled-Lloyd). Wall drops from sum-of-chains to
+    # roughly the longest chain.
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        return list(pool.map(train_one, range(m)))
 
 
 def pq_encode(
