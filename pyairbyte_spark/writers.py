@@ -2592,23 +2592,37 @@ class CommitLogTableStore(TableStore):
         )
 
     def write_replace(
-        self, df: DataFrame, table_name: str, primary_keys: list[str] | None = None
-    ) -> None:
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str] | None = None,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict | None:
+        """Atomic snapshot REPLACE. ``txn=(app_id, batch_id)`` makes
+        it idempotent like :meth:`write_append` (same SetTransaction
+        contract; a replayed batch is skipped, returning
+        ``{"version", "skipped"}``)."""
+        if txn is not None:
+            pre = self._latest_commit(table_name)
+            if (
+                pre is not None
+                and (pre[1].get("txns") or {}).get(txn[0], -1) >= txn[1]
+            ):
+                return {"version": pre[0], "skipped": True}
         prior = self._latest_commit(table_name)
         # Replace swaps data (and resets any column mapping — incoming
         # frames carry logical names) but CHECK constraints and the
         # streaming txn watermarks are table properties and survive,
         # Delta-style.
         checks = (prior[1].get("checks") or {}) if prior else {}
-        txns = (prior[1].get("txns") or {}) if prior else {}
         if checks:
             df = self._enforce_checks(df, {"checks": checks})
         df = self._with_bucket(df, primary_keys)
         entry = self._stage(df, table_name)
-        manifest = {
+        base = {
             "op": "replace",
             **({"checks": checks} if checks else {}),
-            **({"txns": txns} if txns else {}),
             "merge_buckets": (
                 self.merge_buckets if entry["buckets"] is not None else None
             ),
@@ -2617,9 +2631,23 @@ class CommitLogTableStore(TableStore):
         for _ in range(self._COMMIT_RETRIES):
             snap = self._latest_commit(table_name)
             version = snap[0] if snap else 0
+            # Re-read the watermarks EVERY attempt: a concurrent txn
+            # append landing mid-race must not have its watermark
+            # wiped by a replace built from the stale prior.
+            txns = dict((snap[1].get("txns") or {})) if snap else {}
+            if txn is not None:
+                app_id, batch_id = txn
+                if txns.get(app_id, -1) >= batch_id:
+                    return {"version": version, "skipped": True}
+                txns[app_id] = batch_id
+            manifest = {**base, **({"txns": txns} if txns else {})}
             try:
                 self._commit(table_name, manifest, version + 1)
-                return
+                return (
+                    {"version": version + 1, "skipped": False}
+                    if txn is not None
+                    else None
+                )
             except ConcurrentCommitError:
                 continue  # replace doesn't depend on the prior snapshot
         raise ConcurrentCommitError(
@@ -2657,6 +2685,7 @@ class CommitLogTableStore(TableStore):
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: "str | bool" = False,
         when_not_matched_insert: bool = True,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         """Clause-based MERGE (Delta's ``MERGE INTO`` subset): pair
         target rows with ``source`` on the key columns, then
@@ -2704,6 +2733,7 @@ class CommitLogTableStore(TableStore):
                     when_matched_update,
                     when_matched_delete,
                     when_not_matched_insert,
+                    txn,
                 )
             except ConcurrentCommitError as e:
                 last = e
@@ -2720,6 +2750,7 @@ class CommitLogTableStore(TableStore):
         upd: dict | None,
         dele,
         ins: bool,
+        txn: tuple[str, int] | None = None,
     ) -> dict:
         from pyspark.sql import Observation
 
@@ -2727,6 +2758,21 @@ class CommitLogTableStore(TableStore):
         if snap is None or not snap[1].get("entries"):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         version, man = snap
+        txns = dict(man.get("txns") or {})
+        if txn is not None:
+            # SetTransaction idempotence (checked against the SAME
+            # snapshot this attempt reads; a race re-runs and
+            # re-checks): a replayed batch merges nothing twice.
+            app_id, batch_id = txn
+            if txns.get(app_id, -1) >= batch_id:
+                return {
+                    "inserted": 0,
+                    "updated": 0,
+                    "deleted": 0,
+                    "version": version,
+                    "skipped": True,
+                }
+            txns[app_id] = batch_id
         on_phys = [self._to_physical(man, c) for c in on]
         layout_n = man.get("merge_buckets")
         pks = man.get("primary_keys") or []
@@ -2900,6 +2946,7 @@ class CommitLogTableStore(TableStore):
                 **({"primary_keys": pks} if pks else {}),
                 "entries": keep_entries,
                 **self._carry_mapping(man),
+                **({"txns": txns} if txns else {}),
                 **({"delete_vectors": new_dvs} if new_dvs else {}),
             },
             version + 1,

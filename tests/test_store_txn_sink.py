@@ -154,3 +154,42 @@ def test_foreachbatch_exactly_once_end_to_end(spark, store, tmp_path):
     sink(spark.range(0, 50).withColumn("v", F.col("id")), last)
     assert sink.skipped_epochs == 1
     assert store.read("s").count() == 50
+
+
+def test_replace_and_merge_into_txn_idempotence(spark, store):
+    """SetTransaction on the other write verbs: a replayed replace or
+    merge_into batch is a no-op, and a replace never wipes another
+    app's watermark."""
+    store.write_append(_batch(spark, 0, 50), "t", txn=("ingest", 1))
+    r = store.write_replace(_batch(spark, 0, 10), "t", txn=("rebuild", 0))
+    assert r["skipped"] is False
+    assert store.read("t").count() == 10
+    r2 = store.write_replace(_batch(spark, 0, 99), "t", txn=("rebuild", 0))
+    assert r2["skipped"] is True
+    assert store.read("t").count() == 10
+    # the other app's watermark survived the replace
+    assert store.txn_version("t", "ingest") == 1
+    assert store.txn_version("t", "rebuild") == 0
+    src = _batch(spark, 5, 15).withColumn("v", F.lit(-1).cast("long"))
+    m1 = store.merge_into(
+        "t",
+        src,
+        ["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+        txn=("cdc", 7),
+    )
+    assert m1["updated"] == 5 and m1["inserted"] == 5
+    m2 = store.merge_into(
+        "t",
+        src,
+        ["id"],
+        when_matched_update={"v": "s.v + 100"},
+        when_not_matched_insert=True,
+        txn=("cdc", 7),
+    )
+    assert m2.get("skipped") is True
+    got = store.read("t")
+    assert got.count() == 15
+    assert got.filter("v = -1").count() == 10  # second merge never ran
+    assert store.txn_version("t", "cdc") == 7
