@@ -141,6 +141,44 @@ def main(classes_dir: str) -> None:
     checks["compact_match"] = rows_(store.read("t")) == exp_all
     checks["v1_rows"] = store.read_version("t", 1).count()  # 10 (time travel)
 
+    # -- round-7 verbs over s3a ---------------------------------------------
+    # metadata-only ADD COLUMN: pre-add rows read the default
+    store.add_column("t", "tag", "string", default="old")
+    checks["add_col_default"] = (
+        store.read("t").filter(F.col("tag") == "old").count() == len(exp_all)
+    )
+    # clause MERGE INTO with a txn watermark
+    src = spark.createDataFrame(
+        [(25, "M25", "new"), (777, "I777", "new")], ["id", "v", "tag"]
+    )
+    mi = store.merge_into(
+        "t",
+        src,
+        ["id"],
+        when_matched_update={"v": "s.v", "tag": "s.tag"},
+        when_not_matched_insert=True,
+        txn=("s3pipe", 1),
+    )
+    checks["merge_into_counts"] = (
+        mi["updated"] == 1 and mi["inserted"] == 1
+    )
+    mi2 = store.merge_into(
+        "t", src, ["id"], when_matched_update={"v": "s.v"}, txn=("s3pipe", 1)
+    )
+    checks["merge_into_idempotent"] = mi2.get("skipped") is True
+    # a small-file append tail, then bin-packing OPTIMIZE over s3a
+    store.write_append(df_([(900, "f1")], "f").coalesce(1), "t")
+    store.write_append(df_([(901, "f2")], "g").coalesce(1), "t")
+    opt = store.optimize("t", small_file_bytes=64 << 20)
+    checks["optimize_ran"] = opt["optimized"] and opt["files_rewritten"] >= 3
+    got = dict(rows_(store.read("t")))
+    checks["round7_rows"] = (
+        got.get(25) == "M25" and got.get(777) == "I777"
+        and got.get(900) == "f1"
+        and len(got) == len(exp_all) + 3
+    )
+    exp_all = sorted(got.items())
+
     # -- races on the S3 backend --------------------------------------------
     # concurrent appends: every writer's conditional PUT either lands or
     # rebases; all N rows must be present afterwards

@@ -119,6 +119,11 @@ def test_s3_data_plane_lifecycle(motofs_classes):
     assert checks["read_where_match"] is True
     assert checks["compact_match"] is True
     assert checks["v1_rows"] == 10
+    assert checks["add_col_default"] is True
+    assert checks["merge_into_counts"] is True
+    assert checks["merge_into_idempotent"] is True
+    assert checks["optimize_ran"] is True
+    assert checks["round7_rows"] is True
     assert checks["race_appends_clean"] is True
     assert checks["race_append_rows"] == 5
     assert checks["race_versions"] == 5
