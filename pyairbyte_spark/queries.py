@@ -4478,17 +4478,21 @@ def store_merge_into_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ev e JOIN first f ON e.user_id = f.user_id
     GROUP BY f.cohort, day_offset ORDER BY f.cohort, day_offset
     """,
-    "cohort retention: first-seen day per user (one user_id shuffle, "
-    "reused by the join), distinct actives per (cohort, offset) — the "
-    "standard product-analytics matrix",
+    "cohort retention: first-seen day via a user-partitioned window "
+    "min (ONE scan, no self-join), distinct actives per (cohort, "
+    "offset) — the standard product-analytics matrix",
 )
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     ev = t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("d")
     )
-    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    # window min rides one user_id shuffle; a groupBy+self-join shape
+    # would scan events twice and shuffle both sides
+    cohort = F.min("d").over(Window.partitionBy("user_id"))
     return (
-        ev.join(first, "user_id")
+        ev.withColumn("cohort", cohort)
         .groupBy(
             "cohort", F.datediff("d", "cohort").cast("long").alias("day_offset")
         )
