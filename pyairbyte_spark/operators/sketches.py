@@ -1,0 +1,192 @@
+"""Mergeable sketches for cardinality and frequency at 100 TB scale.
+
+**HyperLogLog** (`hll_distinct`): approximate COUNT(DISTINCT) with a
+fixed 2^p-register sketch per group. The implementation is engineered
+for *bit-exact cross-engine reproducibility* so a DuckDB oracle can
+verify it value-for-value:
+
+- hash: first 15 hex chars of md5 (60 bits) as a non-negative BIGINT —
+  identical in Spark (``conv(substring(md5(x),1,15),16,10)``) and
+  DuckDB (``('0x' || substr(md5(x),1,15))::BIGINT``);
+- register index = low p bits, remainder ``w`` = high ``W = 60 - p``
+  bits; rank ``rho = W + 1 - bit_length(w)`` computed with
+  ``length(bin(w))`` — pure integer/string ops, no floating log2 (a
+  1-ulp ``log2`` difference at a power-of-two boundary would flip the
+  register value between engines);
+- register sum kept as an *exact integer*: each register M contributes
+  ``2^(W+1-M)``, empty registers ``2^(W+1)`` — sums fit in int64 for
+  p <= 10;
+- the raw estimate is ONE double division of a Python-folded literal
+  constant ``alpha_m * m^2 * 2^(W+1)`` by that integer — a single IEEE
+  op, identical everywhere; the linear-counting branch for small
+  cardinalities uses the standard ``m * ln(m/V)`` and rounds to int.
+
+Scale posture: one shuffle on (group, register) with map-side partial
+``max`` — registers are the merge, so daily sketches roll up to monthly
+ones with the same ``max``; 2^p * 8 bytes of state per group
+regardless of input size. The exact count (when requested) rides the
+SAME shuffle: each distinct value hashes to exactly one register, so
+``sum(count(distinct value))`` over registers is the exact global
+distinct — the standard two-level distinct that avoids a single hot
+reducer per group at 100 TB.
+
+Reference analog: the reference exposes no approximate aggregates at
+all (``airbyte/datasets/_sql.py`` count is exact ``SELECT count(*)``);
+this is part of the large-scale analytics surface the engine adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HASH_HEX_CHARS = 15  # 60 bits: fits BIGINT in both engines
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_params(p: int) -> dict:
+    """Shared constants for the Spark and SQL formulations."""
+    if not 4 <= p <= 10:
+        raise ValueError("p must be in [4, 10] (register sum must fit int64)")
+    m = 1 << p
+    w_bits = 60 - p
+    scale = 1 << (w_bits + 1)
+    # alpha_m * m^2 * 2^(W+1): folded HERE so both engines divide the
+    # same double literal by the same integer — one IEEE op each.
+    raw_num = _alpha(m) * m * m * float(scale)
+    return {
+        "m": m,
+        "w_bits": w_bits,
+        "scale": scale,
+        "raw_num": raw_num,
+        "lc_threshold": 2.5 * m,
+    }
+
+
+def hll_hash(value: Column) -> Column:
+    """60-bit md5-prefix hash, non-negative BIGINT (engine-portable)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, _HASH_HEX_CHARS), 16, 10
+    ).cast("long")
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value: Column | str,
+    p: int = 8,
+    include_exact: bool = False,
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value``.
+
+    Output: group_cols + ``approx_distinct`` (+ ``n_exact`` when
+    ``include_exact``). Deterministic: same input -> same estimate,
+    regardless of partitioning (register max is commutative).
+    """
+    prm = hll_params(p)
+    m, w_bits, scale = prm["m"], prm["w_bits"], prm["scale"]
+    val = F.col(value) if isinstance(value, str) else value
+    h = hll_hash(val)
+    bucket = (h % F.lit(m)).alias("__hll_bucket")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+        .alias("__hll_rho")
+    )
+    exact_aggs = (
+        [F.count_distinct(F.col("__hll_val")).alias("__hll_nd")]
+        if include_exact
+        else []
+    )
+    regs = (
+        df.select(*group_cols, bucket, rho, *(
+            [val.alias("__hll_val")] if include_exact else []
+        ))
+        .groupBy(*group_cols, "__hll_bucket")
+        .agg(F.max("__hll_rho").alias("__hll_m"), *exact_aggs)
+    )
+    # Exact integer register sum: occupied 2^(W+1-M), empty 2^(W+1).
+    occ_term = F.pow(F.lit(2.0), F.lit(w_bits + 1) - F.col("__hll_m")).cast(
+        "long"
+    )
+    grouped = regs.groupBy(*group_cols).agg(
+        F.sum(occ_term).alias("__occ_sum"),
+        F.count(F.lit(1)).alias("__occupied"),
+        *([F.sum("__hll_nd").alias("n_exact")] if include_exact else []),
+    )
+    v_empty = F.lit(m) - F.col("__occupied")
+    reg_sum = F.col("__occ_sum") + v_empty * F.lit(scale)
+    raw = F.lit(prm["raw_num"]) / reg_sum.cast("double")
+    approx = (
+        F.when(
+            (raw <= F.lit(prm["lc_threshold"])) & (v_empty > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty)),
+        )
+        .otherwise(F.round(raw))
+        .cast("long")
+        .alias("approx_distinct")
+    )
+    keep = list(group_cols) + (["n_exact"] if include_exact else [])
+    return grouped.select(*keep, approx)
+
+
+def hll_distinct_oracle_sql(
+    *,
+    table_expr: str,
+    group_cols: list[str],
+    value_sql: str,
+    p: int = 8,
+    include_exact: bool = False,
+) -> str:
+    """ANSI/DuckDB SQL computing the IDENTICAL estimate (oracle)."""
+    prm = hll_params(p)
+    m, w_bits, scale = prm["m"], prm["w_bits"], prm["scale"]
+    gcols = ", ".join(group_cols)
+    gpfx = (gcols + ", ") if group_cols else ""
+    exact_reg = (
+        ", count(DISTINCT __v) AS __nd" if include_exact else ""
+    )
+    exact_out = ", sum(__nd) AS n_exact" if include_exact else ""
+    exact_sel = ", CAST(({v}) AS VARCHAR) AS __v".format(v=value_sql) if include_exact else ""
+    return f"""
+    WITH hashed AS (
+      SELECT {gpfx}
+             ('0x' || substr(md5(CAST(({value_sql}) AS VARCHAR)), 1, {_HASH_HEX_CHARS}))::BIGINT AS __h
+             {exact_sel}
+      FROM {table_expr}
+    ),
+    regs AS (
+      SELECT {gpfx} __h % {m} AS __bucket,
+             max(CASE WHEN __h // {m} = 0 THEN {w_bits + 1}
+                      ELSE {w_bits + 1} - length(bin(__h // {m})) END) AS __m
+             {exact_reg}
+      FROM hashed GROUP BY {gpfx} __h % {m}
+    ),
+    agg AS (
+      SELECT {gpfx}
+             sum(CAST(power(2, {w_bits + 1} - __m) AS BIGINT)) AS __occ_sum,
+             count(*) AS __occupied
+             {exact_out}
+      FROM regs GROUP BY {gcols if gcols else "1=1"}
+    )
+    SELECT {gpfx}{("n_exact, " if include_exact else "")}
+           CAST(round(CASE
+             WHEN {prm["raw_num"]!r} / CAST(__occ_sum + ({m} - __occupied) * {scale} AS DOUBLE)
+                    <= {prm["lc_threshold"]!r}
+                  AND ({m} - __occupied) > 0
+             THEN {float(m)!r} * ln({float(m)!r} / ({m} - __occupied))
+             ELSE {prm["raw_num"]!r} / CAST(__occ_sum + ({m} - __occupied) * {scale} AS DOUBLE)
+           END) AS BIGINT) AS approx_distinct
+    FROM agg
+    """

@@ -4754,6 +4754,44 @@ def store_time_travel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_hll_query() -> None:
+    from pyairbyte_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_oracle_sql,
+    )
+
+    oracle = hll_distinct_oracle_sql(
+        table_expr="events",
+        group_cols=["event_type"],
+        value_sql="event_id",
+        p=8,
+        include_exact=True,
+    )
+
+    @register(
+        "approx_distinct_hll",
+        oracle,
+        "HyperLogLog distinct (256 registers) per event_type, "
+        "bit-identical to the DuckDB oracle: integer-only register math "
+        "(md5 60-bit hash, length(bin()) rank, exact int64 register sum, "
+        "one literal-constant IEEE division). Mergeable: register max is "
+        "the rollup, 2 KiB state per group at any input size; the exact "
+        "count rides the same (group, register) shuffle",
+    )
+    def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ev = t(spark, sf_dir, "events")
+        return hll_distinct(
+            ev,
+            group_cols=["event_type"],
+            value="event_id",
+            p=8,
+            include_exact=True,
+        ).orderBy("event_type")
+
+
+_register_hll_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================

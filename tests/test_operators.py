@@ -1016,3 +1016,78 @@ def test_pq_adc_recall_and_exactness(spark):
         hits += len(approx_ids & exact_ids)
         tot += len(exact_ids)
     assert hits / tot >= 0.2, f"recall@10 {hits}/{tot}"
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_partitioning_invariance(spark):
+    """Register max is commutative: the estimate is identical however the
+    input is partitioned (the property that makes the sketch mergeable —
+    daily partial sketches roll up to the same monthly estimate)."""
+    from pyairbyte_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    base = {
+        tuple(r)
+        for r in hll_distinct(
+            ev, group_cols=["event_type"], value="event_id", p=8
+        ).collect()
+    }
+    for n in (1, 7, 64):
+        got = {
+            tuple(r)
+            for r in hll_distinct(
+                ev.repartition(n),
+                group_cols=["event_type"],
+                value="event_id",
+                p=8,
+            ).collect()
+        }
+        assert got == base, n
+
+
+def test_hll_error_within_bounds(spark):
+    """Estimate within 5 sigma of exact (sigma = 1.04/sqrt(m))."""
+    from pyairbyte_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = hll_distinct(
+        ev,
+        group_cols=["event_type"],
+        value="event_id",
+        p=8,
+        include_exact=True,
+    ).collect()
+    assert rows
+    tol = 5 * 1.04 / (256 ** 0.5)
+    for r in rows:
+        assert r["n_exact"] > 0
+        rel = abs(r["approx_distinct"] - r["n_exact"]) / r["n_exact"]
+        assert rel <= tol, (r["event_type"], rel)
+
+
+def test_hll_exact_count_matches_count_distinct(spark):
+    """include_exact's two-level distinct equals countDistinct."""
+    from pyairbyte_spark.operators.sketches import hll_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["event_type"]: r["n_exact"]
+        for r in hll_distinct(
+            ev,
+            group_cols=["event_type"],
+            value="event_id",
+            p=8,
+            include_exact=True,
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["nd"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("event_id").alias("nd"))
+        .collect()
+    }
+    assert got == want

@@ -316,3 +316,13 @@ def test_dv_free_store_read_plan_unchanged(spark, tmp_path):
     assert any("EqualTo(k,6)" in p for p in plans.pushed_filters(withdv)), (
         plans.pushed_filters(withdv)
     )
+
+
+def test_hll_keyed_aggs_no_join(spark):
+    """HLL sketch = keyed hash aggregations only: no join anywhere, at
+    most 3 hash exchanges (distinct rewrite + register agg + final),
+    each fed by a map-side partial HashAggregate."""
+    df = q.queries()["approx_distinct_hll"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
