@@ -79,6 +79,152 @@ def hll_hash(value: Column) -> Column:
     ).cast("long")
 
 
+def _bucket_rho(value: Column, p: int) -> tuple[Column, Column]:
+    """(register index, rank) columns for one value expression."""
+    w_bits = 60 - p
+    h = hll_hash(value)
+    bucket = (h % F.lit(1 << p)).alias("__hll_bucket")
+    w = F.shiftright(h, p)
+    rho = (
+        F.when(w == 0, F.lit(w_bits + 1))
+        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
+        .alias("__hll_rho")
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    df: DataFrame,
+    *,
+    group_cols: list[str],
+    value: Column | str,
+    p: int = 8,
+) -> DataFrame:
+    """The sketch itself: per-(group, register) max rank — the
+    persistable / mergeable state (2^p rows per group, any input size).
+    """
+    hll_params(p)
+    val = F.col(value) if isinstance(value, str) else value
+    bucket, rho = _bucket_rho(val, p)
+    return (
+        df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "__hll_bucket")
+        .agg(F.max("__hll_rho").alias("__hll_m"))
+    )
+
+
+def merge_hll_registers(
+    current: DataFrame, delta: DataFrame, *, group_cols: list[str]
+) -> DataFrame:
+    """Fold delta registers into the materialized state: union + max on
+    (group, register) — ONE shuffle over O(groups * 2^p) rows. Register
+    max is commutative/idempotent, so replayed deltas are harmless."""
+    return (
+        current.unionByName(delta)
+        .groupBy(*group_cols, "__hll_bucket")
+        .agg(F.max("__hll_m").alias("__hll_m"))
+    )
+
+
+def hll_delta_registers(
+    feed: DataFrame,
+    *,
+    group_cols: list[str],
+    value: Column | str,
+    p: int = 8,
+) -> DataFrame:
+    """Registers of a CDF window, for incremental maintenance.
+
+    HLL registers are max-monotone: INSERTS fold in exactly, but a
+    register can never be lowered, so deletes / update pre-images are
+    NOT maintainable (same class as min/max in
+    ``operators/incremental.py``). Any non-insert change row raises
+    inside the job rather than silently over-counting forever.
+    """
+    val = F.col(value) if isinstance(value, str) else value
+    guard = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "hll registers are insert-monotone; cannot consume "
+                    "_change_type="
+                ),
+                F.col("_change_type"),
+            )
+        ).cast("int")
+    )
+    # Multiply the rank by the (always-1) guard so column pruning can't
+    # optimize the check away.
+    bucket, rho = _bucket_rho(val, p)
+    guarded_rho = ((F.col("__hll_rho0") * guard).alias("__hll_rho"))
+    return (
+        feed.select(*group_cols, bucket, rho.alias("__hll_rho0"), "_change_type")
+        .select(*group_cols, "__hll_bucket", guarded_rho)
+        .groupBy(*group_cols, "__hll_bucket")
+        .agg(F.max("__hll_rho").alias("__hll_m"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, *, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Estimate from materialized registers (same math as
+    :func:`hll_distinct`, so an incrementally maintained sketch equals
+    the from-scratch one bit-for-bit)."""
+    prm = hll_params(p)
+    m, w_bits, scale = prm["m"], prm["w_bits"], prm["scale"]
+    occ_term = F.pow(F.lit(2.0), F.lit(w_bits + 1) - F.col("__hll_m")).cast(
+        "long"
+    )
+    grouped = registers.groupBy(*group_cols).agg(
+        F.sum(occ_term).alias("__occ_sum"),
+        F.count(F.lit(1)).alias("__occupied"),
+    )
+    v_empty = F.lit(m) - F.col("__occupied")
+    reg_sum = F.col("__occ_sum") + v_empty * F.lit(scale)
+    raw = F.lit(prm["raw_num"]) / reg_sum.cast("double")
+    approx = (
+        F.when(
+            (raw <= F.lit(prm["lc_threshold"])) & (v_empty > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v_empty)),
+        )
+        .otherwise(F.round(raw))
+        .cast("long")
+        .alias("approx_distinct")
+    )
+    return grouped.select(*group_cols, approx)
+
+
+def refresh_hll(
+    store,
+    table_name: str,
+    current: DataFrame,
+    from_version: int,
+    *,
+    group_cols: list[str],
+    value: Column | str,
+    p: int = 8,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Advance materialized HLL registers of ``table_name`` from
+    snapshot ``from_version`` by consuming the change feed once
+    (insert-only windows; see :func:`hll_delta_registers`). Mirrors
+    ``operators.incremental.refresh_sums``; the caller owns persisting
+    the state and the version watermark."""
+    to = (
+        store.latest_version(table_name)
+        if to_version is None
+        else to_version
+    )
+    if to <= from_version:
+        return current, from_version
+    feed = store.read_changes(table_name, from_version, to)
+    delta = hll_delta_registers(
+        feed, group_cols=group_cols, value=value, p=p
+    )
+    return merge_hll_registers(current, delta, group_cols=group_cols), to
+
+
 def hll_distinct(
     df: DataFrame,
     *,
@@ -96,14 +242,7 @@ def hll_distinct(
     prm = hll_params(p)
     m, w_bits, scale = prm["m"], prm["w_bits"], prm["scale"]
     val = F.col(value) if isinstance(value, str) else value
-    h = hll_hash(val)
-    bucket = (h % F.lit(m)).alias("__hll_bucket")
-    w = F.shiftright(h, p)
-    rho = (
-        F.when(w == 0, F.lit(w_bits + 1))
-        .otherwise(F.lit(w_bits + 1) - F.length(F.bin(w)))
-        .alias("__hll_rho")
-    )
+    bucket, rho = _bucket_rho(val, p)
     exact_aggs = (
         [F.count_distinct(F.col("__hll_val")).alias("__hll_nd")]
         if include_exact

@@ -4792,6 +4792,60 @@ def _register_hll_query() -> None:
 _register_hll_query()
 
 
+def _register_incremental_hll_query() -> None:
+    from pyairbyte_spark.operators.sketches import hll_distinct_oracle_sql
+
+    oracle = hll_distinct_oracle_sql(
+        table_expr="events",
+        group_cols=["event_type"],
+        value_sql="user_id",
+        p=8,
+    )
+
+    @register(
+        "store_incremental_hll_events",
+        oracle,
+        "Incrementally maintained approx-distinct: HLL registers "
+        "materialized at v1, the v2 append folded in from the change "
+        "feed by register max (insert-monotone — deletes raise), "
+        "estimate equals the from-scratch sketch bit-for-bit (and the "
+        "DuckDB oracle verifies THAT against its own identical "
+        "formulation)",
+    )
+    def store_incremental_hll_events(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.operators import sketches as sk
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-hll-store-"), "q"
+        )
+        store.write_append(ev.filter(F.col("event_id") % 2 == 0), "events")
+        state = sk.hll_registers(
+            store.read_version("events", 1),
+            group_cols=["event_type"],
+            value="user_id",
+            p=8,
+        )
+        store.write_append(ev.filter(F.col("event_id") % 2 == 1), "events")
+        state, _ver = sk.refresh_hll(
+            store, "events", state, 1,
+            group_cols=["event_type"], value="user_id", p=8,
+        )
+        return sk.hll_estimate(
+            state, group_cols=["event_type"], p=8
+        ).orderBy("event_type")
+
+
+_register_incremental_hll_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================

@@ -1091,3 +1091,62 @@ def test_hll_exact_count_matches_count_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_hll_incremental_equals_from_scratch(spark):
+    """Registers materialized on half the data, merged with the other
+    half's delta registers, estimate EXACTLY what the one-shot sketch
+    estimates — the property that makes the sketch an incrementally
+    maintainable materialized view (insert-monotone register max)."""
+    from pyairbyte_spark.operators import sketches as sk
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    full = {
+        tuple(r)
+        for r in sk.hll_distinct(
+            ev, group_cols=["event_type"], value="user_id", p=8
+        ).collect()
+    }
+    a = sk.hll_registers(
+        ev.filter(F.col("event_id") % 2 == 0),
+        group_cols=["event_type"], value="user_id", p=8,
+    )
+    b = sk.hll_registers(
+        ev.filter(F.col("event_id") % 2 == 1),
+        group_cols=["event_type"], value="user_id", p=8,
+    )
+    merged = sk.merge_hll_registers(a, b, group_cols=["event_type"])
+    got = {
+        tuple(r)
+        for r in sk.hll_estimate(
+            merged, group_cols=["event_type"], p=8
+        ).collect()
+    }
+    assert got == full
+    # idempotent merge: replaying a delta changes nothing
+    again = sk.merge_hll_registers(merged, b, group_cols=["event_type"])
+    got2 = {
+        tuple(r)
+        for r in sk.hll_estimate(
+            again, group_cols=["event_type"], p=8
+        ).collect()
+    }
+    assert got2 == full
+
+
+def test_hll_delta_rejects_deletes(spark):
+    """A register can never be lowered: consuming a delete/update
+    pre-image must fail inside the job, not silently over-count."""
+    import pytest as _pytest
+
+    from pyairbyte_spark.operators import sketches as sk
+
+    feed = spark.createDataFrame(
+        [("a", 1, "insert"), ("a", 2, "delete")],
+        "grp string, v long, _change_type string",
+    )
+    delta = sk.hll_delta_registers(
+        feed, group_cols=["grp"], value="v", p=8
+    )
+    with _pytest.raises(Exception, match="insert-monotone"):
+        delta.collect()
