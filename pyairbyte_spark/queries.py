@@ -4846,6 +4846,67 @@ def _register_incremental_hll_query() -> None:
 _register_incremental_hll_query()
 
 
+def _register_stream_hll_query() -> None:
+    from pyairbyte_spark.operators.sketches import hll_distinct_oracle_sql
+
+    oracle = hll_distinct_oracle_sql(
+        table_expr=(
+            "(SELECT strftime(date_trunc('day', ts), "
+            f"'{TS_FMT_DUCK}') AS day, user_id FROM events) AS src"
+        ),
+        group_cols=["day"],
+        value_sql="user_id",
+        p=8,
+    )
+
+    @register(
+        "stream_approx_distinct_users",
+        oracle,
+        "STRUCTURED STREAMING approximate distinct users per day: HLL "
+        "registers as the streaming aggregation state (bounded at 2^p "
+        "per group forever — exact streaming distinct state grows with "
+        "cardinality), estimate finalized batch-side over the sink; "
+        "equals the batch/DuckDB sketch bit-for-bit",
+    )
+    def stream_approx_distinct_users(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import uuid as _uuid
+
+        from pyairbyte_spark.operators.sketches import hll_estimate
+        from pyairbyte_spark.streaming.windowed import (
+            streaming_hll_registers,
+        )
+
+        conv = _events_stream(spark, sf_dir, "stream_hll_")
+        regs = streaming_hll_registers(
+            conv.select(
+                F.date_format(F.date_trunc("day", "ts"), TS_FMT_SPARK).alias(
+                    "day"
+                ),
+                "user_id",
+            ),
+            group_cols=["day"],
+            value="user_id",
+            p=8,
+        )
+        name = f"stream_hll_{_uuid.uuid4().hex[:8]}"
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return hll_estimate(
+            spark.table(name), group_cols=["day"], p=8
+        ).orderBy("day")
+
+
+_register_stream_hll_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================

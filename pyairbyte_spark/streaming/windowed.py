@@ -69,6 +69,38 @@ def windowed_rollup(
     )
 
 
+def streaming_hll_registers(
+    stream_df: DataFrame,
+    *,
+    group_cols: list[str],
+    value: str,
+    p: int = 8,
+) -> DataFrame:
+    """Approximate-distinct as STREAMING state: HLL registers maintained
+    by a watermark-free keyed max aggregation.
+
+    The register table (<= 2^p rows per group, 8 bytes each) IS the
+    streaming state — bounded forever regardless of stream volume,
+    which is the whole point of running distinct-count approximately at
+    scale (exact streaming distinct state grows with cardinality).
+    Chained streaming aggregations are unsupported in Spark, so this
+    emits the register level; finalize with
+    ``operators.sketches.hll_estimate`` over the sink table (a view —
+    the estimate is derivable from state at any time). Registers are
+    max-monotone, so ``update`` output mode re-emits only changed
+    registers per trigger.
+    """
+    from pyairbyte_spark.operators.sketches import _bucket_rho, hll_params
+
+    hll_params(p)
+    bucket, rho = _bucket_rho(F.col(value), p)
+    return (
+        stream_df.select(*group_cols, bucket, rho)
+        .groupBy(*group_cols, "__hll_bucket")
+        .agg(F.max("__hll_rho").alias("__hll_m"))
+    )
+
+
 def session_rollup(
     stream_df: DataFrame,
     *,
