@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "text_bm25_search",
     "embed_gram_matrix",
     "ann_pq_topk",
+    "approx_distinct_hll",
     "store_mor_delete_events",
     "store_incremental_agg_events",
 ]

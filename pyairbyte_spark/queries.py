@@ -4919,6 +4919,28 @@ _register_stream_hll_query()
 # is additionally oracle-checked by tests/test_oracle_parity.py each run,
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
+    # round-7 additions + everything never driver-checked through r6
+    # (union of CORRECTNESS_r01..r06 keys) — these get the 50 driver
+    # slots first so every operator eventually earns a driver row.
+    "approx_distinct_hll",
+    "store_incremental_hll_events",
+    "stream_approx_distinct_users",
+    "embed_gram_matrix",
+    "embed_pca_project",
+    "text_quality_classifier",
+    "text_bm25_search",
+    "events_anomaly_daily_zscore",
+    "split_train_val_test",
+    "quality_report_by_source",
+    "dsir_importance_weights",
+    "store_snapshot_diff_events",
+    "store_mor_delete_events",
+    "store_incremental_agg_events",
+    "store_merge_into_events",
+    "events_cohort_retention",
+    "store_optimize_events",
+    "store_add_column_events",
+    "ann_pq_topk",
     # round-5 additions: the table format itself under the oracle gate
     "store_dml_skipping_events",
     "store_change_feed_events",
