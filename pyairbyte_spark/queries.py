@@ -4907,6 +4907,62 @@ def _register_stream_hll_query() -> None:
 _register_stream_hll_query()
 
 
+@register(
+    "events_resample_hourly_gapfill",
+    f"""
+    -- Fixed-grid hourly rollup with EXPLICIT empty cells (gap fill):
+    -- the frame shape anomaly/forecast consumers need. Spine = global
+    -- [min, max] hour range x event types, derived from the rollup.
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             sum(CAST(round(value, 2) AS DECIMAL(12,2))) AS tv
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+    types AS (SELECT DISTINCT event_type FROM agg),
+    spine AS (
+      SELECT t.event_type, b.lo + g.i * INTERVAL 1 HOUR AS h
+      FROM types t, b, generate_series(0, 20000) AS g(i)
+      WHERE b.lo + g.i * INTERVAL 1 HOUR <= b.hi
+    )
+    SELECT strftime(s.h, '{TS_FMT_DUCK}') AS hour, s.event_type,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+           CAST(COALESCE(a.tv, 0) AS DOUBLE) AS total_value
+    FROM spine s LEFT JOIN agg a
+      ON s.event_type = a.event_type AND s.h = a.h
+    """,
+    "time-series resample: hourly rollup onto a gap-filled fixed grid "
+    "(sequence/explode spine from the aggregated frame — one base-data "
+    "pass, empty cells emitted as zeros)",
+)
+def events_resample_hourly_gapfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyairbyte_spark.operators.timeseries import resample_gapfill
+
+    ev = t(spark, sf_dir, "events")
+    out = resample_gapfill(
+        ev,
+        ts_col="ts",
+        key_cols=["event_type"],
+        unit="hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", "12,2")).alias("tv"),
+        ],
+        fills={
+            "n": F.lit(0).cast("long"),
+            "tv": F.lit(0).cast("decimal(12,2)"),
+        },
+    )
+    return out.select(
+        F.date_format("__ts_bucket", TS_FMT_SPARK).alias("hour"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("tv").cast("double").alias("total_value"),
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -4925,6 +4981,7 @@ _DRIVER_PRIORITY = [
     "approx_distinct_hll",
     "store_incremental_hll_events",
     "stream_approx_distinct_users",
+    "events_resample_hourly_gapfill",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

@@ -1150,3 +1150,35 @@ def test_hll_delta_rejects_deletes(spark):
     )
     with _pytest.raises(Exception, match="insert-monotone"):
         delta.collect()
+
+
+def test_resample_gapfill_emits_empty_cells(spark):
+    """Hours with no events appear with the fill defaults; covered
+    hours keep their aggregates; the spine spans the GLOBAL hour range
+    for every key."""
+    from pyairbyte_spark.operators.timeseries import resample_gapfill
+
+    rows = [
+        ("a", "2024-01-01 00:10:00", 1.0),
+        ("a", "2024-01-01 03:20:00", 2.0),  # gap: hours 01, 02 for a
+        ("b", "2024-01-01 01:00:00", 5.0),  # b missing hours 00,02,03
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.to_timestamp("ts").alias("ts"), "v"
+    )
+    out = resample_gapfill(
+        df,
+        ts_col="ts",
+        key_cols=["k"],
+        unit="hour",
+        aggs=[F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")],
+        fills={"n": F.lit(0).cast("long"), "sv": F.lit(0.0)},
+    ).collect()
+    got = {(r["k"], r["__ts_bucket"].hour): (r["n"], r["sv"]) for r in out}
+    # 4 hours x 2 keys = 8 cells, 5 of them gaps
+    assert len(got) == 8
+    assert got[("a", 0)] == (1, 1.0)
+    assert got[("a", 3)] == (1, 2.0)
+    assert got[("b", 1)] == (1, 5.0)
+    for cell in [("a", 1), ("a", 2), ("b", 0), ("b", 2), ("b", 3)]:
+        assert got[cell] == (0, 0.0), cell
