@@ -79,3 +79,29 @@ def resample_gapfill(
         if c not in fills and c != "__ts_bucket" and c not in key_cols
     ]
     return joined.select(*key_cols, "__ts_bucket", *filled, *untouched)
+
+
+def fill_forward(
+    df: DataFrame,
+    *,
+    ts_col: str,
+    key_cols: list[str],
+    value_cols: list[str],
+    suffix: str = "_locf",
+) -> DataFrame:
+    """Last observation carried forward per key: NULL cells take the
+    most recent non-null value at-or-before them (the standard
+    downsample companion — sensor/metric series where a gap means "no
+    change", not "zero"). One window per key ordered by time —
+    the same single shuffle shape as the as-of join; leading NULLs
+    (no prior observation) stay NULL."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    return df.select("*", *carried)

@@ -4963,6 +4963,79 @@ def events_resample_hourly_gapfill(
     )
 
 
+@register(
+    "events_hourly_avg_locf",
+    f"""
+    -- Gap-filled hourly average with last-observation-carried-forward:
+    -- a gap hour reports the most recent hour's average (sensor/metric
+    -- semantics: gap = "no change", not "zero").
+    WITH agg AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             sum(CAST(round(value, 2) AS DECIMAL(12,2))) AS tv
+      FROM events GROUP BY 1, 2
+    ),
+    b AS (SELECT min(h) AS lo, max(h) AS hi FROM agg),
+    types AS (SELECT DISTINCT event_type FROM agg),
+    spine AS (
+      SELECT t.event_type, b.lo + g.i * INTERVAL 1 HOUR AS h
+      FROM types t, b, generate_series(0, 20000) AS g(i)
+      WHERE b.lo + g.i * INTERVAL 1 HOUR <= b.hi
+    ),
+    cells AS (
+      SELECT s.h, s.event_type,
+             CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+             CAST(a.tv AS DOUBLE) / a.n AS avg_value
+      FROM spine s LEFT JOIN agg a
+        ON s.event_type = a.event_type AND s.h = a.h
+    )
+    SELECT strftime(h, '{TS_FMT_DUCK}') AS hour, event_type, n,
+           last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS avg_value_locf
+    FROM cells
+    """,
+    "resample + forward fill: hourly per-type average onto the gap "
+    "grid, empty hours carrying the last observed average (LOCF "
+    "window, one shuffle — as-of-join shape)",
+)
+def events_hourly_avg_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators.timeseries import (
+        fill_forward,
+        resample_gapfill,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    cells = resample_gapfill(
+        ev,
+        ts_col="ts",
+        key_cols=["event_type"],
+        unit="hour",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("value", "12,2")).alias("tv"),
+        ],
+        fills={"n": F.lit(0).cast("long")},
+    ).select(
+        "event_type",
+        "__ts_bucket",
+        "n",
+        (F.col("tv").cast("double") / F.col("n")).alias("avg_value"),
+    )
+    out = fill_forward(
+        cells,
+        ts_col="__ts_bucket",
+        key_cols=["event_type"],
+        value_cols=["avg_value"],
+    )
+    return out.select(
+        F.date_format("__ts_bucket", TS_FMT_SPARK).alias("hour"),
+        "event_type",
+        "n",
+        F.col("avg_value_locf"),
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -4982,6 +5055,7 @@ _DRIVER_PRIORITY = [
     "store_incremental_hll_events",
     "stream_approx_distinct_users",
     "events_resample_hourly_gapfill",
+    "events_hourly_avg_locf",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

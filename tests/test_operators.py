@@ -1182,3 +1182,23 @@ def test_resample_gapfill_emits_empty_cells(spark):
     assert got[("b", 1)] == (1, 5.0)
     for cell in [("a", 1), ("a", 2), ("b", 0), ("b", 2), ("b", 3)]:
         assert got[cell] == (0, 0.0), cell
+
+
+def test_fill_forward_carries_last_non_null(spark):
+    from pyairbyte_spark.operators.timeseries import fill_forward
+
+    rows = [
+        ("a", 1, None), ("a", 2, 10.0), ("a", 3, None), ("a", 4, None),
+        ("a", 5, 20.0), ("b", 1, None), ("b", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {
+        (r["k"], r["t"]): r["v_locf"]
+        for r in fill_forward(
+            df, ts_col="t", key_cols=["k"], value_cols=["v"]
+        ).collect()
+    }
+    assert got[("a", 1)] is None          # leading gap stays NULL
+    assert got[("a", 3)] == 10.0 and got[("a", 4)] == 10.0
+    assert got[("a", 5)] == 20.0
+    assert got[("b", 1)] is None and got[("b", 2)] == 7.0
