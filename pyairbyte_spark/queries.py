@@ -5036,6 +5036,69 @@ def events_hourly_avg_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_pagerank_query() -> None:
+    iters, scale, dpct = 3, 1_000_000_000, 85
+    base = (scale * (100 - dpct)) // 100
+    # Unroll the SAME integer recurrence the distributed loop runs —
+    # bit-exact because every step is integer arithmetic (truncating
+    # division, order-independent sums).
+    ctes = [
+        "e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem)",
+        "edges AS (SELECT 'p' || p AS src, 's' || s AS dst FROM e0"
+        " UNION ALL SELECT 's' || s, 'p' || p FROM e0)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"i{i} AS (SELECT e.dst AS node, sum(r.r // d.d) AS s"
+            f" FROM edges e JOIN r{i-1} r ON e.src = r.node"
+            f" JOIN deg d ON e.src = d.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node,"
+            f" CAST({base} + ({dpct} * COALESCE(i.s, 0)) // 100 AS BIGINT)"
+            f" AS r FROM nodes n LEFT JOIN i{i} i ON n.node = i.node)"
+        )
+    oracle = (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, r AS rank_units FROM r{iters}"
+        + "\nORDER BY rank_units DESC, node LIMIT 20"
+    )
+
+    @register(
+        "graph_pagerank_part_supplier",
+        oracle,
+        "Integer-exact PageRank (3 steps, fixed-point units) over the "
+        "undirected part–supplier bipartite graph from lineitem: every "
+        "iteration is integer arithmetic (rank DIV degree, damping via "
+        "85*s DIV 100), so the unrolled-CTE oracle reproduces the "
+        "distributed Pregel-shaped loop bit-for-bit — an iterative "
+        "algorithm under the exact-value gate, not a rows-only check",
+    )
+    def graph_pagerank_part_supplier(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyairbyte_spark.operators.graph import pagerank
+
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey"
+        ).distinct()
+        fwd = li.select(
+            F.concat(F.lit("p"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        edges = fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        pr = pagerank(edges, iterations=3)
+        return pr.orderBy(F.desc("rank_units"), "node").limit(20)
+
+
+_register_pagerank_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5056,6 +5119,7 @@ _DRIVER_PRIORITY = [
     "stream_approx_distinct_users",
     "events_resample_hourly_gapfill",
     "events_hourly_avg_locf",
+    "graph_pagerank_part_supplier",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

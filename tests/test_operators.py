@@ -1202,3 +1202,34 @@ def test_fill_forward_carries_last_non_null(spark):
     assert got[("a", 3)] == 10.0 and got[("a", 4)] == 10.0
     assert got[("a", 5)] == 20.0
     assert got[("b", 1)] is None and got[("b", 2)] == 7.0
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph (undirected): the hub's rank strictly dominates;
+    symmetric leaves tie exactly (integer arithmetic — no float
+    noise to break the tie)."""
+    from pyairbyte_spark.operators.graph import pagerank
+
+    pairs = [("h", f"l{i}") for i in range(5)]
+    fwd = spark.createDataFrame(pairs, "src string, dst string")
+    edges = fwd.union(fwd.select("dst", "src"))
+    got = {r["node"]: r["rank_units"] for r in pagerank(edges).collect()}
+    leaf_ranks = {v for k, v in got.items() if k != "h"}
+    assert len(leaf_ranks) == 1  # exact tie
+    assert got["h"] > leaf_ranks.pop()
+
+
+def test_pagerank_regular_graph_uniform(spark):
+    """On a d-regular graph every node keeps the same rank — and with
+    integer units the equality is exact, iteration after iteration."""
+    from pyairbyte_spark.operators.graph import pagerank
+
+    n = 6  # ring: each node degree 2
+    pairs = [(f"n{i}", f"n{(i + 1) % n}") for i in range(n)]
+    fwd = spark.createDataFrame(pairs, "src string, dst string")
+    edges = fwd.union(fwd.select("dst", "src"))
+    ranks = {
+        r["rank_units"]
+        for r in pagerank(edges, iterations=4).collect()
+    }
+    assert len(ranks) == 1
