@@ -280,6 +280,80 @@ def hll_distinct(
     return grouped.select(*keep, approx)
 
 
+def _cms_bucket(value: Column, row: int, width: int) -> Column:
+    """Row-salted md5 bucket — engine-portable like :func:`hll_hash`."""
+    salted = F.concat(F.lit(f"{row}|"), value.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, _HASH_HEX_CHARS), 16, 10).cast(
+            "long"
+        )
+        % F.lit(width)
+    )
+
+
+def cms_counts(
+    df: DataFrame,
+    *,
+    value: Column | str,
+    depth: int = 2,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch of a value stream: (row, bucket, c).
+
+    The item string never shuffles — each input row becomes ``depth``
+    (row, bucket) int pairs and ONE groupBy produces the depth×width
+    counter table (mergeable: counters add). This is the
+    bounded-memory frequency structure for streams whose key
+    cardinality is unbounded; point estimates are upward-biased only
+    (min over rows bounds collisions)."""
+    val = F.col(value) if isinstance(value, str) else value
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(val, j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return pairs.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_point_estimate(
+    candidates: DataFrame,
+    cms: DataFrame,
+    *,
+    value: Column | str,
+    depth: int = 2,
+    width: int = 1024,
+    out_col: str = "cms_estimate",
+) -> DataFrame:
+    """Estimated frequency for each candidate row: min over the sketch
+    rows of the candidate's bucket counter. ``depth`` broadcast joins
+    against the depth×width counter table (tiny by construction)."""
+    val = F.col(value) if isinstance(value, str) else value
+    out = candidates
+    est_cols = []
+    for j in range(depth):
+        cj = cms.filter(F.col("row") == j).select(
+            F.col("bucket").alias(f"__b{j}"), F.col("c").alias(f"__c{j}")
+        )
+        out = out.withColumn(f"__b{j}", _cms_bucket(val, j, width)).join(
+            F.broadcast(cj), f"__b{j}", "left"
+        )
+        est_cols.append(F.coalesce(F.col(f"__c{j}"), F.lit(0)))
+    keep = [c for c in candidates.columns]
+    return out.select(
+        *keep, F.least(*est_cols).cast("long").alias(out_col)
+    )
+
+
 def hll_distinct_oracle_sql(
     *,
     table_expr: str,

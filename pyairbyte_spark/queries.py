@@ -5099,6 +5099,70 @@ def _register_pagerank_query() -> None:
 _register_pagerank_query()
 
 
+@register(
+    "cms_token_frequency",
+    r"""
+    -- Count-min sketch (2x1024) point estimates for the exact top-10
+    -- tokens: the bounded-memory frequency structure. Estimates are
+    -- upward-biased only; identical row-salted md5 buckets make the
+    -- sketch bit-exact across engines.
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents
+    ),
+    toks AS (SELECT token FROM tok WHERE token <> ''),
+    cms AS (
+      SELECT row, bucket, count(*) AS c FROM (
+        SELECT 0 AS row,
+               ('0x' || substr(md5('0|' || token), 1, 15))::BIGINT % 1024 AS bucket
+        FROM toks
+        UNION ALL
+        SELECT 1,
+               ('0x' || substr(md5('1|' || token), 1, 15))::BIGINT % 1024
+        FROM toks
+      ) GROUP BY row, bucket
+    ),
+    top AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS freq
+      FROM toks GROUP BY token ORDER BY freq DESC, token LIMIT 10
+    )
+    SELECT t.token, t.freq,
+           CAST(least(c0.c, c1.c) AS BIGINT) AS cms_estimate
+    FROM top t
+    JOIN cms c0 ON c0.row = 0 AND c0.bucket =
+      ('0x' || substr(md5('0|' || t.token), 1, 15))::BIGINT % 1024
+    JOIN cms c1 ON c1.row = 1 AND c1.bucket =
+      ('0x' || substr(md5('1|' || t.token), 1, 15))::BIGINT % 1024
+    ORDER BY t.freq DESC, t.token
+    """,
+    "count-min sketch: token stream folded into a 2x1024 counter "
+    "table (items never shuffle — only (row, bucket) ints), point "
+    "estimates for the exact top-10 via min-over-rows; bit-exact "
+    "cross-engine, upward-biased by construction",
+)
+def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators import text as text_ops
+    from pyairbyte_spark.operators.sketches import (
+        cms_counts,
+        cms_point_estimate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(text_ops.tokens_expr("text")).alias("token")
+    ).filter(F.col("token") != "")
+    cms = cms_counts(toks, value="token", depth=2, width=1024)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(10)
+    )
+    return cms_point_estimate(
+        top, cms, value="token", depth=2, width=1024
+    ).orderBy(F.desc("freq"), "token")
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5120,6 +5184,7 @@ _DRIVER_PRIORITY = [
     "events_resample_hourly_gapfill",
     "events_hourly_avg_locf",
     "graph_pagerank_part_supplier",
+    "cms_token_frequency",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

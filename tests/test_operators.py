@@ -1233,3 +1233,36 @@ def test_pagerank_regular_graph_uniform(spark):
         for r in pagerank(edges, iterations=4).collect()
     }
     assert len(ranks) == 1
+
+
+def test_cms_overestimates_only_and_merges(spark):
+    """CMS point estimates are >= true counts (never under), and two
+    half-stream sketches SUM to the full-stream sketch (counters are
+    additive — the merge property)."""
+    from pyairbyte_spark.operators.sketches import (
+        cms_counts,
+        cms_point_estimate,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    from pyairbyte_spark.operators import text as text_ops
+
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens_expr("text")).alias("token")
+    ).filter(F.col("token") != "")
+    cms = cms_counts(toks, value="token")
+    exact = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    est = cms_point_estimate(exact, cms, value="token").collect()
+    assert est and all(r["cms_estimate"] >= r["freq"] for r in est)
+    # merge: counters from disjoint halves add up to the full sketch
+    a = cms_counts(toks.filter(F.col("doc_id") % 2 == 0), value="token")
+    b = cms_counts(toks.filter(F.col("doc_id") % 2 == 1), value="token")
+    merged = {
+        (r["row"], r["bucket"]): r["c"]
+        for r in a.unionByName(b)
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+        .collect()
+    }
+    full = {(r["row"], r["bucket"]): r["c"] for r in cms.collect()}
+    assert merged == full
