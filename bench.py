@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "embed_gram_matrix",
     "ann_pq_topk",
     "approx_distinct_hll",
+    "cms_token_frequency",
+    "events_resample_hourly_gapfill",
+    "graph_pagerank_part_supplier",
     "store_mor_delete_events",
     "store_incremental_agg_events",
 ]

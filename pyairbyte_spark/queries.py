@@ -5163,6 +5163,54 @@ def cms_token_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("freq"), "token")
 
 
+@register(
+    "events_value_quantiles_sampled",
+    """
+    -- Bounded-memory quantile ESTIMATION: exact interpolated quantiles
+    -- over a deterministic 1/8 md5-hash sample — the sample membership
+    -- is identical across engines, partitionings, and runs, so the
+    -- estimate sits under the exact-value gate. At 100 TB this is the
+    -- scale path when a full exact percentile's sort memory is the
+    -- bottleneck: error is statistical (sample size), tunable by rate.
+    WITH s AS (
+      SELECT event_type, value FROM events
+      WHERE ('0x' || substr(md5('q|' || event_id), 1, 15))::BIGINT % 8 = 0
+    )
+    SELECT event_type, count(*) AS n_sampled,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90
+    FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    "sample-based quantile estimation: deterministic md5-keyed 1/8 "
+    "sample + exact interpolated quantiles — reproducible estimate "
+    "under the value gate (the sampling scale path next to "
+    "approx_percentile's t-digest)",
+)
+def events_value_quantiles_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("q|"), F.col("event_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ev.filter(h % 8 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5185,6 +5233,7 @@ _DRIVER_PRIORITY = [
     "events_hourly_avg_locf",
     "graph_pagerank_part_supplier",
     "cms_token_frequency",
+    "events_value_quantiles_sampled",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",
