@@ -280,6 +280,84 @@ def hll_distinct(
     return grouped.select(*keep, approx)
 
 
+def hll_pairwise_overlap(
+    df: DataFrame,
+    *,
+    type_col: str,
+    value: Column | str,
+    p: int = 8,
+) -> DataFrame:
+    """Distinct-overlap estimates for every unordered pair of types via
+    sketch set algebra: |A ∩ B| ≈ E(A) + E(B) − E(A ∪ B), where the
+    union sketch is just the register max of the two sides — no second
+    data pass, no pairwise re-scan. One registers pass over the data;
+    everything pairwise happens on O(types × 2^p) rows. The
+    inclusion–exclusion estimate can be slightly negative for disjoint
+    sets (estimator noise) — reported raw, not clamped.
+
+    Output: (ta, tb, d_a, d_b, d_union, d_intersection).
+    """
+    regs = hll_registers(df, group_cols=[type_col], value=value, p=p)
+    types = regs.select(F.col(type_col).alias("__t")).distinct()
+    # Each register row feeds every pair its type belongs to; the
+    # (pair, bucket) max dedups the two contributing sides into the
+    # union sketch.
+    pair_regs = (
+        regs.join(types, F.col(type_col) != F.col("__t"))
+        .select(
+            F.least(type_col, "__t").alias("ta"),
+            F.greatest(type_col, "__t").alias("tb"),
+            "__hll_bucket",
+            "__hll_m",
+        )
+        .groupBy("ta", "tb", "__hll_bucket")
+        .agg(F.max("__hll_m").alias("__hll_m"))
+    )
+    singles = hll_estimate(regs, group_cols=[type_col], p=p)
+    unions = hll_estimate(pair_regs, group_cols=["ta", "tb"], p=p).select(
+        "ta", "tb", F.col("approx_distinct").alias("d_union")
+    )
+    a = singles.select(
+        F.col(type_col).alias("ta"), F.col("approx_distinct").alias("d_a")
+    )
+    b = singles.select(
+        F.col(type_col).alias("tb"), F.col("approx_distinct").alias("d_b")
+    )
+    return (
+        unions.join(a, "ta")
+        .join(b, "tb")
+        .select(
+            "ta",
+            "tb",
+            "d_a",
+            "d_b",
+            "d_union",
+            (F.col("d_a") + F.col("d_b") - F.col("d_union")).alias(
+                "d_intersection"
+            ),
+        )
+    )
+
+
+def hll_estimate_sql_expr(p: int) -> str:
+    """SQL expression estimating distinct from ``__occ_sum`` /
+    ``__occupied`` columns (the register-aggregate level) — the same
+    literal-folded formula the Spark side runs, for composing oracles
+    that estimate over DERIVED register sets (unions, windows)."""
+    prm = hll_params(p)
+    m, scale = prm["m"], prm["scale"]
+    raw = (
+        f"{prm['raw_num']!r} / CAST(__occ_sum + ({m} - __occupied) * "
+        f"{scale} AS DOUBLE)"
+    )
+    return (
+        f"CAST(round(CASE WHEN {raw} <= {prm['lc_threshold']!r} "
+        f"AND ({m} - __occupied) > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / ({m} - __occupied)) "
+        f"ELSE {raw} END) AS BIGINT)"
+    )
+
+
 def _cms_bucket(value: Column, row: int, width: int) -> Column:
     """Row-salted md5 bucket — engine-portable like :func:`hll_hash`."""
     salted = F.concat(F.lit(f"{row}|"), value.cast("string"))
@@ -370,7 +448,11 @@ def hll_distinct_oracle_sql(
     exact_reg = (
         ", count(DISTINCT __v) AS __nd" if include_exact else ""
     )
-    exact_out = ", sum(__nd) AS n_exact" if include_exact else ""
+    # CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas renders as
+    # float ("19810.0") and breaks string-wise result comparison.
+    exact_out = (
+        ", CAST(sum(__nd) AS BIGINT) AS n_exact" if include_exact else ""
+    )
     exact_sel = ", CAST(({v}) AS VARCHAR) AS __v".format(v=value_sql) if include_exact else ""
     return f"""
     WITH hashed AS (

@@ -5211,6 +5211,72 @@ def events_value_quantiles_sampled(
     )
 
 
+def _register_hll_overlap_query() -> None:
+    from pyairbyte_spark.operators.sketches import (
+        hll_estimate_sql_expr,
+        hll_params,
+    )
+
+    pp = 8
+    prm = hll_params(pp)
+    m, w1 = prm["m"], prm["w_bits"] + 1
+    est = hll_estimate_sql_expr(pp)
+    occ = f"sum(CAST(power(2, {w1} - __m) AS BIGINT)) AS __occ_sum, count(*) AS __occupied"
+    oracle = f"""
+    -- HLL set algebra: pairwise distinct-user overlap between event
+    -- types via inclusion-exclusion over register maxima — ONE pass
+    -- over the data, pairwise math on O(types x 2^p) register rows.
+    WITH hashed AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS __h
+      FROM events
+    ),
+    regs AS (
+      SELECT event_type, __h % {m} AS __b,
+             max(CASE WHEN __h // {m} = 0 THEN {w1}
+                      ELSE {w1} - length(bin(__h // {m})) END) AS __m
+      FROM hashed GROUP BY event_type, __h % {m}
+    ),
+    types AS (SELECT DISTINCT event_type FROM regs),
+    pregs AS (
+      SELECT least(r.event_type, o.event_type) AS ta,
+             greatest(r.event_type, o.event_type) AS tb,
+             r.__b, max(r.__m) AS __m
+      FROM regs r JOIN types o ON o.event_type <> r.event_type
+      GROUP BY 1, 2, r.__b
+    ),
+    sagg AS (SELECT event_type, {occ} FROM regs GROUP BY event_type),
+    sest AS (SELECT event_type, {est} AS d FROM sagg),
+    pagg AS (SELECT ta, tb, {occ} FROM pregs GROUP BY ta, tb),
+    pest AS (SELECT ta, tb, {est} AS d_union FROM pagg)
+    SELECT p.ta, p.tb, a.d AS d_a, b.d AS d_b, p.d_union,
+           a.d + b.d - p.d_union AS d_intersection
+    FROM pest p
+    JOIN sest a ON a.event_type = p.ta
+    JOIN sest b ON b.event_type = p.tb
+    ORDER BY p.ta, p.tb
+    """
+
+    @register(
+        "hll_overlap_event_types",
+        oracle,
+        "sketch set algebra: pairwise distinct-user overlap between "
+        "event types by inclusion-exclusion over HLL register maxima — "
+        "one data pass, union sketches from register max, all pairwise "
+        "work on O(types x 2^p) rows; bit-exact vs the oracle",
+    )
+    def hll_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyairbyte_spark.operators.sketches import hll_pairwise_overlap
+
+        ev = t(spark, sf_dir, "events")
+        return hll_pairwise_overlap(
+            ev, type_col="event_type", value="user_id", p=pp
+        ).orderBy("ta", "tb")
+
+
+_register_hll_overlap_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5234,6 +5300,7 @@ _DRIVER_PRIORITY = [
     "graph_pagerank_part_supplier",
     "cms_token_frequency",
     "events_value_quantiles_sampled",
+    "hll_overlap_event_types",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

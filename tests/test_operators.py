@@ -1266,3 +1266,32 @@ def test_cms_overestimates_only_and_merges(spark):
     }
     full = {(r["row"], r["bucket"]): r["c"] for r in cms.collect()}
     assert merged == full
+
+
+def test_hll_overlap_identical_sets_full_intersection(spark):
+    """Two types over the SAME value set: union estimate equals each
+    single estimate exactly (identical registers), so the intersection
+    estimate equals the singles too."""
+    from pyairbyte_spark.operators.sketches import hll_pairwise_overlap
+
+    rows = [(t, v) for t in ("x", "y") for v in range(500)]
+    df = spark.createDataFrame(rows, "t string, v long")
+    out = hll_pairwise_overlap(df, type_col="t", value="v", p=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["d_a"] == r["d_b"] == r["d_union"] == r["d_intersection"]
+
+
+def test_hll_overlap_disjoint_sets_near_zero(spark):
+    """Disjoint value sets: intersection estimate is near zero (within
+    sketch noise), union estimate near the sum."""
+    from pyairbyte_spark.operators.sketches import hll_pairwise_overlap
+
+    rows = [("x", v) for v in range(2000)] + [
+        ("y", v) for v in range(10_000, 12_000)
+    ]
+    df = spark.createDataFrame(rows, "t string, v long")
+    r = hll_pairwise_overlap(df, type_col="t", value="v", p=8).collect()[0]
+    # 5-sigma of the union estimate's absolute error dominates
+    tol = 5 * 1.04 / (256 ** 0.5) * r["d_union"]
+    assert abs(r["d_intersection"]) <= tol, r
