@@ -5277,6 +5277,54 @@ def _register_hll_overlap_query() -> None:
 _register_hll_overlap_query()
 
 
+def _register_ndv_query() -> None:
+    from pyairbyte_spark.operators.sketches import hll_distinct_oracle_sql
+
+    oracle = hll_distinct_oracle_sql(
+        table_expr=(
+            "(SELECT 'event_type' AS col, event_type AS v FROM events "
+            "UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) "
+            "FROM events) AS src"
+        ),
+        group_cols=["col"],
+        value_sql="v",
+        p=8,
+    )
+
+    @register(
+        "store_ndv_stats_events",
+        oracle,
+        "ANALYZE-style NDV statistics: per-column HLL registers in a "
+        "stats sidecar, analyzed at v1 and caught up to the v2 append "
+        "INCREMENTALLY from the change feed (append/compact histories "
+        "fold by register max; DML forces re-analyze). Estimates are "
+        "served without scanning the table and are bit-identical to a "
+        "from-scratch sketch — hence this oracle",
+    )
+    def store_ndv_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark import ndv
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        ev = t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type"
+        )
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-ndv-store-"), "q"
+        )
+        store.write_append(ev.filter(F.col("event_id") % 2 == 0), "events")
+        ndv.analyze_ndv(store, "events", ["user_id", "event_type"], p=8)
+        store.write_append(ev.filter(F.col("event_id") % 2 == 1), "events")
+        est = ndv.approx_distinct(spark, store, "events", p=8)
+        return spark.createDataFrame(
+            sorted(est.items()), "col string, approx_distinct long"
+        ).orderBy("col")
+
+
+_register_ndv_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5301,6 +5349,7 @@ _DRIVER_PRIORITY = [
     "cms_token_frequency",
     "events_value_quantiles_sampled",
     "hll_overlap_event_types",
+    "store_ndv_stats_events",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

@@ -1295,3 +1295,70 @@ def test_hll_overlap_disjoint_sets_near_zero(spark):
     # 5-sigma of the union estimate's absolute error dominates
     tol = 5 * 1.04 / (256 ** 0.5) * r["d_union"]
     assert abs(r["d_intersection"]) <= tol, r
+
+
+# ---------------------------------------------------------------------------
+# NDV stats sidecar (ndv.py)
+# ---------------------------------------------------------------------------
+
+
+def _ndv_store(spark, tmp_path, ev):
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path), "t")
+    store.write_append(ev, "events")
+    return store
+
+
+def test_ndv_incremental_refresh_equals_reanalyze(spark, tmp_path):
+    """Append-only catch-up from the change feed must produce the
+    exact registers (and estimates) a from-scratch ANALYZE would."""
+    from pyairbyte_spark import ndv
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    store = _ndv_store(spark, tmp_path, ev.filter(F.col("event_id") % 2 == 0))
+    ndv.analyze_ndv(store, "events", ["user_id", "event_type"], p=8)
+    store.write_append(ev.filter(F.col("event_id") % 2 == 1), "events")
+    maintained = ndv.approx_distinct(spark, store, "events", p=8)
+    fresh = ndv.analyze_ndv(store, "events", ["user_id", "event_type"], p=8)
+    refreshed = ndv.approx_distinct(spark, store, "events", p=8)
+    assert maintained == refreshed
+    # and the persisted registers agree with the re-analyze
+    assert fresh["version"] == store.latest_version("events")
+
+
+def test_ndv_dml_forces_reanalyze(spark, tmp_path):
+    """A DELETE invalidates max-monotone registers: the next estimate
+    must come from a re-analyze (deleted keys stop counting)."""
+    from pyairbyte_spark import ndv
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "user_id", "event_type"
+    )
+    store = _ndv_store(spark, tmp_path, ev)
+    ndv.analyze_ndv(store, "events", ["event_type"], p=8)
+    store.delete_where("events", [("event_type", "=", "view")])
+    est = ndv.approx_distinct(spark, store, "events", p=8)
+    # 4 remaining types: with p=8 linear counting is near-exact here
+    assert est["event_type"] == 4
+
+
+def test_ndv_no_table_scan_on_serve(spark, tmp_path):
+    """Serving an up-to-date estimate reads the sidecar, not the
+    table: estimates survive the data files being gone."""
+    import shutil
+
+    from pyairbyte_spark import ndv
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    store = _ndv_store(spark, tmp_path, ev)
+    before = ndv.analyze_ndv(store, "events", ["event_type"], p=8)
+    # nuke the data dir (keep commits + sidecar): serving must not scan
+    shutil.rmtree(store.table_path("events") + "/data", ignore_errors=True)
+    est = ndv.approx_distinct(spark, store, "events", p=8)
+    assert est["event_type"] == 5
+    assert before["version"] == store.latest_version("events")
