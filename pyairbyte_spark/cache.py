@@ -258,6 +258,29 @@ class SparkCache(Mapping):
     def stream_checks(self, stream_name: str) -> dict[str, str]:
         return self._acid_store().table_checks(self.table_name(stream_name))
 
+    def analyze_stream_ndv(
+        self, stream_name: str, columns: list[str], *, p: int = 8
+    ) -> dict:
+        """ANALYZE: compute + persist per-column NDV registers (one
+        stacked scan) in the table's stats sidecar."""
+        from pyairbyte_spark import ndv
+
+        return ndv.analyze_ndv(
+            self._acid_store(), self.table_name(stream_name), columns, p=p
+        )
+
+    def stream_approx_distinct(
+        self, stream_name: str, *, p: int = 8
+    ) -> dict[str, int]:
+        """Per-column approximate distinct counts from maintained NDV
+        stats — catches up from the change feed (append/compact) or
+        re-analyzes (DML), never scans data to serve."""
+        from pyairbyte_spark import ndv
+
+        return ndv.approx_distinct(
+            self.spark, self._acid_store(), self.table_name(stream_name), p=p
+        )
+
     def delete_stream_where(
         self, stream_name: str, predicates: list[tuple], *, mode: str = "cow"
     ) -> dict:

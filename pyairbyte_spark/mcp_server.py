@@ -492,6 +492,38 @@ def _build_tool_defs() -> list[ToolDef]:
             },
             lambda h, a: t.get_table_checks(h.cache, a["stream_name"]),
         ),
+        ToolDef(
+            "analyze_table_ndv",
+            "ANALYZE: compute + persist approximate-distinct (HLL) "
+            "statistics for the given columns in the stream table's "
+            "stats sidecar (one scan for all columns).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "columns": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                    },
+                },
+                "required": ["stream_name", "columns"],
+            },
+            lambda h, a: t.analyze_table_ndv(
+                h.cache, a["stream_name"], list(a["columns"])
+            ),
+        ),
+        ToolDef(
+            "get_table_ndv",
+            "Per-column approximate distinct counts from maintained NDV "
+            "stats — no data scan; auto-catches-up from the change feed "
+            "(append/compact) or re-analyzes after DML.",
+            {
+                "type": "object",
+                "properties": {"stream_name": {"type": "string"}},
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.get_table_ndv(h.cache, a["stream_name"]),
+        ),
         # -- registry browse (reference mcp/registry.py:44-289) --------------
         ToolDef(
             "list_connectors",

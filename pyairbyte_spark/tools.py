@@ -203,3 +203,18 @@ def vacuum_table(
     """Reclaim data dirs unreferenced by the most recent commits."""
     removed = cache.vacuum(stream_name, keep_commits=keep_commits)
     return {"removed_dirs": removed, "kept_commits": keep_commits}
+
+
+def analyze_table_ndv(
+    cache: SparkCache, stream_name: str, columns: list[str]
+) -> dict[str, Any]:
+    """ANALYZE: compute + persist approximate-distinct (HLL) stats for
+    the given columns in the stream table's stats sidecar."""
+    doc = cache.analyze_stream_ndv(stream_name, columns)
+    return {"version": doc["version"], "columns": sorted(doc["columns"])}
+
+
+def get_table_ndv(cache: SparkCache, stream_name: str) -> dict[str, int]:
+    """Per-column approximate distinct counts from maintained NDV
+    stats (no data scan; auto-catches-up from the change feed)."""
+    return cache.stream_approx_distinct(stream_name)

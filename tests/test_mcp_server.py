@@ -610,3 +610,44 @@ def test_restore_table_tool(spark, tmp_path):
     )
     assert out["version"] == 3
     assert cache.store.read(t_name).count() == 5
+
+
+def test_ndv_tools(spark, tmp_path):
+    """analyze_table_ndv + get_table_ndv through the MCP surface:
+    analyze at v1, append v2, the served estimate reflects BOTH
+    versions (change-feed catch-up) without a re-analyze."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    df = (
+        spark.range(500)
+        .toDF("id")
+        .withColumn("grp", (F.col("id") % 4).cast("string"))
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    tname = cache.table_name("users")
+    cache.store.write_append(df.filter("id < 250").coalesce(1), tname)
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "analyze_table_ndv",
+            {"stream_name": "users", "columns": ["id", "grp"]},
+        )["content"][0]["text"]
+    )
+    assert out["columns"] == ["grp", "id"]
+    cache.store.write_append(df.filter("id >= 250").coalesce(1), tname)
+    est = _json.loads(
+        client.call_tool("get_table_ndv", {"stream_name": "users"})[
+            "content"
+        ][0]["text"]
+    )
+    assert est["grp"] == 4
+    # ~500 ids through a 256-register sketch: within 5 sigma
+    assert abs(est["id"] - 500) / 500 <= 5 * 1.04 / 16
