@@ -5325,6 +5325,94 @@ def _register_ndv_query() -> None:
 _register_ndv_query()
 
 
+@register(
+    "text_pmi_collocations",
+    r"""
+    -- Collocation extraction: top adjacent bigrams by PMI ratio
+    -- p(xy)/(p(x)p(y)) with a min-count floor. The ratio is ONE double
+    -- expression with identical op order in both engines (exact
+    -- integer inputs), so ordering and 6-digit values match bit-wise.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '') AS l
+      FROM documents
+    ),
+    uni AS (SELECT u.tok AS w, count(*) AS n
+            FROM toks, unnest(l) AS u(tok) GROUP BY 1),
+    big AS (
+      SELECT b.bg[1] AS w1, b.bg[2] AS w2, count(*) AS n_xy
+      FROM toks, unnest(list_zip(l[1:-2], l[2:-1])) AS b(bg)
+      WHERE len(l) >= 2
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT (SELECT CAST(sum(n) AS DOUBLE) FROM uni) AS nn,
+                   (SELECT CAST(sum(n_xy) AS DOUBLE) FROM big) AS bb)
+    SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+           round((CAST(n_xy AS DOUBLE) * nn * nn) / (bb * a.n * b2.n), 6)
+             AS pmi_ratio
+    FROM big JOIN uni a ON a.w = w1 JOIN uni b2 ON b2.w = w2, tot
+    WHERE n_xy >= 20
+    ORDER BY pmi_ratio DESC, w1, w2 LIMIT 15
+    """,
+    "collocation mining: adjacent-bigram PMI ratio over the corpus — "
+    "wordcount-shaped aggs (unigrams, bigrams via slice+zip, no UDF), "
+    "two key joins for the marginals, broadcast totals; ratio is a "
+    "single identical double expression so rank and value both match",
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyairbyte_spark.operators import text as text_ops
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.filter(text_ops.tokens_expr("text"), lambda x: x != "").alias("l")
+    )
+    uni = (
+        toks.select(F.explode("l").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    big = (
+        toks.filter(F.size("l") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("l"), 1, F.size("l") - 1),
+                    F.slice(F.col("l"), 2, F.size("l") - 1),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= 20)
+    )
+    tot = uni.agg(F.sum("n").cast("double").alias("nn")).crossJoin(
+        # bigram total must count ALL bigrams, not just the floored ones
+        toks.filter(F.size("l") >= 2)
+        .select((F.size("l") - 1).alias("k"))
+        .agg(F.sum("k").cast("double").alias("bb"))
+    )
+    a = uni.select(F.col("w").alias("w1"), F.col("n").alias("na"))
+    b = uni.select(F.col("w").alias("w2"), F.col("n").alias("nb"))
+    out = (
+        big.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("long").alias("n_xy"),
+            F.round(
+                (F.col("n_xy").cast("double") * F.col("nn") * F.col("nn"))
+                / (F.col("bb") * F.col("na") * F.col("nb")),
+                6,
+            ).alias("pmi_ratio"),
+        )
+    )
+    return out.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(15)
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5350,6 +5438,7 @@ _DRIVER_PRIORITY = [
     "events_value_quantiles_sampled",
     "hll_overlap_event_types",
     "store_ndv_stats_events",
+    "text_pmi_collocations",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",
