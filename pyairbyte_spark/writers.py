@@ -815,7 +815,17 @@ class CommitLogTableStore(TableStore):
                 {"path": rel, "bucket": bucket, "bytes": size, **stats}
             )
         buckets = sorted(bucket_set) if BUCKET_COL in df.columns else None
-        return {"path": name, "buckets": buckets, "files": files}
+        # The PHYSICAL schema rides every entry so a snapshot whose
+        # files have all been deleted (DELETE matching every row) still
+        # reads as an EMPTY frame with the right columns — without it,
+        # "SELECT * FROM t" on a fully-emptied table has no schema
+        # source once vacuum reclaims the data files.
+        return {
+            "path": name,
+            "buckets": buckets,
+            "files": files,
+            "schema": df.schema.json(),
+        }
 
     # -- deletion vectors (merge-on-read DELETE) ----------------------------
     # ``delete_where(..., mode="mor")`` publishes POSITION DELETES
@@ -1012,6 +1022,24 @@ class CommitLogTableStore(TableStore):
             part = self._fill_added(part, dv_man)
             parts.append(self._with_dv_cols(part) if dvs else part)
         if not parts:
+            # Every file pruned (a DELETE matched the whole table):
+            # the table still EXISTS — read it as an empty frame with
+            # the newest staged schema. Raising here would make a
+            # legal table state unreadable.
+            schema_json = next(
+                (e["schema"] for e in reversed(entries) if e.get("schema")),
+                None,
+            )
+            if schema_json is not None:
+                from pyspark.sql.types import StructType
+
+                empty = self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(schema_json))
+                )
+                # Metadata-added columns apply as usual; DV anti-joins
+                # are vacuous on zero rows and skipped to keep the
+                # column set identical to the populated read path.
+                return self._fill_added(empty, dv_man)
             raise FileNotFoundError(
                 f"table {table_name!r} snapshot has no live files"
             )
