@@ -970,8 +970,32 @@ class CommitLogTableStore(TableStore):
     def _read_manifest_df(self, table_name: str, manifest: dict) -> DataFrame:
         entries = manifest.get("entries") or []
         if not entries:
+            empty = self._empty_df(manifest)
+            if empty is not None:
+                return self._fill_added(empty, manifest)
             raise FileNotFoundError(f"table {table_name!r} snapshot is empty")
         return self._entries_df(table_name, entries, dv_man=manifest)
+
+    def _empty_df(self, manifest: dict | None) -> DataFrame | None:
+        """Zero-row frame with the snapshot's newest physical schema
+        (entry-level first, then the carried top-level field), or None
+        for pre-schema manifests."""
+        man = manifest or {}
+        schema_json = next(
+            (
+                e.get("schema")
+                for e in reversed(man.get("entries") or [])
+                if e.get("schema")
+            ),
+            None,
+        ) or man.get("schema")
+        if schema_json is None:
+            return None
+        from pyspark.sql.types import StructType
+
+        return self.spark.createDataFrame(
+            [], StructType.fromJson(json.loads(schema_json))
+        )
 
     def _entries_df(
         self,
@@ -1025,20 +1049,12 @@ class CommitLogTableStore(TableStore):
             # Every file pruned (a DELETE matched the whole table):
             # the table still EXISTS — read it as an empty frame with
             # the newest staged schema. Raising here would make a
-            # legal table state unreadable.
-            schema_json = next(
-                (e["schema"] for e in reversed(entries) if e.get("schema")),
-                None,
-            )
-            if schema_json is not None:
-                from pyspark.sql.types import StructType
-
-                empty = self.spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(schema_json))
-                )
-                # Metadata-added columns apply as usual; DV anti-joins
-                # are vacuous on zero rows and skipped to keep the
-                # column set identical to the populated read path.
+            # legal table state unreadable. Metadata-added columns
+            # apply as usual; DV anti-joins are vacuous on zero rows
+            # and skipped, keeping the column set identical to the
+            # populated read path.
+            empty = self._empty_df({"entries": entries, **(dv_man or {})})
+            if empty is not None:
                 return self._fill_added(empty, dv_man)
             raise FileNotFoundError(
                 f"table {table_name!r} snapshot has no live files"
@@ -1103,6 +1119,19 @@ class CommitLogTableStore(TableStore):
             out["txns"] = man["txns"]
         if man.get("added_columns"):
             out["added_columns"] = man["added_columns"]
+        # Newest known PHYSICAL schema rides every commit so a manifest
+        # with ZERO entries (a DELETE that dropped every data dir) still
+        # reads as an empty frame after vacuum reclaims the files.
+        sch = man.get("schema") or next(
+            (
+                e.get("schema")
+                for e in reversed(man.get("entries") or [])
+                if e.get("schema")
+            ),
+            None,
+        )
+        if sch:
+            out["schema"] = sch
         return out
 
     def _fill_added(self, part: DataFrame, man: dict | None) -> DataFrame:

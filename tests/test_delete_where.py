@@ -187,3 +187,29 @@ def test_file_level_vacuum_respects_time_travel_window(spark, store):
     removed = store.vacuum("t", keep_commits=1)
     assert removed
     assert _ids(store.read("t")) == list(range(50))
+
+
+def test_delete_everything_reads_empty_then_recovers(spark, tmp_path):
+    """DELETE matching every row leaves a legal, READABLE table: empty
+    frame with the staged schema (found by the DML property machine —
+    the all-files-pruned snapshot used to raise FileNotFoundError).
+    The empty table must survive compact + vacuum (schema comes from
+    the manifest entry, not the reclaimed data files) and accept new
+    writes; MoR delete-everything behaves the same."""
+    store = CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main", merge_buckets=3
+    )
+    store.write_merge(_df(spark, 0, 5), "t", ["id"])
+    store.delete_where("t", [("id", ">=", 0)])
+    df = store.read("t")
+    assert df.count() == 0
+    assert set(df.columns) == {
+        "id", "v", "_airbyte_raw_id", "_airbyte_extracted_at"
+    }
+    store.compact("t")
+    store.vacuum("t")
+    assert store.read("t").count() == 0
+    store.write_merge(_df(spark, 7, 9), "t", ["id"])
+    assert _ids(store.read("t")) == [7, 8]
+    store.delete_where("t", [("id", ">=", 0)], mode="mor")
+    assert store.read("t").count() == 0
