@@ -52,16 +52,27 @@ def pagerank(
     units per node. Dangling mass is dropped (simplified PageRank) —
     feed symmetric edges for an undirected walk, which has none.
     """
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-    deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__deg"))
+    # Edges/degrees/nodes feed every iteration: checkpoint them once so
+    # round N does not rebuild the base scan N times from lineage (the
+    # same discipline as connected_components); each round's ranks are
+    # checkpointed so the plan stays ONE round deep.
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=False)
+    deg = (
+        e.groupBy("__src")
+        .agg(F.count(F.lit(1)).alias("__deg"))
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(ranks, e.__src == ranks.node)
             .join(deg, "__src")
@@ -81,4 +92,6 @@ def pagerank(
                 )
             ).cast("long").alias("r"),
         )
+        if i < iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.col("r").alias("rank_units"))

@@ -297,7 +297,12 @@ def hll_pairwise_overlap(
 
     Output: (ta, tb, d_a, d_b, d_union, d_intersection).
     """
-    regs = hll_registers(df, group_cols=[type_col], value=value, p=p)
+    # The register table feeds the singles, the pair expansion, AND the
+    # type list — checkpoint it once (O(types x 2^p) rows) so the data
+    # pass truly happens once instead of three times from lineage.
+    regs = hll_registers(
+        df, group_cols=[type_col], value=value, p=p
+    ).localCheckpoint(eager=False)
     types = regs.select(F.col(type_col).alias("__t")).distinct()
     # Each register row feeds every pair its type belongs to; the
     # (pair, bucket) max dedups the two contributing sides into the

@@ -5367,12 +5367,16 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.filter(text_ops.tokens_expr("text"), lambda x: x != "").alias("l")
     )
+    # uni is O(vocab) and feeds the totals + BOTH marginal joins:
+    # checkpoint so the corpus is tokenized exactly twice (unigram and
+    # bigram aggregations), never re-derived per consumer.
     uni = (
         toks.select(F.explode("l").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
-    big = (
+    big_all = (
         toks.filter(F.size("l") >= 2)
         .select(
             F.explode(
@@ -5385,13 +5389,13 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("bg.0").alias("w1"), F.col("bg.1").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_xy"))
-        .filter(F.col("n_xy") >= 20)
+        .localCheckpoint(eager=False)
     )
+    big = big_all.filter(F.col("n_xy") >= 20)
     tot = uni.agg(F.sum("n").cast("double").alias("nn")).crossJoin(
-        # bigram total must count ALL bigrams, not just the floored ones
-        toks.filter(F.size("l") >= 2)
-        .select((F.size("l") - 1).alias("k"))
-        .agg(F.sum("k").cast("double").alias("bb"))
+        # bigram total counts ALL bigrams (pre-floor), derived from the
+        # aggregated bigram table — no third corpus pass
+        big_all.agg(F.sum("n_xy").cast("double").alias("bb"))
     )
     a = uni.select(F.col("w").alias("w1"), F.col("n").alias("na"))
     b = uni.select(F.col("w").alias("w2"), F.col("n").alias("nb"))
