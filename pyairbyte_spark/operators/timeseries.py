@@ -49,7 +49,12 @@ def resample_gapfill(
     if unit not in _UNITS:
         raise ValueError(f"unit must be one of {sorted(_UNITS)}")
     bucket = F.date_trunc(unit, F.col(ts_col)).alias("__ts_bucket")
-    rolled = df.groupBy(bucket, *key_cols).agg(*aggs)
+    # The rollup feeds both the spine derivation and the final join —
+    # checkpoint it (O(keys x grid cells) rows) so the base-data scan
+    # and its shuffle run exactly once, not once per consumer.
+    rolled = df.groupBy(bucket, *key_cols).agg(*aggs).localCheckpoint(
+        eager=False
+    )
 
     # Bounds + spine are derived FROM the rollup: O(keys) rows.
     per_key = rolled.groupBy(*key_cols).agg(
