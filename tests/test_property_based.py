@@ -392,3 +392,43 @@ def test_commitlog_dml_matches_model(spark, tmp_path_factory, ops):
             for r in store.read("t").select("id", vname).collect()
         )
         assert got == sorted((k, v) for k, v, *_ in model)
+
+
+@given(
+    values=st.lists(
+        st.text(min_size=0, max_size=24), min_size=1, max_size=40
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_hll_estimate_engine_parity_on_arbitrary_strings(spark, values):
+    """The HLL sketch's cross-engine bit-exactness must hold for
+    ADVERSARIAL inputs, not just the test tables: arbitrary unicode
+    (emoji, combining marks, quotes, empty strings) hashes through
+    Spark's md5 and DuckDB's md5 identically iff both use the UTF-8
+    bytes — this pins that, plus the whole register/estimate chain."""
+    import duckdb
+    import pandas as pd
+
+    from pyairbyte_spark.operators.sketches import (
+        hll_distinct,
+        hll_distinct_oracle_sql,
+    )
+
+    df = spark.createDataFrame([("g", v) for v in values], "g string, v string")
+    got = sorted(
+        tuple(r)
+        for r in hll_distinct(
+            df, group_cols=["g"], value="v", p=8, include_exact=True
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.register("vals", pd.DataFrame({"g": "g", "v": values}))
+    oracle = hll_distinct_oracle_sql(
+        table_expr="vals",
+        group_cols=["g"],
+        value_sql="v",
+        p=8,
+        include_exact=True,
+    )
+    want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    assert got == want
