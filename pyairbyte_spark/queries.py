@@ -5417,6 +5417,78 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(15)
 
 
+@register(
+    "stream_cms_active_users",
+    """
+    -- STREAMING count-min sketch: per-user activity frequencies in a
+    -- fixed 2x1024 counter table (bounded streaming state), estimates
+    -- for the exact top-10 users. Bit-exact: same row-salted md5
+    -- buckets both engines.
+    WITH ids AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+    cms AS (
+      SELECT row, bucket, count(*) AS c FROM (
+        SELECT 0 AS row,
+               ('0x' || substr(md5('0|' || uid), 1, 15))::BIGINT % 1024 AS bucket
+        FROM ids
+        UNION ALL
+        SELECT 1,
+               ('0x' || substr(md5('1|' || uid), 1, 15))::BIGINT % 1024
+        FROM ids
+      ) GROUP BY row, bucket
+    ),
+    top AS (
+      SELECT uid, CAST(count(*) AS BIGINT) AS freq
+      FROM ids GROUP BY uid ORDER BY freq DESC, uid LIMIT 10
+    )
+    SELECT t.uid, t.freq,
+           CAST(least(c0.c, c1.c) AS BIGINT) AS cms_estimate
+    FROM top t
+    JOIN cms c0 ON c0.row = 0 AND c0.bucket =
+      ('0x' || substr(md5('0|' || t.uid), 1, 15))::BIGINT % 1024
+    JOIN cms c1 ON c1.row = 1 AND c1.bucket =
+      ('0x' || substr(md5('1|' || t.uid), 1, 15))::BIGINT % 1024
+    ORDER BY t.freq DESC, t.uid
+    """,
+    "STRUCTURED STREAMING count-min sketch: user-activity frequencies "
+    "as one keyed count aggregation over (row, bucket) pairs — 2x1024 "
+    "counters of bounded state forever (exact per-user state grows "
+    "with cardinality); estimates finalized batch-side over the sink, "
+    "bit-exact vs the batch/DuckDB sketch",
+)
+def stream_cms_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    from pyairbyte_spark.operators.sketches import cms_point_estimate
+    from pyairbyte_spark.streaming.windowed import streaming_cms_counts
+
+    conv = _events_stream(spark, sf_dir, "stream_cms_")
+    regs = streaming_cms_counts(
+        conv.select(F.col("user_id").cast("string").alias("uid")),
+        value="uid",
+    )
+    name = f"stream_cms_{_uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cms = spark.table(name)
+    top = (
+        t(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("uid"))
+        .groupBy("uid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), "uid")
+        .limit(10)
+    )
+    return cms_point_estimate(top, cms, value="uid").orderBy(
+        F.desc("freq"), "uid"
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5443,6 +5515,7 @@ _DRIVER_PRIORITY = [
     "hll_overlap_event_types",
     "store_ndv_stats_events",
     "text_pmi_collocations",
+    "stream_cms_active_users",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",

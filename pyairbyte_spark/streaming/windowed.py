@@ -101,6 +101,41 @@ def streaming_hll_registers(
     )
 
 
+def streaming_cms_counts(
+    stream_df: DataFrame,
+    *,
+    value: str,
+    depth: int = 2,
+    width: int = 1024,
+) -> DataFrame:
+    """Count-min sketch as STREAMING state: item frequencies tracked in
+    a fixed depth×width counter table maintained by one keyed count
+    aggregation — bounded state forever, where exact per-item counting
+    state grows with key cardinality. Counters are additive, so
+    ``update`` mode emits only touched counters per trigger and sink
+    tables from separate shards merge by summing. Finalize point
+    estimates with ``operators.sketches.cms_point_estimate`` over the
+    sink."""
+    from pyairbyte_spark.operators.sketches import _cms_bucket
+
+    pairs = stream_df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("row"),
+                        _cms_bucket(F.col(value), j, width).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("rb")
+    )
+    return pairs.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
 def session_rollup(
     stream_df: DataFrame,
     *,
