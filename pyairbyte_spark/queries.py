@@ -5489,6 +5489,112 @@ def stream_cms_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_cumulative_hll_query() -> None:
+    from pyairbyte_spark.operators.sketches import (
+        hll_estimate_sql_expr,
+        hll_params,
+    )
+
+    pp = 8
+    prm = hll_params(pp)
+    m, w1 = prm["m"], prm["w_bits"] + 1
+    est = hll_estimate_sql_expr(pp)
+    oracle = f"""
+    -- Cumulative distinct-users curve from running register maxima:
+    -- ONE data pass + a window over O(days x occupied buckets) rows.
+    -- The naive form is one distinct-scan per day (or a quadratic
+    -- self-join); registers make the prefix union a running max.
+    WITH hashed AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM events
+    ),
+    regs AS (
+      SELECT day, h % {m} AS b,
+             max(CASE WHEN h // {m} = 0 THEN {w1}
+                      ELSE {w1} - length(bin(h // {m})) END) AS mx
+      FROM hashed GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT d.day, bk.b, r.mx
+      FROM (SELECT DISTINCT day FROM regs) d
+      CROSS JOIN (SELECT DISTINCT b FROM regs) bk
+      LEFT JOIN regs r ON r.day = d.day AND r.b = bk.b
+    ),
+    cum AS (
+      SELECT day, b,
+             max(mx) OVER (PARTITION BY b ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cm
+      FROM dense
+    ),
+    agg AS (
+      SELECT day,
+             sum(CASE WHEN cm IS NULL THEN 0
+                      ELSE CAST(power(2, {w1} - cm) AS BIGINT) END)
+               AS __occ_sum,
+             count(*) FILTER (WHERE cm IS NOT NULL) AS __occupied
+      FROM cum GROUP BY day
+    )
+    SELECT day, {est} AS approx_cum_users
+    FROM agg ORDER BY day
+    """
+
+    @register(
+        "hll_cumulative_distinct_users",
+        oracle,
+        "cumulative distinct-users curve via running HLL register "
+        "maxima: one data pass + a window over O(days x 2^p) register "
+        "rows replaces a per-day distinct rescan; every day's estimate "
+        "equals the from-scratch sketch of its prefix, bit-exact vs "
+        "the oracle",
+    )
+    def hll_cumulative_distinct_users(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        from pyairbyte_spark.operators.sketches import (
+            _bucket_rho,
+            hll_estimate,
+        )
+
+        ev = t(spark, sf_dir, "events")
+        bucket, rho = _bucket_rho(F.col("user_id"), pp)
+        regs = (
+            ev.select(
+                F.to_date(F.date_trunc("day", "ts")).alias("day"),
+                bucket,
+                rho,
+            )
+            .groupBy("day", "__hll_bucket")
+            .agg(F.max("__hll_rho").alias("__hll_m"))
+        )
+        days = regs.select("day").distinct()
+        bks = regs.select("__hll_bucket").distinct()
+        dense = days.crossJoin(bks).join(
+            regs, ["day", "__hll_bucket"], "left"
+        )
+        w = (
+            Window.partitionBy("__hll_bucket")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = dense.select(
+            "day",
+            "__hll_bucket",
+            F.max("__hll_m").over(w).alias("__hll_m"),
+        ).filter(F.col("__hll_m").isNotNull())
+        return (
+            hll_estimate(cum, group_cols=["day"], p=pp)
+            .select(
+                "day", F.col("approx_distinct").alias("approx_cum_users")
+            )
+            .orderBy("day")
+        )
+
+
+_register_cumulative_hll_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5516,6 +5622,7 @@ _DRIVER_PRIORITY = [
     "store_ndv_stats_events",
     "text_pmi_collocations",
     "stream_cms_active_users",
+    "hll_cumulative_distinct_users",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",
