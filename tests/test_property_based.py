@@ -432,3 +432,54 @@ def test_hll_estimate_engine_parity_on_arbitrary_strings(spark, values):
     )
     want = sorted(tuple(r) for r in con.execute(oracle).fetchall())
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete", "compact"]),
+            st.integers(0, 6),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=6, deadline=None)
+def test_ndv_maintenance_matches_reanalyze(spark, tmp_path_factory, ops):
+    """Any interleaving of appends (incremental register fold),
+    deletes (forced re-analyze), and compaction (no-op for NDV) must
+    leave approx_distinct() equal to a from-scratch ANALYZE at the
+    same version — maintained stats can never drift from recomputed
+    ones."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark import ndv
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    tmp = tmp_path_factory.mktemp("ndv-prop")
+    store = CommitLogTableStore(spark, str(tmp), "m")
+
+    def batch(seed):
+        return (
+            spark.range(seed * 40, seed * 40 + 60)
+            .toDF("id")
+            .withColumn("grp", (F.col("id") % 5).cast("string"))
+            .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+            .withColumn("_airbyte_extracted_at", F.current_timestamp())
+            .coalesce(1)
+        )
+
+    store.write_append(batch(0), "t")
+    ndv.analyze_ndv(store, "t", ["id", "grp"], p=8)
+    for kind, param in ops:
+        if kind == "append":
+            store.write_append(batch(param + 1), "t")
+        elif kind == "delete":
+            store.delete_where("t", [("id", ">=", param * 40)])
+        else:
+            store.compact("t")
+        maintained = ndv.approx_distinct(spark, store, "t", p=8)
+        fresh_doc = ndv.analyze_ndv(store, "t", ["id", "grp"], p=8)
+        fresh = ndv.approx_distinct(spark, store, "t", p=8)
+        assert maintained == fresh, (kind, param, maintained, fresh)
+        assert fresh_doc["version"] == store.latest_version("t")
