@@ -5595,6 +5595,89 @@ def _register_cumulative_hll_query() -> None:
 _register_cumulative_hll_query()
 
 
+@register(
+    "events_histogram_quantiles",
+    """
+    -- Fixed-bin histogram quantiles: the MERGEABLE bounded-state
+    -- quantile path (256 bin counts per group, counters add across
+    -- partitions/shards/days) vs exact percentile's full sort. All
+    -- arithmetic is double with identical op order, so the
+    -- interpolated estimates match bit-wise.
+    WITH binned AS (
+      SELECT event_type,
+             least(255, greatest(0,
+               CAST(floor(value * 256.0 / 1000.0) AS INT))) AS bin,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, n,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS c,
+             sum(n) OVER (PARTITION BY event_type) AS total
+      FROM binned
+    ),
+    qs(q) AS (VALUES (0.5::DOUBLE), (0.9::DOUBLE), (0.99::DOUBLE)),
+    crossing AS (
+      SELECT c.event_type, q.q, c.bin, c.n, c.c, c.total
+      FROM cum c JOIN qs q
+        ON c.c >= q.q * c.total AND (c.c - c.n) < q.q * c.total
+    )
+    SELECT event_type, q,
+           round((bin + (q * total - (c - n)) / n) * (1000.0 / 256.0), 6)
+             AS est
+    FROM crossing ORDER BY event_type, q
+    """,
+    "histogram-sketch quantiles: 256 mergeable bin counts per group "
+    "(counters add across shards — the bounded-state quantile path), "
+    "linear interpolation inside the crossing bin; bit-exact vs the "
+    "oracle since the arithmetic is identical-op-order doubles",
+)
+def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    bin_col = F.least(
+        F.lit(255),
+        F.greatest(
+            F.lit(0),
+            F.floor(F.col("value") * 256.0 / 1000.0).cast("int"),
+        ),
+    ).alias("bin")
+    binned = ev.groupBy("event_type", bin_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("c"),
+        F.sum("n").over(w_all).alias("total"),
+    )
+    qs = spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "q double")
+    target = F.col("q") * F.col("total")
+    crossing = cum.join(
+        F.broadcast(qs),
+        (F.col("c") >= target) & ((F.col("c") - F.col("n")) < target),
+    )
+    est = F.round(
+        (
+            F.col("bin")
+            + (target - (F.col("c") - F.col("n"))) / F.col("n")
+        )
+        * (1000.0 / 256.0),
+        6,
+    ).alias("est")
+    return crossing.select("event_type", "q", est).orderBy(
+        "event_type", "q"
+    )
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5623,6 +5706,7 @@ _DRIVER_PRIORITY = [
     "text_pmi_collocations",
     "stream_cms_active_users",
     "hll_cumulative_distinct_users",
+    "events_histogram_quantiles",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",
