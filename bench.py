@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "embed_gram_matrix",
     "ann_pq_topk",
     "approx_distinct_hll",
+    "hll_cumulative_distinct_users",
     "cms_token_frequency",
     "events_resample_hourly_gapfill",
     "graph_pagerank_part_supplier",
