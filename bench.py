@@ -115,6 +115,10 @@ SF1_QUERIES = [
     "dsir_importance_weights",
     "text_gopher_quality",
     "store_dml_skipping_events",
+    # round-7 sketch/graph additions — scaling ratios on record
+    "approx_distinct_hll",
+    "cms_token_frequency",
+    "graph_pagerank_part_supplier",
 ]
 
 _ID_STRIDE = 10_000_000
