@@ -326,3 +326,34 @@ def test_hll_keyed_aggs_no_join(spark):
     plan = plan_str(df, "simple")
     assert "Join" not in plan and "Cartesian" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_cms_sketch_plan_bounded(spark):
+    """CMS = keyed aggregations + broadcast counter joins: one token
+    scan feeds the sketch, strings fold to (row, bucket) ints before
+    any shuffle; no cartesian blowup."""
+    df = q.queries()["cms_token_frequency"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_sampled_quantiles_one_scan_one_shuffle(spark):
+    """The md5-keyed sample is a post-scan filter (not pushable — a
+    function of the column) feeding ONE keyed aggregation; the whole
+    estimator is a single scan + single shuffle."""
+    df = q.queries()["events_value_quantiles_sampled"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_histogram_quantiles_one_scan(spark):
+    """Histogram sketch: one scan into 256-bin counts; the cumulative
+    window and quantile table ride two keyed exchanges; the quantile
+    join is a 3-row broadcast (the BNLJ is the build side of size 3)."""
+    df = q.queries()["events_histogram_quantiles"](spark, SF_DIR)
+    plan = plan_str(df, "simple")
+    assert plan.count("FileScan parquet") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
