@@ -74,3 +74,77 @@ def fetch_table_statistics(df: DataFrame, table_name: str) -> TableStatistics:
 def fetch_row_count(df: DataFrame) -> int:
     """Parity: ``fetch_row_count`` (sql_processor.py:1222-1238)."""
     return df.count()
+
+
+def profile_columns(
+    df: DataFrame, columns: list[str], *, p: int = 8
+) -> DataFrame:
+    """One-shot column profile: (column, n_rows, n_nulls,
+    approx_distinct, min_str, max_str) per requested column — the
+    Deequ-style table profile a curation pipeline runs before
+    training. Two passes regardless of column count: ONE typed
+    aggregation row (counts + typed min/max, stacked to long form
+    JVM-side) and ONE stacked-column register pass for the HLL
+    distinct estimates (`operators/sketches.py` — mergeable, 2^p
+    state per column). min/max compare in the column's own type and
+    render as strings only for the uniform output schema.
+
+    Reference analog: `fetch_table_statistics`
+    (airbyte/shared/sql_processor.py) stops at row counts; the profile
+    is part of the beyond-reference analytics surface.
+    """
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in columns:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', `__nn_{c}`, `__mn_{c}`, `__mx_{c}`" for c in columns
+    )
+    exact = one.selectExpr(
+        "n_rows",
+        f"stack({len(columns)}, {stack_args}) AS "
+        "(column, n_nonnull, min_str, max_str)",
+    )
+    stacked = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("string").alias("__v"),
+                        )
+                        for c in columns
+                    ]
+                )
+            ).alias("cv")
+        )
+        .select("cv.column", "cv.__v")
+        .filter(F.col("__v").isNotNull())
+    )
+    est = hll_estimate(
+        hll_registers(stacked, group_cols=["column"], value="__v", p=p),
+        group_cols=["column"],
+        p=p,
+    )
+    return exact.join(est, "column", "left").select(
+        "column",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        (F.col("n_rows") - F.col("n_nonnull")).cast("long").alias("n_nulls"),
+        F.coalesce(F.col("approx_distinct"), F.lit(0))
+        .cast("long")
+        .alias("approx_distinct"),
+        "min_str",
+        "max_str",
+    )

@@ -5678,6 +5678,61 @@ def events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _register_profile_query() -> None:
+    from pyairbyte_spark.operators.sketches import hll_distinct_oracle_sql
+
+    cols = ["event_id", "user_id", "event_type"]
+    stacked = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS v "
+        f"FROM events WHERE {c} IS NOT NULL"
+        for c in cols
+    )
+    hll = hll_distinct_oracle_sql(
+        table_expr=f"({stacked}) AS src",
+        group_cols=["column_name"],
+        value_sql="v",
+        p=8,
+    )
+    exact = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, count(*) AS n_rows, "
+        f"count({c}) AS nn, CAST(min({c}) AS VARCHAR) AS min_str, "
+        f"CAST(max({c}) AS VARCHAR) AS max_str FROM events"
+        for c in cols
+    )
+    oracle = f"""
+    -- Deequ-style one-shot column profile: counts, nulls, typed
+    -- min/max (string-rendered), HLL approx distinct — per column.
+    WITH exact AS ({exact}),
+    hll AS ({hll})
+    SELECT e.column_name, e.n_rows, e.n_rows - e.nn AS n_nulls,
+           COALESCE(h.approx_distinct, 0) AS approx_distinct,
+           e.min_str, e.max_str
+    FROM exact e LEFT JOIN hll h ON h.column_name = e.column_name
+    ORDER BY e.column_name
+    """
+
+    @register(
+        "profile_events_columns",
+        oracle,
+        "table profiling: per-column row/null counts, typed min/max, "
+        "and HLL approx-distinct in two passes regardless of column "
+        "count (one stacked typed aggregation + one stacked register "
+        "pass) — the pre-training curation profile, oracle-exact",
+    )
+    def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyairbyte_spark.operators.stats import profile_columns
+
+        ev = t(spark, sf_dir, "events")
+        return (
+            profile_columns(ev, cols, p=8)
+            .withColumnRenamed("column", "column_name")
+            .orderBy("column_name")
+        )
+
+
+_register_profile_query()
+
+
 # ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
@@ -5707,6 +5762,7 @@ _DRIVER_PRIORITY = [
     "stream_cms_active_users",
     "hll_cumulative_distinct_users",
     "events_histogram_quantiles",
+    "profile_events_columns",
     "embed_gram_matrix",
     "embed_pca_project",
     "text_quality_classifier",
