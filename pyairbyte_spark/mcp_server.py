@@ -524,6 +524,26 @@ def _build_tool_defs() -> list[ToolDef]:
             },
             lambda h, a: t.get_table_ndv(h.cache, a["stream_name"]),
         ),
+        ToolDef(
+            "profile_table",
+            "Deequ-style column profile of a cached stream: per-column "
+            "row/null counts, typed min/max, and HLL approx-distinct — "
+            "two passes regardless of column count.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "columns": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                    },
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.profile_table(
+                h.cache, a["stream_name"], a.get("columns")
+            ),
+        ),
         # -- registry browse (reference mcp/registry.py:44-289) --------------
         ToolDef(
             "list_connectors",

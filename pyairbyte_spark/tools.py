@@ -218,3 +218,20 @@ def get_table_ndv(cache: SparkCache, stream_name: str) -> dict[str, int]:
     """Per-column approximate distinct counts from maintained NDV
     stats (no data scan; auto-catches-up from the change feed)."""
     return cache.stream_approx_distinct(stream_name)
+
+
+def profile_table(
+    cache: SparkCache, stream_name: str, columns: list[str] | None = None
+) -> list[dict[str, Any]]:
+    """Deequ-style column profile of a cached stream: per-column row/
+    null counts, typed min/max, HLL approx-distinct (two passes total
+    regardless of column count)."""
+    from pyairbyte_spark.operators.stats import profile_columns
+
+    df = cache[stream_name].to_spark()
+    cols = columns or [
+        c for c in df.columns if not c.startswith("_airbyte_")
+    ]
+    return [
+        r.asDict() for r in profile_columns(df, cols).orderBy("column").collect()
+    ]

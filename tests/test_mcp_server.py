@@ -651,3 +651,36 @@ def test_ndv_tools(spark, tmp_path):
     assert est["grp"] == 4
     # ~500 ids through a 256-register sketch: within 5 sigma
     assert abs(est["id"] - 500) / 500 <= 5 * 1.04 / 16
+
+
+def test_profile_table_tool(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(spark, warehouse_dir=str(tmp_path / "wh"))
+    df = (
+        spark.range(100)
+        .toDF("id")
+        .withColumn("grp", (F.col("id") % 3).cast("string"))
+        .withColumn(
+            "grp",
+            F.when(F.col("id") < 10, F.lit(None)).otherwise(F.col("grp")),
+        )
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_append(df.coalesce(1), cache.table_name("users"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool("profile_table", {"stream_name": "users"})[
+            "content"
+        ][0]["text"]
+    )
+    prof = {r["column"]: r for r in out}
+    assert prof["id"]["n_rows"] == 100 and prof["id"]["n_nulls"] == 0
+    assert prof["grp"]["n_nulls"] == 10
+    assert prof["grp"]["approx_distinct"] == 3
+    assert prof["id"]["min_str"] == "0" and prof["id"]["max_str"] == "99"
