@@ -108,6 +108,21 @@ def analyze_ndv(
     return doc
 
 
+def _ops_between(store, table_name: str, from_v: int, to_v: int) -> set:
+    """Operation kinds of commits [from_v, to_v] — reads ONLY those
+    commit JSONs (op is a top-level field, no manifest resolution).
+    ``history()`` would list and read every commit ever written, an
+    O(total commits) cost per serve on a long-lived table."""
+    import os as _os
+
+    d = store._commits_dir(table_name)
+    ops: set = set()
+    for v in range(from_v, to_v + 1):
+        raw = store.io.read_text(_os.path.join(d, f"{v:020d}.json"))
+        ops.add(json.loads(raw).get("op"))
+    return ops
+
+
 def _load(store, table_name: str) -> dict | None:
     try:
         return json.loads(store.io.read_text(_stats_path(store, table_name)))
@@ -137,11 +152,7 @@ def approx_distinct(
     columns = sorted(stats["columns"])
     latest = store.latest_version(table_name)
     if latest > stats["version"]:
-        since = {
-            h["op"]
-            for h in store.history(table_name)
-            if h["version"] > stats["version"]
-        }
+        since = _ops_between(store, table_name, stats["version"] + 1, latest)
         if since <= _ROW_MONOTONE_OPS:
             feed = store.read_changes(table_name, stats["version"], latest)
             delta = hll_registers(
