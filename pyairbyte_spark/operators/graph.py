@@ -72,6 +72,7 @@ def pagerank(
     )
     base = (scale * (100 - damping_pct)) // 100
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
+    prev_ckpt = None
     for i in range(iterations):
         contrib = (
             e.join(ranks, e.__src == ranks.node)
@@ -93,5 +94,15 @@ def pagerank(
             ).cast("long").alias("r"),
         )
         if i < iterations - 1:
-            ranks = ranks.localCheckpoint(eager=False)
+            # Eager: the release below truncates lineage, so the new
+            # round MUST be materialized before its input's blocks go
+            # (the connected_components discipline).
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ckpt is not None:
+                from pyairbyte_spark.operators.dedup import (
+                    _release_local_checkpoint,
+                )
+
+                _release_local_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
     return ranks.select("node", F.col("r").alias("rank_units"))
