@@ -152,24 +152,44 @@ def approx_distinct(
     columns = sorted(stats["columns"])
     latest = store.latest_version(table_name)
     if latest > stats["version"]:
-        since = _ops_between(store, table_name, stats["version"] + 1, latest)
-        if since <= _ROW_MONOTONE_OPS:
-            feed = store.read_changes(table_name, stats["version"], latest)
-            delta = hll_registers(
-                _stack_columns(feed, columns),
-                group_cols=["__col"],
-                value="__val",
-                p=p,
+        try:
+            since = _ops_between(
+                store, table_name, stats["version"] + 1, latest
             )
-            merged = dict(stats["columns"])
-            for col, buckets in _collect_registers(delta).items():
-                cur = dict(merged.get(col, {}))
-                for b, m in buckets.items():
-                    if m > cur.get(b, 0):
-                        cur[b] = m
-                merged[col] = cur
-            stats = {"version": latest, "p": p, "columns": merged}
-        else:
+            incremental = since <= _ROW_MONOTONE_OPS
+            if incremental:
+                feed = store.read_changes(
+                    table_name, stats["version"], latest
+                )
+                delta = hll_registers(
+                    _stack_columns(feed, columns),
+                    group_cols=["__col"],
+                    value="__val",
+                    p=p,
+                )
+                merged = dict(stats["columns"])
+                for col, buckets in _collect_registers(delta).items():
+                    cur = dict(merged.get(col, {}))
+                    for b, m in buckets.items():
+                        if m > cur.get(b, 0):
+                            cur[b] = m
+                    merged[col] = cur
+                stats = {"version": latest, "p": p, "columns": merged}
+        except OSError:
+            # Vacuum may have reclaimed commits (or their data files)
+            # inside the catch-up window — the change feed needs every
+            # version since the watermark. The safe fallback is a full
+            # re-analyze of the current snapshot — stale stats never
+            # error out.
+            incremental = False
+        except Exception as e:  # missing data files surface from Spark
+            if type(e).__name__ not in (
+                "AnalysisException",
+                "SparkFileNotFoundException",
+            ):
+                raise
+            incremental = False
+        if not incremental:
             stats = analyze_ndv(store, table_name, columns, p=p)
         store.io.write_text(
             _stats_path(store, table_name), json.dumps(stats)

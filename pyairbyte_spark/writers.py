@@ -855,7 +855,14 @@ class CommitLogTableStore(TableStore):
     _DV_CONSOLIDATE_AT = 8
     # Hint broadcast for the anti-join only while the DV is small
     # enough to ship; beyond that let AQE pick the join strategy.
-    _DV_BROADCAST_MAX_ROWS = 10_000_000
+    # Byte-based (from the sidecar's recorded parquet sizes): the
+    # in-memory (file-string, pos) relation expands ~4-8× over
+    # snappy parquet, so 8 MiB on disk stays within the same order
+    # as Spark's 10 MB autoBroadcast default once replicated. DVs
+    # with unrecorded sizes fall back to a conservative row bound;
+    # unknown-size AND unknown-rows entries are never broadcast.
+    _DV_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
+    _DV_BROADCAST_MAX_ROWS = 1_000_000
 
     @staticmethod
     def _carry_dv(man: dict | None) -> dict:
@@ -903,8 +910,7 @@ class CommitLogTableStore(TableStore):
         rewritten); a pathologically large DV falls back to AQE's
         choice, and compact() is the real remedy."""
         dv = self._dv_frame(table_name, dvs)
-        total = sum(d.get("rows") or 0 for d in dvs)
-        if total <= self._DV_BROADCAST_MAX_ROWS:
+        if self._dv_broadcastable(dvs):
             dv = F.broadcast(dv)
         out = df.join(
             dv,
@@ -913,6 +919,16 @@ class CommitLogTableStore(TableStore):
             "left_anti",
         )
         return out if keep_cols else out.drop("__dv_file", "__dv_pos")
+
+    def _dv_broadcastable(self, dvs: list[dict]) -> bool:
+        """Whether the DV union is safe to force-broadcast: decided
+        from the sidecars' recorded parquet sizes (the honest signal),
+        falling back to row counts, never broadcasting unknowns."""
+        if all(d.get("bytes") is not None for d in dvs):
+            return sum(d["bytes"] for d in dvs) <= self._DV_BROADCAST_MAX_BYTES
+        if all(d.get("rows") is not None for d in dvs):
+            return sum(d["rows"] for d in dvs) <= self._DV_BROADCAST_MAX_ROWS
+        return False  # unknown size: never force a broadcast
 
     def _prune_dvs(
         self,
@@ -958,12 +974,14 @@ class CommitLogTableStore(TableStore):
         path = os.path.join(self.table_path(table_name), name)
         dv_df.write.mode("overwrite").parquet(path)
         rows = 0
-        for rel, _size in self.io.list_files(path):
+        size = 0
+        for rel, fsize in self.io.list_files(path):
             if not rel.endswith(".parquet"):
                 continue
+            size += fsize
             with self.io.open_input(os.path.join(path, rel)) as src:
                 rows += harvest_file_stats(src).get("rows") or 0
-        return {"path": name, "rows": rows}
+        return {"path": name, "rows": rows, "bytes": size}
 
     # -- snapshot reads -----------------------------------------------------
 
@@ -1149,6 +1167,18 @@ class CommitLogTableStore(TableStore):
                     phys, F.lit(spec.get("default")).cast(spec["type"])
                 )
         return part
+
+    def _materialize_added(self, df: DataFrame, man: dict | None) -> DataFrame:
+        """Incoming frames staged AFTER an ADD COLUMN must carry the
+        column explicitly (as NULL when the writer omitted it):
+        ``_fill_added`` can only distinguish pre-add files from
+        post-add files by column PRESENCE, so a post-add append
+        lacking the column would silently read the existing-rows
+        default — Delta gives NULL for such inserts, and so do we."""
+        for phys, spec in ((man or {}).get("added_columns") or {}).items():
+            if phys not in df.columns:
+                df = df.withColumn(phys, F.lit(None).cast(spec["type"]))
+        return df
 
     # -- CHECK constraints (persisted expectations) -------------------------
     # Delta's ALTER TABLE ADD CONSTRAINT for the commit-log store: a
@@ -1637,6 +1667,24 @@ class CommitLogTableStore(TableStore):
             # (no per-file paths cross the driver; bucket liveness
             # rides as a row filter), and only partially-pruned entries
             # ship explicit file lists.
+            #
+            # Collapse is legal ONLY for dir-complete entries. A COW
+            # delete/update/optimize shrinks an entry's file list below
+            # its directory's physical contents (superseded files stay
+            # on disk until vacuum); such entries carry ``pruned`` and
+            # MUST keep explicit file lists — a whole-dir read would
+            # resurrect deleted rows and duplicate rewritten ones.
+            hdr_flags = entries_df.filter(
+                F.col("file_path").isNull()
+            ).select(
+                "entry_path",
+                F.coalesce(
+                    F.get_json_object(F.col("extra"), "$.pruned").cast(
+                        "boolean"
+                    ),
+                    F.lit(False),
+                ).alias("__pruned"),
+            )
             summary = (
                 flagged.groupBy("entry_path")
                 .agg(
@@ -1644,15 +1692,20 @@ class CommitLogTableStore(TableStore):
                     F.sum(F.col("__match").cast("long")).alias("n_surv"),
                     F.first("entry_buckets").alias("entry_buckets"),
                 )
+                .join(hdr_flags, "entry_path", "left")
                 .collect()
             )
             partial = [
                 r["entry_path"]
                 for r in summary
-                if 0 < int(r["n_surv"] or 0) < int(r["n_live"])
+                if 0 < int(r["n_surv"] or 0)
+                and (int(r["n_surv"]) < int(r["n_live"]) or bool(r["__pruned"]))
             ]
             for r in summary:
-                if int(r["n_surv"] or 0) == int(r["n_live"]) > 0:
+                if (
+                    int(r["n_surv"] or 0) == int(r["n_live"]) > 0
+                    and not bool(r["__pruned"])
+                ):
                     groups.append(
                         {
                             "base": os.path.join(root, r["entry_path"]),
@@ -2598,6 +2651,7 @@ class CommitLogTableStore(TableStore):
             # Mapped tables: translate incoming logical names (and pk
             # names) back to the frozen physical names before staging.
             df = self._rename_incoming(df, snap[1])
+            df = self._materialize_added(df, snap[1])
             if primary_keys:
                 primary_keys = [
                     self._to_physical(snap[1], k) for k in primary_keys
@@ -2990,7 +3044,10 @@ class CommitLogTableStore(TableStore):
                 .select(*proj)
             )
         entry = self._stage(
-            self._rename_incoming(merged, man), table_name
+            self._materialize_added(
+                self._rename_incoming(merged, man), man
+            ),
+            table_name,
         )
         if entry["files"]:
             keep_entries = [*keep_entries, entry]
@@ -3043,6 +3100,9 @@ class CommitLogTableStore(TableStore):
             self._check_schema_compat(df, table_name)
             df = self._enforce_checks(df, man)
             df = self._rename_incoming(df, man)
+            # New-bucket-only merges stage incoming alone — added
+            # columns must be explicit NULLs, not fill-time defaults.
+            df = self._materialize_added(df, man)
             primary_keys = [self._to_physical(man, k) for k in primary_keys]
             incoming = self._with_bucket(df, primary_keys, layout_n)
             touched = sorted(
@@ -3266,7 +3326,15 @@ class CommitLogTableStore(TableStore):
                 )
                 touched_rows += sum(f.get("rows") or 0 for f in touched_files)
             if kept_files:
-                keep_entries.append({**e, "files": kept_files})
+                # A shrunk file list leaves superseded files in the
+                # (immutable-until-vacuum) dir: flag the entry so the
+                # distributed scan never collapses it to a whole-dir
+                # read (the list, not the dir, is authoritative).
+                keep_entries.append(
+                    {**e, "files": kept_files}
+                    if not touched_files
+                    else {**e, "files": kept_files, "pruned": True}
+                )
         if not parts:
             return {
                 "deleted_rows": 0,
@@ -3449,7 +3517,15 @@ class CommitLogTableStore(TableStore):
                     f'{e["path"]}/{f["path"]}' for f in touched_files
                 )
             if kept_files:
-                keep_entries.append({**e, "files": kept_files})
+                # A shrunk file list leaves superseded files in the
+                # (immutable-until-vacuum) dir: flag the entry so the
+                # distributed scan never collapses it to a whole-dir
+                # read (the list, not the dir, is authoritative).
+                keep_entries.append(
+                    {**e, "files": kept_files}
+                    if not touched_files
+                    else {**e, "files": kept_files, "pruned": True}
+                )
         if not parts:
             return {"updated_rows": 0, "files_rewritten": 0, "version": version}
         union = parts[0]
@@ -3838,7 +3914,13 @@ class CommitLogTableStore(TableStore):
                 )
                 bytes_rewritten += sum(f.get("bytes") or 0 for f in small)
             if kept:
-                keep_entries.append({**e, "files": kept})
+                # Same dir-completeness flag as delete/update: compacted
+                # source files stay on disk until vacuum.
+                keep_entries.append(
+                    {**e, "files": kept}
+                    if not small
+                    else {**e, "files": kept, "pruned": True}
+                )
         if len(small_paths) < min_files:
             return {
                 "optimized": False,

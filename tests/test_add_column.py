@@ -151,14 +151,15 @@ def test_cdf_and_merge_after_add(spark, store):
 
 
 def test_append_missing_added_column_reads_null_not_default(spark, store):
-    """A post-add append that OMITS the column: those files exist
-    after the add but without the column in their schema — they are
-    indistinguishable from pre-add files, so they read the default.
-    Pin the behavior (documented: writers should supply the column)."""
+    """A post-add append that OMITS the column materializes explicit
+    NULLs at write time (write_append calls _materialize_added), so
+    the new rows read NULL — Delta's semantics — while pre-add rows
+    keep reading the recorded default."""
     store.write_append(spark.range(0, 10).withColumn("v", F.col("id")), "t")
     store.add_column("t", "score", "double", default=2.5)
     store.write_append(
         spark.range(10, 20).withColumn("v", F.col("id")), "t"
     )
     got = store.read("t")
-    assert got.filter("score = 2.5").count() == 20
+    assert got.filter("score = 2.5").count() == 10
+    assert got.filter("score IS NULL").count() == 10
