@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "graph_pagerank_part_supplier",
     "store_mor_delete_events",
     "store_incremental_agg_events",
+    # round 8: persisted-PQ lifecycle (build + exactly-once append + probe)
+    "ann_pq_index_topk",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

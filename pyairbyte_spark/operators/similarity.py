@@ -1105,3 +1105,324 @@ def pq_topk(
             "rank",
         )
     )
+
+
+# -- Integer-lattice PQ: the oracle-exact / persisted-index variant ---------
+# The float PQ above (pq_train/pq_encode/pq_topk) is the trainable
+# library path, pinned against numpy. The functions below run PQ on an
+# INTEGER lattice (vectors quantized JVM-side to round(x*scale) int64,
+# codebooks integer literals/tables), which makes encode + ADC exact
+# BIGINT arithmetic — order-independent, bit-identical between Spark
+# and a SQL oracle, and the basis of the PERSISTED index lifecycle
+# (build_pq_index / append_to_pq_index / pq_index_topk) that amortizes
+# training the way build_ivf_index does for IVF.
+
+
+def quantize_lattice(col: Column | str, int_scale: int = 1000) -> Column:
+    """``round(x * int_scale)`` per component, JVM-side — Spark ROUND
+    (half away from zero) matches DuckDB's, so both engines land on
+    the same int64 lattice. The one quantization every integer-exact
+    vector op in this module shares."""
+    return F.transform(
+        as_double_vec(col), lambda x: F.round(x * int_scale).cast("long")
+    )
+
+
+def pq_encode_int(
+    corpus: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    int_scale: int = 1000,
+) -> DataFrame:
+    """Encode on the integer lattice: quantize JVM-side (bit-matching
+    the oracle), then per batch one numpy int64 distance matrix per
+    subspace — argmin ties break to the LOWEST code index, same as the
+    oracle's ``ORDER BY d2, c``. EXACT: no float enters the encode.
+    Returns ``(id, code array<int>, rn2 long)`` where ``rn2`` is the
+    reconstruction's squared L2 norm (integer), computed once here so
+    query-time cosine never touches the raw vectors."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [np.asarray(b, dtype=np.int64) for b in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(r, dtype=np.int64) for r in pdf["q"]]
+            )
+            codes = np.empty((len(x), m), dtype=np.int32)
+            rn2 = np.zeros(len(x), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                b = cb[j]
+                d2 = (
+                    (xs * xs).sum(1)[:, None]
+                    - 2 * (xs @ b.T)
+                    + (b * b).sum(1)[None, :]
+                )
+                codes[:, j] = np.argmin(d2, axis=1)  # first min = lowest c
+                rn2 += (b[codes[:, j]] * b[codes[:, j]]).sum(1)
+            yield pd.DataFrame(
+                {"id": pdf["id"].values, "code": list(codes), "rn2": rn2}
+            )
+
+    src = corpus.select(
+        F.col(id_col).alias("id"),
+        quantize_lattice(vec_col, int_scale).alias("q"),
+    )
+    return src.mapInPandas(encode, "id long, code array<int>, rn2 long")
+
+
+def pq_topk_int(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    int_scale: int = 1000,
+) -> DataFrame:
+    """ADC top-k over integer-lattice codes: per query an m×ksub
+    int64 lookup table; per code row the dot product is a LUT
+    gather-sum — exact BIGINT, so the final cosine
+    ``round(dots / sqrt(double(qn2 * rn2)), 6)`` is the same double in
+    Spark, numpy, and the SQL oracle (exact-integer inputs, one fixed
+    op order). Each partition keeps its local top-k per query with a
+    2e-6 cosine margin — candidates that could reorder under the
+    6-decimal output rounding survive to the global window, so the
+    shuffle stays O(partitions × queries × k) without sacrificing
+    tie-exactness. Output: (query_id, neighbor_id, cosine, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = [np.asarray(b, dtype=np.int64) for b in codebooks]
+    m = len(cb)
+    dsub = cb[0].shape[1]
+    spark = codes.sparkSession
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        quantize_lattice(vec_col, int_scale).alias("qv"),
+    ).collect()
+    qids = np.asarray([r["qid"] for r in q_rows], dtype=np.int64)
+    qmat = np.asarray([list(r["qv"]) for r in q_rows], dtype=np.int64)
+    qn2 = (qmat * qmat).sum(1)
+    luts = np.stack(
+        [qmat[:, j * dsub : (j + 1) * dsub] @ cb[j].T for j in range(m)],
+        axis=1,
+    )  # int64 [n_queries, m, ksub]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_m = np.asarray(
+                [np.asarray(c) for c in pdf["code"]], dtype=np.int64
+            )
+            ids = pdf["id"].values.astype(np.int64)
+            rn2 = pdf["rn2"].values.astype(np.int64)
+            out = []
+            for qi in range(len(qids)):
+                dots = np.zeros(len(codes_m), dtype=np.int64)
+                for j in range(m):
+                    dots += luts[qi, j].take(codes_m[:, j])
+                keep = ids != qids[qi]
+                if not keep.any():
+                    continue
+                d, i, r = dots[keep], ids[keep], rn2[keep]
+                cos = d / np.sqrt((qn2[qi] * r).astype(np.float64))
+                if len(cos) > k:
+                    kth = np.partition(cos, -k)[-k]
+                    sel = cos >= kth - 2e-6  # rounding-reorder margin
+                    d, i, r = d[sel], i[sel], r[sel]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[qi],
+                            "neighbor_id": i,
+                            "dots": d,
+                            "rn2": r,
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out)
+
+    cand = codes.mapInPandas(
+        score, "query_id long, neighbor_id long, dots long, rn2 long"
+    )
+    qn2_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(qids, qn2)],
+            "query_id long, qn2 long",
+        )
+    )
+    scored = cand.join(qn2_df, "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.col("dots").cast("double")
+            / F.sqrt((F.col("qn2") * F.col("rn2")).cast("double")),
+            6,
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(w).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def build_pq_index(
+    corpus: DataFrame,
+    store,
+    index_name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    train_modulus: int = 1,
+    int_scale: int = 1000,
+    codebooks: list[list[list[int]]] | None = None,
+) -> dict:
+    """Materialize a PQ index INTO a :class:`CommitLogTableStore` —
+    the training-amortization answer to :func:`pq_topk`'s query-time
+    cost, mirroring :func:`build_ivf_index`: train once per corpus
+    refresh, then every :func:`pq_index_topk` probe is a scan of the
+    8-byte codes, never the raw vectors.
+
+    Tables: ``<name>_codebooks`` (j, c, cv array<long>, int_scale) and
+    ``<name>_codes`` (id, code array<int>, rn2). Training runs the
+    same deterministic sampled Lloyd as the float path but on the
+    quantized lattice, and codewords round back onto it — so encode
+    and ADC stay exact integer arithmetic end to end (oracle-checked
+    via the registry's ``ann_pq_index_topk``). Passing ``codebooks``
+    (pre-trained integer codewords — e.g. from an offline retrain
+    cadence) skips the training scan entirely. Returns
+    ``{"n_vectors", "m", "ksub"}``."""
+    spark = corpus.sparkSession
+    if codebooks is not None:
+        books_int = [[list(cw) for cw in book] for book in codebooks]
+        m, ksub = len(books_int), len(books_int[0])
+    else:
+        latticed = corpus.select(
+            F.col(id_col).alias("id"),
+            F.transform(
+                quantize_lattice(vec_col, int_scale),
+                lambda x: x.cast("double"),
+            ).alias("qv"),
+        )
+        books = pq_train(
+            latticed,
+            id_col="id",
+            vec_col="qv",
+            m=m,
+            ksub=ksub,
+            iters=iters,
+            train_modulus=train_modulus,
+        )
+        books_int = [
+            [[int(round(x)) for x in cw] for cw in book] for book in books
+        ]
+    cb_rows = [
+        (j, c, cw, int_scale)
+        for j, book in enumerate(books_int)
+        for c, cw in enumerate(book)
+    ]
+    cb_df = spark.createDataFrame(
+        cb_rows, "j int, c int, cv array<long>, int_scale int"
+    )
+    store.write_replace(cb_df, f"{index_name}_codebooks")
+    codes = pq_encode_int(
+        corpus, books_int, id_col=id_col, vec_col=vec_col,
+        int_scale=int_scale,
+    )
+    store.write_replace(codes, f"{index_name}_codes")
+    return {
+        "n_vectors": store.table_stats(f"{index_name}_codes")["rows"],
+        "m": m,
+        "ksub": ksub,
+    }
+
+
+def _read_pq_codebooks(store, index_name: str) -> tuple[list, int]:
+    rows = store.read(f"{index_name}_codebooks").collect()
+    scale = int(rows[0]["int_scale"])
+    books: dict[int, dict[int, list[int]]] = {}
+    for r in rows:
+        books.setdefault(r["j"], {})[r["c"]] = [int(x) for x in r["cv"]]
+    out = [
+        [books[j][c] for c in sorted(books[j])] for j in sorted(books)
+    ]
+    return out, scale
+
+
+def append_to_pq_index(
+    new_vectors: DataFrame,
+    store,
+    index_name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Incremental PQ maintenance: encode ``new_vectors`` with the
+    EXISTING codebooks and append the codes — O(new vectors), no
+    retrain (codebooks drift slowly; rebuild on the retrain cadence).
+    ``txn=(app_id, batch_id)`` rides :meth:`write_append`'s
+    SetTransaction contract, so a streaming micro-batch appends
+    EXACTLY ONCE — this is the hook ``StoreStreamingSink`` uses for
+    stream-maintained indexes. Returns ``{"appended", "version",
+    "skipped"}``."""
+    books, scale = _read_pq_codebooks(store, index_name)
+    codes = pq_encode_int(
+        new_vectors, books, id_col=id_col, vec_col=vec_col, int_scale=scale
+    )
+    res = store.write_append(codes, f"{index_name}_codes", txn=txn)
+    return {
+        "appended": new_vectors.count() if res is None or not res.get("skipped") else 0,
+        "version": (res or {}).get(
+            "version", store.latest_version(f"{index_name}_codes")
+        ),
+        "skipped": bool((res or {}).get("skipped")),
+    }
+
+
+def pq_index_topk(
+    store,
+    index_name: str,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Query a :func:`build_pq_index` index: ADC over the persisted
+    codes table — the corpus raw vectors are never read, training is
+    already paid. Output matches :func:`pq_topk_int` with the same
+    codebooks exactly."""
+    books, scale = _read_pq_codebooks(store, index_name)
+    codes = store.read(f"{index_name}_codes").select("id", "code", "rn2")
+    return pq_topk_int(
+        codes,
+        queries,
+        books,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=k,
+        int_scale=scale,
+    )

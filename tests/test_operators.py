@@ -1362,3 +1362,93 @@ def test_ndv_no_table_scan_on_serve(spark, tmp_path):
     est = ndv.approx_distinct(spark, store, "events", p=8)
     assert est["event_type"] == 5
     assert before["version"] == store.latest_version("events")
+
+
+# ---------------------------------------------------------------------------
+# Integer-lattice PQ (oracle-exact path + persisted index lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_int_exactness(spark):
+    """Integer-lattice encode: codes are the exact BIGINT argmin per
+    subspace (ties to the lowest code index) and rn2 the exact
+    reconstruction norm — verified against a from-scratch numpy
+    recompute on the same lattice."""
+    import numpy as np
+
+    from pyairbyte_spark.ann_fixtures import INT_SCALE, PQ_CODEBOOKS
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(100)
+    got = {
+        r["id"]: r
+        for r in similarity.pq_encode_int(
+            emb, PQ_CODEBOOKS, int_scale=INT_SCALE
+        ).collect()
+    }
+    cb = [np.asarray(b, dtype=np.int64) for b in PQ_CODEBOOKS]
+    for r in emb.collect():
+        x = np.asarray(r["embedding"], dtype=np.float64) * INT_SCALE
+        q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+            np.int64
+        )
+        rn2 = 0
+        for j in range(8):
+            xs = q[j * 8 : (j + 1) * 8]
+            d2 = ((xs[None, :] - cb[j]) ** 2).sum(1)
+            c = int(d2.argmin())
+            assert got[r["vec_id"]]["code"][j] == c, (r["vec_id"], j)
+            rn2 += int((cb[j][c] * cb[j][c]).sum())
+        assert got[r["vec_id"]]["rn2"] == rn2
+
+
+def test_pq_index_lifecycle_matches_inmemory(spark, tmp_path):
+    """build_pq_index (fixed books) + exactly-once append + probe ==
+    the in-memory pq_topk_int over the union corpus; a replayed
+    append batch is skipped (no duplicate codes)."""
+    from pyairbyte_spark.ann_fixtures import INT_SCALE, PQ_CODEBOOKS
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    store = CommitLogTableStore(spark, str(tmp_path), "t")
+    info = similarity.build_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "e",
+        int_scale=INT_SCALE, codebooks=PQ_CODEBOOKS,
+    )
+    assert info["m"] == 8 and info["ksub"] == 16
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    r1 = similarity.append_to_pq_index(batch, store, "e", txn=("app", 1))
+    assert not r1["skipped"]
+    r2 = similarity.append_to_pq_index(batch, store, "e", txn=("app", 1))
+    assert r2["skipped"] and r2["appended"] == 0
+    assert store.table_stats("e_codes")["rows"] == emb.count()
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = similarity.pq_index_topk(store, "e", queries, k=5)
+    ref = similarity.pq_topk_int(
+        similarity.pq_encode_int(emb, PQ_CODEBOOKS, int_scale=INT_SCALE),
+        queries, PQ_CODEBOOKS, k=5, int_scale=INT_SCALE,
+    )
+    key = lambda df: sorted(map(tuple, df.collect()))  # noqa: E731
+    assert key(got) == key(ref)
+
+
+def test_pq_index_trained_codebooks(spark, tmp_path):
+    """The training path (no codebooks arg): books come from the
+    sampled Lloyd on the lattice; probes still return k ranked
+    neighbors per query with valid cosines."""
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    store = CommitLogTableStore(spark, str(tmp_path), "t")
+    similarity.build_pq_index(
+        emb, store, "e", m=8, ksub=16, iters=1, train_modulus=4
+    )
+    out = similarity.pq_index_topk(
+        store, "e", emb.filter(F.col("vec_id") < 3), k=5
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+        assert all(-1.001 <= r["cosine"] <= 1.001 for r in rows)
