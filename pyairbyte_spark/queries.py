@@ -4514,6 +4514,85 @@ def store_merge_into_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_merge_full_sync_events",
+    """
+    -- MERGE INTO with WHEN NOT MATCHED BY SOURCE (Delta's full-sync
+    -- idiom), two atomic commits: (1) matched rows take the source
+    -- value while target-only rows are MARKED stale (BY SOURCE
+    -- update), (2) a snapshot feed prunes rows absent from it
+    -- (BY SOURCE delete). Mirrors as plain CASE algebra.
+    WITH synced AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0 THEN 'stale'
+                  ELSE event_type END AS event_type,
+             CASE WHEN event_id % 3 = 0 THEN value
+                  ELSE round(value, 2) + 5.0 END AS value
+      FROM events),
+    final AS (SELECT * FROM synced WHERE event_id % 2 = 0)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           max(event_id) AS max_event
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "MERGE WHEN NOT MATCHED BY SOURCE end-to-end: BY SOURCE update "
+    "marks target rows missing from the source, BY SOURCE delete "
+    "prunes against a snapshot feed — Delta's full-sync idiom, each "
+    "one atomic CDF-classified commit",
+)
+def store_merge_full_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+    ).withColumn(
+        "_airbyte_extracted_at",
+        F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-sync-"), "q", merge_buckets=8
+    )
+    store.write_merge(base, "events", ["event_id"])
+    src = ev.filter(F.col("event_id") % 3 != 0).withColumn(
+        "value", F.round("value", 2) + F.lit(5.0)
+    )
+    store.merge_into(
+        "events",
+        src,
+        ["event_id"],
+        when_matched_update={"value": "s.value"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"event_type": "'stale'"},
+    )
+    snapshot_feed = ev.filter(F.col("event_id") % 2 == 0).select("event_id")
+    store.merge_into(
+        "events",
+        snapshot_feed,
+        ["event_id"],
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+    )
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     -- Cohort retention matrix: users grouped by first-activity day,
@@ -5917,6 +5996,7 @@ _DRIVER_PRIORITY = [
     "ann_pq_topk",
     "embed_pca_project",
     "ann_pq_index_topk",
+    "store_merge_full_sync_events",
     # round-7 additions + everything never driver-checked through r6
     # (union of CORRECTNESS_r01..r06 keys) — these get the 50 driver
     # slots first so every operator eventually earns a driver row.

@@ -2534,7 +2534,10 @@ class CommitLogTableStore(TableStore):
                     )
             new_d = new_rows.withColumn("__d", self._row_digest(new_rows))
             old_d = old_rows.withColumn("__d", self._row_digest(old_rows))
-            pks = man.get("primary_keys")
+            # Pairing keys: the table's primary keys, else the merge
+            # commit's own recorded keys (merge_into on an unbucketed
+            # target records merge_keys for exactly this).
+            pks = man.get("primary_keys") or man.get("merge_keys")
             if not pks:
                 # Pre-CDF manifest: digest-only diff, unclassified.
                 changed = new_d.join(
@@ -2796,6 +2799,8 @@ class CommitLogTableStore(TableStore):
         when_matched_update: dict[str, str] | None = None,
         when_matched_delete: "str | bool" = False,
         when_not_matched_insert: bool = True,
+        when_not_matched_by_source_update: dict[str, str] | None = None,
+        when_not_matched_by_source_delete: "str | bool" = False,
         txn: tuple[str, int] | None = None,
     ) -> dict:
         """Clause-based MERGE (Delta's ``MERGE INTO`` subset): pair
@@ -2808,7 +2813,20 @@ class CommitLogTableStore(TableStore):
           fire, Delta's clause order);
         - source-only + ``when_not_matched_insert`` → insert the
           source row (schema-aligned by name);
-        - target-only rows pass through untouched.
+        - target-only + ``when_not_matched_by_source_delete`` (True,
+          or a predicate over ``t.*`` — source columns are NULL for
+          these rows) → drop the target row;
+        - target-only + ``when_not_matched_by_source_update`` (target
+          col → SQL expr over ``t.*``) → rewrite it (delete wins when
+          both fire, same clause order as the matched pair);
+        - remaining target-only rows pass through untouched.
+
+        The BY SOURCE clauses are Delta's full-sync idiom (``MERGE …
+        WHEN NOT MATCHED BY SOURCE THEN DELETE`` makes the target
+        exactly mirror the source). They touch target rows in EVERY
+        bucket — absence from the source is a global property — so
+        their presence forces the full-rewrite path, exactly as
+        Delta's own planner falls back to a full-table scan.
 
         Richer than :meth:`write_merge`'s latest-wins upsert (which
         stays the streaming-sync path): this is the batch CDC-apply /
@@ -2832,6 +2850,8 @@ class CommitLogTableStore(TableStore):
         if not (
             when_matched_update or when_matched_delete
             or when_not_matched_insert
+            or when_not_matched_by_source_update
+            or when_not_matched_by_source_delete
         ):
             raise ValueError("merge_into requires at least one clause")
         last: ConcurrentCommitError | None = None
@@ -2844,6 +2864,8 @@ class CommitLogTableStore(TableStore):
                     when_matched_update,
                     when_matched_delete,
                     when_not_matched_insert,
+                    when_not_matched_by_source_update,
+                    when_not_matched_by_source_delete,
                     txn,
                 )
             except ConcurrentCommitError as e:
@@ -2861,6 +2883,8 @@ class CommitLogTableStore(TableStore):
         upd: dict | None,
         dele,
         ins: bool,
+        bs_upd: dict | None = None,
+        bs_dele=False,
         txn: tuple[str, int] | None = None,
     ) -> dict:
         from pyspark.sql import Observation
@@ -2889,7 +2913,13 @@ class CommitLogTableStore(TableStore):
         pks = man.get("primary_keys") or []
         mapping, _dropped = self._mapping_of(man)
         pk_logical = [mapping.get(pk, pk) for pk in pks]
-        incremental = bool(layout_n) and sorted(on_phys) == sorted(pks)
+        # BY SOURCE clauses touch target rows in every bucket (absence
+        # from the source is a global property): full rewrite.
+        incremental = (
+            bool(layout_n)
+            and sorted(on_phys) == sorted(pks)
+            and not (bs_upd or bs_dele)
+        )
         dvs = man.get("delete_vectors") or []
         # The pairing runs in LOGICAL space (clause expressions see the
         # user-facing names, like update_where); physical renames and
@@ -2998,15 +3028,28 @@ class CommitLogTableStore(TableStore):
             matched = (
                 F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
             )
-            del_cond = (
-                F.lit(False)
-                if dele is False
-                else (F.lit(True) if dele is True else F.expr(dele))
+            def _cond(spec):
+                return (
+                    F.lit(False)
+                    if spec is False
+                    else (F.lit(True) if spec is True else F.expr(spec))
+                )
+
+            del_cond = _cond(dele)
+            bs_del_cond = _cond(bs_dele)
+            target_only = (
+                F.col("t.__t").isNotNull() & F.col("s.__s").isNull()
             )
+            # action B = NOT MATCHED BY SOURCE update (t.* only; the
+            # joined source columns are NULL for these rows).
             action = (
                 F.when(matched & F.coalesce(del_cond, F.lit(False)), F.lit("D"))
                 .when(matched, F.lit("U") if upd else F.lit("K"))
-                .when(F.col("t.__t").isNotNull(), F.lit("K"))
+                .when(
+                    target_only & F.coalesce(bs_del_cond, F.lit(False)),
+                    F.lit("D"),
+                )
+                .when(target_only, F.lit("B") if bs_upd else F.lit("K"))
                 .otherwise(F.lit("I") if ins else F.lit("X"))
             )
             j = j.withColumn("__action", action)
@@ -3016,26 +3059,25 @@ class CommitLogTableStore(TableStore):
                 s_val = (
                     F.col(f"s.{c}") if c in src.columns else F.lit(None)
                 )
+                expr = F.when(F.col("__action") == "I", s_val)
                 if upd and c in upd:
-                    expr = (
-                        F.when(F.col("__action") == "U", F.expr(upd[c]))
-                        .when(F.col("__action") == "I", s_val)
-                        .otherwise(F.col(f"t.{c}"))
+                    expr = expr.when(
+                        F.col("__action") == "U", F.expr(upd[c])
                     )
-                else:
-                    expr = F.when(
-                        F.col("__action") == "I", s_val
-                    ).otherwise(F.col(f"t.{c}"))
-                proj.append(expr.alias(c))
+                if bs_upd and c in bs_upd:
+                    expr = expr.when(
+                        F.col("__action") == "B", F.expr(bs_upd[c])
+                    )
+                proj.append(expr.otherwise(F.col(f"t.{c}")).alias(c))
             merged = (
                 j.observe(
                     obs,
                     F.sum((F.col("__action") == "I").cast("long")).alias(
                         "n_ins"
                     ),
-                    F.sum((F.col("__action") == "U").cast("long")).alias(
-                        "n_upd"
-                    ),
+                    F.sum(
+                        F.col("__action").isin("U", "B").cast("long")
+                    ).alias("n_upd"),
                     F.sum((F.col("__action") == "D").cast("long")).alias(
                         "n_del"
                     ),
@@ -3058,6 +3100,12 @@ class CommitLogTableStore(TableStore):
                 "op": "merge",
                 "merge_buckets": layout_n,
                 **({"primary_keys": pks} if pks else {}),
+                # CDF pairing keys for THIS commit: lets the change
+                # feed classify insert/update/delete even when the
+                # table has no persisted primary keys (unbucketed
+                # targets) — without them the classifier would fall
+                # back to the unpaired digest diff and miss deletes.
+                **({"merge_keys": on_phys} if not pks else {}),
                 "entries": keep_entries,
                 **self._carry_mapping(man),
                 **({"txns": txns} if txns else {}),

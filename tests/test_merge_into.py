@@ -200,3 +200,91 @@ def test_cdf_classifies_merge_into_changes(spark, store):
         if r["_change_type"] == "update_preimage"
     ]
     assert len(pre) == 1 and pre[0]["id"] == 5 and pre[0]["v"] == 5
+
+
+# -- WHEN NOT MATCHED BY SOURCE (Delta's full-sync idiom) --------------------
+
+
+def test_not_matched_by_source_delete_full_sync(spark, store):
+    """MERGE … WHEN NOT MATCHED BY SOURCE THEN DELETE makes the target
+    exactly mirror the source."""
+    _target(spark, store)
+    res = store.merge_into(
+        "t",
+        _src(spark, [0, 1, 2, 200]),
+        ["id"],
+        when_matched_update={"v": "s.v", "flag": "s.flag"},
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete=True,
+    )
+    assert res["inserted"] == 1 and res["updated"] == 3
+    assert res["deleted"] == 97
+    got = {r["id"]: r for r in store.read("t").collect()}
+    assert set(got) == {0, 1, 2, 200}
+    assert all(r["v"] == 1000 and r["flag"] == "new" for r in got.values())
+
+
+def test_not_matched_by_source_update_and_predicate_delete(spark, store):
+    """BY SOURCE update marks stale rows (t.* exprs; source columns
+    NULL); a BY SOURCE delete predicate scopes the drop."""
+    _target(spark, store)
+    res = store.merge_into(
+        "t",
+        _src(spark, [0, 1]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"flag": "'stale'"},
+        when_not_matched_by_source_delete="t.id >= 90",
+    )
+    assert res["inserted"] == 0
+    assert res["updated"] == 2 + 88  # matched + by-source marks
+    assert res["deleted"] == 10
+    got = {r["id"]: r for r in store.read("t").collect()}
+    assert len(got) == 90
+    assert got[0]["v"] == 1000 and got[0]["flag"] == "old"
+    assert got[5]["flag"] == "stale" and got[5]["v"] == 5
+    assert 95 not in got
+
+
+def test_by_source_forces_full_path_on_bucketed_table(spark, store):
+    """On a bucketed table the BY SOURCE clauses read every bucket
+    (absence from the source is global) — results identical to the
+    unbucketed path, and untouched-bucket rows still get marked."""
+    _target(spark, store, buckets=8)
+    res = store.merge_into(
+        "t",
+        _src(spark, [3]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+        when_not_matched_by_source_update={"flag": "'stale'"},
+    )
+    assert res["updated"] == 100
+    got = {r["id"]: r for r in store.read("t").collect()}
+    assert got[3]["v"] == 1000 and got[3]["flag"] == "old"
+    assert all(
+        r["flag"] == "stale" for i, r in got.items() if i != 3
+    )
+
+
+def test_by_source_only_clause_and_cdf(spark, store):
+    """A BY-SOURCE-only merge is legal (prune stale rows against a
+    snapshot feed) and the change feed classifies its deletes."""
+    _target(spark, store)
+    v0 = store.latest_version("t")
+    res = store.merge_into(
+        "t",
+        _src(spark, list(range(50))),
+        ["id"],
+        when_not_matched_insert=False,
+        when_not_matched_by_source_delete=True,
+    )
+    assert res["deleted"] == 50 and res["updated"] == 0
+    feed = store.read_changes("t", v0, store.latest_version("t"))
+    kinds = {
+        r["_change_type"]: r["n"]
+        for r in feed.groupBy("_change_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert kinds.get("delete") == 50
+    assert not kinds.get("insert")
