@@ -129,3 +129,136 @@ def refresh_sums(
         apply_deltas(current, delta_sums(feed, keys, value_cols), keys),
         to,
     )
+
+
+# -- min/max maintenance (the standard fallback) -----------------------------
+# min/max are NOT sign-decomposable: deleting a non-extremum row is
+# free, but deleting the current extremum invalidates the group's
+# value — the group must be re-read. The standard technique (what
+# Materialize/Flink do for MIN/MAX under retractions without full
+# per-group heaps):
+#   - inserts fold in for free (least/greatest with the candidates);
+#   - a CDF window's delete/update_preimage rows are checked against
+#     the group's candidate extremum: only groups where a subtracted
+#     value TIES OR BEATS it are "dirty";
+#   - dirty groups (usually a tiny fraction) re-aggregate from the
+#     CURRENT snapshot, filtered by a key semi-join — O(dirty groups)
+#     result rows, and when the base table is clustered on the group
+#     key, zone maps prune the rescan to the dirty slice.
+
+
+def materialize_aggs(
+    df: DataFrame,
+    keys: list[str],
+    value_cols: list[str],
+    minmax_cols: list[str] | None = None,
+) -> DataFrame:
+    """Initial materialization with optional min/max columns:
+    keys, ``n``, ``sum_<col>``…, ``min_<col>``/``max_<col>``…"""
+    mm = minmax_cols or []
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(c).alias(f"sum_{c}") for c in value_cols],
+        *[F.min(c).alias(f"min_{c}") for c in mm],
+        *[F.max(c).alias(f"max_{c}") for c in mm],
+    )
+
+
+def refresh_aggs(
+    store,
+    table_name: str,
+    current: DataFrame,
+    from_version: int,
+    keys: list[str],
+    value_cols: list[str],
+    minmax_cols: list[str] | None = None,
+    *,
+    to_version: int | None = None,
+) -> tuple[DataFrame, int]:
+    """:func:`refresh_sums` extended with min/max maintenance. Counts
+    and sums advance by sign arithmetic exactly as before; min/max
+    fold inserts in directly and re-aggregate ONLY the groups whose
+    current extremum was (possibly) deleted. Returns
+    ``(new_state, new_version)``."""
+    mm = minmax_cols or []
+    to = (
+        store.latest_version(table_name)
+        if to_version is None
+        else to_version
+    )
+    if to <= from_version:
+        return current, from_version
+    feed = store.read_changes(
+        table_name, from_version, to, include_preimages=True
+    )
+    sum_cols = ["n"] + [f"sum_{c}" for c in value_cols]
+    sums_state = apply_deltas(
+        current.select(*keys, *sum_cols),
+        delta_sums(feed, keys, value_cols),
+        keys,
+    )
+    if not mm:
+        return sums_state, to
+    feed = feed.localCheckpoint(eager=False)  # adds + subs share it
+    adds = feed.filter(F.col("_change_type").isin(*_ADDS)).groupBy(
+        *keys
+    ).agg(
+        *[F.min(c).alias(f"__add_min_{c}") for c in mm],
+        *[F.max(c).alias(f"__add_max_{c}") for c in mm],
+    )
+    subs = feed.filter(F.col("_change_type").isin(*_SUBS)).groupBy(
+        *keys
+    ).agg(
+        *[F.min(c).alias(f"__sub_min_{c}") for c in mm],
+        *[F.max(c).alias(f"__sub_max_{c}") for c in mm],
+    )
+    cand = (
+        current.select(
+            *keys, *[f"min_{c}" for c in mm], *[f"max_{c}" for c in mm]
+        )
+        .join(adds, on=keys, how="full_outer")
+        .select(
+            *keys,
+            *[
+                F.least(F.col(f"min_{c}"), F.col(f"__add_min_{c}")).alias(
+                    f"min_{c}"
+                )
+                for c in mm
+            ],
+            *[
+                F.greatest(
+                    F.col(f"max_{c}"), F.col(f"__add_max_{c}")
+                ).alias(f"max_{c}")
+                for c in mm
+            ],
+        )
+    )
+    # Dirty = some subtracted value ties-or-beats a candidate extremum
+    # (>= / <= — a tie means the extremum's LAST copy may be gone).
+    dirty_cond = None
+    for c in mm:
+        hit = (F.col(f"__sub_min_{c}") <= F.col(f"min_{c}")) | (
+            F.col(f"__sub_max_{c}") >= F.col(f"max_{c}")
+        )
+        dirty_cond = hit if dirty_cond is None else (dirty_cond | hit)
+    flagged = cand.join(subs, on=keys, how="left").withColumn(
+        "__dirty", F.coalesce(dirty_cond, F.lit(False))
+    ).localCheckpoint(eager=False)
+    clean = flagged.filter(~F.col("__dirty")).select(
+        *keys, *[f"min_{c}" for c in mm], *[f"max_{c}" for c in mm]
+    )
+    dirty_keys = flagged.filter(F.col("__dirty")).select(*keys)
+    recomputed = (
+        store.read_version(table_name, to)
+        .join(F.broadcast(dirty_keys), on=keys, how="left_semi")
+        .groupBy(*keys)
+        .agg(
+            *[F.min(c).alias(f"min_{c}") for c in mm],
+            *[F.max(c).alias(f"max_{c}") for c in mm],
+        )
+    )
+    mm_state = clean.unionByName(recomputed)
+    return (
+        sums_state.join(mm_state, on=keys, how="left"),
+        to,
+    )

@@ -514,6 +514,8 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     block_target_rows: int = 1024,
+    allow_quadratic: bool = False,
+    max_shuffled_rows: int = 500_000_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with round(cosine, 6) ≥ threshold.
 
@@ -530,6 +532,16 @@ def cosine_neardup_pairs(
     differs from a sequential fold by ~1e-15 relative, ~9 orders below
     the 1e-6 rounding quantum, so results still hash-match the DuckDB
     oracle's ``list_dot_product`` fold after round(…, 6).
+
+    **This operator is O(n²) in compute by definition** (every pair is
+    scored; only the constant is tamed). The blocked plan shuffles
+    ~n·B/2 replicated rows (B = n/block_target), which crosses from
+    "expensive" to "cluster-killing" somewhere around n in the tens of
+    millions. The guard estimates the shuffled-row count up front and
+    raises with a pointer to the sub-quadratic operators
+    (:func:`semantic_dedup` / MinHash-LSH in ``operators/dedup.py``)
+    unless ``allow_quadratic=True`` — all-pairs-above-threshold should
+    be a deliberate choice at scale, not a default someone inherits.
     """
     import math
 
@@ -538,6 +550,17 @@ def cosine_neardup_pairs(
 
     n = df.count()  # parquet metadata count — no data scan
     num_blocks = max(1, math.ceil(n / block_target_rows))
+    est_shuffled = n * (num_blocks + 1)  # both replicated sides
+    if not allow_quadratic and est_shuffled > max_shuffled_rows:
+        raise ValueError(
+            f"cosine_neardup_pairs would shuffle ~{est_shuffled:,} "
+            f"replicated rows for n={n:,} (all-pairs is O(n^2) "
+            "compute). For near-duplicate detection at this scale use "
+            "semantic_dedup() or MinHash-LSH (operators/dedup.py) — "
+            "or pass allow_quadratic=True (and consider raising "
+            "block_target_rows) if the full pair set is genuinely "
+            "required."
+        )
 
     base = df.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")

@@ -4381,12 +4381,16 @@ def store_mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE CAST(round(value, 2) AS DECIMAL(18,2)) END AS v
       FROM events WHERE event_type <> 'view')
     SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(v) AS DOUBLE) AS sum_value
+           CAST(sum(v) AS DOUBLE) AS sum_value,
+           CAST(min(v) AS DOUBLE) AS min_value,
+           CAST(max(v) AS DOUBLE) AS max_value
     FROM cur GROUP BY event_type ORDER BY event_type
     """,
     "incrementally maintained materialized aggregate: CDF sign "
-    "arithmetic (insert/delete/update pre+post) over append + MoR "
-    "delete + update, decimal-exact vs full recompute",
+    "arithmetic for count/sum PLUS min/max maintenance (inserts fold "
+    "free; extremum-invalidating deletes/updates re-aggregate only "
+    "the dirty groups) over append + MoR delete + update, "
+    "decimal-exact vs full recompute",
 )
 def store_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -4404,8 +4408,8 @@ def store_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tempfile.mkdtemp(prefix="q-store-"), "q"
     )
     store.write_append(ev.filter(F.col("event_id") % 2 == 0), "events")
-    state = inc.materialize_sums(
-        store.read_version("events", 1), ["event_type"], ["v"]
+    state = inc.materialize_aggs(
+        store.read_version("events", 1), ["event_type"], ["v"], ["v"]
     )
     store.write_append(ev.filter(F.col("event_id") % 2 == 1), "events")
     store.delete_where(
@@ -4416,13 +4420,15 @@ def store_incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("event_type", "=", "purchase")],
         {"v": "CAST(v + 1.00 AS DECIMAL(18,2))"},
     )
-    state, _ver = inc.refresh_sums(
-        store, "events", state, 1, ["event_type"], ["v"]
+    state, _ver = inc.refresh_aggs(
+        store, "events", state, 1, ["event_type"], ["v"], ["v"]
     )
     return state.select(
         "event_type",
         F.col("n"),
         F.col("sum_v").cast("double").alias("sum_value"),
+        F.col("min_v").cast("double").alias("min_value"),
+        F.col("max_v").cast("double").alias("max_value"),
     ).orderBy("event_type")
 
 

@@ -198,3 +198,81 @@ def test_decimal_columns_survive_stats_harvest(spark, store):
     assert store.read_where("t", [("v", "=", 3)]).count() == 5
     r = store.delete_where("t", [("v", "=", 3)])
     assert r["deleted_rows"] == 5
+
+
+# -- min/max maintenance ------------------------------------------------------
+
+
+def _recompute_mm(store):
+    return {
+        tuple(r)
+        for r in inc.materialize_aggs(
+            store.read("t"), ["grp"], ["v"], ["v"]
+        ).collect()
+    }
+
+
+def test_minmax_maintenance_across_dml(spark, store):
+    """min/max maintain correctly across the full DML mix: inserts
+    fold in free; deleting a group's extremum re-aggregates only that
+    group; non-extremum deletes stay clean; updates move extremums."""
+    _seed(spark, store)  # v1: grp 0..4, v = id % 100
+    state = inc.materialize_aggs(
+        store.read_version("t", 1), ["grp"], ["v"], ["v"]
+    )
+    # v2: inserts extend max for grp 0 only
+    df2 = (
+        spark.range(1000, 1003)
+        .withColumn("grp", F.lit(0))
+        .withColumn("v", F.lit(500).cast("decimal(18,2)"))
+    )
+    store.write_append(df2, "t")
+    # v3: delete the rows holding v=0 (the min of grp 0) — extremum gone
+    store.delete_where("t", [("v", "=", 0)])
+    # v4: delete a non-extremum value from grp 1
+    store.delete_where("t", [("v", "=", 41)])
+    # v5: update pushes grp 2's max down (92 -> 1.00)
+    store.update_where(
+        "t", [("v", "=", 92)], {"v": "CAST(1.00 AS DECIMAL(18,2))"}
+    )
+    state, ver = inc.refresh_aggs(
+        store, "t", state, 1, ["grp"], ["v"], ["v"]
+    )
+    assert ver == store.latest_version("t")
+    assert {tuple(r) for r in state.collect()} == _recompute_mm(store)
+
+
+def test_minmax_group_drop_and_insert_only(spark, store):
+    """A fully-deleted group leaves the state; a brand-new group
+    enters with insert-only min/max (no rescan needed)."""
+    _seed(spark, store, n=50)
+    state = inc.materialize_aggs(
+        store.read_version("t", 1), ["grp"], ["v"], ["v"]
+    )
+    store.delete_where("t", [("grp", "=", 3)])
+    df2 = (
+        spark.range(2000, 2010)
+        .withColumn("grp", F.lit(9))
+        .withColumn("v", (F.col("id") - 2000).cast("decimal(18,2)"))
+    )
+    store.write_append(df2, "t")
+    state, _ = inc.refresh_aggs(
+        store, "t", state, 1, ["grp"], ["v"], ["v"]
+    )
+    got = {r["grp"]: r for r in state.collect()}
+    assert 3 not in got
+    assert got[9]["min_v"] == 0 and got[9]["max_v"] == 9
+    assert {tuple(r) for r in state.collect()} == _recompute_mm(store)
+
+
+def test_minmax_refresh_composes_over_windows(spark, store):
+    """Two window refreshes == one refresh == recompute."""
+    _seed(spark, store, n=100)
+    s1 = inc.materialize_aggs(
+        store.read_version("t", 1), ["grp"], ["v"], ["v"]
+    )
+    store.delete_where("t", [("v", ">=", 90)])  # drops maxes
+    s2, v2 = inc.refresh_aggs(store, "t", s1, 1, ["grp"], ["v"], ["v"])
+    store.update_where("t", [("v", "=", 0)], {"v": "CAST(77 AS DECIMAL(18,2))"})
+    s3, _ = inc.refresh_aggs(store, "t", s2, v2, ["grp"], ["v"], ["v"])
+    assert {tuple(r) for r in s3.collect()} == _recompute_mm(store)

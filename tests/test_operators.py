@@ -1452,3 +1452,22 @@ def test_pq_index_trained_codebooks(spark, tmp_path):
     for rows in by_q.values():
         assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
         assert all(-1.001 <= r["cosine"] <= 1.001 for r in rows)
+
+
+def test_cosine_neardup_quadratic_guard(spark):
+    """All-pairs is O(n^2) by definition: above the shuffled-row
+    budget it must refuse with a pointer to the sub-quadratic
+    operators unless explicitly allowed."""
+    import pytest as _pytest
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with _pytest.raises(ValueError, match="semantic_dedup|MinHash"):
+        similarity.cosine_neardup_pairs(
+            emb, block_target_rows=8, max_shuffled_rows=1000
+        )
+    # explicit opt-in still runs (tiny corpus, forced-small budget)
+    out = similarity.cosine_neardup_pairs(
+        emb.limit(50), block_target_rows=8, max_shuffled_rows=1000,
+        allow_quadratic=True, threshold=-1.0,
+    )
+    assert out.count() == 50 * 49 // 2
