@@ -55,8 +55,16 @@ def _alpha(m: int) -> float:
 
 def hll_params(p: int) -> dict:
     """Shared constants for the Spark and SQL formulations."""
-    if not 4 <= p <= 10:
-        raise ValueError("p must be in [4, 10] (register sum must fit int64)")
+    # The exact integer register sum is size-free in p: occupied
+    # registers contribute 2^(W+1-M) and empty ones 2^(W+1) with
+    # W = 60-p, so the per-group total is always exactly <= m*2^(61-p)
+    # = 2^61 — inside int64 for ANY p. The cap is the 60-bit hash:
+    # p=16 leaves a 44-bit rank domain (plenty) and m=65536 registers
+    # (±0.4% error) for high-cardinality profiling; the register frame
+    # itself is SPARSE (occupied-only rows), so a large m costs
+    # nothing at low fill (gated in tests/test_plans.py).
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16] (60-bit hash domain)")
     m = 1 << p
     w_bits = 60 - p
     scale = 1 << (w_bits + 1)

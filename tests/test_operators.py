@@ -1471,3 +1471,28 @@ def test_cosine_neardup_quadratic_guard(spark):
         allow_quadratic=True, threshold=-1.0,
     )
     assert out.count() == 50 * 49 // 2
+
+
+def test_hll_high_precision_p14_cross_engine(spark):
+    """p up to 16 (register sum is 2^61 for ANY p — int64-safe): p=14
+    estimates within ~1% at 150k distincts and the DuckDB oracle SQL
+    reproduces the estimate bit-for-bit."""
+    import duckdb
+
+    from pyairbyte_spark.operators import sketches as sk
+
+    df = spark.range(0, 200_000).selectExpr(
+        "'a' AS g", "CAST(id % 150000 AS STRING) AS v"
+    )
+    est = sk.hll_distinct(df, group_cols=["g"], value="v", p=14).collect()[
+        0
+    ]["approx_distinct"]
+    assert abs(est - 150_000) / 150_000 < 0.02
+    con = duckdb.connect()
+    con.register("tb", df.toPandas())
+    sql = sk.hll_distinct_oracle_sql(
+        table_expr="tb", group_cols=["g"], value_sql="v", p=14
+    )
+    assert int(con.execute(sql).df()["approx_distinct"].iloc[0]) == est
+    with pytest.raises(ValueError, match=r"\[4, 16\]"):
+        sk.hll_params(17)

@@ -357,3 +357,25 @@ def test_histogram_quantiles_one_scan(spark):
     assert plan.count("FileScan parquet") == 1
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_hll_registers_sparse_at_low_fill(spark):
+    """The register frame is OCCUPIED-ONLY (sparse): at low fill the
+    materialized/shuffled rows are O(distinct registers), not
+    O(groups x 2^p) — the property that makes wide-profile
+    (1000s of columns x groups) sketching affordable at large p."""
+    from pyairbyte_spark.operators import sketches as sk
+
+    df = (
+        spark.range(0, 3000)
+        .selectExpr("id % 1000 AS g", "CAST(id % 3 AS STRING) AS v")
+    )
+    regs = sk.hll_registers(df, group_cols=["g"], value="v", p=14)
+    n = regs.count()
+    assert n <= 3000  # <= groups x distinct, nowhere near 1000 x 16384
+    # and the estimates are exact in the linear-counting regime
+    est = sk.hll_estimate(regs, group_cols=["g"], p=14)
+    assert est.filter("approx_distinct != 3").count() == 0
+    # plan: keyed aggregations only, no join, no dense generator
+    plan = est._jdf.queryExecution().simpleString()
+    assert "Join" not in plan and "Generate" not in plan
