@@ -750,6 +750,7 @@ def append_to_ivf_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Incremental index maintenance: assign ``new_vectors`` to the
     EXISTING coarse quantizer and append them to the lists table —
@@ -759,7 +760,10 @@ def append_to_ivf_index(
     see old + new atomically. Fresh appends aren't cid-clustered until
     the next ``compact(sort_by=["cid"])`` — zone maps still prune them
     (each appended file knows its cid range), just more coarsely.
-    Returns ``{"appended", "version"}``.
+    ``txn=(app_id, batch_id)`` makes the append EXACTLY ONCE (the
+    SetTransaction watermark rides the data commit) — the hook
+    ``VectorIndexStreamingSink`` uses for stream-maintained indexes.
+    Returns ``{"appended", "version", "skipped"}``.
     """
     spark = new_vectors.sparkSession
     cent = spark.createDataFrame(store.read(f"{index_name}_centroids").collect())
@@ -767,12 +771,16 @@ def append_to_ivf_index(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
     asg = _assign_to_centroids(e, cent, vectorized=cent.count() > 32)
-    store.write_append(
-        asg.select("cid", "id", "v"), f"{index_name}_lists"
+    res = store.write_append(
+        asg.select("cid", "id", "v"), f"{index_name}_lists", txn=txn
     )
+    skipped = bool((res or {}).get("skipped"))
     return {
-        "appended": new_vectors.count(),
-        "version": store.latest_version(f"{index_name}_lists"),
+        "appended": 0 if skipped else new_vectors.count(),
+        "version": (res or {}).get(
+            "version", store.latest_version(f"{index_name}_lists")
+        ),
+        "skipped": skipped,
     }
 
 

@@ -154,3 +154,76 @@ class StoreStreamingSink:
         if trigger_once:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class VectorIndexStreamingSink:
+    """Exactly-once streaming maintenance of a persisted ANN index.
+
+    Each micro-batch of vectors is encoded/assigned with the index's
+    EXISTING quantizer (PQ codebooks or IVF centroids — training never
+    runs on the hot path) and appended to the codes/lists table via
+    ``write_append(txn=(app_id, epoch_id))``: the SetTransaction
+    watermark rides the same atomic commit as the data, so a replayed
+    epoch after a crash is skipped — the index is maintained EXACTLY
+    ONCE while probes (``pq_index_topk`` / ``ivf_index_topk``) see
+    each batch atomically. Rebuild on the retrain cadence with
+    ``build_pq_index`` / ``build_ivf_index``; this sink covers the
+    stream between retrains.
+    """
+
+    def __init__(
+        self,
+        store,
+        index_name: str,
+        app_id: str,
+        *,
+        kind: str = "pq",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        if kind not in ("pq", "ivf"):
+            raise ValueError(f"kind must be 'pq' or 'ivf', got {kind!r}")
+        self.store = store
+        self.index_name = index_name
+        self.app_id = app_id
+        self.kind = kind
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.skipped_epochs = 0
+        self.appended = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyairbyte_spark.operators import similarity
+
+        fn = (
+            similarity.append_to_pq_index
+            if self.kind == "pq"
+            else similarity.append_to_ivf_index
+        )
+        res = fn(
+            batch_df,
+            self.store,
+            self.index_name,
+            id_col=self.id_col,
+            vec_col=self.vec_col,
+            txn=(self.app_id, int(epoch_id)),
+        )
+        if res.get("skipped"):
+            self.skipped_epochs += 1
+        else:
+            self.appended += int(res.get("appended") or 0)
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        trigger_once: bool = True,
+    ):
+        """Start the streaming query maintaining the index."""
+        w = stream_df.writeStream.foreachBatch(self).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()

@@ -193,3 +193,80 @@ def test_replace_and_merge_into_txn_idempotence(spark, store):
     assert got.count() == 15
     assert got.filter("v = -1").count() == 10  # second merge never ran
     assert store.txn_version("t", "cdc") == 7
+
+
+def test_vector_index_streaming_sink_exactly_once(spark, store, tmp_path):
+    """A real streaming query maintains a PQ index exactly-once: build
+    from a seed corpus, stream two appended batches through
+    VectorIndexStreamingSink, then probing equals the batch-encoded
+    path over the full corpus; a redelivered epoch is a no-op."""
+    from pyairbyte_spark.ann_fixtures import INT_SCALE, PQ_CODEBOOKS
+    from pyairbyte_spark.operators import similarity
+    from pyairbyte_spark.streaming.sink import VectorIndexStreamingSink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") % 3 == 0)
+    similarity.build_pq_index(
+        seed, store, "e", int_scale=INT_SCALE, codebooks=PQ_CODEBOOKS
+    )
+    src = tmp_path / "vecsrc"
+    src.mkdir()
+    emb.filter(F.col("vec_id") % 3 == 1).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    emb.filter(F.col("vec_id") % 3 == 2).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    sink = VectorIndexStreamingSink(store, "e", "vecpipe", kind="pq")
+    stream = spark.readStream.schema(emb.schema).parquet(str(src) + "/*")
+    q = sink.attach(
+        stream, checkpoint_dir=str(tmp_path / "vckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert store.table_stats("e_codes")["rows"] == emb.count()
+    # redeliver the last epoch verbatim: exactly-once means a no-op
+    last = store.txn_version("e_codes", "vecpipe")
+    sink(emb.filter(F.col("vec_id") % 3 == 2), last)
+    assert sink.skipped_epochs == 1
+    assert store.table_stats("e_codes")["rows"] == emb.count()
+    # probing the stream-maintained index == batch-encoded reference
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = similarity.pq_index_topk(store, "e", queries, k=5)
+    ref = similarity.pq_topk_int(
+        similarity.pq_encode_int(emb, PQ_CODEBOOKS, int_scale=INT_SCALE),
+        queries, PQ_CODEBOOKS, k=5, int_scale=INT_SCALE,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, ref.collect())
+    )
+
+
+def test_vector_index_streaming_sink_ivf(spark, store, tmp_path):
+    """Same exactly-once contract on the IVF lists table."""
+    from pyairbyte_spark.operators import similarity
+    from pyairbyte_spark.streaming.sink import VectorIndexStreamingSink
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "e",
+        n_centroids=8, iters=1, train_modulus=4,
+    )
+    src = tmp_path / "ivfsrc"
+    src.mkdir()
+    emb.filter(F.col("vec_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    sink = VectorIndexStreamingSink(store, "e", "ivfpipe", kind="ivf")
+    stream = spark.readStream.schema(emb.schema).parquet(str(src) + "/*")
+    q = sink.attach(
+        stream, checkpoint_dir=str(tmp_path / "ickpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert store.table_stats("e_lists")["rows"] == emb.count()
+    sink(emb.filter(F.col("vec_id") % 2 == 1), 0)  # replay epoch 0
+    assert sink.skipped_epochs == 1
+    assert store.table_stats("e_lists")["rows"] == emb.count()
+    out = similarity.ivf_index_topk(
+        store, "e", emb.filter(F.col("vec_id") < 2), k=5, n_probes=2
+    )
+    assert out.groupBy("query_id").count().filter("count != 5").count() == 0
