@@ -379,3 +379,33 @@ def test_hll_registers_sparse_at_low_fill(spark):
     # plan: keyed aggregations only, no join, no dense generator
     plan = est._jdf.queryExecution().simpleString()
     assert "Join" not in plan and "Generate" not in plan
+
+
+def test_explain_str_connect_fallback(spark):
+    """Without a _jdf (Spark Connect), explain_str captures the
+    printed explain output — every helper built on it keeps working.
+    (grpcio is absent in this sandbox, so a real Connect session
+    can't start; the shim reproduces the Connect DataFrame surface:
+    no _jdf, print-only explain().)"""
+    df = q.t(spark, SF_DIR, "orders").filter("o_orderkey < 10").select(
+        "o_orderkey", "o_totalprice"
+    )
+
+    class ConnectLike:
+        """df.explain() prints; no _jdf attribute."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def explain(self, mode="formatted"):
+            self._inner.explain(mode=mode)
+
+    shim = ConnectLike(df)
+    out = plans.explain_str(shim, "formatted")
+    assert "PushedFilters" in out and "ReadSchema" in out
+    assert plans.pushed_filters(shim)
+    assert plans.scan_columns(shim)
+    assert plans.shuffle_count(shim) == 0
+    assert not plans.has_unpartitioned_window(shim)
+    # and the fallback text agrees with the classic JVM path
+    assert plans.pushed_filters(shim) == plans.pushed_filters(df)
