@@ -544,6 +544,32 @@ def _build_tool_defs() -> list[ToolDef]:
                 h.cache, a["stream_name"], a.get("columns")
             ),
         ),
+        ToolDef(
+            "vector_search_table",
+            "Cosine top-k similarity search over a cached stream's "
+            "embedding column: the row whose id_col equals query_id is "
+            "the query vector; returns its k nearest neighbors (exact "
+            "brute force, JVM-side dot products).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "query_id": {"type": "integer"},
+                    "id_col": {"type": "string"},
+                    "vec_col": {"type": "string"},
+                    "k": {"type": "integer"},
+                },
+                "required": ["stream_name", "query_id"],
+            },
+            lambda h, a: t.vector_search_table(
+                h.cache,
+                a["stream_name"],
+                a["query_id"],
+                id_col=a.get("id_col", "vec_id"),
+                vec_col=a.get("vec_col", "embedding"),
+                k=a.get("k", 5),
+            ),
+        ),
         # -- registry browse (reference mcp/registry.py:44-289) --------------
         ToolDef(
             "list_connectors",

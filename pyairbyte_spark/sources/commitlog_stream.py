@@ -121,6 +121,7 @@ _METADATA_OPS = (
     "drop_column",
     "set_check",
     "add_column",
+    "repair_metadata",
 )
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from typing import Any
 
+from pyspark.sql import functions as F
+
 from pyairbyte_spark.cache import SparkCache
 from pyairbyte_spark.sources.base import SparkSource
 
@@ -235,3 +237,26 @@ def profile_table(
     return [
         r.asDict() for r in profile_columns(df, cols).orderBy("column").collect()
     ]
+
+
+def vector_search_table(
+    cache: SparkCache,
+    stream_name: str,
+    query_id: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> list[dict[str, Any]]:
+    """Cosine top-k similarity search over a cached stream's embedding
+    column: the corpus row whose ``id_col`` equals ``query_id`` is the
+    query vector; returns its ``k`` nearest neighbors (exact brute
+    force — JVM fold dot products, no UDF; for indexed/approximate
+    search at corpus scale use ``build_pq_index``/``build_ivf_index``
+    programmatically)."""
+    from pyairbyte_spark.operators.similarity import brute_force_topk
+
+    df = cache[stream_name].to_spark()
+    q = df.filter(F.col(id_col) == query_id)
+    out = brute_force_topk(df, q, id_col=id_col, vec_col=vec_col, k=k)
+    return [r.asDict() for r in out.orderBy("rank").collect()]

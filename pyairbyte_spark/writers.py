@@ -2378,6 +2378,7 @@ class CommitLogTableStore(TableStore):
             "drop_column",
             "set_check",
             "add_column",
+            "repair_metadata",
         ):
             return None  # bytes or metadata moved; no row changes
         prev = self._read_manifest(table_name, v - 1) if v > 1 else None
@@ -3888,7 +3889,66 @@ class CommitLogTableStore(TableStore):
             self.io.delete_file(os.path.join(d, n))
             removed.append(f"{self.COMMIT_DIR}/{n}")
         self._invalidate_manifests(table_name, below=oldest_kept)
+        self._repair_dir_completeness(table_name)
         return removed
+
+    def _repair_dir_completeness(self, table_name: str) -> bool:
+        """Clear ``pruned`` flags vacuum made stale: once the
+        superseded files are physically gone, a dir whose remaining
+        parquet files exactly match the latest entry's live list is
+        dir-complete again — the distributed scan's whole-dir collapse
+        (the O(entries)-not-O(files) planning path) becomes legal for
+        it once more. One tiny metadata commit (op="repair_metadata",
+        no row changes); best-effort — a lost commit race just leaves
+        the conservative flags in place for the next vacuum."""
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            return False
+        version, man = snap
+        entries = man.get("entries") or []
+        if not any(e.get("pruned") for e in entries):
+            return False
+        new_entries: list[dict] = []
+        changed = False
+        for e in entries:
+            if not e.get("pruned") or e.get("files") is None:
+                new_entries.append(e)
+                continue
+            base = os.path.join(self.table_path(table_name), e["path"])
+            physical = {
+                rel
+                for rel, _sz in self.io.list_files(base)
+                if rel.endswith(".parquet")
+            }
+            if physical == {f["path"] for f in e["files"]}:
+                new_entries.append(
+                    {k: v for k, v in e.items() if k != "pruned"}
+                )
+                changed = True
+            else:  # an older kept snapshot still pins extra files
+                new_entries.append(e)
+        if not changed:
+            return False
+        try:
+            self._commit(
+                table_name,
+                {
+                    "op": "repair_metadata",
+                    "merge_buckets": man.get("merge_buckets"),
+                    **(
+                        {"primary_keys": man["primary_keys"]}
+                        if man.get("primary_keys")
+                        else {}
+                    ),
+                    "entries": new_entries,
+                    **self._carry_mapping(man),
+                    **self._carry_dv(man),
+                },
+                version + 1,
+            )
+        except ConcurrentCommitError:
+            return False  # flags stay conservative; next vacuum retries
+        return True
 
     def optimize(
         self,

@@ -684,3 +684,31 @@ def test_profile_table_tool(spark, tmp_path):
     assert prof["grp"]["n_nulls"] == 10
     assert prof["grp"]["approx_distinct"] == 3
     assert prof["id"]["min_str"] == "0" and prof["id"]["max_str"] == "99"
+
+
+def test_vector_search_tool(spark, tmp_path):
+    """vector_search_table: exact cosine top-k over an embedding
+    column through the MCP protocol loop."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(spark, str(tmp_path / "vs"))
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    df = emb.withColumn(
+        "_airbyte_raw_id", F.col("vec_id").cast("string")
+    ).withColumn("_airbyte_extracted_at", F.current_timestamp())
+    cache.store.write_append(df.coalesce(1), cache.table_name("vecs"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "vector_search_table",
+            {"stream_name": "vecs", "query_id": 0, "k": 3},
+        )["content"][0]["text"]
+    )
+    assert len(out) == 3
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert all(r["neighbor_id"] != 0 for r in out)
+    assert out[0]["cosine"] >= out[1]["cosine"] >= out[2]["cosine"]

@@ -249,3 +249,44 @@ def test_post_add_merge_missing_column_reads_null(spark, store):
         for r in store.read("t").select("id", "score").collect()
     }
     assert got == {1: 7, 2: 7, 3: None}
+
+
+def test_vacuum_repairs_dir_completeness(spark, dist_stores):
+    """Once vacuum physically removes the superseded files, the dir is
+    complete again: vacuum publishes a repair_metadata commit clearing
+    the pruned flags, and the distributed scan's whole-dir collapse
+    becomes legal once more — results still exact."""
+    dist, drv = dist_stores
+    _seed(spark, dist)
+    drv.delete_where("t", [("id", "<", 102)])
+    drv.vacuum("t", keep_commits=1)
+    dist._invalidate_manifests("t")
+    drv._invalidate_manifests("t")
+    man = drv._read_manifest("t", drv.latest_version("t"))
+    assert man["op"] == "repair_metadata"
+    assert not any(e.get("pruned") for e in man["entries"])
+    plan = dist.plan_scan("t", [])
+    assert plan.get("distributed") is True
+    assert all(g["paths"] is None for g in plan["groups"])  # collapsed
+    assert _rows(dist.read_where("t", [])) == _rows(drv.read_where("t", []))
+    # CDF, NDV catch-up, and the streaming tail all classify the
+    # repair commit as metadata-only
+    v = drv.latest_version("t")
+    assert drv.read_changes("t", v - 1, v).count() == 0
+
+
+def test_vacuum_keeps_flag_when_old_snapshot_pins_files(spark, dist_stores):
+    """With the pre-DML snapshot still retained, its files survive
+    vacuum inside the dir — the entry must STAY flagged (a whole-dir
+    read would resurrect them for the latest snapshot)."""
+    dist, drv = dist_stores
+    _seed(spark, dist)
+    drv.delete_where("t", [("id", "<", 102)])
+    before = drv.latest_version("t")
+    drv.vacuum("t", keep_commits=5)  # keeps the pre-delete snapshot
+    drv._invalidate_manifests("t")
+    man = drv._read_manifest("t", drv.latest_version("t"))
+    assert drv.latest_version("t") == before  # no repair commit
+    assert any(e.get("pruned") for e in man["entries"])
+    dist._invalidate_manifests("t")
+    assert _rows(dist.read_where("t", [])) == _rows(drv.read_where("t", []))
