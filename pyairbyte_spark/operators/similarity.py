@@ -1237,7 +1237,6 @@ def pq_topk_int(
     cb = [np.asarray(b, dtype=np.int64) for b in codebooks]
     m = len(cb)
     dsub = cb[0].shape[1]
-    spark = codes.sparkSession
     q_rows = queries.select(
         F.col(id_col).alias("qid"),
         quantize_lattice(vec_col, int_scale).alias("qv"),
@@ -1279,6 +1278,7 @@ def pq_topk_int(
                             "query_id": qids[qi],
                             "neighbor_id": i,
                             "dots": d,
+                            "qn2": qn2[qi],
                             "rn2": r,
                         }
                     )
@@ -1286,16 +1286,15 @@ def pq_topk_int(
             if out:
                 yield pd.concat(out)
 
+    # qn2 rides the candidate rows from the closure (it is per-query
+    # constant) so the final cosine is a pure projection — no join.
+    # The DIVISION happens JVM-side in the exact operand order the
+    # SQL oracle uses; the ints are the only things Python computed.
     cand = codes.mapInPandas(
-        score, "query_id long, neighbor_id long, dots long, rn2 long"
+        score,
+        "query_id long, neighbor_id long, dots long, qn2 long, rn2 long",
     )
-    qn2_df = F.broadcast(
-        spark.createDataFrame(
-            [(int(a), int(b)) for a, b in zip(qids, qn2)],
-            "query_id long, qn2 long",
-        )
-    )
-    scored = cand.join(qn2_df, "query_id").select(
+    scored = cand.select(
         "query_id",
         "neighbor_id",
         F.round(
