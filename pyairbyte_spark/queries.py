@@ -4366,6 +4366,75 @@ def store_mor_delete_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_mor_update_events",
+    """
+    -- Merge-on-read UPDATE (Iceberg v2 delete+append encoding):
+    -- append(all) → MoR DELETE errors → MoR UPDATE purchases
+    -- (value+5, ZERO files rewritten: positions into a DV, postimages
+    -- appended) → overlapping MoR UPDATE clicks (value*0 semantics
+    -- via literal) → snapshot read through the stacked DVs.
+    WITH live AS (
+      SELECT event_id, user_id, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN round(value, 2) + 5.0
+                  WHEN event_type = 'click' THEN 1.25
+                  ELSE value END AS value
+      FROM events WHERE event_type <> 'error')
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           max(event_id) AS max_event,
+           (SELECT count(*) FROM live) AS total_rows
+    FROM live GROUP BY event_type ORDER BY event_type
+    """,
+    "merge-on-read UPDATE end-to-end: position-delete + postimage "
+    "append commits stacked on a MoR delete (no file rewrites), "
+    "snapshot read + DV-corrected metadata row count equal plain SQL",
+)
+def store_mor_update_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-morsu-"), "q"
+    )
+    store.write_append(ev, "events")
+    store.delete_where("events", [("event_type", "=", "error")], mode="mor")
+    r1 = store.update_where(
+        "events",
+        [("event_type", "=", "purchase")],
+        {"value": "round(value, 2) + 5.0"},
+        mode="mor",
+    )
+    r2 = store.update_where(
+        "events",
+        [("event_type", "=", "click")],
+        {"value": F.lit(1.25)},
+        mode="mor",
+    )
+    assert r1["files_rewritten"] == 0 and r2["files_rewritten"] == 0
+    total = store.table_stats("events")["rows"]
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+        .withColumn("total_rows", F.lit(total).cast("long"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "store_incremental_agg_events",
     """
     -- Materialized per-type aggregate maintained INCREMENTALLY from
@@ -6003,6 +6072,7 @@ _DRIVER_PRIORITY = [
     "embed_pca_project",
     "ann_pq_index_topk",
     "store_merge_full_sync_events",
+    "store_mor_update_events",
     # round-7 additions + everything never driver-checked through r6
     # (union of CORRECTNESS_r01..r06 keys) — these get the 50 driver
     # slots first so every operator eventually earns a driver row.

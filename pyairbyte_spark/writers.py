@@ -2435,12 +2435,16 @@ class CommitLogTableStore(TableStore):
                 and cur_dvs != prev_dvs
                 and (man.get("entries") or []) == prev_entries
             )
+            # MoR UPDATE records itself (delete+append encoding): the
+            # pre-images are the newly-DV'd positions of the touched
+            # files, the post-images the appended entry's rows.
+            mor_update = op == "update" and bool(man.get("mor"))
             by_dir: dict[str, list[str]] = {}
             for t_path in touched:
                 d, _, rel = t_path.partition("/")
                 by_dir.setdefault(d, []).append(rel)
             old_parts = []
-            need_ids = mor_delete or bool(prev_dvs)
+            need_ids = mor_delete or mor_update or bool(prev_dvs)
             for d, rels in by_dir.items():
                 base = os.path.join(self.table_path(table_name), d)
                 p = (
@@ -2472,6 +2476,51 @@ class CommitLogTableStore(TableStore):
                     "left_semi",
                 ).drop("__dv_file", "__dv_pos")
                 return _tag(deleted, "delete")
+            if mor_update:
+                if not new_entries:
+                    return None
+                new_dv = self._dv_frame(table_name, cur_dvs)
+                if prev_dvs:
+                    prior = self._dv_frame(table_name, prev_dvs)
+                    new_dv = new_dv.join(
+                        prior, on=["file", "pos"], how="left_anti"
+                    )
+                pre_rows = old_rows.join(
+                    new_dv,
+                    (F.col("__dv_file") == new_dv["file"])
+                    & (F.col("__dv_pos") == new_dv["pos"]),
+                    "left_semi",
+                ).drop("__dv_file", "__dv_pos")
+                post_rows = self._entries_df(
+                    table_name, new_entries, dv_man=man
+                )
+                # Same symmetric digest discipline as the COW path: a
+                # no-op assignment suppresses both sides.
+                post_d = post_rows.withColumn(
+                    "__d", self._row_digest(post_rows)
+                )
+                pre_d = pre_rows.withColumn(
+                    "__d", self._row_digest(pre_rows)
+                )
+                out = _tag(
+                    post_d.join(
+                        pre_d.select("__d").distinct(),
+                        on="__d",
+                        how="left_anti",
+                    ).drop("__d"),
+                    "update_postimage",
+                )
+                if include_preimages:
+                    pre = _tag(
+                        pre_d.join(
+                            post_d.select("__d").distinct(),
+                            on="__d",
+                            how="left_anti",
+                        ).drop("__d"),
+                        "update_preimage",
+                    )
+                    out = pre.unionByName(out, allowMissingColumns=True)
+                return out
             if prev_dvs:
                 # Rows a PRIOR MoR delete removed were already emitted
                 # at that commit — exclude them from this step's diff.
@@ -3495,20 +3544,33 @@ class CommitLogTableStore(TableStore):
         table_name: str,
         predicates: list[tuple],
         assignments: dict[str, "Column | str"],
+        *,
+        mode: str = "cow",
     ) -> dict:
-        """File-pruned UPDATE: rewrite only the files whose zone maps
-        admit a predicate match, applying ``assignments`` (column →
-        Column or SQL expression string) to the matching rows; one
-        atomic op="update" commit — ``UPDATE … SET … WHERE`` for the
-        commit-log store, same pruning story as :meth:`delete_where`.
+        """File-pruned UPDATE: apply ``assignments`` (column → Column
+        or SQL expression string) to the rows matching ``predicates``;
+        one atomic op="update" commit — ``UPDATE … SET … WHERE`` for
+        the commit-log store, same pruning story as
+        :meth:`delete_where`. Two physical strategies:
 
-        Non-matching rows in touched files are rewritten verbatim;
-        untouched files carry by reference. The change feed emits the
-        post-update rows as ``update_postimage`` (digest diff against
-        the touched files' prior content, so a no-op assignment emits
-        nothing). Returns ``{"updated_rows", "files_rewritten",
-        "version"}`` — updated_rows counted during the rewrite via
-        ``observe`` (no extra job).
+        - ``mode="cow"`` (copy-on-write, default): rewrite the files
+          whose zone maps admit a match, applying assignments to the
+          matching rows; non-matching rows rewrite verbatim, untouched
+          files carry by reference. Cost scales with the touched
+          files' FULL row width.
+        - ``mode="mor"`` (merge-on-read): the matching rows' (file,
+          pos) identities land in a position-delete sidecar and their
+          POST-UPDATE images append as one new data dir — Iceberg
+          v2's delete+append UPDATE encoding. Touched files are
+          scanned (predicate columns only drive the match) but never
+          rewritten: a point UPDATE on a wide table writes KBs. Reads
+          anti-join the DVs as usual; compact materializes.
+
+        The change feed emits ``update_postimage`` rows under both
+        modes (digest diff, so a no-op assignment emits nothing).
+        Returns ``{"updated_rows", "files_rewritten", "version"}`` —
+        updated_rows counted during the write via ``observe``/DV rows
+        (no extra job).
         """
         from pyspark.sql import Observation
 
@@ -3518,6 +3580,8 @@ class CommitLogTableStore(TableStore):
             normalize_dnf,
         )
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown update mode {mode!r}: use cow or mor")
         preds = normalize_dnf(predicates)
         if not preds:
             raise ValueError("update_where requires predicates")
@@ -3537,6 +3601,7 @@ class CommitLogTableStore(TableStore):
         keep_entries: list[dict] = []
         touched_paths: list[str] = []
         parts: list[DataFrame] = []
+        need_dv_cols = mode == "mor" or bool(prior_dvs)
         for e in man["entries"]:
             live = e.get("buckets")
             kept_files: list[dict] = []
@@ -3561,7 +3626,9 @@ class CommitLogTableStore(TableStore):
                     )
                 )
                 part = self._fill_added(part, man)
-                parts.append(self._with_dv_cols(part) if prior_dvs else part)
+                parts.append(
+                    self._with_dv_cols(part) if need_dv_cols else part
+                )
                 touched_paths.extend(
                     f'{e["path"]}/{f["path"]}' for f in touched_files
                 )
@@ -3570,6 +3637,7 @@ class CommitLogTableStore(TableStore):
                 # (immutable-until-vacuum) dir: flag the entry so the
                 # distributed scan never collapses it to a whole-dir
                 # read (the list, not the dir, is authoritative).
+                # (COW only — MoR keeps every entry untouched.)
                 keep_entries.append(
                     {**e, "files": kept_files}
                     if not touched_files
@@ -3580,21 +3648,6 @@ class CommitLogTableStore(TableStore):
         union = parts[0]
         for p in parts[1:]:
             union = union.unionByName(p, allowMissingColumns=True)
-        if prior_dvs:
-            # The rewrite retires the touched files' DV entries; apply
-            # them first so MoR-deleted rows don't resurrect (or get
-            # updated) in the rewritten files.
-            union = self._anti_join_dvs(union, table_name, prior_dvs)
-        # The rewrite runs in LOGICAL space (predicates and assignment
-        # expressions reference logical names); the result renames
-        # back to physical before staging. Dropped columns are not
-        # carried through a rewritten file — invisible either way.
-        union = self._apply_mapping(union, man)
-        cond = F.coalesce(dnf_to_column(preds), F.lit(False))
-        obs = Observation()
-        union = union.observe(
-            obs, F.sum(cond.cast("long")).alias("updated_rows")
-        )
         pks = set(man.get("primary_keys") or [])
         for col_name in assignments:
             if col_name in (AB_RAW_ID_COLUMN, AB_EXTRACTED_AT_COLUMN, BUCKET_COL):
@@ -3613,6 +3666,33 @@ class CommitLogTableStore(TableStore):
                     "update_where cannot reassign primary keys — "
                     "delete_where the old key and merge the new row"
                 )
+        if mode == "mor":
+            return self._update_where_mor(
+                table_name,
+                man,
+                version,
+                union,
+                preds,
+                assignments,
+                touched_paths,
+                prior_dvs,
+            )
+        if prior_dvs:
+            # The rewrite retires the touched files' DV entries; apply
+            # them first so MoR-deleted rows don't resurrect (or get
+            # updated) in the rewritten files.
+            union = self._anti_join_dvs(union, table_name, prior_dvs)
+        # The rewrite runs in LOGICAL space (predicates and assignment
+        # expressions reference logical names); the result renames
+        # back to physical before staging. Dropped columns are not
+        # carried through a rewritten file — invisible either way.
+        union = self._apply_mapping(union, man)
+        cond = F.coalesce(dnf_to_column(preds), F.lit(False))
+        obs = Observation()
+        union = union.observe(
+            obs, F.sum(cond.cast("long")).alias("updated_rows")
+        )
+        for col_name in assignments:
             if col_name not in union.columns:
                 raise ValueError(f"unknown column {col_name!r}")
         # ONE projection: every RHS and the predicate see PRE-update
@@ -3666,6 +3746,107 @@ class CommitLogTableStore(TableStore):
         return {
             "updated_rows": int(obs.get["updated_rows"] or 0),
             "files_rewritten": len(touched_paths),
+            "version": new_version,
+        }
+
+    def _update_where_mor(
+        self,
+        table_name: str,
+        man: dict,
+        version: int,
+        union: DataFrame,
+        preds: list,
+        assignments: dict,
+        touched_paths: list[str],
+        prior_dvs: list[dict],
+    ) -> dict:
+        """Merge-on-read UPDATE: the matching rows' positions become
+        position deletes and their post-update images append as one
+        new data dir — Iceberg v2's delete+append encoding. Entries
+        stay untouched (no ``pruned`` flags, no rewrite); prior DVs on
+        the touched files remain valid alongside the new one. The
+        matched slice is localCheckpoint'ed so the touched files are
+        scanned ONCE for both the DV and the postimage stage."""
+        from pyairbyte_spark.filestats import dnf_to_column
+
+        live = (
+            self._anti_join_dvs(union, table_name, prior_dvs, keep_cols=True)
+            if prior_dvs
+            else union
+        )
+        live = self._apply_mapping(live, man)
+        for col_name in assignments:
+            if col_name not in live.columns:
+                raise ValueError(f"unknown column {col_name!r}")
+        cond = F.coalesce(dnf_to_column(preds), F.lit(False))
+        doomed = live.filter(cond).localCheckpoint(eager=True)
+        if doomed.isEmpty():
+            return {
+                "updated_rows": 0,
+                "files_rewritten": 0,
+                "version": version,
+            }
+        dv_entry = self._stage_dv(
+            doomed.select(
+                F.col("__dv_file").alias("file"),
+                F.col("__dv_pos").alias("pos"),
+            ),
+            table_name,
+        )
+        post = doomed.drop("__dv_file", "__dv_pos")
+        # Every doomed row matched: ONE projection applies the
+        # assignments, all RHS seeing pre-update values.
+        post = post.select(
+            *[
+                (
+                    F.expr(assignments[c])
+                    if isinstance(assignments[c], str)
+                    else assignments[c]
+                ).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in post.columns
+            ]
+        )
+        post = self._enforce_checks(post, man)
+        entry = self._stage(
+            self._materialize_added(self._rename_incoming(post, man), man),
+            table_name,
+        )
+        new_dvs = [*prior_dvs, dv_entry]
+        if len(new_dvs) > self._DV_CONSOLIDATE_AT:
+            merged = self._stage_dv(
+                self._dv_frame(table_name, new_dvs), table_name
+            )
+            new_dvs = [merged]
+        new_version = self._commit_dml(
+            table_name,
+            {
+                "op": "update",
+                "mor": True,  # the change feed classifies by this
+                "merge_buckets": man.get("merge_buckets"),
+                **self._carry_mapping(man),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                "entries": (
+                    [*man["entries"], entry]
+                    if entry["files"]
+                    else man["entries"]
+                ),
+                "touched": touched_paths,
+                "delete_vectors": new_dvs,
+            },
+            version + 1,
+            base_entries=man["entries"],
+            preds=self._physical_dnf(man, preds),
+            base_dvs=prior_dvs,
+        )
+        return {
+            "updated_rows": dv_entry["rows"],
+            "files_rewritten": 0,
             "version": new_version,
         }
 

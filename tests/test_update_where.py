@@ -147,3 +147,105 @@ def test_update_bucketed_then_merge(spark, tmp_path):
     assert got.count() == 200
     assert got.filter(F.col("v") == "M").count() == 5
     assert got.filter(F.col("v") == "U").count() == 15
+
+
+# -- merge-on-read UPDATE (position delete + postimage append) ---------------
+
+
+def test_mor_update_matches_cow_result(spark, store, tmp_path):
+    """mode='mor' produces the same table state as mode='cow' — only
+    the physical encoding differs (DV + appended postimages vs file
+    rewrite)."""
+    cow = CommitLogTableStore(spark, str(tmp_path / "wh2"), "main")
+    for s in (store, cow):
+        s.write_append(_df(spark, 0, 100), "t")
+    r_mor = store.update_where(
+        "t", [("id", ">=", 90)], {"v": F.lit("HOT"), "x": "x + 1"},
+        mode="mor",
+    )
+    r_cow = cow.update_where(
+        "t", [("id", ">=", 90)], {"v": F.lit("HOT"), "x": "x + 1"}
+    )
+    assert r_mor["updated_rows"] == r_cow["updated_rows"] == 10
+    assert r_mor["files_rewritten"] == 0
+    key = lambda s: sorted(  # noqa: E731
+        tuple(r) for r in s.read("t").select("id", "x", "v").collect()
+    )
+    assert key(store) == key(cow)
+    # physical encoding: entries grew by ONE (postimages), none shrank
+    man = store._read_manifest("t", store.latest_version("t"))
+    assert len(man["entries"]) == 2
+    assert not any(e.get("pruned") for e in man["entries"])
+    assert man.get("delete_vectors")
+
+
+def test_mor_update_cdf_and_preimages(spark, store):
+    store.write_append(_df(spark, 0, 100), "t")
+    store.update_where(
+        "t", [("id", "<", 3)], {"x": "x + 1000"}, mode="mor"
+    )
+    v = store.latest_version("t")
+    feed = store.read_changes("t", v - 1, v, include_preimages=True)
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type == {
+        "update_postimage": {0, 1, 2},
+        "update_preimage": {0, 1, 2},
+    }
+    post = {
+        r["id"]: r["x"]
+        for r in feed.filter("_change_type = 'update_postimage'").collect()
+    }
+    assert post == {0: 1000, 1: 1010, 2: 1020}
+
+
+def test_mor_update_noop_feed_silent_and_no_match(spark, store):
+    store.write_append(_df(spark, 0, 50), "t")
+    v0 = store.latest_version("t")
+    r = store.update_where("t", [("id", ">", 999)], {"x": "x + 1"}, mode="mor")
+    assert r["updated_rows"] == 0 and store.latest_version("t") == v0
+    store.update_where("t", [("id", "<", 5)], {"x": "x"}, mode="mor")
+    v = store.latest_version("t")
+    assert store.read_changes("t", v - 1, v).count() == 0  # no-op suppressed
+    assert store.read("t").count() == 50
+
+
+def test_mor_update_stacks_with_mor_delete_and_compact(spark, store):
+    """MoR delete then MoR update then MoR update again: DVs stack,
+    reads stay exact, compact materializes everything."""
+    store.write_append(_df(spark, 0, 100), "t")
+    store.delete_where("t", [("id", "<", 10)], mode="mor")
+    r1 = store.update_where(
+        "t", [("id", "<", 20)], {"v": F.lit("A")}, mode="mor"
+    )
+    assert r1["updated_rows"] == 10  # 0-9 already MoR-deleted
+    r2 = store.update_where(
+        "t", [("id", "<", 15)], {"v": F.lit("B")}, mode="mor"
+    )
+    assert r2["updated_rows"] == 5  # only 10-14 still match live rows
+    got = {r["id"]: r["v"] for r in store.read("t").collect()}
+    assert len(got) == 90 and 5 not in got
+    assert all(got[i] == "B" for i in range(10, 15))
+    assert all(got[i] == "A" for i in range(15, 20))
+    assert got[50] == "v50"
+    before = sorted(got.items())
+    store.compact("t")
+    man = store._read_manifest("t", store.latest_version("t"))
+    assert not man.get("delete_vectors")
+    after = sorted(
+        (r["id"], r["v"]) for r in store.read("t").collect()
+    )
+    assert before == after
+
+
+def test_mor_update_respects_guards(spark, store, tmp_path):
+    pk = CommitLogTableStore(spark, str(tmp_path / "wh3"), "main")
+    pk.write_merge(_df(spark, 0, 20), "t", ["id"])
+    with pytest.raises(ValueError, match="primary key"):
+        pk.update_where("t", [("x", "=", 0)], {"id": "id + 1"}, mode="mor")
+    store.write_append(_df(spark, 0, 20), "t")
+    with pytest.raises(ValueError, match="unknown column"):
+        store.update_where("t", [("id", "<", 5)], {"zz": "1"}, mode="mor")
+    with pytest.raises(ValueError, match="unknown update mode"):
+        store.update_where("t", [("id", "<", 5)], {"x": "1"}, mode="wat")
