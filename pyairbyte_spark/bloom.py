@@ -1,0 +1,136 @@
+"""Per-file bloom filters: point-lookup data skipping beyond zone maps.
+
+Min/max zone maps prune RANGE predicates but are useless for equality
+lookups on high-cardinality unsorted columns (the "find this uuid in
+100 TB" shape: every file's [min, max] spans the whole domain). The
+standard lakehouse answer is a per-file bloom filter on the lookup
+columns — Delta's bloom filter index, parquet's column bloom filters —
+re-expressed for the commit-log store:
+
+- :meth:`CommitLogTableStore.build_bloom_index` scans the table ONCE
+  (``_metadata.file_path`` groups rows by file; one Arrow-batched
+  bitset fold per file) and writes a ``bloomidx-<hex>/`` parquet of
+  (entry_path, file_path, col, m, k, bits). The manifest's
+  ``bloom_index`` field references it; every commit carries the field
+  forward.
+- ``plan_scan`` / ``read_where`` test ``=`` / ``in`` predicates
+  against the bits: a definite miss prunes the file. Files without
+  bloom rows (appended after the build) are conservatively kept —
+  re-run the build with ``only_missing=True`` on the maintenance
+  cadence to cover them incrementally.
+
+Bits are sized from the file's recorded row count for the target
+false-positive rate (``m = -n ln p / ln2²`` ≈ 9.6 bits/key at 1%);
+membership uses Kirsch–Mitzenmacher double hashing over the same
+md5-of-string-cast hash both the build (Spark) and the probe (driver
+Python) compute, so build/probe agree exactly. Indexed columns are
+restricted to string/integral types — the one family whose Spark
+``CAST(x AS STRING)`` rendering equals Python ``str(x)``, which is
+what lets the driver hash a predicate literal without a Spark job.
+
+Skipping is an OPTIMIZATION with an exactness contract: results with
+and without the index are identical (the residual row filter runs
+either way); the oracle query ``store_bloom_skipping_events`` pins it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+
+# Cap bits per (file, column) so a pathological row count cannot
+# inflate the index: 2^23 bits = 1 MiB covers ~870k keys at 1% fpr,
+# which is already far above a well-sized file's row count.
+MAX_BITS = 1 << 23
+MIN_BITS = 64
+
+
+def size_bits(n_rows: int, fpr: float) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n_rows`` keys at the target fpr."""
+    n = max(1, int(n_rows))
+    m = int(-n * math.log(fpr) / (math.log(2) ** 2))
+    m = max(MIN_BITS, min(MAX_BITS, m))
+    k = max(1, round(m / n * math.log(2)))
+    return m, min(16, k)
+
+
+def _h1_h2(value: str) -> tuple[int, int]:
+    """Two independent 60-bit hashes from one md5 (the same
+    md5-of-string family every sketch in this repo uses)."""
+    hexd = hashlib.md5(value.encode("utf-8")).hexdigest()
+    return int(hexd[:15], 16), int(hexd[15:30], 16) | 1
+
+
+def positions(value: str, m: int, k: int) -> list[int]:
+    """Kirsch–Mitzenmacher: g_i = h1 + i*h2 mod m."""
+    h1, h2 = _h1_h2(value)
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def build_bits(values, m: int, k: int) -> bytes:
+    """Bitset bytes for an iterable of (already stringified) keys."""
+    bits = np.zeros(m, dtype=bool)
+    for v in values:
+        if v is None:
+            continue
+        for pos in positions(v, m, k):
+            bits[pos] = True
+    return np.packbits(bits).tobytes()
+
+
+def maybe_contains(bits: bytes, m: int, k: int, value: str) -> bool:
+    arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8), count=m)
+    return all(arr[pos] for pos in positions(value, m, k))
+
+
+def branch_may_match(
+    file_blooms: dict, branch: list[tuple], m_k_bits=None
+) -> bool:
+    """Whether one AND-branch of a DNF may match a file, judged ONLY
+    by its bloom-indexed equality conjuncts (everything else is
+    someone else's problem — zone maps, residual filters). A definite
+    bloom miss on any conjunct rules the branch out.
+
+    ``file_blooms`` maps physical column -> (m, k, bits).
+    """
+    for conj in branch:
+        col, op, *rest = conj
+        fb = file_blooms.get(col)
+        if fb is None:
+            continue
+        m, k, bits = fb
+        if op in ("=", "=="):
+            if not maybe_contains(bits, m, k, _render(rest[0])):
+                return False
+        elif op == "in":
+            vals = rest[0]
+            if not any(
+                maybe_contains(bits, m, k, _render(v)) for v in vals
+            ):
+                return False
+    return True
+
+
+def dnf_may_match(file_blooms: dict, preds: list[list[tuple]]) -> bool:
+    """OR over the DNF's branches; empty DNF = no predicate = match."""
+    if not preds:
+        return True
+    return any(branch_may_match(file_blooms, b) for b in preds)
+
+
+def _render(value) -> str:
+    """Python rendering of a predicate literal, matching Spark's
+    CAST(x AS STRING) for the supported (string/integral) key types."""
+    if isinstance(value, bool):  # bool is an int subclass — reject
+        raise TypeError("bloom-indexed columns must be string/integral")
+    return value if isinstance(value, str) else str(int(value))
+
+
+SUPPORTED_TYPE_PREFIXES = ("string", "varchar", "char", "int", "bigint",
+                           "smallint", "tinyint", "long")
+
+
+def type_supported(simple_type: str) -> bool:
+    return simple_type.lower().startswith(SUPPORTED_TYPE_PREFIXES)

@@ -313,6 +313,25 @@ class SparkCache(Mapping):
             when_not_matched_insert=when_not_matched_insert,
         )
 
+    def build_stream_bloom_index(
+        self,
+        stream_name: str,
+        columns: list[str],
+        *,
+        fpr: float = 0.01,
+        only_missing: bool = False,
+    ) -> dict:
+        """Per-file bloom index for equality lookups on the given
+        columns (``writers.build_bloom_index``); re-run with
+        ``only_missing=True`` on the maintenance cadence to cover
+        post-build appends."""
+        return self._acid_store().build_bloom_index(
+            self.table_name(stream_name),
+            columns,
+            fpr=fpr,
+            only_missing=only_missing,
+        )
+
     def optimize_stream(
         self,
         stream_name: str,

@@ -47,7 +47,9 @@ from pyairbyte_spark.operators.sketches import (
 # than by inserting rows: append adds rows (register-monotone),
 # compact rewrites files row-preserving (the change feed skips it),
 # set_check is metadata-only.
-_ROW_MONOTONE_OPS = {"append", "compact", "set_check", "repair_metadata"}
+_ROW_MONOTONE_OPS = {
+    "append", "compact", "set_check", "repair_metadata", "set_bloom_index",
+}
 
 
 def _stats_path(store, table_name: str) -> str:

@@ -4226,6 +4226,63 @@ def store_dml_skipping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_bloom_skipping_events",
+    """
+    -- Per-file bloom index: events split by event_id % 6 (overlapping
+    -- min/max ranges, so zone maps prune NOTHING for an equality
+    -- lookup), bloom-indexed on event_id, then point lookups through
+    -- read_where. The Spark side asserts the plan actually pruned;
+    -- the oracle pins the results.
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_ids,
+           CAST(sum(user_id) AS BIGINT) AS sum_users
+    FROM events WHERE event_id IN (0, 7, 13, 101, 4242)
+    GROUP BY event_type ORDER BY event_type
+    """,
+    "bloom-filter data skipping end-to-end: equality lookups on a "
+    "high-cardinality key prune files zone maps cannot (overlapping "
+    "ranges), results identical to an unindexed scan",
+)
+def store_bloom_skipping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-bloom-"), "q"
+    )
+    base = ev.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+    ).withColumn(
+        "_airbyte_extracted_at",
+        F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    for r in range(6):  # modulo split: every file spans the id range
+        store.write_append(
+            base.filter(F.col("event_id") % 6 == r).coalesce(1), "events"
+        )
+    store.build_bloom_index("events", ["event_id"])
+    ids = (0, 7, 13, 101, 4242)
+    plan = store.plan_scan("events", [("event_id", "in", ids)])
+    # zone maps alone keep all 6 files; the bloom must prune
+    assert plan["files_selected"] < plan["files_total"] == 6, plan
+    return (
+        store.read_where("events", [("event_id", "in", ids)])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").alias("sum_ids"),
+            F.sum("user_id").alias("sum_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "store_change_feed_events",
     """
     -- The change feed of the same history: v3 DELETE emits the view
@@ -6073,6 +6130,7 @@ _DRIVER_PRIORITY = [
     "ann_pq_index_topk",
     "store_merge_full_sync_events",
     "store_mor_update_events",
+    "store_bloom_skipping_events",
     # round-7 additions + everything never driver-checked through r6
     # (union of CORRECTNESS_r01..r06 keys) — these get the 50 driver
     # slots first so every operator eventually earns a driver row.

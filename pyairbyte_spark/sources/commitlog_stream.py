@@ -122,6 +122,7 @@ _METADATA_OPS = (
     "set_check",
     "add_column",
     "repair_metadata",
+    "set_bloom_index",
 )
 
 

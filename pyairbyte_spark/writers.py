@@ -86,6 +86,8 @@ class TableStore:
         # Resolved-manifest cache (commit-log store): commits are
         # immutable, so (table, version) → full manifest caches safely.
         self._man_cache: dict[tuple[str, int], dict] = {}
+        # (table, bloomidx ref) -> {(entry_path, file_path): {col: (m, k, bits)}}
+        self._bloom_cache: dict[tuple[str, str], dict] = {}
         # Timestamp stats require the MICROS physical type — INT96
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
@@ -1137,6 +1139,8 @@ class CommitLogTableStore(TableStore):
             out["txns"] = man["txns"]
         if man.get("added_columns"):
             out["added_columns"] = man["added_columns"]
+        if man.get("bloom_index"):
+            out["bloom_index"] = man["bloom_index"]
         # Newest known PHYSICAL schema rides every commit so a manifest
         # with ZERO entries (a DELETE that dropped every data dir) still
         # reads as an empty frame after vacuum reclaims the files.
@@ -1629,25 +1633,77 @@ class CommitLogTableStore(TableStore):
             | F.col("bucket").isNull()
             | F.expr("array_contains(entry_buckets, bucket)")
         )
+        bloom_meta = top.get("bloom_index")
+        bloom_cols = (
+            self._bloom_pred_cols(bloom_meta, preds) if bloom_meta else set()
+        )
+        if preds and bloom_cols:
+            # Bloom bits join onto the sidecar's file rows (left: files
+            # appended after the build have no row and stay unprunable)
+            # and the membership test runs INSIDE the same pandas UDF
+            # as the zone-map DNF — one relational pass, same venue.
+            bpath = os.path.join(root, bloom_meta["ref"])
+            bdf = (
+                self.spark.read.parquet(
+                    self.io.spark_read_path(bpath) or bpath
+                )
+                .filter(F.col("col").isin(sorted(bloom_cols)))
+                .groupBy("entry_path", "file_path")
+                .agg(
+                    F.collect_list(
+                        F.struct("col", "m", "k", "bits")
+                    ).alias("__blooms")
+                )
+            )
+            live = live.join(bdf, ["entry_path", "file_path"], "left")
+        else:
+            live = live.withColumn(
+                "__blooms",
+                F.lit(None).cast(
+                    "array<struct<col:string,m:int,k:int,bits:binary>>"
+                ),
+            )
         if preds:
             preds_b = preds  # closure-shipped to executors
 
             @F.pandas_udf("boolean")
             def _match(
-                stats: pd.Series, rows: pd.Series, sv: pd.Series
+                stats: pd.Series,
+                rows: pd.Series,
+                sv: pd.Series,
+                blooms: pd.Series,
             ) -> pd.Series:
+                from pyairbyte_spark.bloom import dnf_may_match
+
                 out = []
-                for s, r, v in zip(stats, rows, sv):
+                for s, r, v, b in zip(stats, rows, sv, blooms):
                     fe = {
                         "stats": None if s is None else json.loads(s),
                         "rows": None if pd.isna(r) else int(r),
                         "sv": None if pd.isna(v) else int(v),
                     }
-                    out.append(bool(file_may_match_dnf(fe, preds_b)))
+                    ok = bool(file_may_match_dnf(fe, preds_b))
+                    if ok and b is not None and len(b):
+                        fb = {
+                            d["col"]: (
+                                int(d["m"]),
+                                int(d["k"]),
+                                bytes(d["bits"]),
+                            )
+                            for d in b
+                        }
+                        ok = bool(dnf_may_match(fb, preds_b))
+                    out.append(ok)
                 return pd.Series(out)
 
             flagged = live.withColumn(
-                "__match", _match(F.col("stats"), F.col("rows"), F.col("sv"))
+                "__match",
+                _match(
+                    F.col("stats"),
+                    F.col("rows"),
+                    F.col("sv"),
+                    F.col("__blooms"),
+                ),
             )
         else:
             flagged = live.withColumn("__match", F.lit(True))
@@ -1828,6 +1884,7 @@ class CommitLogTableStore(TableStore):
             return self._plan_scan_distributed(
                 table_name, top, entries_df, preds
             )
+        blooms = self._bloom_lookup(table_name, man, preds)
         groups: list[dict] = []
         total = selected = 0
         for e in man.get("entries") or []:
@@ -1850,6 +1907,14 @@ class CommitLogTableStore(TableStore):
                 total += 1
                 if not file_may_match_dnf(f, preds):
                     continue
+                if blooms is not None:
+                    from pyairbyte_spark.bloom import dnf_may_match
+
+                    fb = blooms.get((e["path"], f["path"]))
+                    # Files without bloom rows (post-build appends)
+                    # are conservatively kept.
+                    if fb and not dnf_may_match(fb, preds):
+                        continue
                 keep.append(os.path.join(base, f["path"]))
                 selected += 1
             if keep:
@@ -2379,6 +2444,7 @@ class CommitLogTableStore(TableStore):
             "set_check",
             "add_column",
             "repair_metadata",
+            "set_bloom_index",
         ):
             return None  # bytes or metadata moved; no row changes
         prev = self._read_manifest(table_name, v - 1) if v > 1 else None
@@ -3850,6 +3916,207 @@ class CommitLogTableStore(TableStore):
             "version": new_version,
         }
 
+    # -- bloom-filter point-lookup index (bloom.py) --------------------------
+
+    def build_bloom_index(
+        self,
+        table_name: str,
+        columns: list[str],
+        *,
+        fpr: float = 0.01,
+        only_missing: bool = False,
+    ) -> dict:
+        """Build (or incrementally extend) the table's per-file bloom
+        index for equality lookups on ``columns`` — data skipping
+        where zone maps can't help (high-cardinality unsorted keys).
+
+        One table scan: rows group by their physical file
+        (``_metadata.file_path``) and each group folds into one bitset
+        per column, sized from the group's row count for ``fpr``. The
+        index lands in a ``bloomidx-<hex>/`` parquet referenced by the
+        manifest's ``bloom_index`` field (op="set_bloom_index",
+        metadata-only). Files appended after a build are conservatively
+        unprunable until ``only_missing=True`` re-covers them — the
+        maintenance-cadence call, which scans ONLY the uncovered files.
+        Returns ``{"files_indexed", "columns", "version"}``."""
+        import pandas as pd
+
+        from pyairbyte_spark import bloom as bl
+
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        if any(e.get("files") is None for e in man["entries"]):
+            raise ValueError(
+                "bloom index needs per-file manifests; run compact() once"
+            )
+        phys = [self._to_physical(man, c) for c in columns]
+        logical = self._apply_mapping(
+            self._read_manifest_df(table_name, man), man
+        )
+        for c in columns:
+            if c not in logical.columns:
+                raise ValueError(f"unknown column {c!r}")
+            t = logical.schema[c].dataType.simpleString()
+            if not bl.type_supported(t):
+                raise ValueError(
+                    f"bloom index supports string/integral columns; "
+                    f"{c!r} is {t} (its CAST AS STRING rendering is "
+                    "not engine-portable)"
+                )
+        root = self.table_path(table_name)
+        prior_ref = (man.get("bloom_index") or {}).get("ref")
+        carried_rows: list = []
+        covered: set[tuple[str, str]] = set()
+        live_keys = {
+            (e["path"], f["path"])
+            for e in man["entries"]
+            for f in e["files"]
+        }
+        if only_missing and prior_ref:
+            old = self.spark.read.parquet(
+                self.io.spark_read_path(os.path.join(root, prior_ref))
+            ).collect()
+            for r in old:
+                key = (r["entry_path"], r["file_path"])
+                if key in live_keys:
+                    carried_rows.append(r)
+                    covered.add(key)
+        targets: list[str] = []  # absolute paths of files to scan
+        for e in man["entries"]:
+            for f in e["files"]:
+                if (e["path"], f["path"]) not in covered:
+                    targets.append(os.path.join(root, e["path"], f["path"]))
+        n_new = len(targets)
+        if targets:
+            src = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(
+                    *[self.io.spark_read_path(t) or t for t in targets]
+                )
+                .select(
+                    *[F.col(p).cast("string").alias(p) for p in phys],
+                    F.regexp_extract(
+                        F.col("_metadata.file_path"), self._DV_FILE_RE, 1
+                    ).alias("__file"),
+                )
+            )
+            phys_b, fpr_b = list(phys), float(fpr)
+
+            def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+                file_key = key[0]
+                entry, _, rel = file_key.partition("/")
+                m, k = bl.size_bits(len(pdf), fpr_b)
+                out = []
+                for col in phys_b:
+                    out.append(
+                        {
+                            "entry_path": entry,
+                            "file_path": rel,
+                            "col": col,
+                            "m": m,
+                            "k": k,
+                            "bits": bl.build_bits(
+                                pdf[col].tolist(), m, k
+                            ),
+                        }
+                    )
+                return pd.DataFrame(out)
+
+            built = src.groupBy("__file").applyInPandas(
+                fold,
+                "entry_path string, file_path string, col string, "
+                "m int, k int, bits binary",
+            )
+        else:
+            built = None
+        name = f"bloomidx-{uuid.uuid4().hex[:12]}"
+        out_path = os.path.join(root, name)
+        frames = built
+        if carried_rows:
+            carried = self.spark.createDataFrame(
+                carried_rows,
+                "entry_path string, file_path string, col string, "
+                "m int, k int, bits binary",
+            )
+            frames = (
+                carried if frames is None else frames.unionByName(carried)
+            )
+        if frames is None:
+            return {
+                "files_indexed": 0,
+                "columns": phys,
+                "version": version,
+            }
+        frames.coalesce(1).write.mode("overwrite").parquet(
+            self.io.spark_read_path(out_path) or out_path
+        )
+        manifest = {
+            "op": "set_bloom_index",
+            "merge_buckets": man.get("merge_buckets"),
+            **(
+                {"primary_keys": man["primary_keys"]}
+                if man.get("primary_keys")
+                else {}
+            ),
+            "entries": man["entries"],
+            **{
+                k: v
+                for k, v in self._carry_mapping(man).items()
+                if k != "bloom_index"
+            },
+            "bloom_index": {"ref": name, "columns": phys, "fpr": fpr},
+            **self._carry_dv(man),
+        }
+        self._commit(table_name, manifest, version + 1)
+        return {
+            "files_indexed": n_new,
+            "columns": phys,
+            "version": version + 1,
+        }
+
+    @staticmethod
+    def _bloom_pred_cols(bloom_meta: dict, preds: list) -> set[str]:
+        """Indexed physical columns that appear as =/in conjuncts."""
+        idx = set((bloom_meta or {}).get("columns") or [])
+        used: set[str] = set()
+        for branch in preds or []:
+            for conj in branch:
+                if conj[0] in idx and conj[1] in ("=", "==", "in"):
+                    used.add(conj[0])
+        return used
+
+    def _bloom_lookup(
+        self, table_name: str, man: dict, preds: list
+    ) -> dict | None:
+        """Driver-side bloom map for the predicate's indexed columns,
+        or None when the index can't help. Cached per (table, ref) —
+        index dirs are immutable, a rebuild changes the ref."""
+        meta = man.get("bloom_index")
+        if not meta or not self._bloom_pred_cols(meta, preds):
+            return None
+        key = (table_name, meta["ref"])
+        cached = self._bloom_cache.get(key)
+        if cached is not None:
+            return cached
+        path = os.path.join(self.table_path(table_name), meta["ref"])
+        try:
+            rows = self.spark.read.parquet(
+                self.io.spark_read_path(path) or path
+            ).collect()
+        except Exception:
+            return None  # index dir vacuumed/corrupt: skip the optimization
+        out: dict = {}
+        for r in rows:
+            out.setdefault((r["entry_path"], r["file_path"]), {})[
+                r["col"]
+            ] = (int(r["m"]), int(r["k"]), bytes(r["bits"]))
+        if len(self._bloom_cache) >= 4:
+            self._bloom_cache.pop(next(iter(self._bloom_cache)))
+        self._bloom_cache[key] = out
+        return out
+
     # -- maintenance --------------------------------------------------------
 
     def restore(self, table_name: str, version: int) -> int:
@@ -3986,12 +4253,15 @@ class CommitLogTableStore(TableStore):
             self.io.write_text(os.path.join(d, keep[0]), data)
         live_dirs: set[str] = set()
         live_dvs: set[str] = set()  # dv sidecar dirs any kept snapshot uses
+        live_blooms: set[str] = set()  # bloom index dirs kept snapshots use
         # dir → set of referenced rel paths; None = whole dir pinned
         live_files: dict[str, set[str] | None] = {}
         for n in keep:
             man = self._read_manifest(table_name, int(n[:-5]))
             for dv in man.get("delete_vectors") or []:
                 live_dvs.add(dv["path"])
+            if man.get("bloom_index"):
+                live_blooms.add(man["bloom_index"]["ref"])
             for e in man.get("entries") or []:
                 live_dirs.add(e["path"])
                 files = e.get("files")
@@ -4013,6 +4283,13 @@ class CommitLogTableStore(TableStore):
         removed: list[str] = []
         tdir = self.table_path(table_name)
         for name in self.io.list_names(tdir):
+            if name.startswith("bloomidx-"):
+                # Bloom index dirs: superseded by rebuilds or the
+                # retention horizon passing their last reference.
+                if name not in live_blooms:
+                    self.io.delete_dir(os.path.join(tdir, name))
+                    removed.append(name)
+                continue
             if name.startswith("dv-"):
                 # Deletion-vector sidecars: superseded by consolidation,
                 # compaction, or the retention horizon passing their
