@@ -239,6 +239,14 @@ class SparkCache(Mapping):
             reader = reader.option(k, str(v))
         return reader.load()
 
+    def read_stream_as_of(self, stream_name: str, ts) -> DataFrame:
+        """TIMESTAMP AS OF time travel: the stream's snapshot live at
+        the given wall-clock time (epoch seconds, datetime, or ISO
+        string)."""
+        return self._acid_store().read_as_of(
+            self.table_name(stream_name), ts
+        )
+
     def restore_stream(self, stream_name: str, version: int) -> int:
         """Roll the stream's table back to ``version`` as a NEW commit
         (Delta RESTORE; metadata-only, auditable, time-travelable)."""

@@ -1102,6 +1102,54 @@ class CommitLogTableStore(TableStore):
         df = self._apply_mapping(self._read_manifest_df(table_name, man), man)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def version_at_timestamp(self, table_name: str, ts) -> int:
+        """The snapshot version live AT ``ts`` — the newest commit
+        whose recorded timestamp is <= ``ts`` (Delta's ``TIMESTAMP AS
+        OF`` resolution). ``ts`` takes epoch seconds, a ``datetime``,
+        or an ISO-8601 string (naive strings are LOCAL time, matching
+        the commit clock). Commits predating the ``ts`` audit field
+        count as time 0. Raises if ``ts`` is before the table's first
+        commit. Cost: one small JSON read per commit file — op-level
+        fields only, no manifest resolution."""
+        import datetime as _dt
+
+        if isinstance(ts, str):
+            ts = _dt.datetime.fromisoformat(ts)
+        if isinstance(ts, _dt.datetime):
+            ts = ts.timestamp()
+        target = float(ts)
+        d = self._commits_dir(table_name)
+        names = sorted(
+            n for n in self.io.list_names(d) if n.endswith(".json")
+        )
+        if not names:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        best = None
+        # Commit timestamps are non-decreasing in practice, but clock
+        # skew between racing writers is possible — take the MAX
+        # version at-or-before the target rather than binary-searching.
+        for n in names:
+            v = int(n[:-5])
+            cts = self._read_commit_json(table_name, v).get("ts") or 0
+            if cts <= target:
+                best = v
+        if best is None:
+            first = self._read_commit_json(
+                table_name, int(names[0][:-5])
+            ).get("ts")
+            raise ValueError(
+                f"timestamp {ts} predates {table_name!r}'s first commit "
+                f"(ts {first})"
+            )
+        return best
+
+    def read_as_of(self, table_name: str, ts) -> DataFrame:
+        """Delta's ``SELECT … TIMESTAMP AS OF``: the snapshot live at
+        the given wall-clock time (see :meth:`version_at_timestamp`)."""
+        return self.read_version(
+            table_name, self.version_at_timestamp(table_name, ts)
+        )
+
     # -- column mapping (metadata-only rename / drop) ------------------------
     # Files keep their original PHYSICAL column names forever; the
     # manifest's "column_mapping" {physical: logical} and

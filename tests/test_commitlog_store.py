@@ -400,3 +400,45 @@ def test_history_reports_dv_and_txn_metadata(spark, store):
     assert h[0]["delete_vectors"] == 1 and h[0]["dv_rows"] == 10
     assert h[0]["txns"] == {"app": 3}
     assert h[1]["txns"] == {"app": 3}
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
+    """TIMESTAMP AS OF: version_at_timestamp resolves the newest
+    commit at-or-before the target; read_as_of serves that snapshot.
+    Commit clocks are controlled via time.time monkeypatching."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark import writers as w
+
+    store = CommitLogTableStore(spark, str(tmp_path / "tt"), "main")
+    clock = {"t": 1_000_000.0}
+    monkeypatch.setattr(w.time, "time", lambda: clock["t"])
+
+    def df(lo, hi):
+        return (
+            spark.range(lo, hi)
+            .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+            .withColumn("_airbyte_extracted_at", F.current_timestamp())
+            .coalesce(1)
+        )
+
+    store.write_append(df(0, 10), "t")  # v1 @ 1e6
+    clock["t"] = 1_000_100.0
+    store.write_append(df(10, 30), "t")  # v2 @ 1e6+100
+    clock["t"] = 1_000_200.0
+    store.delete_where("t", [("id", "<", 5)])  # v3 @ 1e6+200
+    monkeypatch.undo()
+    assert store.version_at_timestamp("t", 1_000_000) == 1
+    assert store.version_at_timestamp("t", 1_000_150) == 2
+    assert store.version_at_timestamp("t", _time.time()) == 3
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(1_000_150).isoformat()
+    assert store.version_at_timestamp("t", iso) == 2
+    assert store.read_as_of("t", 1_000_000).count() == 10
+    assert store.read_as_of("t", 1_000_199).count() == 30
+    assert store.read_as_of("t", 1_000_201).count() == 25
+    with pytest.raises(ValueError, match="predates"):
+        store.version_at_timestamp("t", 999_999)
