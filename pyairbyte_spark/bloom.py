@@ -70,13 +70,22 @@ def positions(value: str, m: int, k: int) -> list[int]:
 
 
 def build_bits(values, m: int, k: int) -> bytes:
-    """Bitset bytes for an iterable of (already stringified) keys."""
+    """Bitset bytes for an iterable of (already stringified) keys.
+    The md5 per key is the unavoidable Python cost; the k probe
+    positions set vectorized (k numpy scatters over the whole batch),
+    so build time is hash-bound, not loop-bound."""
+    pairs = [_h1_h2(v) for v in values if v is not None]
     bits = np.zeros(m, dtype=bool)
-    for v in values:
-        if v is None:
-            continue
-        for pos in positions(v, m, k):
-            bits[pos] = True
+    if pairs:
+        # Reduce mod m FIRST (identical residues, no uint64 overflow:
+        # h2 % m < 2^23 so i*(h2%m) stays tiny) — bit-identical to the
+        # scalar positions() the probe side computes.
+        arr = np.asarray(pairs, dtype=np.uint64) % np.uint64(m)
+        h1, h2 = arr[:, 0], arr[:, 1]
+        for i in range(k):
+            bits[
+                ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            ] = True
     return np.packbits(bits).tobytes()
 
 
