@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "store_incremental_agg_events",
     # round 8: persisted-PQ lifecycle (build + exactly-once append + probe)
     "ann_pq_index_topk",
+    "store_merge_full_sync_events",
+    "store_mor_update_events",
+    "store_bloom_skipping_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
