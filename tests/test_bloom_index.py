@@ -177,3 +177,28 @@ def test_distributed_path_blooms_equivalently(spark, tmp_path, monkeypatch):
     a = sorted(map(tuple, dist.read_where("t", [("key", "=", key)]).collect()))
     b = sorted(map(tuple, drv.read_where("t", [("key", "=", key)]).collect()))
     assert a == b and len(a) == 1
+
+
+def test_bloom_on_bucketed_table(spark, tmp_path):
+    """Bucketed layouts (files inside __pk_bucket= dirs): the build's
+    file-key extraction and the probe's pruning both work; results
+    exact."""
+    store = CommitLogTableStore(
+        spark, str(tmp_path / "b"), "main", merge_buckets=8
+    )
+    df = (
+        spark.range(0, 2000)
+        .withColumn("key", F.md5(F.col("id").cast("string")))
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn(
+            "_airbyte_extracted_at", F.lit("2026-01-01").cast("timestamp")
+        )
+    )
+    store.write_merge(df, "t", ["id"])
+    r = store.build_bloom_index("t", ["key"])
+    assert r["files_indexed"] > 8
+    key = _key_of(spark, 55)
+    plan = store.plan_scan("t", [("key", "=", key)])
+    assert plan["files_selected"] < plan["files_total"] // 4
+    got = store.read_where("t", [("key", "=", key)]).collect()
+    assert len(got) == 1 and got[0]["id"] == 55
