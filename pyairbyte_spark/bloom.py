@@ -111,12 +111,14 @@ def branch_may_match(
             continue
         m, k, bits = fb
         if op in ("=", "=="):
-            if not maybe_contains(bits, m, k, _render(rest[0])):
+            r = _render(rest[0])
+            if r is not None and not maybe_contains(bits, m, k, r):
                 return False
         elif op == "in":
-            vals = rest[0]
-            if not any(
-                maybe_contains(bits, m, k, _render(v)) for v in vals
+            vals = [_render(v) for v in rest[0]]
+            vals = [v for v in vals if v is not None]
+            if vals and not any(
+                maybe_contains(bits, m, k, v) for v in vals
             ):
                 return False
     return True
@@ -129,12 +131,19 @@ def dnf_may_match(file_blooms: dict, preds: list[list[tuple]]) -> bool:
     return any(branch_may_match(file_blooms, b) for b in preds)
 
 
-def _render(value) -> str:
+def _render(value) -> str | None:
     """Python rendering of a predicate literal, matching Spark's
-    CAST(x AS STRING) for the supported (string/integral) key types."""
-    if isinstance(value, bool):  # bool is an int subclass — reject
-        raise TypeError("bloom-indexed columns must be string/integral")
-    return value if isinstance(value, str) else str(int(value))
+    CAST(x AS STRING) for the supported (string/integral) key types.
+    Anything else (None, floats, bools…) returns None — the caller
+    treats the conjunct as maybe-true and leaves its semantics to the
+    residual filter: skipping may only ever be CONSERVATIVE."""
+    if isinstance(value, str):
+        return value
+    if isinstance(value, bool):  # bool is an int subclass — skip it
+        return None
+    if isinstance(value, int):
+        return str(value)
+    return None
 
 
 SUPPORTED_TYPE_PREFIXES = ("string", "varchar", "char", "int", "bigint",
