@@ -1670,6 +1670,7 @@ class CommitLogTableStore(TableStore):
         same ``file_may_match_dnf`` the driver path uses — one
         semantics, two execution venues. Only surviving paths are
         collected."""
+        import numpy as np
         import pandas as pd
 
         from pyairbyte_spark.filestats import file_may_match_dnf
@@ -1731,7 +1732,10 @@ class CommitLogTableStore(TableStore):
                         "sv": None if pd.isna(v) else int(v),
                     }
                     ok = bool(file_may_match_dnf(fe, preds_b))
-                    if ok and b is not None and len(b):
+                    # uncovered files join as null (None or NaN
+                    # depending on the Arrow->pandas conversion):
+                    # conservatively unprunable either way
+                    if ok and isinstance(b, (list, tuple, np.ndarray)) and len(b):
                         fb = {
                             d["col"]: (
                                 int(d["m"]),
