@@ -239,6 +239,14 @@ class SparkCache(Mapping):
             reader = reader.option(k, str(v))
         return reader.load()
 
+    def clone_stream(self, source: str, dest: str) -> int:
+        """SHALLOW CLONE: zero-copy snapshot of ``source`` as a new
+        stream table referencing the source's files; diverges
+        independently (``writers.clone_table``)."""
+        return self._acid_store().clone_table(
+            self.table_name(source), self.table_name(dest)
+        )
+
     def read_stream_as_of(self, stream_name: str, ts) -> DataFrame:
         """TIMESTAMP AS OF time travel: the stream's snapshot live at
         the given wall-clock time (epoch seconds, datetime, or ISO

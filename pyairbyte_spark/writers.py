@@ -888,10 +888,17 @@ class CommitLogTableStore(TableStore):
             ),
         ).withColumn("__dv_pos", F.col("_metadata.row_index"))
 
+    def _entry_base(self, table_name: str, e: dict) -> str:
+        """The absolute dir an entry's (or DV's) ``path`` lives under:
+        this table's path, or the recorded ``base`` for SHALLOW-CLONE
+        entries that reference another table's files."""
+        return e.get("base") or self.table_path(table_name)
+
     def _dv_frame(self, table_name: str, dvs: list[dict]) -> DataFrame:
         """The union of the given DV sidecars as a (file, pos) frame."""
         paths = [
-            os.path.join(self.table_path(table_name), d["path"]) for d in dvs
+            os.path.join(self._entry_base(table_name, d), d["path"])
+            for d in dvs
         ]
         return self.spark.read.parquet(*paths)
 
@@ -1032,7 +1039,7 @@ class CommitLogTableStore(TableStore):
         dvs = (dv_man or {}).get("delete_vectors") or []
         parts: list[DataFrame] = []
         for e in entries:
-            p = os.path.join(self.table_path(table_name), e["path"])
+            p = os.path.join(self._entry_base(table_name, e), e["path"])
             live = e.get("buckets")
             files = e.get("files")
             if files is not None:
@@ -1782,7 +1789,7 @@ class CommitLogTableStore(TableStore):
             # on disk until vacuum); such entries carry ``pruned`` and
             # MUST keep explicit file lists — a whole-dir read would
             # resurrect deleted rows and duplicate rewritten ones.
-            hdr_flags = entries_df.filter(
+            hdr_meta = entries_df.filter(
                 F.col("file_path").isNull()
             ).select(
                 "entry_path",
@@ -1792,6 +1799,8 @@ class CommitLogTableStore(TableStore):
                     ),
                     F.lit(False),
                 ).alias("__pruned"),
+                # SHALLOW-CLONE entries reference another table's dir
+                F.get_json_object(F.col("extra"), "$.base").alias("__base"),
             )
             summary = (
                 flagged.groupBy("entry_path")
@@ -1800,7 +1809,7 @@ class CommitLogTableStore(TableStore):
                     F.sum(F.col("__match").cast("long")).alias("n_surv"),
                     F.first("entry_buckets").alias("entry_buckets"),
                 )
-                .join(hdr_flags, "entry_path", "left")
+                .join(hdr_meta, "entry_path", "left")
                 .collect()
             )
             partial = [
@@ -1816,7 +1825,9 @@ class CommitLogTableStore(TableStore):
                 ):
                     groups.append(
                         {
-                            "base": os.path.join(root, r["entry_path"]),
+                            "base": os.path.join(
+                                r["__base"] or root, r["entry_path"]
+                            ),
                             "paths": None,
                             "live": (
                                 list(r["entry_buckets"])
@@ -1825,31 +1836,48 @@ class CommitLogTableStore(TableStore):
                             ),
                         }
                     )
+            hdr_base = entries_df.filter(
+                F.col("file_path").isNull()
+            ).select(
+                "entry_path",
+                F.get_json_object(F.col("extra"), "$.base").alias("__base"),
+            )
             surv = (
                 flagged.filter(
                     F.col("__match") & F.col("entry_path").isin(partial)
                 )
-                .select("entry_path", "file_path")
+                .join(hdr_base, "entry_path", "left")
+                .select("entry_path", "file_path", "__base")
                 .collect()
                 if partial
                 else []
             )
         else:
             # Selective regime: collect exactly the survivors — the
-            # plan stays byte-identical to the driver path.
+            # plan stays byte-identical to the driver path. The base
+            # rides each collected row (clone entries resolve to their
+            # source dir) — still O(survivors) driver rows.
+            hdr_base = entries_df.filter(
+                F.col("file_path").isNull()
+            ).select(
+                "entry_path",
+                F.get_json_object(F.col("extra"), "$.base").alias("__base"),
+            )
             surv = (
                 flagged.filter(F.col("__match"))
-                .select("entry_path", "file_path")
+                .join(hdr_base, "entry_path", "left")
+                .select("entry_path", "file_path", "__base")
                 .collect()
             )
-        by_entry: dict[str, list[str]] = {}
+        by_entry: dict[tuple[str, str], list[str]] = {}
         for r in surv:
-            by_entry.setdefault(r["entry_path"], []).append(
-                os.path.join(root, r["entry_path"], r["file_path"])
+            b = r["__base"] or root
+            by_entry.setdefault((b, r["entry_path"]), []).append(
+                os.path.join(b, r["entry_path"], r["file_path"])
             )
         groups.extend(
-            {"base": os.path.join(root, ep), "paths": ps, "live": None}
-            for ep, ps in by_entry.items()
+            {"base": os.path.join(b, ep), "paths": ps, "live": None}
+            for (b, ep), ps in by_entry.items()
         )
         # Pre-stats entries (no file list): whole-dir groups with
         # row-level bucket filtering, exactly as the driver path.
@@ -1857,13 +1885,19 @@ class CommitLogTableStore(TableStore):
             entries_df.filter(
                 F.col("file_path").isNull() & ~F.col("has_files")
             )
-            .select("entry_path", "entry_buckets")
+            .select(
+                "entry_path",
+                "entry_buckets",
+                F.get_json_object(F.col("extra"), "$.base").alias("__base"),
+            )
             .collect()
         )
         for r in hdr:
             groups.append(
                 {
-                    "base": os.path.join(root, r["entry_path"]),
+                    "base": os.path.join(
+                        r["__base"] or root, r["entry_path"]
+                    ),
                     "paths": None,
                     "live": (
                         list(r["entry_buckets"])
@@ -1940,7 +1974,7 @@ class CommitLogTableStore(TableStore):
         groups: list[dict] = []
         total = selected = 0
         for e in man.get("entries") or []:
-            base = os.path.join(self.table_path(table_name), e["path"])
+            base = os.path.join(self._entry_base(table_name, e), e["path"])
             live = e.get("buckets")
             files = e.get("files")
             if files is None:
@@ -2563,8 +2597,14 @@ class CommitLogTableStore(TableStore):
                 by_dir.setdefault(d, []).append(rel)
             old_parts = []
             need_ids = mor_delete or mor_update or bool(prev_dvs)
+            dir_base = {
+                e["path"]: self._entry_base(table_name, e)
+                for e in prev_entries
+            }
             for d, rels in by_dir.items():
-                base = os.path.join(self.table_path(table_name), d)
+                base = os.path.join(
+                    dir_base.get(d, self.table_path(table_name)), d
+                )
                 p = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
@@ -3128,7 +3168,7 @@ class CommitLogTableStore(TableStore):
                     keep_entries.append({**e, "buckets": remaining})
                 if not overlap:
                     continue
-                p = os.path.join(self.table_path(table_name), e["path"])
+                p = os.path.join(self._entry_base(table_name, e), e["path"])
                 files = e.get("files")
                 if files is not None:
                     ov = set(overlap)
@@ -3333,7 +3373,7 @@ class CommitLogTableStore(TableStore):
                 overlap = sorted(set(e.get("buckets") or []) & touched_set)
                 if not overlap:
                     continue
-                p = os.path.join(self.table_path(table_name), e["path"])
+                p = os.path.join(self._entry_base(table_name, e), e["path"])
                 files = e.get("files")
                 if files is not None and dvs:
                     rewritten.extend(
@@ -3527,7 +3567,7 @@ class CommitLogTableStore(TableStore):
                 else:
                     kept_files.append(f)
             if touched_files:
-                base = os.path.join(self.table_path(table_name), e["path"])
+                base = os.path.join(self._entry_base(table_name, e), e["path"])
                 part = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
@@ -3735,7 +3775,7 @@ class CommitLogTableStore(TableStore):
                 else:
                     kept_files.append(f)
             if touched_files:
-                base = os.path.join(self.table_path(table_name), e["path"])
+                base = os.path.join(self._entry_base(table_name, e), e["path"])
                 part = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
@@ -4169,6 +4209,78 @@ class CommitLogTableStore(TableStore):
         self._bloom_cache[key] = out
         return out
 
+    def clone_table(
+        self,
+        source: str,
+        dest: str,
+        *,
+        source_store: "CommitLogTableStore | None" = None,
+        version: int | None = None,
+    ) -> int:
+        """SHALLOW CLONE (Delta's ``CREATE TABLE … SHALLOW CLONE``):
+        publish ``dest``'s first commit referencing ``source``'s
+        current (or ``version``'s) data files BY ABSOLUTE BASE — zero
+        bytes copied, however big the source. The clone then diverges
+        independently: appends/DML/merges write their own local dirs
+        while untouched source files stay referenced by base;
+        ``compact()`` materializes the clone fully local. Deletion
+        vectors clone by reference too (their file keys are
+        base-independent), so a MoR-deleted source row stays deleted
+        in the clone. Table metadata (column mapping, checks, added
+        columns, bucket layout) carries; txn watermarks and the bloom
+        index do NOT (fresh lineage; rebuild the index on the clone).
+
+        The commit is a plain ``op="replace"`` carrying
+        ``cloned_from`` — every reader, the change feed (initial
+        snapshot = inserts), and the streaming tail work unchanged.
+
+        The standard shallow-clone caveat applies: ``vacuum`` or
+        ``drop`` on the SOURCE can reclaim files the clone still
+        references (the clone's own vacuum never touches foreign
+        dirs). ``source_store`` lets the source live in a different
+        warehouse/schema. Returns the clone's version (1)."""
+        st = source_store or self
+        man = st._read_manifest(
+            source,
+            st.latest_version(source) if version is None else version,
+        )
+        if not man.get("entries"):
+            raise FileNotFoundError(f"table {source!r} does not exist")
+        if self._latest_commit(dest) is not None:
+            raise ValueError(f"table {dest!r} already exists")
+        src_base = st.table_path(source)
+        entries = [
+            {**e, "base": e.get("base") or src_base}
+            for e in man["entries"]
+        ]
+        dvs = [
+            {**d, "base": d.get("base") or src_base}
+            for d in man.get("delete_vectors") or []
+        ]
+        carry = {
+            k: v
+            for k, v in self._carry_mapping(man).items()
+            if k not in ("txns", "bloom_index")
+        }
+        self._commit(
+            dest,
+            {
+                "op": "replace",
+                "cloned_from": src_base,
+                "merge_buckets": man.get("merge_buckets"),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                "entries": entries,
+                **carry,
+                **({"delete_vectors": dvs} if dvs else {}),
+            },
+            1,
+        )
+        return 1
+
     # -- maintenance --------------------------------------------------------
 
     def restore(self, table_name: str, version: int) -> int:
@@ -4187,7 +4299,7 @@ class CommitLogTableStore(TableStore):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         latest, _ = snap
         for e in target.get("entries") or []:
-            d = os.path.join(self.table_path(table_name), e["path"])
+            d = os.path.join(self._entry_base(table_name, e), e["path"])
             if not self.io.is_dir(d):
                 raise FileNotFoundError(
                     f"cannot restore {table_name!r} to version {version}: "
@@ -4195,7 +4307,7 @@ class CommitLogTableStore(TableStore):
                     "within the vacuum retention window are restorable"
                 )
         for dv in target.get("delete_vectors") or []:
-            d = os.path.join(self.table_path(table_name), dv["path"])
+            d = os.path.join(self._entry_base(table_name, dv), dv["path"])
             if not self.io.is_dir(d):
                 raise FileNotFoundError(
                     f"cannot restore {table_name!r} to version {version}: "
@@ -4424,7 +4536,7 @@ class CommitLogTableStore(TableStore):
             if not e.get("pruned") or e.get("files") is None:
                 new_entries.append(e)
                 continue
-            base = os.path.join(self.table_path(table_name), e["path"])
+            base = os.path.join(self._entry_base(table_name, e), e["path"])
             physical = {
                 rel
                 for rel, _sz in self.io.list_files(base)
@@ -4517,7 +4629,7 @@ class CommitLogTableStore(TableStore):
                     if not dead:
                         kept_files_n += 1
             if small:
-                base = os.path.join(self.table_path(table_name), e["path"])
+                base = os.path.join(self._entry_base(table_name, e), e["path"])
                 part = (
                     self.spark.read.option("mergeSchema", "true")
                     .option("basePath", base)
@@ -4678,9 +4790,11 @@ class CommitLogTableStore(TableStore):
             and not sort_by
             and not zorder_by
             and not man.get("delete_vectors")
+            and not any(e.get("base") for e in man["entries"])
         ):
             # (outstanding deletion vectors always warrant the rewrite
-            # — compact is what materializes them)
+            # — compact is what materializes them; so do shallow-clone
+            # entries referencing another table's files)
             return {"compacted": False, "reason": "already compact"}
         df = self._read_manifest_df(table_name, man)
         # compact rewrites PHYSICAL frames; cluster keys arrive logical
