@@ -4283,6 +4283,89 @@ def store_bloom_skipping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_clone_events",
+    """
+    -- SHALLOW CLONE: zero-copy clone of the events table, DML on the
+    -- CLONE only (delete errors, +5 purchases), then both tables
+    -- aggregated side by side — the source must be untouched.
+    WITH cl AS (
+      SELECT event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN round(value, 2) + 5.0 ELSE value END AS value
+      FROM events WHERE event_type <> 'error'),
+    a AS (
+      SELECT 'clone' AS tbl, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+      FROM cl GROUP BY event_type),
+    b AS (
+      SELECT 'source' AS tbl, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_value
+      FROM events GROUP BY event_type)
+    SELECT * FROM a UNION ALL SELECT * FROM b
+    ORDER BY tbl, event_type
+    """,
+    "SHALLOW CLONE end-to-end: zero-copy clone, COW delete + update on "
+    "the clone only, source provably untouched — both aggregates equal "
+    "plain SQL",
+)
+def store_clone_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-clone-"), "q"
+    )
+    base = ev.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+    ).withColumn(
+        "_airbyte_extracted_at",
+        F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    store.write_append(base, "events")
+    store.clone_table("events", "events_dev")
+    # zero-copy: the clone's table path holds no data dirs
+    assert not [
+        n
+        for n in store.io.list_names(store.table_path("events_dev"))
+        if n.startswith("d-")
+    ]
+    store.delete_where("events_dev", [("event_type", "=", "error")])
+    store.update_where(
+        "events_dev",
+        [("event_type", "=", "purchase")],
+        {"value": "round(value, 2) + 5.0"},
+    )
+
+    def agg(tbl, name):
+        return (
+            store.read(tbl)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .withColumn("tbl", F.lit(name))
+        )
+
+    return (
+        agg("events_dev", "clone")
+        .unionByName(agg("events", "source"))
+        .select("tbl", "event_type", "n_events", "sum_value")
+        .orderBy("tbl", "event_type")
+    )
+
+
+@register(
     "store_change_feed_events",
     """
     -- The change feed of the same history: v3 DELETE emits the view
@@ -6131,6 +6214,7 @@ _DRIVER_PRIORITY = [
     "store_merge_full_sync_events",
     "store_mor_update_events",
     "store_bloom_skipping_events",
+    "store_clone_events",
     # round-7 additions + everything never driver-checked through r6
     # (union of CORRECTNESS_r01..r06 keys) — these get the 50 driver
     # slots first so every operator eventually earns a driver row.
