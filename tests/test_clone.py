@@ -137,3 +137,32 @@ def test_clone_distributed_scan_equivalence(spark, tmp_path, monkeypatch):
     src_base = drv.table_path("src")
     foreign = [g for g in plan["groups"] if g["base"].startswith(src_base)]
     assert foreign, plan["groups"]
+
+
+def test_clone_cdf_classifies_dml_on_foreign_files(spark, store):
+    """DML on a clone touches FOREIGN-based files; the change feed's
+    dir reads must resolve their base from the prior manifest."""
+    store.write_append(_df(spark, 0, 60), "src")
+    store.clone_table("src", "dst")
+    v0 = store.latest_version("dst")
+    store.delete_where("dst", [("id", "<", 10)])
+    store.update_where("dst", [("id", ">=", 50)], {"v": "'X'"})
+    feed = store.read_changes("dst", v0, store.latest_version("dst"))
+    by_type = {}
+    for r in feed.collect():
+        by_type.setdefault(r["_change_type"], set()).add(r["id"])
+    assert by_type["delete"] == set(range(10))
+    assert by_type["update_postimage"] == set(range(50, 60))
+
+
+def test_clone_of_clone_preserves_original_base(spark, store):
+    """A clone of a clone references the ORIGINAL table's files (base
+    carries through) — dropping the intermediate clone is harmless."""
+    store.write_append(_df(spark, 0, 25), "a")
+    store.clone_table("a", "b")
+    store.clone_table("b", "c")
+    man = store._read_manifest("c", 1)
+    a_base = store.table_path("a")
+    assert all(e.get("base") == a_base for e in man["entries"])
+    store.drop("b")
+    assert _ids(store.read("c")) == list(range(25))
