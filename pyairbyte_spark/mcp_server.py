@@ -545,6 +545,23 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "clone_table",
+            "SHALLOW CLONE a cached stream: zero-copy snapshot as a "
+            "new stream table referencing the source's files; diverges "
+            "independently (compact_table materializes it).",
+            {
+                "type": "object",
+                "properties": {
+                    "source_stream": {"type": "string"},
+                    "dest_stream": {"type": "string"},
+                },
+                "required": ["source_stream", "dest_stream"],
+            },
+            lambda h, a: t.clone_table(
+                h.cache, a["source_stream"], a["dest_stream"]
+            ),
+        ),
+        ToolDef(
             "vector_search_table",
             "Cosine top-k similarity search over a cached stream's "
             "embedding column: the row whose id_col equals query_id is "

@@ -239,6 +239,16 @@ def profile_table(
     ]
 
 
+def clone_table(
+    cache: SparkCache, source_stream: str, dest_stream: str
+) -> dict[str, Any]:
+    """SHALLOW CLONE: zero-copy snapshot of a cached stream as a new
+    stream table (references the source's files; diverges
+    independently; compact_table materializes)."""
+    v = cache.clone_stream(source_stream, dest_stream)
+    return {"cloned": dest_stream, "from": source_stream, "version": v}
+
+
 def vector_search_table(
     cache: SparkCache,
     stream_name: str,

@@ -712,3 +712,28 @@ def test_vector_search_tool(spark, tmp_path):
     assert [r["rank"] for r in out] == [1, 2, 3]
     assert all(r["neighbor_id"] != 0 for r in out)
     assert out[0]["cosine"] >= out[1]["cosine"] >= out[2]["cosine"]
+
+
+def test_clone_table_tool(spark, tmp_path):
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(spark, str(tmp_path / "ct"), table_format="commitlog")
+    df = (
+        spark.range(0, 20)
+        .withColumn("_airbyte_raw_id", F.col("id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    cache.store.write_append(df.coalesce(1), cache.table_name("users"))
+    client = _Client(McpStdioServer(LocalToolHost(cache=cache)))
+    out = _json.loads(
+        client.call_tool(
+            "clone_table",
+            {"source_stream": "users", "dest_stream": "users_dev"},
+        )["content"][0]["text"]
+    )
+    assert out == {"cloned": "users_dev", "from": "users", "version": 1}
+    assert len(cache["users_dev"]) == 20
