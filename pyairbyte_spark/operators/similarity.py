@@ -1417,18 +1417,27 @@ def append_to_pq_index(
     SetTransaction contract, so a streaming micro-batch appends
     EXACTLY ONCE — this is the hook ``StoreStreamingSink`` uses for
     stream-maintained indexes. Returns ``{"appended", "version",
-    "skipped"}``."""
+    "skipped"}``; the appended count rides an ``observe`` on the
+    encode job itself, so an epoch costs exactly ONE job (the staged
+    write) — no separate count pass."""
+    from pyspark.sql import Observation
+
     books, scale = _read_pq_codebooks(store, index_name)
+    obs = Observation()
     codes = pq_encode_int(
         new_vectors, books, id_col=id_col, vec_col=vec_col, int_scale=scale
-    )
+    ).observe(obs, F.count(F.lit(1)).alias("n"))
     res = store.write_append(codes, f"{index_name}_codes", txn=txn)
+    skipped = bool((res or {}).get("skipped"))
     return {
-        "appended": new_vectors.count() if res is None or not res.get("skipped") else 0,
+        # When the txn watermark skips the epoch, the staged write
+        # never ran — the observation is empty, and reading it would
+        # block. 0 is definitionally right there.
+        "appended": 0 if skipped else int(obs.get["n"] or 0),
         "version": (res or {}).get(
             "version", store.latest_version(f"{index_name}_codes")
         ),
-        "skipped": bool((res or {}).get("skipped")),
+        "skipped": skipped,
     }
 
 

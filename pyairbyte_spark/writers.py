@@ -87,7 +87,10 @@ class TableStore:
         # immutable, so (table, version) → full manifest caches safely.
         self._man_cache: dict[tuple[str, int], dict] = {}
         # (table, bloomidx ref) -> {(entry_path, file_path): {col: (m, k, bits)}}
+        # Byte-capped (bitsets dominate; a big table's index is GBs —
+        # an entry-count cap alone could pin 4×GB on the driver).
         self._bloom_cache: dict[tuple[str, str], dict] = {}
+        self._bloom_cache_bytes = 0
         # Timestamp stats require the MICROS physical type — INT96
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
@@ -865,6 +868,11 @@ class CommitLogTableStore(TableStore):
     # unknown-size AND unknown-rows entries are never broadcast.
     _DV_BROADCAST_MAX_BYTES = 8 * 1024 * 1024
     _DV_BROADCAST_MAX_ROWS = 1_000_000
+    # Driver-side bloom cache budget (bitset bytes, the dominant term;
+    # see _bloom_lookup). ~9.6 bits/key at 1% fpr → 64 MiB covers a
+    # ~55M-key index; anything bigger belongs to the distributed probe
+    # venue anyway.
+    _BLOOM_CACHE_MAX_BYTES = 64 * 1024 * 1024
 
     @staticmethod
     def _carry_dv(man: dict | None) -> dict:
@@ -4200,13 +4208,30 @@ class CommitLogTableStore(TableStore):
         except Exception:
             return None  # index dir vacuumed/corrupt: skip the optimization
         out: dict = {}
+        nbytes = 0
         for r in rows:
+            bits = bytes(r["bits"])
+            nbytes += len(bits)
             out.setdefault((r["entry_path"], r["file_path"]), {})[
                 r["col"]
-            ] = (int(r["m"]), int(r["k"]), bytes(r["bits"]))
-        if len(self._bloom_cache) >= 4:
-            self._bloom_cache.pop(next(iter(self._bloom_cache)))
-        self._bloom_cache[key] = out
+            ] = (int(r["m"]), int(r["k"]), bits)
+        # Byte-capped FIFO: evict oldest refs until this one fits. An
+        # index bigger than the whole cap is served but never cached
+        # (the driver-planning venue is already the wrong venue for a
+        # table that size — the distributed probe joins the index
+        # relationally and nothing index-sized crosses the driver).
+        if nbytes <= self._BLOOM_CACHE_MAX_BYTES:
+            while (
+                self._bloom_cache
+                and self._bloom_cache_bytes + nbytes
+                > self._BLOOM_CACHE_MAX_BYTES
+            ):
+                old = self._bloom_cache.pop(next(iter(self._bloom_cache)))
+                self._bloom_cache_bytes -= sum(
+                    len(b) for fb in old.values() for (_, _, b) in fb.values()
+                )
+            self._bloom_cache[key] = out
+            self._bloom_cache_bytes += nbytes
         return out
 
     def clone_table(
