@@ -1429,11 +1429,16 @@ def append_to_pq_index(
     ).observe(obs, F.count(F.lit(1)).alias("n"))
     res = store.write_append(codes, f"{index_name}_codes", txn=txn)
     skipped = bool((res or {}).get("skipped"))
+    # Observation.get is a PROPERTY returning the metrics dict (hence
+    # the subscript, not a call). It is populated by the FIRST action
+    # on the observed plan — which write_append guarantees is its
+    # staged write (see its docstring contract).
+    metrics = None if skipped else obs.get
     return {
         # When the txn watermark skips the epoch, the staged write
         # never ran — the observation is empty, and reading it would
         # block. 0 is definitionally right there.
-        "appended": 0 if skipped else int(obs.get["n"] or 0),
+        "appended": 0 if skipped else int(metrics["n"] or 0),
         "version": (res or {}).get(
             "version", store.latest_version(f"{index_name}_codes")
         ),

@@ -91,6 +91,9 @@ class TableStore:
         # an entry-count cap alone could pin 4×GB on the driver).
         self._bloom_cache: dict[tuple[str, str], dict] = {}
         self._bloom_cache_bytes = 0
+        # (table, ref) pairs whose index exceeds the cache cap: probed
+        # relationally (_bloom_probe_keys), never collected again.
+        self._bloom_oversize: set[tuple[str, str]] = set()
         # Timestamp stats require the MICROS physical type — INT96
         # (Spark's legacy default) writes no parquet min/max, which
         # kills time-column zone maps (filestats.py) AND Spark's own
@@ -1706,7 +1709,7 @@ class CommitLogTableStore(TableStore):
             # appended after the build have no row and stay unprunable)
             # and the membership test runs INSIDE the same pandas UDF
             # as the zone-map DNF — one relational pass, same venue.
-            bpath = os.path.join(root, bloom_meta["ref"])
+            bpath = self._bloom_index_path(table_name, bloom_meta)
             bdf = (
                 self.spark.read.parquet(
                     self.io.spark_read_path(bpath) or bpath
@@ -1777,9 +1780,13 @@ class CommitLogTableStore(TableStore):
         agg = flagged.agg(
             F.count(F.lit(1)).alias("t"),
             F.sum(F.col("__match").cast("long")).alias("s"),
+            F.sum(F.col("__blooms").isNull().cast("long")).alias("u"),
         ).collect()[0]
         total = int(agg["t"] or 0)
         selected = int(agg["s"] or 0)
+        bloom_uncovered = (
+            int(agg["u"] or 0) if (preds and bloom_cols) else None
+        )
         groups: list[dict] = []
         if selected >= self.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN:
             # Unselective regime: the surviving PATH LIST itself would
@@ -1922,6 +1929,8 @@ class CommitLogTableStore(TableStore):
             "manifest": top,
             "distributed": True,
         }
+        if bloom_uncovered is not None:
+            plan["files_bloom_uncovered"] = bloom_uncovered
         if not groups:
             # Everything skipped: read_where still needs a schema
             # source; hand it ONE live file instead of the manifest's
@@ -1979,8 +1988,10 @@ class CommitLogTableStore(TableStore):
                 table_name, top, entries_df, preds
             )
         blooms = self._bloom_lookup(table_name, man, preds)
+        oversize = blooms is self._BLOOM_OVERSIZE
         groups: list[dict] = []
-        total = selected = 0
+        total = selected = uncovered = 0
+        cand_keys: list[tuple[str, str]] = []
         for e in man.get("entries") or []:
             base = os.path.join(self._entry_base(table_name, e), e["path"])
             live = e.get("buckets")
@@ -1990,7 +2001,8 @@ class CommitLogTableStore(TableStore):
                 # dead buckets (correct, just unskippable).
                 groups.append({"base": base, "paths": None, "live": live})
                 continue
-            keep = []
+            keep: list[str] = []
+            keep_keys: list[tuple[str, str]] = []
             for f in files:
                 if (
                     live is not None
@@ -1999,9 +2011,14 @@ class CommitLogTableStore(TableStore):
                 ):
                     continue  # superseded bucket data — never live
                 total += 1
+                if (
+                    isinstance(blooms, dict)
+                    and (e["path"], f["path"]) not in blooms
+                ):
+                    uncovered += 1  # coverage watermark (live files)
                 if not file_may_match_dnf(f, preds):
                     continue
-                if blooms is not None:
+                if isinstance(blooms, dict):
                     from pyairbyte_spark.bloom import dnf_may_match
 
                     fb = blooms.get((e["path"], f["path"]))
@@ -2009,17 +2026,51 @@ class CommitLogTableStore(TableStore):
                     # are conservatively kept.
                     if fb and not dnf_may_match(fb, preds):
                         continue
+                elif oversize:
+                    # Defer to the relational probe below; remember
+                    # the key alongside its path for post-filtering.
+                    cand_keys.append((e["path"], f["path"]))
+                    keep_keys.append((e["path"], f["path"]))
                 keep.append(os.path.join(base, f["path"]))
                 selected += 1
             if keep:
-                groups.append({"base": base, "paths": keep, "live": live})
-        return {
+                g: dict = {"base": base, "paths": keep, "live": live}
+                if oversize:
+                    g["__keys"] = keep_keys
+                groups.append(g)
+        if oversize and cand_keys:
+            probe = self._bloom_probe_keys(
+                table_name, man["bloom_index"], preds, cand_keys
+            )
+            if probe is None:  # index unreadable: keep everything
+                for g in groups:
+                    g.pop("__keys", None)
+            else:
+                keep_set, uncovered = probe
+                pruned: list[dict] = []
+                selected = 0
+                for g in groups:
+                    ks = g.pop("__keys", None)
+                    if ks is None:
+                        pruned.append(g)
+                        continue
+                    paths = [
+                        p for p, k in zip(g["paths"], ks) if k in keep_set
+                    ]
+                    selected += len(paths)
+                    if paths:
+                        pruned.append({**g, "paths": paths})
+                groups = pruned
+        out = {
             "files_total": total,
             "files_selected": selected,
             "groups": groups,
             "predicates": preds,
             "manifest": man,
         }
+        if blooms is not None:
+            out["files_bloom_uncovered"] = uncovered
+        return out
 
     def read_where(
         self,
@@ -2849,7 +2900,14 @@ class CommitLogTableStore(TableStore):
         every commit-race retry, so two racing writers of the same
         (app, batch) can never both land. Returns ``{"version",
         "skipped"}`` when ``txn`` is given (None otherwise, the
-        historical signature)."""
+        historical signature).
+
+        Contract for ``df.observe(...)`` callers: the staged write is
+        the FIRST (and only) action this method executes on ``df`` —
+        no validation count or pre-action runs ahead of it — so an
+        attached Observation reflects exactly the staged rows (unless
+        the txn watermark skips the write entirely, in which case the
+        observation never populates and must not be read)."""
         if txn is not None:
             app_id, batch_id = txn
             pre = self._latest_commit(table_name)
@@ -4018,6 +4076,68 @@ class CommitLogTableStore(TableStore):
 
     # -- bloom-filter point-lookup index (bloom.py) --------------------------
 
+    # Target on-disk bytes per bloom-index shard. Small tables still
+    # produce ONE part file (same layout as before sharding); a
+    # many-million-file index splits into ~64 MB parquet parts so no
+    # single write task — and no later relational probe task — owns
+    # the whole index.
+    _BLOOM_SHARD_TARGET_BYTES = 64 << 20
+
+    def _bloom_index_path(self, table_name: str, meta: dict) -> str:
+        """Absolute dir of a bloom index: this table's root, or the
+        recorded ``base`` when the index was carried by SHALLOW CLONE
+        (index rows key ``(entry_path, file_path)`` — identical in the
+        clone, whose entries reference the same physical files — so
+        the byte-identical index dir is shared, like clone data
+        dirs)."""
+        return os.path.join(
+            meta.get("base") or self.table_path(table_name), meta["ref"]
+        )
+
+    def _live_files_frame(
+        self,
+        table_name: str,
+        man: dict | None,
+        entries_df: "DataFrame | None",
+    ) -> DataFrame:
+        """The snapshot's LIVE data files as a small relational frame
+        ``(entry_path, file_path, base, rows)`` — the unit bloom
+        building and coverage accounting fan out over. Driver memory:
+        O(files) rows for materialized manifests (those are already
+        driver-resident dicts), O(1) for sidecar-backed snapshots (the
+        checkpoint parquet itself is the frame; clone bases join from
+        the header rows' ``extra`` JSON)."""
+        if entries_df is not None:
+            hdr = entries_df.filter(F.col("file_path").isNull()).select(
+                "entry_path",
+                F.get_json_object(F.col("extra"), "$.base").alias("base"),
+            )
+            return (
+                entries_df.filter(F.col("file_path").isNotNull())
+                .filter(
+                    F.col("entry_buckets").isNull()
+                    | F.col("bucket").isNull()
+                    | F.expr("array_contains(entry_buckets, bucket)")
+                )
+                .select("entry_path", "file_path", "rows")
+                .join(hdr, "entry_path", "left")
+                .select("entry_path", "file_path", "base", "rows")
+            )
+        rows = [
+            (e["path"], f["path"], e.get("base"), f.get("rows"))
+            for e in man.get("entries") or []
+            for f in e.get("files") or []
+            if (
+                e.get("buckets") is None
+                or f.get("bucket") is None
+                or f["bucket"] in e["buckets"]
+            )
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "entry_path string, file_path string, base string, rows long",
+        )
+
     def build_bloom_index(
         self,
         table_name: str,
@@ -4038,70 +4158,161 @@ class CommitLogTableStore(TableStore):
         metadata-only). Files appended after a build are conservatively
         unprunable until ``only_missing=True`` re-covers them — the
         maintenance-cadence call, which scans ONLY the uncovered files.
-        Returns ``{"files_indexed", "columns", "version"}``."""
+        Columns may be given by logical or physical name.
+
+        Scale shape (the advertised use is "find this uuid in 100 TB",
+        so the BUILD must survive the same table): the target-file set
+        derives RELATIONALLY from the live-files frame — sidecar-backed
+        snapshots never materialize a driver file list, prior-index
+        rows carry by semi-/anti-join instead of a driver collect, and
+        above :attr:`DISTRIBUTED_SURVIVOR_COLLAPSE_MIN` uncovered files
+        the scan reads whole entry DIRS (O(data dirs) driver paths)
+        with the uncovered-key filter applied as a row-level semi-join.
+        The output parquet is SHARDED at ~64 MB per part, and the
+        ``set_bloom_index`` commit RETRY-REBASES past concurrent
+        writers like every other verb (the winner's entries carry;
+        files a racer appended stay conservatively uncovered).
+
+        Returns ``{"files_indexed", "columns", "version"}``.
+
+        Reference: data-skipping indexes have no PyAirbyte analog
+        (closest full-scan path: ``airbyte/caches/base.py``); semantics
+        follow Delta/Iceberg bloom-filter column indexes."""
         import pandas as pd
 
         from pyairbyte_spark import bloom as bl
+        from pyairbyte_spark import manifest as mf
 
-        snap = self._latest_commit(table_name)
-        if snap is None or not snap[1].get("entries"):
+        v0 = self._discover_latest(table_name)
+        if v0 is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
-        version, man = snap
-        if any(e.get("files") is None for e in man["entries"]):
+        top, entries_df, man = self._scan_source(table_name, v0)
+        if man is not None:
+            if not man.get("entries"):
+                raise FileNotFoundError(
+                    f"table {table_name!r} does not exist"
+                )
+            if any(e.get("files") is None for e in man["entries"]):
+                raise ValueError(
+                    "bloom index needs per-file manifests; run compact() once"
+                )
+        elif (
+            entries_df.filter(
+                F.col("file_path").isNull() & ~F.col("has_files")
+            )
+            .limit(1)
+            .count()
+        ):
             raise ValueError(
                 "bloom index needs per-file manifests; run compact() once"
             )
-        phys = [self._to_physical(man, c) for c in columns]
-        logical = self._apply_mapping(
-            self._read_manifest_df(table_name, man), man
-        )
-        for c in columns:
-            if c not in logical.columns:
-                raise ValueError(f"unknown column {c!r}")
-            t = logical.schema[c].dataType.simpleString()
-            if not bl.type_supported(t):
-                raise ValueError(
-                    f"bloom index supports string/integral columns; "
-                    f"{c!r} is {t} (its CAST AS STRING rendering is "
-                    "not engine-portable)"
-                )
+        phys = [self._to_physical(top, c) for c in columns]
+        physical = self._empty_df(top)
+        if physical is None and man is not None:
+            physical = self._read_manifest_df(table_name, man)
+        if physical is not None:  # pre-schema sidecar snapshots skip
+            for c, p in zip(columns, phys):
+                if p not in physical.columns:
+                    raise ValueError(
+                        f"unknown column {c!r} (bloom bits fold from "
+                        "physical file contents)"
+                    )
+                t = physical.schema[p].dataType.simpleString()
+                if not bl.type_supported(t):
+                    raise ValueError(
+                        f"bloom index supports string/integral columns; "
+                        f"{c!r} is {t} (its CAST AS STRING rendering is "
+                        "not engine-portable)"
+                    )
         root = self.table_path(table_name)
-        prior_ref = (man.get("bloom_index") or {}).get("ref")
-        carried_rows: list = []
-        covered: set[tuple[str, str]] = set()
-        live_keys = {
-            (e["path"], f["path"])
-            for e in man["entries"]
-            for f in e["files"]
-        }
+        files_df = self._live_files_frame(table_name, man, entries_df)
+        prior_meta = top.get("bloom_index") or {}
+        prior_ref = prior_meta.get("ref")
+        carried = None
+        uncov = files_df
+        prior_disk = 0
         if only_missing and prior_ref:
-            old = self.spark.read.parquet(
-                self.io.spark_read_path(os.path.join(root, prior_ref))
-            ).collect()
-            for r in old:
-                key = (r["entry_path"], r["file_path"])
-                if key in live_keys:
-                    carried_rows.append(r)
-                    covered.add(key)
-        targets: list[str] = []  # absolute paths of files to scan
-        for e in man["entries"]:
-            for f in e["files"]:
-                if (e["path"], f["path"]) not in covered:
-                    targets.append(os.path.join(root, e["path"], f["path"]))
-        n_new = len(targets)
-        if targets:
-            src = (
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(
-                    *[self.io.spark_read_path(t) or t for t in targets]
-                )
-                .select(
-                    *[F.col(p).cast("string").alias(p) for p in phys],
-                    F.regexp_extract(
-                        F.col("_metadata.file_path"), self._DV_FILE_RE, 1
-                    ).alias("__file"),
-                )
+            ppath = self._bloom_index_path(table_name, prior_meta)
+            prior_df = self.spark.read.parquet(
+                self.io.spark_read_path(ppath) or ppath
             )
+            live_keys = files_df.select("entry_path", "file_path")
+            # Relational carry: prior rows for still-live files keep,
+            # dead-file rows compact away — no driver round-trip.
+            carried = prior_df.join(
+                live_keys, ["entry_path", "file_path"], "left_semi"
+            ).select("entry_path", "file_path", "col", "m", "k", "bits")
+            uncov = files_df.join(
+                prior_df.select("entry_path", "file_path").distinct(),
+                ["entry_path", "file_path"],
+                "left_anti",
+            )
+            try:
+                prior_disk = sum(
+                    sz for _n, sz in self.io.list_files(ppath)
+                )
+            except Exception:
+                prior_disk = 0
+        agg = uncov.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("rows").alias("r")
+        ).collect()[0]
+        n_new = int(agg["n"] or 0)
+        new_rows = None if agg["r"] is None else int(agg["r"])
+        if n_new == 0 and carried is None:
+            return {"files_indexed": 0, "columns": phys, "version": v0}
+        built = None
+        if n_new:
+            if n_new <= self.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN:
+                # Selective regime (incremental re-cover, small table):
+                # exact file paths skip covered files' I/O entirely;
+                # the driver list is bounded by the threshold.
+                targets = [
+                    os.path.join(
+                        r["base"] or root, r["entry_path"], r["file_path"]
+                    )
+                    for r in uncov.select(
+                        "entry_path", "file_path", "base"
+                    ).collect()
+                ]
+                src = self.spark.read.option(
+                    "mergeSchema", "true"
+                ).parquet(*[self.io.spark_read_path(t) or t for t in targets])
+            else:
+                # Bulk regime: whole entry dirs — O(data dirs) driver
+                # paths, never a per-file list. Superseded-bucket
+                # files, COW-pruned files and already-covered files
+                # drop via the key semi-join below.
+                dirs = sorted(
+                    {
+                        os.path.join(r["base"] or root, r["entry_path"])
+                        for r in uncov.select("base", "entry_path")
+                        .distinct()
+                        .collect()
+                    }
+                )
+                src = (
+                    self.spark.read.option("mergeSchema", "true")
+                    .option("recursiveFileLookup", "true")
+                    .parquet(
+                        *[self.io.spark_read_path(d) or d for d in dirs]
+                    )
+                )
+            src = src.select(
+                *[F.col(p).cast("string").alias(p) for p in phys],
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), self._DV_FILE_RE, 1
+                ).alias("__file"),
+            )
+            if n_new > self.DISTRIBUTED_SURVIVOR_COLLAPSE_MIN:
+                src = src.join(
+                    uncov.select(
+                        F.concat_ws("/", "entry_path", "file_path").alias(
+                            "__file"
+                        )
+                    ),
+                    "__file",
+                    "left_semi",
+                )
             phys_b, fpr_b = list(phys), float(fpr)
 
             def fold(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -4129,51 +4340,154 @@ class CommitLogTableStore(TableStore):
                 "entry_path string, file_path string, col string, "
                 "m int, k int, bits binary",
             )
-        else:
-            built = None
-        name = f"bloomidx-{uuid.uuid4().hex[:12]}"
-        out_path = os.path.join(root, name)
         frames = built
-        if carried_rows:
-            carried = self.spark.createDataFrame(
-                carried_rows,
-                "entry_path string, file_path string, col string, "
-                "m int, k int, bits binary",
-            )
+        if carried is not None:
             frames = (
                 carried if frames is None else frames.unionByName(carried)
             )
-        if frames is None:
-            return {
-                "files_indexed": 0,
-                "columns": phys,
-                "version": version,
-            }
-        frames.coalesce(1).write.mode("overwrite").parquet(
+        # Shard the output at ~_BLOOM_SHARD_TARGET_BYTES per part
+        # (bloom bits are random, hence incompressible: disk ≈ memory;
+        # row counts ride the manifest, so the estimate is free).
+        per_row_bits = bl.size_bits(1_000_000, float(fpr))[0] / 1_000_000
+        est = prior_disk + int(
+            (per_row_bits / 8.0)
+            * (new_rows if new_rows is not None else n_new * 250_000)
+            * len(phys)
+        )
+        shards = int(
+            max(1, min(4096, -(-est // self._BLOOM_SHARD_TARGET_BYTES)))
+        )
+        frames = (
+            frames.coalesce(1) if shards == 1 else frames.repartition(shards)
+        )
+        name = f"bloomidx-{uuid.uuid4().hex[:12]}"
+        out_path = os.path.join(root, name)
+        frames.write.mode("overwrite").parquet(
             self.io.spark_read_path(out_path) or out_path
         )
-        manifest = {
-            "op": "set_bloom_index",
-            "merge_buckets": man.get("merge_buckets"),
-            **(
-                {"primary_keys": man["primary_keys"]}
-                if man.get("primary_keys")
-                else {}
-            ),
-            "entries": man["entries"],
-            **{
-                k: v
-                for k, v in self._carry_mapping(man).items()
-                if k != "bloom_index"
-            },
-            "bloom_index": {"ref": name, "columns": phys, "fpr": fpr},
-            **self._carry_dv(man),
-        }
-        self._commit(table_name, manifest, version + 1)
+        bloom_meta = {"ref": name, "columns": phys, "fpr": fpr}
+        # Publish with retry-rebase, like every other verb: losing a
+        # race to an append/DML re-commits against the WINNER's
+        # snapshot instead of discarding the whole build scan. Files a
+        # racer added stay conservatively uncovered; index rows for
+        # files a racer removed are dead weight the next rebuild
+        # compacts away. Neither direction affects exactness.
+        for _ in range(self._COMMIT_RETRIES):
+            if man is not None:
+                snap2 = self._latest_commit(table_name)
+                version2, man2 = snap2
+                manifest = {
+                    "op": "set_bloom_index",
+                    "merge_buckets": man2.get("merge_buckets"),
+                    **(
+                        {"primary_keys": man2["primary_keys"]}
+                        if man2.get("primary_keys")
+                        else {}
+                    ),
+                    "entries": man2["entries"],
+                    **{
+                        k: v
+                        for k, v in self._carry_mapping(man2).items()
+                        if k != "bloom_index"
+                    },
+                    "bloom_index": bloom_meta,
+                    **self._carry_dv(man2),
+                }
+                try:
+                    self._commit(table_name, manifest, version2 + 1)
+                    return {
+                        "files_indexed": n_new,
+                        "columns": phys,
+                        "version": version2 + 1,
+                    }
+                except ConcurrentCommitError:
+                    continue
+            else:
+                # Sidecar-backed snapshot: a delta commit with ZERO
+                # entry actions — new top fields only, entries carried
+                # by base reference. Nothing O(files) ever touches the
+                # driver on this path.
+                v2 = self._discover_latest(table_name)
+                top2 = mf.top_fields(self._read_commit_json(table_name, v2))
+                delta = {
+                    **{
+                        k: v
+                        for k, v in top2.items()
+                        if k not in ("op", "ts", "bloom_index")
+                    },
+                    "op": "set_bloom_index",
+                    "bloom_index": bloom_meta,
+                    "base": v2,
+                    "remove_paths": [],
+                    "add_entries": [],
+                    "replace_entries": {},
+                }
+                try:
+                    self._commit(table_name, delta, v2 + 1)
+                    # _commit caches what it was handed; a delta is
+                    # not a resolved manifest — drop it.
+                    self._man_cache.pop((table_name, v2 + 1), None)
+                    return {
+                        "files_indexed": n_new,
+                        "columns": phys,
+                        "version": v2 + 1,
+                    }
+                except ConcurrentCommitError:
+                    continue
+        raise ConcurrentCommitError(
+            f"set_bloom_index on {table_name!r} lost "
+            f"{self._COMMIT_RETRIES} commit races"
+        )
+
+    def bloom_coverage(self, table_name: str) -> dict | None:
+        """Coverage watermark for the table's bloom index: how many
+        LIVE files the current index covers. Compact / optimize /
+        COW-DML rewrite files out from under their bloom rows, so
+        coverage DECAYS until an ``only_missing=True`` rebuild (or a
+        ``refresh_bloom=True`` compact/optimize); this is the number
+        to alert on — ``read_where`` stays EXACT either way, uncovered
+        files are merely unprunable. Returns ``{"columns", "fpr",
+        "files_total", "files_covered", "files_uncovered"}``, or None
+        when the table has no index. Cost: one metadata-only join
+        (index keys × live-file keys), no data I/O, O(1) driver."""
+        v0 = self._discover_latest(table_name)
+        if v0 is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        top, entries_df, man = self._scan_source(table_name, v0)
+        meta = top.get("bloom_index")
+        if not meta:
+            return None
+        files_df = self._live_files_frame(table_name, man, entries_df)
+        path = self._bloom_index_path(table_name, meta)
+        try:
+            keys = (
+                self.spark.read.parquet(
+                    self.io.spark_read_path(path) or path
+                )
+                .select("entry_path", "file_path")
+                .distinct()
+                .withColumn("__cov", F.lit(1))
+            )
+        except Exception:  # index dir vacuumed: nothing is covered
+            keys = None
+        if keys is None:
+            total, covered = int(files_df.count()), 0
+        else:
+            agg = (
+                files_df.join(keys, ["entry_path", "file_path"], "left")
+                .agg(
+                    F.count(F.lit(1)).alias("t"),
+                    F.count("__cov").alias("c"),
+                )
+                .collect()[0]
+            )
+            total, covered = int(agg["t"]), int(agg["c"])
         return {
-            "files_indexed": n_new,
-            "columns": phys,
-            "version": version + 1,
+            "columns": meta.get("columns"),
+            "fpr": meta.get("fpr"),
+            "files_total": total,
+            "files_covered": covered,
+            "files_uncovered": total - covered,
         }
 
     @staticmethod
@@ -4187,12 +4501,19 @@ class CommitLogTableStore(TableStore):
                     used.add(conj[0])
         return used
 
-    def _bloom_lookup(
-        self, table_name: str, man: dict, preds: list
-    ) -> dict | None:
-        """Driver-side bloom map for the predicate's indexed columns,
-        or None when the index can't help. Cached per (table, ref) —
-        index dirs are immutable, a rebuild changes the ref."""
+    # Sentinel: a bloom index too large to cache driver-side. plan_scan
+    # reacts by probing membership RELATIONALLY (_bloom_probe_keys) —
+    # nothing index-sized crosses the driver, however small the
+    # table's manifest happens to be.
+    _BLOOM_OVERSIZE = object()
+
+    def _bloom_lookup(self, table_name: str, man: dict, preds: list):
+        """Driver-side bloom map for the predicate's indexed columns:
+        a ``{(entry, file): {col: (m, k, bits)}}`` dict when the index
+        fits the byte-capped cache, :attr:`_BLOOM_OVERSIZE` when it
+        doesn't, or None when the index can't help this predicate.
+        Cached per (table, ref) — index dirs are immutable, a rebuild
+        changes the ref."""
         meta = man.get("bloom_index")
         if not meta or not self._bloom_pred_cols(meta, preds):
             return None
@@ -4200,7 +4521,19 @@ class CommitLogTableStore(TableStore):
         cached = self._bloom_cache.get(key)
         if cached is not None:
             return cached
-        path = os.path.join(self.table_path(table_name), meta["ref"])
+        if key in self._bloom_oversize:
+            return self._BLOOM_OVERSIZE
+        path = self._bloom_index_path(table_name, meta)
+        # Size probe BEFORE any collect (bloom bits are incompressible,
+        # so on-disk bytes ≈ driver bytes): an over-cap index is never
+        # pulled to the driver — not even once.
+        try:
+            disk = sum(sz for _n, sz in self.io.list_files(path))
+        except Exception:
+            disk = 0
+        if disk > self._BLOOM_CACHE_MAX_BYTES:
+            self._bloom_oversize.add(key)
+            return self._BLOOM_OVERSIZE
         try:
             rows = self.spark.read.parquet(
                 self.io.spark_read_path(path) or path
@@ -4208,31 +4541,110 @@ class CommitLogTableStore(TableStore):
         except Exception:
             return None  # index dir vacuumed/corrupt: skip the optimization
         out: dict = {}
-        nbytes = 0
         for r in rows:
-            bits = bytes(r["bits"])
-            nbytes += len(bits)
             out.setdefault((r["entry_path"], r["file_path"]), {})[
                 r["col"]
-            ] = (int(r["m"]), int(r["k"]), bits)
-        # Byte-capped FIFO: evict oldest refs until this one fits. An
-        # index bigger than the whole cap is served but never cached
-        # (the driver-planning venue is already the wrong venue for a
-        # table that size — the distributed probe joins the index
-        # relationally and nothing index-sized crosses the driver).
-        if nbytes <= self._BLOOM_CACHE_MAX_BYTES:
-            while (
-                self._bloom_cache
-                and self._bloom_cache_bytes + nbytes
-                > self._BLOOM_CACHE_MAX_BYTES
-            ):
-                old = self._bloom_cache.pop(next(iter(self._bloom_cache)))
-                self._bloom_cache_bytes -= sum(
-                    len(b) for fb in old.values() for (_, _, b) in fb.values()
-                )
+            ] = (int(r["m"]), int(r["k"]), bytes(r["bits"]))
+        # Byte accounting from the FINAL dict: duplicate (entry, file,
+        # col) rows overwrite in place, so summing raw row bytes would
+        # over-state and permanently shrink effective capacity.
+        nbytes = sum(
+            len(b) for fb in out.values() for (_m, _k, b) in fb.values()
+        )
+        if nbytes > self._BLOOM_CACHE_MAX_BYTES:
+            # The size probe under-estimated (tiny parquet overhead
+            # variance): serve this result, go relational next time.
+            self._bloom_oversize.add(key)
+            return out
+        while (
+            self._bloom_cache
+            and self._bloom_cache_bytes + nbytes
+            > self._BLOOM_CACHE_MAX_BYTES
+        ):
+            old = self._bloom_cache.pop(next(iter(self._bloom_cache)))
+            self._bloom_cache_bytes -= sum(
+                len(b) for fb in old.values() for (_m, _k, b) in fb.values()
+            )
+        if key not in self._bloom_cache:  # concurrent double-miss guard
             self._bloom_cache[key] = out
             self._bloom_cache_bytes += nbytes
         return out
+
+    def _bloom_probe_keys(
+        self,
+        table_name: str,
+        meta: dict,
+        preds: list,
+        candidates: list,
+    ) -> "tuple[set, int] | None":
+        """Relational bloom membership for OVERSIZE indexes: join the
+        zone-map-surviving candidate ``(entry_path, file_path)`` keys
+        against the index parquet, evaluate the DNF per file in an
+        Arrow-batched UDF, and collect only the keys that MAY match
+        (uncovered candidates keep, conservatively). Driver transfer
+        is O(survivors) — the selective-lookup case bloom exists for —
+        never O(index). Returns ``(keys_to_keep, n_uncovered)``, or
+        None when the index is unreadable (caller keeps everything)."""
+        import numpy as np
+        import pandas as pd
+
+        path = self._bloom_index_path(table_name, meta)
+        try:
+            idx = self.spark.read.parquet(
+                self.io.spark_read_path(path) or path
+            )
+        except Exception:
+            return None
+        cols = sorted(self._bloom_pred_cols(meta, preds))
+        cand = self.spark.createDataFrame(
+            list(candidates), "entry_path string, file_path string"
+        )
+        bdf = (
+            idx.filter(F.col("col").isin(cols))
+            .groupBy("entry_path", "file_path")
+            .agg(
+                F.collect_list(F.struct("col", "m", "k", "bits")).alias(
+                    "__blooms"
+                )
+            )
+        )
+        joined = cand.join(bdf, ["entry_path", "file_path"], "left")
+        preds_b = preds
+
+        @F.pandas_udf("boolean")
+        def _may(blooms: pd.Series) -> pd.Series:
+            from pyairbyte_spark.bloom import dnf_may_match
+
+            out = []
+            for b in blooms:
+                if isinstance(b, (list, tuple, np.ndarray)) and len(b):
+                    fb = {
+                        d["col"]: (
+                            int(d["m"]),
+                            int(d["k"]),
+                            bytes(d["bits"]),
+                        )
+                        for d in b
+                    }
+                    out.append(bool(dnf_may_match(fb, preds_b)))
+                else:  # uncovered: conservatively keep
+                    out.append(True)
+            return pd.Series(out)
+
+        kept = (
+            joined.withColumn("__keep", _may(F.col("__blooms")))
+            .filter(F.col("__keep"))
+            .select(
+                "entry_path",
+                "file_path",
+                F.col("__blooms").isNull().alias("__uncov"),
+            )
+            .collect()
+        )
+        return (
+            {(r["entry_path"], r["file_path"]) for r in kept},
+            sum(1 for r in kept if r["__uncov"]),
+        )
 
     def clone_table(
         self,
@@ -4252,8 +4664,12 @@ class CommitLogTableStore(TableStore):
         vectors clone by reference too (their file keys are
         base-independent), so a MoR-deleted source row stays deleted
         in the clone. Table metadata (column mapping, checks, added
-        columns, bucket layout) carries; txn watermarks and the bloom
-        index do NOT (fresh lineage; rebuild the index on the clone).
+        columns, bucket layout) carries, and so does the BLOOM INDEX —
+        its rows key ``(entry_path, file_path)``, identical in the
+        clone, so the index dir is shared by reference (``base``) and
+        clone point lookups prune from commit 1 with no rebuild; the
+        clone's own builds then write locally. Txn watermarks do NOT
+        carry (fresh lineage).
 
         The commit is a plain ``op="replace"`` carrying
         ``cloned_from`` — every reader, the change feed (initial
@@ -4287,6 +4703,16 @@ class CommitLogTableStore(TableStore):
             for k, v in self._carry_mapping(man).items()
             if k not in ("txns", "bloom_index")
         }
+        bi = man.get("bloom_index")
+        if bi:
+            # Shared by reference, like the data files it describes.
+            # The standard clone caveat applies: a SOURCE vacuum that
+            # reclaims the index dir degrades the clone to unindexed
+            # scans (readers skip a vanished index, never fail).
+            carry["bloom_index"] = {
+                **bi,
+                "base": bi.get("base") or src_base,
+            }
         self._commit(
             dest,
             {
@@ -4597,12 +5023,29 @@ class CommitLogTableStore(TableStore):
             return False  # flags stay conservative; next vacuum retries
         return True
 
+    def _maybe_refresh_bloom(self, table_name: str, man: dict) -> None:
+        """Re-cover a maintenance rewrite's fresh files in the bloom
+        index (``only_missing=True`` — scans ONLY the new files).
+        Called by compact/optimize under ``refresh_bloom=True`` so
+        point-lookup pruning survives the rewrite instead of decaying
+        to the :meth:`bloom_coverage` watermark."""
+        bi = man.get("bloom_index")
+        if not bi:
+            return
+        self.build_bloom_index(
+            table_name,
+            list(bi.get("columns") or []),
+            fpr=float(bi.get("fpr") or 0.01),
+            only_missing=True,
+        )
+
     def optimize(
         self,
         table_name: str,
         *,
         small_file_bytes: int = 32 << 20,
         min_files: int = 2,
+        refresh_bloom: bool = False,
     ) -> dict:
         """Bin-packing small-file compaction (Delta ``OPTIMIZE``
         without ZORDER): rewrite ONLY the live files below
@@ -4711,6 +5154,8 @@ class CommitLogTableStore(TableStore):
         for _ in range(self._COMMIT_RETRIES):
             try:
                 self._commit(table_name, manifest, version + 1)
+                if refresh_bloom:
+                    self._maybe_refresh_bloom(table_name, man)
                 return {
                     "optimized": True,
                     "files_rewritten": len(small_paths),
@@ -4779,6 +5224,7 @@ class CommitLogTableStore(TableStore):
         sort_by: list[str] | None = None,
         zorder_by: list[str] | None = None,
         target_files: int | None = None,
+        refresh_bloom: bool = False,
     ) -> dict:
         """Rewrite the current snapshot into a single data directory
         (keeping the bucket layout) and publish it as one commit.
@@ -4820,6 +5266,10 @@ class CommitLogTableStore(TableStore):
             # (outstanding deletion vectors always warrant the rewrite
             # — compact is what materializes them; so do shallow-clone
             # entries referencing another table's files)
+            if refresh_bloom:
+                # No rewrite needed, but re-covering uncovered files
+                # is still useful maintenance on its own.
+                self._maybe_refresh_bloom(table_name, man)
             return {"compacted": False, "reason": "already compact"}
         df = self._read_manifest_df(table_name, man)
         # compact rewrites PHYSICAL frames; cluster keys arrive logical
@@ -4890,4 +5340,6 @@ class CommitLogTableStore(TableStore):
             },
             version + 1,
         )
+        if refresh_bloom:
+            self._maybe_refresh_bloom(table_name, man)
         return {"compacted": True, "dirs_before": n_before, "dirs_after": 1}

@@ -202,3 +202,198 @@ def test_bloom_on_bucketed_table(spark, tmp_path):
     assert plan["files_selected"] < plan["files_total"] // 4
     got = store.read_where("t", [("key", "=", key)]).collect()
     assert len(got) == 1 and got[0]["id"] == 55
+
+
+# -- round 10: distributed build, rebase, clone carry, oversize probe ------
+
+
+def test_build_rebases_past_concurrent_append(spark, store, tmp_path, monkeypatch):
+    """set_bloom_index retry-rebases like every other verb: a racer's
+    append landing between the build's scan and its commit must not
+    discard the build — the re-commit carries the WINNER's entries,
+    the racer's file stays conservatively uncovered, results exact."""
+    _seed(spark, store, n_files=3)
+    other = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    orig = store._commit
+    raced = {"n": 0}
+
+    def racy(table, manifest, version):
+        if manifest.get("op") == "set_bloom_index" and raced["n"] == 0:
+            raced["n"] = 1
+            other.write_append(_batch(spark, 9000, 9500), "t")
+        return orig(table, manifest, version)
+
+    monkeypatch.setattr(store, "_commit", racy)
+    r = store.build_bloom_index("t", ["key"])
+    assert raced["n"] == 1 and r["files_indexed"] == 3
+    man = store._read_manifest("t", store.latest_version("t"))
+    assert man.get("bloom_index")
+    # the racer's rows survived the rebase
+    assert store.read("t").count() == 3 * 500 + 500
+    # the racer's file is uncovered: conservatively kept, still exact
+    key = _key_of(spark, 9100)
+    plan = store.plan_scan("t", [("key", "=", key)])
+    assert plan["files_bloom_uncovered"] == 1
+    got = store.read_where("t", [("key", "=", key)]).collect()
+    assert len(got) == 1 and got[0]["id"] == 9100
+
+
+def test_build_race_threaded(spark, tmp_path):
+    """A real threaded build-vs-append race: whatever the interleaving,
+    both land, the index is live, and lookups stay exact."""
+    import threading
+
+    s1 = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    s2 = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    for i in range(3):
+        s1.write_append(_batch(spark, i * 500, (i + 1) * 500), "t")
+    errs: list = []
+    gate = threading.Barrier(2)
+
+    def build():
+        try:
+            gate.wait()
+            s1.build_bloom_index("t", ["key"])
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def append():
+        try:
+            gate.wait()
+            s2.write_append(_batch(spark, 7000, 7500), "t")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=build), threading.Thread(target=append)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    fresh = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    man = fresh._read_manifest("t", fresh.latest_version("t"))
+    assert man.get("bloom_index"), "both commits must have landed"
+    assert fresh.read("t").count() == 2000
+    for probe_id in (100, 7100):
+        key = _key_of(spark, probe_id)
+        got = fresh.read_where("t", [("key", "=", key)]).collect()
+        assert len(got) == 1 and got[0]["id"] == probe_id
+
+
+def test_clone_carries_bloom_index(spark, tmp_path):
+    """SHALLOW CLONE shares the source's bloom index by base reference
+    (rows key (entry, file) — identical in the clone): clone point
+    lookups prune from commit 1 with NO rebuild."""
+    src = CommitLogTableStore(spark, str(tmp_path / "a"), "main")
+    _seed(spark, src, n_files=5)
+    src.build_bloom_index("t", ["key"])
+    dst = CommitLogTableStore(spark, str(tmp_path / "b"), "main")
+    dst.clone_table("t", "c", source_store=src)
+    man = dst._read_manifest("c", 1)
+    assert man["bloom_index"]["base"] == src.table_path("t")
+    key = _key_of(spark, 1234)
+    plan = dst.plan_scan("c", [("key", "=", key)])
+    assert plan["files_selected"] <= 2 < plan["files_total"]
+    got = dst.read_where("c", [("key", "=", key)]).collect()
+    assert len(got) == 1 and got[0]["id"] == 1234
+    cov = dst.bloom_coverage("c")
+    assert cov["files_uncovered"] == 0 and cov["files_covered"] == 5
+    # the clone's own rebuild writes LOCALLY and drops the foreign base
+    dst.write_append(_batch(spark, 9000, 9500), "c")
+    dst.build_bloom_index("c", ["key"], only_missing=True)
+    man2 = dst._read_manifest("c", dst.latest_version("c"))
+    assert "base" not in man2["bloom_index"]
+    assert dst.plan_scan("c", [("key", "=", "nope")])["files_selected"] == 0
+
+
+def test_oversize_index_probes_relationally(spark, store):
+    """An index bigger than the driver cache cap is NEVER collected:
+    plan_scan runs the membership test as a Spark job and only
+    surviving keys cross back — pruning and exactness unchanged."""
+    _seed(spark, store, n_files=6)
+    store.build_bloom_index("t", ["key"])
+    store._BLOOM_CACHE_MAX_BYTES = 16  # instance override: force oversize
+    key = _key_of(spark, 1234)
+    plan = store.plan_scan("t", [("key", "=", key)])
+    assert plan["files_selected"] <= 2 < plan["files_total"]
+    ref = store._read_manifest("t", store.latest_version("t"))[
+        "bloom_index"
+    ]["ref"]
+    assert ("t", ref) in store._bloom_oversize
+    assert not store._bloom_cache, "oversize index must never be cached"
+    got = store.read_where("t", [("key", "=", key)]).collect()
+    assert len(got) == 1 and got[0]["id"] == 1234
+    # absent key: everything covered prunes, nothing survives
+    assert store.plan_scan("t", [("key", "=", "nope")])["files_selected"] == 0
+
+
+def test_distributed_build_no_driver_file_list(spark, tmp_path, monkeypatch):
+    """Sidecar-backed snapshots BUILD through the relational path (a
+    zero-entry-action delta commit) and the result is byte-equivalent
+    to a driver-venue build."""
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    st = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    _seed(spark, st, n_files=4, per=300)
+    st.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    v_before = st.latest_version("t")
+    st._invalidate_manifests("t")  # latest_version materialized it
+    r = st.build_bloom_index("t", ["key"])
+    assert r["files_indexed"] == 4 and r["version"] == v_before + 1
+    # the commit is a delta with zero entry actions
+    raw = st._read_commit_json("t", r["version"])
+    assert raw["base"] == v_before and not raw["add_entries"]
+    assert raw["bloom_index"]["columns"] == ["key"]
+    key = _key_of(spark, 700)
+    plan = st.plan_scan("t", [("key", "=", key)])
+    assert plan.get("distributed") is True
+    assert plan["files_selected"] < 4
+    assert plan["files_bloom_uncovered"] == 0
+    got = st.read_where("t", [("key", "=", key)]).collect()
+    assert len(got) == 1 and got[0]["id"] == 700
+    # incremental re-cover through the same venue
+    st.write_append(_batch(spark, 5000, 5300), "t")
+    st._invalidate_manifests("t")
+    r2 = st.build_bloom_index("t", ["key"], only_missing=True)
+    assert r2["files_indexed"] == 1
+    assert st.plan_scan("t", [("key", "=", "nope")])["files_selected"] == 0
+
+
+def test_sharded_index_output(spark, store):
+    """Above the shard byte target the index parquet splits into
+    multiple parts; probing is unchanged."""
+    store._BLOOM_SHARD_TARGET_BYTES = 512  # force multi-part output
+    _seed(spark, store, n_files=4)
+    store.build_bloom_index("t", ["key"])
+    ref = store._read_manifest("t", store.latest_version("t"))[
+        "bloom_index"
+    ]["ref"]
+    parts = [
+        n
+        for n, _sz in store.io.list_files(
+            f"{store.table_path('t')}/{ref}"
+        )
+        if n.endswith(".parquet")
+    ]
+    assert len(parts) > 1
+    key = _key_of(spark, 42)
+    assert store.plan_scan("t", [("key", "=", key)])["files_selected"] <= 2
+    assert store.read_where("t", [("key", "=", key)]).count() == 1
+
+
+def test_coverage_watermark_and_refresh(spark, store):
+    """Compaction rewrites files out from under their bloom rows:
+    coverage DECAYS and is REPORTED (bloom_coverage + plan_scan);
+    refresh_bloom=True re-covers in the same maintenance call."""
+    _seed(spark, store, n_files=3)
+    store.build_bloom_index("t", ["key"])
+    assert store.bloom_coverage("t")["files_uncovered"] == 0
+    store.compact("t")
+    cov = store.bloom_coverage("t")
+    assert cov["files_covered"] == 0 and cov["files_uncovered"] > 0
+    key = _key_of(spark, 77)
+    plan = store.plan_scan("t", [("key", "=", key)])
+    assert plan["files_bloom_uncovered"] == plan["files_total"]
+    assert store.read_where("t", [("key", "=", key)]).count() == 1  # exact
+    store.compact("t", refresh_bloom=True)
+    cov2 = store.bloom_coverage("t")
+    assert cov2["files_uncovered"] == 0 and cov2["files_covered"] > 0
+    assert store.plan_scan("t", [("key", "=", "nope")])["files_selected"] == 0
+    assert store.read_where("t", [("key", "=", key)]).count() == 1
