@@ -4808,6 +4808,94 @@ def store_merge_full_sync_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_merge_evolve_events",
+    """
+    -- MERGE INTO with SCHEMA EVOLUTION (Delta autoMerge): the source
+    -- carries a brand-new `score` column — inserted rows take the
+    -- source value, updated rows take it because the clause names it,
+    -- every pre-existing row reads NULL. Mirrors as LEFT-JOIN CASE
+    -- algebra where score exists only on source-backed rows.
+    WITH src AS (
+      SELECT event_id, event_type, event_id % 97 AS score
+      FROM events WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT event_id + 10000000, event_type, CAST(42 AS BIGINT) AS score
+      FROM events WHERE event_id % 11 = 0
+    ),
+    final AS (
+      SELECT t.event_id, t.event_type,
+             CASE WHEN s.event_id IS NOT NULL THEN s.score END AS score
+      FROM events t LEFT JOIN src s USING (event_id)
+      UNION ALL
+      SELECT s.event_id, s.event_type, s.score
+      FROM src s LEFT JOIN events t USING (event_id)
+      WHERE t.event_id IS NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(score) AS BIGINT) AS n_scored,
+           CAST(sum(score) AS BIGINT) AS sum_score,
+           max(event_id) AS max_event
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "MERGE INTO schema evolution end-to-end: a source-only column "
+    "joins the table schema in the same commit (inserts carry values, "
+    "named updates take them, untouched rows read NULL — no rewrite "
+    "of untouched buckets)",
+)
+def store_merge_evolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    base = ev.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+    ).withColumn(
+        "_airbyte_extracted_at",
+        F.lit("2026-01-01 00:00:00").cast("timestamp"),
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-evo-"), "q", merge_buckets=8
+    )
+    store.write_merge(base, "events", ["event_id"])
+    src = (
+        ev.filter(F.col("event_id") % 5 == 0)
+        .withColumn("score", F.col("event_id") % 97)
+        .unionByName(
+            ev.filter(F.col("event_id") % 11 == 0).select(
+                (F.col("event_id") + 10_000_000).alias("event_id"),
+                "user_id",
+                "event_type",
+                "value",
+                F.lit(42).cast("long").alias("score"),
+            )
+        )
+    )
+    store.merge_into(
+        "events",
+        src,
+        ["event_id"],
+        when_matched_update={"score": "s.score"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("score").alias("n_scored"),
+            F.sum("score").alias("sum_score"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     -- Cohort retention matrix: users grouped by first-activity day,
@@ -6204,6 +6292,8 @@ _register_profile_query()
 # is additionally oracle-checked by tests/test_oracle_parity.py each run,
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
+    # round-10 additions: never driver-checked — top of the window.
+    "store_merge_evolve_events",
     # round-8 first: the two rows that were err:no_oracle in r7, now
     # oracle-bearing (fixed integer-lattice literals), plus the new
     # persisted-PQ lifecycle query — these MUST earn green driver rows

@@ -3075,6 +3075,7 @@ class CommitLogTableStore(TableStore):
         when_not_matched_insert: bool = True,
         when_not_matched_by_source_update: dict[str, str] | None = None,
         when_not_matched_by_source_delete: "str | bool" = False,
+        schema_evolution: bool = False,
         txn: tuple[str, int] | None = None,
     ) -> dict:
         """Clause-based MERGE (Delta's ``MERGE INTO`` subset): pair
@@ -3108,6 +3109,18 @@ class CommitLogTableStore(TableStore):
         duplicate key would pair one target row with two clause
         outcomes (Delta raises the same error).
 
+        ``schema_evolution=True`` is Delta's ``autoMerge``: source
+        columns absent from the target are ADDED to the table schema
+        in the same commit — inserted rows carry their source values,
+        updated rows get them only when an update clause names them,
+        and every pre-existing row reads NULL (composing with the
+        metadata-``add_column`` semantics; untouched files are never
+        rewritten, readers resolve the missing column to NULL). With
+        the default ``False``, extra source columns are ignored —
+        the projection is target-shaped, PyAirbyte's lenient-source
+        posture (reference: auto-add-on-append,
+        ``airbyte/shared/sql_processor.py:934-981``).
+
         Scale shape: when the table is bucketed and ``on`` equals its
         primary keys, only the SOURCE'S buckets are read and rewritten
         (file-targeted, DV-applied) and untouched buckets carry by
@@ -3140,6 +3153,7 @@ class CommitLogTableStore(TableStore):
                     when_not_matched_insert,
                     when_not_matched_by_source_update,
                     when_not_matched_by_source_delete,
+                    schema_evolution,
                     txn,
                 )
             except ConcurrentCommitError as e:
@@ -3159,6 +3173,7 @@ class CommitLogTableStore(TableStore):
         ins: bool,
         bs_upd: dict | None = None,
         bs_dele=False,
+        schema_evolution: bool = False,
         txn: tuple[str, int] | None = None,
     ) -> dict:
         from pyspark.sql import Observation
@@ -3343,6 +3358,29 @@ class CommitLogTableStore(TableStore):
                         F.col("__action") == "B", F.expr(bs_upd[c])
                     )
                 proj.append(expr.otherwise(F.col(f"t.{c}")).alias(c))
+            if schema_evolution:
+                # Delta autoMerge: source-only columns join the
+                # schema. Inserts carry source values; updates only
+                # when a clause names the column; every pre-existing
+                # row is NULL (add_column semantics — untouched files
+                # are never rewritten, readers resolve the gap).
+                skip = set(out_cols) | {"__s"}
+                for c in [c for c in src.columns if c not in skip]:
+                    styp = src.schema[c].dataType
+                    expr = F.when(
+                        F.col("__action") == "I", F.col(f"s.{c}")
+                    )
+                    if upd and c in upd:
+                        expr = expr.when(
+                            F.col("__action") == "U", F.expr(upd[c])
+                        )
+                    if bs_upd and c in bs_upd:
+                        expr = expr.when(
+                            F.col("__action") == "B", F.expr(bs_upd[c])
+                        )
+                    proj.append(
+                        expr.otherwise(F.lit(None).cast(styp)).alias(c)
+                    )
             merged = (
                 j.observe(
                     obs,

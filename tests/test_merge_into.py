@@ -288,3 +288,72 @@ def test_by_source_only_clause_and_cdf(spark, store):
     }
     assert kinds.get("delete") == 50
     assert not kinds.get("insert")
+
+
+def test_schema_evolution_adds_source_columns(spark, store):
+    """Delta autoMerge semantics: schema_evolution=True adds
+    source-only columns — inserts carry source values, updates only
+    when a clause names them, pre-existing rows read NULL; follow-up
+    appends see the evolved schema."""
+    _target(spark, store)
+    src = _src(spark, [5, 6, 200]).withColumn(
+        "score", F.col("id").cast("double") / 2
+    )
+    # default: extra source columns are ignored (target-shaped)
+    store.merge_into(
+        "t", src, ["id"],
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=False,
+    )
+    assert "score" not in store.read("t").columns
+    res = store.merge_into(
+        "t", src, ["id"],
+        when_matched_update={"v": "s.v + 1", "score": "s.score"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    assert res["inserted"] == 1 and res["updated"] == 2
+    got = {r["id"]: r for r in store.read("t").collect()}
+    assert got[200]["score"] == 100.0          # insert: source value
+    assert got[5]["score"] == 2.5              # update clause named it
+    assert got[50]["score"] is None            # untouched row: NULL
+    assert store.read("t").schema["score"].dataType.simpleString() == "double"
+    # the evolved schema is the table's schema for later writers
+    store.merge_into(
+        "t",
+        _src(spark, [300]).withColumn("score", F.lit(9.0)),
+        ["id"],
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    got2 = {r["id"]: r for r in store.read("t").collect()}
+    assert got2[300]["score"] == 9.0 and got2[50]["score"] is None
+
+
+def test_schema_evolution_bucketed_incremental(spark, store):
+    """Evolution on the bucketed incremental path: untouched buckets
+    carry BY REFERENCE (no rewrite) yet read NULL for the new column
+    via schema merge."""
+    _target(spark, store, buckets=8)
+    src = _src(spark, [3, 4]).withColumn("note", F.lit("tagged"))
+    before = {
+        e["path"]
+        for e in store._read_manifest("t", store.latest_version("t"))[
+            "entries"
+        ]
+    }
+    res = store.merge_into(
+        "t", src, ["id"],
+        when_matched_update={"v": "s.v", "note": "s.note"},
+        when_not_matched_insert=True,
+        schema_evolution=True,
+    )
+    assert res["updated"] == 2
+    man = store._read_manifest("t", store.latest_version("t"))
+    assert before & {e["path"] for e in man["entries"]}, (
+        "untouched buckets must carry by reference"
+    )
+    got = {r["id"]: r for r in store.read("t").collect()}
+    assert got[3]["note"] == "tagged" and got[4]["note"] == "tagged"
+    assert got[77]["note"] is None
+    assert store.read("t").count() == 100

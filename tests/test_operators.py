@@ -1496,3 +1496,35 @@ def test_hll_high_precision_p14_cross_engine(spark):
     assert int(con.execute(sql).df()["approx_distinct"].iloc[0]) == est
     with pytest.raises(ValueError, match=r"\[4, 16\]"):
         sk.hll_params(17)
+
+
+def test_append_epoch_costs_one_write_job(spark, tmp_path):
+    """Round-8 directive #7's regression guard: a streaming epoch's
+    append_to_pq_index runs the staged write as its ONLY job on the
+    codes plan — the appended count rides an ``observe`` on that same
+    job, never a separate ``count()`` pass. Job accounting via job
+    groups: the call may spend jobs on codebook loading and commit
+    metadata, but the TOTAL is pinned; reintroducing a count pass
+    bumps it and fails here."""
+    from pyairbyte_spark.ann_fixtures import INT_SCALE, PQ_CODEBOOKS
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    store = CommitLogTableStore(spark, str(tmp_path), "t")
+    similarity.build_pq_index(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "e",
+        int_scale=INT_SCALE, codebooks=PQ_CODEBOOKS,
+    )
+    batch = emb.filter(F.col("vec_id") % 2 == 1)
+    sc = spark.sparkContext
+    sc.setJobGroup("epoch-baseline", "job-count guard")
+    r = similarity.append_to_pq_index(batch, store, "e", txn=("app", 7))
+    sc.setJobGroup("post", "job-count guard")
+    assert not r["skipped"] and r["appended"] == batch.count()
+    jobs = sc.statusTracker().getJobIdsForGroup("epoch-baseline")
+    # Measured breakdown (pinned): 2 jobs loading the codebooks table
+    # (parquet schema + collect), 2 schema-resolution jobs inside
+    # write_append's compat check, and exactly ONE job on the codes
+    # plan — the staged write carrying the observation. A separate
+    # count() pass on the codes frame would add a 6th job.
+    assert len(jobs) <= 5, f"epoch ran {len(jobs)} jobs: {sorted(jobs)}"
