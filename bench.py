@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "store_merge_full_sync_events",
     "store_mor_update_events",
     "store_bloom_skipping_events",
+    # round 10: MERGE schema evolution + group commit (N appends,
+    # one commit-protocol round)
+    "store_merge_evolve_events",
+    "store_group_commit_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
@@ -216,11 +220,37 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
+
+    # Commit-protocol attribution for the store_* lifecycle rows: time
+    # spent inside _commit (manifest diff/serialize + conditional PUT)
+    # and _stage (the staged data write incl. footer-stats harvest) is
+    # accounted per query, so a bench regression on a lifecycle row
+    # attributes to protocol vs scan without a worktree bisect.
+    from pyairbyte_spark.writers import CommitLogTableStore as _Store
+
+    _acc = {"commit": 0.0, "stage": 0.0}
+    _orig_commit, _orig_stage = _Store._commit, _Store._stage
+
+    def _timed(which, orig):
+        def run(self, *a, **k):
+            t0 = time.monotonic()
+            try:
+                return orig(self, *a, **k)
+            finally:
+                _acc[which] += time.monotonic() - t0
+
+        return run
+
+    _Store._commit = _timed("commit", _orig_commit)
+    _Store._stage = _timed("stage", _orig_stage)
+
     registry = q.queries()
     for name in BENCH_QUERIES:
         fn = registry[name]
         samples = []
         n = 0
+        _acc["commit"] = _acc["stage"] = 0.0
         for _ in range(runs):
             t0 = time.monotonic()
             df = fn(spark, SF_DIR)
@@ -229,11 +259,23 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = round(samples[-1] - samples[0], 3)
+        if _acc["commit"] > 0:  # lifecycle row: report the split
+            phases[name] = {
+                "commit": round(_acc["commit"] / runs, 3),
+                "stage": round(_acc["stage"] / runs, 3),
+            }
         print(
             f"# {name}: median {timings[name]:.2f}s "
-            f"(spread {spread[name]:.2f}s, {n} rows)",
+            f"(spread {spread[name]:.2f}s, {n} rows)"
+            + (
+                f" [commit {phases[name]['commit']:.2f}s"
+                f" stage {phases[name]['stage']:.2f}s]"
+                if name in phases
+                else ""
+            ),
             file=sys.stderr,
         )
+    _Store._commit, _Store._stage = _orig_commit, _orig_stage
 
     # Ingestion throughput (reference headline benchmark shape).
     ingest_samples = []
@@ -299,6 +341,10 @@ def main() -> None:
         "runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "ingest_records_per_sec": round(INGEST_RECORDS / ingest_sec),
+        # Per-query commit-protocol vs staged-write attribution for
+        # the store_* lifecycle rows (seconds per run; remainder of
+        # the row's median is scan/compute).
+        **({"phases": phases} if phases else {}),
         # Machine state at bench time: high load here explains slow
         # medians (round-3's "regression" was a loaded machine).
         "loadavg_1m": round(os.getloadavg()[0], 2),

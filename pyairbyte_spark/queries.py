@@ -4896,6 +4896,65 @@ def store_merge_evolve_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_group_commit_events",
+    """
+    -- GROUP COMMIT: six micro-batches land as ONE commit (one
+    -- conditional PUT instead of six), each keeping its own
+    -- SetTransaction watermark; a full replay of the group is
+    -- skipped per batch. The oracle is the plain union — coalescing
+    -- and exactly-once must be invisible in the data.
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value,
+           max(event_id) AS max_event
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "group commit end-to-end: N micro-batch appends coalesce into one "
+    "atomic commit with per-batch exactly-once watermarks; replaying "
+    "the whole group appends nothing",
+)
+def store_group_commit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn(
+            "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+        )
+        .withColumn(
+            "_airbyte_extracted_at",
+            F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        )
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-gc-"), "q"
+    )
+    batches = [ev.filter(F.col("event_id") % 6 == i) for i in range(6)]
+    txns = [(f"app{i}", 0) for i in range(6)]
+    r = store.write_appends(batches, "events", txns=txns)
+    assert r["version"] == 1 and r["appended"] == 6
+    # exactly-once composes with coalescing: the replay stages nothing
+    r2 = store.write_appends(batches, "events", txns=txns)
+    assert r2["appended"] == 0 and r2["skipped"] == 6
+    return (
+        store.read("events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     -- Cohort retention matrix: users grouped by first-activity day,
@@ -6294,6 +6353,7 @@ _register_profile_query()
 _DRIVER_PRIORITY = [
     # round-10 additions: never driver-checked — top of the window.
     "store_merge_evolve_events",
+    "store_group_commit_events",
     # round-8 first: the two rows that were err:no_oracle in r7, now
     # oracle-bearing (fixed integer-lattice literals), plus the new
     # persisted-PQ lifecycle query — these MUST earn green driver rows

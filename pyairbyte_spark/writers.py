@@ -2880,6 +2880,43 @@ class CommitLogTableStore(TableStore):
 
     # -- write strategies ---------------------------------------------------
 
+    def _prep_and_stage(
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str] | None,
+        snap: "tuple[int, dict] | None",
+    ) -> dict:
+        """Shared append preparation: schema-compat check, column
+        alignment, CHECK enforcement, logical→physical rename, added-
+        column materialization, bucket routing — then stage the data
+        dir. Returns the staged entry. ``snap`` is the snapshot the
+        prep validates against (the commit itself may rebase later;
+        appends are position-independent)."""
+        exists = bool(snap and snap[1].get("entries"))
+        if exists:
+            self._check_schema_compat(df, table_name)
+            existing_cols = set(self.read(table_name).columns)
+            new_cols = [c for c in df.columns if c not in existing_cols]
+            ordered = [c for c in df.columns if c in existing_cols] + new_cols
+            df = df.select(*ordered)
+            df = self._enforce_checks(df, snap[1])
+            # Mapped tables: translate incoming logical names (and pk
+            # names) back to the frozen physical names before staging.
+            df = self._rename_incoming(df, snap[1])
+            df = self._materialize_added(df, snap[1])
+            if primary_keys:
+                primary_keys = [
+                    self._to_physical(snap[1], k) for k in primary_keys
+                ]
+            # Appends to a bucketed table hash with the TABLE's layout N
+            # (recorded in the manifest), never the store config.
+            n_buckets = snap[1].get("merge_buckets")
+        else:
+            n_buckets = self.merge_buckets
+        df = self._with_bucket(df, primary_keys, n_buckets)
+        return self._stage(df, table_name)
+
     def write_append(
         self,
         df: DataFrame,
@@ -2917,29 +2954,7 @@ class CommitLogTableStore(TableStore):
             ):
                 return {"version": pre[0], "skipped": True}
         snap = self._latest_commit(table_name)
-        exists = bool(snap and snap[1].get("entries"))
-        if exists:
-            self._check_schema_compat(df, table_name)
-            existing_cols = set(self.read(table_name).columns)
-            new_cols = [c for c in df.columns if c not in existing_cols]
-            ordered = [c for c in df.columns if c in existing_cols] + new_cols
-            df = df.select(*ordered)
-            df = self._enforce_checks(df, snap[1])
-            # Mapped tables: translate incoming logical names (and pk
-            # names) back to the frozen physical names before staging.
-            df = self._rename_incoming(df, snap[1])
-            df = self._materialize_added(df, snap[1])
-            if primary_keys:
-                primary_keys = [
-                    self._to_physical(snap[1], k) for k in primary_keys
-                ]
-            # Appends to a bucketed table hash with the TABLE's layout N
-            # (recorded in the manifest), never the store config.
-            n_buckets = snap[1].get("merge_buckets")
-        else:
-            n_buckets = self.merge_buckets
-        df = self._with_bucket(df, primary_keys, n_buckets)
-        entry = self._stage(df, table_name)
+        entry = self._prep_and_stage(df, table_name, primary_keys, snap)
         for _ in range(self._COMMIT_RETRIES):
             snap2 = self._latest_commit(table_name)
             version = snap2[0] if snap2 else 0
@@ -2956,7 +2971,11 @@ class CommitLogTableStore(TableStore):
             mb = (
                 snap2[1].get("merge_buckets")
                 if snap2
-                else (n_buckets if entry["buckets"] is not None else None)
+                else (
+                    self.merge_buckets
+                    if entry["buckets"] is not None
+                    else None
+                )
             )
             manifest = {
                 "op": "append",
@@ -2977,6 +2996,128 @@ class CommitLogTableStore(TableStore):
                 continue  # appends are position-independent: rebase + retry
         raise ConcurrentCommitError(
             f"append to {table_name!r} lost {self._COMMIT_RETRIES} commit races"
+        )
+
+    def write_appends(
+        self,
+        dfs: "list[DataFrame]",
+        table_name: str,
+        primary_keys: list[str] | None = None,
+        *,
+        txns: "list[tuple[str, int] | None] | None" = None,
+    ) -> dict:
+        """GROUP COMMIT (append coalescing): stage each frame as its
+        own data dir, then publish ONE commit referencing them all —
+        N micro-batches cost one commit-protocol round (one
+        conditional PUT, one manifest delta, one pointer bump) instead
+        of N. This is the sync-cadence lever for commit-dominated
+        lifecycles: at micro-batch sizes the ``store_*`` bench rows
+        are mostly commit protocol, and a buffered destination can
+        drain its queue through here without N× protocol cost.
+
+        ``txns`` aligns one optional ``(app_id, batch_id)`` per frame:
+        each batch keeps its OWN SetTransaction watermark inside the
+        single commit, so exactly-once COMPOSES with coalescing —
+        already-committed batches are skipped individually before
+        staging, a commit race re-checks per batch (a racer landing
+        one batch drops just that entry), and the change feed still
+        sees each batch's rows (one entry per batch; insert
+        classification is per entry, unchanged).
+
+        Returns ``{"version", "appended", "skipped"}`` (batch counts).
+        Reference: PyAirbyte buffers ~100k records before each flush
+        (``airbyte/_batch_handles.py``, ``processor.py``); this is the
+        same batching idea applied to the COMMIT protocol itself.
+        """
+        dfs = list(dfs)
+        if not dfs:
+            raise ValueError("write_appends needs at least one frame")
+        txns_list = list(txns) if txns is not None else [None] * len(dfs)
+        if len(txns_list) != len(dfs):
+            raise ValueError("txns must align 1:1 with dfs")
+        apps = [t[0] for t in txns_list if t is not None]
+        if len(set(apps)) < len(apps):
+            # Two batches of one app in one commit would collapse to a
+            # single watermark — the lower batch could then replay.
+            # Delta's SetTransaction has the same one-txn-per-app-per-
+            # commit shape; callers chain commits for that.
+            raise ValueError(
+                "write_appends: one (app_id, batch_id) per app_id per "
+                "group — chain separate calls for sequential batches "
+                "of the same app"
+            )
+        snap = self._latest_commit(table_name)
+        pre_txns = dict((snap[1].get("txns") or {})) if snap else {}
+        staged: list[tuple[dict, tuple[str, int] | None]] = []
+        skipped = 0
+        for df, txn in zip(dfs, txns_list):
+            if txn is not None and pre_txns.get(txn[0], -1) >= txn[1]:
+                skipped += 1  # replayed batch: never even staged
+                continue
+            staged.append(
+                (
+                    self._prep_and_stage(df, table_name, primary_keys, snap),
+                    txn,
+                )
+            )
+        if not staged:
+            return {
+                "version": snap[0] if snap else 0,
+                "appended": 0,
+                "skipped": skipped,
+            }
+        for _ in range(self._COMMIT_RETRIES):
+            snap2 = self._latest_commit(table_name)
+            version = snap2[0] if snap2 else 0
+            entries = list(snap2[1].get("entries") or []) if snap2 else []
+            txmap = dict((snap2[1].get("txns") or {})) if snap2 else {}
+            add: list[dict] = []
+            dropped = 0
+            for entry, txn in staged:
+                if txn is not None:
+                    if txmap.get(txn[0], -1) >= txn[1]:
+                        # A racer landed this exact batch mid-group:
+                        # its staged dir is dead weight until vacuum,
+                        # the rows are NOT duplicated.
+                        dropped += 1
+                        continue
+                    txmap[txn[0]] = txn[1]
+                add.append(entry)
+            if not add:
+                return {
+                    "version": version,
+                    "appended": 0,
+                    "skipped": skipped + dropped,
+                }
+            mb = (
+                snap2[1].get("merge_buckets")
+                if snap2
+                else (
+                    self.merge_buckets
+                    if add[0]["buckets"] is not None
+                    else None
+                )
+            )
+            manifest = {
+                "op": "append",
+                "merge_buckets": mb,
+                "entries": entries + add,
+                **(self._carry_mapping(snap2[1]) if snap2 else {}),
+                **(self._carry_dv(snap2[1]) if snap2 else {}),
+                **({"txns": txmap} if txmap else {}),
+            }
+            try:
+                self._commit(table_name, manifest, version + 1)
+                return {
+                    "version": version + 1,
+                    "appended": len(add),
+                    "skipped": skipped + dropped,
+                }
+            except ConcurrentCommitError:
+                continue  # appends are position-independent: rebase
+        raise ConcurrentCommitError(
+            f"group append to {table_name!r} lost "
+            f"{self._COMMIT_RETRIES} commit races"
         )
 
     def write_replace(

@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyairbyte_spark.writers import (
     BUCKET_COL,
@@ -442,3 +443,89 @@ def test_timestamp_as_of_time_travel(spark, tmp_path, monkeypatch):
     assert store.read_as_of("t", 1_000_201).count() == 25
     with pytest.raises(ValueError, match="predates"):
         store.version_at_timestamp("t", 999_999)
+
+
+# -- round 10: group commit (append coalescing) -----------------------------
+
+
+def test_write_appends_one_commit_many_batches(spark, tmp_path):
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path / "gc"), "main")
+    batches = [
+        spark.range(i * 10, (i + 1) * 10)
+        .withColumn("b", F.lit(i))
+        .coalesce(1)
+        for i in range(5)
+    ]
+    r = store.write_appends(batches, "t")
+    assert r == {"version": 1, "appended": 5, "skipped": 0}
+    assert store.latest_version("t") == 1, "5 batches, ONE commit"
+    assert store.read("t").count() == 50
+    man = store._read_manifest("t", 1)
+    assert len(man["entries"]) == 5, "one entry per batch"
+    # the change feed sees every batch's rows as inserts of v1
+    ch = store.read_changes("t", 0, 1)
+    assert ch.filter(F.col("_change_type") == "insert").count() == 50
+    # follow-up group onto the existing table
+    r2 = store.write_appends(batches[:2], "t")
+    assert r2["version"] == 2 and store.read("t").count() == 70
+
+
+def test_write_appends_txn_exactly_once(spark, tmp_path):
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path / "gc2"), "main")
+    mk = lambda lo: spark.range(lo, lo + 10).coalesce(1)  # noqa: E731
+    r = store.write_appends(
+        [mk(0), mk(10), mk(20)],
+        "t",
+        txns=[("a", 0), ("b", 0), None],
+    )
+    assert r["appended"] == 3 and r["version"] == 1
+    # replay of the whole group: watermarked batches skip BEFORE
+    # staging, the untracked frame appends again (caller's contract)
+    r2 = store.write_appends(
+        [mk(0), mk(10)], "t", txns=[("a", 0), ("b", 0)]
+    )
+    assert r2 == {"version": 1, "appended": 0, "skipped": 2}
+    assert store.read("t").count() == 30
+    # per-app watermarks advanced independently
+    assert store.txn_version("t", "a") == 0
+    assert store.txn_version("t", "b") == 0
+    # two batches of one app in one group is a caller error
+    with pytest.raises(ValueError, match="per app_id"):
+        store.write_appends(
+            [mk(0), mk(10)], "t", txns=[("a", 1), ("a", 2)]
+        )
+
+
+def test_write_appends_race_drops_only_duplicated_batch(
+    spark, tmp_path, monkeypatch
+):
+    """A racer landing ONE of the group's (app, batch) watermarks
+    mid-commit drops exactly that entry on the rebase; the rest land."""
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path / "gc3"), "main")
+    other = CommitLogTableStore(spark, str(tmp_path / "gc3"), "main")
+    store.write_append(spark.range(0, 5).coalesce(1), "t")
+    mk = lambda lo: spark.range(lo, lo + 10).coalesce(1)  # noqa: E731
+    orig = store._commit
+    raced = {"n": 0}
+
+    def racy(table, manifest, version):
+        if raced["n"] == 0 and len(manifest.get("entries") or []) > 2:
+            raced["n"] = 1
+            other.write_append(mk(100), "t", txn=("a", 5))
+        return orig(table, manifest, version)
+
+    monkeypatch.setattr(store, "_commit", racy)
+    r = store.write_appends(
+        [mk(10), mk(20)], "t", txns=[("a", 5), ("b", 1)]
+    )
+    assert raced["n"] == 1
+    assert r["appended"] == 1 and r["skipped"] == 1
+    # racer's 10 rows + our surviving batch; the duplicated (a,5)
+    # batch appears exactly once
+    assert store.read("t").count() == 5 + 10 + 10
