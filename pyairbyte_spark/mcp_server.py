@@ -587,6 +587,36 @@ def _build_tool_defs() -> list[ToolDef]:
                 k=a.get("k", 5),
             ),
         ),
+        ToolDef(
+            "get_index_health",
+            "Retrain trigger for a stream-maintained ANN index: relative "
+            "quantization error of vectors appended since the last "
+            "(re)build vs the build corpus — 'retrain' trips past the "
+            "drift threshold (kind: pq or ivf).",
+            {
+                "type": "object",
+                "properties": {
+                    "index_name": {"type": "string"},
+                    "kind": {"type": "string", "enum": ["pq", "ivf"]},
+                },
+                "required": ["index_name"],
+            },
+            lambda h, a: t.get_index_health(
+                h.cache, a["index_name"], kind=a.get("kind", "pq")
+            ),
+        ),
+        ToolDef(
+            "get_bloom_coverage",
+            "Bloom point-lookup index coverage watermark for a cached "
+            "stream: live files covered vs uncovered (compaction/DML decay "
+            "coverage until an only_missing rebuild; reads stay exact).",
+            {
+                "type": "object",
+                "properties": {"stream_name": {"type": "string"}},
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.get_bloom_coverage(h.cache, a["stream_name"]),
+        ),
         # -- registry browse (reference mcp/registry.py:44-289) --------------
         ToolDef(
             "list_connectors",

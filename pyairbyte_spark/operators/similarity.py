@@ -1171,9 +1171,13 @@ def pq_encode_int(
     the oracle), then per batch one numpy int64 distance matrix per
     subspace — argmin ties break to the LOWEST code index, same as the
     oracle's ``ORDER BY d2, c``. EXACT: no float enters the encode.
-    Returns ``(id, code array<int>, rn2 long)`` where ``rn2`` is the
-    reconstruction's squared L2 norm (integer), computed once here so
-    query-time cosine never touches the raw vectors."""
+    Returns ``(id, code array<int>, rn2, err2, xn2)`` — all integers:
+    ``rn2`` is the reconstruction's squared L2 norm (computed once
+    here so query-time cosine never touches the raw vectors), and
+    ``err2``/``xn2`` are the squared quantization error and input
+    norm — the DRIFT SIGNAL :func:`index_health` reads (err2/xn2 is
+    the relative reconstruction error; it rides the encode for free
+    because the distance matrix is already in hand)."""
     import numpy as np
     import pandas as pd
 
@@ -1190,6 +1194,8 @@ def pq_encode_int(
             )
             codes = np.empty((len(x), m), dtype=np.int32)
             rn2 = np.zeros(len(x), dtype=np.int64)
+            err2 = np.zeros(len(x), dtype=np.int64)
+            rows = np.arange(len(x))
             for j in range(m):
                 xs = x[:, j * dsub : (j + 1) * dsub]
                 b = cb[j]
@@ -1200,15 +1206,24 @@ def pq_encode_int(
                 )
                 codes[:, j] = np.argmin(d2, axis=1)  # first min = lowest c
                 rn2 += (b[codes[:, j]] * b[codes[:, j]]).sum(1)
+                err2 += d2[rows, codes[:, j]]
             yield pd.DataFrame(
-                {"id": pdf["id"].values, "code": list(codes), "rn2": rn2}
+                {
+                    "id": pdf["id"].values,
+                    "code": list(codes),
+                    "rn2": rn2,
+                    "err2": err2,
+                    "xn2": (x * x).sum(1),
+                }
             )
 
     src = corpus.select(
         F.col(id_col).alias("id"),
         quantize_lattice(vec_col, int_scale).alias("q"),
     )
-    return src.mapInPandas(encode, "id long, code array<int>, rn2 long")
+    return src.mapInPandas(
+        encode, "id long, code array<int>, rn2 long, err2 long, xn2 long"
+    )
 
 
 def pq_topk_int(
@@ -1417,16 +1432,23 @@ def append_to_pq_index(
     SetTransaction contract, so a streaming micro-batch appends
     EXACTLY ONCE — this is the hook ``StoreStreamingSink`` uses for
     stream-maintained indexes. Returns ``{"appended", "version",
-    "skipped"}``; the appended count rides an ``observe`` on the
-    encode job itself, so an epoch costs exactly ONE job (the staged
-    write) — no separate count pass."""
+    "skipped", "quant_err"}``; the appended count AND the batch's
+    relative quantization error (the :func:`index_health` drift
+    signal) ride one ``observe`` on the encode job itself, so an
+    epoch costs exactly ONE job (the staged write) — no separate
+    count or error pass."""
     from pyspark.sql import Observation
 
     books, scale = _read_pq_codebooks(store, index_name)
     obs = Observation()
     codes = pq_encode_int(
         new_vectors, books, id_col=id_col, vec_col=vec_col, int_scale=scale
-    ).observe(obs, F.count(F.lit(1)).alias("n"))
+    ).observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum("err2").alias("e"),
+        F.sum("xn2").alias("x"),
+    )
     res = store.write_append(codes, f"{index_name}_codes", txn=txn)
     skipped = bool((res or {}).get("skipped"))
     # Observation.get is a PROPERTY returning the metrics dict (hence
@@ -1443,6 +1465,127 @@ def append_to_pq_index(
             "version", store.latest_version(f"{index_name}_codes")
         ),
         "skipped": skipped,
+        "quant_err": (
+            None
+            if skipped or not metrics or not metrics["x"]
+            else float(metrics["e"]) / float(metrics["x"])
+        ),
+    }
+
+
+def index_health(
+    store,
+    index_name: str,
+    *,
+    kind: str = "pq",
+    threshold: float = 1.5,
+) -> dict:
+    """Retrain trigger for stream-maintained ANN indexes.
+
+    A frozen quantizer (PQ codebooks / IVF centroids) serves a
+    DRIFTED vector distribution with rising quantization error and
+    falling probe recall — and because appends are O(new) by design
+    (:func:`append_to_pq_index` / :func:`append_to_ivf_index`),
+    nothing else in the pipeline surfaces the decay. This compares
+    the RELATIVE quantization error of rows appended since the last
+    (re)build against the build corpus' own error:
+
+    - ``kind="pq"``: reads the integer ``err2``/``xn2`` columns that
+      ride every encode (zero extra hot-path work; the same signal
+      surfaces per batch as ``quant_err`` in the append result and
+      the streaming sink's ``batch_quant_errs``);
+    - ``kind="ivf"``: recomputes assignment error
+      ``1 − cos(v, centroid[cid])`` from the stored raw vectors.
+
+    The baseline snapshot is the newest FULL-REWRITE commit on the
+    codes/lists table (builds publish REPLACE; the IVF build's
+    clustering compact also qualifies); appended rows are the change
+    feed since it. Returns ``{"baseline_err", "recent_err", "ratio",
+    "appended_rows", "retrain"}`` — ``retrain`` trips when
+    ``ratio > threshold``, and is None when nothing was appended,
+    the baseline is degenerate, or a pre-health PQ index lacks the
+    error columns (rebuild once to enable).
+
+    Rebuild cadence: alert on ``retrain`` (or schedule by appended
+    volume), re-run :func:`build_pq_index` / :func:`build_ivf_index`
+    over the current corpus — the swap is one atomic commit, probes
+    never see a half-built index, the streaming sink keeps appending
+    between rebuilds, and probe recall recovers
+    (``tests/test_store_txn_sink.py``)."""
+    if kind not in ("pq", "ivf"):
+        raise ValueError(f"kind must be 'pq' or 'ivf', got {kind!r}")
+    table = (
+        f"{index_name}_codes" if kind == "pq" else f"{index_name}_lists"
+    )
+    hist = store.history(table)
+    v_latest = hist[0]["version"]
+    v_build = next(
+        (h["version"] for h in hist if h["op"] in ("replace", "compact")),
+        hist[-1]["version"],
+    )
+    base = store.read_version(table, v_build)
+    if kind == "pq":
+        if "err2" not in base.columns:
+            return {
+                "baseline_err": None,
+                "recent_err": None,
+                "ratio": None,
+                "appended_rows": 0,
+                "retrain": None,  # pre-health index: rebuild to enable
+            }
+
+        def rel_err(df):
+            r = df.agg(
+                F.sum("err2").alias("e"), F.sum("xn2").alias("x")
+            ).collect()[0]
+            return (
+                None if not r["x"] else float(r["e"]) / float(r["x"])
+            )
+
+    else:
+        cent = F.broadcast(
+            store.read(f"{index_name}_centroids").select("cid", "cv")
+        )
+
+        def rel_err(df):
+            r = (
+                df.join(cent, "cid")
+                .select(
+                    (
+                        1
+                        - dot_expr(F.col("v"), F.col("cv"))
+                        / (
+                            norm_expr(F.col("v"))
+                            * norm_expr(F.col("cv"))
+                        )
+                    ).alias("err")
+                )
+                .agg(F.avg("err").alias("e"))
+                .collect()[0]
+            )
+            return None if r["e"] is None else float(r["e"])
+
+    baseline = rel_err(base)
+    appended_rows = 0
+    recent = None
+    if v_latest > v_build:
+        changes = store.read_changes(table, v_build, v_latest).filter(
+            F.col("_change_type") == "insert"
+        )
+        appended_rows = changes.count()
+        if appended_rows:
+            recent = rel_err(changes)
+    ratio = (
+        recent / baseline
+        if recent is not None and baseline
+        else None
+    )
+    return {
+        "baseline_err": baseline,
+        "recent_err": recent,
+        "ratio": ratio,
+        "appended_rows": appended_rows,
+        "retrain": None if ratio is None else bool(ratio > threshold),
     }
 
 

@@ -166,9 +166,18 @@ class VectorIndexStreamingSink:
     watermark rides the same atomic commit as the data, so a replayed
     epoch after a crash is skipped — the index is maintained EXACTLY
     ONCE while probes (``pq_index_topk`` / ``ivf_index_topk``) see
-    each batch atomically. Rebuild on the retrain cadence with
-    ``build_pq_index`` / ``build_ivf_index``; this sink covers the
-    stream between retrains.
+    each batch atomically.
+
+    Retrain cadence: appending against FROZEN quantizers serves a
+    drifting distribution with rising quantization error and falling
+    recall. Each PQ epoch's relative error rides the encode job's
+    ``observe`` (``batch_quant_errs`` below, zero extra jobs);
+    ``similarity.index_health(store, name)`` compares appended rows
+    against the build corpus and trips ``retrain`` past the drift
+    threshold — then rebuild with ``build_pq_index`` /
+    ``build_ivf_index`` (one atomic swap; this sink keeps appending
+    between retrains, and its app_id watermark survives the rebuild's
+    REPLACE so replayed epochs still skip).
     """
 
     def __init__(
@@ -191,6 +200,10 @@ class VectorIndexStreamingSink:
         self.vec_col = vec_col
         self.skipped_epochs = 0
         self.appended = 0
+        # Per-epoch relative quantization error (PQ epochs; free —
+        # rides the encode observation). index_health() is the
+        # cross-restart / IVF-capable view of the same signal.
+        self.batch_quant_errs: list[float] = []
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyairbyte_spark.operators import similarity
@@ -212,6 +225,8 @@ class VectorIndexStreamingSink:
             self.skipped_epochs += 1
         else:
             self.appended += int(res.get("appended") or 0)
+            if res.get("quant_err") is not None:
+                self.batch_quant_errs.append(float(res["quant_err"]))
 
     def attach(
         self,

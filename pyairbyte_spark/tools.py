@@ -270,3 +270,24 @@ def vector_search_table(
     q = df.filter(F.col(id_col) == query_id)
     out = brute_force_topk(df, q, id_col=id_col, vec_col=vec_col, k=k)
     return [r.asDict() for r in out.orderBy("rank").collect()]
+
+
+def get_index_health(
+    cache: SparkCache, index_name: str, *, kind: str = "pq"
+) -> dict[str, Any]:
+    """Retrain trigger for a stream-maintained ANN index (built with
+    ``build_pq_index``/``build_ivf_index`` against this cache's
+    store): relative quantization error of appended vectors vs the
+    build corpus — ``retrain`` trips past the drift threshold."""
+    from pyairbyte_spark.operators.similarity import index_health
+
+    return index_health(cache.store, index_name, kind=kind)
+
+
+def get_bloom_coverage(
+    cache: SparkCache, stream_name: str
+) -> dict[str, Any] | None:
+    """Bloom-index coverage watermark for a cached stream: how many
+    live files the point-lookup index covers (compactions and COW DML
+    decay coverage until an only_missing rebuild; reads stay exact)."""
+    return cache.store.bloom_coverage(cache.table_name(stream_name))

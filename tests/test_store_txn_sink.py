@@ -270,3 +270,102 @@ def test_vector_index_streaming_sink_ivf(spark, store, tmp_path):
         store, "e", emb.filter(F.col("vec_id") < 2), k=5, n_probes=2
     )
     assert out.groupBy("query_id").count().filter("count != 5").count() == 0
+
+
+def test_index_health_retrain_trigger_and_recall_recovery(
+    spark, store, tmp_path
+):
+    """Round-10 #5: a FROZEN quantizer serving a drifted distribution
+    must be detectable and recoverable. A real streaming query appends
+    a drifted batch (negated cluster spikes — an orthogonal move the
+    old codebooks cannot encode); the per-epoch quant_err observe
+    metric and index_health() both trip; a retrain over the current
+    corpus recovers probe recall. Data is deterministic (hash noise +
+    modular cluster spikes), so the margins here are wide and stable."""
+    from pyairbyte_spark.operators import similarity
+    from pyairbyte_spark.streaming.sink import VectorIndexStreamingSink
+
+    def clustered(lo, n, sign):
+        # 16 clusters in 64 dims: cluster k spikes dims d%16==k by
+        # sign*8, plus deterministic ±1 hash noise.
+        return spark.range(lo, lo + n).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda d: (
+                    F.when(
+                        d % 16 == F.col("id") % 16, F.lit(8.0 * sign)
+                    ).otherwise(F.lit(0.0))
+                    + ((F.col("id") * 31 + d * 7) % 11 - 5).cast("double")
+                    / 5.0
+                ),
+            ).alias("embedding"),
+        )
+
+    base = clustered(0, 320, 1.0)
+    drift = clustered(100_000, 320, -1.0)
+    similarity.build_pq_index(base, store, "h", m=8, ksub=16, iters=2)
+    h0 = similarity.index_health(store, "h")
+    assert h0["retrain"] is None and h0["appended_rows"] == 0
+    assert h0["baseline_err"] is not None and h0["baseline_err"] < 0.3
+
+    # stream the drifted batch through the real sink
+    src = tmp_path / "driftsrc"
+    src.mkdir()
+    drift.coalesce(1).write.parquet(str(src / "b0"))
+    sink = VectorIndexStreamingSink(store, "h", "driftpipe", kind="pq")
+    q = sink.attach(
+        spark.readStream.schema(drift.schema).parquet(str(src) + "/*"),
+        checkpoint_dir=str(tmp_path / "dckpt"),
+        trigger_once=True,
+    )
+    q.awaitTermination(120)
+    # the epoch's error rode the encode observe — no extra job
+    assert sink.batch_quant_errs and (
+        sink.batch_quant_errs[0] > 2 * h0["baseline_err"]
+    )
+    h1 = similarity.index_health(store, "h")
+    assert h1["appended_rows"] == 320
+    assert h1["ratio"] > 2 and h1["retrain"] is True
+
+    # drifted-query recall before vs after the retrain
+    qs = drift.filter(F.col("vec_id") < 100_008)
+    full = base.unionByName(drift)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(full, qs, k=5).collect()
+    }
+
+    def recall(rows):
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(got & exact) / len(exact)
+
+    before = recall(similarity.pq_index_topk(store, "h", qs, k=5).collect())
+    similarity.build_pq_index(full, store, "h", m=8, ksub=32, iters=2)
+    after = recall(similarity.pq_index_topk(store, "h", qs, k=5).collect())
+    assert after > before and after >= 0.85, (before, after)
+    h2 = similarity.index_health(store, "h")
+    assert h2["retrain"] is None, "fresh build: nothing appended yet"
+
+
+def test_index_health_ivf_same_distribution_stays_healthy(
+    spark, store, tmp_path
+):
+    """IVF health recomputes assignment error from stored vectors: an
+    append drawn from the SAME distribution must not trip retrain."""
+    from pyairbyte_spark.operators import similarity
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    similarity.build_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), store, "e",
+        n_centroids=8, iters=1, train_modulus=4,
+    )
+    similarity.append_to_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 1), store, "e", txn=("s", 0)
+    )
+    h = similarity.index_health(store, "e", kind="ivf")
+    assert h["appended_rows"] > 0
+    assert h["baseline_err"] is not None and h["recent_err"] is not None
+    assert h["retrain"] is False, h
