@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     # one commit-protocol round)
     "store_merge_evolve_events",
     "store_group_commit_events",
+    "store_snapshot_consistent_join_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

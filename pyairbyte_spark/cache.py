@@ -130,22 +130,32 @@ class SparkCache(Mapping):
         *,
         expectations: dict | None = None,
         on_violation: str = "fail",
+        txn: tuple[str, int] | None = None,
     ) -> dict[str, int] | None:
         """Write with optional CHECK-constraint enforcement (see
         ``expectations.py``). Returns per-check violation counts when
         expectations ran (``drop`` counts are exact — observed during
         the write itself), else None. ``quarantine`` mode lands the
         violating rows in ``<stream>_quarantine`` with a
-        ``_failed_expectations`` column."""
+        ``_failed_expectations`` column. ``txn=(app_id, batch_id)``
+        threads the commit-log store's SetTransaction idempotence
+        watermark through (exactly-once replays; the follower's
+        provenance stamp)."""
         if not expectations:
-            self.store.write(df, self.table_name(stream_name), method, primary_keys)
+            self.store.write(
+                df, self.table_name(stream_name), method, primary_keys,
+                txn=txn,
+            )
             return None
         from pyairbyte_spark.expectations import check_expectations
 
         clean, quarantined, obs = check_expectations(
             df, expectations, on_violation=on_violation
         )
-        self.store.write(clean, self.table_name(stream_name), method, primary_keys)
+        self.store.write(
+            clean, self.table_name(stream_name), method, primary_keys,
+            txn=txn,
+        )
         if quarantined is not None:
             self.store.write(
                 quarantined,

@@ -4955,6 +4955,107 @@ def store_group_commit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_snapshot_consistent_join_events",
+    """
+    -- Cross-table snapshot consistency: a raw → clean → enriched
+    -- follower chain is updated MID-pipeline (clean advanced to the
+    -- new raw snapshot, enriched not). The version-vector pin
+    -- (consistent_snapshot) reads both derived tables AS OF the same
+    -- upstream snapshot — so the join equals plain SQL over the OLD
+    -- raw slice, torn-free, even though the live tables disagree.
+    WITH v1 AS (
+      SELECT event_id, event_type, round(value, 2) AS value
+      FROM events WHERE event_id % 2 = 0
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(sum(CAST(round(value * 2, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value2,
+           max(event_id) AS max_event
+    FROM v1 GROUP BY event_type ORDER BY event_type
+    """,
+    "cross-table snapshot consistency: version-vector pin over a "
+    "follower chain mid-update — each hop's commit records the source "
+    "version it was built from (SetTransaction provenance), the "
+    "pinned join reflects one upstream snapshot exactly",
+)
+def store_snapshot_consistent_join_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.streaming import ChangeFeedFollower
+
+    cache = SparkCache(
+        spark,
+        warehouse_dir=tempfile.mkdtemp(prefix="q-snap-"),
+        table_format="commitlog",
+    )
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .withColumn(
+            "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+        )
+        .withColumn(
+            "_airbyte_extracted_at",
+            F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        )
+    )
+    raw_t = cache.table_name("raw")
+    cache.store.write_merge(
+        ev.filter(F.col("event_id") % 2 == 0), raw_t, ["event_id"]
+    )
+    f1 = ChangeFeedFollower(
+        cache, "raw", cache, "clean",
+        primary_keys=["event_id"], follower_name="c",
+        transform=lambda df: df.withColumn("value", F.round("value", 2)),
+    )
+    f2 = ChangeFeedFollower(
+        cache, "clean", cache, "enr",
+        primary_keys=["event_id"], follower_name="e",
+        transform=lambda df: df.withColumn(
+            "value2", F.round(F.col("value") * 2, 2)
+        ),
+    )
+    f1.process_once()
+    f2.process_once()
+    # MID-UPDATE: raw and clean advance; enr lags one snapshot behind.
+    cache.store.write_merge(
+        ev.filter(F.col("event_id") % 2 == 1), raw_t, ["event_id"]
+    )
+    f1.process_once()
+    assert (
+        cache["clean"].to_spark().count()
+        > cache["enr"].to_spark().count()
+    ), "mid-update: the naive latest-latest join WOULD be torn"
+    _versions, snap = ChangeFeedFollower.consistent_snapshot([f1, f2])
+    clean = snap.read(cache.table_name("clean")).select(
+        "event_id", "event_type", "value"
+    )
+    enr = snap.read(cache.table_name("enr")).select(
+        F.col("event_id").alias("eid"), "value2"
+    )
+    return (
+        clean.join(enr, clean["event_id"] == enr["eid"], "inner")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.sum(F.col("value2").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value2"),
+            F.max("event_id").alias("max_event"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     -- Cohort retention matrix: users grouped by first-activity day,
@@ -6354,6 +6455,7 @@ _DRIVER_PRIORITY = [
     # round-10 additions: never driver-checked — top of the window.
     "store_merge_evolve_events",
     "store_group_commit_events",
+    "store_snapshot_consistent_join_events",
     # round-8 first: the two rows that were err:no_oracle in r7, now
     # oracle-bearing (fixed integer-lattice literals), plus the new
     # persisted-PQ lifecycle query — these MUST earn green driver rows

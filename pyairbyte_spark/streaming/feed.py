@@ -84,6 +84,14 @@ class ChangeFeedFollower:
         # the DESTINATION cache's state backend, so it lives and dies
         # with the data it guards.
         self.source_name = f"{follower_name}:{source_stream}"
+        # SetTransaction identity for the destination writes: the
+        # processed source version rides the dest DATA COMMIT itself
+        # (atomic, unlike the cursor state row) — replayed windows
+        # skip (exactly-once for merge AND append hops), and each dest
+        # commit carries PROVENANCE: which source version it was built
+        # from. consistent_snapshot() reads that to pin torn-free
+        # version vectors across a pipeline chain.
+        self.txn_app_id = f"{self.source_name}->{dest_stream}"
         # apply_deletes makes the hop a full CDC applier: delete rows
         # in the window remove their keys downstream via the
         # destination's file-pruned delete. Requires primary_keys and
@@ -130,6 +138,84 @@ class ChangeFeedFollower:
             StateArtifact(self.dest_stream, {self.CURSOR_KEY: version})
         )
         writer.flush(self.dest_stream)
+
+    # -- provenance / cross-table snapshot consistency ----------------------
+
+    def source_version_at(self, dest_version: int | None = None) -> int:
+        """The SOURCE version the destination's commit at
+        ``dest_version`` (default: latest) was built from — read from
+        the commit's SetTransaction watermark, which landed in the
+        same atomic PUT as the data (the cursor state row, by
+        contrast, commits after and can lag under a crash). 0 = that
+        commit predates this follower's first processed window."""
+        store = self.dest_cache._acid_store()
+        table = self.dest_cache.table_name(self.dest_stream)
+        if dest_version is None:
+            dest_version = store.latest_version(table)
+        man = store._read_manifest(table, dest_version)
+        return int((man.get("txns") or {}).get(self.txn_app_id, 0))
+
+    @staticmethod
+    def consistent_snapshot(followers: "list[ChangeFeedFollower]"):
+        """Version-vector pin across a follower CHAIN (ordered
+        upstream → downstream, e.g. ``[raw→clean, clean→agg]``): pin
+        the TAIL destination at its latest version, then walk upstream
+        recording, for each hop, the source version its pinned
+        destination was built from (:meth:`source_version_at`).
+
+        Reading every table AS OF its pinned version yields a mutually
+        CONSISTENT view however mid-update the pipeline is: each
+        derived table reflects exactly its upstream's pinned snapshot
+        — never ``clean`` v12 joined against an ``agg`` built from
+        v11 (the torn read per-table atomicity alone cannot prevent).
+
+        Returns ``(versions, snapshot)``: ``versions`` maps stream
+        name → pinned version (including the root source);
+        ``snapshot`` is a :class:`~pyairbyte_spark.writers
+        .StoreSnapshot` over those versions when every hop lives in
+        one store (the common case), else None — read through each
+        hop's own cache with ``read_stream_version`` then. Raises if a
+        hop has never completed a cycle (no provenance recorded yet)
+        or the chain's hops don't link dest→source."""
+        if not followers:
+            raise ValueError("consistent_snapshot needs at least one hop")
+        for up, down in zip(followers, followers[1:]):
+            if up.dest_stream != down.source_stream:
+                raise ValueError(
+                    f"chain break: hop {up.dest_stream!r} does not feed "
+                    f"{down.source_stream!r}"
+                )
+        tail = followers[-1]
+        tail_store = tail.dest_cache._acid_store()
+        versions: dict[str, int] = {
+            tail.dest_stream: tail_store.latest_version(
+                tail.dest_cache.table_name(tail.dest_stream)
+            )
+        }
+        for f in reversed(followers):
+            sv = f.source_version_at(versions[f.dest_stream])
+            if sv <= 0:
+                raise ValueError(
+                    f"hop {f.source_stream!r}→{f.dest_stream!r} has no "
+                    "recorded provenance yet (run process_once first)"
+                )
+            versions[f.source_stream] = sv
+        stores = {
+            id(f.source_cache._acid_store()) for f in followers
+        } | {id(f.dest_cache._acid_store()) for f in followers}
+        snapshot = None
+        if len(stores) == 1:
+            store = tail.dest_cache._acid_store()
+            table_versions = {}
+            for f in followers:
+                table_versions[
+                    f.source_cache.table_name(f.source_stream)
+                ] = versions[f.source_stream]
+                table_versions[
+                    f.dest_cache.table_name(f.dest_stream)
+                ] = versions[f.dest_stream]
+            snapshot = store.snapshot(table_versions)
+        return versions, snapshot
 
     # -- processing ---------------------------------------------------------
 
@@ -216,11 +302,26 @@ class ChangeFeedFollower:
 
         if AB_EXTRACTED_AT_COLUMN in out.columns:
             out = out.withColumn(AB_EXTRACTED_AT_COLUMN, F.current_timestamp())
+        from pyairbyte_spark.writers import CommitLogTableStore
+
         rows = out.count()
         if rows:
-            # 1. destination data commit …
+            # 1. destination data commit — carrying the txn watermark
+            # (this window's end version) when the destination can:
+            # a crash-replayed window SKIPS instead of re-merging, and
+            # the commit itself records its source-version provenance.
+            # A plain parquet destination keeps the pre-txn contract
+            # (merge converges under replay).
             self.dest_cache.write_dataframe(
-                out, self.dest_stream, self.method, self.primary_keys
+                out,
+                self.dest_stream,
+                self.method,
+                self.primary_keys,
+                txn=(
+                    (self.txn_app_id, latest)
+                    if isinstance(self.dest_cache.store, CommitLogTableStore)
+                    else None
+                ),
             )
         deleted = 0
         if self.apply_deletes:

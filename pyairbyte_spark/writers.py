@@ -408,15 +408,56 @@ class TableStore:
         table_name: str,
         method: WriteMethod,
         primary_keys: list[str] | None = None,
+        *,
+        txn: tuple[str, int] | None = None,
     ) -> None:
+        """Dispatch one write. ``txn=(app_id, batch_id)`` threads the
+        SetTransaction idempotence watermark through to stores that
+        support it (the commit-log store's append/replace/merge); the
+        plain parquet store rejects it — there is no atomic commit to
+        ride."""
+        kw = {} if txn is None else {"txn": txn}
         if method == WriteMethod.APPEND:
-            self.write_append(df, table_name, primary_keys)
+            self.write_append(df, table_name, primary_keys, **kw)
         elif method == WriteMethod.REPLACE:
-            self.write_replace(df, table_name, primary_keys)
+            self.write_replace(df, table_name, primary_keys, **kw)
         elif method == WriteMethod.MERGE:
-            self.write_merge(df, table_name, primary_keys or [])
+            self.write_merge(df, table_name, primary_keys or [], **kw)
         else:  # pragma: no cover
             raise ValueError(f"unknown write method {method}")
+
+
+class StoreSnapshot:
+    """A pinned multi-table view of a :class:`CommitLogTableStore`
+    (see :meth:`CommitLogTableStore.snapshot`). Immutable: the
+    ``versions`` vector is fixed at construction, every read resolves
+    through it, and concurrent writers are invisible to the holder."""
+
+    def __init__(self, store, versions: dict[str, int]) -> None:
+        self.store = store
+        self.versions = dict(versions)
+
+    def read(self, table_name: str):
+        return self.store.read_version(
+            table_name, self._version_of(table_name)
+        )
+
+    def read_where(self, table_name: str, predicates):
+        return self.store.read_where(
+            table_name, predicates, version=self._version_of(table_name)
+        )
+
+    def _version_of(self, table_name: str) -> int:
+        try:
+            return self.versions[table_name]
+        except KeyError:
+            raise KeyError(
+                f"table {table_name!r} is not part of this snapshot "
+                f"(pinned: {sorted(self.versions)})"
+            ) from None
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"StoreSnapshot({self.versions!r})"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -1119,6 +1160,32 @@ class CommitLogTableStore(TableStore):
         man = self._read_manifest(table_name, version)
         df = self._apply_mapping(self._read_manifest_df(table_name, man), man)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def snapshot(
+        self, tables: "list[str] | dict[str, int]"
+    ) -> "StoreSnapshot":
+        """Multi-table VERSION-VECTOR pin: freeze a set of tables at
+        explicit versions (dict) or at their current latest (list) and
+        read them all through one handle. Single-table reads are
+        always snapshot-consistent here (one manifest = one atomic
+        snapshot); this is the CROSS-table counterpart — a join over
+        two pipeline tables mid-update reads both AS OF the pinned
+        vector instead of mixing a fresh upstream with a stale
+        downstream (torn read). For follower-maintained chains, derive
+        the vector with ``ChangeFeedFollower.consistent_snapshot``
+        (each hop's commit records the source version it was built
+        from); for independent tables, the capture order here is the
+        consistency statement. Pinned versions stay readable until
+        :meth:`vacuum` passes them. Reference point: per-stream state
+        isolation (``airbyte/caches/_state_backend.py:205-260``)
+        extended to table graphs."""
+        if isinstance(tables, dict):
+            versions = {t: int(v) for t, v in tables.items()}
+            for t, v in versions.items():
+                self._read_manifest(t, v)  # validate: raises if gone
+        else:
+            versions = {t: self.latest_version(t) for t in tables}
+        return StoreSnapshot(self, versions)
 
     def version_at_timestamp(self, table_name: str, ts) -> int:
         """The snapshot version live AT ``ts`` — the newest commit
@@ -3184,19 +3251,37 @@ class CommitLogTableStore(TableStore):
         )
 
     def write_merge(
-        self, df: DataFrame, table_name: str, primary_keys: list[str]
-    ) -> None:
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str],
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict | None:
         """MERGE with optimistic-concurrency retry: losing a version
         race re-runs the whole attempt against the winner's snapshot
         (safe — the merge is deterministic latest-wins over
         old ∪ incoming, so a re-run converges; the loser's staged dir
         is dead weight until vacuum). Appends auto-rebase more cheaply
         (position-independent); DML uses read-set conflict detection
-        (:meth:`_commit_dml`)."""
+        (:meth:`_commit_dml`).
+
+        ``txn=(app_id, batch_id)`` rides the same SetTransaction
+        contract as :meth:`write_append`: the watermark commits
+        atomically with the merged data, a replayed batch is skipped
+        entirely, and the recorded watermark doubles as PROVENANCE —
+        ``ChangeFeedFollower`` stamps each hop's destination commit
+        with the source version it was built from, which is what
+        cross-table snapshot pinning reads
+        (``ChangeFeedFollower.consistent_snapshot``). Returns
+        ``{"version", "skipped"}`` when ``txn`` is given (None
+        otherwise, the historical signature)."""
         last: ConcurrentCommitError | None = None
         for _ in range(self._COMMIT_RETRIES):
             try:
-                return self._write_merge_once(df, table_name, primary_keys)
+                return self._write_merge_once(
+                    df, table_name, primary_keys, txn
+                )
             except ConcurrentCommitError as e:
                 last = e
                 continue
@@ -3582,12 +3667,25 @@ class CommitLogTableStore(TableStore):
         }
 
     def _write_merge_once(
-        self, df: DataFrame, table_name: str, primary_keys: list[str]
-    ) -> None:
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> dict | None:
         if not primary_keys:
             raise ValueError("merge requires primary keys")
         snap = self._latest_commit(table_name)
         exists = bool(snap and snap[1].get("entries"))
+        txns = dict(snap[1].get("txns") or {}) if snap else {}
+        if txn is not None:
+            app_id, batch_id = txn
+            # Checked against the snapshot THIS attempt reads; a race
+            # re-runs and re-checks, so two racers of one (app, batch)
+            # can never both land.
+            if txns.get(app_id, -1) >= batch_id:
+                return {"version": snap[0], "skipped": True}
+            txns[app_id] = batch_id
         layout_n = snap[1].get("merge_buckets") if exists else None
         if exists and layout_n:
             # File-pruned incremental merge: stage only the touched
@@ -3683,6 +3781,10 @@ class CommitLogTableStore(TableStore):
                     "primary_keys": list(primary_keys),
                     "entries": new_entries,
                     **self._carry_mapping(man),
+                    # txn watermark (incl. this batch's) rides the
+                    # same atomic commit; _carry_mapping restated the
+                    # PRIOR map, so override after it.
+                    **({"txns": txns} if txns else {}),
                     # DVs survive only for untouched carried files;
                     # positions in rewritten buckets retire with them.
                     **(
@@ -3691,7 +3793,11 @@ class CommitLogTableStore(TableStore):
                 },
                 version + 1,
             )
-            return
+            return (
+                {"version": version + 1, "skipped": False}
+                if txn is not None
+                else None
+            )
         # Full rewrite (first write, unbucketed table, or the one-time
         # migration INTO the bucketed layout) — also compacts the
         # manifest down to a single entry.
@@ -3720,14 +3826,15 @@ class CommitLogTableStore(TableStore):
                     if exists and snap[1].get("checks")
                     else {}
                 ),
-                **(
-                    {"txns": snap[1]["txns"]}
-                    if exists and snap[1].get("txns")
-                    else {}
-                ),
+                **({"txns": txns} if txns else {}),
                 "entries": [entry],
             },
             version + 1,
+        )
+        return (
+            {"version": version + 1, "skipped": False}
+            if txn is not None
+            else None
         )
 
     def delete_where(

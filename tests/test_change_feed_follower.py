@@ -502,3 +502,112 @@ def test_follower_custom_transform_uses_per_commit_path(spark, caches, monkeypat
     follower.process_once()
     assert not calls
     assert _rows(dst, "clean") == [(1, "a")]
+
+
+# -- round 10: cross-table snapshot consistency -----------------------------
+
+
+def test_consistent_snapshot_pins_untorn_chain(spark, tmp_path):
+    """raw → clean → enr chain, updated MID-pipeline (clean advanced,
+    enr not): the naive latest-latest join is torn; the version-vector
+    pin reads both tables as of the same upstream snapshot."""
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "w"), table_format="commitlog"
+    )
+    t_raw = cache.table_name("raw")
+    f1 = ChangeFeedFollower(
+        cache, "raw", cache, "clean", primary_keys=["id"],
+        follower_name="h1",
+    )
+    f2 = ChangeFeedFollower(
+        cache, "clean", cache, "enr", primary_keys=["id"],
+        follower_name="h2",
+        transform=lambda df: df.withColumn(
+            "v", F.concat(F.col("v"), F.lit("!"))
+        ),
+    )
+    cache.store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t_raw, ["id"])
+    f1.process_once()
+    f2.process_once()
+    # provenance rode the dest commits atomically
+    assert f1.source_version_at() == 1
+    assert f2.source_version_at() >= 1
+
+    # MID-UPDATE: raw and clean advance, enr does NOT
+    cache.store.write_merge(
+        _df(spark, [(3, "c"), (1, "a2")], "s"), t_raw, ["id"]
+    )
+    f1.process_once()
+    naive = {
+        r["id"]
+        for r in cache["clean"].to_spark().select("id").collect()
+    }
+    assert naive == {1, 2, 3}, "clean is ahead — naive join would tear"
+    assert {
+        r["id"] for r in cache["enr"].to_spark().select("id").collect()
+    } == {1, 2}
+
+    versions, snap = ChangeFeedFollower.consistent_snapshot([f1, f2])
+    assert snap is not None
+    clean_pin = snap.read(cache.table_name("clean"))
+    enr_pin = snap.read(cache.table_name("enr"))
+    c = {(r["id"], r["v"]) for r in clean_pin.select("id", "v").collect()}
+    e = {(r["id"], r["v"]) for r in enr_pin.select("id", "v").collect()}
+    # both reflect EXACTLY raw@1: same keys, enr = transform(clean)
+    assert c == {(1, "a"), (2, "b")}
+    assert e == {(1, "a!"), (2, "b!")}
+    assert versions["raw"] == 1
+
+    # after the lagging hop catches up, the pin advances with it
+    f2.process_once()
+    versions2, snap2 = ChangeFeedFollower.consistent_snapshot([f1, f2])
+    assert versions2["raw"] == 2
+    e2 = {
+        (r["id"], r["v"])
+        for r in snap2.read(cache.table_name("enr"))
+        .select("id", "v")
+        .collect()
+    }
+    assert e2 == {(1, "a2!"), (2, "b!"), (3, "c!")}
+
+
+def test_follower_txn_makes_replay_exactly_once(spark, caches):
+    """A crash between the dest data commit and the cursor commit
+    replays the window — the SetTransaction watermark (which rode the
+    data commit atomically) skips it instead of re-merging."""
+    src, dst = caches
+    t = src.table_name("raw")
+    f = ChangeFeedFollower(src, "raw", dst, "clean", primary_keys=["id"])
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t, ["id"])
+    f.process_once()
+    dest_table = dst.table_name("clean")
+    v_after = dst.store.latest_version(dest_table)
+    # simulate the crash: reset the cursor as if it never committed
+    f._commit_cursor(0)
+    res = f.process_once()  # replays window (0, 1]
+    assert res["rows"] == 2  # the window was reprocessed...
+    assert dst.store.latest_version(dest_table) == v_after, (
+        "...but the dest write was SKIPPED by the txn watermark — "
+        "no new commit"
+    )
+    assert _rows(dst, "clean") == [(1, "a"), (2, "b")]
+
+
+def test_store_snapshot_explicit_versions(spark, tmp_path):
+    """store.snapshot pins arbitrary version vectors and validates."""
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    store = CommitLogTableStore(spark, str(tmp_path / "s"), "main")
+    store.write_append(spark.range(0, 5).coalesce(1), "a")
+    store.write_append(spark.range(5, 9).coalesce(1), "a")
+    store.write_append(spark.range(0, 3).coalesce(1), "b")
+    snap = store.snapshot(["a", "b"])
+    store.write_append(spark.range(100, 200).coalesce(1), "a")
+    assert snap.read("a").count() == 9, "writers after the pin invisible"
+    assert snap.read("b").count() == 3
+    pinned = store.snapshot({"a": 1})
+    assert pinned.read("a").count() == 5
+    with pytest.raises(KeyError):
+        snap.read("zzz")
+    with pytest.raises(FileNotFoundError):
+        store.snapshot({"a": 99})
