@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     "store_merge_evolve_events",
     "store_group_commit_events",
     "store_snapshot_consistent_join_events",
+    # round 10: 2-phase multi-table txn (2 committed groups + 1
+    # aborted garbage group across two tables, 6 prepares total)
+    "store_txn_atomic_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

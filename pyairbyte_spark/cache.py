@@ -257,6 +257,14 @@ class SparkCache(Mapping):
             self.table_name(source), self.table_name(dest)
         )
 
+    def begin_txn(self):
+        """Atomic MULTI-TABLE transaction over this cache's store
+        (``writers.MultiTableTxn``): append/replace several stream
+        tables and flip them visible with ONE decision-file PUT —
+        all-or-nothing across streams. Pass ``cache.table_name(s)`` as
+        the table argument for stream tables."""
+        return self._acid_store().begin_txn()
+
     def read_stream_as_of(self, stream_name: str, ts) -> DataFrame:
         """TIMESTAMP AS OF time travel: the stream's snapshot live at
         the given wall-clock time (epoch seconds, datetime, or ISO

@@ -5056,6 +5056,101 @@ def store_snapshot_consistent_join_events(
 
 
 @register(
+    "store_txn_atomic_events",
+    """
+    -- Atomic MULTI-TABLE transactions: two tables (row-level clean +
+    -- per-type tallies) are updated by three txn groups — two commit,
+    -- one aborts after preparing GARBAGE into both tables. One
+    -- decision file per group is the cross-table atomicity point, so
+    -- the final state is exactly the two committed batches: the
+    -- oracle is plain SQL over the source rows, with the tally table
+    -- REQUIRED to agree with the row table (n_events appears from
+    -- both sides and must match).
+    WITH v1 AS (
+      SELECT event_id, event_type, round(value, 2) AS value FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_from_tally,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           max(event_id) AS max_event
+    FROM v1 GROUP BY event_type ORDER BY event_type
+    """,
+    "atomic multi-table txn: 2-phase prepares invisible until one "
+    "decision-file PUT flips both tables at once; an aborted group "
+    "(garbage staged into BOTH tables) leaves zero trace; writer-"
+    "driven recovery unwedges crashed coordinators",
+)
+def store_txn_atomic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+        )
+        .withColumn(
+            "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+        )
+        .withColumn(
+            "_airbyte_extracted_at",
+            F.lit("2026-01-01 00:00:00").cast("timestamp"),
+        )
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-txn-"), "q"
+    )
+
+    def tally(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    with store.begin_txn() as t1:  # batch 1 lands everywhere at once
+        t1.write_append(b1, "clean")
+        t1.write_append(tally(b1), "bytype")
+    with store.begin_txn() as t2:  # batch 2
+        t2.write_append(b2, "clean")
+        t2.write_append(tally(b2), "bytype")
+        # torn-read window closed: BOTH tables still show batch 1 only
+        assert store.read("clean").count() == b1.count()
+    garbage = b1.withColumn("value", F.col("value") * 100)
+    t3 = store.begin_txn()  # prepared into BOTH tables, then aborted
+    t3.write_append(garbage, "clean")
+    t3.write_append(tally(garbage).withColumn("n", F.col("n") * 100), "bytype")
+    t3.abort()
+    clean = store.read("clean")
+    bytype = store.read("bytype").groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_from_tally")
+    )
+    return (
+        clean.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.max("event_id").alias("max_event"),
+        )
+        .join(bytype, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_from_tally",
+            "sum_value",
+            "max_event",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     -- Cohort retention matrix: users grouped by first-activity day,
@@ -6453,6 +6548,7 @@ _register_profile_query()
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
     # round-10 additions: never driver-checked — top of the window.
+    "store_txn_atomic_events",
     "store_merge_evolve_events",
     "store_group_commit_events",
     "store_snapshot_consistent_join_events",

@@ -86,6 +86,10 @@ class TableStore:
         # Resolved-manifest cache (commit-log store): commits are
         # immutable, so (table, version) → full manifest caches safely.
         self._man_cache: dict[tuple[str, int], dict] = {}
+        # Multi-table txn-group verdicts ("commit"/"abort") — decisions
+        # are immutable once made, so they cache forever; an undecided
+        # group is never cached (its decision file may appear later).
+        self._txn_verdicts: dict[str, str] = {}
         # (table, bloomidx ref) -> {(entry_path, file_path): {col: (m, k, bits)}}
         # Byte-capped (bitsets dominate; a big table's index is GBs —
         # an entry-count cap alone could pin 4×GB on the driver).
@@ -470,6 +474,162 @@ class ConcurrentCommitError(RuntimeError):
     """
 
 
+class TxnGroupAbortedError(ConcurrentCommitError):
+    """A multi-table transaction group was aborted before (or instead
+    of) committing — either explicitly, or force-resolved by a
+    concurrent writer that found an in-flight PREPARE blocking its
+    commit slot past the grace window (writer-driven recovery; see
+    :meth:`CommitLogTableStore.begin_txn`). None of the group's
+    prepared table states ever became visible; re-run the transaction.
+    """
+
+
+class MultiTableTxn:
+    """Atomic cross-TABLE transaction over one commit-log store.
+
+    Two-phase protocol (no coordinator service — the decision FILE is
+    the coordinator, exactly like the commit log itself):
+
+    1. PREPARE — each write inside the txn runs the normal verb
+       (stage data, retry-rebase, conditional-PUT a commit), except the
+       commit JSON carries ``txn_group: <gid>``. A commit carrying a
+       group id is INVISIBLE to every reader until the group decides:
+       snapshot resolution walks past it, CDF skips it, time travel
+       refuses it. The slot it claimed stays claimed (versions are
+       immutable); later writers slide past it if the group aborts.
+    2. DECIDE — :meth:`commit` create-exclusive-PUTs one decision file
+       (``_txngroups/<gid>.json``) with verdict ``commit``. That single
+       atomic PUT is the transaction's atomicity point: every prepared
+       table state becomes visible at once, or (verdict ``abort``)
+       none ever does.
+
+    Recovery is writer-driven (Percolator's lock-resolution shape,
+    re-expressed over a commit log): a writer blocked by an in-flight
+    prepare polls the decision for ``TXN_RESOLVE_GRACE_S`` seconds and
+    then force-aborts the group via the same conditional PUT — the
+    crashed coordinator's leftovers never wedge the table, and a slow
+    coordinator racing its own abort loses deterministically (exactly
+    one verdict wins the PUT). Aborted prepares remain in the commit
+    chain as invisible slots; their data dirs are vacuum garbage.
+
+    Scope (v1): :meth:`write_append` and :meth:`write_replace`, one
+    commit per table per group (the pipeline-chain verbs — raw +
+    clean + agg move together). Reads inside the txn see the PRE-txn
+    snapshots (no read-your-own-uncommitted-writes). Single-table
+    SetTransaction watermarks (``txn=(app_id, batch_id)``) compose:
+    the watermark rides the prepared commit, so it only takes effect
+    if the group commits.
+
+    Reference point: the reference finalizes multiple streams' states
+    atomically per sync via one SQL transaction over its state table
+    (``airbyte/shared/state_providers.py`` + ``sql_processor.py``
+    write-lock finalization); this is that guarantee extended to the
+    data itself across tables.
+    """
+
+    def __init__(self, store: "CommitLogTableStore", group_id: str | None = None):
+        self.store = store
+        self.group_id = group_id or uuid.uuid4().hex
+        self.prepared: dict[str, int] = {}
+        self._closed = False
+
+    # -- prepares ------------------------------------------------------------
+
+    def _check_open(self, table_name: str) -> None:
+        if self._closed:
+            raise RuntimeError(
+                f"txn group {self.group_id} is already decided"
+            )
+        if table_name in self.prepared:
+            # Two prepares of one table would make the SECOND's base
+            # an invisible own-group commit — disallowed (one commit
+            # per table per group; batch frames via write_appends-style
+            # unions before the txn instead).
+            raise ValueError(
+                f"table {table_name!r} is already prepared in txn group "
+                f"{self.group_id} (one commit per table per group)"
+            )
+
+    def write_append(
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str] | None = None,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        self._check_open(table_name)
+        res = self.store.write_append(
+            df,
+            table_name,
+            primary_keys,
+            txn=txn,
+            txn_group=self.group_id,
+        )
+        if not res.get("skipped"):
+            self.prepared[table_name] = res["version"]
+        return res
+
+    def write_replace(
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str] | None = None,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        self._check_open(table_name)
+        res = self.store.write_replace(
+            df,
+            table_name,
+            primary_keys,
+            txn=txn,
+            txn_group=self.group_id,
+        )
+        if not res.get("skipped"):
+            self.prepared[table_name] = res["version"]
+        return res
+
+    # -- decide --------------------------------------------------------------
+
+    def commit(self) -> dict[str, int]:
+        """Decide COMMIT. Returns {table: version} of the now-visible
+        prepared commits. Raises :class:`TxnGroupAbortedError` if a
+        concurrent writer force-aborted the group first (nothing
+        became visible; re-run)."""
+        self._closed = True
+        verdict = self.store._decide_group(self.group_id, "commit")
+        if verdict != "commit":
+            raise TxnGroupAbortedError(
+                f"txn group {self.group_id} was force-aborted by a "
+                "concurrent writer before commit; none of its prepared "
+                f"states became visible (prepared: {self.prepared})"
+            )
+        return dict(self.prepared)
+
+    def abort(self) -> None:
+        """Decide ABORT (idempotent; a no-op if already committed by
+        this handle — but raises if commit() already succeeded here)."""
+        self._closed = True
+        self.store._decide_group(self.group_id, "abort")
+
+    def __enter__(self) -> "MultiTableTxn":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if self._closed:
+            return
+        if exc_type is None:
+            self.commit()
+        else:
+            self.abort()
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return (
+            f"MultiTableTxn({self.group_id!r}, prepared={self.prepared!r})"
+        )
+
+
 class CommitLogTableStore(TableStore):
     """ACID table store: immutable parquet data dirs + atomic commit log.
 
@@ -524,10 +684,129 @@ class CommitLogTableStore(TableStore):
         return os.path.join(self.table_path(table_name), self.COMMIT_DIR)
 
     def _latest_commit(self, table_name: str) -> tuple[int, dict] | None:
+        """The newest VISIBLE snapshot. A commit carrying a
+        ``txn_group`` is visible iff its group decided COMMIT; the walk
+        skips undecided (in-flight) and aborted prepares WITHOUT
+        resolving them — pure readers never force a verdict (that is
+        the slot-contending writer's job; see :meth:`_commit`).
+        Invariant kept by ``_commit``: only head commits can be
+        undecided (taking a slot above one resolves it first), so this
+        walk is O(1) for every table no txn ever touched and O(head
+        prepares) otherwise."""
         v = self._discover_latest(table_name)
         if v is None:
             return None
-        return v, self._read_manifest(table_name, v)
+        return self._visible_at_or_below(table_name, v)
+
+    def _visible_at_or_below(
+        self, table_name: str, v: int
+    ) -> tuple[int, dict] | None:
+        while v >= 1:
+            cached = self._man_cache.get((table_name, v))
+            header = (
+                cached
+                if cached is not None
+                else self._read_commit_json(table_name, v)
+            )
+            gid = header.get("txn_group")
+            if gid is None or self._group_verdict(gid) == "commit":
+                return v, (
+                    cached
+                    if cached is not None
+                    else self._read_manifest(table_name, v)
+                )
+            v -= 1
+        return None
+
+    # -- multi-table txn groups ----------------------------------------------
+    # One decision file per group under <root>/_txngroups/; the
+    # create-exclusive PUT of that file is the cross-table atomicity
+    # point. See MultiTableTxn for the full protocol.
+
+    _TXN_GROUP_DIR = "_txngroups"
+    # How long a slot-blocked writer polls an in-flight group's
+    # decision before force-aborting it (writer-driven recovery).
+    TXN_RESOLVE_GRACE_S = 1.0
+
+    def _txn_decision_path(self, group_id: str) -> str:
+        return os.path.join(
+            self.root, self._TXN_GROUP_DIR, f"{group_id}.json"
+        )
+
+    def _group_verdict(self, group_id: str) -> str | None:
+        """"commit" / "abort" / None (undecided). Decided verdicts are
+        immutable → cached forever; undecided costs one existence-ish
+        read per call (only ever paid while a prepare is in flight)."""
+        v = self._txn_verdicts.get(group_id)
+        if v is not None:
+            return v
+        try:
+            v = json.loads(
+                self.io.read_text(self._txn_decision_path(group_id))
+            )["verdict"]
+        except Exception:
+            return None
+        self._txn_verdicts[group_id] = v
+        return v
+
+    def _decide_group(self, group_id: str, verdict: str) -> str:
+        """Attempt to decide ``group_id``; returns the verdict that
+        actually WON (exactly one of any number of concurrent
+        commit/abort attempts lands — same conditional-PUT exclusivity
+        as the commit log)."""
+        self.io.makedirs(os.path.join(self.root, self._TXN_GROUP_DIR))
+        path = self._txn_decision_path(group_id)
+        self.io.put_if_absent(
+            path, json.dumps({"verdict": verdict, "ts": int(time.time())})
+        )
+        won = json.loads(self.io.read_text(path))["verdict"]
+        self._txn_verdicts[group_id] = won
+        return won
+
+    def _resolve_group(self, group_id: str) -> str:
+        """Writer-driven recovery: poll the decision for the grace
+        window, then force ABORT. Called only by a writer whose commit
+        slot is occupied by this group's prepare — a crashed
+        coordinator never wedges the table, and a live one that loses
+        the race gets TxnGroupAbortedError from its own commit()."""
+        deadline = time.monotonic() + self.TXN_RESOLVE_GRACE_S
+        while True:
+            v = self._group_verdict(group_id)
+            if v is not None:
+                return v
+            if time.monotonic() >= deadline:
+                return self._decide_group(group_id, "abort")
+            time.sleep(0.05)
+
+    def begin_txn(self, group_id: str | None = None) -> MultiTableTxn:
+        """Open an atomic multi-table transaction (see
+        :class:`MultiTableTxn`): prepares via ``txn.write_append`` /
+        ``txn.write_replace`` stay invisible to every reader until
+        ``txn.commit()`` flips ONE decision file — a raw→clean→agg
+        pipeline step lands everywhere or nowhere, closing the torn-
+        read window that per-table atomicity alone leaves open
+        (:meth:`snapshot` pins are the READ-side half; this is the
+        WRITE side)."""
+        return MultiTableTxn(self, group_id)
+
+    def txn_group_status(self, group_id: str) -> str:
+        """"commit" / "abort" / "in-flight" — audit surface."""
+        return self._group_verdict(group_id) or "in-flight"
+
+    def _require_visible(
+        self, table_name: str, version: int, man: dict
+    ) -> None:
+        gid = man.get("txn_group")
+        if gid is None:
+            return
+        verdict = self._group_verdict(gid)
+        if verdict != "commit":
+            state = "aborted" if verdict == "abort" else "undecided"
+            raise ValueError(
+                f"version {version} of {table_name!r} belongs to "
+                f"multi-table txn group {gid} ({state}) and is not a "
+                "readable snapshot"
+            )
 
     def _read_commit_json(self, table_name: str, version: int) -> dict:
         """One commit's raw JSON, WITHOUT expanding a checkpoint
@@ -586,12 +865,25 @@ class CommitLogTableStore(TableStore):
             if k[0] != table_name or (below is not None and k[1] >= below)
         }
 
-    def _commit(self, table_name: str, manifest: dict, version: int) -> None:
-        """Publish ``manifest`` as ``version`` — one atomic
-        create-exclusive PUT through the FileIO seam (local: temp +
-        hard link; HDFS: temp + contract rename; object store:
-        conditional PUT). Exactly one of any number of concurrent
-        writers claims a version.
+    def _commit(self, table_name: str, manifest: dict, version: int) -> int:
+        """Publish ``manifest`` at ``version`` (or the next free slot
+        past aborted txn-group prepares — see below); returns the
+        version that actually landed. One atomic create-exclusive PUT
+        through the FileIO seam (local: temp + hard link; HDFS: temp +
+        contract rename; object store: conditional PUT). Exactly one
+        of any number of concurrent writers claims a slot.
+
+        Txn-group slots: a PREPARE that never committed occupies its
+        version number forever (commits are immutable) while staying
+        invisible to readers. A writer whose PUT collides with one
+        resolves the group (grace-poll, then force-abort — recovery is
+        writer-driven) and SLIDES to the next slot when the group is
+        aborted: the stored delta's explicit ``base`` pointer keeps
+        chain resolution correct wherever the commit lands, and the
+        nearest-visible-below version IS the manifest this commit was
+        computed from, so CDF diffs stay exact. A group that resolves
+        to COMMIT is a live concurrent commit → ConcurrentCommitError
+        → the caller's normal rebase loop.
 
         Storage form (``manifest.py``): when the previous version
         resolves and the change is small, the stored JSON is a DELTA
@@ -616,22 +908,40 @@ class CommitLogTableStore(TableStore):
                 if delta is not None:
                     top = {k: v for k, v in manifest.items() if k != "entries"}
                     to_store = {**top, "base": version - 1, **delta}
-        target = os.path.join(self._commits_dir(table_name), f"{version:020d}.json")
         # Wall-clock commit timestamp: audit metadata for history();
         # versions, not timestamps, remain the ordering authority.
         to_store = {"ts": int(time.time()), **to_store}
-        data, sidecar = self._serialize_manifest(table_name, version, to_store)
-        if not self.io.put_if_absent(target, data):
+        attempt = version
+        while True:
+            target = os.path.join(
+                self._commits_dir(table_name), f"{attempt:020d}.json"
+            )
+            data, sidecar = self._serialize_manifest(
+                table_name, attempt, to_store
+            )
+            if self.io.put_if_absent(target, data):
+                break
             if sidecar:  # the loser's orphan sidecar is dead weight
                 self.io.delete_file(
                     os.path.join(self._commits_dir(table_name), sidecar)
                 )
+            occ_gid = None
+            try:
+                occ_gid = self._read_commit_json(table_name, attempt).get(
+                    "txn_group"
+                )
+            except FileNotFoundError:
+                pass  # occupant vanished (vacuum race): plain conflict
+            if occ_gid is not None and self._resolve_group(occ_gid) == "abort":
+                attempt += 1  # slide past the invisible slot
+                continue
             raise ConcurrentCommitError(
-                f"commit version {version} of {table_name!r} was taken "
+                f"commit version {attempt} of {table_name!r} was taken "
                 "by a concurrent writer"
             )
-        self._advance_latest_pointer(table_name, version)
-        self._cache_manifest(table_name, version, {"version": version, **manifest})
+        self._advance_latest_pointer(table_name, attempt)
+        self._cache_manifest(table_name, attempt, {"version": attempt, **manifest})
+        return attempt
 
     # Latest-version discovery used to LIST the commits dir — O(commit
     # count) names per cold read, the classic object-store listing
@@ -742,8 +1052,7 @@ class CommitLogTableStore(TableStore):
         op = manifest.get("op")
         for _ in range(self._COMMIT_RETRIES):
             try:
-                self._commit(table_name, manifest, version)
-                return version
+                return self._commit(table_name, manifest, version)
             except ConcurrentCommitError:
                 snap = self._latest_commit(table_name)
                 if snap is None:
@@ -1158,6 +1467,7 @@ class CommitLogTableStore(TableStore):
         until :meth:`vacuum` reclaims its data dirs), through the
         column mapping AS OF that version."""
         man = self._read_manifest(table_name, version)
+        self._require_visible(table_name, version, man)
         df = self._apply_mapping(self._read_manifest_df(table_name, man), man)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
@@ -1182,7 +1492,9 @@ class CommitLogTableStore(TableStore):
         if isinstance(tables, dict):
             versions = {t: int(v) for t, v in tables.items()}
             for t, v in versions.items():
-                self._read_manifest(t, v)  # validate: raises if gone
+                # validate: raises if vacuumed, or if the version is an
+                # aborted/undecided multi-table-txn prepare
+                self._require_visible(t, v, self._read_manifest(t, v))
         else:
             versions = {t: self.latest_version(t) for t in tables}
         return StoreSnapshot(self, versions)
@@ -1215,8 +1527,11 @@ class CommitLogTableStore(TableStore):
         # version at-or-before the target rather than binary-searching.
         for n in names:
             v = int(n[:-5])
-            cts = self._read_commit_json(table_name, v).get("ts") or 0
-            if cts <= target:
+            cj = self._read_commit_json(table_name, v)
+            gid = cj.get("txn_group")
+            if gid is not None and self._group_verdict(gid) != "commit":
+                continue  # aborted/undecided prepare: never a snapshot
+            if (cj.get("ts") or 0) <= target:
                 best = v
         if best is None:
             first = self._read_commit_json(
@@ -1350,7 +1665,7 @@ class CommitLogTableStore(TableStore):
         if counts[name]:
             raise ExpectationViolation(counts)
         checks = {**(man.get("checks") or {}), name: expr}
-        self._commit(
+        return self._commit(
             table_name,
             {
                 "op": "set_check",
@@ -1371,7 +1686,6 @@ class CommitLogTableStore(TableStore):
             },
             version + 1,
         )
-        return version + 1
 
     def drop_check(self, table_name: str, name: str) -> int:
         snap = self._latest_commit(table_name)
@@ -1399,8 +1713,7 @@ class CommitLogTableStore(TableStore):
             "entries": man.get("entries") or [],
             **self._carry_dv(man),
         }
-        self._commit(table_name, manifest, version + 1)
-        return version + 1
+        return self._commit(table_name, manifest, version + 1)
 
     @staticmethod
     def _guard_checked_column(man: dict, column: str, verb: str) -> None:
@@ -1533,8 +1846,7 @@ class CommitLogTableStore(TableStore):
             # Position deletes are name-independent; carry verbatim.
             **self._carry_dv(man),
         }
-        self._commit(table_name, manifest, version + 1)
-        return version + 1
+        return self._commit(table_name, manifest, version + 1)
 
     def add_column(
         self,
@@ -1596,8 +1908,7 @@ class CommitLogTableStore(TableStore):
             "added_columns": added,
             **self._carry_dv(man),
         }
-        self._commit(table_name, manifest, version + 1)
-        return version + 1
+        return self._commit(table_name, manifest, version + 1)
 
     def drop_column(self, table_name: str, name: str) -> int:
         """Metadata-only column drop (zero data I/O). The physical
@@ -1636,8 +1947,7 @@ class CommitLogTableStore(TableStore):
             ),
             **self._carry_dv(man),
         }
-        self._commit(table_name, manifest, version + 1)
-        return version + 1
+        return self._commit(table_name, manifest, version + 1)
 
     # A checkpoint sidecar at or above this size is scanned WITH SPARK
     # instead of being decoded into a driver-side Python list — the
@@ -1674,15 +1984,33 @@ class CommitLogTableStore(TableStore):
         from pyairbyte_spark import manifest as mf
 
         if version is None:
-            version = self._discover_latest(table_name)
-            if version is None:
+            raw = self._discover_latest(table_name)
+            if raw is None:
+                raise FileNotFoundError(
+                    f"table {table_name!r} does not exist"
+                )
+            # Head txn-group prepares are invisible: plan the newest
+            # VISIBLE snapshot (same walk _latest_commit does, without
+            # forcing full-manifest resolution here).
+            version = raw
+            while version >= 1:
+                head = self._man_cache.get(
+                    (table_name, version)
+                ) or self._read_commit_json(table_name, version)
+                gid = head.get("txn_group")
+                if gid is None or self._group_verdict(gid) == "commit":
+                    break
+                version -= 1
+            if version < 1:
                 raise FileNotFoundError(
                     f"table {table_name!r} does not exist"
                 )
         cached = self._man_cache.get((table_name, version))
         if cached is not None:  # already materialized — reuse it
+            self._require_visible(table_name, version, cached)
             return cached, None, cached
         top_raw = self._read_commit_json(table_name, version)
+        self._require_visible(table_name, version, top_raw)
         chain: list[dict] = []
         cur = top_raw
         while mf.is_delta(cur):
@@ -2233,6 +2561,18 @@ class CommitLogTableStore(TableStore):
                     else {}
                 ),
                 **({"txns": dict(m["txns"])} if m.get("txns") else {}),
+                # Multi-table txn prepares stay in the log as an audit
+                # trail; verdict tells whether this slot ever became a
+                # visible snapshot.
+                **(
+                    {
+                        "txn_group": m["txn_group"],
+                        "txn_verdict": self._group_verdict(m["txn_group"])
+                        or "in-flight",
+                    }
+                    if m.get("txn_group")
+                    else {}
+                ),
             }
             if "entries_ref" in m:  # parquet-checkpointed full manifest
                 rec["n_entries"] = m.get("n_entries")
@@ -2659,7 +2999,19 @@ class CommitLogTableStore(TableStore):
             "set_bloom_index",
         ):
             return None  # bytes or metadata moved; no row changes
-        prev = self._read_manifest(table_name, v - 1) if v > 1 else None
+        gid = man.get("txn_group")
+        if gid is not None and self._group_verdict(gid) != "commit":
+            # Aborted (or still-undecided) multi-table-txn prepare: the
+            # slot exists but its rows never became visible — no change.
+            return None
+        # Diff against the nearest VISIBLE version below v: an aborted
+        # prepare occupying v-1 was never this commit's logical parent
+        # (writers always base on the visible head, so nearest-visible
+        # -below IS the manifest this commit was computed from).
+        prev = None
+        if v > 1:
+            below = self._visible_at_or_below(table_name, v - 1)
+            prev = below[1] if below is not None else None
         prev_entries = (prev or {}).get("entries") or []
         prev_paths = {e["path"] for e in prev_entries}
         new_entries = [
@@ -2991,9 +3343,14 @@ class CommitLogTableStore(TableStore):
         primary_keys: list[str] | None = None,
         *,
         txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
     ) -> dict | None:
-        """Append a data dir and publish one commit. ``txn=(app_id,
-        batch_id)`` makes the append IDEMPOTENT (Delta's
+        """Append a data dir and publish one commit. ``txn_group``
+        marks the commit as a multi-table-txn PREPARE: it claims a
+        version slot but stays INVISIBLE to every reader until the
+        group's decision file says commit (:meth:`begin_txn` — callers
+        use :class:`MultiTableTxn`, not this kwarg directly).
+        ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT (Delta's
         ``SetTransaction`` action): the manifest's ``txns`` map records
         the highest batch_id committed per app, the watermark rides
         the SAME atomic conditional-PUT as the data, and an append
@@ -3051,12 +3408,13 @@ class CommitLogTableStore(TableStore):
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),
                 **(self._carry_dv(snap2[1]) if snap2 else {}),
                 **({"txns": txns} if txns else {}),
+                **({"txn_group": txn_group} if txn_group else {}),
             }
             try:
-                self._commit(table_name, manifest, version + 1)
+                landed = self._commit(table_name, manifest, version + 1)
                 return (
-                    {"version": version + 1, "skipped": False}
-                    if txn is not None
+                    {"version": landed, "skipped": False}
+                    if txn is not None or txn_group is not None
                     else None
                 )
             except ConcurrentCommitError:
@@ -3174,9 +3532,9 @@ class CommitLogTableStore(TableStore):
                 **({"txns": txmap} if txmap else {}),
             }
             try:
-                self._commit(table_name, manifest, version + 1)
+                landed = self._commit(table_name, manifest, version + 1)
                 return {
-                    "version": version + 1,
+                    "version": landed,
                     "appended": len(add),
                     "skipped": skipped + dropped,
                 }
@@ -3194,11 +3552,14 @@ class CommitLogTableStore(TableStore):
         primary_keys: list[str] | None = None,
         *,
         txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
     ) -> dict | None:
         """Atomic snapshot REPLACE. ``txn=(app_id, batch_id)`` makes
         it idempotent like :meth:`write_append` (same SetTransaction
         contract; a replayed batch is skipped, returning
-        ``{"version", "skipped"}``)."""
+        ``{"version", "skipped"}``). ``txn_group`` marks the commit as
+        a multi-table-txn PREPARE (invisible until the group decides;
+        see :meth:`begin_txn`)."""
         if txn is not None:
             pre = self._latest_commit(table_name)
             if (
@@ -3236,12 +3597,16 @@ class CommitLogTableStore(TableStore):
                 if txns.get(app_id, -1) >= batch_id:
                     return {"version": version, "skipped": True}
                 txns[app_id] = batch_id
-            manifest = {**base, **({"txns": txns} if txns else {})}
+            manifest = {
+                **base,
+                **({"txns": txns} if txns else {}),
+                **({"txn_group": txn_group} if txn_group else {}),
+            }
             try:
-                self._commit(table_name, manifest, version + 1)
+                landed = self._commit(table_name, manifest, version + 1)
                 return (
-                    {"version": version + 1, "skipped": False}
-                    if txn is not None
+                    {"version": landed, "skipped": False}
+                    if txn is not None or txn_group is not None
                     else None
                 )
             except ConcurrentCommitError:
@@ -3632,7 +3997,7 @@ class CommitLogTableStore(TableStore):
         if entry["files"]:
             keep_entries = [*keep_entries, entry]
         new_dvs, _ = self._prune_dvs(table_name, man, rewritten)
-        self._commit(
+        landed = self._commit(
             table_name,
             {
                 "op": "merge",
@@ -3657,13 +4022,13 @@ class CommitLogTableStore(TableStore):
                 "inserted": int(got["n_ins"] or 0) * n_over[0],
                 "updated": 0,
                 "deleted": 0,
-                "version": version + 1,
+                "version": landed,
             }
         return {
             "inserted": int(got["n_ins"] or 0),
             "updated": int(got["n_upd"] or 0),
             "deleted": int(got["n_del"] or 0),
-            "version": version + 1,
+            "version": landed,
         }
 
     def _write_merge_once(
@@ -3773,7 +4138,7 @@ class CommitLogTableStore(TableStore):
                     new_entries.append({**e, "buckets": remaining})
             new_entries.append(entry)
             merge_dvs, _ = self._prune_dvs(table_name, man, rewritten)
-            self._commit(
+            landed = self._commit(
                 table_name,
                 {
                     "op": "merge",
@@ -3794,7 +4159,7 @@ class CommitLogTableStore(TableStore):
                 version + 1,
             )
             return (
-                {"version": version + 1, "skipped": False}
+                {"version": landed, "skipped": False}
                 if txn is not None
                 else None
             )
@@ -3810,7 +4175,7 @@ class CommitLogTableStore(TableStore):
         latest = self._with_bucket(latest, primary_keys)
         entry = self._stage(latest, table_name)
         version = snap[0] if snap else 0
-        self._commit(
+        landed = self._commit(
             table_name,
             {
                 "op": "merge",
@@ -3832,7 +4197,7 @@ class CommitLogTableStore(TableStore):
             version + 1,
         )
         return (
-            {"version": version + 1, "skipped": False}
+            {"version": landed, "skipped": False}
             if txn is not None
             else None
         )
@@ -4680,11 +5045,11 @@ class CommitLogTableStore(TableStore):
                     **self._carry_dv(man2),
                 }
                 try:
-                    self._commit(table_name, manifest, version2 + 1)
+                    landed = self._commit(table_name, manifest, version2 + 1)
                     return {
                         "files_indexed": n_new,
                         "columns": phys,
-                        "version": version2 + 1,
+                        "version": landed,
                     }
                 except ConcurrentCommitError:
                     continue
@@ -4693,7 +5058,8 @@ class CommitLogTableStore(TableStore):
                 # entry actions — new top fields only, entries carried
                 # by base reference. Nothing O(files) ever touches the
                 # driver on this path.
-                v2 = self._discover_latest(table_name)
+                snap2 = self._latest_commit(table_name)
+                v2 = snap2[0] if snap2 else 0
                 top2 = mf.top_fields(self._read_commit_json(table_name, v2))
                 delta = {
                     **{
@@ -4709,14 +5075,14 @@ class CommitLogTableStore(TableStore):
                     "replace_entries": {},
                 }
                 try:
-                    self._commit(table_name, delta, v2 + 1)
+                    landed = self._commit(table_name, delta, v2 + 1)
                     # _commit caches what it was handed; a delta is
                     # not a resolved manifest — drop it.
-                    self._man_cache.pop((table_name, v2 + 1), None)
+                    self._man_cache.pop((table_name, landed), None)
                     return {
                         "files_indexed": n_new,
                         "columns": phys,
-                        "version": v2 + 1,
+                        "version": landed,
                     }
                 except ConcurrentCommitError:
                     continue
@@ -4967,10 +5333,9 @@ class CommitLogTableStore(TableStore):
         dirs). ``source_store`` lets the source live in a different
         warehouse/schema. Returns the clone's version (1)."""
         st = source_store or self
-        man = st._read_manifest(
-            source,
-            st.latest_version(source) if version is None else version,
-        )
+        src_v = st.latest_version(source) if version is None else version
+        man = st._read_manifest(source, src_v)
+        st._require_visible(source, src_v, man)
         if not man.get("entries"):
             raise FileNotFoundError(f"table {source!r} does not exist")
         if self._latest_commit(dest) is not None:
@@ -4999,7 +5364,7 @@ class CommitLogTableStore(TableStore):
                 **bi,
                 "base": bi.get("base") or src_base,
             }
-        self._commit(
+        return self._commit(
             dest,
             {
                 "op": "replace",
@@ -5016,7 +5381,6 @@ class CommitLogTableStore(TableStore):
             },
             1,
         )
-        return 1
 
     # -- maintenance --------------------------------------------------------
 
@@ -5031,6 +5395,7 @@ class CommitLogTableStore(TableStore):
         reports the swap as delete+insert, like replace. Returns the
         new version."""
         target = self._read_manifest(table_name, version)
+        self._require_visible(table_name, version, target)
         snap = self._latest_commit(table_name)
         if snap is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
@@ -5050,7 +5415,7 @@ class CommitLogTableStore(TableStore):
                     f"cannot restore {table_name!r} to version {version}: "
                     f"deletion-vector dir {dv['path']} was vacuumed"
                 )
-        self._commit(
+        return self._commit(
             table_name,
             {
                 "op": "restore",
@@ -5079,7 +5444,6 @@ class CommitLogTableStore(TableStore):
             },
             latest + 1,
         )
-        return latest + 1
 
     def vacuum(
         self,

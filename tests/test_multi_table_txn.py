@@ -1,0 +1,278 @@
+"""Atomic multi-table transactions (MultiTableTxn): 2-phase prepares
+invisible until ONE decision file flips, writer-driven force-abort
+recovery, slot sliding past aborted prepares, CDF/time-travel/clone/
+restore/snapshot visibility, and decision-race exclusivity.
+
+Reference point: the reference finalizes multiple streams' states
+atomically per sync via one SQL transaction over its state table
+(``airbyte/shared/state_providers.py``, ``sql_processor.py``
+write-lock finalization); here the same all-or-nothing guarantee
+covers the DATA across tables, not just the state rows.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from pyairbyte_spark.writers import (
+    CommitLogTableStore,
+    TxnGroupAbortedError,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    st.TXN_RESOLVE_GRACE_S = 0.2  # fast force-abort in tests
+    return st
+
+
+def _seed(spark, store):
+    store.write_append(spark.range(5).toDF("a"), "raw")
+    store.write_append(spark.range(3).toDF("b"), "agg")
+
+
+def test_commit_is_atomic_across_tables(spark, store):
+    _seed(spark, store)
+    txn = store.begin_txn()
+    txn.write_append(spark.range(100, 103).toDF("a"), "raw")
+    # Torn-read window closed: first table prepared, second not yet —
+    # a reader joining both sees the PRE-txn state of BOTH.
+    assert store.read("raw").count() == 5
+    txn.write_append(spark.range(200, 202).toDF("b"), "agg")
+    assert store.read("raw").count() == 5
+    assert store.read("agg").count() == 3
+    assert store.table_stats("raw")["rows"] == 5  # stats path too
+    versions = txn.commit()
+    assert set(versions) == {"raw", "agg"}
+    assert store.read("raw").count() == 8
+    assert store.read("agg").count() == 5
+    # prepared slots became the visible latest
+    assert store.latest_version("raw") == versions["raw"]
+    assert store.latest_version("agg") == versions["agg"]
+
+
+def test_abort_leaves_no_trace_in_reads(spark, store):
+    _seed(spark, store)
+    txn = store.begin_txn()
+    txn.write_append(spark.range(50).toDF("a"), "raw")
+    txn.write_replace(spark.range(99).toDF("b"), "agg")
+    txn.abort()
+    assert store.read("raw").count() == 5
+    assert store.read("agg").count() == 3
+    assert store.txn_group_status(txn.group_id) == "abort"
+    # CDF never emits the aborted rows
+    assert store.read_changes("raw", 0).count() == 5
+    # and the feed keeps working for later real commits
+    store.write_append(spark.range(1000, 1002).toDF("a"), "raw")
+    assert store.read_changes("raw", 0).count() == 7
+
+
+def test_context_manager_commits_on_clean_exit_aborts_on_raise(spark, store):
+    _seed(spark, store)
+    with store.begin_txn() as t:
+        t.write_append(spark.range(10, 12).toDF("a"), "raw")
+    assert store.read("raw").count() == 7
+    with pytest.raises(RuntimeError, match="boom"):
+        with store.begin_txn() as t2:
+            t2.write_append(spark.range(20, 25).toDF("a"), "raw")
+            raise RuntimeError("boom")
+    assert store.read("raw").count() == 7
+    assert store.txn_group_status(t2.group_id) == "abort"
+
+
+def test_writer_slides_past_aborted_slot(spark, store):
+    _seed(spark, store)
+    v0 = store.latest_version("raw")
+    t = store.begin_txn()
+    t.write_append(spark.range(30, 33).toDF("a"), "raw")  # claims v0+1
+    t.abort()
+    # Plain append must land ABOVE the aborted slot, not wedge on it.
+    res = store.write_append(spark.range(40, 41).toDF("a"), "raw", txn=("app", 1))
+    assert res["version"] == v0 + 2
+    assert store.read("raw").count() == 6
+    # nearest-visible-below diff: CDF of the slid commit is exact
+    feed = store.read_changes("raw", v0)
+    assert feed.count() == 1
+    assert feed.collect()[0]["_commit_version"] == v0 + 2
+
+
+def test_crashed_coordinator_force_aborted_by_contender(spark, store):
+    _seed(spark, store)
+    t = store.begin_txn()
+    t.write_append(spark.range(60, 66).toDF("a"), "raw")
+    # coordinator "crashes" here — no decision. A contender append
+    # polls the grace window, force-aborts, slides, lands.
+    store.write_append(spark.range(70, 71).toDF("a"), "raw")
+    assert store.read("raw").count() == 6
+    assert store.txn_group_status(t.group_id) == "abort"
+    with pytest.raises(TxnGroupAbortedError):
+        t.commit()
+
+
+def test_decision_race_exactly_one_verdict(spark, store):
+    """Commit and abort racing on one group: exactly one wins, and
+    both sides observe the same verdict (conditional-PUT exclusivity,
+    same guarantee threaded writers get on commit slots)."""
+    _seed(spark, store)
+    for _ in range(5):
+        t = store.begin_txn()
+        t.write_append(spark.range(2).toDF("a"), "raw_race")
+        verdicts = []
+
+        def decide(v):
+            verdicts.append(store._decide_group(t.group_id, v))
+
+        th = [
+            threading.Thread(target=decide, args=("commit",)),
+            threading.Thread(target=decide, args=("abort",)),
+        ]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+        assert len(set(verdicts)) == 1  # both saw the same winner
+        assert verdicts[0] in ("commit", "abort")
+
+
+def test_undecided_head_invisible_to_all_read_surfaces(spark, store):
+    _seed(spark, store)
+    t = store.begin_txn()
+    t.write_append(spark.range(500, 510).toDF("a"), "raw")
+    try:
+        # read / stats / plan / history verdict / version_at_timestamp
+        assert store.read("raw").count() == 5
+        assert store.table_stats("raw")["rows"] == 5
+        plan = store.plan_scan("raw")
+        assert plan["files_total"] >= 1
+        head = store.history("raw")[0]
+        assert head["txn_verdict"] == "in-flight"
+        v = store.version_at_timestamp("raw", 2**31)
+        assert v == store.latest_version("raw")
+        with pytest.raises(ValueError, match="undecided"):
+            store.read_version("raw", head["version"])
+        with pytest.raises(ValueError, match="undecided"):
+            store.snapshot({"raw": head["version"]})
+    finally:
+        t.abort()
+
+
+def test_aborted_version_refused_by_time_travel_clone_restore(spark, store):
+    _seed(spark, store)
+    t = store.begin_txn()
+    t.write_append(spark.range(1, 4).toDF("a"), "raw")
+    t.abort()
+    ab_v = next(
+        h["version"]
+        for h in store.history("raw")
+        if h.get("txn_verdict") == "abort"
+    )
+    with pytest.raises(ValueError, match="aborted"):
+        store.read_version("raw", ab_v)
+    with pytest.raises(ValueError, match="aborted"):
+        store.clone_table("raw", "raw_clone", version=ab_v)
+    with pytest.raises(ValueError, match="aborted"):
+        store.restore("raw", ab_v)
+    with pytest.raises(ValueError, match="aborted"):
+        store.snapshot({"raw": ab_v})
+
+
+def test_set_transaction_watermark_composes_with_groups(spark, store):
+    """A (app_id, batch_id) watermark riding an ABORTED prepare never
+    takes effect — the batch replays cleanly afterwards; riding a
+    COMMITTED prepare it blocks the replay, exactly-once either way."""
+    _seed(spark, store)
+    t = store.begin_txn()
+    t.write_append(spark.range(5, 8).toDF("a"), "raw", txn=("job", 7))
+    t.abort()
+    assert store.txn_version("raw", "job") == -1  # watermark never landed
+    res = store.write_append(
+        spark.range(5, 8).toDF("a"), "raw", txn=("job", 7)
+    )
+    assert res["skipped"] is False
+    assert store.read("raw").count() == 8
+    with store.begin_txn() as t2:
+        t2.write_append(spark.range(8, 10).toDF("a"), "raw", txn=("job", 8))
+    assert store.txn_version("raw", "job") == 8
+    replay = store.write_append(
+        spark.range(8, 10).toDF("a"), "raw", txn=("job", 8)
+    )
+    assert replay["skipped"] is True
+    assert store.read("raw").count() == 10
+
+
+def test_same_table_twice_rejected_and_closed_txn_unusable(spark, store):
+    _seed(spark, store)
+    t = store.begin_txn()
+    t.write_append(spark.range(2).toDF("a"), "raw")
+    with pytest.raises(ValueError, match="already prepared"):
+        t.write_append(spark.range(2).toDF("a"), "raw")
+    t.abort()
+    with pytest.raises(RuntimeError, match="already decided"):
+        t.write_append(spark.range(2).toDF("a"), "raw")
+
+
+def test_table_created_inside_uncommitted_txn_does_not_exist(spark, store):
+    t = store.begin_txn()
+    t.write_append(spark.range(4).toDF("a"), "brand_new")
+    assert not store.table_exists("brand_new")
+    assert "brand_new" not in store.list_tables()
+    t.commit()
+    assert store.table_exists("brand_new")
+    assert store.read("brand_new").count() == 4
+
+
+def test_concurrent_appends_during_inflight_txn_no_lost_updates(spark, store):
+    """Threaded writers racing an in-flight (eventually committed)
+    group: every committed row survives; the group commits or is
+    force-aborted, never half-lands."""
+    _seed(spark, store)
+    store.TXN_RESOLVE_GRACE_S = 3.0  # give the coordinator headroom
+    errs = []
+    committed = []
+
+    def coordinator():
+        try:
+            t = store.begin_txn()
+            t.write_append(spark.range(1000, 1010).toDF("a"), "raw")
+            t.write_append(spark.range(2000, 2005).toDF("b"), "agg")
+            t.commit()
+            committed.append(True)
+        except TxnGroupAbortedError:
+            committed.append(False)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def appender(lo):
+        try:
+            store.write_append(spark.range(lo, lo + 2).toDF("a"), "raw")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=coordinator)] + [
+        threading.Thread(target=appender, args=(i * 10,)) for i in (1, 2, 3)
+    ]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    expect = 5 + 3 * 2 + (10 if committed[0] else 0)
+    assert store.read("raw").count() == expect
+    assert store.read("agg").count() == (8 if committed[0] else 3)
+
+
+def test_follower_tail_skips_inflight_and_aborted(spark, store):
+    """latest_version / read_changes are what ChangeFeedFollower tails;
+    both must move only over VISIBLE commits."""
+    _seed(spark, store)
+    v0 = store.latest_version("raw")
+    t = store.begin_txn()
+    t.write_append(spark.range(9000, 9005).toDF("a"), "raw")
+    assert store.latest_version("raw") == v0  # undecided: not the head
+    t.commit()
+    v1 = store.latest_version("raw")
+    assert v1 > v0
+    assert store.read_changes("raw", v0, v1).count() == 5
