@@ -56,6 +56,31 @@ def _versions(table_path: str) -> list[int]:
     return sorted(int(n[:-5]) for n in names if n.endswith(".json"))
 
 
+def _txn_verdict(table_path: str, group_id: str) -> str | None:
+    """Decision of a multi-table txn group ("commit"/"abort"/None =
+    undecided). The decision file lives beside the TABLES, at the
+    store root (the table dir's parent) — pure JSON, like the rest of
+    this reader."""
+    root = os.path.dirname(os.path.normpath(table_path))
+    p = os.path.join(root, "_txngroups", f"{group_id}.json")
+    try:
+        with open(p) as f:
+            return json.load(f)["verdict"]
+    except OSError:
+        return None
+
+
+def _txn_state(table_path: str, man: dict) -> str:
+    """"visible" / "aborted" / "undecided" for one commit's raw JSON."""
+    gid = man.get("txn_group")
+    if gid is None:
+        return "visible"
+    v = _txn_verdict(table_path, gid)
+    if v == "commit":
+        return "visible"
+    return "aborted" if v == "abort" else "undecided"
+
+
 def _manifest_raw(table_path: str, version: int) -> dict:
     p = os.path.join(_commits_dir(table_path), f"{version:020d}.json")
     with open(p) as f:
@@ -163,7 +188,18 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
 
         rows: list[tuple] = []
         for v in range(after + 1, upto + 1):
-            op = _manifest_raw(self.table_path, v).get("op")
+            raw = _manifest_raw(self.table_path, v)
+            state = _txn_state(self.table_path, raw)
+            if state == "aborted":
+                continue  # txn-group prepare that never became visible
+            if state == "undecided":
+                # read() caps the frontier BEFORE the first undecided
+                # prepare, so this only fires on a hand-built offset.
+                raise ValueError(
+                    f"commit {v} of {self.table_path!r} is an undecided "
+                    "multi-table-txn prepare; offsets must not cross it"
+                )
+            op = raw.get("op")
             if op in _METADATA_OPS:
                 continue  # bytes or metadata moved, no new rows
             if op != "append":
@@ -194,9 +230,13 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
         upto = after
         files = commits = 0
         for v in range(after + 1, latest + 1):
-            op = _manifest_raw(self.table_path, v).get("op")
-            f = len(_new_files(self.table_path, v)) if op == "append" else 0
-            c = 1 if op == "append" else 0
+            raw = _manifest_raw(self.table_path, v)
+            is_data = (
+                raw.get("op") == "append"
+                and _txn_state(self.table_path, raw) == "visible"
+            )
+            f = len(_new_files(self.table_path, v)) if is_data else 0
+            c = 1 if is_data else 0
             if upto > after and (
                 (self.max_commits and commits + c > self.max_commits)
                 or (self.max_files and files + f > self.max_files)
@@ -210,6 +250,21 @@ class CommitLogTailReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         vs = _versions(self.table_path)
         latest = vs[-1] if vs else start["version"]
+        # The offset frontier must stop BEFORE the first UNDECIDED
+        # txn-group prepare: if it later commits, an offset already
+        # past it would silently drop its rows. (Aborted prepares are
+        # consumed-and-skipped like metadata commits; undecided ones
+        # exist only at the head — writers resolve before landing
+        # above — so this costs one header read per pending commit.)
+        frontier = start["version"]
+        for v in range(start["version"] + 1, latest + 1):
+            if (
+                _txn_state(self.table_path, _manifest_raw(self.table_path, v))
+                == "undecided"
+            ):
+                break
+            frontier = v
+        latest = frontier
         if latest <= start["version"]:
             return iter([]), start
         upto = self._cap_batch(start["version"], latest)

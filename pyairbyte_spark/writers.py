@@ -5501,6 +5501,18 @@ class CommitLogTableStore(TableStore):
                 + [len(names) - len(keep)]
             )
             keep = names[first:]
+        # The retention window counts RAW commits — but the newest
+        # VISIBLE snapshot must always survive: with in-flight or
+        # aborted txn prepares at the head, keep_commits=1 would
+        # otherwise retain only invisible slots and reclaim the
+        # snapshot every reader resolves to. Extend the (contiguous-
+        # from-newest) window down to the visible head; the prepares
+        # above it stay too — an undecided group may still commit.
+        snap_vis = self._latest_commit(table_name)
+        if snap_vis is not None:
+            vis_name = f"{snap_vis[0]:020d}.json"
+            if vis_name in names and vis_name not in keep:
+                keep = names[names.index(vis_name):]
         # Delta chains: the oldest kept commit may resolve through
         # versions about to be deleted. Checkpoint it first — rewrite
         # its stored form as the resolved FULL manifest (byte change,

@@ -228,3 +228,40 @@ def test_cache_stream_feed_helper(spark, store, tmp_path):
     )
     q.awaitTermination(120)
     assert sorted(r["id"] for r in spark.read.parquet(out).collect()) == [0, 1, 2, 3]
+
+
+def test_txn_prepares_gate_the_offset_frontier(spark, store):
+    """The tail never advances past an UNDECIDED multi-table-txn
+    prepare (its rows may become visible later — skipping them would
+    lose data), streams the rows once the group commits, and
+    consumes-and-skips aborted prepares."""
+    from pyspark.sql.types import LongType, StructField
+
+    store.TXN_RESOLVE_GRACE_S = 0.2
+    store.write_append(_df(spark, 0, 3), "t")  # v1
+    schema = StructType(
+        [StructField("id", LongType()), StructField("_commit_version", LongType())]
+    )
+    reader = CommitLogTailReader(schema, {"path": store.table_path("t")})
+    rows, off = reader.read({"version": 0})
+    assert sorted(r[0] for r in list(rows)) == [0, 1, 2]
+    assert off == {"version": 1}
+
+    txn = store.begin_txn()
+    txn.write_append(_df(spark, 3, 6), "t")  # v2, undecided
+    rows, off = reader.read(off)
+    assert list(rows) == []
+    assert off == {"version": 1}  # frontier held BEFORE the prepare
+
+    txn.commit()
+    rows, off = reader.read(off)
+    assert sorted(r[0] for r in list(rows)) == [3, 4, 5]
+    assert off == {"version": 2}
+
+    t2 = store.begin_txn()
+    t2.write_append(_df(spark, 90, 99), "t")  # v3, will abort
+    t2.abort()
+    store.write_append(_df(spark, 6, 8), "t")  # slides to v4
+    rows, off = reader.read(off)
+    assert sorted(r[0] for r in list(rows)) == [6, 7]
+    assert off == {"version": 4}  # aborted slot consumed, zero rows

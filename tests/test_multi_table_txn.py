@@ -276,3 +276,24 @@ def test_follower_tail_skips_inflight_and_aborted(spark, store):
     v1 = store.latest_version("raw")
     assert v1 > v0
     assert store.read_changes("raw", v0, v1).count() == 5
+
+
+def test_vacuum_keeps_visible_snapshot_under_inflight_prepare(spark, store):
+    """keep_commits=1 with an undecided prepare at the head must NOT
+    reclaim the visible snapshot beneath it; after the group aborts
+    and newer commits land, the aborted slot's garbage IS reclaimed."""
+    store.write_append(spark.range(5).toDF("a"), "raw")
+    store.write_append(spark.range(5, 8).toDF("a"), "raw")
+    t = store.begin_txn()
+    t.write_append(spark.range(100, 200).toDF("a"), "raw")
+    store.vacuum("raw", keep_commits=1)
+    # visible snapshot survives the vacuum in full
+    assert store.read("raw").count() == 8
+    assert store.latest_version("raw") == 2
+    t.abort()
+    # bury the aborted slot, then vacuum it out of the window
+    store.write_append(spark.range(8, 9).toDF("a"), "raw")
+    store.write_append(spark.range(9, 10).toDF("a"), "raw")
+    removed = store.vacuum("raw", keep_commits=2)
+    assert removed  # the aborted prepare's staged dir reclaimed
+    assert store.read("raw").count() == 10
