@@ -131,6 +131,7 @@ class SparkCache(Mapping):
         expectations: dict | None = None,
         on_violation: str = "fail",
         txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
     ) -> dict[str, int] | None:
         """Write with optional CHECK-constraint enforcement (see
         ``expectations.py``). Returns per-check violation counts when
@@ -141,10 +142,11 @@ class SparkCache(Mapping):
         threads the commit-log store's SetTransaction idempotence
         watermark through (exactly-once replays; the follower's
         provenance stamp)."""
+        kw = {} if txn_group is None else {"txn_group": txn_group}
         if not expectations:
             self.store.write(
                 df, self.table_name(stream_name), method, primary_keys,
-                txn=txn,
+                txn=txn, **kw,
             )
             return None
         from pyairbyte_spark.expectations import check_expectations
@@ -154,7 +156,7 @@ class SparkCache(Mapping):
         )
         self.store.write(
             clean, self.table_name(stream_name), method, primary_keys,
-            txn=txn,
+            txn=txn, **kw,
         )
         if quarantined is not None:
             self.store.write(

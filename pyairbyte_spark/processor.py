@@ -90,6 +90,7 @@ class MessageStreamProcessor:
         state_writer: StateWriterBase | None = None,
         batch_size: int = DEFAULT_BATCH_SIZE,
         progress=None,
+        atomic: bool = False,
     ) -> None:
         self.cache = cache
         self.source_name = source_name
@@ -108,6 +109,24 @@ class MessageStreamProcessor:
             cache.warehouse_dir, "_staging", uuid.uuid4().hex[:12]
         )
         self.results: dict[str, StreamWriteResult] = {}
+        # Atomic multi-stream sync: every stream's final write becomes
+        # a multi-table-txn PREPARE and the whole sync flips visible
+        # with ONE decision-file PUT (writers.MultiTableTxn). Trades
+        # T7's mid-sync freshness (per-stream finalize on COMPLETE
+        # traces) for all-or-nothing cross-stream consistency; state
+        # finalization moves AFTER the decision so a crashed or
+        # aborted sync replays in full.
+        self.atomic = atomic
+        self._txn_group: str | None = None
+        self._completed: set[str] = set()
+        if atomic:
+            from pyairbyte_spark.writers import CommitLogTableStore
+
+            if not isinstance(cache.store, CommitLogTableStore):
+                raise NotImplementedError(
+                    "atomic multi-stream sync needs the ACID store: "
+                    'SparkCache(..., table_format="commitlog")'
+                )
 
     # -- batching -----------------------------------------------------------
 
@@ -227,16 +246,36 @@ class MessageStreamProcessor:
                 and msg.trace.status in ("COMPLETE", "SUCCEEDED")
                 and msg.trace.stream_name
             ):
-                # T7: finalize this stream immediately.
-                self._finalize_stream(LowerCaseNormalizer.normalize(msg.trace.stream_name))
+                key = LowerCaseNormalizer.normalize(msg.trace.stream_name)
+                if self.atomic:
+                    # Deferred: finalizing now would prepare the table
+                    # mid-sync and a later batch of the same stream
+                    # would need a SECOND prepare of one table in one
+                    # group (undefined). All prepares happen together
+                    # at end of stream.
+                    self._completed.add(key)
+                else:
+                    # T7: finalize this stream immediately.
+                    self._finalize_stream(key)
         # End of stream: finalize everything left — including streams
         # that got MORE records after an early COMPLETE trace (those
         # have a non-empty buffer again; skipping them would silently
         # drop the late records).
-        for key in list(self._buffers):
-            buf = self._buffers[key]
-            if key not in self.results or buf.record_count:
-                self._finalize_stream(key)
+        txn = self.cache.store.begin_txn() if self.atomic else None
+        self._txn_group = txn.group_id if txn else None
+        try:
+            for key in list(self._buffers) + sorted(
+                self._completed - set(self._buffers)
+            ):
+                buf = self._buffers.get(key)
+                if key not in self.results or (buf and buf.record_count):
+                    self._finalize_stream(key)
+        except BaseException:
+            if txn is not None:
+                txn.abort()  # nothing prepared ever becomes visible
+            raise
+        if txn is not None:
+            txn.commit()  # the sync's single atomicity point
         self._pending_state.finalize_all(self.state_writer)
         if hasattr(self.state_writer, "flush"):
             self.state_writer.flush()
@@ -286,7 +325,11 @@ class MessageStreamProcessor:
                 # those committed rows. Late batches append.
                 method = WriteMethod.APPEND
             self.cache.write_dataframe(
-                df, stream_key, method, spec.normalized_primary_keys
+                df,
+                stream_key,
+                method,
+                spec.normalized_primary_keys,
+                txn_group=self._txn_group,
             )
             observed = obs.get.get("rows_written")
             if observed is not None:
@@ -300,14 +343,25 @@ class MessageStreamProcessor:
             empty = self.cache.spark.createDataFrame([], struct)
             empty = with_metadata_columns(empty)
             if not self.cache.store.table_exists(self.cache.table_name(stream_key)):
-                self.cache.write_dataframe(empty, stream_key, resolve_write_method(
-                    WriteStrategy.REPLACE, has_primary_keys=False, has_cursor=False
-                ))
+                self.cache.write_dataframe(
+                    empty,
+                    stream_key,
+                    resolve_write_method(
+                        WriteStrategy.REPLACE,
+                        has_primary_keys=False,
+                        has_cursor=False,
+                    ),
+                    txn_group=self._txn_group,
+                )
             self.cache.register_stream(spec)
-        # Data committed → NOW finalize state (T2 ordering).
-        self._pending_state.finalize_stream(stream_key, self.state_writer)
-        if hasattr(self.state_writer, "flush"):
-            self.state_writer.flush(stream_key)
+        # Data committed → NOW finalize state (T2 ordering). Under an
+        # atomic sync the data is only PREPARED here — state moves
+        # after the group decision (process_messages), same ordering
+        # one level up.
+        if not self.atomic:
+            self._pending_state.finalize_stream(stream_key, self.state_writer)
+            if hasattr(self.state_writer, "flush"):
+                self.state_writer.flush(stream_key)
         if buf:
             # Consume the buffer: a later finalize (second COMPLETE
             # trace, or late records at end of stream) must only load

@@ -200,7 +200,15 @@ class SparkSource:
         force_full_refresh: bool = False,
         state_writer: StateWriterBase | None = None,
         progress: ProgressTracker | None = None,
+        atomic: bool = False,
     ) -> ReadResult:
+        """``atomic=True`` (commit-log caches only) lands the WHOLE
+        sync — every stream's table — as one multi-table transaction:
+        prepares stay invisible until one decision-file PUT, so a
+        consumer joining two synced streams never sees stream A's new
+        rows next to stream B's old ones, and a crash mid-sync leaves
+        zero partial state (data AND cursors replay together). Trades
+        away T7 mid-sync per-stream freshness."""
         write_strategy = WriteStrategy(write_strategy)
         # T9: full refresh drops the state provider.
         state = None if force_full_refresh else cache.get_state_provider(self.name)
@@ -213,6 +221,7 @@ class SparkSource:
             write_strategy=write_strategy,
             state_writer=state_writer,
             progress=progress,
+            atomic=atomic,
         )
         messages = self.generate_messages(list(specs), state)
         results = processor.process_messages(messages)

@@ -414,13 +414,19 @@ class TableStore:
         primary_keys: list[str] | None = None,
         *,
         txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
     ) -> None:
         """Dispatch one write. ``txn=(app_id, batch_id)`` threads the
         SetTransaction idempotence watermark through to stores that
         support it (the commit-log store's append/replace/merge); the
         plain parquet store rejects it — there is no atomic commit to
-        ride."""
-        kw = {} if txn is None else {"txn": txn}
+        ride. ``txn_group`` likewise marks the commit as a multi-table
+        txn PREPARE (commit-log store only)."""
+        kw = {}
+        if txn is not None:
+            kw["txn"] = txn
+        if txn_group is not None:
+            kw["txn_group"] = txn_group
         if method == WriteMethod.APPEND:
             self.write_append(df, table_name, primary_keys, **kw)
         elif method == WriteMethod.REPLACE:
@@ -580,6 +586,26 @@ class MultiTableTxn:
     ) -> dict:
         self._check_open(table_name)
         res = self.store.write_replace(
+            df,
+            table_name,
+            primary_keys,
+            txn=txn,
+            txn_group=self.group_id,
+        )
+        if not res.get("skipped"):
+            self.prepared[table_name] = res["version"]
+        return res
+
+    def write_merge(
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str],
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        self._check_open(table_name)
+        res = self.store.write_merge(
             df,
             table_name,
             primary_keys,
@@ -3622,6 +3648,7 @@ class CommitLogTableStore(TableStore):
         primary_keys: list[str],
         *,
         txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
     ) -> dict | None:
         """MERGE with optimistic-concurrency retry: losing a version
         race re-runs the whole attempt against the winner's snapshot
@@ -3645,7 +3672,7 @@ class CommitLogTableStore(TableStore):
         for _ in range(self._COMMIT_RETRIES):
             try:
                 return self._write_merge_once(
-                    df, table_name, primary_keys, txn
+                    df, table_name, primary_keys, txn, txn_group
                 )
             except ConcurrentCommitError as e:
                 last = e
@@ -4037,6 +4064,7 @@ class CommitLogTableStore(TableStore):
         table_name: str,
         primary_keys: list[str],
         txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
     ) -> dict | None:
         if not primary_keys:
             raise ValueError("merge requires primary keys")
@@ -4155,6 +4183,7 @@ class CommitLogTableStore(TableStore):
                     **(
                         {"delete_vectors": merge_dvs} if merge_dvs else {}
                     ),
+                    **({"txn_group": txn_group} if txn_group else {}),
                 },
                 version + 1,
             )
@@ -4192,6 +4221,7 @@ class CommitLogTableStore(TableStore):
                     else {}
                 ),
                 **({"txns": txns} if txns else {}),
+                **({"txn_group": txn_group} if txn_group else {}),
                 "entries": [entry],
             },
             version + 1,

@@ -297,3 +297,156 @@ def test_vacuum_keeps_visible_snapshot_under_inflight_prepare(spark, store):
     removed = store.vacuum("raw", keep_commits=2)
     assert removed  # the aborted prepare's staged dir reclaimed
     assert store.read("raw").count() == 10
+
+
+# -- atomic multi-stream sync (processor integration) ------------------------
+
+
+def _sync_msgs(streams: dict[str, list[dict]], with_state=True):
+    from pyairbyte_spark.sources.messages import (
+        AirbyteMessage,
+        RecordMessage,
+        StateMessage,
+        TraceMessage,
+    )
+
+    msgs = []
+    for name, rows in streams.items():
+        for r in rows:
+            msgs.append(
+                AirbyteMessage("RECORD", record=RecordMessage(name, dict(r)))
+            )
+        if with_state:
+            msgs.append(
+                AirbyteMessage(
+                    "STATE",
+                    state=StateMessage(
+                        stream_name=name, state={"cursor": len(rows)}
+                    ),
+                )
+            )
+        msgs.append(
+            AirbyteMessage(
+                "TRACE",
+                trace=TraceMessage(
+                    trace_type="STREAM_STATUS",
+                    stream_name=name,
+                    status="COMPLETE",
+                ),
+            )
+        )
+    return msgs
+
+
+def _specs(*names):
+    from pyairbyte_spark.catalog import StreamSpec
+
+    return {
+        n: StreamSpec(
+            name=n, json_schema={"properties": {"id": {"type": "integer"}}}
+        )
+        for n in names
+    }
+
+
+def _acid_cache(spark, tmp_path, name="wh"):
+    from pyairbyte_spark.cache import SparkCache
+
+    return SparkCache(
+        spark, str(tmp_path / name), table_format="commitlog"
+    )
+
+
+def test_atomic_sync_commits_all_streams_together(spark, tmp_path):
+    from pyairbyte_spark.processor import MessageStreamProcessor
+
+    cache = _acid_cache(spark, tmp_path)
+    proc = MessageStreamProcessor(
+        cache, source_name="src", specs=_specs("a", "b"), atomic=True
+    )
+    res = proc.process_messages(
+        _sync_msgs({"a": [{"id": 1}, {"id": 2}], "b": [{"id": 9}]})
+    )
+    assert res["a"].record_count == 2 and res["b"].record_count == 1
+    assert len(cache["a"]) == 2 and len(cache["b"]) == 1
+    # both tables' head commits belong to ONE committed txn group
+    ha = cache.table_history("a")[0]
+    hb = cache.table_history("b")[0]
+    assert ha["txn_verdict"] == hb["txn_verdict"] == "commit"
+    assert ha["txn_group"] == hb["txn_group"]
+    # state finalized (after the decision)
+    sp = cache.get_state_provider("src")
+    assert sp.get_stream_state("a").state == {"cursor": 2}
+
+
+def test_atomic_sync_crash_aborts_data_and_state(spark, tmp_path, monkeypatch):
+    """A crash while finalizing the SECOND stream rolls back the whole
+    sync: no table advances, no cursor advances, and a clean re-run
+    lands everything (contrast: the non-atomic T7 contract commits
+    stream A independently — both behaviors are deliberate)."""
+    from pyairbyte_spark.processor import MessageStreamProcessor
+
+    cache = _acid_cache(spark, tmp_path)
+    # seed both streams with one committed sync
+    MessageStreamProcessor(
+        cache, source_name="src", specs=_specs("a", "b"), atomic=True
+    ).process_messages(_sync_msgs({"a": [{"id": 1}], "b": [{"id": 1}]}))
+
+    orig = MessageStreamProcessor._finalize_stream
+    calls = {"n": 0}
+
+    def crashy(self, key):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash on second finalize")
+        return orig(self, key)
+
+    monkeypatch.setattr(MessageStreamProcessor, "_finalize_stream", crashy)
+    proc = MessageStreamProcessor(
+        cache, source_name="src", specs=_specs("a", "b"), atomic=True
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        proc.process_messages(
+            _sync_msgs(
+                {"a": [{"id": 1}, {"id": 2}], "b": [{"id": 2}, {"id": 3}]}
+            )
+        )
+    monkeypatch.setattr(MessageStreamProcessor, "_finalize_stream", orig)
+    assert len(cache["a"]) == 1 and len(cache["b"]) == 1  # nothing moved
+    assert cache.get_state_provider("src").get_stream_state("a").state == {
+        "cursor": 1
+    }
+    # re-run replays in full
+    MessageStreamProcessor(
+        cache, source_name="src", specs=_specs("a", "b"), atomic=True
+    ).process_messages(
+        _sync_msgs({"a": [{"id": 1}, {"id": 2}], "b": [{"id": 2}, {"id": 3}]})
+    )
+    assert len(cache["a"]) == 2 and len(cache["b"]) == 2
+    assert cache.get_state_provider("src").get_stream_state("a").state == {
+        "cursor": 2
+    }
+
+
+def test_atomic_sync_materializes_empty_completed_stream(spark, tmp_path):
+    from pyairbyte_spark.processor import MessageStreamProcessor
+
+    cache = _acid_cache(spark, tmp_path)
+    MessageStreamProcessor(
+        cache, source_name="src", specs=_specs("a", "empty"), atomic=True
+    ).process_messages(
+        _sync_msgs({"a": [{"id": 5}], "empty": []}, with_state=False)
+    )
+    assert len(cache["a"]) == 1
+    assert "empty" in cache and len(cache["empty"]) == 0
+
+
+def test_atomic_sync_requires_commitlog_cache(spark, tmp_path):
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.processor import MessageStreamProcessor
+
+    cache = SparkCache(spark, str(tmp_path / "plain"))
+    with pytest.raises(NotImplementedError, match="commitlog"):
+        MessageStreamProcessor(
+            cache, source_name="src", specs=_specs("a"), atomic=True
+        )
