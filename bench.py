@@ -93,6 +93,9 @@ BENCH_QUERIES = [
     # round 10: 2-phase multi-table txn (2 committed groups + 1
     # aborted garbage group across two tables, 6 prepares total)
     "store_txn_atomic_events",
+    # round 10: persisted MinHash-LSH dedup index (build + atomic
+    # append + pruned probe lifecycle)
+    "dedup_minhash_index_lookup",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

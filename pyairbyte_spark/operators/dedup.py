@@ -581,3 +581,212 @@ def ngram_duplication_coverage(
             ).alias("dup_fraction"),
         )
     )
+
+
+# -- persisted MinHash-LSH index (dedup at ingest) ---------------------------
+# The batch miner above (minhash_lsh_candidates) answers "which pairs
+# in THIS frame are near-dups" — O(corpus) per run. A growing corpus
+# asks the other question: "is this NEW batch a near-dup of anything
+# already ingested?" — which must not rescan 100 TB per batch. Same
+# move as the IVF/PQ vector indexes (operators/similarity.py): persist
+# the band buckets in a CommitLogTableStore, cluster them on disk so
+# zone maps prune probes to the touched buckets' files, and append new
+# docs in O(batch). (No reference analog; Lee et al.'s dedup pipeline
+# and Delta's zone-map pruning are the public patterns composed here.)
+
+
+def build_minhash_index(
+    corpus: DataFrame,
+    store,
+    index_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    target_files: int | None = None,
+) -> dict:
+    """Materialize a MinHash-LSH near-dup index into ``store``:
+
+    - ``<name>_bands`` (band_idx, band_hash, id) — compacted with
+      ``sort_by=["band_hash"]`` so every bucket occupies a contiguous
+      file range and probes prune to the touched buckets' files via
+      the manifest zone maps (the dedup analogue of IVF list pruning);
+    - ``<name>_sigs`` (id, h0..h{n-1}) — full signatures, one row per
+      doc, for the signature-agreement estimate probes verify with;
+    - ``<name>_meta`` — the hash-family parameters, so appends and
+      probes are bit-compatible with the build without the caller
+      re-stating them.
+
+    Build cost is the batch miner's signature pass (one shuffle on the
+    doc id); probe cost is O(touched buckets), not O(corpus). Returns
+    ``{"n_docs", "files"}``.
+    """
+    spark = corpus.sparkSession
+    rows = num_hashes // bands
+    sig = minhash_signature(
+        corpus, text_col, id_col, num_hashes=num_hashes, k=k
+    ).localCheckpoint()  # bands + sigs both derive from this one pass
+    band_rows = lsh_bands(sig, id_col, bands=bands, rows=rows).select(
+        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id")
+    )
+    sig_cols = sig.select(
+        F.col(id_col).alias("id"),
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(num_hashes)],
+    )
+    meta = spark.createDataFrame(
+        [(int(num_hashes), int(bands), int(k), id_col, text_col)],
+        "num_hashes int, bands int, k int, id_col string, text_col string",
+    )
+    store.write_replace(band_rows, f"{index_name}_bands")
+    store.compact(
+        f"{index_name}_bands",
+        sort_by=["band_hash"],
+        target_files=target_files,
+    )
+    store.write_replace(sig_cols, f"{index_name}_sigs")
+    store.write_replace(meta, f"{index_name}_meta")
+    st = store.table_stats(f"{index_name}_sigs")
+    plan = store.plan_scan(f"{index_name}_bands")
+    return {"n_docs": st["rows"], "files": plan["files_total"]}
+
+
+def _minhash_index_meta(store, index_name: str) -> dict:
+    return store.read(f"{index_name}_meta").collect()[0].asDict()
+
+
+def append_to_minhash_index(
+    new_docs: DataFrame,
+    store,
+    index_name: str,
+    *,
+    txn: "tuple[str, int] | None" = None,
+) -> dict:
+    """Incremental maintenance, O(batch): signature the new docs with
+    the STORED hash family and append to the bands and sigs tables —
+    ATOMICALLY, as one multi-table txn group (a probe racing the
+    append sees both tables move together; a crash between the two
+    appends leaves neither). ``txn=(app_id, batch_id)`` composes for
+    exactly-once streaming ingest: the watermark rides the bands
+    prepare inside the group, so a replayed batch skips the WHOLE
+    group and a crash before the decision replays it in full.
+
+    Fresh appends aren't band-clustered until the next
+    ``compact(sort_by=["band_hash"])`` — probes stay exact (zone maps
+    are conservative), just less pruned on the new files; recluster on
+    the maintenance cadence. Returns ``{"appended", "skipped"}``.
+    """
+    m = _minhash_index_meta(store, index_name)
+    rows = m["num_hashes"] // m["bands"]
+    sig = minhash_signature(
+        new_docs,
+        m["text_col"],
+        m["id_col"],
+        num_hashes=m["num_hashes"],
+        k=m["k"],
+    ).localCheckpoint()
+    band_rows = lsh_bands(
+        sig, m["id_col"], bands=m["bands"], rows=rows
+    ).select(
+        F.col("band_idx"), F.col("band_hash"), F.col(m["id_col"]).alias("id")
+    )
+    sig_cols = sig.select(
+        F.col(m["id_col"]).alias("id"),
+        *[
+            F.element_at("sig", i + 1).alias(f"h{i}")
+            for i in range(m["num_hashes"])
+        ],
+    )
+    t = store.begin_txn()
+    r1 = t.write_append(band_rows, f"{index_name}_bands", txn=txn)
+    if r1.get("skipped"):
+        t.abort()  # replayed batch: neither table moves
+        return {"appended": 0, "skipped": True}
+    t.write_append(sig_cols, f"{index_name}_sigs", txn=txn)
+    t.commit()
+    return {"appended": 1, "skipped": False}
+
+
+# Above this many distinct probe band-hashes, the IN-literal pruned
+# scan stops paying (predicate rendering + driver transfer) — fall
+# back to a relational join against the full bands table (one scan,
+# no driver round-trip). Probes are query BATCHES; typical ingest
+# checks stay far below this.
+MINHASH_PROBE_LITERAL_MAX = 4096
+
+
+def minhash_index_matches(
+    store,
+    index_name: str,
+    queries: DataFrame,
+    *,
+    min_bands: int = 1,
+    min_agree: int | None = None,
+) -> DataFrame:
+    """Probe the index: which already-ingested docs is each query doc
+    a near-dup of? Returns (query_id, match_id, n_bands, n_agree) —
+    ``n_agree`` of ``num_hashes`` signature positions agree (the
+    unbiased Jaccard estimate is ``n_agree / num_hashes``; filter with
+    ``min_agree``).
+
+    Plan shape: query band hashes cross the driver (bounded by
+    |queries| x bands, the IVF probe-cid contract) into a
+    ``read_where(band_hash IN ...)`` that opens ONLY the files whose
+    zone maps cover a probed bucket; above
+    :data:`MINHASH_PROBE_LITERAL_MAX` hashes it degrades to one full
+    bands scan with a relational semi-join (exact either way). The
+    signature verify joins only the CANDIDATE ids against the sigs
+    table. Self-matches (same id both sides) are dropped.
+    """
+    m = _minhash_index_meta(store, index_name)
+    nh = m["num_hashes"]
+    rows = nh // m["bands"]
+    qsig = minhash_signature(
+        queries, m["text_col"], m["id_col"], num_hashes=nh, k=m["k"]
+    ).localCheckpoint()
+    qbands = lsh_bands(qsig, m["id_col"], bands=m["bands"], rows=rows).select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(m["id_col"]).alias("query_id"),
+    )
+    probe_hashes = sorted(
+        r["band_hash"]
+        for r in qbands.select("band_hash").distinct().collect()
+    )
+    if len(probe_hashes) <= MINHASH_PROBE_LITERAL_MAX:
+        idx = store.read_where(
+            f"{index_name}_bands", [("band_hash", "in", probe_hashes)]
+        )
+    else:  # degrade: full scan + relational filter, no driver literals
+        idx = store.read(f"{index_name}_bands").join(
+            qbands.select("band_hash").distinct(), "band_hash", "left_semi"
+        )
+    cand = (
+        qbands.join(idx, ["band_idx", "band_hash"])
+        .filter(F.col("id") != F.col("query_id"))
+        .groupBy("query_id", F.col("id").alias("match_id"))
+        .agg(F.countDistinct("band_idx").alias("n_bands"))
+        .filter(F.col("n_bands") >= min_bands)
+    )
+    sigs = store.read(f"{index_name}_sigs")
+    qs = qsig.select(
+        F.col(m["id_col"]).alias("query_id"),
+        *[F.element_at("sig", i + 1).alias(f"q{i}") for i in range(nh)],
+    )
+    agree = sum(
+        (F.col(f"q{i}") == F.col(f"h{i}")).cast("long") for i in range(nh)
+    )
+    out = (
+        cand.join(sigs, cand["match_id"] == sigs["id"])
+        .join(qs, "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            "n_bands",
+            agree.alias("n_agree"),
+        )
+    )
+    if min_agree is not None:
+        out = out.filter(F.col("n_agree") >= min_agree)
+    return out

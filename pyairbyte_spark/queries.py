@@ -1352,6 +1352,105 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_index_lookup",
+    f"""
+    -- Persisted MinHash-LSH index, probed: corpus docs land in the
+    -- index in two steps (a build plus an ATOMIC two-table append —
+    -- bands and signatures move in one txn group, replayed batches
+    -- skip whole); each query doc then touches only its band buckets
+    -- (zone-map pruned files), and candidates verify by signature
+    -- agreement. The oracle recomputes the same hash family over the
+    -- same corpus/query slices directly.
+    WITH idx_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 4 != 0 OR doc_id % 8 = 4
+    ),
+    q_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+    i_sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM idx_docs),
+    q_sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM q_docs),
+    i_lanes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      FROM i_sh
+    ),
+    q_lanes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      FROM q_sh
+    ),
+    i_sig AS (
+      SELECT doc_id,
+             {", ".join(f"min((a + {i} * b) % 4294967296) AS h{i}" for i in range(12))}
+      FROM i_lanes GROUP BY doc_id
+    ),
+    q_sig AS (
+      SELECT doc_id,
+             {", ".join(f"min((a + {i} * b) % 4294967296) AS h{i}" for i in range(12))}
+      FROM q_lanes GROUP BY doc_id
+    ),
+    i_bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(h{3 * b}::VARCHAR || '|' || h{3 * b + 1}::VARCHAR || '|' || h{3 * b + 2}::VARCHAR) AS band_hash FROM i_sig"
+        for b in range(4)
+      )}
+    ),
+    q_bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(h{3 * b}::VARCHAR || '|' || h{3 * b + 1}::VARCHAR || '|' || h{3 * b + 2}::VARCHAR) AS band_hash FROM q_sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT q.doc_id AS query_id, i.doc_id AS match_id,
+             CAST(count(DISTINCT q.band_idx) AS BIGINT) AS n_bands
+      FROM q_bands q JOIN i_bands i
+        ON q.band_idx = i.band_idx AND q.band_hash = i.band_hash
+       AND q.doc_id != i.doc_id
+      GROUP BY query_id, match_id
+    )
+    SELECT c.query_id, c.match_id, c.n_bands,
+           CAST({" + ".join(f"(CASE WHEN qs.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(12))} AS BIGINT)
+             AS n_agree
+    FROM cand c
+    JOIN i_sig s ON s.doc_id = c.match_id
+    JOIN q_sig qs ON qs.doc_id = c.query_id
+    WHERE {" + ".join(f"(CASE WHEN qs.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(12))} >= 6
+    ORDER BY query_id, match_id
+    """,
+    "persisted MinHash-LSH near-dup index: build + atomic two-table "
+    "append (txn group, exactly-once) + zone-map-pruned bucket probe "
+    "with signature-agreement verify — dedup at ingest, O(batch) not "
+    "O(corpus)",
+)
+def dedup_minhash_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    docs = t(spark, sf_dir, "documents")
+    store = CommitLogTableStore(spark, tempfile.mkdtemp(prefix="q-mh-"), "q")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    increment = docs.filter(
+        (F.col("doc_id") % 4 == 0) & (F.col("doc_id") % 8 == 4)
+    )
+    dedup.build_minhash_index(
+        corpus, store, "mh", id_col="doc_id", text_col="text", target_files=8
+    )
+    r = dedup.append_to_minhash_index(increment, store, "mh", txn=("ing", 1))
+    assert not r["skipped"]
+    # exactly-once: a replayed append skips the WHOLE two-table group
+    r2 = dedup.append_to_minhash_index(increment, store, "mh", txn=("ing", 1))
+    assert r2["skipped"]
+    q = docs.filter(F.col("doc_id") % 25 == 0)
+    return (
+        dedup.minhash_index_matches(store, "mh", q, min_agree=6)
+        .orderBy("query_id", "match_id")
+    )
+
+
+@register(
     "dedup_cluster_sizes",
     f"""
     -- Near-dup CLUSTERS: pairs -> connected components (component =
@@ -6549,6 +6648,7 @@ _register_profile_query()
 _DRIVER_PRIORITY = [
     # round-10 additions: never driver-checked — top of the window.
     "store_txn_atomic_events",
+    "dedup_minhash_index_lookup",
     "store_merge_evolve_events",
     "store_group_commit_events",
     "store_snapshot_consistent_join_events",

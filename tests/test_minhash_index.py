@@ -1,0 +1,130 @@
+"""Persisted MinHash-LSH near-dup index: build / atomic append /
+zone-map-pruned probe (operators/dedup.py). The dedup-at-ingest
+counterpart of the IVF/PQ vector indexes — O(batch) maintenance,
+O(touched buckets) probes. No reference analog (the reference has no
+dedup operators); public patterns: Lee et al. dedup + Delta zone maps.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.operators import dedup
+from pyairbyte_spark.writers import CommitLogTableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    st = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    st.TXN_RESOLVE_GRACE_S = 0.2
+    return st
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog tonight"),
+    (2, "pack my box with five dozen liquor jugs right now"),
+    (3, "sphinx of black quartz judge my vow said the king"),
+    (4, "a completely different sentence about spark engines here"),
+]
+
+
+def test_build_append_probe_roundtrip(spark, store):
+    dedup.build_minhash_index(
+        _docs(spark, CORPUS), store, "mh", id_col="doc_id", text_col="text"
+    )
+    # append a near-copy of doc 1 (one word changed) atomically
+    r = dedup.append_to_minhash_index(
+        _docs(
+            spark,
+            [(10, "the quick brown fox jumps over the lazy cat tonight")],
+        ),
+        store,
+        "mh",
+        txn=("app", 1),
+    )
+    assert r == {"appended": 1, "skipped": False}
+    # probing the near-copy finds doc 1 (and not the unrelated docs)
+    out = dedup.minhash_index_matches(
+        store,
+        "mh",
+        _docs(spark, [(99, "the quick brown fox jumps over the lazy dog tonight")]),
+        min_agree=6,
+    ).collect()
+    matched = {r["match_id"] for r in out}
+    assert 1 in matched
+    assert 4 not in matched
+    # exact duplicate agrees on every signature position
+    exact = next(r for r in out if r["match_id"] == 1)
+    assert exact["n_agree"] == 12 and exact["n_bands"] == 4
+
+
+def test_append_is_atomic_and_exactly_once(spark, store):
+    dedup.build_minhash_index(
+        _docs(spark, CORPUS), store, "mh", id_col="doc_id", text_col="text"
+    )
+    n_bands0 = store.read("mh_bands").count()
+    n_sigs0 = store.read("mh_sigs").count()
+    batch = _docs(spark, [(20, "zebra yak xylophone wombat vulture unicorn t")])
+    dedup.append_to_minhash_index(batch, store, "mh", txn=("ing", 5))
+    assert store.read("mh_bands").count() == n_bands0 + 4
+    assert store.read("mh_sigs").count() == n_sigs0 + 1
+    # replay skips the WHOLE group: neither table moves
+    r = dedup.append_to_minhash_index(batch, store, "mh", txn=("ing", 5))
+    assert r["skipped"]
+    assert store.read("mh_bands").count() == n_bands0 + 4
+    assert store.read("mh_sigs").count() == n_sigs0 + 1
+    # both head commits share one committed txn group
+    hb = store.history("mh_bands")[0]
+    hs = store.history("mh_sigs")[0]
+    assert hb["txn_verdict"] == hs["txn_verdict"] == "commit"
+    assert hb["txn_group"] == hs["txn_group"]
+
+
+def test_probe_scan_is_file_pruned(spark, store):
+    """The probe's read_where must open only the files whose zone maps
+    cover a probed band hash — the plan gate for 'O(touched buckets),
+    not O(corpus)'."""
+    big = _docs(
+        spark,
+        [
+            (i, " ".join(f"w{i}x{j}" for j in range(12)))
+            for i in range(1, 201)
+        ],
+    )
+    dedup.build_minhash_index(
+        big, store, "mh", id_col="doc_id", text_col="text", target_files=16
+    )
+    q = _docs(spark, [(999, " ".join(f"w7x{j}" for j in range(12)))])
+    m = dedup._minhash_index_meta(store, "mh")
+    qsig = dedup.minhash_signature(
+        q, "text", "doc_id", num_hashes=m["num_hashes"], k=m["k"]
+    )
+    qb = dedup.lsh_bands(
+        qsig, "doc_id", bands=m["bands"], rows=m["num_hashes"] // m["bands"]
+    )
+    hashes = sorted(r["band_hash"] for r in qb.select("band_hash").collect())
+    plan = store.plan_scan("mh_bands", [("band_hash", "in", hashes)])
+    assert plan["files_total"] >= 16
+    assert plan["files_selected"] < plan["files_total"]
+    # and the probe still finds the exact duplicate
+    out = dedup.minhash_index_matches(store, "mh", q, min_agree=12).collect()
+    assert {r["match_id"] for r in out} == {7}
+
+
+def test_large_probe_degrades_to_relational_join(spark, store, monkeypatch):
+    dedup.build_minhash_index(
+        _docs(spark, CORPUS), store, "mh", id_col="doc_id", text_col="text"
+    )
+    monkeypatch.setattr(dedup, "MINHASH_PROBE_LITERAL_MAX", 0)
+    out = dedup.minhash_index_matches(
+        store,
+        "mh",
+        _docs(spark, [(99, "pack my box with five dozen liquor jugs right now")]),
+        min_agree=12,
+    ).collect()
+    assert {r["match_id"] for r in out} == {2}
