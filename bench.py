@@ -96,6 +96,8 @@ BENCH_QUERIES = [
     # round 10: persisted MinHash-LSH dedup index (build + atomic
     # append + pruned probe lifecycle)
     "dedup_minhash_index_lookup",
+    # round 10: ExactSubstr span removal (positional grams, 3 shuffles)
+    "dedup_span_removal",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
@@ -135,6 +137,8 @@ SF1_QUERIES = [
     "approx_distinct_hll",
     "cms_token_frequency",
     "graph_pagerank_part_supplier",
+    # round-10 additions
+    "dedup_span_removal",
 ]
 
 _ID_STRIDE = 10_000_000

@@ -790,3 +790,106 @@ def minhash_index_matches(
     if min_agree is not None:
         out = out.filter(F.col("n_agree") >= min_agree)
     return out
+
+
+# -- exact-substring span removal (Lee et al. ExactSubstr) -------------------
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 20,
+) -> DataFrame:
+    """Lee et al. 2022 EXACTSUBSTR dedup, the REMOVAL half (the
+    coverage stats half is :func:`ngram_duplication_coverage`): cut
+    every token span that an n-gram starting there shares with any
+    OTHER position in the corpus, and reassemble the surviving text.
+    Their suffix-array construction is replaced by the Spark-shaped
+    equivalent — POSITIONAL n-gram hashes (not distinct: two
+    occurrences inside one doc are duplication too), a corpus-wide
+    occurrence count, and per-doc interval marking.
+
+    Returns (``id_col``, n_tokens, n_removed, cleaned_text) for docs
+    with ≥1 token; ``cleaned_text`` is the doc with every covered
+    token dropped (empty string when nothing survives).
+
+    Scale: tokens/grams are per-row JVM arrays (the let-binding trick
+    below; see ngram_duplication_coverage); only (doc, pos, 60-bit
+    gram hash) longs shuffle — one gram-keyed aggregate + one join
+    back + one per-doc collect of duplicated start positions. The
+    final marking is ``exists()`` per token over that per-doc array
+    (O(tokens × dup-starts) inside codegen, bounded by doc length²
+    only for pathologically self-repetitive docs — which this
+    operator is built to shrink).
+    """
+    toks_expr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda t: t != "",
+    )
+
+    def _pos_grams(tk):
+        gram = lambda i: F.struct(  # noqa: E731
+            i.alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ", *[F.try_element_at(tk, i + j) for j in range(n)]
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("gram"),
+        )
+        return F.when(
+            F.size(tk) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram),
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.element_at(F.transform(F.array(toks_expr), lambda tk: tk), 1).alias(
+            "tk"
+        ),
+    ).filter(F.size("tk") >= 1)
+    base = base.localCheckpoint(eager=False)  # grams + final both read it
+    pg = (
+        base.select(
+            "id",
+            F.explode(
+                F.element_at(F.transform(F.array(F.col("tk")), _pos_grams), 1)
+            ).alias("g"),
+        )
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+    counts = pg.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    dup_starts = (
+        pg.join(counts, "gram")
+        .filter(F.col("nd") >= 2)
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("dups"))
+    )
+    marked = base.join(dup_starts, "id", "left").select(
+        "id",
+        "tk",
+        F.coalesce(F.col("dups"), F.array().cast("array<int>")).alias("dups"),
+    )
+    # token at 1-based position t is removed iff a duplicated gram
+    # starts at s with s <= t <= s+n-1
+    removed = lambda t: F.exists(  # noqa: E731
+        F.col("dups"), lambda s: (t >= s) & (t <= s + F.lit(n - 1))
+    )
+    kept = F.filter(F.col("tk"), lambda tok, i: ~removed(i + F.lit(1)))
+    return marked.select(
+        F.col("id").alias(id_col),
+        F.size("tk").cast("long").alias("n_tokens"),
+        (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("cleaned_text"),
+    )

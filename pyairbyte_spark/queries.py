@@ -4220,6 +4220,56 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_span_removal",
+    """
+    -- Lee et al. 2022 EXACTSUBSTR dedup, the REMOVAL half: every
+    -- token span whose 10-gram occurs at >=2 positions corpus-wide
+    -- (POSITIONAL grams — in-doc repeats count) is cut, and the
+    -- surviving text reassembled. Suffix arrays re-expressed as
+    -- hashed positional grams + occurrence counts + interval marks.
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    tok_pos AS (
+      SELECT doc_id, p.pos, tk[p.pos] AS tok
+      FROM toks, UNNEST(range(1, len(tk) + 1)) AS p(pos)
+      WHERE len(tk) >= 1),
+    pg AS (
+      SELECT doc_id, g.pos,
+             ('0x' || substr(md5(array_to_string(tk[g.pos:g.pos+9], ' ')), 1, 15))::BIGINT AS gram
+      FROM toks, UNNEST(range(1, len(tk) - 10 + 2)) AS g(pos)
+      WHERE len(tk) >= 10),
+    cnt AS (SELECT gram, count(*) AS nd FROM pg GROUP BY gram),
+    dups AS (
+      SELECT pg.doc_id, pg.pos FROM pg JOIN cnt USING (gram) WHERE nd >= 2),
+    marked AS (
+      SELECT t.doc_id, t.pos, t.tok,
+             EXISTS (SELECT 1 FROM dups d
+                     WHERE d.doc_id = t.doc_id
+                       AND t.pos BETWEEN d.pos AND d.pos + 9) AS removed
+      FROM tok_pos t)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           coalesce(
+             string_agg(CASE WHEN NOT removed THEN tok END, ' ' ORDER BY pos),
+             '') AS cleaned_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ExactSubstr span REMOVAL (Lee et al. 2022): positional 10-gram "
+    "hashes + corpus occurrence counts + per-doc interval marking — "
+    "duplicated spans cut, survivors reassembled; suffix-array "
+    "semantics in three shuffles of 8-byte longs",
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, n=10).orderBy("doc_id")
+
+
+@register(
     "text_unigram_logprob",
     """
     -- Perplexity-proxy quality: mean unigram log10-prob of each doc
@@ -6649,6 +6699,7 @@ _DRIVER_PRIORITY = [
     # round-10 additions: never driver-checked — top of the window.
     "store_txn_atomic_events",
     "dedup_minhash_index_lookup",
+    "dedup_span_removal",
     "store_merge_evolve_events",
     "store_group_commit_events",
     "store_snapshot_consistent_join_events",

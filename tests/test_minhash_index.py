@@ -128,3 +128,47 @@ def test_large_probe_degrades_to_relational_join(spark, store, monkeypatch):
         min_agree=12,
     ).collect()
     assert {r["match_id"] for r in out} == {2}
+
+
+# -- ExactSubstr span removal (same module) -----------------------------------
+
+
+def test_remove_duplicate_spans_semantics(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique one two"),
+            (2, f"{shared} other tail words"),
+            (3, "totally different text with no shared spans at all here"),
+            (4, f"pre1 pre2 pre3 {shared}"),  # dup span mid-doc
+            (5, "short doc"),  # < n tokens: no grams, fully kept
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, n=8).collect()
+    }
+    assert out[1]["cleaned_text"] == "unique one two"
+    assert out[2]["cleaned_text"] == "other tail words"
+    assert out[1]["n_removed"] == out[2]["n_removed"] == 8
+    assert out[3]["n_removed"] == 0
+    assert out[4]["cleaned_text"] == "pre1 pre2 pre3"
+    assert out[5] ["n_removed"] == 0 and out[5]["cleaned_text"] == "short doc"
+
+
+def test_remove_duplicate_spans_in_doc_repeat_counts(spark):
+    """POSITIONAL grams: a span repeated inside ONE doc is duplication
+    (distinct-gram formulations miss this)."""
+    seq = "a1 a2 a3 a4 a5 a6 a7 a8"
+    docs = spark.createDataFrame(
+        [(1, f"{seq} middle {seq}"), (2, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, n=8).collect()
+    }
+    assert out[1]["cleaned_text"] == "middle"
+    assert out[1]["n_removed"] == 16
+    assert out[2]["n_removed"] == 0
