@@ -606,6 +606,51 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "find_near_duplicates",
+            "Near-duplicate check at ingest: probe the stream's persisted "
+            "MinHash-LSH index (O(touched buckets)) for docs similar to the "
+            "given text; falls back to a full LSH pass when no index "
+            "exists. n_agree/12 estimates Jaccard similarity.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "text": {"type": "string"},
+                    "index_name": {"type": "string"},
+                    "min_agree": {"type": "integer"},
+                },
+                "required": ["stream_name", "text"],
+            },
+            lambda h, a: t.find_near_duplicates(
+                h.cache,
+                a["stream_name"],
+                a["text"],
+                index_name=a.get("index_name", "mh"),
+                min_agree=a.get("min_agree", 6),
+            ),
+        ),
+        ToolDef(
+            "scan_duplicate_spans",
+            "ExactSubstr dedup report: the documents with the largest "
+            "corpus-duplicated token spans (positional n-grams, in-doc "
+            "repeats count) and their span-removed cleaned text.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "n": {"type": "integer"},
+                    "limit": {"type": "integer"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.scan_duplicate_spans(
+                h.cache,
+                a["stream_name"],
+                n=a.get("n", 10),
+                limit=a.get("limit", 20),
+            ),
+        ),
+        ToolDef(
             "get_bloom_coverage",
             "Bloom point-lookup index coverage watermark for a cached "
             "stream: live files covered vs uncovered (compaction/DML decay "

@@ -242,3 +242,56 @@ class VectorIndexStreamingSink:
         if trigger_once:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class MinHashIndexStreamingSink:
+    """Exactly-once streaming maintenance of a persisted MinHash-LSH
+    dedup index (``operators/dedup.py``): each micro-batch of
+    documents is signatured with the index's STORED hash family and
+    appended via ``append_to_minhash_index(txn=(app_id, epoch_id))`` —
+    the bands and sigs tables move as ONE multi-table txn group, the
+    SetTransaction watermark rides the group, and a replayed epoch
+    after a crash skips BOTH tables together. Probes
+    (``minhash_index_matches``) racing an epoch see the index move
+    atomically — never bands without their signatures.
+
+    This is dedup-at-ingest in its streaming form: the same sink that
+    lands documents can fan a copy through here, and every later batch
+    can ask "is this a near-dup of anything already ingested" in
+    O(touched buckets).
+    """
+
+    def __init__(self, store, index_name: str, app_id: str) -> None:
+        self.store = store
+        self.index_name = index_name
+        self.app_id = app_id
+        self.skipped_epochs = 0
+        self.appended_epochs = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyairbyte_spark.operators import dedup
+
+        res = dedup.append_to_minhash_index(
+            batch_df,
+            self.store,
+            self.index_name,
+            txn=(self.app_id, int(epoch_id)),
+        )
+        if res.get("skipped"):
+            self.skipped_epochs += 1
+        else:
+            self.appended_epochs += 1
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        trigger_once: bool = True,
+    ):
+        w = stream_df.writeStream.foreachBatch(self).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()

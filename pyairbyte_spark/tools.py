@@ -284,6 +284,67 @@ def get_index_health(
     return index_health(cache.store, index_name, kind=kind)
 
 
+def find_near_duplicates(
+    cache: SparkCache,
+    stream_name: str,
+    text: str,
+    *,
+    index_name: str = "mh",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_agree: int = 6,
+) -> list[dict[str, Any]]:
+    """Is this text a near-duplicate of anything already ingested?
+    Probes a persisted MinHash-LSH index (``build_minhash_index`` over
+    this cache's store) in O(touched buckets); when no index exists,
+    falls back to an exact corpus-scale LSH pass over the stream's
+    table. Returns matched doc ids with band hits and signature
+    agreement (estimated Jaccard = n_agree / num_hashes)."""
+    from pyairbyte_spark.operators import dedup
+
+    spark = cache.spark
+    q = spark.createDataFrame([(-1, text)], f"{id_col} long, {text_col} string")
+    try:
+        out = dedup.minhash_index_matches(
+            cache.store, index_name, q, min_agree=min_agree
+        )
+    except FileNotFoundError:
+        docs = cache[stream_name].to_spark().select(id_col, text_col)
+        both = docs.unionByName(q)
+        pairs = dedup.minhash_lsh_candidates(both, text_col, id_col)
+        out = (
+            pairs.filter((F.col("id_a") == -1) | (F.col("id_b") == -1))
+            .select(
+                F.lit(-1).alias("query_id"),
+                F.when(F.col("id_a") == -1, F.col("id_b"))
+                .otherwise(F.col("id_a"))
+                .alias("match_id"),
+                "n_bands",
+                F.lit(None).cast("long").alias("n_agree"),
+            )
+        )
+    return [r.asDict() for r in out.orderBy(F.desc("n_bands")).collect()]
+
+
+def scan_duplicate_spans(
+    cache: SparkCache, stream_name: str, *, n: int = 10, limit: int = 20
+) -> list[dict[str, Any]]:
+    """ExactSubstr dedup report for a cached stream: the ``limit``
+    documents with the largest duplicated-span token counts (Lee et
+    al. 2022 removal semantics — positional n-grams, in-doc repeats
+    count), with their cleaned text."""
+    from pyairbyte_spark.operators.dedup import remove_duplicate_spans
+
+    docs = cache[stream_name].to_spark()
+    out = (
+        remove_duplicate_spans(docs, n=n)
+        .filter(F.col("n_removed") > 0)
+        .orderBy(F.desc("n_removed"))
+        .limit(limit)
+    )
+    return [r.asDict() for r in out.collect()]
+
+
 def get_bloom_coverage(
     cache: SparkCache, stream_name: str
 ) -> dict[str, Any] | None:

@@ -172,3 +172,61 @@ def test_remove_duplicate_spans_in_doc_repeat_counts(spark):
     assert out[1]["cleaned_text"] == "middle"
     assert out[1]["n_removed"] == 16
     assert out[2]["n_removed"] == 0
+
+
+def test_minhash_index_streaming_sink_exactly_once(spark, store, tmp_path):
+    """Stream-maintained dedup index: two micro-batch epochs append
+    atomically, a redelivered epoch is a no-op on BOTH tables, and
+    probing the stream-maintained index equals a batch-built one."""
+    from pyairbyte_spark.streaming.sink import MinHashIndexStreamingSink
+
+    all_docs = _docs(
+        spark,
+        CORPUS
+        + [
+            (10, "the quick brown fox jumps over the lazy cat tonight"),
+            (11, "entirely fresh words nobody reuses anywhere else today"),
+        ],
+    )
+    dedup.build_minhash_index(
+        _docs(spark, CORPUS), store, "mh", id_col="doc_id", text_col="text"
+    )
+    src = tmp_path / "docsrc"
+    src.mkdir()
+    all_docs.filter(F.col("doc_id") == 10).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    all_docs.filter(F.col("doc_id") == 11).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    sink = MinHashIndexStreamingSink(store, "mh", "docpipe")
+    stream = spark.readStream.schema(all_docs.schema).parquet(str(src) + "/*")
+    q = sink.attach(
+        stream, checkpoint_dir=str(tmp_path / "mhckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert store.read("mh_sigs").count() == 6
+    assert store.read("mh_bands").count() == 24
+    # redeliver the last epoch verbatim: no-op on BOTH tables
+    last = store.txn_version("mh_bands", "docpipe")
+    sink(all_docs.filter(F.col("doc_id") == 11), last)
+    assert sink.skipped_epochs == 1
+    assert store.read("mh_sigs").count() == 6
+    assert store.read("mh_bands").count() == 24
+    # stream-maintained index probes identically to a batch build
+    store2 = CommitLogTableStore(
+        spark, str(tmp_path / "wh2"), "main"
+    )
+    dedup.build_minhash_index(
+        all_docs, store2, "mh", id_col="doc_id", text_col="text"
+    )
+    q99 = _docs(
+        spark, [(99, "the quick brown fox jumps over the lazy dog tonight")]
+    )
+    got = sorted(
+        map(tuple, dedup.minhash_index_matches(store, "mh", q99).collect())
+    )
+    ref = sorted(
+        map(tuple, dedup.minhash_index_matches(store2, "mh", q99).collect())
+    )
+    assert got == ref and len(got) >= 2  # docs 1 and 10 both match

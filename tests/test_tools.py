@@ -59,3 +59,34 @@ def test_sql_guard_literals_and_explain():
     assert is_safe_sql("SHOW CREATE TABLE t")
     # Comment hiding a write verb is still caught after stripping.
     assert not is_safe_sql("SELECT 1 /* x */; DROP TABLE t")
+
+
+def test_near_dup_and_span_tools(spark, tmp_path):
+    cache = SparkCache(
+        spark, str(tmp_path / "ndwh"), table_format="commitlog"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "the quick brown fox jumps over the lazy dog tonight ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    cache.write_dataframe(docs, "docs")
+    # no index yet: falls back to the full LSH pass
+    hits = tools.find_near_duplicates(
+        cache, "docs", "the quick brown fox jumps over the lazy dog tonight"
+    )
+    assert {h["match_id"] for h in hits} >= {1}
+    # with a persisted index: probed path, signature agreement filled
+    from pyairbyte_spark.operators.dedup import build_minhash_index
+
+    build_minhash_index(docs, cache.store, "mh")
+    hits2 = tools.find_near_duplicates(
+        cache, "docs", "the quick brown fox jumps over the lazy dog tonight"
+    )
+    assert any(h["match_id"] == 1 and h["n_agree"] == 12 for h in hits2)
+    spans = tools.scan_duplicate_spans(cache, "docs", n=8, limit=5)
+    assert {s["doc_id"] for s in spans} == {1, 3}
+    assert all(s["n_removed"] >= 8 for s in spans)
