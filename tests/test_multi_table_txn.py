@@ -450,3 +450,81 @@ def test_atomic_sync_requires_commitlog_cache(spark, tmp_path):
         MessageStreamProcessor(
             cache, source_name="src", specs=_specs("a"), atomic=True
         )
+
+
+def test_randomized_interleaving_linearizes(spark, store):
+    """Randomized robustness: many threads interleave plain appends,
+    committing groups, aborting groups, and crashed (undecided)
+    groups across two tables. Afterwards: final counts equal the sum
+    of committed effects, CDF row totals equal the table reads, and
+    every history slot is decided or a skipped head."""
+    import random
+
+    rng = random.Random(1234)
+    _seed(spark, store)
+    store.TXN_RESOLVE_GRACE_S = 0.5
+    committed_a = [5]  # seeded rows
+    committed_b = [3]
+    lock = threading.Lock()
+    errs = []
+
+    def plain(i):
+        n = rng.randrange(1, 4)
+        try:
+            store.write_append(spark.range(i * 100, i * 100 + n).toDF("a"), "raw")
+            with lock:
+                committed_a.append(n)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def group(i, fate):
+        try:
+            t = store.begin_txn()
+            na, nb = rng.randrange(1, 4), rng.randrange(1, 3)
+            t.write_append(
+                spark.range(i * 1000, i * 1000 + na).toDF("a"), "raw"
+            )
+            t.write_append(
+                spark.range(i * 1000, i * 1000 + nb).toDF("b"), "agg"
+            )
+            if fate == "commit":
+                try:
+                    t.commit()
+                    with lock:
+                        committed_a.append(na)
+                        committed_b.append(nb)
+                except TxnGroupAbortedError:
+                    pass  # force-aborted by a contender: counts as abort
+            elif fate == "abort":
+                t.abort()
+            # fate == "crash": leave undecided; contenders resolve it
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    jobs = []
+    for i in range(1, 9):
+        fate = rng.choice(["commit", "commit", "abort", "crash"])
+        jobs.append(threading.Thread(target=group, args=(i, fate)))
+        jobs.append(threading.Thread(target=plain, args=(i,)))
+    rng.shuffle(jobs)
+    for j in jobs:
+        j.start()
+    for j in jobs:
+        j.join()
+    assert not errs
+    # a final append resolves any crashed group still at the head
+    store.write_append(spark.range(1).toDF("a"), "raw")
+    committed_a.append(1)
+    store.write_append(spark.range(1).toDF("b"), "agg")
+    committed_b.append(1)
+    assert store.read("raw").count() == sum(committed_a)
+    assert store.read("agg").count() == sum(committed_b)
+    # CDF agrees with the table state
+    assert store.read_changes("raw", 0).count() == sum(committed_a)
+    assert store.read_changes("agg", 0).count() == sum(committed_b)
+    # every slot below the visible head is decided
+    for table in ("raw", "agg"):
+        head = store.latest_version(table)
+        for h in store.history(table):
+            if h["version"] <= head and h.get("txn_group"):
+                assert h["txn_verdict"] in ("commit", "abort")
