@@ -225,6 +225,15 @@ class SparkCache(Mapping):
             target_files=target_files,
         )
 
+    def rebucket_stream(self, stream_name: str, n_buckets: int | None) -> dict:
+        """Bucket-layout evolution: rewrite the stream's table with a
+        new merge-bucket count (None = un-bucket) — the migration path
+        when key cardinality outgrows the original layout. One shuffle;
+        rows identical (CDF-silent); later merges use the new N."""
+        return self._acid_store().rebucket_table(
+            self.table_name(stream_name), n_buckets
+        )
+
     def rename_stream_column(self, stream_name: str, old: str, new: str) -> int:
         """Metadata-only column rename (zero data I/O)."""
         return self._acid_store().rename_column(

@@ -606,6 +606,24 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "rebucket_table",
+            "Bucket-layout evolution: rewrite a cached stream's table "
+            "with a new merge-bucket count (omit n_buckets to un-bucket). "
+            "Rows identical (change feed silent); later merges hash with "
+            "the new layout.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "n_buckets": {"type": "integer"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.rebucket_table(
+                h.cache, a["stream_name"], a.get("n_buckets")
+            ),
+        ),
+        ToolDef(
             "find_near_duplicates",
             "Near-duplicate check at ingest: probe the stream's persisted "
             "MinHash-LSH index (O(touched buckets)) for docs similar to the "

@@ -129,6 +129,15 @@ def compact_table(
     return cache.compact(stream_name, sort_by=sort_by, target_files=target_files)
 
 
+def rebucket_table(
+    cache: SparkCache, stream_name: str, n_buckets: int | None = None
+) -> dict[str, Any]:
+    """Bucket-layout evolution: rewrite a cached stream's table with a
+    new merge-bucket count (omit to un-bucket). One shuffle, rows
+    identical; every later merge/append/read uses the new layout."""
+    return cache.rebucket_stream(stream_name, n_buckets)
+
+
 def delete_table_rows(
     cache: SparkCache,
     stream_name: str,

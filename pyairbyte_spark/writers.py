@@ -6035,3 +6035,56 @@ class CommitLogTableStore(TableStore):
         if refresh_bloom:
             self._maybe_refresh_bloom(table_name, man)
         return {"compacted": True, "dirs_before": n_before, "dirs_after": 1}
+
+    def rebucket_table(
+        self, table_name: str, n_buckets: int | None
+    ) -> dict:
+        """BUCKET-LAYOUT EVOLUTION: rewrite the snapshot with a new
+        merge-bucket count (or ``None`` to un-bucket) and record the
+        new layout in the same commit. The layout N is fixed at first
+        write and every incremental merge hashes with it — a table
+        whose key cardinality grew 100× is stuck with oversized
+        buckets (each incremental merge rewrites 1/N of the table)
+        until this one-shuffle migration. Rows are bit-identical, so
+        the commit is a ``compact`` for every consumer: CDF emits no
+        changes, followers skip it, NDV stats carry.
+
+        Like compact, the rewrite materializes outstanding deletion
+        vectors and foreign (clone-base) references. All later merges,
+        appends, and reads pick the new N up from the manifest —
+        nothing else changes. Returns ``{"rebucketed", "from", "to"}``.
+        """
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        pks = man.get("primary_keys")
+        if n_buckets and not pks:
+            raise ValueError(
+                f"cannot bucket {table_name!r}: no primary keys recorded "
+                "(bucket routing hashes the merge keys)"
+            )
+        old_n = man.get("merge_buckets") or None
+        new_n = int(n_buckets) if n_buckets else None
+        if old_n == new_n:
+            return {"rebucketed": False, "from": old_n, "to": new_n}
+        df = self._read_manifest_df(table_name, man)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        if new_n:
+            df = self._with_bucket(df, list(pks), new_n)
+        entry = self._stage(df, table_name)
+        self._commit(
+            table_name,
+            {
+                "op": "compact",  # rows identical: no-change for CDF/
+                # followers/NDV; the layout is manifest metadata
+                "rebucketed_from": old_n,
+                "merge_buckets": new_n,
+                "entries": [entry],
+                **({"primary_keys": pks} if pks else {}),
+                **self._carry_mapping(man),
+            },
+            version + 1,
+        )
+        return {"rebucketed": True, "from": old_n, "to": new_n}

@@ -529,3 +529,35 @@ def test_write_appends_race_drops_only_duplicated_batch(
     # racer's 10 rows + our surviving batch; the duplicated (a,5)
     # batch appears exactly once
     assert store.read("t").count() == 5 + 10 + 10
+
+
+def test_rebucket_table_layout_evolution(spark, store):
+    """Bucket-layout evolution: resize the merge-bucket layout in one
+    rewrite; rows identical (CDF-silent), DVs materialized, later
+    merges hash with the new N; un-bucketing works; no-op detected."""
+    store.merge_buckets = 4
+    store.write_merge(_df(spark, [(i, f"v{i}") for i in range(40)]), "t", ["id"])
+    assert store._persisted_buckets("t") == 4
+    # outstanding deletion vectors must materialize through the rewrite
+    store.delete_where("t", [("id", "=", 39)], mode="mor")
+    v0 = store.latest_version("t")
+    r = store.rebucket_table("t", 16)
+    assert r == {"rebucketed": True, "from": 4, "to": 16}
+    assert store._persisted_buckets("t") == 16
+    assert store.read("t").count() == 39
+    assert not store._latest_commit("t")[1].get("delete_vectors")
+    # rows identical: the rewrite emits no change rows
+    assert store.read_changes("t", v0).count() == 0
+    # merges keep working against the new layout
+    store.write_merge(_df(spark, [(3, "updated")]), "t", ["id"])
+    got = {r["id"]: r["v"] for r in store.read("t").select("id", "v").collect()}
+    assert got[3] == "updated" and len(got) == 39
+    # un-bucket, then no-op detection
+    assert store.rebucket_table("t", None)["rebucketed"] is True
+    assert store._persisted_buckets("t") is None
+    assert store.read("t").count() == 39
+    assert store.rebucket_table("t", None)["rebucketed"] is False
+    # bucketing requires recorded keys
+    store.write_append(_df(spark, [(1, "x")]), "nokeys")
+    with pytest.raises(ValueError, match="primary keys"):
+        store.rebucket_table("nokeys", 8)
