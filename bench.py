@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "dedup_minhash_index_lookup",
     # round 10: ExactSubstr span removal (positional grams, 3 shuffles)
     "dedup_span_removal",
+    # round 10: bucket-layout evolution mid-merge-lifecycle
+    "store_rebucket_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

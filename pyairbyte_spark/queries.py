@@ -5505,6 +5505,70 @@ def store_merge_upsert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_rebucket_events",
+    """
+    -- Bucket-layout evolution mid-lifecycle: full merge at N=8,
+    -- REBUCKET to N=2 (one rewrite, rows identical), then an
+    -- incremental upsert hashed with the NEW layout. Correct layout
+    -- migration is invisible in the data: the oracle is the same
+    -- latest-per-key SQL as an unmigrated merge chain.
+    WITH upd AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 5 = 0 THEN value + 50.0 ELSE value END
+               AS value
+      FROM events)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM upd GROUP BY event_type ORDER BY event_type
+    """,
+    "bucket-layout evolution: merge at N=8, rebucket_table to N=2 "
+    "(CDF-silent rewrite), incremental upsert against the new layout "
+    "— migration invisible in the data",
+)
+def store_rebucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def _book(df, batch: str, day: str):
+        return df.withColumn(
+            "_airbyte_raw_id",
+            F.concat(F.lit(batch), F.col("event_id").cast("string")),
+        ).withColumn(
+            "_airbyte_extracted_at", F.lit(day).cast("timestamp")
+        )
+
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-rebkt-"), "q", merge_buckets=8
+    )
+    store.write_merge(_book(ev, "a", "2024-01-01"), "m", ["event_id"])
+    v0 = store.latest_version("m")
+    r = store.rebucket_table("m", 2)
+    assert r["rebucketed"] and r["from"] == 8 and r["to"] == 2
+    # rows identical: the layout rewrite emits no change rows
+    assert store.read_changes("m", v0).count() == 0
+    upd = ev.filter(F.col("event_id") % 5 == 0).withColumn(
+        "value", F.col("value") + F.lit(50.0)
+    )
+    store.write_merge(_book(upd, "b", "2024-01-02"), "m", ["event_id"])
+    return (
+        store.read("m")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _register_ivf_index_query() -> None:
     """The persistent-IVF path must produce EXACTLY what the in-memory
     ivf_topk produces for the same build parameters — so it registers
@@ -6700,6 +6764,7 @@ _DRIVER_PRIORITY = [
     "store_txn_atomic_events",
     "dedup_minhash_index_lookup",
     "dedup_span_removal",
+    "store_rebucket_events",
     "store_merge_evolve_events",
     "store_group_commit_events",
     "store_snapshot_consistent_join_events",
