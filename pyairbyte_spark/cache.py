@@ -225,6 +225,14 @@ class SparkCache(Mapping):
             target_files=target_files,
         )
 
+    def verify_stream(self, stream_name: str, *, deep: bool = False) -> dict:
+        """FSCK a cached stream's table: manifest resolution, physical
+        file presence + size drift, DV/bloom sidecars, txn-decision
+        invariants, orphan dirs — pure metadata I/O, no Spark job."""
+        return self._acid_store().verify_table(
+            self.table_name(stream_name), deep=deep
+        )
+
     def rebucket_stream(self, stream_name: str, n_buckets: int | None) -> dict:
         """Bucket-layout evolution: rewrite the stream's table with a
         new merge-bucket count (None = un-bucket) — the migration path

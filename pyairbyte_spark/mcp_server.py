@@ -606,6 +606,24 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "verify_table",
+            "FSCK a cached stream's table: manifest resolution, data-file "
+            "presence + size drift, DV/bloom sidecars, txn-decision "
+            "invariants, orphan dirs. Metadata-only; deep=true checks "
+            "every readable snapshot, not just the latest.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "deep": {"type": "boolean"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.verify_table(
+                h.cache, a["stream_name"], deep=a.get("deep", False)
+            ),
+        ),
+        ToolDef(
             "rebucket_table",
             "Bucket-layout evolution: rewrite a cached stream's table "
             "with a new merge-bucket count (omit n_buckets to un-bucket). "

@@ -129,6 +129,15 @@ def compact_table(
     return cache.compact(stream_name, sort_by=sort_by, target_files=target_files)
 
 
+def verify_table(
+    cache: SparkCache, stream_name: str, *, deep: bool = False
+) -> dict[str, Any]:
+    """FSCK a cached stream: audits manifest resolution, data-file
+    presence and size drift, DV/bloom sidecars, txn-group decision
+    invariants, and orphan dirs — metadata-only, no Spark job."""
+    return cache.verify_stream(stream_name, deep=deep)
+
+
 def rebucket_table(
     cache: SparkCache, stream_name: str, n_buckets: int | None = None
 ) -> dict[str, Any]:

@@ -561,3 +561,41 @@ def test_rebucket_table_layout_evolution(spark, store):
     store.write_append(_df(spark, [(1, "x")]), "nokeys")
     with pytest.raises(ValueError, match="primary keys"):
         store.rebucket_table("nokeys", 8)
+
+
+def test_verify_table_fsck(spark, store, tmp_path):
+    """verify_table: clean tables pass (shallow + deep), a deleted
+    data file and a size drift are caught with the offending path,
+    an in-flight txn prepare raises no false alarms, and orphan
+    staged dirs are counted."""
+    import os
+
+    store.write_append(_df(spark, [(1, "a"), (2, "b")]), "t")
+    store.write_append(_df(spark, [(3, "c")]), "t")
+    assert store.verify_table("t") == {
+        "ok": True,
+        "issues": [],
+        "checked_files": store.verify_table("t")["checked_files"],
+        "orphan_dirs": 0,
+    }
+    assert store.verify_table("t", deep=True)["ok"]
+    # in-flight prepare: no false alarm
+    store.TXN_RESOLVE_GRACE_S = 0.2
+    t = store.begin_txn()
+    t.write_append(_df(spark, [(9, "z")]), "t")
+    assert store.verify_table("t", deep=True)["ok"]
+    t.abort()
+    # corrupt a data file → caught with the path named
+    man = store._latest_commit("t")[1]
+    e0 = next(e for e in man["entries"] if e.get("files"))
+    f0 = e0["files"][0]["path"]
+    victim = os.path.join(store.table_path("t"), e0["path"], f0)
+    size0 = os.path.getsize(victim)
+    os.remove(victim)
+    r = store.verify_table("t")
+    assert not r["ok"] and any("file missing" in i for i in r["issues"])
+    # size drift → caught
+    with open(victim, "wb") as fh:
+        fh.write(b"x" * (size0 + 7))
+    r2 = store.verify_table("t")
+    assert not r2["ok"] and any("size drift" in i for i in r2["issues"])
