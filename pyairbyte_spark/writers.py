@@ -699,7 +699,19 @@ class CommitLogTableStore(TableStore):
     """
 
     COMMIT_DIR = "_commits"
-    _COMMIT_RETRIES = 5
+    # Optimistic-concurrency retry budget. Appends/replaces/merges are
+    # position-independent or re-computed per attempt, so retrying is
+    # always safe — the bound only guards against livelock. Sized for
+    # bursty contention (N writers racing one table need ~N rounds for
+    # the last to land); _retry_pause adds jitter so racers desynchronize
+    # instead of stampeding the next slot together.
+    _COMMIT_RETRIES = 24
+
+    @staticmethod
+    def _retry_pause(attempt: int) -> None:
+        import random as _random
+
+        time.sleep(_random.uniform(0, min(0.02 * (attempt + 1), 0.3)))
     # Snapshot reads union per-entry frames BY NAME, whose coercion
     # widens numeric types safely — see _check_schema_compat.
     _ALLOW_NUMERIC_WIDENING = True
@@ -3405,7 +3417,7 @@ class CommitLogTableStore(TableStore):
                 return {"version": pre[0], "skipped": True}
         snap = self._latest_commit(table_name)
         entry = self._prep_and_stage(df, table_name, primary_keys, snap)
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
             snap2 = self._latest_commit(table_name)
             version = snap2[0] if snap2 else 0
             entries = list(snap2[1].get("entries") or []) if snap2 else []
@@ -3444,6 +3456,7 @@ class CommitLogTableStore(TableStore):
                     else None
                 )
             except ConcurrentCommitError:
+                self._retry_pause(_attempt)
                 continue  # appends are position-independent: rebase + retry
         raise ConcurrentCommitError(
             f"append to {table_name!r} lost {self._COMMIT_RETRIES} commit races"
@@ -3517,7 +3530,7 @@ class CommitLogTableStore(TableStore):
                 "appended": 0,
                 "skipped": skipped,
             }
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
             snap2 = self._latest_commit(table_name)
             version = snap2[0] if snap2 else 0
             entries = list(snap2[1].get("entries") or []) if snap2 else []
@@ -3565,6 +3578,7 @@ class CommitLogTableStore(TableStore):
                     "skipped": skipped + dropped,
                 }
             except ConcurrentCommitError:
+                self._retry_pause(_attempt)
                 continue  # appends are position-independent: rebase
         raise ConcurrentCommitError(
             f"group append to {table_name!r} lost "
@@ -3611,7 +3625,7 @@ class CommitLogTableStore(TableStore):
             ),
             "entries": [entry],
         }
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
             snap = self._latest_commit(table_name)
             version = snap[0] if snap else 0
             # Re-read the watermarks EVERY attempt: a concurrent txn
@@ -3636,6 +3650,7 @@ class CommitLogTableStore(TableStore):
                     else None
                 )
             except ConcurrentCommitError:
+                self._retry_pause(_attempt)
                 continue  # replace doesn't depend on the prior snapshot
         raise ConcurrentCommitError(
             f"replace of {table_name!r} lost {self._COMMIT_RETRIES} commit races"
@@ -3669,13 +3684,14 @@ class CommitLogTableStore(TableStore):
         ``{"version", "skipped"}`` when ``txn`` is given (None
         otherwise, the historical signature)."""
         last: ConcurrentCommitError | None = None
-        for _ in range(self._COMMIT_RETRIES):
+        for _attempt in range(self._COMMIT_RETRIES):
             try:
                 return self._write_merge_once(
                     df, table_name, primary_keys, txn, txn_group
                 )
             except ConcurrentCommitError as e:
                 last = e
+                self._retry_pause(_attempt)
                 continue
         raise ConcurrentCommitError(
             f"merge into {table_name!r} lost {self._COMMIT_RETRIES} "

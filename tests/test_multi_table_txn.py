@@ -468,12 +468,16 @@ def test_randomized_interleaving_linearizes(spark, store):
     lock = threading.Lock()
     errs = []
 
+    from pyairbyte_spark.writers import ConcurrentCommitError
+
     def plain(i):
         n = rng.randrange(1, 4)
         try:
             store.write_append(spark.range(i * 100, i * 100 + n).toDF("a"), "raw")
             with lock:
                 committed_a.append(n)
+        except ConcurrentCommitError:
+            pass  # gave up after the retry budget: nothing landed
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
@@ -498,6 +502,13 @@ def test_randomized_interleaving_linearizes(spark, store):
             elif fate == "abort":
                 t.abort()
             # fate == "crash": leave undecided; contenders resolve it
+        except ConcurrentCommitError:
+            # a prepare gave up its retry budget: the group never
+            # completed — abort it so the chain stays resolvable
+            try:
+                t.abort()
+            except Exception:  # pragma: no cover
+                pass
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
