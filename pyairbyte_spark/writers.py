@@ -518,10 +518,13 @@ class MultiTableTxn:
     one verdict wins the PUT). Aborted prepares remain in the commit
     chain as invisible slots; their data dirs are vacuum garbage.
 
-    Scope (v1): :meth:`write_append` and :meth:`write_replace`, one
-    commit per table per group (the pipeline-chain verbs — raw +
-    clean + agg move together). Reads inside the txn see the PRE-txn
-    snapshots (no read-your-own-uncommitted-writes). Single-table
+    Scope: :meth:`write_append`, :meth:`write_replace`, and
+    :meth:`write_merge`; one commit per table per group (the
+    pipeline-chain verbs — raw + clean + agg move together). Reads
+    inside the txn see the PRE-txn snapshots (no
+    read-your-own-uncommitted-writes). Append/replace stage eagerly
+    but claim their commit slots only at :meth:`prepare`/:meth:`commit`
+    — the slot-holding window is metadata PUTs, not Spark jobs. Single-table
     SetTransaction watermarks (``txn=(app_id, batch_id)``) compose:
     the watermark rides the prepared commit, so it only takes effect
     if the group commits.
@@ -538,15 +541,32 @@ class MultiTableTxn:
         self.group_id = group_id or uuid.uuid4().hex
         self.prepared: dict[str, int] = {}
         self._closed = False
+        self._tables: set[str] = set()
+        # (kind, table, staged entry, checks-for-replace, watermark)
+        self._staged: list[tuple] = []
+        self._did_prepare = False
 
-    # -- prepares ------------------------------------------------------------
+    # -- stage ----------------------------------------------------------------
+    # Writes STAGE eagerly (the expensive Spark jobs run when called)
+    # but their commit-slot PUTs are DEFERRED to prepare()/commit():
+    # the group's slot-holding window is then a few metadata PUTs, not
+    # the staging jobs. A coordinator that staged table B while
+    # HOLDING table A's slot is exactly what contenders force-abort
+    # under load (measured: 8-way contention killed ~95% of
+    # commit-intent groups before this split; MERGE still prepares
+    # eagerly — call it last, just before commit()).
 
     def _check_open(self, table_name: str) -> None:
         if self._closed:
             raise RuntimeError(
                 f"txn group {self.group_id} is already decided"
             )
-        if table_name in self.prepared:
+        if self._did_prepare:
+            raise RuntimeError(
+                f"txn group {self.group_id} is already prepared; no "
+                "further writes can join the group"
+            )
+        if table_name in self._tables:
             # Two prepares of one table would make the SECOND's base
             # an invisible own-group commit — disallowed (one commit
             # per table per group; batch frames via write_appends-style
@@ -555,6 +575,21 @@ class MultiTableTxn:
                 f"table {table_name!r} is already prepared in txn group "
                 f"{self.group_id} (one commit per table per group)"
             )
+
+    def _replay_skip(
+        self, table_name: str, txn: tuple[str, int] | None
+    ) -> dict | None:
+        """Best-effort watermark pre-check (authoritative re-check
+        happens per commit attempt inside the staged-commit loop)."""
+        if txn is None:
+            return None
+        pre = self.store._latest_commit(table_name)
+        if (
+            pre is not None
+            and (pre[1].get("txns") or {}).get(txn[0], -1) >= txn[1]
+        ):
+            return {"version": pre[0], "skipped": True}
+        return None
 
     def write_append(
         self,
@@ -565,16 +600,14 @@ class MultiTableTxn:
         txn: tuple[str, int] | None = None,
     ) -> dict:
         self._check_open(table_name)
-        res = self.store.write_append(
-            df,
-            table_name,
-            primary_keys,
-            txn=txn,
-            txn_group=self.group_id,
-        )
-        if not res.get("skipped"):
-            self.prepared[table_name] = res["version"]
-        return res
+        skip = self._replay_skip(table_name, txn)
+        if skip is not None:
+            return skip
+        snap = self.store._latest_commit(table_name)
+        entry = self.store._prep_and_stage(df, table_name, primary_keys, snap)
+        self._staged.append(("append", table_name, entry, None, txn))
+        self._tables.add(table_name)
+        return {"skipped": False, "staged": True}
 
     def write_replace(
         self,
@@ -585,16 +618,18 @@ class MultiTableTxn:
         txn: tuple[str, int] | None = None,
     ) -> dict:
         self._check_open(table_name)
-        res = self.store.write_replace(
-            df,
-            table_name,
-            primary_keys,
-            txn=txn,
-            txn_group=self.group_id,
-        )
-        if not res.get("skipped"):
-            self.prepared[table_name] = res["version"]
-        return res
+        skip = self._replay_skip(table_name, txn)
+        if skip is not None:
+            return skip
+        prior = self.store._latest_commit(table_name)
+        checks = (prior[1].get("checks") or {}) if prior else {}
+        if checks:
+            df = self.store._enforce_checks(df, {"checks": checks})
+        df = self.store._with_bucket(df, primary_keys)
+        entry = self.store._stage(df, table_name)
+        self._staged.append(("replace", table_name, entry, checks, txn))
+        self._tables.add(table_name)
+        return {"skipped": False, "staged": True}
 
     def write_merge(
         self,
@@ -604,6 +639,10 @@ class MultiTableTxn:
         *,
         txn: tuple[str, int] | None = None,
     ) -> dict:
+        """MERGE prepares EAGERLY (its staged rewrite is computed
+        against a specific snapshot, so stage and PUT can't separate):
+        its slot is held from this call until the decision — order
+        merges last, immediately before ``commit()``."""
         self._check_open(table_name)
         res = self.store.write_merge(
             df,
@@ -614,15 +653,47 @@ class MultiTableTxn:
         )
         if not res.get("skipped"):
             self.prepared[table_name] = res["version"]
+            self._tables.add(table_name)
         return res
 
     # -- decide --------------------------------------------------------------
 
+    def prepare(self) -> dict[str, int]:
+        """Phase 1: publish every staged write as an (invisible)
+        prepare commit — fast, PUT-only. Normally implicit in
+        :meth:`commit`; call explicitly to hold an in-flight group
+        open (tests, or coordinators that decide later)."""
+        if self._did_prepare:
+            return dict(self.prepared)
+        self._did_prepare = True
+        staged, self._staged = self._staged, []
+        for kind, table_name, entry, checks, txn in staged:
+            if kind == "append":
+                res = self.store._commit_staged_append(
+                    table_name, entry, txn=txn, txn_group=self.group_id
+                )
+            else:
+                res = self.store._commit_staged_replace(
+                    table_name, entry, checks, txn=txn,
+                    txn_group=self.group_id,
+                )
+            if not res.get("skipped"):
+                self.prepared[table_name] = res["version"]
+        return dict(self.prepared)
+
     def commit(self) -> dict[str, int]:
-        """Decide COMMIT. Returns {table: version} of the now-visible
-        prepared commits. Raises :class:`TxnGroupAbortedError` if a
-        concurrent writer force-aborted the group first (nothing
-        became visible; re-run)."""
+        """Prepare anything still staged, then decide COMMIT. Returns
+        {table: version} of the now-visible prepared commits. Raises
+        :class:`TxnGroupAbortedError` if a concurrent writer
+        force-aborted the group first (nothing became visible;
+        re-run); a prepare that exhausts its retry budget aborts the
+        group and re-raises."""
+        try:
+            self.prepare()
+        except BaseException:
+            self._closed = True
+            self.store._decide_group(self.group_id, "abort")
+            raise
         self._closed = True
         verdict = self.store._decide_group(self.group_id, "commit")
         if verdict != "commit":
@@ -764,7 +835,12 @@ class CommitLogTableStore(TableStore):
     _TXN_GROUP_DIR = "_txngroups"
     # How long a slot-blocked writer polls an in-flight group's
     # decision before force-aborting it (writer-driven recovery).
-    TXN_RESOLVE_GRACE_S = 1.0
+    # The window a live coordinator must fit is prepare()->decide —
+    # metadata PUTs only (staging happens before any slot is claimed),
+    # so seconds of grace covers even a loaded driver; a genuinely
+    # crashed coordinator costs each FIRST contender one grace wait,
+    # after which the abort verdict is cached for everyone.
+    TXN_RESOLVE_GRACE_S = 10.0
 
     def _txn_decision_path(self, group_id: str) -> str:
         return os.path.join(
@@ -3417,6 +3493,25 @@ class CommitLogTableStore(TableStore):
                 return {"version": pre[0], "skipped": True}
         snap = self._latest_commit(table_name)
         entry = self._prep_and_stage(df, table_name, primary_keys, snap)
+        res = self._commit_staged_append(
+            table_name, entry, txn=txn, txn_group=txn_group
+        )
+        return res if txn is not None or txn_group is not None else None
+
+    def _commit_staged_append(
+        self,
+        table_name: str,
+        entry: dict,
+        *,
+        txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
+    ) -> dict:
+        """Publish one already-staged append entry (the fast, PUT-only
+        half of :meth:`write_append`). MultiTableTxn stages every
+        table FIRST and runs these back-to-back at commit time, so a
+        group's slot-holding window is a few metadata PUTs — not the
+        staging jobs (a coordinator staging table B while holding
+        table A's slot is what contenders force-abort under load)."""
         for _attempt in range(self._COMMIT_RETRIES):
             snap2 = self._latest_commit(table_name)
             version = snap2[0] if snap2 else 0
@@ -3450,11 +3545,7 @@ class CommitLogTableStore(TableStore):
             }
             try:
                 landed = self._commit(table_name, manifest, version + 1)
-                return (
-                    {"version": landed, "skipped": False}
-                    if txn is not None or txn_group is not None
-                    else None
-                )
+                return {"version": landed, "skipped": False}
             except ConcurrentCommitError:
                 self._retry_pause(_attempt)
                 continue  # appends are position-independent: rebase + retry
@@ -3617,6 +3708,22 @@ class CommitLogTableStore(TableStore):
             df = self._enforce_checks(df, {"checks": checks})
         df = self._with_bucket(df, primary_keys)
         entry = self._stage(df, table_name)
+        res = self._commit_staged_replace(
+            table_name, entry, checks, txn=txn, txn_group=txn_group
+        )
+        return res if txn is not None or txn_group is not None else None
+
+    def _commit_staged_replace(
+        self,
+        table_name: str,
+        entry: dict,
+        checks: dict,
+        *,
+        txn: tuple[str, int] | None = None,
+        txn_group: str | None = None,
+    ) -> dict:
+        """The fast, PUT-only half of :meth:`write_replace` (see
+        :meth:`_commit_staged_append` for why the split exists)."""
         base = {
             "op": "replace",
             **({"checks": checks} if checks else {}),
@@ -3644,11 +3751,7 @@ class CommitLogTableStore(TableStore):
             }
             try:
                 landed = self._commit(table_name, manifest, version + 1)
-                return (
-                    {"version": landed, "skipped": False}
-                    if txn is not None or txn_group is not None
-                    else None
-                )
+                return {"version": landed, "skipped": False}
             except ConcurrentCommitError:
                 self._retry_pause(_attempt)
                 continue  # replace doesn't depend on the prior snapshot

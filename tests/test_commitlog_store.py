@@ -583,6 +583,7 @@ def test_verify_table_fsck(spark, store, tmp_path):
     store.TXN_RESOLVE_GRACE_S = 0.2
     t = store.begin_txn()
     t.write_append(_df(spark, [(9, "z")]), "t")
+    t.prepare()
     assert store.verify_table("t", deep=True)["ok"]
     t.abort()
     # corrupt a data file → caught with the path named

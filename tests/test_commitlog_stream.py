@@ -248,7 +248,8 @@ def test_txn_prepares_gate_the_offset_frontier(spark, store):
     assert off == {"version": 1}
 
     txn = store.begin_txn()
-    txn.write_append(_df(spark, 3, 6), "t")  # v2, undecided
+    txn.write_append(_df(spark, 3, 6), "t")
+    txn.prepare()  # v2, undecided
     rows, off = reader.read(off)
     assert list(rows) == []
     assert off == {"version": 1}  # frontier held BEFORE the prepare
@@ -259,7 +260,8 @@ def test_txn_prepares_gate_the_offset_frontier(spark, store):
     assert off == {"version": 2}
 
     t2 = store.begin_txn()
-    t2.write_append(_df(spark, 90, 99), "t")  # v3, will abort
+    t2.write_append(_df(spark, 90, 99), "t")
+    t2.prepare()  # v3, will abort
     t2.abort()
     store.write_append(_df(spark, 6, 8), "t")  # slides to v4
     rows, off = reader.read(off)

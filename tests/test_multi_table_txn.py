@@ -87,7 +87,8 @@ def test_writer_slides_past_aborted_slot(spark, store):
     _seed(spark, store)
     v0 = store.latest_version("raw")
     t = store.begin_txn()
-    t.write_append(spark.range(30, 33).toDF("a"), "raw")  # claims v0+1
+    t.write_append(spark.range(30, 33).toDF("a"), "raw")
+    t.prepare()  # claims v0+1
     t.abort()
     # Plain append must land ABOVE the aborted slot, not wedge on it.
     res = store.write_append(spark.range(40, 41).toDF("a"), "raw", txn=("app", 1))
@@ -103,6 +104,7 @@ def test_crashed_coordinator_force_aborted_by_contender(spark, store):
     _seed(spark, store)
     t = store.begin_txn()
     t.write_append(spark.range(60, 66).toDF("a"), "raw")
+    t.prepare()
     # coordinator "crashes" here — no decision. A contender append
     # polls the grace window, force-aborts, slides, lands.
     store.write_append(spark.range(70, 71).toDF("a"), "raw")
@@ -120,6 +122,7 @@ def test_decision_race_exactly_one_verdict(spark, store):
     for _ in range(5):
         t = store.begin_txn()
         t.write_append(spark.range(2).toDF("a"), "raw_race")
+        t.prepare()
         verdicts = []
 
         def decide(v):
@@ -141,6 +144,7 @@ def test_undecided_head_invisible_to_all_read_surfaces(spark, store):
     _seed(spark, store)
     t = store.begin_txn()
     t.write_append(spark.range(500, 510).toDF("a"), "raw")
+    t.prepare()
     try:
         # read / stats / plan / history verdict / version_at_timestamp
         assert store.read("raw").count() == 5
@@ -163,6 +167,7 @@ def test_aborted_version_refused_by_time_travel_clone_restore(spark, store):
     _seed(spark, store)
     t = store.begin_txn()
     t.write_append(spark.range(1, 4).toDF("a"), "raw")
+    t.prepare()
     t.abort()
     ab_v = next(
         h["version"]
@@ -186,6 +191,7 @@ def test_set_transaction_watermark_composes_with_groups(spark, store):
     _seed(spark, store)
     t = store.begin_txn()
     t.write_append(spark.range(5, 8).toDF("a"), "raw", txn=("job", 7))
+    t.prepare()
     t.abort()
     assert store.txn_version("raw", "job") == -1  # watermark never landed
     res = store.write_append(
@@ -271,6 +277,7 @@ def test_follower_tail_skips_inflight_and_aborted(spark, store):
     v0 = store.latest_version("raw")
     t = store.begin_txn()
     t.write_append(spark.range(9000, 9005).toDF("a"), "raw")
+    t.prepare()
     assert store.latest_version("raw") == v0  # undecided: not the head
     t.commit()
     v1 = store.latest_version("raw")
@@ -286,6 +293,7 @@ def test_vacuum_keeps_visible_snapshot_under_inflight_prepare(spark, store):
     store.write_append(spark.range(5, 8).toDF("a"), "raw")
     t = store.begin_txn()
     t.write_append(spark.range(100, 200).toDF("a"), "raw")
+    t.prepare()
     store.vacuum("raw", keep_commits=1)
     # visible snapshot survives the vacuum in full
     assert store.read("raw").count() == 8
@@ -500,8 +508,10 @@ def test_randomized_interleaving_linearizes(spark, store):
                 except TxnGroupAbortedError:
                     pass  # force-aborted by a contender: counts as abort
             elif fate == "abort":
+                t.prepare()
                 t.abort()
-            # fate == "crash": leave undecided; contenders resolve it
+            else:  # crash: slots claimed, no decision — contenders resolve
+                t.prepare()
         except ConcurrentCommitError:
             # a prepare gave up its retry budget: the group never
             # completed — abort it so the chain stays resolvable
