@@ -159,11 +159,17 @@ class SparkCache(Mapping):
             txn=txn, **kw,
         )
         if quarantined is not None:
+            # Quarantine rows are part of the same batch: they ride the
+            # same txn group (an aborted sync leaves NO quarantine rows
+            # visible — all-or-nothing covers both tables) and the same
+            # idempotence watermark (a replayed batch skips here too).
             self.store.write(
                 quarantined,
                 self.table_name(f"{stream_name}_quarantine"),
                 WriteMethod.APPEND,
                 None,
+                txn=txn,
+                **kw,
             )
         if obs is not None:
             return obs.counts

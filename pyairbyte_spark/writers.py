@@ -490,6 +490,12 @@ class TxnGroupAbortedError(ConcurrentCommitError):
     """
 
 
+class TxnGroupCommittedError(RuntimeError):
+    """:meth:`MultiTableTxn.abort` lost to (or followed) a COMMIT
+    verdict: the group's prepared states ARE visible. Raised so the
+    aborter can't proceed believing nothing landed."""
+
+
 class MultiTableTxn:
     """Atomic cross-TABLE transaction over one commit-log store.
 
@@ -522,9 +528,10 @@ class MultiTableTxn:
     :meth:`write_merge`; one commit per table per group (the
     pipeline-chain verbs — raw + clean + agg move together). Reads
     inside the txn see the PRE-txn snapshots (no
-    read-your-own-uncommitted-writes). Append/replace stage eagerly
+    read-your-own-uncommitted-writes). All three verbs stage eagerly
     but claim their commit slots only at :meth:`prepare`/:meth:`commit`
-    — the slot-holding window is metadata PUTs, not Spark jobs. Single-table
+    — the slot-holding window is metadata PUTs, not Spark jobs (stale
+    merge plans are refreshed before the first slot is claimed). Single-table
     SetTransaction watermarks (``txn=(app_id, batch_id)``) compose:
     the watermark rides the prepared commit, so it only takes effect
     if the group commits.
@@ -553,8 +560,9 @@ class MultiTableTxn:
     # the staging jobs. A coordinator that staged table B while
     # HOLDING table A's slot is exactly what contenders force-abort
     # under load (measured: 8-way contention killed ~95% of
-    # commit-intent groups before this split; MERGE still prepares
-    # eagerly — call it last, just before commit()).
+    # commit-intent groups before this split; with merge split too,
+    # the same contention test lands ≥90% — see
+    # test_multi_table_txn.py::test_contended_merge_groups_land).
 
     def _check_open(self, table_name: str) -> None:
         if self._closed:
@@ -639,22 +647,29 @@ class MultiTableTxn:
         *,
         txn: tuple[str, int] | None = None,
     ) -> dict:
-        """MERGE prepares EAGERLY (its staged rewrite is computed
-        against a specific snapshot, so stage and PUT can't separate):
-        its slot is held from this call until the decision — order
-        merges last, immediately before ``commit()``."""
+        """MERGE stages eagerly like append/replace: the rewrite's
+        Spark jobs (touched-bucket read, latest-wins, stage dir) run
+        NOW against the current snapshot, but no commit slot is
+        claimed until :meth:`prepare`. A plan is only valid against
+        the snapshot it read, so :meth:`prepare` re-plans it if the
+        table moved in between — still before any slot is held — and
+        the slot-claiming window stays metadata PUTs for all three
+        verbs (pre-split, 8-way contention force-aborted ~95% of
+        merge-bearing groups; the reference holds its finalization
+        lock only for the SQL transaction, never the load —
+        ``airbyte/shared/sql_processor.py:393-401``)."""
         self._check_open(table_name)
-        res = self.store.write_merge(
-            df,
-            table_name,
-            primary_keys,
-            txn=txn,
-            txn_group=self.group_id,
+        skip = self._replay_skip(table_name, txn)
+        if skip is not None:
+            return skip
+        plan = self.store._plan_merge(df, table_name, primary_keys, txn)
+        if plan.get("skipped"):
+            return {"version": plan["version"], "skipped": True}
+        self._staged.append(
+            ("merge", table_name, plan, (df, list(primary_keys)), txn)
         )
-        if not res.get("skipped"):
-            self.prepared[table_name] = res["version"]
-            self._tables.add(table_name)
-        return res
+        self._tables.add(table_name)
+        return {"skipped": False, "staged": True}
 
     # -- decide --------------------------------------------------------------
 
@@ -662,19 +677,49 @@ class MultiTableTxn:
         """Phase 1: publish every staged write as an (invisible)
         prepare commit — fast, PUT-only. Normally implicit in
         :meth:`commit`; call explicitly to hold an in-flight group
-        open (tests, or coordinators that decide later)."""
+        open (tests, or coordinators that decide later).
+
+        Merge plans are refreshed FIRST (a plan staged against a
+        snapshot the table has since moved past must re-run its Spark
+        jobs) — all re-planning happens before the first slot is
+        claimed, so the slot-holding window stays metadata PUTs even
+        when every merge went stale. A collision DURING the PUT burst
+        still re-plans in place (rare: the window is milliseconds)."""
         if self._did_prepare:
             return dict(self.prepared)
         self._did_prepare = True
         staged, self._staged = self._staged, []
-        for kind, table_name, entry, checks, txn in staged:
+        refreshed: list[tuple] = []
+        for item in staged:
+            kind, table_name, payload, aux, txn = item
+            if kind == "merge":
+                head = self.store._latest_commit(table_name)
+                if (head[0] if head else 0) != payload["base_version"]:
+                    df, pks = aux
+                    payload = self.store._plan_merge(df, table_name, pks, txn)
+                    if payload.get("skipped"):
+                        continue
+                    item = (kind, table_name, payload, aux, txn)
+            refreshed.append(item)
+        # Merges claim first: their collision path RE-PLANS (Spark
+        # jobs) — running that before any append/replace slot is
+        # claimed keeps even the rare mid-burst collision from holding
+        # another table's slot through a staging job.
+        refreshed.sort(key=lambda it: it[0] != "merge")
+        for kind, table_name, payload, aux, txn in refreshed:
             if kind == "append":
                 res = self.store._commit_staged_append(
-                    table_name, entry, txn=txn, txn_group=self.group_id
+                    table_name, payload, txn=txn, txn_group=self.group_id
+                )
+            elif kind == "replace":
+                res = self.store._commit_staged_replace(
+                    table_name, payload, aux, txn=txn,
+                    txn_group=self.group_id,
                 )
             else:
-                res = self.store._commit_staged_replace(
-                    table_name, entry, checks, txn=txn,
+                df, pks = aux
+                res = self.store._commit_planned_merge(
+                    table_name, payload, df, pks, txn,
                     txn_group=self.group_id,
                 )
             if not res.get("skipped"):
@@ -705,10 +750,19 @@ class MultiTableTxn:
         return dict(self.prepared)
 
     def abort(self) -> None:
-        """Decide ABORT (idempotent; a no-op if already committed by
-        this handle — but raises if commit() already succeeded here)."""
+        """Decide ABORT (idempotent — re-aborting an aborted group is
+        a no-op). Raises :class:`TxnGroupCommittedError` when the group
+        already decided COMMIT (this handle's own earlier ``commit()``,
+        or a racing decision): the caller asked for nothing-visible but
+        everything IS visible — silence here would let it believe the
+        opposite."""
         self._closed = True
-        self.store._decide_group(self.group_id, "abort")
+        verdict = self.store._decide_group(self.group_id, "abort")
+        if verdict == "commit":
+            raise TxnGroupCommittedError(
+                f"txn group {self.group_id} already decided COMMIT; "
+                "its prepared states are visible and cannot be aborted"
+            )
 
     def __enter__(self) -> "MultiTableTxn":
         return self
@@ -2083,6 +2137,29 @@ class CommitLogTableStore(TableStore):
     # kept, byte-identical to the driver path.
     DISTRIBUTED_SURVIVOR_COLLAPSE_MIN = 100_000
 
+    def _visible_head_version(self, table_name: str) -> int | None:
+        """Newest VISIBLE version — the txn-group walk of
+        :meth:`_latest_commit` without forcing full-manifest
+        resolution (O(KB) commit-JSON reads). None when the table has
+        no visible snapshot (never written, or only undecided/aborted
+        head prepares). Maintenance verbs (bloom build/coverage) plan
+        from THIS, never the raw ``_discover_latest`` head: the head
+        being an in-flight or aborted prepare is a normal state after
+        any txn abort, not an error."""
+        raw = self._discover_latest(table_name)
+        if raw is None:
+            return None
+        v = raw
+        while v >= 1:
+            head = self._man_cache.get(
+                (table_name, v)
+            ) or self._read_commit_json(table_name, v)
+            gid = head.get("txn_group")
+            if gid is None or self._group_verdict(gid) == "commit":
+                return v
+            v -= 1
+        return None
+
     def _scan_source(
         self, table_name: str, version: int | None
     ) -> tuple[dict, "DataFrame | None", dict | None]:
@@ -2098,24 +2175,8 @@ class CommitLogTableStore(TableStore):
         from pyairbyte_spark import manifest as mf
 
         if version is None:
-            raw = self._discover_latest(table_name)
-            if raw is None:
-                raise FileNotFoundError(
-                    f"table {table_name!r} does not exist"
-                )
-            # Head txn-group prepares are invisible: plan the newest
-            # VISIBLE snapshot (same walk _latest_commit does, without
-            # forcing full-manifest resolution here).
-            version = raw
-            while version >= 1:
-                head = self._man_cache.get(
-                    (table_name, version)
-                ) or self._read_commit_json(table_name, version)
-                gid = head.get("txn_group")
-                if gid is None or self._group_verdict(gid) == "commit":
-                    break
-                version -= 1
-            if version < 1:
+            version = self._visible_head_version(table_name)
+            if version is None:
                 raise FileNotFoundError(
                     f"table {table_name!r} does not exist"
                 )
@@ -3537,6 +3598,15 @@ class CommitLogTableStore(TableStore):
             manifest = {
                 "op": "append",
                 "merge_buckets": mb,
+                # An append never changes the table's merge identity:
+                # restate the recorded keys (delta commits carry
+                # top-level fields verbatim — omission would silently
+                # drop them for merge_into/update guards/rebucket).
+                **(
+                    {"primary_keys": snap2[1]["primary_keys"]}
+                    if snap2 and snap2[1].get("primary_keys")
+                    else {}
+                ),
                 "entries": entries + [entry],
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),
                 **(self._carry_dv(snap2[1]) if snap2 else {}),
@@ -3656,6 +3726,11 @@ class CommitLogTableStore(TableStore):
             manifest = {
                 "op": "append",
                 "merge_buckets": mb,
+                **(
+                    {"primary_keys": snap2[1]["primary_keys"]}
+                    if snap2 and snap2[1].get("primary_keys")
+                    else {}
+                ),
                 "entries": entries + add,
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),
                 **(self._carry_dv(snap2[1]) if snap2 else {}),
@@ -4185,6 +4260,42 @@ class CommitLogTableStore(TableStore):
         txn: tuple[str, int] | None = None,
         txn_group: str | None = None,
     ) -> dict | None:
+        plan = self._plan_merge(df, table_name, primary_keys, txn)
+        if plan.get("skipped"):
+            return {"version": plan["version"], "skipped": True}
+        landed = self._commit(
+            table_name,
+            {
+                **plan["manifest"],
+                **({"txn_group": txn_group} if txn_group else {}),
+            },
+            plan["base_version"] + 1,
+        )
+        return (
+            {"version": landed, "skipped": False}
+            if txn is not None
+            else None
+        )
+
+    def _plan_merge(
+        self,
+        df: DataFrame,
+        table_name: str,
+        primary_keys: list[str],
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """The EXPENSIVE half of a merge: read the touched buckets,
+        compute latest-wins, stage the rewrite dir, and build the
+        manifest — WITHOUT claiming a commit slot. Returns
+        ``{"base_version", "manifest"}`` (or ``{"skipped": True,
+        "version"}`` when the txn watermark says the batch already
+        landed). The plan is valid only against the snapshot it read:
+        committing it at ``base_version + 1`` either lands atomically
+        or collides (``ConcurrentCommitError``) and must be re-planned.
+        This split is what lets :class:`MultiTableTxn` hold commit
+        slots for metadata PUTs only — the staging Spark jobs all run
+        before any slot is claimed (same stage-then-claim shape as
+        ``_commit_staged_append``)."""
         if not primary_keys:
             raise ValueError("merge requires primary keys")
         snap = self._latest_commit(table_name)
@@ -4285,9 +4396,9 @@ class CommitLogTableStore(TableStore):
                     new_entries.append({**e, "buckets": remaining})
             new_entries.append(entry)
             merge_dvs, _ = self._prune_dvs(table_name, man, rewritten)
-            landed = self._commit(
-                table_name,
-                {
+            return {
+                "base_version": version,
+                "manifest": {
                     "op": "merge",
                     "merge_buckets": layout_n,
                     "primary_keys": list(primary_keys),
@@ -4302,15 +4413,8 @@ class CommitLogTableStore(TableStore):
                     **(
                         {"delete_vectors": merge_dvs} if merge_dvs else {}
                     ),
-                    **({"txn_group": txn_group} if txn_group else {}),
                 },
-                version + 1,
-            )
-            return (
-                {"version": landed, "skipped": False}
-                if txn is not None
-                else None
-            )
+            }
         # Full rewrite (first write, unbucketed table, or the one-time
         # migration INTO the bucketed layout) — also compacts the
         # manifest down to a single entry.
@@ -4323,9 +4427,9 @@ class CommitLogTableStore(TableStore):
         latest = self._with_bucket(latest, primary_keys)
         entry = self._stage(latest, table_name)
         version = snap[0] if snap else 0
-        landed = self._commit(
-            table_name,
-            {
+        return {
+            "base_version": version,
+            "manifest": {
                 "op": "merge",
                 "merge_buckets": (
                     self.merge_buckets if entry["buckets"] is not None else None
@@ -4340,15 +4444,46 @@ class CommitLogTableStore(TableStore):
                     else {}
                 ),
                 **({"txns": txns} if txns else {}),
-                **({"txn_group": txn_group} if txn_group else {}),
                 "entries": [entry],
             },
-            version + 1,
-        )
-        return (
-            {"version": landed, "skipped": False}
-            if txn is not None
-            else None
+        }
+
+    def _commit_planned_merge(
+        self,
+        table_name: str,
+        plan: dict,
+        df: DataFrame,
+        primary_keys: list[str],
+        txn: tuple[str, int] | None,
+        *,
+        txn_group: str | None = None,
+    ) -> dict:
+        """Publish an already-planned merge (the fast, PUT-only half).
+        A commit-slot collision means the plan's base snapshot is
+        stale, so unlike appends the rebase must RE-PLAN (re-run the
+        merge's Spark jobs against the winner's snapshot) — but the
+        collision only happens when another writer landed during the
+        PUT-only window, so under a :class:`MultiTableTxn` the common
+        case claims the slot in milliseconds."""
+        for _attempt in range(self._COMMIT_RETRIES):
+            try:
+                landed = self._commit(
+                    table_name,
+                    {
+                        **plan["manifest"],
+                        **({"txn_group": txn_group} if txn_group else {}),
+                    },
+                    plan["base_version"] + 1,
+                )
+                return {"version": landed, "skipped": False}
+            except ConcurrentCommitError:
+                self._retry_pause(_attempt)
+                plan = self._plan_merge(df, table_name, primary_keys, txn)
+                if plan.get("skipped"):
+                    return {"version": plan["version"], "skipped": True}
+        raise ConcurrentCommitError(
+            f"merge into {table_name!r} lost {self._COMMIT_RETRIES} "
+            "commit races"
         )
 
     def delete_where(
@@ -4983,7 +5118,7 @@ class CommitLogTableStore(TableStore):
         from pyairbyte_spark import bloom as bl
         from pyairbyte_spark import manifest as mf
 
-        v0 = self._discover_latest(table_name)
+        v0 = self._visible_head_version(table_name)
         if v0 is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         top, entries_df, man = self._scan_source(table_name, v0)
@@ -5251,7 +5386,7 @@ class CommitLogTableStore(TableStore):
         "files_total", "files_covered", "files_uncovered"}``, or None
         when the table has no index. Cost: one metadata-only join
         (index keys × live-file keys), no data I/O, O(1) driver."""
-        v0 = self._discover_latest(table_name)
+        v0 = self._visible_head_version(table_name)
         if v0 is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
         top, entries_df, man = self._scan_source(table_name, v0)
@@ -6229,11 +6364,13 @@ class CommitLogTableStore(TableStore):
             ]
         )
         referenced: set[str] = set()
+        unresolvable: set[int] = set()
         for v in versions:  # ALL retained commits pin their dirs
             try:
                 man = self._read_manifest(table_name, v)
             except Exception as e:
                 issues.append(f"commit {v}: manifest unresolvable ({e})")
+                unresolvable.add(v)
                 continue
             for e_ in man.get("entries") or []:
                 if not e_.get("base"):
@@ -6245,7 +6382,13 @@ class CommitLogTableStore(TableStore):
             if bi and not bi.get("base"):
                 referenced.add(bi["ref"])
         for v in check:
-            man = self._read_manifest(table_name, v)
+            if v in unresolvable:
+                continue  # already reported; FSCK reports, never raises
+            try:
+                man = self._read_manifest(table_name, v)
+            except Exception as e:  # broke between the two passes
+                issues.append(f"commit {v}: manifest unresolvable ({e})")
+                continue
             for e_ in man.get("entries") or []:
                 base = self._entry_base(table_name, e_)
                 d = os.path.join(base, e_["path"])
@@ -6310,38 +6453,56 @@ class CommitLogTableStore(TableStore):
         vectors and foreign (clone-base) references. All later merges,
         appends, and reads pick the new N up from the manifest —
         nothing else changes. Returns ``{"rebucketed", "from", "to"}``.
+
+        Concurrency: a commit race re-plans against the winner's
+        snapshot and retries (standard rebase loop) — the migration is
+        a one-shuffle job too expensive to discard on a lost race, and
+        unlike appends the staged data is snapshot-specific, so the
+        rebase must re-stage (the loser's dir is vacuum garbage).
         """
-        snap = self._latest_commit(table_name)
-        if snap is None or not snap[1].get("entries"):
-            raise FileNotFoundError(f"table {table_name!r} does not exist")
-        version, man = snap
-        pks = man.get("primary_keys")
-        if n_buckets and not pks:
-            raise ValueError(
-                f"cannot bucket {table_name!r}: no primary keys recorded "
-                "(bucket routing hashes the merge keys)"
-            )
-        old_n = man.get("merge_buckets") or None
-        new_n = int(n_buckets) if n_buckets else None
-        if old_n == new_n:
-            return {"rebucketed": False, "from": old_n, "to": new_n}
-        df = self._read_manifest_df(table_name, man)
-        if BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
-        if new_n:
-            df = self._with_bucket(df, list(pks), new_n)
-        entry = self._stage(df, table_name)
-        self._commit(
-            table_name,
-            {
-                "op": "compact",  # rows identical: no-change for CDF/
-                # followers/NDV; the layout is manifest metadata
-                "rebucketed_from": old_n,
-                "merge_buckets": new_n,
-                "entries": [entry],
-                **({"primary_keys": pks} if pks else {}),
-                **self._carry_mapping(man),
-            },
-            version + 1,
-        )
-        return {"rebucketed": True, "from": old_n, "to": new_n}
+        last: ConcurrentCommitError | None = None
+        for _attempt in range(self._COMMIT_RETRIES):
+            snap = self._latest_commit(table_name)
+            if snap is None or not snap[1].get("entries"):
+                raise FileNotFoundError(
+                    f"table {table_name!r} does not exist"
+                )
+            version, man = snap
+            pks = man.get("primary_keys")
+            if n_buckets and not pks:
+                raise ValueError(
+                    f"cannot bucket {table_name!r}: no primary keys "
+                    "recorded (bucket routing hashes the merge keys)"
+                )
+            old_n = man.get("merge_buckets") or None
+            new_n = int(n_buckets) if n_buckets else None
+            if old_n == new_n:
+                return {"rebucketed": False, "from": old_n, "to": new_n}
+            df = self._read_manifest_df(table_name, man)
+            if BUCKET_COL in df.columns:
+                df = df.drop(BUCKET_COL)
+            if new_n:
+                df = self._with_bucket(df, list(pks), new_n)
+            entry = self._stage(df, table_name)
+            try:
+                self._commit(
+                    table_name,
+                    {
+                        "op": "compact",  # rows identical: no-change for
+                        # CDF/followers/NDV; the layout is manifest metadata
+                        "rebucketed_from": old_n,
+                        "merge_buckets": new_n,
+                        "entries": [entry],
+                        **({"primary_keys": pks} if pks else {}),
+                        **self._carry_mapping(man),
+                    },
+                    version + 1,
+                )
+                return {"rebucketed": True, "from": old_n, "to": new_n}
+            except ConcurrentCommitError as e:
+                last = e
+                self._retry_pause(_attempt)
+        raise ConcurrentCommitError(
+            f"rebucket of {table_name!r} lost {self._COMMIT_RETRIES} "
+            "commit races"
+        ) from last

@@ -397,3 +397,25 @@ def test_coverage_watermark_and_refresh(spark, store):
     assert cov2["files_uncovered"] == 0 and cov2["files_covered"] > 0
     assert store.plan_scan("t", [("key", "=", "nope")])["files_selected"] == 0
     assert store.read_where("t", [("key", "=", key)]).count() == 1
+
+
+def test_bloom_maintenance_survives_aborted_txn_head(spark, store):
+    """Regression (ADVICE r10): build_bloom_index / bloom_coverage
+    planned from the RAW head version — an in-flight or aborted
+    multi-table-txn prepare at the head (a normal state after any
+    abort) made bloom maintenance raise until an unrelated commit
+    landed above the dead slot. Both must plan from the newest
+    VISIBLE snapshot instead."""
+    _seed(spark, store, n_files=3)
+    store.build_bloom_index("t", ["key"])
+    store.TXN_RESOLVE_GRACE_S = 0.2
+    t = store.begin_txn()
+    t.write_append(_batch(spark, 9000, 9100), "t")
+    t.prepare()  # head slot now holds an undecided prepare
+    cov = store.bloom_coverage("t")
+    assert cov["files_covered"] == cov["files_total"]
+    t.abort()  # head slot now holds an ABORTED prepare
+    cov = store.bloom_coverage("t")
+    assert cov["files_covered"] == cov["files_total"] > 0
+    r = store.build_bloom_index("t", ["key"], only_missing=True)
+    assert r["files_indexed"] == 0  # everything visible already covered

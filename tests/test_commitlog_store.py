@@ -600,3 +600,77 @@ def test_verify_table_fsck(spark, store, tmp_path):
         fh.write(b"x" * (size0 + 7))
     r2 = store.verify_table("t")
     assert not r2["ok"] and any("size drift" in i for i in r2["issues"])
+
+
+def test_verify_table_deep_reports_broken_delta_chain(spark, store):
+    """Regression (ADVICE r10): deep FSCK re-read unresolvable
+    manifests without a guard and crashed — on exactly the broken
+    delta chain it exists to diagnose. It must REPORT, never raise."""
+    import os
+
+    store.write_append(_df(spark, [(1, "a")]), "t")  # v1 (full)
+    store.write_append(_df(spark, [(2, "b")]), "t")  # v2 (delta on v1)
+    store.write_replace(_df(spark, [(9, "z")]), "t")  # v3 (stored full)
+    os.remove(
+        os.path.join(store._commits_dir("t"), f"{1:020d}.json")
+    )  # v2's delta base is gone → v2 unresolvable
+    store._man_cache.clear()  # drop write-time cached manifests
+    r = store.verify_table("t", deep=True)
+    assert not r["ok"]
+    assert any("manifest unresolvable" in i for i in r["issues"])
+    # the head itself stayed readable (stored full)
+    assert store.read("t").count() == 1
+
+
+def test_rebucket_retries_through_commit_race(spark, store):
+    """Regression (ADVICE r10): rebucket published with a single
+    _commit and no rebase loop — any concurrent commit discarded the
+    whole one-shuffle migration. It must re-plan and retry like every
+    other rewrite verb."""
+    store.merge_buckets = 4
+    store.write_merge(_df(spark, [(i, "v") for i in range(10)]), "t", ["id"])
+    real = store._commit
+    raced = {"n": 0}
+
+    def flaky(table_name, manifest, version):
+        if manifest.get("rebucketed_from") is not None and raced["n"] < 2:
+            raced["n"] += 1
+            # another writer lands first, twice
+            store.write_append(
+                _df(spark, [(100 + raced["n"], "late")]), "t"
+            )
+            from pyairbyte_spark.writers import ConcurrentCommitError
+
+            raise ConcurrentCommitError("slot taken")
+        return real(table_name, manifest, version)
+
+    store._commit = flaky
+    try:
+        r = store.rebucket_table("t", 16)
+    finally:
+        store._commit = real
+    assert r == {"rebucketed": True, "from": 4, "to": 16}
+    assert raced["n"] == 2
+    # the re-planned rewrite is based on the RACING writers' snapshot:
+    # their rows survived the migration
+    assert store.read("t").count() == 12
+    assert store._persisted_buckets("t") == 16
+
+
+def test_append_carries_primary_keys(spark, store):
+    """A plain append must not drop the table's recorded merge keys:
+    merge_into's key resolution, update_where's PK guard, and
+    rebucket_table all read them from the LATEST manifest."""
+    store.merge_buckets = 4
+    store.write_merge(_df(spark, [(1, "a"), (2, "b")]), "t", ["id"])
+    store.write_append(_df(spark, [(3, "c")]), "t")
+    man = store._latest_commit("t")[1]
+    assert man.get("primary_keys") == ["id"]
+    assert man.get("merge_buckets") == 4
+    # rebucket directly after an append works (previously: ValueError)
+    assert store.rebucket_table("t", 8)["rebucketed"] is True
+    # group commit carries them too
+    store.write_appends(
+        [_df(spark, [(4, "d")]), _df(spark, [(5, "e")])], "t"
+    )
+    assert store._latest_commit("t")[1].get("primary_keys") == ["id"]

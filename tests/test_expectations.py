@@ -239,3 +239,47 @@ def test_drop_check_and_column_guards(spark, acid):
     assert acid.read("t").count() == 2
     with pytest.raises(ValueError, match="no check named"):
         acid.drop_check("t", "nope")
+
+
+def test_quarantine_rides_txn_group(spark, tmp_path):
+    """Regression (ADVICE r10): under an atomic sync, quarantined rows
+    landed OUTSIDE the txn group — visible even when the group later
+    aborted, a hole in the zero-partial-state guarantee. Both the
+    clean and quarantine writes must ride the same group."""
+    import uuid
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    store = cache.store
+    store.TXN_RESOLVE_GRACE_S = 0.2
+    gid = uuid.uuid4().hex
+    cache.write_dataframe(
+        _df(spark),
+        "t",
+        WriteMethod.APPEND,
+        expectations=CHECKS,
+        on_violation="quarantine",
+        txn_group=gid,
+    )
+    qt = cache.table_name("t_quarantine")
+    # undecided: NEITHER table shows rows
+    assert not store.table_exists(cache.table_name("t")) or (
+        store.read(cache.table_name("t")).count() == 0
+    )
+    assert not store.table_exists(qt) or store.read(qt).count() == 0
+    store._decide_group(gid, "abort")
+    assert not store.table_exists(qt) or store.read(qt).count() == 0
+    # a committed group lands both sides atomically
+    gid2 = uuid.uuid4().hex
+    cache.write_dataframe(
+        _df(spark),
+        "t",
+        WriteMethod.APPEND,
+        expectations=CHECKS,
+        on_violation="quarantine",
+        txn_group=gid2,
+    )
+    store._decide_group(gid2, "commit")
+    assert store.read(cache.table_name("t")).count() == 1
+    assert store.read(qt).count() == 3

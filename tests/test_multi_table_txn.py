@@ -549,3 +549,150 @@ def test_randomized_interleaving_linearizes(spark, store):
         for h in store.history(table):
             if h["version"] <= head and h.get("txn_group"):
                 assert h["txn_verdict"] in ("commit", "abort")
+
+
+# -- deferred MERGE prepare (round 11) --------------------------------------
+
+
+def _merge_frame(spark, lo, hi, v):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(lo, hi)
+        .toDF("k")
+        .withColumn("val", F.lit(v))
+        .withColumn(
+            "_airbyte_raw_id",
+            F.concat(F.lit(v), F.col("k").cast("string")),
+        )
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+
+
+def test_txn_merge_atomic_and_invisible(spark, store):
+    store.write_merge(_merge_frame(spark, 0, 5, "base"), "dim", ["k"])
+    store.write_append(spark.range(3).toDF("b"), "agg2")
+    txn = store.begin_txn()
+    res = txn.write_merge(_merge_frame(spark, 3, 8, "new"), "dim", ["k"])
+    assert res == {"skipped": False, "staged": True}
+    # staged, not prepared: NO commit slot is held yet — a plain
+    # append to the same table lands without waiting out any grace
+    v_before = store.latest_version("dim")
+    assert store.read("dim").count() == 5
+    txn.write_append(spark.range(100, 102).toDF("b"), "agg2")
+    assert store.read("agg2").count() == 3
+    versions = txn.commit()
+    assert set(versions) == {"dim", "agg2"}
+    rows = {r["k"]: r["val"] for r in store.read("dim").collect()}
+    assert len(rows) == 8
+    assert rows[2] == "base" and rows[3] == "new" and rows[7] == "new"
+    assert store.read("agg2").count() == 5
+    assert store.latest_version("dim") > v_before
+
+
+def test_txn_merge_replans_when_table_moved_after_staging(spark, store):
+    """A merge staged against snapshot S must re-plan when the table
+    moved past S before prepare() — the concurrent rows survive."""
+    store.write_merge(_merge_frame(spark, 0, 5, "base"), "dim", ["k"])
+    txn = store.begin_txn()
+    txn.write_merge(_merge_frame(spark, 0, 3, "upd"), "dim", ["k"])
+    # a plain writer lands AFTER the txn staged its plan
+    store.write_merge(_merge_frame(spark, 10, 13, "late"), "dim", ["k"])
+    txn.commit()
+    rows = {r["k"]: r["val"] for r in store.read("dim").collect()}
+    assert len(rows) == 8  # 0..4 ∪ 10..12
+    assert rows[0] == "upd" and rows[4] == "base" and rows[12] == "late"
+
+
+def test_txn_merge_abort_leaves_no_trace(spark, store):
+    store.write_merge(_merge_frame(spark, 0, 5, "base"), "dim", ["k"])
+    txn = store.begin_txn()
+    txn.write_merge(_merge_frame(spark, 0, 9, "x"), "dim", ["k"])
+    txn.prepare()
+    txn.abort()
+    rows = {r["k"]: r["val"] for r in store.read("dim").collect()}
+    assert len(rows) == 5 and set(rows.values()) == {"base"}
+
+
+def test_txn_merge_watermark_composes(spark, store):
+    """SetTransaction watermark on a txn-group merge: an aborted
+    group's watermark never lands; a committed one skips the replay."""
+    store.write_merge(_merge_frame(spark, 0, 3, "base"), "dim", ["k"])
+    t1 = store.begin_txn()
+    t1.write_merge(
+        _merge_frame(spark, 0, 3, "v1"), "dim", ["k"], txn=("app", 7)
+    )
+    t1.prepare()
+    t1.abort()
+    # aborted: watermark never landed → same batch replays fine
+    t2 = store.begin_txn()
+    r = t2.write_merge(
+        _merge_frame(spark, 0, 3, "v1"), "dim", ["k"], txn=("app", 7)
+    )
+    assert r["staged"]
+    t2.commit()
+    assert {x["val"] for x in store.read("dim").collect()} == {"v1"}
+    # committed: replaying batch 7 skips at stage time
+    t3 = store.begin_txn()
+    r = t3.write_merge(
+        _merge_frame(spark, 0, 3, "v2"), "dim", ["k"], txn=("app", 7)
+    )
+    assert r["skipped"]
+    t3.commit()
+    assert {x["val"] for x in store.read("dim").collect()} == {"v1"}
+
+
+def test_abort_after_commit_raises(spark, store):
+    from pyairbyte_spark.writers import TxnGroupCommittedError
+
+    _seed(spark, store)
+    txn = store.begin_txn()
+    txn.write_append(spark.range(9).toDF("a"), "raw")
+    txn.commit()
+    with pytest.raises(TxnGroupCommittedError):
+        txn.abort()
+    assert store.read("raw").count() == 14  # still visible
+
+
+def test_contended_merge_groups_land(spark, store):
+    """VERDICT r10 #1 'done' gate: 8 threads running merge-bearing
+    txn groups against shared tables — with all three verbs deferring
+    their slot claims to a PUT-only burst, ≥90% of commit-intent
+    groups must land (pre-split, ~95% were force-aborted)."""
+    from pyspark.sql import functions as F
+
+    store.TXN_RESOLVE_GRACE_S = 0.5
+    store.write_merge(_merge_frame(spark, 0, 4, "seed"), "hot", ["k"])
+    store.write_append(spark.range(2).toDF("b"), "side")
+    landed, lost = [], []
+    lock = threading.Lock()
+
+    def group(i):
+        try:
+            t = store.begin_txn()
+            t.write_merge(
+                _merge_frame(spark, i * 10, i * 10 + 3, f"g{i}"),
+                "hot",
+                ["k"],
+            )
+            t.write_append(spark.range(i, i + 2).toDF("b"), "side")
+            t.commit()
+            with lock:
+                landed.append(i)
+        except TxnGroupAbortedError:
+            with lock:
+                lost.append(i)
+
+    threads = [
+        threading.Thread(target=group, args=(i,)) for i in range(1, 9)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(landed) >= 8 * 0.9, f"landed={landed} lost={lost}"
+    # every landed group's rows are present (atomicity held per group)
+    rows = {r["k"]: r["val"] for r in store.read("hot").collect()}
+    for i in landed:
+        assert rows[i * 10] == f"g{i}"
+    assert store.read("side").count() == 2 + 2 * len(landed)
