@@ -819,10 +819,11 @@ def remove_duplicate_spans(
     below; see ngram_duplication_coverage); only (doc, pos, 60-bit
     gram hash) longs shuffle — one gram-keyed aggregate + one join
     back + one per-doc collect of duplicated start positions. The
-    final marking is ``exists()`` per token over that per-doc array
-    (O(tokens × dup-starts) inside codegen, bounded by doc length²
-    only for pathologically self-repetitive docs — which this
-    operator is built to shrink).
+    final marking folds the sorted starts into disjoint merged
+    intervals and slices the surviving gaps — O(tokens + dup-starts)
+    per doc inside codegen, LINEAR even for pathologically
+    self-repetitive docs (one token × 50k collapses to a single
+    interval), where a per-token scan would be doc-length².
     """
     toks_expr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
@@ -879,15 +880,50 @@ def remove_duplicate_spans(
     marked = base.join(dup_starts, "id", "left").select(
         "id",
         "tk",
-        F.coalesce(F.col("dups"), F.array().cast("array<int>")).alias("dups"),
+        F.array_sort(
+            F.coalesce(F.col("dups"), F.array().cast("array<int>"))
+        ).alias("ds"),
     )
-    # token at 1-based position t is removed iff a duplicated gram
-    # starts at s with s <= t <= s+n-1
-    removed = lambda t: F.exists(  # noqa: E731
-        F.col("dups"), lambda s: (t >= s) & (t <= s + F.lit(n - 1))
+    # A duplicated gram starting at s covers [s, s+n-1]; two starts
+    # whose gap is <= n produce overlapping/adjacent spans. Fold the
+    # SORTED starts into disjoint merged intervals (a start opens a
+    # run iff its predecessor is > n behind; a start closes one iff
+    # its successor is > n ahead), then reassemble the survivors by
+    # slicing the GAPS between intervals — O(tokens + dup-starts) per
+    # doc, vs the per-token exists() scan this replaces (O(tokens ×
+    # dup-starts): doc-length² on exactly the self-repetitive docs
+    # this operator targets). try_element_at: NULL off either end,
+    # and (NULL > n) is falsy under the OR with the boundary test.
+    iv = marked.select(
+        "id",
+        "tk",
+        F.filter(
+            F.col("ds"),
+            lambda s, i: (i == F.lit(0))
+            | ((s - F.try_element_at(F.col("ds"), i)) > F.lit(n)),
+        ).alias("los"),
+        F.transform(
+            F.filter(
+                F.col("ds"),
+                lambda s, i: (i == F.size("ds") - 1)
+                | ((F.try_element_at(F.col("ds"), i + F.lit(2)) - s) > F.lit(n)),
+            ),
+            lambda s: s + F.lit(n - 1),
+        ).alias("his"),
     )
-    kept = F.filter(F.col("tk"), lambda tok, i: ~removed(i + F.lit(1)))
-    return marked.select(
+    # gap i runs (prev_hi, next_lo) exclusive; sentinels 0 and L+1
+    gap_los = F.concat(F.array(F.lit(0)), F.col("his"))
+    gap_his = F.concat(F.col("los"), F.array(F.size("tk") + 1))
+    kept = F.flatten(
+        F.zip_with(
+            gap_los,
+            gap_his,
+            lambda a, b: F.slice(
+                F.col("tk"), a + 1, F.greatest(F.lit(0), b - a - 1)
+            ),
+        )
+    )
+    return iv.select(
         F.col("id").alias(id_col),
         F.size("tk").cast("long").alias("n_tokens"),
         (F.size("tk") - F.size(kept)).cast("long").alias("n_removed"),

@@ -230,3 +230,32 @@ def test_minhash_index_streaming_sink_exactly_once(spark, store, tmp_path):
         map(tuple, dedup.minhash_index_matches(store2, "mh", q99).collect())
     )
     assert got == ref and len(got) >= 2  # docs 1 and 10 both match
+
+
+def test_remove_duplicate_spans_pathological_doc_linear(spark):
+    """One token repeated 50k times: every position is a duplicated
+    gram start. The interval fold collapses them to ONE merged
+    interval, so marking is linear — the per-token exists() scan this
+    replaced was O(50k²) on exactly this shape. Assert full removal
+    and that a mixed corpus around it stays exact."""
+    import time
+
+    from pyairbyte_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["spam"] * 50_000)),
+            (2, "a unique sentence with no duplicated grams at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    t0 = time.monotonic()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in dedup.remove_duplicate_spans(docs, n=8).collect()
+    }
+    elapsed = time.monotonic() - t0
+    assert got[1] == (50_000, 50_000, "")
+    assert got[2][1] == 0 and got[2][2].startswith("a unique")
+    # generous wall bound: quadratic marking took minutes here
+    assert elapsed < 60, f"pathological doc took {elapsed:.1f}s"
