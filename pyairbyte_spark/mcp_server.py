@@ -663,6 +663,39 @@ def _build_tool_defs() -> list[ToolDef]:
                 a["text"],
                 index_name=a.get("index_name", "mh"),
                 min_agree=a.get("min_agree", 6),
+                include_index_state=True,
+            ),
+        ),
+        ToolDef(
+            "get_dedup_index_health",
+            "Health of the persisted MinHash-LSH dedup index: unclustered "
+            "fraction (ingest-time appends decay probe pruning; refresh "
+            "repairs) and hot-band skew (boilerplate ingest collapses docs "
+            "into one bucket — a data problem, filter upstream).",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+            },
+            lambda h, a: t.get_dedup_index_health(
+                h.cache, index_name=a.get("index_name", "mh")
+            ),
+        ),
+        ToolDef(
+            "refresh_dedup_index",
+            "Recluster the dedup index's unclustered append tail (O(tail), "
+            "rows identical) so near-dup probe pruning returns to the "
+            "compacted level; returns the post-refresh coverage watermark.",
+            {
+                "type": "object",
+                "properties": {
+                    "index_name": {"type": "string"},
+                    "target_files": {"type": "integer"},
+                },
+            },
+            lambda h, a: t.refresh_dedup_index(
+                h.cache,
+                index_name=a.get("index_name", "mh"),
+                target_files=a.get("target_files"),
             ),
         ),
         ToolDef(

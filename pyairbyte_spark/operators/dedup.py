@@ -672,10 +672,12 @@ def append_to_minhash_index(
     prepare inside the group, so a replayed batch skips the WHOLE
     group and a crash before the decision replays it in full.
 
-    Fresh appends aren't band-clustered until the next
-    ``compact(sort_by=["band_hash"])`` — probes stay exact (zone maps
-    are conservative), just less pruned on the new files; recluster on
-    the maintenance cadence. Returns ``{"appended", "skipped"}``.
+    Fresh appends aren't band-clustered until refreshed — probes stay
+    exact (zone maps are conservative), just less pruned on the new
+    files. :func:`minhash_index_coverage` is the watermark to alert
+    on and :func:`refresh_minhash_index` reclusters ONLY the appended
+    tail (O(tail)); :func:`minhash_index_health` adds the hot-band
+    skew signal. Returns ``{"appended", "skipped"}``.
     """
     m = _minhash_index_meta(store, index_name)
     rows = m["num_hashes"] // m["bands"]
@@ -790,6 +792,122 @@ def minhash_index_matches(
     if min_agree is not None:
         out = out.filter(F.col("n_agree") >= min_agree)
     return out
+
+
+def minhash_index_coverage(store, index_name: str) -> dict:
+    """Coverage watermark for the persisted index's PROBE PRUNING:
+    the fraction of bands-table files that are band-clustered (staged
+    by a ``sort_by=["band_hash"]`` compaction, read from the entries'
+    ``sorted_by`` stamps — pure manifest arithmetic, no data I/O).
+    Ingest-time appends land unclustered, so every append silently
+    widens probes (zone maps on unsorted files cover the whole hash
+    range: exact, just unpruned); this is the number to alert on and
+    :func:`refresh_minhash_index` is the repair — the same
+    decay/refresh lifecycle the bloom index has (``bloom_coverage`` /
+    ``refresh_bloom``). Returns ``{"files_total", "files_clustered",
+    "files_unclustered", "coverage", "unclustered_entries"}``.
+    """
+    snap = store._latest_commit(f"{index_name}_bands")
+    if snap is None:
+        raise FileNotFoundError(f"minhash index {index_name!r} not found")
+    total = clustered = 0
+    unclustered: list[str] = []
+    for e in snap[1].get("entries") or []:
+        nf = len(e.get("files") or [None])
+        total += nf
+        if (e.get("sorted_by") or []) == ["band_hash"]:
+            clustered += nf
+        else:
+            unclustered.append(e["path"])
+    return {
+        "files_total": total,
+        "files_clustered": clustered,
+        "files_unclustered": total - clustered,
+        "coverage": (clustered / total) if total else 1.0,
+        "unclustered_entries": unclustered,
+    }
+
+
+def refresh_minhash_index(
+    store, index_name: str, *, target_files: int | None = None
+) -> dict:
+    """Recluster ONLY the unclustered tail of the bands table (the
+    entries ingest-time appends landed since the last refresh) into
+    one band-sorted dir — cost O(tail), not O(index). Probe pruning
+    returns to the compacted level; rows are bit-identical so the
+    commit is CDF-silent. Run on the maintenance cadence, with a full
+    ``compact(sort_by=["band_hash"])`` on a longer one to collapse the
+    tiered sorted entries. Returns the post-refresh coverage dict plus
+    ``{"refreshed": bool}``."""
+    cov = minhash_index_coverage(store, index_name)
+    if not cov["unclustered_entries"]:
+        return {"refreshed": False, **cov}
+    store.compact_entries(
+        f"{index_name}_bands",
+        cov["unclustered_entries"],
+        sort_by=["band_hash"],
+        target_files=target_files,
+    )
+    return {"refreshed": True, **minhash_index_coverage(store, index_name)}
+
+
+def minhash_index_health(
+    store,
+    index_name: str,
+    *,
+    hot_band_share_max: float = 0.05,
+    unclustered_max: float = 0.5,
+) -> dict:
+    """Health signals for the persisted dedup index, the ANN
+    ``index_health`` analogue: (1) STALENESS — the unclustered
+    fraction from :func:`minhash_index_coverage` (probes widen as it
+    grows; fix = :func:`refresh_minhash_index`); (2) SKEW — the
+    hottest band bucket's share of all band rows. Boilerplate ingest
+    (headers, templates, empty docs) collapses many docs into one
+    band_hash, and every probe touching that bucket drags the whole
+    cohort through candidate verification — probe cost degrades from
+    O(near-dups) toward O(corpus). Fix = filter boilerplate upstream
+    or raise ``min_agree``. One scan + one aggregate over the bands
+    table. Returns ``{"rows", "distinct_bands", "max_bucket_rows",
+    "hot_band_share", "coverage", "files_unclustered", "healthy",
+    "issues"}``."""
+    g = (
+        store.read(f"{index_name}_bands")
+        .groupBy("band_hash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("c").alias("rows"),
+            F.count(F.lit(1)).alias("distinct_bands"),
+            F.max("c").alias("max_bucket"),
+        )
+        .collect()[0]
+    )
+    rows = int(g["rows"] or 0)
+    hot = (int(g["max_bucket"]) / rows) if rows else 0.0
+    cov = minhash_index_coverage(store, index_name)
+    issues = []
+    if hot > hot_band_share_max:
+        issues.append(
+            f"hot band: one bucket holds {hot:.1%} of band rows "
+            f"(> {hot_band_share_max:.0%}) — boilerplate ingest degrades "
+            "probe selectivity"
+        )
+    if 1.0 - cov["coverage"] > unclustered_max:
+        issues.append(
+            f"stale clustering: {1.0 - cov['coverage']:.1%} of files "
+            f"unclustered (> {unclustered_max:.0%}) — run "
+            "refresh_minhash_index"
+        )
+    return {
+        "rows": rows,
+        "distinct_bands": int(g["distinct_bands"] or 0),
+        "max_bucket_rows": int(g["max_bucket"] or 0),
+        "hot_band_share": hot,
+        "coverage": cov["coverage"],
+        "files_unclustered": cov["files_unclustered"],
+        "healthy": not issues,
+        "issues": issues,
+    }
 
 
 # -- exact-substring span removal (Lee et al. ExactSubstr) -------------------

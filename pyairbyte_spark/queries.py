@@ -1451,6 +1451,104 @@ def dedup_minhash_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_refresh_events",
+    f"""
+    -- MinHash index MAINTENANCE lifecycle: build (band-clustered) ->
+    -- ingest-time append (coverage decays, probes stay exact but
+    -- unpruned) -> refresh (reclusters ONLY the appended tail,
+    -- O(tail), rows identical) -> probe. The relational answer is
+    -- invariant under the physical relayout — the oracle recomputes
+    -- the same hash family over the same corpus slices directly.
+    WITH idx_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id % 3 != 0 OR doc_id % 6 = 3
+    ),
+    q_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0),
+    i_sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM idx_docs),
+    q_sh AS (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM q_docs),
+    i_lanes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      FROM i_sh
+    ),
+    q_lanes AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS a,
+             ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS b
+      FROM q_sh
+    ),
+    i_sig AS (
+      SELECT doc_id,
+             {", ".join(f"min((a + {i} * b) % 4294967296) AS h{i}" for i in range(12))}
+      FROM i_lanes GROUP BY doc_id
+    ),
+    q_sig AS (
+      SELECT doc_id,
+             {", ".join(f"min((a + {i} * b) % 4294967296) AS h{i}" for i in range(12))}
+      FROM q_lanes GROUP BY doc_id
+    ),
+    i_bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(h{3 * b}::VARCHAR || '|' || h{3 * b + 1}::VARCHAR || '|' || h{3 * b + 2}::VARCHAR) AS band_hash FROM i_sig"
+        for b in range(4)
+      )}
+    ),
+    q_bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, md5(h{3 * b}::VARCHAR || '|' || h{3 * b + 1}::VARCHAR || '|' || h{3 * b + 2}::VARCHAR) AS band_hash FROM q_sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT q.doc_id AS query_id, i.doc_id AS match_id,
+             CAST(count(DISTINCT q.band_idx) AS BIGINT) AS n_bands
+      FROM q_bands q JOIN i_bands i
+        ON q.band_idx = i.band_idx AND q.band_hash = i.band_hash
+       AND q.doc_id != i.doc_id
+      GROUP BY query_id, match_id
+    )
+    SELECT c.query_id, c.match_id, c.n_bands,
+           CAST({" + ".join(f"(CASE WHEN qs.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(12))} AS BIGINT)
+             AS n_agree
+    FROM cand c
+    JOIN i_sig s ON s.doc_id = c.match_id
+    JOIN q_sig qs ON qs.doc_id = c.query_id
+    WHERE {" + ".join(f"(CASE WHEN qs.h{i} = s.h{i} THEN 1 ELSE 0 END)" for i in range(12))} >= 6
+    ORDER BY query_id, match_id
+    """,
+    "MinHash index maintenance: coverage watermark decays on ingest "
+    "appends, refresh reclusters ONLY the appended tail (rows "
+    "identical, CDF-silent) and restores zone-map probe pruning — "
+    "matches invariant under the relayout (the bloom lifecycle, for "
+    "the dedup index)",
+)
+def dedup_minhash_refresh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    docs = t(spark, sf_dir, "documents")
+    store = CommitLogTableStore(spark, tempfile.mkdtemp(prefix="q-mhr-"), "q")
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    inc = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 6 == 3))
+    dedup.build_minhash_index(
+        corpus, store, "mh", id_col="doc_id", text_col="text", target_files=8
+    )
+    dedup.append_to_minhash_index(inc, store, "mh")
+    cov = dedup.minhash_index_coverage(store, "mh")
+    assert cov["files_unclustered"] > 0 and cov["coverage"] < 1.0
+    r = dedup.refresh_minhash_index(store, "mh", target_files=2)
+    assert r["refreshed"] and r["coverage"] == 1.0
+    assert dedup.minhash_index_health(store, "mh")["coverage"] == 1.0
+    q = docs.filter(F.col("doc_id") % 20 == 0)
+    return (
+        dedup.minhash_index_matches(store, "mh", q, min_agree=6)
+        .orderBy("query_id", "match_id")
+    )
+
+
+@register(
     "dedup_cluster_sizes",
     f"""
     -- Near-dup CLUSTERS: pairs -> connected components (component =
@@ -6760,7 +6858,9 @@ _register_profile_query()
 # is additionally oracle-checked by tests/test_oracle_parity.py each run,
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
-    # round-10 additions: never driver-checked — top of the window.
+    # round-11 additions: never driver-checked — top of the window.
+    "dedup_minhash_refresh_events",
+    # round-10 additions (first checked in r10 — keep early).
     "store_txn_atomic_events",
     "dedup_minhash_index_lookup",
     "dedup_span_removal",

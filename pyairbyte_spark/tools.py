@@ -311,21 +311,33 @@ def find_near_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_agree: int = 6,
-) -> list[dict[str, Any]]:
+    include_index_state: bool = False,
+) -> "list[dict[str, Any]] | dict[str, Any]":
     """Is this text a near-duplicate of anything already ingested?
     Probes a persisted MinHash-LSH index (``build_minhash_index`` over
     this cache's store) in O(touched buckets); when no index exists,
     falls back to an exact corpus-scale LSH pass over the stream's
     table. Returns matched doc ids with band hits and signature
-    agreement (estimated Jaccard = n_agree / num_hashes)."""
+    agreement (estimated Jaccard = n_agree / num_hashes).
+    ``include_index_state=True`` wraps the matches with the probed
+    index's coverage watermark (``{"matches", "index"}``) so callers
+    see when probe pruning has decayed — see
+    :func:`get_dedup_index_health` / :func:`refresh_dedup_index`."""
     from pyairbyte_spark.operators import dedup
 
     spark = cache.spark
+    index_state: dict[str, Any] | None = None
     q = spark.createDataFrame([(-1, text)], f"{id_col} long, {text_col} string")
     try:
         out = dedup.minhash_index_matches(
             cache.store, index_name, q, min_agree=min_agree
         )
+        if include_index_state:
+            cov = dedup.minhash_index_coverage(cache.store, index_name)
+            index_state = {
+                k: cov[k]
+                for k in ("coverage", "files_total", "files_unclustered")
+            }
     except FileNotFoundError:
         docs = cache[stream_name].to_spark().select(id_col, text_col)
         both = docs.unionByName(q)
@@ -341,7 +353,46 @@ def find_near_duplicates(
                 F.lit(None).cast("long").alias("n_agree"),
             )
         )
-    return [r.asDict() for r in out.orderBy(F.desc("n_bands")).collect()]
+    matches = [r.asDict() for r in out.orderBy(F.desc("n_bands")).collect()]
+    if include_index_state:
+        return {
+            "matches": matches,
+            "index": index_state
+            or {"coverage": None, "note": "no persisted index (full scan)"},
+        }
+    return matches
+
+
+def get_dedup_index_health(
+    cache: SparkCache, *, index_name: str = "mh"
+) -> dict[str, Any]:
+    """Health signals for the stream's persisted MinHash-LSH dedup
+    index — the dedup analogue of the ANN ``get_index_health``:
+    unclustered fraction (probe pruning decays with every ingest-time
+    append; ``refresh_dedup_index`` repairs) and hot-band skew
+    (boilerplate ingest collapses docs into one bucket, degrading
+    probe selectivity — a data problem a refresh cannot fix)."""
+    from pyairbyte_spark.operators.dedup import minhash_index_health
+
+    return minhash_index_health(cache.store, index_name)
+
+
+def refresh_dedup_index(
+    cache: SparkCache,
+    *,
+    index_name: str = "mh",
+    target_files: int | None = None,
+) -> dict[str, Any]:
+    """Recluster the dedup index's unclustered append tail (O(tail),
+    rows identical, CDF-silent) so probe pruning returns to the
+    compacted level; returns the post-refresh coverage watermark."""
+    from pyairbyte_spark.operators.dedup import refresh_minhash_index
+
+    out = refresh_minhash_index(
+        cache.store, index_name, target_files=target_files
+    )
+    out.pop("unclustered_entries", None)  # internal paths
+    return out
 
 
 def scan_duplicate_spans(

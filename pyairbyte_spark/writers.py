@@ -6271,6 +6271,15 @@ class CommitLogTableStore(TableStore):
                     df = df.repartitionByRange(*sort_by)
                 df = df.sortWithinPartitions(*sort_by)
         entry = self._stage(df, table_name)
+        # Cluster stamp: maintenance surfaces (e.g. the MinHash index's
+        # coverage watermark) read which LIVE entries are clustered on
+        # which keys straight from the manifest — vacuum-proof, no
+        # history walk. Entries are carried whole by later commits, so
+        # the stamp survives appends; any rewrite of the entry drops it.
+        if sort_by:
+            entry["sorted_by"] = list(sort_by)
+        elif zorder_by:
+            entry["zordered_by"] = list(zorder_by)
         self._commit(
             table_name,
             {
@@ -6289,6 +6298,115 @@ class CommitLogTableStore(TableStore):
         if refresh_bloom:
             self._maybe_refresh_bloom(table_name, man)
         return {"compacted": True, "dirs_before": n_before, "dirs_after": 1}
+
+    def compact_entries(
+        self,
+        table_name: str,
+        entry_paths: "list[str]",
+        *,
+        sort_by: list[str] | None = None,
+        target_files: int | None = None,
+    ) -> dict:
+        """PARTIAL compaction: rewrite ONLY the listed live entries
+        into one (optionally sort-clustered) data dir, carrying every
+        other entry untouched. This is the maintenance verb for
+        append-heavy tables with one large clustered entry and a tail
+        of small unclustered appends (the MinHash index's bands table,
+        any sorted table under ingest): a full :meth:`compact` rewrites
+        the WHOLE table to recluster a 0.1% tail; this rewrites the
+        tail. Repeated tail compactions tier up sorted entries — run a
+        full compact on the longer cadence to collapse them.
+
+        Rows are bit-identical, so the commit is a ``compact`` for
+        every consumer (CDF-silent, follower-skipped, NDV-carried).
+        Commit races rebase cheaply: the staged rewrite depends only on
+        the LISTED entries (immutable dirs), so a concurrent append
+        just rebuilds the manifest; re-staging happens only if a racer
+        removed one of the listed entries (a concurrent full compact).
+
+        Returns ``{"compacted", "dirs_in", "dirs_out"}``.
+        """
+        want = set(entry_paths)
+        if not want:
+            return {"compacted": False, "reason": "no entries listed"}
+        staged_key: frozenset | None = None
+        entry: dict | None = None
+        last: ConcurrentCommitError | None = None
+        for _attempt in range(self._COMMIT_RETRIES):
+            snap = self._latest_commit(table_name)
+            if snap is None or not snap[1].get("entries"):
+                raise FileNotFoundError(
+                    f"table {table_name!r} does not exist"
+                )
+            version, man = snap
+            if man.get("delete_vectors"):
+                raise ValueError(
+                    "compact_entries does not support tables with "
+                    "outstanding deletion vectors; run compact() to "
+                    "materialize them first"
+                )
+            picked = [e for e in man["entries"] if e["path"] in want]
+            if not picked:
+                # every listed entry was superseded by a racer (full
+                # compact): its rows live on in the racer's rewrite
+                return {"compacted": False, "reason": "entries not live"}
+            if any(e.get("base") for e in picked):
+                raise ValueError(
+                    "compact_entries cannot rewrite shallow-clone "
+                    "entries; run compact() (it materializes them)"
+                )
+            key = frozenset(e["path"] for e in picked)
+            if entry is None or staged_key != key:
+                sub = {**man, "entries": picked}
+                sub.pop("delete_vectors", None)
+                df = self._read_manifest_df(table_name, sub)
+                phys = [self._to_physical(man, c) for c in (sort_by or [])]
+                if phys:
+                    keys = (
+                        [F.col(BUCKET_COL)]
+                        if BUCKET_COL in df.columns
+                        else []
+                    ) + [F.col(c) for c in phys]
+                    if target_files:
+                        df = df.repartitionByRange(target_files, *keys)
+                    else:
+                        df = df.repartitionByRange(*keys)
+                    df = df.sortWithinPartitions(*keys)
+                entry = self._stage(df, table_name)
+                if sort_by:
+                    entry["sorted_by"] = list(sort_by)
+                staged_key = key
+            new_entries = [
+                e for e in man["entries"] if e["path"] not in key
+            ] + [entry]
+            try:
+                self._commit(
+                    table_name,
+                    {
+                        "op": "compact",
+                        "merge_buckets": man.get("merge_buckets"),
+                        "entries": new_entries,
+                        **(
+                            {"primary_keys": man["primary_keys"]}
+                            if man.get("primary_keys")
+                            else {}
+                        ),
+                        **self._carry_mapping(man),
+                    },
+                    version + 1,
+                )
+                return {
+                    "compacted": True,
+                    "dirs_in": len(picked),
+                    "dirs_out": 1,
+                }
+            except ConcurrentCommitError as e:
+                last = e
+                self._retry_pause(_attempt)
+        raise ConcurrentCommitError(
+            f"partial compact of {table_name!r} lost "
+            f"{self._COMMIT_RETRIES} commit races"
+        ) from last
 
     def verify_table(self, table_name: str, *, deep: bool = False) -> dict:
         """FSCK: audit a table's physical/logical integrity without a

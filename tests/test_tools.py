@@ -90,3 +90,43 @@ def test_near_dup_and_span_tools(spark, tmp_path):
     spans = tools.scan_duplicate_spans(cache, "docs", n=8, limit=5)
     assert {s["doc_id"] for s in spans} == {1, 3}
     assert all(s["n_removed"] >= 8 for s in spans)
+
+
+def test_dedup_index_health_and_refresh_tools(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    cache = SparkCache(
+        spark, str(tmp_path / "dihwh"), table_format="commitlog"
+    )
+    docs = spark.range(0, 60).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.md5((F.col("id") * p + 1).cast("string")) for p in (3, 7, 11, 13)],
+        ).alias("text"),
+    )
+    from pyairbyte_spark.operators.dedup import (
+        append_to_minhash_index,
+        build_minhash_index,
+    )
+
+    build_minhash_index(docs, cache.store, "mh", target_files=2)
+    h = tools.get_dedup_index_health(cache)
+    assert h["healthy"] and h["coverage"] == 1.0
+    append_to_minhash_index(
+        spark.range(100, 130).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.col("id").cast("string")).alias("text"),
+        ),
+        cache.store,
+        "mh",
+    )
+    assert tools.get_dedup_index_health(cache)["files_unclustered"] > 0
+    # probe wrapper surfaces the coverage watermark
+    wrapped = tools.find_near_duplicates(
+        cache, "unused", "some probe text here", include_index_state=True
+    )
+    assert wrapped["index"]["files_unclustered"] > 0
+    r = tools.refresh_dedup_index(cache)
+    assert r["refreshed"] and r["coverage"] == 1.0
+    assert "unclustered_entries" not in r
