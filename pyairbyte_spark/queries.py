@@ -5398,6 +5398,94 @@ def store_txn_atomic_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_txn_migration_events",
+    """
+    -- Atomic SCHEMA MIGRATION across tables: one txn group adds a
+    -- column to the RAW table (metadata-only ADD COLUMN prepare) and
+    -- backfills the derived CLEAN table's quality column (merge
+    -- prepare) — both become visible with ONE decision-file PUT. An
+    -- earlier migration group staged a wrong column + garbage
+    -- backfill into both tables and ABORTED, leaving zero trace. The
+    -- oracle is plain SQL over the source rows: the final state is
+    -- exactly the committed migration.
+    WITH v AS (
+      SELECT event_id, event_type, round(value, 2) AS value FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(value * 2, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_quality,
+           'legacy' AS raw_tag
+    FROM v GROUP BY event_type ORDER BY event_type
+    """,
+    "atomic cross-table schema migration: ADD COLUMN on raw + quality "
+    "backfill merge on clean land as ONE txn group (metadata verbs are "
+    "first-class group members); an aborted migration — wrong column "
+    "staged into raw, garbage into clean — leaves zero trace",
+)
+def store_txn_migration_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    def book(df: DataFrame, stamp: str) -> DataFrame:
+        return df.withColumn(
+            "_airbyte_raw_id", F.concat(F.lit(stamp), F.col("event_id"))
+        ).withColumn(
+            "_airbyte_extracted_at", F.lit(stamp).cast("timestamp")
+        )
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 2).alias("value")
+    )
+    store = CommitLogTableStore(spark, tempfile.mkdtemp(prefix="q-mig-"), "q")
+    store.write_append(book(ev, "2026-01-01"), "rawv")
+    clean0 = book(
+        ev.withColumn("quality", F.lit(None).cast("double")), "2026-01-01"
+    )
+    store.write_merge(clean0, "cleanv", ["event_id"])
+    # migration attempt #1: wrong column + garbage backfill — ABORTED
+    bad = store.begin_txn()
+    bad.add_column("rawv", "bad_tag", "string", default="oops")
+    bad.write_merge(
+        book(
+            ev.withColumn("quality", F.lit(-1.0)), "2026-01-03"
+        ),
+        "cleanv",
+        ["event_id"],
+    )
+    bad.prepare()
+    bad.abort()
+    # migration attempt #2: the real one, atomic across both tables
+    with store.begin_txn() as txn:
+        txn.add_column("rawv", "source_tag", "string", default="legacy")
+        txn.write_merge(
+            book(
+                ev.withColumn("quality", F.round(F.col("value") * 2, 2)),
+                "2026-01-02",
+            ),
+            "cleanv",
+            ["event_id"],
+        )
+    raw = store.read("rawv")
+    assert "bad_tag" not in raw.columns  # aborted migration: no trace
+    raw_tag = raw.select(F.max("source_tag").alias("raw_tag"))
+    return (
+        store.read("cleanv")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("quality").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_quality"),
+        )
+        .crossJoin(F.broadcast(raw_tag))
+        .select("event_type", "n_events", "sum_quality", "raw_tag")
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_cohort_retention",
     """
     -- Cohort retention matrix: users grouped by first-activity day,
@@ -6860,6 +6948,7 @@ _register_profile_query()
 _DRIVER_PRIORITY = [
     # round-11 additions: never driver-checked — top of the window.
     "dedup_minhash_refresh_events",
+    "store_txn_migration_events",
     # round-10 additions (first checked in r10 — keep early).
     "store_txn_atomic_events",
     "dedup_minhash_index_lookup",

@@ -662,12 +662,58 @@ class MultiTableTxn:
         skip = self._replay_skip(table_name, txn)
         if skip is not None:
             return skip
-        plan = self.store._plan_merge(df, table_name, primary_keys, txn)
+        pks = list(primary_keys)
+        replan = lambda: self.store._plan_merge(  # noqa: E731
+            df, table_name, pks, txn
+        )
+        plan = replan()
         if plan.get("skipped"):
             return {"version": plan["version"], "skipped": True}
-        self._staged.append(
-            ("merge", table_name, plan, (df, list(primary_keys)), txn)
+        self._staged.append(("plan", table_name, plan, replan, txn))
+        self._tables.add(table_name)
+        return {"skipped": False, "staged": True}
+
+    def add_column(
+        self,
+        table_name: str,
+        name: str,
+        type_ddl: str,
+        *,
+        default=None,
+    ) -> dict:
+        """Metadata ADD COLUMN as a txn-group member: the schema
+        change becomes visible atomically WITH the group's other
+        prepares — the natural shape of a pipeline migration (add a
+        column to the raw table + backfill the clean table in ONE
+        group; a reader joining both never sees the half-migrated
+        state). Validation runs now against the current snapshot
+        (fail fast); the manifest rebuilds at :meth:`prepare` if the
+        table moved. One commit per table per group still holds: the
+        added column and a data write to the SAME table need separate
+        groups. Reference point: the reference adds missing columns
+        inside the same sync's finalization
+        (``airbyte/shared/sql_processor.py:934-981``)."""
+        self._check_open(table_name)
+        replan = lambda: self.store._plan_add_column(  # noqa: E731
+            table_name, name, type_ddl, default
         )
+        self._staged.append(("plan", table_name, replan(), replan, None))
+        self._tables.add(table_name)
+        return {"skipped": False, "staged": True}
+
+    def rebucket_table(self, table_name: str, n_buckets: int | None) -> dict:
+        """Bucket-layout evolution as a txn-group member: the
+        one-shuffle migration stages NOW, the layout flip lands with
+        the group's decision — two tables of a follower chain can
+        migrate layouts in one atomic step."""
+        self._check_open(table_name)
+        replan = lambda: self.store._plan_rebucket(  # noqa: E731
+            table_name, n_buckets
+        )
+        plan = replan()
+        if plan.get("skipped"):
+            return {"rebucketed": False, "skipped": True}
+        self._staged.append(("plan", table_name, plan, replan, None))
         self._tables.add(table_name)
         return {"skipped": False, "staged": True}
 
@@ -692,20 +738,20 @@ class MultiTableTxn:
         refreshed: list[tuple] = []
         for item in staged:
             kind, table_name, payload, aux, txn = item
-            if kind == "merge":
+            if kind == "plan":  # snapshot-specific: merge/rebucket/meta
                 head = self.store._latest_commit(table_name)
                 if (head[0] if head else 0) != payload["base_version"]:
-                    df, pks = aux
-                    payload = self.store._plan_merge(df, table_name, pks, txn)
+                    payload = aux()  # aux IS the replan callable
                     if payload.get("skipped"):
                         continue
                     item = (kind, table_name, payload, aux, txn)
             refreshed.append(item)
-        # Merges claim first: their collision path RE-PLANS (Spark
-        # jobs) — running that before any append/replace slot is
-        # claimed keeps even the rare mid-burst collision from holding
-        # another table's slot through a staging job.
-        refreshed.sort(key=lambda it: it[0] != "merge")
+        # Planned verbs claim first: their collision path RE-PLANS
+        # (possibly Spark jobs) — running that before any
+        # append/replace slot is claimed keeps even the rare mid-burst
+        # collision from holding another table's slot through a
+        # staging job.
+        refreshed.sort(key=lambda it: it[0] != "plan")
         for kind, table_name, payload, aux, txn in refreshed:
             if kind == "append":
                 res = self.store._commit_staged_append(
@@ -717,10 +763,8 @@ class MultiTableTxn:
                     txn_group=self.group_id,
                 )
             else:
-                df, pks = aux
-                res = self.store._commit_planned_merge(
-                    table_name, payload, df, pks, txn,
-                    txn_group=self.group_id,
+                res = self.store._commit_planned(
+                    table_name, payload, aux, txn_group=self.group_id
                 )
             if not res.get("skipped"):
                 self.prepared[table_name] = res["version"]
@@ -2032,7 +2076,21 @@ class CommitLogTableStore(TableStore):
         are immutable and whole, so every file either predates the
         column or doesn't (``_fill_added``). The record rides the
         manifest until a full rewrite materializes the values into
-        files. Returns the new version."""
+        files. Commit races rebase by re-planning (pure metadata).
+        Returns the new version."""
+        plan = self._plan_add_column(table_name, name, type_ddl, default)
+        return self._commit_planned(
+            table_name,
+            plan,
+            lambda: self._plan_add_column(table_name, name, type_ddl, default),
+        )["version"]
+
+    def _plan_add_column(
+        self, table_name: str, name: str, type_ddl: str, default
+    ) -> dict:
+        """Validate + build the ADD COLUMN manifest against the
+        current snapshot WITHOUT claiming a slot (the plan half; see
+        :meth:`_commit_planned` / :meth:`MultiTableTxn.add_column`)."""
         snap = self._latest_commit(table_name)
         if snap is None or not snap[1].get("entries"):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
@@ -2076,7 +2134,7 @@ class CommitLogTableStore(TableStore):
             "added_columns": added,
             **self._carry_dv(man),
         }
-        return self._commit(table_name, manifest, version + 1)
+        return {"base_version": version, "manifest": manifest}
 
     def drop_column(self, table_name: str, name: str) -> int:
         """Metadata-only column drop (zero data I/O). The physical
@@ -4448,23 +4506,24 @@ class CommitLogTableStore(TableStore):
             },
         }
 
-    def _commit_planned_merge(
+    def _commit_planned(
         self,
         table_name: str,
         plan: dict,
-        df: DataFrame,
-        primary_keys: list[str],
-        txn: tuple[str, int] | None,
+        replan,
         *,
         txn_group: str | None = None,
     ) -> dict:
-        """Publish an already-planned merge (the fast, PUT-only half).
-        A commit-slot collision means the plan's base snapshot is
-        stale, so unlike appends the rebase must RE-PLAN (re-run the
-        merge's Spark jobs against the winner's snapshot) — but the
-        collision only happens when another writer landed during the
-        PUT-only window, so under a :class:`MultiTableTxn` the common
-        case claims the slot in milliseconds."""
+        """Publish an already-planned snapshot-specific write (the
+        fast, PUT-only half of merge / rebucket / metadata verbs). A
+        commit-slot collision means the plan's base snapshot is stale,
+        so unlike appends the rebase must RE-PLAN via the supplied
+        callable (re-running whatever jobs the verb needs against the
+        winner's snapshot) — but the collision only happens when
+        another writer landed during the PUT-only window, so under a
+        :class:`MultiTableTxn` the common case claims the slot in
+        milliseconds. ``replan()`` may return ``{"skipped": True,
+        "version"}`` to signal there is nothing left to commit."""
         for _attempt in range(self._COMMIT_RETRIES):
             try:
                 landed = self._commit(
@@ -4478,12 +4537,12 @@ class CommitLogTableStore(TableStore):
                 return {"version": landed, "skipped": False}
             except ConcurrentCommitError:
                 self._retry_pause(_attempt)
-                plan = self._plan_merge(df, table_name, primary_keys, txn)
+                plan = replan()
                 if plan.get("skipped"):
-                    return {"version": plan["version"], "skipped": True}
+                    return {"version": plan.get("version"), "skipped": True}
         raise ConcurrentCommitError(
-            f"merge into {table_name!r} lost {self._COMMIT_RETRIES} "
-            "commit races"
+            f"planned commit to {table_name!r} lost "
+            f"{self._COMMIT_RETRIES} commit races"
         )
 
     def delete_where(
@@ -6578,49 +6637,59 @@ class CommitLogTableStore(TableStore):
         unlike appends the staged data is snapshot-specific, so the
         rebase must re-stage (the loser's dir is vacuum garbage).
         """
-        last: ConcurrentCommitError | None = None
-        for _attempt in range(self._COMMIT_RETRIES):
-            snap = self._latest_commit(table_name)
-            if snap is None or not snap[1].get("entries"):
-                raise FileNotFoundError(
-                    f"table {table_name!r} does not exist"
-                )
-            version, man = snap
-            pks = man.get("primary_keys")
-            if n_buckets and not pks:
-                raise ValueError(
-                    f"cannot bucket {table_name!r}: no primary keys "
-                    "recorded (bucket routing hashes the merge keys)"
-                )
-            old_n = man.get("merge_buckets") or None
-            new_n = int(n_buckets) if n_buckets else None
-            if old_n == new_n:
-                return {"rebucketed": False, "from": old_n, "to": new_n}
-            df = self._read_manifest_df(table_name, man)
-            if BUCKET_COL in df.columns:
-                df = df.drop(BUCKET_COL)
-            if new_n:
-                df = self._with_bucket(df, list(pks), new_n)
-            entry = self._stage(df, table_name)
-            try:
-                self._commit(
-                    table_name,
-                    {
-                        "op": "compact",  # rows identical: no-change for
-                        # CDF/followers/NDV; the layout is manifest metadata
-                        "rebucketed_from": old_n,
-                        "merge_buckets": new_n,
-                        "entries": [entry],
-                        **({"primary_keys": pks} if pks else {}),
-                        **self._carry_mapping(man),
-                    },
-                    version + 1,
-                )
-                return {"rebucketed": True, "from": old_n, "to": new_n}
-            except ConcurrentCommitError as e:
-                last = e
-                self._retry_pause(_attempt)
-        raise ConcurrentCommitError(
-            f"rebucket of {table_name!r} lost {self._COMMIT_RETRIES} "
-            "commit races"
-        ) from last
+        plan = self._plan_rebucket(table_name, n_buckets)
+        if plan.get("skipped"):
+            return {"rebucketed": False, "from": plan["from"], "to": plan["to"]}
+        res = self._commit_planned(
+            table_name,
+            plan,
+            lambda: self._plan_rebucket(table_name, n_buckets),
+        )
+        if res.get("skipped"):  # a racer already migrated the layout
+            return {"rebucketed": False, "from": plan["to"], "to": plan["to"]}
+        return {"rebucketed": True, "from": plan["from"], "to": plan["to"]}
+
+    def _plan_rebucket(self, table_name: str, n_buckets: int | None) -> dict:
+        """Stage the re-hashed rewrite + build its manifest against
+        the current snapshot WITHOUT claiming a slot (the plan half;
+        see :meth:`_commit_planned` / :meth:`MultiTableTxn.rebucket_table`).
+        ``{"skipped": True}`` when the layout already matches."""
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        pks = man.get("primary_keys")
+        if n_buckets and not pks:
+            raise ValueError(
+                f"cannot bucket {table_name!r}: no primary keys "
+                "recorded (bucket routing hashes the merge keys)"
+            )
+        old_n = man.get("merge_buckets") or None
+        new_n = int(n_buckets) if n_buckets else None
+        if old_n == new_n:
+            return {
+                "skipped": True,
+                "version": version,
+                "from": old_n,
+                "to": new_n,
+            }
+        df = self._read_manifest_df(table_name, man)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        if new_n:
+            df = self._with_bucket(df, list(pks), new_n)
+        entry = self._stage(df, table_name)
+        return {
+            "base_version": version,
+            "from": old_n,
+            "to": new_n,
+            "manifest": {
+                "op": "compact",  # rows identical: no-change for
+                # CDF/followers/NDV; the layout is manifest metadata
+                "rebucketed_from": old_n,
+                "merge_buckets": new_n,
+                "entries": [entry],
+                **({"primary_keys": pks} if pks else {}),
+                **self._carry_mapping(man),
+            },
+        }

@@ -15,6 +15,7 @@ from __future__ import annotations
 import threading
 
 import pytest
+from pyspark.sql import functions as F
 
 from pyairbyte_spark.writers import (
     CommitLogTableStore,
@@ -696,3 +697,86 @@ def test_contended_merge_groups_land(spark, store):
     for i in landed:
         assert rows[i * 10] == f"g{i}"
     assert store.read("side").count() == 2 + 2 * len(landed)
+
+
+# -- metadata verbs inside txn groups (round 11) -----------------------------
+
+
+def test_txn_add_column_invisible_until_commit(spark, store):
+    _seed(spark, store)
+    txn = store.begin_txn()
+    txn.add_column("raw", "quality", "double", default=1.5)
+    txn.prepare()
+    assert "quality" not in store.read("raw").columns  # still invisible
+    txn.commit()
+    got = store.read("raw")
+    assert "quality" in got.columns
+    assert {r["quality"] for r in got.collect()} == {1.5}
+
+
+def test_txn_add_column_abort_leaves_schema_untouched(spark, store):
+    _seed(spark, store)
+    txn = store.begin_txn()
+    txn.add_column("raw", "ghost", "string")
+    txn.prepare()
+    txn.abort()
+    assert "ghost" not in store.read("raw").columns
+    # and the name is free for a later real add
+    store.add_column("raw", "ghost", "string", default="ok")
+    assert {r["ghost"] for r in store.read("raw").collect()} == {"ok"}
+
+
+def test_txn_migration_add_column_plus_backfill_atomic(spark, store):
+    """The natural schema-migration shape: add a column to RAW and
+    backfill the derived CLEAN table in ONE group — a reader joining
+    both never sees the half-migrated state."""
+    store.write_append(spark.range(4).toDF("a"), "rawm")
+    store.write_merge(_merge_frame(spark, 0, 4, "old"), "cleanm", ["k"])
+    txn = store.begin_txn()
+    txn.add_column("rawm", "score", "bigint", default=7)
+    backfill = _merge_frame(spark, 0, 4, "backfilled").withColumn(
+        "score", F.col("k") * 10
+    )
+    txn.write_merge(backfill, "cleanm", ["k"])
+    # pre-decision: NEITHER surface moved
+    assert "score" not in store.read("rawm").columns
+    assert "score" not in store.read("cleanm").columns
+    versions = txn.commit()
+    assert set(versions) == {"rawm", "cleanm"}
+    assert {r["score"] for r in store.read("rawm").collect()} == {7}
+    clean = {r["k"]: (r["val"], r["score"]) for r in store.read("cleanm").collect()}
+    assert clean[2] == ("backfilled", 20)
+
+
+def test_txn_rebucket_lands_with_group(spark, store):
+    store.merge_buckets = 4
+    store.write_merge(_merge_frame(spark, 0, 40, "x"), "bt", ["k"])
+    store.write_append(spark.range(2).toDF("b"), "side2")
+    assert store._latest_commit("bt")[1]["merge_buckets"] == 4
+    txn = store.begin_txn()
+    r = txn.rebucket_table("bt", 16)
+    assert r["staged"]
+    txn.write_append(spark.range(10, 12).toDF("b"), "side2")
+    txn.prepare()
+    assert store._latest_commit("bt")[1]["merge_buckets"] == 4  # invisible
+    txn.commit()
+    assert store._latest_commit("bt")[1]["merge_buckets"] == 16
+    assert store.read("bt").count() == 40
+    assert store.read("side2").count() == 4
+    # no-op staging is reported, not enqueued
+    txn2 = store.begin_txn()
+    assert txn2.rebucket_table("bt", 16)["skipped"]
+    txn2.abort()
+
+
+def test_txn_add_column_replans_when_table_moves(spark, store):
+    """A metadata plan staged against snapshot S rebuilds at prepare()
+    when the table moved — the concurrent rows get the default too."""
+    _seed(spark, store)
+    txn = store.begin_txn()
+    txn.add_column("raw", "flag", "string", default="d")
+    store.write_append(spark.range(50, 53).toDF("a"), "raw")  # racer
+    txn.commit()
+    got = store.read("raw")
+    assert got.count() == 8  # racer's rows survived
+    assert {r["flag"] for r in got.collect()} == {"d"}
