@@ -298,6 +298,77 @@ class SparkCache(Mapping):
             self.table_name(stream_name), ts
         )
 
+    def snapshot_streams(
+        self,
+        streams: "list[str] | dict[str, int] | None" = None,
+        *,
+        chain: "list[tuple[str, str]] | None" = None,
+        follower_name: str = "feed",
+    ) -> "CacheSnapshot":
+        """Pin several streams at a CONSISTENT version vector and read
+        them all through one handle — the read-side half of
+        :meth:`begin_txn` (that closes the torn-WRITE window; this
+        closes the torn-READ one: a join over ``clean`` ⋈ ``agg``
+        mid-update never mixes a fresh upstream with a stale
+        downstream).
+
+        Three pinning modes:
+
+        - ``streams=[...]`` — pin each at its current latest (the
+          capture order is the consistency statement; right for
+          independent streams);
+        - ``streams={name: version}`` — explicit vector (e.g. from a
+          saved pin);
+        - ``chain=[("raw", "clean"), ("clean", "agg")]`` — streams
+          maintained by :class:`~pyairbyte_spark.streaming
+          .ChangeFeedFollower` hops in THIS cache: pin the tail at its
+          latest, then walk upstream reading each hop's PROVENANCE
+          watermark (the source version its pinned destination was
+          built from, recorded atomically in the destination's data
+          commit) — torn-free however mid-update the pipeline is,
+          without needing the follower objects. ``follower_name``
+          must match the hops' (default matches theirs).
+
+        Pinned versions stay readable until vacuum passes them."""
+        store = self._acid_store()
+        if (streams is None) == (chain is None):
+            raise ValueError("pass exactly one of streams= / chain=")
+        if chain is not None:
+            for (_, d1), (s2, _) in zip(chain, chain[1:]):
+                if d1 != s2:
+                    raise ValueError(
+                        f"chain break: hop into {d1!r} does not feed "
+                        f"the hop from {s2!r}"
+                    )
+            tail_dst = chain[-1][1]
+            versions = {
+                tail_dst: store.latest_version(self.table_name(tail_dst))
+            }
+            for src, dst in reversed(chain):
+                man = store._read_manifest(
+                    self.table_name(dst), versions[dst]
+                )
+                app = f"{follower_name}:{src}->{dst}"
+                sv = int((man.get("txns") or {}).get(app, 0))
+                if sv <= 0:
+                    raise ValueError(
+                        f"hop {src!r}→{dst!r} has no recorded provenance "
+                        f"under {app!r} yet (run the follower first, or "
+                        "pass its follower_name)"
+                    )
+                versions[src] = sv
+        elif isinstance(streams, dict):
+            versions = {s: int(v) for s, v in streams.items()}
+        else:
+            versions = {
+                s: store.latest_version(self.table_name(s))
+                for s in streams
+            }
+        pin = store.snapshot(
+            {self.table_name(s): v for s, v in versions.items()}
+        )
+        return CacheSnapshot(self, pin, versions)
+
     def restore_stream(self, stream_name: str, version: int) -> int:
         """Roll the stream's table back to ``version`` as a NEW commit
         (Delta RESTORE; metadata-only, auditable, time-travelable)."""
@@ -515,3 +586,28 @@ class SparkCache(Mapping):
         return BackendStateWriter(
             self.destination_state_backend, destination_name, self.table_prefix
         )
+
+
+class CacheSnapshot:
+    """A pinned multi-stream view of a :class:`SparkCache` (see
+    :meth:`SparkCache.snapshot_streams`). Immutable: the stream →
+    version vector is fixed at construction, every read resolves
+    through it, and concurrent writers are invisible to the holder."""
+
+    def __init__(
+        self, cache: SparkCache, pin, versions: dict[str, int]
+    ) -> None:
+        self._cache = cache
+        self._pin = pin  # writers.StoreSnapshot over table names
+        self.versions = dict(versions)
+
+    def read(self, stream_name: str) -> DataFrame:
+        return self._pin.read(self._cache.table_name(stream_name))
+
+    def read_where(self, stream_name: str, predicates) -> DataFrame:
+        return self._pin.read_where(
+            self._cache.table_name(stream_name), predicates
+        )
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"CacheSnapshot({self.versions!r})"

@@ -667,6 +667,40 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "get_consistent_snapshot",
+            "Pin a torn-free version vector across streams: pass chain="
+            "[[src,dst],...] for follower-maintained pipelines (each hop's "
+            "provenance watermark guarantees clean JOIN agg reflects ONE "
+            "upstream snapshot, however mid-update the pipeline is) or "
+            "streams=[...] for independent tables (pinned at capture). "
+            "Read the pinned data via the returned versions with "
+            "read-version / time-travel surfaces.",
+            {
+                "type": "object",
+                "properties": {
+                    "streams": {
+                        "type": "array", "items": {"type": "string"},
+                    },
+                    "chain": {
+                        "type": "array",
+                        "items": {
+                            "type": "array",
+                            "items": {"type": "string"},
+                            "minItems": 2,
+                            "maxItems": 2,
+                        },
+                    },
+                    "follower_name": {"type": "string"},
+                },
+            },
+            lambda h, a: t.get_consistent_snapshot(
+                h.cache,
+                streams=a.get("streams"),
+                chain=a.get("chain"),
+                follower_name=a.get("follower_name", "feed"),
+            ),
+        ),
+        ToolDef(
             "get_dedup_index_health",
             "Health of the persisted MinHash-LSH dedup index: unclustered "
             "fraction (ingest-time appends decay probe pruning; refresh "

@@ -363,6 +363,33 @@ def find_near_duplicates(
     return matches
 
 
+def get_consistent_snapshot(
+    cache: SparkCache,
+    *,
+    streams: "list[str] | None" = None,
+    chain: "list[list[str]] | None" = None,
+    follower_name: str = "feed",
+) -> dict[str, Any]:
+    """Pin a torn-free version vector across several streams (see
+    :meth:`SparkCache.snapshot_streams`): for follower-maintained
+    chains pass ``chain=[["raw","clean"],["clean","agg"]]`` — the pin
+    reads each hop's provenance watermark so a clean ⋈ agg view never
+    mixes a fresh upstream with a stale downstream; for independent
+    streams pass ``streams=[...]`` (pinned at capture). Returns the
+    vector plus per-stream pinned row counts; read the pinned data
+    with ``read_stream_version(stream, versions[stream])`` / SQL over
+    it."""
+    snap = cache.snapshot_streams(
+        streams,
+        chain=[tuple(h) for h in chain] if chain else None,
+        follower_name=follower_name,
+    )
+    return {
+        "versions": snap.versions,
+        "rows": {s: snap.read(s).count() for s in snap.versions},
+    }
+
+
 def get_dedup_index_health(
     cache: SparkCache, *, index_name: str = "mh"
 ) -> dict[str, Any]:

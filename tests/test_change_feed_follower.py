@@ -611,3 +611,69 @@ def test_store_snapshot_explicit_versions(spark, tmp_path):
         snap.read("zzz")
     with pytest.raises(FileNotFoundError):
         store.snapshot({"a": 99})
+
+
+def test_cache_snapshot_streams_untorn_join_mid_update(spark, tmp_path):
+    """VERDICT r10 #6: the cache-layer pin. Two follower-maintained
+    streams joined MID-UPDATE (clean advanced past agg): the chain pin
+    derives the torn-free vector from the provenance watermarks alone
+    — no follower objects in hand — and the clean ⋈ agg join reflects
+    exactly one upstream snapshot. The tools/MCP surface wraps this."""
+    from pyairbyte_spark import tools
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "w"), table_format="commitlog"
+    )
+    t_raw = cache.table_name("raw")
+    f1 = ChangeFeedFollower(cache, "raw", cache, "clean", primary_keys=["id"])
+    f2 = ChangeFeedFollower(
+        cache, "clean", cache, "agg", primary_keys=["id"],
+        transform=lambda df: df.withColumn("v", F.upper("v")),
+    )
+    cache.store.write_merge(_df(spark, [(1, "a"), (2, "b")]), t_raw, ["id"])
+    f1.process_once()
+    f2.process_once()
+    # mid-update: raw+clean advance, agg lags
+    cache.store.write_merge(_df(spark, [(3, "c")], "s"), t_raw, ["id"])
+    f1.process_once()
+    assert cache["clean"].to_spark().count() == 3  # naive view is torn
+    assert cache["agg"].to_spark().count() == 2
+
+    snap = cache.snapshot_streams(chain=[("raw", "clean"), ("clean", "agg")])
+    joined = (
+        snap.read("clean")
+        .alias("c")
+        .join(snap.read("agg").alias("g"), "id")
+        .select("id", F.col("c.v").alias("cv"), F.col("g.v").alias("gv"))
+    )
+    rows = {(r["id"], r["cv"], r["gv"]) for r in joined.collect()}
+    # every clean row has its agg counterpart: ONE upstream snapshot
+    assert rows == {(1, "a", "A"), (2, "b", "B")}
+    assert snap.read("clean").count() == snap.read("agg").count() == 2
+    assert snap.versions["raw"] == 1
+
+    # concurrent writers stay invisible to the held pin
+    cache.store.write_merge(_df(spark, [(9, "z")], "z"), t_raw, ["id"])
+    f1.process_once()
+    assert snap.read("clean").count() == 2
+
+    # tools/MCP surface: same vector + pinned counts
+    out = tools.get_consistent_snapshot(
+        cache, chain=[["raw", "clean"], ["clean", "agg"]]
+    )
+    assert out["rows"]["clean"] == out["rows"]["agg"]
+    assert set(out["versions"]) == {"raw", "clean", "agg"}
+
+    # list mode pins independent streams at capture
+    out2 = cache.snapshot_streams(["clean", "agg"])
+    assert set(out2.versions) == {"clean", "agg"}
+    # explicit-vector mode round-trips a saved pin
+    replay = cache.snapshot_streams(dict(snap.versions))
+    assert replay.read("agg").count() == 2
+    # arg validation
+    with pytest.raises(ValueError, match="exactly one"):
+        cache.snapshot_streams(["a"], chain=[("a", "b")])
+    with pytest.raises(ValueError, match="chain break"):
+        cache.snapshot_streams(chain=[("raw", "clean"), ("aggX", "y")])
+    with pytest.raises(ValueError, match="no recorded provenance"):
+        cache.snapshot_streams(chain=[("raw", "clean")], follower_name="nope")
