@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "dedup_span_removal",
     # round 10: bucket-layout evolution mid-merge-lifecycle
     "store_rebucket_events",
+    # round 11: MinHash index maintenance (build + append + tail-only
+    # refresh + probe) and atomic cross-table schema migration
+    # (ADD COLUMN prepare + backfill merge in one txn group)
+    "dedup_minhash_refresh_events",
+    "store_txn_migration_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

@@ -24,6 +24,7 @@ import gzip
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import IO, Any
@@ -71,6 +72,11 @@ class _StreamBuffer:
     # Monotonic across finalizes (files is cleared then) so late
     # batches never reuse a staged filename.
     file_seq: int = 0
+    # Progress tallies accumulate here and flush to the tracker per
+    # BATCH, not per record — two dict updates per 100k records
+    # instead of 200k (the pump is the single-threaded hot path).
+    unreported_records: int = 0
+    unreported_bytes: int = 0
 
 
 @dataclass
@@ -139,6 +145,13 @@ class MessageStreamProcessor:
         return buf
 
     def _rotate(self, stream_key: str, buf: _StreamBuffer) -> None:
+        if self.progress is not None and buf.unreported_records:
+            self.progress.record_read(
+                stream_key,
+                n=buf.unreported_records,
+                n_bytes=buf.unreported_bytes,
+            )
+            buf.unreported_records = buf.unreported_bytes = 0
         if buf.writers is not None:
             for w, pend in zip(buf.writers, buf.pending):
                 if pend:
@@ -206,8 +219,15 @@ class MessageStreamProcessor:
         pend += line[:-1]
         pend += suffix % buf.record_count
         pend += b"\n"
-        if self.progress is not None:
-            self.progress.record_read(stream_key, n_bytes=len(line) + 1)
+        progress = self.progress
+        if progress is not None:
+            # Counts flush per batch (_rotate); only the time-to-first-
+            # record marker needs per-record granularity, and it is one
+            # attribute test once set.
+            if progress.first_record_time is None:
+                progress.first_record_time = time.monotonic()
+            buf.unreported_records += 1
+            buf.unreported_bytes += len(line) + 1
         if len(pend) >= 262_144:
             buf.writers[buf.active_count % self.stripes].write(pend)
             del pend[:]
