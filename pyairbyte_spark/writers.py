@@ -693,10 +693,48 @@ class MultiTableTxn:
         groups. Reference point: the reference adds missing columns
         inside the same sync's finalization
         (``airbyte/shared/sql_processor.py:934-981``)."""
-        self._check_open(table_name)
-        replan = lambda: self.store._plan_add_column(  # noqa: E731
-            table_name, name, type_ddl, default
+        return self._stage_plan(
+            table_name,
+            lambda: self.store._plan_add_column(
+                table_name, name, type_ddl, default
+            ),
         )
+
+    def rename_column(self, table_name: str, old: str, new: str) -> dict:
+        """Metadata rename as a txn-group member (see
+        :meth:`add_column` for the migration rationale)."""
+        return self._stage_plan(
+            table_name,
+            lambda: self.store._plan_rename_column(table_name, old, new),
+        )
+
+    def drop_column(self, table_name: str, name: str) -> dict:
+        """Metadata drop as a txn-group member."""
+        return self._stage_plan(
+            table_name,
+            lambda: self.store._plan_drop_column(table_name, name),
+        )
+
+    def set_check(self, table_name: str, name: str, expr: str) -> dict:
+        """CHECK constraint add as a txn-group member — existing rows
+        are re-validated at prepare() if the table moved."""
+        return self._stage_plan(
+            table_name,
+            lambda: self.store._plan_set_check(table_name, name, expr),
+        )
+
+    def drop_check(self, table_name: str, name: str) -> dict:
+        """CHECK constraint drop as a txn-group member."""
+        return self._stage_plan(
+            table_name,
+            lambda: self.store._plan_drop_check(table_name, name),
+        )
+
+    def _stage_plan(self, table_name: str, replan) -> dict:
+        """Stage a snapshot-specific plan (validated NOW, rebuilt at
+        :meth:`prepare` if the table moves) — the shared shape of
+        every metadata verb in a group."""
+        self._check_open(table_name)
         self._staged.append(("plan", table_name, replan(), replan, None))
         self._tables.add(table_name)
         return {"skipped": False, "staged": True}
@@ -1862,8 +1900,17 @@ class CommitLogTableStore(TableStore):
         """Add/replace a named CHECK constraint (SQL boolean expr over
         logical column names; NULL passes, per SQL CHECK). Existing
         rows are validated first — a constraint the current data
-        violates is rejected (Delta semantics). Metadata-only commit.
+        violates is rejected (Delta semantics). Metadata-only commit;
+        rebases through commit races by re-planning (re-validating
+        against the winner's rows). Returns the new version.
         """
+        return self._commit_planned(
+            table_name,
+            self._plan_set_check(table_name, name, expr),
+            lambda: self._plan_set_check(table_name, name, expr),
+        )["version"]
+
+    def _plan_set_check(self, table_name: str, name: str, expr: str) -> dict:
         from pyairbyte_spark.expectations import (
             ExpectationViolation,
             violation_counts,
@@ -1877,9 +1924,7 @@ class CommitLogTableStore(TableStore):
         if counts[name]:
             raise ExpectationViolation(counts)
         checks = {**(man.get("checks") or {}), name: expr}
-        return self._commit(
-            table_name,
-            {
+        return {"base_version": version, "manifest": {
                 "op": "set_check",
                 "merge_buckets": man.get("merge_buckets"),
                 **(
@@ -1895,11 +1940,16 @@ class CommitLogTableStore(TableStore):
                 "checks": checks,
                 "entries": man.get("entries") or [],
                 **self._carry_dv(man),
-            },
-            version + 1,
-        )
+        }}
 
     def drop_check(self, table_name: str, name: str) -> int:
+        return self._commit_planned(
+            table_name,
+            self._plan_drop_check(table_name, name),
+            lambda: self._plan_drop_check(table_name, name),
+        )["version"]
+
+    def _plan_drop_check(self, table_name: str, name: str) -> dict:
         snap = self._latest_commit(table_name)
         if snap is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
@@ -1925,7 +1975,7 @@ class CommitLogTableStore(TableStore):
             "entries": man.get("entries") or [],
             **self._carry_dv(man),
         }
-        return self._commit(table_name, manifest, version + 1)
+        return {"base_version": version, "manifest": manifest}
 
     @staticmethod
     def _guard_checked_column(man: dict, column: str, verb: str) -> None:
@@ -2021,7 +2071,15 @@ class CommitLogTableStore(TableStore):
     def rename_column(self, table_name: str, old: str, new: str) -> int:
         """Metadata-only column rename: one tiny commit, zero data
         I/O at any table size (Delta `ALTER TABLE … RENAME COLUMN`
-        under column mapping). Returns the new version."""
+        under column mapping). Rebases through commit races by
+        re-planning (pure metadata). Returns the new version."""
+        return self._commit_planned(
+            table_name,
+            self._plan_rename_column(table_name, old, new),
+            lambda: self._plan_rename_column(table_name, old, new),
+        )["version"]
+
+    def _plan_rename_column(self, table_name: str, old: str, new: str) -> dict:
         snap = self._latest_commit(table_name)
         if snap is None or not snap[1].get("entries"):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
@@ -2058,7 +2116,7 @@ class CommitLogTableStore(TableStore):
             # Position deletes are name-independent; carry verbatim.
             **self._carry_dv(man),
         }
-        return self._commit(table_name, manifest, version + 1)
+        return {"base_version": version, "manifest": manifest}
 
     def add_column(
         self,
@@ -2140,7 +2198,15 @@ class CommitLogTableStore(TableStore):
         """Metadata-only column drop (zero data I/O). The physical
         bytes stay in existing files (invisible to all reads) until a
         full-rewrite materializes the view; re-adding the same name is
-        rejected on write until then. Returns the new version."""
+        rejected on write until then. Rebases through commit races by
+        re-planning. Returns the new version."""
+        return self._commit_planned(
+            table_name,
+            self._plan_drop_column(table_name, name),
+            lambda: self._plan_drop_column(table_name, name),
+        )["version"]
+
+    def _plan_drop_column(self, table_name: str, name: str) -> dict:
         snap = self._latest_commit(table_name)
         if snap is None or not snap[1].get("entries"):
             raise FileNotFoundError(f"table {table_name!r} does not exist")
@@ -2173,7 +2239,7 @@ class CommitLogTableStore(TableStore):
             ),
             **self._carry_dv(man),
         }
-        return self._commit(table_name, manifest, version + 1)
+        return {"base_version": version, "manifest": manifest}
 
     # A checkpoint sidecar at or above this size is scanned WITH SPARK
     # instead of being decoded into a driver-side Python list — the

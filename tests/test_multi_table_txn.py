@@ -780,3 +780,53 @@ def test_txn_add_column_replans_when_table_moves(spark, store):
     got = store.read("raw")
     assert got.count() == 8  # racer's rows survived
     assert {r["flag"] for r in got.collect()} == {"d"}
+
+
+def test_txn_all_metadata_verbs_land_atomically(spark, store):
+    """rename/drop/check verbs as group members: one decision flips a
+    whole metadata migration across two tables; abort leaves none."""
+    from pyairbyte_spark.expectations import ExpectationViolation
+
+    store.write_append(
+        spark.createDataFrame([(1, "x", 5)], ["id", "junk", "amt"]), "t1"
+    )
+    store.write_append(spark.createDataFrame([(2, 9)], ["id", "n"]), "t2")
+    # aborted migration: nothing lands
+    bad = store.begin_txn()
+    bad.rename_column("t1", "amt", "amount")
+    bad.set_check("t2", "n_pos", "n > 0")
+    bad.prepare()
+    bad.abort()
+    assert "amount" not in store.read("t1").columns
+    assert store.table_checks("t2") == {}
+    # committed migration: rename + drop on t1, check on t2, atomically
+    with store.begin_txn() as txn:
+        txn.rename_column("t1", "amt", "amount")
+        txn.set_check("t2", "n_pos", "n > 0")
+        assert "amount" not in store.read("t1").columns  # pre-decision
+    assert set(store.read("t1").columns) >= {"id", "junk", "amount"}
+    assert store.table_checks("t2") == {"n_pos": "n > 0"}
+    # the landed check ENFORCES (it is real, not just recorded)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        store.write_append(
+            spark.createDataFrame([(3, -1)], ["id", "n"]), "t2"
+        )
+    # drop verbs in a group too
+    with store.begin_txn() as txn2:
+        txn2.drop_column("t1", "junk")
+        txn2.drop_check("t2", "n_pos")
+    assert "junk" not in store.read("t1").columns
+    assert store.table_checks("t2") == {}
+    # set_check re-validates on replan: a racer inserting a violating
+    # row between stage and prepare aborts the group
+    t3 = store.begin_txn()
+    t3.set_check("t2", "n_small", "n < 100")
+    store.write_append(
+        spark.createDataFrame([(4, 500)], ["id", "n"]), "t2"
+    )  # violates the staged check
+    with _pytest.raises(ExpectationViolation):
+        t3.commit()
+    assert store.table_checks("t2") == {}
+    assert store.txn_group_status(t3.group_id) == "abort"
