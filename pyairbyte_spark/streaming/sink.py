@@ -259,14 +259,32 @@ class MinHashIndexStreamingSink:
     lands documents can fan a copy through here, and every later batch
     can ask "is this a near-dup of anything already ingested" in
     O(touched buckets).
+
+    ``refresh_coverage_min`` (0..1, default off) makes the sink
+    self-maintaining: every epoch appends one unclustered entry, so
+    probe pruning decays with stream lifetime; when the coverage
+    watermark (pure manifest arithmetic, read AFTER the append — no
+    extra Spark job) drops below the floor, the sink runs
+    ``refresh_minhash_index`` — an O(appended tail) recluster, the
+    streaming analogue of the ANN sink's drift-triggered retrain.
+    Replayed epochs never trigger it (nothing was appended).
     """
 
-    def __init__(self, store, index_name: str, app_id: str) -> None:
+    def __init__(
+        self,
+        store,
+        index_name: str,
+        app_id: str,
+        *,
+        refresh_coverage_min: float | None = None,
+    ) -> None:
         self.store = store
         self.index_name = index_name
         self.app_id = app_id
+        self.refresh_coverage_min = refresh_coverage_min
         self.skipped_epochs = 0
         self.appended_epochs = 0
+        self.refreshes = 0
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from pyairbyte_spark.operators import dedup
@@ -279,8 +297,13 @@ class MinHashIndexStreamingSink:
         )
         if res.get("skipped"):
             self.skipped_epochs += 1
-        else:
-            self.appended_epochs += 1
+            return
+        self.appended_epochs += 1
+        if self.refresh_coverage_min is not None:
+            cov = dedup.minhash_index_coverage(self.store, self.index_name)
+            if cov["coverage"] < self.refresh_coverage_min:
+                dedup.refresh_minhash_index(self.store, self.index_name)
+                self.refreshes += 1
 
     def attach(
         self,

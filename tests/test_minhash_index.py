@@ -359,3 +359,33 @@ def test_minhash_index_health_trips_on_boilerplate(spark, store):
     h2 = dedup.minhash_index_health(store, "mh")
     assert h2["coverage"] == 1.0
     assert any("hot band" in i for i in h2["issues"])  # skew remains
+
+
+def test_streaming_sink_auto_refresh_keeps_coverage(spark, store, tmp_path):
+    """refresh_coverage_min makes the streaming sink self-maintaining:
+    epochs decay coverage below the floor, the sink reclusters the
+    appended tail (O(tail)), and replayed epochs never trigger it."""
+    from pyairbyte_spark.streaming.sink import MinHashIndexStreamingSink
+
+    dedup.build_minhash_index(
+        _many_docs(spark, 0, 120), store, "mh", target_files=2
+    )
+    sink = MinHashIndexStreamingSink(
+        store, "mh", "pipe", refresh_coverage_min=0.99
+    )
+    for epoch in range(3):
+        sink(_many_docs(spark, 200 + epoch * 10, 210 + epoch * 10), epoch)
+    assert sink.appended_epochs == 3
+    assert sink.refreshes == 3  # each epoch dipped below the floor
+    cov = dedup.minhash_index_coverage(store, "mh")
+    assert cov["coverage"] == 1.0
+    # replayed epoch: no append, no refresh
+    sink(_many_docs(spark, 220, 230), 2)
+    assert sink.skipped_epochs == 1 and sink.refreshes == 3
+    # index still exact: every streamed doc is probe-hittable
+    hits = dedup.minhash_index_matches(
+        store, "mh", _many_docs(spark, 205, 206).withColumn(
+            "doc_id", F.col("doc_id") + 9000
+        )
+    ).collect()
+    assert any(r["match_id"] == 205 and r["n_agree"] == 12 for r in hits)
