@@ -1043,6 +1043,80 @@ class CommitLogTableStore(TableStore):
         """"commit" / "abort" / "in-flight" — audit surface."""
         return self._group_verdict(group_id) or "in-flight"
 
+    def vacuum_txn_decisions(self, *, keep_hours: float = 24.0) -> dict:
+        """Reclaim txn-group DECISION files — the store-level
+        counterpart of per-table :meth:`vacuum`. Every group leaves one
+        tiny ``_txngroups/<gid>.json`` forever; a year of atomic ingest
+        is millions of files in one directory — the classic object-
+        store listing ceiling, on metadata no one reads anymore.
+
+        A decision is reclaimable iff (1) NO retained commit of ANY
+        table still carries its group id — while a prepare commit
+        (committed, aborted, or undecided) is in a retention window,
+        its verdict must stay resolvable: deleting a COMMIT verdict
+        would make its visible snapshots skip to undecided, and
+        deleting an ABORT verdict would re-flag interior slots as
+        undecided in FSCK — and (2) the decision is older than
+        ``keep_hours`` (grace against a stale table scan racing a
+        group between its prepare PUTs and this listing; a fresh
+        decision always survives). Referenced-gid collection reads
+        each retained commit's small header JSON — O(retained
+        commits), no manifest resolution. Run after table vacuums
+        (they shrink the referenced set)."""
+        gdir = os.path.join(self.root, self._TXN_GROUP_DIR)
+        try:
+            names = [
+                n for n in self.io.list_names(gdir) if n.endswith(".json")
+            ]
+        except Exception:
+            names = []
+        if not names:
+            return {"deleted": 0, "kept_referenced": 0, "kept_recent": 0}
+        referenced: set[str] = set()
+        for table in self.list_tables():
+            try:
+                commit_names = self.io.list_names(self._commits_dir(table))
+            except Exception:
+                continue
+            for n in commit_names:
+                if not (n.endswith(".json") and n[:-5].isdigit()):
+                    continue
+                try:
+                    gid = self._read_commit_json(table, int(n[:-5])).get(
+                        "txn_group"
+                    )
+                except Exception:
+                    continue
+                if gid:
+                    referenced.add(gid)
+        cutoff = time.time() - keep_hours * 3600
+        deleted = kept_ref = kept_recent = 0
+        for n in names:
+            gid = n[:-5]
+            if gid in referenced:
+                kept_ref += 1
+                continue
+            try:
+                ts = (
+                    json.loads(self.io.read_text(os.path.join(gdir, n))).get(
+                        "ts"
+                    )
+                    or 0
+                )
+            except Exception:
+                continue  # unreadable/racing: leave it for the next pass
+            if ts >= cutoff:
+                kept_recent += 1
+                continue
+            self.io.delete_file(os.path.join(gdir, n))
+            self._txn_verdicts.pop(gid, None)
+            deleted += 1
+        return {
+            "deleted": deleted,
+            "kept_referenced": kept_ref,
+            "kept_recent": kept_recent,
+        }
+
     def _require_visible(
         self, table_name: str, version: int, man: dict
     ) -> None:

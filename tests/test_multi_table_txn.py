@@ -830,3 +830,45 @@ def test_txn_all_metadata_verbs_land_atomically(spark, store):
         t3.commit()
     assert store.table_checks("t2") == {}
     assert store.txn_group_status(t3.group_id) == "abort"
+
+
+def test_vacuum_txn_decisions_reclaims_unreferenced(spark, store):
+    """Decision files accumulate one per group forever; the store-
+    level vacuum reclaims those no retained commit references, never
+    one a retained prepare still resolves through."""
+    import os
+
+    _seed(spark, store)
+    gids = []
+    for i in range(3):
+        with store.begin_txn() as t:
+            t.write_append(spark.range(i, i + 2).toDF("a"), "raw")
+            gids.append(t.group_id)
+    ab = store.begin_txn()
+    ab.write_append(spark.range(99).toDF("a"), "raw")
+    ab.prepare()
+    ab.abort()
+    gdir = os.path.join(store.root, store._TXN_GROUP_DIR)
+    assert len(os.listdir(gdir)) == 4
+    # all referenced by retained commits -> nothing reclaimed even at 0h
+    r = store.vacuum_txn_decisions(keep_hours=0)
+    assert r == {"deleted": 0, "kept_referenced": 4, "kept_recent": 0}
+    # table vacuum drops the old prepares from the log...
+    store.write_merge(
+        _merge_frame(spark, 0, 3, "x"), "raw2", ["k"]
+    )  # unrelated table; its absence of gids must not confuse the scan
+    store.vacuum("raw", keep_commits=1)
+    store.vacuum("agg", keep_commits=1)
+    # ...after which only gids still in retained commits survive:
+    # the visible head (group 3) and the aborted head prepare above it
+    r2 = store.vacuum_txn_decisions(keep_hours=0)
+    assert r2["deleted"] == 2
+    assert r2["kept_referenced"] == 2
+    # reads still work and the verdict cache didn't poison anything
+    assert store.read("raw").count() > 0
+    # fresh decisions survive the grace window even when unreferenced
+    with store.begin_txn() as t:
+        t.write_append(spark.range(5).toDF("a"), "raw3")
+    store.vacuum("raw3", keep_commits=1)  # keeps the prepare (visible head)
+    r3 = store.vacuum_txn_decisions()  # default 24h grace
+    assert r3["deleted"] == 0
