@@ -779,7 +779,10 @@ class MultiTableTxn:
             if kind == "plan":  # snapshot-specific: merge/rebucket/meta
                 head = self.store._latest_commit(table_name)
                 if (head[0] if head else 0) != payload["base_version"]:
-                    payload = aux()  # aux IS the replan callable
+                    # cheap manifest-only rebase first (bucket-disjoint
+                    # interlopers); full replan (aux) otherwise
+                    reb = payload.get("rebase")
+                    payload = (reb() if reb is not None else None) or aux()
                     if payload.get("skipped"):
                         continue
                     item = (kind, table_name, payload, aux, txn)
@@ -4058,21 +4061,23 @@ class CommitLogTableStore(TableStore):
         cross-table snapshot pinning reads
         (``ChangeFeedFollower.consistent_snapshot``). Returns
         ``{"version", "skipped"}`` when ``txn`` is given (None
-        otherwise, the historical signature)."""
-        last: ConcurrentCommitError | None = None
-        for _attempt in range(self._COMMIT_RETRIES):
-            try:
-                return self._write_merge_once(
-                    df, table_name, primary_keys, txn, txn_group
-                )
-            except ConcurrentCommitError as e:
-                last = e
-                self._retry_pause(_attempt)
-                continue
-        raise ConcurrentCommitError(
-            f"merge into {table_name!r} lost {self._COMMIT_RETRIES} "
-            "commit races"
-        ) from last
+        otherwise, the historical signature).
+
+        A lost race against a bucket-disjoint commit (ingest appends
+        landing on other keys — the dominant contention shape) rebases
+        the MANIFEST only: the staged rewrite is reused and the retry
+        costs zero Spark jobs (:meth:`_build_merge_plan`). Overlapping
+        or metadata-changing interlopers force a full re-plan."""
+        plan = self._plan_merge(df, table_name, primary_keys, txn)
+        if plan.get("skipped"):
+            return {"version": plan["version"], "skipped": True}
+        res = self._commit_planned(
+            table_name,
+            plan,
+            lambda: self._plan_merge(df, table_name, primary_keys, txn),
+            txn_group=txn_group,
+        )
+        return res if txn is not None or txn_group is not None else None
 
     def merge_into(
         self,
@@ -4450,31 +4455,6 @@ class CommitLogTableStore(TableStore):
             "version": landed,
         }
 
-    def _write_merge_once(
-        self,
-        df: DataFrame,
-        table_name: str,
-        primary_keys: list[str],
-        txn: tuple[str, int] | None = None,
-        txn_group: str | None = None,
-    ) -> dict | None:
-        plan = self._plan_merge(df, table_name, primary_keys, txn)
-        if plan.get("skipped"):
-            return {"version": plan["version"], "skipped": True}
-        landed = self._commit(
-            table_name,
-            {
-                **plan["manifest"],
-                **({"txn_group": txn_group} if txn_group else {}),
-            },
-            plan["base_version"] + 1,
-        )
-        return (
-            {"version": landed, "skipped": False}
-            if txn is not None
-            else None
-        )
-
     def _plan_merge(
         self,
         df: DataFrame,
@@ -4581,41 +4561,24 @@ class CommitLogTableStore(TableStore):
                 union = union.unionByName(olds, allowMissingColumns=True)
             latest = self._dedup_latest(union, primary_keys)
             entry = self._stage(latest, table_name)
-            new_entries = []
-            for e in man["entries"]:
-                remaining = [
-                    b for b in (e.get("buckets") or []) if b not in touched_set
-                ]
-                if remaining:
-                    # Carry the WHOLE entry (esp. its file list — after a
-                    # delete the list is authoritative; rebuilding the
-                    # entry bare would fall back to a directory read and
-                    # resurrect deleted files).
-                    new_entries.append({**e, "buckets": remaining})
-            new_entries.append(entry)
             merge_dvs, _ = self._prune_dvs(table_name, man, rewritten)
-            return {
-                "base_version": version,
-                "manifest": {
-                    "op": "merge",
-                    "merge_buckets": layout_n,
-                    "primary_keys": list(primary_keys),
-                    "entries": new_entries,
-                    **self._carry_mapping(man),
-                    # txn watermark (incl. this batch's) rides the
-                    # same atomic commit; _carry_mapping restated the
-                    # PRIOR map, so override after it.
-                    **({"txns": txns} if txns else {}),
-                    # DVs survive only for untouched carried files;
-                    # positions in rewritten buckets retire with them.
-                    **(
-                        {"delete_vectors": merge_dvs} if merge_dvs else {}
-                    ),
-                },
-            }
+            return self._build_merge_plan(
+                table_name,
+                version,
+                man,
+                touched_set,
+                entry,
+                layout_n,
+                list(primary_keys),
+                txn,
+                merge_dvs,
+                txns,
+            )
         # Full rewrite (first write, unbucketed table, or the one-time
         # migration INTO the bucketed layout) — also compacts the
-        # manifest down to a single entry.
+        # manifest down to a single entry. (No rebase path: a full
+        # rewrite consumes every bucket, so any concurrent commit
+        # invalidates it — replan.)
         incoming = self._enforce_checks(df, snap[1]) if exists else df
         if exists:
             incoming = self.read(table_name).unionByName(
@@ -4646,6 +4609,114 @@ class CommitLogTableStore(TableStore):
             },
         }
 
+    def _build_merge_plan(
+        self,
+        table_name: str,
+        version: int,
+        man: dict,
+        touched_set: set,
+        staged_entry: dict,
+        layout_n,
+        primary_keys: list[str],
+        txn: "tuple[str, int] | None",
+        merge_dvs,
+        txns: dict,
+    ) -> dict:
+        """Assemble an incremental merge's manifest against ``man``
+        (base snapshot at ``version``) from its already-staged rewrite
+        — shrink overlapping entries' live-bucket sets, append the
+        staged entry, restate metadata. Also attaches the plan's
+        ``rebase`` closure: on a commit-slot collision, if every
+        interloper commit merely ADDED entries whose buckets are
+        disjoint from ``touched_set`` (the dominant contention shape —
+        ingest appends racing a merge on other keys) and changed no
+        table metadata, the staged rewrite is still exact and only
+        this manifest needs rebuilding — no Spark jobs. Anything else
+        (compaction, DV change, overlapping append, schema/mapping
+        move) returns None and the caller re-plans in full."""
+        new_entries = []
+        for e in man["entries"]:
+            remaining = [
+                b for b in (e.get("buckets") or []) if b not in touched_set
+            ]
+            if remaining:
+                # Carry the WHOLE entry (esp. its file list — after a
+                # delete the list is authoritative; rebuilding the
+                # entry bare would fall back to a directory read and
+                # resurrect deleted files).
+                new_entries.append({**e, "buckets": remaining})
+        new_entries.append(staged_entry)
+
+        def rebase() -> dict | None:
+            snap2 = self._latest_commit(table_name)
+            if snap2 is None:
+                return None
+            v2, m2 = snap2
+            if v2 <= version:
+                return None  # collision was an undecided head: replan
+            # table metadata must be untouched — the staged rewrite
+            # baked the base's mapping/checks/DVs/layout into its rows
+            for k in (
+                "merge_buckets",
+                "column_mapping",
+                "dropped_columns",
+                "checks",
+                "added_columns",
+                "bloom_index",
+                "delete_vectors",
+                "primary_keys",
+            ):
+                if man.get(k) != m2.get(k):
+                    return None
+            base_by_path = {e["path"]: e for e in man["entries"]}
+            for e in m2.get("entries") or []:
+                b = base_by_path.pop(e["path"], None)
+                if b is None:
+                    bl = e.get("buckets")
+                    if bl is None or set(bl) & touched_set:
+                        return None  # overlaps the rewrite: stale
+                elif b != e:
+                    return None  # entry modified (compact/merge raced)
+            if base_by_path:
+                return None  # entries removed: a rewrite landed
+            txns2 = dict(m2.get("txns") or {})
+            if txn is not None:
+                app_id, batch_id = txn
+                if txns2.get(app_id, -1) >= batch_id:
+                    return {"skipped": True, "version": v2}
+                txns2[app_id] = batch_id
+            return self._build_merge_plan(
+                table_name,
+                v2,
+                m2,
+                touched_set,
+                staged_entry,
+                layout_n,
+                primary_keys,
+                txn,
+                merge_dvs,
+                txns2,
+            )
+
+        return {
+            "base_version": version,
+            "rebase": rebase,
+            "manifest": {
+                "op": "merge",
+                "merge_buckets": layout_n,
+                "primary_keys": primary_keys,
+                "entries": new_entries,
+                **self._carry_mapping(man),
+                # txn watermark (incl. this batch's) rides the
+                # same atomic commit; _carry_mapping restated the
+                # PRIOR map, so override after it.
+                **({"txns": txns} if txns else {}),
+                # DVs survive only for untouched carried files;
+                # positions in rewritten buckets retire with them.
+                **({"delete_vectors": merge_dvs} if merge_dvs else {}),
+            },
+        }
+
     def _commit_planned(
         self,
         table_name: str,
@@ -4663,7 +4734,12 @@ class CommitLogTableStore(TableStore):
         another writer landed during the PUT-only window, so under a
         :class:`MultiTableTxn` the common case claims the slot in
         milliseconds. ``replan()`` may return ``{"skipped": True,
-        "version"}`` to signal there is nothing left to commit."""
+        "version"}`` to signal there is nothing left to commit. A plan
+        carrying a ``rebase`` closure gets it tried FIRST on each
+        collision: when the interloper provably didn't invalidate the
+        staged rewrite (bucket-disjoint appends — see
+        :meth:`_build_merge_plan`), the rebase rebuilds only the
+        manifest and the retry costs zero Spark jobs."""
         for _attempt in range(self._COMMIT_RETRIES):
             try:
                 landed = self._commit(
@@ -4677,7 +4753,8 @@ class CommitLogTableStore(TableStore):
                 return {"version": landed, "skipped": False}
             except ConcurrentCommitError:
                 self._retry_pause(_attempt)
-                plan = replan()
+                reb = plan.get("rebase")
+                plan = (reb() if reb is not None else None) or replan()
                 if plan.get("skipped"):
                     return {"version": plan.get("version"), "skipped": True}
         raise ConcurrentCommitError(

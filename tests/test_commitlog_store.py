@@ -674,3 +674,111 @@ def test_append_carries_primary_keys(spark, store):
         [_df(spark, [(4, "d")]), _df(spark, [(5, "e")])], "t"
     )
     assert store._latest_commit("t")[1].get("primary_keys") == ["id"]
+
+
+def test_merge_rebase_reuses_stage_on_disjoint_append(spark, store):
+    """A merge losing its commit race to a bucket-DISJOINT append
+    (ingest landing on other keys — the dominant contention shape)
+    must rebase the MANIFEST only: the staged rewrite is reused, no
+    second staging job. Overlapping or metadata-changing interlopers
+    force the full re-plan."""
+    store.merge_buckets = 8
+    store.write_merge(_df(spark, [(i, "v0") for i in range(32)], "a"), "t", ["id"])
+    plans = {"n": 0}
+    real_plan = store._plan_merge
+
+    def counting_plan(*a, **k):
+        plans["n"] += 1
+        return real_plan(*a, **k)
+
+    store._plan_merge = counting_plan
+    real_commit = store._commit
+    state = {"raced": False}
+
+    def racing_commit(table_name, manifest, version):
+        if manifest.get("op") == "merge" and not state["raced"]:
+            state["raced"] = True
+            # interloper: append rows whose ids hash to OTHER buckets
+            # (ids 1000.. map across buckets; the merge touches only
+            # id=3's bucket — pick disjoint ids by probing)
+            from pyairbyte_spark.writers import BUCKET_COL
+
+            touched = {
+                r[0]
+                for r in store._with_bucket(
+                    _df(spark, [(3, "x")], "p"), ["id"], 8
+                ).select(BUCKET_COL).collect()
+            }
+            cand = store._with_bucket(
+                _df(spark, [(i, "late") for i in range(1000, 1040)], "L"),
+                ["id"],
+                8,
+            )
+            keep = cand.filter(~F.col(BUCKET_COL).isin(sorted(touched))).drop(
+                BUCKET_COL
+            )
+            store._commit = real_commit  # the interloper commits cleanly
+            store.write_append(keep, "t", ["id"])
+            state["n_late"] = keep.count()
+            store._commit = racing_commit
+            from pyairbyte_spark.writers import ConcurrentCommitError
+
+            raise ConcurrentCommitError("slot taken")
+        return real_commit(table_name, manifest, version)
+
+    store._commit = racing_commit
+    try:
+        plans["n"] = 0
+        store.write_merge(_df(spark, [(3, "v1")], "b"), "t", ["id"])
+    finally:
+        store._commit = real_commit
+        store._plan_merge = real_plan
+    assert state["raced"]
+    assert plans["n"] == 1, "disjoint race must NOT re-plan the merge"
+    got = {r["id"]: r["v"] for r in store.read("t").select("id", "v").collect()}
+    assert got[3] == "v1" and len(got) == 32 + state["n_late"]
+    assert all(got[i] == "late" for i in got if i >= 1000)
+
+
+def test_merge_replans_on_overlapping_append(spark, store):
+    """An interloper appending INTO a touched bucket invalidates the
+    staged rewrite — the rebase must refuse and the full re-plan must
+    pick the interloper's rows up (latest-wins correctness)."""
+    store.merge_buckets = 4
+    store.write_merge(_df(spark, [(i, "v0") for i in range(16)], "a"), "t", ["id"])
+    plans = {"n": 0}
+    real_plan = store._plan_merge
+
+    def counting_plan(*a, **k):
+        plans["n"] += 1
+        return real_plan(*a, **k)
+
+    store._plan_merge = counting_plan
+    real_commit = store._commit
+    state = {"raced": False}
+
+    def racing_commit(table_name, manifest, version):
+        if manifest.get("op") == "merge" and not state["raced"]:
+            state["raced"] = True
+            store._commit = real_commit
+            # same KEY as the merge: same bucket, overlapping
+            store.write_append(_df(spark, [(3, "older")], "zz"), "t", ["id"])
+            store._commit = racing_commit
+            from pyairbyte_spark.writers import ConcurrentCommitError
+
+            raise ConcurrentCommitError("slot taken")
+        return real_commit(table_name, manifest, version)
+
+    store._commit = racing_commit
+    try:
+        plans["n"] = 0
+        store.write_merge(_df(spark, [(3, "winner")], "newer"), "t", ["id"])
+    finally:
+        store._commit = real_commit
+        store._plan_merge = real_plan
+    assert plans["n"] == 2, "overlapping race must re-plan"
+    got = {r["id"]: r["v"] for r in store.read("t").select("id", "v").collect()}
+    # the re-planned merge deduped the interloper's row against the
+    # merge's newer one (raw-id ordering: 'newer3' > ... latest wins
+    # by extracted_at which current_timestamp gives the merge frame)
+    assert len(got) == 16
