@@ -131,7 +131,7 @@ class SparkCache(Mapping):
         expectations: dict | None = None,
         on_violation: str = "fail",
         txn: tuple[str, int] | None = None,
-        txn_group: str | None = None,
+        txn_group=None,
     ) -> dict[str, int] | None:
         """Write with optional CHECK-constraint enforcement (see
         ``expectations.py``). Returns per-check violation counts when
@@ -141,10 +141,21 @@ class SparkCache(Mapping):
         ``_failed_expectations`` column. ``txn=(app_id, batch_id)``
         threads the commit-log store's SetTransaction idempotence
         watermark through (exactly-once replays; the follower's
-        provenance stamp)."""
-        kw = {} if txn_group is None else {"txn_group": txn_group}
+        provenance stamp). ``txn_group`` joins the write to a
+        multi-table transaction: pass the ``MultiTableTxn`` OBJECT to
+        stage with deferred slot claims (the atomic sync's path — no
+        stream's slot is held while later streams run Spark jobs), or
+        a group-id string to prepare eagerly under that group."""
+        from pyairbyte_spark.writers import MultiTableTxn
+
+        if isinstance(txn_group, MultiTableTxn):
+            target = txn_group  # stage now, claim slots at commit()
+            kw = {}
+        else:
+            target = self.store
+            kw = {} if txn_group is None else {"txn_group": txn_group}
         if not expectations:
-            self.store.write(
+            target.write(
                 df, self.table_name(stream_name), method, primary_keys,
                 txn=txn, **kw,
             )
@@ -154,7 +165,7 @@ class SparkCache(Mapping):
         clean, quarantined, obs = check_expectations(
             df, expectations, on_violation=on_violation
         )
-        self.store.write(
+        target.write(
             clean, self.table_name(stream_name), method, primary_keys,
             txn=txn, **kw,
         )
@@ -163,7 +174,7 @@ class SparkCache(Mapping):
             # same txn group (an aborted sync leaves NO quarantine rows
             # visible — all-or-nothing covers both tables) and the same
             # idempotence watermark (a replayed batch skips here too).
-            self.store.write(
+            target.write(
                 quarantined,
                 self.table_name(f"{stream_name}_quarantine"),
                 WriteMethod.APPEND,

@@ -123,7 +123,12 @@ class MessageStreamProcessor:
         # finalization moves AFTER the decision so a crashed or
         # aborted sync replays in full.
         self.atomic = atomic
-        self._txn_group: str | None = None
+        # Holds the in-flight MultiTableTxn OBJECT during the atomic
+        # end-of-stream finalization: streams stage through it with
+        # DEFERRED slot claims (no stream's slot is held while later
+        # streams run their Spark jobs; the claims are one PUT burst
+        # inside commit()).
+        self._txn_group = None
         self._completed: set[str] = set()
         if atomic:
             from pyairbyte_spark.writers import CommitLogTableStore
@@ -282,7 +287,7 @@ class MessageStreamProcessor:
         # have a non-empty buffer again; skipping them would silently
         # drop the late records).
         txn = self.cache.store.begin_txn() if self.atomic else None
-        self._txn_group = txn.group_id if txn else None
+        self._txn_group = txn
         try:
             for key in list(self._buffers) + sorted(
                 self._completed - set(self._buffers)

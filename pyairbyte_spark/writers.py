@@ -739,6 +739,32 @@ class MultiTableTxn:
         self._tables.add(table_name)
         return {"skipped": False, "staged": True}
 
+    def write(
+        self,
+        df: DataFrame,
+        table_name: str,
+        method,
+        primary_keys: list[str] | None = None,
+        *,
+        txn: tuple[str, int] | None = None,
+    ) -> dict:
+        """Method dispatcher mirroring :meth:`TableStore.write`, for
+        callers that route a whole sync through one group (the atomic
+        multi-stream sync): every stream stages at call time and the
+        slot-claiming burst happens at commit — N streams' Spark jobs
+        never run while an earlier stream's slot is held."""
+        from pyairbyte_spark.strategies import WriteMethod
+
+        if method == WriteMethod.APPEND:
+            return self.write_append(df, table_name, primary_keys, txn=txn)
+        if method == WriteMethod.REPLACE:
+            return self.write_replace(df, table_name, primary_keys, txn=txn)
+        if method == WriteMethod.MERGE:
+            return self.write_merge(
+                df, table_name, primary_keys or [], txn=txn
+            )
+        raise ValueError(f"unknown write method {method}")  # pragma: no cover
+
     def rebucket_table(self, table_name: str, n_buckets: int | None) -> dict:
         """Bucket-layout evolution as a txn-group member: the
         one-shuffle migration stages NOW, the layout flip lands with

@@ -872,3 +872,39 @@ def test_vacuum_txn_decisions_reclaims_unreferenced(spark, store):
     store.vacuum("raw3", keep_commits=1)  # keeps the prepare (visible head)
     r3 = store.vacuum_txn_decisions()  # default 24h grace
     assert r3["deleted"] == 0
+
+
+def test_atomic_sync_defers_slot_claims(spark, tmp_path):
+    """The atomic sync stages every stream through the txn OBJECT:
+    no commit slot is claimed until the end-of-sync PUT burst — a
+    contender append during finalization never finds a held slot."""
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.sources import SourceFaker
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    cache = SparkCache(
+        spark, warehouse_dir=str(tmp_path / "wh"), table_format="commitlog"
+    )
+    claims: list[tuple[str, float]] = []
+    real_commit = CommitLogTableStore._commit
+
+    def spying_commit(self, table_name, manifest, version):
+        import time as _t
+
+        if manifest.get("txn_group"):
+            claims.append((table_name, _t.monotonic()))
+        return real_commit(self, table_name, manifest, version)
+
+    CommitLogTableStore._commit = spying_commit
+    try:
+        SourceFaker(seed=7, count=60).read(
+            cache, write_strategy="append", atomic=True
+        )
+    finally:
+        CommitLogTableStore._commit = real_commit
+    # every stream's prepare landed in one tight PUT burst: the whole
+    # claim window is sub-second even though staging took far longer
+    assert len(claims) >= 3  # users/products/purchases
+    window = max(t for _, t in claims) - min(t for _, t in claims)
+    assert window < 1.0, f"slot-claim window {window:.2f}s is not a PUT burst"
+    assert len(cache["users"]) == 60
