@@ -68,7 +68,8 @@ def main() -> None:
 
     # -- 2. crashed coordinator: writer-driven recovery --------------------
     t3 = store.begin_txn()
-    t3.write_append(events, "clean")  # prepared... and the process "dies"
+    t3.write_append(events, "clean")  # staged: no slot held yet
+    t3.prepare()  # slot claimed... and the process "dies" before deciding
     store.write_append(events.limit(5), "clean")  # contender force-aborts
     assert store.read("clean").count() == 105
     try:
@@ -121,6 +122,53 @@ def main() -> None:
             f"5. doc {row['doc_id']}: removed {row['n_removed']} of "
             f"{row['n_tokens']} tokens -> {row['cleaned_text']!r}"
         )
+
+    # -- 6. merge INSIDE a transaction (round 11) --------------------------
+    # The raw -> clean -> agg step with a MERGE in the middle: all three
+    # verbs stage first and the group's slot-holding window is one PUT
+    # burst, so contenders never force-abort a group mid-Spark-job.
+    upd = (
+        spark.range(40, 60)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit("9").alias("kind"),
+            (F.col("id") * 7).alias("value"),
+        )
+        .withColumn("_airbyte_raw_id", F.col("event_id").cast("string"))
+        .withColumn("_airbyte_extracted_at", F.current_timestamp())
+    )
+    with store.begin_txn() as txn:
+        txn.write_append(upd, "raw_log")
+        txn.write_merge(upd, "clean_m", ["event_id"])
+        txn.write_replace(
+            upd.groupBy("kind").agg(F.sum("value").alias("total")), "agg_m"
+        )
+    assert store.read("clean_m").count() == 20
+    print("6. append+merge+replace landed as one group (deferred claims)")
+
+    # -- 7. atomic schema migration (round 11) ------------------------------
+    # ADD COLUMN on raw + backfilled merge on clean in ONE group: a
+    # reader joining both never sees the half-migrated state.
+    with store.begin_txn() as txn:
+        txn.add_column("raw_log", "source_tag", "string", default="legacy")
+        txn.write_merge(
+            upd.withColumn("quality", F.col("value") * 2), "clean_m",
+            ["event_id"],
+        )
+    assert {r["source_tag"] for r in store.read("raw_log").collect()} == {
+        "legacy"
+    }
+    print("7. schema migration: ADD COLUMN + backfill flipped together")
+
+    # -- 8. dedup-index maintenance lifecycle (round 11) --------------------
+    cov = dedup.minhash_index_coverage(store, "mh")
+    r = dedup.refresh_minhash_index(store, "mh")
+    health = dedup.minhash_index_health(store, "mh")
+    print(
+        f"8. index coverage {cov['coverage']:.0%} -> refresh "
+        f"(ran={r['refreshed']}) -> {health['coverage']:.0%}, "
+        f"healthy={health['healthy']}"
+    )
     print("tour complete")
 
 
