@@ -794,6 +794,145 @@ def minhash_index_matches(
     return out
 
 
+def jaccard_similarity_join(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_k: int | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. 2007 "Scaling Up All Pairs Similarity
+    Search"): every pair of docs whose word-SET Jaccard ≥ ``threshold``
+    — no candidate missed, unlike MinHash-LSH's probabilistic recall
+    or ``ngram_jaccard_pairs``' DF-capped candidate generation. The
+    prefix-filter lemma: order every doc's tokens by one GLOBAL rank
+    (rarest first); two sets with Jaccard ≥ t must share a token among
+    each one's first ``n - ceil(t·n) + 1`` tokens — so only prefix
+    tokens (the rare ones, tiny posting lists) generate candidates,
+    and the verify step computes the true intersection.
+
+    Returns (id_a, id_b, n_inter, n_union, jaccard), id_a < id_b.
+
+    Scale shape: one token-frequency aggregate (shuffle on token), one
+    per-doc sort (shuffle on id), then ONLY (id, n, prefix-token) rows
+    shuffle into the candidate join — full token arrays rejoin per
+    surviving PAIR, never per candidate-token. Threshold math is pure
+    integer (``ceil(t·n)`` and the Jaccard test as cross-multiplied
+    ints via a rational approximation of ``threshold``), so results
+    are bit-identical across engines and never lose a boundary pair to
+    float rounding.
+
+    ``shingle_k`` switches the set elements from single words to word
+    k-gram shingles — positional context that keeps sets discriminative
+    on template-heavy corpora where bag-of-words Jaccard saturates (the
+    same reason MinHash shingles; ``word_shingles_expr``).
+
+    Set elements are reduced to 60-bit md5 hashes BEFORE any shuffle
+    (the portable ``conv(substring(md5(x),1,15),16,10)`` long — same
+    trade ``ngram_jaccard_pairs`` makes): frequency agg, per-doc sort,
+    candidate join, and intersection all run on longs, never on
+    shingle strings. Collision odds at 2^60 are negligible against
+    corpus sizes this self-join is sane for.
+    """
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(10_000)
+    num, den = frac.numerator, frac.denominator
+    if shingle_k:
+        elems = word_shingles_expr(text_col, k=shingle_k)
+    else:
+        elems = F.array_distinct(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        )
+    hashed = F.array_distinct(
+        F.transform(
+            elems,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "bigint"
+            ),
+        )
+    )
+    spark = docs.sparkSession
+    want_parts = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < want_parts:
+        # Shingle hashing is the CPU-heavy per-row step; a small input
+        # (one parquet file) would otherwise evaluate it on one core.
+        # At scale the source already has >= cores partitions and this
+        # never fires — no gratuitous shuffle of big text.
+        docs = docs.repartition(want_parts)
+    toks = docs.select(
+        F.col(id_col).alias("id"), hashed.alias("raw")
+    ).filter(F.size("raw") > 0)
+    # the tokenize+hash projection feeds both the frequency agg and the
+    # per-doc sort — evaluate it once
+    toks = toks.localCheckpoint(eager=False)
+    flat = toks.select("id", F.explode("raw").alias("tok"))
+    freq = flat.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        flat.join(freq, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .select("id", "toks", F.size("toks").alias("n"))
+    )
+    ordered = ordered.localCheckpoint(eager=False)  # prefix + verify read it
+    # integer ceil: ceil(num*n/den) = (num*n + den - 1) div den
+    k = F.col("n") - ((F.col("n") * num + (den - 1)) / den).cast("long") + 1
+    pref = ordered.select(
+        "id", "n", F.explode(F.slice("toks", 1, k.cast("int"))).alias("tok")
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), "tok"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: |a∩b| ≤ min(na,nb), so J ≥ t needs
+            # t·na ≤ nb and t·nb ≤ na (integer cross-multiply)
+            & (F.col("na") * num <= F.col("nb") * den)
+            & (F.col("nb") * num <= F.col("na") * den)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    av = ordered.select(
+        F.col("id").alias("id_a"), F.col("toks").alias("ta"), F.col("n").alias("na")
+    )
+    bv = ordered.select(
+        F.col("id").alias("id_b"), F.col("toks").alias("tb"), F.col("n").alias("nb")
+    )
+    inter = F.size(F.array_intersect("ta", "tb"))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn("n_inter", inter.cast("long"))
+        .withColumn(
+            "n_union", (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long")
+        )
+        .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+        .select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "n_union",
+            F.round(F.col("n_inter") / F.col("n_union"), 6).alias("jaccard"),
+        )
+    )
+
+
 def minhash_index_coverage(store, index_name: str) -> dict:
     """Coverage watermark for the persisted index's PROBE PRUNING:
     the fraction of bands-table files that are band-clustered (staged

@@ -1451,6 +1451,67 @@ def dedup_minhash_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_jaccard_ssjoin",
+    f"""
+    -- EXACT set-similarity self-join (AllPairs/PPJoin prefix filter,
+    -- Bayardo et al. 2007): all doc pairs with shingle-set Jaccard
+    -- >= 0.8 — exact, unlike MinHash-LSH's probabilistic recall. The
+    -- oracle replicates the algorithm independently: global rarest-
+    -- first token order, prefix length n - ceil(0.8n) + 1, candidates
+    -- share a prefix token, exact integer cross-multiplied verify.
+    WITH sh AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS tok
+      FROM (SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle
+            FROM documents)
+    ),
+    freq AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+    ordered AS (
+      SELECT s.doc_id,
+             array_agg(s.tok ORDER BY f.df, s.tok) AS toks,
+             count(*) AS n
+      FROM sh s JOIN freq f USING (tok) GROUP BY s.doc_id
+    ),
+    pref AS (
+      SELECT doc_id, n,
+             unnest(toks[1 : CAST(n - ((n * 4 + 4) // 5) + 1 AS INT)]) AS tok
+      FROM ordered
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pref a JOIN pref b ON a.tok = b.tok
+      WHERE a.doc_id < b.doc_id
+        AND a.n * 4 <= b.n * 5 AND b.n * 4 <= a.n * 5
+    ),
+    v AS (
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(oa.toks, ob.toks)) AS BIGINT)
+               AS n_inter,
+             CAST(oa.n + ob.n - len(list_intersect(oa.toks, ob.toks))
+                  AS BIGINT) AS n_union
+      FROM cand c
+      JOIN ordered oa ON oa.doc_id = c.id_a
+      JOIN ordered ob ON ob.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, n_inter, n_union,
+           round(n_inter / CAST(n_union AS DOUBLE), 6) AS jaccard
+    FROM v WHERE n_inter * 5 >= n_union * 4
+    ORDER BY id_a, id_b
+    """,
+    "exact set-similarity self-join via AllPairs/PPJoin prefix "
+    "filtering: rarest-first global token order, only each doc's "
+    "n-ceil(tn)+1 prefix tokens generate candidates (tiny posting "
+    "lists), integer cross-multiplied Jaccard verify — no pair missed, "
+    "the exact counterpart of the MinHash-LSH miner",
+)
+def dedup_jaccard_ssjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return dedup.jaccard_similarity_join(
+        docs, threshold=0.8, shingle_k=3
+    ).orderBy("id_a", "id_b")
+
+
+@register(
     "dedup_minhash_refresh_events",
     f"""
     -- MinHash index MAINTENANCE lifecycle: build (band-clustered) ->
@@ -6947,6 +7008,7 @@ _register_profile_query()
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
     # round-11 additions: never driver-checked — top of the window.
+    "dedup_jaccard_ssjoin",
     "dedup_minhash_refresh_events",
     "store_txn_migration_events",
     # round-10 additions (first checked in r10 — keep early).

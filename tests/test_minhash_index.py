@@ -389,3 +389,47 @@ def test_streaming_sink_auto_refresh_keeps_coverage(spark, store, tmp_path):
         )
     ).collect()
     assert any(r["match_id"] == 205 and r["n_agree"] == 12 for r in hits)
+
+
+def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
+    """Prefix-filter ssjoin is EXACT: identical pair set to the O(n²)
+    brute force, including a pair sitting exactly AT the threshold
+    (integer cross-multiplied comparison — no float boundary loss)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    for i in range(40):
+        n = rng.randint(4, 12)
+        rows.append((i, " ".join(rng.sample(vocab, n))))
+    # exact-threshold pair: two 9-token docs sharing 8 -> J = 8/10 = 0.8
+    base = vocab[:8]
+    rows.append((100, " ".join(base + ["only100"])))
+    rows.append((101, " ".join(base + ["only101"])))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["n_union"])
+        for r in dedup.jaccard_similarity_join(docs, threshold=0.8).collect()
+    }
+    sets = {i: frozenset(t.split()) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if inter * 5 >= union * 4:
+            want[(a, b)] = (inter, union)
+    assert got == want
+    assert (100, 101) in got and got[(100, 101)] == (8, 10)
+    # lower threshold: still exactly the brute-force set
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_similarity_join(docs, threshold=0.5).collect()
+    }
+    want2 = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sets), 2)
+        if 2 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b])
+    }
+    assert got2 == want2 and got2 >= set(got)
