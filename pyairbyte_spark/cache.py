@@ -250,6 +250,14 @@ class SparkCache(Mapping):
             self.table_name(stream_name), deep=deep
         )
 
+    def maintenance_plan(self, stream_name: str, **thresholds) -> list[dict]:
+        """Table doctor for a cached stream: which maintenance actions
+        (compact / refresh_bloom / vacuum / resolve) are worth running,
+        from one metadata inspection (``writers.maintenance_plan``)."""
+        return self._acid_store().maintenance_plan(
+            self.table_name(stream_name), **thresholds
+        )
+
     def rebucket_stream(self, stream_name: str, n_buckets: int | None) -> dict:
         """Bucket-layout evolution: rewrite the stream's table with a
         new merge-bucket count (None = un-bucket) — the migration path

@@ -606,6 +606,20 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "get_maintenance_plan",
+            "Table doctor: which maintenance actions are worth running on "
+            "a cached stream's table (compact for dir sprawl or MoR "
+            "deletion-vector buildup, refresh_bloom for coverage decay, "
+            "vacuum for commit sprawl, resolve for a stuck txn head) — "
+            "one metadata inspection, no data I/O.",
+            {
+                "type": "object",
+                "properties": {"stream_name": {"type": "string"}},
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.get_maintenance_plan(h.cache, a["stream_name"]),
+        ),
+        ToolDef(
             "verify_table",
             "FSCK a cached stream's table: manifest resolution, data-file "
             "presence + size drift, DV/bloom sidecars, txn-decision "

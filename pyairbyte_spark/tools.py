@@ -129,6 +129,15 @@ def compact_table(
     return cache.compact(stream_name, sort_by=sort_by, target_files=target_files)
 
 
+def get_maintenance_plan(
+    cache: SparkCache, stream_name: str
+) -> list[dict[str, Any]]:
+    """Which maintenance actions are worth running on a cached
+    stream's table (compact / refresh_bloom / vacuum / resolve), from
+    one metadata inspection — the agent-facing table doctor."""
+    return cache.maintenance_plan(stream_name)
+
+
 def verify_table(
     cache: SparkCache, stream_name: str, *, deep: bool = False
 ) -> dict[str, Any]:

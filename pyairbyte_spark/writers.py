@@ -6856,6 +6856,108 @@ class CommitLogTableStore(TableStore):
             "orphan_dirs": orphans,
         }
 
+    def maintenance_plan(
+        self,
+        table_name: str,
+        *,
+        max_live_dirs: int = 8,
+        max_dv_files: int = 4,
+        min_bloom_coverage: float = 0.9,
+        max_retained_commits: int = 200,
+    ) -> list[dict]:
+        """Table doctor: inspect ONE snapshot's metadata and return the
+        maintenance actions worth running, each as ``{"action",
+        "reason"}`` (empty list = healthy). Signals, all O(manifest) —
+        no data I/O except the bloom-coverage metadata join:
+
+        - live data dirs > ``max_live_dirs`` → ``compact`` (manifest
+          size and read fan-out grow with dir count, not data size);
+        - MoR deletion vectors on > ``max_dv_files`` files →
+          ``compact`` (every read pays the anti-join until a rewrite
+          materializes them);
+        - bloom index coverage < ``min_bloom_coverage`` →
+          ``refresh_bloom`` (point lookups stop pruning the uncovered
+          tail);
+        - retained commits > ``max_retained_commits`` → ``vacuum``
+          (discovery and FSCK walk them; time travel rarely needs
+          hundreds);
+        - undecided txn prepare at the head older than the resolve
+          grace → informational ``resolve`` (the next writer will
+          force-abort it; nothing is wedged).
+
+        The cadence driver a cluster deployment would wire this into
+        is exactly the reference's sync-time maintenance hooks — here
+        it also powers the ``get_maintenance_plan`` MCP tool."""
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        _version, man = snap
+        recs: list[dict] = []
+        n_dirs = len(man.get("entries") or [])
+        if n_dirs > max_live_dirs:
+            recs.append(
+                {
+                    "action": "compact",
+                    "reason": f"{n_dirs} live data dirs (> {max_live_dirs}): "
+                    "manifest size and read fan-out grow per append",
+                }
+            )
+        dvs = man.get("delete_vectors") or []
+        if len(dvs) > max_dv_files:
+            recs.append(
+                {
+                    "action": "compact",
+                    "reason": f"deletion vectors on {len(dvs)} files "
+                    f"(> {max_dv_files}): every read pays the MoR "
+                    "anti-join until a rewrite materializes them",
+                }
+            )
+        if man.get("bloom_index"):
+            cov = self.bloom_coverage(table_name)
+            if cov and cov["files_total"]:
+                frac = cov["files_covered"] / cov["files_total"]
+                if frac < min_bloom_coverage:
+                    recs.append(
+                        {
+                            "action": "refresh_bloom",
+                            "reason": f"bloom coverage {frac:.0%} "
+                            f"(< {min_bloom_coverage:.0%}): "
+                            f"{cov['files_uncovered']} live files "
+                            "unprunable by point lookups",
+                        }
+                    )
+        try:
+            n_commits = sum(
+                1
+                for n in self.io.list_names(self._commits_dir(table_name))
+                if n.endswith(".json") and n[:-5].isdigit()
+            )
+        except Exception:
+            n_commits = 0
+        if n_commits > max_retained_commits:
+            recs.append(
+                {
+                    "action": "vacuum",
+                    "reason": f"{n_commits} retained commits "
+                    f"(> {max_retained_commits}): discovery, FSCK and "
+                    "chain resolution walk them",
+                }
+            )
+        raw = self._discover_latest(table_name)
+        if raw is not None and raw > snap[0]:
+            head = self._read_commit_json(table_name, raw)
+            gid = head.get("txn_group")
+            if gid is not None and self._group_verdict(gid) is None:
+                recs.append(
+                    {
+                        "action": "resolve",
+                        "reason": f"head slot v{raw} is an undecided txn "
+                        f"prepare (group {gid}); the next writer "
+                        "force-aborts it after the grace window",
+                    }
+                )
+        return recs
+
     def rebucket_table(
         self, table_name: str, n_buckets: int | None
     ) -> dict:

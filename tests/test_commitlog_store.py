@@ -782,3 +782,45 @@ def test_merge_replans_on_overlapping_append(spark, store):
     # merge's newer one (raw-id ordering: 'newer3' > ... latest wins
     # by extracted_at which current_timestamp gives the merge frame)
     assert len(got) == 16
+
+
+def test_maintenance_plan_signals(spark, store):
+    """Table doctor: healthy table -> empty plan; dir sprawl, DV
+    buildup, bloom decay, commit sprawl, and a stuck txn head each
+    produce their action with a concrete reason."""
+    store.write_merge(_df(spark, [(i, "v") for i in range(20)], "a"), "t", ["id"])
+    assert store.maintenance_plan("t") == []
+    # dir sprawl
+    for i in range(9):
+        store.write_append(_df(spark, [(100 + i, "x")], f"p{i}"), "t")
+    plan = store.maintenance_plan("t")
+    assert any(
+        p["action"] == "compact" and "live data dirs" in p["reason"]
+        for p in plan
+    )
+    store.compact("t")
+    assert store.maintenance_plan("t") == []
+    # MoR deletion-vector buildup (thresholds tightened to trip small)
+    store.delete_where("t", [("id", "=", 3)], mode="mor")
+    plan = store.maintenance_plan("t", max_dv_files=0)
+    assert any("deletion vectors" in p["reason"] for p in plan)
+    # bloom decay: build, then rewrite files out from under it
+    store.build_bloom_index("t", ["v"])
+    store.compact("t")  # new files, zero covered
+    plan = store.maintenance_plan("t")
+    assert any(p["action"] == "refresh_bloom" for p in plan)
+    store.build_bloom_index("t", ["v"], only_missing=True)
+    assert not any(
+        p["action"] == "refresh_bloom" for p in store.maintenance_plan("t")
+    )
+    # commit sprawl
+    plan = store.maintenance_plan("t", max_retained_commits=3)
+    assert any(p["action"] == "vacuum" for p in plan)
+    # stuck txn head (undecided prepare)
+    store.TXN_RESOLVE_GRACE_S = 0.2
+    txn = store.begin_txn()
+    txn.write_append(_df(spark, [(999, "z")], "zz"), "t")
+    txn.prepare()
+    plan = store.maintenance_plan("t")
+    assert any(p["action"] == "resolve" for p in plan)
+    txn.abort()
