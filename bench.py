@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     # (ADD COLUMN prepare + backfill merge in one txn group)
     "dedup_minhash_refresh_events",
     "store_txn_migration_events",
+    # round 11: kNN label vote (label-quality audit over embeddings)
+    "knn_label_vote",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

@@ -1759,6 +1759,98 @@ def ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_label_vote",
+    f"""
+    -- kNN CLASSIFIER evaluation over the embedding corpus: each query
+    -- vector takes its exact cosine top-10 (self excluded), neighbors
+    -- VOTE with their labels (ties: larger vote count wins, then the
+    -- smaller label — deterministic), and the row records whether the
+    -- vote recovers the query's own label. The training-data use:
+    -- label-quality auditing / weak-label propagation over embeddings.
+    WITH e AS (SELECT vec_id, label, {_VEC_DUCK} AS v FROM embeddings),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             a.label AS nl,
+             round(list_dot_product(q.v, a.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+      FROM e a, q WHERE a.vec_id != q.vec_id
+    ),
+    topk AS (
+      SELECT query_id, nl FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS rank FROM scored
+      ) WHERE rank <= 10
+    ),
+    votes AS (
+      SELECT query_id, nl, count(*) AS n FROM topk GROUP BY query_id, nl
+    ),
+    winner AS (
+      SELECT query_id, nl AS predicted, n FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY n DESC, nl
+        ) AS r FROM votes
+      ) WHERE r = 1
+    )
+    SELECT w.query_id,
+           CAST(q.label AS BIGINT) AS true_label,
+           CAST(w.predicted AS BIGINT) AS predicted_label,
+           CAST(w.n AS BIGINT) AS votes,
+           CAST(CASE WHEN w.predicted = q.label THEN 1 ELSE 0 END AS BIGINT)
+             AS correct
+    FROM winner w JOIN q ON q.vec_id = w.query_id
+    ORDER BY query_id
+    """,
+    "kNN label vote over embeddings: exact cosine top-10 per query "
+    "(broadcast queries, one corpus scan), neighbors vote their "
+    "labels, deterministic tie-break — label-quality audit / weak "
+    "supervision propagation",
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 97 == 0)
+    nn = similarity.brute_force_topk(emb, q, k=10)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    votes = (
+        nn.join(labels, "neighbor_id")
+        .groupBy("query_id", "nl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("nl"))
+    winner = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("nl").alias("predicted_label"),
+            F.col("n").alias("votes"),
+        )
+    )
+    truth = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        winner.join(truth, "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("predicted_label").cast("long"),
+            F.col("votes").cast("long"),
+            (F.col("predicted_label") == F.col("true_label"))
+            .cast("long")
+            .alias("correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
     "ann_lsh_bucketed_topk",
     f"""
     WITH e AS (
@@ -7009,6 +7101,7 @@ _register_profile_query()
 _DRIVER_PRIORITY = [
     # round-11 additions: never driver-checked — top of the window.
     "dedup_jaccard_ssjoin",
+    "knn_label_vote",
     "dedup_minhash_refresh_events",
     "store_txn_migration_events",
     # round-10 additions (first checked in r10 — keep early).
