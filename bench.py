@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "store_txn_migration_events",
     # round 11: kNN label vote (label-quality audit over embeddings)
     "knn_label_vote",
+    # round 11: write-audit-publish branch lifecycle (fork + 2 branch
+    # merges + fast-forward publish + endpoint-diff CDF)
+    "store_branch_wap_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

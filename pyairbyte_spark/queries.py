@@ -5908,6 +5908,90 @@ def store_rebucket_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_branch_wap_events",
+    """
+    -- Write-audit-publish over branch refs: base append on main, a
+    -- branch takes an update merge (value+100 where id%7=0) and a
+    -- delete merge (id%11=0), main stays byte-identical until ONE
+    -- publish commit fast-forwards it. Correct WAP is invisible in
+    -- the final data: the oracle is the same transform applied
+    -- directly.
+    WITH final AS (
+      SELECT event_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value + 100.0 ELSE value END
+               AS value
+      FROM events WHERE event_id % 11 <> 0)
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_value
+    FROM final GROUP BY event_type ORDER BY event_type
+    """,
+    "write-audit-publish: branch ref takes an update merge + a delete "
+    "merge invisibly, audit reads the branch, one publish commit "
+    "fast-forwards main — net CDF classified insert/update/delete "
+    "against the fork point",
+)
+def store_branch_wap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    base = ev.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("a"), F.col("event_id"))
+    ).withColumn(
+        "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-wap-"), "q"
+    )
+    store.write_append(base, "m", ["event_id"])
+    v0 = store.latest_version("m")
+
+    store.create_branch("m", "audit")
+    bv = store.branch("audit")
+    upd = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "value", F.col("value") + F.lit(100.0)
+    )
+    bv.merge_into(
+        "m", upd, ["event_id"], when_matched_update={"value": "s.value"}
+    )
+    bv.merge_into(
+        "m",
+        ev.filter(F.col("event_id") % 11 == 0).select("event_id"),
+        ["event_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    # AUDIT: main is still the unpublished base snapshot while the
+    # branch already holds the full candidate state.
+    assert store.latest_version("m") == v0
+    assert bv.read("m").count() < base.count()
+    v = store.publish_branch("m", "audit")
+    # the net change feed across the publish is classified exactly
+    kinds = {
+        r["_change_type"]
+        for r in store.read_changes("m", v0, v)
+        .select("_change_type")
+        .distinct()
+        .collect()
+    }
+    assert kinds == {"update_postimage", "delete"}, kinds
+    return (
+        store.read("m")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value"), 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _register_ivf_index_query() -> None:
     """The persistent-IVF path must produce EXACTLY what the in-memory
     ivf_topk produces for the same build parameters — so it registers
@@ -7100,6 +7184,7 @@ _register_profile_query()
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
     # round-11 additions: never driver-checked — top of the window.
+    "store_branch_wap_events",
     "dedup_jaccard_ssjoin",
     "knn_label_vote",
     "dedup_minhash_refresh_events",

@@ -975,20 +975,31 @@ class CommitLogTableStore(TableStore):
     def _visible_at_or_below(
         self, table_name: str, v: int
     ) -> tuple[int, dict] | None:
+        on_branch = self._branch is not None
+        floor = self._branch_info(table_name)["base"] if on_branch else None
         while v >= 1:
+            if on_branch and v <= floor:
+                # At/below the fork point a branch's history IS main's:
+                # fall through to the untagged walk.
+                on_branch = False
             cached = self._man_cache.get((table_name, v))
             header = (
                 cached
                 if cached is not None
                 else self._read_commit_json(table_name, v)
             )
-            gid = header.get("txn_group")
-            if gid is None or self._group_verdict(gid) == "commit":
-                return v, (
-                    cached
-                    if cached is not None
-                    else self._read_manifest(table_name, v)
-                )
+            if (
+                self._ref_match(table_name, header)
+                if on_branch
+                else header.get("branch") is None
+            ):
+                gid = header.get("txn_group")
+                if gid is None or self._group_verdict(gid) == "commit":
+                    return v, (
+                        cached
+                        if cached is not None
+                        else self._read_manifest(table_name, v)
+                    )
             v -= 1
         return None
 
@@ -1066,6 +1077,11 @@ class CommitLogTableStore(TableStore):
         read window that per-table atomicity alone leaves open
         (:meth:`snapshot` pins are the READ-side half; this is the
         WRITE side)."""
+        if self._branch is not None:
+            raise ValueError(
+                "multi-table txn groups are main-ref only; a branch IS "
+                "a staging area — publish_branch is its atomic flip"
+            )
         return MultiTableTxn(self, group_id)
 
     def txn_group_status(self, group_id: str) -> str:
@@ -1146,9 +1162,298 @@ class CommitLogTableStore(TableStore):
             "kept_recent": kept_recent,
         }
 
+    # -- branches & tags (named refs) ----------------------------------------
+    # Iceberg-style refs over the same commit log: a BRANCH is a named
+    # fork for write-audit-publish (writes land as commits tagged with
+    # the branch name + the ref's incarnation id, permanently invisible
+    # to main readers; publish fast-forwards main with ONE ordinary
+    # commit), a TAG is an immutable named version pin. Refs live as
+    # tiny JSON files under <table>/_refs/ created with the same
+    # conditional PUT as commits. Branch commits claim slots from the
+    # shared version sequence — writers on any ref slide past commits
+    # that can never be visible on THEIR ref, so main and N branches
+    # interleave in one log without coordination. The incarnation id
+    # makes drop+recreate safe: commits of a dead incarnation never
+    # resurrect into a new branch of the same name.
+    # Reference point: the reference's whole-sync temp-table staging
+    # (airbyte/shared/sql_processor.py:1061-1087) is per-table WAP with
+    # no audit step; this is the table-graph version with one.
+
+    _REFS_DIR = "_refs"
+    _branch: "str | None" = None  # main view; branch views override
+
+    def _refs_dir(self, table_name: str) -> str:
+        return os.path.join(self.table_path(table_name), self._REFS_DIR)
+
+    def _ref_path(self, table_name: str, name: str) -> str:
+        return os.path.join(self._refs_dir(table_name), f"{name}.json")
+
+    @staticmethod
+    def _check_ref_name(name: str) -> None:
+        if name == "main" or not re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+            raise ValueError(
+                f"invalid ref name {name!r} (alnum/._- up to 64 chars, "
+                "'main' is reserved)"
+            )
+
+    def _read_ref(self, table_name: str, name: str) -> dict:
+        try:
+            return json.loads(
+                self.io.read_text(self._ref_path(table_name, name))
+            )
+        except OSError as e:
+            raise FileNotFoundError(
+                f"table {table_name!r} has no ref {name!r}"
+            ) from e
+
+    def _branch_info(self, table_name: str) -> dict:
+        """The branch view's ref record for ``table_name`` — read once
+        per (view, table) and pinned: the view stays on the incarnation
+        it was opened against even if the name is dropped/recreated."""
+        info = self._branch_refs.get(table_name)
+        if info is None:
+            info = self._read_ref(table_name, self._branch)
+            if info.get("type") != "branch":
+                raise ValueError(
+                    f"ref {self._branch!r} of {table_name!r} is a tag, "
+                    "not a branch"
+                )
+            self._branch_refs[table_name] = info
+        return info
+
+    def _ref_match(self, table_name: str, header: dict) -> bool:
+        """Does this commit belong to the current view's ref tip chain?
+        Main: untagged commits only. Branch: commits stamped with this
+        branch name AND incarnation id."""
+        if self._branch is None:
+            return header.get("branch") is None
+        info = self._branch_info(table_name)
+        return (
+            header.get("branch") == self._branch
+            and header.get("branch_ref") == info["id"]
+        )
+
+    def create_branch(
+        self, table_name: str, name: str, *, at_version: int | None = None
+    ) -> dict:
+        """Fork a named branch at the current visible head (or an
+        explicit readable ``at_version``). Creation is one conditional
+        PUT of a ~100-byte ref file — no data moves. Raises if the ref
+        name exists."""
+        if self._branch is not None:
+            raise ValueError("create branches from the main view")
+        self._check_ref_name(name)
+        if at_version is not None:
+            self._require_visible(
+                table_name,
+                at_version,
+                self._read_commit_json(table_name, at_version),
+            )
+            base = at_version
+        else:
+            base = self._visible_head_version(table_name)
+            if base is None:
+                raise FileNotFoundError(
+                    f"table {table_name!r} does not exist"
+                )
+        ref = {
+            "type": "branch",
+            "base": base,
+            "id": uuid.uuid4().hex,
+            "ts": int(time.time()),
+        }
+        self.io.makedirs(self._refs_dir(table_name))
+        if not self.io.put_if_absent(
+            self._ref_path(table_name, name), json.dumps(ref)
+        ):
+            raise ValueError(
+                f"ref {name!r} already exists on {table_name!r}"
+            )
+        return ref
+
+    def branch(self, name: str) -> "CommitLogTableStore":
+        """A VIEW of this store pinned to branch ``name``: the full
+        read + DML surface (read/read_where/append/replace/merge/
+        delete/update/optimize/...) operates on the branch's tip, never
+        touching main. Shares the parent's session, FileIO and caches;
+        only the ref context differs. Multi-table txn groups stay
+        main-only (a branch IS the staging area — publish is the
+        atomicity point)."""
+        import copy as _copy
+
+        if self._branch is not None:
+            raise ValueError("already a branch view; branch from main")
+        self._check_ref_name(name)
+        view = _copy.copy(self)
+        view._branch = name
+        view._branch_refs = {}
+        return view
+
+    def refs(self, table_name: str) -> dict[str, dict]:
+        """All named refs of ``table_name`` (branches + tags)."""
+        try:
+            names = self.io.list_names(self._refs_dir(table_name))
+        except OSError:
+            return {}
+        return {
+            n[:-5]: self._read_ref(table_name, n[:-5])
+            for n in sorted(names)
+            if n.endswith(".json")
+        }
+
+    def branch_head(self, table_name: str, name: str) -> int:
+        """The branch's current tip version (its base while the branch
+        has no commits of its own)."""
+        snap = self.branch(name)._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        return snap[0]
+
+    def drop_branch(self, table_name: str, name: str) -> None:
+        """Delete the ref. The branch's commits stay in the log as an
+        audit trail (invisible on every ref) until vacuum's horizon
+        passes them — dropping the ref is what releases vacuum's
+        retention floor."""
+        ref = self._read_ref(table_name, name)
+        if ref.get("type") != "branch":
+            raise ValueError(f"ref {name!r} is a tag; use drop_tag")
+        self.io.delete_file(self._ref_path(table_name, name))
+
+    def publish_branch(
+        self, table_name: str, name: str, *, drop: bool = True
+    ) -> int:
+        """Write-audit-publish, the publish half: fast-forward main to
+        the branch tip with ONE ordinary main commit whose manifest is
+        the branch head's (op ``publish_branch``). Atomic like every
+        commit — readers see all audited changes or none; the change
+        feed classifies the publish against main's head exactly (the
+        branch forked from it). Fast-forward only: if main advanced
+        past the fork point the publish raises instead of silently
+        merging unaudited state (re-fork and re-audit). Returns the
+        published main version; no-op (returns main head) when the
+        branch has no commits."""
+        view = self.branch(name)
+        bh = view._latest_commit(table_name)
+        if bh is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        bh_v, bh_man = bh
+        base = view._branch_info(table_name)["base"]
+        if bh_v <= base:  # nothing ever landed on the branch
+            if drop:
+                self.drop_branch(table_name, name)
+            return base
+        # CDF pairing keys for the publish commit: merge_keys are
+        # per-commit (not carried), so recover the newest ones recorded
+        # anywhere on the branch — without them the feed's endpoint
+        # diff falls back to the unpaired digest and misses deletes.
+        pub_keys = bh_man.get("merge_keys")
+        w = bh_v - 1
+        while pub_keys is None and w > base:
+            try:
+                hdr = self._read_commit_json(table_name, w)
+            except FileNotFoundError:
+                break
+            if hdr.get("branch") == name:
+                pub_keys = hdr.get("merge_keys")
+            w -= 1
+        for _attempt in range(self._COMMIT_RETRIES):
+            snap = self._latest_commit(table_name)
+            main_v = snap[0] if snap else 0
+            if main_v != base:
+                raise ConcurrentCommitError(
+                    f"cannot fast-forward {table_name!r} to branch "
+                    f"{name!r}: main advanced {base}->{main_v} past the "
+                    "fork point; re-create the branch and re-audit"
+                )
+            manifest = {
+                k: v
+                for k, v in bh_man.items()
+                if k not in ("branch", "branch_ref", "version", "op", "ts")
+            }
+            manifest = {
+                "op": "publish_branch",
+                "published_branch": name,
+                "published_version": bh_v,
+                **manifest,
+                **(
+                    {"merge_keys": pub_keys}
+                    if pub_keys and not manifest.get("primary_keys")
+                    else {}
+                ),
+            }
+            try:
+                landed = self._commit(table_name, manifest, main_v + 1)
+                if drop:
+                    self.drop_branch(table_name, name)
+                return landed
+            except ConcurrentCommitError:
+                self._retry_pause(_attempt)
+                continue  # re-read main; the base check decides
+        raise ConcurrentCommitError(
+            f"publish of branch {name!r} to {table_name!r} lost "
+            f"{self._COMMIT_RETRIES} commit races"
+        )
+
+    def create_tag(
+        self, table_name: str, name: str, *, version: int | None = None
+    ) -> dict:
+        """Pin a readable snapshot under an immutable name (release
+        audits, eval sets). Tagged versions hold vacuum's retention
+        floor until the tag is dropped."""
+        self._check_ref_name(name)
+        v = (
+            version
+            if version is not None
+            else self._visible_head_version(table_name)
+        )
+        if v is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        self._require_visible(
+            table_name, v, self._read_commit_json(table_name, v)
+        )
+        ref = {"type": "tag", "version": v, "ts": int(time.time())}
+        self.io.makedirs(self._refs_dir(table_name))
+        if not self.io.put_if_absent(
+            self._ref_path(table_name, name), json.dumps(ref)
+        ):
+            raise ValueError(
+                f"ref {name!r} already exists on {table_name!r}"
+            )
+        return ref
+
+    def read_tag(self, table_name: str, name: str) -> DataFrame:
+        ref = self._read_ref(table_name, name)
+        if ref.get("type") != "tag":
+            raise ValueError(f"ref {name!r} is a branch; use branch()")
+        return self.read_version(table_name, ref["version"])
+
+    def drop_tag(self, table_name: str, name: str) -> None:
+        ref = self._read_ref(table_name, name)
+        if ref.get("type") != "tag":
+            raise ValueError(f"ref {name!r} is a branch; use drop_branch")
+        self.io.delete_file(self._ref_path(table_name, name))
+
+    def _ref_retention_floor(self, table_name: str) -> int | None:
+        """The oldest version any live ref pins (branch fork bases, tag
+        versions) — vacuum keeps the contiguous window down to it so
+        branch fallback reads and tag reads stay resolvable."""
+        floors = []
+        for ref in self.refs(table_name).values():
+            if ref.get("type") == "branch":
+                floors.append(ref["base"])
+            elif ref.get("type") == "tag":
+                floors.append(ref["version"])
+        return min(floors) if floors else None
+
     def _require_visible(
         self, table_name: str, version: int, man: dict
     ) -> None:
+        br = man.get("branch")
+        if br is not None and br != self._branch:
+            raise ValueError(
+                f"version {version} of {table_name!r} belongs to branch "
+                f"{br!r} and is not a snapshot on this ref"
+            )
         gid = man.get("txn_group")
         if gid is None:
             return
@@ -1246,6 +1551,21 @@ class CommitLogTableStore(TableStore):
         """
         from pyairbyte_spark import manifest as mf
 
+        if self._branch is not None:
+            if manifest.get("txn_group"):
+                raise ValueError(
+                    "multi-table txn groups are main-ref only; a branch "
+                    "IS a staging area — publish_branch is its atomic "
+                    "visibility flip"
+                )
+            # Stamp name + incarnation id: ref-tip walks match on both,
+            # so commits of a dropped branch can never resurrect into a
+            # recreated branch of the same name.
+            manifest = {
+                **manifest,
+                "branch": self._branch,
+                "branch_ref": self._branch_info(table_name)["id"],
+            }
         to_store = manifest
         if (
             version > 1
@@ -1278,13 +1598,23 @@ class CommitLogTableStore(TableStore):
                 self.io.delete_file(
                     os.path.join(self._commits_dir(table_name), sidecar)
                 )
-            occ_gid = None
+            occ = None
             try:
-                occ_gid = self._read_commit_json(table_name, attempt).get(
-                    "txn_group"
-                )
+                occ = self._read_commit_json(table_name, attempt)
             except FileNotFoundError:
                 pass  # occupant vanished (vacuum race): plain conflict
+            if occ is not None and (
+                occ.get("branch") != manifest.get("branch")
+                or occ.get("branch_ref") != manifest.get("branch_ref")
+            ):
+                # The occupant lives on a different ref (a branch
+                # commit under a main writer, or vice versa): it can
+                # never be visible HERE, so it is dead space on this
+                # ref's number line — slide past without resolving or
+                # conflicting (same reasoning as aborted prepares).
+                attempt += 1
+                continue
+            occ_gid = occ.get("txn_group") if occ is not None else None
             if occ_gid is not None and self._resolve_group(occ_gid) == "abort":
                 attempt += 1  # slide past the invisible slot
                 continue
@@ -1884,6 +2214,10 @@ class CommitLogTableStore(TableStore):
             gid = cj.get("txn_group")
             if gid is not None and self._group_verdict(gid) != "commit":
                 continue  # aborted/undecided prepare: never a snapshot
+            if cj.get("branch") is not None and not self._ref_match(
+                table_name, cj
+            ):
+                continue  # another ref's commit: never a snapshot here
             if (cj.get("ts") or 0) <= target:
                 best = v
         if best is None:
@@ -2376,14 +2710,23 @@ class CommitLogTableStore(TableStore):
         raw = self._discover_latest(table_name)
         if raw is None:
             return None
+        on_branch = self._branch is not None
+        floor = self._branch_info(table_name)["base"] if on_branch else None
         v = raw
         while v >= 1:
+            if on_branch and v <= floor:
+                on_branch = False  # below the fork: main's history
             head = self._man_cache.get(
                 (table_name, v)
             ) or self._read_commit_json(table_name, v)
-            gid = head.get("txn_group")
-            if gid is None or self._group_verdict(gid) == "commit":
-                return v
+            if (
+                self._ref_match(table_name, head)
+                if on_branch
+                else head.get("branch") is None
+            ):
+                gid = head.get("txn_group")
+                if gid is None or self._group_verdict(gid) == "commit":
+                    return v
             v -= 1
         return None
 
@@ -2975,6 +3318,14 @@ class CommitLogTableStore(TableStore):
                     if m.get("txn_group")
                     else {}
                 ),
+                # Branch commits stay in the log as the audit trail of
+                # their ref; the tag says which history they belong to.
+                **({"branch": m["branch"]} if m.get("branch") else {}),
+                **(
+                    {"published_branch": m["published_branch"]}
+                    if m.get("published_branch")
+                    else {}
+                ),
             }
             if "entries_ref" in m:  # parquet-checkpointed full manifest
                 rec["n_entries"] = m.get("n_entries")
@@ -3406,6 +3757,14 @@ class CommitLogTableStore(TableStore):
             # Aborted (or still-undecided) multi-table-txn prepare: the
             # slot exists but its rows never became visible — no change.
             return None
+        if (man.get("branch") is not None) != (self._branch is not None) or (
+            man.get("branch") is not None
+            and not self._ref_match(table_name, man)
+        ):
+            # Another ref's commit: its rows never became visible on
+            # this ref (publish_branch is where branch work enters
+            # main's change feed, classified against the fork point).
+            return None
         # Diff against the nearest VISIBLE version below v: an aborted
         # prepare occupying v-1 was never this commit's logical parent
         # (writers always base on the visible head, so nearest-visible
@@ -3658,6 +4017,59 @@ class CommitLogTableStore(TableStore):
             if include_preimages:
                 # The replaced rows' PRIOR values, paired by primary
                 # key with the emitted post-images.
+                pre = _tag(
+                    old_rows.join(
+                        upd_post.select(*pks).distinct(),
+                        on=pks,
+                        how="left_semi",
+                    ),
+                    "update_preimage",
+                )
+                out = out.unionByName(pre, allowMissingColumns=True)
+            return out
+
+        if op == "publish_branch":
+            # Fast-forward publish: ONE exact endpoint diff — the fork
+            # base (= nearest visible-below, by the fast-forward check)
+            # vs the published branch tip. Whatever mix of appends /
+            # merges / deletes landed on the branch, the feed reports
+            # only the NET row changes, classified on the recorded
+            # keys; audit-rejected intermediate states never leak.
+            new_rows = self._entries_df(
+                table_name, man.get("entries") or [], dv_man=man
+            )
+            if not prev_entries:
+                return _tag(new_rows, "insert")
+            old_rows = self._entries_df(table_name, prev_entries, dv_man=prev)
+            new_d = new_rows.withColumn("__d", self._row_digest(new_rows))
+            old_d = old_rows.withColumn("__d", self._row_digest(old_rows))
+            pks = man.get("primary_keys") or man.get("merge_keys")
+            if not pks:
+                changed = new_d.join(
+                    old_d.select("__d").distinct(), on="__d", how="left_anti"
+                )
+                return _tag(changed.drop("__d"), "upsert")
+            old_keys = old_rows.select(*pks).distinct()
+            changed = new_d.join(
+                old_d.select(*pks, "__d").distinct(),
+                on=[*pks, "__d"],
+                how="left_anti",
+            ).drop("__d")
+            inserts = _tag(
+                changed.join(old_keys, on=pks, how="left_anti"), "insert"
+            )
+            upd_post = changed.join(old_keys, on=pks, how="left_semi")
+            out = inserts.unionByName(
+                _tag(upd_post, "update_postimage"), allowMissingColumns=True
+            )
+            deleted = _tag(
+                old_rows.join(
+                    new_rows.select(*pks).distinct(), on=pks, how="left_anti"
+                ),
+                "delete",
+            )
+            out = out.unionByName(deleted, allowMissingColumns=True)
+            if include_preimages:
                 pre = _tag(
                     old_rows.join(
                         upd_post.select(*pks).distinct(),
@@ -6099,6 +6511,15 @@ class CommitLogTableStore(TableStore):
             vis_name = f"{snap_vis[0]:020d}.json"
             if vis_name in names and vis_name not in keep:
                 keep = names[names.index(vis_name):]
+        # Live refs pin the horizon: a branch's fallback read resolves
+        # its fork-point base, a tag reads its pinned version — the
+        # contiguous-from-newest window extends down to the oldest such
+        # floor (drop stale branches/tags to release it).
+        ref_floor = self._ref_retention_floor(table_name)
+        if ref_floor is not None:
+            floor_name = f"{ref_floor:020d}.json"
+            if floor_name in names and floor_name not in keep:
+                keep = names[names.index(floor_name):]
         # Delta chains: the oldest kept commit may resolve through
         # versions about to be deleted. Checkpoint it first — rewrite
         # its stored form as the resolved FULL manifest (byte change,

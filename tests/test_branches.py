@@ -1,0 +1,335 @@
+"""Branches & tags (named refs) over the commit log — write-audit-
+publish (WAP) for the table store.
+
+A BRANCH is a named fork: its commits claim slots from the same
+per-table version sequence but carry a ``branch`` + incarnation-id
+stamp that keeps them permanently invisible on main (and on every
+other ref); ``publish_branch`` fast-forwards main with ONE ordinary
+commit. A TAG pins a readable version under an immutable name. Both
+refs hold vacuum's retention floor while they live.
+
+Reference point: the reference stages each stream in a temp table and
+swaps it in per-table (``airbyte/shared/sql_processor.py:1061-1087``)
+— per-table WAP with no audit step and no cross-writer isolation;
+this layer adds the audit window, exact CDF across the publish, and
+multi-writer interleaving on one log.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.writers import (
+    CommitLogTableStore,
+    ConcurrentCommitError,
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, v string").coalesce(1)
+
+
+def _vals(df):
+    return sorted((r["id"], r["v"]) for r in df.select("id", "v").collect())
+
+
+# -- branch isolation ---------------------------------------------------------
+
+
+def test_branch_writes_invisible_on_main(spark, store):
+    store.write_append(_df(spark, [(1, "a"), (2, "b")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(3, "c")]), "t", ["id"])
+    bv.merge_into(
+        "t",
+        _df(spark, [(2, "B")]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    assert _vals(store.read("t")) == [(1, "a"), (2, "b")]
+    assert _vals(bv.read("t")) == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_branch_without_commits_reads_fork_base(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    # main advances AFTER the fork: the branch must not see it
+    store.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    bv = store.branch("audit")
+    assert _vals(bv.read("t")) == [(1, "a")]
+    assert store.branch_head("t", "audit") == 1
+
+
+def test_main_cannot_time_travel_into_branch(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    v = store.branch_head("t", "audit")
+    with pytest.raises(ValueError, match="belongs to branch"):
+        store.read_version("t", v)
+    # ...but the branch view reads main history below its fork point
+    assert _vals(bv.read_version("t", 1)) == [(1, "a")]
+
+
+def test_ref_name_validation_and_exclusive_create(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    with pytest.raises(ValueError, match="invalid ref name"):
+        store.create_branch("t", "main")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        store.create_branch("t", "a/b")
+    store.create_branch("t", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_branch("t", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        store.create_tag("t", "x")
+
+
+# -- publish (the WAP flip) ---------------------------------------------------
+
+
+def test_publish_fast_forwards_main_atomically(spark, store):
+    store.write_append(_df(spark, [(1, "a"), (4, "d")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(3, "c")]), "t", ["id"])
+    bv.merge_into(
+        "t",
+        _df(spark, [(1, "A")]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    bv.delete_where("t", [[("id", "=", 4)]], mode="mor")
+    v = store.publish_branch("t", "audit")
+    assert store.latest_version("t") == v
+    assert _vals(store.read("t")) == [(1, "A"), (3, "c")]
+    # ref dropped by default after publish
+    assert "audit" not in store.refs("t")
+
+
+def test_publish_cdf_is_exact_endpoint_diff(spark, store):
+    store.write_append(_df(spark, [(1, "a"), (2, "b"), (4, "d")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(3, "c")]), "t", ["id"])
+    bv.merge_into(
+        "t",
+        _df(spark, [(2, "B")]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    bv.delete_where("t", [[("id", "=", 4)]], mode="mor")
+    v = store.publish_branch("t", "audit")
+    ch = store.read_changes("t", 1, v)
+    got = sorted(
+        (r["id"], r["v"], r["_change_type"])
+        for r in ch.select("id", "v", "_change_type").collect()
+    )
+    # NET changes only — audit-rejected intermediates never leak, and
+    # the branch's three commits collapse into one classified diff.
+    assert got == [
+        (2, "B", "update_postimage"),
+        (3, "c", "insert"),
+        (4, "d", "delete"),
+    ]
+    assert all(
+        r["_commit_version"] == v
+        for r in ch.select("_commit_version").collect()
+    )
+
+
+def test_publish_refuses_diverged_main(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    store.write_append(_df(spark, [(9, "z")]), "t", ["id"])  # main moves
+    with pytest.raises(ConcurrentCommitError, match="fast-forward"):
+        store.publish_branch("t", "audit")
+    # nothing published, branch still live for re-audit bookkeeping
+    assert _vals(store.read("t")) == [(1, "a"), (9, "z")]
+    assert "audit" in store.refs("t")
+
+
+def test_publish_empty_branch_is_noop(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    assert store.publish_branch("t", "audit") == 1
+    assert "audit" not in store.refs("t")
+
+
+# -- interleaving on one log --------------------------------------------------
+
+
+def test_main_and_branch_writers_interleave(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    # alternate refs: each writer slides past the other's slots
+    bv.write_append(_df(spark, [(10, "b0")]), "t", ["id"])
+    store.write_append(_df(spark, [(20, "m0")]), "t", ["id"])
+    bv.write_append(_df(spark, [(11, "b1")]), "t", ["id"])
+    store.write_append(_df(spark, [(21, "m1")]), "t", ["id"])
+    assert _vals(store.read("t")) == [(1, "a"), (20, "m0"), (21, "m1")]
+    assert _vals(bv.read("t")) == [(1, "a"), (10, "b0"), (11, "b1")]
+
+
+def test_concurrent_main_and_branch_appends_thread(spark, store):
+    store.write_append(_df(spark, [(0, "seed")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    errs = []
+
+    def run(view, lo, pre):
+        try:
+            for i in range(3):
+                view.write_append(
+                    _df(spark, [(lo + i, f"{pre}{i}")]), "t", ["id"]
+                )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [
+        threading.Thread(target=run, args=(store, 100, "m")),
+        threading.Thread(target=run, args=(bv, 200, "b")),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    main_ids = [i for i, _ in _vals(store.read("t"))]
+    branch_ids = [i for i, _ in _vals(bv.read("t"))]
+    assert main_ids == [0, 100, 101, 102]
+    assert branch_ids == [0, 200, 201, 202]
+
+
+# -- drop / recreate safety ---------------------------------------------------
+
+
+def test_dropped_branch_commits_never_resurrect(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "x")
+    old = store.branch("x")
+    old.write_append(_df(spark, [(9, "dead")]), "t", ["id"])
+    store.drop_branch("t", "x")
+    store.create_branch("t", "x")  # same name, new incarnation
+    fresh = store.branch("x")
+    assert _vals(fresh.read("t")) == [(1, "a")]
+    # the pinned old view keeps ITS incarnation (no cross-talk)
+    assert (9, "dead") in _vals(old.read("t"))
+
+
+def test_txn_groups_are_main_only(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    with pytest.raises(ValueError, match="main-ref only"):
+        bv.begin_txn()
+    with pytest.raises(ValueError, match="main-ref only"):
+        bv.write_append(
+            _df(spark, [(2, "b")]), "t", ["id"], txn_group="g-1"
+        )
+
+
+# -- tags ---------------------------------------------------------------------
+
+
+def test_tag_pins_and_survives_later_writes(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_tag("t", "rel1")
+    store.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    assert _vals(store.read_tag("t", "rel1")) == [(1, "a")]
+    store.drop_tag("t", "rel1")
+    assert store.refs("t") == {}
+    with pytest.raises(FileNotFoundError):
+        store.read_tag("t", "rel1")
+
+
+def test_tag_and_branch_namespaces_are_type_checked(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_tag("t", "rel1")
+    store.create_branch("t", "dev")
+    with pytest.raises(ValueError, match="is a tag"):
+        store.branch("rel1").read("t")
+    with pytest.raises(ValueError, match="is a branch"):
+        store.read_tag("t", "dev")
+    with pytest.raises(ValueError, match="is a tag"):
+        store.drop_branch("t", "rel1")
+    with pytest.raises(ValueError, match="is a branch"):
+        store.drop_tag("t", "dev")
+
+
+# -- retention ----------------------------------------------------------------
+
+
+def test_vacuum_respects_ref_retention_floor(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_tag("t", "rel1")  # pins version 1
+    for i in range(2, 6):
+        store.write_replace(_df(spark, [(i, f"v{i}")]), "t", ["id"])
+    store.vacuum("t", keep_commits=1)
+    # the tag held the whole window: version 1 still reads
+    assert _vals(store.read_tag("t", "rel1")) == [(1, "a")]
+    store.drop_tag("t", "rel1")
+    store.vacuum("t", keep_commits=1)
+    with pytest.raises((FileNotFoundError, Exception)):
+        _vals(store.read_version("t", 1))
+
+
+def test_vacuum_keeps_live_branch_fallback(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "slow")  # fork base = 1
+    for i in range(2, 6):
+        store.write_replace(_df(spark, [(i, f"v{i}")]), "t", ["id"])
+    store.vacuum("t", keep_commits=1)
+    # the branch's fallback read (no branch commits) is its fork base
+    assert _vals(store.branch("slow").read("t")) == [(1, "a")]
+
+
+# -- history + timestamp travel ----------------------------------------------
+
+
+def test_history_annotates_branch_commits(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    store.publish_branch("t", "audit")
+    hist = {h["version"]: h for h in store.history("t")}
+    assert hist[2]["branch"] == "audit"
+    assert hist[3]["op"] == "publish_branch"
+    assert hist[3]["published_branch"] == "audit"
+    assert "branch" not in hist[3]
+
+
+def test_timestamp_travel_skips_other_refs(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    store.branch("audit").write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    # main's TIMESTAMP AS OF must resolve to version 1, not the newer
+    # branch commit
+    v = store.version_at_timestamp("t", 2**31)
+    assert v == 1
+
+
+def test_branch_change_feed_sees_only_branch_commits(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    store.write_append(_df(spark, [(9, "m")]), "t", ["id"])
+    bch = bv.read_changes("t", 1)
+    assert sorted(
+        (r["id"], r["_change_type"])
+        for r in bch.select("id", "_change_type").collect()
+    ) == [(2, "insert")]
