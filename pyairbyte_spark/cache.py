@@ -267,6 +267,65 @@ class SparkCache(Mapping):
             self.table_name(stream_name), n_buckets
         )
 
+    def create_stream_branch(
+        self, stream_name: str, branch: str, *, at_version: int | None = None
+    ) -> dict:
+        """Fork a write-audit-publish branch of the stream's table
+        (one ~100-byte ref PUT; no data moves). Write the candidate
+        state via ``branch_stream_writer``, audit it with
+        ``read_stream_branch``, then ``publish_stream_branch``."""
+        return self._acid_store().create_branch(
+            self.table_name(stream_name), branch, at_version=at_version
+        )
+
+    def read_stream_branch(self, stream_name: str, branch: str):
+        """The branch's CANDIDATE state (main readers never see it)."""
+        return (
+            self._acid_store()
+            .branch(branch)
+            .read(self.table_name(stream_name))
+        )
+
+    def branch_stream_writer(self, branch: str):
+        """The store view pinned to ``branch``: full DML surface
+        (append/replace/merge/delete/update/optimize) against the fork,
+        invisible on main until publish."""
+        return self._acid_store().branch(branch)
+
+    def publish_stream_branch(
+        self, stream_name: str, branch: str, *, drop: bool = True
+    ) -> int:
+        """Fast-forward main to the audited branch tip with ONE commit
+        (refuses if main diverged past the fork). Returns the published
+        main version."""
+        return self._acid_store().publish_branch(
+            self.table_name(stream_name), branch, drop=drop
+        )
+
+    def drop_stream_branch(self, stream_name: str, branch: str) -> None:
+        """Abandon an audit branch (releases vacuum's retention floor;
+        the branch's commits age out as ordinary dead slots)."""
+        self._acid_store().drop_branch(self.table_name(stream_name), branch)
+
+    def stream_refs(self, stream_name: str) -> dict:
+        """All named refs (branches + tags) of the stream's table."""
+        return self._acid_store().refs(self.table_name(stream_name))
+
+    def create_stream_tag(
+        self, stream_name: str, tag: str, *, version: int | None = None
+    ) -> dict:
+        """Pin a readable snapshot under an immutable name (release
+        audit / eval-set freeze); holds vacuum's floor until dropped."""
+        return self._acid_store().create_tag(
+            self.table_name(stream_name), tag, version=version
+        )
+
+    def read_stream_tag(self, stream_name: str, tag: str):
+        return self._acid_store().read_tag(self.table_name(stream_name), tag)
+
+    def drop_stream_tag(self, stream_name: str, tag: str) -> None:
+        self._acid_store().drop_tag(self.table_name(stream_name), tag)
+
     def rename_stream_column(self, stream_name: str, old: str, new: str) -> int:
         """Metadata-only column rename (zero data I/O)."""
         return self._acid_store().rename_column(

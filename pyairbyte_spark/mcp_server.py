@@ -656,6 +656,70 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "create_table_branch",
+            "Fork a write-audit-publish branch of a cached stream's "
+            "table: candidate writes land on the branch invisibly while "
+            "main keeps serving the audited state. One tiny ref PUT; no "
+            "data moves.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "branch": {"type": "string"},
+                },
+                "required": ["stream_name", "branch"],
+            },
+            lambda h, a: t.create_table_branch(
+                h.cache, a["stream_name"], a["branch"]
+            ),
+        ),
+        ToolDef(
+            "publish_table_branch",
+            "Publish an audited branch: fast-forward main to the branch "
+            "tip with ONE atomic commit (refused if main diverged past "
+            "the fork point). Set drop=false to keep the ref.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "branch": {"type": "string"},
+                    "drop": {"type": "boolean"},
+                },
+                "required": ["stream_name", "branch"],
+            },
+            lambda h, a: t.publish_table_branch(
+                h.cache, a["stream_name"], a["branch"],
+                drop=a.get("drop", True),
+            ),
+        ),
+        ToolDef(
+            "drop_table_branch",
+            "Abandon an audit branch without publishing (releases the "
+            "vacuum retention floor the ref was holding).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "branch": {"type": "string"},
+                },
+                "required": ["stream_name", "branch"],
+            },
+            lambda h, a: t.drop_table_branch(
+                h.cache, a["stream_name"], a["branch"]
+            ),
+        ),
+        ToolDef(
+            "list_table_refs",
+            "All named refs of a cached stream's table: write-audit-"
+            "publish branches (with fork base) and version tags.",
+            {
+                "type": "object",
+                "properties": {"stream_name": {"type": "string"}},
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.list_table_refs(h.cache, a["stream_name"]),
+        ),
+        ToolDef(
             "find_near_duplicates",
             "Near-duplicate check at ingest: probe the stream's persisted "
             "MinHash-LSH index (O(touched buckets)) for docs similar to the "

@@ -457,3 +457,39 @@ def get_bloom_coverage(
     live files the point-lookup index covers (compactions and COW DML
     decay coverage until an only_missing rebuild; reads stay exact)."""
     return cache.store.bloom_coverage(cache.table_name(stream_name))
+
+
+def create_table_branch(
+    cache: SparkCache, stream_name: str, branch: str
+) -> dict[str, Any]:
+    """Fork a write-audit-publish branch of a cached stream's table:
+    candidate writes land on the branch invisibly, main keeps serving
+    the audited state until publish. One tiny ref PUT; no data moves."""
+    return cache.create_stream_branch(stream_name, branch)
+
+
+def publish_table_branch(
+    cache: SparkCache, stream_name: str, branch: str, *, drop: bool = True
+) -> dict[str, Any]:
+    """Publish an audited branch: fast-forward main to the branch tip
+    with ONE atomic commit (refused if main diverged past the fork).
+    Returns the published main version."""
+    return {
+        "published_version": cache.publish_stream_branch(
+            stream_name, branch, drop=drop
+        )
+    }
+
+
+def drop_table_branch(
+    cache: SparkCache, stream_name: str, branch: str
+) -> dict[str, Any]:
+    """Abandon an audit branch without publishing anything."""
+    cache.drop_stream_branch(stream_name, branch)
+    return {"dropped": branch}
+
+
+def list_table_refs(cache: SparkCache, stream_name: str) -> dict[str, Any]:
+    """All named refs (write-audit-publish branches + version tags) of
+    a cached stream's table, with fork base / pinned version."""
+    return cache.stream_refs(stream_name)

@@ -333,3 +333,43 @@ def test_branch_change_feed_sees_only_branch_commits(spark, store):
         (r["id"], r["_change_type"])
         for r in bch.select("id", "_change_type").collect()
     ) == [(2, "insert")]
+
+
+# -- cache + MCP surface -------------------------------------------------------
+
+
+def test_cache_and_tools_branch_surface(spark, tmp_path):
+    from pyairbyte_spark import tools
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, str(tmp_path / "bwh"), table_format="commitlog"
+    )
+    cache.write_dataframe(_df(spark, [(1, "a"), (2, "b")]), "docs")
+    tools.create_table_branch(cache, "docs", "audit")
+    bw = cache.branch_stream_writer("audit")
+    bw.write_append(
+        _df(spark, [(3, "c")]), cache.table_name("docs"), ["id"]
+    )
+    # candidate visible on the branch read, not on main
+    assert _vals(cache.read_stream_branch("docs", "audit")) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+    assert len(cache["docs"]) == 2
+    refs = tools.list_table_refs(cache, "docs")
+    assert refs["audit"]["type"] == "branch"
+    out = tools.publish_table_branch(cache, "docs", "audit")
+    assert out["published_version"] > 1
+    assert len(cache["docs"]) == 3
+    # tags via the cache layer
+    cache.create_stream_tag("docs", "rel1")
+    assert cache.read_stream_tag("docs", "rel1").count() == 3
+    cache.drop_stream_tag("docs", "rel1")
+    # drop an abandoned branch through the tool
+    tools.create_table_branch(cache, "docs", "scrap")
+    assert tools.drop_table_branch(cache, "docs", "scrap") == {
+        "dropped": "scrap"
+    }
+    assert tools.list_table_refs(cache, "docs") == {}
