@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     # round 11: write-audit-publish branch lifecycle (fork + 2 branch
     # merges + fast-forward publish + endpoint-diff CDF)
     "store_branch_wap_events",
+    # round 11: aggregate pushdown into the manifest (metadata counts)
+    "store_count_pushdown_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

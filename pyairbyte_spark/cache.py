@@ -267,6 +267,17 @@ class SparkCache(Mapping):
             self.table_name(stream_name), n_buckets
         )
 
+    def count_stream_rows(
+        self, stream_name: str, predicates: list | None = None
+    ) -> dict:
+        """EXACT filtered count with metadata short-circuits: files the
+        zone maps prove fully-matching contribute footer row counts
+        without being read; only boundary files scan
+        (``CommitLogTableStore.count_where``)."""
+        return self._acid_store().count_where(
+            self.table_name(stream_name), predicates
+        )
+
     def create_stream_branch(
         self, stream_name: str, branch: str, *, at_version: int | None = None
     ) -> dict:

@@ -258,6 +258,94 @@ def file_may_match_dnf(
     return any(file_may_match(file_entry, branch) for branch in dnf)
 
 
+def file_must_match_dnf(
+    file_entry: dict[str, Any],
+    dnf: list[list[tuple[str, str, Any]]],
+) -> bool:
+    """The dual of :func:`file_may_match_dnf`: True only when stats
+    PROVE every row of the file satisfies the DNF — it is sufficient
+    (and conservative) that one disjunct's conjunction provably holds
+    for all rows. Powers metadata-only counting
+    (``CommitLogTableStore.count_where``): a fully-covered file
+    contributes its exact footer row count without being read."""
+    if not dnf:
+        return True
+    return any(file_must_match(file_entry, branch) for branch in dnf)
+
+
+def file_must_match(
+    file_entry: dict[str, Any], predicates: list[tuple[str, str, Any]]
+) -> bool:
+    """True only when every predicate provably holds for EVERY row of
+    the file. Missing stats, missing row counts, truncated/absent
+    upper bounds, legacy temporal encodings — anything unprovable —
+    returns False (the file is then scanned; results stay exact)."""
+    rows = file_entry.get("rows")
+    if rows is None:
+        return False
+    if rows == 0:
+        return True  # vacuously: contributes 0 rows either way
+    stats = file_entry.get("stats") or {}
+    sv = file_entry.get("sv") or 1
+    for col, op, value in predicates:
+        cs = stats.get(col)
+        if cs is None:
+            return False
+        if not _must_match(cs, rows, op, value, sv=sv):
+            return False
+    return True
+
+
+def _must_match(
+    col_stats: dict[str, Any],
+    rows: int,
+    op: str,
+    value: Any,
+    sv: int = STATS_VERSION,
+) -> bool:
+    """Do ALL rows of a file with ``col_stats`` satisfy ``op value``?
+
+    Null rows fail every comparison op, so any comparison proof needs
+    an exact null count of 0. A missing upper bound (long-string
+    truncation drops it) blocks every proof that needs ``max``."""
+    lo, hi, nulls = col_stats["min"], col_stats["max"], col_stats["nulls"]
+    if op == "is_null":
+        return nulls is not None and nulls >= rows
+    if op == "not_null":
+        return nulls == 0
+    if nulls is None or nulls > 0:
+        return False  # any null row fails the comparison
+    if sv < STATS_VERSION and _is_temporal(value):
+        return False  # ambiguous legacy temporal domain: unprovable
+    if lo is None or hi is None:
+        return False
+    if op == "in":
+        vals = [encode_predicate_value(v) for v in value]
+        if any(v is None for v in vals):
+            return False
+        try:
+            return lo == hi and any(lo == v for v in vals)
+        except TypeError:
+            return False
+    v = encode_predicate_value(value)
+    if v is None:
+        return False
+    try:
+        if op in ("=", "=="):
+            return lo == v and hi == v
+        if op == "<":
+            return hi < v
+        if op == "<=":
+            return hi <= v
+        if op == ">":
+            return lo > v
+        if op == ">=":
+            return lo >= v
+    except TypeError:
+        return False
+    return False
+
+
 def dnf_to_column(dnf: list[list[tuple[str, str, Any]]]):
     """Residual Spark filter for a DNF predicate (None = no filter)."""
     if not dnf:

@@ -656,6 +656,25 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "count_table_rows",
+            "Exact filtered row count with aggregate pushdown into the "
+            "table manifest: unfiltered counts touch zero data files, "
+            "clustered-range counts read only boundary files. Predicates "
+            "are DNF: [[['col','op',value],...],...] (ops: = < <= > >= "
+            "in is_null not_null).",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "predicates": {"type": "array"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.count_table_rows(
+                h.cache, a["stream_name"], a.get("predicates")
+            ),
+        ),
+        ToolDef(
             "create_table_branch",
             "Fork a write-audit-publish branch of a cached stream's "
             "table: candidate writes land on the branch invisibly while "

@@ -5992,6 +5992,64 @@ def store_branch_wap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "store_count_pushdown_events",
+    """
+    -- Metadata-assisted exact COUNT: the store answers the unfiltered
+    -- count and the clustered-range interior from manifest footer
+    -- stats (zero / boundary-only file reads), the unclustered
+    -- predicate by a pruned scan. Correct pushdown is invisible in
+    -- the numbers: the oracle just counts.
+    SELECT 'all' AS which, CAST(count(*) AS BIGINT) AS cnt FROM events
+    UNION ALL
+    SELECT 'combo', CAST(count(*) AS BIGINT) FROM events
+      WHERE event_id < 1000 AND value >= 50.0
+    UNION ALL
+    SELECT 'id_range', CAST(count(*) AS BIGINT) FROM events
+      WHERE event_id < 1000
+    UNION ALL
+    SELECT 'value_ge', CAST(count(*) AS BIGINT) FROM events
+      WHERE value >= 50.0
+    ORDER BY which
+    """,
+    "aggregate pushdown into the manifest: count_where answers "
+    "unfiltered counts with ZERO file reads and clustered ranges with "
+    "boundary-file-only reads (must-match zone-map tier), falling to "
+    "pruned scans only where stats prove nothing",
+)
+def store_count_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-cnt-"), "q"
+    )
+    store.write_append(ev, "m", None)
+    store.compact("m", sort_by=["event_id"], target_files=16)
+    r_all = store.count_where("m")
+    # the unfiltered count never touches a data file
+    assert r_all["files_scanned"] == 0, r_all
+    r_rng = store.count_where("m", [("event_id", "<", 1000)])
+    # clustered range: interior files answer from metadata — at most
+    # one boundary file scans (the file straddling id=1000)
+    assert r_rng["files_scanned"] <= 1, r_rng
+    r_val = store.count_where("m", [("value", ">=", 50.0)])
+    r_combo = store.count_where(
+        "m", [("event_id", "<", 1000), ("value", ">=", 50.0)]
+    )
+    return spark.createDataFrame(
+        [
+            ("all", r_all["count"]),
+            ("combo", r_combo["count"]),
+            ("id_range", r_rng["count"]),
+            ("value_ge", r_val["count"]),
+        ],
+        "which string, cnt long",
+    ).orderBy("which")
+
+
 def _register_ivf_index_query() -> None:
     """The persistent-IVF path must produce EXACTLY what the in-memory
     ivf_topk produces for the same build parameters — so it registers
@@ -7185,6 +7243,7 @@ _register_profile_query()
 _DRIVER_PRIORITY = [
     # round-11 additions: never driver-checked — top of the window.
     "store_branch_wap_events",
+    "store_count_pushdown_events",
     "dedup_jaccard_ssjoin",
     "knn_label_vote",
     "dedup_minhash_refresh_events",

@@ -493,3 +493,22 @@ def list_table_refs(cache: SparkCache, stream_name: str) -> dict[str, Any]:
     """All named refs (write-audit-publish branches + version tags) of
     a cached stream's table, with fork base / pinned version."""
     return cache.stream_refs(stream_name)
+
+
+def count_table_rows(
+    cache: SparkCache,
+    stream_name: str,
+    predicates: list[list[list[Any]]] | None = None,
+) -> dict[str, Any]:
+    """Exact filtered row count with aggregate pushdown into the table
+    manifest: unfiltered counts touch ZERO data files, clustered-range
+    counts read only the boundary files, everything else degrades to a
+    zone-map-pruned scan. Predicates are DNF: a list of AND-branches,
+    each branch a list of [column, op, value] triples (ops: = < <= > >=
+    in is_null not_null)."""
+    preds = (
+        [[tuple(p) for p in branch] for branch in predicates]
+        if predicates
+        else None
+    )
+    return cache.count_stream_rows(stream_name, preds)

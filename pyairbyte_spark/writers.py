@@ -3275,6 +3275,233 @@ class CommitLogTableStore(TableStore):
         df = self._apply_mapping(df, plan["manifest"])
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def count_where(
+        self,
+        table_name: str,
+        predicates: list[tuple] | None = None,
+        *,
+        version: int | None = None,
+    ) -> dict:
+        """EXACT filtered ``COUNT(*)`` with metadata short-circuits —
+        the aggregate-pushdown counterpart of :meth:`read_where`.
+        Files are classified by zone maps into three tiers:
+
+        - provably NO row matches (``file_may_match_dnf`` false) —
+          skipped, contributes 0;
+        - provably EVERY row matches (``file_must_match_dnf``: null
+          count 0 and [min,max] inside the predicate range) —
+          contributes its exact footer row count, NEVER read;
+        - boundary — scanned with the residual filter.
+
+        On a time/bucket-clustered 100 TB table a range count reads
+        only the two boundary files of the range (Delta answers
+        unfiltered counts this way from its log; this extends the
+        trick to predicates). Unfiltered count: pure manifest
+        arithmetic, zero files read. Returns ``{"count", "files_total",
+        "files_metadata", "files_scanned"}`` — total minus the other
+        two is the zone-map-pruned tier. Merge-on-read deletes poison
+        footer counts, so DV-bearing snapshots scan every surviving
+        file (still may-match pruned; exact either way)."""
+        from pyairbyte_spark.filestats import (
+            dnf_to_column,
+            file_may_match_dnf,
+            file_must_match_dnf,
+            normalize_dnf,
+        )
+
+        preds = normalize_dnf(predicates)
+        if not preds:
+            # Unfiltered: table_stats already answers from the manifest
+            # (DV row counts correct MoR deletes exactly) — zero files.
+            ts = self.table_stats(table_name, version=version)
+            if ts.get("rows") is not None:
+                return {
+                    "count": ts["rows"],
+                    "files_total": ts.get("files"),
+                    "files_metadata": ts.get("files"),
+                    "files_scanned": 0,
+                }
+        top, entries_df, man = self._scan_source(table_name, version)
+        preds_phys = self._physical_dnf(top, preds)
+        has_dvs = bool((top or {}).get("delete_vectors"))
+        if entries_df is not None:
+            return self._count_where_distributed(
+                table_name, top, entries_df, preds, preds_phys, has_dvs
+            )
+        meta_rows = 0
+        meta_files = 0
+        total = 0
+        scan_entries: list[dict] = []
+        exact_total = True
+        for e in man.get("entries") or []:
+            live = e.get("buckets")
+            files = e.get("files")
+            if files is None:
+                # Pre-stats entry: the dir itself is the authority.
+                scan_entries.append(e)
+                exact_total = False
+                continue
+            keep: list[dict] = []
+            for f in files:
+                if (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                ):
+                    continue
+                total += 1
+                if not file_may_match_dnf(f, preds_phys):
+                    continue
+                if not has_dvs and file_must_match_dnf(f, preds_phys):
+                    meta_rows += f["rows"] or 0
+                    meta_files += 1
+                else:
+                    keep.append(f)
+            if keep:
+                scan_entries.append({**e, "files": keep})
+        n_scan = sum(
+            len(e["files"]) if e.get("files") is not None else 0
+            for e in scan_entries
+        )
+        scanned_rows = 0
+        if scan_entries:
+            df = self._apply_mapping(
+                self._entries_df(table_name, scan_entries, dv_man=man), man
+            )
+            residual = dnf_to_column(preds)  # logical names post-mapping
+            if residual is not None:
+                df = df.filter(residual)
+            scanned_rows = df.count()
+        return {
+            "count": meta_rows + scanned_rows,
+            "files_total": total if exact_total else None,
+            "files_metadata": meta_files,
+            "files_scanned": n_scan if exact_total else None,
+        }
+
+    def _count_where_distributed(
+        self,
+        table_name: str,
+        top: dict,
+        entries_df: DataFrame,
+        preds: list[list[tuple]],
+        preds_phys: list[list[tuple]],
+        has_dvs: bool,
+    ) -> dict:
+        """:meth:`count_where` over the checkpoint sidecar: the
+        three-tier classification runs as one Spark aggregation (the
+        same pandas-UDF venue as :meth:`_plan_scan_distributed`), the
+        metadata tier sums ``rows`` relationally, and only BOUNDARY
+        file paths cross to the driver — at most
+        ``COUNT_SCAN_FALLBACK_MAX`` of them, past which the count
+        degrades to one ordinary pruned scan (:meth:`read_where`)."""
+        import pandas as pd
+
+        from pyairbyte_spark.filestats import (
+            file_may_match_dnf,
+            file_must_match_dnf,
+        )
+
+        # MoR DVs poison footer counts, and pre-stats dir entries have
+        # no file rows to classify: both degrade to one pruned scan.
+        if has_dvs or not entries_df.filter(
+            F.col("file_path").isNull() & ~F.col("has_files")
+        ).isEmpty():
+            df = self.read_where(table_name, preds)
+            return {
+                "count": df.count(),
+                "files_total": None,
+                "files_metadata": 0,
+                "files_scanned": None,
+            }
+
+        preds_b = preds_phys
+
+        @F.pandas_udf("string")
+        def _tier(stats: pd.Series, rows: pd.Series, sv: pd.Series) -> pd.Series:
+            out = []
+            for s, r, v in zip(stats, rows, sv):
+                fe = {
+                    "stats": None if s is None else json.loads(s),
+                    "rows": None if pd.isna(r) else int(r),
+                    "sv": None if pd.isna(v) else int(v),
+                }
+                if not file_may_match_dnf(fe, preds_b):
+                    out.append("prune")
+                elif file_must_match_dnf(fe, preds_b):
+                    out.append("meta")
+                else:
+                    out.append("scan")
+            return pd.Series(out)
+
+        live = entries_df.filter(F.col("file_path").isNotNull()).filter(
+            F.col("entry_buckets").isNull()
+            | F.col("bucket").isNull()
+            | F.expr("array_contains(entry_buckets, bucket)")
+        )
+        flagged = live.withColumn(
+            "__tier", _tier(F.col("stats"), F.col("rows"), F.col("sv"))
+        )
+        agg = flagged.agg(
+            F.count(F.lit(1)).alias("t"),
+            F.sum(
+                F.when(F.col("__tier") == "meta", F.col("rows")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("meta_rows"),
+            F.sum((F.col("__tier") == "meta").cast("long")).alias("mf"),
+            F.sum((F.col("__tier") == "scan").cast("long")).alias("sf"),
+        ).collect()[0]
+        n_scan = int(agg["sf"] or 0)
+        if n_scan > self.COUNT_SCAN_FALLBACK_MAX:
+            # Unselective predicate: the boundary path list would be
+            # the driver bottleneck — one pruned scan IS the plan.
+            df = self.read_where(table_name, preds)
+            return {
+                "count": df.count(),
+                "files_total": int(agg["t"] or 0),
+                "files_metadata": 0,
+                "files_scanned": n_scan,
+            }
+        from pyairbyte_spark.filestats import dnf_to_column
+
+        scanned_rows = 0
+        if n_scan:
+            hdr_meta = entries_df.filter(F.col("file_path").isNull()).select(
+                "entry_path",
+                # SHALLOW-CLONE entries reference another table's dir
+                F.get_json_object(F.col("extra"), "$.base").alias("__base"),
+            )
+            rows = (
+                flagged.filter(F.col("__tier") == "scan")
+                .select("entry_path", "file_path")
+                .join(hdr_meta, "entry_path", "left")
+                .collect()
+            )
+            root = self.table_path(table_name)
+            paths = [
+                os.path.join(
+                    r["__base"] or root, r["entry_path"], r["file_path"]
+                )
+                for r in rows
+            ]
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = self._fill_added(df, top)
+            residual = dnf_to_column(preds_phys)
+            if residual is not None:
+                df = df.filter(residual)
+            scanned_rows = df.count()
+        return {
+            "count": int(agg["meta_rows"] or 0) + scanned_rows,
+            "files_total": int(agg["t"] or 0),
+            "files_metadata": int(agg["mf"] or 0),
+            "files_scanned": n_scan,
+        }
+
+    # Boundary-path cap for the distributed count: past this, collect
+    # degrades to one ordinary pruned scan (same plan read_where runs).
+    COUNT_SCAN_FALLBACK_MAX = 65_536
+
     def history(self, table_name: str) -> list[dict]:
         """Commit history, newest first (op + version per commit)."""
         d = self._commits_dir(table_name)
