@@ -373,3 +373,48 @@ def test_cache_and_tools_branch_surface(spark, tmp_path):
         "dropped": "scrap"
     }
     assert tools.list_table_refs(cache, "docs") == {}
+
+
+def test_streaming_wap_exactly_once_onto_branch(spark, store, tmp_path):
+    """WAP for streams: a Structured Streaming query lands micro-
+    batches on a branch exactly-once (branch views carry the full
+    SetTransaction contract), main serves the audited state throughout,
+    and the publish carries the txn watermark so a replayed epoch
+    stays a no-op AFTER the flip too."""
+    from pyairbyte_spark.streaming.sink import StoreStreamingSink
+
+    store.write_append(_df(spark, [(0, "base")]), "t", ["id"])
+    store.create_branch("t", "ingest")
+    bv = store.branch("ingest")
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(1, 51).toDF("id").withColumn(
+        "v", F.col("id").cast("string")
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b0"))
+    sink = StoreStreamingSink(bv, "t", "pipe")
+    stream = spark.readStream.schema("id long, v string").parquet(
+        str(src) + "/*"
+    )
+    q = sink.attach(
+        stream, checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert bv.read("t").count() == 51
+    assert store.read("t").count() == 1  # main untouched mid-stream
+    last = bv.txn_version("t", "pipe")
+    v = store.publish_branch("t", "ingest")
+    assert store.read("t").count() == 51
+    # the watermark rode the publish: a post-publish replay of the last
+    # epoch against a RE-FORKED branch is still a no-op
+    store.create_branch("t", "ingest")
+    bv2 = store.branch("ingest")
+    sink2 = StoreStreamingSink(bv2, "t", "pipe")
+    sink2(
+        spark.range(1, 51).toDF("id").withColumn(
+            "v", F.col("id").cast("string")
+        ),
+        last,
+    )
+    assert sink2.skipped_epochs == 1
+    assert bv2.read("t").count() == 51
+    assert store.latest_version("t") == v
