@@ -112,6 +112,9 @@ BENCH_QUERIES = [
     "store_branch_wap_events",
     # round 11: aggregate pushdown into the manifest (metadata counts)
     "store_count_pushdown_events",
+    # round 11: persisted inverted text index (build + atomic append +
+    # token-pruned BM25 probe)
+    "text_bm25_index_search",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

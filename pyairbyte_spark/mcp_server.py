@@ -656,6 +656,53 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "build_search_index",
+            "Materialize a persisted inverted text index over a cached "
+            "stream (token-clustered postings + mergeable corpus stats): "
+            "keyword searches then probe O(touched postings) instead of "
+            "rescanning the corpus.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "index_name": {"type": "string"},
+                    "id_col": {"type": "string"},
+                    "text_col": {"type": "string"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.build_search_index(
+                h.cache,
+                a["stream_name"],
+                index_name=a.get("index_name", "bm25"),
+                id_col=a.get("id_col", "doc_id"),
+                text_col=a.get("text_col", "text"),
+            ),
+        ),
+        ToolDef(
+            "search_documents",
+            "BM25 keyword search over a cached stream: probes the "
+            "persisted inverted index when one exists, else one exact "
+            "full-scan scoring pass. Top-k {id, n_hit_terms, bm25}.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "query": {"type": "string"},
+                    "k": {"type": "integer"},
+                    "index_name": {"type": "string"},
+                },
+                "required": ["stream_name", "query"],
+            },
+            lambda h, a: t.search_documents(
+                h.cache,
+                a["stream_name"],
+                a["query"],
+                k=a.get("k", 10),
+                index_name=a.get("index_name", "bm25"),
+            ),
+        ),
+        ToolDef(
             "count_table_rows",
             "Exact filtered row count with aggregate pushdown into the "
             "table manifest: unfiltered counts touch zero data files, "

@@ -7,6 +7,13 @@ compositions of built-in functions (JVM-side, codegen'd); Python only
 appears in clearly-marked Pandas-UDF slow paths.
 """
 
-from pyairbyte_spark.operators import dedup, multimodal, similarity, stats, text
+from pyairbyte_spark.operators import (
+    dedup,
+    multimodal,
+    search,
+    similarity,
+    stats,
+    text,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "stats", "text"]
+__all__ = ["dedup", "multimodal", "search", "similarity", "stats", "text"]

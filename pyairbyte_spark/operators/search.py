@@ -1,0 +1,248 @@
+"""Persisted inverted text index: exact BM25 keyword search at probe
+cost O(touched postings), not O(corpus).
+
+The relational BM25 (`operators/text.py::bm25_scores`) rescans the
+whole corpus per query batch — fine for one audit pass, wrong for a
+search surface. This materializes the classic inverted index into the
+commit-log store as three tables:
+
+- ``<name>_postings`` — one row per (token, doc): ``(token, id, tf,
+  dl)``, compacted ``sort_by=["token"]`` so every term occupies a
+  contiguous file range and probes prune to the touched terms' files
+  via the manifest zone maps (the text analogue of IVF list pruning /
+  the MinHash bands table);
+- ``<name>_stats`` — mergeable corpus constants, one row per
+  build/append: ``(n_docs, sum_dl)`` — N and avgdl aggregate from
+  O(appends) rows at probe time, so appends never rewrite stats;
+- ``<name>_meta`` — tokenization + scoring parameters, so appends and
+  probes are bit-compatible with the build.
+
+Scoring reproduces ``bm25_scores`` EXACTLY (same tokenization, same
+integer tf/df/dl/N, same float formula), so the probed path registers
+against the same DuckDB oracle as the full-scan path.
+
+Scale: the postings build is one tokenize + one (doc,token) groupBy
+shuffle; probes are ``read_where(token IN terms)`` over the pruned
+file sliver plus two O(terms) broadcasts. Ingest-time appends are
+O(batch) and land unclustered (exact, unpruned) — the coverage /
+tail-refresh lifecycle mirrors the MinHash index's.
+
+Reference points: the reference exposes keyword access only as
+warehouse-delegated SQL LIKE (``airbyte/datasets/_sql.py``); BM25
+parity here follows Lucene's practical scoring (public docs), index
+layout follows the standard IR textbook inverted file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.operators.text import tokens_expr
+
+__all__ = [
+    "append_to_text_index",
+    "build_text_index",
+    "refresh_text_index",
+    "text_index_coverage",
+    "text_index_search",
+]
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(token, id, tf, dl) rows — lowercased whitespace tokens, the
+    same tokenization every text operator (and the oracle) uses. Docs
+    with zero tokens produce no postings but still count in stats."""
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens_expr(text_col), lambda t: F.lower(t)).alias(
+            "__lt"
+        ),
+    ).select("id", F.size("__lt").cast("long").alias("dl"), "__lt")
+    return (
+        base.select("id", "dl", F.explode("__lt").alias("token"))
+        .groupBy("token", "id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("tf"),
+            F.first("dl").alias("dl"),
+        )
+    )
+
+
+def _doc_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One mergeable stats row: (n_docs, sum_dl) over ALL docs —
+    including token-less ones, matching ``bm25_scores``' N."""
+    return (
+        docs.select(
+            F.size(tokens_expr(text_col)).cast("long").alias("__dl")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("__dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        )
+    )
+
+
+def build_text_index(
+    corpus: DataFrame,
+    store,
+    index_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    target_files: int | None = None,
+) -> dict:
+    """Materialize the inverted index. One tokenize pass, one
+    (token, doc) groupBy shuffle, one token-clustering compaction.
+    Returns ``{"n_docs", "postings", "files"}``."""
+    spark = corpus.sparkSession
+    store.write_replace(
+        _postings(corpus, text_col, id_col), f"{index_name}_postings"
+    )
+    store.compact(
+        f"{index_name}_postings",
+        sort_by=["token"],
+        target_files=target_files,
+    )
+    store.write_replace(
+        _doc_stats(corpus, text_col, id_col), f"{index_name}_stats"
+    )
+    meta = spark.createDataFrame(
+        [(id_col, text_col, float(k1), float(b))],
+        "id_col string, text_col string, k1 double, b double",
+    )
+    store.write_replace(meta, f"{index_name}_meta")
+    st = store.table_stats(f"{index_name}_postings")
+    stats = store.read(f"{index_name}_stats").collect()[0]
+    return {
+        "n_docs": int(stats["n_docs"]),
+        "postings": st["rows"],
+        "files": st["files"],
+    }
+
+
+def _text_index_meta(store, index_name: str) -> dict:
+    return store.read(f"{index_name}_meta").collect()[0].asDict()
+
+
+def append_to_text_index(
+    new_docs: DataFrame,
+    store,
+    index_name: str,
+    *,
+    txn: "tuple[str, int] | None" = None,
+) -> dict:
+    """Incremental maintenance, O(batch): postings + a stats delta row
+    move as ONE multi-table txn group (a probe racing the append sees
+    N/avgdl and the postings advance together; a crash between the two
+    leaves neither). ``txn=(app_id, batch_id)`` rides the postings
+    prepare for exactly-once streaming ingest — a replayed batch skips
+    the whole group. Fresh postings land token-unclustered: probes
+    stay exact, just unpruned on the new files, until
+    :func:`refresh_text_index` reclusters the tail."""
+    m = _text_index_meta(store, index_name)
+    post = _postings(new_docs, m["text_col"], m["id_col"])
+    stats = _doc_stats(new_docs, m["text_col"], m["id_col"])
+    t = store.begin_txn()
+    r1 = t.write_append(post, f"{index_name}_postings", txn=txn)
+    if r1.get("skipped"):
+        t.abort()  # replayed batch: neither table moves
+        return {"appended": 0, "skipped": True}
+    t.write_append(stats, f"{index_name}_stats", txn=txn)
+    t.commit()
+    return {"appended": 1, "skipped": False}
+
+
+def text_index_search(
+    store,
+    index_name: str,
+    query_terms: list[str],
+    *,
+    limit: int | None = None,
+) -> DataFrame:
+    """BM25 over the index: probe ``read_where(token IN terms)`` (the
+    token-clustered postings prune to the touched terms' files), derive
+    per-term df from the matched postings themselves, and N/avgdl from
+    the O(appends)-row stats table — numerically IDENTICAL to the
+    full-scan ``bm25_scores`` (same integers into the same float
+    formula). Output: ``(id_col, n_hit_terms, bm25)``, optionally
+    top-``limit`` by score."""
+    m = _text_index_meta(store, index_name)
+    k1, b = float(m["k1"]), float(m["b"])
+    terms = sorted({t.lower() for t in query_terms})
+    tf = store.read_where(
+        f"{index_name}_postings", [("token", "in", terms)]
+    ).select("token", "id", "tf", "dl")
+    consts = (
+        store.read(f"{index_name}_stats")
+        .agg(
+            F.sum("n_docs").cast("long").alias("__n"),
+            F.sum("sum_dl").cast("long").alias("__sumdl"),
+        )
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    avgdl = F.col("__sumdl").cast("double") / F.col("__n").cast("double")
+    idf = F.log(
+        (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5) + 1.0
+    )
+    score = idf * (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double") / avgdl)
+    )
+    out = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(consts))
+        .groupBy(F.col("id").alias(m["id_col"]))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+            F.round(F.sum(score), 6).alias("bm25"),
+        )
+    )
+    if limit is not None:
+        out = out.orderBy(F.desc("bm25"), m["id_col"]).limit(limit)
+    return out
+
+
+def text_index_coverage(store, index_name: str) -> dict:
+    """Probe-pruning watermark: the fraction of postings files that
+    are token-clustered (``sorted_by`` entry stamps — pure manifest
+    arithmetic). Same decay/alert/refresh lifecycle as the MinHash
+    bands and bloom indexes."""
+    snap = store._latest_commit(f"{index_name}_postings")
+    if snap is None:
+        raise FileNotFoundError(f"text index {index_name!r} not found")
+    total = clustered = 0
+    unclustered: list[str] = []
+    for e in snap[1].get("entries") or []:
+        nf = len(e.get("files") or [None])
+        total += nf
+        if (e.get("sorted_by") or []) == ["token"]:
+            clustered += nf
+        else:
+            unclustered.append(e["path"])
+    return {
+        "files_total": total,
+        "files_clustered": clustered,
+        "files_unclustered": total - clustered,
+        "coverage": (clustered / total) if total else 1.0,
+        "unclustered_entries": unclustered,
+    }
+
+
+def refresh_text_index(
+    store, index_name: str, *, target_files: int | None = None
+) -> dict:
+    """Recluster ONLY the unclustered postings tail (partial
+    compaction, O(tail)) — probe pruning returns to the compacted
+    level, rows bit-identical, commit CDF-silent."""
+    cov = text_index_coverage(store, index_name)
+    if not cov["unclustered_entries"]:
+        return {"refreshed": False, **cov}
+    store.compact_entries(
+        f"{index_name}_postings",
+        cov["unclustered_entries"],
+        sort_by=["token"],
+        target_files=target_files,
+    )
+    return {"refreshed": True, **text_index_coverage(store, index_name)}

@@ -6050,6 +6050,50 @@ def store_count_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("which")
 
 
+def _register_text_index_query() -> None:
+    """The persisted inverted index must score EXACTLY what the
+    full-scan ``bm25_scores`` scores — same oracle, proving the
+    build → token-clustered compact → atomic append → pruned-probe
+    path end to end (the IVF-index registration pattern)."""
+
+    @register(
+        "text_bm25_index_search",
+        REGISTRY["text_bm25_search"].oracle,
+        "BM25 via a PERSISTED inverted index: postings compacted "
+        "sort_by=token, probe = read_where(token IN terms) over the "
+        "pruned file sliver + O(appends)-row corpus stats — same "
+        "oracle as the full-scan path; the lifecycle splits the build "
+        "corpus and appends the rest atomically before probing",
+    )
+    def text_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.operators.search import (
+            append_to_text_index,
+            build_text_index,
+            text_index_search,
+        )
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-txtidx-"), "q"
+        )
+        build_text_index(
+            docs.filter(F.col("doc_id") % 4 != 0),
+            store,
+            "ti",
+            target_files=16,
+        )
+        append_to_text_index(
+            docs.filter(F.col("doc_id") % 4 == 0), store, "ti"
+        )
+        return text_index_search(store, "ti", _BM25_TERMS)
+
+
+_register_text_index_query()
+
+
 def _register_ivf_index_query() -> None:
     """The persistent-IVF path must produce EXACTLY what the in-memory
     ivf_topk produces for the same build parameters — so it registers
@@ -7244,6 +7288,7 @@ _DRIVER_PRIORITY = [
     # round-11 additions: never driver-checked — top of the window.
     "store_branch_wap_events",
     "store_count_pushdown_events",
+    "text_bm25_index_search",
     "dedup_jaccard_ssjoin",
     "knn_label_vote",
     "dedup_minhash_refresh_events",

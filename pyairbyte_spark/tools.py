@@ -512,3 +512,54 @@ def count_table_rows(
         else None
     )
     return cache.count_stream_rows(stream_name, preds)
+
+
+def build_search_index(
+    cache: SparkCache,
+    stream_name: str,
+    *,
+    index_name: str = "bm25",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, Any]:
+    """Materialize a persisted inverted text index over a cached
+    stream (token-clustered postings + mergeable corpus stats) so
+    keyword searches probe O(touched postings) instead of rescanning
+    the corpus. Keep it fresh with ``append_to_text_index`` at ingest
+    or rebuild on a maintenance cadence."""
+    from pyairbyte_spark.operators import search as s
+
+    docs = cache[stream_name].to_spark().select(id_col, text_col)
+    return s.build_text_index(
+        docs, cache.store, index_name, id_col=id_col, text_col=text_col
+    )
+
+
+def search_documents(
+    cache: SparkCache,
+    stream_name: str,
+    query: str,
+    *,
+    k: int = 10,
+    index_name: str = "bm25",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> list[dict[str, Any]]:
+    """BM25 keyword search over a cached stream: probes the persisted
+    inverted index when one exists (``build_search_index``), else
+    falls back to one exact full-scan scoring pass. Returns the top-k
+    ``{id, n_hit_terms, bm25}`` rows."""
+    from pyairbyte_spark.operators import search as s
+    from pyairbyte_spark.operators import text as txt
+
+    terms = [t for t in query.split() if t]
+    try:
+        out = s.text_index_search(cache.store, index_name, terms, limit=k)
+    except FileNotFoundError:
+        docs = cache[stream_name].to_spark().select(id_col, text_col)
+        out = (
+            txt.bm25_scores(docs, terms, id_col=id_col, text_col=text_col)
+            .orderBy(F.desc("bm25"), id_col)
+            .limit(k)
+        )
+    return [r.asDict() for r in out.collect()]

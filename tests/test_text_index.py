@@ -1,0 +1,144 @@
+"""Persisted inverted text index (``operators/search.py``): exact BM25
+parity with the full-scan scorer, token-pruned probes, atomic
+exactly-once appends, and the coverage/refresh lifecycle.
+
+The reference's only keyword surface is warehouse-delegated SQL
+(``airbyte/datasets/_sql.py``); the index makes search probe cost
+O(touched postings) instead of O(corpus).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark.operators.search import (
+    append_to_text_index,
+    build_text_index,
+    refresh_text_index,
+    text_index_coverage,
+    text_index_search,
+)
+from pyairbyte_spark.operators.text import bm25_scores
+from pyairbyte_spark.writers import CommitLogTableStore
+
+TERMS = ["spark", "data", "join"]
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+
+
+def _docs(spark):
+    rows = [
+        (1, "spark joins data with spark sql"),
+        (2, "window functions over data streams"),
+        (3, "join join join"),
+        (4, "nothing relevant here at all"),
+        (5, ""),  # token-less doc: counts in N, no postings
+        (6, "spark data spark data spark"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _scores(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_index_probe_equals_full_scan(spark, store):
+    docs = _docs(spark)
+    info = build_text_index(docs, store, "ti", target_files=4)
+    assert info["n_docs"] == 6
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(docs, TERMS)
+    )
+    # top-k ordering surface
+    top = text_index_search(store, "ti", TERMS, limit=2).collect()
+    assert len(top) == 2
+    assert top[0]["bm25"] >= top[1]["bm25"]
+
+
+def test_index_probe_is_file_pruned(spark, store):
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("tok"),
+            (F.col("id") % 997).cast("string"),
+            F.lit(" filler words here"),
+        ).alias("text"),
+    )
+    build_text_index(docs, store, "ti", target_files=16)
+    plan = store.plan_scan("ti_postings", [("token", "in", ["tok5"])])
+    assert plan["files_selected"] < plan["files_total"]
+    hits = text_index_search(store, "ti", ["tok5"]).collect()
+    assert {r["doc_id"] for r in hits} == {5, 1002, 1999, 2996, 3993}
+
+
+def test_append_atomic_and_exactly_once(spark, store):
+    docs = _docs(spark)
+    build_text_index(docs, store, "ti", target_files=4)
+    extra = spark.createDataFrame(
+        [(7, "spark spark join")], "doc_id long, text string"
+    )
+    v_post = store.latest_version("ti_postings")
+    v_stat = store.latest_version("ti_stats")
+    r = append_to_text_index(extra, store, "ti", txn=("app", 1))
+    assert r == {"appended": 1, "skipped": False}
+    # BOTH tables moved together (one txn group)
+    assert store.latest_version("ti_postings") > v_post
+    assert store.latest_version("ti_stats") > v_stat
+    # replay: neither moves
+    v_post2 = store.latest_version("ti_postings")
+    r2 = append_to_text_index(extra, store, "ti", txn=("app", 1))
+    assert r2["skipped"] is True
+    assert store.latest_version("ti_postings") == v_post2
+    # scores equal a fresh full scan over the grown corpus (N, avgdl,
+    # df all pick up the append through the mergeable stats rows)
+    grown = docs.unionByName(extra)
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(grown, TERMS)
+    )
+
+
+def test_coverage_decay_and_tail_refresh(spark, store):
+    docs = _docs(spark)
+    build_text_index(docs, store, "ti", target_files=4)
+    assert text_index_coverage(store, "ti")["coverage"] == 1.0
+    append_to_text_index(
+        spark.createDataFrame(
+            [(8, "spark appended")], "doc_id long, text string"
+        ),
+        store,
+        "ti",
+    )
+    cov = text_index_coverage(store, "ti")
+    assert cov["files_unclustered"] >= 1 and cov["coverage"] < 1.0
+    r = refresh_text_index(store, "ti")
+    assert r["refreshed"] is True and r["coverage"] == 1.0
+    # refresh is a no-op when already clustered
+    assert refresh_text_index(store, "ti")["refreshed"] is False
+    # rows survived the relayout
+    assert (
+        text_index_search(store, "ti", ["appended"]).collect()[0]["doc_id"]
+        == 8
+    )
+
+
+def test_search_tool_surface(spark, tmp_path):
+    from pyairbyte_spark import tools
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, str(tmp_path / "swh"), table_format="commitlog"
+    )
+    cache.write_dataframe(_docs(spark), "docs")
+    # no index: exact full-scan fallback
+    hits = tools.search_documents(cache, "docs", "spark data", k=3)
+    assert hits and hits[0]["doc_id"] == 6
+    info = tools.build_search_index(cache, "docs")
+    assert info["n_docs"] == 6
+    hits2 = tools.search_documents(cache, "docs", "spark data", k=3)
+    assert [
+        (h["doc_id"], h["bm25"]) for h in hits2
+    ] == [(h["doc_id"], h["bm25"]) for h in hits]
