@@ -304,13 +304,19 @@ class SparkCache(Mapping):
         return self._acid_store().branch(branch)
 
     def publish_stream_branch(
-        self, stream_name: str, branch: str, *, drop: bool = True
+        self,
+        stream_name: str,
+        branch: str,
+        *,
+        drop: bool = True,
+        mode: str = "ff",
     ) -> int:
         """Fast-forward main to the audited branch tip with ONE commit
-        (refuses if main diverged past the fork). Returns the published
-        main version."""
+        (refuses if main diverged past the fork;
+        ``mode="rebase-appends"`` grafts an append-only branch onto an
+        advanced main). Returns the published main version."""
         return self._acid_store().publish_branch(
-            self.table_name(stream_name), branch, drop=drop
+            self.table_name(stream_name), branch, drop=drop, mode=mode
         )
 
     def drop_stream_branch(self, stream_name: str, branch: str) -> None:

@@ -743,19 +743,22 @@ def _build_tool_defs() -> list[ToolDef]:
             "publish_table_branch",
             "Publish an audited branch: fast-forward main to the branch "
             "tip with ONE atomic commit (refused if main diverged past "
-            "the fork point). Set drop=false to keep the ref.",
+            "the fork point; mode='rebase-appends' grafts an append-only "
+            "branch onto an advanced main). Set drop=false to keep the "
+            "ref.",
             {
                 "type": "object",
                 "properties": {
                     "stream_name": {"type": "string"},
                     "branch": {"type": "string"},
                     "drop": {"type": "boolean"},
+                    "mode": {"type": "string", "enum": ["ff", "rebase-appends"]},
                 },
                 "required": ["stream_name", "branch"],
             },
             lambda h, a: t.publish_table_branch(
                 h.cache, a["stream_name"], a["branch"],
-                drop=a.get("drop", True),
+                drop=a.get("drop", True), mode=a.get("mode", "ff"),
             ),
         ),
         ToolDef(

@@ -469,14 +469,20 @@ def create_table_branch(
 
 
 def publish_table_branch(
-    cache: SparkCache, stream_name: str, branch: str, *, drop: bool = True
+    cache: SparkCache,
+    stream_name: str,
+    branch: str,
+    *,
+    drop: bool = True,
+    mode: str = "ff",
 ) -> dict[str, Any]:
     """Publish an audited branch: fast-forward main to the branch tip
-    with ONE atomic commit (refused if main diverged past the fork).
-    Returns the published main version."""
+    with ONE atomic commit (refused if main diverged past the fork;
+    mode="rebase-appends" grafts an append-only branch onto an
+    advanced main). Returns the published main version."""
     return {
         "published_version": cache.publish_stream_branch(
-            stream_name, branch, drop=drop
+            stream_name, branch, drop=drop, mode=mode
         )
     }
 

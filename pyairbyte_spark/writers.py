@@ -1320,18 +1320,36 @@ class CommitLogTableStore(TableStore):
         self.io.delete_file(self._ref_path(table_name, name))
 
     def publish_branch(
-        self, table_name: str, name: str, *, drop: bool = True
+        self,
+        table_name: str,
+        name: str,
+        *,
+        drop: bool = True,
+        mode: str = "ff",
     ) -> int:
         """Write-audit-publish, the publish half: fast-forward main to
         the branch tip with ONE ordinary main commit whose manifest is
         the branch head's (op ``publish_branch``). Atomic like every
         commit — readers see all audited changes or none; the change
         feed classifies the publish against main's head exactly (the
-        branch forked from it). Fast-forward only: if main advanced
-        past the fork point the publish raises instead of silently
-        merging unaudited state (re-fork and re-audit). Returns the
-        published main version; no-op (returns main head) when the
-        branch has no commits."""
+        branch forked from it). Fast-forward only by default: if main
+        advanced past the fork point the publish raises instead of
+        silently merging unaudited state (re-fork and re-audit).
+
+        ``mode="rebase-appends"`` relaxes that for APPEND-ONLY
+        branches: blind appends commute with any concurrent main
+        history (Delta's AddFile-only conflict rule), so the publish
+        grafts the branch's added entries onto the CURRENT main head —
+        equivalent to the serial order "main's commits, then the
+        branch's appends". Refused (raises) when any branch commit is
+        not an append, or when main rebucketed since the fork (the
+        branch's files were hashed with the old layout). Idempotent
+        ``txn`` watermarks that advanced on the branch merge into
+        main's map, so exactly-once streaming ingest survives the
+        graft. Returns the published main version; no-op (returns main
+        head) when the branch has no commits."""
+        if mode not in ("ff", "rebase-appends"):
+            raise ValueError(f"unknown publish mode {mode!r}")
         view = self.branch(name)
         bh = view._latest_commit(table_name)
         if bh is None:
@@ -1359,17 +1377,24 @@ class CommitLogTableStore(TableStore):
         for _attempt in range(self._COMMIT_RETRIES):
             snap = self._latest_commit(table_name)
             main_v = snap[0] if snap else 0
-            if main_v != base:
+            if main_v == base:
+                manifest = {
+                    k: v
+                    for k, v in bh_man.items()
+                    if k not in ("branch", "branch_ref", "version", "op", "ts")
+                }
+            elif mode == "rebase-appends":
+                manifest = self._rebase_branch_appends(
+                    table_name, name, view, base, bh_v, bh_man, snap[1]
+                )
+            else:
                 raise ConcurrentCommitError(
                     f"cannot fast-forward {table_name!r} to branch "
                     f"{name!r}: main advanced {base}->{main_v} past the "
-                    "fork point; re-create the branch and re-audit"
+                    "fork point; re-create the branch and re-audit (or "
+                    "publish an append-only branch with "
+                    "mode='rebase-appends')"
                 )
-            manifest = {
-                k: v
-                for k, v in bh_man.items()
-                if k not in ("branch", "branch_ref", "version", "op", "ts")
-            }
             manifest = {
                 "op": "publish_branch",
                 "published_branch": name,
@@ -1393,6 +1418,71 @@ class CommitLogTableStore(TableStore):
             f"publish of branch {name!r} to {table_name!r} lost "
             f"{self._COMMIT_RETRIES} commit races"
         )
+
+    def _rebase_branch_appends(
+        self,
+        table_name: str,
+        name: str,
+        view: "CommitLogTableStore",
+        base: int,
+        bh_v: int,
+        bh_man: dict,
+        main_man: dict,
+    ) -> dict:
+        """The ``mode="rebase-appends"`` publish manifest: main head's
+        manifest (its metadata is the survivor — mapping, checks,
+        bloom, DVs, keys) plus the branch's ADDED entries. Legal only
+        when every branch commit since the fork is a blind append and
+        the bucket layout didn't move underneath."""
+        ref_id = view._branch_info(table_name)["id"]
+        w = bh_v
+        while w > base:
+            try:
+                hdr = self._read_commit_json(table_name, w)
+            except FileNotFoundError:
+                w -= 1
+                continue
+            if (
+                hdr.get("branch") == name
+                and hdr.get("branch_ref") == ref_id
+                and hdr.get("op") != "append"
+            ):
+                raise ConcurrentCommitError(
+                    f"cannot rebase branch {name!r} onto advanced main: "
+                    f"branch commit {w} is op {hdr.get('op')!r} (only "
+                    "blind appends commute with concurrent main history)"
+                )
+            w -= 1
+        base_man = self._read_manifest(table_name, base)
+        if main_man.get("merge_buckets") != base_man.get("merge_buckets"):
+            raise ConcurrentCommitError(
+                f"cannot rebase branch {name!r}: main rebucketed "
+                f"{base_man.get('merge_buckets')}->"
+                f"{main_man.get('merge_buckets')} since the fork — the "
+                "branch's files were hashed with the old layout"
+            )
+        base_paths = {e["path"] for e in base_man.get("entries") or []}
+        added = [
+            e
+            for e in bh_man.get("entries") or []
+            if e["path"] not in base_paths
+        ]
+        manifest = {
+            k: v
+            for k, v in main_man.items()
+            if k not in ("version", "op", "ts")
+        }
+        manifest["entries"] = list(main_man.get("entries") or []) + added
+        # Idempotence watermarks that advanced ON THE BRANCH graft into
+        # main's map (exactly-once streaming ingest survives the rebase)
+        base_tx = base_man.get("txns") or {}
+        txns = dict(main_man.get("txns") or {})
+        for app, v in (bh_man.get("txns") or {}).items():
+            if v > base_tx.get(app, -1):
+                txns[app] = max(v, txns.get(app, -1))
+        if txns:
+            manifest["txns"] = txns
+        return manifest
 
     def create_tag(
         self, table_name: str, name: str, *, version: int | None = None

@@ -418,3 +418,83 @@ def test_streaming_wap_exactly_once_onto_branch(spark, store, tmp_path):
     assert sink2.skipped_epochs == 1
     assert bv2.read("t").count() == 51
     assert store.latest_version("t") == v
+
+
+# -- rebase-appends publish ----------------------------------------------------
+
+
+def test_publish_rebase_appends_onto_advanced_main(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "ingest")
+    bv = store.branch("ingest")
+    bv.write_append(_df(spark, [(10, "b0")]), "t", ["id"])
+    bv.write_append(_df(spark, [(11, "b1")]), "t", ["id"])
+    # main moves past the fork — a merge, even
+    store.merge_into(
+        "t",
+        _df(spark, [(1, "A"), (2, "m")]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    v = store.publish_branch("t", "ingest", mode="rebase-appends")
+    # serial-order equivalence: main's merge, THEN the branch appends
+    assert _vals(store.read("t")) == [
+        (1, "A"),
+        (2, "m"),
+        (10, "b0"),
+        (11, "b1"),
+    ]
+    ch = store.read_changes("t", v - 1, v)
+    assert sorted(
+        (r["id"], r["_change_type"])
+        for r in ch.select("id", "_change_type").collect()
+    ) == [(10, "insert"), (11, "insert")]
+
+
+def test_rebase_refuses_non_append_branch(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "mix")
+    bv = store.branch("mix")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    bv.merge_into(
+        "t",
+        _df(spark, [(1, "A")]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    store.write_append(_df(spark, [(9, "m")]), "t", ["id"])
+    with pytest.raises(ConcurrentCommitError, match="only blind appends"):
+        store.publish_branch("t", "mix", mode="rebase-appends")
+
+
+def test_rebase_refuses_concurrent_rebucket(spark, store):
+    big = _df(spark, [(i, f"v{i}") for i in range(20)]).withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("r"), F.col("id"))
+    ).withColumn(
+        "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+    )
+    store2 = CommitLogTableStore(
+        store.spark, store.root, "main", merge_buckets=8
+    )
+    store2.write_merge(big, "t", ["id"])
+    store2.create_branch("t", "ingest")
+    bv = store2.branch("ingest")
+    bv.write_append(_df(spark, [(100, "x")]), "t", ["id"])
+    store2.rebucket_table("t", 2)
+    with pytest.raises(ConcurrentCommitError, match="rebucketed"):
+        store2.publish_branch("t", "ingest", mode="rebase-appends")
+
+
+def test_rebase_merges_txn_watermarks(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "ingest")
+    bv = store.branch("ingest")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"], txn=("pipe", 7))
+    store.write_append(_df(spark, [(9, "m")]), "t", ["id"], txn=("other", 3))
+    store.publish_branch("t", "ingest", mode="rebase-appends")
+    assert store.txn_version("t", "pipe") == 7
+    assert store.txn_version("t", "other") == 3
+    # post-publish replay of the branch epoch is a no-op on MAIN now
+    r = store.write_append(_df(spark, [(2, "b")]), "t", ["id"], txn=("pipe", 7))
+    assert r["skipped"] is True
+    assert store.read("t").count() == 3
