@@ -113,8 +113,10 @@ BENCH_QUERIES = [
     # round 11: aggregate pushdown into the manifest (metadata counts)
     "store_count_pushdown_events",
     # round 11: persisted inverted text index (build + atomic append +
-    # token-pruned BM25 probe)
+    # token-pruned BM25 probe), and its CDF-driven transactional
+    # maintenance (attach + table DML + one sync txn group + probe)
     "text_bm25_index_search",
+    "text_index_sync_search",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

@@ -42,17 +42,26 @@ from pyairbyte_spark.operators.text import tokens_expr
 
 __all__ = [
     "append_to_text_index",
+    "attach_text_index",
     "build_text_index",
     "refresh_text_index",
+    "sync_text_index",
     "text_index_coverage",
     "text_index_search",
 ]
 
 
-def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(token, id, tf, dl) rows — lowercased whitespace tokens, the
-    same tokenization every text operator (and the oracle) uses. Docs
-    with zero tokens produce no postings but still count in stats."""
+def _postings(
+    docs: DataFrame, text_col: str, id_col: str, *, sign: int = 1
+) -> DataFrame:
+    """(token, id, tf, dl, sign) rows — lowercased whitespace tokens,
+    the same tokenization every text operator (and the oracle) uses.
+    Docs with zero tokens produce no postings but still count in
+    stats. ``sign=-1`` emits TOMBSTONES: incremental maintenance
+    retracts a doc's old postings by appending its postings negated
+    (the IVM sign trick) — probes fold sum(sign·tf)/sum(sign·dl) per
+    (token, doc), so a retract+reinsert pair nets to the new state
+    with appends only (full txn-group atomicity, zero rewrites)."""
     base = docs.select(
         F.col(id_col).alias("id"),
         F.transform(tokens_expr(text_col), lambda t: F.lower(t)).alias(
@@ -66,6 +75,7 @@ def _postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("tf"),
             F.first("dl").alias("dl"),
         )
+        .withColumn("sign", F.lit(int(sign)).cast("long"))
     )
 
 
@@ -93,10 +103,14 @@ def build_text_index(
     k1: float = 1.2,
     b: float = 0.75,
     target_files: int | None = None,
+    source_table: str | None = None,
+    synced_version: int | None = None,
 ) -> dict:
     """Materialize the inverted index. One tokenize pass, one
     (token, doc) groupBy shuffle, one token-clustering compaction.
-    Returns ``{"n_docs", "postings", "files"}``."""
+    Returns ``{"n_docs", "postings", "files"}``. ``source_table`` /
+    ``synced_version`` record provenance for CDF-driven maintenance —
+    use :func:`attach_text_index` rather than passing them directly."""
     spark = corpus.sparkSession
     store.write_replace(
         _postings(corpus, text_col, id_col), f"{index_name}_postings"
@@ -110,8 +124,18 @@ def build_text_index(
         _doc_stats(corpus, text_col, id_col), f"{index_name}_stats"
     )
     meta = spark.createDataFrame(
-        [(id_col, text_col, float(k1), float(b))],
-        "id_col string, text_col string, k1 double, b double",
+        [
+            (
+                id_col,
+                text_col,
+                float(k1),
+                float(b),
+                source_table,
+                synced_version,
+            )
+        ],
+        "id_col string, text_col string, k1 double, b double, "
+        "source_table string, synced_version long",
     )
     store.write_replace(meta, f"{index_name}_meta")
     st = store.table_stats(f"{index_name}_postings")
@@ -172,9 +196,18 @@ def text_index_search(
     m = _text_index_meta(store, index_name)
     k1, b = float(m["k1"]), float(m["b"])
     terms = sorted({t.lower() for t in query_terms})
-    tf = store.read_where(
-        f"{index_name}_postings", [("token", "in", terms)]
-    ).select("token", "id", "tf", "dl")
+    # Fold tombstones: a retracted (token, doc) nets its tf/dl to the
+    # reinserted values (or to 0 → dropped). Untouched docs have one
+    # +1 row and fold to themselves.
+    tf = (
+        store.read_where(f"{index_name}_postings", [("token", "in", terms)])
+        .groupBy("token", "id")
+        .agg(
+            F.sum(F.col("sign") * F.col("tf")).alias("tf"),
+            F.sum(F.col("sign") * F.col("dl")).alias("dl"),
+        )
+        .filter(F.col("tf") > 0)
+    )
     consts = (
         store.read(f"{index_name}_stats")
         .agg(
@@ -202,6 +235,198 @@ def text_index_search(
     if limit is not None:
         out = out.orderBy(F.desc("bm25"), m["id_col"]).limit(limit)
     return out
+
+
+def attach_text_index(
+    store,
+    table_name: str,
+    index_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    target_files: int | None = None,
+) -> dict:
+    """Build the index FROM a store table and record the snapshot
+    version it covers — :func:`sync_text_index` then maintains it from
+    the table's change feed. The read and the recorded version pin the
+    same snapshot (single-table reads are snapshot-consistent)."""
+    v = store.latest_version(table_name)
+    return build_text_index(
+        store.read_version(table_name, v),
+        store,
+        index_name,
+        id_col=id_col,
+        text_col=text_col,
+        k1=k1,
+        b=b,
+        target_files=target_files,
+        source_table=table_name,
+        synced_version=v,
+    )
+
+
+def sync_text_index(store, index_name: str) -> dict:
+    """Catch the index up to its source table's CURRENT snapshot from
+    the change feed — the derived-index analogue of
+    ``ChangeFeedFollower``, TRANSACTIONAL end to end:
+
+    - the window's changes collapse to one net diff per key
+      (``diff_snapshots``: O(data), not O(commits), however long the
+      outage);
+    - deleted/updated docs retract as tombstone postings (their old
+      postings negated — appends, never rewrites: probes fold
+      sum(sign·tf) per (token, doc));
+    - inserted/updated docs append fresh postings; one mergeable stats
+      delta row carries the N/Σdl shift (negative deltas allowed);
+    - postings, stats AND the cursor (meta's ``synced_version``) move
+      as ONE multi-table txn group — a probe racing the sync sees the
+      whole index step or none of it, and a crashed sync replays from
+      the old cursor with nothing half-applied.
+
+    Two syncs racing: one group lands, the loser aborts cleanly and
+    reports ``{"raced": True}`` (retry reads the advanced cursor).
+    Unsafe collapse windows (column renames/drops mid-window) rebuild
+    the index from the current snapshot instead. Returns
+    ``{"synced_from", "synced_to", "docs_changed"}``."""
+    from pyairbyte_spark.writers import ConcurrentCommitError
+
+    m = _text_index_meta(store, index_name)
+    table = m.get("source_table")
+    if not table:
+        raise ValueError(
+            f"text index {index_name!r} was not built from a store "
+            "table; use attach_text_index"
+        )
+    cur = int(m["synced_version"])
+    head = store.latest_version(table)
+    if head <= cur:
+        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
+    id_col, text_col = m["id_col"], m["text_col"]
+    diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+    if diff is None:
+        # Mid-window rename/drop: per-key collapse is unsafe — rebuild
+        # from the current snapshot (correct, just not incremental).
+        attach_text_index(
+            store,
+            table,
+            index_name,
+            id_col=id_col,
+            text_col=text_col,
+            k1=float(m["k1"]),
+            b=float(m["b"]),
+        )
+        return {
+            "synced_from": cur,
+            "synced_to": store.latest_version(table),
+            "docs_changed": None,
+            "rebuilt": True,
+        }
+    diff = diff.localCheckpoint()  # two passes below: don't re-diff
+    removed = diff.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col(id_col).alias("id"))
+    added = diff.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, text_col)
+    # Retractions: the OLD postings of every removed/updated doc,
+    # negated. Reading them from the index itself (not the old
+    # snapshot) keeps this O(changes ⨝ postings), and the sentinel-free
+    # stats math works because N's shift comes from the DIFF row
+    # counts (every delete/update row was in the old snapshot by
+    # construction), not from postings existence.
+    tombstones = (
+        store.read(f"{index_name}_postings")
+        .join(removed, "id", "left_semi")
+        .groupBy("token", "id")
+        .agg(
+            F.sum(F.col("sign") * F.col("tf")).alias("tf"),
+            F.sum(F.col("sign") * F.col("dl")).alias("dl"),
+        )
+        .filter(F.col("tf") > 0)  # already-netted rows need no retract
+        .select(
+            "token",
+            "id",
+            F.col("tf"),
+            F.col("dl"),
+            F.lit(-1).cast("long").alias("sign"),
+        )
+    )
+    new_posts = _postings(added, text_col, id_col)
+    n_removed = removed.count()
+    dl_removed = (
+        tombstones.groupBy("id").agg(F.max("dl").alias("dl")).agg(
+            F.coalesce(F.sum("dl"), F.lit(0))
+        )
+    ).collect()[0][0]
+    new_stats = added.select(
+        F.size(tokens_expr(text_col)).cast("long").alias("__dl")
+    ).agg(
+        F.count(F.lit(1)).cast("long"),
+        F.coalesce(F.sum("__dl"), F.lit(0)).cast("long"),
+    ).collect()[0]
+    n_added, dl_added = int(new_stats[0]), int(new_stats[1])
+    spark = diff.sparkSession
+    delta = spark.createDataFrame(
+        [(n_added - n_removed, int(dl_added) - int(dl_removed))],
+        "n_docs long, sum_dl long",
+    )
+    meta = spark.createDataFrame(
+        [
+            (
+                id_col,
+                text_col,
+                float(m["k1"]),
+                float(m["b"]),
+                table,
+                head,
+            )
+        ],
+        "id_col string, text_col string, k1 double, b double, "
+        "source_table string, synced_version long",
+    )
+    raced = {
+        "synced_from": cur,
+        "synced_to": cur,
+        "docs_changed": 0,
+        "raced": True,
+    }
+    t = store.begin_txn()
+    try:
+        # The SetTransaction watermark (app = this index's sync, batch
+        # = the target version) is the cursor's compare-and-swap: two
+        # racing syncs of the same window both target `head`, the
+        # watermark re-check inside the slot-claim loop lets exactly
+        # one postings prepare land, and the loser sees its postings
+        # MISSING from prepare()'s map and aborts the whole group —
+        # prepares are invisible, so nothing half-applies.
+        r1 = t.write_append(
+            tombstones.unionByName(new_posts),
+            f"{index_name}_postings",
+            txn=(f"__sync_{index_name}", head),
+        )
+        if r1.get("skipped"):
+            t.abort()
+            return raced
+        t.write_append(delta, f"{index_name}_stats")
+        t.write_replace(meta, f"{index_name}_meta")
+        prepared = t.prepare()
+        if f"{index_name}_postings" not in prepared:
+            t.abort()  # a racer's watermark won: retract stats/meta
+            return raced
+        t.commit()
+    except ConcurrentCommitError:
+        try:
+            t.abort()
+        except Exception:
+            pass
+        return raced
+    return {
+        "synced_from": cur,
+        "synced_to": head,
+        "docs_changed": n_removed + n_added,
+    }
 
 
 def text_index_coverage(store, index_name: str) -> dict:

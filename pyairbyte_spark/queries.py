@@ -3618,12 +3618,12 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["spark", "query", "join", "window", "data"]
 
 
-def _bm25_oracle_sql() -> str:
+def _bm25_oracle_sql(source: str = "documents") -> str:
     terms = ", ".join(f"'{t}'" for t in sorted(_BM25_TERMS))
     return rf"""
     WITH lt AS (
       SELECT doc_id, list_transform({_TOKS_DUCK}, t -> lower(t)) AS toks
-      FROM documents
+      FROM {source}
     ),
     toks AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM lt),
     consts AS (
@@ -6090,6 +6090,71 @@ def _register_text_index_query() -> None:
         )
         return text_index_search(store, "ti", _BM25_TERMS)
 
+    @register(
+        "text_index_sync_search",
+        _bm25_oracle_sql(
+            "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "concat(text, ' spark spark') ELSE text END AS text "
+            "FROM documents WHERE doc_id % 10 <> 0)"
+        ),
+        "CDF-maintained inverted index: attach to a store table, run "
+        "DML on the TABLE (delete merge + update merge), one "
+        "transactional sync_text_index (tombstone postings + stats "
+        "delta + cursor in one txn group) — probe scores equal the "
+        "full-scan BM25 over the table's FINAL state",
+    )
+    def text_index_sync_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.operators.search import (
+            attach_text_index,
+            sync_text_index,
+            text_index_search,
+        )
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        docs = (
+            t(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .withColumn(
+                "_airbyte_raw_id",
+                F.concat(F.lit("r"), F.col("doc_id").cast("string")),
+            )
+            .withColumn(
+                "_airbyte_extracted_at",
+                F.lit("2024-01-01").cast("timestamp"),
+            )
+        )
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-tisync-"), "q"
+        )
+        store.write_append(docs, "docs", ["doc_id"])
+        attach_text_index(store, "docs", "ti", target_files=16)
+        store.merge_into(
+            "docs",
+            docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+            ["doc_id"],
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        store.merge_into(
+            "docs",
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0)
+            ).select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" spark spark")).alias(
+                    "text"
+                ),
+            ),
+            ["doc_id"],
+            when_matched_update={"text": "s.text"},
+            when_not_matched_insert=False,
+        )
+        r = sync_text_index(store, "ti")
+        assert r["docs_changed"] and not r.get("rebuilt"), r
+        return text_index_search(store, "ti", _BM25_TERMS)
+
 
 _register_text_index_query()
 
@@ -7289,6 +7354,7 @@ _DRIVER_PRIORITY = [
     "store_branch_wap_events",
     "store_count_pushdown_events",
     "text_bm25_index_search",
+    "text_index_sync_search",
     "dedup_jaccard_ssjoin",
     "knn_label_vote",
     "dedup_minhash_refresh_events",

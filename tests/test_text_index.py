@@ -142,3 +142,157 @@ def test_search_tool_surface(spark, tmp_path):
     assert [
         (h["doc_id"], h["bm25"]) for h in hits2
     ] == [(h["doc_id"], h["bm25"]) for h in hits]
+
+
+# -- CDF-driven transactional maintenance --------------------------------------
+
+
+def _book(df):
+    return df.withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("r"), F.col("doc_id").cast("string"))
+    ).withColumn(
+        "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+    )
+
+
+def test_sync_tracks_table_dml(spark, store):
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti", target_files=4)
+    # delete, update (incl. token-less -> tokened churn), insert
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(3,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [
+                (6, "totally different now"),
+                (5, "was empty now spark"),
+                (7, "fresh spark data doc"),
+                (8, ""),
+            ],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+    )
+    r = sync_text_index(store, "ti")
+    assert r["docs_changed"] == 7 and r["synced_to"] > r["synced_from"]
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+    # no-op when caught up; second churn round still exact
+    assert sync_text_index(store, "ti")["docs_changed"] == 0
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(6,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_text_index(store, "ti")
+    cur2 = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur2, TERMS)
+    )
+
+
+def test_sync_moves_all_three_tables_atomically(spark, store):
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    vers = {
+        t: store.latest_version(f"ti_{t}")
+        for t in ("postings", "stats", "meta")
+    }
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_text_index(store, "ti")
+    for t in ("postings", "stats", "meta"):
+        assert store.latest_version(f"ti_{t}") > vers[t], t
+
+
+def test_sync_race_loser_aborts_cleanly(spark, store):
+    import threading
+
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+        text_index_search,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(7, "fresh spark data doc")], "doc_id long, text string"
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+    )
+    results = []
+
+    def run():
+        results.append(sync_text_index(store, "ti"))
+
+    ts = [threading.Thread(target=run) for _ in range(2)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    applied = [r for r in results if r["docs_changed"]]
+    # exactly one sync applied the window; the other raced or no-opped
+    assert len(applied) == 1, results
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+
+
+def test_sync_rebuilds_through_unsafe_collapse(spark, store):
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+        text_index_search,
+    )
+
+    docs = _book(_docs(spark)).withColumn("lang", F.lit("en"))
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    store.write_append(
+        _book(
+            spark.createDataFrame(
+                [(9, "extra spark doc")], "doc_id long, text string"
+            )
+        ).withColumn("lang", F.lit("en")),
+        "docs",
+        ["doc_id"],
+    )
+    # a rename inside the window makes per-key collapse unsafe
+    store.rename_column("docs", "lang", "language")
+    r = sync_text_index(store, "ti")
+    assert r.get("rebuilt") is True
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
