@@ -318,3 +318,67 @@ class MinHashIndexStreamingSink:
         if trigger_once:
             w = w.trigger(availableNow=True)
         return w.start()
+
+
+class TextIndexStreamingSink:
+    """Exactly-once streaming maintenance of a persisted inverted text
+    index (``operators/search.py``): each micro-batch of documents
+    appends postings + a stats delta as ONE atomic two-table txn group
+    with the epoch riding as the SetTransaction watermark — a replayed
+    epoch (foreachBatch redelivery after a crash) skips BOTH tables,
+    so search results never double-count a document.
+
+    ``refresh_coverage_min`` mirrors :class:`MinHashIndexStreamingSink`:
+    every epoch lands one token-unclustered entry, decaying probe
+    pruning; below the floor the sink reclusters the appended tail
+    (O(tail)). Replayed epochs never trigger it.
+    """
+
+    def __init__(
+        self,
+        store,
+        index_name: str,
+        app_id: str,
+        *,
+        refresh_coverage_min: float | None = None,
+    ) -> None:
+        self.store = store
+        self.index_name = index_name
+        self.app_id = app_id
+        self.refresh_coverage_min = refresh_coverage_min
+        self.skipped_epochs = 0
+        self.appended_epochs = 0
+        self.refreshes = 0
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from pyairbyte_spark.operators import search
+
+        res = search.append_to_text_index(
+            batch_df,
+            self.store,
+            self.index_name,
+            txn=(self.app_id, int(epoch_id)),
+        )
+        if res.get("skipped"):
+            self.skipped_epochs += 1
+            return
+        self.appended_epochs += 1
+        if self.refresh_coverage_min is not None:
+            cov = search.text_index_coverage(self.store, self.index_name)
+            if cov["coverage"] < self.refresh_coverage_min:
+                search.refresh_text_index(self.store, self.index_name)
+                self.refreshes += 1
+
+    def attach(
+        self,
+        stream_df: DataFrame,
+        *,
+        checkpoint_dir: str,
+        trigger_once: bool = True,
+    ):
+        w = stream_df.writeStream.foreachBatch(self).option(
+            "checkpointLocation", checkpoint_dir
+        )
+        if trigger_once:
+            w = w.trigger(availableNow=True)
+        return w.start()

@@ -296,3 +296,35 @@ def test_sync_rebuilds_through_unsafe_collapse(spark, store):
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
     )
+
+
+def test_text_index_streaming_sink_exactly_once(spark, store, tmp_path):
+    from pyairbyte_spark.streaming.sink import TextIndexStreamingSink
+
+    docs = _docs(spark)
+    build_text_index(docs.filter(F.col("doc_id") <= 3), store, "ti")
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") > 3).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b0"))
+    sink = TextIndexStreamingSink(store, "ti", "pipe")
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*"
+    )
+    q = sink.attach(
+        stream, checkpoint_dir=str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    assert sink.appended_epochs == 1
+    # stream-maintained == full-scan over the whole corpus
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(docs, TERMS)
+    )
+    # manual epoch redelivery: both tables stay put
+    vp = store.latest_version("ti_postings")
+    vs = store.latest_version("ti_stats")
+    sink(docs.filter(F.col("doc_id") > 3), 0)
+    assert sink.skipped_epochs == 1
+    assert store.latest_version("ti_postings") == vp
+    assert store.latest_version("ti_stats") == vs
