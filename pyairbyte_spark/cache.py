@@ -343,6 +343,16 @@ class SparkCache(Mapping):
     def drop_stream_tag(self, stream_name: str, tag: str) -> None:
         self._acid_store().drop_tag(self.table_name(stream_name), tag)
 
+    def set_stream_cluster_by(
+        self, stream_name: str, columns: "list[str] | None"
+    ) -> int:
+        """Write-time clustering property: every later append to this
+        stream's table range-sorts on ``columns`` before staging, so
+        zone maps stay selective through ingest (None clears)."""
+        return self._acid_store().set_cluster_by(
+            self.table_name(stream_name), columns
+        )
+
     def rename_stream_column(self, stream_name: str, old: str, new: str) -> int:
         """Metadata-only column rename (zero data I/O)."""
         return self._acid_store().rename_column(

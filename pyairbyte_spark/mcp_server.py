@@ -656,6 +656,27 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "set_table_clustering",
+            "Write-time clustering: every later append to the stream's "
+            "table range-sorts on the given columns before staging, so "
+            "range/point scans stay file-pruned through ingest without "
+            "compaction cycles. Omit columns to clear.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "columns": {
+                        "type": "array",
+                        "items": {"type": "string"},
+                    },
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.set_table_clustering(
+                h.cache, a["stream_name"], a.get("columns")
+            ),
+        ),
+        ToolDef(
             "build_search_index",
             "Materialize a persisted inverted text index over a cached "
             "stream (token-clustered postings + mergeable corpus stats): "

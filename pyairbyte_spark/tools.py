@@ -569,3 +569,16 @@ def search_documents(
             .limit(k)
         )
     return [r.asDict() for r in out.collect()]
+
+
+def set_table_clustering(
+    cache: SparkCache,
+    stream_name: str,
+    columns: list[str] | None = None,
+) -> dict[str, Any]:
+    """Set (or clear, by omitting columns) write-time clustering on a
+    cached stream's table: every later append range-sorts on the
+    cluster keys before staging, keeping range/point scans file-pruned
+    through ingest without compaction cycles."""
+    v = cache.set_stream_cluster_by(stream_name, columns)
+    return {"version": v, "cluster_by": columns or None}

@@ -715,6 +715,14 @@ class MultiTableTxn:
             lambda: self.store._plan_drop_column(table_name, name),
         )
 
+    def set_cluster_by(
+        self, table_name: str, columns: "list[str] | None"
+    ) -> dict:
+        return self._stage_plan(
+            table_name,
+            lambda: self.store._plan_set_cluster_by(table_name, columns),
+        )
+
     def set_check(self, table_name: str, name: str, expr: str) -> dict:
         """CHECK constraint add as a txn-group member — existing rows
         are re-validated at prepare() if the table moved."""
@@ -2360,6 +2368,8 @@ class CommitLogTableStore(TableStore):
             out["dropped_columns"] = man["dropped_columns"]
         if man.get("checks"):
             out["checks"] = man["checks"]
+        if man.get("cluster_by"):
+            out["cluster_by"] = man["cluster_by"]
         if man.get("txns"):
             out["txns"] = man["txns"]
         if man.get("added_columns"):
@@ -2422,6 +2432,59 @@ class CommitLogTableStore(TableStore):
     def table_checks(self, table_name: str) -> dict[str, str]:
         snap = self._latest_commit(table_name)
         return dict((snap[1].get("checks") or {})) if snap else {}
+
+    def set_cluster_by(
+        self, table_name: str, columns: "list[str] | None"
+    ) -> int:
+        """Set (or clear, with ``None``) the table's WRITE-TIME
+        clustering property: every later append range-sorts on these
+        columns before staging, keeping zone maps selective without
+        compaction (fresh entries stamp ``sorted_by``, so index
+        coverage watermarks stay at 1.0 through ingest). Metadata-only
+        commit; existing files are untouched (run
+        ``compact(sort_by=...)`` once to cluster history). REPLACE
+        resets the property like the column mapping — re-set it after
+        full refreshes."""
+        return self._commit_planned(
+            table_name,
+            self._plan_set_cluster_by(table_name, columns),
+            lambda: self._plan_set_cluster_by(table_name, columns),
+        )["version"]
+
+    def _plan_set_cluster_by(
+        self, table_name: str, columns: "list[str] | None"
+    ) -> dict:
+        snap = self._latest_commit(table_name)
+        if snap is None or not snap[1].get("entries"):
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        version, man = snap
+        phys: list[str] = []
+        if columns:
+            logical = set(self.read(table_name).columns)
+            for c in columns:
+                if c not in logical:
+                    raise ValueError(f"column {c!r} does not exist")
+                phys.append(self._to_physical(man, c))
+        return {
+            "base_version": version,
+            "manifest": {
+                "op": "set_cluster_by",
+                "merge_buckets": man.get("merge_buckets"),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                **{
+                    k: v
+                    for k, v in self._carry_mapping(man).items()
+                    if k != "cluster_by"
+                },
+                **({"cluster_by": phys} if phys else {}),
+                "entries": man.get("entries") or [],
+                **self._carry_dv(man),
+            },
+        }
 
     def set_check(self, table_name: str, name: str, expr: str) -> int:
         """Add/replace a named CHECK constraint (SQL boolean expr over
@@ -4064,6 +4127,7 @@ class CommitLogTableStore(TableStore):
             "rename_column",
             "drop_column",
             "set_check",
+            "set_cluster_by",
             "add_column",
             "repair_metadata",
             "set_bloom_index",
@@ -4465,7 +4529,27 @@ class CommitLogTableStore(TableStore):
         else:
             n_buckets = self.merge_buckets
         df = self._with_bucket(df, primary_keys, n_buckets)
-        return self._stage(df, table_name)
+        # Write-time clustering (the liquid-clustering idea): a table
+        # with a ``cluster_by`` property range-sorts EVERY append on
+        # its cluster keys before staging — one extra shuffle per
+        # append buys zone maps that stay selective without waiting
+        # for a compaction (fresh files stamp ``sorted_by``, so index
+        # coverage watermarks count them as clustered). The file count
+        # follows the incoming partitioning: micro-batches stay one
+        # file, bulk loads keep their parallelism.
+        cluster = (snap[1].get("cluster_by") or None) if exists else None
+        clustered = bool(cluster) and all(c in df.columns for c in cluster)
+        if clustered:
+            lead = [BUCKET_COL] if BUCKET_COL in df.columns else []
+            keys = [F.col(c) for c in (*lead, *cluster)]
+            n_out = max(1, df.rdd.getNumPartitions())
+            df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(
+                *lead, *cluster
+            )
+        entry = self._stage(df, table_name)
+        if clustered:
+            entry["sorted_by"] = list(cluster)
+        return entry
 
     def write_append(
         self,
