@@ -7686,6 +7686,7 @@ class CommitLogTableStore(TableStore):
         max_dv_files: int = 4,
         min_bloom_coverage: float = 0.9,
         max_retained_commits: int = 200,
+        max_ref_age_hours: float = 7 * 24.0,
     ) -> list[dict]:
         """Table doctor: inspect ONE snapshot's metadata and return the
         maintenance actions worth running, each as ``{"action",
@@ -7778,6 +7779,34 @@ class CommitLogTableStore(TableStore):
                         "force-aborts it after the grace window",
                     }
                 )
+        # Stale named refs: every live branch/tag pins vacuum's
+        # retention floor at its fork base / tagged version, so an
+        # abandoned audit branch quietly turns retention off. Age is
+        # the signal (refs record their creation ts).
+        now = int(time.time())
+        for rname, ref in self.refs(table_name).items():
+            age_h = (now - (ref.get("ts") or now)) / 3600.0
+            if age_h < max_ref_age_hours:
+                continue
+            floor = (
+                ref.get("base")
+                if ref.get("type") == "branch"
+                else ref.get("version")
+            )
+            verb = (
+                "publish_branch or drop_branch"
+                if ref.get("type") == "branch"
+                else "drop_tag"
+            )
+            recs.append(
+                {
+                    "action": "drop_ref",
+                    "reason": f"{ref.get('type')} {rname!r} is "
+                    f"{age_h:.0f}h old (> {max_ref_age_hours}h) and "
+                    f"pins the vacuum floor at v{floor}; {verb} to "
+                    "release retention",
+                }
+            )
         return recs
 
     def rebucket_table(

@@ -498,3 +498,26 @@ def test_rebase_merges_txn_watermarks(spark, store):
     r = store.write_append(_df(spark, [(2, "b")]), "t", ["id"], txn=("pipe", 7))
     assert r["skipped"] is True
     assert store.read("t").count() == 3
+
+
+def test_maintenance_plan_flags_stale_refs(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "old-audit")
+    store.create_tag("t", "old-rel")
+    # fresh refs: quiet
+    assert not any(
+        r["action"] == "drop_ref" for r in store.maintenance_plan("t")
+    )
+    # aged refs: both flagged with their floor + the release verb
+    recs = store.maintenance_plan("t", max_ref_age_hours=0.0)
+    flagged = [r for r in recs if r["action"] == "drop_ref"]
+    assert len(flagged) == 2
+    reasons = " | ".join(r["reason"] for r in flagged)
+    assert "publish_branch or drop_branch" in reasons
+    assert "drop_tag" in reasons
+    store.drop_branch("t", "old-audit")
+    store.drop_tag("t", "old-rel")
+    assert not any(
+        r["action"] == "drop_ref"
+        for r in store.maintenance_plan("t", max_ref_age_hours=0.0)
+    )
