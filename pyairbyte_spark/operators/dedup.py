@@ -27,7 +27,7 @@ distributed hex is a valid uniform order, so min-hash statistics hold.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyairbyte_spark.operators.text import normalize_text_expr
@@ -606,6 +606,8 @@ def build_minhash_index(
     bands: int = 4,
     k: int = 3,
     target_files: int | None = None,
+    source_table: str | None = None,
+    synced_version: int | None = None,
 ) -> dict:
     """Materialize a MinHash-LSH near-dup index into ``store``:
 
@@ -629,15 +631,30 @@ def build_minhash_index(
         corpus, text_col, id_col, num_hashes=num_hashes, k=k
     ).localCheckpoint()  # bands + sigs both derive from this one pass
     band_rows = lsh_bands(sig, id_col, bands=bands, rows=rows).select(
-        F.col("band_idx"), F.col("band_hash"), F.col(id_col).alias("id")
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id"),
+        F.lit(1).cast("long").alias("sign"),
     )
     sig_cols = sig.select(
         F.col(id_col).alias("id"),
         *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(num_hashes)],
+        F.lit(0).cast("long").alias("seq"),
     )
     meta = spark.createDataFrame(
-        [(int(num_hashes), int(bands), int(k), id_col, text_col)],
-        "num_hashes int, bands int, k int, id_col string, text_col string",
+        [
+            (
+                int(num_hashes),
+                int(bands),
+                int(k),
+                id_col,
+                text_col,
+                source_table,
+                synced_version,
+            )
+        ],
+        "num_hashes int, bands int, k int, id_col string, "
+        "text_col string, source_table string, synced_version long",
     )
     store.write_replace(band_rows, f"{index_name}_bands")
     store.compact(
@@ -691,7 +708,10 @@ def append_to_minhash_index(
     band_rows = lsh_bands(
         sig, m["id_col"], bands=m["bands"], rows=rows
     ).select(
-        F.col("band_idx"), F.col("band_hash"), F.col(m["id_col"]).alias("id")
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(m["id_col"]).alias("id"),
+        F.lit(1).cast("long").alias("sign"),
     )
     sig_cols = sig.select(
         F.col(m["id_col"]).alias("id"),
@@ -699,6 +719,7 @@ def append_to_minhash_index(
             F.element_at("sig", i + 1).alias(f"h{i}")
             for i in range(m["num_hashes"])
         ],
+        F.lit(0).cast("long").alias("seq"),
     )
     t = store.begin_txn()
     r1 = t.write_append(band_rows, f"{index_name}_bands", txn=txn)
@@ -716,6 +737,178 @@ def append_to_minhash_index(
 # no driver round-trip). Probes are query BATCHES; typical ingest
 # checks stay far below this.
 MINHASH_PROBE_LITERAL_MAX = 4096
+
+
+def attach_minhash_index(
+    store,
+    table_name: str,
+    index_name: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 12,
+    bands: int = 4,
+    k: int = 3,
+    target_files: int | None = None,
+) -> dict:
+    """Build the dedup index FROM a store table and record the snapshot
+    version it covers — :func:`sync_minhash_index` then maintains it
+    from the table's change feed."""
+    v = store.latest_version(table_name)
+    return build_minhash_index(
+        store.read_version(table_name, v),
+        store,
+        index_name,
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        target_files=target_files,
+        source_table=table_name,
+        synced_version=v,
+    )
+
+
+def sync_minhash_index(store, index_name: str) -> dict:
+    """Catch the dedup index up to its source table's CURRENT snapshot
+    — the MinHash twin of ``search.sync_text_index``, same protocol:
+
+    - one collapsed net diff per key (``diff_snapshots``);
+    - deleted/updated docs retract as NEGATED band rows (appends only;
+      probes fold sum(sign) per (band, doc)) — a deleted doc stops
+      matching entirely, with no bands/sigs rewrite;
+    - inserted/updated docs append fresh bands (+1) and fresh
+      signatures stamped ``seq = head`` (probe verification picks each
+      candidate's newest signature);
+    - bands + sigs + cursor (meta) move as ONE txn group, with the
+      bands SetTransaction watermark keyed by the target version as
+      the cursor's compare-and-swap — exactly one of N racing syncs
+      applies, losers abort whole.
+
+    Unsafe collapse windows (rename/drop mid-window) rebuild instead.
+    Returns ``{"synced_from", "synced_to", "docs_changed"}``."""
+    from pyairbyte_spark.writers import ConcurrentCommitError
+
+    m = _minhash_index_meta(store, index_name)
+    table = m.get("source_table")
+    if not table:
+        raise ValueError(
+            f"minhash index {index_name!r} was not built from a store "
+            "table; use attach_minhash_index"
+        )
+    cur = int(m["synced_version"])
+    head = store.latest_version(table)
+    if head <= cur:
+        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
+    id_col, text_col = m["id_col"], m["text_col"]
+    diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+    if diff is None:
+        attach_minhash_index(
+            store,
+            table,
+            index_name,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=m["num_hashes"],
+            bands=m["bands"],
+            k=m["k"],
+        )
+        return {
+            "synced_from": cur,
+            "synced_to": store.latest_version(table),
+            "docs_changed": None,
+            "rebuilt": True,
+        }
+    diff = diff.localCheckpoint()
+    removed = diff.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col(id_col).alias("id"))
+    added = diff.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, text_col)
+    tombstones = (
+        store.read(f"{index_name}_bands")
+        .join(removed, "id", "left_semi")
+        .groupBy("band_idx", "band_hash", "id")
+        .agg(F.sum("sign").alias("__s"))
+        .filter(F.col("__s") > 0)
+        .select(
+            "band_idx",
+            "band_hash",
+            "id",
+            F.lit(-1).cast("long").alias("sign"),
+        )
+    )
+    nh = m["num_hashes"]
+    rows = nh // m["bands"]
+    sig = minhash_signature(
+        added, text_col, id_col, num_hashes=nh, k=m["k"]
+    ).localCheckpoint()
+    new_bands = lsh_bands(
+        sig, id_col, bands=m["bands"], rows=rows
+    ).select(
+        F.col("band_idx"),
+        F.col("band_hash"),
+        F.col(id_col).alias("id"),
+        F.lit(1).cast("long").alias("sign"),
+    )
+    new_sigs = sig.select(
+        F.col(id_col).alias("id"),
+        *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(nh)],
+        F.lit(int(head)).cast("long").alias("seq"),
+    )
+    spark = diff.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (
+                int(nh),
+                int(m["bands"]),
+                int(m["k"]),
+                id_col,
+                text_col,
+                table,
+                head,
+            )
+        ],
+        "num_hashes int, bands int, k int, id_col string, "
+        "text_col string, source_table string, synced_version long",
+    )
+    n_changed = removed.count() + added.count()
+    raced = {
+        "synced_from": cur,
+        "synced_to": cur,
+        "docs_changed": 0,
+        "raced": True,
+    }
+    t = store.begin_txn()
+    try:
+        r1 = t.write_append(
+            tombstones.unionByName(new_bands),
+            f"{index_name}_bands",
+            txn=(f"__sync_{index_name}", head),
+        )
+        if r1.get("skipped"):
+            t.abort()
+            return raced
+        t.write_append(new_sigs, f"{index_name}_sigs")
+        t.write_replace(meta, f"{index_name}_meta")
+        prepared = t.prepare()
+        if f"{index_name}_bands" not in prepared:
+            t.abort()  # a racer's watermark won
+            return raced
+        t.commit()
+    except ConcurrentCommitError:
+        try:
+            t.abort()
+        except Exception:
+            pass
+        return raced
+    return {
+        "synced_from": cur,
+        "synced_to": head,
+        "docs_changed": n_changed,
+    }
 
 
 def minhash_index_matches(
@@ -764,6 +957,15 @@ def minhash_index_matches(
         idx = store.read(f"{index_name}_bands").join(
             qbands.select("band_hash").distinct(), "band_hash", "left_semi"
         )
+    # Tombstone fold (sync_minhash_index retracts a doc's bands by
+    # appending them negated): a (band, doc) is live iff its signs net
+    # positive. Untouched docs have one +1 row and fold to themselves.
+    idx = (
+        idx.groupBy("band_idx", "band_hash", "id")
+        .agg(F.sum("sign").alias("__s"))
+        .filter(F.col("__s") > 0)
+        .drop("__s")
+    )
     cand = (
         qbands.join(idx, ["band_idx", "band_hash"])
         .filter(F.col("id") != F.col("query_id"))
@@ -771,7 +973,28 @@ def minhash_index_matches(
         .agg(F.countDistinct("band_idx").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
     )
-    sigs = store.read(f"{index_name}_sigs")
+    # Verify against each candidate's NEWEST signature (updated docs
+    # re-sign with seq = the sync's source version; h0 breaks exact
+    # re-ingest ties deterministically). Restricting to candidate ids
+    # FIRST keeps the newest-wins window O(candidates), not O(index).
+    sigs = (
+        store.read(f"{index_name}_sigs")
+        .join(
+            cand.select(F.col("match_id").alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.desc("seq"), F.desc("h0")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     qs = qsig.select(
         F.col(m["id_col"]).alias("query_id"),
         *[F.element_at("sig", i + 1).alias(f"q{i}") for i in range(nh)],
@@ -1013,7 +1236,8 @@ def minhash_index_health(
     g = (
         store.read(f"{index_name}_bands")
         .groupBy("band_hash")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("sign").alias("c"))  # tombstone-adjusted live rows
+        .filter(F.col("c") > 0)
         .agg(
             F.sum("c").alias("rows"),
             F.count(F.lit(1)).alias("distinct_bands"),

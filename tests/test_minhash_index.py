@@ -433,3 +433,116 @@ def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
         if 2 * len(sets[a] & sets[b]) >= len(sets[a] | sets[b])
     }
     assert got2 == want2 and got2 >= set(got)
+
+
+# -- CDF-driven transactional maintenance --------------------------------------
+
+
+def test_minhash_sync_tracks_table_dml(spark, store):
+    from pyairbyte_spark.operators.dedup import (
+        attach_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+            (3, "completely unrelated text about databases and queries"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("r"), F.col("doc_id"))
+    ).withColumn(
+        "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+    )
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    q = spark.createDataFrame(
+        [(-1, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    assert {
+        r["match_id"]
+        for r in minhash_index_matches(store, "mh", q).collect()
+    } == {1}
+    # DELETE doc 1 from the corpus; after sync it must stop matching
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    r = sync_minhash_index(store, "mh")
+    assert r["docs_changed"] == 1
+    assert minhash_index_matches(store, "mh", q).count() == 0
+    # UPDATE doc 2 to become the near-dup; INSERT doc 4 identical
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [
+                (2, "the quick brown fox jumps over the lazy dog tonight"),
+                (4, "the quick brown fox jumps over the lazy dog today"),
+            ],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+    )
+    sync_minhash_index(store, "mh")
+    hits = {
+        r["match_id"]: r["n_agree"]
+        for r in minhash_index_matches(store, "mh", q).collect()
+    }
+    assert 2 in hits and hits[2] == 12  # updated sig wins (exact dup)
+    assert 4 in hits  # fresh insert indexed
+    # no-op when caught up
+    assert sync_minhash_index(store, "mh")["docs_changed"] == 0
+
+
+def test_minhash_sync_atomic_and_raced(spark, store):
+    import threading
+
+    from pyairbyte_spark.operators.dedup import (
+        attach_minhash_index,
+        sync_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    ).withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("r"), F.col("doc_id"))
+    ).withColumn(
+        "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+    )
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    vers = {
+        t: store.latest_version(f"mh_{t}")
+        for t in ("bands", "sigs", "meta")
+    }
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(5, "eta theta iota kappa lambda mu")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+    )
+    results = []
+    ts = [
+        threading.Thread(
+            target=lambda: results.append(sync_minhash_index(store, "mh"))
+        )
+        for _ in range(2)
+    ]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    assert len([r for r in results if r["docs_changed"]]) == 1, results
+    for t in ("bands", "sigs", "meta"):
+        assert store.latest_version(f"mh_{t}") > vers[t], t
