@@ -701,6 +701,61 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "sync_search_index",
+            "Catch the inverted text index up to its source table's "
+            "current snapshot from the change feed: deletions/updates "
+            "retract as tombstone postings, inserts append — one atomic "
+            "transaction (postings + corpus stats + cursor).",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+                "required": [],
+            },
+            lambda h, a: t.sync_search_index(
+                h.cache, a.get("index_name", "bm25")
+            ),
+        ),
+        ToolDef(
+            "build_dedup_index",
+            "Materialize a persisted MinHash-LSH near-duplicate index "
+            "over a cached stream (band-clustered buckets + signatures), "
+            "recording the snapshot it covers; find_near_duplicates then "
+            "probes it in O(touched buckets) and sync_dedup_index "
+            "maintains it from the table's change feed.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "index_name": {"type": "string"},
+                    "id_col": {"type": "string"},
+                    "text_col": {"type": "string"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.build_dedup_index(
+                h.cache,
+                a["stream_name"],
+                index_name=a.get("index_name", "mh"),
+                id_col=a.get("id_col", "doc_id"),
+                text_col=a.get("text_col", "text"),
+            ),
+        ),
+        ToolDef(
+            "sync_dedup_index",
+            "Catch the near-duplicate index up to its source table's "
+            "current snapshot: deleted documents stop matching (band "
+            "rows retract), updated documents re-sign — one atomic "
+            "transaction.",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+                "required": [],
+            },
+            lambda h, a: t.sync_dedup_index(
+                h.cache, a.get("index_name", "mh")
+            ),
+        ),
+        ToolDef(
             "search_documents",
             "BM25 keyword search over a cached stream: probes the "
             "persisted inverted index when one exists, else one exact "

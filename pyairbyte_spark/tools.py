@@ -535,9 +535,12 @@ def build_search_index(
     or rebuild on a maintenance cadence."""
     from pyairbyte_spark.operators import search as s
 
-    docs = cache[stream_name].to_spark().select(id_col, text_col)
-    return s.build_text_index(
-        docs, cache.store, index_name, id_col=id_col, text_col=text_col
+    return s.attach_text_index(
+        cache.store,
+        cache.table_name(stream_name),
+        index_name,
+        id_col=id_col,
+        text_col=text_col,
     )
 
 
@@ -582,3 +585,50 @@ def set_table_clustering(
     through ingest without compaction cycles."""
     v = cache.set_stream_cluster_by(stream_name, columns)
     return {"version": v, "cluster_by": columns or None}
+
+
+def sync_search_index(
+    cache: SparkCache, index_name: str = "bm25"
+) -> dict[str, Any]:
+    """Catch the inverted text index up to its source table's current
+    snapshot from the change feed — deletions/updates retract as
+    tombstone postings, inserts append, and the whole step (postings +
+    corpus stats + cursor) lands as one atomic transaction."""
+    from pyairbyte_spark.operators import search as s
+
+    return s.sync_text_index(cache.store, index_name)
+
+
+def build_dedup_index(
+    cache: SparkCache,
+    stream_name: str,
+    *,
+    index_name: str = "mh",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, Any]:
+    """Materialize a persisted MinHash-LSH near-duplicate index over a
+    cached stream (band-clustered buckets + signatures), recording the
+    snapshot it covers so ``sync_dedup_index`` can maintain it from
+    the table's change feed. ``find_near_duplicates`` then probes it
+    in O(touched buckets)."""
+    from pyairbyte_spark.operators import dedup
+
+    return dedup.attach_minhash_index(
+        cache.store,
+        cache.table_name(stream_name),
+        index_name,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def sync_dedup_index(
+    cache: SparkCache, index_name: str = "mh"
+) -> dict[str, Any]:
+    """Catch the near-duplicate index up to its source table's current
+    snapshot — deleted documents STOP matching (their band rows
+    retract), updated documents re-sign, all in one atomic step."""
+    from pyairbyte_spark.operators import dedup
+
+    return dedup.sync_minhash_index(cache.store, index_name)

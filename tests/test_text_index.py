@@ -328,3 +328,32 @@ def test_text_index_streaming_sink_exactly_once(spark, store, tmp_path):
     assert sink.skipped_epochs == 1
     assert store.latest_version("ti_postings") == vp
     assert store.latest_version("ti_stats") == vs
+
+
+def test_sync_tools_roundtrip(spark, tmp_path):
+    from pyairbyte_spark import tools
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, str(tmp_path / "stw"), table_format="commitlog"
+    )
+    cache.write_dataframe(_docs(spark), "docs", primary_keys=["doc_id"])
+    tools.build_search_index(cache, "docs")
+    tools.build_dedup_index(cache, "docs")
+    # DML on the stream's table, then both indexes catch up atomically
+    cache.store.merge_into(
+        cache.table_name("docs"),
+        spark.createDataFrame([(6,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    r1 = tools.sync_search_index(cache)
+    r2 = tools.sync_dedup_index(cache)
+    assert r1["docs_changed"] == 1 and r2["docs_changed"] == 1
+    hits = tools.search_documents(cache, "docs", "spark data", k=3)
+    assert all(h["doc_id"] != 6 for h in hits)
+    dups = tools.find_near_duplicates(
+        cache, "docs", "spark data spark data spark", min_agree=0
+    )
+    assert all(d["match_id"] != 6 for d in dups)
