@@ -1213,12 +1213,72 @@ def refresh_minhash_index(
     return {"refreshed": True, **minhash_index_coverage(store, index_name)}
 
 
+def fold_minhash_index(
+    store, index_name: str, *, target_files: int | None = None
+) -> dict:
+    """Fold tombstone debt in the dedup index: rewrite the bands table
+    as its NET state (sum(sign) per (band, doc), positives only) and
+    prune signatures to the newest row of each still-live doc — the
+    retraction rows :func:`sync_minhash_index` appends stop taxing
+    every probe. Both tables replace atomically in one txn group, and
+    the guarded commit never clobbers a concurrent sync (a fold losing
+    the race reports ``{"folded": False}``). O(index); run when
+    :func:`minhash_index_health` reports tombstone debt."""
+    from pyairbyte_spark.operators.search import _guarded_index_replace
+
+    btbl, stbl = f"{index_name}_bands", f"{index_name}_sigs"
+    for _ in range(4):
+        v0 = store.latest_version(btbl)
+        vs0 = store.latest_version(stbl)
+        bands_net = (
+            store.read(btbl)
+            .groupBy("band_idx", "band_hash", "id")
+            .agg(F.sum("sign").alias("__s"))
+            .filter(F.col("__s") > 0)
+            .select(
+                "band_idx",
+                "band_hash",
+                "id",
+                F.lit(1).cast("long").alias("sign"),
+            )
+            .localCheckpoint()  # live_ids below reuses this pass
+        )
+        live_ids = bands_net.select("id").distinct()
+        sigs = store.read(stbl)
+        hcols = [c for c in sigs.columns if c.startswith("h")]
+        sigs_net = (
+            sigs.join(live_ids, "id", "left_semi")
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy(
+                        F.desc("seq"), F.desc("h0")
+                    )
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .select("id", *hcols, "seq")
+        )
+        if _guarded_index_replace(
+            store, [(bands_net, btbl, v0), (sigs_net, stbl, vs0)], btbl
+        ):
+            store.compact(
+                btbl, sort_by=["band_hash"], target_files=target_files
+            )
+            return {
+                "folded": True,
+                **minhash_index_coverage(store, index_name),
+            }
+    return {"folded": False}
+
+
 def minhash_index_health(
     store,
     index_name: str,
     *,
     hot_band_share_max: float = 0.05,
     unclustered_max: float = 0.5,
+    tombstone_max: float = 0.2,
 ) -> dict:
     """Health signals for the persisted dedup index, the ANN
     ``index_health`` analogue: (1) STALENESS — the unclustered
@@ -1236,19 +1296,32 @@ def minhash_index_health(
     g = (
         store.read(f"{index_name}_bands")
         .groupBy("band_hash")
-        .agg(F.sum("sign").alias("c"))  # tombstone-adjusted live rows
-        .filter(F.col("c") > 0)
         .agg(
-            F.sum("c").alias("rows"),
-            F.count(F.lit(1)).alias("distinct_bands"),
-            F.max("c").alias("max_bucket"),
+            F.sum("sign").alias("c"),  # tombstone-adjusted live rows
+            F.count(F.lit(1)).alias("raw"),
+            F.sum((F.col("sign") < 0).cast("long")).alias("neg"),
+        )
+        .agg(
+            F.sum(F.when(F.col("c") > 0, F.col("c"))).alias("rows"),
+            F.sum((F.col("c") > 0).cast("long")).alias("distinct_bands"),
+            F.max(F.when(F.col("c") > 0, F.col("c"))).alias("max_bucket"),
+            F.sum("raw").alias("raw_rows"),
+            F.sum("neg").alias("neg_rows"),
         )
         .collect()[0]
     )
     rows = int(g["rows"] or 0)
+    raw_rows = int(g["raw_rows"] or 0)
+    # every -1 row cancels one +1 row: debt = 2·neg/raw
+    debt = (2.0 * int(g["neg_rows"] or 0) / raw_rows) if raw_rows else 0.0
     hot = (int(g["max_bucket"]) / rows) if rows else 0.0
     cov = minhash_index_coverage(store, index_name)
     issues = []
+    if debt > tombstone_max:
+        issues.append(
+            f"tombstone debt: {debt:.1%} of band rows are dead "
+            f"(> {tombstone_max:.0%}) — run fold_minhash_index"
+        )
     if hot > hot_band_share_max:
         issues.append(
             f"hot band: one bucket holds {hot:.1%} of band rows "
@@ -1266,6 +1339,7 @@ def minhash_index_health(
         "distinct_bands": int(g["distinct_bands"] or 0),
         "max_bucket_rows": int(g["max_bucket"] or 0),
         "hot_band_share": hot,
+        "tombstone_fraction": debt,
         "coverage": cov["coverage"],
         "files_unclustered": cov["files_unclustered"],
         "healthy": not issues,

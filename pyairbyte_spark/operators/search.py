@@ -44,9 +44,11 @@ __all__ = [
     "append_to_text_index",
     "attach_text_index",
     "build_text_index",
+    "fold_text_index",
     "refresh_text_index",
     "sync_text_index",
     "text_index_coverage",
+    "text_index_health",
     "text_index_search",
 ]
 
@@ -426,6 +428,135 @@ def sync_text_index(store, index_name: str) -> dict:
         "synced_from": cur,
         "synced_to": head,
         "docs_changed": n_removed + n_added,
+    }
+
+
+def _guarded_index_replace(store, writes: "list[tuple]", guard_table: str):
+    """Replace index tables atomically WITHOUT clobbering a concurrent
+    sync: replaces are position-independent (they auto-rebase), so a
+    sync group committing between our fold computation and our commit
+    would be silently overwritten. The guard claims the replace slots
+    via a txn-group PREPARE, then inspects every RAW slot between the
+    fold's base version and its own on ``guard_table``: any foreign
+    commit or non-aborted prepare in between means an interleaver's
+    rows could sit BELOW ours — abort (retry reads fresh state). Syncs
+    that prepare after ours land ABOVE and simply win visibility (the
+    fold is lost, which is benign — it's an optimization).
+
+    ``writes`` = [(df, table, base_version)] — guard_table must be one
+    of them. Returns True when the group committed."""
+    from pyairbyte_spark.writers import ConcurrentCommitError
+
+    t = store.begin_txn()
+    try:
+        base = None
+        for df, table, v0 in writes:
+            t.write_replace(df, table)
+            if table == guard_table:
+                base = v0
+        prepared = t.prepare()
+        my_slot = prepared.get(guard_table)
+        if my_slot is None or base is None:
+            t.abort()
+            return False
+        for w in range(base + 1, my_slot):
+            try:
+                hdr = store._read_commit_json(guard_table, w)
+            except FileNotFoundError:
+                continue
+            gid = hdr.get("txn_group")
+            if gid == t.group_id:
+                continue
+            if gid is None or store._group_verdict(gid) != "abort":
+                t.abort()  # interleaver below our slot: rows at risk
+                return False
+        t.commit()
+        return True
+    except ConcurrentCommitError:
+        try:
+            t.abort()
+        except Exception:
+            pass
+        return False
+
+
+def fold_text_index(
+    store, index_name: str, *, target_files: int | None = None
+) -> dict:
+    """Fold tombstone debt: rewrite the postings table as its NET
+    state (sum(sign·tf)/(sign·dl) per (token, doc), positives only) and
+    recluster on token — retraction rows accumulated by
+    :func:`sync_text_index` stop taxing every probe. Concurrent syncs
+    are never clobbered (see ``_guarded_index_replace``); a fold that
+    loses the race reports ``{"folded": False}`` — re-run from the
+    maintenance cadence. O(index) rewrite; run when
+    :func:`text_index_health` reports tombstone debt."""
+    ptbl = f"{index_name}_postings"
+    for _ in range(4):
+        v0 = store.latest_version(ptbl)
+        folded = (
+            store.read(ptbl)
+            .groupBy("token", "id")
+            .agg(
+                F.sum(F.col("sign") * F.col("tf")).alias("tf"),
+                F.sum(F.col("sign") * F.col("dl")).alias("dl"),
+            )
+            .filter(F.col("tf") > 0)
+            .select(
+                "token", "id", "tf", "dl", F.lit(1).cast("long").alias("sign")
+            )
+        )
+        if _guarded_index_replace(store, [(folded, ptbl, v0)], ptbl):
+            store.compact(ptbl, sort_by=["token"], target_files=target_files)
+            return {"folded": True, **text_index_coverage(store, index_name)}
+    return {"folded": False}
+
+
+def text_index_health(
+    store,
+    index_name: str,
+    *,
+    tombstone_max: float = 0.2,
+    unclustered_max: float = 0.5,
+) -> dict:
+    """Health signals for the inverted index: (1) TOMBSTONE DEBT — the
+    fraction of postings rows that are retractions or retracted (each
+    sync delete/update appends instead of rewriting; probes fold them
+    out, paying per row until :func:`fold_text_index`); (2) STALE
+    CLUSTERING — the unclustered-file fraction (fix =
+    :func:`refresh_text_index`). One aggregate over the postings
+    table + one manifest read."""
+    g = (
+        store.read(f"{index_name}_postings")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("sign") < 0).cast("long")).alias("neg"),
+        )
+        .collect()[0]
+    )
+    rows = int(g["rows"] or 0)
+    # every -1 row cancels one +1 row: debt = 2·neg/total
+    debt = (2.0 * int(g["neg"] or 0) / rows) if rows else 0.0
+    cov = text_index_coverage(store, index_name)
+    issues = []
+    if debt > tombstone_max:
+        issues.append(
+            f"tombstone debt: {debt:.1%} of postings rows are dead "
+            f"(> {tombstone_max:.0%}) — run fold_text_index"
+        )
+    if 1.0 - cov["coverage"] > unclustered_max:
+        issues.append(
+            f"stale clustering: {1.0 - cov['coverage']:.1%} of files "
+            f"unclustered (> {unclustered_max:.0%}) — run "
+            "refresh_text_index"
+        )
+    return {
+        "rows": rows,
+        "tombstone_fraction": debt,
+        "coverage": cov["coverage"],
+        "files_unclustered": cov["files_unclustered"],
+        "healthy": not issues,
+        "issues": issues,
     }
 
 

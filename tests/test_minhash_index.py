@@ -546,3 +546,51 @@ def test_minhash_sync_atomic_and_raced(spark, store):
     assert len([r for r in results if r["docs_changed"]]) == 1, results
     for t in ("bands", "sigs", "meta"):
         assert store.latest_version(f"mh_{t}") > vers[t], t
+
+
+def test_minhash_fold_clears_tombstone_debt(spark, store):
+    from pyairbyte_spark.operators.dedup import (
+        attach_minhash_index,
+        fold_minhash_index,
+        minhash_index_health,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "pack my box with five dozen liquor jugs right now"),
+        ],
+        ["doc_id", "text"],
+    ).withColumn(
+        "_airbyte_raw_id", F.concat(F.lit("r"), F.col("doc_id"))
+    ).withColumn(
+        "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+    )
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(2,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_minhash_index(store, "mh")
+    h0 = minhash_index_health(store, "mh", tombstone_max=0.05)
+    assert h0["tombstone_fraction"] > 0.05
+    r = fold_minhash_index(store, "mh")
+    assert r["folded"] is True
+    h1 = minhash_index_health(store, "mh", tombstone_max=0.05)
+    assert h1["tombstone_fraction"] == 0.0
+    # deleted doc's signatures pruned with its bands
+    assert store.read("mh_sigs").filter(F.col("id") == 2).count() == 0
+    q = spark.createDataFrame(
+        [(-1, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    assert {
+        r["match_id"]
+        for r in minhash_index_matches(store, "mh", q).collect()
+    } == {1}

@@ -357,3 +357,48 @@ def test_sync_tools_roundtrip(spark, tmp_path):
         cache, "docs", "spark data spark data spark", min_agree=0
     )
     assert all(d["match_id"] != 6 for d in dups)
+
+
+def test_fold_clears_tombstone_debt(spark, store):
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        fold_text_index,
+        sync_text_index,
+        text_index_health,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti", target_files=2)
+    # churn half the corpus: tombstones accumulate
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(1, "rewritten spark text"), (6, "rewritten data text")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+    )
+    sync_text_index(store, "ti")
+    h0 = text_index_health(store, "ti", tombstone_max=0.05)
+    assert h0["tombstone_fraction"] > 0.05 and not h0["healthy"]
+    before = _scores(text_index_search(store, "ti", TERMS))
+    r = fold_text_index(store, "ti")
+    assert r["folded"] is True
+    h1 = text_index_health(store, "ti", tombstone_max=0.05)
+    assert h1["tombstone_fraction"] == 0.0 and h1["coverage"] == 1.0
+    # scores identical pre/post fold (pure debt removal)
+    assert _scores(text_index_search(store, "ti", TERMS)) == before
+    # ...and later syncs keep working against the folded state
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(2,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_text_index(store, "ti")
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
