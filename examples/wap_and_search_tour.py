@@ -31,9 +31,13 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from pyairbyte_spark import get_spark
 from pyairbyte_spark.operators.search import (
     append_to_text_index,
+    attach_text_index,
     build_text_index,
+    fold_text_index,
     refresh_text_index,
+    sync_text_index,
     text_index_coverage,
+    text_index_health,
     text_index_search,
 )
 from pyairbyte_spark.writers import CommitLogTableStore
@@ -110,6 +114,25 @@ def main() -> None:
           f"({cov['files_unclustered']} unclustered)")
     r = refresh_text_index(store, "idx")
     print(f"tail refresh -> {r['coverage']:.2%}")
+
+    # -- 6. the index FOLLOWS table DML, transactionally -------------------
+    attach_text_index(store, "docs", "live_idx", target_files=16)
+    store.merge_into(
+        "docs",
+        store.read("docs").filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    s = sync_text_index(store, "live_idx")
+    print(f"sync: {s['docs_changed']} docs retracted/re-signed in one "
+          "atomic step (postings tombstones + stats delta + cursor)")
+    h = text_index_health(store, "live_idx")
+    print(f"health: tombstone debt {h['tombstone_fraction']:.1%}, "
+          f"issues: {h['issues'] or 'none'}")
+    f = fold_text_index(store, "live_idx")
+    print(f"fold: {f['folded']} -> debt "
+          f"{text_index_health(store, 'live_idx')['tombstone_fraction']:.1%}")
 
 
 if __name__ == "__main__":
