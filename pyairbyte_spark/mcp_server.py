@@ -741,6 +741,48 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "get_search_index_health",
+            "Health of the inverted text index: tombstone debt (dead "
+            "rows from sync retractions taxing every probe) and stale "
+            "clustering, with the repair verb named per issue.",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+                "required": [],
+            },
+            lambda h, a: t.get_search_index_health(
+                h.cache, a.get("index_name", "bm25")
+            ),
+        ),
+        ToolDef(
+            "fold_search_index",
+            "Fold the text index's tombstone debt: rewrite postings as "
+            "their net state and recluster. Guarded — never clobbers a "
+            "concurrent sync (folded=false means re-run).",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+                "required": [],
+            },
+            lambda h, a: t.fold_search_index(
+                h.cache, a.get("index_name", "bm25")
+            ),
+        ),
+        ToolDef(
+            "fold_dedup_index",
+            "Fold the near-duplicate index's tombstone debt: net band "
+            "rows + signatures pruned to live docs, then recluster. "
+            "Guarded against concurrent syncs.",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+                "required": [],
+            },
+            lambda h, a: t.fold_dedup_index(
+                h.cache, a.get("index_name", "mh")
+            ),
+        ),
+        ToolDef(
             "sync_dedup_index",
             "Catch the near-duplicate index up to its source table's "
             "current snapshot: deleted documents stop matching (band "

@@ -632,3 +632,36 @@ def sync_dedup_index(
     from pyairbyte_spark.operators import dedup
 
     return dedup.sync_minhash_index(cache.store, index_name)
+
+
+def get_search_index_health(
+    cache: SparkCache, index_name: str = "bm25"
+) -> dict[str, Any]:
+    """Health of the inverted text index: tombstone debt (dead rows
+    accumulated by sync retractions, taxing every probe) and stale
+    clustering — with the repair verb named in each issue."""
+    from pyairbyte_spark.operators import search as s
+
+    return s.text_index_health(cache.store, index_name)
+
+
+def fold_search_index(
+    cache: SparkCache, index_name: str = "bm25"
+) -> dict[str, Any]:
+    """Fold the text index's tombstone debt: rewrite postings as their
+    net state and recluster. Guarded — never clobbers a concurrent
+    sync (folded=False means re-run)."""
+    from pyairbyte_spark.operators import search as s
+
+    return s.fold_text_index(cache.store, index_name)
+
+
+def fold_dedup_index(
+    cache: SparkCache, index_name: str = "mh"
+) -> dict[str, Any]:
+    """Fold the near-duplicate index's tombstone debt: net band rows +
+    signatures pruned to live docs, then recluster. Guarded against
+    concurrent syncs."""
+    from pyairbyte_spark.operators import dedup
+
+    return dedup.fold_minhash_index(cache.store, index_name)
