@@ -837,7 +837,10 @@ def sync_minhash_index(store, index_name: str) -> dict:
             "band_idx",
             "band_hash",
             "id",
-            F.lit(-1).cast("long").alias("sign"),
+            # retract the NETTED magnitude (a doc appended twice nets
+            # +2; a -1 retraction would leave it matching probes),
+            # mirroring the text index's netted tf/dl retraction
+            (-F.col("__s")).cast("long").alias("sign"),
         )
     )
     nh = m["num_hashes"]
@@ -1260,7 +1263,7 @@ def fold_minhash_index(
             .select("id", *hcols, "seq")
         )
         if _guarded_index_replace(
-            store, [(bands_net, btbl, v0), (sigs_net, stbl, vs0)], btbl
+            store, [(bands_net, btbl, v0), (sigs_net, stbl, vs0)]
         ):
             store.compact(
                 btbl, sort_by=["band_hash"], target_files=target_files

@@ -431,45 +431,47 @@ def sync_text_index(store, index_name: str) -> dict:
     }
 
 
-def _guarded_index_replace(store, writes: "list[tuple]", guard_table: str):
+def _guarded_index_replace(store, writes: "list[tuple]"):
     """Replace index tables atomically WITHOUT clobbering a concurrent
     sync: replaces are position-independent (they auto-rebase), so a
     sync group committing between our fold computation and our commit
     would be silently overwritten. The guard claims the replace slots
     via a txn-group PREPARE, then inspects every RAW slot between the
-    fold's base version and its own on ``guard_table``: any foreign
-    commit or non-aborted prepare in between means an interleaver's
-    rows could sit BELOW ours — abort (retry reads fresh state). Syncs
-    that prepare after ours land ABOVE and simply win visibility (the
-    fold is lost, which is benign — it's an optimization).
+    fold's base version and its own slot on EVERY written table: any
+    foreign commit or non-aborted prepare in between means an
+    interleaver's rows could sit BELOW one of our replaces — abort
+    (retry reads fresh state). Guarding only one table would let a
+    racing multi-table sync straddle the fold (its bands slot above
+    ours, its sigs slot below), leaving the index tables mutually
+    inconsistent. Syncs that prepare ENTIRELY after ours land above
+    on every table and simply win visibility (the fold is lost,
+    which is benign — it's an optimization).
 
-    ``writes`` = [(df, table, base_version)] — guard_table must be one
-    of them. Returns True when the group committed."""
+    ``writes`` = [(df, table, base_version)]. Returns True when the
+    group committed."""
     from pyairbyte_spark.writers import ConcurrentCommitError
 
     t = store.begin_txn()
     try:
-        base = None
-        for df, table, v0 in writes:
+        for df, table, _v0 in writes:
             t.write_replace(df, table)
-            if table == guard_table:
-                base = v0
         prepared = t.prepare()
-        my_slot = prepared.get(guard_table)
-        if my_slot is None or base is None:
-            t.abort()
-            return False
-        for w in range(base + 1, my_slot):
-            try:
-                hdr = store._read_commit_json(guard_table, w)
-            except FileNotFoundError:
-                continue
-            gid = hdr.get("txn_group")
-            if gid == t.group_id:
-                continue
-            if gid is None or store._group_verdict(gid) != "abort":
-                t.abort()  # interleaver below our slot: rows at risk
+        for _df, table, base in writes:
+            my_slot = prepared.get(table)
+            if my_slot is None:
+                t.abort()
                 return False
+            for w in range(base + 1, my_slot):
+                try:
+                    hdr = store._read_commit_json(table, w)
+                except FileNotFoundError:
+                    continue
+                gid = hdr.get("txn_group")
+                if gid == t.group_id:
+                    continue
+                if gid is None or store._group_verdict(gid) != "abort":
+                    t.abort()  # interleaver below our slot: rows at risk
+                    return False
         t.commit()
         return True
     except ConcurrentCommitError:
@@ -506,7 +508,7 @@ def fold_text_index(
                 "token", "id", "tf", "dl", F.lit(1).cast("long").alias("sign")
             )
         )
-        if _guarded_index_replace(store, [(folded, ptbl, v0)], ptbl):
+        if _guarded_index_replace(store, [(folded, ptbl, v0)]):
             store.compact(ptbl, sort_by=["token"], target_files=target_files)
             return {"folded": True, **text_index_coverage(store, index_name)}
     return {"folded": False}

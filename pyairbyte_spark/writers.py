@@ -1379,7 +1379,9 @@ class CommitLogTableStore(TableStore):
                 hdr = self._read_commit_json(table_name, w)
             except FileNotFoundError:
                 break
-            if hdr.get("branch") == name:
+            if hdr.get("branch") == name and hdr.get("branch_ref") == (
+                view._branch_info(table_name)["id"]
+            ):
                 pub_keys = hdr.get("merge_keys")
             w -= 1
         for _attempt in range(self._COMMIT_RETRIES):
@@ -1389,7 +1391,21 @@ class CommitLogTableStore(TableStore):
                 manifest = {
                     k: v
                     for k, v in bh_man.items()
-                    if k not in ("branch", "branch_ref", "version", "op", "ts")
+                    # entries_ref/n_entries point at the SOURCE commit's
+                    # checkpoint sidecar; the resolved `entries` list is
+                    # the data — carrying a stale ref would make every
+                    # raw read of the publish re-read (and vacuum pin)
+                    # the old sidecar.
+                    if k
+                    not in (
+                        "branch",
+                        "branch_ref",
+                        "version",
+                        "op",
+                        "ts",
+                        "entries_ref",
+                        "n_entries",
+                    )
                 }
             elif mode == "rebase-appends":
                 manifest = self._rebase_branch_appends(
@@ -1478,7 +1494,10 @@ class CommitLogTableStore(TableStore):
         manifest = {
             k: v
             for k, v in main_man.items()
-            if k not in ("version", "op", "ts")
+            # entries_ref/n_entries: stale sidecar pointers (see
+            # publish_branch's ff path) — the resolved entries list
+            # below is the authority.
+            if k not in ("version", "op", "ts", "entries_ref", "n_entries")
         }
         manifest["entries"] = list(main_man.get("entries") or []) + added
         # Idempotence watermarks that advanced ON THE BRANCH graft into
@@ -2312,10 +2331,16 @@ class CommitLogTableStore(TableStore):
             gid = cj.get("txn_group")
             if gid is not None and self._group_verdict(gid) != "commit":
                 continue  # aborted/undecided prepare: never a snapshot
-            if cj.get("branch") is not None and not self._ref_match(
-                table_name, cj
+            if cj.get("branch") is not None:
+                if not self._ref_match(table_name, cj):
+                    continue  # another ref's commit: never a snapshot here
+            elif self._branch is not None and v > (
+                self._branch_info(table_name)["base"]
             ):
-                continue  # another ref's commit: never a snapshot here
+                # Post-fork main commit on a branch view: never a
+                # snapshot on this ref (the same at-or-below-fork rule
+                # the visibility walks and the change feed use).
+                continue
             if (cj.get("ts") or 0) <= target:
                 best = v
         if best is None:
@@ -4138,14 +4163,21 @@ class CommitLogTableStore(TableStore):
             # Aborted (or still-undecided) multi-table-txn prepare: the
             # slot exists but its rows never became visible — no change.
             return None
-        if (man.get("branch") is not None) != (self._branch is not None) or (
-            man.get("branch") is not None
-            and not self._ref_match(table_name, man)
-        ):
-            # Another ref's commit: its rows never became visible on
-            # this ref (publish_branch is where branch work enters
-            # main's change feed, classified against the fork point).
-            return None
+        if self._branch is None:
+            if man.get("branch") is not None:
+                # Another ref's commit: its rows never became visible on
+                # main (publish_branch is where branch work enters
+                # main's change feed, classified against the fork point).
+                return None
+        elif man.get("branch") is None:
+            # Untagged (main) commit on a branch view: at or below the
+            # fork base the branch's history IS main's (mirror the
+            # floor fallthrough in _visible_at_or_below); past it the
+            # commit is another ref's.
+            if v > self._branch_info(table_name)["base"]:
+                return None
+        elif not self._ref_match(table_name, man):
+            return None  # another branch / dead incarnation
         # Diff against the nearest VISIBLE version below v: an aborted
         # prepare occupying v-1 was never this commit's logical parent
         # (writers always base on the visible head, so nearest-visible

@@ -521,3 +521,80 @@ def test_maintenance_plan_flags_stale_refs(spark, store):
         r["action"] == "drop_ref"
         for r in store.maintenance_plan("t", max_ref_age_hours=0.0)
     )
+
+
+# -- round-12 regression fixes -------------------------------------------------
+
+
+def test_branch_change_feed_includes_prefork_main(spark, store):
+    # the branch's logical history INCLUDES main's commits at or below
+    # the fork base (same floor fallthrough the visibility walks use)
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    store.write_append(_df(spark, [(9, "m")]), "t", ["id"])  # post-fork main
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    got = sorted(
+        (r["id"], r["_change_type"])
+        for r in bv.read_changes("t", 0).select("id", "_change_type").collect()
+    )
+    # pre-fork main insert + the branch's own insert; never the
+    # post-fork main commit
+    assert got == [(1, "insert"), (2, "insert")]
+
+
+def test_branch_timestamp_travel_excludes_postfork_main(spark, store):
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    store.write_append(_df(spark, [(9, "m")]), "t", ["id"])  # newest commit
+    # branch view: the newest snapshot on THIS ref is the branch tip,
+    # not main's post-fork commit
+    assert bv.version_at_timestamp("t", 2**31) == 2
+    # main view unchanged: resolves to its own head, never the branch
+    assert store.version_at_timestamp("t", 2**31) == 3
+
+
+def test_publish_manifest_drops_stale_checkpoint_ref(spark, store, monkeypatch):
+    from pyairbyte_spark import manifest as mf
+
+    # force every commit FULL and every full manifest through the
+    # parquet-checkpoint sidecar
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    monkeypatch.setattr(mf, "CHECKPOINT_INTERVAL", 1)
+    store.write_append(_df(spark, [(1, "a")]), "t", ["id"])
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(_df(spark, [(2, "b")]), "t", ["id"])
+    tip_raw = store._read_commit_json("t", 2)
+    assert tip_raw.get("entries_ref")  # the scenario: checkpointed tip
+    v = store.publish_branch("t", "audit")
+    pub_raw = store._read_commit_json("t", v)
+    # the publish commit must NOT carry the branch tip's sidecar ref —
+    # a stale entries_ref would override the publish's own entry list
+    # on every raw read and pin the dead sidecar against vacuum
+    assert pub_raw.get("entries_ref") != tip_raw.get("entries_ref")
+    assert _vals(store.read("t")) == [(1, "a"), (2, "b")]
+
+
+def test_publish_keys_ignore_dead_incarnation(spark, store):
+    # merge_keys recorded by a DROPPED prior incarnation of the same
+    # branch name must not leak into the publish commit's CDF pairing
+    store.write_append(_df(spark, [(1, "a"), (2, "b")]), "t")  # no pks
+    store.create_branch("t", "audit")
+    bv1 = store.branch("audit")
+    bv1.merge_into(
+        "t",
+        _df(spark, [(1, "A")]),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    store.drop_branch("t", "audit")
+    store.create_branch("t", "audit")  # new incarnation, same name
+    bv2 = store.branch("audit")
+    bv2.write_append(_df(spark, [(3, "c")]), "t")
+    v = store.publish_branch("t", "audit")
+    pub = store._read_commit_json("t", v)
+    assert "merge_keys" not in pub
+    assert _vals(store.read("t")) == [(1, "a"), (2, "b"), (3, "c")]
