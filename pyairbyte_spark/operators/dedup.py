@@ -802,7 +802,10 @@ def sync_minhash_index(store, index_name: str) -> dict:
     if head <= cur:
         return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
     id_col, text_col = m["id_col"], m["text_col"]
-    diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+    try:
+        diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+    except FileNotFoundError:
+        diff = None  # outage outlived retention: cursor snapshot vacuumed
     if diff is None:
         attach_minhash_index(
             store,
@@ -827,24 +830,58 @@ def sync_minhash_index(store, index_name: str) -> dict:
     added = diff.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(id_col, text_col)
-    tombstones = (
-        store.read(f"{index_name}_bands")
-        .join(removed, "id", "left_semi")
-        .groupBy("band_idx", "band_hash", "id")
-        .agg(F.sum("sign").alias("__s"))
-        .filter(F.col("__s") > 0)
-        .select(
-            "band_idx",
-            "band_hash",
-            "id",
-            # retract the NETTED magnitude (a doc appended twice nets
-            # +2; a -1 retraction would leave it matching probes),
-            # mirroring the text index's netted tf/dl retraction
-            (-F.col("__s")).cast("long").alias("sign"),
-        )
-    )
     nh = m["num_hashes"]
     rows = nh // m["bands"]
+    # Retractions: the removed/updated docs' OLD band rows, negated.
+    # PRIMARY derivation re-signs the removed docs from the SOURCE's
+    # old snapshot (sync invariant: net index state per doc == its
+    # bands at snapshot ``cur``) — O(changed docs) compute, ZERO bands
+    # I/O; the diff already scanned both endpoint snapshots. Deriving
+    # from the bands table itself reads the WHOLE table per sync
+    # (band-clustered files can't prune an id probe) — kept only as
+    # the vacuumed-snapshot FALLBACK, where the netted sum also covers
+    # out-of-band ``append_to_minhash_index`` duplicates.
+    old_removed = None
+    try:
+        old_removed = (
+            store.read_version(table, cur)
+            .join(
+                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
+            )
+            .select(id_col, text_col)
+            .localCheckpoint()
+        )
+    except Exception:
+        old_removed = None  # vacuumed/unreadable: index-side fallback
+    if old_removed is not None:
+        old_sig = minhash_signature(
+            old_removed, text_col, id_col, num_hashes=nh, k=m["k"]
+        )
+        tombstones = lsh_bands(
+            old_sig, id_col, bands=m["bands"], rows=rows
+        ).select(
+            F.col("band_idx"),
+            F.col("band_hash"),
+            F.col(id_col).alias("id"),
+            F.lit(-1).cast("long").alias("sign"),
+        )
+    else:
+        tombstones = (
+            store.read(f"{index_name}_bands")
+            .join(removed, "id", "left_semi")
+            .groupBy("band_idx", "band_hash", "id")
+            .agg(F.sum("sign").alias("__s"))
+            .filter(F.col("__s") > 0)
+            .select(
+                "band_idx",
+                "band_hash",
+                "id",
+                # retract the NETTED magnitude (a doc appended twice
+                # nets +2; a -1 retraction would leave it matching
+                # probes), mirroring the text index's netted tf/dl
+                (-F.col("__s")).cast("long").alias("sign"),
+            )
+        )
     sig = minhash_signature(
         added, text_col, id_col, num_hashes=nh, k=m["k"]
     ).localCheckpoint()

@@ -306,10 +306,14 @@ def sync_text_index(store, index_name: str) -> dict:
     if head <= cur:
         return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
     id_col, text_col = m["id_col"], m["text_col"]
-    diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+    try:
+        diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+    except FileNotFoundError:
+        diff = None  # outage outlived retention: cursor snapshot vacuumed
     if diff is None:
-        # Mid-window rename/drop: per-key collapse is unsafe — rebuild
-        # from the current snapshot (correct, just not incremental).
+        # Mid-window rename/drop (collapse unsafe) or a vacuumed
+        # cursor snapshot (collapse impossible) — rebuild from the
+        # current snapshot (correct, just not incremental).
         attach_text_index(
             store,
             table,
@@ -333,35 +337,64 @@ def sync_text_index(store, index_name: str) -> dict:
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(id_col, text_col)
     # Retractions: the OLD postings of every removed/updated doc,
-    # negated. Reading them from the index itself (not the old
-    # snapshot) keeps this O(changes ⨝ postings), and the sentinel-free
-    # stats math works because N's shift comes from the DIFF row
-    # counts (every delete/update row was in the old snapshot by
-    # construction), not from postings existence.
-    tombstones = (
-        store.read(f"{index_name}_postings")
-        .join(removed, "id", "left_semi")
-        .groupBy("token", "id")
-        .agg(
-            F.sum(F.col("sign") * F.col("tf")).alias("tf"),
-            F.sum(F.col("sign") * F.col("dl")).alias("dl"),
+    # negated. PRIMARY derivation re-tokenizes the removed docs from
+    # the SOURCE's old snapshot (the sync invariant: after syncing to
+    # ``cur`` the index's net state per doc equals its postings at
+    # snapshot ``cur``) — O(changed docs) compute and ZERO index I/O.
+    # The diff already scanned both endpoint snapshots, so this adds
+    # no new I/O class; deriving from the index itself would read the
+    # ENTIRE postings table per sync (token-clustered files can't
+    # prune an id-keyed probe), making every sync O(index) however
+    # small the diff — the 100-TB ceiling this path removes. The
+    # index-side scan remains as the FALLBACK when the old snapshot
+    # was vacuumed (exact netting there covers out-of-band
+    # ``append_to_text_index`` duplicates the snapshot can't see).
+    old_removed = None
+    try:
+        old_removed = (
+            store.read_version(table, cur)
+            .join(
+                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
+            )
+            .select(id_col, text_col)
+            .localCheckpoint()  # one scan feeds tombstones + dl agg
         )
-        .filter(F.col("tf") > 0)  # already-netted rows need no retract
-        .select(
-            "token",
-            "id",
-            F.col("tf"),
-            F.col("dl"),
-            F.lit(-1).cast("long").alias("sign"),
+    except Exception:
+        old_removed = None  # vacuumed/unreadable: index-side fallback
+    if old_removed is not None:
+        tombstones = _postings(old_removed, text_col, id_col, sign=-1)
+        dl_removed = (
+            old_removed.select(
+                F.size(tokens_expr(text_col)).cast("long").alias("__dl")
+            )
+            .agg(F.coalesce(F.sum("__dl"), F.lit(0)))
+            .collect()[0][0]
         )
-    )
+    else:
+        tombstones = (
+            store.read(f"{index_name}_postings")
+            .join(removed, "id", "left_semi")
+            .groupBy("token", "id")
+            .agg(
+                F.sum(F.col("sign") * F.col("tf")).alias("tf"),
+                F.sum(F.col("sign") * F.col("dl")).alias("dl"),
+            )
+            .filter(F.col("tf") > 0)  # already-netted rows: no retract
+            .select(
+                "token",
+                "id",
+                F.col("tf"),
+                F.col("dl"),
+                F.lit(-1).cast("long").alias("sign"),
+            )
+        )
+        dl_removed = (
+            tombstones.groupBy("id").agg(F.max("dl").alias("dl")).agg(
+                F.coalesce(F.sum("dl"), F.lit(0))
+            )
+        ).collect()[0][0]
     new_posts = _postings(added, text_col, id_col)
     n_removed = removed.count()
-    dl_removed = (
-        tombstones.groupBy("id").agg(F.max("dl").alias("dl")).agg(
-            F.coalesce(F.sum("dl"), F.lit(0))
-        )
-    ).collect()[0][0]
     new_stats = added.select(
         F.size(tokens_expr(text_col)).cast("long").alias("__dl")
     ).agg(

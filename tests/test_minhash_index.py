@@ -594,3 +594,143 @@ def test_minhash_fold_clears_tombstone_debt(spark, store):
         r["match_id"]
         for r in minhash_index_matches(store, "mh", q).collect()
     } == {1}
+
+
+# -- round-12: O(diff) sync, netted fallback, multi-table fold guard ------------
+
+
+def test_minhash_sync_never_scans_bands(spark, store, monkeypatch):
+    """Plan gate: sync derives retraction tombstones from the SOURCE's
+    old snapshot — evaluating any bands-table row during the sync is
+    poisoned and would crash (the old derivation scanned the whole
+    band-clustered, id-unprunable table per sync)."""
+    from pyairbyte_spark.operators.dedup import (
+        attach_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = _docs(spark, CORPUS)
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    orig_read, orig_rw = store.read, store.read_where
+
+    def poison(df):
+        return df.filter(F.assert_true(F.lit(False)).isNull())
+
+    monkeypatch.setattr(
+        store,
+        "read",
+        lambda t, **k: (
+            poison(orig_read(t, **k)) if t == "mh_bands" else orig_read(t, **k)
+        ),
+    )
+    monkeypatch.setattr(
+        store,
+        "read_where",
+        lambda t, *a, **k: (
+            poison(orig_rw(t, *a, **k)) if t == "mh_bands" else orig_rw(t, *a, **k)
+        ),
+    )
+    r = sync_minhash_index(store, "mh")
+    assert r["docs_changed"] == 1
+    monkeypatch.setattr(store, "read", orig_read)
+    monkeypatch.setattr(store, "read_where", orig_rw)
+    q = _docs(spark, [(-1, CORPUS[0][1])])
+    assert minhash_index_matches(store, "mh", q).count() == 0
+
+
+def test_minhash_fallback_nets_duplicate_appends(spark, store, monkeypatch):
+    """The vacuumed-snapshot fallback retracts the NETTED magnitude: a
+    doc that was (out-of-band) appended twice nets +2 band rows; a flat
+    -1 retraction would leave it matching probes forever."""
+    from pyairbyte_spark.operators.dedup import (
+        append_to_minhash_index,
+        attach_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = _docs(spark, CORPUS)
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    # out-of-band duplicate: doc 1's band rows now net +2
+    append_to_minhash_index(_docs(spark, [CORPUS[0]]), store, "mh")
+    cur = store.latest_version("docs")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    calls = {"n": 0}
+    orig_rv = store.read_version
+
+    def rv(tbl, v):
+        if tbl == "docs" and v == cur:
+            calls["n"] += 1
+            if calls["n"] > 1:  # diff endpoint read ok; tombstone read fails
+                raise FileNotFoundError("vacuumed")
+        return orig_rv(tbl, v)
+
+    monkeypatch.setattr(store, "read_version", rv)
+    r = sync_minhash_index(store, "mh")
+    assert r["docs_changed"] == 1 and calls["n"] > 1
+    q = _docs(spark, [(-1, CORPUS[0][1])])
+    assert minhash_index_matches(store, "mh", q).count() == 0
+
+
+def test_guarded_replace_inspects_every_table_window(spark, store):
+    """A foreign commit inside ANY written table's slot window aborts
+    the guarded replace — guarding only one table let a two-table sync
+    straddle the fold (bands above, sigs below) and silently lose its
+    signature rows."""
+    from pyairbyte_spark.operators.dedup import build_minhash_index
+    from pyairbyte_spark.operators.search import _guarded_index_replace
+
+    docs = _docs(spark, CORPUS)
+    build_minhash_index(docs, store, "mh")
+    v_b = store.latest_version("mh_bands")
+    v_s = store.latest_version("mh_sigs")
+    # interleaver ONLY in the sigs window — the bands window stays
+    # clean, so the old single-guard-table check passed and clobbered
+    sigs99 = store.read("mh_sigs").filter(F.col("id") == 1).withColumn(
+        "id", F.lit(99).cast("long")
+    ).localCheckpoint()
+    store.write_append(sigs99, "mh_sigs")
+    ok = _guarded_index_replace(
+        store,
+        [
+            (store.read("mh_bands"), "mh_bands", v_b),
+            (store.read("mh_sigs").filter(F.col("id") != 99), "mh_sigs", v_s),
+        ],
+    )
+    assert ok is False
+    # the interleaver's rows survive
+    assert store.read("mh_sigs").filter(F.col("id") == 99).count() == 1
+    # with fresh base versions (no interleaver inside any window) the
+    # replace commits
+    ok2 = _guarded_index_replace(
+        store,
+        [
+            (
+                store.read("mh_bands").localCheckpoint(),
+                "mh_bands",
+                store.latest_version("mh_bands"),
+            ),
+            (
+                store.read("mh_sigs").localCheckpoint(),
+                "mh_sigs",
+                store.latest_version("mh_sigs"),
+            ),
+        ],
+    )
+    assert ok2 is True

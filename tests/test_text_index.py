@@ -402,3 +402,133 @@ def test_fold_clears_tombstone_debt(spark, store):
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
     )
+
+
+# -- round-12: O(diff) sync, vacuumed-window rebuild ----------------------------
+
+
+def test_sync_never_scans_the_index(spark, store, monkeypatch):
+    """Plan gate for the O(diff) sync: retraction tombstones derive
+    from the SOURCE's old snapshot, so the sync reads the postings
+    table ZERO times — the previous derivation scanned the whole
+    (token-clustered, id-unprunable) postings table per sync, an
+    O(index) cost however small the diff."""
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti", target_files=4)
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    # Poison the postings DATA path: schema stays readable (append
+    # staging inspects columns), but evaluating any postings row
+    # throws — the old derivation scanned the whole table and would
+    # crash here; the O(diff) sync must complete untouched.
+    orig_read, orig_rw = store.read, store.read_where
+
+    def poison(df):
+        return df.filter(F.assert_true(F.lit(False)).isNull())
+
+    monkeypatch.setattr(
+        store,
+        "read",
+        lambda t, **k: (
+            poison(orig_read(t, **k))
+            if t == "ti_postings"
+            else orig_read(t, **k)
+        ),
+    )
+    monkeypatch.setattr(
+        store,
+        "read_where",
+        lambda t, *a, **k: (
+            poison(orig_rw(t, *a, **k))
+            if t == "ti_postings"
+            else orig_rw(t, *a, **k)
+        ),
+    )
+    r = sync_text_index(store, "ti")
+    assert r["docs_changed"] == 1
+    monkeypatch.setattr(store, "read", orig_read)
+    monkeypatch.setattr(store, "read_where", orig_rw)
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+
+
+def test_sync_index_scan_fallback_when_snapshot_unreadable(
+    spark, store, monkeypatch
+):
+    """When the cursor snapshot's data is gone mid-sync (selective
+    vacuum), tombstones fall back to the exact index-side netted scan
+    — results identical, just O(index)."""
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    cur = store.latest_version("docs")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(1, "replaced text entirely"), (6, "")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+    )
+    calls = {"n": 0}
+    orig_rv = store.read_version
+
+    def rv(tbl, v):
+        if tbl == "docs" and v == cur:
+            calls["n"] += 1
+            if calls["n"] > 1:  # diff's endpoint read succeeds; the
+                raise FileNotFoundError("vacuumed")  # tombstone read fails
+        return orig_rv(tbl, v)
+
+    monkeypatch.setattr(store, "read_version", rv)
+    r = sync_text_index(store, "ti")
+    # 2 updates: each counts as one retraction + one insertion
+    assert r["docs_changed"] == 4 and calls["n"] > 1
+    cur_docs = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur_docs, TERMS)
+    )
+
+
+def test_sync_rebuilds_when_window_vacuumed(spark, store):
+    """An outage longer than the retention window: the cursor version
+    is gone, per-key collapse is impossible — sync rebuilds from the
+    current snapshot instead of crashing."""
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(7, "fresh spark data doc")], "doc_id long, text string"
+        ),
+        ["doc_id"],
+    )
+    store.vacuum("docs", keep_commits=1)
+    r = sync_text_index(store, "ti")
+    assert r.get("rebuilt") is True
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
