@@ -662,6 +662,11 @@ def build_minhash_index(
         sort_by=["band_hash"],
         target_files=target_files,
     )
+    # Write-time clustering: appends range-sort on band_hash at
+    # staging (stamping ``sorted_by``), so ingest keeps the coverage
+    # watermark at 1.0 — refresh_minhash_index becomes a no-op until
+    # tiered sorted entries warrant a full recompaction.
+    store.set_cluster_by(f"{index_name}_bands", ["band_hash"])
     store.write_replace(sig_cols, f"{index_name}_sigs")
     store.write_replace(meta, f"{index_name}_meta")
     st = store.table_stats(f"{index_name}_sigs")
@@ -1305,6 +1310,8 @@ def fold_minhash_index(
             store.compact(
                 btbl, sort_by=["band_hash"], target_files=target_files
             )
+            # the replace reset the write-time clustering property
+            store.set_cluster_by(btbl, ["band_hash"])
             return {
                 "folded": True,
                 **minhash_index_coverage(store, index_name),

@@ -122,6 +122,11 @@ def build_text_index(
         sort_by=["token"],
         target_files=target_files,
     )
+    # Write-time clustering: every later append range-sorts on token
+    # at staging (stamping ``sorted_by``), so ingest never decays the
+    # probe-pruning coverage watermark — refresh_text_index becomes a
+    # no-op in the common case.
+    store.set_cluster_by(f"{index_name}_postings", ["token"])
     store.write_replace(
         _doc_stats(corpus, text_col, id_col), f"{index_name}_stats"
     )
@@ -543,6 +548,8 @@ def fold_text_index(
         )
         if _guarded_index_replace(store, [(folded, ptbl, v0)]):
             store.compact(ptbl, sort_by=["token"], target_files=target_files)
+            # the replace reset the write-time clustering property
+            store.set_cluster_by(ptbl, ["token"])
             return {"folded": True, **text_index_coverage(store, index_name)}
     return {"folded": False}
 

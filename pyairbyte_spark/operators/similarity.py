@@ -676,6 +676,9 @@ def build_ivf_index(
     # target_files sets zone-map granularity: more files = finer
     # probe pruning (aim for >= n_centroids so each list owns files).
     store.compact(f"{index_name}_lists", sort_by=["cid"], target_files=target_files)
+    # Write-time clustering: appended vectors range-sort on cid at
+    # staging, so probe pruning never decays between refreshes.
+    store.set_cluster_by(f"{index_name}_lists", ["cid"])
     plan = store.plan_scan(f"{index_name}_lists")
     st = store.table_stats(f"{index_name}_lists")
     return {

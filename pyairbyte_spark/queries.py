@@ -1596,6 +1596,10 @@ def dedup_minhash_refresh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.build_minhash_index(
         corpus, store, "mh", id_col="doc_id", text_col="text", target_files=8
     )
+    # builds now set write-time clustering (appends land clustered and
+    # coverage holds at 1.0); clear it to exercise the legacy
+    # decay/refresh lifecycle this query documents
+    store.set_cluster_by("mh_bands", None)
     dedup.append_to_minhash_index(inc, store, "mh")
     cov = dedup.minhash_index_coverage(store, "mh")
     assert cov["files_unclustered"] > 0 and cov["coverage"] < 1.0

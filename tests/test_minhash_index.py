@@ -286,6 +286,9 @@ def test_coverage_decays_on_append_and_refresh_restores_pruning(spark, store):
     )
     cov0 = dedup.minhash_index_coverage(store, "mh")
     assert cov0["coverage"] == 1.0 and cov0["files_unclustered"] == 0
+    # clear write-time clustering to exercise the legacy decay/refresh
+    # lifecycle (builds now set it, keeping coverage at 1.0 on ingest)
+    store.set_cluster_by("mh_bands", None)
 
     def probe_files():
         q = _many_docs(spark, 0, 1)
@@ -362,9 +365,11 @@ def test_minhash_index_health_trips_on_boilerplate(spark, store):
 
 
 def test_streaming_sink_auto_refresh_keeps_coverage(spark, store, tmp_path):
-    """refresh_coverage_min makes the streaming sink self-maintaining:
-    epochs decay coverage below the floor, the sink reclusters the
-    appended tail (O(tail)), and replayed epochs never trigger it."""
+    """refresh_coverage_min makes the streaming sink self-maintaining.
+    With write-time clustering (builds set it) every epoch lands
+    already clustered — the self-maintenance is a NO-OP; clearing the
+    property exercises the legacy decay path where each epoch dips
+    below the floor and the sink reclusters the tail (O(tail))."""
     from pyairbyte_spark.streaming.sink import MinHashIndexStreamingSink
 
     dedup.build_minhash_index(
@@ -373,22 +378,27 @@ def test_streaming_sink_auto_refresh_keeps_coverage(spark, store, tmp_path):
     sink = MinHashIndexStreamingSink(
         store, "mh", "pipe", refresh_coverage_min=0.99
     )
-    for epoch in range(3):
+    sink(_many_docs(spark, 190, 200), 0)
+    assert sink.appended_epochs == 1
+    assert sink.refreshes == 0  # clustered append: nothing to repair
+    assert dedup.minhash_index_coverage(store, "mh")["coverage"] == 1.0
+    store.set_cluster_by("mh_bands", None)  # legacy decay lifecycle
+    for epoch in range(1, 4):
         sink(_many_docs(spark, 200 + epoch * 10, 210 + epoch * 10), epoch)
-    assert sink.appended_epochs == 3
+    assert sink.appended_epochs == 4
     assert sink.refreshes == 3  # each epoch dipped below the floor
     cov = dedup.minhash_index_coverage(store, "mh")
     assert cov["coverage"] == 1.0
     # replayed epoch: no append, no refresh
-    sink(_many_docs(spark, 220, 230), 2)
+    sink(_many_docs(spark, 220, 230), 3)
     assert sink.skipped_epochs == 1 and sink.refreshes == 3
     # index still exact: every streamed doc is probe-hittable
     hits = dedup.minhash_index_matches(
-        store, "mh", _many_docs(spark, 205, 206).withColumn(
+        store, "mh", _many_docs(spark, 215, 216).withColumn(
             "doc_id", F.col("doc_id") + 9000
         )
     ).collect()
-    assert any(r["match_id"] == 205 and r["n_agree"] == 12 for r in hits)
+    assert any(r["match_id"] == 215 and r["n_agree"] == 12 for r in hits)
 
 
 def test_jaccard_similarity_join_exact_vs_bruteforce(spark):
@@ -734,3 +744,15 @@ def test_guarded_replace_inspects_every_table_window(spark, store):
         ],
     )
     assert ok2 is True
+
+
+def test_build_sets_write_time_clustering(spark, store):
+    """Round-12 gate: the build sets cluster_by on the bands table, so
+    appends stay clustered and coverage holds at 1.0 through ingest."""
+    dedup.build_minhash_index(
+        _many_docs(spark, 0, 200), store, "mh", target_files=4
+    )
+    dedup.append_to_minhash_index(_many_docs(spark, 200, 260), store, "mh")
+    cov = dedup.minhash_index_coverage(store, "mh")
+    assert cov["coverage"] == 1.0 and cov["files_unclustered"] == 0
+    assert dedup.refresh_minhash_index(store, "mh")["refreshed"] is False

@@ -105,6 +105,9 @@ def test_coverage_decay_and_tail_refresh(spark, store):
     docs = _docs(spark)
     build_text_index(docs, store, "ti", target_files=4)
     assert text_index_coverage(store, "ti")["coverage"] == 1.0
+    # clear write-time clustering to exercise the legacy decay/refresh
+    # lifecycle (builds now set it, keeping coverage at 1.0 on ingest)
+    store.set_cluster_by("ti_postings", None)
     append_to_text_index(
         spark.createDataFrame(
             [(8, "spark appended")], "doc_id long, text string"
@@ -531,4 +534,26 @@ def test_sync_rebuilds_when_window_vacuumed(spark, store):
     cur = store.read("docs").select("doc_id", "text")
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
+    )
+
+
+def test_build_sets_write_time_clustering(spark, store):
+    """Round-12 gate: builds set cluster_by on their postings table, so
+    ingest-time appends range-sort at staging and the coverage
+    watermark never decays — refresh is a no-op in the common case."""
+    build_text_index(_docs(spark), store, "ti", target_files=4)
+    append_to_text_index(
+        spark.createDataFrame(
+            [(8, "spark appended"), (9, "more spark data here")],
+            "doc_id long, text string",
+        ),
+        store,
+        "ti",
+    )
+    cov = text_index_coverage(store, "ti")
+    assert cov["coverage"] == 1.0 and cov["files_unclustered"] == 0
+    assert refresh_text_index(store, "ti")["refreshed"] is False
+    assert (
+        text_index_search(store, "ti", ["appended"]).collect()[0]["doc_id"]
+        == 8
     )
