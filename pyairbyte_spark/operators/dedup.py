@@ -956,6 +956,20 @@ def sync_minhash_index(store, index_name: str) -> dict:
     }
 
 
+def _bands_have_tombstones(store, index_name: str) -> bool:
+    """True unless the bands table's manifest stats PROVE min(sign) >= 0
+    over every live file — one O(manifest) metadata read, no data I/O.
+    Conservative: missing/unstatted files count as 'may have'."""
+    sign = (
+        store.table_stats(f"{index_name}_bands").get("columns") or {}
+    ).get("sign")
+    return not (
+        sign is not None
+        and sign.get("min") is not None
+        and sign["min"] >= 0
+    )
+
+
 def minhash_index_matches(
     store,
     index_name: str,
@@ -1005,12 +1019,20 @@ def minhash_index_matches(
     # Tombstone fold (sync_minhash_index retracts a doc's bands by
     # appending them negated): a (band, doc) is live iff its signs net
     # positive. Untouched docs have one +1 row and fold to themselves.
-    idx = (
-        idx.groupBy("band_idx", "band_hash", "id")
-        .agg(F.sum("sign").alias("__s"))
-        .filter(F.col("__s") > 0)
-        .drop("__s")
-    )
+    # FAST PATH: when the manifest's zone maps PROVE no negative sign
+    # exists (min(sign) >= 0 across live files — pure metadata), the
+    # fold is skipped entirely — tombstone-free indexes (fresh builds,
+    # post-fold) pay zero tax. Safe because duplicate +1 rows can't
+    # change the candidate set (countDistinct(band_idx) below dedups).
+    if _bands_have_tombstones(store, index_name):
+        idx = (
+            idx.groupBy("band_idx", "band_hash", "id")
+            .agg(F.sum("sign").alias("__s"))
+            .filter(F.col("__s") > 0)
+            .drop("__s")
+        )
+    else:
+        idx = idx.drop("sign")
     cand = (
         qbands.join(idx, ["band_idx", "band_hash"])
         .filter(F.col("id") != F.col("query_id"))
@@ -1266,18 +1288,26 @@ def fold_minhash_index(
     prune signatures to the newest row of each still-live doc — the
     retraction rows :func:`sync_minhash_index` appends stop taxing
     every probe. Both tables replace atomically in one txn group, and
-    the guarded commit never clobbers a concurrent sync (a fold losing
-    the race reports ``{"folded": False}``). O(index); run when
-    :func:`minhash_index_health` reports tombstone debt."""
-    from pyairbyte_spark.operators.search import _guarded_index_replace
+    the guarded commit never clobbers a concurrent sync.
+
+    The O(index) net frames are computed ONCE and materialized; a
+    retry after a lost race catches up with ONLY the rows appended
+    since (O(delta) over the materialized nets — a fold under steady
+    sync pressure still lands). Non-append interleavers force a
+    from-scratch recompute. A fold that exhausts its retries reports
+    ``{"folded": False}``. Run when :func:`minhash_index_health`
+    reports tombstone debt."""
+    from pyairbyte_spark.operators.search import (
+        _appends_since,
+        _fold_changes,
+        _guarded_index_replace,
+    )
 
     btbl, stbl = f"{index_name}_bands", f"{index_name}_sigs"
-    for _ in range(4):
-        v0 = store.latest_version(btbl)
-        vs0 = store.latest_version(stbl)
+
+    def _net(bands_frame: DataFrame, sigs_frame: DataFrame):
         bands_net = (
-            store.read(btbl)
-            .groupBy("band_idx", "band_hash", "id")
+            bands_frame.groupBy("band_idx", "band_hash", "id")
             .agg(F.sum("sign").alias("__s"))
             .filter(F.col("__s") > 0)
             .select(
@@ -1289,10 +1319,9 @@ def fold_minhash_index(
             .localCheckpoint()  # live_ids below reuses this pass
         )
         live_ids = bands_net.select("id").distinct()
-        sigs = store.read(stbl)
-        hcols = [c for c in sigs.columns if c.startswith("h")]
+        hcols = [c for c in sigs_frame.columns if c.startswith("h")]
         sigs_net = (
-            sigs.join(live_ids, "id", "left_semi")
+            sigs_frame.join(live_ids, "id", "left_semi")
             .withColumn(
                 "__rn",
                 F.row_number().over(
@@ -1303,7 +1332,14 @@ def fold_minhash_index(
             )
             .filter(F.col("__rn") == 1)
             .select("id", *hcols, "seq")
+            .localCheckpoint()
         )
+        return bands_net, sigs_net
+
+    v0 = store.latest_version(btbl)
+    vs0 = store.latest_version(stbl)
+    bands_net, sigs_net = _net(store.read(btbl), store.read(stbl))
+    for _ in range(4):
         if _guarded_index_replace(
             store, [(bands_net, btbl, v0), (sigs_net, stbl, vs0)]
         ):
@@ -1316,6 +1352,25 @@ def fold_minhash_index(
                 "folded": True,
                 **minhash_index_coverage(store, index_name),
             }
+        hb = _appends_since(store, btbl, v0)
+        hs = _appends_since(store, stbl, vs0)
+        if hb is None or hs is None:  # replace/compact interleaved
+            v0 = store.latest_version(btbl)
+            vs0 = store.latest_version(stbl)
+            bands_net, sigs_net = _net(store.read(btbl), store.read(stbl))
+        else:  # appends only: O(delta) catch-up over the nets
+            b_src = (
+                bands_net.unionByName(_fold_changes(store, btbl, v0, hb))
+                if hb > v0
+                else bands_net
+            )
+            s_src = (
+                sigs_net.unionByName(_fold_changes(store, stbl, vs0, hs))
+                if hs > vs0
+                else sigs_net
+            )
+            bands_net, sigs_net = _net(b_src, s_src)
+            v0, vs0 = hb, hs
     return {"folded": False}
 
 

@@ -520,6 +520,58 @@ def _guarded_index_replace(store, writes: "list[tuple]"):
         return False
 
 
+def _appends_since(store, table: str, v_from: int) -> int | None:
+    """The table's head version if EVERY visible commit in
+    ``(v_from, head]`` is a plain append (aborted txn prepares and
+    other-ref commits don't count — they were never visible here);
+    None when anything else interleaved (replace/compact/undecided),
+    in which case an incremental catch-up over the window would be
+    wrong and the caller must recompute from scratch."""
+    head = store.latest_version(table)
+    for w in range(v_from + 1, head + 1):
+        try:
+            hdr = store._read_commit_json(table, w)
+        except FileNotFoundError:
+            return None  # vacuumed mid-walk
+        gid = hdr.get("txn_group")
+        if gid is not None:
+            verdict = store._group_verdict(gid)
+            if verdict == "abort":
+                continue  # invisible slot
+            if verdict != "commit":
+                return None  # undecided: the guard would refuse anyway
+        if hdr.get("branch") is not None:
+            continue  # another ref's commit: invisible here
+        if hdr.get("op") != "append":
+            return None
+    return head
+
+
+def _fold_changes(store, table: str, v_from: int, v_to: int) -> DataFrame:
+    """Rows appended to ``table`` in ``(v_from, v_to]`` — the O(delta)
+    catch-up frame for an incremental fold retry."""
+    ch = store.read_changes(table, v_from, v_to)
+    return ch.filter(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"
+    )
+
+
+def _net_postings(frame: DataFrame) -> DataFrame:
+    """NET state of a postings frame: sum(sign·tf)/(sign·dl) per
+    (token, doc), positives only, re-signed +1."""
+    return (
+        frame.groupBy("token", "id")
+        .agg(
+            F.sum(F.col("sign") * F.col("tf")).alias("tf"),
+            F.sum(F.col("sign") * F.col("dl")).alias("dl"),
+        )
+        .filter(F.col("tf") > 0)
+        .select(
+            "token", "id", "tf", "dl", F.lit(1).cast("long").alias("sign")
+        )
+    )
+
+
 def fold_text_index(
     store, index_name: str, *, target_files: int | None = None
 ) -> dict:
@@ -527,30 +579,35 @@ def fold_text_index(
     state (sum(sign·tf)/(sign·dl) per (token, doc), positives only) and
     recluster on token — retraction rows accumulated by
     :func:`sync_text_index` stop taxing every probe. Concurrent syncs
-    are never clobbered (see ``_guarded_index_replace``); a fold that
-    loses the race reports ``{"folded": False}`` — re-run from the
-    maintenance cadence. O(index) rewrite; run when
-    :func:`text_index_health` reports tombstone debt."""
+    are never clobbered (see ``_guarded_index_replace``).
+
+    The O(index) net-state frame is computed ONCE and materialized; a
+    retry after a lost race folds only the rows appended since (one
+    O(delta) catch-up over the materialized net — under a steady sync
+    cadence the fold still lands instead of recomputing-and-losing
+    forever). A non-append interleaver (another fold's replace, a
+    compaction) forces a from-scratch recompute. A fold that exhausts
+    its retries reports ``{"folded": False}`` — re-run from the
+    maintenance cadence. Run when :func:`text_index_health` reports
+    tombstone debt."""
     ptbl = f"{index_name}_postings"
+    v0 = store.latest_version(ptbl)
+    folded = _net_postings(store.read(ptbl)).localCheckpoint()
     for _ in range(4):
-        v0 = store.latest_version(ptbl)
-        folded = (
-            store.read(ptbl)
-            .groupBy("token", "id")
-            .agg(
-                F.sum(F.col("sign") * F.col("tf")).alias("tf"),
-                F.sum(F.col("sign") * F.col("dl")).alias("dl"),
-            )
-            .filter(F.col("tf") > 0)
-            .select(
-                "token", "id", "tf", "dl", F.lit(1).cast("long").alias("sign")
-            )
-        )
         if _guarded_index_replace(store, [(folded, ptbl, v0)]):
             store.compact(ptbl, sort_by=["token"], target_files=target_files)
             # the replace reset the write-time clustering property
             store.set_cluster_by(ptbl, ["token"])
             return {"folded": True, **text_index_coverage(store, index_name)}
+        head = _appends_since(store, ptbl, v0)
+        if head is None:  # replace/compact interleaved: start over
+            v0 = store.latest_version(ptbl)
+            folded = _net_postings(store.read(ptbl)).localCheckpoint()
+        elif head > v0:  # appends only: O(delta) catch-up
+            folded = _net_postings(
+                folded.unionByName(_fold_changes(store, ptbl, v0, head))
+            ).localCheckpoint()
+            v0 = head
     return {"folded": False}
 
 

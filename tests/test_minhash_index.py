@@ -756,3 +756,95 @@ def test_build_sets_write_time_clustering(spark, store):
     cov = dedup.minhash_index_coverage(store, "mh")
     assert cov["coverage"] == 1.0 and cov["files_unclustered"] == 0
     assert dedup.refresh_minhash_index(store, "mh")["refreshed"] is False
+
+
+def test_fold_retries_catch_up_incrementally(spark, store, monkeypatch):
+    """A fold losing its two-table guarded commit catches up with only
+    the rows appended since (both tables), never recomputing the
+    O(index) nets — and the landed fold keeps every late append."""
+    import pyairbyte_spark.operators.search as search_mod
+    from pyairbyte_spark.operators.dedup import (
+        append_to_minhash_index,
+        attach_minhash_index,
+        fold_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = _docs(spark, CORPUS)
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(2,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_minhash_index(store, "mh")  # tombstone debt
+    real_guard = search_mod._guarded_index_replace
+    state = {"n": 0}
+    late = _docs(
+        spark, [(50, "totally novel words appearing nowhere else at all")]
+    )
+
+    def flaky(store_, writes):
+        state["n"] += 1
+        if state["n"] == 1:
+            append_to_minhash_index(late, store_, "mh")
+        return real_guard(store_, writes)
+
+    monkeypatch.setattr(search_mod, "_guarded_index_replace", flaky)
+    r = fold_minhash_index(store, "mh")
+    assert r["folded"] is True and state["n"] == 2
+    # zero retraction rows; the late append survived the fold in BOTH
+    # tables and is probe-hittable with full signature agreement
+    assert store.read("mh_bands").filter(F.col("sign") < 0).count() == 0
+    assert store.read("mh_sigs").filter(F.col("id") == 50).count() == 1
+    q = _docs(spark, [(-1, "totally novel words appearing nowhere else at all")])
+    out = minhash_index_matches(store, "mh", q, min_agree=12).collect()
+    assert {x["match_id"] for x in out} == {50}
+    # the synced-out doc stays gone
+    q2 = _docs(spark, [(-2, CORPUS[1][1])])
+    assert minhash_index_matches(store, "mh", q2).count() == 0
+
+
+def test_probe_skips_sign_fold_when_no_tombstones(spark, store):
+    """Round-12 A/B closure: tombstone-free indexes (fresh builds,
+    post-fold) prove min(sign) >= 0 from manifest zone maps and skip
+    the per-probe sign fold entirely; a delete sync flips the flag, a
+    fold clears it — probe results identical in every regime."""
+    from pyairbyte_spark.operators.dedup import (
+        _bands_have_tombstones,
+        attach_minhash_index,
+        fold_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = _docs(spark, CORPUS)
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh")
+    assert _bands_have_tombstones(store, "mh") is False
+    q = _docs(spark, [(-1, CORPUS[0][1]), (-2, CORPUS[1][1])])
+    before = sorted(
+        map(tuple, minhash_index_matches(store, "mh", q).collect())
+    )
+    assert {m[1] for m in before} == {1, 2}
+    # delete doc 2: the sync appends negative rows -> flag trips
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(2,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_minhash_index(store, "mh")
+    assert _bands_have_tombstones(store, "mh") is True
+    mid = minhash_index_matches(store, "mh", q).collect()
+    assert {m["match_id"] for m in mid} == {1}
+    # fold rewrites to all-positive: flag clears, results unchanged
+    assert fold_minhash_index(store, "mh")["folded"] is True
+    assert _bands_have_tombstones(store, "mh") is False
+    after = minhash_index_matches(store, "mh", q).collect()
+    assert {m["match_id"] for m in after} == {1}

@@ -557,3 +557,65 @@ def test_build_sets_write_time_clustering(spark, store):
         text_index_search(store, "ti", ["appended"]).collect()[0]["doc_id"]
         == 8
     )
+
+
+def test_fold_retries_catch_up_incrementally(spark, store, monkeypatch):
+    """Round-12 gate: a fold losing its guarded commit no longer
+    recomputes the O(index) net state — it folds ONLY the rows
+    appended since (read_changes over the materialized net), so a fold
+    under steady sync/append pressure still lands."""
+    import pyairbyte_spark.operators.search as search_mod
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        fold_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti", target_files=4)
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_text_index(store, "ti")  # tombstone debt to fold
+    real_guard = search_mod._guarded_index_replace
+    state = {"n": 0}
+    extra = [
+        spark.createDataFrame(
+            [(30, "late spark doc one")], "doc_id long, text string"
+        ),
+        spark.createDataFrame(
+            [(31, "late data doc two")], "doc_id long, text string"
+        ),
+    ]
+
+    def flaky(store_, writes):
+        state["n"] += 1
+        if state["n"] <= 2:
+            # an append lands between the fold's computation and its
+            # commit — the guard sees the interleaver and aborts
+            append_to_text_index(extra[state["n"] - 1], store_, "ti")
+        return real_guard(store_, writes)
+
+    monkeypatch.setattr(search_mod, "_guarded_index_replace", flaky)
+    rc_calls: list[str] = []
+    orig_rc = store.read_changes
+    monkeypatch.setattr(
+        store,
+        "read_changes",
+        lambda t, *a, **k: (rc_calls.append(t), orig_rc(t, *a, **k))[1],
+    )
+    r = fold_text_index(store, "ti")
+    assert r["folded"] is True and state["n"] == 3
+    assert "ti_postings" in rc_calls  # O(delta) catch-up ran
+    # net state exact: zero retraction rows; scores equal a full scan
+    # over the corpus as the index now covers it
+    assert store.read("ti_postings").filter(F.col("sign") < 0).count() == 0
+    docs_now = store.read("docs").select("doc_id", "text")
+    grown = docs_now.unionByName(extra[0]).unionByName(extra[1])
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(grown, TERMS)
+    )
