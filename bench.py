@@ -117,6 +117,9 @@ BENCH_QUERIES = [
     # maintenance (attach + table DML + one sync txn group + probe)
     "text_bm25_index_search",
     "text_index_sync_search",
+    # round 12: SUM/MIN/MAX aggregate pushdown (metadata tier +
+    # dominance-pruned boundaries + sliver-scanned sums)
+    "store_agg_pushdown_events",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

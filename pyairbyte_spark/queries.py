@@ -6054,6 +6054,83 @@ def store_count_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("which")
 
 
+@register(
+    "store_agg_pushdown_events",
+    """
+    -- Aggregate pushdown into the manifest (agg_where): must-match
+    -- files answer count/min/max straight from footer stats (never
+    -- read); sum scans only the may-match sliver; min-dominance skips
+    -- boundary files that can't beat the metadata candidates. Correct
+    -- pushdown is invisible in the numbers: the oracle just aggregates.
+    SELECT 'all' AS which, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM events
+    UNION ALL
+    SELECT 'id_range', CAST(count(*) AS BIGINT),
+           CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM events WHERE event_id < 1000
+    UNION ALL
+    SELECT 'value_ge', CAST(count(*) AS BIGINT),
+           CAST(min(event_id) AS BIGINT), CAST(max(event_id) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM events WHERE value >= 50.0
+    ORDER BY which
+    """,
+    "agg_where generalizes count_where's three zone-map tiers to "
+    "SUM/MIN/MAX/COUNT lists: min/max of the cluster key answer from "
+    "metadata with ZERO file reads (dominance-pruned boundaries), "
+    "count(col) from rows-nulls, sum from the pruned sliver only",
+)
+def store_agg_pushdown_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-agg-"), "q"
+    )
+    store.write_append(ev, "m", None)
+    store.compact("m", sort_by=["event_id"], target_files=16)
+    aggs = [
+        ("count", "*"),
+        ("min", "event_id"),
+        ("max", "event_id"),
+        ("sum", "user_id"),
+    ]
+    # min/max/count of the cluster key: pure metadata, zero reads
+    r_mm = store.agg_where(
+        "m", [("min", "event_id"), ("max", "event_id"), ("count", "*")]
+    )
+    assert r_mm["files_scanned"] == 0, r_mm
+    # dominance pruning: at most the one range-straddling boundary
+    # file reads (zero when an interior must-match file already holds
+    # the candidate — scale decides which)
+    r_dom = store.agg_where("m", [("min", "event_id")], [("event_id", "<", 1000)])
+    assert r_dom["files_scanned"] <= 1, r_dom
+    r_all = store.agg_where("m", aggs)
+    r_rng = store.agg_where("m", aggs, [("event_id", "<", 1000)])
+    r_val = store.agg_where("m", aggs, [("value", ">=", 50.0)])
+
+    def row(which, r):
+        a = r["aggs"]
+        return (
+            which,
+            int(a["count_star"]),
+            int(a["min_event_id"]),
+            int(a["max_event_id"]),
+            int(a["sum_user_id"]),
+        )
+
+    return spark.createDataFrame(
+        [row("all", r_all), row("id_range", r_rng), row("value_ge", r_val)],
+        "which string, cnt long, min_id long, max_id long, sum_uid long",
+    ).orderBy("which")
+
+
 def _register_text_index_query() -> None:
     """The persisted inverted index must score EXACTLY what the
     full-scan ``bm25_scores`` scores — same oracle, proving the

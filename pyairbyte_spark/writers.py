@@ -3680,6 +3680,296 @@ class CommitLogTableStore(TableStore):
     # degrades to one ordinary pruned scan (same plan read_where runs).
     COUNT_SCAN_FALLBACK_MAX = 65_536
 
+    # Spark types whose parquet footer min/max are EXACT values in the
+    # stats domain (strings truncate, temporals encode, decimals are
+    # omitted at harvest) — the metadata tier for MIN/MAX applies only
+    # to these.
+    _EXACT_STAT_TYPES = (
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    )
+
+    def agg_where(
+        self,
+        table_name: str,
+        aggs: "list[tuple[str, str]]",
+        predicates: list[tuple] | None = None,
+        *,
+        version: int | None = None,
+    ) -> dict:
+        """EXACT filtered SUM/MIN/MAX/COUNT with metadata short-circuits
+        — :meth:`count_where` generalized to a list of ``(fn, col)``
+        aggregates (``fn`` in ``count/sum/min/max``; ``col`` may be
+        ``"*"`` for ``count``). Files classify into the same three
+        zone-map tiers:
+
+        - provably NO row matches — skipped, contributes nothing;
+        - provably EVERY row matches AND every requested aggregate is
+          stats-answerable for the file — answered from the footer
+          stats, never read: ``count(*)`` from the row count,
+          ``count(col)`` from rows − nulls, ``min/max(col)`` from the
+          column's zone map when the column's type makes footer
+          min/max exact values (numeric; strings truncate and
+          temporals encode, so they scan);
+        - boundary (or stats-insufficient) — scanned with the residual
+          filter, ALL aggregates computed from data (a file is never
+          split between tiers, so nothing double-counts).
+
+        ``sum`` has no footer stat, so sum-bearing requests scan every
+        matching file — but only the referenced columns (columnar
+        projection) over the may-match sliver. When every requested
+        aggregate is min/max, boundary files whose zone maps prove they
+        cannot improve the metadata-tier candidates are additionally
+        skipped (min-dominance: a file with ``stats.min >= cand_min``
+        cannot lower the minimum — a point-lookup-style plan on a
+        clustered 100 TB table reads only the competitive files).
+
+        On a clustered table, ``min/max`` of the cluster key over a
+        range predicate is answered from boundary files only; the
+        unfiltered count stays pure manifest arithmetic. Merge-on-read
+        DVs poison footer stats, so DV-bearing snapshots scan (still
+        may-match pruned; exact either way). Checkpoint-sidecar
+        (distributed-manifest) snapshots degrade to one pruned scan.
+        Returns ``{"aggs": {alias: value}, "files_total",
+        "files_metadata", "files_scanned"}`` with aliases
+        ``{fn}_{col}`` (``count_star`` for ``count(*)``); empty match
+        sets yield SQL semantics (count 0, sum/min/max None).
+        """
+        from pyairbyte_spark.filestats import (
+            dnf_to_column,
+            file_may_match_dnf,
+            file_must_match_dnf,
+            normalize_dnf,
+        )
+
+        specs: list[tuple[str, str]] = []
+        for fn, col in aggs:
+            fn = fn.lower()
+            if fn not in ("count", "sum", "min", "max"):
+                raise ValueError(
+                    f"unsupported aggregate {fn!r}; expected "
+                    "count/sum/min/max"
+                )
+            if col == "*" and fn != "count":
+                raise ValueError(f"{fn}(*) is not an aggregate")
+            specs.append((fn, col))
+        if not specs:
+            raise ValueError("agg_where requires at least one aggregate")
+        preds = normalize_dnf(predicates)
+        top, entries_df, man = self._scan_source(table_name, version)
+        preds_phys = self._physical_dnf(top, preds)
+        has_dvs = bool((top or {}).get("delete_vectors"))
+
+        def _alias(fn: str, col: str) -> str:
+            return f"{fn}_star" if col == "*" else f"{fn}_{col}"
+
+        def _agg_exprs():
+            out = []
+            for fn, col in specs:
+                a = _alias(fn, col)
+                if fn == "count":
+                    e = (
+                        F.count(F.lit(1))
+                        if col == "*"
+                        else F.count(F.col(col))
+                    )
+                    out.append(e.cast("long").alias(a))
+                else:
+                    out.append(getattr(F, fn)(F.col(col)).alias(a))
+            return out
+
+        def _scan_fallback(files_total=None, files_scanned=None) -> dict:
+            df = self.read_where(table_name, preds, version=version)
+            row = df.agg(*_agg_exprs()).collect()[0]
+            return {
+                "aggs": {_alias(f, c): row[_alias(f, c)] for f, c in specs},
+                "files_total": files_total,
+                "files_metadata": 0,
+                "files_scanned": files_scanned,
+            }
+
+        if entries_df is not None or has_dvs:
+            return _scan_fallback()
+        # Which columns allow exact metadata min/max, keyed by their
+        # PHYSICAL stats name (schema from the logical view).
+        logical_types = {
+            f.name: f.dataType.simpleString()
+            for f in self._apply_mapping(
+                self._read_manifest_df(table_name, man), man
+            ).schema.fields
+        }
+        phys_of = {
+            col: self._to_physical(man, col)
+            for _fn, col in specs
+            if col != "*"
+        }
+        exact_minmax = {
+            col
+            for col in phys_of
+            if logical_types.get(col) in self._EXACT_STAT_TYPES
+        }
+        minmax_only = all(fn in ("min", "max") for fn, _c in specs)
+
+        def _meta_answer(f: dict) -> "dict | None":
+            """Stats-tier contributions of a must-match file for EVERY
+            requested aggregate, or None when any is unanswerable."""
+            rows = f.get("rows")
+            if rows is None:
+                return None
+            if rows == 0:
+                return {}
+            stats = f.get("stats") or {}
+            out: dict = {}
+            for fn, col in specs:
+                a = _alias(fn, col)
+                if fn == "count" and col == "*":
+                    out[a] = rows
+                    continue
+                cs = stats.get(phys_of[col])
+                if fn == "count":
+                    nulls = (cs or {}).get("nulls")
+                    if nulls is None:
+                        return None
+                    out[a] = rows - nulls
+                    continue
+                if fn == "sum":
+                    return None  # no footer sum stat: scan
+                if col not in exact_minmax or cs is None:
+                    return None
+                nulls = cs.get("nulls")
+                if nulls is not None and nulls >= rows:
+                    continue  # all-null: contributes no candidate
+                v = cs.get("min" if fn == "min" else "max")
+                if v is None:
+                    return None
+                out[a] = v
+            return out
+
+        meta_files = total = 0
+        cand: dict[str, object] = {}
+        counts: dict[str, int] = {}
+
+        def _fold_meta(contrib: dict) -> None:
+            for (fn, col) in specs:
+                a = _alias(fn, col)
+                if a not in contrib:
+                    continue
+                if fn == "count":
+                    counts[a] = counts.get(a, 0) + contrib[a]
+                elif fn == "min":
+                    cand[a] = (
+                        contrib[a]
+                        if a not in cand
+                        else min(cand[a], contrib[a])
+                    )
+                else:
+                    cand[a] = (
+                        contrib[a]
+                        if a not in cand
+                        else max(cand[a], contrib[a])
+                    )
+
+        scan_entries: list[dict] = []
+        exact_total = True
+        for e in man.get("entries") or []:
+            live = e.get("buckets")
+            files = e.get("files")
+            if files is None:
+                scan_entries.append(e)
+                exact_total = False
+                continue
+            keep: list[dict] = []
+            for f in files:
+                if (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                ):
+                    continue
+                total += 1
+                if not file_may_match_dnf(f, preds_phys):
+                    continue
+                contrib = (
+                    _meta_answer(f)
+                    if file_must_match_dnf(f, preds_phys)
+                    else None
+                )
+                if contrib is not None:
+                    _fold_meta(contrib)
+                    meta_files += 1
+                else:
+                    keep.append(f)
+            if keep:
+                scan_entries.append({**e, "files": keep})
+        if minmax_only and scan_entries:
+            # Dominance pruning: a boundary file whose zone maps prove
+            # it cannot beat any metadata candidate is never read
+            # (stats.min is a lower bound even when truncated, so
+            # stats.min >= cand proves "cannot lower the min"; dually
+            # for max with the bumped upper bound).
+            pruned_entries: list[dict] = []
+            for e in scan_entries:
+                if e.get("files") is None:
+                    pruned_entries.append(e)
+                    continue
+                keep = []
+                for f in e["files"]:
+                    stats = f.get("stats") or {}
+                    dominated = True
+                    for fn, col in specs:
+                        a = _alias(fn, col)
+                        cs = stats.get(phys_of[col])
+                        v = (cs or {}).get(
+                            "min" if fn == "min" else "max"
+                        )
+                        if a not in cand or cs is None or v is None:
+                            dominated = False
+                            break
+                        if (fn == "min" and v < cand[a]) or (
+                            fn == "max" and v > cand[a]
+                        ):
+                            dominated = False
+                            break
+                    if not dominated:
+                        keep.append(f)
+                if keep:
+                    pruned_entries.append({**e, "files": keep})
+            scan_entries = pruned_entries
+        n_scan = sum(
+            len(e["files"]) if e.get("files") is not None else 0
+            for e in scan_entries
+        )
+        scanned: dict = {}
+        if scan_entries:
+            df = self._apply_mapping(
+                self._entries_df(table_name, scan_entries, dv_man=man), man
+            )
+            residual = dnf_to_column(preds)
+            if residual is not None:
+                df = df.filter(residual)
+            row = df.agg(*_agg_exprs()).collect()[0]
+            scanned = {a: row[a] for a in row.asDict()}
+        out_aggs: dict = {}
+        for fn, col in specs:
+            a = _alias(fn, col)
+            if fn == "count":
+                out_aggs[a] = counts.get(a, 0) + (scanned.get(a) or 0)
+            elif fn == "sum":
+                out_aggs[a] = scanned.get(a)
+            else:
+                vals = [
+                    v for v in (cand.get(a), scanned.get(a)) if v is not None
+                ]
+                if not vals:
+                    out_aggs[a] = None
+                else:
+                    out_aggs[a] = min(vals) if fn == "min" else max(vals)
+        return {
+            "aggs": out_aggs,
+            "files_total": total if exact_total else None,
+            "files_metadata": meta_files,
+            "files_scanned": n_scan if exact_total else None,
+        }
+
     def history(self, table_name: str) -> list[dict]:
         """Commit history, newest first (op + version per commit)."""
         d = self._commits_dir(table_name)
