@@ -608,6 +608,8 @@ def build_minhash_index(
     target_files: int | None = None,
     source_table: str | None = None,
     synced_version: int | None = None,
+    source_ref: str | None = None,
+    source_ref_id: str | None = None,
 ) -> dict:
     """Materialize a MinHash-LSH near-dup index into ``store``:
 
@@ -651,10 +653,13 @@ def build_minhash_index(
                 text_col,
                 source_table,
                 synced_version,
+                source_ref,
+                source_ref_id,
             )
         ],
         "num_hashes int, bands int, k int, id_col string, "
-        "text_col string, source_table string, synced_version long",
+        "text_col string, source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
     )
     store.write_replace(band_rows, f"{index_name}_bands")
     store.compact(
@@ -755,13 +760,27 @@ def attach_minhash_index(
     bands: int = 4,
     k: int = 3,
     target_files: int | None = None,
+    ref: str | None = None,
 ) -> dict:
     """Build the dedup index FROM a store table and record the snapshot
     version it covers — :func:`sync_minhash_index` then maintains it
-    from the table's change feed."""
-    v = store.latest_version(table_name)
+    from the table's change feed. ``ref`` attaches to a BRANCH of the
+    table (see ``attach_text_index``): the index follows the branch
+    and re-homes onto main at the next sync after a publish. Index
+    tables always live on main — ``store`` must be the main view."""
+    if getattr(store, "_branch", None) is not None:
+        raise ValueError(
+            "attach from the MAIN view (pass ref=... to follow a "
+            "branch); index tables live on main"
+        )
+    ref_id = None
+    src = store
+    if ref is not None:
+        src = store.branch(ref)
+        ref_id = src._branch_info(table_name)["id"]
+    v = src.latest_version(table_name)
     return build_minhash_index(
-        store.read_version(table_name, v),
+        src.read_version(table_name, v),
         store,
         index_name,
         id_col=id_col,
@@ -772,6 +791,8 @@ def attach_minhash_index(
         target_files=target_files,
         source_table=table_name,
         synced_version=v,
+        source_ref=ref,
+        source_ref_id=ref_id,
     )
 
 
@@ -795,6 +816,8 @@ def sync_minhash_index(store, index_name: str) -> dict:
     Returns ``{"synced_from", "synced_to", "docs_changed"}``."""
     from pyairbyte_spark.writers import ConcurrentCommitError
 
+    from pyairbyte_spark.operators.search import _resolve_sync_source
+
     m = _minhash_index_meta(store, index_name)
     table = m.get("source_table")
     if not table:
@@ -802,13 +825,17 @@ def sync_minhash_index(store, index_name: str) -> dict:
             f"minhash index {index_name!r} was not built from a store "
             "table; use attach_minhash_index"
         )
+    src, ref = _resolve_sync_source(store, m)
+    ref_id = src._branch_info(table)["id"] if ref else None
     cur = int(m["synced_version"])
-    head = store.latest_version(table)
-    if head <= cur:
+    head = src.latest_version(table)
+    if head <= cur and ref == m.get("source_ref"):
         return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
     id_col, text_col = m["id_col"], m["text_col"]
     try:
-        diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+        diff = src.diff_snapshots(
+            table, cur, head, primary_keys=[id_col], any_ref=True
+        )
     except FileNotFoundError:
         diff = None  # outage outlived retention: cursor snapshot vacuumed
     if diff is None:
@@ -821,10 +848,11 @@ def sync_minhash_index(store, index_name: str) -> dict:
             num_hashes=m["num_hashes"],
             bands=m["bands"],
             k=m["k"],
+            ref=ref,
         )
         return {
             "synced_from": cur,
-            "synced_to": store.latest_version(table),
+            "synced_to": src.latest_version(table),
             "docs_changed": None,
             "rebuilt": True,
         }
@@ -849,7 +877,7 @@ def sync_minhash_index(store, index_name: str) -> dict:
     old_removed = None
     try:
         old_removed = (
-            store.read_version(table, cur)
+            src.read_version(table, cur, any_ref=True)
             .join(
                 removed.withColumnRenamed("id", id_col), id_col, "left_semi"
             )
@@ -914,10 +942,13 @@ def sync_minhash_index(store, index_name: str) -> dict:
                 text_col,
                 table,
                 head,
+                ref,
+                ref_id,
             )
         ],
         "num_hashes int, bands int, k int, id_col string, "
-        "text_col string, source_table string, synced_version long",
+        "text_col string, source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
     )
     n_changed = removed.count() + added.count()
     raced = {

@@ -107,12 +107,15 @@ def build_text_index(
     target_files: int | None = None,
     source_table: str | None = None,
     synced_version: int | None = None,
+    source_ref: str | None = None,
+    source_ref_id: str | None = None,
 ) -> dict:
     """Materialize the inverted index. One tokenize pass, one
     (token, doc) groupBy shuffle, one token-clustering compaction.
     Returns ``{"n_docs", "postings", "files"}``. ``source_table`` /
-    ``synced_version`` record provenance for CDF-driven maintenance —
-    use :func:`attach_text_index` rather than passing them directly."""
+    ``synced_version`` / ``source_ref`` record provenance for
+    CDF-driven maintenance — use :func:`attach_text_index` rather than
+    passing them directly."""
     spark = corpus.sparkSession
     store.write_replace(
         _postings(corpus, text_col, id_col), f"{index_name}_postings"
@@ -139,10 +142,13 @@ def build_text_index(
                 float(b),
                 source_table,
                 synced_version,
+                source_ref,
+                source_ref_id,
             )
         ],
         "id_col string, text_col string, k1 double, b double, "
-        "source_table string, synced_version long",
+        "source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
     )
     store.write_replace(meta, f"{index_name}_meta")
     st = store.table_stats(f"{index_name}_postings")
@@ -254,14 +260,33 @@ def attach_text_index(
     k1: float = 1.2,
     b: float = 0.75,
     target_files: int | None = None,
+    ref: str | None = None,
 ) -> dict:
     """Build the index FROM a store table and record the snapshot
     version it covers — :func:`sync_text_index` then maintains it from
     the table's change feed. The read and the recorded version pin the
-    same snapshot (single-table reads are snapshot-consistent)."""
-    v = store.latest_version(table_name)
+    same snapshot (single-table reads are snapshot-consistent).
+
+    ``ref`` attaches the index to a BRANCH of the table (write-audit-
+    publish): the index follows the branch's history; after a
+    ``publish_branch`` the next sync detects the publish, re-homes the
+    index onto main (the publish manifest IS the branch tip, so the
+    catch-up diff is exactly the post-publish main delta), and clears
+    the ref. Index tables always live on main (txn groups are
+    main-only) — ``store`` must be the main view."""
+    if getattr(store, "_branch", None) is not None:
+        raise ValueError(
+            "attach from the MAIN view (pass ref=... to follow a "
+            "branch); index tables live on main"
+        )
+    ref_id = None
+    src = store
+    if ref is not None:
+        src = store.branch(ref)
+        ref_id = src._branch_info(table_name)["id"]
+    v = src.latest_version(table_name)
     return build_text_index(
-        store.read_version(table_name, v),
+        src.read_version(table_name, v),
         store,
         index_name,
         id_col=id_col,
@@ -271,6 +296,50 @@ def attach_text_index(
         target_files=target_files,
         source_table=table_name,
         synced_version=v,
+        source_ref=ref,
+        source_ref_id=ref_id,
+    )
+
+
+def _resolve_sync_source(store, m: dict) -> "tuple[object, str | None]":
+    """The view a sync should read its source table through: the
+    recorded branch (same incarnation) while it lives, else main —
+    IF the branch published (its tip became a main commit, so the
+    recorded cursor stays diffable against main's head). Returns
+    ``(view, ref)`` where ``ref`` is None once the index follows main
+    (the caller persists the cleared ref with its cursor CAS). Raises
+    when the branch was dropped WITHOUT publishing — the index's
+    lineage is gone and only a re-attach is honest."""
+    ref = m.get("source_ref")
+    if not ref:
+        return store, None
+    table = m["source_table"]
+    try:
+        view = store.branch(ref)
+        info = view._branch_info(table)
+        if info.get("id") == m.get("source_ref_id"):
+            return view, ref
+    except (FileNotFoundError, ValueError):
+        pass  # dropped (or recreated as a tag): fall through
+    # Same-named branch of a NEW incarnation also lands here: the
+    # recorded incarnation is dead either way.
+    cur = int(m["synced_version"])
+    head = store.latest_version(table)
+    for v in range(max(cur, 0) + 1, head + 1):
+        try:
+            hdr = store._read_commit_json(table, v)
+        except FileNotFoundError:
+            continue
+        if (
+            hdr.get("branch") is None
+            and hdr.get("op") == "publish_branch"
+            and hdr.get("published_branch") == ref
+            and int(hdr.get("published_version") or 0) >= cur
+        ):
+            return store, None  # published: re-home onto main
+    raise ValueError(
+        f"index follows branch {ref!r} of {table!r}, which was dropped "
+        "without publishing past the index's cursor; re-attach the index"
     )
 
 
@@ -295,8 +364,14 @@ def sync_text_index(store, index_name: str) -> dict:
     Two syncs racing: one group lands, the loser aborts cleanly and
     reports ``{"raced": True}`` (retry reads the advanced cursor).
     Unsafe collapse windows (column renames/drops mid-window) rebuild
-    the index from the current snapshot instead. Returns
-    ``{"synced_from", "synced_to", "docs_changed"}``."""
+    the index from the current snapshot instead.
+
+    BRANCH-ATTACHED indexes (``attach_text_index(ref=...)``) sync from
+    the branch's history while the branch lives; once the branch
+    publishes, the sync re-homes onto main in the same txn (the
+    publish manifest IS the audited tip, so the catch-up diff is
+    exactly the post-publish delta) and clears the recorded ref.
+    Returns ``{"synced_from", "synced_to", "docs_changed"}``."""
     from pyairbyte_spark.writers import ConcurrentCommitError
 
     m = _text_index_meta(store, index_name)
@@ -306,13 +381,17 @@ def sync_text_index(store, index_name: str) -> dict:
             f"text index {index_name!r} was not built from a store "
             "table; use attach_text_index"
         )
+    src, ref = _resolve_sync_source(store, m)
+    ref_id = src._branch_info(table)["id"] if ref else None
     cur = int(m["synced_version"])
-    head = store.latest_version(table)
-    if head <= cur:
+    head = src.latest_version(table)
+    if head <= cur and ref == m.get("source_ref"):
         return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
     id_col, text_col = m["id_col"], m["text_col"]
     try:
-        diff = store.diff_snapshots(table, cur, head, primary_keys=[id_col])
+        diff = src.diff_snapshots(
+            table, cur, head, primary_keys=[id_col], any_ref=True
+        )
     except FileNotFoundError:
         diff = None  # outage outlived retention: cursor snapshot vacuumed
     if diff is None:
@@ -327,10 +406,11 @@ def sync_text_index(store, index_name: str) -> dict:
             text_col=text_col,
             k1=float(m["k1"]),
             b=float(m["b"]),
+            ref=ref,
         )
         return {
             "synced_from": cur,
-            "synced_to": store.latest_version(table),
+            "synced_to": src.latest_version(table),
             "docs_changed": None,
             "rebuilt": True,
         }
@@ -357,7 +437,7 @@ def sync_text_index(store, index_name: str) -> dict:
     old_removed = None
     try:
         old_removed = (
-            store.read_version(table, cur)
+            src.read_version(table, cur, any_ref=True)
             .join(
                 removed.withColumnRenamed("id", id_col), id_col, "left_semi"
             )
@@ -421,10 +501,13 @@ def sync_text_index(store, index_name: str) -> dict:
                 float(m["b"]),
                 table,
                 head,
+                ref,
+                ref_id,
             )
         ],
         "id_col string, text_col string, k1 double, b double, "
-        "source_table string, synced_version long",
+        "source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
     )
     raced = {
         "synced_from": cur,

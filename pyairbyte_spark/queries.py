@@ -6240,6 +6240,75 @@ def _register_text_index_query() -> None:
 _register_text_index_query()
 
 
+@register(
+    "text_index_wap_sync_search",
+    _bm25_oracle_sql(
+        "(SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+        "concat(text, ' data data') ELSE text END AS text "
+        "FROM documents WHERE doc_id % 9 <> 0)"
+    ),
+    "WAP-attached inverted index: attach ref=audit, run the DML on the "
+    "BRANCH (invisible on main), sync follows the branch's history, "
+    "publish_branch fast-forwards main, and the next sync re-homes the "
+    "index onto main with ZERO spurious diff (the publish manifest IS "
+    "the audited tip) — probe scores equal full-scan BM25 over the "
+    "published state",
+)
+def text_index_wap_sync_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+        text_index_search,
+    )
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "_airbyte_raw_id",
+            F.concat(F.lit("r"), F.col("doc_id").cast("string")),
+        )
+        .withColumn(
+            "_airbyte_extracted_at", F.lit("2024-01-01").cast("timestamp")
+        )
+    )
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-tiwap-"), "q"
+    )
+    store.write_append(docs, "docs", ["doc_id"])
+    store.create_branch("docs", "audit")
+    attach_text_index(store, "docs", "ti", target_files=16, ref="audit")
+    bv = store.branch("audit")
+    bv.merge_into(
+        "docs",
+        docs.filter(F.col("doc_id") % 9 == 0).select("doc_id"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    bv.merge_into(
+        "docs",
+        docs.filter(
+            (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 9 != 0)
+        ).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" data data")).alias("text"),
+        ),
+        ["doc_id"],
+        when_matched_update={"text": "s.text"},
+        when_not_matched_insert=False,
+    )
+    r = sync_text_index(store, "ti")  # follows the BRANCH
+    assert r["docs_changed"] and not r.get("rebuilt"), r
+    store.publish_branch("docs", "audit")
+    r2 = sync_text_index(store, "ti")  # re-homes onto main
+    assert r2.get("docs_changed") == 0 and not r2.get("raced"), r2
+    return text_index_search(store, "ti", _BM25_TERMS)
+
+
 def _register_ivf_index_query() -> None:
     """The persistent-IVF path must produce EXACTLY what the in-memory
     ivf_topk produces for the same build parameters — so it registers

@@ -2262,12 +2262,23 @@ class CommitLogTableStore(TableStore):
             self._read_manifest_df(table_name, snap[1]), snap[1]
         )
 
-    def read_version(self, table_name: str, version: int) -> DataFrame:
+    def read_version(
+        self, table_name: str, version: int, *, any_ref: bool = False
+    ) -> DataFrame:
         """Time travel: the table exactly as of ``version`` (readable
         until :meth:`vacuum` reclaims its data dirs), through the
-        column mapping AS OF that version."""
+        column mapping AS OF that version. ``any_ref=True`` relaxes the
+        ref-ownership check (never the txn-verdict check) — for
+        followers whose recorded cursor legitimately points at a commit
+        of a since-dropped branch (e.g. a derived index catching up
+        across a publish); user-facing reads keep the strict check."""
         man = self._read_manifest(table_name, version)
-        self._require_visible(table_name, version, man)
+        if any_ref:
+            gid = man.get("txn_group")
+            if gid is not None and self._group_verdict(gid) != "commit":
+                self._require_visible(table_name, version, man)  # raises
+        else:
+            self._require_visible(table_name, version, man)
         df = self._apply_mapping(self._read_manifest_df(table_name, man), man)
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
@@ -4336,6 +4347,8 @@ class CommitLogTableStore(TableStore):
         from_version: int,
         to_version: int,
         primary_keys: list[str],
+        *,
+        any_ref: bool = False,
     ) -> DataFrame | None:
         """Window-collapsed change set: the row-level difference between
         snapshot ``from_version`` and snapshot ``to_version`` as ONE
@@ -4396,7 +4409,7 @@ class CommitLogTableStore(TableStore):
         def _snap(man: dict | None, version: int) -> DataFrame | None:
             if man is None or not man.get("entries"):
                 return None
-            return self.read_version(table_name, version)
+            return self.read_version(table_name, version, any_ref=any_ref)
 
         new = _snap(man_to, to)
         old = _snap(man_from, from_version)

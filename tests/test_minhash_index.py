@@ -684,12 +684,12 @@ def test_minhash_fallback_nets_duplicate_appends(spark, store, monkeypatch):
     calls = {"n": 0}
     orig_rv = store.read_version
 
-    def rv(tbl, v):
+    def rv(tbl, v, **kw):
         if tbl == "docs" and v == cur:
             calls["n"] += 1
             if calls["n"] > 1:  # diff endpoint read ok; tombstone read fails
                 raise FileNotFoundError("vacuumed")
-        return orig_rv(tbl, v)
+        return orig_rv(tbl, v, **kw)
 
     monkeypatch.setattr(store, "read_version", rv)
     r = sync_minhash_index(store, "mh")
@@ -848,3 +848,48 @@ def test_probe_skips_sign_fold_when_no_tombstones(spark, store):
     assert _bands_have_tombstones(store, "mh") is False
     after = minhash_index_matches(store, "mh", q).collect()
     assert {m["match_id"] for m in after} == {1}
+
+
+def test_minhash_index_follows_branch_and_survives_publish(spark, store):
+    from pyairbyte_spark.operators.dedup import (
+        attach_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = _docs(spark, CORPUS)
+    store.write_append(docs, "docs", ["doc_id"])
+    store.create_branch("docs", "audit")
+    attach_minhash_index(store, "docs", "mh", ref="audit")
+    bv = store.branch("audit")
+    bv.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    r = sync_minhash_index(store, "mh")
+    assert r["docs_changed"] == 1
+    # doc 1 deleted ON THE BRANCH: the index stops matching it even
+    # though main still holds it
+    q = _docs(spark, [(-1, CORPUS[0][1])])
+    assert minhash_index_matches(store, "mh", q).count() == 0
+    store.publish_branch("docs", "audit")
+    r2 = sync_minhash_index(store, "mh")
+    assert r2.get("docs_changed") == 0
+    m = store.read("mh_meta").collect()[0].asDict()
+    assert m["source_ref"] is None
+    # main DML keeps flowing post-publish
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(2,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_minhash_index(store, "mh")
+    q2 = _docs(spark, [(-2, CORPUS[1][1])])
+    assert minhash_index_matches(store, "mh", q2).count() == 0
+    q3 = _docs(spark, [(-3, CORPUS[2][1])])
+    assert {x["match_id"] for x in minhash_index_matches(store, "mh", q3).collect()} == {3}

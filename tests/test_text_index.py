@@ -493,12 +493,12 @@ def test_sync_index_scan_fallback_when_snapshot_unreadable(
     calls = {"n": 0}
     orig_rv = store.read_version
 
-    def rv(tbl, v):
+    def rv(tbl, v, **kw):
         if tbl == "docs" and v == cur:
             calls["n"] += 1
             if calls["n"] > 1:  # diff's endpoint read succeeds; the
                 raise FileNotFoundError("vacuumed")  # tombstone read fails
-        return orig_rv(tbl, v)
+        return orig_rv(tbl, v, **kw)
 
     monkeypatch.setattr(store, "read_version", rv)
     r = sync_text_index(store, "ti")
@@ -618,4 +618,127 @@ def test_fold_retries_catch_up_incrementally(spark, store, monkeypatch):
     grown = docs_now.unionByName(extra[0]).unionByName(extra[1])
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(grown, TERMS)
+    )
+
+
+# -- round-12: branch-attached indexes (WAP-aware sync) -------------------------
+
+
+def test_index_follows_branch_and_survives_publish(spark, store):
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    store.create_branch("docs", "audit")
+    attach_text_index(store, "docs", "ti", target_files=4, ref="audit")
+    bv = store.branch("audit")
+    bv.merge_into(
+        "docs",
+        spark.createDataFrame([(3,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    bv.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(7, "fresh spark data doc")], "doc_id long, text string"
+        ),
+        ["doc_id"],
+    )
+    r = sync_text_index(store, "ti")
+    assert r["docs_changed"] == 2 and r["synced_to"] > r["synced_from"]
+    # the index reflects the BRANCH state, not main's
+    branch_docs = bv.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(branch_docs, TERMS)
+    )
+    # publish: the next sync re-homes the index onto main (the publish
+    # manifest IS the audited tip — zero spurious diff) and clears ref
+    store.publish_branch("docs", "audit")
+    r2 = sync_text_index(store, "ti")
+    assert r2["synced_to"] == store.latest_version("docs")
+    assert r2.get("docs_changed") == 0
+    m = store.read("ti_meta").collect()[0].asDict()
+    assert m["source_ref"] is None and m["source_ref_id"] is None
+    # post-publish main DML keeps flowing through the ordinary sync
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_text_index(store, "ti")
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+
+
+def test_branch_index_dropped_without_publish_raises(spark, store):
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    store.create_branch("docs", "audit")
+    attach_text_index(store, "docs", "ti", ref="audit")
+    store.drop_branch("docs", "audit")
+    with pytest.raises(ValueError, match="re-attach"):
+        sync_text_index(store, "ti")
+    # a NEW incarnation of the same name is a different lineage too
+    store.create_branch("docs", "audit")
+    with pytest.raises(ValueError, match="re-attach"):
+        sync_text_index(store, "ti")
+
+
+def test_branch_index_sync_races_publish(spark, store):
+    """Syncs racing the publish: every outcome is applied-whole or
+    cleanly raced; follow-up syncs converge the index onto main."""
+    import threading
+
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    store.create_branch("docs", "audit")
+    attach_text_index(store, "docs", "ti", ref="audit")
+    bv = store.branch("audit")
+    bv.merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(7, "fresh spark data doc"), (8, "late spark join words")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+    )
+    results: list = []
+
+    def syncer():
+        try:
+            results.append(sync_text_index(store, "ti"))
+        except Exception as e:  # noqa: BLE001
+            results.append(e)
+
+    ts = [threading.Thread(target=syncer) for _ in range(2)]
+    for th in ts:
+        th.start()
+    store.publish_branch("docs", "audit")
+    for th in ts:
+        th.join()
+    assert all(isinstance(r, dict) for r in results), results
+    # converge (at most two more rounds: re-home + no-op)
+    for _ in range(3):
+        r = sync_text_index(store, "ti")
+        if not r.get("raced") and r.get("docs_changed") == 0:
+            break
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
     )
