@@ -258,6 +258,13 @@ class SparkCache(Mapping):
             self.table_name(stream_name), **thresholds
         )
 
+    def store_maintenance_plan(self, **thresholds) -> dict:
+        """STORE-WIDE doctor: every table's maintenance plan, the
+        derived indexes' tombstone/staleness debt (fold_*/refresh_*),
+        and the txn-group decision backlog — one call
+        (``writers.store_maintenance_plan``)."""
+        return self._acid_store().store_maintenance_plan(**thresholds)
+
     def rebucket_stream(self, stream_name: str, n_buckets: int | None) -> dict:
         """Bucket-layout evolution: rewrite the stream's table with a
         new merge-bucket count (None = un-bucket) — the migration path

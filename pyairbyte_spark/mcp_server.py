@@ -620,6 +620,17 @@ def _build_tool_defs() -> list[ToolDef]:
             lambda h, a: t.get_maintenance_plan(h.cache, a["stream_name"]),
         ),
         ToolDef(
+            "get_store_maintenance_plan",
+            "Warehouse doctor: ONE call returning every table's "
+            "maintenance plan, every derived index's debt signals "
+            "(tombstone debt from sync retractions -> fold_*_index, "
+            "stale clustering -> refresh_*_index, hot-band skew), and "
+            "the txn-group decision-file backlog "
+            "(vacuum_txn_decisions).",
+            {"type": "object", "properties": {}},
+            lambda h, a: t.get_store_maintenance_plan(h.cache),
+        ),
+        ToolDef(
             "verify_table",
             "FSCK a cached stream's table: manifest resolution, data-file "
             "presence + size drift, DV/bloom sidecars, txn-decision "

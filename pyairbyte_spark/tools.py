@@ -138,6 +138,14 @@ def get_maintenance_plan(
     return cache.maintenance_plan(stream_name)
 
 
+def get_store_maintenance_plan(cache: SparkCache) -> dict[str, Any]:
+    """The WAREHOUSE doctor: one call returning every table's
+    maintenance plan, every derived index's debt signals (tombstone
+    fold / clustering refresh, from the sync layer's health checks),
+    and the txn-group decision-file backlog."""
+    return cache.store_maintenance_plan()
+
+
 def verify_table(
     cache: SparkCache, stream_name: str, *, deep: bool = False
 ) -> dict[str, Any]:

@@ -8144,6 +8144,141 @@ class CommitLogTableStore(TableStore):
             )
         return recs
 
+    def index_inventory(self) -> dict[str, dict]:
+        """Discover the store's derived indexes from their table-group
+        naming: a ``<name>_meta`` table plus ``<name>_postings``
+        (inverted text), ``<name>_bands``+``<name>_sigs``
+        (MinHash-LSH), ``<name>_lists``+``<name>_centroids`` (IVF), or
+        ``<name>_codes``+``<name>_codebooks`` (PQ). One directory
+        listing; no data I/O."""
+        tables = set(self.list_tables())
+        out: dict[str, dict] = {}
+        for t_ in sorted(tables):
+            if not t_.endswith("_meta"):
+                continue
+            base = t_[: -len("_meta")]
+            if f"{base}_postings" in tables:
+                out[base] = {"kind": "text"}
+            elif f"{base}_bands" in tables and f"{base}_sigs" in tables:
+                out[base] = {"kind": "minhash"}
+            elif f"{base}_lists" in tables and f"{base}_centroids" in tables:
+                out[base] = {"kind": "ivf"}
+            elif f"{base}_codes" in tables and f"{base}_codebooks" in tables:
+                out[base] = {"kind": "pq"}
+        return out
+
+    def store_maintenance_plan(
+        self,
+        *,
+        tombstone_max: float = 0.2,
+        unclustered_max: float = 0.5,
+        txn_decisions_max: int = 10_000,
+        **table_thresholds,
+    ) -> dict:
+        """STORE-WIDE doctor: every per-table :meth:`maintenance_plan`,
+        the derived indexes' debt signals (tombstone fraction from the
+        sync layer's retraction appends → ``fold_*_index``; stale
+        clustering → ``refresh_*_index``), and the txn-group decision
+        backlog (→ :meth:`vacuum_txn_decisions`) — ONE call surfacing
+        all maintenance a cadence job should consider, MCP-exposed as
+        ``get_store_maintenance_plan``. Returns ``{"tables": {name:
+        [recs]}, "indexes": {name: {"kind", "actions", "health"}},
+        "txn_decisions": {"files", "actions"}}`` where every action is
+        ``{"action", "reason"}`` (empty = healthy). Index health reads
+        one aggregate over the index table; everything else is
+        metadata."""
+        plans: dict[str, list] = {}
+        for t_ in self.list_tables():
+            try:
+                recs = self.maintenance_plan(t_, **table_thresholds)
+            except FileNotFoundError:
+                continue
+            if recs:
+                plans[t_] = recs
+        indexes: dict[str, dict] = {}
+        for name, info in self.index_inventory().items():
+            kind = info["kind"]
+            actions: list[dict] = []
+            health: dict = {}
+            try:
+                if kind == "text":
+                    from pyairbyte_spark.operators.search import (
+                        text_index_health,
+                    )
+
+                    health = text_index_health(
+                        self,
+                        name,
+                        tombstone_max=tombstone_max,
+                        unclustered_max=unclustered_max,
+                    )
+                elif kind == "minhash":
+                    from pyairbyte_spark.operators.dedup import (
+                        minhash_index_health,
+                    )
+
+                    health = minhash_index_health(
+                        self,
+                        name,
+                        tombstone_max=tombstone_max,
+                        unclustered_max=unclustered_max,
+                    )
+            except Exception as exc:  # noqa: BLE001 — doctor reports, never raises
+                health = {"error": str(exc)}
+            debt = health.get("tombstone_fraction") or 0.0
+            if debt > tombstone_max:
+                actions.append(
+                    {
+                        "action": f"fold_{kind}_index",
+                        "reason": f"tombstone debt {debt:.1%} "
+                        f"(> {tombstone_max:.0%}): sync retractions tax "
+                        "every probe until folded",
+                    }
+                )
+            cov = health.get("coverage")
+            if cov is not None and (1.0 - cov) > unclustered_max:
+                actions.append(
+                    {
+                        "action": f"refresh_{kind}_index",
+                        "reason": f"stale clustering: {1.0 - cov:.1%} of "
+                        f"files unclustered (> {unclustered_max:.0%}): "
+                        "probes widen until the tail reclusters",
+                    }
+                )
+            for issue in health.get("issues") or []:
+                if "hot band" in issue:  # data property, not repairable
+                    actions.append(
+                        {"action": "review_ingest", "reason": issue}
+                    )
+            indexes[name] = {"kind": kind, "actions": actions, **(
+                {"health": health} if health else {}
+            )}
+        gdir = os.path.join(self.root, self._TXN_GROUP_DIR)
+        try:
+            n_decisions = sum(
+                1 for n in self.io.list_names(gdir) if n.endswith(".json")
+            )
+        except Exception:
+            n_decisions = 0
+        txn_actions: list[dict] = []
+        if n_decisions > txn_decisions_max:
+            txn_actions.append(
+                {
+                    "action": "vacuum_txn_decisions",
+                    "reason": f"{n_decisions} txn-group decision files "
+                    f"(> {txn_decisions_max}): the object-store listing "
+                    "ceiling on metadata nothing reads anymore",
+                }
+            )
+        return {
+            "tables": plans,
+            "indexes": indexes,
+            "txn_decisions": {
+                "files": n_decisions,
+                "actions": txn_actions,
+            },
+        }
+
     def rebucket_table(
         self, table_name: str, n_buckets: int | None
     ) -> dict:

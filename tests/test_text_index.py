@@ -742,3 +742,46 @@ def test_branch_index_sync_races_publish(spark, store):
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
     )
+
+
+def test_store_doctor_surfaces_index_debt(spark, store):
+    """Round-12 gate: ONE store_maintenance_plan call surfaces
+    sync-generated index debt (fold action), per-table plans, and the
+    txn-decision backlog; folding clears the index action."""
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        fold_text_index,
+        sync_text_index,
+    )
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    assert store.index_inventory() == {"ti": {"kind": "text"}}
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(1,), (3,), (6,)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_text_index(store, "ti")  # retraction appends = tombstone debt
+    plan = store.store_maintenance_plan(tombstone_max=0.05)
+    ti = plan["indexes"]["ti"]
+    assert ti["kind"] == "text"
+    acts = [a["action"] for a in ti["actions"]]
+    assert "fold_text_index" in acts
+    assert ti["health"]["tombstone_fraction"] > 0.05
+    # sync txn groups leave decision files: backlog flag trips at 0
+    plan_tx = store.store_maintenance_plan(txn_decisions_max=0)
+    assert plan_tx["txn_decisions"]["files"] >= 1
+    assert plan_tx["txn_decisions"]["actions"][0]["action"] == (
+        "vacuum_txn_decisions"
+    )
+    # folding clears the index action
+    assert fold_text_index(store, "ti")["folded"] is True
+    plan2 = store.store_maintenance_plan(tombstone_max=0.05)
+    assert plan2["indexes"]["ti"]["actions"] == []
+    # the MCP surface exposes the warehouse doctor
+    from pyairbyte_spark.mcp_server import TOOL_DEFS
+
+    assert "get_store_maintenance_plan" in {d.name for d in TOOL_DEFS}

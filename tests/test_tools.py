@@ -113,6 +113,9 @@ def test_dedup_index_health_and_refresh_tools(spark, tmp_path):
     build_minhash_index(docs, cache.store, "mh", target_files=2)
     h = tools.get_dedup_index_health(cache)
     assert h["healthy"] and h["coverage"] == 1.0
+    # clear write-time clustering (builds set it since round 12) to
+    # exercise the decay/refresh lifecycle these tools surface
+    cache.store.set_cluster_by("mh_bands", None)
     append_to_minhash_index(
         spark.range(100, 130).select(
             F.col("id").alias("doc_id"),
