@@ -134,6 +134,43 @@ def main() -> None:
     print(f"fold: {f['folded']} -> debt "
           f"{text_index_health(store, 'live_idx')['tombstone_fraction']:.1%}")
 
+    # -- 7. an index can follow a BRANCH through its publish ---------------
+    # (round 12) attach ref=...: the audit step queries its candidate
+    # corpus through the same probes production uses; the publish
+    # re-homes the index onto main with zero spurious diff.
+    store.create_branch("docs", "audit2")
+    attach_text_index(store, "docs", "audit_idx", target_files=16, ref="audit2")
+    bv2 = store.branch("audit2")
+    bv2.write_append(
+        spark.createDataFrame(
+            [(10_000_003, "branch-only spark data doc")],
+            "doc_id long, text string",
+        ),
+        "docs",
+        ["doc_id"],
+    )
+    s_branch = sync_text_index(store, "audit_idx")  # follows the branch
+    print(f"branch-following sync: {s_branch['docs_changed']} docs "
+          "(main never saw them)")
+    store.publish_branch("docs", "audit2")
+    s_main = sync_text_index(store, "audit_idx")  # re-homes onto main
+    print(f"post-publish sync re-homed the index: docs_changed="
+          f"{s_main['docs_changed']} (the publish manifest IS the tip)")
+
+    # -- 8. aggregates from the manifest + the warehouse doctor ------------
+    agg = store.agg_where(
+        "docs", [("min", "doc_id"), ("max", "doc_id"), ("count", "*")]
+    )
+    print(f"agg_where answered {agg['aggs']} reading "
+          f"{agg['files_scanned']} of {agg['files_total']} files")
+    plan = store.store_maintenance_plan()
+    n_actions = sum(len(v) for v in plan["tables"].values()) + sum(
+        len(v["actions"]) for v in plan["indexes"].values()
+    )
+    print(f"warehouse doctor: {len(plan['indexes'])} indexes tracked, "
+          f"{n_actions} maintenance actions pending, "
+          f"{plan['txn_decisions']['files']} txn decision files")
+
 
 if __name__ == "__main__":
     main()

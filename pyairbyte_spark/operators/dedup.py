@@ -699,12 +699,14 @@ def append_to_minhash_index(
     prepare inside the group, so a replayed batch skips the WHOLE
     group and a crash before the decision replays it in full.
 
-    Fresh appends aren't band-clustered until refreshed — probes stay
-    exact (zone maps are conservative), just less pruned on the new
-    files. :func:`minhash_index_coverage` is the watermark to alert
-    on and :func:`refresh_minhash_index` reclusters ONLY the appended
-    tail (O(tail)); :func:`minhash_index_health` adds the hot-band
-    skew signal. Returns ``{"appended", "skipped"}``.
+    Builds set write-time clustering on the bands table, so appends
+    range-sort on band_hash at staging and the probe-pruning coverage
+    watermark holds at 1.0; with the property cleared they land
+    unclustered — exact (zone maps are conservative), just less
+    pruned — until :func:`refresh_minhash_index` reclusters ONLY the
+    appended tail (O(tail)). :func:`minhash_index_coverage` is the
+    watermark to alert on; :func:`minhash_index_health` adds the
+    hot-band skew signal. Returns ``{"appended", "skipped"}``.
     """
     m = _minhash_index_meta(store, index_name)
     rows = m["num_hashes"] // m["bands"]

@@ -176,8 +176,10 @@ def append_to_text_index(
     N/avgdl and the postings advance together; a crash between the two
     leaves neither). ``txn=(app_id, batch_id)`` rides the postings
     prepare for exactly-once streaming ingest — a replayed batch skips
-    the whole group. Fresh postings land token-unclustered: probes
-    stay exact, just unpruned on the new files, until
+    the whole group. Builds set write-time clustering on the postings
+    table, so fresh postings range-sort on token at staging and stay
+    probe-pruned (coverage holds at 1.0); with the property cleared
+    they land unclustered — exact, just unpruned — until
     :func:`refresh_text_index` reclusters the tail."""
     m = _text_index_meta(store, index_name)
     post = _postings(new_docs, m["text_col"], m["id_col"])

@@ -4373,7 +4373,10 @@ class CommitLogTableStore(TableStore):
         must replay per-commit: a ``rename_column`` / ``drop_column``
         commit inside the window, column-mapping drift between the
         endpoints (e.g. a restore resurrecting an older mapping), or
-        both endpoint snapshots empty (no schema source). Only the two
+        both endpoint snapshots empty (no schema source).
+        ``any_ref`` relaxes the endpoint reads' ref-ownership check
+        (see :meth:`read_version`) — for followers whose cursor points
+        at a since-published branch commit. Only the two
         ENDPOINT snapshots' data is read (the op gate reads each
         intermediate commit's O(KB) JSON, never its data) — where
         per-commit replay reads every intermediate version's touched
