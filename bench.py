@@ -123,6 +123,9 @@ BENCH_QUERIES = [
     # round 12: WAP-attached index (attach to branch + branch DML +
     # branch-following sync + publish + re-home sync + probe)
     "text_index_wap_sync_search",
+    # round 12: CDF-maintained IVF (attach + delete merge + sync with
+    # old-snapshot tombstones + frozen-quantizer probe)
+    "ann_ivf_sync_topk",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

@@ -642,20 +642,30 @@ def build_ivf_index(
     iters: int = 1,
     train_modulus: int = 1,
     target_files: int | None = None,
+    source_table: str | None = None,
+    synced_version: int | None = None,
+    source_ref: str | None = None,
+    source_ref_id: str | None = None,
 ) -> dict:
     """Materialize an IVF index INTO a :class:`CommitLogTableStore`:
-    ``<index_name>_centroids`` (the coarse quantizer) and
-    ``<index_name>_lists`` (one row per corpus vector with its ``cid``),
-    compacted with ``sort_by=["cid"]`` so every list occupies a
-    contiguous file range and the manifest's zone maps prune probes to
-    exactly the touched lists' files.
+    ``<index_name>_centroids`` (the coarse quantizer),
+    ``<index_name>_lists`` (one row per corpus vector with its ``cid``,
+    plus ``sign``/``seq`` for the sign-tombstone maintenance the other
+    derived indexes use), and ``<index_name>_meta`` (assignment
+    parameters + the CDF provenance cursor), lists compacted with
+    ``sort_by=["cid"]`` so every list occupies a contiguous file range
+    and the manifest's zone maps prune probes to exactly the touched
+    lists' files.
 
     This is the production answer to IVF's O(corpus) build cost (see
     :func:`ivf_topk`): build once per corpus refresh, then every
     :func:`ivf_index_topk` probe is a stats-pruned scan of
     ~n_probes/n_centroids of the index files — the ANN analogue of
-    partition pruning, amortized over query volume. Returns
-    ``{"n_vectors", "n_centroids", "files"}``.
+    partition pruning, amortized over query volume. ``source_table`` /
+    ``synced_version`` / ``source_ref`` record provenance for
+    :func:`sync_ivf_index` — use :func:`attach_ivf_index` rather than
+    passing them directly. Returns ``{"n_vectors", "n_centroids",
+    "files"}``.
     """
     spark = corpus.sparkSession
     cent = kmeans_centroids(
@@ -671,7 +681,14 @@ def build_ivf_index(
     lists = _assign_to_centroids(e, cent, vectorized=n_centroids > 32)
     store.write_replace(cent, f"{index_name}_centroids")
     store.write_replace(
-        lists.select("cid", F.col("id"), F.col("v")), f"{index_name}_lists"
+        lists.select(
+            "cid",
+            F.col("id"),
+            F.col("v"),
+            F.lit(1).cast("long").alias("sign"),
+            F.lit(0).cast("long").alias("seq"),
+        ),
+        f"{index_name}_lists",
     )
     # target_files sets zone-map granularity: more files = finer
     # probe pruning (aim for >= n_centroids so each list owns files).
@@ -679,6 +696,25 @@ def build_ivf_index(
     # Write-time clustering: appended vectors range-sort on cid at
     # staging, so probe pruning never decays between refreshes.
     store.set_cluster_by(f"{index_name}_lists", ["cid"])
+    meta = spark.createDataFrame(
+        [
+            (
+                id_col,
+                vec_col,
+                int(n_centroids),
+                int(iters),
+                int(train_modulus),
+                source_table,
+                synced_version,
+                source_ref,
+                source_ref_id,
+            )
+        ],
+        "id_col string, vec_col string, n_centroids int, iters int, "
+        "train_modulus int, source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
+    )
+    store.write_replace(meta, f"{index_name}_meta")
     plan = store.plan_scan(f"{index_name}_lists")
     st = store.table_stats(f"{index_name}_lists")
     return {
@@ -718,9 +754,25 @@ def ivf_index_topk(
         F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
     )
     probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
-    lists = store.read_where(
-        f"{index_name}_lists", [("cid", "in", probe_cids)]
-    ).select("cid", F.col("id").alias("neighbor_id"), F.col("v").alias("cvec"))
+    lists = store.read_where(f"{index_name}_lists", [("cid", "in", probe_cids)])
+    # Sign-tombstone fold (sync_ivf_index retracts deleted/updated
+    # vectors by appending their rows negated): a (cid, id) is live iff
+    # its signs net positive; an updated vector scores with its NEWEST
+    # positive row. Skipped entirely when the manifest's zone maps
+    # prove min(sign) >= 0 over every live file (fresh builds,
+    # post-fold) — the same metadata fast path the MinHash probe uses.
+    if "sign" in lists.columns and _lists_have_tombstones(store, index_name):
+        net = Window.partitionBy("cid", "id")
+        newest = Window.partitionBy("cid", "id").orderBy(F.desc("seq"))
+        lists = (
+            lists.withColumn("__s", F.sum("sign").over(net))
+            .filter((F.col("__s") > 0) & (F.col("sign") > 0))
+            .withColumn("__rn", F.row_number().over(newest))
+            .filter(F.col("__rn") == 1)
+        )
+    lists = lists.select(
+        "cid", F.col("id").alias("neighbor_id"), F.col("v").alias("cvec")
+    )
     lists = lists.withColumn("__cn", norm_expr(F.col("cvec")))
     probes = probes.withColumn("__qn", norm_expr(F.col("qvec")))
     scored = (
@@ -774,8 +826,14 @@ def append_to_ivf_index(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
     asg = _assign_to_centroids(e, cent, vectorized=cent.count() > 32)
+    cols = [F.col("cid"), F.col("id"), F.col("v")]
+    if "sign" in store.read(f"{index_name}_lists").columns:
+        cols += [
+            F.lit(1).cast("long").alias("sign"),
+            F.lit(0).cast("long").alias("seq"),
+        ]
     res = store.write_append(
-        asg.select("cid", "id", "v"), f"{index_name}_lists", txn=txn
+        asg.select(*cols), f"{index_name}_lists", txn=txn
     )
     skipped = bool((res or {}).get("skipped"))
     return {
@@ -785,6 +843,329 @@ def append_to_ivf_index(
         ),
         "skipped": skipped,
     }
+
+
+def _ivf_index_meta(store, index_name: str) -> dict:
+    return store.read(f"{index_name}_meta").collect()[0].asDict()
+
+
+def _lists_have_tombstones(store, index_name: str) -> bool:
+    """True unless the lists manifest's zone maps PROVE min(sign) >= 0
+    over every live file — one O(manifest) metadata read (the MinHash
+    probe's fast-path check, for IVF)."""
+    sign = (
+        store.table_stats(f"{index_name}_lists").get("columns") or {}
+    ).get("sign")
+    return not (
+        sign is not None
+        and sign.get("min") is not None
+        and sign["min"] >= 0
+    )
+
+
+def ivf_index_debt(store, index_name: str) -> dict:
+    """Tombstone debt of a sync-maintained IVF index: the fraction of
+    lists rows that are retractions or retracted (probes fold them out,
+    paying per probed row until :func:`fold_ivf_index`). Metadata-only
+    when the zone maps prove the index tombstone-free; one aggregate
+    otherwise."""
+    if not _lists_have_tombstones(store, index_name):
+        st = store.table_stats(f"{index_name}_lists")
+        return {"rows": st.get("rows"), "tombstone_fraction": 0.0}
+    g = (
+        store.read(f"{index_name}_lists")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("sign") < 0).cast("long")).alias("neg"),
+        )
+        .collect()[0]
+    )
+    rows = int(g["rows"] or 0)
+    # every −1 row cancels one +1 row: debt = 2·neg/total
+    debt = (2.0 * int(g["neg"] or 0) / rows) if rows else 0.0
+    return {"rows": rows, "tombstone_fraction": debt}
+
+
+def attach_ivf_index(
+    store,
+    table_name: str,
+    index_name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 1,
+    train_modulus: int = 1,
+    target_files: int | None = None,
+    ref: str | None = None,
+) -> dict:
+    """Build the IVF index FROM a store table and record the snapshot
+    version it covers — :func:`sync_ivf_index` then maintains it from
+    the table's change feed, completing the follows-source-DML
+    lifecycle for the vector index family (the text/MinHash pattern).
+    ``ref`` attaches to a BRANCH (write-audit-publish): the index
+    follows the branch and re-homes onto main at the first sync after
+    the publish. Index tables live on main — ``store`` must be the
+    main view."""
+    if getattr(store, "_branch", None) is not None:
+        raise ValueError(
+            "attach from the MAIN view (pass ref=... to follow a "
+            "branch); index tables live on main"
+        )
+    ref_id = None
+    src = store
+    if ref is not None:
+        src = store.branch(ref)
+        ref_id = src._branch_info(table_name)["id"]
+    v = src.latest_version(table_name)
+    return build_ivf_index(
+        src.read_version(table_name, v),
+        store,
+        index_name,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        iters=iters,
+        train_modulus=train_modulus,
+        target_files=target_files,
+        source_table=table_name,
+        synced_version=v,
+        source_ref=ref,
+        source_ref_id=ref_id,
+    )
+
+
+def sync_ivf_index(store, index_name: str) -> dict:
+    """Catch the IVF index up to its source table's CURRENT snapshot —
+    the vector twin of ``search.sync_text_index``, same protocol:
+
+    - one collapsed net diff per key (``diff_snapshots``);
+    - deleted/updated vectors retract as NEGATED list rows — the old
+      snapshot's vectors re-assigned to the FROZEN quantizer, so the
+      retraction lands in exactly the cid their build/append row
+      occupies (O(changed docs) compute, ZERO lists-table I/O; the
+      index-side netted scan remains the vacuumed-snapshot fallback);
+    - inserted/updated vectors append fresh rows stamped
+      ``seq = head`` (probes score each live id's newest positive
+      row);
+    - lists + cursor (meta) move as ONE txn group with the
+      SetTransaction-watermark cursor CAS — of N racing syncs exactly
+      one applies, losers abort whole and report ``{"raced": True}``.
+
+    The quantizer stays FROZEN across syncs (standard IVF practice);
+    ``index_health(kind="ivf")`` remains the retrain trigger, and a
+    rebuild via :func:`attach_ivf_index` resets the cursor. Unsafe
+    collapse windows rebuild. Returns ``{"synced_from", "synced_to",
+    "docs_changed"}``."""
+    from pyairbyte_spark.operators.search import _resolve_sync_source
+    from pyairbyte_spark.writers import ConcurrentCommitError
+
+    m = _ivf_index_meta(store, index_name)
+    table = m.get("source_table")
+    if not table:
+        raise ValueError(
+            f"ivf index {index_name!r} was not built from a store "
+            "table; use attach_ivf_index"
+        )
+    src, ref = _resolve_sync_source(store, m)
+    ref_id = src._branch_info(table)["id"] if ref else None
+    cur = int(m["synced_version"])
+    head = src.latest_version(table)
+    if head <= cur and ref == m.get("source_ref"):
+        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
+    id_col, vec_col = m["id_col"], m["vec_col"]
+    try:
+        diff = src.diff_snapshots(
+            table, cur, head, primary_keys=[id_col], any_ref=True
+        )
+    except FileNotFoundError:
+        diff = None  # outage outlived retention: cursor snapshot vacuumed
+    if diff is None:
+        attach_ivf_index(
+            store,
+            table,
+            index_name,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_centroids=m["n_centroids"],
+            iters=m["iters"],
+            train_modulus=m["train_modulus"],
+            ref=ref,
+        )
+        return {
+            "synced_from": cur,
+            "synced_to": src.latest_version(table),
+            "docs_changed": None,
+            "rebuilt": True,
+        }
+    diff = diff.localCheckpoint()
+    removed = diff.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col(id_col).alias("id"))
+    added = diff.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    spark = diff.sparkSession
+    cent = spark.createDataFrame(
+        store.read(f"{index_name}_centroids").collect()
+    )
+    vectorized = int(m["n_centroids"]) > 32
+    old_removed = None
+    try:
+        old_removed = (
+            src.read_version(table, cur, any_ref=True)
+            .join(
+                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
+            )
+            .select(
+                F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+            )
+            .localCheckpoint()
+        )
+    except Exception:
+        old_removed = None  # vacuumed/unreadable: index-side fallback
+    if old_removed is not None:
+        tombstones = _assign_to_centroids(
+            old_removed, cent, vectorized=vectorized
+        ).select(
+            "cid",
+            "id",
+            "v",
+            F.lit(-1).cast("long").alias("sign"),
+            F.lit(int(head)).cast("long").alias("seq"),
+        )
+    else:
+        tombstones = (
+            store.read(f"{index_name}_lists")
+            .join(removed, "id", "left_semi")
+            .groupBy("cid", "id")
+            .agg(F.sum("sign").alias("__s"), F.first("v").alias("v"))
+            .filter(F.col("__s") > 0)
+            .select(
+                "cid",
+                "id",
+                "v",
+                (-F.col("__s")).cast("long").alias("sign"),
+                F.lit(int(head)).cast("long").alias("seq"),
+            )
+        )
+    new_rows = _assign_to_centroids(
+        added.select(
+            F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+        ),
+        cent,
+        vectorized=vectorized,
+    ).select(
+        "cid",
+        "id",
+        "v",
+        F.lit(1).cast("long").alias("sign"),
+        F.lit(int(head)).cast("long").alias("seq"),
+    )
+    n_changed = removed.count() + added.count()
+    meta = spark.createDataFrame(
+        [
+            (
+                id_col,
+                vec_col,
+                int(m["n_centroids"]),
+                int(m["iters"]),
+                int(m["train_modulus"]),
+                table,
+                head,
+                ref,
+                ref_id,
+            )
+        ],
+        "id_col string, vec_col string, n_centroids int, iters int, "
+        "train_modulus int, source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
+    )
+    raced = {
+        "synced_from": cur,
+        "synced_to": cur,
+        "docs_changed": 0,
+        "raced": True,
+    }
+    t = store.begin_txn()
+    try:
+        r1 = t.write_append(
+            tombstones.unionByName(new_rows),
+            f"{index_name}_lists",
+            txn=(f"__sync_{index_name}", head),
+        )
+        if r1.get("skipped"):
+            t.abort()
+            return raced
+        t.write_replace(meta, f"{index_name}_meta")
+        prepared = t.prepare()
+        if f"{index_name}_lists" not in prepared:
+            t.abort()  # a racer's watermark won
+            return raced
+        t.commit()
+    except ConcurrentCommitError:
+        try:
+            t.abort()
+        except Exception:
+            pass
+        return raced
+    return {
+        "synced_from": cur,
+        "synced_to": head,
+        "docs_changed": n_changed,
+    }
+
+
+def fold_ivf_index(
+    store, index_name: str, *, target_files: int | None = None
+) -> dict:
+    """Fold tombstone debt in the IVF index: rewrite the lists table
+    as its NET state (each live (cid, id)'s newest positive row) and
+    recluster on cid. Same contention posture as the text/MinHash
+    folds: the net frame is computed ONCE and materialized, a lost
+    guarded commit catches up with only the rows appended since
+    (O(delta)), and non-append interleavers force a recompute. Run
+    when :func:`ivf_index_debt` reports debt."""
+    from pyairbyte_spark.operators.search import (
+        _appends_since,
+        _fold_changes,
+        _guarded_index_replace,
+    )
+
+    ltbl = f"{index_name}_lists"
+
+    def _net(frame: DataFrame) -> DataFrame:
+        net = Window.partitionBy("cid", "id")
+        newest = Window.partitionBy("cid", "id").orderBy(F.desc("seq"))
+        return (
+            frame.withColumn("__s", F.sum("sign").over(net))
+            .filter((F.col("__s") > 0) & (F.col("sign") > 0))
+            .withColumn("__rn", F.row_number().over(newest))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "cid", "id", "v", F.lit(1).cast("long").alias("sign"), "seq"
+            )
+            .localCheckpoint()
+        )
+
+    v0 = store.latest_version(ltbl)
+    folded = _net(store.read(ltbl))
+    for _ in range(4):
+        if _guarded_index_replace(store, [(folded, ltbl, v0)]):
+            store.compact(ltbl, sort_by=["cid"], target_files=target_files)
+            # the replace reset the write-time clustering property
+            store.set_cluster_by(ltbl, ["cid"])
+            return {"folded": True, **ivf_index_debt(store, index_name)}
+        head = _appends_since(store, ltbl, v0)
+        if head is None:  # replace/compact interleaved: start over
+            v0 = store.latest_version(ltbl)
+            folded = _net(store.read(ltbl))
+        elif head > v0:  # appends only: O(delta) catch-up
+            folded = _net(
+                folded.unionByName(_fold_changes(store, ltbl, v0, head))
+            )
+            v0 = head
+    return {"folded": False}
 
 
 def gram_matrix(
@@ -1551,6 +1932,10 @@ def index_health(
         )
 
         def rel_err(df):
+            if "sign" in df.columns:
+                # sync tombstones are retractions, not fresh vectors —
+                # they'd double-count updated docs in the drift signal
+                df = df.filter(F.col("sign") > 0)
             r = (
                 df.join(cent, "cid")
                 .select(

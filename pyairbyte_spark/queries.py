@@ -2374,11 +2374,17 @@ def _cos6(a_v: str, b_v: str) -> str:
 # Deterministic k-means in plain SQL, shared by the IVF and SemDeDup
 # oracles: seed centroids = 8 lowest-id vectors, ONE Lloyd iteration
 # with 6-decimal rounded means (dim is 64 in the testdata tables).
-# Produces CTE `lists` = (vec_id, cid) cluster assignments over `e`.
-_KMEANS_LISTS_CTES = f"""
+# Produces CTE `lists` = (vec_id, cid) cluster assignments over
+# ``assign_src`` (default: the full corpus `e` — the sync oracle
+# assigns a post-DML corpus to the SAME frozen centroids).
+
+
+def _kmeans_lists_ctes(assign_src: str = "e") -> str:
+    return f"""
     -- Lloyd trains on the deterministic 1/4 modulo sample (standard
     -- IVF practice at scale: train on a slice, index everything); the
-    -- inverted lists still assign the FULL corpus to final centroids.
+    -- inverted lists still assign the {assign_src} corpus to final
+    -- centroids.
     WITH e AS (SELECT vec_id, {_VEC_DUCK} AS v FROM embeddings),
     et AS (SELECT * FROM e WHERE vec_id % 4 = 0),
     c0 AS (SELECT vec_id AS cid, v AS cv FROM (SELECT * FROM et ORDER BY vec_id LIMIT 8)),
@@ -2395,10 +2401,13 @@ _KMEANS_LISTS_CTES = f"""
     c1 AS (SELECT cid, list(mv ORDER BY i) AS cv FROM m GROUP BY cid),
     lists AS (
       SELECT vec_id, cid FROM (
-        SELECT e.vec_id, c.cid,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_cos6("e.v", "c.cv")} DESC, c.cid) AS rn
-        FROM e CROSS JOIN c1 c) WHERE rn = 1)"""
+        SELECT s.vec_id, c.cid,
+               row_number() OVER (PARTITION BY s.vec_id
+                 ORDER BY {_cos6("s.v", "c.cv")} DESC, c.cid) AS rn
+        FROM {assign_src} s CROSS JOIN c1 c) WHERE rn = 1)"""
+
+
+_KMEANS_LISTS_CTES = _kmeans_lists_ctes()
 
 
 @register(
@@ -6343,6 +6352,80 @@ def _register_ivf_index_query() -> None:
 
 
 _register_ivf_index_query()
+
+
+@register(
+    "ann_ivf_sync_topk",
+    f"""
+    -- CDF-maintained IVF: the quantizer is trained on the ATTACH-time
+    -- corpus (full embeddings) and stays FROZEN; a delete merge then
+    -- removes a slice, sync_ivf_index retracts those vectors as sign
+    -- tombstones, and the probe sees assignments of the FINAL corpus
+    -- to the ORIGINAL centroids.
+    {_kmeans_lists_ctes("(SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7)")},
+    fin AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 5),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT q.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_cos6("q.v", "c.cv")} DESC, c.cid) AS rn
+        FROM q CROSS JOIN c1 c) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, l.vec_id AS neighbor_id, {_cos6("q.v", "f.v")} AS cosine
+      FROM probes p JOIN lists l USING (cid)
+      JOIN fin f ON f.vec_id = l.vec_id
+      JOIN q ON q.vec_id = p.query_id
+      WHERE l.vec_id != p.query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "CDF-maintained IVF index: attach to a store table (frozen "
+    "quantizer + provenance cursor), delete merge on the TABLE, one "
+    "transactional sync_ivf_index (old-snapshot-derived sign "
+    "tombstones + cursor CAS, zero lists I/O) — 2-probe results equal "
+    "the final corpus assigned to the original centroids",
+)
+def ann_ivf_sync_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.operators.similarity import (
+        attach_ivf_index,
+        ivf_index_topk,
+        sync_ivf_index,
+    )
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-ivfsync-"), "q"
+    )
+    store.write_append(emb, "emb", ["vec_id"])
+    attach_ivf_index(
+        store,
+        "emb",
+        "ix",
+        n_centroids=8,
+        iters=1,
+        train_modulus=4,
+        target_files=8,
+    )
+    store.merge_into(
+        "emb",
+        emb.filter(F.col("vec_id") % 10 == 7).select("vec_id"),
+        ["vec_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    r = sync_ivf_index(store, "ix")
+    assert r["docs_changed"] and not r.get("rebuilt"), r
+    out = ivf_index_topk(
+        store, "ix", emb.filter(F.col("vec_id") < 5), k=5, n_probes=2
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def _pq_oracle_sql() -> str:

@@ -8226,6 +8226,12 @@ class CommitLogTableStore(TableStore):
                         tombstone_max=tombstone_max,
                         unclustered_max=unclustered_max,
                     )
+                elif kind == "ivf":
+                    from pyairbyte_spark.operators.similarity import (
+                        ivf_index_debt,
+                    )
+
+                    health = ivf_index_debt(self, name)
             except Exception as exc:  # noqa: BLE001 — doctor reports, never raises
                 health = {"error": str(exc)}
             debt = health.get("tombstone_fraction") or 0.0
