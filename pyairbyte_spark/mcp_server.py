@@ -809,6 +809,48 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "build_vector_index",
+            "Materialize a persisted IVF vector index over a cached "
+            "stream (frozen coarse quantizer + cid-clustered inverted "
+            "lists) with a provenance cursor, so sync_vector_index can "
+            "maintain it from the table's change feed.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "index_name": {"type": "string"},
+                    "id_col": {"type": "string"},
+                    "vec_col": {"type": "string"},
+                    "n_centroids": {"type": "integer"},
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.build_vector_index(
+                h.cache,
+                a["stream_name"],
+                index_name=a.get("index_name", "ivf"),
+                id_col=a.get("id_col", "vec_id"),
+                vec_col=a.get("vec_col", "embedding"),
+                n_centroids=a.get("n_centroids", 8),
+            ),
+        ),
+        ToolDef(
+            "sync_vector_index",
+            "Catch the IVF vector index up to its source table's "
+            "current snapshot: deleted vectors stop matching (list "
+            "rows retract in their quantizer cell), updated vectors "
+            "re-assign — one atomic transaction; the quantizer stays "
+            "frozen (get_index_health is the retrain trigger).",
+            {
+                "type": "object",
+                "properties": {"index_name": {"type": "string"}},
+                "required": [],
+            },
+            lambda h, a: t.sync_vector_index(
+                h.cache, a.get("index_name", "ivf")
+            ),
+        ),
+        ToolDef(
             "search_documents",
             "BM25 keyword search over a cached stream: probes the "
             "persisted inverted index when one exists, else one exact "

@@ -642,6 +642,44 @@ def sync_dedup_index(
     return dedup.sync_minhash_index(cache.store, index_name)
 
 
+def build_vector_index(
+    cache: SparkCache,
+    stream_name: str,
+    *,
+    index_name: str = "ivf",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> dict[str, Any]:
+    """Materialize a persisted IVF vector index over a cached stream
+    (frozen coarse quantizer + cid-clustered inverted lists),
+    recording the snapshot it covers so ``sync_vector_index`` can
+    maintain it from the table's change feed."""
+    from pyairbyte_spark.operators import similarity
+
+    return similarity.attach_ivf_index(
+        cache.store,
+        cache.table_name(stream_name),
+        index_name,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+    )
+
+
+def sync_vector_index(
+    cache: SparkCache, index_name: str = "ivf"
+) -> dict[str, Any]:
+    """Catch the IVF vector index up to its source table's current
+    snapshot — deleted vectors STOP matching (their list rows retract
+    in exactly their quantizer cell), updated vectors re-assign, all
+    in one atomic step; the quantizer stays frozen (retrain via
+    ``get_index_health``'s drift signal)."""
+    from pyairbyte_spark.operators import similarity
+
+    return similarity.sync_ivf_index(cache.store, index_name)
+
+
 def get_search_index_health(
     cache: SparkCache, index_name: str = "bm25"
 ) -> dict[str, Any]:

@@ -183,3 +183,29 @@ def test_ivf_index_follows_branch_and_survives_publish(spark, store):
     assert r2.get("docs_changed") == 0
     m = store.read("ix_meta").collect()[0].asDict()
     assert m["source_ref"] is None
+
+
+def test_vector_index_tool_surface(spark, tmp_path):
+    from pyairbyte_spark import tools
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.mcp_server import TOOL_DEFS
+
+    cache = SparkCache(spark, str(tmp_path / "vwh"), table_format="commitlog")
+    cache.write_dataframe(_vecs(spark, range(0, 20)), "emb")
+    info = tools.build_vector_index(cache, "emb", n_centroids=4)
+    assert info["n_vectors"] == 20
+    cache.store.merge_into(
+        cache.table_name("emb"),
+        spark.createDataFrame([(1,)], "vec_id long"),
+        ["vec_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    r = tools.sync_vector_index(cache)
+    assert r["docs_changed"] == 1
+    q = _vecs(spark, [500])
+    got = ivf_index_topk(cache.store, "ivf", q, k=19, n_probes=4)
+    ids = {row["neighbor_id"] for row in got.collect()}
+    assert 1 not in ids and len(ids) == 19
+    names = {d.name for d in TOOL_DEFS}
+    assert {"build_vector_index", "sync_vector_index"} <= names
