@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     # round 12: CDF-maintained IVF (attach + delete merge + sync with
     # old-snapshot tombstones + frozen-quantizer probe)
     "ann_ivf_sync_topk",
+    # round 12: CDF-maintained PQ (frozen codebooks, re-encoded sign
+    # tombstones, ADC probe over net codes)
+    "ann_pq_sync_topk",
 ]
 
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))

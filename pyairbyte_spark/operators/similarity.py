@@ -869,6 +869,10 @@ def ivf_index_debt(store, index_name: str) -> dict:
     paying per probed row until :func:`fold_ivf_index`). Metadata-only
     when the zone maps prove the index tombstone-free; one aggregate
     otherwise."""
+    if "sign" not in store.read(f"{index_name}_lists").columns:
+        # pre-r12 index: no tombstone machinery at all
+        st = store.table_stats(f"{index_name}_lists")
+        return {"rows": st.get("rows"), "tombstone_fraction": 0.0}
     if not _lists_have_tombstones(store, index_name):
         st = store.table_stats(f"{index_name}_lists")
         return {"rows": st.get("rows"), "tombstone_fraction": 0.0}
@@ -1727,6 +1731,10 @@ def build_pq_index(
     train_modulus: int = 1,
     int_scale: int = 1000,
     codebooks: list[list[list[int]]] | None = None,
+    source_table: str | None = None,
+    synced_version: int | None = None,
+    source_ref: str | None = None,
+    source_ref_id: str | None = None,
 ) -> dict:
     """Materialize a PQ index INTO a :class:`CommitLogTableStore` —
     the training-amortization answer to :func:`pq_topk`'s query-time
@@ -1779,8 +1787,27 @@ def build_pq_index(
     codes = pq_encode_int(
         corpus, books_int, id_col=id_col, vec_col=vec_col,
         int_scale=int_scale,
+    ).withColumn("sign", F.lit(1).cast("long")).withColumn(
+        "seq", F.lit(0).cast("long")
     )
     store.write_replace(codes, f"{index_name}_codes")
+    meta = spark.createDataFrame(
+        [
+            (
+                id_col,
+                vec_col,
+                int(int_scale),
+                source_table,
+                synced_version,
+                source_ref,
+                source_ref_id,
+            )
+        ],
+        "id_col string, vec_col string, int_scale int, "
+        "source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
+    )
+    store.write_replace(meta, f"{index_name}_meta")
     return {
         "n_vectors": store.table_stats(f"{index_name}_codes")["rows"],
         "m": m,
@@ -1833,6 +1860,10 @@ def append_to_pq_index(
         F.sum("err2").alias("e"),
         F.sum("xn2").alias("x"),
     )
+    if "sign" in store.read(f"{index_name}_codes").columns:
+        codes = codes.withColumn("sign", F.lit(1).cast("long")).withColumn(
+            "seq", F.lit(0).cast("long")
+        )
     res = store.write_append(codes, f"{index_name}_codes", txn=txn)
     skipped = bool((res or {}).get("skipped"))
     # Observation.get is a PROPERTY returning the metrics dict (hence
@@ -1855,6 +1886,297 @@ def append_to_pq_index(
             else float(metrics["e"]) / float(metrics["x"])
         ),
     }
+
+
+def _pq_index_meta(store, index_name: str) -> dict:
+    return store.read(f"{index_name}_meta").collect()[0].asDict()
+
+
+def _codes_have_tombstones(store, index_name: str) -> bool:
+    """True unless the codes manifest's zone maps PROVE min(sign) >= 0
+    over every live file — one O(manifest) metadata read."""
+    sign = (
+        store.table_stats(f"{index_name}_codes").get("columns") or {}
+    ).get("sign")
+    return not (
+        sign is not None
+        and sign.get("min") is not None
+        and sign["min"] >= 0
+    )
+
+
+def pq_index_debt(store, index_name: str) -> dict:
+    """Tombstone debt of a sync-maintained PQ index (the
+    :func:`ivf_index_debt` twin): metadata-only when provably clean."""
+    if "sign" not in store.read(f"{index_name}_codes").columns:
+        # pre-r12 index: no tombstone machinery at all
+        st = store.table_stats(f"{index_name}_codes")
+        return {"rows": st.get("rows"), "tombstone_fraction": 0.0}
+    if not _codes_have_tombstones(store, index_name):
+        st = store.table_stats(f"{index_name}_codes")
+        return {"rows": st.get("rows"), "tombstone_fraction": 0.0}
+    g = (
+        store.read(f"{index_name}_codes")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum((F.col("sign") < 0).cast("long")).alias("neg"),
+        )
+        .collect()[0]
+    )
+    rows = int(g["rows"] or 0)
+    debt = (2.0 * int(g["neg"] or 0) / rows) if rows else 0.0
+    return {"rows": rows, "tombstone_fraction": debt}
+
+
+def attach_pq_index(
+    store,
+    table_name: str,
+    index_name: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    train_modulus: int = 1,
+    int_scale: int = 1000,
+    codebooks: "list[list[list[int]]] | None" = None,
+    ref: str | None = None,
+) -> dict:
+    """Build the PQ index FROM a store table and record the snapshot
+    version it covers — :func:`sync_pq_index` then maintains it from
+    the table's change feed. ``codebooks`` (pre-trained, e.g. an
+    offline retrain cadence) skips the training scan. ``ref`` attaches
+    to a BRANCH (write-audit-publish). Index tables live on main."""
+    if getattr(store, "_branch", None) is not None:
+        raise ValueError(
+            "attach from the MAIN view (pass ref=... to follow a "
+            "branch); index tables live on main"
+        )
+    ref_id = None
+    src = store
+    if ref is not None:
+        src = store.branch(ref)
+        ref_id = src._branch_info(table_name)["id"]
+    v = src.latest_version(table_name)
+    return build_pq_index(
+        src.read_version(table_name, v),
+        store,
+        index_name,
+        id_col=id_col,
+        vec_col=vec_col,
+        m=m,
+        ksub=ksub,
+        iters=iters,
+        train_modulus=train_modulus,
+        int_scale=int_scale,
+        codebooks=codebooks,
+        source_table=table_name,
+        synced_version=v,
+        source_ref=ref,
+        source_ref_id=ref_id,
+    )
+
+
+def sync_pq_index(store, index_name: str) -> dict:
+    """Catch the PQ index up to its source table's CURRENT snapshot —
+    the compressed-ANN member of the follows-source-DML family, same
+    protocol as :func:`sync_ivf_index`: retraction tombstones are the
+    removed vectors from the SOURCE's old snapshot re-encoded with the
+    FROZEN codebooks and negated (O(changed docs), zero codes-table
+    I/O; netted index-scan fallback when the cursor snapshot is
+    vacuumed), inserts/updates append codes stamped ``seq = head``,
+    and codes + cursor move as ONE txn group under the watermark CAS.
+    ``index_health(kind="pq")`` remains the retrain trigger."""
+    from pyairbyte_spark.operators.search import _resolve_sync_source
+    from pyairbyte_spark.writers import ConcurrentCommitError
+
+    m_ = _pq_index_meta(store, index_name)
+    table = m_.get("source_table")
+    if not table:
+        raise ValueError(
+            f"pq index {index_name!r} was not built from a store "
+            "table; use attach_pq_index"
+        )
+    src, ref = _resolve_sync_source(store, m_)
+    ref_id = src._branch_info(table)["id"] if ref else None
+    cur = int(m_["synced_version"])
+    head = src.latest_version(table)
+    if head <= cur and ref == m_.get("source_ref"):
+        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
+    id_col, vec_col = m_["id_col"], m_["vec_col"]
+    try:
+        diff = src.diff_snapshots(
+            table, cur, head, primary_keys=[id_col], any_ref=True
+        )
+    except FileNotFoundError:
+        diff = None  # outage outlived retention: cursor snapshot vacuumed
+    if diff is None:
+        # rebuild with the SAME frozen codebooks (retrains are explicit)
+        books, scale = _read_pq_codebooks(store, index_name)
+        attach_pq_index(
+            store,
+            table,
+            index_name,
+            id_col=id_col,
+            vec_col=vec_col,
+            int_scale=scale,
+            codebooks=books,
+            ref=ref,
+        )
+        return {
+            "synced_from": cur,
+            "synced_to": src.latest_version(table),
+            "docs_changed": None,
+            "rebuilt": True,
+        }
+    diff = diff.localCheckpoint()
+    removed = diff.filter(
+        F.col("_change_type").isin("delete", "update_postimage")
+    ).select(F.col(id_col).alias("id"))
+    added = diff.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select(id_col, vec_col)
+    books, scale = _read_pq_codebooks(store, index_name)
+
+    def _encode(frame: DataFrame, sign: int) -> DataFrame:
+        return pq_encode_int(
+            frame, books, id_col=id_col, vec_col=vec_col, int_scale=scale
+        ).withColumn("sign", F.lit(int(sign)).cast("long")).withColumn(
+            "seq", F.lit(int(head)).cast("long")
+        )
+
+    old_removed = None
+    try:
+        old_removed = (
+            src.read_version(table, cur, any_ref=True)
+            .join(
+                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
+            )
+            .select(id_col, vec_col)
+            .localCheckpoint()
+        )
+    except Exception:
+        old_removed = None  # vacuumed/unreadable: index-side fallback
+    if old_removed is not None:
+        tombstones = _encode(old_removed, -1)
+    else:
+        tombstones = (
+            store.read(f"{index_name}_codes")
+            .join(removed, "id", "left_semi")
+            .groupBy("id")
+            .agg(
+                F.sum("sign").alias("__s"),
+                F.first("code").alias("code"),
+                F.first("rn2").alias("rn2"),
+                F.first("err2").alias("err2"),
+                F.first("xn2").alias("xn2"),
+            )
+            .filter(F.col("__s") > 0)
+            .select(
+                "id",
+                "code",
+                "rn2",
+                "err2",
+                "xn2",
+                (-F.col("__s")).cast("long").alias("sign"),
+                F.lit(int(head)).cast("long").alias("seq"),
+            )
+        )
+    new_rows = _encode(
+        added.select(F.col(id_col).alias(id_col), F.col(vec_col)), 1
+    )
+    n_changed = removed.count() + added.count()
+    spark = diff.sparkSession
+    meta = spark.createDataFrame(
+        [(id_col, vec_col, int(scale), table, head, ref, ref_id)],
+        "id_col string, vec_col string, int_scale int, "
+        "source_table string, synced_version long, "
+        "source_ref string, source_ref_id string",
+    )
+    raced = {
+        "synced_from": cur,
+        "synced_to": cur,
+        "docs_changed": 0,
+        "raced": True,
+    }
+    t = store.begin_txn()
+    try:
+        r1 = t.write_append(
+            tombstones.unionByName(new_rows),
+            f"{index_name}_codes",
+            txn=(f"__sync_{index_name}", head),
+        )
+        if r1.get("skipped"):
+            t.abort()
+            return raced
+        t.write_replace(meta, f"{index_name}_meta")
+        prepared = t.prepare()
+        if f"{index_name}_codes" not in prepared:
+            t.abort()  # a racer's watermark won
+            return raced
+        t.commit()
+    except ConcurrentCommitError:
+        try:
+            t.abort()
+        except Exception:
+            pass
+        return raced
+    return {
+        "synced_from": cur,
+        "synced_to": head,
+        "docs_changed": n_changed,
+    }
+
+
+def fold_pq_index(store, index_name: str) -> dict:
+    """Fold tombstone debt in the PQ index: rewrite the codes table as
+    its NET state (each live id's newest positive row). Same contention
+    posture as the other folds (net computed once, O(delta) catch-up on
+    lost races, guarded replace)."""
+    from pyairbyte_spark.operators.search import (
+        _appends_since,
+        _fold_changes,
+        _guarded_index_replace,
+    )
+
+    ctbl = f"{index_name}_codes"
+
+    def _net(frame: DataFrame) -> DataFrame:
+        net = Window.partitionBy("id")
+        newest = Window.partitionBy("id").orderBy(F.desc("seq"))
+        return (
+            frame.withColumn("__s", F.sum("sign").over(net))
+            .filter((F.col("__s") > 0) & (F.col("sign") > 0))
+            .withColumn("__rn", F.row_number().over(newest))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "id",
+                "code",
+                "rn2",
+                "err2",
+                "xn2",
+                F.lit(1).cast("long").alias("sign"),
+                "seq",
+            )
+            .localCheckpoint()
+        )
+
+    v0 = store.latest_version(ctbl)
+    folded = _net(store.read(ctbl))
+    for _ in range(4):
+        if _guarded_index_replace(store, [(folded, ctbl, v0)]):
+            return {"folded": True, **pq_index_debt(store, index_name)}
+        head = _appends_since(store, ctbl, v0)
+        if head is None:  # replace/compact interleaved: start over
+            v0 = store.latest_version(ctbl)
+            folded = _net(store.read(ctbl))
+        elif head > v0:  # appends only: O(delta) catch-up
+            folded = _net(
+                folded.unionByName(_fold_changes(store, ctbl, v0, head))
+            )
+            v0 = head
+    return {"folded": False}
 
 
 def index_health(
@@ -1919,6 +2241,10 @@ def index_health(
             }
 
         def rel_err(df):
+            if "sign" in df.columns:
+                # sync tombstones are retractions, not fresh vectors —
+                # they'd double-count updated docs in the drift signal
+                df = df.filter(F.col("sign") > 0)
             r = df.agg(
                 F.sum("err2").alias("e"), F.sum("xn2").alias("x")
             ).collect()[0]
@@ -1989,9 +2315,24 @@ def pq_index_topk(
     """Query a :func:`build_pq_index` index: ADC over the persisted
     codes table — the corpus raw vectors are never read, training is
     already paid. Output matches :func:`pq_topk_int` with the same
-    codebooks exactly."""
+    codebooks exactly. Sign-tombstone fold (``sync_pq_index`` retracts
+    deleted/updated vectors by appending their codes negated): each
+    live id's newest positive row scores — skipped entirely when the
+    manifest's zone maps prove ``min(sign) >= 0``."""
     books, scale = _read_pq_codebooks(store, index_name)
-    codes = store.read(f"{index_name}_codes").select("id", "code", "rn2")
+    codes_df = store.read(f"{index_name}_codes")
+    if "sign" in codes_df.columns and _codes_have_tombstones(
+        store, index_name
+    ):
+        net = Window.partitionBy("id")
+        newest = Window.partitionBy("id").orderBy(F.desc("seq"))
+        codes_df = (
+            codes_df.withColumn("__s", F.sum("sign").over(net))
+            .filter((F.col("__s") > 0) & (F.col("sign") > 0))
+            .withColumn("__rn", F.row_number().over(newest))
+            .filter(F.col("__rn") == 1)
+        )
+    codes = codes_df.select("id", "code", "rn2")
     return pq_topk_int(
         codes,
         queries,

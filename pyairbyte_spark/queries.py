@@ -6428,13 +6428,15 @@ def ann_ivf_sync_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-def _pq_oracle_sql() -> str:
+def _pq_oracle_sql(corpus_pred: str = "TRUE") -> str:
     """The PQ encode+ADC oracle: with the codebooks FIXED integer
     literals (trained offline by ``scripts/gen_ann_fixtures.py``),
     encoding is an exact BIGINT argmin per subspace and ADC scoring an
     exact BIGINT gather-sum — the whole pipeline is plain SQL, and the
     single float op (divide by the norm product, round 6) has one
-    fixed operand order in both engines."""
+    fixed operand order in both engines. ``corpus_pred`` filters the
+    ENCODED corpus (the sync oracle's post-DML state); queries always
+    come from the full table."""
     from pyairbyte_spark.ann_fixtures import PQ_CODEBOOKS
 
     cb_vals = ",\n      ".join(
@@ -6457,7 +6459,8 @@ def _pq_oracle_sql() -> str:
       SELECT vec_id, CAST(t.j AS INT) AS j,
              list_slice(q, CAST(t.j * 8 + 1 AS INT),
                         CAST(t.j * 8 + 8 AS INT)) AS s
-      FROM qv CROSS JOIN range(0, 8) t(j)),
+      FROM (SELECT * FROM qv WHERE {corpus_pred}) qv
+      CROSS JOIN range(0, 8) t(j)),
     d AS (
       SELECT s.vec_id, s.j, cb.c, cb.cv,
              CAST(list_sum(list_transform(list_zip(s.s, cb.cv),
@@ -6567,6 +6570,53 @@ def _register_pq_index_query() -> None:
 
 
 _register_pq_index_query()
+
+
+def _register_pq_sync_query() -> None:
+    @register(
+        "ann_pq_sync_topk",
+        _pq_oracle_sql(corpus_pred="vec_id % 10 <> 3"),
+        "CDF-maintained PQ index: attach with frozen fixture codebooks "
+        "(provenance cursor), delete merge on the TABLE, one "
+        "transactional sync_pq_index (old-snapshot re-encoded sign "
+        "tombstones + cursor CAS, zero codes I/O) -- ADC results equal "
+        "the post-delete corpus encoded with the same codebooks",
+    )
+    def ann_pq_sync_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.ann_fixtures import INT_SCALE, PQ_CODEBOOKS
+        from pyairbyte_spark.operators.similarity import (
+            attach_pq_index,
+            pq_index_topk,
+            sync_pq_index,
+        )
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-pqsync-"), "q"
+        )
+        store.write_append(emb, "emb", ["vec_id"])
+        attach_pq_index(
+            store, "emb", "px", int_scale=INT_SCALE, codebooks=PQ_CODEBOOKS
+        )
+        store.merge_into(
+            "emb",
+            emb.filter(F.col("vec_id") % 10 == 3).select("vec_id"),
+            ["vec_id"],
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        r = sync_pq_index(store, "px")
+        assert r["docs_changed"] and not r.get("rebuilt"), r
+        out = pq_index_topk(
+            store, "px", emb.filter(F.col("vec_id") < 5), k=5
+        )
+        return out.orderBy("query_id", "rank")
+
+
+_register_pq_sync_query()
 
 
 @register(

@@ -8232,6 +8232,12 @@ class CommitLogTableStore(TableStore):
                     )
 
                     health = ivf_index_debt(self, name)
+                elif kind == "pq":
+                    from pyairbyte_spark.operators.similarity import (
+                        pq_index_debt,
+                    )
+
+                    health = pq_index_debt(self, name)
             except Exception as exc:  # noqa: BLE001 — doctor reports, never raises
                 health = {"error": str(exc)}
             debt = health.get("tombstone_fraction") or 0.0

@@ -209,3 +209,102 @@ def test_vector_index_tool_surface(spark, tmp_path):
     assert 1 not in ids and len(ids) == 19
     names = {d.name for d in TOOL_DEFS}
     assert {"build_vector_index", "sync_vector_index"} <= names
+
+
+# -- PQ: the compressed-ANN member of the follows-DML family -------------------
+
+
+def test_pq_sync_tracks_table_dml_exact(spark, store):
+    """PQ probes score ADC over codes; with frozen codebooks the probe
+    must equal pq_topk_int over the final corpus's codes — so the gate
+    is equality with an index REBUILT (same codebooks) from the final
+    state."""
+    from pyairbyte_spark.operators.similarity import (
+        attach_pq_index,
+        fold_pq_index,
+        pq_index_debt,
+        pq_index_topk,
+        sync_pq_index,
+    )
+
+    store.write_append(_vecs(spark, range(0, 40), dim=16), "emb", ["vec_id"])
+    attach_pq_index(store, "emb", "px", m=4, ksub=4, train_modulus=2)
+    store.merge_into(
+        "emb",
+        spark.createDataFrame([(i,) for i in range(0, 6)], "vec_id long"),
+        ["vec_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    store.merge_into(
+        "emb",
+        _vecs(spark, range(6, 10), dim=16, shift=0.2),
+        ["vec_id"],
+        when_matched_update={"embedding": "s.embedding"},
+    )
+    store.write_append(_vecs(spark, range(200, 206), dim=16), "emb", ["vec_id"])
+    r = sync_pq_index(store, "px")
+    assert r["docs_changed"] == 6 + 4 + 4 + 6 and not r.get("raced")
+    q = _vecs(spark, [500, 501], dim=16, shift=0.1)
+    got = pq_index_topk(store, "px", q, k=5)
+    # reference: rebuild with the SAME codebooks over the final corpus
+    from pyairbyte_spark.operators.similarity import _read_pq_codebooks
+
+    books, scale = _read_pq_codebooks(store, "px")
+    from pyairbyte_spark.operators.similarity import build_pq_index
+
+    store2 = CommitLogTableStore(
+        spark, str(store.root) + "_ref", "ref"
+    )
+    build_pq_index(
+        store.read("emb"), store2, "px", int_scale=scale, codebooks=books
+    )
+    want = pq_index_topk(store2, "px", q, k=5)
+    assert _topk(got) == _topk(want)
+    # debt -> doctor -> fold -> clean, results unchanged
+    assert pq_index_debt(store, "px")["tombstone_fraction"] > 0
+    plan = store.store_maintenance_plan(tombstone_max=0.05)
+    acts = [a["action"] for a in plan["indexes"]["px"]["actions"]]
+    assert "fold_pq_index" in acts
+    assert fold_pq_index(store, "px")["folded"] is True
+    assert pq_index_debt(store, "px")["tombstone_fraction"] == 0.0
+    got2 = pq_index_topk(store, "px", q, k=5)
+    assert _topk(got2) == _topk(want)
+
+
+def test_pq_sync_never_scans_codes(spark, store, monkeypatch):
+    from pyairbyte_spark.operators.similarity import (
+        attach_pq_index,
+        sync_pq_index,
+    )
+
+    store.write_append(_vecs(spark, range(0, 20), dim=16), "emb", ["vec_id"])
+    attach_pq_index(store, "emb", "px", m=4, ksub=4)
+    store.merge_into(
+        "emb",
+        spark.createDataFrame([(1,)], "vec_id long"),
+        ["vec_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    orig_read, orig_rw = store.read, store.read_where
+
+    def poison(df):
+        return df.filter(F.assert_true(F.lit(False)).isNull())
+
+    monkeypatch.setattr(
+        store,
+        "read",
+        lambda t, **k: (
+            poison(orig_read(t, **k)) if t == "px_codes" else orig_read(t, **k)
+        ),
+    )
+    monkeypatch.setattr(
+        store,
+        "read_where",
+        lambda t, *a, **k: (
+            poison(orig_rw(t, *a, **k)) if t == "px_codes" else orig_rw(t, *a, **k)
+        ),
+    )
+    r = sync_pq_index(store, "px")
+    assert r["docs_changed"] == 1
