@@ -3707,11 +3707,11 @@ class CommitLogTableStore(TableStore):
         *,
         version: int | None = None,
     ) -> dict:
-        """EXACT filtered SUM/MIN/MAX/COUNT with metadata short-circuits
-        — :meth:`count_where` generalized to a list of ``(fn, col)``
-        aggregates (``fn`` in ``count/sum/min/max``; ``col`` may be
-        ``"*"`` for ``count``). Files classify into the same three
-        zone-map tiers:
+        """EXACT filtered SUM/MIN/MAX/COUNT/AVG with metadata
+        short-circuits — :meth:`count_where` generalized to a list of
+        ``(fn, col)`` aggregates (``fn`` in ``count/sum/min/max/avg``;
+        ``col`` may be ``"*"`` for ``count``). Files classify into the
+        same three zone-map tiers:
 
         - provably NO row matches — skipped, contributes nothing;
         - provably EVERY row matches AND every requested aggregate is
@@ -3755,10 +3755,10 @@ class CommitLogTableStore(TableStore):
         specs: list[tuple[str, str]] = []
         for fn, col in aggs:
             fn = fn.lower()
-            if fn not in ("count", "sum", "min", "max"):
+            if fn not in ("count", "sum", "min", "max", "avg"):
                 raise ValueError(
                     f"unsupported aggregate {fn!r}; expected "
-                    "count/sum/min/max"
+                    "count/sum/min/max/avg"
                 )
             if col == "*" and fn != "count":
                 raise ValueError(f"{fn}(*) is not an aggregate")
@@ -3842,7 +3842,7 @@ class CommitLogTableStore(TableStore):
                         return None
                     out[a] = rows - nulls
                     continue
-                if fn == "sum":
+                if fn in ("sum", "avg"):
                     return None  # no footer sum stat: scan
                 if col not in exact_minmax or cs is None:
                     return None
@@ -3964,7 +3964,10 @@ class CommitLogTableStore(TableStore):
             a = _alias(fn, col)
             if fn == "count":
                 out_aggs[a] = counts.get(a, 0) + (scanned.get(a) or 0)
-            elif fn == "sum":
+            elif fn in ("sum", "avg"):
+                # every file contributing rows to a sum/avg is in the
+                # scan tier by construction, so the scanned aggregate
+                # IS the answer
                 out_aggs[a] = scanned.get(a)
             else:
                 vals = [

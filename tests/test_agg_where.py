@@ -158,8 +158,23 @@ def test_mor_deletes_degrade_to_exact_scan(spark, store):
 def test_agg_where_validation(spark, store):
     _seed(spark, store, n=100, files=1)
     with pytest.raises(ValueError, match="unsupported aggregate"):
-        store.agg_where("t", [("avg", "v")])
+        store.agg_where("t", [("median", "v")])
     with pytest.raises(ValueError, match="not an aggregate"):
         store.agg_where("t", [("min", "*")])
     with pytest.raises(ValueError, match="at least one"):
         store.agg_where("t", [])
+
+
+def test_avg_scans_matching_sliver_exactly(spark, store):
+    _seed(spark, store)
+    preds = [("id", "<", 2500)]
+    r = store.agg_where("t", [("avg", "v"), ("count", "*")], preds)
+    truth = _truth(
+        store, preds, [F.avg("v"), F.count(F.lit(1)).cast("long")]
+    )
+    assert r["aggs"]["avg_v"] == truth[0]
+    assert r["aggs"]["count_star"] == truth[1]
+    assert 0 < r["files_scanned"] < r["files_total"]
+    # empty match: SQL semantics (avg NULL)
+    r2 = store.agg_where("t", [("avg", "v")], [("id", ">", 10**9)])
+    assert r2["aggs"]["avg_v"] is None
