@@ -83,6 +83,32 @@ def main() -> None:
     similarity.ivf_index_topk(
         store, "emb_ivf", queries, k=5, n_probes=2
     ).filter("query_id = 0").orderBy("rank").show()
+
+    # -- 5. (round 12) the vector indexes FOLLOW table DML ----------------
+    # Attach to a store table; deletes/updates on the TABLE flow into
+    # the index as one atomic sync (sign tombstones in the frozen
+    # quantizer's cells — zero index I/O to derive).
+    store.write_append(emb, "corpus", ["vec_id"])
+    similarity.attach_ivf_index(
+        store, "corpus", "live_ivf", n_centroids=8, iters=1,
+        train_modulus=4,
+    )
+    store.merge_into(
+        "corpus",
+        emb.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+        ["vec_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    s = similarity.sync_ivf_index(store, "live_ivf")
+    print(f"IVF sync: {s['docs_changed']} vectors retracted atomically")
+    debt = similarity.ivf_index_debt(store, "live_ivf")
+    print(f"tombstone debt {debt['tombstone_fraction']:.1%} -> fold")
+    f = similarity.fold_ivf_index(store, "live_ivf")
+    print(
+        f"fold: {f['folded']}, debt now "
+        f"{similarity.ivf_index_debt(store, 'live_ivf')['tombstone_fraction']:.1%}"
+    )
     spark.stop()
 
 
