@@ -827,7 +827,7 @@ def append_to_ivf_index(
     )
     asg = _assign_to_centroids(e, cent, vectorized=cent.count() > 32)
     cols = [F.col("cid"), F.col("id"), F.col("v")]
-    if "sign" in store.read(f"{index_name}_lists").columns:
+    if "sign" in store.table_columns(f"{index_name}_lists"):
         cols += [
             F.lit(1).cast("long").alias("sign"),
             F.lit(0).cast("long").alias("seq"),
@@ -869,7 +869,7 @@ def ivf_index_debt(store, index_name: str) -> dict:
     paying per probed row until :func:`fold_ivf_index`). Metadata-only
     when the zone maps prove the index tombstone-free; one aggregate
     otherwise."""
-    if "sign" not in store.read(f"{index_name}_lists").columns:
+    if "sign" not in store.table_columns(f"{index_name}_lists"):
         # pre-r12 index: no tombstone machinery at all
         st = store.table_stats(f"{index_name}_lists")
         return {"rows": st.get("rows"), "tombstone_fraction": 0.0}
@@ -1860,7 +1860,8 @@ def append_to_pq_index(
         F.sum("err2").alias("e"),
         F.sum("xn2").alias("x"),
     )
-    if "sign" in store.read(f"{index_name}_codes").columns:
+    if "sign" in store.table_columns(f"{index_name}_codes"):
+        # metadata-only column check: the epoch stays ONE job
         codes = codes.withColumn("sign", F.lit(1).cast("long")).withColumn(
             "seq", F.lit(0).cast("long")
         )
@@ -1908,7 +1909,7 @@ def _codes_have_tombstones(store, index_name: str) -> bool:
 def pq_index_debt(store, index_name: str) -> dict:
     """Tombstone debt of a sync-maintained PQ index (the
     :func:`ivf_index_debt` twin): metadata-only when provably clean."""
-    if "sign" not in store.read(f"{index_name}_codes").columns:
+    if "sign" not in store.table_columns(f"{index_name}_codes"):
         # pre-r12 index: no tombstone machinery at all
         st = store.table_stats(f"{index_name}_codes")
         return {"rows": st.get("rows"), "tombstone_fraction": 0.0}

@@ -8150,6 +8150,38 @@ class CommitLogTableStore(TableStore):
             )
         return recs
 
+    def table_columns(self, table_name: str) -> list[str]:
+        """The table's LOGICAL column names from manifest metadata
+        alone — no Spark job, no parquet footer read (the recorded
+        physical schema through the column mapping). Falls back to a
+        schema-resolving read only for pre-schema manifests."""
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        man = snap[1]
+        sch = man.get("schema") or next(
+            (
+                e.get("schema")
+                for e in reversed(man.get("entries") or [])
+                if e.get("schema")
+            ),
+            None,
+        )
+        if sch:
+            try:
+                phys = [f["name"] for f in json.loads(sch)["fields"]]
+                mapping, dropped = self._mapping_of(man)
+                added = list((man.get("added_columns") or {}).keys())
+                cols = [
+                    mapping.get(c, c)
+                    for c in phys + [a for a in added if a not in phys]
+                    if c not in dropped and c != BUCKET_COL
+                ]
+                return cols
+            except Exception:
+                pass
+        return [c for c in self.read(table_name).columns]
+
     def index_inventory(self) -> dict[str, dict]:
         """Discover the store's derived indexes from their table-group
         naming: a ``<name>_meta`` table plus ``<name>_postings``
