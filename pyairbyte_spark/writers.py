@@ -3799,6 +3799,23 @@ class CommitLogTableStore(TableStore):
             }
 
         if entries_df is not None or has_dvs:
+            if (
+                entries_df is not None
+                and not has_dvs
+                and all(fn == "count" and col == "*" for fn, col in specs)
+            ):
+                # checkpoint-sidecar manifest, pure count(*): the
+                # distributed three-tier classifier already answers it
+                # without materializing the entry list on the driver
+                r = self.count_where(table_name, predicates, version=version)
+                return {
+                    "aggs": {
+                        _alias(fn, col): r["count"] for fn, col in specs
+                    },
+                    "files_total": r.get("files_total"),
+                    "files_metadata": r.get("files_metadata"),
+                    "files_scanned": r.get("files_scanned"),
+                }
             return _scan_fallback()
         # Which columns allow exact metadata min/max, keyed by their
         # PHYSICAL stats name (schema from the logical view).

@@ -178,3 +178,24 @@ def test_avg_scans_matching_sliver_exactly(spark, store):
     # empty match: SQL semantics (avg NULL)
     r2 = store.agg_where("t", [("avg", "v")], [("id", ">", 10**9)])
     assert r2["aggs"]["avg_v"] is None
+
+
+def test_distributed_manifest_paths(spark, tmp_path, monkeypatch):
+    """Checkpoint-sidecar snapshots: count(*)-only requests ride the
+    distributed three-tier classifier (driver never materializes the
+    entry list); mixed aggregates degrade to one pruned scan — equal
+    answers either way."""
+    from pyairbyte_spark import manifest as mf
+
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    dist = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    dist.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    drv = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    _seed(spark, drv)
+    preds = [("id", "<", 7500)]
+    rc = dist.agg_where("t", [("count", "*")], preds)
+    assert rc["aggs"]["count_star"] == 7500
+    assert rc["files_metadata"] and rc["files_metadata"] > 0  # meta tier ran
+    a = drv.agg_where("t", [("min", "v"), ("max", "v"), ("sum", "v")], preds)
+    b = dist.agg_where("t", [("min", "v"), ("max", "v"), ("sum", "v")], preds)
+    assert a["aggs"] == b["aggs"]
