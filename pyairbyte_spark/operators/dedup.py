@@ -689,6 +689,7 @@ def append_to_minhash_index(
     index_name: str,
     *,
     txn: "tuple[str, int] | None" = None,
+    allow_oob: bool = False,
 ) -> dict:
     """Incremental maintenance, O(batch): signature the new docs with
     the STORED hash family and append to the bands and sigs tables —
@@ -707,8 +708,24 @@ def append_to_minhash_index(
     appended tail (O(tail)). :func:`minhash_index_coverage` is the
     watermark to alert on; :func:`minhash_index_health` adds the
     hot-band skew signal. Returns ``{"appended", "skipped"}``.
+
+    ATTACHED indexes (meta records a ``source_table``) refuse
+    out-of-band appends unless ``allow_oob=True``, which records
+    ``oob_appends`` in the meta (same txn group) and switches every
+    later :func:`sync_minhash_index` to exact netted index-side
+    retraction derivation — see ``search._guard_oob_append``.
     """
+    from pyairbyte_spark.operators.search import _guard_oob_append
+
     m = _minhash_index_meta(store, index_name)
+    flag = _guard_oob_append(
+        store,
+        index_name,
+        m,
+        allow_oob,
+        label="minhash index",
+        sync_fn="sync_minhash_index",
+    )
     rows = m["num_hashes"] // m["bands"]
     sig = minhash_signature(
         new_docs,
@@ -739,6 +756,8 @@ def append_to_minhash_index(
         t.abort()  # replayed batch: neither table moves
         return {"appended": 0, "skipped": True}
     t.write_append(sig_cols, f"{index_name}_sigs", txn=txn)
+    if flag is not None:
+        t.write_replace(flag, f"{index_name}_meta")
     t.commit()
     return {"appended": 1, "skipped": False}
 
@@ -798,99 +817,36 @@ def attach_minhash_index(
     )
 
 
-def sync_minhash_index(store, index_name: str) -> dict:
-    """Catch the dedup index up to its source table's CURRENT snapshot
-    — the MinHash twin of ``search.sync_text_index``, same protocol:
+def _minhash_rebuild(store, table, index_name, m, ref):
+    attach_minhash_index(
+        store,
+        table,
+        index_name,
+        id_col=m["id_col"],
+        text_col=m["text_col"],
+        num_hashes=m["num_hashes"],
+        bands=m["bands"],
+        k=m["k"],
+        ref=ref,
+    )
 
-    - one collapsed net diff per key (``diff_snapshots``);
-    - deleted/updated docs retract as NEGATED band rows (appends only;
-      probes fold sum(sign) per (band, doc)) — a deleted doc stops
-      matching entirely, with no bands/sigs rewrite;
-    - inserted/updated docs append fresh bands (+1) and fresh
-      signatures stamped ``seq = head`` (probe verification picks each
-      candidate's newest signature);
-    - bands + sigs + cursor (meta) move as ONE txn group, with the
-      bands SetTransaction watermark keyed by the target version as
-      the cursor's compare-and-swap — exactly one of N racing syncs
-      applies, losers abort whole.
 
-    Unsafe collapse windows (rename/drop mid-window) rebuild instead.
-    Returns ``{"synced_from", "synced_to", "docs_changed"}``."""
-    from pyairbyte_spark.writers import ConcurrentCommitError
-
-    from pyairbyte_spark.operators.search import _resolve_sync_source
-
-    m = _minhash_index_meta(store, index_name)
-    table = m.get("source_table")
-    if not table:
-        raise ValueError(
-            f"minhash index {index_name!r} was not built from a store "
-            "table; use attach_minhash_index"
-        )
-    src, ref = _resolve_sync_source(store, m)
-    ref_id = src._branch_info(table)["id"] if ref else None
-    cur = int(m["synced_version"])
-    head = src.latest_version(table)
-    if head <= cur and ref == m.get("source_ref"):
-        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
+def _minhash_sync_plan(ctx) -> dict:
+    """MinHash-family row derivation for ``_sync_derived_index``:
+    deleted/updated docs retract as NEGATED band rows (re-signed from
+    the old snapshot with the STORED hash family on the primary path;
+    netted sum(sign) per (band, doc) on the fallback — the netted
+    magnitude covers out-of-band duplicate appends); inserts/updates
+    append fresh bands (+1) and fresh signatures stamped ``seq =
+    head`` (probe verification picks each candidate's newest
+    signature)."""
+    m, index_name, head = ctx.m, ctx.index_name, ctx.head
     id_col, text_col = m["id_col"], m["text_col"]
-    try:
-        diff = src.diff_snapshots(
-            table, cur, head, primary_keys=[id_col], any_ref=True
-        )
-    except FileNotFoundError:
-        diff = None  # outage outlived retention: cursor snapshot vacuumed
-    if diff is None:
-        attach_minhash_index(
-            store,
-            table,
-            index_name,
-            id_col=id_col,
-            text_col=text_col,
-            num_hashes=m["num_hashes"],
-            bands=m["bands"],
-            k=m["k"],
-            ref=ref,
-        )
-        return {
-            "synced_from": cur,
-            "synced_to": src.latest_version(table),
-            "docs_changed": None,
-            "rebuilt": True,
-        }
-    diff = diff.localCheckpoint()
-    removed = diff.filter(
-        F.col("_change_type").isin("delete", "update_postimage")
-    ).select(F.col(id_col).alias("id"))
-    added = diff.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(id_col, text_col)
     nh = m["num_hashes"]
     rows = nh // m["bands"]
-    # Retractions: the removed/updated docs' OLD band rows, negated.
-    # PRIMARY derivation re-signs the removed docs from the SOURCE's
-    # old snapshot (sync invariant: net index state per doc == its
-    # bands at snapshot ``cur``) — O(changed docs) compute, ZERO bands
-    # I/O; the diff already scanned both endpoint snapshots. Deriving
-    # from the bands table itself reads the WHOLE table per sync
-    # (band-clustered files can't prune an id probe) — kept only as
-    # the vacuumed-snapshot FALLBACK, where the netted sum also covers
-    # out-of-band ``append_to_minhash_index`` duplicates.
-    old_removed = None
-    try:
-        old_removed = (
-            src.read_version(table, cur, any_ref=True)
-            .join(
-                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
-            )
-            .select(id_col, text_col)
-            .localCheckpoint()
-        )
-    except Exception:
-        old_removed = None  # vacuumed/unreadable: index-side fallback
-    if old_removed is not None:
+    if ctx.old_removed is not None:
         old_sig = minhash_signature(
-            old_removed, text_col, id_col, num_hashes=nh, k=m["k"]
+            ctx.old_removed, text_col, id_col, num_hashes=nh, k=m["k"]
         )
         tombstones = lsh_bands(
             old_sig, id_col, bands=m["bands"], rows=rows
@@ -902,8 +858,8 @@ def sync_minhash_index(store, index_name: str) -> dict:
         )
     else:
         tombstones = (
-            store.read(f"{index_name}_bands")
-            .join(removed, "id", "left_semi")
+            ctx.store.read(f"{index_name}_bands")
+            .join(ctx.removed, "id", "left_semi")
             .groupBy("band_idx", "band_hash", "id")
             .agg(F.sum("sign").alias("__s"))
             .filter(F.col("__s") > 0)
@@ -918,7 +874,7 @@ def sync_minhash_index(store, index_name: str) -> dict:
             )
         )
     sig = minhash_signature(
-        added, text_col, id_col, num_hashes=nh, k=m["k"]
+        ctx.added, text_col, id_col, num_hashes=nh, k=m["k"]
     ).localCheckpoint()
     new_bands = lsh_bands(
         sig, id_col, bands=m["bands"], rows=rows
@@ -933,8 +889,7 @@ def sync_minhash_index(store, index_name: str) -> dict:
         *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(nh)],
         F.lit(int(head)).cast("long").alias("seq"),
     )
-    spark = diff.sparkSession
-    meta = spark.createDataFrame(
+    meta = ctx.spark.createDataFrame(
         [
             (
                 int(nh),
@@ -942,51 +897,52 @@ def sync_minhash_index(store, index_name: str) -> dict:
                 int(m["k"]),
                 id_col,
                 text_col,
-                table,
+                ctx.table,
                 head,
-                ref,
-                ref_id,
+                ctx.ref,
+                ctx.ref_id,
+                ctx.oob,
             )
         ],
         "num_hashes int, bands int, k int, id_col string, "
         "text_col string, source_table string, synced_version long, "
-        "source_ref string, source_ref_id string",
+        "source_ref string, source_ref_id string, oob_appends boolean",
     )
-    n_changed = removed.count() + added.count()
-    raced = {
-        "synced_from": cur,
-        "synced_to": cur,
-        "docs_changed": 0,
-        "raced": True,
-    }
-    t = store.begin_txn()
-    try:
-        r1 = t.write_append(
+    return {
+        "watermark": (
             tombstones.unionByName(new_bands),
             f"{index_name}_bands",
-            txn=(f"__sync_{index_name}", head),
-        )
-        if r1.get("skipped"):
-            t.abort()
-            return raced
-        t.write_append(new_sigs, f"{index_name}_sigs")
-        t.write_replace(meta, f"{index_name}_meta")
-        prepared = t.prepare()
-        if f"{index_name}_bands" not in prepared:
-            t.abort()  # a racer's watermark won
-            return raced
-        t.commit()
-    except ConcurrentCommitError:
-        try:
-            t.abort()
-        except Exception:
-            pass
-        return raced
-    return {
-        "synced_from": cur,
-        "synced_to": head,
-        "docs_changed": n_changed,
+        ),
+        "appends": [(new_sigs, f"{index_name}_sigs")],
+        "replaces": [(meta, f"{index_name}_meta")],
+        "docs_changed": ctx.removed.count() + ctx.added.count(),
     }
+
+
+def _minhash_sync_spec():
+    from pyairbyte_spark.operators.search import _SyncSpec
+
+    return _SyncSpec(
+        label="minhash index",
+        attach_name="attach_minhash_index",
+        read_meta=_minhash_index_meta,
+        payload_cols=lambda m: [m["text_col"]],
+        rebuild=_minhash_rebuild,
+        build_plan=_minhash_sync_plan,
+    )
+
+
+def sync_minhash_index(store, index_name: str) -> dict:
+    """Catch the dedup index up to its source table's CURRENT snapshot
+    — one ``search._sync_derived_index`` run with the MinHash family's
+    row derivation (:func:`_minhash_sync_plan`): bands + sigs + cursor
+    (meta) move as ONE txn group under the bands SetTransaction
+    watermark CAS; unsafe collapse windows rebuild. Returns
+    ``{"synced_from", "synced_to", "docs_changed"}`` (plus ``raced`` /
+    ``rebuilt`` on those paths)."""
+    from pyairbyte_spark.operators.search import _sync_derived_index
+
+    return _sync_derived_index(store, index_name, _minhash_sync_spec())
 
 
 def _bands_have_tombstones(store, index_name: str) -> bool:

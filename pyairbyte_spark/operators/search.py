@@ -164,12 +164,66 @@ def _text_index_meta(store, index_name: str) -> dict:
     return store.read(f"{index_name}_meta").collect()[0].asDict()
 
 
+def _guard_oob_append(
+    store,
+    index_name: str,
+    m: dict,
+    allow_oob: bool,
+    *,
+    label: str,
+    sync_fn: str,
+) -> "DataFrame | None":
+    """Protect the sync invariant on ATTACHED indexes.
+
+    ``sync_*_index``'s O(diff) primary path derives retraction
+    tombstones from the SOURCE's old snapshot — exactly one negation
+    per doc. That is only exact while every doc's index contribution
+    equals its snapshot-derived contribution; an out-of-band append
+    (same doc fed directly to ``append_to_*_index``) breaks it: the
+    doc nets to +2, a later source delete retracts −1, and the deleted
+    doc keeps matching probes. (The reference refuses mixed state
+    channels for the same reason: ``airbyte/shared/state_providers.py``
+    rejects providers whose artifacts disagree about the source of
+    truth.)
+
+    Policy: appends to an index with a recorded ``source_table`` RAISE
+    unless the caller passes ``allow_oob=True``, which durably records
+    ``oob_appends=true`` in the index meta — every later sync then
+    derives retractions by NETTING the index itself (exact under
+    duplicates, O(index) per sync: the price of mixing channels).
+    The flag persists across syncs and folds (folds net signs but keep
+    doubled magnitudes) and clears only on a rebuild/attach, which
+    restores the invariant from a snapshot.
+
+    Returns the meta frame to ``write_replace`` (flag newly set), or
+    None (nothing to record). Raises ValueError on a guarded append."""
+    if not m.get("source_table"):
+        return None
+    if not allow_oob:
+        raise ValueError(
+            f"{label} {index_name!r} is attached to table "
+            f"{m['source_table']!r} and maintained from its change "
+            f"feed; an out-of-band append would make {sync_fn}'s "
+            "snapshot-derived retractions under-retract (deleted docs "
+            "keep matching probes). Write to the source table and "
+            f"call {sync_fn}, or pass allow_oob=True to record the "
+            "append and force exact (but O(index)) netted retraction "
+            "derivation on every future sync."
+        )
+    if m.get("oob_appends"):
+        return None  # already recorded: syncs are on the netted path
+    return store.read(f"{index_name}_meta").withColumn(
+        "oob_appends", F.lit(True)
+    )
+
+
 def append_to_text_index(
     new_docs: DataFrame,
     store,
     index_name: str,
     *,
     txn: "tuple[str, int] | None" = None,
+    allow_oob: bool = False,
 ) -> dict:
     """Incremental maintenance, O(batch): postings + a stats delta row
     move as ONE multi-table txn group (a probe racing the append sees
@@ -180,8 +234,22 @@ def append_to_text_index(
     table, so fresh postings range-sort on token at staging and stay
     probe-pruned (coverage holds at 1.0); with the property cleared
     they land unclustered — exact, just unpruned — until
-    :func:`refresh_text_index` reclusters the tail."""
+    :func:`refresh_text_index` reclusters the tail.
+
+    ATTACHED indexes (meta records a ``source_table``) refuse
+    out-of-band appends unless ``allow_oob=True``, which records
+    ``oob_appends`` in the meta (same txn group) and switches every
+    later :func:`sync_text_index` to exact netted index-side
+    retraction derivation — see :func:`_guard_oob_append`."""
     m = _text_index_meta(store, index_name)
+    flag = _guard_oob_append(
+        store,
+        index_name,
+        m,
+        allow_oob,
+        label="text index",
+        sync_fn="sync_text_index",
+    )
     post = _postings(new_docs, m["text_col"], m["id_col"])
     stats = _doc_stats(new_docs, m["text_col"], m["id_col"])
     t = store.begin_txn()
@@ -190,6 +258,8 @@ def append_to_text_index(
         t.abort()  # replayed batch: neither table moves
         return {"appended": 0, "skipped": True}
     t.write_append(stats, f"{index_name}_stats", txn=txn)
+    if flag is not None:
+        t.write_replace(flag, f"{index_name}_meta")
     t.commit()
     return {"appended": 1, "skipped": False}
 
@@ -303,6 +373,15 @@ def attach_text_index(
     )
 
 
+class _LineageVacuumed(Exception):
+    """A branch-attached index's publish lineage is UNPROVABLE: the
+    recorded branch is gone and the commit JSONs that would show (or
+    rule out) a publish were vacuumed past retention. Not an error of
+    the index — ``_sync_derived_index`` degrades to a rebuild from
+    main's current snapshot (the same path a vacuumed cursor snapshot
+    takes) instead of hard-failing every subsequent sync."""
+
+
 def _resolve_sync_source(store, m: dict) -> "tuple[object, str | None]":
     """The view a sync should read its source table through: the
     recorded branch (same incarnation) while it lives, else main —
@@ -310,8 +389,10 @@ def _resolve_sync_source(store, m: dict) -> "tuple[object, str | None]":
     recorded cursor stays diffable against main's head). Returns
     ``(view, ref)`` where ``ref`` is None once the index follows main
     (the caller persists the cleared ref with its cursor CAS). Raises
-    when the branch was dropped WITHOUT publishing — the index's
-    lineage is gone and only a re-attach is honest."""
+    ValueError when the walk PROVES the branch was dropped without
+    publishing (lineage gone, only a re-attach is honest) and
+    :class:`_LineageVacuumed` when vacuumed commit JSONs make the
+    question unanswerable (callers rebuild instead)."""
     ref = m.get("source_ref")
     if not ref:
         return store, None
@@ -327,10 +408,12 @@ def _resolve_sync_source(store, m: dict) -> "tuple[object, str | None]":
     # recorded incarnation is dead either way.
     cur = int(m["synced_version"])
     head = store.latest_version(table)
+    vacuumed = False
     for v in range(max(cur, 0) + 1, head + 1):
         try:
             hdr = store._read_commit_json(table, v)
         except FileNotFoundError:
+            vacuumed = True  # the publish record could have lived here
             continue
         if (
             hdr.get("branch") is None
@@ -339,57 +422,126 @@ def _resolve_sync_source(store, m: dict) -> "tuple[object, str | None]":
             and int(hdr.get("published_version") or 0) >= cur
         ):
             return store, None  # published: re-home onto main
+    if vacuumed:
+        raise _LineageVacuumed(ref)
     raise ValueError(
         f"index follows branch {ref!r} of {table!r}, which was dropped "
         "without publishing past the index's cursor; re-attach the index"
     )
 
 
-def sync_text_index(store, index_name: str) -> dict:
-    """Catch the index up to its source table's CURRENT snapshot from
-    the change feed — the derived-index analogue of
-    ``ChangeFeedFollower``, TRANSACTIONAL end to end:
+class _SyncSpec:
+    """Family plug-in for :func:`_sync_derived_index` — the four
+    persisted-index families (text / MinHash / IVF / PQ) share one
+    follows-source-DML sync protocol and differ only in how index rows
+    are derived from source rows. Fields:
+
+    - ``label`` / ``attach_name``: error-message strings;
+    - ``read_meta(store, name) -> dict``: the index's single meta row;
+    - ``payload_cols(m) -> list[str]``: the source columns (beyond the
+      id) the index derives from;
+    - ``rebuild(store, table, name, m, ref)``: full re-attach from the
+      source's CURRENT snapshot (the unsafe-window degradation);
+    - ``build_plan(ctx) -> dict``: family row derivation. ``ctx`` is a
+      SimpleNamespace ``(store, spark, index_name, m, table, cur,
+      head, ref, ref_id, removed, added, old_removed, oob)``; the
+      return is ``{"watermark": (df, table), "appends": [(df, table),
+      ...], "replaces": [(df, table), ...], "docs_changed": int}``.
+      ``old_removed`` is None exactly when the family must derive
+      retractions by NETTING the index itself (vacuumed cursor
+      snapshot, or ``oob_appends`` recorded in meta)."""
+
+    def __init__(
+        self,
+        *,
+        label,
+        attach_name,
+        read_meta,
+        payload_cols,
+        rebuild,
+        build_plan,
+    ):
+        self.label = label
+        self.attach_name = attach_name
+        self.read_meta = read_meta
+        self.payload_cols = payload_cols
+        self.rebuild = rebuild
+        self.build_plan = build_plan
+
+
+def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
+    """THE follows-source-DML sync protocol, shared by all four index
+    families (before r13 each was a near-identical ~200-line copy; a
+    protocol fix meant four edits and four chances to miss one): meta
+    resolve → branch resolve → cursor short-circuit → collapsed diff →
+    rebuild-on-unsafe-window → snapshot-primary / netted-index-fallback
+    retraction derivation → ONE txn group with the
+    SetTransaction-watermark cursor CAS → raced report. Families
+    supply only row derivation (``spec.build_plan``).
+
+    Protocol invariants, enforced here in one place:
 
     - the window's changes collapse to one net diff per key
       (``diff_snapshots``: O(data), not O(commits), however long the
       outage);
-    - deleted/updated docs retract as tombstone postings (their old
-      postings negated — appends, never rewrites: probes fold
-      sum(sign·tf) per (token, doc));
-    - inserted/updated docs append fresh postings; one mergeable stats
-      delta row carries the N/Σdl shift (negative deltas allowed);
-    - postings, stats AND the cursor (meta's ``synced_version``) move
-      as ONE multi-table txn group — a probe racing the sync sees the
-      whole index step or none of it, and a crashed sync replays from
-      the old cursor with nothing half-applied.
+    - retraction tombstones derive from the SOURCE's old snapshot —
+      O(changed docs) compute, ZERO index I/O (plan-gated by the
+      per-family poison tests; the index's files are payload-clustered
+      and unprunable by id, so deriving from the index itself would
+      read the whole table per sync) — UNLESS the cursor snapshot was
+      vacuumed or the meta records ``oob_appends`` (out-of-band
+      appends make one-negation-per-doc under-retract: a doc appended
+      twice nets +2, retracts −1, and keeps matching probes), in which
+      case the family NETS the index itself (exact under duplicates,
+      O(index): the price of mixing channels);
+    - every index table + the cursor (meta's ``synced_version``) move
+      as ONE multi-table txn group; the watermark append (app = this
+      index's sync, batch = the target version) is the cursor's
+      compare-and-swap — of N racing syncs exactly one applies, the
+      losers see their watermark missing from ``prepare()``'s map,
+      abort the whole group (prepares are invisible, nothing
+      half-applies) and report ``{"raced": True}``;
+    - unsafe collapse windows (rename/drop mid-window, vacuumed cursor
+      diff) and unprovable branch lineage (publish record vacuumed —
+      :class:`_LineageVacuumed`) rebuild from the current snapshot
+      instead: correct, just not incremental.
 
-    Two syncs racing: one group lands, the loser aborts cleanly and
-    reports ``{"raced": True}`` (retry reads the advanced cursor).
-    Unsafe collapse windows (column renames/drops mid-window) rebuild
-    the index from the current snapshot instead.
+    BRANCH-ATTACHED indexes (``attach_*_index(ref=...)``) sync from
+    the branch's history while it lives; once the branch publishes,
+    the sync re-homes onto main in the same txn group (the publish
+    manifest IS the audited tip, so the catch-up diff is exactly the
+    post-publish delta) and clears the recorded ref."""
+    from types import SimpleNamespace
 
-    BRANCH-ATTACHED indexes (``attach_text_index(ref=...)``) sync from
-    the branch's history while the branch lives; once the branch
-    publishes, the sync re-homes onto main in the same txn (the
-    publish manifest IS the audited tip, so the catch-up diff is
-    exactly the post-publish delta) and clears the recorded ref.
-    Returns ``{"synced_from", "synced_to", "docs_changed"}``."""
     from pyairbyte_spark.writers import ConcurrentCommitError
 
-    m = _text_index_meta(store, index_name)
+    m = spec.read_meta(store, index_name)
     table = m.get("source_table")
     if not table:
         raise ValueError(
-            f"text index {index_name!r} was not built from a store "
-            "table; use attach_text_index"
+            f"{spec.label} {index_name!r} was not built from a store "
+            f"table; use {spec.attach_name}"
         )
-    src, ref = _resolve_sync_source(store, m)
+    try:
+        src, ref = _resolve_sync_source(store, m)
+    except _LineageVacuumed:
+        # Publish lineage unprovable (commit JSONs vacuumed past
+        # retention): degrade to a main-snapshot rebuild rather than
+        # hard-failing every subsequent sync.
+        spec.rebuild(store, table, index_name, m, None)
+        return {
+            "synced_from": int(m["synced_version"]),
+            "synced_to": store.latest_version(table),
+            "docs_changed": None,
+            "rebuilt": True,
+        }
     ref_id = src._branch_info(table)["id"] if ref else None
     cur = int(m["synced_version"])
     head = src.latest_version(table)
     if head <= cur and ref == m.get("source_ref"):
         return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
-    id_col, text_col = m["id_col"], m["text_col"]
+    id_col = m["id_col"]
+    payload = spec.payload_cols(m)
     try:
         diff = src.diff_snapshots(
             table, cur, head, primary_keys=[id_col], any_ref=True
@@ -400,58 +552,118 @@ def sync_text_index(store, index_name: str) -> dict:
         # Mid-window rename/drop (collapse unsafe) or a vacuumed
         # cursor snapshot (collapse impossible) — rebuild from the
         # current snapshot (correct, just not incremental).
-        attach_text_index(
-            store,
-            table,
-            index_name,
-            id_col=id_col,
-            text_col=text_col,
-            k1=float(m["k1"]),
-            b=float(m["b"]),
-            ref=ref,
-        )
+        spec.rebuild(store, table, index_name, m, ref)
         return {
             "synced_from": cur,
             "synced_to": src.latest_version(table),
             "docs_changed": None,
             "rebuilt": True,
         }
-    diff = diff.localCheckpoint()  # two passes below: don't re-diff
+    diff = diff.localCheckpoint()  # several passes below: don't re-diff
     removed = diff.filter(
         F.col("_change_type").isin("delete", "update_postimage")
     ).select(F.col(id_col).alias("id"))
     added = diff.filter(
         F.col("_change_type").isin("insert", "update_postimage")
-    ).select(id_col, text_col)
-    # Retractions: the OLD postings of every removed/updated doc,
-    # negated. PRIMARY derivation re-tokenizes the removed docs from
-    # the SOURCE's old snapshot (the sync invariant: after syncing to
-    # ``cur`` the index's net state per doc equals its postings at
-    # snapshot ``cur``) — O(changed docs) compute and ZERO index I/O.
-    # The diff already scanned both endpoint snapshots, so this adds
-    # no new I/O class; deriving from the index itself would read the
-    # ENTIRE postings table per sync (token-clustered files can't
-    # prune an id-keyed probe), making every sync O(index) however
-    # small the diff — the 100-TB ceiling this path removes. The
-    # index-side scan remains as the FALLBACK when the old snapshot
-    # was vacuumed (exact netting there covers out-of-band
-    # ``append_to_text_index`` duplicates the snapshot can't see).
+    ).select(id_col, *payload)
+    oob = bool(m.get("oob_appends"))
     old_removed = None
-    try:
-        old_removed = (
-            src.read_version(table, cur, any_ref=True)
-            .join(
-                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
+    if not oob:
+        # PRIMARY retraction derivation: the removed docs re-read from
+        # the SOURCE's old snapshot (the diff already scanned both
+        # endpoint snapshots, so this adds no new I/O class).
+        try:
+            old_removed = (
+                src.read_version(table, cur, any_ref=True)
+                .join(
+                    removed.withColumnRenamed("id", id_col),
+                    id_col,
+                    "left_semi",
+                )
+                .select(id_col, *payload)
+                .localCheckpoint()  # one scan feeds every derived frame
             )
-            .select(id_col, text_col)
-            .localCheckpoint()  # one scan feeds tombstones + dl agg
+        except Exception:
+            old_removed = None  # vacuumed/unreadable: netted fallback
+    plan = spec.build_plan(
+        SimpleNamespace(
+            store=store,
+            spark=diff.sparkSession,
+            index_name=index_name,
+            m=m,
+            table=table,
+            cur=cur,
+            head=head,
+            ref=ref,
+            ref_id=ref_id,
+            removed=removed,
+            added=added,
+            old_removed=old_removed,
+            oob=oob,
         )
-    except Exception:
-        old_removed = None  # vacuumed/unreadable: index-side fallback
-    if old_removed is not None:
-        tombstones = _postings(old_removed, text_col, id_col, sign=-1)
+    )
+    raced = {
+        "synced_from": cur,
+        "synced_to": cur,
+        "docs_changed": 0,
+        "raced": True,
+    }
+    t = store.begin_txn()
+    try:
+        wdf, wtbl = plan["watermark"]
+        r1 = t.write_append(wdf, wtbl, txn=(f"__sync_{index_name}", head))
+        if r1.get("skipped"):
+            t.abort()  # a racer's watermark already landed
+            return raced
+        for df_, tbl_ in plan.get("appends") or ():
+            t.write_append(df_, tbl_)
+        for df_, tbl_ in plan.get("replaces") or ():
+            t.write_replace(df_, tbl_)
+        prepared = t.prepare()
+        if wtbl not in prepared:
+            t.abort()  # a racer's watermark won: retract the group
+            return raced
+        t.commit()
+    except ConcurrentCommitError:
+        try:
+            t.abort()
+        except Exception:
+            pass
+        return raced
+    return {
+        "synced_from": cur,
+        "synced_to": head,
+        "docs_changed": plan["docs_changed"],
+    }
+
+
+def _text_rebuild(store, table, index_name, m, ref):
+    attach_text_index(
+        store,
+        table,
+        index_name,
+        id_col=m["id_col"],
+        text_col=m["text_col"],
+        k1=float(m["k1"]),
+        b=float(m["b"]),
+        ref=ref,
+    )
+
+
+def _text_sync_plan(ctx) -> dict:
+    """Text-family row derivation for :func:`_sync_derived_index`:
+    retraction tombstones are the removed docs' postings negated
+    (re-tokenized from the old snapshot on the primary path, netted
+    sum(sign·tf) per (token, doc) on the fallback — the netted
+    magnitude covers out-of-band duplicate appends); inserts/updates
+    append fresh postings plus one mergeable (n_docs, sum_dl) stats
+    delta row carrying the N/avgdl shift."""
+    m, index_name = ctx.m, ctx.index_name
+    id_col, text_col = m["id_col"], m["text_col"]
+    if ctx.old_removed is not None:
+        tombstones = _postings(ctx.old_removed, text_col, id_col, sign=-1)
         dl_removed = (
-            old_removed.select(
+            ctx.old_removed.select(
                 F.size(tokens_expr(text_col)).cast("long").alias("__dl")
             )
             .agg(F.coalesce(F.sum("__dl"), F.lit(0)))
@@ -459,8 +671,8 @@ def sync_text_index(store, index_name: str) -> dict:
         )
     else:
         tombstones = (
-            store.read(f"{index_name}_postings")
-            .join(removed, "id", "left_semi")
+            ctx.store.read(f"{index_name}_postings")
+            .join(ctx.removed, "id", "left_semi")
             .groupBy("token", "id")
             .agg(
                 F.sum(F.col("sign") * F.col("tf")).alias("tf"),
@@ -480,78 +692,70 @@ def sync_text_index(store, index_name: str) -> dict:
                 F.coalesce(F.sum("dl"), F.lit(0))
             )
         ).collect()[0][0]
-    new_posts = _postings(added, text_col, id_col)
-    n_removed = removed.count()
-    new_stats = added.select(
+    new_posts = _postings(ctx.added, text_col, id_col)
+    n_removed = ctx.removed.count()
+    new_stats = ctx.added.select(
         F.size(tokens_expr(text_col)).cast("long").alias("__dl")
     ).agg(
         F.count(F.lit(1)).cast("long"),
         F.coalesce(F.sum("__dl"), F.lit(0)).cast("long"),
     ).collect()[0]
     n_added, dl_added = int(new_stats[0]), int(new_stats[1])
-    spark = diff.sparkSession
-    delta = spark.createDataFrame(
+    delta = ctx.spark.createDataFrame(
         [(n_added - n_removed, int(dl_added) - int(dl_removed))],
         "n_docs long, sum_dl long",
     )
-    meta = spark.createDataFrame(
+    meta = ctx.spark.createDataFrame(
         [
             (
                 id_col,
                 text_col,
                 float(m["k1"]),
                 float(m["b"]),
-                table,
-                head,
-                ref,
-                ref_id,
+                ctx.table,
+                ctx.head,
+                ctx.ref,
+                ctx.ref_id,
+                ctx.oob,
             )
         ],
         "id_col string, text_col string, k1 double, b double, "
         "source_table string, synced_version long, "
-        "source_ref string, source_ref_id string",
+        "source_ref string, source_ref_id string, oob_appends boolean",
     )
-    raced = {
-        "synced_from": cur,
-        "synced_to": cur,
-        "docs_changed": 0,
-        "raced": True,
-    }
-    t = store.begin_txn()
-    try:
-        # The SetTransaction watermark (app = this index's sync, batch
-        # = the target version) is the cursor's compare-and-swap: two
-        # racing syncs of the same window both target `head`, the
-        # watermark re-check inside the slot-claim loop lets exactly
-        # one postings prepare land, and the loser sees its postings
-        # MISSING from prepare()'s map and aborts the whole group —
-        # prepares are invisible, so nothing half-applies.
-        r1 = t.write_append(
+    return {
+        "watermark": (
             tombstones.unionByName(new_posts),
             f"{index_name}_postings",
-            txn=(f"__sync_{index_name}", head),
-        )
-        if r1.get("skipped"):
-            t.abort()
-            return raced
-        t.write_append(delta, f"{index_name}_stats")
-        t.write_replace(meta, f"{index_name}_meta")
-        prepared = t.prepare()
-        if f"{index_name}_postings" not in prepared:
-            t.abort()  # a racer's watermark won: retract stats/meta
-            return raced
-        t.commit()
-    except ConcurrentCommitError:
-        try:
-            t.abort()
-        except Exception:
-            pass
-        return raced
-    return {
-        "synced_from": cur,
-        "synced_to": head,
+        ),
+        "appends": [(delta, f"{index_name}_stats")],
+        "replaces": [(meta, f"{index_name}_meta")],
         "docs_changed": n_removed + n_added,
     }
+
+
+_TEXT_SYNC_SPEC = _SyncSpec(
+    label="text index",
+    attach_name="attach_text_index",
+    read_meta=_text_index_meta,
+    payload_cols=lambda m: [m["text_col"]],
+    rebuild=_text_rebuild,
+    build_plan=_text_sync_plan,
+)
+
+
+def sync_text_index(store, index_name: str) -> dict:
+    """Catch the index up to its source table's CURRENT snapshot from
+    the change feed — the derived-index analogue of
+    ``ChangeFeedFollower``, TRANSACTIONAL end to end. One
+    :func:`_sync_derived_index` run with the text family's row
+    derivation (:func:`_text_sync_plan`): deleted/updated docs retract
+    as tombstone postings, inserted/updated docs append fresh postings
+    plus one mergeable stats delta row, and postings + stats + cursor
+    move as ONE txn group under the watermark CAS. Returns
+    ``{"synced_from", "synced_to", "docs_changed"}`` (plus ``raced`` /
+    ``rebuilt`` on those paths)."""
+    return _sync_derived_index(store, index_name, _TEXT_SYNC_SPEC)
 
 
 def _guarded_index_replace(store, writes: "list[tuple]"):

@@ -806,6 +806,7 @@ def append_to_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     txn: tuple[str, int] | None = None,
+    allow_oob: bool = False,
 ) -> dict:
     """Incremental index maintenance: assign ``new_vectors`` to the
     EXISTING coarse quantizer and append them to the lists table —
@@ -819,7 +820,27 @@ def append_to_ivf_index(
     SetTransaction watermark rides the data commit) — the hook
     ``VectorIndexStreamingSink`` uses for stream-maintained indexes.
     Returns ``{"appended", "version", "skipped"}``.
+
+    ATTACHED indexes (meta records a ``source_table``) refuse
+    out-of-band appends unless ``allow_oob=True``, which records
+    ``oob_appends`` in the meta BEFORE the data append (flag-first is
+    fail-safe: a crash in between leaves only a spurious flag, which
+    costs sync speed, never correctness) and switches every later
+    :func:`sync_ivf_index` to exact netted index-side retraction
+    derivation — see ``search._guard_oob_append``.
     """
+    from pyairbyte_spark.operators.search import _guard_oob_append
+
+    flag = _guard_oob_append(
+        store,
+        index_name,
+        _ivf_index_meta(store, index_name),
+        allow_oob,
+        label="ivf index",
+        sync_fn="sync_ivf_index",
+    )
+    if flag is not None:
+        store.write_replace(flag, f"{index_name}_meta")
     spark = new_vectors.sparkSession
     cent = spark.createDataFrame(store.read(f"{index_name}_centroids").collect())
     e = new_vectors.select(
@@ -939,98 +960,43 @@ def attach_ivf_index(
     )
 
 
-def sync_ivf_index(store, index_name: str) -> dict:
-    """Catch the IVF index up to its source table's CURRENT snapshot —
-    the vector twin of ``search.sync_text_index``, same protocol:
+def _ivf_rebuild(store, table, index_name, m, ref):
+    attach_ivf_index(
+        store,
+        table,
+        index_name,
+        id_col=m["id_col"],
+        vec_col=m["vec_col"],
+        n_centroids=m["n_centroids"],
+        iters=m["iters"],
+        train_modulus=m["train_modulus"],
+        ref=ref,
+    )
 
-    - one collapsed net diff per key (``diff_snapshots``);
-    - deleted/updated vectors retract as NEGATED list rows — the old
-      snapshot's vectors re-assigned to the FROZEN quantizer, so the
-      retraction lands in exactly the cid their build/append row
-      occupies (O(changed docs) compute, ZERO lists-table I/O; the
-      index-side netted scan remains the vacuumed-snapshot fallback);
-    - inserted/updated vectors append fresh rows stamped
-      ``seq = head`` (probes score each live id's newest positive
-      row);
-    - lists + cursor (meta) move as ONE txn group with the
-      SetTransaction-watermark cursor CAS — of N racing syncs exactly
-      one applies, losers abort whole and report ``{"raced": True}``.
 
-    The quantizer stays FROZEN across syncs (standard IVF practice);
-    ``index_health(kind="ivf")`` remains the retrain trigger, and a
-    rebuild via :func:`attach_ivf_index` resets the cursor. Unsafe
-    collapse windows rebuild. Returns ``{"synced_from", "synced_to",
-    "docs_changed"}``."""
-    from pyairbyte_spark.operators.search import _resolve_sync_source
-    from pyairbyte_spark.writers import ConcurrentCommitError
-
-    m = _ivf_index_meta(store, index_name)
-    table = m.get("source_table")
-    if not table:
-        raise ValueError(
-            f"ivf index {index_name!r} was not built from a store "
-            "table; use attach_ivf_index"
-        )
-    src, ref = _resolve_sync_source(store, m)
-    ref_id = src._branch_info(table)["id"] if ref else None
-    cur = int(m["synced_version"])
-    head = src.latest_version(table)
-    if head <= cur and ref == m.get("source_ref"):
-        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
+def _ivf_sync_plan(ctx) -> dict:
+    """IVF-family row derivation for ``search._sync_derived_index``:
+    deleted/updated vectors retract as NEGATED list rows — the old
+    snapshot's vectors re-assigned to the FROZEN quantizer, so the
+    retraction lands in exactly the cid their build/append row occupies
+    (netted sum(sign) per (cid, id) on the fallback, covering
+    out-of-band duplicate appends); inserts/updates append rows stamped
+    ``seq = head`` (probes score each live id's newest positive row).
+    The quantizer stays frozen across syncs (standard IVF practice);
+    ``index_health(kind="ivf")`` is the retrain trigger."""
+    m, index_name, head = ctx.m, ctx.index_name, ctx.head
     id_col, vec_col = m["id_col"], m["vec_col"]
-    try:
-        diff = src.diff_snapshots(
-            table, cur, head, primary_keys=[id_col], any_ref=True
-        )
-    except FileNotFoundError:
-        diff = None  # outage outlived retention: cursor snapshot vacuumed
-    if diff is None:
-        attach_ivf_index(
-            store,
-            table,
-            index_name,
-            id_col=id_col,
-            vec_col=vec_col,
-            n_centroids=m["n_centroids"],
-            iters=m["iters"],
-            train_modulus=m["train_modulus"],
-            ref=ref,
-        )
-        return {
-            "synced_from": cur,
-            "synced_to": src.latest_version(table),
-            "docs_changed": None,
-            "rebuilt": True,
-        }
-    diff = diff.localCheckpoint()
-    removed = diff.filter(
-        F.col("_change_type").isin("delete", "update_postimage")
-    ).select(F.col(id_col).alias("id"))
-    added = diff.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(id_col, vec_col)
-    spark = diff.sparkSession
-    cent = spark.createDataFrame(
-        store.read(f"{index_name}_centroids").collect()
+    cent = ctx.spark.createDataFrame(
+        ctx.store.read(f"{index_name}_centroids").collect()
     )
     vectorized = int(m["n_centroids"]) > 32
-    old_removed = None
-    try:
-        old_removed = (
-            src.read_version(table, cur, any_ref=True)
-            .join(
-                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
-            )
-            .select(
-                F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
-            )
-            .localCheckpoint()
-        )
-    except Exception:
-        old_removed = None  # vacuumed/unreadable: index-side fallback
-    if old_removed is not None:
+    if ctx.old_removed is not None:
         tombstones = _assign_to_centroids(
-            old_removed, cent, vectorized=vectorized
+            ctx.old_removed.select(
+                F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
+            ),
+            cent,
+            vectorized=vectorized,
         ).select(
             "cid",
             "id",
@@ -1040,8 +1006,8 @@ def sync_ivf_index(store, index_name: str) -> dict:
         )
     else:
         tombstones = (
-            store.read(f"{index_name}_lists")
-            .join(removed, "id", "left_semi")
+            ctx.store.read(f"{index_name}_lists")
+            .join(ctx.removed, "id", "left_semi")
             .groupBy("cid", "id")
             .agg(F.sum("sign").alias("__s"), F.first("v").alias("v"))
             .filter(F.col("__s") > 0)
@@ -1054,7 +1020,7 @@ def sync_ivf_index(store, index_name: str) -> dict:
             )
         )
     new_rows = _assign_to_centroids(
-        added.select(
+        ctx.added.select(
             F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
         ),
         cent,
@@ -1066,8 +1032,7 @@ def sync_ivf_index(store, index_name: str) -> dict:
         F.lit(1).cast("long").alias("sign"),
         F.lit(int(head)).cast("long").alias("seq"),
     )
-    n_changed = removed.count() + added.count()
-    meta = spark.createDataFrame(
+    meta = ctx.spark.createDataFrame(
         [
             (
                 id_col,
@@ -1075,49 +1040,52 @@ def sync_ivf_index(store, index_name: str) -> dict:
                 int(m["n_centroids"]),
                 int(m["iters"]),
                 int(m["train_modulus"]),
-                table,
+                ctx.table,
                 head,
-                ref,
-                ref_id,
+                ctx.ref,
+                ctx.ref_id,
+                ctx.oob,
             )
         ],
         "id_col string, vec_col string, n_centroids int, iters int, "
         "train_modulus int, source_table string, synced_version long, "
-        "source_ref string, source_ref_id string",
+        "source_ref string, source_ref_id string, oob_appends boolean",
     )
-    raced = {
-        "synced_from": cur,
-        "synced_to": cur,
-        "docs_changed": 0,
-        "raced": True,
-    }
-    t = store.begin_txn()
-    try:
-        r1 = t.write_append(
+    return {
+        "watermark": (
             tombstones.unionByName(new_rows),
             f"{index_name}_lists",
-            txn=(f"__sync_{index_name}", head),
-        )
-        if r1.get("skipped"):
-            t.abort()
-            return raced
-        t.write_replace(meta, f"{index_name}_meta")
-        prepared = t.prepare()
-        if f"{index_name}_lists" not in prepared:
-            t.abort()  # a racer's watermark won
-            return raced
-        t.commit()
-    except ConcurrentCommitError:
-        try:
-            t.abort()
-        except Exception:
-            pass
-        return raced
-    return {
-        "synced_from": cur,
-        "synced_to": head,
-        "docs_changed": n_changed,
+        ),
+        "replaces": [(meta, f"{index_name}_meta")],
+        "docs_changed": ctx.removed.count() + ctx.added.count(),
     }
+
+
+def sync_ivf_index(store, index_name: str) -> dict:
+    """Catch the IVF index up to its source table's CURRENT snapshot —
+    one ``search._sync_derived_index`` run with the IVF family's row
+    derivation (:func:`_ivf_sync_plan`): lists + cursor (meta) move as
+    ONE txn group under the watermark CAS; unsafe collapse windows
+    rebuild (``attach_ivf_index`` resets the cursor and retrains).
+    Returns ``{"synced_from", "synced_to", "docs_changed"}`` (plus
+    ``raced`` / ``rebuilt`` on those paths)."""
+    from pyairbyte_spark.operators.search import (
+        _SyncSpec,
+        _sync_derived_index,
+    )
+
+    return _sync_derived_index(
+        store,
+        index_name,
+        _SyncSpec(
+            label="ivf index",
+            attach_name="attach_ivf_index",
+            read_meta=_ivf_index_meta,
+            payload_cols=lambda m: [m["vec_col"]],
+            rebuild=_ivf_rebuild,
+            build_plan=_ivf_sync_plan,
+        ),
+    )
 
 
 def fold_ivf_index(
@@ -1835,6 +1803,7 @@ def append_to_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     txn: tuple[str, int] | None = None,
+    allow_oob: bool = False,
 ) -> dict:
     """Incremental PQ maintenance: encode ``new_vectors`` with the
     EXISTING codebooks and append the codes — O(new vectors), no
@@ -1847,9 +1816,28 @@ def append_to_pq_index(
     relative quantization error (the :func:`index_health` drift
     signal) ride one ``observe`` on the encode job itself, so an
     epoch costs exactly ONE job (the staged write) — no separate
-    count or error pass."""
+    count or error pass.
+
+    ATTACHED indexes (meta records a ``source_table``) refuse
+    out-of-band appends unless ``allow_oob=True``, which records
+    ``oob_appends`` in the meta BEFORE the data append (flag-first is
+    fail-safe) and switches every later :func:`sync_pq_index` to exact
+    netted index-side retraction derivation — see
+    ``search._guard_oob_append``."""
     from pyspark.sql import Observation
 
+    from pyairbyte_spark.operators.search import _guard_oob_append
+
+    flag = _guard_oob_append(
+        store,
+        index_name,
+        _pq_index_meta(store, index_name),
+        allow_oob,
+        label="pq index",
+        sync_fn="sync_pq_index",
+    )
+    if flag is not None:
+        store.write_replace(flag, f"{index_name}_meta")
     books, scale = _read_pq_codebooks(store, index_name)
     obs = Observation()
     codes = pq_encode_int(
@@ -1979,92 +1967,45 @@ def attach_pq_index(
     )
 
 
-def sync_pq_index(store, index_name: str) -> dict:
-    """Catch the PQ index up to its source table's CURRENT snapshot —
-    the compressed-ANN member of the follows-source-DML family, same
-    protocol as :func:`sync_ivf_index`: retraction tombstones are the
-    removed vectors from the SOURCE's old snapshot re-encoded with the
-    FROZEN codebooks and negated (O(changed docs), zero codes-table
-    I/O; netted index-scan fallback when the cursor snapshot is
-    vacuumed), inserts/updates append codes stamped ``seq = head``,
-    and codes + cursor move as ONE txn group under the watermark CAS.
-    ``index_health(kind="pq")`` remains the retrain trigger."""
-    from pyairbyte_spark.operators.search import _resolve_sync_source
-    from pyairbyte_spark.writers import ConcurrentCommitError
-
-    m_ = _pq_index_meta(store, index_name)
-    table = m_.get("source_table")
-    if not table:
-        raise ValueError(
-            f"pq index {index_name!r} was not built from a store "
-            "table; use attach_pq_index"
-        )
-    src, ref = _resolve_sync_source(store, m_)
-    ref_id = src._branch_info(table)["id"] if ref else None
-    cur = int(m_["synced_version"])
-    head = src.latest_version(table)
-    if head <= cur and ref == m_.get("source_ref"):
-        return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
-    id_col, vec_col = m_["id_col"], m_["vec_col"]
-    try:
-        diff = src.diff_snapshots(
-            table, cur, head, primary_keys=[id_col], any_ref=True
-        )
-    except FileNotFoundError:
-        diff = None  # outage outlived retention: cursor snapshot vacuumed
-    if diff is None:
-        # rebuild with the SAME frozen codebooks (retrains are explicit)
-        books, scale = _read_pq_codebooks(store, index_name)
-        attach_pq_index(
-            store,
-            table,
-            index_name,
-            id_col=id_col,
-            vec_col=vec_col,
-            int_scale=scale,
-            codebooks=books,
-            ref=ref,
-        )
-        return {
-            "synced_from": cur,
-            "synced_to": src.latest_version(table),
-            "docs_changed": None,
-            "rebuilt": True,
-        }
-    diff = diff.localCheckpoint()
-    removed = diff.filter(
-        F.col("_change_type").isin("delete", "update_postimage")
-    ).select(F.col(id_col).alias("id"))
-    added = diff.filter(
-        F.col("_change_type").isin("insert", "update_postimage")
-    ).select(id_col, vec_col)
+def _pq_rebuild(store, table, index_name, m, ref):
+    # rebuild with the SAME frozen codebooks (retrains are explicit)
     books, scale = _read_pq_codebooks(store, index_name)
+    attach_pq_index(
+        store,
+        table,
+        index_name,
+        id_col=m["id_col"],
+        vec_col=m["vec_col"],
+        int_scale=scale,
+        codebooks=books,
+        ref=ref,
+    )
 
-    def _encode(frame: DataFrame, sign: int) -> DataFrame:
+
+def _pq_sync_plan(ctx) -> dict:
+    """PQ-family row derivation for ``search._sync_derived_index``:
+    retraction tombstones are the removed vectors from the old
+    snapshot re-encoded with the FROZEN codebooks and negated (netted
+    sum(sign) per id on the fallback, covering out-of-band duplicate
+    appends); inserts/updates append codes stamped ``seq = head``.
+    ``index_health(kind="pq")`` remains the retrain trigger."""
+    m, index_name, head = ctx.m, ctx.index_name, ctx.head
+    id_col, vec_col = m["id_col"], m["vec_col"]
+    books, scale = _read_pq_codebooks(ctx.store, index_name)
+
+    def _encode(frame, sign):
         return pq_encode_int(
             frame, books, id_col=id_col, vec_col=vec_col, int_scale=scale
         ).withColumn("sign", F.lit(int(sign)).cast("long")).withColumn(
             "seq", F.lit(int(head)).cast("long")
         )
 
-    old_removed = None
-    try:
-        old_removed = (
-            src.read_version(table, cur, any_ref=True)
-            .join(
-                removed.withColumnRenamed("id", id_col), id_col, "left_semi"
-            )
-            .select(id_col, vec_col)
-            .localCheckpoint()
-        )
-    except Exception:
-        old_removed = None  # vacuumed/unreadable: index-side fallback
-    if old_removed is not None:
-        tombstones = _encode(old_removed, -1)
+    if ctx.old_removed is not None:
+        tombstones = _encode(ctx.old_removed, -1)
     else:
         tombstones = (
-            store.read(f"{index_name}_codes")
-            .join(removed, "id", "left_semi")
+            ctx.store.read(f"{index_name}_codes")
+            .join(ctx.removed, "id", "left_semi")
             .groupBy("id")
             .agg(
                 F.sum("sign").alias("__s"),
@@ -2085,49 +2026,60 @@ def sync_pq_index(store, index_name: str) -> dict:
             )
         )
     new_rows = _encode(
-        added.select(F.col(id_col).alias(id_col), F.col(vec_col)), 1
+        ctx.added.select(F.col(id_col).alias(id_col), F.col(vec_col)), 1
     )
-    n_changed = removed.count() + added.count()
-    spark = diff.sparkSession
-    meta = spark.createDataFrame(
-        [(id_col, vec_col, int(scale), table, head, ref, ref_id)],
+    meta = ctx.spark.createDataFrame(
+        [
+            (
+                id_col,
+                vec_col,
+                int(scale),
+                ctx.table,
+                head,
+                ctx.ref,
+                ctx.ref_id,
+                ctx.oob,
+            )
+        ],
         "id_col string, vec_col string, int_scale int, "
         "source_table string, synced_version long, "
-        "source_ref string, source_ref_id string",
+        "source_ref string, source_ref_id string, oob_appends boolean",
     )
-    raced = {
-        "synced_from": cur,
-        "synced_to": cur,
-        "docs_changed": 0,
-        "raced": True,
-    }
-    t = store.begin_txn()
-    try:
-        r1 = t.write_append(
+    return {
+        "watermark": (
             tombstones.unionByName(new_rows),
             f"{index_name}_codes",
-            txn=(f"__sync_{index_name}", head),
-        )
-        if r1.get("skipped"):
-            t.abort()
-            return raced
-        t.write_replace(meta, f"{index_name}_meta")
-        prepared = t.prepare()
-        if f"{index_name}_codes" not in prepared:
-            t.abort()  # a racer's watermark won
-            return raced
-        t.commit()
-    except ConcurrentCommitError:
-        try:
-            t.abort()
-        except Exception:
-            pass
-        return raced
-    return {
-        "synced_from": cur,
-        "synced_to": head,
-        "docs_changed": n_changed,
+        ),
+        "replaces": [(meta, f"{index_name}_meta")],
+        "docs_changed": ctx.removed.count() + ctx.added.count(),
     }
+
+
+def sync_pq_index(store, index_name: str) -> dict:
+    """Catch the PQ index up to its source table's CURRENT snapshot —
+    one ``search._sync_derived_index`` run with the PQ family's row
+    derivation (:func:`_pq_sync_plan`): codes + cursor (meta) move as
+    ONE txn group under the watermark CAS; unsafe collapse windows
+    rebuild with the SAME frozen codebooks (retrains are explicit).
+    Returns ``{"synced_from", "synced_to", "docs_changed"}`` (plus
+    ``raced`` / ``rebuilt`` on those paths)."""
+    from pyairbyte_spark.operators.search import (
+        _SyncSpec,
+        _sync_derived_index,
+    )
+
+    return _sync_derived_index(
+        store,
+        index_name,
+        _SyncSpec(
+            label="pq index",
+            attach_name="attach_pq_index",
+            read_meta=_pq_index_meta,
+            payload_cols=lambda m: [m["vec_col"]],
+            rebuild=_pq_rebuild,
+            build_plan=_pq_sync_plan,
+        ),
+    )
 
 
 def fold_pq_index(store, index_name: str) -> dict:

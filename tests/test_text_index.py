@@ -597,7 +597,10 @@ def test_fold_retries_catch_up_incrementally(spark, store, monkeypatch):
         if state["n"] <= 2:
             # an append lands between the fold's computation and its
             # commit — the guard sees the interleaver and aborts
-            append_to_text_index(extra[state["n"] - 1], store_, "ti")
+            # (allow_oob: this test deliberately writes out of band)
+            append_to_text_index(
+                extra[state["n"] - 1], store_, "ti", allow_oob=True
+            )
         return real_guard(store_, writes)
 
     monkeypatch.setattr(search_mod, "_guarded_index_replace", flaky)
