@@ -900,6 +900,57 @@ class MultiTableTxn:
         )
 
 
+def _agg_alias(fn: str, col: str) -> str:
+    return f"{fn}_star" if col == "*" else f"{fn}_{col}"
+
+
+def _agg_meta_answer(
+    f: dict,
+    specs: "list[tuple[str, str]]",
+    phys_of: "dict[str, str]",
+    exact_minmax: "set[str]",
+) -> "dict | None":
+    """Stats-tier contributions of a must-match file for EVERY
+    requested aggregate, or None when any is unanswerable from the
+    footer stats: ``count(*)`` from the row count, ``count(col)`` from
+    rows − nulls, ``min/max(col)`` from the zone map when the column's
+    type makes footer min/max exact values. Module-level (not a
+    closure over the store) so both :meth:`agg_where`'s driver loop
+    and the distributed classifier's pandas UDF can ship it to
+    executors."""
+    rows = f.get("rows")
+    if rows is None:
+        return None
+    if rows == 0:
+        return {}
+    stats = f.get("stats") or {}
+    out: dict = {}
+    for fn, col in specs:
+        a = _agg_alias(fn, col)
+        if fn == "count" and col == "*":
+            out[a] = rows
+            continue
+        cs = stats.get(phys_of[col])
+        if fn == "count":
+            nulls = (cs or {}).get("nulls")
+            if nulls is None:
+                return None
+            out[a] = rows - nulls
+            continue
+        if fn in ("sum", "avg"):
+            return None  # no footer sum stat: scan
+        if col not in exact_minmax or cs is None:
+            return None
+        nulls = cs.get("nulls")
+        if nulls is not None and nulls >= rows:
+            continue  # all-null: contributes no candidate
+        v = cs.get("min" if fn == "min" else "max")
+        if v is None:
+            return None
+        out[a] = v
+    return out
+
+
 class CommitLogTableStore(TableStore):
     """ACID table store: immutable parquet data dirs + atomic commit log.
 
@@ -3699,6 +3750,257 @@ class CommitLogTableStore(TableStore):
         "tinyint", "smallint", "int", "bigint", "float", "double",
     )
 
+    def _agg_where_distributed(
+        self,
+        table_name: str,
+        top: dict,
+        entries_df: DataFrame,
+        preds: list[list[tuple]],
+        preds_phys: list[list[tuple]],
+        specs: "list[tuple[str, str]]",
+    ) -> "dict | None":
+        """:meth:`agg_where` over the checkpoint sidecar for MIXED
+        count/min/max lists: one pandas-UDF pass classifies every file
+        row into prune / metadata / boundary (the same three tiers as
+        the driver loop, same :func:`_agg_meta_answer` semantics), the
+        metadata tier's footer contributions FOLD RELATIONALLY (counts
+        sum, min/max fold typed from the contribution JSON), dominance
+        pruning drops boundary files whose zone maps cannot beat the
+        folded candidates, and only the surviving boundary paths cross
+        to the driver (capped at ``COUNT_SCAN_FALLBACK_MAX``, past
+        which one ordinary pruned scan IS the plan). The entry list
+        never materializes on the driver. Returns None when the
+        snapshot cannot be classified (pre-stats dir entries, no
+        recorded schema) — the caller degrades to one pruned scan."""
+        import pandas as pd
+
+        from pyairbyte_spark.filestats import (
+            dnf_to_column,
+            file_may_match_dnf,
+            file_must_match_dnf,
+        )
+
+        # Pre-stats dir entries have no per-file rows to classify, and
+        # without the recorded schema min/max exactness is unknowable.
+        if not entries_df.filter(
+            F.col("file_path").isNull() & ~F.col("has_files")
+        ).isEmpty():
+            return None
+        sch = top.get("schema")
+        if not sch:
+            return None
+        mapping, _dropped = self._mapping_of(top)
+        # schema JSON spells primitives differently from simpleString()
+        # (the _EXACT_STAT_TYPES domain): long/integer/short/byte vs
+        # bigint/int/smallint/tinyint
+        _json_t = {
+            "long": "bigint",
+            "integer": "int",
+            "short": "smallint",
+            "byte": "tinyint",
+        }
+        logical_types: dict[str, str] = {}
+        for fld in json.loads(sch)["fields"]:
+            t = fld.get("type")
+            if isinstance(t, str):
+                logical_types[mapping.get(fld["name"], fld["name"])] = (
+                    _json_t.get(t, t)
+                )
+        phys_of = {
+            col: self._to_physical(top, col)
+            for _fn, col in specs
+            if col != "*"
+        }
+        exact_minmax = {
+            col
+            for col in phys_of
+            if logical_types.get(col) in self._EXACT_STAT_TYPES
+        }
+
+        def _sql_type(col: str) -> str:
+            return (
+                "double"
+                if logical_types.get(col) in ("float", "double")
+                else "long"
+            )
+
+        specs_b = list(specs)
+        preds_b = preds_phys
+        phys_b = dict(phys_of)
+        exact_b = set(exact_minmax)
+
+        @F.pandas_udf("string")
+        def _cls(stats: pd.Series, rows: pd.Series, sv: pd.Series) -> pd.Series:
+            out = []
+            for s, r, v in zip(stats, rows, sv):
+                fe = {
+                    "stats": None if s is None else json.loads(s),
+                    "rows": None if pd.isna(r) else int(r),
+                    "sv": None if pd.isna(v) else int(v),
+                }
+                if not file_may_match_dnf(fe, preds_b):
+                    out.append("P")
+                    continue
+                if not file_must_match_dnf(fe, preds_b):
+                    out.append("S")
+                    continue
+                contrib = _agg_meta_answer(fe, specs_b, phys_b, exact_b)
+                out.append("S" if contrib is None else json.dumps(contrib))
+            return pd.Series(out)
+
+        live = entries_df.filter(F.col("file_path").isNotNull()).filter(
+            F.col("entry_buckets").isNull()
+            | F.col("bucket").isNull()
+            | F.expr("array_contains(entry_buckets, bucket)")
+        )
+        flagged = live.withColumn(
+            "__c", _cls(F.col("stats"), F.col("rows"), F.col("sv"))
+        )
+        is_meta = ~F.col("__c").isin("P", "S")
+        agg_exprs = [
+            F.count(F.lit(1)).alias("__t"),
+            F.sum((F.col("__c") == "S").cast("long")).alias("__sf"),
+            F.sum(is_meta.cast("long")).alias("__mf"),
+        ]
+        for fn, col in specs:
+            a = _agg_alias(fn, col)
+            j = F.get_json_object(F.col("__c"), f"$.{a}")
+            if fn == "count":
+                agg_exprs.append(
+                    F.sum(
+                        F.when(
+                            is_meta,
+                            F.coalesce(j.cast("long"), F.lit(0)),
+                        ).otherwise(F.lit(0))
+                    ).alias(a)
+                )
+            else:
+                fold = F.min if fn == "min" else F.max
+                agg_exprs.append(
+                    fold(
+                        F.when(is_meta, j.cast(_sql_type(col)))
+                    ).alias(a)
+                )
+        row = flagged.agg(*agg_exprs).collect()[0]
+        n_scan = int(row["__sf"] or 0)
+        if n_scan > self.COUNT_SCAN_FALLBACK_MAX:
+            # Unselective predicate: the boundary path list would be
+            # the driver bottleneck — one pruned scan IS the plan
+            # (it re-reads the metadata-tier files too, so the
+            # scanned aggregate alone is the complete answer).
+            df = self.read_where(table_name, preds)
+            exprs = []
+            for fn, col in specs:
+                a = _agg_alias(fn, col)
+                if fn == "count":
+                    e = (
+                        F.count(F.lit(1))
+                        if col == "*"
+                        else F.count(F.col(col))
+                    )
+                    exprs.append(e.cast("long").alias(a))
+                else:
+                    exprs.append(getattr(F, fn)(F.col(col)).alias(a))
+            r = df.agg(*exprs).collect()[0]
+            return {
+                "aggs": {
+                    _agg_alias(fn, col): r[_agg_alias(fn, col)]
+                    for fn, col in specs
+                },
+                "files_total": int(row["__t"] or 0),
+                "files_metadata": 0,
+                "files_scanned": n_scan,
+            }
+        scan_rows = flagged.filter(F.col("__c") == "S")
+        if all(fn in ("min", "max") for fn, _c in specs):
+            # Dominance pruning, relationally: a boundary file whose
+            # zone maps prove it cannot beat ANY folded candidate is
+            # never read (stats.min is a lower bound even when
+            # truncated, so stats.min >= cand proves "cannot lower
+            # the min"; dually for max).
+            conds = []
+            for fn, col in specs:
+                cand = row[_agg_alias(fn, col)]
+                if cand is None:
+                    conds = None
+                    break
+                sv = F.get_json_object(
+                    F.col("stats"),
+                    f"$.{phys_of[col]}.{'min' if fn == 'min' else 'max'}",
+                ).cast(_sql_type(col))
+                conds.append(
+                    sv.isNotNull()
+                    & (sv >= F.lit(cand) if fn == "min" else sv <= F.lit(cand))
+                )
+            if conds:
+                dominated = conds[0]
+                for c in conds[1:]:
+                    dominated = dominated & c
+                scan_rows = scan_rows.filter(~dominated)
+        scanned: dict = {}
+        n_scanned_files = 0
+        hdr_meta = entries_df.filter(F.col("file_path").isNull()).select(
+            "entry_path",
+            # SHALLOW-CLONE entries reference another table's dir
+            F.get_json_object(F.col("extra"), "$.base").alias("__base"),
+        )
+        rows_ = (
+            scan_rows.select("entry_path", "file_path")
+            .join(hdr_meta, "entry_path", "left")
+            .collect()
+        )
+        if rows_:
+            root = self.table_path(table_name)
+            paths = [
+                os.path.join(
+                    r["__base"] or root, r["entry_path"], r["file_path"]
+                )
+                for r in rows_
+            ]
+            n_scanned_files = len(paths)
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            df = self._fill_added(df, top)
+            residual = dnf_to_column(preds_phys)
+            if residual is not None:
+                df = df.filter(residual)
+            exprs = []
+            for fn, col in specs:
+                a = _agg_alias(fn, col)
+                if fn == "count":
+                    e = (
+                        F.count(F.lit(1))
+                        if col == "*"
+                        else F.count(F.col(phys_of.get(col, col)))
+                    )
+                    exprs.append(e.cast("long").alias(a))
+                else:
+                    exprs.append(
+                        getattr(F, fn)(F.col(phys_of[col])).alias(a)
+                    )
+            srow = df.agg(*exprs).collect()[0]
+            scanned = {a: srow[a] for a in srow.asDict()}
+        out_aggs: dict = {}
+        for fn, col in specs:
+            a = _agg_alias(fn, col)
+            if fn == "count":
+                out_aggs[a] = int(row[a] or 0) + int(scanned.get(a) or 0)
+            else:
+                vals = [
+                    v
+                    for v in (row[a], scanned.get(a))
+                    if v is not None
+                ]
+                if not vals:
+                    out_aggs[a] = None
+                else:
+                    out_aggs[a] = min(vals) if fn == "min" else max(vals)
+        return {
+            "aggs": out_aggs,
+            "files_total": int(row["__t"] or 0),
+            "files_metadata": int(row["__mf"] or 0),
+            "files_scanned": n_scanned_files,
+        }
+
     def agg_where(
         self,
         table_name: str,
@@ -3739,7 +4041,10 @@ class CommitLogTableStore(TableStore):
         unfiltered count stays pure manifest arithmetic. Merge-on-read
         DVs poison footer stats, so DV-bearing snapshots scan (still
         may-match pruned; exact either way). Checkpoint-sidecar
-        (distributed-manifest) snapshots degrade to one pruned scan.
+        (distributed-manifest) snapshots ride the distributed
+        classifier for any count/min/max list — the entry list never
+        materializes on the driver (:meth:`_agg_where_distributed`);
+        only sum/avg-bearing requests degrade to one pruned scan.
         Returns ``{"aggs": {alias: value}, "files_total",
         "files_metadata", "files_scanned"}`` with aliases
         ``{fn}_{col}`` (``count_star`` for ``count(*)``); empty match
@@ -3770,8 +4075,7 @@ class CommitLogTableStore(TableStore):
         preds_phys = self._physical_dnf(top, preds)
         has_dvs = bool((top or {}).get("delete_vectors"))
 
-        def _alias(fn: str, col: str) -> str:
-            return f"{fn}_star" if col == "*" else f"{fn}_{col}"
+        _alias = _agg_alias
 
         def _agg_exprs():
             out = []
@@ -3816,6 +4120,22 @@ class CommitLogTableStore(TableStore):
                     "files_metadata": r.get("files_metadata"),
                     "files_scanned": r.get("files_scanned"),
                 }
+            if (
+                entries_df is not None
+                and not has_dvs
+                and all(fn in ("count", "min", "max") for fn, _c in specs)
+            ):
+                # checkpoint-sidecar manifest, MIXED stats-answerable
+                # list (r13, was a pruned-scan degrade): the same
+                # distributed classifier, extended to fold min/max/
+                # count(col) footer contributions relationally — the
+                # metadata tier holds on exactly the ≥512-entry
+                # manifests where it matters most at 100× scale.
+                r = self._agg_where_distributed(
+                    table_name, top, entries_df, preds, preds_phys, specs
+                )
+                if r is not None:
+                    return r
             return _scan_fallback()
         # Which columns allow exact metadata min/max, keyed by their
         # PHYSICAL stats name (schema from the logical view).
@@ -3838,39 +4158,7 @@ class CommitLogTableStore(TableStore):
         minmax_only = all(fn in ("min", "max") for fn, _c in specs)
 
         def _meta_answer(f: dict) -> "dict | None":
-            """Stats-tier contributions of a must-match file for EVERY
-            requested aggregate, or None when any is unanswerable."""
-            rows = f.get("rows")
-            if rows is None:
-                return None
-            if rows == 0:
-                return {}
-            stats = f.get("stats") or {}
-            out: dict = {}
-            for fn, col in specs:
-                a = _alias(fn, col)
-                if fn == "count" and col == "*":
-                    out[a] = rows
-                    continue
-                cs = stats.get(phys_of[col])
-                if fn == "count":
-                    nulls = (cs or {}).get("nulls")
-                    if nulls is None:
-                        return None
-                    out[a] = rows - nulls
-                    continue
-                if fn in ("sum", "avg"):
-                    return None  # no footer sum stat: scan
-                if col not in exact_minmax or cs is None:
-                    return None
-                nulls = cs.get("nulls")
-                if nulls is not None and nulls >= rows:
-                    continue  # all-null: contributes no candidate
-                v = cs.get("min" if fn == "min" else "max")
-                if v is None:
-                    return None
-                out[a] = v
-            return out
+            return _agg_meta_answer(f, specs, phys_of, exact_minmax)
 
         meta_files = total = 0
         cand: dict[str, object] = {}

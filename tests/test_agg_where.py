@@ -183,8 +183,9 @@ def test_avg_scans_matching_sliver_exactly(spark, store):
 def test_distributed_manifest_paths(spark, tmp_path, monkeypatch):
     """Checkpoint-sidecar snapshots: count(*)-only requests ride the
     distributed three-tier classifier (driver never materializes the
-    entry list); mixed aggregates degrade to one pruned scan — equal
-    answers either way."""
+    entry list); since r13 MIXED count/min/max lists ride it too, with
+    the metadata tier intact; only sum/avg-bearing requests degrade to
+    one pruned scan — equal answers every way."""
     from pyairbyte_spark import manifest as mf
 
     monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
@@ -199,3 +200,61 @@ def test_distributed_manifest_paths(spark, tmp_path, monkeypatch):
     a = drv.agg_where("t", [("min", "v"), ("max", "v"), ("sum", "v")], preds)
     b = dist.agg_where("t", [("min", "v"), ("max", "v"), ("sum", "v")], preds)
     assert a["aggs"] == b["aggs"]
+
+
+def test_distributed_mixed_agg_keeps_metadata_tier(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 gate (r12 'what's missing' #3): a MIXED aggregate list
+    on a checkpoint-sidecar snapshot answers from the distributed
+    metadata tier — equal to the driver path in answers AND in tier
+    accounting, with the entry list never collected to the driver."""
+    from pyairbyte_spark import manifest as mf
+
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    dist = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    dist.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    drv = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    _seed(spark, drv)
+    # the entry list must never be materialized driver-side: poison
+    # the driver-manifest reader on the distributed store
+    monkeypatch.setattr(
+        dist,
+        "_read_manifest",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("distributed agg materialized the manifest")
+        ),
+    )
+    # unfiltered min/max/count of the cluster key: every file is
+    # must-match with exact numeric stats -> ZERO files read
+    mixed = [("min", "id"), ("max", "id"), ("count", "*"), ("count", "nv")]
+    r = dist.agg_where("t", mixed)
+    assert r["aggs"] == {
+        "min_id": 0,
+        "max_id": 19999,
+        "count_star": 20000,
+        "count_nv": 18000,
+    }
+    assert r["files_scanned"] == 0
+    assert r["files_metadata"] == r["files_total"]
+    # range predicate: driver and distributed agree on answers and on
+    # the tier split (interior files metadata, boundary scanned)
+    preds = [("id", "<", 7500)]
+    a = drv.agg_where("t", mixed, preds)
+    b = dist.agg_where("t", mixed, preds)
+    assert a["aggs"] == b["aggs"]
+    assert b["files_metadata"] == a["files_metadata"]
+    assert b["files_scanned"] == a["files_scanned"]
+    # min/max-only keeps dominance pruning in the distributed venue
+    a2 = drv.agg_where("t", [("min", "id"), ("max", "id")], preds)
+    b2 = dist.agg_where("t", [("min", "id"), ("max", "id")], preds)
+    assert a2["aggs"] == b2["aggs"]
+    assert b2["files_scanned"] == a2["files_scanned"] <= 1
+    # empty match set: SQL semantics either way
+    b3 = dist.agg_where("t", mixed, [("id", ">", 10**9)])
+    assert b3["aggs"] == {
+        "min_id": None,
+        "max_id": None,
+        "count_star": 0,
+        "count_nv": 0,
+    }

@@ -598,3 +598,41 @@ def test_publish_keys_ignore_dead_incarnation(spark, store):
     pub = store._read_commit_json("t", v)
     assert "merge_keys" not in pub
     assert _vals(store.read("t")) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_branch_view_pushdown_aggregates(spark, store):
+    """Round-13 gate (r12 directive #7): the aggregate-pushdown family
+    works through a BRANCH VIEW — WAP audits answer counts/min/max on
+    the audit branch from manifests (zero files read), see fork-base
+    files below the fork, never see main commits above it, and main's
+    own pushdowns never see the branch until publish."""
+    nums = spark.range(0, 1000).toDF("id").withColumn(
+        "v", (F.col("id") * 7) % 100
+    )
+    store.write_append(nums.coalesce(4), "t")
+    store.compact("t", sort_by=["id"], target_files=4)
+    store.create_branch("t", "audit")
+    bv = store.branch("audit")
+    bv.write_append(
+        spark.range(1000, 1500).toDF("id").withColumn("v", F.lit(7)),
+        "t",
+    )
+    # main keeps writing after the fork: invisible to the audit view
+    store.write_append(
+        spark.range(9000, 9100).toDF("id").withColumn("v", F.lit(1)), "t"
+    )
+    r = bv.agg_where("t", [("min", "id"), ("max", "id"), ("count", "*")])
+    assert r["aggs"] == {"min_id": 0, "max_id": 1499, "count_star": 1500}
+    assert r["files_scanned"] == 0  # manifest-answered WAP audit
+    assert bv.count_where("t", [("id", ">=", 1000)])["count"] == 500
+    m = store.agg_where("t", [("max", "id"), ("count", "*")])
+    assert m["aggs"] == {"max_id": 9099, "count_star": 1100}
+    # version= time travel through the branch view: the fork base
+    base = store._read_ref("t", "audit")["base"]
+    rb = bv.agg_where("t", [("count", "*")], version=base)
+    assert rb["aggs"]["count_star"] == 1000
+    # after publish (rebase: main advanced with appends post-fork),
+    # main's pushdown sees the audited rows
+    store.publish_branch("t", "audit", mode="rebase-appends")
+    p = store.agg_where("t", [("count", "*")], [("id", "<", 2000)])
+    assert p["aggs"]["count_star"] == 1500
