@@ -265,6 +265,18 @@ class SparkCache(Mapping):
         (``writers.store_maintenance_plan``)."""
         return self._acid_store().store_maintenance_plan(**thresholds)
 
+    def apply_maintenance_plan(
+        self, plan: dict | None = None, *, dry_run: bool = False, **kw
+    ) -> dict:
+        """EXECUTE the store-wide doctor's prescriptions — one call
+        heals the warehouse (compact/bloom-recover/vacuum, index
+        folds/refreshes, txn-decision vacuum); judgment calls
+        (drop_ref/review_ingest/resolve) are reported, never
+        auto-applied (``writers.apply_maintenance_plan``)."""
+        return self._acid_store().apply_maintenance_plan(
+            plan, dry_run=dry_run, **kw
+        )
+
     def rebucket_stream(self, stream_name: str, n_buckets: int | None) -> dict:
         """Bucket-layout evolution: rewrite the stream's table with a
         new merge-bucket count (None = un-bucket) — the migration path

@@ -631,6 +631,23 @@ def _build_tool_defs() -> list[ToolDef]:
             lambda h, a: t.get_store_maintenance_plan(h.cache),
         ),
         ToolDef(
+            "apply_store_maintenance",
+            "EXECUTE the warehouse doctor's prescriptions in one call: "
+            "compactions (bloom re-cover folded into the same rewrite), "
+            "vacuums, index tombstone folds + clustering refreshes, and "
+            "the txn-decision vacuum — each action isolated. "
+            "dry_run=true reports what WOULD run without touching "
+            "anything; judgment calls (drop_ref/review_ingest/resolve) "
+            "are listed as skipped, never auto-applied.",
+            {
+                "type": "object",
+                "properties": {"dry_run": {"type": "boolean"}},
+            },
+            lambda h, a: t.apply_store_maintenance(
+                h.cache, dry_run=bool(a.get("dry_run"))
+            ),
+        ),
+        ToolDef(
             "verify_table",
             "FSCK a cached stream's table: manifest resolution, data-file "
             "presence + size drift, DV/bloom sidecars, txn-decision "

@@ -146,6 +146,19 @@ def get_store_maintenance_plan(cache: SparkCache) -> dict[str, Any]:
     return cache.store_maintenance_plan()
 
 
+def apply_store_maintenance(
+    cache: SparkCache, *, dry_run: bool = False
+) -> dict[str, Any]:
+    """EXECUTE the warehouse doctor's prescriptions: compactions (with
+    bloom re-cover folded into the same rewrite), vacuums, index
+    tombstone folds and clustering refreshes, and the txn-decision
+    vacuum — each action isolated (one failure doesn't stop the rest).
+    ``dry_run=true`` reports what WOULD run without touching anything.
+    Judgment calls (drop_ref / review_ingest / resolve) are listed as
+    skipped, never auto-applied."""
+    return cache.apply_maintenance_plan(dry_run=dry_run)
+
+
 def verify_table(
     cache: SparkCache, stream_name: str, *, deep: bool = False
 ) -> dict[str, Any]:

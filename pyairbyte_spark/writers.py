@@ -8634,6 +8634,170 @@ class CommitLogTableStore(TableStore):
             },
         }
 
+    def _index_repair_fn(self, action: str, index_name: str):
+        """Resolve a doctor-prescribed index repair verb to a callable
+        (None when the verb isn't an executable repair)."""
+        from pyairbyte_spark.operators import dedup, search, similarity
+
+        verbs = {
+            "fold_text_index": search.fold_text_index,
+            "refresh_text_index": search.refresh_text_index,
+            "fold_minhash_index": dedup.fold_minhash_index,
+            "refresh_minhash_index": dedup.refresh_minhash_index,
+            "fold_ivf_index": similarity.fold_ivf_index,
+            "fold_pq_index": similarity.fold_pq_index,
+        }
+        fn = verbs.get(action)
+        if fn is None:
+            return None
+        return lambda: fn(self, index_name)
+
+    def _apply_refresh_bloom(self, table_name: str) -> dict:
+        """The standalone ``refresh_bloom`` repair: re-cover only the
+        files the index misses (``only_missing=True`` — O(uncovered
+        tail), not O(table)) using the recorded columns/fpr."""
+        snap = self._latest_commit(table_name)
+        if snap is None:
+            raise FileNotFoundError(f"table {table_name!r} does not exist")
+        self._maybe_refresh_bloom(table_name, snap[1])
+        cov = self.bloom_coverage(table_name) or {}
+        return {"refreshed": True, **cov}
+
+    def apply_maintenance_plan(
+        self,
+        plan: dict | None = None,
+        *,
+        dry_run: bool = False,
+        vacuum_keep_commits: int = 25,
+        **thresholds,
+    ) -> dict:
+        """EXECUTE the store-wide doctor's prescriptions — the repair
+        half of :meth:`store_maintenance_plan`, which only names the
+        verbs. ONE call heals a sick store: per-table compactions
+        (folding a co-prescribed bloom re-cover into the same rewrite
+        via ``compact(refresh_bloom=True)``), standalone bloom
+        re-covers (O(uncovered tail)), vacuums, the four index
+        families' folds and clustering refreshes, and the txn-group
+        decision vacuum. MCP-exposed as ``apply_store_maintenance``.
+
+        - ``plan``: a dict previously returned by
+          :meth:`store_maintenance_plan` — pass one to apply exactly
+          what an operator reviewed; recomputed fresh when None
+          (``**thresholds`` forwarded);
+        - ``dry_run=True`` reports every action as ``planned`` and
+          runs NOTHING — the review artifact for a cadence job;
+        - judgment calls are NEVER auto-applied: ``drop_ref``
+          (dropping a branch/tag discards audit lineage),
+          ``review_ingest`` (hot-band skew is a data property, not a
+          repair) and ``resolve`` (self-healing — the next writer
+          force-aborts the undecided prepare after the grace window)
+          are reported as ``skipped`` with the reason.
+
+        Race-safety with concurrent syncs/writers comes from the verbs
+        themselves: index folds ride the guarded replace (a lost race
+        after retries reports ``folded: False`` — the cadence re-runs),
+        compact/vacuum use the standard commit rebase, and every
+        action is ISOLATED — one failure records ``failed`` and the
+        rest still run (a doctor that stops at the first sick organ
+        heals nothing). Returns ``{"dry_run", "actions": [{"target",
+        "action", "status", ...}]}`` with status one of
+        applied/planned/skipped/failed."""
+        if plan is None:
+            plan = self.store_maintenance_plan(**thresholds)
+        out: list[dict] = []
+
+        def _run(target: str, action: str, fn, note: str | None = None):
+            rec: dict = {"target": target, "action": action}
+            if note:
+                rec["note"] = note
+            if dry_run:
+                out.append({**rec, "status": "planned"})
+                return
+            try:
+                rec["result"] = fn()
+                out.append({**rec, "status": "applied"})
+            except Exception as exc:  # noqa: BLE001 — isolate actions
+                out.append({**rec, "status": "failed", "error": str(exc)})
+
+        def _skip(target: str, action: str, why: str):
+            out.append(
+                {
+                    "target": target,
+                    "action": action,
+                    "status": "skipped",
+                    "note": why,
+                }
+            )
+
+        for t_, recs in (plan.get("tables") or {}).items():
+            acts = {r["action"] for r in recs}
+            if "compact" in acts:
+                rb = "refresh_bloom" in acts
+                _run(
+                    t_,
+                    "compact",
+                    lambda t=t_, rb=rb: self.compact(t, refresh_bloom=rb),
+                    note=(
+                        "bloom re-covered in the same rewrite" if rb else None
+                    ),
+                )
+            elif "refresh_bloom" in acts:
+                _run(
+                    t_,
+                    "refresh_bloom",
+                    lambda t=t_: self._apply_refresh_bloom(t),
+                )
+            if "vacuum" in acts:
+                _run(
+                    t_,
+                    "vacuum",
+                    lambda t=t_: {
+                        "removed": len(
+                            self.vacuum(t, keep_commits=vacuum_keep_commits)
+                        ),
+                        "keep_commits": vacuum_keep_commits,
+                    },
+                )
+            if "resolve" in acts:
+                _skip(
+                    t_,
+                    "resolve",
+                    "self-healing: the next writer force-aborts the "
+                    "undecided prepare after the grace window",
+                )
+            if "drop_ref" in acts:
+                _skip(
+                    t_,
+                    "drop_ref",
+                    "dropping a branch/tag discards audit lineage — "
+                    "operator decision (publish_branch/drop_branch/"
+                    "drop_tag)",
+                )
+        for name, info in (plan.get("indexes") or {}).items():
+            for r in info.get("actions") or []:
+                act = r["action"]
+                if act == "review_ingest":
+                    _skip(
+                        name,
+                        act,
+                        "hot-band skew is a data property, not a "
+                        "repair verb",
+                    )
+                    continue
+                fn = self._index_repair_fn(act, name)
+                if fn is None:
+                    _skip(name, act, "no executable repair for this verb")
+                else:
+                    _run(name, act, fn)
+        for r in (plan.get("txn_decisions") or {}).get("actions") or []:
+            if r["action"] == "vacuum_txn_decisions":
+                _run(
+                    "<store>",
+                    "vacuum_txn_decisions",
+                    lambda: self.vacuum_txn_decisions(),
+                )
+        return {"dry_run": dry_run, "actions": out}
+
     def rebucket_table(
         self, table_name: str, n_buckets: int | None
     ) -> dict:
