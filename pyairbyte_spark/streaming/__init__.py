@@ -1,4 +1,5 @@
 from pyairbyte_spark.streaming.feed import ChangeFeedFollower
+from pyairbyte_spark.streaming.index_sync import IndexSyncFollower
 from pyairbyte_spark.streaming.sink import CacheStreamingSink
 from pyairbyte_spark.streaming.windowed import (
     stream_from_parquet_dir,
@@ -9,6 +10,7 @@ from pyairbyte_spark.streaming.windowed import (
 __all__ = [
     "CacheStreamingSink",
     "ChangeFeedFollower",
+    "IndexSyncFollower",
     "stream_from_parquet_dir",
     "streaming_dedup",
     "windowed_rollup",
