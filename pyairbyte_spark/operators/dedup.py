@@ -948,14 +948,18 @@ def sync_minhash_index(store, index_name: str) -> dict:
 def _bands_have_tombstones(store, index_name: str) -> bool:
     """True unless the bands table's manifest stats PROVE min(sign) >= 0
     over every live file — one O(manifest) metadata read, no data I/O.
-    Conservative: missing/unstatted files count as 'may have'."""
-    sign = (
-        store.table_stats(f"{index_name}_bands").get("columns") or {}
-    ).get("sign")
+    Conservative: the proof additionally requires every live file to
+    actually CARRY a sign stat (per-column statted-file count ==
+    table file count); a stat-less legacy file could hold -1 rows the
+    aggregate never saw."""
+    st = store.table_stats(f"{index_name}_bands")
+    sign = (st.get("columns") or {}).get("sign")
     return not (
         sign is not None
         and sign.get("min") is not None
         and sign["min"] >= 0
+        and st.get("files") is not None
+        and sign.get("files") == st["files"]
     )
 
 

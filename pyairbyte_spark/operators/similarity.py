@@ -873,14 +873,16 @@ def _ivf_index_meta(store, index_name: str) -> dict:
 def _lists_have_tombstones(store, index_name: str) -> bool:
     """True unless the lists manifest's zone maps PROVE min(sign) >= 0
     over every live file — one O(manifest) metadata read (the MinHash
-    probe's fast-path check, for IVF)."""
-    sign = (
-        store.table_stats(f"{index_name}_lists").get("columns") or {}
-    ).get("sign")
+    probe's fast-path check, for IVF). The proof requires every live
+    file to carry a sign stat (statted-file count == file count)."""
+    st = store.table_stats(f"{index_name}_lists")
+    sign = (st.get("columns") or {}).get("sign")
     return not (
         sign is not None
         and sign.get("min") is not None
         and sign["min"] >= 0
+        and st.get("files") is not None
+        and sign.get("files") == st["files"]
     )
 
 
@@ -1883,14 +1885,17 @@ def _pq_index_meta(store, index_name: str) -> dict:
 
 def _codes_have_tombstones(store, index_name: str) -> bool:
     """True unless the codes manifest's zone maps PROVE min(sign) >= 0
-    over every live file — one O(manifest) metadata read."""
-    sign = (
-        store.table_stats(f"{index_name}_codes").get("columns") or {}
-    ).get("sign")
+    over every live file — one O(manifest) metadata read. The proof
+    requires every live file to carry a sign stat (statted-file count
+    == file count)."""
+    st = store.table_stats(f"{index_name}_codes")
+    sign = (st.get("columns") or {}).get("sign")
     return not (
         sign is not None
         and sign.get("min") is not None
         and sign["min"] >= 0
+        and st.get("files") is not None
+        and sign.get("files") == st["files"]
     )
 
 
@@ -2132,6 +2137,28 @@ def fold_pq_index(store, index_name: str) -> dict:
     return {"folded": False}
 
 
+def _net_live_rows(df: DataFrame, keys: "list[str]") -> DataFrame:
+    """LIVE rows of a sign-tombstone frame: keys whose signs net
+    positive, each represented by its newest positive row. The drift
+    aggregate in :func:`index_health` must run over THIS, not a bare
+    ``sign > 0`` filter — after heavy delete/update syncs the retracted
+    rows' original +1 rows (deleted vectors, updated vectors' stale
+    rows) would otherwise keep counting until a fold runs (advisor
+    r12). No-op on frames without the tombstone machinery."""
+    if "sign" not in df.columns:
+        return df
+    keys = [k for k in keys if k in df.columns]
+    net = Window.partitionBy(*keys)
+    newest = Window.partitionBy(*keys).orderBy(F.desc("seq"))
+    return (
+        df.withColumn("__s", F.sum("sign").over(net))
+        .filter((F.col("__s") > 0) & (F.col("sign") > 0))
+        .withColumn("__rn", F.row_number().over(newest))
+        .filter(F.col("__rn") == 1)
+        .drop("__s", "__rn")
+    )
+
+
 def index_health(
     store,
     index_name: str,
@@ -2194,10 +2221,7 @@ def index_health(
             }
 
         def rel_err(df):
-            if "sign" in df.columns:
-                # sync tombstones are retractions, not fresh vectors —
-                # they'd double-count updated docs in the drift signal
-                df = df.filter(F.col("sign") > 0)
+            df = _net_live_rows(df, ["id"])
             r = df.agg(
                 F.sum("err2").alias("e"), F.sum("xn2").alias("x")
             ).collect()[0]
@@ -2211,10 +2235,7 @@ def index_health(
         )
 
         def rel_err(df):
-            if "sign" in df.columns:
-                # sync tombstones are retractions, not fresh vectors —
-                # they'd double-count updated docs in the drift signal
-                df = df.filter(F.col("sign") > 0)
+            df = _net_live_rows(df, ["cid", "id"])
             r = (
                 df.join(cent, "cid")
                 .select(

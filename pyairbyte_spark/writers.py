@@ -4400,8 +4400,13 @@ class CommitLogTableStore(TableStore):
                         continue
                     cur = col_stats.get(c)
                     if cur is None:
-                        col_stats[c] = dict(s)
+                        # "files" counts live files CARRYING this
+                        # column's stats: min/max are proofs over the
+                        # whole table only when files == table files
+                        # (a stat-less legacy file could hold anything)
+                        col_stats[c] = {**s, "files": 1}
                         continue
+                    cur["files"] = cur.get("files", 1) + 1
                     try:
                         cur["min"] = min(cur["min"], s["min"])
                     except TypeError:

@@ -308,3 +308,39 @@ def test_pq_sync_never_scans_codes(spark, store, monkeypatch):
     )
     r = sync_pq_index(store, "px")
     assert r["docs_changed"] == 1
+
+
+def test_index_health_drift_ignores_dead_vectors(spark, store):
+    """Advisor r12: after a delete-heavy sync the drift aggregate must
+    net out the deleted vectors' rows (their +1 appends AND their -1
+    retractions), not just filter sign > 0 — otherwise the retrain
+    trigger keeps firing on vectors that no longer exist."""
+    from pyairbyte_spark.operators.similarity import (
+        attach_pq_index,
+        index_health,
+        sync_pq_index,
+    )
+
+    store.write_append(_vecs(spark, range(0, 40)), "emb", ["vec_id"])
+    attach_pq_index(store, "emb", "px", m=4, ksub=4)
+    # drifted insert: far from the training distribution -> high err
+    store.write_append(_vecs(spark, range(100, 120), shift=40.0), "emb")
+    sync_pq_index(store, "px")
+    h1 = index_health(store, "px", kind="pq")
+    assert h1["recent_err"] is not None and h1["recent_err"] > 0
+    # the drifted vectors get deleted again: the corpus is back to the
+    # training distribution, so the drift signal must clear
+    store.merge_into(
+        "emb",
+        spark.createDataFrame(
+            [(i,) for i in range(100, 120)], "vec_id long"
+        ),
+        ["vec_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    sync_pq_index(store, "px")
+    h2 = index_health(store, "px", kind="pq")
+    # every row appended since the build nets to zero -> no live
+    # appended vectors -> no drift verdict (not a spurious retrain)
+    assert h2["recent_err"] is None and h2["retrain"] is None

@@ -893,3 +893,47 @@ def test_minhash_index_follows_branch_and_survives_publish(spark, store):
     assert minhash_index_matches(store, "mh", q2).count() == 0
     q3 = _docs(spark, [(-3, CORPUS[2][1])])
     assert {x["match_id"] for x in minhash_index_matches(store, "mh", q3).collect()} == {3}
+
+
+def test_tombstone_proof_requires_complete_sign_stats(spark, store, tmp_path):
+    """Advisor r12: min(sign) >= 0 aggregated over only the files that
+    CARRY a sign stat proves nothing about a stat-less legacy file —
+    the metadata fast path must fall back to the fold unless every
+    live file is statted."""
+    import json
+    import os
+
+    from pyairbyte_spark.operators.dedup import _bands_have_tombstones
+
+    dedup.build_minhash_index(
+        _docs(spark, CORPUS), store, "mh", target_files=2
+    )
+    assert _bands_have_tombstones(store, "mh") is False  # clean + complete
+    # doctor the manifest: strip the sign stat from one live file
+    # (simulating a pre-stats-layer writer's file)
+    # the head may be a metadata-only delta (set_cluster_by): walk down
+    # to the commit that carries the entry list
+    v = store.latest_version("mh_bands")
+    while True:
+        p = os.path.join(store._commits_dir("mh_bands"), f"{v:020d}.json")
+        man = json.loads(open(p).read())
+        if "entries" in man:
+            break
+        v -= 1
+    stripped = False
+    for e in man["entries"]:
+        for f in e.get("files") or []:
+            if (f.get("stats") or {}).pop("sign", None) is not None:
+                stripped = True
+                break
+        if stripped:
+            break
+    assert stripped
+    open(p, "w").write(json.dumps(man))
+    fresh = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    st = fresh.table_stats("mh_bands")
+    sign = st["columns"].get("sign")
+    # the aggregate still proves min >= 0 over STATTED files...
+    assert sign is None or sign.get("min", 0) >= 0
+    # ...but the completeness check keeps the probe conservative
+    assert _bands_have_tombstones(fresh, "mh") is True
