@@ -374,7 +374,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Which build round produced this run: the driver records
+    # BENCH_r{N}.json per round, so the CURRENT round is max(N)+1 —
+    # sf1_regression.py --update stamps it into SF1_BASELINE.json so
+    # drift math knows which code the baseline measured.
+    import re as _re
+
+    _here = os.path.dirname(os.path.abspath(__file__))
+    _rounds = [
+        int(m.group(1))
+        for n in os.listdir(_here)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", n))
+    ]
     doc = {
+        "round": (max(_rounds) + 1) if _rounds else None,
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -391,6 +404,15 @@ def main() -> None:
         # medians (round-3's "regression" was a loaded machine).
         "loadavg_1m": round(os.getloadavg()[0], 2),
         "cpus": os.cpu_count(),
+        # Self-declared noise flags (r12 judge directive): a row whose
+        # run-to-run spread EXCEEDS its median is machine noise, not a
+        # plan signal — drift adjudication should skip these rows
+        # mechanically instead of needing an idle re-run to settle.
+        "unreliable_rows": sorted(
+            n
+            for n, m in timings.items()
+            if m > 0 and spread.get(n, 0.0) > m
+        ),
         **({"sf1": sf1_doc} if sf1_doc else {}),
     }
     # Persist the full dict (incl. per-query spread) as its own

@@ -7622,6 +7622,260 @@ _register_profile_query()
 
 
 # ===========================================================================
+# Round 13: distributed agg tier, branch pushdowns, follower, doctor
+# ===========================================================================
+
+
+@register(
+    "store_agg_distributed_events",
+    """
+    -- r13 distributed metadata tier: a MIXED count/min/max list on a
+    -- checkpoint-sidecar manifest folds footer stats RELATIONALLY —
+    -- the entry list never reaches the driver (poisoned in-query) and
+    -- the unfiltered cluster-key aggregates read zero files. Correct
+    -- pushdown is invisible in the numbers: the oracle just aggregates.
+    SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(user_id) AS BIGINT) AS cnt_uid,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events WHERE event_id < 4000
+    """,
+    "agg_where on a distributed (checkpoint-sidecar) manifest: one "
+    "pandas-UDF pass classifies files into prune/metadata/boundary, "
+    "footer contributions fold relationally, dominance pruning drops "
+    "non-competitive boundaries — the metadata tier survives exactly "
+    "the >=512-entry manifests where it matters at 100 TB",
+)
+def store_agg_distributed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark import manifest as mf
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    wh = tempfile.mkdtemp(prefix="q-aggd-")
+    writer = CommitLogTableStore(spark, wh, "q")
+    old_min = mf.PARQUET_CHECKPOINT_MIN_ENTRIES
+    mf.PARQUET_CHECKPOINT_MIN_ENTRIES = 1  # force the sidecar layout
+    try:
+        writer.write_append(ev, "m", None)
+        writer.compact("m", sort_by=["event_id"], target_files=16)
+    finally:
+        mf.PARQUET_CHECKPOINT_MIN_ENTRIES = old_min
+    # read through a FRESH store: the writer's manifest cache would
+    # satisfy _scan_source driver-side and mask the distributed path
+    store = CommitLogTableStore(spark, wh, "q")
+    store.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    top, entries_df, man = store._scan_source("m", None)
+    assert entries_df is not None and man is None  # sidecar branch taken
+    orig_rm = store._read_manifest
+    store._read_manifest = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("distributed agg materialized the manifest")
+    )
+    try:
+        # unfiltered cluster-key min/max/count: pure metadata tier
+        r0 = store.agg_where(
+            "m", [("min", "event_id"), ("max", "event_id"), ("count", "*")]
+        )
+        assert r0["files_scanned"] == 0, r0
+        r = store.agg_where(
+            "m",
+            [
+                ("count", "*"),
+                ("count", "user_id"),
+                ("min", "event_id"),
+                ("max", "event_id"),
+            ],
+            [("event_id", "<", 4000)],
+        )
+    finally:
+        store._read_manifest = orig_rm
+    a = r["aggs"]
+    return spark.createDataFrame(
+        [
+            (
+                int(a["count_star"]),
+                int(a["count_user_id"]),
+                int(a["min_event_id"]),
+                int(a["max_event_id"]),
+            )
+        ],
+        "cnt long, cnt_uid long, min_id long, max_id long",
+    )
+
+
+@register(
+    "store_branch_agg_pushdown_events",
+    """
+    -- r13 branch-aware pushdowns: WAP audits answer count/max on the
+    -- audit branch from manifests (zero reads, asserted in-query);
+    -- main never sees the branch before publish and answers from
+    -- manifests after. The oracle replays the three visibility states.
+    SELECT 'audit' AS which, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(event_id) AS BIGINT) AS max_id FROM events
+    UNION ALL
+    SELECT 'main_post', CAST(count(*) AS BIGINT),
+           CAST(max(event_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'main_pre', CAST(count(*) AS BIGINT),
+           CAST(max(event_id) AS BIGINT) FROM events
+    WHERE event_id % 2 = 0
+    ORDER BY which
+    """,
+    "the aggregate-pushdown family through BRANCH VIEWS: "
+    "branch('audit').agg_where answers the WAP audit from manifests "
+    "(files_scanned == 0), time-travel consistent with the fork-base "
+    "visibility rules; publish flips the rows into main's pushdowns",
+)
+def store_branch_agg_pushdown_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-bragg-"), "q"
+    )
+    store.write_append(ev.filter(F.col("event_id") % 2 == 0), "m", None)
+    store.compact("m", sort_by=["event_id"], target_files=8)
+    store.create_branch("m", "audit")
+    bv = store.branch("audit")
+    bv.write_append(ev.filter(F.col("event_id") % 2 == 1), "m")
+    aggs = [("count", "*"), ("max", "event_id")]
+    r_pre = store.agg_where("m", aggs)
+    r_audit = bv.agg_where("m", aggs)
+    assert r_audit["files_scanned"] == 0, r_audit  # manifest-answered WAP
+    store.publish_branch("m", "audit")
+    r_post = store.agg_where("m", aggs)
+    assert r_post["files_scanned"] == 0, r_post
+
+    def row(which, r):
+        return (which, int(r["aggs"]["count_star"]), int(r["aggs"]["max_event_id"]))
+
+    return spark.createDataFrame(
+        [row("audit", r_audit), row("main_post", r_post), row("main_pre", r_pre)],
+        "which string, cnt long, max_id long",
+    ).orderBy("which")
+
+
+def _register_follower_query() -> None:
+    @register(
+        "text_index_follower_search",
+        _bm25_oracle_sql(
+            "(SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN "
+            "concat(text, ' spark spark') ELSE text END AS text "
+            "FROM documents WHERE doc_id % 10 <> 0)"
+        ),
+        "auto-sync cadence (r13): attach a text index, run DML on the "
+        "TABLE, let ONE IndexSyncFollower tick catch the index up "
+        "(cursor committed inside the sync's txn group; a replayed "
+        "tick is a pure-metadata no-op, asserted in-query) — probe "
+        "scores equal the full-scan BM25 over the table's final state",
+    )
+    def text_index_follower_search(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.operators.search import (
+            attach_text_index,
+            text_index_search,
+        )
+        from pyairbyte_spark.streaming.index_sync import IndexSyncFollower
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-tifoll-"), "q"
+        )
+        store.write_append(docs, "docs", ["doc_id"])
+        attach_text_index(store, "docs", "ti", target_files=16)
+        store.merge_into(
+            "docs",
+            docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+            ["doc_id"],
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        store.merge_into(
+            "docs",
+            docs.filter(
+                (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 10 != 0)
+            ).select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" spark spark")).alias("text"),
+            ),
+            ["doc_id"],
+            when_matched_update={"text": "s.text"},
+            when_not_matched_insert=False,
+        )
+        f = IndexSyncFollower(store, tombstone_max=None)
+        r = f.process_once()
+        assert r["synced"]["ti"]["docs_changed"], r
+        # replayed tick: the cursor advanced inside the sync's txn
+        # group — pure-metadata no-op
+        r2 = f.process_once()
+        assert r2 == {"synced": {}, "folded": [], "behind": 0}, r2
+        return text_index_search(store, "ti", _BM25_TERMS)
+
+
+_register_follower_query()
+
+
+def _register_doctor_query() -> None:
+    @register(
+        "store_doctor_heal_search",
+        _bm25_oracle_sql("(SELECT doc_id, text FROM documents "
+                         "WHERE doc_id % 6 <> 0)"),
+        "store doctor lifecycle (r13): churn leaves a bloated source "
+        "table and a tombstone-heavy text index; ONE "
+        "apply_maintenance_plan call compacts the table and folds the "
+        "index (asserted healthy in-query, zero retraction rows) — "
+        "probe scores equal the full-scan BM25 over the healed state",
+    )
+    def store_doctor_heal_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from pyairbyte_spark.operators.search import (
+            attach_text_index,
+            sync_text_index,
+            text_index_health,
+            text_index_search,
+        )
+        from pyairbyte_spark.writers import CommitLogTableStore
+
+        docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+        store = CommitLogTableStore(
+            spark, tempfile.mkdtemp(prefix="q-doctor-"), "q"
+        )
+        # bloat: one data dir per third of the corpus
+        for k in range(3):
+            store.write_append(
+                docs.filter(F.col("doc_id") % 3 == k), "docs", ["doc_id"]
+            )
+        attach_text_index(store, "docs", "ti", target_files=16)
+        store.merge_into(
+            "docs",
+            docs.filter(F.col("doc_id") % 6 == 0).select("doc_id"),
+            ["doc_id"],
+            when_matched_delete=True,
+            when_not_matched_insert=False,
+        )
+        sync_text_index(store, "ti")  # tombstone debt
+        r = store.apply_maintenance_plan(max_live_dirs=2, tombstone_max=0.05)
+        assert not any(a["status"] == "failed" for a in r["actions"]), r
+        applied = {(a["target"], a["action"]) for a in r["actions"]
+                   if a["status"] == "applied"}
+        assert ("ti", "fold_text_index") in applied, r
+        h = text_index_health(store, "ti")
+        assert h["tombstone_fraction"] == 0.0 and h["healthy"], h
+        return text_index_search(store, "ti", _BM25_TERMS)
+
+
+_register_doctor_query()
+# ===========================================================================
 # Entry points for __spark_entry__.py
 # ===========================================================================
 
@@ -7633,6 +7887,16 @@ _register_profile_query()
 # is additionally oracle-checked by tests/test_oracle_parity.py each run,
 # so nothing regresses silently when it rotates out of the driver's 50.
 _DRIVER_PRIORITY = [
+    # round-13 additions: never driver-checked — top of the window.
+    "store_agg_distributed_events",
+    "store_branch_agg_pushdown_events",
+    "text_index_follower_search",
+    "store_doctor_heal_search",
+    # round-12 additions: judge-checked only in r12 — keep early.
+    "store_agg_pushdown_events",
+    "text_index_wap_sync_search",
+    "ann_ivf_sync_topk",
+    "ann_pq_sync_topk",
     # round-11 additions: never driver-checked — top of the window.
     "store_branch_wap_events",
     "store_count_pushdown_events",
