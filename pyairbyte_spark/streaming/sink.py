@@ -166,7 +166,10 @@ class VectorIndexStreamingSink:
     watermark rides the same atomic commit as the data, so a replayed
     epoch after a crash is skipped — the index is maintained EXACTLY
     ONCE while probes (``pq_index_topk`` / ``ivf_index_topk``) see
-    each batch atomically.
+    each batch atomically. Stream-MAINTAINED indexes only
+    (``build_pq_index``/``build_ivf_index``): pointing the sink at an
+    ATTACHED index raises (r13 guard) — CDF-synced indexes are fed
+    through their source table.
 
     Retrain cadence: appending against FROZEN quantizers serves a
     drifting distribution with rising quantization error and falling
@@ -260,6 +263,10 @@ class MinHashIndexStreamingSink:
     can ask "is this a near-dup of anything already ingested" in
     O(touched buckets).
 
+    Stream-MAINTAINED indexes only (``build_minhash_index``): pointing
+    the sink at an ATTACHED index raises (r13 guard) — CDF-synced
+    indexes must be fed through their source table.
+
     ``refresh_coverage_min`` (0..1, default off) makes the sink
     self-maintaining: every epoch appends one unclustered entry, so
     probe pruning decays with stream lifetime; when the coverage
@@ -332,6 +339,10 @@ class TextIndexStreamingSink:
     every epoch lands one token-unclustered entry, decaying probe
     pruning; below the floor the sink reclusters the appended tail
     (O(tail)). Replayed epochs never trigger it.
+
+    Stream-MAINTAINED indexes only (``build_text_index``): pointing
+    the sink at an ATTACHED index raises (r13 guard) — CDF-synced
+    indexes must be fed through their source table.
     """
 
     def __init__(

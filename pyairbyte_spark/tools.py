@@ -552,8 +552,10 @@ def build_search_index(
     """Materialize a persisted inverted text index over a cached
     stream (token-clustered postings + mergeable corpus stats) so
     keyword searches probe O(touched postings) instead of rescanning
-    the corpus. Keep it fresh with ``append_to_text_index`` at ingest
-    or rebuild on a maintenance cadence."""
+    the corpus. The index is ATTACHED to the stream's table: keep it
+    fresh with ``sync_search_index`` after DML (out-of-band appends
+    are guarded — they would break the sync's retraction invariant)
+    or let an ``IndexSyncFollower`` cadence do it."""
     from pyairbyte_spark.operators import search as s
 
     return s.attach_text_index(
