@@ -79,6 +79,9 @@ class IndexSyncFollower:
       those whose meta records a ``source_table``). Discovery repeats
       per cycle, so an index attached after the follower started is
       picked up on the next tick.
+    - ``source_table``: follow only indexes attached to THIS table —
+      the scope a per-table streaming sink wants
+      (``StoreStreamingSink(sync_indexes=True)``).
     - ``tombstone_max``: fold an index whose post-sync debt signal
       crosses this fraction (None disables auto-folds).
     """
@@ -88,10 +91,12 @@ class IndexSyncFollower:
         store,
         *,
         indexes: "list[str] | None" = None,
+        source_table: "str | None" = None,
         tombstone_max: "float | None" = 0.2,
     ) -> None:
         self.store = store
         self.indexes = indexes
+        self.source_table = source_table
         self.tombstone_max = tombstone_max
 
     def _targets(self) -> "dict[str, str]":
@@ -106,7 +111,10 @@ class IndexSyncFollower:
             meta = (
                 self.store.read(f"{n}_meta").collect()[0].asDict()
             )
-            if meta.get("source_table"):
+            src = meta.get("source_table")
+            if src and (
+                self.source_table is None or src == self.source_table
+            ):
                 out[n] = info["kind"]
         return out
 

@@ -114,6 +114,16 @@ class StoreStreamingSink:
     ``app_id`` defaults to a name you pass explicitly; pin it per
     logical pipeline (restarts must reuse it — that IS the identity
     the watermark is keyed by).
+
+    ``sync_indexes=True`` runs one :class:`~pyairbyte_spark.streaming
+    .index_sync.IndexSyncFollower` tick after every APPLIED epoch —
+    attached derived indexes (text/MinHash/IVF/PQ) follow the stream
+    with no separate cadence job. Exactly-once composes for free: a
+    replayed epoch skips the data append, so the tick never runs for
+    it, and even a spurious tick is idempotent (the sync's own
+    watermark CAS). A tick failure never fails the epoch (the data is
+    already committed; the next tick catches up O(diff)) — it counts
+    in ``sync_errors``.
     """
 
     def __init__(
@@ -123,12 +133,26 @@ class StoreStreamingSink:
         app_id: str,
         *,
         primary_keys: list[str] | None = None,
+        sync_indexes: bool = False,
+        sync_tombstone_max: "float | None" = 0.2,
     ) -> None:
         self.store = store
         self.table_name = table_name
         self.app_id = app_id
         self.primary_keys = primary_keys
         self.skipped_epochs = 0
+        self.sync_errors = 0
+        self._follower = None
+        if sync_indexes:
+            from pyairbyte_spark.streaming.index_sync import (
+                IndexSyncFollower,
+            )
+
+            self._follower = IndexSyncFollower(
+                store,
+                source_table=table_name,
+                tombstone_max=sync_tombstone_max,
+            )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         res = self.store.write_append(
@@ -139,6 +163,12 @@ class StoreStreamingSink:
         )
         if res and res.get("skipped"):
             self.skipped_epochs += 1
+            return  # replayed epoch: nothing new for the indexes either
+        if self._follower is not None:
+            try:
+                self._follower.process_once()
+            except Exception:  # noqa: BLE001 — data already committed
+                self.sync_errors += 1
 
     def attach(
         self,

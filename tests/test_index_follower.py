@@ -174,3 +174,58 @@ def test_two_followers_one_window_applies_once(spark, store, monkeypatch):
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
     )
+
+
+def test_store_sink_syncs_attached_indexes_per_epoch(
+    spark, store, monkeypatch
+):
+    """StoreStreamingSink(sync_indexes=True): streaming ingest keeps
+    the TABLE's attached indexes current per applied epoch — scoped to
+    this table, no tick on replayed epochs, exactly-once end to end."""
+    from pyairbyte_spark.operators import search as search_mod
+    from pyairbyte_spark.streaming.sink import StoreStreamingSink
+
+    store.write_append(_docs(spark, 0, 20), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    # an attached index on ANOTHER table must be out of this sink's scope
+    store.write_append(_docs(spark, 1000, 1010), "other", ["doc_id"])
+    attach_minhash_index(store, "other", "mh_other")
+    other_cursor = int(
+        store.read("mh_other_meta").collect()[0]["synced_version"]
+    )
+    sink = StoreStreamingSink(
+        store, "docs", "pipe", primary_keys=["doc_id"], sync_indexes=True
+    )
+    sink(_docs(spark, 20, 30), 0)
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+    assert (
+        int(store.read("mh_other_meta").collect()[0]["synced_version"])
+        == other_cursor
+    )
+    # replayed epoch: data append skipped AND no sync attempted
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("replayed epoch ticked the follower")
+
+    monkeypatch.setattr(search_mod, "sync_text_index", boom)
+    sink(_docs(spark, 20, 30), 0)
+    assert sink.skipped_epochs == 1 and sink.sync_errors == 0
+    monkeypatch.undo()
+    # next epoch lands data + sync together
+    sink(_docs(spark, 30, 35), 1)
+    cur = store.read("docs").select("doc_id", "text")
+    assert cur.count() == 35
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+    # a failing tick never fails the epoch: data still lands
+    monkeypatch.setattr(
+        sink._follower,
+        "process_once",
+        lambda: (_ for _ in ()).throw(RuntimeError("sync hiccup")),
+    )
+    sink(_docs(spark, 35, 40), 2)
+    assert sink.sync_errors == 1
+    assert store.read("docs").count() == 40
