@@ -181,10 +181,12 @@ def _guard_oob_append(
     equals its snapshot-derived contribution; an out-of-band append
     (same doc fed directly to ``append_to_*_index``) breaks it: the
     doc nets to +2, a later source delete retracts −1, and the deleted
-    doc keeps matching probes. (The reference refuses mixed state
-    channels for the same reason: ``airbyte/shared/state_providers.py``
-    rejects providers whose artifacts disagree about the source of
-    truth.)
+    doc keeps matching probes. (Reference point: the state layer
+    treats its recorded artifacts as the single source of truth and
+    raises rather than guessing when they can't answer —
+    ``airbyte/shared/state_providers.py:99-118``
+    ``AirbyteStateNotFoundError``; this guard applies the same policy
+    to index provenance.)
 
     Policy: appends to an index with a recorded ``source_table`` RAISE
     unless the caller passes ``allow_oob=True``, which durably records

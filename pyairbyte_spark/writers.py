@@ -2774,22 +2774,24 @@ class CommitLogTableStore(TableStore):
         mapping.pop(physical, None)
         if physical != new:
             mapping[physical] = new
+        # Every commit re-states top-level metadata (omission drops
+        # it): carry EVERYTHING _carry_mapping knows — checks on other
+        # columns, cluster_by, bloom_index, txn watermarks, the
+        # recorded schema (r13: the hand-built list here silently
+        # dropped cluster_by/bloom/schema) — then override the mapping
+        # keys this rename rewrites. cluster_by and bloom columns are
+        # PHYSICAL names, which a rename never changes: carry verbatim.
+        carried = self._carry_mapping(man)
+        carried.pop("column_mapping", None)
+        carried.pop("dropped_columns", None)
         manifest = {
             "op": "rename_column",
             "merge_buckets": man.get("merge_buckets"),
             **({"primary_keys": man["primary_keys"]} if man.get("primary_keys") else {}),
             "entries": man.get("entries") or [],
+            **carried,
             **({"column_mapping": mapping} if mapping else {}),
             **({"dropped_columns": sorted(dropped)} if dropped else {}),
-            # Checks on OTHER columns must survive the rename (every
-            # commit re-states top-level metadata; omission drops it).
-            **({"checks": man["checks"]} if man.get("checks") else {}),
-            **({"txns": man["txns"]} if man.get("txns") else {}),
-            **(
-                {"added_columns": man["added_columns"]}
-                if man.get("added_columns")
-                else {}
-            ),
             # Position deletes are name-independent; carry verbatim.
             **self._carry_dv(man),
         }
@@ -2900,20 +2902,27 @@ class CommitLogTableStore(TableStore):
         mapping, dropped = self._mapping_of(man)
         mapping.pop(physical, None)
         dropped.add(physical)
+        # Carry ALL top-level metadata (r13: the hand-built list here
+        # silently dropped cluster_by/bloom/schema), then override the
+        # mapping keys — and clear properties the dead column anchored:
+        # a cluster_by or bloom_index referencing the dropped PHYSICAL
+        # name would direct staging sorts / probe pruning at a column
+        # no reader can name.
+        carried = self._carry_mapping(man)
+        carried.pop("column_mapping", None)
+        carried.pop("dropped_columns", None)
+        if physical in (carried.get("cluster_by") or []):
+            carried.pop("cluster_by", None)
+        if physical in ((carried.get("bloom_index") or {}).get("columns") or []):
+            carried.pop("bloom_index", None)
         manifest = {
             "op": "drop_column",
             "merge_buckets": man.get("merge_buckets"),
             **({"primary_keys": man["primary_keys"]} if man.get("primary_keys") else {}),
             "entries": man.get("entries") or [],
+            **carried,
             **({"column_mapping": mapping} if mapping else {}),
             "dropped_columns": sorted(dropped),
-            **({"checks": man["checks"]} if man.get("checks") else {}),
-            **({"txns": man["txns"]} if man.get("txns") else {}),
-            **(
-                {"added_columns": man["added_columns"]}
-                if man.get("added_columns")
-                else {}
-            ),
             **self._carry_dv(man),
         }
         return {"base_version": version, "manifest": manifest}
@@ -3789,6 +3798,16 @@ class CommitLogTableStore(TableStore):
         sch = top.get("schema")
         if not sch:
             return None
+        # contributions round-trip through JSON keyed by alias; a
+        # column name that isn't a plain word would break the
+        # get_json_object path ($.count_a.b traverses!) and silently
+        # undercount — degrade those to the pruned scan instead
+        if any(
+            not re.fullmatch(r"\w+", col)
+            for _fn, col in specs
+            if col != "*"
+        ):
+            return None
         mapping, _dropped = self._mapping_of(top)
         # schema JSON spells primitives differently from simpleString()
         # (the _EXACT_STAT_TYPES domain): long/integer/short/byte vs
@@ -4484,8 +4503,11 @@ class CommitLogTableStore(TableStore):
                                 continue
                             cur = acc.get(c)
                             if cur is None:
-                                acc[c] = dict(st)
+                                # "files" mirrors the driver loop: live
+                                # files CARRYING this column's stats
+                                acc[c] = {**st, "files": 1}
                                 continue
+                            cur["files"] = cur.get("files", 1) + 1
                             try:
                                 cur["min"] = min(cur["min"], st["min"])
                             except TypeError:
@@ -4527,6 +4549,9 @@ class CommitLogTableStore(TableStore):
                 if cur is None:
                     col_stats[c] = st
                     continue
+                cur["files"] = (cur.get("files") or 0) + (
+                    st.get("files") or 0
+                )
                 try:
                     cur["min"] = min(cur["min"], st["min"])
                 except TypeError:

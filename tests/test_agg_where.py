@@ -258,3 +258,12 @@ def test_distributed_mixed_agg_keeps_metadata_tier(
         "count_star": 0,
         "count_nv": 0,
     }
+    # column mapping: a renamed column's stats live under the PHYSICAL
+    # name; both venues must resolve through the mapping identically
+    drv.rename_column("t", "v", "val")
+    dist2 = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    dist2.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    a4 = drv.agg_where("t", [("min", "val"), ("max", "val")], preds)
+    b4 = dist2.agg_where("t", [("min", "val"), ("max", "val")], preds)
+    assert a4["aggs"] == b4["aggs"]
+    assert b4["files_metadata"] == a4["files_metadata"]

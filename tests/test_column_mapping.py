@@ -208,3 +208,39 @@ def test_streaming_feed_reads_mapped_table_logically(spark, store):
     rows = sorted(it)
     assert end == {"version": 2}
     assert rows == [(0, "v0"), (1, "v1"), (2, "v2")]
+
+
+def test_rename_and_drop_carry_all_top_metadata(spark, store):
+    """r13: the hand-built rename/drop manifests silently dropped
+    cluster_by, bloom_index and the recorded schema (every commit
+    re-states top metadata; omission loses it). A rename must carry
+    all three verbatim (physical names don't change); a drop clears
+    only the properties anchored to the dead column."""
+    df = spark.range(0, 200).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    store.write_append(df.coalesce(2), "t")
+    store.set_cluster_by("t", ["id"])
+    store.build_bloom_index("t", ["k"])
+    store.rename_column("t", "v", "val")
+    man = store._read_manifest("t", store.latest_version("t"))
+    assert man.get("cluster_by") == ["id"]
+    assert (man.get("bloom_index") or {}).get("columns") == ["k"]
+    assert man.get("schema")  # recorded physical schema survives
+    # the bloom index still prunes point lookups after the rename
+    cov = store.bloom_coverage("t")
+    assert cov and cov["files_covered"] == cov["files_total"]
+    # drop an UNRELATED column: properties survive
+    store.drop_column("t", "val")
+    man2 = store._read_manifest("t", store.latest_version("t"))
+    assert man2.get("cluster_by") == ["id"]
+    assert (man2.get("bloom_index") or {}).get("columns") == ["k"]
+    assert man2.get("schema")
+    # drop the bloom-anchored column: the pointer clears (a probe
+    # could never name it), clustering on id survives
+    store.drop_column("t", "k")
+    man3 = store._read_manifest("t", store.latest_version("t"))
+    assert man3.get("bloom_index") is None
+    assert man3.get("cluster_by") == ["id"]
