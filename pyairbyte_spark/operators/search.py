@@ -544,9 +544,22 @@ def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
         return {"synced_from": cur, "synced_to": cur, "docs_changed": 0}
     id_col = m["id_col"]
     payload = spec.payload_cols(m)
+    oob = bool(m.get("oob_appends"))
     try:
         diff = src.diff_snapshots(
-            table, cur, head, primary_keys=[id_col], any_ref=True
+            table,
+            cur,
+            head,
+            primary_keys=[id_col],
+            any_ref=True,
+            # PRIMARY retraction derivation rides the diff itself:
+            # delete rows already carry old values, and preimages add
+            # the updated docs' old rows — zero reads beyond the
+            # (entry-pruned) diff, so the whole sync is O(changed
+            # dirs). Recorded oob_appends forces the netted index-side
+            # derivation instead (one negation per doc under-retracts
+            # a doc appended out of band), so preimages are skipped.
+            include_preimages=not oob,
         )
     except FileNotFoundError:
         diff = None  # outage outlived retention: cursor snapshot vacuumed
@@ -568,25 +581,11 @@ def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
     added = diff.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).select(id_col, *payload)
-    oob = bool(m.get("oob_appends"))
     old_removed = None
     if not oob:
-        # PRIMARY retraction derivation: the removed docs re-read from
-        # the SOURCE's old snapshot (the diff already scanned both
-        # endpoint snapshots, so this adds no new I/O class).
-        try:
-            old_removed = (
-                src.read_version(table, cur, any_ref=True)
-                .join(
-                    removed.withColumnRenamed("id", id_col),
-                    id_col,
-                    "left_semi",
-                )
-                .select(id_col, *payload)
-                .localCheckpoint()  # one scan feeds every derived frame
-            )
-        except Exception:
-            old_removed = None  # vacuumed/unreadable: netted fallback
+        old_removed = diff.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(id_col, *payload)
     plan = spec.build_plan(
         SimpleNamespace(
             store=store,

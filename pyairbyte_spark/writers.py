@@ -4679,6 +4679,11 @@ class CommitLogTableStore(TableStore):
             out = out.unionByName(s, allowMissingColumns=True)
         return out
 
+    # Entry-level pruning in diff_snapshots (immutable dirs shared by
+    # both endpoint manifests are skipped). False = always read both
+    # full snapshots — the equality escape hatch.
+    DIFF_ENTRY_PRUNE = True
+
     def diff_snapshots(
         self,
         table_name: str,
@@ -4687,6 +4692,7 @@ class CommitLogTableStore(TableStore):
         primary_keys: list[str],
         *,
         any_ref: bool = False,
+        include_preimages: bool = False,
     ) -> DataFrame | None:
         """Window-collapsed change set: the row-level difference between
         snapshot ``from_version`` and snapshot ``to_version`` as ONE
@@ -4705,7 +4711,10 @@ class CommitLogTableStore(TableStore):
         ``to_version``); ``_commit_version`` is ``to_version`` for all
         rows. Intermediate states are deliberately invisible — this is
         NOT the CDF (use :meth:`read_changes` for per-commit
-        granularity).
+        granularity). ``include_preimages=True`` additionally emits
+        one ``update_preimage`` row per updated key (its OLD values) —
+        what the derived-index syncs retract from, straight off the
+        pruned diff with zero extra source reads.
 
         Returns ``None`` when the collapse is unsafe and the caller
         must replay per-commit: a ``rename_column`` / ``drop_column``
@@ -4714,11 +4723,16 @@ class CommitLogTableStore(TableStore):
         both endpoint snapshots empty (no schema source).
         ``any_ref`` relaxes the endpoint reads' ref-ownership check
         (see :meth:`read_version`) — for followers whose cursor points
-        at a since-published branch commit. Only the two
-        ENDPOINT snapshots' data is read (the op gate reads each
-        intermediate commit's O(KB) JSON, never its data) — where
-        per-commit replay reads every intermediate version's touched
-        files.
+        at a since-published branch commit. The op gate reads each
+        intermediate commit's O(KB) JSON, never its data; the data
+        read is ENTRY-PRUNED (r13): data dirs are immutable, so
+        entries identical in both endpoint manifests cannot contribute
+        diff rows and only the CHANGED entries' files are scanned —
+        catch-up cost O(changed dirs), not O(table), the property that
+        keeps follower/index-sync cadences viable at 100 TB (DV-bearing
+        endpoints read full: per-manifest DV state can differ on a
+        shared dir). ``DIFF_ENTRY_PRUNE = False`` forces the full
+        endpoint read (equality escape hatch).
         """
         if not primary_keys:
             raise ValueError("diff_snapshots requires primary_keys")
@@ -4746,16 +4760,109 @@ class CommitLogTableStore(TableStore):
             op = self._read_commit_json(table_name, v).get("op")
             if op in ("rename_column", "drop_column", "add_column"):
                 return None
+        # Mirror read_version's visibility contract for both endpoints
+        # up front (the pruned path below reads entries directly).
+        for v_, man_ in ((to, man_to), (from_version, man_from)):
+            if man_ is None:
+                continue
+            if any_ref:
+                gid = man_.get("txn_group")
+                if gid is not None and self._group_verdict(gid) != "commit":
+                    self._require_visible(table_name, v_, man_)  # raises
+            else:
+                self._require_visible(table_name, v_, man_)
 
         def _snap(man: dict | None, version: int) -> DataFrame | None:
             if man is None or not man.get("entries"):
                 return None
             return self.read_version(table_name, version, any_ref=any_ref)
 
-        new = _snap(man_to, to)
-        old = _snap(man_from, from_version)
-        if new is None and old is None:
-            return None  # nothing to diff AND no schema source
+        def _side(entries: list[dict], man: dict) -> DataFrame | None:
+            if not entries:
+                return None
+            df = self._apply_mapping(
+                self._entries_df(table_name, entries, dv_man=man), man
+            )
+            return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+        # ENTRY-LEVEL PRUNING: data dirs are immutable, so an entry
+        # identical in BOTH manifests contributes identical rows to
+        # both sides of the digest anti-join — zero diff rows, per
+        # construction. Only CHANGED entries need reading, so catch-up
+        # cost is O(changed dirs + their rows), not O(table): a merge
+        # touching 1 of 512 buckets diffs ~2/512ths of a 100 TB table.
+        # (PK-maintaining DML rewrites the dir holding a key's old row
+        # — that is what makes the dir "changed" — so both versions of
+        # every touched key live inside the unique sets.) Gated off
+        # when either endpoint carries deletion vectors: DV state is
+        # per-manifest and can differ on a SHARED dir, which would
+        # make "identical entry" a lie.
+        pruned = False
+        new = old = None
+        if (
+            self.DIFF_ENTRY_PRUNE
+            and man_from is not None
+            and man_from.get("entries")
+            and man_to.get("entries")
+            and not man_from.get("delete_vectors")
+            and not man_to.get("delete_vectors")
+        ):
+            pruned = True
+
+            def _ekey(e: dict) -> str:
+                return json.dumps(e, sort_keys=True)
+
+            def _core(e: dict) -> str:
+                # entry identity MINUS bucket liveness: same dir, same
+                # files — an incremental merge narrows `buckets` on the
+                # carried entry instead of rewriting it
+                return json.dumps(
+                    {k: v for k, v in e.items() if k != "buckets"},
+                    sort_keys=True,
+                )
+
+            common = {_ekey(e) for e in man_from["entries"]} & {
+                _ekey(e) for e in man_to["entries"]
+            }
+            old_rest = [
+                e for e in man_from["entries"] if _ekey(e) not in common
+            ]
+            new_rest = [
+                e for e in man_to["entries"] if _ekey(e) not in common
+            ]
+            # Bucket-liveness refinement: a dir carried with NARROWED
+            # liveness shares every live-in-both bucket's rows with the
+            # other side (files immutable) — only the DIFFERING buckets
+            # can hold diff rows, and _entries_df's per-file bucket
+            # filter prunes to exactly those files.
+            new_by_core: dict[str, list[dict]] = {}
+            for e in new_rest:
+                new_by_core.setdefault(_core(e), []).append(e)
+            old_es: list[dict] = []
+            new_es: list[dict] = []
+            matched: set[int] = set()
+            for e in old_rest:
+                cand = new_by_core.get(_core(e)) or []
+                if (
+                    len(cand) == 1
+                    and e.get("buckets") is not None
+                    and cand[0].get("buckets") is not None
+                ):
+                    n_e = cand[0]
+                    matched.add(id(n_e))
+                    ob, nb = set(e["buckets"]), set(n_e["buckets"])
+                    if ob - nb:
+                        old_es.append({**e, "buckets": sorted(ob - nb)})
+                    if nb - ob:
+                        new_es.append({**n_e, "buckets": sorted(nb - ob)})
+                else:
+                    old_es.append(e)
+            new_es += [e for e in new_rest if id(e) not in matched]
+            old = _side(old_es, man_from)
+            new = _side(new_es, man_to)
+        if not pruned:
+            new = _snap(man_to, to)
+            old = _snap(man_from, from_version)
         tag_v = F.lit(to).cast("long")
 
         def _tag(df: DataFrame, change: str) -> DataFrame:
@@ -4763,6 +4870,20 @@ class CommitLogTableStore(TableStore):
                 "_commit_version", tag_v
             )
 
+        if new is None and old is None:
+            if pruned:
+                # Manifests identical: PROVABLY no changes. Return an
+                # empty diff (schema from the endpoint) — None would
+                # wrongly send the caller to per-commit replay.
+                base = self._empty_df(man_to)
+                if base is not None:
+                    empty = self._apply_mapping(
+                        self._fill_added(base, man_to), man_to
+                    )
+                    if BUCKET_COL in empty.columns:
+                        empty = empty.drop(BUCKET_COL)
+                    return _tag(empty, "insert")
+            return None  # nothing to diff AND no schema source
         if old is None:
             return _tag(new, "insert")
         if new is None:
@@ -4782,9 +4903,23 @@ class CommitLogTableStore(TableStore):
             old.join(new.select(*pks).distinct(), on=pks, how="left_anti"),
             "delete",
         )
-        return inserts.unionByName(
+        out = inserts.unionByName(
             updates, allowMissingColumns=True
         ).unionByName(deletes, allowMissingColumns=True)
+        if include_preimages:
+            update_keys = (
+                changed.select(*pks)
+                .distinct()
+                .join(old_keys, on=pks, how="left_semi")
+            )
+            out = out.unionByName(
+                _tag(
+                    old.join(update_keys, on=pks, how="left_semi"),
+                    "update_preimage",
+                ),
+                allowMissingColumns=True,
+            )
+        return out
 
     def _changes_for_step(
         self, table_name: str, v: int, *, include_preimages: bool = False
@@ -5271,7 +5406,11 @@ class CommitLogTableStore(TableStore):
         snap = self._latest_commit(table_name)
         entry = self._prep_and_stage(df, table_name, primary_keys, snap)
         res = self._commit_staged_append(
-            table_name, entry, txn=txn, txn_group=txn_group
+            table_name,
+            entry,
+            txn=txn,
+            txn_group=txn_group,
+            primary_keys=primary_keys,
         )
         return res if txn is not None or txn_group is not None else None
 
@@ -5282,6 +5421,7 @@ class CommitLogTableStore(TableStore):
         *,
         txn: tuple[str, int] | None = None,
         txn_group: str | None = None,
+        primary_keys: list[str] | None = None,
     ) -> dict:
         """Publish one already-staged append entry (the fast, PUT-only
         half of :meth:`write_append`). MultiTableTxn stages every
@@ -5314,14 +5454,23 @@ class CommitLogTableStore(TableStore):
             manifest = {
                 "op": "append",
                 "merge_buckets": mb,
-                # An append never changes the table's merge identity:
+                # An append never changes an EXISTING merge identity:
                 # restate the recorded keys (delta commits carry
                 # top-level fields verbatim — omission would silently
                 # drop them for merge_into/update guards/rebucket).
+                # A table's FIRST append records the declared keys
+                # (r13): the append already bucket-routes by them, and
+                # without the record merge_into could never take the
+                # incremental touched-buckets path — every merge was a
+                # full table rewrite, the silent 100-TB killer.
                 **(
                     {"primary_keys": snap2[1]["primary_keys"]}
                     if snap2 and snap2[1].get("primary_keys")
-                    else {}
+                    else (
+                        {"primary_keys": list(primary_keys)}
+                        if primary_keys
+                        else {}
+                    )
                 ),
                 "entries": entries + [entry],
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),
@@ -5442,10 +5591,16 @@ class CommitLogTableStore(TableStore):
             manifest = {
                 "op": "append",
                 "merge_buckets": mb,
+                # first group-commit records the declared merge keys
+                # (see _commit_staged_append) — later ones restate
                 **(
                     {"primary_keys": snap2[1]["primary_keys"]}
                     if snap2 and snap2[1].get("primary_keys")
-                    else {}
+                    else (
+                        {"primary_keys": list(primary_keys)}
+                        if primary_keys
+                        else {}
+                    )
                 ),
                 "entries": entries + add,
                 **(self._carry_mapping(snap2[1]) if snap2 else {}),

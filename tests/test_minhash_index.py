@@ -657,23 +657,26 @@ def test_minhash_sync_never_scans_bands(spark, store, monkeypatch):
     assert minhash_index_matches(store, "mh", q).count() == 0
 
 
-def test_minhash_fallback_when_snapshot_vacuumed(spark, store, monkeypatch):
-    """A vacuumed cursor snapshot degrades retraction derivation to the
-    netted index-side scan: the sync still completes and the deleted
-    doc stops matching probes. (Netting under out-of-band DUPLICATE
-    appends — the same derivation — is gated in test_index_oob.py,
-    where the recorded ``oob_appends`` flag forces this path without
-    any vacuum.)"""
+def test_minhash_sync_never_rereads_cursor_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """r13: retractions ride the diff's delete/update_preimage rows —
+    the sync never re-reads the cursor snapshot (poisoned here), and
+    the deleted doc stops matching probes. (Netting under out-of-band
+    duplicate appends — the index-side derivation — is gated in
+    test_index_oob.py via the recorded ``oob_appends`` flag.)"""
     from pyairbyte_spark.operators.dedup import (
         attach_minhash_index,
         minhash_index_matches,
         sync_minhash_index,
     )
 
+    store = CommitLogTableStore(
+        spark, str(tmp_path / "whb"), "main", merge_buckets=8
+    )
     docs = _docs(spark, CORPUS)
     store.write_append(docs, "docs", ["doc_id"])
     attach_minhash_index(store, "docs", "mh")
-    cur = store.latest_version("docs")
     store.merge_into(
         "docs",
         spark.createDataFrame([(1,)], "doc_id long"),
@@ -681,22 +684,18 @@ def test_minhash_fallback_when_snapshot_vacuumed(spark, store, monkeypatch):
         when_matched_delete=True,
         when_not_matched_insert=False,
     )
-    calls = {"n": 0}
-    orig_rv = store.read_version
-
-    def rv(tbl, v, **kw):
-        if tbl == "docs" and v == cur:
-            calls["n"] += 1
-            if calls["n"] > 1:  # diff endpoint read ok; tombstone read fails
-                raise FileNotFoundError("vacuumed")
-        return orig_rv(tbl, v, **kw)
-
-    monkeypatch.setattr(store, "read_version", rv)
+    monkeypatch.setattr(
+        store,
+        "read_version",
+        lambda tbl, v, **kw: (_ for _ in ()).throw(
+            AssertionError(f"sync re-read snapshot {tbl}@{v}")
+        ),
+    )
     r = sync_minhash_index(store, "mh")
-    assert r["docs_changed"] == 1 and calls["n"] > 1
+    assert r["docs_changed"] == 1
+    monkeypatch.undo()
     q = _docs(spark, [(-1, CORPUS[0][1])])
     assert minhash_index_matches(store, "mh", q).count() == 0
-
 
 def test_guarded_replace_inspects_every_table_window(spark, store):
     """A foreign commit inside ANY written table's slot window aborts

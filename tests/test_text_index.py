@@ -467,20 +467,25 @@ def test_sync_never_scans_the_index(spark, store, monkeypatch):
     )
 
 
-def test_sync_index_scan_fallback_when_snapshot_unreadable(
-    spark, store, monkeypatch
+def test_sync_derives_retractions_from_diff_preimages(
+    spark, tmp_path, monkeypatch
 ):
-    """When the cursor snapshot's data is gone mid-sync (selective
-    vacuum), tombstones fall back to the exact index-side netted scan
-    — results identical, just O(index)."""
+    """r13: retraction tombstones ride the diff itself (delete rows +
+    update_preimage rows) — the sync NEVER re-reads the cursor
+    snapshot, and on a bucketed table the entry-pruned diff never
+    touches unchanged dirs. Poison read_version for the source
+    entirely: the sync must still land and stay exact."""
     from pyairbyte_spark.operators.search import (
         attach_text_index,
         sync_text_index,
     )
+    from pyairbyte_spark.writers import CommitLogTableStore
 
+    store = CommitLogTableStore(
+        spark, str(tmp_path / "whb"), "main", merge_buckets=8
+    )
     store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
     attach_text_index(store, "docs", "ti")
-    cur = store.latest_version("docs")
     store.merge_into(
         "docs",
         spark.createDataFrame(
@@ -490,20 +495,17 @@ def test_sync_index_scan_fallback_when_snapshot_unreadable(
         ["doc_id"],
         when_matched_update={"text": "s.text"},
     )
-    calls = {"n": 0}
-    orig_rv = store.read_version
-
-    def rv(tbl, v, **kw):
-        if tbl == "docs" and v == cur:
-            calls["n"] += 1
-            if calls["n"] > 1:  # diff's endpoint read succeeds; the
-                raise FileNotFoundError("vacuumed")  # tombstone read fails
-        return orig_rv(tbl, v, **kw)
-
-    monkeypatch.setattr(store, "read_version", rv)
+    monkeypatch.setattr(
+        store,
+        "read_version",
+        lambda tbl, v, **kw: (_ for _ in ()).throw(
+            AssertionError(f"sync re-read snapshot {tbl}@{v}")
+        ),
+    )
     r = sync_text_index(store, "ti")
     # 2 updates: each counts as one retraction + one insertion
-    assert r["docs_changed"] == 4 and calls["n"] > 1
+    assert r["docs_changed"] == 4
+    monkeypatch.undo()
     cur_docs = store.read("docs").select("doc_id", "text")
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur_docs, TERMS)
