@@ -30,8 +30,10 @@ from pyairbyte_spark.operators.search import (
 from pyairbyte_spark.writers import CommitLogTableStore
 
 
-def _mk_store(spark, docs):
-    store = CommitLogTableStore(spark, tempfile.mkdtemp("idxsync"), "s")
+def _mk_store(spark, docs, buckets=None):
+    store = CommitLogTableStore(
+        spark, tempfile.mkdtemp("idxsync"), "s", merge_buckets=buckets
+    )
     store.write_append(docs, "docs", ["doc_id"])
     attach_text_index(store, "docs", "ti", target_files=32)
     return store
@@ -64,10 +66,16 @@ def main() -> None:
         )
         .localCheckpoint()
     )
+    buckets = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     rows = None
-    print(f"corpus: {n} docs; index postings target_files=32")
+    print(
+        f"corpus: {n} docs; index postings target_files=32; "
+        f"source merge_buckets={buckets} (r13: bucketed sources give "
+        "the entry-pruned diff its O(touched buckets) shape; pass 0 "
+        "for the unbucketed full-rewrite contrast)"
+    )
     for n_del in (10, 100, 1000, 10_000):
-        store = _mk_store(spark, docs)
+        store = _mk_store(spark, docs, buckets=buckets or None)
         if rows is None:
             rows = store.table_stats("ti_postings")["rows"]
             print(f"postings rows: {rows}")
@@ -75,20 +83,14 @@ def main() -> None:
         t0 = time.monotonic()
         r = sync_text_index(store, "ti")
         dt = time.monotonic() - t0
-        # force the round-11 index-scan derivation for the same diff
-        store2 = _mk_store(spark, docs)
+        # force the netted index-side derivation (the oob/vacuumed
+        # fallback) for the same diff: record the oob_appends flag
+        store2 = _mk_store(spark, docs, buckets=buckets or None)
+        store2.write_replace(
+            store2.read("ti_meta").withColumn("oob_appends", F.lit(True)),
+            "ti_meta",
+        )
         _delete(store2, spark, n_del)
-        calls = {"n": 0}
-        orig_rv = store2.read_version
-
-        def rv(tbl, v, **kw):
-            if tbl == "docs":
-                calls["n"] += 1
-                if calls["n"] > 2:  # diff endpoints ok; tombstone read no
-                    raise FileNotFoundError("forced fallback")
-            return orig_rv(tbl, v, **kw)
-
-        store2.read_version = rv
         t0 = time.monotonic()
         r2 = sync_text_index(store2, "ti")
         dt2 = time.monotonic() - t0
