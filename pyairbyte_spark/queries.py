@@ -6216,7 +6216,7 @@ def _register_text_index_query() -> None:
             )
         )
         store = CommitLogTableStore(
-            spark, tempfile.mkdtemp(prefix="q-tisync-"), "q"
+            spark, tempfile.mkdtemp(prefix="q-tisync-"), "q", merge_buckets=8
         )
         store.write_append(docs, "docs", ["doc_id"])
         attach_text_index(store, "docs", "ti", target_files=16)
@@ -6285,7 +6285,7 @@ def text_index_wap_sync_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     store = CommitLogTableStore(
-        spark, tempfile.mkdtemp(prefix="q-tiwap-"), "q"
+        spark, tempfile.mkdtemp(prefix="q-tiwap-"), "q", merge_buckets=8
     )
     store.write_append(docs, "docs", ["doc_id"])
     store.create_branch("docs", "audit")
@@ -6401,7 +6401,7 @@ def ann_ivf_sync_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     store = CommitLogTableStore(
-        spark, tempfile.mkdtemp(prefix="q-ivfsync-"), "q"
+        spark, tempfile.mkdtemp(prefix="q-ivfsync-"), "q", merge_buckets=8
     )
     store.write_append(emb, "emb", ["vec_id"])
     attach_ivf_index(
@@ -6595,7 +6595,7 @@ def _register_pq_sync_query() -> None:
 
         emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         store = CommitLogTableStore(
-            spark, tempfile.mkdtemp(prefix="q-pqsync-"), "q"
+            spark, tempfile.mkdtemp(prefix="q-pqsync-"), "q", merge_buckets=8
         )
         store.write_append(emb, "emb", ["vec_id"])
         attach_pq_index(
@@ -7788,7 +7788,7 @@ def _register_follower_query() -> None:
 
         docs = t(spark, sf_dir, "documents").select("doc_id", "text")
         store = CommitLogTableStore(
-            spark, tempfile.mkdtemp(prefix="q-tifoll-"), "q"
+            spark, tempfile.mkdtemp(prefix="q-tifoll-"), "q", merge_buckets=8
         )
         store.write_append(docs, "docs", ["doc_id"])
         attach_text_index(store, "docs", "ti", target_files=16)
