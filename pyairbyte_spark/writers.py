@@ -613,7 +613,10 @@ class MultiTableTxn:
             return skip
         snap = self.store._latest_commit(table_name)
         entry = self.store._prep_and_stage(df, table_name, primary_keys, snap)
-        self._staged.append(("append", table_name, entry, None, txn))
+        # aux carries the declared merge keys: the group's first
+        # append to a fresh table records them (see
+        # _commit_staged_append) exactly like a standalone append
+        self._staged.append(("append", table_name, entry, primary_keys, txn))
         self._tables.add(table_name)
         return {"skipped": False, "staged": True}
 
@@ -830,7 +833,11 @@ class MultiTableTxn:
         for kind, table_name, payload, aux, txn in refreshed:
             if kind == "append":
                 res = self.store._commit_staged_append(
-                    table_name, payload, txn=txn, txn_group=self.group_id
+                    table_name,
+                    payload,
+                    txn=txn,
+                    txn_group=self.group_id,
+                    primary_keys=aux,
                 )
             elif kind == "replace":
                 res = self.store._commit_staged_replace(
