@@ -121,10 +121,27 @@ def test_count_distributed_equals_driver(spark, tmp_path, monkeypatch):
         a = drv.count_where("t", preds)
         b = dist.count_where("t", preds)
         assert a["count"] == b["count"], (preds, a, b)
-    # boundary-heavy distributed count degrades to one pruned scan
+    # boundary-heavy distributed count degrades to one pruned scan.
+    # Derive the cut strictly inside one file's [min, max] from the
+    # ACTUAL manifest, so the layout provably has >=1 boundary file no
+    # matter how Spark happened to split the seed (a cut landing
+    # exactly on a file edge would make the pure-metadata plan valid
+    # and the fallback never trigger).
+    man = drv._read_manifest("t", drv.latest_version("t"))
+    spans = [
+        f["stats"]["id"]
+        for e in man["entries"]
+        for f in (e.get("files") or [])
+        if (f.get("stats") or {}).get("id")
+    ]
+    cut = next(
+        (s["min"] + s["max"]) // 2 + 1
+        for s in spans
+        if s["max"] - s["min"] >= 2
+    )
     dist.COUNT_SCAN_FALLBACK_MAX = 0
-    r = dist.count_where("t", [("id", "<", 7500)])
-    assert r["count"] == 7500 and r["files_metadata"] == 0
+    r = dist.count_where("t", [("id", "<", cut)])
+    assert r["count"] == cut and r["files_metadata"] == 0
 
 
 def test_count_on_clone_and_branch(spark, store):

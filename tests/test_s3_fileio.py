@@ -61,21 +61,54 @@ def test_put_if_absent_conditional(s3io):
     assert s3io.read_text(p) == "first"
 
 
-def test_put_if_absent_threaded_race(s3io):
-    p = f"{ROOT}/c/race.json"
-    wins = []
+def test_put_if_absent_threaded_race():
+    """Conditional-PUT race against a moto *server*, not the
+    in-process mock: mock_aws shares one non-thread-safe backend, so
+    8 concurrent PUTs can all observe "absent" and all win — a fake
+    artifact, not a production bug (S3 applies If-None-Match
+    server-side-atomically). The server serializes backend mutation
+    per HTTP request, which is the consistency model the real service
+    gives us."""
+    from moto.server import ThreadedMotoServer
 
-    def attempt(i):
-        if s3io.put_if_absent(p, f"writer-{i}"):
-            wins.append(i)
+    srv = ThreadedMotoServer(port=0, verbose=False)
+    srv.start()
+    try:
+        port = srv._server.socket.getsockname()[1]
+        endpoint = f"http://127.0.0.1:{port}"
 
-    threads = [threading.Thread(target=attempt, args=(i,)) for i in range(8)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    assert len(wins) == 1
-    assert s3io.read_text(p) == f"writer-{wins[0]}"
+        def client():
+            return boto3.client(
+                "s3",
+                endpoint_url=endpoint,
+                aws_access_key_id="testing",
+                aws_secret_access_key="testing",
+                region_name="us-east-1",
+            )
+
+        client().create_bucket(Bucket=BUCKET)
+        p = f"{ROOT}/c/race.json"
+        wins = []
+        wins_lock = threading.Lock()
+
+        def attempt(i):
+            # one client per thread: botocore clients are not
+            # guaranteed thread-safe for concurrent calls
+            if S3FileIO(client()).put_if_absent(p, f"writer-{i}"):
+                with wins_lock:
+                    wins.append(i)
+
+        threads = [
+            threading.Thread(target=attempt, args=(i,)) for i in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(wins) == 1
+        assert S3FileIO(client()).read_text(p) == f"writer-{wins[0]}"
+    finally:
+        srv.stop()
 
 
 def test_listing_and_dirs(s3io):
