@@ -932,7 +932,9 @@ def _minhash_sync_spec():
     )
 
 
-def sync_minhash_index(store, index_name: str) -> dict:
+def sync_minhash_index(
+    store, index_name: str, *, diff_cache: dict | None = None
+) -> dict:
     """Catch the dedup index up to its source table's CURRENT snapshot
     — one ``search._sync_derived_index`` run with the MinHash family's
     row derivation (:func:`_minhash_sync_plan`): bands + sigs + cursor
@@ -942,7 +944,9 @@ def sync_minhash_index(store, index_name: str) -> dict:
     ``rebuilt`` on those paths)."""
     from pyairbyte_spark.operators.search import _sync_derived_index
 
-    return _sync_derived_index(store, index_name, _minhash_sync_spec())
+    return _sync_derived_index(
+        store, index_name, _minhash_sync_spec(), diff_cache=diff_cache
+    )
 
 
 def _bands_have_tombstones(store, index_name: str) -> bool:

@@ -471,7 +471,12 @@ class _SyncSpec:
         self.build_plan = build_plan
 
 
-def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
+_NO_DIFF = object()  # cache marker: window collapse was unsafe (None)
+
+
+def _sync_derived_index(
+    store, index_name: str, spec: _SyncSpec, *, diff_cache: dict | None = None
+) -> dict:
     """THE follows-source-DML sync protocol, shared by all four index
     families (before r13 each was a near-identical ~200-line copy; a
     protocol fix meant four edits and four chances to miss one): meta
@@ -507,6 +512,14 @@ def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
       diff) and unprovable branch lineage (publish record vacuumed —
       :class:`_LineageVacuumed`) rebuild from the current snapshot
       instead: correct, just not incremental.
+
+    ``diff_cache`` (r14): a per-tick mutable dict the FOLLOWER passes
+    so co-attached families share ONE diff per (table, ref, window,
+    id_col) instead of four — the computed (checkpointed) diff lands
+    in the cache keyed by that tuple, and later syncs at the same
+    cursor reuse it. Shared diffs always carry preimages (harmless for
+    oob syncs, whose change-type filters never select preimage rows
+    and whose retraction derivation nets the index regardless).
 
     BRANCH-ATTACHED indexes (``attach_*_index(ref=...)``) sync from
     the branch's history while it lives; once the branch publishes,
@@ -545,24 +558,38 @@ def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
     id_col = m["id_col"]
     payload = spec.payload_cols(m)
     oob = bool(m.get("oob_appends"))
+    cache_key = (table, ref, ref_id, cur, head, id_col)
+    cached = diff_cache.get(cache_key) if diff_cache is not None else None
     try:
-        diff = src.diff_snapshots(
-            table,
-            cur,
-            head,
-            primary_keys=[id_col],
-            any_ref=True,
-            # PRIMARY retraction derivation rides the diff itself:
-            # delete rows already carry old values, and preimages add
-            # the updated docs' old rows — zero reads beyond the
-            # (entry-pruned) diff, so the whole sync is O(changed
-            # dirs). Recorded oob_appends forces the netted index-side
-            # derivation instead (one negation per doc under-retracts
-            # a doc appended out of band), so preimages are skipped.
-            include_preimages=not oob,
-        )
+        if cached is not None:
+            diff = None if cached is _NO_DIFF else cached
+        else:
+            diff = src.diff_snapshots(
+                table,
+                cur,
+                head,
+                primary_keys=[id_col],
+                any_ref=True,
+                # PRIMARY retraction derivation rides the diff itself:
+                # delete rows already carry old values, and preimages
+                # add the updated docs' old rows — zero reads beyond
+                # the (entry-pruned) diff, so the whole sync is
+                # O(changed dirs). Recorded oob_appends forces the
+                # netted index-side derivation instead (one negation
+                # per doc under-retracts a doc appended out of band),
+                # so preimages are skipped — EXCEPT under a shared
+                # cache, whose one diff must serve oob and non-oob
+                # siblings alike.
+                include_preimages=not oob or diff_cache is not None,
+            )
+            if diff is not None:
+                # several passes below (and sibling syncs under a
+                # shared cache): don't re-diff
+                diff = diff.localCheckpoint()
     except FileNotFoundError:
         diff = None  # outage outlived retention: cursor snapshot vacuumed
+    if diff_cache is not None and cached is None:
+        diff_cache[cache_key] = _NO_DIFF if diff is None else diff
     if diff is None:
         # Mid-window rename/drop (collapse unsafe) or a vacuumed
         # cursor snapshot (collapse impossible) — rebuild from the
@@ -574,7 +601,6 @@ def _sync_derived_index(store, index_name: str, spec: _SyncSpec) -> dict:
             "docs_changed": None,
             "rebuilt": True,
         }
-    diff = diff.localCheckpoint()  # several passes below: don't re-diff
     removed = diff.filter(
         F.col("_change_type").isin("delete", "update_postimage")
     ).select(F.col(id_col).alias("id"))
@@ -745,7 +771,9 @@ _TEXT_SYNC_SPEC = _SyncSpec(
 )
 
 
-def sync_text_index(store, index_name: str) -> dict:
+def sync_text_index(
+    store, index_name: str, *, diff_cache: dict | None = None
+) -> dict:
     """Catch the index up to its source table's CURRENT snapshot from
     the change feed — the derived-index analogue of
     ``ChangeFeedFollower``, TRANSACTIONAL end to end. One
@@ -755,8 +783,11 @@ def sync_text_index(store, index_name: str) -> dict:
     plus one mergeable stats delta row, and postings + stats + cursor
     move as ONE txn group under the watermark CAS. Returns
     ``{"synced_from", "synced_to", "docs_changed"}`` (plus ``raced`` /
-    ``rebuilt`` on those paths)."""
-    return _sync_derived_index(store, index_name, _TEXT_SYNC_SPEC)
+    ``rebuilt`` on those paths). ``diff_cache``: per-tick shared-diff
+    dict (see :func:`_sync_derived_index`)."""
+    return _sync_derived_index(
+        store, index_name, _TEXT_SYNC_SPEC, diff_cache=diff_cache
+    )
 
 
 def _guarded_index_replace(store, writes: "list[tuple]"):

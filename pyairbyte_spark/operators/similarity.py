@@ -1063,7 +1063,9 @@ def _ivf_sync_plan(ctx) -> dict:
     }
 
 
-def sync_ivf_index(store, index_name: str) -> dict:
+def sync_ivf_index(
+    store, index_name: str, *, diff_cache: dict | None = None
+) -> dict:
     """Catch the IVF index up to its source table's CURRENT snapshot —
     one ``search._sync_derived_index`` run with the IVF family's row
     derivation (:func:`_ivf_sync_plan`): lists + cursor (meta) move as
@@ -1087,6 +1089,7 @@ def sync_ivf_index(store, index_name: str) -> dict:
             rebuild=_ivf_rebuild,
             build_plan=_ivf_sync_plan,
         ),
+        diff_cache=diff_cache,
     )
 
 
@@ -2060,7 +2063,9 @@ def _pq_sync_plan(ctx) -> dict:
     }
 
 
-def sync_pq_index(store, index_name: str) -> dict:
+def sync_pq_index(
+    store, index_name: str, *, diff_cache: dict | None = None
+) -> dict:
     """Catch the PQ index up to its source table's CURRENT snapshot —
     one ``search._sync_derived_index`` run with the PQ family's row
     derivation (:func:`_pq_sync_plan`): codes + cursor (meta) move as
@@ -2084,6 +2089,7 @@ def sync_pq_index(store, index_name: str) -> dict:
             rebuild=_pq_rebuild,
             build_plan=_pq_sync_plan,
         ),
+        diff_cache=diff_cache,
     )
 
 

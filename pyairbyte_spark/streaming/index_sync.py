@@ -128,6 +128,11 @@ class IndexSyncFollower:
         synced: dict[str, dict] = {}
         folded: list[str] = []
         behind = 0
+        # Per-tick shared-diff cache: co-attached families at the same
+        # (table, window, id_col) compute the entry-pruned diff ONCE
+        # and reuse it — 4 families used to mean 4x the diff I/O per
+        # tick (r13 verdict, What's wrong #3).
+        diff_cache: dict = {}
         for name, kind in self._targets().items():
             sync_fn, debt_fn, fold_fn = _family_fns(kind)
             meta = self.store.read(f"{name}_meta").collect()[0].asDict()
@@ -136,7 +141,7 @@ class IndexSyncFollower:
                 "source_ref"
             ):
                 continue  # caught up: O(1) metadata, no sync attempt
-            r = sync_fn(self.store, name)
+            r = sync_fn(self.store, name, diff_cache=diff_cache)
             if r.get("raced"):
                 behind += 1  # another follower applied this window
                 continue

@@ -48,6 +48,23 @@ from pyairbyte_spark.strategies import WriteMethod
 
 BUCKET_COL = "__pk_bucket"
 
+# Commit ops that move bytes or metadata but NEVER rows: the snapshot
+# relation is identical on both sides of such a commit by construction.
+# The CDF planner (`_changes_for_step`) and the collapse planner
+# (`diff_snapshots`'s rewrite-transparent window shrink) both key on
+# this. `restore` and `publish_branch` DO change the visible relation;
+# schema ops (`rename/drop/add_column`) are gated separately because
+# they change the COLUMNS even though they preserve rows.
+_ROW_PRESERVING_OPS = frozenset(
+    {
+        "compact",
+        "set_check",
+        "set_cluster_by",
+        "set_bloom_index",
+        "repair_metadata",
+    }
+)
+
 
 class TableStore:
     """Parquet-directory table store with swap-based atomicity.
@@ -4691,6 +4708,22 @@ class CommitLogTableStore(TableStore):
     # full snapshots — the equality escape hatch.
     DIFF_ENTRY_PRUNE = True
 
+    def _empty_diff_frame(self, man: dict | None, to: int) -> DataFrame | None:
+        """Zero-row change set in :meth:`diff_snapshots`' output shape,
+        schema drawn from ``man`` — the return value for windows PROVEN
+        changeless (identical manifests, or rewrite-only commit chains)
+        where ``None`` would wrongly send the caller to per-commit
+        replay. ``None`` when ``man`` carries no schema source."""
+        base = self._empty_df(man)
+        if base is None:
+            return None
+        empty = self._apply_mapping(self._fill_added(base, man), man)
+        if BUCKET_COL in empty.columns:
+            empty = empty.drop(BUCKET_COL)
+        return empty.withColumn("_change_type", F.lit("insert")).withColumn(
+            "_commit_version", F.lit(to).cast("long")
+        )
+
     def diff_snapshots(
         self,
         table_name: str,
@@ -4740,6 +4773,17 @@ class CommitLogTableStore(TableStore):
         endpoints read full: per-manifest DV state can differ on a
         shared dir). ``DIFF_ENTRY_PRUNE = False`` forces the full
         endpoint read (equality escape hatch).
+
+        REWRITE-TRANSPARENT (r14): row-preserving commits (compact /
+        rebucket / z-order / metadata-only — ``_ROW_PRESERVING_OPS``)
+        at either end of a single-ref window are peeled off before
+        entry pruning, since the snapshot relation is identical across
+        them by construction. A compaction between two sync cursors
+        therefore no longer destroys entry overlap (it used to force a
+        full-table digest anti-join that provably netted to nothing),
+        and a window of ONLY such commits returns an empty diff with
+        zero data I/O — the doctor's own compactions stop taxing every
+        attached index's next sync tick.
         """
         if not primary_keys:
             raise ValueError("diff_snapshots requires primary_keys")
@@ -4763,9 +4807,11 @@ class CommitLogTableStore(TableStore):
             != (man_to.get("added_columns") or None)
         ):
             return None  # schema grew inside the window: per-commit replay
+        cjs: dict[int, dict] = {}
         for v in range(from_version + 1, to + 1):
-            op = self._read_commit_json(table_name, v).get("op")
-            if op in ("rename_column", "drop_column", "add_column"):
+            cj = self._read_commit_json(table_name, v)
+            cjs[v] = cj
+            if cj.get("op") in ("rename_column", "drop_column", "add_column"):
                 return None
         # Mirror read_version's visibility contract for both endpoints
         # up front (the pruned path below reads entries directly).
@@ -4778,6 +4824,67 @@ class CommitLogTableStore(TableStore):
                     self._require_visible(table_name, v_, man_)  # raises
             else:
                 self._require_visible(table_name, v_, man_)
+        # REWRITE-TRANSPARENT WINDOW SHRINK (r14): compact / rebucket /
+        # z-order / metadata-only commits move bytes, never rows — the
+        # snapshot relation is identical across them by construction
+        # (the CDF already treats them as silent; this extends the same
+        # proof to the collapse planner). Entry pruning keys on dir
+        # identity, so a rewrite between the endpoints would otherwise
+        # share ZERO entries and force a full O(table) digest anti-join
+        # that provably nets to nothing — and the doctor PRESCRIBES
+        # compactions, so at 100 TB every maintenance window would tax
+        # every attached index's next sync tick. Peeling row-preserving
+        # commits off both ends of the window restores entry overlap;
+        # a window of ONLY such commits is a provably-empty diff with
+        # zero data I/O. Guarded to single-ref windows (a foreign ref's
+        # snapshot is a different relation, whatever its op) and to
+        # commits outside pending/aborted txn groups; ``tag_v`` keeps
+        # the caller-visible ``to`` so cursor semantics are unchanged.
+        f_eff, t_eff = from_version, to
+        man_from_eff, man_to_eff = man_from, man_to
+
+        def _gverdict(v: int) -> str | None:
+            gid = cjs[v].get("txn_group")
+            return "commit" if gid is None else self._group_verdict(gid)
+
+        if (
+            man_from is not None
+            and man_from.get("branch") == man_to.get("branch")
+            and all(
+                cjs[v].get("branch") == man_to.get("branch") for v in cjs
+            )
+            # an UNDECIDED txn-group prepare could still flip to commit
+            # (rows appear) — no peeling near one; decided windows only
+            and all(_gverdict(v) is not None for v in cjs)
+        ):
+
+            def _invisible(v: int) -> bool:
+                # aborted prepare: occupies the slot, its rows never
+                # became visible — snapshot unchanged, manifest GARBAGE
+                # (the prepared state), so peel across it but never
+                # land an endpoint's manifest read on it
+                return _gverdict(v) == "abort"
+
+            def _peelable(v: int) -> bool:
+                return _invisible(v) or cjs[v].get("op") in _ROW_PRESERVING_OPS
+
+            while t_eff > f_eff and _peelable(t_eff):
+                t_eff -= 1
+            f_man_v = from_version
+            while f_eff < t_eff and _peelable(f_eff + 1):
+                f_eff += 1
+                if not _invisible(f_eff):
+                    f_man_v = f_eff
+            if t_eff == f_eff:
+                empty = self._empty_diff_frame(man_to, to)
+                if empty is not None:
+                    return empty
+                f_eff, t_eff = from_version, to  # no schema source
+            else:
+                if t_eff != to:
+                    man_to_eff = self._read_manifest(table_name, t_eff)
+                if f_man_v != from_version:
+                    man_from_eff = self._read_manifest(table_name, f_man_v)
 
         def _snap(man: dict | None, version: int) -> DataFrame | None:
             if man is None or not man.get("entries"):
@@ -4808,11 +4915,11 @@ class CommitLogTableStore(TableStore):
         new = old = None
         if (
             self.DIFF_ENTRY_PRUNE
-            and man_from is not None
-            and man_from.get("entries")
-            and man_to.get("entries")
-            and not man_from.get("delete_vectors")
-            and not man_to.get("delete_vectors")
+            and man_from_eff is not None
+            and man_from_eff.get("entries")
+            and man_to_eff.get("entries")
+            and not man_from_eff.get("delete_vectors")
+            and not man_to_eff.get("delete_vectors")
         ):
             pruned = True
 
@@ -4828,14 +4935,14 @@ class CommitLogTableStore(TableStore):
                     sort_keys=True,
                 )
 
-            common = {_ekey(e) for e in man_from["entries"]} & {
-                _ekey(e) for e in man_to["entries"]
+            common = {_ekey(e) for e in man_from_eff["entries"]} & {
+                _ekey(e) for e in man_to_eff["entries"]
             }
             old_rest = [
-                e for e in man_from["entries"] if _ekey(e) not in common
+                e for e in man_from_eff["entries"] if _ekey(e) not in common
             ]
             new_rest = [
-                e for e in man_to["entries"] if _ekey(e) not in common
+                e for e in man_to_eff["entries"] if _ekey(e) not in common
             ]
             # Bucket-liveness refinement: a dir carried with NARROWED
             # liveness shares every live-in-both bucket's rows with the
@@ -4865,11 +4972,11 @@ class CommitLogTableStore(TableStore):
                 else:
                     old_es.append(e)
             new_es += [e for e in new_rest if id(e) not in matched]
-            old = _side(old_es, man_from)
-            new = _side(new_es, man_to)
+            old = _side(old_es, man_from_eff)
+            new = _side(new_es, man_to_eff)
         if not pruned:
-            new = _snap(man_to, to)
-            old = _snap(man_from, from_version)
+            new = _snap(man_to_eff, t_eff)
+            old = _snap(man_from_eff, f_eff)
         tag_v = F.lit(to).cast("long")
 
         def _tag(df: DataFrame, change: str) -> DataFrame:
@@ -4882,14 +4989,9 @@ class CommitLogTableStore(TableStore):
                 # Manifests identical: PROVABLY no changes. Return an
                 # empty diff (schema from the endpoint) — None would
                 # wrongly send the caller to per-commit replay.
-                base = self._empty_df(man_to)
-                if base is not None:
-                    empty = self._apply_mapping(
-                        self._fill_added(base, man_to), man_to
-                    )
-                    if BUCKET_COL in empty.columns:
-                        empty = empty.drop(BUCKET_COL)
-                    return _tag(empty, "insert")
+                empty = self._empty_diff_frame(man_to_eff, to)
+                if empty is not None:
+                    return empty
             return None  # nothing to diff AND no schema source
         if old is None:
             return _tag(new, "insert")

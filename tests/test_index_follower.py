@@ -229,3 +229,67 @@ def test_store_sink_syncs_attached_indexes_per_epoch(
     sink(_docs(spark, 35, 40), 2)
     assert sink.sync_errors == 1
     assert store.read("docs").count() == 40
+
+
+def test_tick_computes_one_diff_for_coattached_families(
+    spark, store, monkeypatch
+):
+    """r14: four families co-attached at the same cursor share ONE
+    entry-pruned diff per tick (it used to be one per family — 4x the
+    diff I/O on every maintenance window at 100 TB)."""
+    from pyairbyte_spark.operators.similarity import (
+        attach_ivf_index,
+        attach_pq_index,
+        ivf_index_topk,
+    )
+
+    dim = 8
+    docs = spark.createDataFrame(
+        [
+            (
+                i,
+                f"document {i} about topic {i % 5} mentioning "
+                f"keyword {i % 11} twice keyword",
+                [((i * 31 + j * 7 + 13) % 17) / 17.0 for j in range(dim)],
+            )
+            for i in range(0, 60)
+        ],
+        "doc_id long, text string, embedding array<double>",
+    )
+    store.write_append(docs, "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    attach_minhash_index(store, "docs", "mh")
+    attach_ivf_index(store, "docs", "iv", id_col="doc_id", n_centroids=4)
+    attach_pq_index(store, "docs", "pq", id_col="doc_id", m=4, ksub=8)
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(i,) for i in range(0, 6)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    calls: list[tuple] = []
+    orig = CommitLogTableStore.diff_snapshots
+
+    def spy(self, table, v0, v1, *a, **k):
+        calls.append((table, v0, v1))
+        return orig(self, table, v0, v1, *a, **k)
+
+    monkeypatch.setattr(CommitLogTableStore, "diff_snapshots", spy)
+    f = IndexSyncFollower(store, tombstone_max=None)
+    r = f.process_once()
+    assert set(r["synced"]) == {"ti", "mh", "iv", "pq"}
+    assert len([c for c in calls if c[0] == "docs"]) == 1
+    # every family applied the shared diff
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
+    q = spark.createDataFrame(
+        [(0, [((3 * 31 + j * 7 + 13) % 17) / 17.0 for j in range(dim)])],
+        "doc_id long, embedding array<double>",
+    )
+    hits = ivf_index_topk(
+        store, "iv", q, id_col="doc_id", k=3, n_probes=4
+    )
+    assert 3 not in {r["neighbor_id"] for r in hits.collect()}  # deleted
