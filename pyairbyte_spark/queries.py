@@ -7705,6 +7705,111 @@ def store_agg_distributed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "store_sum_tier_events",
+    """
+    -- r14 sum/avg metadata tier: parquet footers carry no sums, so
+    -- the store harvests per-file column SUMs itself (at staging, or
+    -- by backfill) — sum/avg join count/min/max in the zero-read
+    -- metadata tier, including on distributed (checkpoint-sidecar)
+    -- manifests. Correct pushdown is invisible in the numbers: the
+    -- oracle just aggregates; the zero-scan plans assert in-query.
+    SELECT 'backfill' AS which, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(user_id) AS BIGINT) AS sum_uid
+    FROM events
+    UNION ALL
+    SELECT 'dist_range', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM events WHERE event_id < 4000
+    UNION ALL
+    SELECT 'harvest_all', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'harvest_range', CAST(count(*) AS BIGINT),
+           CAST(sum(user_id) AS BIGINT)
+    FROM events WHERE event_id < 4000
+    ORDER BY which
+    """,
+    "per-file SUM harvest (write-time harvest_sums or build_sum_stats "
+    "backfill, a repair_metadata commit) makes sum/avg "
+    "metadata-answerable: unfiltered sums read ZERO files (asserted "
+    "in-query, driver AND distributed classifier), range sums read "
+    "only boundary files; avg decomposes to exact sum+count totals",
+)
+def store_sum_tier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyairbyte_spark import manifest as mf
+    from pyairbyte_spark.writers import CommitLogTableStore
+
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id")
+    aggs = [("sum", "user_id"), ("avg", "user_id"), ("count", "*")]
+
+    def rows_of(which, r):
+        a = r["aggs"]
+        # avg must be EXACTLY the exact-integer totals' ratio
+        assert a["avg_user_id"] == a["sum_user_id"] / a["count_star"]
+        return (which, int(a["count_star"]), int(a["sum_user_id"]))
+
+    # 1) write-time harvest: one column-pruned job per stage
+    h = CommitLogTableStore(
+        spark, tempfile.mkdtemp(prefix="q-sumh-"), "q", harvest_sums=True
+    )
+    h.write_append(ev, "m", None)
+    h.compact("m", sort_by=["event_id"], target_files=16)
+    r_all = h.agg_where("m", aggs)
+    assert r_all["files_scanned"] == 0, r_all  # pure metadata
+    r_rng = h.agg_where("m", aggs, [("event_id", "<", 4000)])
+    # clustered range: at most the one range-straddling boundary file
+    # reads (interior must-match files fold from metadata — how many
+    # exist is scale-dependent)
+    assert r_rng["files_scanned"] <= 1, r_rng
+    # 2) backfill an UN-harvested table: build_sum_stats publishes a
+    # row-preserving repair_metadata commit carrying enriched stats
+    b = CommitLogTableStore(spark, tempfile.mkdtemp(prefix="q-sumb-"), "q")
+    b.write_append(ev, "m", None)
+    b.compact("m", sort_by=["event_id"], target_files=16)
+    rb = b.build_sum_stats("m", ["user_id"])
+    assert rb["files_summed"] > 0, rb
+    r_bf = b.agg_where("m", aggs)
+    assert r_bf["files_scanned"] == 0, r_bf
+    # 3) distributed classifier folds harvested sums relationally —
+    # the entry list never reaches the driver (poisoned)
+    wh = tempfile.mkdtemp(prefix="q-sumd-")
+    w = CommitLogTableStore(spark, wh, "q", harvest_sums=True)
+    old_min = mf.PARQUET_CHECKPOINT_MIN_ENTRIES
+    mf.PARQUET_CHECKPOINT_MIN_ENTRIES = 1
+    try:
+        w.write_append(ev, "m", None)
+        w.compact("m", sort_by=["event_id"], target_files=16)
+    finally:
+        mf.PARQUET_CHECKPOINT_MIN_ENTRIES = old_min
+    d = CommitLogTableStore(spark, wh, "q")
+    d.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    top, entries_df, man = d._scan_source("m", None)
+    assert entries_df is not None and man is None  # sidecar branch
+    orig_rm = d._read_manifest
+    d._read_manifest = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("distributed sum tier materialized the manifest")
+    )
+    try:
+        r_d0 = d.agg_where("m", aggs)
+        assert r_d0["files_scanned"] == 0, r_d0
+        r_drng = d.agg_where("m", aggs, [("event_id", "<", 4000)])
+    finally:
+        d._read_manifest = orig_rm
+    return spark.createDataFrame(
+        [
+            rows_of("backfill", r_bf),
+            rows_of("dist_range", r_drng),
+            rows_of("harvest_all", r_all),
+            rows_of("harvest_range", r_rng),
+        ],
+        "which string, cnt long, sum_uid long",
+    ).orderBy("which")
+
+
+@register(
     "store_branch_agg_pushdown_events",
     """
     -- r13 branch-aware pushdowns: WAP audits answer count/max on the

@@ -89,10 +89,21 @@ class TableStore:
         merge_buckets: int | None = None,
         merge_salt: int | None = None,
         fileio=None,
+        harvest_sums: bool = False,
     ) -> None:
         from pyairbyte_spark.fileio import LocalFileIO
 
         self.spark = spark
+        # Opt-in per-file column-SUM harvest at staging (see
+        # _harvest_sums_into): parquet footers carry min/max/nulls but
+        # no sums, so sum/avg-bearing agg_where calls must scan unless
+        # the store harvests sums itself at write time — one extra
+        # column-pruned job per stage over the just-written files. No
+        # mainstream format (Delta/Iceberg) records per-file sums;
+        # this store's owned-manifest design can. Off by default so
+        # write latency is unchanged unless a table wants the tier;
+        # build_sum_stats() backfills existing tables.
+        self.harvest_sums = harvest_sums
         # The storage seam (fileio.py): all driver-side metadata I/O —
         # manifests, commit publication, listings, footer harvest,
         # vacuum — goes through ``self.io`` so the store runs wherever
@@ -938,7 +949,8 @@ def _agg_meta_answer(
     requested aggregate, or None when any is unanswerable from the
     footer stats: ``count(*)`` from the row count, ``count(col)`` from
     rows − nulls, ``min/max(col)`` from the zone map when the column's
-    type makes footer min/max exact values. Module-level (not a
+    type makes footer min/max exact values, ``sum(col)`` from the
+    store-harvested per-file sum when present. Module-level (not a
     closure over the store) so both :meth:`agg_where`'s driver loop
     and the distributed classifier's pandas UDF can ship it to
     executors."""
@@ -961,8 +973,23 @@ def _agg_meta_answer(
                 return None
             out[a] = rows - nulls
             continue
-        if fn in ("sum", "avg"):
-            return None  # no footer sum stat: scan
+        if fn == "avg":
+            # agg_where expands avg -> sum + count before classifying;
+            # a direct avg spec has no stats tier
+            return None
+        if fn == "sum":
+            # harvested at staging (harvest_sums / build_sum_stats) —
+            # parquet footers carry no sum, so absence = scan tier
+            if cs is None:
+                return None
+            nulls = cs.get("nulls")
+            if nulls is not None and nulls >= rows:
+                continue  # all-null: SQL SUM ignores it
+            s = cs.get("sum")
+            if s is None:
+                return None
+            out[a] = s
+            continue
         if col not in exact_minmax or cs is None:
             return None
         nulls = cs.get("nulls")
@@ -2010,6 +2037,53 @@ class CommitLogTableStore(TableStore):
             f"{op} on {table_name!r} lost {self._COMMIT_RETRIES} commit races"
         )
 
+    # Integral Spark types whose per-file SUM harvest is exact (float
+    # sums are order-dependent, decimals are omitted at footer harvest
+    # — both stay scan-tier).
+    _SUM_STAT_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+    def _harvest_sums_into(
+        self, path: str, df: DataFrame, files: "list[dict]"
+    ) -> None:
+        """Per-file column SUMs for integral columns, folded into the
+        freshly harvested footer stats as ``stats[col]["sum"]`` — ONE
+        distributed, column-pruned job over the just-staged dir
+        (O(new data), hot in page cache; parquet footers carry no sum,
+        so write time is the only point per-file sums are knowable
+        without re-reading history). Sums accumulate in decimal(38,0)
+        so 100-TB-scale files can't overflow the fold. Powers the
+        sum/avg metadata tier of :meth:`agg_where`; a column without
+        the key simply stays scan-tier (conservative)."""
+        cols = [
+            f.name
+            for f in df.schema.fields
+            if f.name != BUCKET_COL
+            and f.dataType.simpleString() in self._SUM_STAT_TYPES
+        ]
+        if not cols:
+            return
+        rows = (
+            self.spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(
+                *[
+                    F.sum(F.col(c).cast("decimal(38,0)")).alias(c)
+                    for c in cols
+                ]
+            )
+            .collect()
+        )
+        by_base = {r["__fp"].rsplit("/", 1)[-1]: r for r in rows}
+        for frec in files:
+            r = by_base.get(frec["path"].rsplit("/", 1)[-1])
+            stats = frec.get("stats")
+            if r is None or stats is None:
+                continue
+            for c in cols:
+                cs = stats.get(c)
+                if cs is not None and r[c] is not None:
+                    cs["sum"] = int(r[c])
+
     def _stage(self, df: DataFrame, table_name: str) -> dict:
         """Write ``df`` into a fresh immutable data dir; return its
         manifest entry (path + bucket partitions present + per-file
@@ -2047,6 +2121,8 @@ class CommitLogTableStore(TableStore):
             files.append(
                 {"path": rel, "bucket": bucket, "bytes": size, **stats}
             )
+        if self.harvest_sums and files:
+            self._harvest_sums_into(path, df, files)
         buckets = sorted(bucket_set) if BUCKET_COL in df.columns else None
         # The PHYSICAL schema rides every entry so a snapshot whose
         # files have all been deleted (DELETE matching every row) still
@@ -3917,6 +3993,14 @@ class CommitLogTableStore(TableStore):
                         ).otherwise(F.lit(0))
                     ).alias(a)
                 )
+            elif fn == "sum":
+                # harvested per-file sums are integral-exact; an
+                # absent key (all-null file contributes nothing) is a
+                # NULL the fold skips — so a no-contribution window
+                # folds to NULL, matching SQL SUM semantics
+                agg_exprs.append(
+                    F.sum(F.when(is_meta, j.cast("long"))).alias(a)
+                )
             else:
                 fold = F.min if fn == "min" else F.max
                 agg_exprs.append(
@@ -4035,6 +4119,8 @@ class CommitLogTableStore(TableStore):
                 ]
                 if not vals:
                     out_aggs[a] = None
+                elif fn == "sum":
+                    out_aggs[a] = sum(vals)
                 else:
                     out_aggs[a] = min(vals) if fn == "min" else max(vals)
         return {
@@ -4070,14 +4156,22 @@ class CommitLogTableStore(TableStore):
           filter, ALL aggregates computed from data (a file is never
           split between tiers, so nothing double-counts).
 
-        ``sum`` has no footer stat, so sum-bearing requests scan every
-        matching file — but only the referenced columns (columnar
-        projection) over the may-match sliver. When every requested
-        aggregate is min/max, boundary files whose zone maps prove they
-        cannot improve the metadata-tier candidates are additionally
-        skipped (min-dominance: a file with ``stats.min >= cand_min``
-        cannot lower the minimum — a point-lookup-style plan on a
-        clustered 100 TB table reads only the competitive files).
+        ``sum(col)`` joins the metadata tier when the store harvested
+        per-file sums for the column (``harvest_sums=True`` at staging,
+        or a :meth:`build_sum_stats` backfill) — parquet footers carry
+        no sum, so un-harvested columns scan every matching file (only
+        the referenced columns, columnar projection, over the
+        may-match sliver). No mainstream format (Delta/Iceberg)
+        records per-file sums; this store's owned manifests can.
+        ``avg`` decomposes to ``sum + count(col)`` before
+        classification (per-file averages don't merge; sum+count pairs
+        do) and divides the exact totals once at the end. When every
+        requested aggregate is min/max, boundary files whose zone maps
+        prove they cannot improve the metadata-tier candidates are
+        additionally skipped (min-dominance: a file with ``stats.min
+        >= cand_min`` cannot lower the minimum — a point-lookup-style
+        plan on a clustered 100 TB table reads only the competitive
+        files).
 
         On a clustered table, ``min/max`` of the cluster key over a
         range predicate is answered from boundary files only; the
@@ -4085,9 +4179,9 @@ class CommitLogTableStore(TableStore):
         DVs poison footer stats, so DV-bearing snapshots scan (still
         may-match pruned; exact either way). Checkpoint-sidecar
         (distributed-manifest) snapshots ride the distributed
-        classifier for any count/min/max list — the entry list never
-        materializes on the driver (:meth:`_agg_where_distributed`);
-        only sum/avg-bearing requests degrade to one pruned scan.
+        classifier for any count/min/max/sum list — the entry list
+        never materializes on the driver
+        (:meth:`_agg_where_distributed`).
         Returns ``{"aggs": {alias: value}, "files_total",
         "files_metadata", "files_scanned"}`` with aliases
         ``{fn}_{col}`` (``count_star`` for ``count(*)``); empty match
@@ -4113,6 +4207,35 @@ class CommitLogTableStore(TableStore):
             specs.append((fn, col))
         if not specs:
             raise ValueError("agg_where requires at least one aggregate")
+        if any(fn == "avg" for fn, _c in specs):
+            # AVG = SUM / COUNT(col), decomposed so both the driver
+            # loop and the distributed classifier only ever fold
+            # mergeable aggregates (a per-file average is not
+            # mergeable; a per-file sum+count pair is). The division
+            # happens once, here, on the exact integer totals.
+            internal: list[tuple[str, str]] = []
+            for fn, col in specs:
+                for p in (
+                    [("sum", col), ("count", col)]
+                    if fn == "avg"
+                    else [(fn, col)]
+                ):
+                    if p not in internal:
+                        internal.append(p)
+            r = self.agg_where(
+                table_name, internal, predicates, version=version
+            )
+            ia = r["aggs"]
+            out: dict = {}
+            for fn, col in specs:
+                a = _agg_alias(fn, col)
+                if fn == "avg":
+                    s = ia.get(f"sum_{col}")
+                    c = ia.get(f"count_{col}")
+                    out[a] = None if not c or s is None else s / c
+                else:
+                    out[a] = ia.get(a)
+            return {**r, "aggs": out}
         preds = normalize_dnf(predicates)
         top, entries_df, man = self._scan_source(table_name, version)
         preds_phys = self._physical_dnf(top, preds)
@@ -4166,7 +4289,10 @@ class CommitLogTableStore(TableStore):
             if (
                 entries_df is not None
                 and not has_dvs
-                and all(fn in ("count", "min", "max") for fn, _c in specs)
+                and all(
+                    fn in ("count", "min", "max", "sum")
+                    for fn, _c in specs
+                )
             ):
                 # checkpoint-sidecar manifest, MIXED stats-answerable
                 # list (r13, was a pruned-scan degrade): the same
@@ -4181,13 +4307,44 @@ class CommitLogTableStore(TableStore):
                     return r
             return _scan_fallback()
         # Which columns allow exact metadata min/max, keyed by their
-        # PHYSICAL stats name (schema from the logical view).
-        logical_types = {
-            f.name: f.dataType.simpleString()
-            for f in self._apply_mapping(
-                self._read_manifest_df(table_name, man), man
-            ).schema.fields
-        }
+        # PHYSICAL stats name. Types come from the RECORDED schema
+        # JSON (entry-level newest first, then the carried top-level
+        # field, plus metadata-added columns) — building a Spark frame
+        # just to read types would re-infer schema over every data dir.
+        sch = next(
+            (
+                e.get("schema")
+                for e in reversed(man.get("entries") or [])
+                if e.get("schema")
+            ),
+            None,
+        ) or man.get("schema")
+        logical_types: dict[str, str] = {}
+        if sch:
+            mapping, _dropped = self._mapping_of(man)
+            _json_t = {
+                "long": "bigint",
+                "integer": "int",
+                "short": "smallint",
+                "byte": "tinyint",
+            }
+            for fld in json.loads(sch)["fields"]:
+                t = fld.get("type")
+                if isinstance(t, str):
+                    logical_types[mapping.get(fld["name"], fld["name"])] = (
+                        _json_t.get(t, t)
+                    )
+            for phys, spec in (man.get("added_columns") or {}).items():
+                logical_types.setdefault(
+                    mapping.get(phys, phys), spec["type"]
+                )
+        else:  # pre-schema manifest: fall back to the scan's own view
+            logical_types = {
+                f.name: f.dataType.simpleString()
+                for f in self._apply_mapping(
+                    self._read_manifest_df(table_name, man), man
+                ).schema.fields
+            }
         phys_of = {
             col: self._to_physical(man, col)
             for _fn, col in specs
@@ -4206,6 +4363,7 @@ class CommitLogTableStore(TableStore):
         meta_files = total = 0
         cand: dict[str, object] = {}
         counts: dict[str, int] = {}
+        sums: dict[str, int] = {}
 
         def _fold_meta(contrib: dict) -> None:
             for (fn, col) in specs:
@@ -4214,6 +4372,8 @@ class CommitLogTableStore(TableStore):
                     continue
                 if fn == "count":
                     counts[a] = counts.get(a, 0) + contrib[a]
+                elif fn == "sum":
+                    sums[a] = sums.get(a, 0) + contrib[a]
                 elif fn == "min":
                     cand[a] = (
                         contrib[a]
@@ -4313,10 +4473,14 @@ class CommitLogTableStore(TableStore):
             if fn == "count":
                 out_aggs[a] = counts.get(a, 0) + (scanned.get(a) or 0)
             elif fn in ("sum", "avg"):
-                # every file contributing rows to a sum/avg is in the
-                # scan tier by construction, so the scanned aggregate
-                # IS the answer
-                out_aggs[a] = scanned.get(a)
+                # metadata tier holds only for columns with harvested
+                # per-file sums (harvest_sums / build_sum_stats);
+                # everything else lands in the scan tier. SQL SUM over
+                # an empty match set is NULL, never 0.
+                vals = [
+                    v for v in (sums.get(a), scanned.get(a)) if v is not None
+                ]
+                out_aggs[a] = sum(vals) if vals else None
             else:
                 vals = [
                     v for v in (cand.get(a), scanned.get(a)) if v is not None
@@ -7127,6 +7291,153 @@ class CommitLogTableStore(TableStore):
             rows,
             "entry_path string, file_path string, base string, rows long",
         )
+
+    def build_sum_stats(
+        self,
+        table_name: str,
+        columns: "list[str] | None" = None,
+    ) -> dict:
+        """Backfill per-file column SUMs into the current snapshot's
+        manifest stats — the maintenance twin of the write-time
+        ``harvest_sums=True`` harvest (:meth:`_harvest_sums_into`),
+        for tables written before the flag was set. ONE column-pruned
+        Spark job over exactly the files still missing a sum for any
+        requested integral column, then an op="repair_metadata" commit
+        (row-preserving: CDF-silent, diff-peelable, cheap) carrying
+        the enriched stats. After it, sum/avg-bearing
+        :meth:`agg_where` calls answer must-match files from metadata
+        (``files_scanned == 0`` on a covered clustered range).
+
+        ``columns``: logical names to backfill (default: every
+        integral column). Files whose footer harvest omitted a column
+        (stat-less row groups, type caps) stay sum-less —
+        conservative, they scan. Returns ``{"files_summed",
+        "columns", "version"}``."""
+        version = self.latest_version(table_name)
+        man = self._read_manifest(table_name, version)
+        sch = man.get("schema") or next(
+            (e.get("schema") for e in man.get("entries") or []
+             if e.get("schema")),
+            None,
+        )
+        if sch is None:
+            raise ValueError(f"table {table_name!r} has no schema source")
+        _json_t = {
+            "long": "bigint",
+            "integer": "int",
+            "short": "smallint",
+            "byte": "tinyint",
+        }
+        integral = {
+            fld["name"]
+            for fld in json.loads(sch)["fields"]
+            if isinstance(fld.get("type"), str)
+            and _json_t.get(fld["type"], fld["type"]) in self._SUM_STAT_TYPES
+        }
+        if columns is not None:
+            want = {self._to_physical(man, c) for c in columns}
+            bad = want - integral
+            if bad:
+                raise ValueError(
+                    f"columns {sorted(bad)} are not integral; per-file "
+                    "sums are harvested only for exact integer types"
+                )
+            integral = want
+        integral.discard(BUCKET_COL)
+        cols = sorted(integral)
+        if not cols:
+            return {"files_summed": 0, "columns": [], "version": version}
+        # target: live files with a stat record for some wanted column
+        # but no sum on it yet
+        targets: dict[str, tuple[int, int]] = {}
+        entries = [dict(e) for e in man.get("entries") or []]
+        for ei, e in enumerate(entries):
+            live = e.get("buckets")
+            for fi, f in enumerate(e.get("files") or []):
+                if (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                ):
+                    continue
+                stats = f.get("stats") or {}
+                if any(
+                    c in stats and "sum" not in stats[c] for c in cols
+                ):
+                    abs_key = f"{e['path']}/{f['path']}"
+                    targets[abs_key] = (ei, fi)
+        if not targets:
+            return {"files_summed": 0, "columns": cols, "version": version}
+        paths = [
+            os.path.join(
+                self._entry_base(table_name, entries[ei]),
+                key,
+            )
+            for key, (ei, _fi) in targets.items()
+        ]
+        rows = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*paths)
+            .groupBy(F.col("_metadata.file_path").alias("__fp"))
+            .agg(
+                *[
+                    F.sum(F.col(c).cast("decimal(38,0)")).alias(c)
+                    for c in cols
+                ]
+            )
+            .collect()
+        )
+        summed = 0
+        new_entries = [
+            {**e, "files": [dict(f) for f in e["files"]]}
+            if e.get("files") is not None
+            else e
+            for e in entries
+        ]
+        by_base: dict[str, list] = {}
+        for key, t in targets.items():
+            by_base.setdefault(key.rsplit("/", 1)[-1], []).append((key, t))
+        for r in rows:
+            fp = r["__fp"]
+            cands = by_base.get(fp.rsplit("/", 1)[-1]) or []
+            hit = next((t for key, t in cands if fp.endswith(key)), None)
+            if hit is None:
+                continue
+            ei, fi = hit
+            f = new_entries[ei]["files"][fi]
+            stats = {
+                k: dict(v) for k, v in (f.get("stats") or {}).items()
+            }
+            changed = False
+            for c in cols:
+                cs = stats.get(c)
+                if cs is not None and "sum" not in cs and r[c] is not None:
+                    cs["sum"] = int(r[c])
+                    changed = True
+            if changed:
+                f["stats"] = stats
+                summed += 1
+        self._commit(
+            table_name,
+            {
+                "op": "repair_metadata",
+                "merge_buckets": man.get("merge_buckets"),
+                **(
+                    {"primary_keys": man["primary_keys"]}
+                    if man.get("primary_keys")
+                    else {}
+                ),
+                "entries": new_entries,
+                **self._carry_mapping(man),
+                **self._carry_dv(man),
+            },
+            version + 1,
+        )
+        return {
+            "files_summed": summed,
+            "columns": cols,
+            "version": version + 1,
+        }
 
     def build_bloom_index(
         self,

@@ -1,0 +1,221 @@
+"""Per-file SUM harvest → sum/avg metadata tier (r14): parquet footers
+carry min/max/null-count but no sums, so ``agg_where`` used to scan
+every matching file for any sum/avg-bearing list. The store now
+harvests per-file column SUMs for integral columns at staging
+(``harvest_sums=True``: one column-pruned job over the just-written
+files) or by backfill (``build_sum_stats``), making sum/avg
+metadata-answerable with the same three-tier classification — a
+capability no mainstream format (Delta/Iceberg) ships, possible here
+because the store owns its manifests.
+
+Gates: exact vs a full-scan truth across tier mixes, zero-scan plans
+on covered ranges (poisoned), avg decomposition (sum+count folding,
+not per-file averages), null/all-null semantics, un-harvested (float /
+missing) columns degrade to scan, DV poisoning, the distributed
+classifier twin, and the repair_metadata backfill being CDF-silent and
+diff-peelable.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyairbyte_spark import manifest as mf
+from pyairbyte_spark.writers import CommitLogTableStore
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main", harvest_sums=True
+    )
+
+
+def _seed(spark, store, n=20000, files=8):
+    df = (
+        spark.range(0, n)
+        .toDF("id")
+        .withColumn("v", (F.col("id") * 7919) % 1000)
+        .withColumn("f", (F.col("id") % 97).cast("double"))
+    )
+    store.write_append(df.coalesce(files), "t", None)
+    store.compact("t", sort_by=["id"], target_files=files)
+    return df
+
+
+def _truth(df, preds_col, *exprs):
+    base = df.filter(preds_col) if preds_col is not None else df
+    return tuple(base.agg(*exprs).collect()[0])
+
+
+def test_sum_avg_metadata_tier_exact(spark, store):
+    df = _seed(spark, store)
+    # unfiltered: pure metadata, zero files read
+    r = store.agg_where("t", [("sum", "v"), ("avg", "v")])
+    s, c = _truth(df, None, F.sum("v"), F.count("v"))
+    assert r["aggs"]["sum_v"] == s
+    assert r["aggs"]["avg_v"] == s / c
+    assert r["files_scanned"] == 0
+    assert r["files_metadata"] == r["files_total"]
+    # clustered range: interior files from metadata, boundary scanned
+    r = store.agg_where(
+        "t", [("sum", "v"), ("count", "*"), ("min", "id")],
+        [("id", "<", 7500)],
+    )
+    s2 = _truth(df, F.col("id") < 7500, F.sum("v"))[0]
+    assert r["aggs"]["sum_v"] == s2
+    assert r["aggs"]["count_star"] == 7500
+    assert r["aggs"]["min_id"] == 0
+    assert r["files_metadata"] >= 2 and r["files_scanned"] >= 1
+    # empty match set: SQL semantics (sum NULL, count 0)
+    r = store.agg_where(
+        "t", [("sum", "v"), ("count", "v")], [("id", ">", 10 ** 9)]
+    )
+    assert r["aggs"]["sum_v"] is None and r["aggs"]["count_v"] == 0
+
+
+def test_covered_range_never_reads_data(spark, store, monkeypatch):
+    _seed(spark, store)
+    monkeypatch.setattr(
+        store,
+        "_entries_df",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("metadata-answerable sum read data")
+        ),
+    )
+    r = store.agg_where("t", [("sum", "v"), ("avg", "id")])
+    assert r["files_scanned"] == 0 and r["aggs"]["sum_v"] == 9990000
+
+
+def test_unharvested_columns_scan_and_stay_exact(spark, tmp_path):
+    # store WITHOUT harvest: sums absent -> every matching file scans
+    spark_store = CommitLogTableStore(spark, str(tmp_path / "w2"), "main")
+    df = _seed(spark, spark_store, n=5000, files=4)
+    r = spark_store.agg_where("t", [("sum", "v")], [("id", "<", 2500)])
+    assert r["aggs"]["sum_v"] == _truth(
+        df, F.col("id") < 2500, F.sum("v")
+    )[0]
+    assert r["files_metadata"] == 0
+
+
+def test_float_column_sums_scan(spark, store):
+    df = _seed(spark, store, n=4000, files=4)
+    # doubles are order-dependent: never harvested, always scan-tier
+    r = store.agg_where("t", [("sum", "f")])
+    assert r["files_metadata"] == 0
+    assert r["aggs"]["sum_f"] == pytest.approx(
+        _truth(df, None, F.sum("f"))[0]
+    )
+    # but mixing a float sum with an int sum degrades BOTH files'
+    # classification together (one tier per file), staying exact
+    r = store.agg_where("t", [("sum", "f"), ("sum", "v")])
+    assert r["aggs"]["sum_v"] == _truth(df, None, F.sum("v"))[0]
+
+
+def test_null_semantics(spark, store):
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 30), (4, None)], "id long, v long"
+    )
+    store.write_append(df.coalesce(1), "t", None)
+    r = store.agg_where("t", [("sum", "v"), ("avg", "v"), ("count", "v")])
+    assert r["aggs"]["sum_v"] == 40
+    assert r["aggs"]["avg_v"] == 20.0
+    assert r["aggs"]["count_v"] == 2
+    # an ALL-null file has no footer min/max for the column, so the
+    # harvest records no stat at all — it conservatively scans (and
+    # contributes nothing), keeping the total exact
+    allnull = spark.createDataFrame(
+        [(5, None), (6, None)], "id long, v long"
+    )
+    store.write_append(allnull.coalesce(1), "t", None)
+    r = store.agg_where("t", [("sum", "v")])
+    assert r["aggs"]["sum_v"] == 40 and r["files_scanned"] == 1
+
+
+def test_dv_poisoning_scans_exact(spark, store):
+    df = _seed(spark, store, n=5000, files=4)
+    store.delete_where("t", [[("id", "<", 10)]], mode="mor")
+    r = store.agg_where("t", [("sum", "v")], [("id", "<", 2500)])
+    want = _truth(
+        df.filter(F.col("id") >= 10), F.col("id") < 2500, F.sum("v")
+    )[0]
+    assert r["aggs"]["sum_v"] == want
+    assert r["files_metadata"] == 0
+
+
+def test_backfill_build_sum_stats(spark, tmp_path, monkeypatch):
+    st = CommitLogTableStore(spark, str(tmp_path / "w3"), "main")
+    df = _seed(spark, st, n=8000, files=4)
+    r0 = st.agg_where("t", [("sum", "v")])
+    assert r0["files_metadata"] == 0  # un-harvested
+    r = st.build_sum_stats("t")
+    assert r["files_summed"] == 4 and set(r["columns"]) == {"id", "v"}
+    # second call: nothing left to sum, no commit churn
+    v = st.latest_version("t")
+    assert st.build_sum_stats("t")["files_summed"] == 0
+    assert st.latest_version("t") == v
+    monkeypatch.setattr(
+        st,
+        "_entries_df",
+        lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("backfilled sum read data")
+        ),
+    )
+    r1 = st.agg_where("t", [("sum", "v"), ("avg", "v")])
+    s, c = _truth(df, None, F.sum("v"), F.count("v"))
+    assert r1["aggs"]["sum_v"] == s and r1["aggs"]["avg_v"] == s / c
+    assert r1["files_scanned"] == 0
+    monkeypatch.undo()
+    # the repair commit is row-preserving: CDF-silent and diff-peelable
+    assert st.read_changes("t", v, v).count() == 0 if hasattr(
+        st, "read_changes"
+    ) else True
+    d = st.diff_snapshots("t", v - 1, v, ["id"])
+    assert d is not None and d.count() == 0
+
+
+def test_distributed_classifier_folds_sums(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    dist = CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main", harvest_sums=True
+    )
+    dist.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    drv = CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main", harvest_sums=True
+    )
+    df = _seed(spark, drv)
+    for preds in (
+        None,
+        [("id", "<", 7500)],
+        [[("id", "<", 100)], [("id", ">=", 19900)]],
+        [("v", "<", 500)],
+    ):
+        a = drv.agg_where(
+            "t", [("sum", "v"), ("count", "*"), ("max", "id")], preds
+        )
+        b = dist.agg_where(
+            "t", [("sum", "v"), ("count", "*"), ("max", "id")], preds
+        )
+        assert a["aggs"] == b["aggs"], (preds, a, b)
+    # unfiltered distributed sum: all-metadata plan
+    r = dist.agg_where("t", [("sum", "v"), ("avg", "v")])
+    s, c = _truth(df, None, F.sum("v"), F.count("v"))
+    assert r["aggs"]["sum_v"] == s and r["aggs"]["avg_v"] == s / c
+    assert r["files_scanned"] == 0
+
+
+def test_sums_survive_compact_and_merge(spark, store):
+    _seed(spark, store, n=6000, files=4)
+    store.merge_into(
+        "t",
+        spark.createDataFrame([(i,) for i in range(0, 50)], "id long"),
+        ["id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    store.compact("t", sort_by=["id"])
+    cur = store.read("t")
+    want = cur.agg(F.sum("v")).collect()[0][0]
+    r = store.agg_where("t", [("sum", "v")])
+    assert r["aggs"]["sum_v"] == want and r["files_scanned"] == 0
