@@ -50,7 +50,8 @@ from pyairbyte_spark.writers import CommitLogTableStore
 
 def main() -> None:
     spark = get_spark("index-follower-tour")
-    store = CommitLogTableStore(spark, tempfile.mkdtemp(), "tour")
+    wh = tempfile.mkdtemp()
+    store = CommitLogTableStore(spark, wh, "tour")
 
     docs = spark.createDataFrame(
         [
@@ -129,6 +130,48 @@ def main() -> None:
         "   minhash health after auto-fold:",
         minhash_index_health(store, "mh")["tombstone_fraction"],
     )
+
+    print("== 6. the doctor: review, then one call heals ==")
+    # seed fresh debt with the auto-fold cadence OFF, the way an
+    # operator-reviewed maintenance window would see it
+    store.merge_into(
+        "docs",
+        spark.createDataFrame([(i,) for i in range(30, 80)], "doc_id long"),
+        ["doc_id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    IndexSyncFollower(store, tombstone_max=None).process_once()
+    dry = store.apply_maintenance_plan(dry_run=True)
+    print(
+        "   review (dry run):",
+        [(a["target"], a["action"]) for a in dry["actions"]],
+    )
+    # MCP parity: the apply_store_maintenance tool (what an agent
+    # calls over MCP) must prescribe EXACTLY what the library does
+    from pyairbyte_spark import tools
+    from pyairbyte_spark.cache import SparkCache
+
+    cache = SparkCache(
+        spark, wh, schema_name="tour", table_format="commitlog"
+    )
+    via_tool = tools.apply_store_maintenance(cache, dry_run=True)
+    lib_key = [(a["target"], a["action"], a["status"]) for a in dry["actions"]]
+    mcp_key = [
+        (a["target"], a["action"], a["status"]) for a in via_tool["actions"]
+    ]
+    assert mcp_key == lib_key, (mcp_key, lib_key)
+    print("   MCP tool action list == library action list:", True)
+    applied = store.apply_maintenance_plan()
+    print(
+        "   applied:",
+        [
+            (a["target"], a["action"], a["status"])
+            for a in applied["actions"]
+        ],
+    )
+    h = minhash_index_health(store, "mh")
+    print("   minhash tombstones after heal:", h["tombstone_fraction"])
 
 
 if __name__ == "__main__":

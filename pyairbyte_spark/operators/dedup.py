@@ -908,14 +908,21 @@ def _minhash_sync_plan(ctx) -> dict:
         "text_col string, source_table string, synced_version long, "
         "source_ref string, source_ref_id string, oob_appends boolean",
     )
+    from pyairbyte_spark.operators.search import _diff_change_counts
+
+    n_removed, n_added = _diff_change_counts(ctx.diff)
     return {
         "watermark": (
             tombstones.unionByName(new_bands),
             f"{index_name}_bands",
         ),
-        "appends": [(new_sigs, f"{index_name}_sigs")],
+        # no new docs -> the sigs append would stage an empty dir and
+        # burn a commit slot for nothing
+        "appends": (
+            [(new_sigs, f"{index_name}_sigs")] if n_added else []
+        ),
         "replaces": [(meta, f"{index_name}_meta")],
-        "docs_changed": ctx.removed.count() + ctx.added.count(),
+        "docs_changed": n_removed + n_added,
     }
 
 

@@ -627,6 +627,7 @@ def _sync_derived_index(
             added=added,
             old_removed=old_removed,
             oob=oob,
+            diff=diff,
         )
     )
     raced = {
@@ -664,6 +665,26 @@ def _sync_derived_index(
     }
 
 
+def _diff_change_counts(diff) -> "tuple[int, int]":
+    """``(n_removed, n_added)`` in ONE job over the (checkpointed)
+    diff. Every family needs both for ``docs_changed``, and the
+    previous ``removed.count() + added.count()`` pair was two extra
+    Spark jobs per sync tick — the tick's orchestration floor is
+    plan-count-bound, not data-bound, at small diffs."""
+    ct = F.col("_change_type")
+    r = diff.agg(
+        F.coalesce(
+            F.sum(ct.isin("delete", "update_postimage").cast("long")),
+            F.lit(0),
+        ).alias("nr"),
+        F.coalesce(
+            F.sum(ct.isin("insert", "update_postimage").cast("long")),
+            F.lit(0),
+        ).alias("na"),
+    ).collect()[0]
+    return int(r["nr"]), int(r["na"])
+
+
 def _text_rebuild(store, table, index_name, m, ref):
     attach_text_index(
         store,
@@ -689,13 +710,32 @@ def _text_sync_plan(ctx) -> dict:
     id_col, text_col = m["id_col"], m["text_col"]
     if ctx.old_removed is not None:
         tombstones = _postings(ctx.old_removed, text_col, id_col, sign=-1)
-        dl_removed = (
-            ctx.old_removed.select(
-                F.size(tokens_expr(text_col)).cast("long").alias("__dl")
-            )
-            .agg(F.coalesce(F.sum("__dl"), F.lit(0)))
-            .collect()[0][0]
-        )
+        # every scalar the plan needs — removed/added doc counts and
+        # their doc-length totals — in ONE job over the checkpointed
+        # diff (this used to be three separate jobs per tick)
+        ct = F.col("_change_type")
+        dl = F.size(tokens_expr(text_col)).cast("long")
+        srow = ctx.diff.agg(
+            F.coalesce(
+                F.sum(F.when(ct.isin("delete", "update_preimage"), dl)),
+                F.lit(0),
+            ).alias("dl_removed"),
+            F.coalesce(
+                F.sum(ct.isin("delete", "update_postimage").cast("long")),
+                F.lit(0),
+            ).alias("n_removed"),
+            F.coalesce(
+                F.sum(ct.isin("insert", "update_postimage").cast("long")),
+                F.lit(0),
+            ).alias("n_added"),
+            F.coalesce(
+                F.sum(F.when(ct.isin("insert", "update_postimage"), dl)),
+                F.lit(0),
+            ).alias("dl_added"),
+        ).collect()[0]
+        dl_removed = int(srow["dl_removed"])
+        n_removed, n_added = int(srow["n_removed"]), int(srow["n_added"])
+        dl_added = int(srow["dl_added"])
     else:
         tombstones = (
             ctx.store.read(f"{index_name}_postings")
@@ -719,15 +759,15 @@ def _text_sync_plan(ctx) -> dict:
                 F.coalesce(F.sum("dl"), F.lit(0))
             )
         ).collect()[0][0]
+        n_removed, n_added = _diff_change_counts(ctx.diff)
+        dl_added = int(
+            ctx.added.select(
+                F.size(tokens_expr(text_col)).cast("long").alias("__dl")
+            )
+            .agg(F.coalesce(F.sum("__dl"), F.lit(0)))
+            .collect()[0][0]
+        )
     new_posts = _postings(ctx.added, text_col, id_col)
-    n_removed = ctx.removed.count()
-    new_stats = ctx.added.select(
-        F.size(tokens_expr(text_col)).cast("long").alias("__dl")
-    ).agg(
-        F.count(F.lit(1)).cast("long"),
-        F.coalesce(F.sum("__dl"), F.lit(0)).cast("long"),
-    ).collect()[0]
-    n_added, dl_added = int(new_stats[0]), int(new_stats[1])
     delta = ctx.spark.createDataFrame(
         [(n_added - n_removed, int(dl_added) - int(dl_removed))],
         "n_docs long, sum_dl long",
@@ -755,7 +795,14 @@ def _text_sync_plan(ctx) -> dict:
             tombstones.unionByName(new_posts),
             f"{index_name}_postings",
         ),
-        "appends": [(delta, f"{index_name}_stats")],
+        # a changeless window (e.g. a compact-only catch-up) shifts
+        # N/avgdl by nothing: skip the zero-delta stats append — the
+        # cursor still advances via watermark + meta
+        "appends": (
+            [(delta, f"{index_name}_stats")]
+            if n_removed or n_added
+            else []
+        ),
         "replaces": [(meta, f"{index_name}_meta")],
         "docs_changed": n_removed + n_added,
     }

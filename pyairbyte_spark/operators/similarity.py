@@ -1053,13 +1053,16 @@ def _ivf_sync_plan(ctx) -> dict:
         "train_modulus int, source_table string, synced_version long, "
         "source_ref string, source_ref_id string, oob_appends boolean",
     )
+    from pyairbyte_spark.operators.search import _diff_change_counts
+
+    n_removed, n_added = _diff_change_counts(ctx.diff)
     return {
         "watermark": (
             tombstones.unionByName(new_rows),
             f"{index_name}_lists",
         ),
         "replaces": [(meta, f"{index_name}_meta")],
-        "docs_changed": ctx.removed.count() + ctx.added.count(),
+        "docs_changed": n_removed + n_added,
     }
 
 
@@ -2053,13 +2056,16 @@ def _pq_sync_plan(ctx) -> dict:
         "source_table string, synced_version long, "
         "source_ref string, source_ref_id string, oob_appends boolean",
     )
+    from pyairbyte_spark.operators.search import _diff_change_counts
+
+    n_removed, n_added = _diff_change_counts(ctx.diff)
     return {
         "watermark": (
             tombstones.unionByName(new_rows),
             f"{index_name}_codes",
         ),
         "replaces": [(meta, f"{index_name}_meta")],
-        "docs_changed": ctx.removed.count() + ctx.added.count(),
+        "docs_changed": n_removed + n_added,
     }
 
 

@@ -2336,6 +2336,19 @@ class CommitLogTableStore(TableStore):
             [], StructType.fromJson(json.loads(schema_json))
         )
 
+    @staticmethod
+    def _entry_schema(e: dict):
+        """The entry's recorded stage-time StructType, or None."""
+        sj = e.get("schema")
+        if not sj:
+            return None
+        try:
+            from pyspark.sql.types import StructType
+
+            return StructType.fromJson(json.loads(sj))
+        except Exception:
+            return None  # unparseable record: fall back to inference
+
     def _entries_df(
         self,
         table_name: str,
@@ -2371,11 +2384,20 @@ class CommitLogTableStore(TableStore):
                 ]
                 if not paths:
                     continue
-                part = (
-                    self.spark.read.option("mergeSchema", "true")
-                    .option("basePath", p)
-                    .parquet(*paths)
-                )
+                reader = self.spark.read.option("basePath", p)
+                # One stage = one schema: every file in an entry was
+                # written by the same job, and the entry RECORDS that
+                # schema — handing it to the reader skips the
+                # footer-sampling schema merge entirely (one fewer
+                # Spark job per consulted entry; the sync tick's floor
+                # is job-count-bound). Schema-less legacy entries keep
+                # the merge.
+                st = self._entry_schema(e)
+                if st is not None:
+                    reader = reader.schema(st)
+                else:
+                    reader = reader.option("mergeSchema", "true")
+                part = reader.parquet(*paths)
             else:
                 part = self.spark.read.option("mergeSchema", "true").parquet(p)
                 if live is not None and BUCKET_COL in part.columns:

@@ -74,15 +74,27 @@ def main() -> None:
         "the entry-pruned diff its O(touched buckets) shape; pass 0 "
         "for the unbucketed full-rewrite contrast)"
     )
+    sc = spark.sparkContext
+
+    def _timed_sync(store, tag):
+        """(wall, result, spark-job count) for one sync tick — the
+        tick is plan-count-bound at small diffs, so the job count IS
+        the orchestration floor being measured."""
+        sc.setJobGroup(tag, tag)
+        t0 = time.monotonic()
+        r = sync_text_index(store, "ti")
+        dt = time.monotonic() - t0
+        jobs = len(sc.statusTracker().getJobIdsForGroup(tag))
+        sc.setJobGroup(None, None)
+        return dt, r, jobs
+
     for n_del in (10, 100, 1000, 10_000):
         store = _mk_store(spark, docs, buckets=buckets or None)
         if rows is None:
             rows = store.table_stats("ti_postings")["rows"]
             print(f"postings rows: {rows}")
         _delete(store, spark, n_del)
-        t0 = time.monotonic()
-        r = sync_text_index(store, "ti")
-        dt = time.monotonic() - t0
+        dt, r, n_jobs = _timed_sync(store, f"sync-{n_del}")
         # force the netted index-side derivation (the oob/vacuumed
         # fallback) for the same diff: record the oob_appends flag
         store2 = _mk_store(spark, docs, buckets=buckets or None)
@@ -98,10 +110,20 @@ def main() -> None:
         text_index_search(store, "ti", ["spark", "data"]).count()
         dt_probe = time.monotonic() - t0
         print(
-            f"diff={n_del:>6}: O(diff) sync {dt:6.2f}s | "
+            f"diff={n_del:>6}: O(diff) sync {dt:6.2f}s ({n_jobs} jobs) | "
             f"index-scan sync {dt2:6.2f}s | probe {dt_probe:5.2f}s | "
             f"changed {r['docs_changed']} / {r2['docs_changed']}"
         )
+        if n_del == 10:
+            # r14: a doctor-prescribed compact between syncs used to
+            # force an O(table) diff on the next tick; the
+            # rewrite-transparent window shrink makes it an empty diff
+            store.compact("docs")
+            dt_c, r_c, jobs_c = _timed_sync(store, "sync-post-compact")
+            print(
+                f"post-compact tick: {dt_c:6.2f}s ({jobs_c} jobs) | "
+                f"changed {r_c['docs_changed']} (provably-empty window)"
+            )
     spark.stop()
 
 

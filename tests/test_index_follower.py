@@ -146,13 +146,13 @@ def test_two_followers_one_window_applies_once(spark, store, monkeypatch):
     real_sync = search_mod.sync_text_index
     state = {"n": 0}
 
-    def interleaved(st, name):
+    def interleaved(st, name, **kw):
         # f1's first sync: f2 wins the window just before it runs
         if state["n"] == 0:
             state["n"] += 1
             r2 = f2.process_once()
             assert r2["synced"]["ti"]["docs_changed"] == 4
-        return real_sync(st, name)
+        return real_sync(st, name, **kw)
 
     monkeypatch.setattr(search_mod, "sync_text_index", interleaved)
     import pyairbyte_spark.streaming.index_sync as isync
