@@ -44,6 +44,7 @@ class SparkCache(Mapping):
         merge_salt: int | None = None,
         table_format: str = "parquet",
         fileio=None,
+        harvest_sums: bool = False,
     ) -> None:
         """``table_format="commitlog"`` switches the backing store to
         :class:`~pyairbyte_spark.writers.CommitLogTableStore` — ACID
@@ -52,7 +53,10 @@ class SparkCache(Mapping):
         default ``"parquet"`` store is the plain rename-swap layout.
         ``fileio`` injects the store's metadata-I/O backend
         (``fileio.py``: local default, ``HadoopFileIO`` for HDFS-class
-        deployments, conditional-PUT FileIO for object stores)."""
+        deployments, conditional-PUT FileIO for object stores).
+        ``harvest_sums=True`` harvests per-file column SUMs at write
+        time so sum/avg aggregate pushdowns answer from metadata
+        (``build_sum_stats`` backfills tables written without it)."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.schema_name = schema_name
@@ -72,6 +76,7 @@ class SparkCache(Mapping):
             merge_buckets=merge_buckets,
             merge_salt=merge_salt,
             fileio=fileio,
+            harvest_sums=harvest_sums,
         )
         self.catalog_backend = CatalogBackend(warehouse_dir)
         self.state_backend = StateBackend(warehouse_dir)
@@ -275,6 +280,36 @@ class SparkCache(Mapping):
         auto-applied (``writers.apply_maintenance_plan``)."""
         return self._acid_store().apply_maintenance_plan(
             plan, dry_run=dry_run, **kw
+        )
+
+    def agg_stream_rows(
+        self,
+        stream_name: str,
+        aggs: "list[tuple[str, str]]",
+        predicates: list | None = None,
+    ) -> dict:
+        """EXACT filtered COUNT/SUM/MIN/MAX/AVG list with metadata
+        short-circuits — :meth:`count_stream_rows` generalized
+        (``CommitLogTableStore.agg_where``): must-match files answer
+        from footer stats (sums too, when harvested), boundary files
+        scan with the residual filter."""
+        return self._acid_store().agg_where(
+            self.table_name(stream_name),
+            [tuple(a) for a in aggs],
+            predicates,
+        )
+
+    def build_sum_stats(
+        self, stream_name: str, columns: "list[str] | None" = None
+    ) -> dict:
+        """Backfill per-file column SUMs into the stream's manifest
+        stats so sum/avg aggregate pushdowns answer from metadata —
+        one column-pruned job over exactly the files still missing a
+        sum, published as a row-preserving repair_metadata commit
+        (``CommitLogTableStore.build_sum_stats``; write-time harvest:
+        ``SparkCache(..., harvest_sums=True)``)."""
+        return self._acid_store().build_sum_stats(
+            self.table_name(stream_name), columns
         )
 
     def rebucket_stream(self, stream_name: str, n_buckets: int | None) -> dict:

@@ -666,6 +666,26 @@ def _build_tool_defs() -> list[ToolDef]:
             ),
         ),
         ToolDef(
+            "build_table_sum_stats",
+            "Backfill per-file column SUMs into a cached stream's "
+            "manifest stats so sum/avg pushdowns (aggregate_table_rows) "
+            "answer from metadata with zero file reads. One job over "
+            "exactly the files missing sums; row-preserving commit.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "columns": {
+                        "type": "array", "items": {"type": "string"},
+                    },
+                },
+                "required": ["stream_name"],
+            },
+            lambda h, a: t.build_table_sum_stats(
+                h.cache, a["stream_name"], a.get("columns")
+            ),
+        ),
+        ToolDef(
             "rebucket_table",
             "Bucket-layout evolution: rewrite a cached stream's table "
             "with a new merge-bucket count (omit n_buckets to un-bucket). "
@@ -907,6 +927,34 @@ def _build_tool_defs() -> list[ToolDef]:
             },
             lambda h, a: t.count_table_rows(
                 h.cache, a["stream_name"], a.get("predicates")
+            ),
+        ),
+        ToolDef(
+            "aggregate_table_rows",
+            "Exact filtered COUNT/SUM/MIN/MAX/AVG list with pushdown "
+            "into the table manifest: aggs are [['fn','col'],...] "
+            "('*' column for count). Must-match files answer from "
+            "footer stats without being read (sums need "
+            "build_table_sum_stats or a harvest_sums cache); only "
+            "boundary files scan. Predicates share count_table_rows' "
+            "DNF shape.",
+            {
+                "type": "object",
+                "properties": {
+                    "stream_name": {"type": "string"},
+                    "aggs": {
+                        "type": "array",
+                        "items": {
+                            "type": "array",
+                            "items": {"type": "string"},
+                        },
+                    },
+                    "predicates": {"type": "array"},
+                },
+                "required": ["stream_name", "aggs"],
+            },
+            lambda h, a: t.aggregate_table_rows(
+                h.cache, a["stream_name"], a["aggs"], a.get("predicates")
             ),
         ),
         ToolDef(

@@ -168,6 +168,42 @@ def verify_table(
     return cache.verify_stream(stream_name, deep=deep)
 
 
+def aggregate_table_rows(
+    cache: SparkCache,
+    stream_name: str,
+    aggs: list[list[str]],
+    predicates: list[list[list[Any]]] | None = None,
+) -> dict[str, Any]:
+    """Exact filtered aggregates with pushdown into the table
+    manifest: a list of [fn, column] pairs (fn: count/sum/min/max/avg;
+    column "*" for count). Must-match files answer from footer stats
+    without being read — min/max from zone maps, count from row
+    counts, sum/avg from store-harvested per-file sums
+    (build_table_sum_stats backfills them) — and only boundary files
+    scan. Predicates share count_table_rows' DNF shape."""
+    preds = (
+        [[tuple(p) for p in branch] for branch in predicates]
+        if predicates
+        else None
+    )
+    return cache.agg_stream_rows(
+        stream_name, [tuple(a) for a in aggs], preds
+    )
+
+
+def build_table_sum_stats(
+    cache: SparkCache,
+    stream_name: str,
+    columns: list[str] | None = None,
+) -> dict[str, Any]:
+    """Backfill per-file column SUMs into a cached stream's manifest
+    stats so sum/avg aggregate pushdowns (aggregate_table_rows) answer
+    from metadata with zero file reads. One column-pruned job over
+    exactly the files missing a sum, published as a row-preserving
+    repair_metadata commit."""
+    return cache.build_sum_stats(stream_name, columns)
+
+
 def rebucket_table(
     cache: SparkCache, stream_name: str, n_buckets: int | None = None
 ) -> dict[str, Any]:

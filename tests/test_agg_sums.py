@@ -219,3 +219,44 @@ def test_sums_survive_compact_and_merge(spark, store):
     want = cur.agg(F.sum("v")).collect()[0][0]
     r = store.agg_where("t", [("sum", "v")])
     assert r["aggs"]["sum_v"] == want and r["files_scanned"] == 0
+
+
+def test_cache_tool_and_mcp_surface(spark, tmp_path):
+    """The sum tier through every user surface: SparkCache(
+    harvest_sums=True) write-time harvest, cache.agg_stream_rows /
+    build_sum_stats, the tools wrappers, and MCP registration."""
+    from pyairbyte_spark import tools
+    from pyairbyte_spark.cache import SparkCache
+    from pyairbyte_spark.mcp_server import TOOL_DEFS
+
+    cache = SparkCache(
+        spark,
+        str(tmp_path / "cwh"),
+        table_format="commitlog",
+        harvest_sums=True,
+    )
+    cache.write_dataframe(
+        spark.range(0, 1000).toDF("id").withColumn("v", F.col("id") % 10),
+        "nums",
+    )
+    r = tools.aggregate_table_rows(
+        cache, "nums", [["sum", "v"], ["avg", "v"], ["count", "*"]]
+    )
+    assert r["aggs"]["sum_v"] == 4500
+    assert r["aggs"]["avg_v"] == 4.5
+    assert r["aggs"]["count_star"] == 1000
+    assert r["files_scanned"] == 0  # harvested at write time
+    # backfill surface on an un-harvested cache
+    plain = SparkCache(
+        spark, str(tmp_path / "pwh"), table_format="commitlog"
+    )
+    plain.write_dataframe(
+        spark.range(0, 100).toDF("id").withColumn("v", F.col("id")),
+        "nums",
+    )
+    rb = tools.build_table_sum_stats(plain, "nums", ["v"])
+    assert rb["files_summed"] >= 1
+    r2 = tools.aggregate_table_rows(plain, "nums", [["sum", "v"]])
+    assert r2["aggs"]["sum_v"] == 4950 and r2["files_scanned"] == 0
+    names = {d.name for d in TOOL_DEFS}
+    assert {"aggregate_table_rows", "build_table_sum_stats"} <= names
