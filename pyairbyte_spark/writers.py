@@ -2114,7 +2114,14 @@ class CommitLogTableStore(TableStore):
             bucket = None
             for part in rel.split("/"):
                 if part.startswith(f"{BUCKET_COL}="):
-                    bucket = int(part.split("=", 1)[1])
+                    val = part.split("=", 1)[1]
+                    if val == "__HIVE_DEFAULT_PARTITION__":
+                        # a null-bucket row slipped into a partitioned
+                        # write (e.g. compacting a table with a legacy
+                        # unbucketed dir): bucket None = always-read,
+                        # conservative and correct
+                        continue
+                    bucket = int(val)
                     bucket_set.add(bucket)
             with self.io.open_input(os.path.join(path, rel)) as src:
                 stats = harvest_file_stats(src)
@@ -4894,6 +4901,133 @@ class CommitLogTableStore(TableStore):
     # full snapshots — the equality escape hatch.
     DIFF_ENTRY_PRUNE = True
 
+    def _compose_diffs(
+        self, d1: DataFrame, d2: DataFrame, pks: list[str]
+    ) -> DataFrame:
+        """Compose two CONSECUTIVE window diffs (d1: a→b, d2: b→c,
+        both preimage-bearing) into the a→c collapse. Per key: the
+        initial state comes from d1 (its delete/update_preimage rows;
+        an insert means initially-absent), the final state from d2
+        (insert/update_postimage; delete means finally-absent); keys
+        touched by only one side pass through. Digest-equal
+        initial/final pairs are suppressed — same contract as the
+        direct collapse. This is what lets a window with a rewrite in
+        the MIDDLE (DML on both sides of a compact — a lagging
+        follower crossing a maintenance window) stay entry-pruned:
+        each segment diffs against rewrite-free endpoints and the
+        composition is joins over DIFF-sized frames, never the table."""
+        ct = F.col("_change_type")
+        data_cols = [
+            c
+            for c in d1.columns
+            if c not in ("_change_type", "_commit_version")
+        ]
+        k1 = d1.select(*pks).distinct()
+        k2 = d2.select(*pks).distinct()
+        both = k1.join(k2, on=pks, how="left_semi")
+        only1 = d1.join(k2, on=pks, how="left_anti")
+        only2 = d2.join(k1, on=pks, how="left_anti")
+        init = (
+            d1.filter(ct.isin("delete", "update_preimage"))
+            .join(both, on=pks, how="left_semi")
+            .select(*data_cols)
+        )
+        fin = (
+            d2.filter(ct.isin("insert", "update_postimage"))
+            .join(both, on=pks, how="left_semi")
+            .select(*data_cols)
+        )
+        ikeys = init.select(*pks).distinct()
+        fkeys = fin.select(*pks).distinct()
+
+        def _tag(df: DataFrame, change: str) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(change)).withColumn(
+                "_commit_version", F.lit(0).cast("long")  # caller retags
+            )
+
+        inserts = _tag(fin.join(ikeys, on=pks, how="left_anti"), "insert")
+        deletes = _tag(init.join(fkeys, on=pks, how="left_anti"), "delete")
+        i_d = init.withColumn("__d", self._row_digest(init))
+        f_d = fin.withColumn("__d", self._row_digest(fin))
+        changed = (
+            f_d.join(
+                i_d.select(*pks, "__d").distinct(),
+                on=[*pks, "__d"],
+                how="left_anti",
+            )
+            .select(*pks)
+            .distinct()
+        )
+        out = only1
+        for part in (
+            only2,
+            inserts,
+            deletes,
+            _tag(
+                fin.join(changed, on=pks, how="left_semi"),
+                "update_postimage",
+            ),
+            _tag(
+                init.join(changed, on=pks, how="left_semi"),
+                "update_preimage",
+            ),
+        ):
+            out = out.unionByName(part, allowMissingColumns=True)
+        return out
+
+    def _diff_via_segments(
+        self,
+        table_name: str,
+        lo: int,
+        hi: int,
+        peelable: "set[int]",
+        pks: list[str],
+        *,
+        any_ref: bool,
+        include_preimages: bool,
+        to: int,
+    ) -> DataFrame | None:
+        """Split a window at its interior row-preserving commits and
+        compose the per-segment diffs (:meth:`_compose_diffs`). Each
+        segment's endpoints are rewrite-free, so each segment diff is
+        entry-pruned; the rewrite between segments contributes nothing
+        by construction. None when any segment can't collapse — the
+        caller falls back to the full read."""
+        cuts = [lo]
+        v = lo + 1
+        while v <= hi:
+            if v in peelable:
+                run_start = v
+                while v <= hi and v in peelable:
+                    v += 1
+                cuts.append(run_start - 1)
+            else:
+                v += 1
+        cuts.append(hi)
+        cuts = sorted(set(cuts))
+        segs: list[DataFrame] = []
+        for a, b in zip(cuts, cuts[1:]):
+            d = self.diff_snapshots(
+                table_name,
+                a,
+                b,
+                pks,
+                any_ref=any_ref,
+                include_preimages=True,
+            )
+            if d is None:
+                return None
+            # composition references each segment several times:
+            # materialize once (diff-sized, not table-sized)
+            segs.append(d.localCheckpoint())
+        out = segs[0]
+        for d in segs[1:]:
+            out = self._compose_diffs(out, d, pks)
+        out = out.withColumn("_commit_version", F.lit(to).cast("long"))
+        if not include_preimages:
+            out = out.filter(F.col("_change_type") != "update_preimage")
+        return out
+
     def _empty_diff_frame(self, man: dict | None, to: int) -> DataFrame | None:
         """Zero-row change set in :meth:`diff_snapshots`' output shape,
         schema drawn from ``man`` — the return value for windows PROVEN
@@ -5066,6 +5200,28 @@ class CommitLogTableStore(TableStore):
                 if empty is not None:
                     return empty
                 f_eff, t_eff = from_version, to  # no schema source
+            elif any(_peelable(v) for v in range(f_eff + 2, t_eff)):
+                # rewrite in the MIDDLE of the window (DML on both
+                # sides — a lagging follower crossing a maintenance
+                # window): split at the rewrites and compose the
+                # per-segment entry-pruned diffs instead of degrading
+                # to the full-table read
+                seg = self._diff_via_segments(
+                    table_name,
+                    f_eff,
+                    t_eff,
+                    {v for v in cjs if _peelable(v)},
+                    list(primary_keys),
+                    any_ref=any_ref,
+                    include_preimages=include_preimages,
+                    to=to,
+                )
+                if seg is not None:
+                    return seg
+                if t_eff != to:
+                    man_to_eff = self._read_manifest(table_name, t_eff)
+                if f_man_v != from_version:
+                    man_from_eff = self._read_manifest(table_name, f_man_v)
             else:
                 if t_eff != to:
                     man_to_eff = self._read_manifest(table_name, t_eff)
@@ -5629,6 +5785,22 @@ class CommitLogTableStore(TableStore):
                 primary_keys = [
                     self._to_physical(snap[1], k) for k in primary_keys
                 ]
+            elif snap[1].get("primary_keys"):
+                # KEYLESS appends to a key-recorded bucketed table
+                # still route into the bucket layout (the manifest's
+                # recorded keys are physical names). Without this, one
+                # keyless append plants an unbucketed dir that every
+                # later incremental merge must degrade around — and
+                # before r14 the incremental carry silently DROPPED
+                # such dirs (data loss, caught by
+                # test_merge_keeps_unbucketed_rows).
+                rec = [
+                    k
+                    for k in snap[1]["primary_keys"]
+                    if k in set(df.columns)
+                ]
+                if len(rec) == len(snap[1]["primary_keys"]):
+                    primary_keys = rec
             # Appends to a bucketed table hash with the TABLE's layout N
             # (recorded in the manifest), never the store config.
             n_buckets = snap[1].get("merge_buckets")
@@ -6188,6 +6360,14 @@ class CommitLogTableStore(TableStore):
             bool(layout_n)
             and sorted(on_phys) == sorted(pks)
             and not (bs_upd or bs_dele)
+            # an UNBUCKETED dir can hold ANY key: the touched-buckets
+            # carry has no liveness to narrow on it, so its rows must
+            # flow through a full rewrite (which also heals the layout
+            # — the rewrite re-buckets them). Before r14 such dirs
+            # fell through the carry loop and were silently DROPPED.
+            and all(
+                e.get("buckets") is not None for e in man["entries"]
+            )
         )
         dvs = man.get("delete_vectors") or []
         # The pairing runs in LOGICAL space (clause expressions see the
@@ -6376,6 +6556,20 @@ class CommitLogTableStore(TableStore):
                 )
                 .filter(~F.col("__action").isin("D", "X"))
                 .select(*proj)
+            )
+        if layout_n and pk_logical:
+            # Heal the layout on rewrite: rows read out of legacy
+            # UNBUCKETED dirs arrive with a NULL bucket — re-hash them
+            # so the staged output is fully bucketed and the next
+            # merge takes the incremental path again.
+            merged = merged.withColumn(
+                BUCKET_COL,
+                F.coalesce(
+                    F.col(BUCKET_COL)
+                    if BUCKET_COL in merged.columns
+                    else F.lit(None).cast("int"),
+                    self._bucket_expr(pk_logical, layout_n),
+                ),
             )
         entry = self._stage(
             self._materialize_added(

@@ -163,10 +163,13 @@ def test_compact_prefix_peeled_keeps_bucket_pruning(
     assert not (set(seen) & (pre - carried))
 
 
-def test_mid_window_rewrite_falls_back_correct(spark, store):
-    """DML -> compact -> DML: no end to peel from — the full read runs
-    and stays exact (the escape hatch the shrink never removes)."""
-    store.write_append(_rows(spark, 0, 100), "t", ["id"])
+def test_mid_window_rewrite_composes_segments(spark, store, monkeypatch):
+    """DML -> compact -> DML (a lagging follower crossing a
+    maintenance window): the window splits at the rewrite and the
+    per-segment entry-pruned diffs COMPOSE — exact values, and the
+    pre-compact layout's untouched dirs are never read (it used to be
+    a full-table read)."""
+    store.write_append(_rows(spark, 0, 400), "t", ["id"])
     v0 = store.latest_version("t")
     store.merge_into(
         "t",
@@ -178,10 +181,95 @@ def test_mid_window_rewrite_falls_back_correct(spark, store):
     store.compact("t", sort_by=["id"])
     store.write_append(_rows(spark, 200, 205, tag="n"), "t")
     v1 = store.latest_version("t")
+    man0 = store._read_manifest("t", v0)
+    full0 = {
+        e["path"]: set(e.get("buckets") or ())
+        for e in man0["entries"]
+    }
+    seen: list[tuple[str, tuple]] = []
+    orig = store._entries_df
+
+    def spy(table, entries, **kw):
+        seen.extend(
+            (e["path"], tuple(e.get("buckets") or ())) for e in entries
+        )
+        return orig(table, entries, **kw)
+
+    monkeypatch.setattr(store, "_entries_df", spy)
     got = _diff(store, v0, v1, prune=True)
     assert got == [(3, "a3", "delete")] + [
         (i, f"n{i}", "insert") for i in range(200, 205)
     ]
+    # the delete's segment reads only the touched bucket of the
+    # pre-compact layout — never its full bucket set
+    for path, buckets in seen:
+        if path in full0:
+            assert 0 < len(buckets) < len(full0[path]), (
+                f"pre-compact dir {path} read with liveness {buckets}"
+            )
+
+
+def test_segment_composition_semantics(spark, store):
+    """The compose cases that differ from naive concatenation:
+    insert-then-delete nets to NOTHING, delete-then-reinsert of the
+    SAME values is digest-suppressed, update-then-update emits the
+    FINAL values with the ORIGINAL preimage, update-then-delete
+    deletes with the window-initial values."""
+    store.write_append(_rows(spark, 0, 100), "t", ["id"])
+    v0 = store.latest_version("t")
+    # segment 1 (pre-compact)
+    store.write_append(_rows(spark, 500, 505, tag="x"), "t")  # 500..504 insert
+    store.merge_into(  # delete 10..11 (one later reinserted identical)
+        "t",
+        spark.createDataFrame([(10,), (11,)], "id long"),
+        ["id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    store.merge_into(  # update 20 -> B20
+        "t",
+        _rows(spark, 20, 21, tag="B"),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    store.compact("t", sort_by=["id"])
+    # segment 2 (post-compact)
+    store.merge_into(  # delete the fresh inserts 500..502
+        "t",
+        spark.createDataFrame([(i,) for i in (500, 501, 502)], "id long"),
+        ["id"],
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    store.write_append(  # reinsert 10 with its ORIGINAL value
+        spark.createDataFrame([(10, "a10")], "id long, v string"), "t"
+    )
+    store.merge_into(  # update 20 again -> C20
+        "t",
+        _rows(spark, 20, 21, tag="C"),
+        ["id"],
+        when_matched_update={"v": "s.v"},
+    )
+    v1 = store.latest_version("t")
+    got = _diff(store, v0, v1, prune=True)
+    want = sorted(
+        [
+            (503, "x503", "insert"),
+            (504, "x504", "insert"),
+            (11, "a11", "delete"),
+            (20, "C20", "update_postimage"),
+        ]
+    )
+    assert got == want
+    # preimages carry the WINDOW-INITIAL values through the compose
+    d = store.diff_snapshots("t", v0, v1, ["id"], include_preimages=True)
+    pre = sorted(
+        (r["id"], r["v"])
+        for r in d.filter(
+            d["_change_type"] == "update_preimage"
+        ).collect()
+    )
+    assert pre == [(20, "a20")]
 
 
 def test_aborted_prepare_peels_but_never_sources_manifest(
