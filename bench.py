@@ -120,6 +120,9 @@ BENCH_QUERIES = [
     # round 12: SUM/MIN/MAX aggregate pushdown (metadata tier +
     # dominance-pruned boundaries + sliver-scanned sums)
     "store_agg_pushdown_events",
+    # round 14: per-file SUM harvest — sum/avg join the metadata tier
+    # (write-time harvest + backfill + distributed classifier)
+    "store_sum_tier_events",
     # round 12: WAP-attached index (attach to branch + branch DML +
     # branch-following sync + publish + re-home sync + probe)
     "text_index_wap_sync_search",

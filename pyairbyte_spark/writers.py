@@ -9168,6 +9168,9 @@ class CommitLogTableStore(TableStore):
         - bloom index coverage < ``min_bloom_coverage`` →
           ``refresh_bloom`` (point lookups stop pruning the uncovered
           tail);
+        - live files missing harvested sums on a sum-covered table →
+          ``build_sum_stats`` (sum/avg pushdowns scan until the
+          backfill re-covers the tail);
         - retained commits > ``max_retained_commits`` → ``vacuum``
           (discovery and FSCK walk them; time travel rarely needs
           hundreds);
@@ -9216,6 +9219,47 @@ class CommitLogTableStore(TableStore):
                             "unprunable by point lookups",
                         }
                     )
+        # Partial sum-stat coverage: a table that opted into the
+        # sum/avg metadata tier (some live file carries a harvested
+        # sum) decays back toward scanning as soon as OTHER files lack
+        # the stat — one uncovered file in a range sends itself to the
+        # scan tier, and rewrites by a non-harvesting writer shed the
+        # stat silently. O(manifest), no data I/O.
+        sum_cols: set[str] = set()
+        live_stats: list[dict] = []
+        for e in man.get("entries") or []:
+            live = e.get("buckets")
+            for f in e.get("files") or []:
+                if (
+                    live is not None
+                    and f.get("bucket") is not None
+                    and f["bucket"] not in live
+                ):
+                    continue
+                stats = f.get("stats") or {}
+                live_stats.append(stats)
+                sum_cols.update(
+                    c for c, cs in stats.items() if "sum" in cs
+                )
+        if sum_cols:
+            gap = sum(
+                1
+                for stats in live_stats
+                if any(
+                    c in stats and "sum" not in stats[c]
+                    for c in sum_cols
+                )
+            )
+            if gap:
+                recs.append(
+                    {
+                        "action": "build_sum_stats",
+                        "reason": f"{gap} live files missing harvested "
+                        f"sums for {sorted(sum_cols)}: sum/avg "
+                        "pushdowns scan until the backfill re-covers "
+                        "them",
+                    }
+                )
         try:
             n_commits = sum(
                 1
@@ -9567,6 +9611,14 @@ class CommitLogTableStore(TableStore):
                     t_,
                     "refresh_bloom",
                     lambda t=t_: self._apply_refresh_bloom(t),
+                )
+            if "build_sum_stats" in acts:
+                # after any compact above: the rewrite's fresh files
+                # are exactly the ones the backfill must re-cover
+                _run(
+                    t_,
+                    "build_sum_stats",
+                    lambda t=t_: self.build_sum_stats(t),
                 )
             if "vacuum" in acts:
                 _run(

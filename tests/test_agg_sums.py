@@ -260,3 +260,35 @@ def test_cache_tool_and_mcp_surface(spark, tmp_path):
     assert r2["aggs"]["sum_v"] == 4950 and r2["files_scanned"] == 0
     names = {d.name for d in TOOL_DEFS}
     assert {"aggregate_table_rows", "build_table_sum_stats"} <= names
+
+
+def test_doctor_prescribes_and_heals_sum_coverage(spark, tmp_path):
+    """A non-harvesting writer's append sheds sum coverage; the doctor
+    notices (O(manifest)) and apply_maintenance_plan re-covers it."""
+    h = CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main", harvest_sums=True
+    )
+    _seed(spark, h, n=4000, files=4)
+    plain = CommitLogTableStore(spark, str(tmp_path / "wh"), "main")
+    plain.write_append(
+        spark.range(4000, 5000)
+        .toDF("id")
+        .withColumn("v", (F.col("id") * 7919) % 1000)
+        .withColumn("f", (F.col("id") % 97).cast("double"))
+        .coalesce(1),
+        "t",
+        None,
+    )
+    plan = h.maintenance_plan("t")
+    acts = {r["action"] for r in plan}
+    assert "build_sum_stats" in acts
+    r = h.apply_maintenance_plan(
+        plan={"tables": {"t": plan}, "indexes": {}, "txn_decisions": {}}
+    )
+    by = {(a["target"], a["action"]): a["status"] for a in r["actions"]}
+    assert by[("t", "build_sum_stats")] == "applied"
+    out = h.agg_where("t", [("sum", "v")])
+    assert out["files_scanned"] == 0
+    assert h.maintenance_plan("t") == [] or all(
+        a["action"] != "build_sum_stats" for a in h.maintenance_plan("t")
+    )
