@@ -2073,9 +2073,19 @@ class CommitLogTableStore(TableStore):
             )
             .collect()
         )
-        by_base = {r["__fp"].rsplit("/", 1)[-1]: r for r in rows}
+        # Match on the DIR-RELATIVE path, never the basename: a
+        # bucketed stage writes the same part-NNNNN-<uuid> basename
+        # under every bucket partition dir, so basenames collide
+        # within one stage.
+        dname = os.path.basename(path)
+        by_rel: dict[str, object] = {}
+        for r in rows:
+            fp = r["__fp"]
+            idx = fp.find(f"{dname}/")
+            if idx >= 0:
+                by_rel[fp[idx + len(dname) + 1 :]] = r
         for frec in files:
-            r = by_base.get(frec["path"].rsplit("/", 1)[-1])
+            r = by_rel.get(frec["path"])
             stats = frec.get("stats")
             if r is None or stats is None:
                 continue

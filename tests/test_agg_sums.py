@@ -292,3 +292,34 @@ def test_doctor_prescribes_and_heals_sum_coverage(spark, tmp_path):
     assert h.maintenance_plan("t") == [] or all(
         a["action"] != "build_sum_stats" for a in h.maintenance_plan("t")
     )
+
+
+def test_bucketed_harvest_matches_per_file(spark, tmp_path):
+    """A bucketed stage writes the SAME part-file basename under every
+    bucket partition dir — the harvest must match per-file sums by the
+    dir-relative path, or bucket A's sum lands on bucket B's stats
+    (wrong answers, caught only on bucketed tables)."""
+    st = CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main",
+        merge_buckets=8, harvest_sums=True,
+    )
+    df = (
+        spark.range(0, 20000)
+        .toDF("id")
+        .withColumn("v", (F.col("id") * 7919) % 1000)
+    )
+    st.write_append(df, "t", ["id"])
+    # per-file stats must each equal a real per-file sum: the total
+    # folds exactly, and every single-bucket slice answers exactly
+    r = st.agg_where("t", [("sum", "v"), ("count", "*")])
+    assert r["aggs"]["sum_v"] == df.agg(F.sum("v")).collect()[0][0]
+    assert r["files_scanned"] == 0
+    man = st._read_manifest("t", st.latest_version("t"))
+    for e in man["entries"]:
+        for f in e.get("files") or []:
+            cs = (f.get("stats") or {}).get("v") or {}
+            if "sum" not in cs:
+                continue
+            p = f"{st.table_path('t')}/{e['path']}/{f['path']}"
+            truth = spark.read.parquet(p).agg(F.sum("v")).collect()[0][0]
+            assert cs["sum"] == truth, (f["path"], cs["sum"], truth)
