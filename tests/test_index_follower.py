@@ -293,3 +293,31 @@ def test_tick_computes_one_diff_for_coattached_families(
         store, "iv", q, id_col="doc_id", k=3, n_probes=4
     )
     assert 3 not in {r["neighbor_id"] for r in hits.collect()}  # deleted
+
+
+def test_tick_unequal_cursors_diff_separately(spark, store, monkeypatch):
+    """Indexes at DIFFERENT cursors can't share a diff — the cache
+    keys on the window, so a just-attached index diffs its own
+    (shorter) window while an older one diffs the longer window."""
+    store.write_append(_docs(spark, 0, 30), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    store.write_append(_docs(spark, 100, 110), "docs")
+    attach_minhash_index(store, "docs", "mh")  # cursor = later version
+    store.write_append(_docs(spark, 200, 210), "docs")
+    calls: list[tuple] = []
+    orig = CommitLogTableStore.diff_snapshots
+
+    def spy(self, table, v0, v1, *a, **k):
+        calls.append((table, v0, v1))
+        return orig(self, table, v0, v1, *a, **k)
+
+    monkeypatch.setattr(CommitLogTableStore, "diff_snapshots", spy)
+    r = IndexSyncFollower(store, tombstone_max=None).process_once()
+    assert set(r["synced"]) == {"ti", "mh"}
+    docs_calls = sorted(c for c in calls if c[0] == "docs")
+    assert len(docs_calls) == 2
+    assert docs_calls[0][1] != docs_calls[1][1]  # different cursors
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
