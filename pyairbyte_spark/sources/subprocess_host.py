@@ -96,7 +96,10 @@ class SubprocessHost:
             text=True,
             env=self.env,
         )
-        threading.Thread(target=self._drain_stderr, args=(proc,), daemon=True).start()
+        t_err = threading.Thread(
+            target=self._drain_stderr, args=(proc,), daemon=True
+        )
+        t_err.start()
 
         if stdin_lines is not None:
 
@@ -123,6 +126,11 @@ class SubprocessHost:
         finally:
             proc.stdout.close()
             rc = proc.wait()
+            # the process has exited, so stderr is at EOF — wait for
+            # the drain thread to finish writing, or the connector log
+            # file and the error tail below can miss the last lines
+            # (surfaced as an under-load flake in the shuffled suite)
+            t_err.join(timeout=10)
             if rc not in (0, -15) and not self._stop.is_set():
                 tail = "".join(self._stderr_tail[-20:])
                 raise ConnectorError(f"connector exited {rc}; stderr tail:\n{tail}")
