@@ -643,7 +643,10 @@ def build_minhash_index(
         *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(num_hashes)],
         F.lit(0).cast("long").alias("seq"),
     )
-    meta = spark.createDataFrame(
+    from pyairbyte_spark.writers import LocalRows
+
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 int(num_hashes),
@@ -661,17 +664,17 @@ def build_minhash_index(
         "text_col string, source_table string, synced_version long, "
         "source_ref string, source_ref_id string",
     )
-    store.write_replace(band_rows, f"{index_name}_bands")
-    store.compact(
+    # One clustered write: bands land range-partitioned on band_hash
+    # with the sorted_by stamp AND the cluster_by property in a single
+    # staged write + commit (was write → compact rewrite → property
+    # commit: every byte written twice). Appends still range-sort at
+    # staging, so the coverage watermark holds at 1.0.
+    store.write_replace_clustered(
+        band_rows,
         f"{index_name}_bands",
-        sort_by=["band_hash"],
+        cluster_by=["band_hash"],
         target_files=target_files,
     )
-    # Write-time clustering: appends range-sort on band_hash at
-    # staging (stamping ``sorted_by``), so ingest keeps the coverage
-    # watermark at 1.0 — refresh_minhash_index becomes a no-op until
-    # tiered sorted entries warrant a full recompaction.
-    store.set_cluster_by(f"{index_name}_bands", ["band_hash"])
     store.write_replace(sig_cols, f"{index_name}_sigs")
     store.write_replace(meta, f"{index_name}_meta")
     st = store.table_stats(f"{index_name}_sigs")
@@ -680,6 +683,14 @@ def build_minhash_index(
 
 
 def _minhash_index_meta(store, index_name: str) -> dict:
+    # 1-row protocol table: the driver-local read answers without a
+    # Spark job (meta size is O(1) in corpus size); any precondition
+    # miss falls back to the distributed read.
+    rows = getattr(store, "read_rows_local", lambda t: None)(
+        f"{index_name}_meta"
+    )
+    if rows:
+        return rows[0]
     return store.read(f"{index_name}_meta").collect()[0].asDict()
 
 
@@ -889,7 +900,10 @@ def _minhash_sync_plan(ctx) -> dict:
         *[F.element_at("sig", i + 1).alias(f"h{i}") for i in range(nh)],
         F.lit(int(head)).cast("long").alias("seq"),
     )
-    meta = ctx.spark.createDataFrame(
+    from pyairbyte_spark.writers import LocalRows
+
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 int(nh),

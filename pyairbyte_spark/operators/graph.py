@@ -30,10 +30,25 @@ the §2.11 beyond-reference inventory.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SCALE = 1_000_000_000
+
+# Below this many nodes, per-iteration rank/degree/contribution tables
+# are BROADCAST to the edge scan instead of shuffle-joined: the edge
+# list (the big side) then never crosses an exchange — each iteration
+# shuffles only the partially-aggregated (node, contribution) pairs.
+# Rank rows are ~60 bytes in a hash relation, so the default (2M nodes
+# ≈ 120 MB broadcast) stays well inside executor memory; above it the
+# sort-merge path takes over (a billion-node graph cannot broadcast
+# its rank vector). Size-adaptive, decided from a measured count —
+# not a local-mode constant.
+PAGERANK_BROADCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_PAGERANK_BROADCAST_NODES", "2000000")
+)
 
 
 def pagerank(
@@ -71,12 +86,19 @@ def pagerank(
         .localCheckpoint(eager=False)
     )
     base = (scale * (100 - damping_pct)) // 100
+    # One count decides the join strategy for every iteration: rank /
+    # degree / contribution tables are all bounded by the node count,
+    # and when that fits a broadcast the (much larger) edge table never
+    # shuffles — integer sums are order-independent, so the result is
+    # bit-identical either way.
+    bcast = nodes.count() <= PAGERANK_BROADCAST_MAX_NODES
+    hint = F.broadcast if bcast else (lambda df: df)
     ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     prev_ckpt = None
     for i in range(iterations):
         contrib = (
-            e.join(ranks, e.__src == ranks.node)
-            .join(deg, "__src")
+            e.join(hint(ranks), e.__src == ranks.node)
+            .join(hint(deg), "__src")
             .select(
                 F.col("__dst").alias("node"),
                 F.expr("r DIV __deg").alias("__c"),
@@ -84,7 +106,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__s"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = nodes.join(hint(contrib), "node", "left").select(
             "node",
             (
                 F.lit(base)

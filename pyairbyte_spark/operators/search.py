@@ -117,23 +117,26 @@ def build_text_index(
     CDF-driven maintenance — use :func:`attach_text_index` rather than
     passing them directly."""
     spark = corpus.sparkSession
-    store.write_replace(
-        _postings(corpus, text_col, id_col), f"{index_name}_postings"
-    )
-    store.compact(
+    # One clustered write: postings land range-partitioned on token
+    # with the sorted_by stamp AND the cluster_by property in a single
+    # staged write + commit (was write → compact rewrite → property
+    # commit: every byte written twice). Later appends still
+    # range-sort on token at staging, so the probe-pruning coverage
+    # watermark never decays — refresh_text_index stays a no-op in
+    # the common case.
+    store.write_replace_clustered(
+        _postings(corpus, text_col, id_col),
         f"{index_name}_postings",
-        sort_by=["token"],
+        cluster_by=["token"],
         target_files=target_files,
     )
-    # Write-time clustering: every later append range-sorts on token
-    # at staging (stamping ``sorted_by``), so ingest never decays the
-    # probe-pruning coverage watermark — refresh_text_index becomes a
-    # no-op in the common case.
-    store.set_cluster_by(f"{index_name}_postings", ["token"])
     store.write_replace(
         _doc_stats(corpus, text_col, id_col), f"{index_name}_stats"
     )
-    meta = spark.createDataFrame(
+    from pyairbyte_spark.writers import LocalRows
+
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 id_col,
@@ -152,7 +155,12 @@ def build_text_index(
     )
     store.write_replace(meta, f"{index_name}_meta")
     st = store.table_stats(f"{index_name}_postings")
-    stats = store.read(f"{index_name}_stats").collect()[0]
+    srows = getattr(store, "read_rows_local", lambda t: None)(
+        f"{index_name}_stats"
+    )
+    stats = srows[0] if srows else (
+        store.read(f"{index_name}_stats").collect()[0]
+    )
     return {
         "n_docs": int(stats["n_docs"]),
         "postings": st["rows"],
@@ -161,6 +169,13 @@ def build_text_index(
 
 
 def _text_index_meta(store, index_name: str) -> dict:
+    # 1-row protocol table: the driver-local read answers without a
+    # Spark job; any precondition miss falls back to the full read.
+    rows = getattr(store, "read_rows_local", lambda t: None)(
+        f"{index_name}_meta"
+    )
+    if rows:
+        return rows[0]
     return store.read(f"{index_name}_meta").collect()[0].asDict()
 
 
@@ -767,12 +782,15 @@ def _text_sync_plan(ctx) -> dict:
             .agg(F.coalesce(F.sum("__dl"), F.lit(0)))
             .collect()[0][0]
         )
+    from pyairbyte_spark.writers import LocalRows
+
     new_posts = _postings(ctx.added, text_col, id_col)
-    delta = ctx.spark.createDataFrame(
+    # driver-resident protocol rows: staged without Spark jobs
+    delta = LocalRows(
         [(n_added - n_removed, int(dl_added) - int(dl_removed))],
         "n_docs long, sum_dl long",
     )
-    meta = ctx.spark.createDataFrame(
+    meta = LocalRows(
         [
             (
                 id_col,

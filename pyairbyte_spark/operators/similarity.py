@@ -676,11 +676,27 @@ def build_ivf_index(
         iters=iters,
         train_modulus=train_modulus,
     )
-    cent = spark.createDataFrame(cent.collect(), schema=cent.schema)
+    from pyairbyte_spark.writers import LocalRows
+
+    cent_rows = cent.collect()
+    cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     lists = _assign_to_centroids(e, cent, vectorized=n_centroids > 32)
-    store.write_replace(cent, f"{index_name}_centroids")
+    # centroids are already driver-resident: stage without a Spark job
     store.write_replace(
+        LocalRows(
+            [tuple(r) for r in cent_rows], cent.schema
+        ),
+        f"{index_name}_centroids",
+    )
+    # One clustered write: lists land range-partitioned on cid with
+    # the sorted_by stamp AND the cluster_by property in a single
+    # staged write + commit (was write → compact rewrite → property
+    # commit: every byte written twice). target_files sets zone-map
+    # granularity (aim for >= n_centroids so each list owns files);
+    # appended vectors still range-sort on cid at staging, so probe
+    # pruning never decays between refreshes.
+    store.write_replace_clustered(
         lists.select(
             "cid",
             F.col("id"),
@@ -689,14 +705,11 @@ def build_ivf_index(
             F.lit(0).cast("long").alias("seq"),
         ),
         f"{index_name}_lists",
+        cluster_by=["cid"],
+        target_files=target_files,
     )
-    # target_files sets zone-map granularity: more files = finer
-    # probe pruning (aim for >= n_centroids so each list owns files).
-    store.compact(f"{index_name}_lists", sort_by=["cid"], target_files=target_files)
-    # Write-time clustering: appended vectors range-sort on cid at
-    # staging, so probe pruning never decays between refreshes.
-    store.set_cluster_by(f"{index_name}_lists", ["cid"])
-    meta = spark.createDataFrame(
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 id_col,
@@ -747,8 +760,13 @@ def ivf_index_topk(
     (retrieval workloads); corpus-scale joins stay in the lists scan.
     """
     spark = queries.sparkSession
-    cent_rows = store.read(f"{index_name}_centroids").collect()
-    cent = spark.createDataFrame(cent_rows)
+    cent = getattr(store, "read_local_df", lambda t: None)(
+        f"{index_name}_centroids"
+    )
+    if cent is None:
+        cent = spark.createDataFrame(
+            store.read(f"{index_name}_centroids").collect()
+        )
     q = queries.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     probes = _assign_to_centroids(q, cent, top_n=n_probes).select(
         F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
@@ -842,7 +860,13 @@ def append_to_ivf_index(
     if flag is not None:
         store.write_replace(flag, f"{index_name}_meta")
     spark = new_vectors.sparkSession
-    cent = spark.createDataFrame(store.read(f"{index_name}_centroids").collect())
+    cent = getattr(store, "read_local_df", lambda t: None)(
+        f"{index_name}_centroids"
+    )
+    if cent is None:
+        cent = spark.createDataFrame(
+            store.read(f"{index_name}_centroids").collect()
+        )
     e = new_vectors.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
@@ -867,6 +891,13 @@ def append_to_ivf_index(
 
 
 def _ivf_index_meta(store, index_name: str) -> dict:
+    # 1-row protocol table: the driver-local read answers without a
+    # Spark job; any precondition miss falls back to the full read.
+    rows = getattr(store, "read_rows_local", lambda t: None)(
+        f"{index_name}_meta"
+    )
+    if rows:
+        return rows[0]
     return store.read(f"{index_name}_meta").collect()[0].asDict()
 
 
@@ -988,9 +1019,13 @@ def _ivf_sync_plan(ctx) -> dict:
     ``index_health(kind="ivf")`` is the retrain trigger."""
     m, index_name, head = ctx.m, ctx.index_name, ctx.head
     id_col, vec_col = m["id_col"], m["vec_col"]
-    cent = ctx.spark.createDataFrame(
-        ctx.store.read(f"{index_name}_centroids").collect()
+    cent = getattr(ctx.store, "read_local_df", lambda t: None)(
+        f"{index_name}_centroids"
     )
+    if cent is None:
+        cent = ctx.spark.createDataFrame(
+            ctx.store.read(f"{index_name}_centroids").collect()
+        )
     vectorized = int(m["n_centroids"]) > 32
     if ctx.old_removed is not None:
         tombstones = _assign_to_centroids(
@@ -1034,7 +1069,10 @@ def _ivf_sync_plan(ctx) -> dict:
         F.lit(1).cast("long").alias("sign"),
         F.lit(int(head)).cast("long").alias("seq"),
     )
-    meta = ctx.spark.createDataFrame(
+    from pyairbyte_spark.writers import LocalRows
+
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 id_col,
@@ -1756,10 +1794,13 @@ def build_pq_index(
         for j, book in enumerate(books_int)
         for c, cw in enumerate(book)
     ]
-    cb_df = spark.createDataFrame(
-        cb_rows, "j int, c int, cv array<long>, int_scale int"
+    from pyairbyte_spark.writers import LocalRows
+
+    # driver-resident codebook literals: staged without a Spark job
+    store.write_replace(
+        LocalRows(cb_rows, "j int, c int, cv array<long>, int_scale int"),
+        f"{index_name}_codebooks",
     )
-    store.write_replace(cb_df, f"{index_name}_codebooks")
     codes = pq_encode_int(
         corpus, books_int, id_col=id_col, vec_col=vec_col,
         int_scale=int_scale,
@@ -1767,7 +1808,8 @@ def build_pq_index(
         "seq", F.lit(0).cast("long")
     )
     store.write_replace(codes, f"{index_name}_codes")
-    meta = spark.createDataFrame(
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 id_col,
@@ -1792,7 +1834,11 @@ def build_pq_index(
 
 
 def _read_pq_codebooks(store, index_name: str) -> tuple[list, int]:
-    rows = store.read(f"{index_name}_codebooks").collect()
+    rows = getattr(store, "read_rows_local", lambda t: None)(
+        f"{index_name}_codebooks"
+    )
+    if not rows:
+        rows = store.read(f"{index_name}_codebooks").collect()
     scale = int(rows[0]["int_scale"])
     books: dict[int, dict[int, list[int]]] = {}
     for r in rows:
@@ -1886,6 +1932,13 @@ def append_to_pq_index(
 
 
 def _pq_index_meta(store, index_name: str) -> dict:
+    # 1-row protocol table: the driver-local read answers without a
+    # Spark job; any precondition miss falls back to the full read.
+    rows = getattr(store, "read_rows_local", lambda t: None)(
+        f"{index_name}_meta"
+    )
+    if rows:
+        return rows[0]
     return store.read(f"{index_name}_meta").collect()[0].asDict()
 
 
@@ -2039,7 +2092,10 @@ def _pq_sync_plan(ctx) -> dict:
     new_rows = _encode(
         ctx.added.select(F.col(id_col).alias(id_col), F.col(vec_col)), 1
     )
-    meta = ctx.spark.createDataFrame(
+    from pyairbyte_spark.writers import LocalRows
+
+    # driver-resident meta row: staged without a Spark job
+    meta = LocalRows(
         [
             (
                 id_col,

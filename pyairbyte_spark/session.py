@@ -29,6 +29,19 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not up to the
+        # parallelism floor (the default keeps ~1 partition per core
+        # alive however tiny the data, so a KB-sized shuffle still
+        # schedules 32 tasks — and a clustered micro-append still
+        # writes 32 shard files). Size-first is the guide's §2.2
+        # posture at every scale: partitions sized to bytes, task
+        # count follows data. The advisory size is env-tunable for
+        # cluster runs.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "128m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -66,6 +66,60 @@ _ROW_PRESERVING_OPS = frozenset(
 )
 
 
+class LocalRows:
+    """Driver-resident rows + schema, accepted by the store's write
+    verbs in place of a DataFrame for tiny protocol frames (index
+    metas, sync stats deltas, codebook/centroid literals).
+
+    Staging a 1-row meta through a distributed write costs a full
+    Spark job — scheduler round, task launch, executor round-trip —
+    to move bytes that never left the driver. PySpark offers no
+    LocalRelation (``createDataFrame`` always parallelizes into a
+    LogicalRDD), so the caller declares locality explicitly with this
+    marker and :meth:`CommitLogTableStore._stage` writes the parquet
+    via pyarrow through the FileIO seam: same dir layout, same footer
+    harvest, same manifest entry — readers cannot tell. Writes that
+    need CHECK enforcement, bucket routing, or schema migration fall
+    back to :meth:`to_df` transparently (correctness over the saved
+    job). Scale posture: protocol frames are O(1) in corpus size, so
+    the fast path is just as valid at 100 TB."""
+
+    def __init__(self, rows, schema):
+        self.rows = list(rows)
+        self.schema = schema
+        self._struct = None
+
+    def struct(self, spark):
+        if self._struct is None:
+            from pyspark.sql.types import StructType
+
+            if isinstance(self.schema, StructType):
+                self._struct = self.schema
+            else:
+                self._struct = spark.createDataFrame([], self.schema).schema
+        return self._struct
+
+    def columns(self, spark) -> list[str]:
+        return list(self.struct(spark).names)
+
+    def dicts(self, spark) -> list[dict]:
+        names = self.columns(spark)
+        out = []
+        for r in self.rows:
+            if isinstance(r, dict):
+                out.append({n: r.get(n) for n in names})
+            else:
+                out.append(dict(zip(names, r)))
+        return out
+
+    def to_df(self, spark) -> DataFrame:
+        """The distributed-frame fallback (identical rows/schema)."""
+        st = self.struct(spark)
+        return spark.createDataFrame(
+            [tuple(d[n] for n in st.names) for d in self.dicts(spark)], st
+        )
+
+
 class TableStore:
     """Parquet-directory table store with swap-based atomicity.
 
@@ -662,6 +716,8 @@ class MultiTableTxn:
             return skip
         prior = self.store._latest_commit(table_name)
         checks = (prior[1].get("checks") or {}) if prior else {}
+        if isinstance(df, LocalRows) and (checks or primary_keys):
+            df = df.to_df(self.store.spark)
         if checks:
             df = self.store._enforce_checks(df, {"checks": checks})
         df = self.store._with_bucket(df, primary_keys)
@@ -2042,6 +2098,98 @@ class CommitLogTableStore(TableStore):
     # — both stay scan-tier).
     _SUM_STAT_TYPES = ("tinyint", "smallint", "int", "bigint")
 
+    # -- driver-local staging for tiny literal frames -----------------------
+    # See :class:`LocalRows`. The plan-inspection alternative (detect a
+    # LocalRelation) does not exist in PySpark — createDataFrame always
+    # parallelizes — so locality is declared explicitly by the caller.
+    @staticmethod
+    def _local_pa_type(dt):
+        """pyarrow type for a Spark type the local stage supports
+        (atomic numerics / strings / booleans and arrays of them), or
+        None. Timestamps/dates/decimals are excluded: their
+        Python-side representations carry timezone/scale pitfalls the
+        distributed writer already handles."""
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        atomic = {
+            T.ByteType: pa.int8(),
+            T.ShortType: pa.int16(),
+            T.IntegerType: pa.int32(),
+            T.LongType: pa.int64(),
+            T.FloatType: pa.float32(),
+            T.DoubleType: pa.float64(),
+            T.StringType: pa.string(),
+            T.BooleanType: pa.bool_(),
+        }
+        t = atomic.get(type(dt))
+        if t is not None:
+            return t
+        if isinstance(dt, T.ArrayType):
+            inner = atomic.get(type(dt.elementType))
+            if inner is not None:
+                return pa.list_(inner)
+        return None
+
+    def _local_stageable(self, lr: "LocalRows") -> bool:
+        """Whether the rows can stage through pyarrow: non-empty and
+        every field in the supported type set. (Empty frames keep the
+        distributed writer's exact layout semantics.)"""
+        try:
+            st = lr.struct(self.spark)
+        except Exception:
+            return False
+        return bool(lr.rows) and all(
+            self._local_pa_type(f.dataType) is not None for f in st.fields
+        )
+
+    def _stage_local(self, lr: "LocalRows", table_name: str) -> dict:
+        """Stage driver rows as one parquet file through the FileIO
+        seam — the job-free twin of :meth:`_stage`, returning the
+        identical manifest entry shape (footer stats included, via the
+        same ``harvest_file_stats``)."""
+        import io as _io
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from pyairbyte_spark.filestats import harvest_file_stats
+
+        st = lr.struct(self.spark)
+        rows = lr.dicts(self.spark)
+        name = f"d-{uuid.uuid4().hex[:12]}"
+        path = os.path.join(self.table_path(table_name), name)
+        pa_schema = pa.schema(
+            [(f.name, self._local_pa_type(f.dataType)) for f in st.fields]
+        )
+        tbl = pa.Table.from_pydict(
+            {f.name: [r[f.name] for r in rows] for f in st.fields},
+            schema=pa_schema,
+        )
+        buf = pa.BufferOutputStream()
+        papq.write_table(tbl, buf, compression="snappy")
+        data = buf.getvalue().to_pybytes()
+        rel = f"part-00000-{uuid.uuid4().hex}.snappy.parquet"
+        self.io.write_bytes(os.path.join(path, rel), data)
+        stats = harvest_file_stats(_io.BytesIO(data))
+        frec = {"path": rel, "bucket": None, "bytes": len(data), **stats}
+        if self.harvest_sums:
+            for f in st.fields:
+                cs = (frec.get("stats") or {}).get(f.name)
+                if (
+                    cs is not None
+                    and f.dataType.simpleString() in self._SUM_STAT_TYPES
+                ):
+                    vals = [r[f.name] for r in rows if r[f.name] is not None]
+                    if vals:
+                        cs["sum"] = int(sum(vals))
+        return {
+            "path": name,
+            "buckets": None,
+            "files": [frec],
+            "schema": st.json(),
+        }
+
     def _harvest_sums_into(
         self, path: str, df: DataFrame, files: "list[dict]"
     ) -> None:
@@ -2101,6 +2249,10 @@ class CommitLogTableStore(TableStore):
         the zone maps behind :meth:`read_where`; see ``filestats.py``)."""
         from pyairbyte_spark.filestats import harvest_file_stats
 
+        if isinstance(df, LocalRows):
+            if self._local_stageable(df):
+                return self._stage_local(df, table_name)
+            df = df.to_df(self.spark)
         name = f"d-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.table_path(table_name), name)
         try:
@@ -2451,6 +2603,110 @@ class CommitLogTableStore(TableStore):
         return self._apply_mapping(
             self._read_manifest_df(table_name, snap[1]), snap[1]
         )
+
+    # Byte cap for the driver-local read path below: protocol tables
+    # (index metas, codebook/centroid literals) are KBs; anything
+    # bigger belongs to a distributed scan.
+    _LOCAL_READ_MAX_BYTES = 1 << 20
+
+    def read_rows_local(self, table_name: str) -> "list[dict] | None":
+        """The snapshot's rows as driver-side dicts — WITHOUT a Spark
+        job — when the table is provably tiny and plain: every live
+        file's manifest-recorded bytes sum under
+        :data:`_LOCAL_READ_MAX_BYTES`, no deletion vectors, no column
+        mapping / dropped / added columns, no bucket column, and every
+        recorded schema field in the local-stage type set. Returns
+        None when any precondition fails (callers then run the normal
+        distributed read — same rows, one job). This is NOT a cache:
+        each call re-resolves the manifest and re-reads the parquet
+        bytes; it is the same read minus the scheduler round-trip.
+        The 1-row meta tables every index probe/sync consults are the
+        target — at 100 TB those reads are just as tiny, because meta
+        size is O(1) in corpus size."""
+        try:
+            snap = self._latest_commit(table_name)
+            if snap is None:
+                return None
+            man = snap[1]
+            if (
+                (man.get("delete_vectors") or None)
+                or (man.get("column_mapping") or None)
+                or (man.get("dropped_columns") or None)
+                or (man.get("added_columns") or None)
+            ):
+                return None
+            entries = man.get("entries") or []
+            if not entries:
+                return None
+            from pyspark.sql.types import StructType
+
+            schemas = {e.get("schema") for e in entries}
+            if len(schemas) != 1 or None in schemas:
+                return None
+            st = StructType.fromJson(json.loads(next(iter(schemas))))
+            if BUCKET_COL in st.names or any(
+                self._local_pa_type(f.dataType) is None for f in st.fields
+            ):
+                return None
+            reads: list[str] = []
+            total = 0
+            for e in entries:
+                live = e.get("buckets")
+                files = e.get("files")
+                if files is None:
+                    return None
+                base = os.path.join(
+                    self._entry_base(table_name, e), e["path"]
+                )
+                for f in files:
+                    if (
+                        live is not None
+                        and f.get("bucket") is not None
+                        and f["bucket"] not in live
+                    ):
+                        continue
+                    if f.get("bytes") is None:
+                        return None
+                    total += f["bytes"]
+                    if total > self._LOCAL_READ_MAX_BYTES:
+                        return None
+                    reads.append(os.path.join(base, f["path"]))
+            import pyarrow.parquet as papq
+
+            names = list(st.names)
+            out: list[dict] = []
+            for p in reads:
+                with self.io.open_input(p) as src:
+                    tbl = papq.read_table(src, columns=names)
+                for rec in tbl.to_pylist():
+                    out.append({n: rec[n] for n in names})
+            return out
+        except Exception:
+            return None  # any doubt: the distributed read is authoritative
+
+    def read_local_df(self, table_name: str) -> "DataFrame | None":
+        """:meth:`read_rows_local` as a LocalRelation DataFrame with
+        the table's recorded schema (exact types, no inference), or
+        None when the local preconditions fail. The frame needs no
+        further scan — broadcast/collect on it are driver-side."""
+        rows = self.read_rows_local(table_name)
+        if rows is None:
+            return None
+        try:
+            snap = self._latest_commit(table_name)
+            sj = next(
+                e.get("schema")
+                for e in reversed(snap[1].get("entries") or [])
+                if e.get("schema")
+            )
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(json.loads(sj))
+            return self.spark.createDataFrame(
+                [tuple(r[n] for n in st.names) for r in rows], st
+            )
+        except Exception:
+            return None
 
     def read_version(
         self, table_name: str, version: int, *, any_ref: bool = False
@@ -5779,6 +6035,53 @@ class CommitLogTableStore(TableStore):
         dir. Returns the staged entry. ``snap`` is the snapshot the
         prep validates against (the commit itself may rebase later;
         appends are position-independent)."""
+        if isinstance(df, LocalRows):
+            # Gate on the manifest itself, not its entry list: an
+            # emptied table (every row deleted) still carries checks /
+            # mapping state that must keep routing through the full
+            # path.
+            man = snap[1] if snap else None
+            simple = primary_keys is None and self._local_stageable(df)
+            if simple and man is not None:
+                newest = next(
+                    (
+                        e.get("schema")
+                        for e in reversed(man.get("entries") or [])
+                        if e.get("schema")
+                    ),
+                    None,
+                )
+                # The job-free path only for the plain case the
+                # protocol tables actually are: no checks, no schema
+                # machinery, no bucketing, no clustering, and a
+                # (name, type)-matching recorded schema (nullability
+                # is per-entry and irrelevant to the by-name union
+                # read). Anything else materializes and takes the
+                # full path below.
+                same_schema = False
+                if newest is not None:
+                    from pyspark.sql.types import StructType
+
+                    try:
+                        old_st = StructType.fromJson(json.loads(newest))
+                        new_st = df.struct(self.spark)
+                        same_schema = [
+                            (f.name, f.dataType) for f in old_st.fields
+                        ] == [(f.name, f.dataType) for f in new_st.fields]
+                    except Exception:
+                        same_schema = False
+                simple = (
+                    not man.get("checks")
+                    and not man.get("column_mapping")
+                    and not man.get("dropped_columns")
+                    and not man.get("added_columns")
+                    and not man.get("cluster_by")
+                    and not man.get("primary_keys")
+                    and same_schema
+                )
+            if simple:
+                return self._stage_local(df, table_name)
+            df = df.to_df(self.spark)
         exists = bool(snap and snap[1].get("entries"))
         if exists:
             self._check_schema_compat(df, table_name)
@@ -5830,8 +6133,16 @@ class CommitLogTableStore(TableStore):
         if clustered:
             lead = [BUCKET_COL] if BUCKET_COL in df.columns else []
             keys = [F.col(c) for c in (*lead, *cluster)]
-            n_out = max(1, df.rdd.getNumPartitions())
-            df = df.repartitionByRange(n_out, *keys).sortWithinPartitions(
+            # No explicit partition count: AQE's size-based coalescing
+            # picks the output file count from the data's actual bytes,
+            # so a sync-tick micro-append lands ONE well-formed sorted
+            # file (not shuffle-partition-count shards of a few rows)
+            # while a bulk load keeps its parallelism. Pinning the
+            # incoming partition count here (the old behavior) was the
+            # worst of both: tiny appends fanned into N tiny files —
+            # N footer harvests, N files every later read opens — and
+            # the count tracked local partitioning, not data size.
+            df = df.repartitionByRange(*keys).sortWithinPartitions(
                 *lead, *cluster
             )
         entry = self._stage(df, table_name)
@@ -6127,6 +6438,8 @@ class CommitLogTableStore(TableStore):
         # streaming txn watermarks are table properties and survive,
         # Delta-style.
         checks = (prior[1].get("checks") or {}) if prior else {}
+        if isinstance(df, LocalRows) and (checks or primary_keys):
+            df = df.to_df(self.spark)  # enforcement/bucketing need a frame
         if checks:
             df = self._enforce_checks(df, {"checks": checks})
         df = self._with_bucket(df, primary_keys)
@@ -6180,6 +6493,83 @@ class CommitLogTableStore(TableStore):
                 continue  # replace doesn't depend on the prior snapshot
         raise ConcurrentCommitError(
             f"replace of {table_name!r} lost {self._COMMIT_RETRIES} commit races"
+        )
+
+    def write_replace_clustered(
+        self,
+        df: DataFrame,
+        table_name: str,
+        *,
+        cluster_by: list[str],
+        target_files: int | None = None,
+        primary_keys: list[str] | None = None,
+    ) -> None:
+        """Atomic snapshot REPLACE that lands ALREADY clustered: the
+        ``write_replace → compact(sort_by=…) → set_cluster_by`` build
+        idiom collapsed into one staged write and one commit. The old
+        idiom wrote every byte twice (stage, then compaction rewrite)
+        and burned three commit slots to reach exactly this state:
+        range-partitioned files with disjoint key ranges (selective
+        zone maps), a ``sorted_by`` stamp on the entry, and the
+        table-level ``cluster_by`` property so later appends range-sort
+        at staging and coverage watermarks hold at 1.0."""
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by columns not in frame: {missing}")
+        prior = self._latest_commit(table_name)
+        checks = (prior[1].get("checks") or {}) if prior else {}
+        if checks:
+            df = self._enforce_checks(df, {"checks": checks})
+        df = self._with_bucket(df, primary_keys)
+        if BUCKET_COL in df.columns:
+            keys = [F.col(BUCKET_COL), *[F.col(c) for c in cluster_by]]
+            sort_cols = [BUCKET_COL, *cluster_by]
+        else:
+            keys = [F.col(c) for c in cluster_by]
+            sort_cols = list(cluster_by)
+        # Builds hand this an AGGREGATION-derived frame (postings /
+        # bands / lists), and repartitionByRange's range-boundary
+        # sampling re-executes its child — the whole derivation would
+        # run twice (once to sample, once to write). One lazy local
+        # checkpoint materializes it exactly once; the sampling pass
+        # then reads cheap cached blocks. Spills to disk beyond
+        # memory, so the trade holds at scale too.
+        df = df.localCheckpoint(eager=False)
+        # An explicit numPartitions pins zone-map granularity (and opts
+        # the shuffle out of AQE coalescing) exactly like compact().
+        if target_files:
+            df = df.repartitionByRange(target_files, *keys)
+        else:
+            df = df.repartitionByRange(*keys)
+        df = df.sortWithinPartitions(*sort_cols)
+        entry = self._stage(df, table_name)
+        entry["sorted_by"] = list(cluster_by)
+        manifest = {
+            "op": "replace",
+            **({"checks": checks} if checks else {}),
+            "merge_buckets": (
+                self.merge_buckets if entry["buckets"] is not None else None
+            ),
+            "cluster_by": list(cluster_by),
+            "entries": [entry],
+        }
+        for _attempt in range(self._COMMIT_RETRIES):
+            snap = self._latest_commit(table_name)
+            version = snap[0] if snap else 0
+            txns = dict((snap[1].get("txns") or {})) if snap else {}
+            try:
+                self._commit(
+                    table_name,
+                    {**manifest, **({"txns": txns} if txns else {})},
+                    version + 1,
+                )
+                return
+            except ConcurrentCommitError:
+                self._retry_pause(_attempt)
+                continue
+        raise ConcurrentCommitError(
+            f"clustered replace of {table_name!r} lost "
+            f"{self._COMMIT_RETRIES} commit races"
         )
 
     def write_merge(
@@ -6405,8 +6795,13 @@ class CommitLogTableStore(TableStore):
         keep_entries: list[dict] = []
         rewritten: list[str] = []
         if incremental:
+            # collect_set rides ONE partial+final aggregation (the
+            # distinct().collect() it replaces shuffled the same bytes
+            # but cost an extra job per merge in the AQE plan; and
+            # .collect(), not .first() — first() is a staged LIMIT
+            # probe that launches extra jobs on a 1-row aggregate)
             touched = sorted(
-                r[0] for r in src.select(BUCKET_COL).distinct().collect()
+                src.agg(F.collect_set(BUCKET_COL)).collect()[0][0]
             )
             touched_set = set(touched)
             old_parts: list[DataFrame] = []
