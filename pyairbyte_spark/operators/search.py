@@ -654,6 +654,15 @@ def _sync_derived_index(
     t = store.begin_txn()
     try:
         wdf, wtbl = plan["watermark"]
+        if not plan["docs_changed"]:
+            # Changeless window (e.g. the post-publish re-home): the
+            # watermark frame is PROVABLY empty — every family derives
+            # it from the netted diff — so carry the cursor CAS on a
+            # zero-file entry instead of staging an empty distributed
+            # write (3 Spark jobs to write nothing). Schema comes from
+            # the index table's own manifest; if unavailable, keep the
+            # original frame.
+            wdf = _empty_watermark(store, wtbl) or wdf
         r1 = t.write_append(wdf, wtbl, txn=(f"__sync_{index_name}", head))
         if r1.get("skipped"):
             t.abort()  # a racer's watermark already landed
@@ -678,6 +687,28 @@ def _sync_derived_index(
         "synced_to": head,
         "docs_changed": plan["docs_changed"],
     }
+
+
+def _empty_watermark(store, table_name: str):
+    """Zero-row LocalRows with ``table_name``'s recorded schema (the
+    changeless sync window's job-free cursor-CAS carrier), or None
+    when the schema can't be recovered."""
+    try:
+        import json as _json
+
+        from pyspark.sql.types import StructType
+
+        from pyairbyte_spark.writers import LocalRows
+
+        snap = store._latest_commit(table_name)
+        sj = next(
+            e.get("schema")
+            for e in reversed(snap[1].get("entries") or [])
+            if e.get("schema")
+        )
+        return LocalRows([], StructType.fromJson(_json.loads(sj)))
+    except Exception:
+        return None
 
 
 def _diff_change_counts(diff) -> "tuple[int, int]":

@@ -732,7 +732,8 @@ def build_ivf_index(
     st = store.table_stats(f"{index_name}_lists")
     return {
         "n_vectors": st["rows"],
-        "n_centroids": cent.count(),
+        # the centroid rows are driver-resident — len(), not a count job
+        "n_centroids": len(cent_rows),
         "files": plan["files_total"],
     }
 
@@ -849,10 +850,11 @@ def append_to_ivf_index(
     """
     from pyairbyte_spark.operators.search import _guard_oob_append
 
+    m = _ivf_index_meta(store, index_name)
     flag = _guard_oob_append(
         store,
         index_name,
-        _ivf_index_meta(store, index_name),
+        m,
         allow_oob,
         label="ivf index",
         sync_fn="sync_ivf_index",
@@ -870,7 +872,10 @@ def append_to_ivf_index(
     e = new_vectors.select(
         F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v")
     )
-    asg = _assign_to_centroids(e, cent, vectorized=cent.count() > 32)
+    # the meta already records the centroid count — no count job
+    asg = _assign_to_centroids(
+        e, cent, vectorized=int(m["n_centroids"]) > 32
+    )
     cols = [F.col("cid"), F.col("id"), F.col("v")]
     if "sign" in store.table_columns(f"{index_name}_lists"):
         cols += [

@@ -2132,14 +2132,15 @@ class CommitLogTableStore(TableStore):
         return None
 
     def _local_stageable(self, lr: "LocalRows") -> bool:
-        """Whether the rows can stage through pyarrow: non-empty and
-        every field in the supported type set. (Empty frames keep the
-        distributed writer's exact layout semantics.)"""
+        """Whether the rows can stage through pyarrow: every field in
+        the supported type set. Zero rows stage as a ZERO-FILE entry
+        (no bytes written at all) — the cursor-CAS watermark of a
+        changeless sync window rides one of these."""
         try:
             st = lr.struct(self.spark)
         except Exception:
             return False
-        return bool(lr.rows) and all(
+        return all(
             self._local_pa_type(f.dataType) is not None for f in st.fields
         )
 
@@ -2159,6 +2160,15 @@ class CommitLogTableStore(TableStore):
         rows = lr.dicts(self.spark)
         name = f"d-{uuid.uuid4().hex[:12]}"
         path = os.path.join(self.table_path(table_name), name)
+        if not rows:
+            # Zero-file entry: nothing to write, nothing to read back;
+            # the recorded schema keeps the snapshot readable.
+            return {
+                "path": name,
+                "buckets": [] if BUCKET_COL in st.names else None,
+                "files": [],
+                "schema": st.json(),
+            }
         pa_schema = pa.schema(
             [(f.name, self._local_pa_type(f.dataType)) for f in st.fields]
         )
@@ -2209,6 +2219,41 @@ class CommitLogTableStore(TableStore):
             and f.dataType.simpleString() in self._SUM_STAT_TYPES
         ]
         if not cols:
+            return
+        # Size-adaptive venue: the just-staged files' sizes are already
+        # known — when the whole dir is small, sum the columns driver-
+        # side with pyarrow (no Spark job; the bytes are page-cache
+        # hot). Big stages keep the distributed one-job fold. The
+        # threshold is bytes-based, so the choice is the same decision
+        # a 100 TB deployment would make.
+        sizes = [f.get("bytes") for f in files]
+        if all(s is not None for s in sizes) and sum(sizes) <= (32 << 20):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as papq
+
+            for frec in files:
+                stats = frec.get("stats")
+                if stats is None:
+                    continue
+                want = [c for c in cols if c in stats]
+                if not want:
+                    continue
+                try:
+                    with self.io.open_input(
+                        os.path.join(path, frec["path"])
+                    ) as src:
+                        tbl = papq.read_table(src, columns=want)
+                except Exception:
+                    continue  # unreadable: column simply stays scan-tier
+                for c in want:
+                    # decimal accumulator, mirroring the distributed
+                    # fold's overflow headroom
+                    v = pc.sum(
+                        tbl[c].cast(pa.decimal128(38, 0))
+                    ).as_py()
+                    if v is not None:
+                        stats[c]["sum"] = int(v)
             return
         rows = (
             self.spark.read.parquet(path)
@@ -5167,6 +5212,12 @@ class CommitLogTableStore(TableStore):
     # full snapshots — the equality escape hatch.
     DIFF_ENTRY_PRUNE = True
 
+    # Single-pass window formulation of the digest diff (one scan per
+    # side, two exchanges). False = the historical 4-join formulation —
+    # the equality escape hatch (test_change_feed's equivalence gate
+    # runs both and compares).
+    DIFF_SINGLE_PASS = True
+
     def _compose_diffs(
         self, d1: DataFrame, d2: DataFrame, pks: list[str]
     ) -> DataFrame:
@@ -5606,6 +5657,10 @@ class CommitLogTableStore(TableStore):
         if new is None:
             return _tag(old, "delete")
         pks = list(primary_keys)
+        if self.DIFF_SINGLE_PASS:
+            return self._diff_single_pass(
+                new, old, pks, _tag, include_preimages=include_preimages
+            )
         new_d = new.withColumn("__d", self._row_digest(new))
         old_d = old.withColumn("__d", self._row_digest(old))
         old_keys = old.select(*pks).distinct()
@@ -5637,6 +5692,110 @@ class CommitLogTableStore(TableStore):
                 allowMissingColumns=True,
             )
         return out
+
+    def _diff_single_pass(
+        self,
+        new: DataFrame,
+        old: DataFrame,
+        pks: list[str],
+        _tag,
+        *,
+        include_preimages: bool,
+    ) -> DataFrame:
+        """The digest diff as ONE union + two window passes — exactly
+        the rows the 4-join formulation emits, with one scan of each
+        side and two exchanges instead of six-plus (guide §2.4: the
+        five joins re-derived per-key facts the windows compute in
+        place; sort-merge join and window both shuffle on the key, so
+        the information per shuffle is identical).
+
+        Per (key, digest): ``__o_cnt`` counts old rows — a new row
+        with a zero count is "changed" (identical to the anti-join on
+        (pks, digest)). Per key: old/new presence and
+        has-a-changed-new-row drive the classification new rows →
+        insert / update_postimage, old rows → delete (no new row for
+        the key) / update_preimage (key has a changed new row).
+
+        JOIN null semantics are preserved: the join formulation never
+        matches NULL keys, while window partitioning groups them — so
+        any row with a NULL key gets a per-row surrogate
+        (``monotonically_increasing_id``) spliced into the window key,
+        making it a singleton: changed + insert (new side) or delete
+        (old side), exactly what never-matching joins produce. The
+        surrogate value never reaches the output, so task-retry
+        nondeterminism of the id cannot affect results."""
+        side = F.col("__side")
+        new_d = new.withColumn("__d", self._row_digest(new)).withColumn(
+            "__side", F.lit(1)
+        )
+        old_d = old.withColumn("__d", self._row_digest(old)).withColumn(
+            "__side", F.lit(0)
+        )
+        u = new_d.unionByName(old_d, allowMissingColumns=True)
+        anynull = None
+        for c in pks:
+            n = F.col(c).isNull()
+            anynull = n if anynull is None else (anynull | n)
+        u = u.withColumn(
+            "__nullk",
+            F.when(anynull, F.monotonically_increasing_id()),
+        )
+        w_kd = Window.partitionBy(*pks, "__nullk", "__d")
+        w_k = Window.partitionBy(*pks, "__nullk")
+        o_cnt = F.sum((side == 0).cast("long")).over(w_kd)
+        u = u.withColumn("__o_cnt", o_cnt)
+        has_old = F.max((side == 0).cast("int")).over(w_k)
+        has_new = F.max((side == 1).cast("int")).over(w_k)
+        chg = F.max(
+            ((side == 1) & (F.col("__o_cnt") == 0)).cast("int")
+        ).over(w_k)
+        u = (
+            u.withColumn("__has_old", has_old)
+            .withColumn("__has_new", has_new)
+            .withColumn("__chg", chg)
+        )
+        ct = (
+            F.when(
+                (side == 1)
+                & (F.col("__o_cnt") == 0)
+                & (F.col("__has_old") == 1),
+                F.lit("update_postimage"),
+            )
+            .when(
+                (side == 1) & (F.col("__o_cnt") == 0), F.lit("insert")
+            )
+            .when(
+                (side == 0) & (F.col("__has_new") == 0), F.lit("delete")
+            )
+        )
+        if include_preimages:
+            ct = ct.when(
+                (side == 0) & (F.col("__chg") == 1),
+                F.lit("update_preimage"),
+            )
+        u = u.withColumn("__ct", ct).filter(F.col("__ct").isNotNull())
+        keep = [
+            c
+            for c in u.columns
+            if c
+            not in (
+                "__d",
+                "__side",
+                "__nullk",
+                "__o_cnt",
+                "__has_old",
+                "__has_new",
+                "__chg",
+                "__ct",
+            )
+        ]
+        out = u.select(*keep, F.col("__ct"))
+        # _tag stamps the window's _commit_version; the constant
+        # change type it adds is overwritten with the per-row one
+        tagged = _tag(out, "insert").withColumn(
+            "_change_type", F.col("__ct")
+        ).drop("__ct")
+        return tagged
 
     def _changes_for_step(
         self, table_name: str, v: int, *, include_preimages: bool = False
@@ -6075,7 +6234,10 @@ class CommitLogTableStore(TableStore):
                     and not man.get("column_mapping")
                     and not man.get("dropped_columns")
                     and not man.get("added_columns")
-                    and not man.get("cluster_by")
+                    # a ZERO-row append needs no range-sort: clustered
+                    # tables accept the zero-file entry (the changeless
+                    # sync window's cursor CAS)
+                    and (not man.get("cluster_by") or not df.rows)
                     and not man.get("primary_keys")
                     and same_schema
                 )
