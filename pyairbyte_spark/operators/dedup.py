@@ -1022,9 +1022,10 @@ def minhash_index_matches(
         F.col("band_hash"),
         F.col(m["id_col"]).alias("query_id"),
     )
+    # one partial+final aggregation, not distinct().collect() (same
+    # bytes cross the driver, one less AQE job per probe)
     probe_hashes = sorted(
-        r["band_hash"]
-        for r in qbands.select("band_hash").distinct().collect()
+        qbands.agg(F.collect_set("band_hash")).collect()[0][0]
     )
     if len(probe_hashes) <= MINHASH_PROBE_LITERAL_MAX:
         idx = store.read_where(

@@ -281,6 +281,13 @@ class ChangeFeedFollower:
             )
         if changes is None:  # custom transform, or unsafe to collapse
             changes = store.read_changes(table, done, latest)
+        if self.apply_deletes:
+            # The delete scan (#3 below) re-reads the window's change
+            # set on top of the count and the destination write;
+            # materialize the diff/CDF scan once so all three read the
+            # same blocks (bounded by the window's change rows, spills
+            # to disk past memory).
+            changes = changes.localCheckpoint(eager=False)
         out = (
             self.transform(changes)
             if self.transform is not None
@@ -304,6 +311,13 @@ class ChangeFeedFollower:
             out = out.withColumn(AB_EXTRACTED_AT_COLUMN, F.current_timestamp())
         from pyairbyte_spark.writers import CommitLogTableStore
 
+        # The row count and the destination write both consume ``out``
+        # — without a checkpoint each re-runs the whole window plan
+        # (diff/CDF scan + the final-per-key window), and a merge
+        # destination reads the source frame again for touched-bucket
+        # discovery. One lazy materialization; the count below
+        # triggers it, every later consumer reads the blocks.
+        out = out.localCheckpoint(eager=False)
         rows = out.count()
         if rows:
             # 1. destination data commit — carrying the txn watermark

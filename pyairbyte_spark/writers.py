@@ -458,7 +458,9 @@ class TableStore:
             # buckets). A bucketed table with NO sidecar falls through
             # to the full rewrite, which re-buckets and writes the meta.
             incoming = self._with_bucket(df, primary_keys, layout_n)
-            buckets = [r[0] for r in incoming.select(BUCKET_COL).distinct().collect()]
+            # one partial+final aggregation, not distinct().collect()
+            # (same bytes shuffled, one less AQE job — see merge_into)
+            buckets = list(incoming.agg(F.collect_set(BUCKET_COL)).collect()[0][0])
             old = self._read_raw(table_name).filter(F.col(BUCKET_COL).isin(buckets))
             latest = self._dedup_latest(
                 old.unionByName(incoming, allowMissingColumns=True), primary_keys
@@ -7231,8 +7233,10 @@ class CommitLogTableStore(TableStore):
             df = self._materialize_added(df, man)
             primary_keys = [self._to_physical(man, k) for k in primary_keys]
             incoming = self._with_bucket(df, primary_keys, layout_n)
+            # one partial+final aggregation, not distinct().collect()
+            # (same bytes shuffled, one less AQE job — see merge_into)
             touched = sorted(
-                r[0] for r in incoming.select(BUCKET_COL).distinct().collect()
+                incoming.agg(F.collect_set(BUCKET_COL)).collect()[0][0]
             )
             touched_set = set(touched)
             dvs = man.get("delete_vectors") or []

@@ -677,3 +677,36 @@ def test_cache_snapshot_streams_untorn_join_mid_update(spark, tmp_path):
         cache.snapshot_streams(chain=[("raw", "clean"), ("aggX", "y")])
     with pytest.raises(ValueError, match="no recorded provenance"):
         cache.snapshot_streams(chain=[("raw", "clean")], follower_name="nope")
+
+
+def test_follower_window_materializes_once(spark, caches):
+    """r14 job-count guard: one process_once window runs its diff/CDF
+    scan ONCE. Without the two lazy localCheckpoints in process_once,
+    the window plan re-executes for each consumer — the row count, the
+    destination merge (which also re-reads the source frame for
+    touched-bucket discovery) and the delete scan — 20 jobs for this
+    window vs 13 with single materialization. Job accounting via job
+    groups, as in test_append_epoch_costs_one_write_job."""
+    src, dst = caches
+    t = src.table_name("raw")
+    follower = ChangeFeedFollower(
+        src, "raw", dst, "clean", primary_keys=["id"], apply_deletes=True
+    )
+    src.store.write_merge(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), t, ["id"])
+    follower.process_once()  # seed destination + cursor
+    # window: update + insert in one commit, a delete in the next
+    src.store.write_merge(_df(spark, [(1, "a2"), (4, "d")], "s"), t, ["id"])
+    src.store.delete_where(t, [("id", "=", 2)])
+    sc = spark.sparkContext
+    sc.setJobGroup("feed-window-guard", "job-count guard")
+    res = follower.process_once()
+    sc.setJobGroup("post", "job-count guard")
+    assert res["rows"] == 2 and res["deleted"] == 1
+    assert _rows(dst, "clean") == [(1, "a2"), (3, "c"), (4, "d")]
+    jobs = sc.statusTracker().getJobIdsForGroup("feed-window-guard")
+    # Measured breakdown (pinned): diff materialization + count (2),
+    # out-checkpoint consumers reading blocks, the destination merge's
+    # staged writes, the delete-key collect and the downstream delete,
+    # cursor commit metadata. Re-running the window plan per consumer
+    # adds ~7 jobs and fails here.
+    assert len(jobs) <= 14, f"window ran {len(jobs)} jobs: {sorted(jobs)}"
