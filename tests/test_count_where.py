@@ -46,12 +46,23 @@ def test_count_tiers_and_exactness(spark, store):
     r = store.count_where("t")
     assert r["count"] == 20000 and r["files_scanned"] == 0
     assert r["files_metadata"] == r["files_total"]
-    # clustered range: interior files counted from metadata, ONE
-    # boundary file scanned
+    # clustered range: interior files counted from metadata, only files
+    # actually straddling the cut scanned. Derive the boundary tier from
+    # the ACTUAL manifest — a file edge landing exactly on the cut makes
+    # the pure-metadata plan valid (files_scanned == 0), which is
+    # correct, not a failure (r13 flake class).
     preds = [("id", "<", 7500)]
     r = store.count_where("t", preds)
     assert r["count"] == _truth(store, preds) == 7500
-    assert r["files_scanned"] == 1
+    man = store._read_manifest("t", store.latest_version("t"))
+    spans = [
+        f["stats"]["id"]
+        for e in man["entries"]
+        for f in (e.get("files") or [])
+        if (f.get("stats") or {}).get("id")
+    ]
+    boundary = sum(1 for s in spans if s["min"] < 7500 <= s["max"])
+    assert r["files_scanned"] == boundary
     assert r["files_metadata"] >= 2
     # point lookup: no metadata proof (min<val<max), one file scanned
     r = store.count_where("t", [("id", "=", 5)])
