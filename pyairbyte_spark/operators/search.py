@@ -518,11 +518,16 @@ def _sync_derived_index(
       O(index): the price of mixing channels);
     - every index table + the cursor (meta's ``synced_version``) move
       as ONE multi-table txn group; the watermark append (app = this
-      index's sync, batch = the target version) is the cursor's
-      compare-and-swap — of N racing syncs exactly one applies, the
-      losers see their watermark missing from ``prepare()``'s map,
-      abort the whole group (prepares are invisible, nothing
-      half-applies) and report ``{"raced": True}``;
+      index's sync, batch = the cursor it advances FROM, +1) is the
+      cursor's compare-and-swap — of N racing syncs from the same
+      cursor exactly one applies, the losers see their watermark
+      missing from ``prepare()``'s map, abort the whole group
+      (prepares are invisible, nothing half-applies) and report
+      ``{"raced": True}``. Keying the batch on the CURSOR, not the
+      head, is what makes racers with DIFFERENT heads (one planned
+      before a concurrent publish, one after) mutually exclusive:
+      head-keyed batches let the later-head racer pass the monotonic
+      watermark check and re-apply the overlap of the two windows;
     - unsafe collapse windows (rename/drop mid-window, vacuumed cursor
       diff) and unprovable branch lineage (publish record vacuumed —
       :class:`_LineageVacuumed`) rebuild from the current snapshot
@@ -663,7 +668,15 @@ def _sync_derived_index(
             # the index table's own manifest; if unavailable, keep the
             # original frame.
             wdf = _empty_watermark(store, wtbl) or wdf
-        r1 = t.write_append(wdf, wtbl, txn=(f"__sync_{index_name}", head))
+        # CAS batch = cur + 1, NOT head: two racers from the same
+        # cursor must exclude each other even when their heads differ
+        # (a publish landing between their meta reads gives the later
+        # one a larger head, which would pass a head-keyed monotonic
+        # watermark and double-apply the windows' overlap). The +1
+        # keeps indexes whose recorded watermark predates this scheme
+        # (an old HEAD == today's cursor) from stalling on their first
+        # sync after upgrade.
+        r1 = t.write_append(wdf, wtbl, txn=(f"__sync_{index_name}", cur + 1))
         if r1.get("skipped"):
             t.abort()  # a racer's watermark already landed
             return raced

@@ -790,3 +790,87 @@ def test_store_doctor_surfaces_index_debt(spark, store):
     from pyairbyte_spark.mcp_server import TOOL_DEFS
 
     assert "get_store_maintenance_plan" in {d.name for d in TOOL_DEFS}
+
+
+def test_sync_straddling_publish_applies_exactly_once(spark, store):
+    """Deterministic repro of the interleaving
+    test_branch_index_sync_races_publish only hits by timing: sync B
+    plans against the pre-publish branch head, sync A plans against
+    the post-publish main head FROM THE SAME CURSOR, and B commits
+    first. A must race out on the cursor CAS — a head-keyed watermark
+    (batch = target version, monotonic check) let A through and
+    re-applied B's whole window (doubled postings/stats => inflated
+    BM25 scores)."""
+    import threading
+
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+    from pyairbyte_spark.writers import CommitLogTableStore as _Store
+
+    store.write_append(_book(_docs(spark)), "docs", ["doc_id"])
+    store.create_branch("docs", "audit")
+    attach_text_index(store, "docs", "ti", ref="audit")
+    store.branch("audit").merge_into(
+        "docs",
+        spark.createDataFrame(
+            [(7, "fresh spark data doc"), (8, "late spark join words")],
+            "doc_id long, text string",
+        ),
+        ["doc_id"],
+    )
+    names = ("straddle-a", "straddle-b")
+    arrived = {n: threading.Event() for n in names}
+    proceed = {n: threading.Event() for n in names}
+    orig = _Store.begin_txn
+
+    def gated(self, *a, **k):
+        n = threading.current_thread().name
+        if n in arrived and not arrived[n].is_set():
+            arrived[n].set()
+            assert proceed[n].wait(timeout=180), f"{n} gate timed out"
+        return orig(self, *a, **k)
+
+    results: dict = {}
+
+    def run(name):
+        try:
+            results[name] = sync_text_index(store, "ti")
+        except Exception as e:  # noqa: BLE001
+            results[name] = e
+
+    _Store.begin_txn = gated
+    try:
+        tb = threading.Thread(
+            target=run, args=("straddle-b",), name="straddle-b"
+        )
+        tb.start()  # plans (cur -> branch head], parks before its txn
+        assert arrived["straddle-b"].wait(timeout=180)
+        store.publish_branch("docs", "audit")
+        ta = threading.Thread(
+            target=run, args=("straddle-a",), name="straddle-a"
+        )
+        ta.start()  # plans (same cur -> main head], parks too
+        assert arrived["straddle-a"].wait(timeout=180)
+        proceed["straddle-b"].set()
+        tb.join(timeout=180)
+        proceed["straddle-a"].set()
+        ta.join(timeout=180)
+        assert not tb.is_alive() and not ta.is_alive()
+    finally:
+        _Store.begin_txn = orig
+    b, a = results["straddle-b"], results["straddle-a"]
+    assert isinstance(b, dict) and b["docs_changed"] == 2, b
+    assert not b.get("raced")
+    assert isinstance(a, dict) and a.get("raced") is True, a
+    # converge (re-home onto main + no-op), then scores must equal a
+    # from-scratch computation — the overlap applied exactly once
+    for _ in range(3):
+        r = sync_text_index(store, "ti")
+        if not r.get("raced") and r.get("docs_changed") == 0:
+            break
+    cur = store.read("docs").select("doc_id", "text")
+    assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
+        bm25_scores(cur, TERMS)
+    )
