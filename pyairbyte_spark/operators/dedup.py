@@ -199,6 +199,13 @@ def minhash_lsh_candidates(
         bands=bands,
         rows=rows,
     )
+    # Materialize the signature+bands pipeline ONCE: it feeds the
+    # hot-bucket aggregate AND both self-join sides, and the planner's
+    # broadcast of one side is never exchange-reused against the
+    # other — without this the whole shingle/md5/min-hash derivation
+    # executes up to three times. Lazy checkpoint: one materialization,
+    # every consumer reads the blocks.
+    b = b.localCheckpoint(eager=False)
     if max_bucket_size is not None:
         hot = (
             b.groupBy("band_idx", "band_hash")
@@ -240,17 +247,33 @@ def simhash_signature(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     is engine-portable (same md5/substr/bit arithmetic in the SQL
     oracle).
     """
+    # The 64 bit-votes used to re-slice the hex string per bit (64
+    # substring+conv evaluations per token row). Decode the same 64
+    # hash bits ONCE into two 32-bit integer lanes; each vote is then
+    # a shift+mask on a long — identical bits (char p of the hex is
+    # nibble 8-p of its lane, so bit j = lane >> (31-j or 63-j) & 1),
+    # ~30x less per-row expression work in the partial aggregation
+    # (guide §1.2 step 2: per-task work).
     exploded = df.select(
         F.col(id_col),
         F.explode(F.split(normalize_text_expr(text_col), " ")).alias("tok"),
-    ).select(F.col(id_col), F.substring(F.md5(F.col("tok")), 1, 16).alias("h"))
+    ).select(
+        F.col(id_col), F.md5(F.col("tok")).alias("m")
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.col("m"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("__hi"),
+        F.conv(F.substring(F.col("m"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("__lo"),
+    )
 
     aggs = []
     for j in range(64):
-        hex_pos = j // 4 + 1
-        bit_in_digit = 3 - (j % 4)
-        digit = F.conv(F.substring(F.col("h"), hex_pos, 1), 16, 10).cast("int")
-        bit_set = F.shiftright(digit, bit_in_digit).bitwiseAND(F.lit(1)) == 1
+        lane = F.col("__hi") if j < 32 else F.col("__lo")
+        shift = (31 - j) if j < 32 else (63 - j)
+        bit_set = F.shiftright(lane, shift).bitwiseAND(F.lit(1)) == 1
         aggs.append(
             F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"v{j}")
         )
@@ -470,6 +493,12 @@ def ngram_jaccard_pairs(
             .drop("__df")
         )
     sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    # (Measured, r14 session 2: checkpointing `sh` before the
+    # self-join is a ~0.6s REGRESSION at sf0.1 and neutral at sf1 —
+    # the duplicated subtree is the broadcast-build side and streams
+    # concurrently, cheaper than materializing the exploded rows. At
+    # cluster scale the join stops broadcasting and ReuseExchange
+    # collapses the identical shuffle subtrees instead.)
     pairs = (
         sh.alias("a")
         .join(sh.alias("b"), "sh")
@@ -1058,15 +1087,27 @@ def minhash_index_matches(
         .groupBy("query_id", F.col("id").alias("match_id"))
         .agg(F.countDistinct("band_idx").alias("n_bands"))
         .filter(F.col("n_bands") >= min_bands)
+        # Materialize once: cand feeds the sigs semi-join AND the final
+        # agreement join, and the optimizer pushes the semi-join below
+        # the sigs union — without this the whole bands-probe aggregate
+        # re-executed once per sigs entry plus once for the final join
+        # (captured plan: three identical probe subtrees).
+        .localCheckpoint(eager=False)
     )
     # Verify against each candidate's NEWEST signature (updated docs
     # re-sign with seq = the sync's source version; h0 breaks exact
     # re-ingest ties deterministically). Restricting to candidate ids
     # FIRST keeps the newest-wins window O(candidates), not O(index).
+    # Broadcast the candidate ids (bounded by the probe contract):
+    # a broadcast semi-join keeps the sigs scan in place — no
+    # exchange+sort per union branch — and ReuseExchange shares the
+    # one broadcast across every branch the pushdown clones it into.
     sigs = (
         store.read(f"{index_name}_sigs")
         .join(
-            cand.select(F.col("match_id").alias("id")).distinct(),
+            F.broadcast(
+                cand.select(F.col("match_id").alias("id")).distinct()
+            ),
             "id",
             "left_semi",
         )

@@ -192,31 +192,81 @@ def refresh_aggs(
         table_name, from_version, to, include_preimages=True
     )
     sum_cols = ["n"] + [f"sum_{c}" for c in value_cols]
+    if not mm:
+        return (
+            apply_deltas(
+                current.select(*keys, *sum_cols),
+                delta_sums(feed, keys, value_cols),
+                keys,
+            ),
+            to,
+        )
+    # ONE aggregation of the feed computes the signed count/sum deltas
+    # AND the per-group add/sub extrema (was three: delta_sums + adds +
+    # subs, each re-shuffling the same keys — guide §2.3, aggregate
+    # once). The group-sized result is lazily checkpointed so the sums
+    # and min/max branches below share one materialization of the
+    # per-commit CDF plans instead of re-executing them per consumer;
+    # `current` (the caller's materialized state) gets the same
+    # treatment — it feeds both branches too.
+    s = _sign()
+    ct = F.col("_change_type")
+    current = current.localCheckpoint(eager=False)
+    chg = (
+        feed.groupBy(*keys)
+        .agg(
+            F.sum(s).cast("long").alias("n"),
+            *[F.sum(s * F.col(c)).alias(f"sum_{c}") for c in value_cols],
+            *[
+                F.min(F.when(ct.isin(*_ADDS), F.col(c))).alias(
+                    f"__add_min_{c}"
+                )
+                for c in mm
+            ],
+            *[
+                F.max(F.when(ct.isin(*_ADDS), F.col(c))).alias(
+                    f"__add_max_{c}"
+                )
+                for c in mm
+            ],
+            *[
+                F.min(F.when(ct.isin(*_SUBS), F.col(c))).alias(
+                    f"__sub_min_{c}"
+                )
+                for c in mm
+            ],
+            *[
+                F.max(F.when(ct.isin(*_SUBS), F.col(c))).alias(
+                    f"__sub_max_{c}"
+                )
+                for c in mm
+            ],
+        )
+        .localCheckpoint(eager=False)
+    )
     sums_state = apply_deltas(
         current.select(*keys, *sum_cols),
-        delta_sums(feed, keys, value_cols),
+        chg.select(*keys, *sum_cols),
         keys,
     )
-    if not mm:
-        return sums_state, to
-    feed = feed.localCheckpoint(eager=False)  # adds + subs share it
-    adds = feed.filter(F.col("_change_type").isin(*_ADDS)).groupBy(
-        *keys
-    ).agg(
-        *[F.min(c).alias(f"__add_min_{c}") for c in mm],
-        *[F.max(c).alias(f"__add_max_{c}") for c in mm],
-    )
-    subs = feed.filter(F.col("_change_type").isin(*_SUBS)).groupBy(
-        *keys
-    ).agg(
-        *[F.min(c).alias(f"__sub_min_{c}") for c in mm],
-        *[F.max(c).alias(f"__sub_max_{c}") for c in mm],
-    )
-    cand = (
+    # Candidate extrema (state folded with the window's inserts) and
+    # the dirty flag in ONE full-outer join of two group-sized frames
+    # (was two joins: current ⋈ adds, then ⋈ subs). Semantics
+    # unchanged: a key with only sub rows and no state row yields NULL
+    # candidate extrema, a NULL dirty condition, and coalesces to
+    # clean — and such a key cannot survive the n > 0 filter on the
+    # sums side, so the final left join never sees it either way.
+    dirty_cond = None
+    for c in mm:
+        hit = (F.col(f"__sub_min_{c}") <= F.col(f"min_{c}")) | (
+            F.col(f"__sub_max_{c}") >= F.col(f"max_{c}")
+        )
+        dirty_cond = hit if dirty_cond is None else (dirty_cond | hit)
+    flagged = (
         current.select(
             *keys, *[f"min_{c}" for c in mm], *[f"max_{c}" for c in mm]
         )
-        .join(adds, on=keys, how="full_outer")
+        .join(chg, on=keys, how="full_outer")
         .select(
             *keys,
             *[
@@ -231,19 +281,11 @@ def refresh_aggs(
                 ).alias(f"max_{c}")
                 for c in mm
             ],
+            *[F.col(f"__sub_min_{c}") for c in mm],
+            *[F.col(f"__sub_max_{c}") for c in mm],
         )
+        .withColumn("__dirty", F.coalesce(dirty_cond, F.lit(False)))
     )
-    # Dirty = some subtracted value ties-or-beats a candidate extremum
-    # (>= / <= — a tie means the extremum's LAST copy may be gone).
-    dirty_cond = None
-    for c in mm:
-        hit = (F.col(f"__sub_min_{c}") <= F.col(f"min_{c}")) | (
-            F.col(f"__sub_max_{c}") >= F.col(f"max_{c}")
-        )
-        dirty_cond = hit if dirty_cond is None else (dirty_cond | hit)
-    flagged = cand.join(subs, on=keys, how="left").withColumn(
-        "__dirty", F.coalesce(dirty_cond, F.lit(False))
-    ).localCheckpoint(eager=False)
     clean = flagged.filter(~F.col("__dirty")).select(
         *keys, *[f"min_{c}" for c in mm], *[f"max_{c}" for c in mm]
     )

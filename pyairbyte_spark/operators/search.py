@@ -309,6 +309,11 @@ def text_index_search(
             F.sum(F.col("sign") * F.col("dl")).alias("dl"),
         )
         .filter(F.col("tf") > 0)
+        # tf feeds the per-term df aggregate AND the scoring join —
+        # materialize the pruned-scan fold once (term-sized frame)
+        # instead of scanning the probed postings files twice
+        # (captured plan: two identical pruned-Union subtrees).
+        .localCheckpoint(eager=False)
     )
     consts = (
         store.read(f"{index_name}_stats")

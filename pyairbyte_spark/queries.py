@@ -4054,6 +4054,14 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = (
         docs.select("doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s"))
         .select("doc_id", sh.alias("sh"))
+        # Repartition by sh BEFORE the distinct: hashpartitioning(sh)
+        # satisfies the distinct's clustered distribution on
+        # (doc_id, sh) AND the windows' distribution on sh, so the
+        # dedup and both window aggregates share ONE exchange instead
+        # of shuffling the pair set twice (distinct on (doc_id, sh),
+        # then again on sh). Guide §2.4: operations keyed compatibly
+        # share the partitioning.
+        .repartition("sh")
         .distinct()
         # shingles are distinct per doc, so count-over-sh is document
         # frequency; the cap drops zero-signal stop-phrases. __bench:
