@@ -182,111 +182,33 @@ def _assign_vectorized(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
     return vectors.select("id", "v").mapInPandas(assign, schema)
 
 
-# Beyond this many centroids the literal-projection assignment would
-# compile an unreasonably large expression tree; the GEMM path
-# (vectorized=True) is the right tool there anyway.
-_LITERAL_ASSIGN_MAX_CENTROIDS = 64
-
-
-def _assign_literal(
-    vectors: DataFrame,
-    cent_rows,
-    cid_type: str,
-    *,
-    top_n: int = 1,
-) -> DataFrame:
-    """Nearest-``top_n`` assignment as a PURE PROJECTION against a
-    literal centroid array: no cross join (no k× row inflation), no
-    aggregate, no exchange — the vectors never shuffle at all (guide
-    §2.4). Bit-identical to the join path: per centroid the same
-    ``round(dot/(|v|·|cv|), 6)`` expression evaluates with the centroid
-    vector constant-folded by Catalyst (JVM arithmetic either way), and
-    the (csim desc, cid asc) selection is ``array_max`` / descending
-    ``sort_array`` over struct(csim, -cid, …) — the exact comparison
-    key the max_by / row_number formulations order by, so ties still
-    break to the lowest cid."""
-    import math
-
-    cents = sorted(cent_rows, key=lambda r: r["cid"])
-    # norm(v) hoisted behind a projection boundary — folded once per
-    # vector, not once per centroid (CollapseProject keeps non-cheap
-    # multiply-referenced aliases in their own Project).
-    vecs = vectors.withColumn("__nv", norm_expr(F.col("v")))
-    entries = []
-    for r in cents:
-        cv = F.array(*[F.lit(float(x)) for x in r["cv"]])
-        # Catalyst does NOT constant-fold lambda HOFs, so norm_expr
-        # over the literal array would re-fold PER ROW. Precompute it
-        # in Python: the same sequential ((0.0+x0²)+x1²)… IEEE-double
-        # fold and correctly-rounded sqrt the JVM evaluates —
-        # bit-identical by construction.
-        acc = 0.0
-        for x in r["cv"]:
-            xx = float(x)
-            acc += xx * xx
-        ncv = math.sqrt(acc)
-        csim = F.round(
-            dot_expr(F.col("v"), cv) / (F.col("__nv") * F.lit(ncv)),
-            6,
-        )
-        entries.append(
-            F.struct(
-                csim.alias("s"),
-                F.lit(-int(r["cid"])).cast("long").alias("nc"),
-                F.lit(int(r["cid"])).cast(cid_type).alias("cid"),
-            )
-        )
-    arr = F.array(*entries)
-    if top_n == 1:
-        best = F.array_max(arr)
-        return vecs.select("id", "v", best["cid"].alias("cid"))
-    top = F.slice(F.sort_array(arr, asc=False), 1, top_n)
-    return vecs.select(
-        "id", "v", F.explode(top).alias("__t")
-    ).select("id", "v", F.col("__t.cid").alias("cid"))
-
-
 def _assign_to_centroids(
     vectors: DataFrame,
     centroids: DataFrame,
     *,
     top_n: int = 1,
     vectorized: bool = False,
-    cent_rows=None,
 ) -> DataFrame:
     """(id, v) × broadcast (cid, cv) → nearest ``top_n`` centroids per
     vector by cosine (round 6; ties → lowest cid). One pass, no
     corpus self-shuffle. ``vectorized`` swaps the interpreted HOF
     scoring for the numpy GEMM path (top_n=1 only) — callers opt in
-    when the centroid count is large. ``cent_rows`` (rows already in
-    the driver's hand) skips the collect the literal fast path below
-    would otherwise do itself."""
+    when the centroid count is large.
+
+    Measured and rejected (r14): assigning via a PURE PROJECTION
+    against literal centroid arrays (one struct per centroid,
+    array_max to pick the winner) removes the cross join, the
+    max_by aggregate and its exchange — 12 → 4 Exchanges on
+    ann_ivf_topk — yet ran consistently SLOWER in a within-session
+    interleaved A/B at sf0.1 (ann_ivf_topk 4.51s vs 2.91s,
+    ann_ivf_sync_topk 10.52s vs 7.28s, medians of 4 alternating
+    rounds): k interpreted HOF dot-folds stacked in ONE projection
+    evaluate outside whole-stage codegen, costing more than the
+    exchange they saved. The broadcast-join + map-side max_by below
+    keeps the corpus unshuffled anyway (the only exchange carries
+    one row per vector), so the join formulation stays."""
     if vectorized and top_n == 1:
         return _assign_vectorized(vectors, centroids)
-    # Literal fast path: the centroid table is tiny by construction
-    # (it was about to be BROADCAST, i.e. collected to the driver
-    # anyway), so fetch its rows and assign via a literal projection —
-    # the corpus-side cross join + aggregate + exchange disappear.
-    if cent_rows is None:
-        cent_rows = centroids.collect()
-    if 0 < len(cent_rows) <= _LITERAL_ASSIGN_MAX_CENTROIDS:
-        # Parallelism guard (corpus side only — top_n == 1): the join
-        # path's aggregate exchange used to (accidentally) spread the
-        # assignment's CONSUMERS across the cluster; a pure projection
-        # inherits the scan's layout, and a single-split input would
-        # serialize the downstream scoring join onto one core. When the
-        # scan already carries >= defaultParallelism splits (always, at
-        # scale) this is a no-op; below it, one round-robin exchange of
-        # the narrow (id, v) rows restores the parallelism the removed
-        # aggregate exchange provided — still strictly less work than
-        # the old cross-join + sort-aggregate + exchange.
-        if top_n == 1:
-            spark = vectors.sparkSession
-            dp = spark.sparkContext.defaultParallelism
-            if vectors.rdd.getNumPartitions() < dp:
-                vectors = vectors.repartition(dp)
-        cid_t = centroids.schema["cid"].dataType.simpleString()
-        return _assign_literal(vectors, cent_rows, cid_t, top_n=top_n)
     # Norms hoisted behind projection boundaries: HOF folds are
     # interpreted, so norm(v) inlined into the pair expression would
     # re-fold once per centroid (8x) instead of once per vector. The
@@ -430,13 +352,11 @@ def ivf_topk(
     cent_rows = cent.collect()
     cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-    lists = _assign_to_centroids(e, cent, cent_rows=cent_rows).select(
+    lists = _assign_to_centroids(e, cent).select(
         F.col("cid"), F.col("id").alias("neighbor_id"), F.col("v").alias("cvec")
     )
     q = queries.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-    probes = _assign_to_centroids(
-        q, cent, top_n=n_probes, cent_rows=cent_rows
-    ).select(
+    probes = _assign_to_centroids(q, cent, top_n=n_probes).select(
         F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
     )
     # Same norm-hoisting as _assign_to_centroids: one fold per list
@@ -554,9 +474,7 @@ def semantic_dedup(
     cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     # (id, v, cid); GEMM-scored when the auto-scaled k outgrows HOF
-    asg = _assign_to_centroids(
-        e, cent, vectorized=n_clusters > 32, cent_rows=cent_rows
-    )
+    asg = _assign_to_centroids(e, cent, vectorized=n_clusters > 32)
     # Within-cluster pair scoring as tiled numpy matmuls inside ONE
     # applyInPandas pass per cluster — the blocked-GEMM shape
     # cosine_neardup_pairs uses. A join + interpreted HOF fold computes
@@ -779,7 +697,7 @@ def build_ivf_index(
     cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     lists = _assign_to_centroids(
-        e, cent, vectorized=n_centroids > 32, cent_rows=cent_rows
+        e, cent, vectorized=n_centroids > 32
     )
     # centroids are already driver-resident: stage without a Spark job
     store.write_replace(
