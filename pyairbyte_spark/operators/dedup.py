@@ -915,7 +915,12 @@ def _minhash_sync_plan(ctx) -> dict:
         )
     sig = minhash_signature(
         ctx.added, text_col, id_col, num_hashes=nh, k=m["k"]
-    ).localCheckpoint()
+    )
+    if not getattr(ctx.diff, "_sg_provably_empty", False):
+        # bands + sigs both derive from sig; materialize once — unless
+        # the window is provably empty, where even the empty frame's
+        # checkpoint would cost a scheduler round-trip
+        sig = sig.localCheckpoint()
     new_bands = lsh_bands(
         sig, id_col, bands=m["bands"], rows=rows
     ).select(

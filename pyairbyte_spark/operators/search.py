@@ -607,9 +607,15 @@ def _sync_derived_index(
                 # siblings alike.
                 include_preimages=not oob or diff_cache is not None,
             )
-            if diff is not None:
+            if diff is not None and not getattr(
+                diff, "_sg_provably_empty", False
+            ):
                 # several passes below (and sibling syncs under a
-                # shared cache): don't re-diff
+                # shared cache): don't re-diff. A PROVABLY-EMPTY diff
+                # (rewrite-only / post-publish window) skips the
+                # checkpoint: materializing a zero-row frame still
+                # costs a scheduler round-trip, and every downstream
+                # scalar pass short-circuits on the tag instead.
                 diff = diff.localCheckpoint()
     except FileNotFoundError:
         diff = None  # outage outlived retention: cursor snapshot vacuumed
@@ -734,7 +740,10 @@ def _diff_change_counts(diff) -> "tuple[int, int]":
     diff. Every family needs both for ``docs_changed``, and the
     previous ``removed.count() + added.count()`` pair was two extra
     Spark jobs per sync tick — the tick's orchestration floor is
-    plan-count-bound, not data-bound, at small diffs."""
+    plan-count-bound, not data-bound, at small diffs. A diff tagged
+    provably empty by ``diff_snapshots`` costs ZERO jobs."""
+    if getattr(diff, "_sg_provably_empty", False):
+        return 0, 0
     ct = F.col("_change_type")
     r = diff.agg(
         F.coalesce(
@@ -772,14 +781,16 @@ def _text_sync_plan(ctx) -> dict:
     delta row carrying the N/avgdl shift."""
     m, index_name = ctx.m, ctx.index_name
     id_col, text_col = m["id_col"], m["text_col"]
+    diff_empty = getattr(ctx.diff, "_sg_provably_empty", False)
     if ctx.old_removed is not None:
         tombstones = _postings(ctx.old_removed, text_col, id_col, sign=-1)
         # every scalar the plan needs — removed/added doc counts and
         # their doc-length totals — in ONE job over the checkpointed
-        # diff (this used to be three separate jobs per tick)
+        # diff (this used to be three separate jobs per tick); zero
+        # jobs when the diff is provably empty
         ct = F.col("_change_type")
         dl = F.size(tokens_expr(text_col)).cast("long")
-        srow = ctx.diff.agg(
+        srow = None if diff_empty else ctx.diff.agg(
             F.coalesce(
                 F.sum(F.when(ct.isin("delete", "update_preimage"), dl)),
                 F.lit(0),
@@ -796,10 +807,12 @@ def _text_sync_plan(ctx) -> dict:
                 F.sum(F.when(ct.isin("insert", "update_postimage"), dl)),
                 F.lit(0),
             ).alias("dl_added"),
-        ).collect()[0]
-        dl_removed = int(srow["dl_removed"])
-        n_removed, n_added = int(srow["n_removed"]), int(srow["n_added"])
-        dl_added = int(srow["dl_added"])
+        )
+        srow = None if srow is None else srow.collect()[0]
+        dl_removed = 0 if srow is None else int(srow["dl_removed"])
+        n_removed = 0 if srow is None else int(srow["n_removed"])
+        n_added = 0 if srow is None else int(srow["n_added"])
+        dl_added = 0 if srow is None else int(srow["dl_added"])
     else:
         tombstones = (
             ctx.store.read(f"{index_name}_postings")
@@ -818,13 +831,13 @@ def _text_sync_plan(ctx) -> dict:
                 F.lit(-1).cast("long").alias("sign"),
             )
         )
-        dl_removed = (
+        dl_removed = 0 if diff_empty else (
             tombstones.groupBy("id").agg(F.max("dl").alias("dl")).agg(
                 F.coalesce(F.sum("dl"), F.lit(0))
             )
         ).collect()[0][0]
         n_removed, n_added = _diff_change_counts(ctx.diff)
-        dl_added = int(
+        dl_added = 0 if diff_empty else int(
             ctx.added.select(
                 F.size(tokens_expr(text_col)).cast("long").alias("__dl")
             )

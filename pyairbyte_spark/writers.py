@@ -5359,9 +5359,16 @@ class CommitLogTableStore(TableStore):
         empty = self._apply_mapping(self._fill_added(base, man), man)
         if BUCKET_COL in empty.columns:
             empty = empty.drop(BUCKET_COL)
-        return empty.withColumn("_change_type", F.lit("insert")).withColumn(
+        out = empty.withColumn("_change_type", F.lit("insert")).withColumn(
             "_commit_version", F.lit(to).cast("long")
         )
+        # Consumers (the index-sync engine, _diff_change_counts) use
+        # this tag to skip materialization and scalar jobs outright —
+        # a zero-row frame's eager localCheckpoint alone costs a full
+        # scheduler round-trip, which is the whole tick cost of a
+        # post-publish/post-compact catch-up.
+        out._sg_provably_empty = True
+        return out
 
     def diff_snapshots(
         self,
@@ -6959,6 +6966,12 @@ class CommitLogTableStore(TableStore):
         keep_entries: list[dict] = []
         rewritten: list[str] = []
         if incremental:
+            # src feeds the bucket discovery AND the merge join's
+            # source side — without this the dup-check window (and its
+            # exchange) re-executes for each; one lazy materialization
+            # (spills to disk past memory) serves both (A/B r14:
+            # store_merge_into_events 2.56s vs 2.77s, others neutral)
+            src = src.localCheckpoint(eager=False)
             # collect_set rides ONE partial+final aggregation (the
             # distinct().collect() it replaces shuffled the same bytes
             # but cost an extra job per merge in the AQE plan; and

@@ -874,3 +874,76 @@ def test_sync_straddling_publish_applies_exactly_once(spark, store):
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
     )
+
+
+def test_changeless_window_sync_runs_zero_spark_jobs(spark, store):
+    """r14 orchestration-floor guard: a sync whose window is PROVABLY
+    changeless (here: a compact-only window — rewrite-transparent diff
+    returns the tagged empty frame) must not launch a single Spark job.
+    The cursor still advances (meta replace + zero-file watermark CAS
+    are driver-side LocalRows), and the probe stays exact. Before the
+    tagged fast path the same tick paid ~3 jobs: the empty diff's
+    eager localCheckpoint plus the families' scalar aggregates."""
+    from pyairbyte_spark.operators.search import (
+        attach_text_index,
+        sync_text_index,
+    )
+
+    docs = _docs(spark)
+    store.write_append(docs.filter(F.col("doc_id") <= 3), "docs", ["doc_id"])
+    store.write_append(docs.filter(F.col("doc_id") > 3), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    before = text_index_search(store, "ti", TERMS)
+    before_scores = _scores(before)
+    v0 = store.latest_version("docs")
+    store.compact("docs", target_files=1)
+    assert store.latest_version("docs") > v0, "compact must commit"
+
+    sc = spark.sparkContext
+    sc.setJobGroup("changeless-sync-guard", "zero-job sync")
+    r = sync_text_index(store, "ti")
+    sc.setJobGroup("post-guard", "")
+    assert r["docs_changed"] == 0 and not r.get("raced"), r
+    assert r["synced_to"] == store.latest_version("docs")
+    jobs = sc.statusTracker().getJobIdsForGroup("changeless-sync-guard")
+    assert len(jobs) == 0, f"changeless sync ran {len(jobs)} jobs"
+    # cursor advanced: the next sync is the caught-up fast path
+    r2 = sync_text_index(store, "ti")
+    assert r2["synced_from"] == r2["synced_to"] == r["synced_to"]
+    assert _scores(text_index_search(store, "ti", TERMS)) == before_scores
+
+
+def test_changeless_window_minhash_sync_runs_zero_spark_jobs(spark, store):
+    """Same guard for the minhash family (its plan additionally guards
+    the signature frame's eager checkpoint on the tagged diff)."""
+    from pyairbyte_spark.operators.dedup import (
+        attach_minhash_index,
+        minhash_index_matches,
+        sync_minhash_index,
+    )
+
+    docs = _docs(spark)
+    store.write_append(docs.filter(F.col("doc_id") <= 3), "docs", ["doc_id"])
+    store.write_append(docs.filter(F.col("doc_id") > 3), "docs", ["doc_id"])
+    attach_minhash_index(store, "docs", "mh", num_hashes=8, bands=4)
+    q = spark.createDataFrame(
+        [(100, "spark joins data with spark sql")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        map(tuple, minhash_index_matches(store, "mh", q).collect())
+    )
+    v0 = store.latest_version("docs")
+    store.compact("docs", target_files=1)
+    assert store.latest_version("docs") > v0, "compact must commit"
+    sc = spark.sparkContext
+    sc.setJobGroup("changeless-mh-guard", "zero-job sync")
+    r = sync_minhash_index(store, "mh")
+    sc.setJobGroup("post-guard", "")
+    assert r["docs_changed"] == 0 and not r.get("raced"), r
+    jobs = sc.statusTracker().getJobIdsForGroup("changeless-mh-guard")
+    assert len(jobs) == 0, f"changeless minhash sync ran {len(jobs)} jobs"
+    after = sorted(
+        map(tuple, minhash_index_matches(store, "mh", q).collect())
+    )
+    assert after == before
