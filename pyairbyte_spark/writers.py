@@ -5336,9 +5336,18 @@ class CommitLogTableStore(TableStore):
             )
             if d is None:
                 return None
+            # a provably-changeless segment composes as identity:
+            # drop it instead of paying its empty materialization
+            if getattr(d, "_sg_provably_empty", False):
+                continue
             # composition references each segment several times:
             # materialize once (diff-sized, not table-sized)
             segs.append(d.localCheckpoint())
+        if not segs:
+            # every segment changeless => the whole window is
+            return self._empty_diff_frame(
+                self._read_manifest(table_name, hi), to
+            )
         out = segs[0]
         for d in segs[1:]:
             out = self._compose_diffs(out, d, pks)
