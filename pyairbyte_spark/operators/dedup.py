@@ -693,18 +693,25 @@ def build_minhash_index(
         "text_col string, source_table string, synced_version long, "
         "source_ref string, source_ref_id string",
     )
+    from pyairbyte_spark.writers import run_concurrently
+
     # One clustered write: bands land range-partitioned on band_hash
     # with the sorted_by stamp AND the cluster_by property in a single
     # staged write + commit (was write → compact rewrite → property
     # commit: every byte written twice). Appends still range-sort at
-    # staging, so the coverage watermark holds at 1.0.
-    store.write_replace_clustered(
-        band_rows,
-        f"{index_name}_bands",
-        cluster_by=["band_hash"],
-        target_files=target_files,
+    # staging, so the coverage watermark holds at 1.0. Bands and sigs
+    # are INDEPENDENT tables derived from the same checkpointed
+    # signature blocks — their writes overlap (per-table commit logs
+    # commute; the sigs job back-fills the bands shuffle's tail).
+    run_concurrently(
+        lambda: store.write_replace_clustered(
+            band_rows,
+            f"{index_name}_bands",
+            cluster_by=["band_hash"],
+            target_files=target_files,
+        ),
+        lambda: store.write_replace(sig_cols, f"{index_name}_sigs"),
     )
-    store.write_replace(sig_cols, f"{index_name}_sigs")
     store.write_replace(meta, f"{index_name}_meta")
     st = store.table_stats(f"{index_name}_sigs")
     plan = store.plan_scan(f"{index_name}_bands")

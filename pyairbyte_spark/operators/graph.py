@@ -115,10 +115,25 @@ def pagerank(
                 )
             ).cast("long").alias("r"),
         )
+        if bcast:
+            # Broadcast path: DON'T checkpoint per round. The fused
+            # plan chains the K broadcast stages under ONE action —
+            # AQE materializes round i's rank broadcast from round
+            # i-1's stage output, nothing recomputes (e/deg/nodes are
+            # checkpointed leaves; the identical deg broadcast subtree
+            # becomes a ReusedExchange), and the K driver round-trips
+            # the eager checkpoints paid (plus their block writes)
+            # drop out. Plan depth grows linearly in the bounded
+            # iteration count, so planning stays cheap.
+            continue
         if i < iterations - 1:
-            # Eager: the release below truncates lineage, so the new
-            # round MUST be materialized before its input's blocks go
-            # (the connected_components discipline).
+            # Sort-merge path (node count above the broadcast bound):
+            # eager per-round checkpoints keep the plan ONE round deep
+            # — at that scale planning a K-round SMJ lineage (and
+            # re-sorting through it on a retry) costs more than the
+            # round-trips. The release below truncates lineage, so the
+            # new round MUST be materialized before its input's blocks
+            # go (the connected_components discipline).
             ranks = ranks.localCheckpoint(eager=True)
             if prev_ckpt is not None:
                 from pyairbyte_spark.operators.dedup import (

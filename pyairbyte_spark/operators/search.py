@@ -124,14 +124,21 @@ def build_text_index(
     # range-sort on token at staging, so the probe-pruning coverage
     # watermark never decays — refresh_text_index stays a no-op in
     # the common case.
-    store.write_replace_clustered(
-        _postings(corpus, text_col, id_col),
-        f"{index_name}_postings",
-        cluster_by=["token"],
-        target_files=target_files,
-    )
-    store.write_replace(
-        _doc_stats(corpus, text_col, id_col), f"{index_name}_stats"
+    from pyairbyte_spark.writers import run_concurrently
+
+    # Postings and stats are INDEPENDENT tables, each one scan of the
+    # corpus — overlap the writes (per-table commit logs commute; the
+    # small stats job back-fills the postings shuffle's tail).
+    run_concurrently(
+        lambda: store.write_replace_clustered(
+            _postings(corpus, text_col, id_col),
+            f"{index_name}_postings",
+            cluster_by=["token"],
+            target_files=target_files,
+        ),
+        lambda: store.write_replace(
+            _doc_stats(corpus, text_col, id_col), f"{index_name}_stats"
+        ),
     )
     from pyairbyte_spark.writers import LocalRows
 

@@ -66,6 +66,38 @@ _ROW_PRESERVING_OPS = frozenset(
 )
 
 
+def run_concurrently(*thunks):
+    """Run independent Spark-action-bearing thunks from a small thread
+    pool and return their results in thunk order.
+
+    Spark's scheduler happily runs several jobs at once inside one
+    application; actions are only sequential because driver code calls
+    them sequentially. Index builds stage 2-3 INDEPENDENT tables
+    (bands ∥ sigs, postings ∥ stats) whose writes commute — on a
+    cluster the second job's tasks back-fill executors freed by the
+    first job's straggler tail, and in local mode the second write's
+    driver-side phases (commit JSON, footer harvest) overlap the
+    first's task execution. Callers must pass thunks with NO data or
+    commit-order dependency (the store's commit logs are per-table).
+    The first exception re-raises in the caller after all thunks
+    settle (no half-started writes left running)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(3, len(thunks))) as pool:
+        futs = [pool.submit(t) for t in thunks]
+        done, errs = [], []
+        for f in futs:
+            try:
+                done.append(f.result())
+            except BaseException as e:  # settle all before raising
+                errs.append(e)
+        if errs:
+            raise errs[0]
+        return done
+
+
 class LocalRows:
     """Driver-resident rows + schema, accepted by the store's write
     verbs in place of a DataFrame for tiny protocol frames (index
