@@ -89,6 +89,27 @@ def build_bits(values, m: int, k: int) -> bytes:
     return np.packbits(bits).tobytes()
 
 
+def build_bits_from_lanes(h1_arr, h2_arr, m: int, k: int) -> bytes:
+    """Bitset bytes from PRE-COMPUTED hash lanes (int64 arrays; -1
+    marks a NULL key). The distributed build computes the two md5
+    lanes as JVM expressions — ``conv(substring(md5(cast(x as
+    string)), 1, 15), 16, 10)`` and ``… (16, 15) … | 1`` — so Python
+    never hashes a key; this fold is k vectorized scatters.
+    Bit-identical to :func:`build_bits` / :func:`positions` by the same
+    reduce-mod-m-first argument (h1, h2 < 2^60; residues < m ≤ 2^23,
+    so i·(h2 % m) never overflows uint64)."""
+    bits = np.zeros(m, dtype=bool)
+    mask = h1_arr >= 0
+    if mask.any():
+        h1 = h1_arr[mask].astype(np.uint64) % np.uint64(m)
+        h2 = h2_arr[mask].astype(np.uint64) % np.uint64(m)
+        for i in range(k):
+            bits[
+                ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+            ] = True
+    return np.packbits(bits).tobytes()
+
+
 def maybe_contains(bits: bytes, m: int, k: int, value: str) -> bool:
     arr = np.unpackbits(np.frombuffer(bits, dtype=np.uint8), count=m)
     return all(arr[pos] for pos in positions(value, m, k))

@@ -8439,8 +8439,38 @@ class CommitLogTableStore(TableStore):
                         *[self.io.spark_read_path(d) or d for d in dirs]
                     )
                 )
+            # Hash in the JVM, scatter in numpy: the bloom family's two
+            # Kirsch–Mitzenmacher lanes are md5 substrings, which Spark
+            # computes codegen'd per batch — the Python side then only
+            # does k vectorized scatters per file. Hashing in the
+            # pandas fold (the old shape) paid one interpreted
+            # hashlib.md5 per key per column — THE per-task cost of the
+            # build at scale (guide §4.2) — and shipped the raw key
+            # strings across the Arrow boundary; two longs per column
+            # cross instead. NULL keys ride as -1 sentinels (conv/md5
+            # of NULL is NULL; real lanes are non-negative), keeping
+            # the Arrow columns int64-exact — a nullable int64 becomes
+            # float64 in pandas and 2^60-sized lanes would lose
+            # precision. Bit-identical to the probe side's
+            # positions(): h1 = int(md5[:15], 16), h2 = int(md5[15:30],
+            # 16) | 1.
+            def _lanes(p: str) -> list:
+                h = F.md5(F.col(p).cast("string").cast("binary"))
+                return [
+                    F.coalesce(
+                        F.conv(F.substring(h, 1, 15), 16, 10).cast("long"),
+                        F.lit(-1),
+                    ).alias(f"{p}__h1"),
+                    F.coalesce(
+                        F.conv(F.substring(h, 16, 15), 16, 10)
+                        .cast("long")
+                        .bitwiseOR(F.lit(1)),
+                        F.lit(-1),
+                    ).alias(f"{p}__h2"),
+                ]
+
             src = src.select(
-                *[F.col(p).cast("string").alias(p) for p in phys],
+                *[lane for p in phys for lane in _lanes(p)],
                 F.regexp_extract(
                     F.col("_metadata.file_path"), self._DV_FILE_RE, 1
                 ).alias("__file"),
@@ -8470,8 +8500,11 @@ class CommitLogTableStore(TableStore):
                             "col": col,
                             "m": m,
                             "k": k,
-                            "bits": bl.build_bits(
-                                pdf[col].tolist(), m, k
+                            "bits": bl.build_bits_from_lanes(
+                                pdf[f"{col}__h1"].to_numpy(),
+                                pdf[f"{col}__h2"].to_numpy(),
+                                m,
+                                k,
                             ),
                         }
                     )
