@@ -40,6 +40,7 @@ Scale notes:
 from __future__ import annotations
 
 import datetime
+import re
 from typing import Any
 
 MAX_STAT_COLUMNS = 32
@@ -380,13 +381,42 @@ def predicates_to_column(predicates: list[tuple[str, str, Any]]):
         elif op == ">=":
             e = c >= F.lit(value)
         elif op == "in":
-            e = c.isin(list(value))
+            e = _in_column(c, col, list(value))
         elif op == "is_null":
             e = c.isNull()
         else:  # not_null — normalize_predicates rejects anything else
             e = c.isNotNull()
         cond = e if cond is None else cond & e
     return cond
+
+
+# Above this many IN-list values, build the predicate as ONE parsed
+# SQL expression instead of Column.isin: isin creates a py4j literal
+# Column per value — a driver round-trip each, ~0.5s of pure plan
+# construction for an 800-hash probe list — while F.expr ships one
+# string the JVM parses to the identical In(col, literals) predicate.
+_IN_EXPR_MIN = 33
+
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _in_column(c, name: str, vals: list):
+    """``col IN (<values>)`` as a Spark Column. Long uniformly-typed
+    str/int lists on plainly-named columns render as one SQL string
+    (exact literal forms, backslash/quote-escaped); everything else
+    keeps the per-literal isin path, so semantics never change."""
+    from pyspark.sql import functions as F
+
+    if len(vals) >= _IN_EXPR_MIN and _SIMPLE_IDENT.match(name):
+        if all(type(v) is str for v in vals):
+            lits = ",".join(
+                "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                for v in vals
+            )
+            return F.expr(f"`{name}` IN ({lits})")
+        if all(type(v) is int for v in vals):  # type-is: bools excluded
+            return F.expr(f"`{name}` IN ({','.join(map(str, vals))})")
+    return c.isin(vals)
 
 
 def _may_match(

@@ -89,15 +89,22 @@ def shingles_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFr
     tdf = df.select(
         F.col(id_col), F.split(normalize_text_expr(text_col), " ").alias("__toks")
     )
-    toks = F.col("__toks")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.try_element_at(toks, i + j) for j in range(k)]
+    # ONE parsed SQL expression instead of composing the transform
+    # lambda through the Column API: every F.* call is a py4j driver
+    # round-trip, and this builder runs 2-4x per index lifecycle —
+    # the string parses to the identical plan (same explode /
+    # array_distinct / transform / concat_ws tree) for ~1 round-trip
+    # instead of dozens.
+    parts = ", ".join(
+        "try_element_at(__toks, i)" if j == 0
+        else f"try_element_at(__toks, i + {j})"
+        for j in range(k)
     )
-    return tdf.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(F.transform(idx, shingle))).alias("shingle"),
+    return tdf.selectExpr(
+        f"`{id_col}`",
+        "explode(array_distinct(transform("
+        f"sequence(1, greatest(size(__toks) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', {parts})))) AS shingle",
     )
 
 
@@ -118,20 +125,23 @@ def minhash_signature(
     as keys).
     """
     exploded = shingles_df(df, text_col, id_col, k)
-    h = F.md5(F.col("shingle"))
-    lanes = exploded.select(
-        F.col(id_col),
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("a"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("b"),
+    # Parsed SQL strings, not Column-API composition: this builder runs
+    # 2-4x per index lifecycle and the per-F.* py4j round-trips were
+    # ~0.3s of pure driver-side plan construction per call (the parsed
+    # expressions are identical).
+    lanes = exploded.selectExpr(
+        f"`{id_col}`",
+        "CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT) AS a",
+        "CAST(conv(substring(md5(shingle), 9, 8), 16, 10) AS BIGINT) AS b",
     )
-    two32 = F.lit(4294967296)
     aggs = [
-        F.min((F.col("a") + F.lit(i) * F.col("b")) % two32).alias(f"h{i}")
+        F.expr(f"min((a + {i} * b) % 4294967296)").alias(f"h{i}")
         for i in range(num_hashes)
     ]
     sig = lanes.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col), F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    return sig.selectExpr(
+        f"`{id_col}`",
+        f"array({', '.join(f'h{i}' for i in range(num_hashes))}) AS sig",
     )
 
 
@@ -145,24 +155,25 @@ def lsh_bands(
     bands-way union, which would recompute the signature aggregation
     once per band.
     """
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
-                        for r in range(rows)
-                    ],
-                )
-            ).alias("band_hash"),
+    # One parsed SQL expression (the same named_struct/explode tree the
+    # Column API built through ~10 py4j round-trips per band).
+    structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_hash', "
+        "md5(concat_ws('|', "
+        + ", ".join(
+            f"CAST(element_at(sig, {b * rows + r + 1}) AS STRING)"
+            for r in range(rows)
         )
+        + ")))"
         for b in range(bands)
-    ]
-    return sig_df.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("b")
-    ).select(F.col(id_col), F.col("b.band_idx").alias("band_idx"), F.col("b.band_hash").alias("band_hash"))
+    )
+    return sig_df.selectExpr(
+        f"`{id_col}`", f"explode(array({structs})) AS b"
+    ).selectExpr(
+        f"`{id_col}`",
+        "b.band_idx AS band_idx",
+        "b.band_hash AS band_hash",
+    )
 
 
 def minhash_lsh_candidates(
