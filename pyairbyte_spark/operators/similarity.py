@@ -786,10 +786,21 @@ def ivf_index_topk(
             store.read(f"{index_name}_centroids").collect()
         )
     q = queries.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
-    probes = _assign_to_centroids(q, cent, top_n=n_probes).select(
-        F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
+    # Materialize once: probes feeds the cid collection AND the
+    # broadcast join below — without this the whole assignment
+    # aggregate re-executes per consumer (the minhash probe's cand
+    # pattern). The cid set crosses the driver as ONE partial+final
+    # aggregation, not a row collect.
+    probes = (
+        _assign_to_centroids(q, cent, top_n=n_probes)
+        .select(
+            F.col("cid"), F.col("id").alias("query_id"), F.col("v").alias("qvec")
+        )
+        .localCheckpoint(eager=False)
     )
-    probe_cids = sorted({r["cid"] for r in probes.select("cid").collect()})
+    probe_cids = sorted(
+        probes.agg(F.collect_set("cid")).collect()[0][0]
+    )
     lists = store.read_where(f"{index_name}_lists", [("cid", "in", probe_cids)])
     # Sign-tombstone fold (sync_ivf_index retracts deleted/updated
     # vectors by appending their rows negated): a (cid, id) is live iff

@@ -195,14 +195,22 @@ def dup_paragraph_fraction_expr(col: Column | str) -> Column:
 def ngrams_expr(col: Column | str, n: int) -> Column:
     """Token n-grams as space-joined strings (empty array when the
     document has fewer than ``n`` tokens — NB Spark's ``sequence(1, 0)``
-    counts *down* to ``[1, 0]``, hence the explicit guard)."""
-    toks = tokens_expr(col)
-    m = F.size(toks) - F.lit(n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), m),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    counts *down* to ``[1, 0]``, hence the guard in
+    :func:`_grams_from_toks`).
+
+    The token array is BOUND ONCE via a single-element ``transform``
+    before the per-position lambda touches it: an interpreted HOF
+    re-evaluates outer expression subtrees on every lambda-body
+    reference, so ``slice(tokens_expr(..), i, n)`` inside the lambda
+    re-tokenized the document once per n-gram position (measured 6x
+    on the sf1 contamination pair build: 32s -> 5.4s). A lambda
+    *variable* is a per-element slot lookup instead."""
+    return F.element_at(
+        F.transform(
+            F.array(tokens_expr(col)), lambda t: _grams_from_toks(t, n)
+        ),
+        1,
     )
-    return F.when(m >= 1, grams).otherwise(F.array().cast("array<string>"))
 
 
 def top_ngram_fraction_expr(col: Column | str, n: int = 2) -> Column:
