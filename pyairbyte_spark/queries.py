@@ -3951,19 +3951,19 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(512),
     )
     bucketed = terms.select("doc_id", "lang", b.alias("b"))
-    raw = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        bucketed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    # ONE 512-key aggregation computes the raw AND target counts (was
+    # three separate aggregations, each re-running the explode+hash
+    # over the whole corpus — 4 full passes counting the final join;
+    # now 2). Totals fold from the 512-row frame, not the corpus.
+    g = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
     )
-    totals = bucketed.agg(
-        F.count(F.lit(1)).alias("nr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("nt"),
+    totals = g.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
     lr = (
-        raw.join(tgt, "b", "left")
-        .crossJoin(F.broadcast(totals))
+        g.crossJoin(F.broadcast(totals))
         .select(
             "b",
             F.round(

@@ -330,11 +330,17 @@ class TableStore:
                        "bigint", "float", "double"}
     _ALLOW_NUMERIC_WIDENING = False
 
-    def _check_schema_compat(self, df: DataFrame, table_name: str) -> None:
-        try:
-            existing = dict(self.read(table_name).dtypes)
-        except Exception:
-            return  # unreadable/new table: nothing to conflict with
+    def _check_schema_compat(
+        self,
+        df: DataFrame,
+        table_name: str,
+        existing: "dict[str, str] | None" = None,
+    ) -> None:
+        if existing is None:
+            try:
+                existing = dict(self.read(table_name).dtypes)
+            except Exception:
+                return  # unreadable/new table: nothing to conflict with
         for name, dt in df.dtypes:
             old = existing.get(name)
             if old is None or old == dt:
@@ -6296,8 +6302,15 @@ class CommitLogTableStore(TableStore):
             df = df.to_df(self.spark)
         exists = bool(snap and snap[1].get("entries"))
         if exists:
-            self._check_schema_compat(df, table_name)
-            existing_cols = set(self.read(table_name).columns)
+            # ONE read-plan construction serves both the compat check
+            # and the column alignment: building the union read of an
+            # E-entry table is O(E) py4j round-trips, and this runs on
+            # every append to an existing table.
+            rd = self.read(table_name)
+            self._check_schema_compat(
+                df, table_name, existing=dict(rd.dtypes)
+            )
+            existing_cols = set(rd.columns)
             new_cols = [c for c in df.columns if c not in existing_cols]
             ordered = [c for c in df.columns if c in existing_cols] + new_cols
             df = df.select(*ordered)

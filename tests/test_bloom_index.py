@@ -55,6 +55,40 @@ def test_unit_bloom_roundtrip():
     assert misses < 2000 * 0.05  # ~1% target, generous bound
 
 
+def test_unit_lanes_fold_bit_identical():
+    """build_bits_from_lanes (the distributed build's numpy fold over
+    JVM-computed md5 lanes) must produce byte-identical bitsets to
+    build_bits (which hashes in Python), including NULL keys (-1
+    sentinels, contributing no bits)."""
+    import hashlib
+
+    import numpy as np
+
+    m, k = bl.size_bits(1000, 0.01)
+    vals = [str(i) for i in range(1000)]
+    h1 = np.array(
+        [int(hashlib.md5(v.encode()).hexdigest()[:15], 16) for v in vals]
+        + [-1, -1],
+        dtype=np.int64,
+    )
+    h2 = np.array(
+        [
+            int(hashlib.md5(v.encode()).hexdigest()[15:30], 16) | 1
+            for v in vals
+        ]
+        + [-1, -1],
+        dtype=np.int64,
+    )
+    assert bl.build_bits_from_lanes(h1, h2, m, k) == bl.build_bits(
+        vals, m, k
+    )
+    # all-NULL input: empty bitset
+    empty = np.array([-1], dtype=np.int64)
+    assert bl.build_bits_from_lanes(empty, empty, m, k) == bytes(
+        (m + 7) // 8
+    )
+
+
 def test_point_lookup_prunes_files(spark, store):
     _seed(spark, store)
     r = store.build_bloom_index("t", ["key"])
