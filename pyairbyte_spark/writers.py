@@ -8131,7 +8131,19 @@ class CommitLogTableStore(TableStore):
                 .join(hdr, "entry_path", "left")
                 .select("entry_path", "file_path", "base", "rows")
             )
-        rows = [
+        return self.spark.createDataFrame(
+            self._live_files_local(man),
+            "entry_path string, file_path string, base string, rows long",
+        )
+
+    @staticmethod
+    def _live_files_local(man: dict) -> "list[tuple]":
+        """Driver-resident twin of :meth:`_live_files_frame` for
+        materialized manifests: the same ``(entry_path, file_path,
+        base, rows)`` rows as a plain list. Callers that only need
+        counts/sums/paths over a driver-resident manifest fold this
+        list directly instead of paying a Spark round-trip."""
+        return [
             (e["path"], f["path"], e.get("base"), f.get("rows"))
             for e in man.get("entries") or []
             for f in e.get("files") or []
@@ -8141,10 +8153,6 @@ class CommitLogTableStore(TableStore):
                 or f["bucket"] in e["buckets"]
             )
         ]
-        return self.spark.createDataFrame(
-            rows,
-            "entry_path string, file_path string, base string, rows long",
-        )
 
     def build_sum_stats(
         self,
@@ -8408,11 +8416,26 @@ class CommitLogTableStore(TableStore):
                 )
             except Exception:
                 prior_disk = 0
-        agg = uncov.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("rows").alias("r")
-        ).collect()[0]
-        n_new = int(agg["n"] or 0)
-        new_rows = None if agg["r"] is None else int(agg["r"])
+        # Uncovered-file accounting: a fresh build over a materialized
+        # manifest has the whole live-file list driver-resident
+        # already — fold count/sum/paths locally instead of a Spark
+        # round-trip per fact. Incremental re-covers (prior-index
+        # anti-join) and sidecar snapshots keep the relational path.
+        local_uncov = (
+            self._live_files_local(man)
+            if man is not None and carried is None
+            else None
+        )
+        if local_uncov is not None:
+            n_new = len(local_uncov)
+            _rs = [r[3] for r in local_uncov if r[3] is not None]
+            new_rows = sum(_rs) if _rs else None
+        else:
+            agg = uncov.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("rows").alias("r")
+            ).collect()[0]
+            n_new = int(agg["n"] or 0)
+            new_rows = None if agg["r"] is None else int(agg["r"])
         if n_new == 0 and carried is None:
             return {"files_indexed": 0, "columns": phys, "version": v0}
         built = None
@@ -8422,12 +8445,14 @@ class CommitLogTableStore(TableStore):
                 # exact file paths skip covered files' I/O entirely;
                 # the driver list is bounded by the threshold.
                 targets = [
-                    os.path.join(
-                        r["base"] or root, r["entry_path"], r["file_path"]
+                    os.path.join(r[2] or root, r[0], r[1])
+                    for r in (
+                        local_uncov
+                        if local_uncov is not None
+                        else uncov.select(
+                            "entry_path", "file_path", "base"
+                        ).collect()
                     )
-                    for r in uncov.select(
-                        "entry_path", "file_path", "base"
-                    ).collect()
                 ]
                 src = self.spark.read.option(
                     "mergeSchema", "true"
@@ -8438,7 +8463,9 @@ class CommitLogTableStore(TableStore):
                 # files, COW-pruned files and already-covered files
                 # drop via the key semi-join below.
                 dirs = sorted(
-                    {
+                    {os.path.join(r[2] or root, r[0]) for r in local_uncov}
+                    if local_uncov is not None
+                    else {
                         os.path.join(r["base"] or root, r["entry_path"])
                         for r in uncov.select("base", "entry_path")
                         .distinct()
