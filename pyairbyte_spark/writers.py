@@ -8744,18 +8744,49 @@ class CommitLogTableStore(TableStore):
         # so on-disk bytes ≈ driver bytes): an over-cap index is never
         # pulled to the driver — not even once.
         try:
-            disk = sum(sz for _n, sz in self.io.list_files(path))
+            listing = self.io.list_files(path)
+            disk = sum(sz for _n, sz in listing)
         except Exception:
-            disk = 0
+            listing, disk = [], 0
         if disk > self._BLOOM_CACHE_MAX_BYTES:
             self._bloom_oversize.add(key)
             return self._BLOOM_OVERSIZE
+        # The dir just passed the byte cap, so pull it driver-side
+        # through the FileIO seam (pyarrow) — same rows as the Spark
+        # read minus the scheduler round-trip (the read_rows_local
+        # rationale; this load happens once per (table, ref) and is
+        # cached below). Any failure falls back to the Spark read.
+        rows: "list | None" = None
         try:
-            rows = self.spark.read.parquet(
-                self.io.spark_read_path(path) or path
-            ).collect()
+            import pyarrow.parquet as papq
+
+            parts = [
+                n
+                for n, _sz in listing
+                if n.endswith(".parquet")
+                and not os.path.basename(n).startswith(("_", "."))
+            ]
+            if parts:
+                rows = []
+                for n in parts:
+                    with self.io.open_input(os.path.join(path, n)) as src:
+                        tbl = papq.read_table(
+                            src,
+                            columns=[
+                                "entry_path", "file_path", "col",
+                                "m", "k", "bits",
+                            ],
+                        )
+                    rows.extend(tbl.to_pylist())
         except Exception:
-            return None  # index dir vacuumed/corrupt: skip the optimization
+            rows = None
+        if rows is None:
+            try:
+                rows = self.spark.read.parquet(
+                    self.io.spark_read_path(path) or path
+                ).collect()
+            except Exception:
+                return None  # index dir vacuumed/corrupt: skip
         out: dict = {}
         for r in rows:
             out.setdefault((r["entry_path"], r["file_path"]), {})[
