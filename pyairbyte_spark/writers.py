@@ -8673,6 +8673,26 @@ class CommitLogTableStore(TableStore):
         meta = top.get("bloom_index")
         if not meta:
             return None
+        if man is not None:
+            # Driver-resident manifest: fold coverage from the cached
+            # index map (or a zero-covered stub when the dir is gone)
+            # — no Spark job. Oversize indexes keep the relational
+            # join below (they are never pulled to the driver).
+            mp = self._bloom_map(table_name, meta)
+            if mp is None or isinstance(mp, dict):
+                files = self._live_files_local(man)
+                covered = (
+                    0
+                    if mp is None
+                    else sum(1 for r in files if (r[0], r[1]) in mp)
+                )
+                return {
+                    "columns": meta.get("columns"),
+                    "fpr": meta.get("fpr"),
+                    "files_total": len(files),
+                    "files_covered": covered,
+                    "files_uncovered": len(files) - covered,
+                }
         files_df = self._live_files_frame(table_name, man, entries_df)
         path = self._bloom_index_path(table_name, meta)
         try:
@@ -8733,6 +8753,14 @@ class CommitLogTableStore(TableStore):
         meta = man.get("bloom_index")
         if not meta or not self._bloom_pred_cols(meta, preds):
             return None
+        return self._bloom_map(table_name, meta)
+
+    def _bloom_map(self, table_name: str, meta: dict):
+        """The load half of :meth:`_bloom_lookup` (no predicate gate):
+        the whole index as a driver dict when it fits the byte cap,
+        :attr:`_BLOOM_OVERSIZE` when it doesn't, None when the dir is
+        unreadable. :meth:`bloom_coverage` folds coverage from the
+        same cached dict instead of a per-call Spark join."""
         key = (table_name, meta["ref"])
         cached = self._bloom_cache.get(key)
         if cached is not None:
