@@ -99,6 +99,17 @@ class IndexSyncFollower:
         self.source_table = source_table
         self.tombstone_max = tombstone_max
 
+    def _meta(self, name: str) -> dict:
+        """One index's 1-row meta table, driver-locally when the store
+        supports it (meta is O(1) in corpus size, so the caught-up
+        tick really is job-free); distributed read on any miss."""
+        rows = getattr(self.store, "read_rows_local", lambda t: None)(
+            f"{name}_meta"
+        )
+        if rows:
+            return rows[0]
+        return self.store.read(f"{name}_meta").collect()[0].asDict()
+
     def _targets(self) -> "dict[str, str]":
         """index name -> family kind, attached indexes only."""
         inv = self.store.index_inventory()
@@ -108,9 +119,7 @@ class IndexSyncFollower:
             info = inv.get(n)
             if info is None:
                 raise FileNotFoundError(f"index {n!r} not found in store")
-            meta = (
-                self.store.read(f"{n}_meta").collect()[0].asDict()
-            )
+            meta = self._meta(n)
             src = meta.get("source_table")
             if src and (
                 self.source_table is None or src == self.source_table
@@ -135,7 +144,7 @@ class IndexSyncFollower:
         diff_cache: dict = {}
         for name, kind in self._targets().items():
             sync_fn, debt_fn, fold_fn = _family_fns(kind)
-            meta = self.store.read(f"{name}_meta").collect()[0].asDict()
+            meta = self._meta(name)
             head = self.store.latest_version(meta["source_table"])
             if head <= int(meta["synced_version"]) and not meta.get(
                 "source_ref"

@@ -321,3 +321,22 @@ def test_tick_unequal_cursors_diff_separately(spark, store, monkeypatch):
     assert _scores(text_index_search(store, "ti", TERMS)) == _scores(
         bm25_scores(cur, TERMS)
     )
+
+
+def test_caught_up_tick_runs_zero_spark_jobs(spark, store):
+    """r14 guard: a caught-up follower tick is pure driver-side
+    metadata — the per-index meta reads take the read_rows_local fast
+    path, so the tick launches ZERO Spark jobs (it used to pay a 1-job
+    collect per index per tick even when fully caught up)."""
+    store.write_append(_docs(spark, 0, 20), "docs", ["doc_id"])
+    attach_text_index(store, "docs", "ti")
+    attach_minhash_index(store, "docs", "mh")
+    f = IndexSyncFollower(store)
+    f.process_once()  # drain anything pending; now caught up
+    sc = spark.sparkContext
+    sc.setJobGroup("caught-up-tick-guard", "zero-job tick")
+    r = f.process_once()
+    sc.setJobGroup("post-guard", "")
+    assert r == {"synced": {}, "folded": [], "behind": 0}
+    jobs = sc.statusTracker().getJobIdsForGroup("caught-up-tick-guard")
+    assert len(jobs) == 0, f"caught-up tick ran {len(jobs)} jobs"
