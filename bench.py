@@ -137,6 +137,97 @@ BENCH_QUERIES = [
 INGEST_RECORDS = int(float(os.environ.get("SPARK_GRAFT_BENCH_RECORDS", "5e5")))
 
 # ---------------------------------------------------------------------------
+# Stable short aliases for the compact stdout line. The driver's tail capture
+# bounds the line at ~2000 chars; 77 full query names alone are ~1963 chars,
+# so since r13 the line had to drop the per-query map entirely, leaving the
+# driver's per-query/scaling comparison blind (PERF_r14 n_common=0). With
+# 3-6 char aliases + 1-decimal values the full map fits in ~1200 chars.
+# The alias table is committed here AND written into BENCH.json ("aliases")
+# so any consumer can invert it. Aliases are append-only: never rename or
+# reuse one once published.
+# ---------------------------------------------------------------------------
+
+QUERY_ALIASES = {
+    "q1_pricing_summary": "qpsu",
+    "q3_shipping_priority": "qspr",
+    "q5_local_supplier_volume": "qlsvo",
+    "q6_forecast_revenue": "qfre",
+    "window_topk_parts_per_supplier": "wtppsu",
+    "events_sessionize": "ese",
+    "merge_latest_per_key": "mlpke",
+    "rollup_time_bucket": "rtbu",
+    "dedup_exact_groups": "degr",
+    "dedup_minhash_lsh": "dmls",
+    "dedup_simhash": "dsi",
+    "dedup_ngram_jaccard": "dnja",
+    "dedup_embedding_cosine": "deco",
+    "dedup_semantic": "dse",
+    "ann_brute_force_topk": "abfto",
+    "ann_ivf_topk": "aito",
+    "text_fingerprint": "tfi",
+    "text_quality": "tqu",
+    "text_tfidf_top_terms": "tttte",
+    "embed_quantize_int8": "eqin",
+    "text_gopher_quality": "tgqu",
+    "text_pii_redaction": "tpre",
+    "contamination_check": "cch",
+    "dedup_cluster_representatives": "dcre",
+    "q2_min_cost_supplier": "qmcsu",
+    "q7_volume_shipping": "qvsh",
+    "q10_returned_items": "qrit",
+    "q11_important_part_value": "qipva",
+    "q20_excess_shipper_suppliers": "qessu",
+    "q13_customer_order_histogram": "qcohi",
+    "funnel_view_click_purchase": "fvcpu",
+    "moving_avg_daily_revenue": "madre",
+    "sample_per_stratum_orders": "spsor",
+    "pack_token_bins_docs": "ptbdo",
+    "pipeline_curation_shards": "pcsh",
+    "multimodal_features": "mfe",
+    "weighted_sample_docs": "wsdo",
+    "chunk_documents_64": "cd64",
+    "mixture_weights_by_source": "mwbso",
+    "dsir_importance_weights": "diwe",
+    "events_anomaly_daily_zscore": "eadzs",
+    "split_train_val_test": "stvte",
+    "store_dml_skipping_events": "sdsev",
+    "text_bm25_search": "tbse",
+    "embed_gram_matrix": "egma",
+    "ann_pq_topk": "apto",
+    "approx_distinct_hll": "adhl",
+    "hll_cumulative_distinct_users": "hcdus",
+    "cms_token_frequency": "ctfr",
+    "events_resample_hourly_gapfill": "erhga",
+    "graph_pagerank_part_supplier": "gppsu",
+    "store_mor_delete_events": "smdev",
+    "store_incremental_agg_events": "siaev",
+    "ann_pq_index_topk": "apito",
+    "store_merge_full_sync_events": "smfsev",
+    "store_mor_update_events": "smuev",
+    "store_bloom_skipping_events": "sbsev",
+    "store_merge_evolve_events": "smeev",
+    "store_group_commit_events": "sgcev",
+    "store_snapshot_consistent_join_events": "sscjev",
+    "store_txn_atomic_events": "staev",
+    "dedup_minhash_index_lookup": "dmilo",
+    "dedup_span_removal": "dsre",
+    "store_rebucket_events": "srev",
+    "dedup_minhash_refresh_events": "dmrev",
+    "store_txn_migration_events": "stmev",
+    "knn_label_vote": "klvo",
+    "store_branch_wap_events": "sbwev",
+    "store_count_pushdown_events": "scpev",
+    "text_bm25_index_search": "tbise",
+    "text_index_sync_search": "tisse",
+    "store_agg_pushdown_events": "sapev",
+    "store_sum_tier_events": "sstev",
+    "text_index_wap_sync_search": "tiwsse",
+    "ann_ivf_sync_topk": "aisto",
+    "ann_pq_sync_topk": "apsto",
+    "ingest_500000": "i50",
+}
+
+# ---------------------------------------------------------------------------
 # sf1 pass: the >=1s queries re-run ONCE against a 10x upscale of sf0.1,
 # so their medians land in the 5-30s range where a 10% plan regression is
 # visible above the +/-0.3-0.8s noise that dominates sub-second timings
@@ -416,6 +507,9 @@ def main() -> None:
             for n, m in timings.items()
             if m > 0 and spread.get(n, 0.0) > m
         ),
+        # Alias table for the compact stdout line's short query keys
+        # (see QUERY_ALIASES above): full name -> alias.
+        "aliases": {n: QUERY_ALIASES[n] for n in timings if n in QUERY_ALIASES},
         **({"sf1": sf1_doc} if sf1_doc else {}),
     }
     # Persist the full dict (incl. per-query spread) as its own
@@ -435,11 +529,18 @@ def main() -> None:
     # chars — round 6's line with the inlined sf1 block overflowed it
     # and the driver recorded "parsed": null). Keep only the required
     # fields; spread/runs/sf1/loadavg live in BENCH.json above.
+    # Per-query values go out under their short aliases at 1-decimal
+    # precision so all 77 rows fit in <1900 chars (full names alone are
+    # ~1963 chars — the r13/r14 lines had to ship an empty map, leaving
+    # the driver per-query-blind; see QUERY_ALIASES). Full-name,
+    # 3-decimal medians + spread remain in BENCH.json.
     compact = {
         "metric": doc["metric"],
         "value": doc["value"],
         "unit": doc["unit"],
-        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "queries": {
+            QUERY_ALIASES.get(k, k): round(v, 1) for k, v in timings.items()
+        },
         "sf": doc["sf"],
         "ingest_records_per_sec": doc["ingest_records_per_sec"],
     }
