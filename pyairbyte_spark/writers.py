@@ -5229,12 +5229,49 @@ class CommitLogTableStore(TableStore):
                 f"from_version {from_version} is after to_version {to}"
             )
         steps = []
+        # Adjacent plain-append commits fold into ONE scan (per-file
+        # commit recovery from the entry-dir name) instead of one scan
+        # plan per commit: a follower catching up over K appended
+        # micro-batches otherwise builds K relation plans for what is
+        # physically one multi-dir read. Runs split on anything that
+        # isn't a provably-plain append (other ops, schema/mapping
+        # drift, DVs, bucketed or cloned entries) — those keep the
+        # per-commit path unchanged. Rows, _change_type and per-row
+        # _commit_version are identical by construction.
+        run: list[tuple[int, list[dict]]] = []
+        run_sig = None
+
+        def _flush_run() -> None:
+            nonlocal run_sig
+            if len(run) >= 2:
+                steps.append(
+                    self._grouped_append_step(table_name, list(run), run_sig)
+                )
+            elif run:
+                step = self._changes_for_step(
+                    table_name, run[0][0], include_preimages=include_preimages
+                )
+                if step is not None:
+                    steps.append(step)
+            run.clear()
+            run_sig = None
+
         for v in range(from_version + 1, to + 1):
+            grouped = self._cdf_groupable_append(table_name, v)
+            if grouped is not None:
+                sig, entries = grouped
+                if run and sig != run_sig:
+                    _flush_run()
+                run.append((v, entries))
+                run_sig = sig
+                continue
+            _flush_run()
             step = self._changes_for_step(
                 table_name, v, include_preimages=include_preimages
             )
             if step is not None:
                 steps.append(step)
+        _flush_run()
         if not steps:
             base = self.read_version(table_name, to)
             return (
@@ -5853,6 +5890,150 @@ class CommitLogTableStore(TableStore):
         ).drop("__ct")
         return tagged
 
+    def _step_invisible(self, table_name: str, v: int, man: dict) -> bool:
+        """Whether commit ``v`` contributes nothing to THIS ref's
+        change feed (aborted/undecided txn prepare, another ref's
+        commit, a main commit past a branch view's fork base)."""
+        gid = man.get("txn_group")
+        if gid is not None and self._group_verdict(gid) != "commit":
+            # Aborted (or still-undecided) multi-table-txn prepare: the
+            # slot exists but its rows never became visible — no change.
+            return True
+        if self._branch is None:
+            if man.get("branch") is not None:
+                # Another ref's commit: its rows never became visible on
+                # main (publish_branch is where branch work enters
+                # main's change feed, classified against the fork point).
+                return True
+        elif man.get("branch") is None:
+            # Untagged (main) commit on a branch view: at or below the
+            # fork base the branch's history IS main's (mirror the
+            # floor fallthrough in _visible_at_or_below); past it the
+            # commit is another ref's.
+            if v > self._branch_info(table_name)["base"]:
+                return True
+        elif not self._ref_match(table_name, man):
+            return True  # another branch / dead incarnation
+        return False
+
+    def _cdf_groupable_append(
+        self, table_name: str, v: int
+    ) -> "tuple[tuple, list[dict]] | None":
+        """``(signature, new_entries)`` when commit ``v`` is a plain
+        visible append whose CDF step can fold into a multi-commit
+        grouped scan; None sends the version to the per-commit path.
+        Plain means: no deletion vectors in the snapshot, every new
+        entry table-based (no clone ``base``), unbucketed, flat file
+        names, with a recorded schema, and at least one data file.
+        The signature (schema + mapping/added/dropped state) must be
+        identical across a run — any drift splits it, because
+        ``_apply_mapping``/``_fill_added`` are per-commit views."""
+        try:
+            man = self._read_manifest(table_name, v)
+            if man.get("op") != "append" or man.get("delete_vectors"):
+                return None
+            if self._step_invisible(table_name, v, man):
+                return None
+            below = (
+                self._visible_at_or_below(table_name, v - 1)
+                if v > 1
+                else None
+            )
+            prev_paths = {
+                e["path"]
+                for e in ((below[1] if below else {}) or {}).get("entries")
+                or []
+            }
+            new_entries = [
+                e
+                for e in man.get("entries") or []
+                if e["path"] not in prev_paths
+            ]
+            if not new_entries:
+                return None
+            n_files = 0
+            schema_json = None
+            for e in new_entries:
+                if e.get("base") is not None or e.get("buckets") is not None:
+                    return None
+                files = e.get("files")
+                sj = e.get("schema")
+                if files is None or not sj:
+                    return None
+                if schema_json is None:
+                    schema_json = sj
+                elif sj != schema_json:
+                    return None
+                for f in files:
+                    if f.get("bucket") is not None or "/" in f["path"]:
+                        return None
+                    n_files += 1
+            if n_files == 0 or self._entry_schema(new_entries[0]) is None:
+                return None
+            sig = (
+                schema_json,
+                json.dumps(man.get("column_mapping") or {}, sort_keys=True),
+                json.dumps(man.get("dropped_columns") or [], sort_keys=True),
+                json.dumps(man.get("added_columns") or {}, sort_keys=True),
+            )
+            return sig, new_entries
+        except Exception:
+            return None  # any doubt: per-commit path, unchanged semantics
+
+    def _grouped_append_step(
+        self,
+        table_name: str,
+        run: "list[tuple[int, list[dict]]]",
+        sig: tuple,
+    ) -> DataFrame:
+        """One scan over every file of a run of plain appends, with
+        ``_commit_version`` recovered per row from the (unique) entry
+        dir in ``_metadata.file_path`` — same rows, tags and column
+        order as the per-commit append steps it replaces."""
+        paths: list[str] = []
+        ver_by_dir: dict[str, int] = {}
+        tbl = self.table_path(table_name)
+        for v, entries in run:
+            for e in entries:
+                ver_by_dir[e["path"]] = v
+                for f in e["files"]:
+                    paths.append(os.path.join(tbl, e["path"], f["path"]))
+        last_man = self._read_manifest(table_name, run[-1][0])
+        st = self._entry_schema(run[0][1][0])
+        df = self.spark.read.schema(st).parquet(*paths)
+        ver = F.element_at(
+            F.create_map(
+                *[
+                    F.lit(x)
+                    for kv in sorted(ver_by_dir.items())
+                    for x in kv
+                ]
+            ),
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r".*/([^/]+)/[^/]+$", 1
+            ),
+        )
+        df = df.withColumn(
+            "__sg_cv",
+            F.when(ver.isNotNull(), ver.cast("long")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("grouped CDF append: unmapped file dir in "),
+                        F.col("_metadata.file_path"),
+                    )
+                ).cast("long")
+            ),
+        )
+        df = self._apply_mapping(self._fill_added(df, last_man), last_man)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        data_cols = [c for c in df.columns if c != "__sg_cv"]
+        return df.select(
+            *data_cols,
+            F.lit("insert").alias("_change_type"),
+            F.col("__sg_cv").alias("_commit_version"),
+        )
+
     def _changes_for_step(
         self, table_name: str, v: int, *, include_preimages: bool = False
     ) -> DataFrame | None:
@@ -5869,26 +6050,8 @@ class CommitLogTableStore(TableStore):
             "set_bloom_index",
         ):
             return None  # bytes or metadata moved; no row changes
-        gid = man.get("txn_group")
-        if gid is not None and self._group_verdict(gid) != "commit":
-            # Aborted (or still-undecided) multi-table-txn prepare: the
-            # slot exists but its rows never became visible — no change.
+        if self._step_invisible(table_name, v, man):
             return None
-        if self._branch is None:
-            if man.get("branch") is not None:
-                # Another ref's commit: its rows never became visible on
-                # main (publish_branch is where branch work enters
-                # main's change feed, classified against the fork point).
-                return None
-        elif man.get("branch") is None:
-            # Untagged (main) commit on a branch view: at or below the
-            # fork base the branch's history IS main's (mirror the
-            # floor fallthrough in _visible_at_or_below); past it the
-            # commit is another ref's.
-            if v > self._branch_info(table_name)["base"]:
-                return None
-        elif not self._ref_match(table_name, man):
-            return None  # another branch / dead incarnation
         # Diff against the nearest VISIBLE version below v: an aborted
         # prepare occupying v-1 was never this commit's logical parent
         # (writers always base on the visible head, so nearest-visible

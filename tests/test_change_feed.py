@@ -176,3 +176,65 @@ def test_bad_version_window_raises(spark, store):
         store.read_changes("t", 5, 1)
     with pytest.raises(FileNotFoundError):
         store.read_changes("missing", 0)
+
+
+def _all_changes(df):
+    cols = [c for c in df.columns]
+    return cols, sorted(
+        tuple(r[c] for c in cols) for r in df.collect()
+    )
+
+
+def test_grouped_append_steps_match_per_commit_path(spark, store):
+    """Adjacent plain appends fold into one grouped scan; rows, tags,
+    versions and column order must be identical to the per-commit
+    formulation (the equality escape hatch: grouping disabled)."""
+    store.write_append(_df(spark, [(1, "a"), (2, "b")]), "t")
+    store.write_append(_df(spark, [(3, "c")]), "t")
+    store.write_append(_df(spark, [(4, "d"), (5, "e")]), "t")
+    store.delete_where("t", [("id", "=", 2)])
+    store.write_append(_df(spark, [(6, "f")]), "t")
+    store.write_append(_df(spark, [(7, "g")]), "t")
+    store.update_where("t", [("id", "=", 7)], {"v": "'G'"})
+    store.rename_column("t", "v", "w")
+    store.write_append(
+        _df(spark, [(8, "h")]).withColumnRenamed("v", "w"), "t"
+    )
+    store.write_append(
+        _df(spark, [(9, "i")]).withColumnRenamed("v", "w"), "t"
+    )
+
+    def snap(disable, **kw):
+        orig = CommitLogTableStore._cdf_groupable_append
+        if disable:
+            CommitLogTableStore._cdf_groupable_append = (
+                lambda self, tn, ver: None
+            )
+        try:
+            return _all_changes(store.read_changes("t", 0, **kw))
+        finally:
+            CommitLogTableStore._cdf_groupable_append = orig
+
+    for kw in ({}, {"include_preimages": True}):
+        new_cols, new_rows = snap(False, **kw)
+        old_cols, old_rows = snap(True, **kw)
+        assert new_cols == old_cols
+        assert new_rows == old_rows
+    # partial windows straddling run boundaries
+    for fv in (1, 2, 4, 6, 8):
+        assert snap(False) == snap(True)
+        nc, nr = _all_changes(store.read_changes("t", fv))
+        oc, orows = _all_changes(store.read_changes("t", fv))
+        assert (nc, nr) == (oc, orows)
+
+
+def test_grouped_append_window_plans_one_scan(spark, store):
+    """A K-append window builds O(1) scan relations, not O(K)."""
+    for i in range(6):
+        store.write_append(_df(spark, [(10 + i, f"x{i}")]), "t")
+    df = store.read_changes("t", 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert _changes(df) == [
+        (i + 1, "insert", 10 + i, f"x{i}") for i in range(6)
+    ]
