@@ -21,7 +21,7 @@ key (same code path, Catalyst picks SMJ).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Row, Window
 from pyspark.sql import functions as F
 
 
@@ -249,6 +249,79 @@ def _assign_to_centroids(
     )
 
 
+# Driver-side Lloyd: collect the (bounded) train sample once and run
+# the iterations in numpy — 0 Spark jobs per iteration instead of the
+# assign cross-join + two groupBys. Both formulations round every
+# decision value (csim, centroid components) to 6 decimals, which is
+# what makes them agree: the only divergence channel is a value within
+# ~1e-15 of a 0.5e-6 rounding boundary (probability ~1e-10 per value;
+# bit-equality of the final centroids is pinned by
+# tests/test_operators-side equivalence and the full oracle sweep at
+# three scale factors). False = always the distributed plan — the
+# equality escape hatch.
+KMEANS_DRIVER = True
+# Train samples above this row count stay distributed (the collect is
+# probed with LIMIT cap+1, so oversize corpora pay one incremental
+# limit job, never a full collect). 64k rows x 64 dims ~ 34 MB.
+KMEANS_DRIVER_MAX_TRAIN = int(
+    __import__("os").environ.get("SPARK_GRAFT_KMEANS_DRIVER_MAX", "65536")
+)
+
+
+def _round6_vec(x):
+    """Vectorized HALF_UP 6-decimal round matching Spark's
+    ``round(double, 6)`` (BigDecimal HALF_UP, ties away from zero)."""
+    import numpy as np
+
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5), x) / 1e6
+
+
+def _lloyd_driver(
+    rows: list, n_centroids: int, iters: int
+) -> "list[tuple] | None":
+    """numpy Lloyd over the collected train sample — the same
+    seed-from-lowest-ids / cosine-assign (round 6, ties to lowest
+    cid) / per-component mean (round 6) steps as the distributed
+    plan. Returns [(cid, [components...])] sorted by cid, or None
+    when the sample shape disqualifies the fast path (ragged or
+    non-finite vectors)."""
+    import numpy as np
+
+    try:
+        rows = sorted(rows, key=lambda r: r[0])
+        ids = [r[0] for r in rows]
+        mat = np.array([r[1] for r in rows], dtype=np.float64)
+        if mat.ndim != 2 or not np.isfinite(mat).all():
+            return None
+    except Exception:
+        return None
+    seeds = list(range(min(n_centroids, len(rows))))
+    cents = [(ids[i], mat[i].copy()) for i in seeds]
+    norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    if not (norms > 0).all():
+        return None  # zero vector: csim division semantics differ
+    for _ in range(iters):
+        c_mat = np.array([cv for _, cv in cents])
+        c_norm = np.sqrt(np.einsum("ij,ij->i", c_mat, c_mat))
+        if not (c_norm > 0).all():
+            return None
+        # csim[i, j], rounded like the JVM expression; argmax takes the
+        # FIRST max, and cents is cid-ascending, so ties break low.
+        csim = _round6_vec(mat @ c_mat.T / np.outer(norms, c_norm))
+        best = np.argmax(csim, axis=1)
+        nxt = []
+        for j, (cid, _) in enumerate(cents):
+            members = mat[best == j]
+            if len(members):
+                nxt.append(
+                    (cid, _round6_vec(members.sum(axis=0) / len(members)))
+                )
+        cents = nxt
+        if not cents:
+            return None
+    return [(cid, [float(x) for x in cv]) for cid, cv in cents]
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     *,
@@ -286,6 +359,30 @@ def kmeans_centroids(
         .limit(n_centroids)
         .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     )
+    if KMEANS_DRIVER:
+        # One incremental-limit collect; if it truncates (train larger
+        # than the cap) the sample is discarded and the distributed
+        # plan below runs unchanged.
+        try:
+            sample = train.limit(KMEANS_DRIVER_MAX_TRAIN + 1).collect()
+        except Exception:
+            sample = None
+        if sample is not None and len(sample) <= KMEANS_DRIVER_MAX_TRAIN:
+            got = _lloyd_driver(
+                [(r["id"], r["v"]) for r in sample], n_centroids, iters
+            )
+            if got is not None:
+                spark = corpus.sparkSession
+                out = spark.createDataFrame(
+                    [(cid, cv) for cid, cv in got],
+                    schema=centroids.schema,
+                )
+                # Callers that materialize the (tiny) centroid table
+                # can take the rows without another collect.
+                out._sg_local_rows = [
+                    Row(cid=cid, cv=cv) for cid, cv in got
+                ]
+                return out
     # Large centroid sets: score Lloyd's assign pass in BLAS, not
     # interpreted HOF folds (n·k cost either way; ~100× constant gap).
     vec = n_centroids > 32
@@ -349,7 +446,7 @@ def ivf_topk(
     # query probing). This is dimension-table materialization, not a
     # data collect.
     spark = corpus.sparkSession
-    cent_rows = cent.collect()
+    cent_rows = getattr(cent, "_sg_local_rows", None) or cent.collect()
     cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     lists = _assign_to_centroids(e, cent).select(
@@ -470,7 +567,7 @@ def semantic_dedup(
     # Materialize the (tiny) centroid table once — the Lloyd subplan
     # would otherwise re-execute for each consumer branch below.
     spark = corpus.sparkSession
-    cent_rows = cent.collect()
+    cent_rows = getattr(cent, "_sg_local_rows", None) or cent.collect()
     cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     # (id, v, cid); GEMM-scored when the auto-scaled k outgrows HOF
@@ -693,7 +790,7 @@ def build_ivf_index(
     )
     from pyairbyte_spark.writers import LocalRows
 
-    cent_rows = cent.collect()
+    cent_rows = getattr(cent, "_sg_local_rows", None) or cent.collect()
     cent = spark.createDataFrame(cent_rows, schema=cent.schema)
     e = corpus.select(F.col(id_col).alias("id"), as_double_vec(vec_col).alias("v"))
     lists = _assign_to_centroids(
@@ -1411,14 +1508,15 @@ def pq_train(
             F.col(id_col).alias(id_col),
             F.slice(as_double_vec(vec_col), j * dsub + 1, dsub).alias("sub"),
         )
-        cents = kmeans_centroids(
+        cent = kmeans_centroids(
             sub,
             id_col=id_col,
             vec_col="sub",
             n_centroids=ksub,
             iters=iters,
             train_modulus=train_modulus,
-        ).collect()
+        )
+        cents = getattr(cent, "_sg_local_rows", None) or cent.collect()
         # order by cid for determinism; pad if a codeword emptied out
         cvs = [list(r["cv"]) for r in sorted(cents, key=lambda r: r["cid"])]
         while len(cvs) < ksub:

@@ -401,6 +401,31 @@ def test_kmeans_centroids_deterministic(spark):
     )
 
 
+def test_kmeans_driver_path_matches_distributed(spark):
+    """The driver-side Lloyd fast path must be bit-identical to the
+    distributed formulation (both round every decision value to 6
+    decimals — see scripts/probe_kmeans_driver.py for the full
+    config × scale matrix)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def run():
+        got = similarity.kmeans_centroids(
+            emb, n_centroids=6, iters=2, train_modulus=2
+        )
+        rows = getattr(got, "_sg_local_rows", None) or got.collect()
+        return sorted((r["cid"], tuple(r["cv"])) for r in rows)
+
+    orig = similarity.KMEANS_DRIVER
+    try:
+        similarity.KMEANS_DRIVER = True
+        new = run()
+        similarity.KMEANS_DRIVER = False
+        old = run()
+    finally:
+        similarity.KMEANS_DRIVER = orig
+    assert new == old and len(new) == 6
+
+
 def test_audio_chunk_plan(spark):
     df = spark.createDataFrame([(1, b"x" * 96_000)], ["doc_id", "payload"])
     media = multimodal.attach_media_meta(
