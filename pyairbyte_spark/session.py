@@ -29,18 +29,25 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce post-shuffle partitions by SIZE, not up to the
-        # parallelism floor (the default keeps ~1 partition per core
-        # alive however tiny the data, so a KB-sized shuffle still
-        # schedules 32 tasks — and a clustered micro-append still
-        # writes 32 shard files). Size-first is the guide's §2.2
-        # posture at every scale: partitions sized to bytes, task
-        # count follows data. The advisory size is env-tunable for
-        # cluster runs.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE partition coalescing stays at Spark's parallelism-first
+        # default. Round 14 flipped this to size-first (parallelismFirst
+        # =false, 128m advisory); round 15's within-one-session
+        # interleaved A/B (4 alternating rounds per row) measured that
+        # flip as the root cause of the two standing "noise-suspect"
+        # regressions — it coalesces mid-size aggregation shuffles to a
+        # single partition, serializing the reduce stage:
+        #   window_topk_parts_per_supplier  2.78s -> 1.85s on revert
+        #   dedup_ngram_jaccard             3.64s -> 2.20s on revert
+        # while the micro-shuffle rows it was meant to help are within
+        # noise (store_merge_evolve 2.88 vs 2.83, txn_atomic 1.89 vs
+        # 1.85; text_index_sync_search pays ~6% — the one trade-off).
+        # KB-sized shuffles still coalesce to one partition either way
+        # (the 1 MB minPartitionSize floor), so clustered micro-appends
+        # keep landing a single sorted file. The advisory size remains
+        # env-tunable for cluster runs.
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "128m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
