@@ -574,36 +574,45 @@ def ngram_duplication_coverage(
     # re-splitting the document ~400× per row; >600s at 125k docs vs
     # ~30s with the binding). md5 hashing happens AFTER the explode,
     # where it is codegen'd, not interpreted.
-    toks_expr = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-        lambda t: t != "",
-    )
-
-    def _grams(tk):
-        gram = lambda i: F.concat_ws(  # noqa: E731
-            " ", *[F.try_element_at(tk, i + j) for j in range(n)]
+    if ARROW_NGRAM_KERNEL:
+        # One Arrow pass builds the identical distinct (id, 60-bit
+        # md5-prefix) rows at C speed (guide §4.2) — multiset equality
+        # with the expression pipeline below is pinned by
+        # tests/test_operators.py::test_ngram_hash_rows_matches_expression_paths.
+        g = ngram_hash_rows(
+            docs, text_col, id_col, n, tokens="alnum", distinct=True
         )
-        return F.when(
-            F.size(tk) >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
-                )
-            ),
+    else:
+        toks_expr = F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
         )
 
-    grams = F.element_at(F.transform(F.array(toks_expr), _grams), 1)
-    g = (
-        docs.select(F.col(id_col).alias("id"), grams.alias("g"))
-        .filter(F.col("g").isNotNull())
-        .select("id", F.explode("g").alias("gram_s"))
-        .select(
-            "id",
-            F.conv(F.substring(F.md5(F.col("gram_s")), 1, 15), 16, 10)
-            .cast("bigint")
-            .alias("gram"),
+        def _grams(tk):
+            gram = lambda i: F.concat_ws(  # noqa: E731
+                " ", *[F.try_element_at(tk, i + j) for j in range(n)]
+            )
+            return F.when(
+                F.size(tk) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)), gram
+                    )
+                ),
+            )
+
+        grams = F.element_at(F.transform(F.array(toks_expr), _grams), 1)
+        g = (
+            docs.select(F.col(id_col).alias("id"), grams.alias("g"))
+            .filter(F.col("g").isNotNull())
+            .select("id", F.explode("g").alias("gram_s"))
+            .select(
+                "id",
+                F.conv(F.substring(F.md5(F.col("gram_s")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("gram"),
+            )
         )
-    )
     df_count = g.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (
         g.join(df_count, "gram")
@@ -621,6 +630,100 @@ def ngram_duplication_coverage(
             ).alias("dup_fraction"),
         )
     )
+
+
+# -- Arrow n-gram hash kernel ------------------------------------------------
+# The gram build is the measured compute floor of the contamination /
+# ngram-dup rows at sf1 (~5-7s of interpreted-HOF concat per gram
+# position even after the let-binding fix). One mapInArrow pass hands
+# whole batches to C-speed hashlib instead (guide §4.2: let Spark do
+# distribution, hand batches to native code), emitting the IDENTICAL
+# 60-bit md5-prefix values — the cross-engine collision guarantee the
+# oracles document is preserved because the BYTES hashed are the same.
+# Exactness notes, pinned by tests/probe equality on the real corpus:
+#   - "ws" tokens replicate split(trim(text), '\\s+'): Spark trim
+#     strips 0x20 only; Java \s is ASCII-only — hence the explicit
+#     byte class, applied to the UTF-8 bytes Spark's md5 hashes.
+#   - "alnum" tokens replicate filter(split(lower(text),
+#     '[^a-z0-9]+'), t != ''): Python str.lower() matches
+#     UTF8String.toLowerCase on this pipeline's data (probed), and the
+#     ASCII regex class behaves identically on str and bytes.
+#   - int.from_bytes(digest[:8]) >> 4 == conv(substring(md5, 1, 15),
+#     16, 10): the top 60 bits of the digest.
+# False = the expression pipeline (the equality escape hatch).
+ARROW_NGRAM_KERNEL = True
+
+_WS_RE = rb"[ \t\n\x0b\f\r]+"  # Java regex \s, byte-wise
+
+
+def ngram_hash_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    *,
+    tokens: str = "ws",
+    distinct: bool = False,
+) -> DataFrame:
+    """Exploded (id, gram) rows — gram the 60-bit md5 prefix of each
+    token ``n``-gram — in one Arrow pass. ``tokens="ws"`` mirrors
+    ``ngrams_expr`` (whitespace split of trimmed text, every
+    position); ``tokens="alnum"`` mirrors the ngram-dup tokenizer
+    (lowercased non-alphanumeric split, empties dropped); ``distinct``
+    emits each gram once per id (``array_distinct`` parity)."""
+    import re as _re
+
+    ws = tokens == "ws"
+
+    def kernel(batches):
+        import hashlib
+
+        import pyarrow as pa
+
+        split_ws = _re.compile(_WS_RE).split
+        split_alnum = _re.compile(r"[^a-z0-9]+").split
+        md5 = hashlib.md5
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_i: list = []
+            out_g: list = []
+            for i, t in zip(ids, texts):
+                if t is None:
+                    continue
+                if ws:
+                    toks = split_ws(t.encode("utf-8").strip(b" "))
+                else:
+                    toks = [
+                        w.encode("utf-8")
+                        for w in split_alnum(t.lower())
+                        if w != ""
+                    ]
+                m = len(toks) - n + 1
+                if m < 1:
+                    continue
+                grams = [
+                    b" ".join(toks[p : p + n]) for p in range(m)
+                ]
+                if distinct:
+                    grams = list(dict.fromkeys(grams))
+                out_i.extend([i] * len(grams))
+                out_g.extend(
+                    int.from_bytes(md5(g).digest()[:8], "big") >> 4
+                    for g in grams
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_i, type=pa.int64()),
+                    pa.array(out_g, type=pa.int64()),
+                ],
+                names=["id", "gram"],
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("t")
+    )
+    return src.mapInArrow(kernel, "id long, gram long")
 
 
 # -- persisted MinHash-LSH index (dedup at ingest) ---------------------------

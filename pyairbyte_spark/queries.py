@@ -4051,9 +4051,22 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle computes both, and a final groupBy(doc) counts shingles
     # and hits together.
     w = W.partitionBy("sh")
+    from pyairbyte_spark.operators import dedup as _dd
+
+    if _dd.ARROW_NGRAM_KERNEL:
+        # One Arrow pass builds the identical 60-bit md5-prefix grams
+        # at C speed (multiset equality with the expression pipeline
+        # pinned by test + probe; the escape hatch keeps the
+        # expression path below).
+        pairs = _dd.ngram_hash_rows(docs, "text", "doc_id", 5).select(
+            F.col("id").alias("doc_id"), F.col("gram").alias("sh")
+        )
+    else:
+        pairs = docs.select(
+            "doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s")
+        ).select("doc_id", sh.alias("sh"))
     shingles = (
-        docs.select("doc_id", F.explode(text.ngrams_expr("text", 5)).alias("s"))
-        .select("doc_id", sh.alias("sh"))
+        pairs
         # Repartition by sh BEFORE the distinct: hashpartitioning(sh)
         # satisfies the distinct's clustered distribution on
         # (doc_id, sh) AND the windows' distribution on sh, so the

@@ -16,7 +16,7 @@ import sys
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(__file__), "..", "plans", "r14")
+OUT = os.path.join(os.path.dirname(__file__), "..", "plans", "r15")
 
 DEFAULT = [
     "dedup_minhash_index_lookup",

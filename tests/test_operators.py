@@ -772,6 +772,82 @@ def test_ngram_duplication_coverage_hand_checked(spark):
     assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
 
 
+def test_ngram_hash_rows_matches_expression_paths(spark):
+    """The Arrow n-gram kernel must emit the EXACT (id, 60-bit md5
+    prefix) multiset of both expression pipelines it replaces — the
+    cross-engine collision guarantee the oracles rely on. Adversarial
+    text: tabs/newlines/CR (Java \\s is ASCII-only), leading/trailing
+    whitespace (Spark trim strips 0x20 only), multi-byte UTF-8,
+    uppercase+digits+punctuation (alnum tokenizer), short docs, empty
+    strings, and NULLs."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.operators import text
+    from pyairbyte_spark.operators.dedup import ngram_hash_rows
+
+    rows = [
+        (1, "one two three four five six seven"),
+        (2, "\tone  two\nthree\rfour\x0bfive\x0csix "),
+        (3, " naïve café über 東京 123 ABC one two "),
+        (4, "Short doc"),
+        (5, ""),
+        (6, None),
+        (7, "a-b,c.d!e?f:g;h (i) [j] {k} 1a2b3c"),
+        (8, "repeat repeat repeat repeat repeat repeat repeat"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def multiset(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    # ws mode vs ngrams_expr (contamination_check's pair build)
+    sh = F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("bigint")
+    for n in (2, 5):
+        expr_ws = docs.select(
+            "doc_id", F.explode(text.ngrams_expr("text", n)).alias("s")
+        ).select("doc_id", sh.alias("sh"))
+        kern_ws = ngram_hash_rows(docs, "text", "doc_id", n)
+        assert multiset(kern_ws, ["id", "gram"]) == multiset(
+            expr_ws, ["doc_id", "sh"]
+        ), f"ws mode n={n}"
+
+    # alnum+distinct mode vs ngram_duplication_coverage's gram build
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    n = 3
+    gram = lambda tk, i: F.concat_ws(  # noqa: E731
+        " ", *[F.try_element_at(tk, i + j) for j in range(n)]
+    )
+    grams = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.when(
+                F.size(tk) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(tk) - F.lit(n - 1)),
+                        lambda i: gram(tk, i),
+                    )
+                ),
+            ),
+        ),
+        1,
+    )
+    expr_al = (
+        docs.select("doc_id", grams.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .select("doc_id", F.explode("g").alias("s"))
+        .select("doc_id", sh.alias("sh"))
+    )
+    kern_al = ngram_hash_rows(
+        docs, "text", "doc_id", n, tokens="alnum", distinct=True
+    )
+    assert multiset(kern_al, ["id", "gram"]) == multiset(
+        expr_al, ["doc_id", "sh"]
+    )
+
+
 def test_ivf_persistent_index_matches_direct_ivf(spark, tmp_path):
     """build_ivf_index + ivf_index_topk == ivf_topk for the same build
     parameters, and the probe scan is zone-map-pruned to the probed
