@@ -74,6 +74,7 @@ def _make_sick(spark, store):
     t.commit()
 
 
+@pytest.mark.slow
 def test_one_call_heals_a_seeded_sick_store(spark, store):
     _make_sick(spark, store)
     kw = dict(tombstone_max=0.1, txn_decisions_max=0)
@@ -155,6 +156,7 @@ def test_per_action_isolation(spark, store, monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_apply_races_concurrent_sync(spark, store):
     """The doctor's fold and a live sync interleave safely: the fold's
     guarded replace never clobbers the sync's txn group, and whatever

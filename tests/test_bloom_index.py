@@ -359,6 +359,7 @@ def test_oversize_index_probes_relationally(spark, store):
     assert store.plan_scan("t", [("key", "=", "nope")])["files_selected"] == 0
 
 
+@pytest.mark.slow
 def test_distributed_build_no_driver_file_list(spark, tmp_path, monkeypatch):
     """Sidecar-backed snapshots BUILD through the relational path (a
     zero-entry-action delta commit) and the result is byte-equivalent

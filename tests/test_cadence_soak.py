@@ -61,6 +61,7 @@ def _docs(spark, lo, hi):
     )
 
 
+@pytest.mark.slow
 def test_cadence_soak(spark, tmp_path):
     store = CommitLogTableStore(
         spark, str(tmp_path / "wh"), "main", merge_buckets=8

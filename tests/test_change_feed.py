@@ -185,6 +185,7 @@ def _all_changes(df):
     )
 
 
+@pytest.mark.slow
 def test_grouped_append_steps_match_per_commit_path(spark, store):
     """Adjacent plain appends fold into one grouped scan; rows, tags,
     versions and column order must be identical to the per-commit

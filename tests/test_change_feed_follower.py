@@ -237,6 +237,7 @@ def test_follower_apply_deletes_requires_pks(spark, caches):
         ChangeFeedFollower(src, "raw", dst, "clean", apply_deletes=True)
 
 
+@pytest.mark.slow
 def test_follower_dml_heavy_history_with_restore_boundaries(spark, caches):
     """~90-commit seeded churn — merges, predicate deletes, updates,
     and mid-history RESTOREs — with the follower checkpointing at

@@ -64,6 +64,7 @@ def _seed(spark, store):
     store._invalidate_manifests("t")
 
 
+@pytest.mark.slow
 def test_plan_scan_equivalence(spark, stores):
     dist, drv = stores
     _seed(spark, dist)
@@ -147,6 +148,7 @@ def test_threshold_keeps_small_tables_on_driver_path(spark, tmp_path,
     assert plan["manifest"].get("entries")
 
 
+@pytest.mark.slow
 def test_survivor_collapse_equivalence(spark, stores):
     """Unselective-predicate spill: with the collapse threshold forced
     to 0, fully-surviving entries become whole-dir groups (no per-file

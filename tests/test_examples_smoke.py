@@ -8,10 +8,12 @@ the test Spark session via ``get_spark``'s getOrCreate)."""
 
 from __future__ import annotations
 
+import pytest
 import os
 import runpy
 
 
+@pytest.mark.slow
 def test_index_follower_tour_runs(spark, capsys):
     path = os.path.join(
         os.path.dirname(__file__), "..", "examples",

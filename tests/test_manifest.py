@@ -148,6 +148,7 @@ def test_appends_store_deltas_commit_cost_is_o_changed(spark, store):
     assert _rows(store.read_version("t", 3)) == [(i, f"v{i}") for i in range(3)]
 
 
+@pytest.mark.slow
 def test_checkpoint_interval_forces_full_manifest(spark, store, monkeypatch):
     monkeypatch.setattr(mf, "CHECKPOINT_INTERVAL", 4)
     for i in range(9):
@@ -166,6 +167,7 @@ def test_checkpoint_interval_forces_full_manifest(spark, store, monkeypatch):
     assert fresh.read_version("t", 6).count() == 6
 
 
+@pytest.mark.slow
 def test_incremental_merge_delta_touches_only_changed_entries(spark, tmp_path):
     """On a manifest with several carried entries, an incremental
     merge stores a delta whose actions cover only the touched buckets'
@@ -258,6 +260,7 @@ def test_parquet_entries_roundtrip_shapes():
     assert mf.entries_from_parquet_bytes(data) == entries
 
 
+@pytest.mark.slow
 def test_wide_manifest_spills_to_parquet_checkpoint(spark, store, monkeypatch):
     monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 3)
     monkeypatch.setattr(mf, "CHECKPOINT_INTERVAL", 4)

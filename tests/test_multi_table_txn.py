@@ -388,6 +388,7 @@ def test_atomic_sync_commits_all_streams_together(spark, tmp_path):
     assert sp.get_stream_state("a").state == {"cursor": 2}
 
 
+@pytest.mark.slow
 def test_atomic_sync_crash_aborts_data_and_state(spark, tmp_path, monkeypatch):
     """A crash while finalizing the SECOND stream rolls back the whole
     sync: no table advances, no cursor advances, and a clean re-run
@@ -461,6 +462,7 @@ def test_atomic_sync_requires_commitlog_cache(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_randomized_interleaving_linearizes(spark, store):
     """Randomized robustness: many threads interleave plain appends,
     committing groups, aborting groups, and crashed (undecided)
@@ -655,6 +657,7 @@ def test_abort_after_commit_raises(spark, store):
     assert store.read("raw").count() == 14  # still visible
 
 
+@pytest.mark.slow
 def test_contended_merge_groups_land(spark, store):
     """VERDICT r10 #1 'done' gate: 8 threads running merge-bearing
     txn groups against shared tables — with all three verbs deferring

@@ -848,6 +848,47 @@ def test_ngram_hash_rows_matches_expression_paths(spark):
     )
 
 
+def test_minhash_signature_arrow_matches_expression(spark):
+    """The Arrow minhash kernel must emit BIT-IDENTICAL signatures to
+    the explode + groupBy expression pipeline — the persisted index
+    content (sigs/bands tables) depends on it. Covers normalize-edge
+    text (tabs/CR, mixed case, UTF-8), short docs (< k tokens -> one
+    partial shingle), empty and NULL text (md5('') degenerate), and
+    both k / num_hashes variants."""
+    import pyairbyte_spark.operators.dedup as dd
+
+    rows = [
+        (1, "One two THREE four five one two three"),
+        (2, "\tone  two\nthree\rfour "),
+        (3, " naïve café über 東京 123 "),
+        (4, "short"),
+        (5, ""),
+        (6, None),
+        (7, "a b c d e f g h i j k l m n o p q r s t u v w x y z"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for nh, k in ((12, 3), (8, 2)):
+        old = dd.ARROW_MINHASH_KERNEL
+        try:
+            dd.ARROW_MINHASH_KERNEL = False
+            expr = {
+                r["doc_id"]: r["sig"]
+                for r in dd.minhash_signature(
+                    docs, "text", "doc_id", num_hashes=nh, k=k
+                ).collect()
+            }
+            dd.ARROW_MINHASH_KERNEL = True
+            kern = {
+                r["doc_id"]: r["sig"]
+                for r in dd.minhash_signature(
+                    docs, "text", "doc_id", num_hashes=nh, k=k
+                ).collect()
+            }
+        finally:
+            dd.ARROW_MINHASH_KERNEL = old
+        assert kern == expr, f"nh={nh} k={k}"
+
+
 def test_ivf_persistent_index_matches_direct_ivf(spark, tmp_path):
     """build_ivf_index + ivf_index_topk == ivf_topk for the same build
     parameters, and the probe scan is zone-map-pruned to the probed
@@ -919,6 +960,7 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ivf_index_lifecycle_under_churn(spark, tmp_path):
     """The full index maintenance cycle — build -> append -> probe ->
     compact -> probe -> retrain -> probe — stays EXACT at every step

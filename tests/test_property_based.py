@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import re
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -82,6 +83,7 @@ _recs = st.lists(
 
 @given(records=_recs)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_merge_is_idempotent_and_last_wins(spark, records):
     """Merging a batch twice converges to the same table, and the
     surviving value per PK is the LAST occurrence in arrival order
@@ -160,6 +162,7 @@ def test_chunking_covers_every_token_without_loss(spark, n_words, chunk, overlap
     n=st.integers(min_value=1, max_value=10),
 )
 @settings(max_examples=10, deadline=None)
+@pytest.mark.slow
 def test_weighted_sample_size_and_membership(spark, weights, n):
     """Sample size is exactly min(n, rows); every sampled id exists;
     the selection is a function of (seed, ids) only."""
@@ -236,6 +239,7 @@ def test_quantize_int8_reconstruction_bound(spark, vecs):
     )
 )
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_commitlog_store_matches_model(spark, tmp_path_factory, ops):
     """Model-based check: any sequence of replace/merge against the
     ACID store must match an exact in-memory model of the contract —
@@ -445,6 +449,7 @@ def test_hll_estimate_engine_parity_on_arbitrary_strings(spark, values):
     )
 )
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_ndv_maintenance_matches_reanalyze(spark, tmp_path_factory, ops):
     """Any interleaving of appends (incremental register fold),
     deletes (forced re-analyze), and compaction (no-op for NDV) must

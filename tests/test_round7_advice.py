@@ -71,6 +71,7 @@ def _seed(spark, store, n_entries=4, per=5, files_per=2):
 
 
 @pytest.mark.parametrize("dml", ["delete", "update", "optimize"])
+@pytest.mark.slow
 def test_collapse_excludes_cow_pruned_entries(spark, dist_stores, dml):
     """After a COW rewrite the shrunk entry must ship explicit file
     lists even in the unselective (collapse) regime — whole-dir reads

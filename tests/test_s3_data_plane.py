@@ -83,6 +83,7 @@ def motofs_classes(tmp_path_factory):
     return str(out)
 
 
+@pytest.mark.slow
 def test_s3_data_plane_lifecycle(motofs_classes):
     child = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "_s3_data_plane_child.py")

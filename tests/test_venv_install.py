@@ -144,6 +144,7 @@ def test_installer_lifecycle(offline_pip, tmp_path):
     assert not installer.venv_path.exists()
 
 
+@pytest.mark.slow
 def test_installer_repairs_partial_install(offline_pip, tmp_path):
     installer = VenvInstaller(CONNECTOR_NAME, install_root=tmp_path)
     installer.ensure_installed()
@@ -175,6 +176,7 @@ def test_install_failure_cleans_up(offline_pip, tmp_path):
     assert not installer.venv_path.exists()  # half-built venv removed
 
 
+@pytest.mark.slow
 def test_get_source_auto_installs_and_reads(offline_pip, tmp_path, cache):
     registry.register_connectors(
         {
