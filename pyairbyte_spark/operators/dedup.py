@@ -111,6 +111,16 @@ def shingles_df(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFr
 # -- MinHash + LSH ----------------------------------------------------------
 
 
+# One Arrow pass for the whole signature (shingles + md5 lanes + the
+# per-lane min are all doc-local): no explode, no shuffle, and the
+# md5/concat work runs in C instead of JVM-interpreted HOFs (guide
+# §4.2). Output proven bit-identical to the expression pipeline on the
+# real corpus and pinned by
+# tests/test_operators.py::test_minhash_signature_arrow_matches_expression.
+# False = the explode + groupBy expression pipeline (escape hatch).
+ARROW_MINHASH_KERNEL = True
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, *, num_hashes: int = 12, k: int = 3
 ) -> DataFrame:
@@ -122,8 +132,37 @@ def minhash_signature(
 
     Linear: explode + groupBy(id) with min-aggregations; the explode and
     re-group shuffle on the doc id only (shingle strings never shuffle
-    as keys).
+    as keys). With ``ARROW_MINHASH_KERNEL`` the same values come out of
+    one mapInArrow pass with NO shuffle at all.
+
+    Exactness notes for the Arrow path (each decision mirrors the
+    expression pipeline bit for bit; see the equality test):
+      - normalize_text_expr = trim(regexp_replace(lower(text), '\\s+',
+        ' ')): Python str.lower() matches UTF8String.toLowerCase on
+        this pipeline's data (probed on the real corpus), Java \\s is
+        ASCII-only (explicit class), Spark trim strips 0x20 only.
+      - split(normalized, ' ') on empty input yields [''] in both
+        engines, and NULL text normalizes like '' (try_element_at
+        over a NULL array -> NULLs, concat_ws skips them): every row
+        gets a signature, including the md5('') degenerate.
+      - shingle positions run 1..greatest(m-k+1, 1): short docs emit
+        ONE partial shingle (join of all available tokens).
+      - a/b = conv(substring(md5_hex, 1, 8)) / (9, 8) = the first and
+        second 4 bytes of the digest, min'd per lane mod 2^32.
+
+    Precondition (both paths, now explicit): ``id_col`` is a row key.
+    The expression pipeline's groupBy would MERGE duplicate-id rows
+    into one mashed signature — never meaningful — where the Arrow
+    path emits one signature per row; every caller (index build /
+    append / sync derivations, candidate mining) feeds key-unique
+    frames, and the one duplicate-id regime (out-of-band duplicate
+    appends) takes the netted index-side fallback that never calls
+    this function.
     """
+    if ARROW_MINHASH_KERNEL:
+        return _minhash_signature_arrow(
+            df, text_col, id_col, num_hashes=num_hashes, k=k
+        )
     exploded = shingles_df(df, text_col, id_col, k)
     # Parsed SQL strings, not Column-API composition: this builder runs
     # 2-4x per index lifecycle and the per-F.* py4j round-trips were
@@ -143,6 +182,56 @@ def minhash_signature(
         f"`{id_col}`",
         f"array({', '.join(f'h{i}' for i in range(num_hashes))}) AS sig",
     )
+
+
+def _minhash_signature_arrow(
+    df: DataFrame, text_col: str, id_col: str, *, num_hashes: int, k: int
+) -> DataFrame:
+    """Arrow-kernel body of :func:`minhash_signature` — one batch pass,
+    ids passed through untouched (no per-row Python on the id column,
+    original type preserved)."""
+    import re as _re
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        ws_sub = _re.compile(r"[ \t\n\x0b\f\r]+").sub
+        md5 = hashlib.md5
+        lanes = np.arange(num_hashes, dtype=np.int64).reshape(-1, 1)
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            sigs: list = []
+            for t in texts:
+                norm = ws_sub(" ", (t or "").lower()).strip(" ")
+                toks = norm.encode("utf-8").split(b" ")
+                m = len(toks) - k + 1
+                shingles = (
+                    {b" ".join(toks[p : p + k]) for p in range(m)}
+                    if m >= 1
+                    else {b" ".join(toks)}
+                )
+                ab = np.frombuffer(
+                    b"".join(md5(s).digest()[:8] for s in shingles),
+                    dtype=">u4",
+                ).astype(np.int64)
+                a, b = ab[0::2], ab[1::2]
+                sigs.append(
+                    ((a + lanes * b) % 4294967296).min(axis=1).tolist()
+                )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pa.array(sigs, type=pa.list_(pa.int64()))],
+                names=["__id", "sig"],
+            )
+
+    out = df.select(F.col(id_col), F.col(text_col)).mapInArrow(
+        kernel, f"__id {id_ddl}, sig array<bigint>"
+    )
+    return out.withColumnRenamed("__id", id_col)
 
 
 def lsh_bands(
