@@ -3940,24 +3940,45 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the 512-row ratio table, and ONE real shuffle (groupBy doc_id).
     No UDFs; the ln/round/decimal arithmetic is JVM-side.
     """
+    from pyairbyte_spark.operators import text as text_ops
+
     docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
-    terms = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    b = F.pmod(
-        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint"),
-        F.lit(512),
-    )
-    bucketed = terms.select("doc_id", "lang", b.alias("b"))
+    if text_ops.ARROW_BUCKET_KERNEL:
+        # One Arrow pass emits per-doc bucket HISTOGRAMS (doc_id,
+        # lang, b, cnt): no explode, md5 at C speed once per distinct
+        # token per batch, and both downstream passes move bucket
+        # counts instead of token occurrences. Values proven identical
+        # (sum(cnt) == count(*); decimal cnt×lr sum == per-term sum) —
+        # pinned by test_token_bucket_counts_matches_expression.
+        hist = text_ops.token_bucket_counts(
+            docs, "text", "doc_id", carry=["lang"], n_buckets=512
+        )
+    else:
+        terms = docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("w"),
+        ).filter(F.col("w") != "")
+        b = F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("w")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(512),
+        )
+        hist = terms.select(
+            "doc_id", "lang", b.alias("b"), F.lit(1).cast("long").alias("cnt")
+        )
     # ONE 512-key aggregation computes the raw AND target counts (was
     # three separate aggregations, each re-running the explode+hash
     # over the whole corpus — 4 full passes counting the final join;
     # now 2). Totals fold from the 512-row frame, not the corpus.
-    g = bucketed.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ct"),
+    g = hist.groupBy("b").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == "en", F.col("cnt")).otherwise(0)
+        ).alias("ct"),
     )
     totals = g.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
@@ -3979,11 +4000,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        bucketed.join(F.broadcast(lr), "b")
+        hist.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_terms"),
-            F.sum("lr").cast("double").alias("dsir_logratio"),
+            F.sum("cnt").alias("n_terms"),
+            # cnt × lr in DECIMAL is exact (decimal(10,0) × decimal
+            # (20,9) = decimal(31,9), no precision loss), so the sum
+            # equals the per-term decimal sum bit-for-bit.
+            F.sum(F.col("cnt").cast("decimal(10,0)") * F.col("lr"))
+            .cast("double")
+            .alias("dsir_logratio"),
         )
         .orderBy("doc_id")
     )

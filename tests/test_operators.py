@@ -848,6 +848,63 @@ def test_ngram_hash_rows_matches_expression_paths(spark):
     )
 
 
+def test_token_bucket_counts_matches_expression(spark):
+    """The Arrow token-bucket kernel must emit the EXACT per-doc
+    (lang, bucket, count) histogram of the explode + md5 expression
+    path it replaces (dsir_importance_weights' term derivation).
+    Adversarial text: per-char Unicode lowering (final sigma, dotted
+    I, ß), tab/CR/VT separators (Java \\s is ASCII-only), 0x20-only
+    trim, multi-byte UTF-8, repeats, empty and whitespace-only docs,
+    and NULLs."""
+    from pyspark.sql import functions as F
+
+    from pyairbyte_spark.operators.text import token_bucket_counts
+
+    rows = [
+        (1, "en", "the quick brown fox the the"),
+        (2, "de", "\tStraße  GROSS\nüber\rΑΣ ΣΟΦΙΑ\x0bİstanbul\x0c "),
+        (3, "en", " 東京 café naïve 123 MiXeD "),
+        (4, "fr", ""),
+        (5, "en", " \t \n "),
+        (6, None, None),
+        (7, "en", "repeat repeat repeat repeat"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    terms = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "w"
+        ),
+    ).filter(F.col("w") != "")
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(512),
+    )
+    expr = (
+        terms.select("doc_id", "lang", b.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    kern = token_bucket_counts(
+        docs, "text", "doc_id", carry=["lang"], n_buckets=512
+    )
+
+    def multiset(df):
+        return sorted(
+            ((r["doc_id"], r["lang"], r["b"], r["cnt"]) for r in df.collect()),
+            key=lambda t: (t[0], t[1] or "", t[2]),
+        )
+
+    assert multiset(kern) == multiset(expr)
+    # docs with no nonempty tokens (empty / ws-only / NULL) emit nothing
+    present = {t[0] for t in multiset(kern)}
+    assert present == {1, 2, 3, 7}
+
+
 def test_minhash_signature_arrow_matches_expression(spark):
     """The Arrow minhash kernel must emit BIT-IDENTICAL signatures to
     the explode + groupBy expression pipeline — the persisted index
