@@ -4446,16 +4446,27 @@ class CommitLogTableStore(TableStore):
                 scan_rows = scan_rows.filter(~dominated)
         scanned: dict = {}
         n_scanned_files = 0
-        hdr_meta = entries_df.filter(F.col("file_path").isNull()).select(
-            "entry_path",
-            # SHALLOW-CLONE entries reference another table's dir
-            F.get_json_object(F.col("extra"), "$.base").alias("__base"),
-        )
-        rows_ = (
-            scan_rows.select("entry_path", "file_path")
-            .join(hdr_meta, "entry_path", "left")
-            .collect()
-        )
+        rows_: list = []
+        # Zero boundary files (every live file answered from metadata
+        # or pruned — the common zero-read case this tier exists for):
+        # scan_rows is empty by construction, so skip its collect
+        # outright instead of paying a scheduler round-trip to learn
+        # that (one job per metadata-answered agg_where).
+        if n_scan > 0:
+            hdr_meta = entries_df.filter(
+                F.col("file_path").isNull()
+            ).select(
+                "entry_path",
+                # SHALLOW-CLONE entries reference another table's dir
+                F.get_json_object(F.col("extra"), "$.base").alias(
+                    "__base"
+                ),
+            )
+            rows_ = (
+                scan_rows.select("entry_path", "file_path")
+                .join(hdr_meta, "entry_path", "left")
+                .collect()
+            )
         if rows_:
             root = self.table_path(table_name)
             paths = [

@@ -205,6 +205,47 @@ def test_distributed_classifier_folds_sums(spark, tmp_path, monkeypatch):
     assert r["files_scanned"] == 0
 
 
+def test_distributed_metadata_answer_skips_scan_collect(
+    spark, tmp_path, monkeypatch
+):
+    """A metadata-answered distributed agg_where (zero boundary
+    files) must not launch the scan-rows collect: one classifier
+    fold is the whole plan. Pinned by job count in a dedicated job
+    group (same technique as the changeless-sync guards)."""
+    monkeypatch.setattr(mf, "PARQUET_CHECKPOINT_MIN_ENTRIES", 1)
+    st = CommitLogTableStore(
+        spark, str(tmp_path / "wh"), "main", harvest_sums=True
+    )
+    st.DISTRIBUTED_MANIFEST_MIN_BYTES = 0
+    _seed(spark, st)
+    aggs = [("sum", "v"), ("count", "*")]
+    sc = spark.sparkContext
+    # warm once (sidecar read + Python workers), then count jobs
+    st.agg_where("t", aggs)
+    sc.setJobGroup("agg-meta-guard", "metadata-answered agg_where")
+    try:
+        r0 = st.agg_where("t", aggs)
+    finally:
+        sc.setJobGroup(None, None)
+    assert r0["files_scanned"] == 0
+    meta_jobs = len(
+        sc.statusTracker().getJobIdsForGroup("agg-meta-guard")
+    )
+    # a boundary-range call from the same store pays MORE jobs (the
+    # scan collect + the boundary read) — the zero-scan call must not
+    sc.setJobGroup("agg-range-guard", "boundary agg_where")
+    try:
+        r1 = st.agg_where("t", aggs, [("id", "<", 2500)])
+    finally:
+        sc.setJobGroup(None, None)
+    assert r1["files_scanned"] >= 1
+    range_jobs = len(
+        sc.statusTracker().getJobIdsForGroup("agg-range-guard")
+    )
+    assert meta_jobs < range_jobs, (meta_jobs, range_jobs)
+    assert meta_jobs <= 2, meta_jobs  # the classifier fold only
+
+
 def test_sums_survive_compact_and_merge(spark, store):
     _seed(spark, store, n=6000, files=4)
     store.merge_into(
