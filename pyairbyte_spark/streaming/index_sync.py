@@ -102,7 +102,15 @@ class IndexSyncFollower:
     def _meta(self, name: str) -> dict:
         """One index's 1-row meta table, driver-locally when the store
         supports it (meta is O(1) in corpus size, so the caught-up
-        tick really is job-free); distributed read on any miss."""
+        tick really is job-free); distributed read on any miss.
+
+        Type-parity assumption: the fast path returns pyarrow-decoded
+        values, the fallback ``Row.asDict()`` — these agree for the
+        primitive columns meta carries today but can differ for
+        non-primitive types (e.g. timestamp tz-awareness). Consumers
+        read only ``source_table`` / ``synced_version`` /
+        ``source_ref`` (and coerce ``synced_version`` with ``int()``);
+        coerce at the read site before relying on any new field."""
         rows = getattr(self.store, "read_rows_local", lambda t: None)(
             f"{name}_meta"
         )

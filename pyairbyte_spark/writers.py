@@ -8838,8 +8838,13 @@ class CommitLogTableStore(TableStore):
         to alert on — ``read_where`` stays EXACT either way, uncovered
         files are merely unprunable. Returns ``{"columns", "fpr",
         "files_total", "files_covered", "files_uncovered"}``, or None
-        when the table has no index. Cost: one metadata-only join
-        (index keys × live-file keys), no data I/O, O(1) driver."""
+        when the table has no index. Cost: with a driver-resident
+        manifest, a driver-side fold over the index KEYS (reused from
+        ``_bloom_cache`` when ``plan_scan`` already loaded the map,
+        otherwise a key-only pyarrow read that never pulls the bits
+        payload and never populates the cache) — zero Spark jobs;
+        otherwise one metadata-only join (index keys × live-file
+        keys), no data I/O."""
         v0 = self._visible_head_version(table_name)
         if v0 is None:
             raise FileNotFoundError(f"table {table_name!r} does not exist")
@@ -8848,18 +8853,22 @@ class CommitLogTableStore(TableStore):
         if not meta:
             return None
         if man is not None:
-            # Driver-resident manifest: fold coverage from the cached
-            # index map (or a zero-covered stub when the dir is gone)
-            # — no Spark job. Oversize indexes keep the relational
-            # join below (they are never pulled to the driver).
-            mp = self._bloom_map(table_name, meta)
-            if mp is None or isinstance(mp, dict):
+            # Driver-resident manifest: fold coverage driver-side —
+            # no Spark job. The fold needs KEYS only, so a cold
+            # monitoring call does a key-only pyarrow read instead of
+            # loading O(index-bytes) bits through _bloom_map (which
+            # would also evict hot plan_scan entries from the shared
+            # cache); an already-cached map is reused for free.
+            # Oversize or unreadable indexes keep the relational join
+            # below (never pulled to the driver).
+            key = (table_name, meta["ref"])
+            mp = self._bloom_cache.get(key)
+            cov = set(mp.keys()) if mp is not None else None
+            if cov is None and key not in self._bloom_oversize:
+                cov = self._bloom_coverage_keys(table_name, meta)
+            if cov is not None:
                 files = self._live_files_local(man)
-                covered = (
-                    0
-                    if mp is None
-                    else sum(1 for r in files if (r[0], r[1]) in mp)
-                )
+                covered = sum(1 for r in files if (r[0], r[1]) in cov)
                 return {
                     "columns": meta.get("columns"),
                     "fpr": meta.get("fpr"),
@@ -8981,6 +8990,18 @@ class CommitLogTableStore(TableStore):
                         )
                     rows.extend(tbl.to_pylist())
         except Exception:
+            # Narrow signal on demotion: a PERSISTENT failure here
+            # (e.g. index-schema drift vs the hardcoded column list)
+            # would silently re-read via Spark on every cold load —
+            # make it observable without failing the read.
+            import logging
+
+            logging.getLogger(__name__).debug(
+                "bloom index pyarrow load failed for %s; "
+                "falling back to the Spark read",
+                path,
+                exc_info=True,
+            )
             rows = None
         if rows is None:
             try:
@@ -9018,6 +9039,48 @@ class CommitLogTableStore(TableStore):
             self._bloom_cache[key] = out
             self._bloom_cache_bytes += nbytes
         return out
+
+    def _bloom_coverage_keys(
+        self, table_name: str, meta: dict
+    ) -> "set | None":
+        """Covered ``(entry_path, file_path)`` keys via a KEY-ONLY
+        pyarrow read — :meth:`bloom_coverage`'s fold needs no bits
+        payload, so a cold monitoring call neither loads O(index)
+        bytes nor perturbs the shared ``_bloom_cache``. Returns a set
+        (empty for a vacuumed dir), or None to use the relational
+        join instead (over-cap listing or read failure)."""
+        path = self._bloom_index_path(table_name, meta)
+        try:
+            listing = self.io.list_files(path)
+        except Exception:
+            return None
+        if (
+            sum(sz for _n, sz in listing)
+            > self._BLOOM_CACHE_MAX_BYTES
+        ):
+            return None
+        try:
+            import pyarrow.parquet as papq
+
+            keys: set = set()
+            for n, _sz in listing:
+                if not n.endswith(".parquet") or os.path.basename(
+                    n
+                ).startswith(("_", ".")):
+                    continue
+                with self.io.open_input(os.path.join(path, n)) as src:
+                    tbl = papq.read_table(
+                        src, columns=["entry_path", "file_path"]
+                    )
+                keys.update(
+                    zip(
+                        tbl.column("entry_path").to_pylist(),
+                        tbl.column("file_path").to_pylist(),
+                    )
+                )
+            return keys
+        except Exception:
+            return None
 
     def _bloom_probe_keys(
         self,

@@ -434,6 +434,25 @@ def test_coverage_watermark_and_refresh(spark, store):
     assert store.read_where("t", [("key", "=", key)]).count() == 1
 
 
+def test_coverage_cold_call_leaves_bloom_cache_alone(spark, store):
+    """A cold bloom_coverage (monitoring call) must fold from a
+    key-only read: it must NOT load the bits payload into (or evict
+    entries from) the shared _bloom_cache plan_scan relies on
+    (ADVICE r14), and it must agree with the cached-map fold."""
+    _seed(spark, store, n_files=3)
+    store.build_bloom_index("t", ["key"])
+    store._bloom_cache.clear()
+    store._bloom_cache_bytes = 0
+    cov = store.bloom_coverage("t")
+    assert cov["files_uncovered"] == 0 and cov["files_covered"] > 0
+    assert store._bloom_cache == {}  # cold call stayed key-only
+    # warm the cache through the probe path; coverage now reuses it
+    key = _key_of(spark, 7)
+    store.plan_scan("t", [("key", "=", key)])
+    assert store._bloom_cache  # probe loaded the map
+    assert store.bloom_coverage("t") == cov
+
+
 def test_bloom_maintenance_survives_aborted_txn_head(spark, store):
     """Regression (ADVICE r10): build_bloom_index / bloom_coverage
     planned from the RAW head version — an in-flight or aborted
