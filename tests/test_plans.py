@@ -329,13 +329,17 @@ def test_hll_keyed_aggs_no_join(spark):
 
 
 def test_cms_sketch_plan_bounded(spark):
-    """CMS = keyed aggregations + broadcast counter joins: one token
-    scan feeds the sketch, strings fold to (row, bucket) ints before
-    any shuffle; no cartesian blowup."""
+    """CMS folds from the exact vocabulary (r15 §11): the ONE
+    corpus-volume exchange is the (token, freq) groupBy with map-side
+    combine; the sketch groupBy, the top-10 sort and the estimate
+    joins all ride vocab- or 2x1024-bounded frames (the vocab subtree
+    repeats per consumer branch, so the hashpartitioning COUNT is
+    higher than the old stream-fold plan while every added exchange
+    is small); no cartesian blowup."""
     df = q.queries()["cms_token_frequency"](spark, SF_DIR)
     plan = plan_str(df, "simple")
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert plan.count("Exchange hashpartitioning") <= 5, plan
 
 
 def test_sampled_quantiles_one_scan_one_shuffle(spark):
